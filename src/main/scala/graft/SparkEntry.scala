@@ -1,13 +1,495 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ops.{GoldOps, SilverOps}
+
+/** Driver contract — one named query per operator family from SURVEY.md §2,
+  * expressed over the driver's testdata tables, each with an ANSI-SQL oracle
+  * for DuckDB.
+  *
+  * Determinism rules (SURVEY §7.4):
+  *   - wall-clock (`current_timestamp`) is replaced by fixed anchors;
+  *   - money sums run through DECIMAL(18,2) so results are exact and
+  *     independent of partial-aggregation order (a double sum's value
+  *     depends on task scheduling — unacceptable for a hash-compared gate
+  *     and for reproducibility on a real cluster);
+  *   - averages are decimal-sum / count, computed identically by DuckDB;
+  *   - every query ends in a total ORDER BY;
+  *   - `dropDuplicates` (arbitrary row per key) is only used key-only;
+  *     keep-first dedup uses an explicit row_number tiebreak.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Day after the last event ts (events span 2024-01-01..2024-01-30). */
+  private val NowEvents = "2024-02-01"
+  /** Day after the last o_orderdate (orders span 1995..2001). */
+  private val NowOrders = "2002-01-01"
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact 2-dp money value. */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Order-independent exact sum of a 2-dp money column, as double. */
+  private def moneySum(c: Column): Column = sum(money(c)).cast("double")
+  /** l_extendedprice * (1 - l_discount), exact decimal arithmetic. */
+  private def discPrice: Column =
+    money(col("l_extendedprice")) * (lit(1) - money(col("l_discount")))
+
+  /** Flagship query on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("gold_enriched")(spark, "/root/testdata/sf0.001")
+
+  // --- testdata → churn-schema adapters (SURVEY §1.5, FIXTURES.md §B) ---
+
+  /** events as churn transactions: user_id→customer_id, ts→timestamp. */
+  private def eventsAsTransactions(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").select(
+      col("user_id").cast("string").as("customer_id"),
+      col("event_type"),
+      col("ts").as("timestamp"),
+      col("value"))
+
+  /** view/click events as app-usage rows (one session per event). */
+  private def eventsAsAppUsage(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .filter(col("event_type").isin("view", "click"))
+      .select(
+        col("user_id").cast("string").as("customer_id"),
+        col("ts").as("last_login"),
+        lit(1).as("sessions_last_30d"),
+        col("ts").as("event_time"))
+
+  /** signup events as support tickets. resolution_time is a numeric string
+    * (reference quirk §2.10.3: avg over a string column) built from
+    * floor(value) so its average is an exact integer-valued-double sum. */
+  private def eventsAsTickets(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .filter(col("event_type") === "signup")
+      .select(
+        col("event_id").cast("string").as("ticket_id"),
+        col("user_id").cast("string").as("customer_id"),
+        col("props").as("issue"),
+        col("event_type").as("priority"),
+        lit("Open").as("status"),
+        col("ts").as("created_at"),
+        col("ts").as("updated_at"),
+        lit("agent").as("assigned_to"),
+        floor(col("value")).cast("int").cast("string").as("resolution_time"))
+
+  /** customer as churn customer profile (deterministic synthetic email /
+    * signup_date so the 14-col Gold output is fully populated). */
+  private def customerAsProfile(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "customer").select(
+      col("c_custkey").cast("string").as("customer_id"),
+      col("c_name").as("name"),
+      concat(col("c_name"), lit("@customer.example")).as("email"),
+      col("c_mktsegment").as("gender"),
+      col("c_nationkey").as("age"),
+      date_add(lit("1995-01-01").cast("date"), col("c_custkey").cast("int"))
+        .as("signup_date"))
+
+  /** Portable sentiment stand-in for the oracle-gated pipeline: integer-
+    * valued double in 0..9 (exact to average); the faithful murmur3 variant
+    * is `gold_support_sentiment` (no oracle — Spark-specific hash). */
+  private def portableSentiment(issue: Column): Column =
+    (length(issue) % 10).cast("double")
+
+  // ----------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A-family: grouped aggregation with exact sums (TPC-H Q1 shape).
+    "pricing_summary" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // J-family: 3-way join + agg + top-k (broadcastable dims).
+    "top_orders" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_orderkey"), col("c_name"), col("o_orderdate"))
+        .agg(sum(discPrice).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // J+A: orders × customer × nation rollup.
+    "nation_revenue" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("n_name"))
+    }),
+
+    // Window: top-k per group via row_number (deterministic tiebreak).
+    "topk_orders_per_customer" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // F-family: the Silver cleansing predicates (dropna, >, isin,
+    // NOT contains, NOT rlike) over customer.
+    "silver_clean_customer" -> ((s, dir) => {
+      tbl(s, dir, "customer")
+        .na.drop(Seq("c_name", "c_mktsegment"))
+        .filter(col("c_acctbal") > 0)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .filter(!col("c_name").contains("00009"))
+        .filter(!col("c_name").rlike("000001[0-3]"))
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F7 key-only dedup (deterministic projection of dropDuplicates).
+    "dedup_distinct_keys" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates()
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // F7 keep-first dedup with explicit deterministic order — the scalable
+    // exact-dedup pattern (single shuffle on the dedup key).
+    "dedup_keep_first" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // P2: from_json over the events.props JSON column.
+    "json_parse" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id"))
+    }),
+
+    // P4: to_json(struct(..)) serialization (ints/strings only — double
+    // rendering differs between JSON writers).
+    "json_serialize" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          to_json(struct(col("event_id"), col("event_type"))).as("payload"))
+        .orderBy(col("event_id"))
+    }),
+
+    // X-family: date functions against a fixed anchor.
+    "date_features" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(
+          col("o_orderkey"),
+          col("o_orderdate").cast("date").as("order_date"),
+          datediff(lit(NowOrders).cast("date"), col("o_orderdate"))
+            .as("days_since_order"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // The full churn Gold pipeline (A1–A4, J1–J5, X1/X2/X5) over the
+    // events/customer mapping. Flagship.
+    "gold_enriched" -> ((s, dir) => {
+      val now = lit(NowEvents).cast("timestamp")
+      val txn = eventsAsTransactions(s, dir)
+      val app = GoldOps.appFeatures(eventsAsAppUsage(s, dir), now)
+      val dec = GoldOps.paymentDeclines(txn, declineType = "error")
+      val arpu = GoldOps.revenueArpu(txn, app)
+      val sup = GoldOps.supportFeatures(eventsAsTickets(s, dir), portableSentiment)
+      GoldOps.enrich(customerAsProfile(s, dir), app, dec, arpu, sup, now)
+        .orderBy(col("customer_id"))
+    }),
+
+    // X6 murmur3 sentiment — Spark-specific hash, no DuckDB oracle
+    // (driver records rows-only check).
+    "gold_support_sentiment" -> ((s, dir) => {
+      GoldOps.supportFeatures(eventsAsTickets(s, dir))
+        .orderBy(col("customer_id"))
+    }),
+
+    // Silver cleansing of the churn-shaped transactions (dropna + value>0
+    // + key-only distinct for determinism).
+    "silver_clean_transactions" -> ((s, dir) => {
+      SilverOps.cleanTransactions(eventsAsTransactions(s, dir))
+        .select("customer_id", "timestamp", "event_type", "value")
+        .orderBy(col("customer_id"), col("timestamp"), col("event_type"),
+          col("value"))
+    }),
+
+    // P5/P6: CASE WHEN buckets + explicit casts.
+    "case_buckets" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "big")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("small").as("bucket"),
+          floor(col("o_totalprice")).as("price_floor"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Semi/anti joins (EXISTS / NOT EXISTS).
+    "customers_with_orders" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))
+    }),
+    "customers_without_orders" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Set op: UNION (distinct).
+    "set_union_users" -> ((s, dir) => {
+      val e = tbl(s, dir, "events")
+      e.filter(col("event_type") === "purchase").select("user_id")
+        .union(e.filter(col("event_type") === "view").select("user_id"))
+        .distinct()
+        .orderBy(col("user_id"))
+    }),
+
+    // T5 extension: tumbling-window aggregation (batch equivalent of the
+    // streaming windowed agg; streaming assembly in graft.stream).
+    "windowed_events" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("total_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    })
+  )
+
+  // ----------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "top_orders" ->
+      """SELECT o_orderkey, c_name, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderkey, c_name, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "nation_revenue" ->
+      """SELECT n_name,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "topk_orders_per_customer" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 2
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "silver_clean_customer" ->
+      """SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        |FROM customer
+        |WHERE c_name IS NOT NULL AND c_mktsegment IS NOT NULL
+        |  AND c_acctbal > 0
+        |  AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+        |  AND NOT contains(c_name, '00009')
+        |  AND NOT regexp_matches(c_name, '000001[0-3]')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "dedup_distinct_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "dedup_keep_first" ->
+      """SELECT user_id, event_type, first_event_id FROM (
+        |  SELECT user_id, event_type, event_id AS first_event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "json_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+        |ORDER BY event_id""".stripMargin,
+
+    "json_serialize" ->
+      """SELECT event_id,
+        |  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS payload
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+
+    "date_features" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_since_order,
+        |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "gold_enriched" ->
+      """WITH txn AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS customer_id, event_type, ts, value
+        |  FROM events
+        |), app AS (
+        |  SELECT customer_id,
+        |    CAST(MAX(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')) AS INTEGER) AS login_gap_days,
+        |    CAST(SUM(1) AS BIGINT) AS total_sessions_last_30d
+        |  FROM txn WHERE event_type IN ('view', 'click')
+        |  GROUP BY customer_id
+        |), dec AS (
+        |  SELECT customer_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_declined_payments,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_payment_value
+        |  FROM txn WHERE event_type = 'error'
+        |  GROUP BY customer_id
+        |), arpu AS (
+        |  SELECT r.customer_id,
+        |    FLOOR(r.total_revenue / (a.total_sessions_last_30d + 1) * 100 + 0.5) / 100 AS arpu
+        |  FROM (
+        |    SELECT customer_id,
+        |      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |    FROM txn GROUP BY customer_id) r
+        |  LEFT JOIN app a ON r.customer_id = a.customer_id
+        |), sup AS (
+        |  SELECT customer_id,
+        |    AVG(CAST(CAST(CAST(FLOOR(value) AS INTEGER) AS VARCHAR) AS DOUBLE)) AS avg_resolution_time,
+        |    AVG(CAST(length(props) % 10 AS DOUBLE)) AS avg_ticket_sentiment
+        |  FROM (SELECT CAST(user_id AS VARCHAR) AS customer_id, value, props
+        |        FROM events WHERE event_type = 'signup') s
+        |  GROUP BY customer_id
+        |), cust AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS customer_id,
+        |    c_name AS name,
+        |    c_name || '@customer.example' AS email,
+        |    c_mktsegment AS gender,
+        |    c_nationkey AS age,
+        |    DATE '1995-01-01' + CAST(c_custkey AS INTEGER) AS signup_date
+        |  FROM customer
+        |)
+        |SELECT cust.customer_id, cust.name, cust.email, cust.gender, cust.age,
+        |  cust.signup_date,
+        |  app.login_gap_days, app.total_sessions_last_30d,
+        |  dec.total_declined_payments, dec.avg_payment_value,
+        |  arpu.arpu,
+        |  sup.avg_resolution_time, sup.avg_ticket_sentiment,
+        |  CAST(date_diff('day', cust.signup_date, DATE '2024-02-01') AS INTEGER) AS days_since_signup
+        |FROM cust
+        |LEFT JOIN app ON cust.customer_id = app.customer_id
+        |LEFT JOIN dec ON cust.customer_id = dec.customer_id
+        |LEFT JOIN arpu ON cust.customer_id = arpu.customer_id
+        |LEFT JOIN sup ON cust.customer_id = sup.customer_id
+        |ORDER BY cust.customer_id""".stripMargin,
+
+    "silver_clean_transactions" ->
+      """SELECT customer_id, ts AS timestamp, event_type, value FROM (
+        |  SELECT DISTINCT ON (customer_id, ts)
+        |    customer_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        |  FROM (SELECT CAST(user_id AS VARCHAR) AS customer_id, ts, event_type, value
+        |        FROM events) t
+        |  WHERE customer_id IS NOT NULL AND ts IS NOT NULL AND value > 0
+        |  ORDER BY customer_id, ts) d
+        |ORDER BY customer_id, ts, event_type, value""".stripMargin,
+
+    "case_buckets" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "set_union_users" ->
+      """SELECT user_id FROM events WHERE event_type = 'purchase'
+        |UNION
+        |SELECT user_id FROM events WHERE event_type = 'view'
+        |ORDER BY user_id""".stripMargin,
+
+    "windowed_events" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
+  )
 }
