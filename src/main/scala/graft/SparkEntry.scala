@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ops.{GoldOps, SilverOps}
+import graft.ops.{GoldOps, SilverOps, SimilarityOps}
 
 /** Driver contract — one named query per operator family from SURVEY.md §2,
   * expressed over the driver's testdata tables, each with an ANSI-SQL oracle
@@ -101,7 +101,12 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ extQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ extOracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // A-family: grouped aggregation with exact sums (TPC-H Q1 shape).
     "pricing_summary" -> ((s, dir) => {
@@ -305,7 +310,7 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
 
     "pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -491,5 +496,273 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin
+  )
+
+  // ======================================================================
+  // Extension surface (SURVEY §2.11): dedup, similarity search, text
+  // analysis, multimodal, sessionization.
+  // ======================================================================
+
+  /** floor-based half-up rounding at 6 dp — bit-identical across engines. */
+  private def round6(c: Column): Column =
+    floor(c * 1000000 + 0.5).cast("double") / 1000000.0
+
+  private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact text dedup groups (md5 of normalized text — portable).
+    "ext_dedup_exact" -> ((s, dir) => {
+      ops.DedupOps.exactTextGroups(tbl(s, dir, "documents"))
+        .orderBy(col("h"))
+    }),
+
+    // MinHash + LSH near-dup pairs (Spark xxhash64 family — no oracle;
+    // recall/precision pinned in DedupOpsSpec against exact Jaccard).
+    "ext_dedup_minhash" -> ((s, dir) => {
+      ops.DedupOps.minhashNearDups(tbl(s, dir, "documents"), threshold = 0.4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup pairs (no oracle — Spark hash family).
+    "ext_dedup_simhash" -> ((s, dir) => {
+      ops.DedupOps.simhashNearDups(tbl(s, dir, "documents"), maxDist = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (the exact verifier the
+    // probabilistic methods are judged against; oracle-checked).
+    "ext_dedup_ngram_jaccard" -> ((s, dir) => {
+      ops.DedupOps.ngramJaccardPairs(
+          tbl(s, dir, "documents"), n = 3, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          round6(col("jaccard")).as("jaccard6"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Embedding-cosine near-dup pairs, bounded id range (oracle-checked);
+    // the LSH-bucketed scale path is ext_dedup_embedding_lsh.
+    "ext_dedup_embedding" -> ((s, dir) => {
+      SimilarityOps.nearDupPairs(
+          tbl(s, dir, "embeddings").filter(col("vec_id") < 300), 0.3)
+        .select(col("id_a"), col("id_b"), round6(col("sim")).as("sim6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Random-hyperplane LSH near-dup (no oracle — hash-derived planes).
+    "ext_dedup_embedding_lsh" -> ((s, dir) => {
+      ops.DedupOps.embeddingLshPairs(tbl(s, dir, "embeddings"),
+          threshold = 0.3, nPlanes = 8)
+        .select(col("id_a"), col("id_b"), round6(col("sim")).as("sim6"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Brute-force cosine top-k (exact ANN baseline; oracle-checked).
+    "ext_ann_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF approximate top-k (no oracle; recall vs exact pinned in spec).
+    "ext_ann_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Gap-based sessionization + per-session rollup (oracle-checked).
+    "ext_sessionize" -> ((s, dir) => {
+      ops.SessionOps.sessionStats(tbl(s, dir, "events"), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // One-pass text profile: token counts, quality, language ID,
+    // fingerprint (oracle-checked, all columns).
+    "ext_text_stats" -> ((s, dir) => {
+      ops.TextOps.profile(tbl(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing-style robust fingerprint (Spark hash — no oracle).
+    "ext_text_winnow" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          ops.TextOps.winnowFingerprint(col("text")).as("winnow_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal: binary payload + metadata projection (oracle-checked).
+    "ext_multimodal_meta" -> ((s, dir) => {
+      ops.MultimodalOps.mediaMeta(
+          ops.MultimodalOps.asMediaTable(tbl(s, dir, "documents")))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Multimodal decode plumbing: mapPartitions batch pass with the stubbed
+    // codec (no oracle; deterministic fake pinned in spec).
+    "ext_multimodal_decode" -> ((s, dir) => {
+      ops.MultimodalOps.decodeFeatures(
+          ops.MultimodalOps.asMediaTable(tbl(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private def extOracles: Map[String, String] = Map(
+
+    "ext_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY h""".stripMargin,
+
+    "ext_dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(1, len(w) - 2),
+        |                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_inter,
+        |  FLOOR(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) * 1000000 + 0.5) / 1000000 AS jaccard6
+        |FROM inter
+        |JOIN sizes na ON na.doc_id = doc_a
+        |JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "ext_dedup_embedding" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings WHERE vec_id < 300
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x*b.x) AS dp
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b,
+        |  FLOOR(dp/(sqrt(na.nn)*sqrt(nb.nn)) * 1000000 + 0.5) / 1000000 AS sim6
+        |FROM dots
+        |JOIN norms na ON na.vec_id = id_a
+        |JOIN norms nb ON nb.vec_id = id_b
+        |WHERE dp/(sqrt(na.nn)*sqrt(nb.nn)) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "ext_ann_topk" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, SUM(q.x*e.x) AS dp
+        |  FROM ex q JOIN ex e ON q.i = e.i
+        |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    dp/(sqrt(nq.nn)*sqrt(ne.nn)) AS sim
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = query_id
+        |  JOIN norms ne ON ne.vec_id = neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id,
+        |  FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim6
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ext_sessionize" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_seq,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "ext_text_stats" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(lower(text), '\s+') AS toks,
+        |    CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |    CAST(length(text) AS INTEGER) AS n_chars
+        |  FROM documents
+        |), scored AS (
+        |  SELECT doc_id, text, toks, n_tokens, n_chars,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subtokens,
+        |    CAST(n_chars - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / n_chars AS punct_ratio,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], t))) AS DOUBLE) / len(toks) AS stopword_ratio,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / n_tokens AS mean_token_len,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','and','of','to','is','with','for'], t))) AS INTEGER) AS s_en,
+        |    CAST(len(list_filter(toks, t -> list_contains(['el','la','de','que','y','los','por'], t))) AS INTEGER) AS s_es,
+        |    CAST(len(list_filter(toks, t -> list_contains(['le','la','les','des','est','une','dans'], t))) AS INTEGER) AS s_fr,
+        |    CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','mit','nicht'], t))) AS INTEGER) AS s_de,
+        |    CAST(len(list_filter(toks, t -> list_contains(['de5','shi4','bu4','le5','wo3','zai4','you3'], t))) AS INTEGER) AS s_zh
+        |  FROM base
+        |)
+        |SELECT doc_id, n_tokens, n_subtokens, n_chars, punct_ratio,
+        |  stopword_ratio, mean_token_len,
+        |  ((CASE WHEN n_chars BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END)
+        |   + (CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0 AS quality,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'en'
+        |    WHEN s_es > 0 AND s_es = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'es'
+        |    WHEN s_fr > 0 AND s_fr = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'fr'
+        |    WHEN s_de > 0 AND s_de = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'de'
+        |    WHEN s_zh > 0 AND s_zh = greatest(s_en, s_es, s_fr, s_de, s_zh) THEN 'zh'
+        |    ELSE 'und' END AS lang_pred,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

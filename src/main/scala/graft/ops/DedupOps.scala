@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication family (SURVEY §2.11): exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine.
+  *
+  * Scale posture: every method here is shuffle-bounded by (doc, feature)
+  * pairs or LSH buckets — never by all-pairs comparison. The only all-pairs
+  * path is `ngramJaccardPairs`, the exact verifier, which callers bound to a
+  * candidate set (its oracle query runs it on a small id range).
+  */
+object DedupOps {
+
+  // --- tokenization -----------------------------------------------------
+
+  def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Word n-gram shingles; a doc shorter than n words is its own shingle. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = words(text)
+    when(size(w) < n, array(concat_ws(" ", w)))
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+  }
+
+  // --- exact ------------------------------------------------------------
+
+  /** Exact dedup, keep-first by `order`: one shuffle on the key, no sort of
+    * the full data (row_number within key groups only). */
+  def exactDedup(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact text-dedup groups keyed by md5 of normalized text (portable to
+    * any engine, unlike Spark's murmur3 `hash`). */
+  def exactTextGroups(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      .groupBy("h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  // --- MinHash + LSH ----------------------------------------------------
+
+  /** Prime just above 2^32. The modulus MUST be smaller than a*h's range so
+    * the map actually wraps: with a huge modulus (e.g. 2^61-1 > a*h+b) the
+    * "hash" is monotone in h and every permutation picks the same shingle,
+    * which inflates every Jaccard estimate toward 1. */
+  private val MinhashPrime = 4294967311L
+  /** Deterministic (a, b) hash-family params — seeded, no wall-clock.
+    * a < 2^31 keeps a*h below 2^63 (no signed-long overflow). */
+  private def hashParams(num: Int): Array[(Long, Long)] = {
+    val rng = new scala.util.Random(42)
+    Array.fill(num)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
+      rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: explode distinct shingles, hash once with xxhash64,
+    * then take `num` permuted minima as a single aggregation —
+    * `min((a_i*h + b_i) mod p)` per i, all in one shuffle on doc_id with
+    * map-side partial aggregation (each of the `num` mins combines
+    * associatively, so the shuffle carries one signature per doc per task,
+    * independent of document length). */
+  def minhashSignatures(docs: DataFrame, num: Int = 64, shingle: Int = 3): DataFrame = {
+    val ps = hashParams(num)
+    val hv = pmod(xxhash64(col("sh")), lit(1L << 32)) // 32-bit, keeps a*h in 63 bits
+    val mins = ps.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(hv * a + b, lit(MinhashPrime))).as(s"s_$i")
+    }
+    docs
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), shingle))).as("sh"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until num).map(i => col(s"s_$i")): _*).as("signature"))
+  }
+
+  /** LSH banding: signature → `bands` bucket keys; docs sharing any bucket
+    * are candidates. Join is equi on the bucket key — candidate generation
+    * is O(collisions), never all-pairs. */
+  def minhashLshCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
+    val buckets = sigs.select(col("doc_id"), col("signature"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("signature"), b * (size(col("signature")) / bands) + lit(1),
+                size(col("signature")) / bands)), b).as("bkey")))).as("bk"))
+      .select(col("doc_id"), col("signature"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = buckets.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("signature").as("sig_a"))
+    val r = buckets.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("signature").as("sig_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+      .dropDuplicates(Seq("doc_a", "doc_b"))
+  }
+
+  /** MinHash near-dup pairs: LSH candidates filtered by estimated Jaccard
+    * (fraction of agreeing signature positions). */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+                      num: Int = 64, bands: Int = 16, shingle: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, num, shingle)
+    minhashLshCandidates(sigs, bands)
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / num)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  // --- SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash fingerprint: per token a 64-bit hash votes ±1 on each
+    * bit position; the sign of each summed position forms the fingerprint.
+    * One aggregation per doc (64 associative sums → map-side combine). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+        explode(words(col("text"))).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+    val votes = (0 until 64).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v_$b")
+    }
+    val fp = (0 until 64).map { b =>
+      when(col(s"v_$b") > 0, expr(s"CAST(1 AS BIGINT) << $b")).otherwise(0L)
+    }.reduce(_ + _) // bit 63 may wrap to the sign bit — well-defined in two's complement
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist, bucketed by
+    * 16-bit fingerprint bands (pigeonhole: distance ≤ 3 ⇒ some band of 4 is
+    * identical), verified with bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val fps = simhash(docs)
+    val banded = fps.select(col("doc_id"), col("fingerprint"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          expr(s"(fingerprint >> ${b * 16}) & 65535").as("bkey"))): _*)).as("bk"))
+      .select(col("doc_id"), col("fingerprint"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val l = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("fingerprint").as("fp_a"))
+    val r = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("fingerprint").as("fp_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates(Seq("doc_a", "doc_b"))
+      .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // --- exact n-gram Jaccard (the verifier; oracle-expressible) ----------
+
+  /** Exact Jaccard over distinct word n-grams for all (a < b) pairs that
+    * share at least one shingle. The shingle equi-join bounds the pair space
+    * to docs with overlap; callers bound the id range for all-pairs audits. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("l").join(sh.as("r"), col("l.sh") === col("r.sh"))
+      .filter(col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
+  // --- embedding LSH (random-hyperplane) --------------------------------
+
+  /** Sign-random-projection bucket key: `nPlanes` deterministic pseudo-random
+    * hyperplanes (hash-derived coefficients, no RNG state), each contributing
+    * one sign bit. Vectors sharing the key are near-dup candidates; verify
+    * with exact cosine. */
+  def embeddingLshPairs(vectors: DataFrame, threshold: Double = 0.9,
+                        nPlanes: Int = 8): DataFrame = {
+    // plane p coefficient for dim d: deterministic in (-1, 1)
+    def coef(p: Int): Column = transform(col("embedding"), (_, d) =>
+      (pmod(xxhash64(d * 1000003 + lit(p)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0)
+    val bits = (0 until nPlanes).map { p =>
+      when(SimilarityOps.dot(col("embedding"), coef(p)) > 0,
+        expr(s"CAST(1 AS BIGINT) << $p")).otherwise(0L)
+    }.reduce(_ + _)
+    val keyed = vectors.withColumn("bucket", bits)
+    val l = keyed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+    val r = keyed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", SimilarityOps.cosine(col("va"), col("vb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (SURVEY §2.11): token counting,
+  * quality scoring, language ID, fingerprinting.
+  *
+  * Everything is a per-row projection (no shuffle at all) built from
+  * codegen'd `functions._` — the whole stage runs as one fused pass over the
+  * scan, which is exactly what you want for a 100 TB quality sweep.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish sub-token count: word pieces + standalone punctuation, the
+    * classic pre-tokenizer regex shape. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Ratio of punctuation characters to all characters. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+      .cast("double") / length(text)
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "for", "on", "with", "as", "at", "by")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
+  }
+
+  /** Mean token length — short-token soup and no-space blobs both flag. */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") / tokenCount(text)
+
+  /** Heuristic quality score in [0, 1]: integer-arithmetic pieces combined
+    * in fixed double ops so it is deterministic and oracle-expressible.
+    * Signals (à la C4/Gopher rules): reasonable length, some stopwords,
+    * not punctuation soup, sane mean token length. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) > 0.05, 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val tokOk = when(meanTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lenOk + stopOk + punctOk + tokOk) / 4.0
+  }
+
+  /** Per-language marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: a real profile table would be a broadcast
+    * dimension; the operator shape (score-per-language → argmax) is what
+    * scales. */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "por"),
+    "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "nicht"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "wo3", "zai4", "you3"))
+
+  /** Language-ID: count marker hits per language, take the argmax
+    * (deterministic first-wins tiebreak in declaration order); no marker at
+    * all → "und" (undetermined). Pure integer comparisons → portable. */
+  def langId(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val scores = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), els) =>
+      when(s > 0 && s === best, lang).otherwise(els)
+    }
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercase text —
+    * engine-portable (unlike murmur3) and stable under reflow. */
+  def fingerprint(text: Column): Column =
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
+
+  /** Winnowing-style robust fingerprint: minimum of the rolling window-hash
+    * set — survives small edits anywhere outside the minimizing window.
+    * Spark-hash based (no oracle); pinned by unit test instead. */
+  def winnowFingerprint(text: Column, window: Int = 8): Column = {
+    val grams = DedupOps.shingles(text, window)
+    array_min(transform(grams, g => xxhash64(g)))
+  }
+
+  /** One-pass document profile used by the `text_stats` query. */
+  def profile(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      bpeishTokenCount(col("text")).as("n_subtokens"),
+      length(col("text")).as("n_chars"),
+      punctRatio(col("text")).as("punct_ratio"),
+      stopwordRatio(col("text")).as("stopword_ratio"),
+      meanTokenLen(col("text")).as("mean_token_len"),
+      qualityScore(col("text")).as("quality"),
+      langId(col("text")).as("lang_pred"),
+      fingerprint(col("text")).as("fingerprint"))
+}
