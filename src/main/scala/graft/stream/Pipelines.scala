@@ -1,0 +1,151 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.{BronzeOps, GoldOps}
+import graft.schemas.Schemas
+
+/** Structured-Streaming assembly of the medallion pipeline
+  * (SURVEY §2.8 T1–T10).
+  *
+  * The reference runs 4 bronze + 8 silver concurrent micro-batch queries
+  * over Kafka (`Bronze1.py:151-181`, `Silver1.py:133-157`). This module
+  * keeps the same topology but:
+  *   - sources are injectable (Kafka in production, MemoryStream/file in
+  *     tests — the env has no broker);
+  *   - the stateful dedup is **watermarked** (`withWatermark` +
+  *     `dropDuplicatesWithinWatermark`): the reference's bare
+  *     `dropDuplicates` grows state without bound (SURVEY §2.10/T3), which
+  *     is exactly what kills a long-running job at scale. Bounded state is
+  *     a deliberate, documented semantic change: duplicates arriving later
+  *     than the watermark delay are re-admitted.
+  *   - Delta sinks are parquet (no Delta jars in env; the reference uses no
+  *     Delta-specific features — SURVEY §1.5).
+  *
+  * Every transform is the same pure batch function used by the oracle-gated
+  * queries; streaming is wiring, not logic.
+  */
+object Pipelines {
+
+  val Topics = Map(
+    "profiles" -> "cdc_dbserver1.public.customer_profile",
+    "usage" -> "cdc_dbserver1.public.app_usage",
+    "churn" -> "churn_transactions",
+    "support" -> "support_tickets")
+
+  /** Parse with the silver-typed schemas: the reference's bronze keeps
+    * `timestamp` as a string (`Bronze1.py:111-116`) and its silver re-parses
+    * the same Kafka bytes with TimestampType (`Silver1.py:79-84`); our
+    * silver consumes bronze's parse directly, so bronze parses typed —
+    * same JSON, same rows, one parse instead of two. */
+  private val schemas: Map[String, StructType] = Map(
+    "profiles" -> Schemas.customerProfileBronze,
+    "usage" -> Schemas.appUsageSilver,
+    "churn" -> Schemas.transactionsSilver,
+    "support" -> Schemas.supportTickets)
+
+  /** Bronze: route a multi-topic wire stream (value/topic) into the four
+    * parsed entity streams (`Bronze1.py:130-145`). */
+  def bronze(wire: DataFrame): Map[String, DataFrame] =
+    Topics.map { case (entity, topic) =>
+      entity -> BronzeOps.parseTopic(BronzeOps.castWire(wire), topic, schemas(entity))
+    }
+
+  // --- silver streaming cleansers: reference predicates + bounded dedup ---
+
+  /** customer_profile (`Silver1.py:34-43`), watermarked dedup on
+    * (customer_id, event_time). */
+  def silverCustomer(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    df.withColumn("signup_date", to_date(col("signup_date")))
+      .na.drop(Seq("customer_id", "email"))
+      .filter(col("age") > 0)
+      .filter(col("gender").isin("Male", "Female", "Other"))
+      .filter(!col("email").contains("test"))
+      .filter(!col("name").rlike("test|dummy|xyz"))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark(Seq("customer_id", "event_time"))
+
+  /** app_usage (`Silver1.py:62-67`). The reference's dedup key event_time is
+    * null for every producer row (§2.10.4); null event-times can't carry a
+    * watermark, so the streaming dedup keys on customer_id + last_login with
+    * the watermark on last_login. */
+  def silverAppUsage(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    df.na.drop(Seq("customer_id"))
+      .filter(col("sessions_last_30d") >= 0)
+      .withWatermark("last_login", watermark)
+      .dropDuplicatesWithinWatermark(Seq("customer_id", "last_login"))
+
+  /** churn_transactions (`Silver1.py:86-91`). */
+  def silverTransactions(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    df.na.drop(Seq("customer_id", "timestamp"))
+      .filter(col("value") > 0)
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark(Seq("customer_id", "timestamp"))
+
+  /** support_tickets (`Silver1.py:115-120`). */
+  def silverSupport(df: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    df.na.drop(Seq("ticket_id", "customer_id"))
+      .filter(col("status").isin("Open", "In Progress", "Resolved", "Closed"))
+      .withWatermark("updated_at", watermark)
+      .dropDuplicatesWithinWatermark(Seq("ticket_id", "updated_at"))
+
+  /** Streaming windowed aggregation (T5 extension the reference lacks):
+    * tumbling 1-hour event_type counts with late-data bound. */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+
+  // --- sinks (K1/K2 analogs) --------------------------------------------
+
+  /** Delta-analog streaming sink: append parquet + checkpoint
+    * (`Bronze1.py:151-158` shape). */
+  def toParquetSink(df: DataFrame, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  /** Kafka-analog sink: keyed JSON rows appended as text (the env has no
+    * broker; the frame shape is exactly `Silver1.py:45-46`). */
+  def toJsonSink(df: DataFrame, keyCol: String, path: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    BronzeOps.toKafkaFrame(df, keyCol)
+      .writeStream
+      .format("json")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  /** Run a streaming DataFrame to completion over currently-available input
+    * (test/batch-backfill mode — `Trigger.AvailableNow` processes everything
+    * then stops, the streaming analog of the reference's batch loop). */
+  def runAvailableNow(writer: DataStreamWriter[org.apache.spark.sql.Row]): StreamingQuery = {
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    q
+  }
+
+  // --- gold batch-over-stream hand-off (T10) ----------------------------
+
+  /** One Gold refresh over the silver parquet tables — the body of the
+    * reference's 60 s polling loop (`Gold1.py:17-146`), as a pure function
+    * of paths + injected `now`. */
+  def goldRefresh(spark: SparkSession, silverDir: String,
+                  now: Column = current_timestamp()): DataFrame = {
+    val cust = spark.read.parquet(s"$silverDir/customer_profile")
+    val usage = spark.read.parquet(s"$silverDir/app_usage")
+    val txn = spark.read.parquet(s"$silverDir/churn_transactions")
+    val sup = spark.read.parquet(s"$silverDir/support_tickets")
+    val app = GoldOps.appFeatures(usage, now)
+    val dec = GoldOps.paymentDeclines(txn)
+    val arpu = GoldOps.revenueArpu(txn, app)
+    val support = GoldOps.supportFeatures(sup)
+    GoldOps.enrich(cust, app, dec, arpu, support, now)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DedupOps, MultimodalOps, SessionOps, SimilarityOps, TextOps}
+
+/** Extension operators: recall/precision of the probabilistic dedup + ANN
+  * methods against exact baselines on the real sf0.001 tables, plus the
+  * deterministic kernels. */
+class ExtOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+  private def emb = Tables.load(spark, dir, "embeddings")
+
+  test("minhash LSH finds the exact-Jaccard near-dups (recall) without junk (precision)") {
+    val exact = DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = DedupOps.minhashNearDups(docs, threshold = 0.4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain injected near-dups")
+    val recall = (mh & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    val precision = if (mh.isEmpty) 1.0 else (mh & exact).size.toDouble / mh.size
+    assert(precision >= 0.8, s"precision $precision")
+  }
+
+  test("minhash estimate tracks exact jaccard within 0.2") {
+    val exact = DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val est = DedupOps.minhashNearDups(docs, threshold = 0.3)
+    val joined = exact.join(est, Seq("doc_a", "doc_b"))
+      .select(abs($"jaccard" - $"est_jaccard").as("err"))
+      .agg(max($"err")).as[Double].head()
+    assert(joined < 0.2, s"max |est - exact| = $joined")
+  }
+
+  test("simhash: identical docs distance 0; near-dups mostly low distance") {
+    val fps = DedupOps.simhash(docs.select($"doc_id", $"text"))
+    assert(fps.count() == docs.count())
+    val dup = DedupOps.simhashNearDups(docs, maxDist = 3)
+    assert(dup.count() > 0)
+    assert(dup.filter($"hamming" > 3).count() == 0)
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityOps.ivfTopK(emb, queries, 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall (probing 4/16 cells)")
+  }
+
+  test("cosine kernel: hand-checked values") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f))).toDF("a", "b")
+    val sims = df.select(SimilarityOps.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(math.abs(sims(1)) < 1e-12)
+    assert(math.abs(sims(2) - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("text kernels: counts, ratios, langid, fingerprint reflow-stability") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "el perro de la casa y los gatos por que"),
+      (3L, "zzz qqq vvv"),
+      (4L, "the  quick   brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+      TextOps.tokenCount($"text").as("n"),
+      TextOps.langId($"text").as("lang"),
+      TextOps.fingerprint($"text").as("fp")).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n") == 9)
+    assert(out(0).getAs[String]("lang") == "en")
+    assert(out(1).getAs[String]("lang") == "es")
+    assert(out(2).getAs[String]("lang") == "und")
+    // fingerprint survives whitespace reflow
+    assert(out(0).getAs[String]("fp") == out(3).getAs[String]("fp"))
+    // bpe-ish subtokens: punctuation splits
+    val sub = Seq((1L, "don't stop, now!")).toDF("doc_id", "text")
+      .select(TextOps.bpeishTokenCount($"text")).as[Int].head()
+    assert(sub == 7) // don ' t stop , now !
+  }
+
+  test("winnow fingerprint is stable under a small tail edit") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    val df = Seq((1L, base + "tail one"), (2L, base + "tail two")).toDF("doc_id", "text")
+    val fps = df.select(TextOps.winnowFingerprint($"text", 8)).as[Long].collect()
+    assert(fps(0) == fps(1)) // min window-hash lands in the shared prefix
+  }
+
+  test("sessionize splits on gap > 30min and rolls up exactly") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "view", 1.0),
+      (2L, ts("2024-01-01 00:10:00"), 10L, "click", 2.0),
+      (3L, ts("2024-01-01 01:00:00"), 10L, "view", 4.0),   // 50min gap → new session
+      (4L, ts("2024-01-01 00:00:00"), 11L, "view", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = SessionOps.sessionStats(ev).orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "session_value")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((10L, 1L, 2L, 3.0), (10L, 2L, 1L, 4.0), (11L, 1L, 1L, 8.0)))
+  }
+
+  test("multimodal: stub decode is deterministic; frame sampling arithmetic") {
+    val media = MultimodalOps.asMediaTable(docs)
+    val f1 = MultimodalOps.decodeFeatures(media).collect().sortBy(_.doc_id)
+    val f2 = MultimodalOps.decodeFeatures(media).collect().sortBy(_.doc_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall(m => m.n_bytes > 0 && m.feature_norm > 0))
+    // every third doc is video; frames sampled at stride 30
+    val feats = MultimodalOps.decodeFeatures(media)
+    val frames = MultimodalOps.sampleFrames(feats, stride = 30)
+    val perDoc = frames.groupBy("doc_id").count()
+      .join(feats.toDF().select($"doc_id", $"n_frames"), "doc_id")
+      .withColumn("expected", ceil($"n_frames" / 30.0))
+      .filter($"count" =!= $"expected")
+    assert(perDoc.count() == 0)
+  }
+
+  test("exactDedup keeps exactly the first row per key") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("k1", ts("2024-01-01 00:00:01"), "second"),
+      ("k1", ts("2024-01-01 00:00:00"), "first"),
+      ("k2", ts("2024-01-01 00:00:00"), "only")).toDF("k", "ts", "tag")
+    val out = DedupOps.exactDedup(df, Seq("k"), Seq(col("ts")))
+      .select("k", "tag").as[(String, String)].collect().toSet
+    assert(out == Set(("k1", "first"), ("k2", "only")))
+  }
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.ChurnDataGen
+import graft.schemas.Schemas._
+import graft.stream.Pipelines
+
+/** Streaming assembly (SURVEY §2.8): MemoryStream → silver transforms →
+  * AvailableNow → sink assertions; watermarked dedup; streaming windowed agg
+  * consistent with its batch equivalent; file-sink round trip. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("silverCustomer stream: predicates + watermarked dedup, append mode") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[CustomerProfile]
+    in.addData(
+      CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 10:00:00")),
+      CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 10:00:00")), // dup
+      CustomerProfile("C2", "Bob", "bob@testmail.com", "Male", 40, "2020-01-01", ts("2024-01-01 10:01:00")), // test email
+      CustomerProfile("C3", "Carol", "c@x.com", "unknown", 25, "2020-01-01", ts("2024-01-01 10:02:00"))) // bad gender
+    val q = Pipelines.silverCustomer(in.toDF())
+      .writeStream.format("memory").queryName("silver_customer_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("silver_customer_t")
+    assert(out.select("customer_id").as[String].collect().toSeq == Seq("C1"))
+    // duplicate arriving in a later batch within the watermark is suppressed
+    in.addData(
+      CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 10:00:00")),
+      CustomerProfile("C4", "Dave", "d@x.com", "Male", 33, "2020-01-01", ts("2024-01-01 10:03:00")))
+    val q2 = Pipelines.silverCustomer(in.toDF())
+      .writeStream.format("memory").queryName("silver_customer_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val all = spark.table("silver_customer_t").select("customer_id").as[String].collect().sorted
+    assert(all.toSeq == Seq("C1", "C4"))
+  }
+
+  test("bronze → silver → parquet sink end-to-end over a JSONL wire file") {
+    val tmp = Files.createTempDirectory("graft_stream_").toString
+    // wire: producer-shaped JSON lines with a topic column
+    val b = ChurnDataGen.generate(120)
+    val wirePath = s"$tmp/wire"
+    ChurnDataGen.profilesDF(spark, b)
+      .select(to_json(struct(col("*"))).as("value"),
+        lit(Pipelines.Topics("profiles")).as("topic"))
+      .write.json(wirePath)
+    val wireSchema = "value STRING, topic STRING"
+    val wire = spark.readStream.schema(wireSchema).json(wirePath)
+    val parsed = Pipelines.bronze(wire)("profiles")
+    val q = Pipelines.toParquetSink(
+      Pipelines.silverCustomer(parsed),
+      s"$tmp/silver_profiles", s"$tmp/ckpt_profiles")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$tmp/silver_profiles")
+    assert(out.count() > 0)
+    // the batch cleanser accepts everything the streaming one emitted
+    // (same predicates; dedup keys may differ in arbitrary-row choice)
+    assert(out.filter(col("age") <= 0).count() == 0)
+    assert(out.filter(col("email").contains("test")).count() == 0)
+    // kafka-analog json sink round trip
+    val q2 = Pipelines.toJsonSink(
+      Pipelines.silverCustomer(parsed), "customer_id",
+      s"$tmp/kafka_out", s"$tmp/ckpt_kafka")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val kafkaOut = spark.read.json(s"$tmp/kafka_out")
+    assert(kafkaOut.columns.sorted.toSeq == Seq("key", "value"))
+    assert(kafkaOut.count() == out.count())
+  }
+
+  test("streaming windowed counts match batch for closed windows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val rows = (0 until 200).map { i =>
+      (ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), if (i % 2 == 0) "view" else "click")
+    }
+    in.addData(rows: _*)
+    val stream = Pipelines.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type"), watermark = "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("win_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("win_t")
+    val batch = rows.toDF("ts", "event_type")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n_events"))
+    // append mode emits only watermark-closed windows; those must agree exactly
+    val joined = streamed.as("s").join(batch.as("b"),
+      Seq("window_start", "event_type"))
+    assert(streamed.count() > 0)
+    assert(joined.filter(col("s.n_events") =!= col("b.n_events")).count() == 0)
+    assert(joined.count() == streamed.count()) // every emitted window exists in batch
+  }
+
+  test("goldRefresh over silver parquet produces the 14-col table") {
+    val tmp = Files.createTempDirectory("graft_gold_").toString
+    val b = ChurnDataGen.generate(300)
+    import graft.ops.SilverOps
+    SilverOps.cleanCustomer(ChurnDataGen.profilesDF(spark, b))
+      .write.parquet(s"$tmp/customer_profile")
+    SilverOps.cleanAppUsage(ChurnDataGen.usageDF(spark, b))
+      .write.parquet(s"$tmp/app_usage")
+    SilverOps.cleanTransactions(ChurnDataGen.transactionsDF(spark, b))
+      .write.parquet(s"$tmp/churn_transactions")
+    SilverOps.cleanSupportTickets(ChurnDataGen.ticketsDF(spark, b))
+      .write.parquet(s"$tmp/support_tickets")
+    val gold = Pipelines.goldRefresh(spark, tmp,
+      lit("2024-02-01 00:00:00").cast("timestamp"))
+    assert(gold.columns.length == 14)
+    assert(gold.count() > 0)
+    // declines exist because the generator injects payment_decline rows
+    assert(gold.filter(col("total_declined_payments").isNotNull).count() > 0)
+  }
+}
