@@ -18,12 +18,43 @@ object DedupOps {
 
   def words(text: Column): Column = split(lower(text), "\\s+")
 
-  /** Word n-gram shingles; a doc shorter than n words is its own shingle. */
-  def shingles(text: Column, n: Int): Column = {
-    val w = words(text)
+  /** Word n-gram shingles; a doc shorter than n words is its own shingle.
+    *
+    * NOTE: `w` (an unbound `split`) is re-evaluated wherever it is
+    * referenced — Catalyst does not CSE inside lambda bodies. Callers on a
+    * hot path must bind the words array behind a projection first and use
+    * `shinglesFromWords`; this convenience form is for predicates and
+    * small inputs. */
+  def shingles(text: Column, n: Int): Column = shinglesFromWords(words(text), n)
+
+  /** Shingles from an already-bound words-array column. */
+  def shinglesFromWords(w: Column, n: Int): Column =
     when(size(w) < n, array(concat_ws(" ", w)))
       .otherwise(transform(sequence(lit(0), size(w) - n),
         i => concat_ws(" ", slice(w, i + lit(1), lit(n)))))
+
+  /** Per-token 32-bit hashes (bind behind a projection before gram loops).
+    * 32-bit so the Horner fold in gramHashes stays under 2^53 — Spark 4
+    * runs ANSI mode and a long overflow is an error, not a wrap. */
+  def tokenHashes(w: Column): Column =
+    transform(w, t => pmod(xxhash64(t), lit(1L << 32)))
+
+  private val GramPrime = 1000003L
+  private val GramMod = 1L << 32
+
+  /** 32-bit rolling n-gram hashes from bound token hashes: a Horner-style
+    * polynomial combination (Rabin–Karp) reduced mod 2^32 at each step
+    * (acc*P + h < 2^52 + 2^32 — no overflow). No gram string is ever
+    * built, and `th` is an attribute reference so each element access is
+    * O(1). A doc shorter than n tokens hashes as one whole-doc gram. */
+  def gramHashes(th: Column, n: Int): Column = {
+    def horner(terms: Seq[Column]): Column =
+      terms.foldLeft(lit(0L))((acc, h) => pmod(acc * GramPrime + h, lit(GramMod)))
+    when(size(th) < n,
+      array(aggregate(th, lit(0L),
+        (acc, h) => pmod(acc * GramPrime + h, lit(GramMod)))))
+      .otherwise(transform(sequence(lit(0), size(th) - n), i =>
+        horner((0 until n).map(j => element_at(th, i + lit(j + 1))))))
   }
 
   // --- exact ------------------------------------------------------------
@@ -59,24 +90,25 @@ object DedupOps {
       rng.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signatures: explode distinct shingles, hash once with xxhash64,
-    * then take `num` permuted minima as a single aggregation —
-    * `min((a_i*h + b_i) mod p)` per i, all in one shuffle on doc_id with
-    * map-side partial aggregation (each of the `num` mins combines
-    * associatively, so the shuffle carries one signature per doc per task,
-    * independent of document length). */
+  /** MinHash signatures, computed row-locally and string-free: tokenize →
+    * per-token hashes → rolling 32-bit gram hashes → `num` permuted minima
+    * via per-row array ops. No explode, no shuffle, no gram strings — each
+    * doc's signature is a pure projection of its own row (embarrassingly
+    * parallel; scales with document count, not shuffle rows), and every
+    * stage is bound behind a projection so nothing is re-evaluated inside
+    * the gram loop. Gram identity is the 32-bit rolling hash (collision
+    * ~2^-32 per pair — noise relative to minhash's own variance). */
   def minhashSignatures(docs: DataFrame, num: Int = 64, shingle: Int = 3): DataFrame = {
     val ps = hashParams(num)
-    val hv = pmod(xxhash64(col("sh")), lit(1L << 32)) // 32-bit, keeps a*h in 63 bits
-    val mins = ps.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(hv * a + b, lit(MinhashPrime))).as(s"s_$i")
-    }
     docs
-      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), shingle))).as("sh"))
-      .groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), tokenHashes(col("w")).as("th"))
       .select(col("doc_id"),
-        array((0 until num).map(i => col(s"s_$i")): _*).as("signature"))
+        array_distinct(gramHashes(col("th"), shingle)).as("hv")) // < 2^32: a*h stays in 63 bits
+      .select(col("doc_id"),
+        array(ps.map { case (a, b) =>
+          array_min(transform(col("hv"), h => pmod(h * a + b, lit(MinhashPrime))))
+        }: _*).as("signature"))
   }
 
   /** LSH banding: signature → `bands` bucket keys; docs sharing any bucket
@@ -159,20 +191,48 @@ object DedupOps {
 
   // --- exact n-gram Jaccard (the verifier; oracle-expressible) ----------
 
-  /** Exact Jaccard over distinct word n-grams for all (a < b) pairs that
-    * share at least one shingle. The shingle equi-join bounds the pair space
-    * to docs with overlap; callers bound the id range for all-pairs audits. */
+  /** Exact Jaccard ≥ threshold over distinct word n-grams, PPJoin-style.
+    *
+    * A naive shingle self-join generates a candidate pair for EVERY shared
+    * shingle — over a small vocabulary that approaches all-pairs and is the
+    * operator that melts first at scale. Prefix filtering fixes it exactly:
+    * order each doc's shingles by global rarity; two sets with
+    * J(A,B) ≥ t must share a shingle within the first
+    * |x| − ⌈t·|x|⌉ + 1 shingles of each (sorted by the same global order),
+    * so only those *prefix* shingles — the rarest, least-colliding ones —
+    * act as join keys. A length filter (t·|A| ≤ |B| ≤ |A|/t) prunes
+    * further, then candidates are verified with the full intersection
+    * count. Same output as the naive join, orders of magnitude fewer
+    * intermediate pairs. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    val sh = docs.select(col("doc_id"),
-        explode(array_distinct(shingles(col("text"), n))).as("sh"))
+    // the (doc, shingle) relation feeds four branches (frequency, prefix,
+    // and both verification joins) — persist it or the text-side shingle
+    // construction recomputes per branch; words are bound behind a
+    // projection so the split isn't re-evaluated per gram
+    val sh = docs.select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromWords(col("w"), n))).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("l").join(sh.as("r"), col("l.sh") === col("r.sh"))
-      .filter(col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(freq, Seq("sh"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+    val l = prefix.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+    val r = prefix.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
+    val cands = l.join(r, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("n_b") >= col("n_a") * threshold &&
+        col("n_a") >= col("n_b") * threshold)
+      .select("doc_a", "doc_b", "n_a", "n_b")
+      .dropDuplicates(Seq("doc_a", "doc_b"))
+    cands
+      .join(sh.toDF("doc_a", "sh"), Seq("doc_a"))
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b")
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)

@@ -82,11 +82,20 @@ object TextOps {
 
   /** Winnowing-style robust fingerprint: minimum of the rolling window-hash
     * set — survives small edits anywhere outside the minimizing window.
-    * Spark-hash based (no oracle); pinned by unit test instead. */
-  def winnowFingerprint(text: Column, window: Int = 8): Column = {
-    val grams = DedupOps.shingles(text, window)
-    array_min(transform(grams, g => xxhash64(g)))
-  }
+    * Hashes the window's tokens directly (multi-arg xxhash64) instead of
+    * materializing each 8-gram string. Spark-hash based (no oracle);
+    * pinned by unit test instead. */
+  def winnowFingerprint(text: Column, window: Int = 8): Column =
+    array_min(DedupOps.gramHashes(DedupOps.tokenHashes(
+      split(lower(text), "\\s+")), window))
+
+  /** Hot-path winnowing over a whole table: tokens and token hashes bound
+    * behind projections so nothing re-evaluates inside the rolling loop. */
+  def winnowFingerprints(docs: DataFrame, window: Int = 8): DataFrame =
+    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), DedupOps.tokenHashes(col("w")).as("th"))
+      .select(col("doc_id"),
+        array_min(DedupOps.gramHashes(col("th"), window)).as("winnow_fp"))
 
   /** One-pass document profile used by the `text_stats` query. */
   def profile(docs: DataFrame): DataFrame =
