@@ -25,40 +25,37 @@ object SimilarityOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity in [-1, 1]. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity in [-1, 1] — the composable higher-order-function
+    * formulation (kept as the reference kernel the native expression is
+    * tested against). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the fused native Catalyst expression
+    * (graft.functions.CosineSimilarity): one codegen'd pass computes dot
+    * and both norms — same bits, no intermediate arrays. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_sim(a, b)
 
   /** Exact brute-force top-k: score every (query, corpus) pair, keep the k
     * nearest per query.
     *
     * Scale shape: `queries` is broadcast (the small side — a query batch),
-    * the corpus streams through executors partition-parallel; the only
-    * shuffle is the final top-k per query, which carries at most
-    * k × |queries| rows after partial filtering... NOTE: the Window version
-    * shuffles all |corpus|×|queries| scored rows; acceptable at bench SF.
-    * The per-partition pre-reduction below cuts that shuffle to
-    * k × |queries| × numPartitions rows: rank within partition first, keep
-    * ≤ k per (query, partition), then rank globally. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries.select(
+    * the corpus streams through executors partition-parallel. The
+    * row_number ≤ k pattern is rewritten by Spark into partial + final
+    * `WindowGroupLimit` (a bounded heap per partition before the shuffle),
+    * so the exchange carries at most k × |queries| rows per input
+    * partition, not the full |corpus| × |queries| score matrix — verified
+    * in the physical plan; no hand-rolled pre-reduction needed. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    corpus.crossJoin(broadcast(queries.select(
         col("vec_id").as("query_id"), col("embedding").as("query_vec"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("embedding"), col("query_vec")).as("sim"))
-    // partial top-k before the shuffle: rank within each input partition
-    val partial = scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("prn", row_number().over(
-        Window.partitionBy(col("query_id"), col("pid"))
-          .orderBy(col("sim").desc, col("neighbor_id"))))
-      .filter(col("prn") <= k)
-      .drop("pid", "prn")
-    partial
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
-  }
 
   /** IVF-style approximate top-k.
     *

@@ -56,6 +56,31 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall (probing 4/16 cells)")
   }
 
+  test("native CosineSimilarity agrees with the HOF kernel to float precision") {
+    // zip_with multiplies in the array element type (float), so the HOF
+    // kernel carries ~1e-8 relative error; the native kernel computes
+    // products in double (matching the oracle formulation exactly).
+    val both = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(2000)
+      .select(
+        SimilarityOps.cosine(col("a.embedding"), col("b.embedding")).as("native"),
+        SimilarityOps.cosineHof(col("a.embedding"), col("b.embedding")).as("hof"))
+    assert(both.filter(abs($"native" - $"hof") > 1e-6).count() == 0)
+  }
+
+  test("cosine_sim registers for SQL and rejects wrong types") {
+    graft.functions.VectorFunctions.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_sql_t")
+    val r = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS s FROM emb_sql_t")
+      .as[Double].collect()
+    assert(r.forall(s => math.abs(s - 1.0) < 1e-12)) // self-similarity = 1
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(vec_id, embedding) FROM emb_sql_t").collect()
+    }
+    assert(err.getMessage.contains("cosine_sim") || err.getMessage.contains("DATATYPE"))
+  }
+
   test("cosine kernel: hand-checked values") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
