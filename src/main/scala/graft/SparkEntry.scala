@@ -226,8 +226,33 @@ object SparkEntry {
           datediff(lit(NowOrders).cast("date"), col("o_orderdate"))
             .as("days_since_order"),
           year(col("o_orderdate")).as("order_year"),
-          month(col("o_orderdate")).as("order_month"))
+          month(col("o_orderdate")).as("order_month"),
+          (col("o_orderdate") + expr("INTERVAL 5 DAYS")).as("ship_deadline"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Grouping sets: ROLLUP over nation × priority with exact sums.
+    "rollup_revenue" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("n_name").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Sketch aggregate: HyperLogLog distinct users per event type.
+    // Implementation-specific estimate → no SQL oracle; the estimate is
+    // pinned against the exact distinct count in ExtOpsSpec.
+    "approx_distinct_users" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))
     }),
 
     // The full churn Gold pipeline (A1–A4, J1–J5, X1/X2/X5) over the
@@ -395,10 +420,21 @@ object SparkEntry {
         |  CAST(o_orderdate AS DATE) AS order_date,
         |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INTEGER) AS days_since_order,
         |  CAST(year(o_orderdate) AS INTEGER) AS order_year,
-        |  CAST(month(o_orderdate) AS INTEGER) AS order_month
+        |  CAST(month(o_orderdate) AS INTEGER) AS order_month,
+        |  o_orderdate + INTERVAL 5 DAY AS ship_deadline
         |FROM orders
         |WHERE o_orderpriority = '1-URGENT'
         |ORDER BY o_orderkey""".stripMargin,
+
+    "rollup_revenue" ->
+      """SELECT n_name, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "gold_enriched" ->
       """WITH txn AS (

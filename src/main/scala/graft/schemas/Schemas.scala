@@ -57,6 +57,16 @@ object Schemas {
     StructField("value", DoubleType)
   ))
 
+  /** customer_profile, Debezium-CDC variant: keeps tenure/location, drops
+    * name/email (`DezbeiumPostgresCDC/Bronze.py:51-57`, SURVEY §2.10.6). */
+  val customerProfileCdc: StructType = StructType(Seq(
+    StructField("customer_id", StringType),
+    StructField("age", IntegerType),
+    StructField("gender", StringType),
+    StructField("tenure", IntegerType),
+    StructField("location", StringType)
+  ))
+
   /** support_tickets: reference `Bronze1.py:118-128` == `Silver1.py:103-113`. */
   val supportTickets: StructType = StructType(Seq(
     StructField("ticket_id", StringType),

@@ -131,6 +131,72 @@ object Pipelines {
     q
   }
 
+  // --- Kafka wire (production path; the test env has no broker) ---------
+
+  /** S1/S2: Kafka streaming source. `startingOffsets` defaults to latest —
+    * the reference sets the option twice and last-set wins (SURVEY
+    * §2.10.7); `failOnDataLoss` and the per-trigger cap mirror
+    * `Bronze1.py:87-94` / `Silver1.py:11`. */
+  def kafkaSource(spark: SparkSession, servers: String, topics: Seq[String],
+                  startingOffsets: String = "latest",
+                  failOnDataLoss: Boolean = false,
+                  maxOffsetsPerTrigger: Long = 1000L): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topics.mkString(","))
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", failOnDataLoss.toString)
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger.toString)
+      .load()
+
+  /** K2: Kafka streaming sink — key = id cast string, value =
+    * to_json(struct(*)) (`Silver1.py:45-52`). */
+  def toKafkaSink(df: DataFrame, keyCol: String, servers: String,
+                  topic: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    BronzeOps.toKafkaFrame(df, keyCol)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+
+  // --- stateful extensions (beyond the reference surface) ---------------
+
+  /** Streaming sessionization via session_window (the native streaming
+    * analog of SessionOps.sessionize): gap-merged windows per user with
+    * watermark-bounded state. */
+  def streamingSessions(events: DataFrame, gap: String = "30 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-customer
+    * lifetime spend emitted on every update (the kind of feature the
+    * reference recomputes from scratch every 60 s; here it is incremental
+    * with O(customers) state). */
+  def runningSpend(txns: org.apache.spark.sql.Dataset[graft.schemas.Schemas.Transaction]):
+      org.apache.spark.sql.Dataset[(String, Double, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import txns.sparkSession.implicits._
+    txns.groupByKey(_.customer_id)
+      .flatMapGroupsWithState[(Double, Long), (String, Double, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (cid, rows, state: GroupState[(Double, Long)]) =>
+          val (spend0, n0) = state.getOption.getOrElse((0.0, 0L))
+          var spend = spend0; var n = n0
+          rows.foreach { t => if (t.value != null && t.value > 0) { spend += t.value; n += 1 } }
+          state.update((spend, n))
+          Iterator.single((cid, math.rint(spend * 100) / 100, n))
+      }
+  }
+
   // --- gold batch-over-stream hand-off (T10) ----------------------------
 
   /** One Gold refresh over the silver parquet tables — the body of the

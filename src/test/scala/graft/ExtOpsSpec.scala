@@ -152,6 +152,17 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(perDoc.count() == 0)
   }
 
+  test("approx_count_distinct lands within 10% of exact") {
+    val ev = Tables.load(spark, dir, "events")
+    val both = ev.groupBy($"event_type").agg(
+      approx_count_distinct($"user_id").as("approx"),
+      countDistinct($"user_id").as("exact"))
+      .select($"approx".cast("double"), $"exact".cast("double"))
+      .as[(Double, Double)].collect()
+    both.foreach { case (a, e) =>
+      assert(math.abs(a - e) / e <= 0.10, s"approx $a vs exact $e") }
+  }
+
   test("exactDedup keeps exactly the first row per key") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -106,6 +106,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.count() == streamed.count()) // every emitted window exists in batch
   }
 
+  test("streaming session_window merges gaps like the batch sessionizer") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    in.addData(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "view", 1.0),
+      (2L, ts("2024-01-01 00:10:00"), 10L, "click", 2.0),
+      (3L, ts("2024-01-01 01:00:00"), 10L, "view", 4.0),  // 50min gap → new session
+      (4L, ts("2024-01-01 00:00:00"), 11L, "view", 8.0),
+      (5L, ts("2024-01-01 12:00:00"), 10L, "view", 0.5))  // late watermark driver
+    val q = Pipelines.streamingSessions(
+        in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+        gap = "30 minutes", watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("sess_t")
+      .select("user_id", "n_events", "session_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // closed sessions: user 10 {2 events, 3.0} then {1 event, 4.0}; user 11 {1, 8.0}
+    assert(out.contains((10L, 2L, 3.0)) && out.contains((10L, 1L, 4.0))
+      && out.contains((11L, 1L, 8.0)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-customer spend across batches") {
+    implicit val ctx = spark.sqlContext
+    import graft.schemas.Schemas.Transaction
+    val in = MemoryStream[Transaction]
+    in.addData(
+      Transaction("A", "purchase", ts("2024-01-01 00:00:00"), 10.0),
+      Transaction("A", "purchase", ts("2024-01-01 00:01:00"), 5.5),
+      Transaction("B", "purchase", ts("2024-01-01 00:02:00"), 3.0))
+    val tmp = Files.createTempDirectory("graft_spend_").toString
+    def run(): Unit = {
+      val q = Pipelines.runningSpend(in.toDS())
+        .toDF("customer_id", "lifetime_spend", "n_txns")
+        .writeStream.format("json")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    in.addData(Transaction("A", "refund", ts("2024-01-01 00:03:00"), 4.5))
+    run() // state survives into the next incremental run via the checkpointed store
+    val latest = spark.read.json(s"$tmp/out")
+      .groupBy("customer_id").agg(max("lifetime_spend").as("spend"), max("n_txns").as("n"))
+      .as[(String, Double, Long)].collect().map { case (k, v, n) => k -> ((v, n)) }.toMap
+    assert(latest("A") == (20.0, 3L)) // 10 + 5.5 + 4.5
+    assert(latest("B") == (3.0, 1L))
+  }
+
+  test("CDC-variant bronze schema parses the Debezium-shaped payload") {
+    import graft.ops.BronzeOps
+    import graft.schemas.Schemas
+    val wire = Seq(
+      ("""{"customer_id":"C1","age":44,"gender":"Male","tenure":12,"location":"Austin","name":"dropped"}""",
+        "cdc.public.customer_profile")).toDF("value", "topic")
+    val out = BronzeOps.parseTopic(wire, "cdc.public.customer_profile",
+      Schemas.customerProfileCdc)
+    assert(out.columns.toSeq == Seq("customer_id", "age", "gender", "tenure", "location"))
+    assert(out.select("tenure").as[Int].head() == 12)
+  }
+
   test("goldRefresh over silver parquet produces the 14-col table") {
     val tmp = Files.createTempDirectory("graft_gold_").toString
     val b = ChurnDataGen.generate(300)
