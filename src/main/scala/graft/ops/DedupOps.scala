@@ -106,9 +106,8 @@ object DedupOps {
       .select(col("doc_id"),
         array_distinct(gramHashes(col("th"), shingle)).as("hv")) // < 2^32: a*h stays in 63 bits
       .select(col("doc_id"),
-        array(ps.map { case (a, b) =>
-          array_min(transform(col("hv"), h => pmod(h * a + b, lit(MinhashPrime))))
-        }: _*).as("signature"))
+        graft.functions.SketchFunctions.minhash_signature(
+          col("hv"), ps.map(_._1), ps.map(_._2), MinhashPrime).as("signature"))
   }
 
   /** LSH banding: signature → `bands` bucket keys; docs sharing any bucket
@@ -151,20 +150,15 @@ object DedupOps {
 
   /** 64-bit SimHash fingerprint: per token a 64-bit hash votes ±1 on each
     * bit position; the sign of each summed position forms the fingerprint.
-    * One aggregation per doc (64 associative sums → map-side combine). */
-  def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-        explode(words(col("text"))).as("t"))
-      .withColumn("h", xxhash64(col("t")))
-    val votes = (0 until 64).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v_$b")
-    }
-    val fp = (0 until 64).map { b =>
-      when(col(s"v_$b") > 0, expr(s"CAST(1 AS BIGINT) << $b")).otherwise(0L)
-    }.reduce(_ + _) // bit 63 may wrap to the sign bit — well-defined in two's complement
-    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("fingerprint"))
-  }
+    * Row-local via the native SimHash64 kernel — no explode, no
+    * aggregation state, one pass per document (duplicate tokens vote once
+    * per occurrence, like the classic weighted formulation). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), transform(col("w"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        graft.functions.SketchFunctions.simhash64(col("th")).as("fingerprint"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, bucketed by
     * 16-bit fingerprint bands (pigeonhole: distance ≤ 3 ⇒ some band of 4 is
