@@ -97,17 +97,45 @@ object TextOps {
       .select(col("doc_id"),
         array_min(DedupOps.gramHashes(col("th"), window)).as("winnow_fp"))
 
-  /** One-pass document profile used by the `text_stats` query. */
-  def profile(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      tokenCount(col("text")).as("n_tokens"),
-      bpeishTokenCount(col("text")).as("n_subtokens"),
-      length(col("text")).as("n_chars"),
-      punctRatio(col("text")).as("punct_ratio"),
-      stopwordRatio(col("text")).as("stopword_ratio"),
-      meanTokenLen(col("text")).as("mean_token_len"),
-      qualityScore(col("text")).as("quality"),
-      langId(col("text")).as("lang_pred"),
-      fingerprint(col("text")).as("fingerprint"))
+  /** One-pass document profile used by the `text_stats` query.
+    *
+    * The Column helpers above each embed their own `split` — fine for a
+    * single predicate, wasteful stacked: Catalyst doesn't CSE across
+    * expression trees, so ten columns would re-split the text ~ten times.
+    * Here the token arrays and scalar lengths are bound once behind
+    * projections and every stat reads the bound attributes. */
+  def profile(docs: DataFrame): DataFrame = {
+    val toks = col("ltoks")
+    val markerScores = LangMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms: _*)))
+    }
+    val best = markerScores.map(_._2).reduce((a, b) => greatest(a, b))
+    val lang = markerScores.foldRight(lit("und")) { case ((l, s), els) =>
+      when(s > 0 && s === best, l).otherwise(els)
+    }
+    val stopRatio =
+      size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
+    docs
+      .select(col("doc_id"), col("text"),
+        split(col("text"), "\\s+").as("wtoks"),
+        split(lower(col("text")), "\\s+").as("ltoks"))
+      .select(col("doc_id"), col("text"),
+        size(col("wtoks")).as("n_tokens"),
+        bpeishTokenCount(col("text")).as("n_subtokens"),
+        length(col("text")).as("n_chars"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopRatio.as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "\\s+", ""))
+          .cast("double") / size(col("wtoks"))).as("mean_token_len"),
+        lang.as("lang_pred"),
+        fingerprint(col("text")).as("fingerprint"))
+      .select(col("doc_id"), col("n_tokens"), col("n_subtokens"), col("n_chars"),
+        col("punct_ratio"), col("stopword_ratio"), col("mean_token_len"),
+        ((when(col("n_chars").between(50, 10000), 1.0).otherwise(0.0)
+          + when(col("stopword_ratio") > 0.05, 1.0).otherwise(0.0)
+          + when(col("punct_ratio") < 0.2, 1.0).otherwise(0.0)
+          + when(col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0))
+          / 4.0).as("quality"),
+        col("lang_pred"), col("fingerprint"))
+  }
 }
