@@ -197,7 +197,32 @@ object Pipelines {
       }
   }
 
+  /** Stream-static enrichment join: attach a (small, broadcastable)
+    * dimension to a stream on ingest — the streaming counterpart of the
+    * Gold enrichment chain, avoiding the reference's recompute-everything
+    * poll. The static side is re-read per micro-batch, so slowly-changing
+    * dims pick up updates. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   // --- gold batch-over-stream hand-off (T10) ----------------------------
+
+  /** T10 as a streaming query instead of the reference's 60 s `while True`
+    * loop (`Gold1.py:144-146`): every micro-batch of cleansed transactions
+    * triggers one gold refresh over the current silver tables, written
+    * append to `goldPath`. The stream is only the trigger/cursor; features
+    * still come from the full silver state, matching the reference's
+    * recompute semantics but driven by data arrival rather than sleep. */
+  def goldForeachBatch(txnStream: DataFrame, spark: SparkSession,
+                       silverDir: String, goldPath: String, checkpoint: String,
+                       now: Column = current_timestamp()): DataStreamWriter[org.apache.spark.sql.Row] =
+    txnStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
+        goldRefresh(spark, silverDir, now)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(goldPath)
+      }
 
   /** One Gold refresh over the silver parquet tables — the body of the
     * reference's 60 s polling loop (`Gold1.py:17-146`), as a pure function

@@ -168,6 +168,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.select("tenure").as[Int].head() == 12)
   }
 
+  test("stream-static enrichment join attaches the dim per micro-batch") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData((10L, "view"), (11L, "click"), (99L, "view")) // 99 has no dim row
+    val dim = Seq((10L, "Alice"), (11L, "Bob")).toDF("user_id", "name")
+    val q = Pipelines.enrichStream(
+        in.toDF().toDF("user_id", "event_type"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("enrich_t").select("user_id", "name")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out == Map(10L -> Some("Alice"), 11L -> Some("Bob"), 99L -> None))
+  }
+
+  test("goldForeachBatch refreshes gold per micro-batch over silver state") {
+    val tmp = Files.createTempDirectory("graft_fb_").toString
+    val b = ChurnDataGen.generate(200)
+    import graft.ops.SilverOps
+    SilverOps.cleanCustomer(ChurnDataGen.profilesDF(spark, b))
+      .write.parquet(s"$tmp/silver/customer_profile")
+    SilverOps.cleanAppUsage(ChurnDataGen.usageDF(spark, b))
+      .write.parquet(s"$tmp/silver/app_usage")
+    SilverOps.cleanTransactions(ChurnDataGen.transactionsDF(spark, b))
+      .write.parquet(s"$tmp/silver/churn_transactions")
+    SilverOps.cleanSupportTickets(ChurnDataGen.ticketsDF(spark, b))
+      .write.parquet(s"$tmp/silver/support_tickets")
+    // the trigger stream: cleansed transactions re-read as a file stream
+    val txnStream = spark.readStream
+      .schema(spark.read.parquet(s"$tmp/silver/churn_transactions").schema)
+      .parquet(s"$tmp/silver/churn_transactions")
+    val q = Pipelines.goldForeachBatch(txnStream, spark, s"$tmp/silver",
+        s"$tmp/gold", s"$tmp/ckpt",
+        lit("2024-02-01 00:00:00").cast("timestamp"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val gold = spark.read.parquet(s"$tmp/gold")
+    assert(gold.columns.length == 15) // 14 features + batch_id
+    assert(gold.count() > 0)
+  }
+
   test("goldRefresh over silver parquet produces the 14-col table") {
     val tmp = Files.createTempDirectory("graft_gold_").toString
     val b = ChurnDataGen.generate(300)
