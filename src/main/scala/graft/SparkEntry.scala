@@ -99,6 +99,18 @@ object SparkEntry {
   private def portableSentiment(issue: Column): Column =
     (length(issue) % 10).cast("double")
 
+  /** The 14-column Gold enrichment over the testdata mapping (shared by
+    * gold_enriched and ml_churn_scores). */
+  private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
+    val now = lit(NowEvents).cast("timestamp")
+    val txn = eventsAsTransactions(s, dir)
+    val app = GoldOps.appFeatures(eventsAsAppUsage(s, dir), now)
+    val dec = GoldOps.paymentDeclines(txn, declineType = "error")
+    val arpu = GoldOps.revenueArpu(txn, app)
+    val sup = GoldOps.supportFeatures(eventsAsTickets(s, dir), portableSentiment)
+    GoldOps.enrich(customerAsProfile(s, dir), app, dec, arpu, sup, now)
+  }
+
   // ----------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -258,13 +270,20 @@ object SparkEntry {
     // The full churn Gold pipeline (A1–A4, J1–J5, X1/X2/X5) over the
     // events/customer mapping. Flagship.
     "gold_enriched" -> ((s, dir) => {
-      val now = lit(NowEvents).cast("timestamp")
-      val txn = eventsAsTransactions(s, dir)
-      val app = GoldOps.appFeatures(eventsAsAppUsage(s, dir), now)
-      val dec = GoldOps.paymentDeclines(txn, declineType = "error")
-      val arpu = GoldOps.revenueArpu(txn, app)
-      val sup = GoldOps.supportFeatures(eventsAsTickets(s, dir), portableSentiment)
-      GoldOps.enrich(customerAsProfile(s, dir), app, dec, arpu, sup, now)
+      goldEnriched(s, dir).orderBy(col("customer_id"))
+    }),
+
+    // North-star ML: logistic-regression churn scoring over the Gold
+    // features (train on a deterministic weak label, score in one pass).
+    // Model output is not SQL-expressible → no oracle; behavior pinned in
+    // ChurnModelSpec, rows checked by the driver.
+    "ml_churn_scores" -> ((s, dir) => {
+      val gold = goldEnriched(s, dir)
+      val model = ml.ChurnModel.fit(
+        gold.withColumn("churned", ml.ChurnModel.weakLabel))
+      ml.ChurnModel.score(model, gold)
+        .select(col("customer_id"), col("churn_probability"),
+          col("churn_prediction"))
         .orderBy(col("customer_id"))
     }),
 
