@@ -622,7 +622,8 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // IVF approximate top-k (no oracle; recall vs exact pinned in spec).
+    // IVF approximate top-k — deterministic (first-16-by-id centroids,
+    // exact double cosine, id tiebreaks), so fully oracle-checked.
     "ext_ann_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
@@ -659,7 +660,8 @@ object SparkEntry {
     }),
 
     // Multimodal decode plumbing: mapPartitions batch pass with the stubbed
-    // codec (no oracle; deterministic fake pinned in spec).
+    // codec. The stub is pure arithmetic over the payload bytes, so the
+    // whole typed-Dataset path is oracle-checked end to end.
     "ext_multimodal_decode" -> ((s, dir) => {
       ops.MultimodalOps.decodeFeatures(
           ops.MultimodalOps.asMediaTable(tbl(s, dir, "documents")))
@@ -810,6 +812,74 @@ object SparkEntry {
         |    ELSE 'und' END AS lang_pred,
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_ann_ivf" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), cdots AS (
+        |  SELECT a.vec_id, b.vec_id AS cell_id, SUM(a.x*b.x) AS dp
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id < 16
+        |  GROUP BY 1, 2
+        |), csims AS (
+        |  SELECT cdots.vec_id, cell_id,
+        |    dp/(sqrt(nv.nn)*sqrt(nc.nn)) AS csim
+        |  FROM cdots
+        |  JOIN norms nv ON nv.vec_id = cdots.vec_id
+        |  JOIN norms nc ON nc.vec_id = cell_id
+        |), assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM csims) t
+        |  WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM csims WHERE vec_id < 10) t
+        |  WHERE rn <= 4
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id
+        |  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+        |  WHERE a.vec_id <> p.query_id
+        |), dots2 AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(q.x*e.x) AS dp
+        |  FROM cand c
+        |  JOIN ex q ON q.vec_id = c.query_id
+        |  JOIN ex e ON e.vec_id = c.neighbor_id AND e.i = q.i
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    dp/(sqrt(nq.nn)*sqrt(ne.nn)) AS sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dp/(sqrt(nq.nn)*sqrt(ne.nn)) DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM dots2
+        |  JOIN norms nq ON nq.vec_id = query_id
+        |  JOIN norms ne ON ne.vec_id = neighbor_id
+        |)
+        |SELECT query_id, rank, neighbor_id,
+        |  FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim6
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "ext_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  CAST(64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS INTEGER) AS width,
+        |  CAST(64 + ((octet_length(CAST(text AS BLOB)) // 7) % 16) * 32 AS INTEGER) AS height,
+        |  CAST(CASE doc_id % 3
+        |    WHEN 0 THEN 1
+        |    WHEN 1 THEN 1 + octet_length(CAST(text AS BLOB)) % 16000
+        |    ELSE 1 + octet_length(CAST(text AS BLOB)) % 240 END AS INTEGER) AS n_frames,
+        |  sqrt(CAST(list_aggregate(
+        |    list_transform(string_split(text, ''), c -> ascii(c)*ascii(c)),
+        |    'sum') AS DOUBLE)) AS feature_norm
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "ext_multimodal_meta" ->
