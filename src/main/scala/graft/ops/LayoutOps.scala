@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical data layout for scale (SURVEY §4 posture): partitioning for
+  * pruning, bucketing for shuffle-free joins, compaction for the
+  * small-files problem streaming sinks create.
+  *
+  * At 100 TB these three decide query cost more than any operator tweak:
+  * a date-partitioned table turns a time-range scan into a directory
+  * listing; two tables bucketed on the join key turn a sort-merge join's
+  * two shuffles into zero; and compaction keeps file counts (and thus task
+  * counts and parquet footer overhead) bounded as micro-batches accumulate.
+  */
+object LayoutOps {
+
+  /** Append `df` date-partitioned by the day of `tsCol` — the layout that
+    * makes the Gold incremental cutoff (`Gold1.py:20-27`'s commented
+    * intent) a partition-pruned scan instead of a full read. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn("p_date", to_date(col(tsCol)))
+      .write.partitionBy("p_date").mode(SaveMode.Append).parquet(path)
+
+  /** Read back with a day filter the scan can prune on. */
+  def readDay(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("p_date") === lit(day).cast("date"))
+
+  /** Save as a bucketed+sorted table: equi-joins and aggregations on `key`
+    * between tables bucketed the same way need no exchange at all. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
+
+  /** Rewrite a parquet directory into `target` files — run periodically
+    * behind streaming sinks whose micro-batches leave file confetti. */
+  def compact(spark: SparkSession, path: String, target: Int): Long = {
+    val df = spark.read.parquet(path)
+    val tmp = path + "__compacting"
+    df.repartition(target).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+    // atomic-ish swap (single-filesystem rename; a production build would
+    // go through a table format's commit protocol instead)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(p, true)
+    fs.rename(t, p)
+    rows
+  }
+}
