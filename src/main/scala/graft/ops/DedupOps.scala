@@ -122,13 +122,14 @@ object DedupOps {
                 size(col("signature")) / bands)), b).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("signature"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val l = buckets.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("signature").as("sig_a"))
-    val r = buckets.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("signature").as("sig_b"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+    // self-join the SAME plan and rename after: pre-join renamed
+    // projections defeat exchange-reuse canonicalization, and the
+    // signature stage would be computed twice
+    buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.signature").as("sig_a"), col("r.signature").as("sig_b"))
       .dropDuplicates(Seq("doc_a", "doc_b"))
   }
 
@@ -171,12 +172,11 @@ object DedupOps {
           expr(s"(fingerprint >> ${b * 16}) & 65535").as("bkey"))): _*)).as("bk"))
       .select(col("doc_id"), col("fingerprint"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val l = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_a"), col("fingerprint").as("fp_a"))
-    val r = banded.select(col("band"), col("bkey"),
-      col("doc_id").as("doc_b"), col("fingerprint").as("fp_b"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.fingerprint").as("fp_a"), col("r.fingerprint").as("fp_b"))
       .dropDuplicates(Seq("doc_a", "doc_b"))
       .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")))
       .filter(col("hamming") <= maxDist)
@@ -214,13 +214,12 @@ object DedupOps {
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .join(sizes, Seq("doc_id"))
       .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
-    val l = prefix.select(col("sh"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
-    val r = prefix.select(col("sh"), col("doc_id").as("doc_b"), col("n_sh").as("n_b"))
-    val cands = l.join(r, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(col("n_b") >= col("n_a") * threshold &&
-        col("n_a") >= col("n_b") * threshold)
-      .select("doc_a", "doc_b", "n_a", "n_b")
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("b.n_sh") >= col("a.n_sh") * threshold &&
+        col("a.n_sh") >= col("b.n_sh") * threshold)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .dropDuplicates(Seq("doc_a", "doc_b"))
     cands
       .join(sh.toDF("doc_a", "sh"), Seq("doc_a"))
@@ -249,12 +248,10 @@ object DedupOps {
         expr(s"CAST(1 AS BIGINT) << $p")).otherwise(0L)
     }.reduce(_ + _)
     val keyed = vectors.withColumn("bucket", bits)
-    val l = keyed.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-    val r = keyed.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("sim", SimilarityOps.cosine(col("va"), col("vb")))
+    keyed.as("l").join(keyed.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+        SimilarityOps.cosine(col("l.embedding"), col("r.embedding")).as("sim"))
       .filter(col("sim") >= threshold)
-      .select(col("id_a"), col("id_b"), col("sim"))
   }
 }
