@@ -278,7 +278,10 @@ object SparkEntry {
     // Model output is not SQL-expressible → no oracle; behavior pinned in
     // ChurnModelSpec, rows checked by the driver.
     "ml_churn_scores" -> ((s, dir) => {
-      val gold = goldEnriched(s, dir)
+      // persist: the gold join chain feeds both the L-BFGS fit (several
+      // jobs) and the scoring pass — without it the chain re-executes per
+      // action. On a cluster this is the standard train-then-score cache.
+      val gold = goldEnriched(s, dir).persist()
       val model = ml.ChurnModel.fit(
         gold.withColumn("churned", ml.ChurnModel.weakLabel))
       ml.ChurnModel.score(model, gold)

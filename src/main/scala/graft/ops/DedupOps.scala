@@ -70,7 +70,7 @@ object DedupOps {
   /** Exact text-dedup groups keyed by md5 of normalized text (portable to
     * any engine, unlike Spark's murmur3 `hash`). */
   def exactTextGroups(docs: DataFrame): DataFrame =
-    docs
+    OpsUtil.spread(docs)
       .withColumn("h", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
       .groupBy("h")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -100,7 +100,7 @@ object DedupOps {
     * ~2^-32 per pair — noise relative to minhash's own variance). */
   def minhashSignatures(docs: DataFrame, num: Int = 64, shingle: Int = 3): DataFrame = {
     val ps = hashParams(num)
-    docs
+    OpsUtil.spread(docs)
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), tokenHashes(col("w")).as("th"))
       .select(col("doc_id"),
@@ -155,7 +155,7 @@ object DedupOps {
     * aggregation state, one pass per document (duplicate tokens vote once
     * per occurrence, like the classic weighted formulation). */
   def simhash(docs: DataFrame): DataFrame =
-    docs
+    OpsUtil.spread(docs)
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), transform(col("w"), t => xxhash64(t)).as("th"))
       .select(col("doc_id"),
@@ -203,7 +203,7 @@ object DedupOps {
     // and both verification joins) — persist it or the text-side shingle
     // construction recomputes per branch; words are bound behind a
     // projection so the split isn't re-evaluated per gram
-    val sh = docs.select(col("doc_id"), words(col("text")).as("w"))
+    val sh = OpsUtil.spread(docs).select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"),
         explode(array_distinct(shinglesFromWords(col("w"), n))).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -247,7 +247,7 @@ object DedupOps {
       when(SimilarityOps.dot(col("embedding"), coef(p)) > 0,
         expr(s"CAST(1 AS BIGINT) << $p")).otherwise(0L)
     }.reduce(_ + _)
-    val keyed = vectors.withColumn("bucket", bits)
+    val keyed = OpsUtil.spread(vectors).withColumn("bucket", bits)
     keyed.as("l").join(keyed.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),

@@ -47,7 +47,7 @@ object SimilarityOps {
     * partition, not the full |corpus| × |queries| score matrix — verified
     * in the physical plan; no hand-rolled pre-reduction needed. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
-    corpus.crossJoin(broadcast(queries.select(
+    OpsUtil.spread(corpus).crossJoin(broadcast(queries.select(
         col("vec_id").as("query_id"), col("embedding").as("query_vec"))))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -73,7 +73,7 @@ object SimilarityOps {
     // assign: nearest centroid per corpus vector (broadcast centroids)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cell_id"))
-    val assigned = corpus.crossJoin(broadcast(cents))
+    val assigned = OpsUtil.spread(corpus).crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         cosine(col("embedding"), col("cent")).as("csim"))
       .withColumn("arn", row_number().over(wAssign))
@@ -105,7 +105,8 @@ object SimilarityOps {
     * cosine ≥ threshold. Brute force over normalized vectors; the LSH-bucketed
     * scale path is DedupOps.embeddingLshPairs. */
   def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val l = vectors.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val spreadVecs = OpsUtil.spread(vectors)
+    val l = spreadVecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val r = vectors.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     l.crossJoin(r)
       .filter(col("id_a") < col("id_b"))

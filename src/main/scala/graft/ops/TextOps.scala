@@ -92,7 +92,8 @@ object TextOps {
   /** Hot-path winnowing over a whole table: tokens and token hashes bound
     * behind projections so nothing re-evaluates inside the rolling loop. */
   def winnowFingerprints(docs: DataFrame, window: Int = 8): DataFrame =
-    docs.select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
+    OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
       .select(col("doc_id"), DedupOps.tokenHashes(col("w")).as("th"))
       .select(col("doc_id"),
         array_min(DedupOps.gramHashes(col("th"), window)).as("winnow_fp"))
@@ -115,7 +116,7 @@ object TextOps {
     }
     val stopRatio =
       size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / size(toks)
-    docs
+    OpsUtil.spread(docs)
       .select(col("doc_id"), col("text"),
         split(col("text"), "\\s+").as("wtoks"),
         split(lower(col("text")), "\\s+").as("ltoks"))
