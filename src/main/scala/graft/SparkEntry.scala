@@ -273,6 +273,30 @@ object SparkEntry {
       goldEnriched(s, dir).orderBy(col("customer_id"))
     }),
 
+    // The same 14-column Gold output in ONE pass: conditional aggregation
+    // fuses A1–A4 into a single scan + single shuffle + single broadcast
+    // join (vs four of each in the reference topology). Same oracle SQL —
+    // the outputs are row-identical (also pinned in GoldOpsSpec).
+    "gold_enriched_onepass" -> ((s, dir) => {
+      val now = lit(NowEvents).cast("timestamp")
+      val isSession = col("event_type").isin("view", "click")
+      val isDecline = col("event_type") === "error"
+      val isTicket = col("event_type") === "signup"
+      val activity = tbl(s, dir, "events").select(
+        col("user_id").cast("string").as("customer_id"),
+        when(isSession, col("ts")).as("session_login"),
+        when(isSession, lit(1)).as("sessions"),
+        when(isDecline, col("value")).as("decline_value"),
+        col("value").as("revenue_value"),
+        when(isTicket, floor(col("value")).cast("int").cast("string"))
+          .cast("double").as("ticket_resolution"),
+        when(isTicket, (length(col("props")) % 10).cast("double"))
+          .as("ticket_sentiment"))
+      GoldOps.enrichOnePass(customerAsProfile(s, dir),
+          GoldOps.fusedFeatures(activity, now), now)
+        .orderBy(col("customer_id"))
+    }),
+
     // North-star ML: logistic-regression churn scoring over the Gold
     // features (train on a deterministic weak label, score in one pass).
     // Model output is not SQL-expressible → no oracle; behavior pinned in
@@ -356,6 +380,62 @@ object SparkEntry {
   )
 
   // ----------------------------------------------------------------------
+
+  /** Shared oracle for gold_enriched and gold_enriched_onepass — the
+    * fused plan is row-identical to the chained one by construction. */
+  private val GoldEnrichedSql: String =
+    """WITH txn AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS customer_id, event_type, ts, value
+        |  FROM events
+        |), app AS (
+        |  SELECT customer_id,
+        |    CAST(MAX(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')) AS INTEGER) AS login_gap_days,
+        |    CAST(SUM(1) AS BIGINT) AS total_sessions_last_30d
+        |  FROM txn WHERE event_type IN ('view', 'click')
+        |  GROUP BY customer_id
+        |), dec AS (
+        |  SELECT customer_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_declined_payments,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_payment_value
+        |  FROM txn WHERE event_type = 'error'
+        |  GROUP BY customer_id
+        |), arpu AS (
+        |  SELECT r.customer_id,
+        |    FLOOR(r.total_revenue / (a.total_sessions_last_30d + 1) * 100 + 0.5) / 100 AS arpu
+        |  FROM (
+        |    SELECT customer_id,
+        |      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+        |    FROM txn GROUP BY customer_id) r
+        |  LEFT JOIN app a ON r.customer_id = a.customer_id
+        |), sup AS (
+        |  SELECT customer_id,
+        |    AVG(CAST(CAST(CAST(FLOOR(value) AS INTEGER) AS VARCHAR) AS DOUBLE)) AS avg_resolution_time,
+        |    AVG(CAST(length(props) % 10 AS DOUBLE)) AS avg_ticket_sentiment
+        |  FROM (SELECT CAST(user_id AS VARCHAR) AS customer_id, value, props
+        |        FROM events WHERE event_type = 'signup') s
+        |  GROUP BY customer_id
+        |), cust AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS customer_id,
+        |    c_name AS name,
+        |    c_name || '@customer.example' AS email,
+        |    c_mktsegment AS gender,
+        |    c_nationkey AS age,
+        |    DATE '1995-01-01' + CAST(c_custkey AS INTEGER) AS signup_date
+        |  FROM customer
+        |)
+        |SELECT cust.customer_id, cust.name, cust.email, cust.gender, cust.age,
+        |  cust.signup_date,
+        |  app.login_gap_days, app.total_sessions_last_30d,
+        |  dec.total_declined_payments, dec.avg_payment_value,
+        |  arpu.arpu,
+        |  sup.avg_resolution_time, sup.avg_ticket_sentiment,
+        |  CAST(date_diff('day', cust.signup_date, DATE '2024-02-01') AS INTEGER) AS days_since_signup
+        |FROM cust
+        |LEFT JOIN app ON cust.customer_id = app.customer_id
+        |LEFT JOIN dec ON cust.customer_id = dec.customer_id
+        |LEFT JOIN arpu ON cust.customer_id = arpu.customer_id
+        |LEFT JOIN sup ON cust.customer_id = sup.customer_id
+        |ORDER BY cust.customer_id""".stripMargin
 
   private def coreOracles: Map[String, String] = Map(
 
@@ -458,59 +538,9 @@ object SparkEntry {
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
-    "gold_enriched" ->
-      """WITH txn AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS customer_id, event_type, ts, value
-        |  FROM events
-        |), app AS (
-        |  SELECT customer_id,
-        |    CAST(MAX(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')) AS INTEGER) AS login_gap_days,
-        |    CAST(SUM(1) AS BIGINT) AS total_sessions_last_30d
-        |  FROM txn WHERE event_type IN ('view', 'click')
-        |  GROUP BY customer_id
-        |), dec AS (
-        |  SELECT customer_id,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_declined_payments,
-        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS avg_payment_value
-        |  FROM txn WHERE event_type = 'error'
-        |  GROUP BY customer_id
-        |), arpu AS (
-        |  SELECT r.customer_id,
-        |    FLOOR(r.total_revenue / (a.total_sessions_last_30d + 1) * 100 + 0.5) / 100 AS arpu
-        |  FROM (
-        |    SELECT customer_id,
-        |      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
-        |    FROM txn GROUP BY customer_id) r
-        |  LEFT JOIN app a ON r.customer_id = a.customer_id
-        |), sup AS (
-        |  SELECT customer_id,
-        |    AVG(CAST(CAST(CAST(FLOOR(value) AS INTEGER) AS VARCHAR) AS DOUBLE)) AS avg_resolution_time,
-        |    AVG(CAST(length(props) % 10 AS DOUBLE)) AS avg_ticket_sentiment
-        |  FROM (SELECT CAST(user_id AS VARCHAR) AS customer_id, value, props
-        |        FROM events WHERE event_type = 'signup') s
-        |  GROUP BY customer_id
-        |), cust AS (
-        |  SELECT CAST(c_custkey AS VARCHAR) AS customer_id,
-        |    c_name AS name,
-        |    c_name || '@customer.example' AS email,
-        |    c_mktsegment AS gender,
-        |    c_nationkey AS age,
-        |    DATE '1995-01-01' + CAST(c_custkey AS INTEGER) AS signup_date
-        |  FROM customer
-        |)
-        |SELECT cust.customer_id, cust.name, cust.email, cust.gender, cust.age,
-        |  cust.signup_date,
-        |  app.login_gap_days, app.total_sessions_last_30d,
-        |  dec.total_declined_payments, dec.avg_payment_value,
-        |  arpu.arpu,
-        |  sup.avg_resolution_time, sup.avg_ticket_sentiment,
-        |  CAST(date_diff('day', cust.signup_date, DATE '2024-02-01') AS INTEGER) AS days_since_signup
-        |FROM cust
-        |LEFT JOIN app ON cust.customer_id = app.customer_id
-        |LEFT JOIN dec ON cust.customer_id = dec.customer_id
-        |LEFT JOIN arpu ON cust.customer_id = arpu.customer_id
-        |LEFT JOIN sup ON cust.customer_id = sup.customer_id
-        |ORDER BY cust.customer_id""".stripMargin,
+    "gold_enriched" -> GoldEnrichedSql,
+    // row-identical by construction; same oracle
+    "gold_enriched_onepass" -> GoldEnrichedSql,
 
     "silver_clean_transactions" ->
       """SELECT customer_id, ts AS timestamp, event_type, value FROM (

@@ -88,6 +88,58 @@ object GoldOps {
         avg(col("resolution_time").cast("double")).as("avg_resolution_time"),
         avg(col("ticket_sentiment_score")).as("avg_ticket_sentiment"))
 
+  /** A1–A4 fused into ONE pass when every feature family derives from the
+    * same unified event stream (as in the testdata mapping, and as in any
+    * deployment where the four Kafka topics land in one activity table).
+    *
+    * The reference computes four separate `groupBy(customer_id)` tables and
+    * left-joins them (`Gold1.py:61-99`) — four scans and four shuffles of
+    * the same data. At 100 TB that is the dominant cost, and conditional
+    * aggregation removes it: one scan, one partial+final hash-aggregate,
+    * one shuffle keyed by customer. Output is row-identical to composing
+    * `appFeatures`/`paymentDeclines`/`revenueArpu`/`supportFeatures`
+    * (pinned by GoldOpsSpec): a `FILTER`ed aggregate over the union stream
+    * equals an aggregate over the filtered branch, and all-null groups
+    * yield the same NULLs a left join would.
+    *
+    * Input contract — one row per event, feature columns null outside
+    * their family:
+    *   - `customer_id`
+    *   - `session_login` timestamp, non-null on session rows only
+    *   - `sessions` int, non-null on session rows only
+    *   - `decline_value` 2-dp money, non-null on decline rows only
+    *   - `revenue_value` 2-dp money, every transaction row
+    *   - `ticket_resolution`/`ticket_sentiment` double, ticket rows only
+    */
+  def fusedFeatures(activity: DataFrame,
+                    now: Column = current_timestamp()): DataFrame =
+    activity
+      .groupBy("customer_id")
+      .agg(
+        max(datediff(now, col("session_login"))).as("login_gap_days"),
+        sum(col("sessions")).as("total_sessions_last_30d"),
+        moneySum(col("decline_value")).as("total_declined_payments"),
+        (moneySum(col("decline_value")) / count(col("decline_value")))
+          .as("avg_payment_value"),
+        moneySum(col("revenue_value")).as("total_revenue"),
+        avg(col("ticket_resolution")).as("avg_resolution_time"),
+        avg(col("ticket_sentiment")).as("avg_ticket_sentiment"))
+      .withColumn("arpu",
+        round2(col("total_revenue") / (col("total_sessions_last_30d") + lit(1))))
+
+  /** The 14-column enrichment over the fused feature table: a single
+    * broadcast-able left join instead of the reference's four. */
+  def enrichOnePass(customers: DataFrame, fused: DataFrame,
+                    now: Column = current_timestamp()): DataFrame =
+    customers
+      .join(fused, Seq("customer_id"), "left")
+      .withColumn("days_since_signup", datediff(now, col("signup_date")))
+      .select(
+        "customer_id", "name", "email", "gender", "age", "signup_date",
+        "login_gap_days", "total_sessions_last_30d",
+        "total_declined_payments", "avg_payment_value", "arpu",
+        "avg_resolution_time", "avg_ticket_sentiment", "days_since_signup")
+
   /** J2–J5 + P7 (`Gold1.py:95-106`): the 14-column enrichment.
     *
     * Left-join multiplicity is preserved: the left input's customer_id is

@@ -98,4 +98,12 @@ class GoldOpsSpec extends AnyFunSuite {
     assert(b.isNullAt(b.fieldIndex("arpu")) && b.isNullAt(b.fieldIndex("login_gap_days")))
     assert(b.getAs[Int]("days_since_signup") == 16)
   }
+
+  test("fused one-pass gold is row-identical to the chained four-table pipeline") {
+    val dir = "/root/testdata/sf0.001"
+    val chained = SparkEntry.queries("gold_enriched")(spark, dir).collect()
+    val fused = SparkEntry.queries("gold_enriched_onepass")(spark, dir).collect()
+    assert(chained.length == fused.length && chained.nonEmpty)
+    chained.zip(fused).foreach { case (c, f) => assert(c == f) }
+  }
 }
