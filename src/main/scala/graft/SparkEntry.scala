@@ -666,6 +666,23 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // As-of (point-in-time) join: attach to each purchase the same user's
+    // most recent view at-or-before the purchase time — last-touch
+    // attribution, the leakage-free feature-store lookup pattern. One
+    // union + window pass (linear), not a range join (quadratic).
+    "ext_asof_attribution" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+      // distinct: equal-timestamp ties on the right would be
+      // arbitrary-winner (AsOfOps tie rule) — dedupe for determinism
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts")).distinct()
+      ops.AsOfOps.asOfJoin(purchases, views, Seq("user_id"),
+          "purchase_ts", "view_ts")
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization + per-session rollup (oracle-checked).
     "ext_sessionize" -> ((s, dir) => {
       ops.SessionOps.sessionStats(tbl(s, dir, "events"), gapMinutes = 30)
@@ -704,6 +721,19 @@ object SparkEntry {
   )
 
   private def extOracles: Map[String, String] = Map(
+
+    "ext_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP) AS view_ts
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT p.event_id, p.user_id, p.purchase_ts, v.view_ts
+        |FROM p ASOF LEFT JOIN v
+        |  ON p.user_id = v.user_id AND p.purchase_ts >= v.view_ts
+        |ORDER BY event_id""".stripMargin,
 
     "ext_dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h,
