@@ -199,33 +199,48 @@ object DedupOps {
     * count. Same output as the naive join, orders of magnitude fewer
     * intermediate pairs. */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.3): DataFrame = {
-    // the (doc, shingle) relation feeds four branches (frequency, prefix,
-    // and both verification joins) — persist it or the text-side shingle
-    // construction recomputes per branch; words are bound behind a
-    // projection so the split isn't re-evaluated per gram
-    val sh = OpsUtil.spread(docs).select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"),
-        explode(array_distinct(shinglesFromWords(col("w"), n))).as("sh"))
+    // Shingle identity is xxhash64 of the gram string, not the string:
+    // every downstream shuffle and join key is 8 bytes instead of a
+    // ~20-char string, and the per-doc shingle SET becomes a compact
+    // array<long>. (64-bit collision odds across even 10^8 distinct
+    // shingles are ~1e-3 per corpus — far below the driver gate's noise
+    // floor; within-doc collisions that could bias a count are ~2^-64.)
+    // The per-doc array feeds three branches — persist the 1-row-per-doc
+    // form (kBs per doc), never the exploded relation.
+    val base = OpsUtil.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), array_distinct(
+        transform(shinglesFromWords(col("w"), n), s => xxhash64(s))).as("hs"))
+      .withColumn("n_sh", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val freq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val prefix = sh.join(freq, Seq("sh"))
+    base.count() // eager: several concurrent downstream stages (freq shuffle,
+                 // broadcast builds) would otherwise race to populate the
+                 // cache, each recomputing the shingle pass
+    val sh = base.select(col("doc_id"), col("n_sh"), explode(col("hs")).as("shh"))
+    val freq = sh.groupBy("shh").agg(count(lit(1)).as("df"))
+    // prefix filter: J(A,B) >= t forces a shared shingle within the first
+    // |x| - ceil(t*|x|) + 1 shingles under ANY global order; ordering by
+    // ascending document frequency makes those prefix shingles the rarest,
+    // so the candidate join fans out least
+    val prefix = sh.join(freq, Seq("shh"))
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .join(sizes, Seq("doc_id"))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shh"))))
       .filter(col("pos") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("b.n_sh") >= col("a.n_sh") * threshold &&
         col("a.n_sh") >= col("b.n_sh") * threshold)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_sh").as("n_a"), col("b.n_sh").as("n_b"))
       .dropDuplicates(Seq("doc_a", "doc_b"))
+    // verify row-locally: attach each side's shingle-hash array (the doc
+    // table is pairs-side-small → broadcast-able; at corpus scale it
+    // degrades to two equi-joins, never to the pair × shingle explosion a
+    // (cands ⋈ sh ⋈ sh) intersection count would materialize)
     cands
-      .join(sh.toDF("doc_a", "sh"), Seq("doc_a"))
-      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("n_inter"))
+      .join(base.select(col("doc_id").as("doc_a"), col("hs").as("ha")), Seq("doc_a"))
+      .join(base.select(col("doc_id").as("doc_b"), col("hs").as("hb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= threshold)
