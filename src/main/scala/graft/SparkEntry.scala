@@ -683,6 +683,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Range (interval) join: assign each event to the session interval
+    // containing it — binned equi-join, not the nested-loop theta join
+    // Spark would otherwise plan (oracle-checked).
+    "ext_range_join_sessions" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sess = ops.SessionOps.sessionStats(ev, gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      ops.RangeJoinOps.pointInIntervalJoin(
+          ev.select(col("event_id"), col("user_id"), col("ts")), sess,
+          Seq("user_id"), "ts", "session_start", "session_end",
+          binSeconds = 3600L)
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization + per-session rollup (oracle-checked).
     "ext_sessionize" -> ((s, dir) => {
       ops.SessionOps.sessionStats(tbl(s, dir, "events"), gapMinutes = 30)
@@ -721,6 +737,32 @@ object SparkEntry {
   )
 
   private def extOracles: Map[String, String] = Map(
+
+    "ext_range_join_sessions" ->
+      """WITH lagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |), intervals AS (
+        |  SELECT user_id, session_seq,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM sessions GROUP BY user_id, session_seq
+        |)
+        |SELECT e.event_id, e.user_id, i.session_seq
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        |JOIN intervals i ON e.user_id = i.user_id
+        |  AND e.ts BETWEEN i.session_start AND i.session_end
+        |ORDER BY event_id""".stripMargin,
 
     "ext_asof_attribution" ->
       """WITH p AS (
