@@ -162,6 +162,33 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Pivot: wide spend matrix segment × priority. Fixed value list →
+    // deterministic schema and a single-pass pivoted hash aggregate (no
+    // values-discovery job); clean column aliases for the oracle compare.
+    "pivot_segment_priority" -> ((s, dir) => {
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val alias = prios.map(p => p -> ("p" + p.charAt(0))).toMap
+      val wide = tbl(s, dir, "orders")
+        .join(broadcast(tbl(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .pivot("o_orderpriority", prios)
+        .agg(moneySum(col("o_totalprice")))
+      prios.foldLeft(wide)((df, p) => df.withColumnRenamed(p, alias(p)))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Explode + top-k: corpus word frequencies (the canonical lateral-view
+    // shape; deterministic via count/token tiebreak).
+    "ext_token_counts" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(100)
+    }),
+
     // Window: top-k per group via row_number (deterministic tiebreak).
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -537,6 +564,26 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "pivot_segment_priority" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p1,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p2,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p3,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p4,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p5
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "ext_token_counts" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY n DESC, token
+        |LIMIT 100""".stripMargin,
 
     "gold_enriched" -> GoldEnrichedSql,
     // row-identical by construction; same oracle
