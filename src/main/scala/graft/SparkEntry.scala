@@ -162,6 +162,20 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Exact interpolated percentiles (single-pass sort-based aggregate;
+    // Spark's `percentile` and DuckDB's `quantile_cont` share the
+    // linear-interpolation definition bit-for-bit).
+    "value_quantiles" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.9)).as("p90"),
+          percentile(col("value"), lit(0.99)).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Pivot: wide spend matrix segment × priority. Fixed value list →
     // deterministic schema and a single-pass pivoted hash aggregate (no
     // values-discovery job); clean column aliases for the oracle compare.
@@ -564,6 +578,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "value_quantiles" ->
+      """SELECT event_type,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.9) AS p90,
+        |  quantile_cont(value, 0.99) AS p99,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "pivot_segment_priority" ->
       """SELECT c_mktsegment,
