@@ -56,6 +56,16 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall $recall (probing 4/16 cells)")
   }
 
+  test("k-means IVF recall vs brute force meets or beats the id-centroid IVF") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = SimilarityOps.ivfTopKKmeans(emb, queries, 5, nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"k-means IVF recall $recall (probing 4/16 cells)")
+  }
+
   test("native CosineSimilarity agrees with the HOF kernel to float precision") {
     // zip_with multiplies in the array element type (float), so the HOF
     // kernel carries ~1e-8 relative error; the native kernel computes
