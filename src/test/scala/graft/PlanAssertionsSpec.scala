@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression pins: the scale properties the library claims
+  * (broadcast enrichment joins, parquet pushdown, bounded-heap top-k, no
+  * nested-loop rewrites for as-of/range joins) must be visible in the plan,
+  * not just in comments. Plans are inspected pre-execution via explain on
+  * sf0.001 — shapes, not timings. */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+
+  test("gold_enriched: every enrichment join is broadcast-hash") {
+    val p = plan("gold_enriched")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
+      s"expected >=5 broadcast joins (4 enrichment + arpu), got:\n$p")
+    assert(!p.contains("SortMergeJoin"), "enrichment should not sort-merge")
+  }
+
+  test("gold_enriched_onepass: exactly one aggregate shuffle, one broadcast join") {
+    val p = plan("gold_enriched_onepass")
+    // one partial+final pair over the fused conditional aggregate
+    assert("HashAggregate".r.findAllIn(p).size == 2, s"plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("pricing_summary: shipdate filter reaches the parquet scan") {
+    val p = plan("pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$p")
+  }
+
+  test("topk_orders_per_customer: partial WindowGroupLimit before the exchange") {
+    val p = plan("topk_orders_per_customer")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"bounded-heap top-k missing:\n$p")
+  }
+
+  test("as-of and range joins plan as hash joins, never nested loops") {
+    for (q <- Seq("ext_asof_attribution", "ext_range_join_sessions")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q degenerated to a nested loop:\n$p")
+    }
+  }
+
+  test("silver cleansing pushes its predicates into the scan") {
+    val p = plan("silver_clean_customer")
+    assert(p.contains("PushedFilters:") && p.contains("IsNotNull"),
+      s"no pushdown visible:\n$p")
+  }
+
+  test("ANN brute force: scan reads only the projected embedding columns") {
+    val p = plan("ext_ann_topk")
+    // ReadSchema on the corpus side must not include the label column
+    assert(!p.contains("label"), s"unpruned scan:\n$p")
+  }
+}
