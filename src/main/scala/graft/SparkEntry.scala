@@ -162,6 +162,27 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // Skew mitigation, oracle-proven row-identical to the unsalted plan:
+    // the salted join spreads each hot key over 8 sub-keys; the oracle is
+    // the PLAIN left join — identical output is the correctness claim.
+    "skew_salted_join" -> ((s, dir) => {
+      val big = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val small = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      ops.SkewOps.saltedLeftJoin(big, small, "user_id",
+          discriminator = col("event_id"), buckets = 8)
+        .orderBy(col("event_id"))
+    }),
+
+    // Two-stage salted aggregation vs the plain GROUP BY oracle.
+    "skew_salted_agg" -> ((s, dir) => {
+      ops.SkewOps.saltedCount(tbl(s, dir, "events"), "event_type",
+          discriminator = col("event_id"), buckets = 8)
+        .orderBy(col("event_type"))
+    }),
+
     // Exact interpolated percentiles (single-pass sort-based aggregate;
     // Spark's `percentile` and DuckDB's `quantile_cont` share the
     // linear-interpolation definition bit-for-bit).
@@ -578,6 +599,16 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment AS segment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "value_quantiles" ->
       """SELECT event_type,
