@@ -99,8 +99,30 @@ object SparkEntry {
   private def portableSentiment(issue: Column): Column =
     (length(issue) % 10).cast("double")
 
-  /** The 14-column Gold enrichment over the testdata mapping (shared by
-    * gold_enriched and ml_churn_scores). */
+  /** The fused one-scan/one-shuffle Gold (row-identical to goldEnriched;
+    * see GoldOps.fusedFeatures) — shared by gold_enriched_onepass and the
+    * ML scoring pipeline. */
+  private def goldEnrichedOnePass(s: SparkSession, dir: String): DataFrame = {
+    val now = lit(NowEvents).cast("timestamp")
+    val isSession = col("event_type").isin("view", "click")
+    val isDecline = col("event_type") === "error"
+    val isTicket = col("event_type") === "signup"
+    val activity = tbl(s, dir, "events").select(
+      col("user_id").cast("string").as("customer_id"),
+      when(isSession, col("ts")).as("session_login"),
+      when(isSession, lit(1)).as("sessions"),
+      when(isDecline, col("value")).as("decline_value"),
+      col("value").as("revenue_value"),
+      when(isTicket, floor(col("value")).cast("int").cast("string"))
+        .cast("double").as("ticket_resolution"),
+      when(isTicket, (length(col("props")) % 10).cast("double"))
+        .as("ticket_sentiment"))
+    GoldOps.enrichOnePass(customerAsProfile(s, dir),
+      GoldOps.fusedFeatures(activity, now), now)
+  }
+
+  /** The 14-column Gold enrichment over the testdata mapping (the
+    * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
     val now = lit(NowEvents).cast("timestamp")
     val txn = eventsAsTransactions(s, dir)
@@ -339,35 +361,19 @@ object SparkEntry {
     // fuses A1–A4 into a single scan + single shuffle + single broadcast
     // join (vs four of each in the reference topology). Same oracle SQL —
     // the outputs are row-identical (also pinned in GoldOpsSpec).
-    "gold_enriched_onepass" -> ((s, dir) => {
-      val now = lit(NowEvents).cast("timestamp")
-      val isSession = col("event_type").isin("view", "click")
-      val isDecline = col("event_type") === "error"
-      val isTicket = col("event_type") === "signup"
-      val activity = tbl(s, dir, "events").select(
-        col("user_id").cast("string").as("customer_id"),
-        when(isSession, col("ts")).as("session_login"),
-        when(isSession, lit(1)).as("sessions"),
-        when(isDecline, col("value")).as("decline_value"),
-        col("value").as("revenue_value"),
-        when(isTicket, floor(col("value")).cast("int").cast("string"))
-          .cast("double").as("ticket_resolution"),
-        when(isTicket, (length(col("props")) % 10).cast("double"))
-          .as("ticket_sentiment"))
-      GoldOps.enrichOnePass(customerAsProfile(s, dir),
-          GoldOps.fusedFeatures(activity, now), now)
-        .orderBy(col("customer_id"))
-    }),
+    "gold_enriched_onepass" -> ((s, dir) =>
+      goldEnrichedOnePass(s, dir).orderBy(col("customer_id"))),
 
     // North-star ML: logistic-regression churn scoring over the Gold
     // features (train on a deterministic weak label, score in one pass).
     // Model output is not SQL-expressible → no oracle; behavior pinned in
     // ChurnModelSpec, rows checked by the driver.
     "ml_churn_scores" -> ((s, dir) => {
-      // persist: the gold join chain feeds both the L-BFGS fit (several
-      // jobs) and the scoring pass — without it the chain re-executes per
-      // action. On a cluster this is the standard train-then-score cache.
-      val gold = goldEnriched(s, dir).persist()
+      // persist: the gold features feed both the L-BFGS fit (several jobs)
+      // and the scoring pass — without it the pipeline re-executes per
+      // action. Trains over the fused one-pass gold (row-identical to the
+      // chained topology, half the plan).
+      val gold = goldEnrichedOnePass(s, dir).persist()
       val model = ml.ChurnModel.fit(
         gold.withColumn("churned", ml.ChurnModel.weakLabel))
       ml.ChurnModel.score(model, gold)
