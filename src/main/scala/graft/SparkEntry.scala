@@ -746,10 +746,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Random-hyperplane LSH near-dup (no oracle — hash-derived planes).
+    // Banded random-hyperplane LSH near-dup (no oracle — hash-derived
+    // planes): 64 planes × 8 bands, OR-across-bands candidates, exact
+    // cosine verify. Containment + recall vs the brute-force pairs is
+    // pinned in ExtOpsSpec.
     "ext_dedup_embedding_lsh" -> ((s, dir) => {
       ops.DedupOps.embeddingLshPairs(tbl(s, dir, "embeddings"),
-          threshold = 0.3, nPlanes = 8)
+          threshold = 0.3, nPlanes = 64, bands = 8)
         .select(col("id_a"), col("id_b"), round6(col("sim")).as("sim6"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -768,6 +771,18 @@ object SparkEntry {
     "ext_ann_ivf" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Production IVF: seeded k-means centroids (MLlib Lloyd's), same index
+    // mechanics. No hash oracle — k-means cell ids are model output, not
+    // SQL-expressible; rows>0 checked here, recall pinned in ExtOpsSpec.
+    "ext_ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.ivfTopKKmeans(emb, emb.filter(col("vec_id") < 10), k = 5,
           nCells = 16, nProbe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round6(col("sim")).as("sim6"))

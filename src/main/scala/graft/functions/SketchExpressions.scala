@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 import org.apache.spark.sql.GraftColumnBridge.{column, expression}
 
@@ -145,6 +145,87 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic pseudo-random hyperplane coefficients for sign-random-
+  * projection LSH. Public static (Scala object forwarder) so generated Java
+  * calls the exact same function as interpreted eval — the two paths must be
+  * bit-identical or a plan-shape change would silently move vectors across
+  * buckets. */
+object SrpCoef {
+  /** Coefficient in (-1, 1) for (plane, dim): a splitmix64-style finalizer
+    * over the packed (plane, dim, seed) triple. */
+  def coef(plane: Int, dim: Int, seed: Long): Double = {
+    var h = seed ^ (plane.toLong * 0x9E3779B97F4A7C15L) ^
+      (dim.toLong * 0xC2B2AE3D27D4EB4FL)
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL; h ^= (h >>> 33)
+    (h >>> 11).toDouble * (2.0 / (1L << 53).toDouble) - 1.0
+  }
+}
+
+/** Sign-random-projection signature over an `array<float>` embedding:
+  * `nPlanes` (≤ 64) pseudo-random hyperplanes, coefficients derived on the
+  * fly from (plane, dim, seed) — no materialized coefficient arrays, no
+  * per-plane higher-order traversals. Bit p of the result is the sign of
+  * the projection onto plane p. One dims × planes multiply-add pass per
+  * row, row-local and shuffle-free; banding into b-bit bucket keys is plain
+  * shift/mask arithmetic downstream (DedupOps.embeddingLshPairs). */
+case class SignRandomProjection(child: Expression, nPlanes: Int, seed: Long)
+    extends UnaryExpression {
+  require(nPlanes >= 1 && nPlanes <= 64, s"nPlanes must be in [1, 64], got $nPlanes")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"srp_signature expects array<float>, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val acc = new Array[Double](nPlanes)
+    val n = arr.numElements()
+    var d = 0
+    while (d < n) {
+      val v = arr.getFloat(d).toDouble
+      var p = 0
+      while (p < nPlanes) { acc(p) += v * SrpCoef.coef(p, d, seed); p += 1 }
+      d += 1
+    }
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) { if (acc(p) > 0) sig |= (1L << p); p += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val v = ctx.freshName("v")
+      val sig = ctx.freshName("sig")
+      s"""
+         |double[] $acc = new double[$nPlanes];
+         |int $n = $arr.numElements();
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $v = (double) $arr.getFloat($d);
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    $acc[$p] += $v * graft.functions.SrpCoef.coef($p, $d, ${seed}L);
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  if ($acc[$p] > 0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchFunctions {
   /** Signature column from a bound array<long> of element hashes. */
   def minhash_signature(hashes: Column, as: Array[Long], bs: Array[Long],
@@ -153,4 +234,8 @@ object SketchFunctions {
 
   /** 64-bit SimHash fingerprint from a bound array<long> of token hashes. */
   def simhash64(hashes: Column): Column = column(SimHash64(expression(hashes)))
+
+  /** Sign-random-projection bit signature from an `array<float>` embedding. */
+  def srp_signature(embedding: Column, nPlanes: Int, seed: Long): Column =
+    column(SignRandomProjection(expression(embedding), nPlanes, seed))
 }

@@ -247,26 +247,44 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
-  // --- embedding LSH (random-hyperplane) --------------------------------
+  // --- embedding LSH (banded random-hyperplane) -------------------------
 
-  /** Sign-random-projection bucket key: `nPlanes` deterministic pseudo-random
-    * hyperplanes (hash-derived coefficients, no RNG state), each contributing
-    * one sign bit. Vectors sharing the key are near-dup candidates; verify
-    * with exact cosine. */
+  /** Banded sign-random-projection LSH near-dup pairs.
+    *
+    * `nPlanes` pseudo-random hyperplanes produce one sign bit each (native
+    * one-pass SignRandomProjection kernel — no per-plane traversals), split
+    * into `bands` bucket keys of nPlanes/bands bits; vectors sharing ANY
+    * band's key are candidates (OR across bands), then verified with exact
+    * cosine. Candidate generation is an equi-join on (band, key) — never
+    * all-pairs.
+    *
+    * Scale posture: bucket count is bands × 2^(nPlanes/bands) *per band
+    * partition* and, unlike a single folded key, expected bucket occupancy
+    * stays ~|corpus| / 2^bits per band — at 64 planes / 8 bands that's
+    * corpus/256 per band with 8 independent chances to collide, so recall
+    * for sim s is 1 − (1 − p^bits)^bands with p = 1 − acos(s)/π (tunable
+    * via bands), while the within-bucket self-join stays bounded. Skewed
+    * buckets (dense regions) are AQE skew-split like any other equi-join. */
   def embeddingLshPairs(vectors: DataFrame, threshold: Double = 0.9,
-                        nPlanes: Int = 8): DataFrame = {
-    // plane p coefficient for dim d: deterministic in (-1, 1)
-    def coef(p: Int): Column = transform(col("embedding"), (_, d) =>
-      (pmod(xxhash64(d * 1000003 + lit(p)), lit(2000001L)) - 1000000L).cast("double") / 1000000.0)
-    val bits = (0 until nPlanes).map { p =>
-      when(SimilarityOps.dot(col("embedding"), coef(p)) > 0,
-        expr(s"CAST(1 AS BIGINT) << $p")).otherwise(0L)
-    }.reduce(_ + _)
-    val keyed = OpsUtil.spread(vectors).withColumn("bucket", bits)
-    keyed.as("l").join(keyed.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+                        nPlanes: Int = 64, bands: Int = 8,
+                        seed: Long = 42L): DataFrame = {
+    require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
+    val bits = nPlanes / bands
+    val mask = (1L << bits) - 1
+    val keyed = OpsUtil.spread(vectors).withColumn("sig",
+      graft.functions.SketchFunctions.srp_signature(col("embedding"), nPlanes, seed))
+    // self-join the SAME banded plan (exchange-reuse, like minhash LSH)
+    val banded = keyed.select(col("vec_id"), col("embedding"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          expr(s"shiftright(sig, ${b * bits}) & $mask").as("bkey"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
         SimilarityOps.cosine(col("l.embedding"), col("r.embedding")).as("sim"))
+      .dropDuplicates(Seq("id_a", "id_b"))
       .filter(col("sim") >= threshold)
   }
 }

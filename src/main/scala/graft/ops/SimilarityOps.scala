@@ -57,43 +57,64 @@ object SimilarityOps {
           .orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
 
+  /** Row-local nearest-centroid assignment: the centroid table is ANN index
+    * state — nCells rows of driver-side model data, inlined as literals — so
+    * assignment is ONE projection over the corpus: an array of nCells fused
+    * cosines per row, argmax'd in place. Zero joins, zero window shuffles,
+    * corpus × 1 rows (the crossJoin + row_number formulation materialized
+    * corpus × nCells rows AND full-shuffled them to pick a row-computable
+    * argmax). Tiebreak: max csim, then lowest cell_id — `cents` must be
+    * sorted by cell_id ascending so array_position's first-match IS the
+    * lowest id among ties. */
+  def assignCells(corpus: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame = {
+    require(cents.nonEmpty, "assignCells needs at least one centroid")
+    require(cents.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+      "centroids must be sorted by cell_id ascending (argmax tiebreak)")
+    val csims = array(cents.map { case (_, c) =>
+      cosine(col("embedding"), typedlit(c)) }: _*)
+    val ids = typedlit(cents.map(_._1))
+    corpus
+      .withColumn("__csims", csims)
+      .withColumn("cell_id", element_at(ids,
+        array_position(col("__csims"), array_max(col("__csims"))).cast("int")))
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+  }
+
+  /** Row-local probe list: per query, the `nProbe` nearest cells by
+    * (csim desc, cell_id asc) — computed by sorting a literal-sized struct
+    * array in place, no centroid join, no window. */
+  private def probeCells(queries: DataFrame, cents: Array[(Long, Array[Float])],
+                         nProbe: Int): DataFrame = {
+    val ranked = array(cents.map { case (id, c) =>
+      struct((-cosine(col("query_vec"), typedlit(c))).as("negsim"),
+        lit(id).as("cell_id")) }: _*)
+    queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      .withColumn("__pc", explode(slice(array_sort(ranked), 1, nProbe)))
+      .select(col("query_id"), col("query_vec"), col("__pc.cell_id").as("cell_id"))
+  }
+
   /** IVF-style approximate top-k.
     *
     * Centroids are the first `nCells` corpus vectors by id — deterministic
-    * without an RNG; a production build would run (seeded) k-means, but the
-    * index mechanics (assign → partition → probe) are identical. Each corpus
-    * vector is assigned to its nearest centroid (one broadcast pass); a
-    * query scores only vectors in its `nProbe` nearest cells, cutting the
-    * scored pairs by ~nCells/nProbe. Recall vs the exact baseline is pinned
-    * in SimilarityOpsSpec. */
+    * without an RNG; a production build would run (seeded) k-means
+    * (`ivfTopKKmeans`), but the index mechanics (assign → partition →
+    * probe) are identical. Assignment and probing are pure projections over
+    * literal centroids (see assignCells); the only shuffle left is the
+    * cell-id equi-join, whose probe side is queries × nProbe rows —
+    * broadcast-small. Recall vs the exact baseline is pinned in ExtOpsSpec;
+    * zero-exchange assignment is pinned in PlanAssertionsSpec. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCells: Int, nProbe: Int): DataFrame = {
     val cents = corpus.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cent"))
-    // assign: nearest centroid per corpus vector (broadcast centroids)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cell_id"))
-    val assigned = OpsUtil.spread(corpus).crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cosine(col("embedding"), col("cent")).as("csim"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-    // probe lists: nProbe nearest cells per query
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cell_id"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("query_vec"), col("cell_id"),
-        cosine(col("query_vec"), col("cent")).as("csim"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("cell_id"))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = assignCells(OpsUtil.spread(corpus), cents)
+    val probes = probeCells(queries, cents, nProbe)
     // score only within probed cells (equi-join on cell_id, not a cross join)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.join(probes, Seq("cell_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("embedding"), col("query_vec")).as("sim"))

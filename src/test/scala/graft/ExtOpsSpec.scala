@@ -66,6 +66,40 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"k-means IVF recall $recall (probing 4/16 cells)")
   }
 
+  test("banded embedding LSH: verified subset of brute force, with usable recall") {
+    val exact = SimilarityOps.nearDupPairs(emb, 0.3)
+      .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
+    val exactPairs = exact.map(t => (t._1, t._2)).toSet
+    val lsh = DedupOps.embeddingLshPairs(emb, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "fixture should contain near-dup pairs")
+    // precision is 1.0 by construction: every candidate is exact-cosine verified
+    assert((lsh -- exactPairs).isEmpty, "LSH emitted a pair brute force rejects")
+    // high-similarity pairs (the true near-dups) must be found reliably;
+    // theory at sim 0.8, 8 bands x 8 bits: 1-(1-p^8)^8 ~ 0.75, p = 1-acos(s)/pi
+    val hot = exact.filter(_._3 >= 0.8).map(t => (t._1, t._2)).toSet
+    if (hot.nonEmpty) {
+      val recall = (lsh & hot).size.toDouble / hot.size
+      assert(recall >= 0.5, s"high-sim recall $recall over ${hot.size} pairs")
+    }
+  }
+
+  test("srp signature: native kernel matches a scala re-computation") {
+    import graft.functions.SrpCoef
+    val rows = emb.limit(20).select($"vec_id", $"embedding",
+      graft.functions.SketchFunctions.srp_signature($"embedding", 64, 42L).as("sig"))
+      .as[(Long, Array[Float], Long)].collect()
+    rows.foreach { case (_, v, sig) =>
+      var expect = 0L
+      for (p <- 0 until 64) {
+        var acc = 0.0
+        for (d <- v.indices) acc += v(d).toDouble * SrpCoef.coef(p, d, 42L)
+        if (acc > 0) expect |= (1L << p)
+      }
+      assert(sig == expect)
+    }
+  }
+
   test("native CosineSimilarity agrees with the HOF kernel to float precision") {
     // zip_with multiplies in the array element type (float), so the HOF
     // kernel carries ~1e-8 relative error; the native kernel computes

@@ -56,6 +56,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no pushdown visible:\n$p")
   }
 
+  test("IVF assignment is one projection: no exchange, join, or window") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = emb.orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val p = graft.ops.SimilarityOps.assignCells(emb, cents)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("Exchange") && !p.contains("Join") && !p.contains("Window"),
+      s"assignment must stay row-local:\n$p")
+  }
+
+  test("embedding LSH candidates come from a band-bucket equi-join") {
+    val p = plan("ext_dedup_embedding_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LSH degenerated to a nested loop:\n$p")
+  }
+
   test("ANN brute force: scan reads only the projected embedding columns") {
     val p = plan("ext_ann_topk")
     // ReadSchema on the corpus side must not include the label column
