@@ -99,15 +99,16 @@ object SparkEntry {
   private def portableSentiment(issue: Column): Column =
     (length(issue) % 10).cast("double")
 
-  /** The fused one-scan/one-shuffle Gold (row-identical to goldEnriched;
-    * see GoldOps.fusedFeatures) — shared by gold_enriched_onepass and the
-    * ML scoring pipeline. */
-  private def goldEnrichedOnePass(s: SparkSession, dir: String): DataFrame = {
-    val now = lit(NowEvents).cast("timestamp")
+  /** The unified silver activity stream behind the fused Gold: one row per
+    * event, feature columns null outside their family (see
+    * GoldOps.fusedFeatures' input contract). Keeps `ts` so it can land
+    * date-partitioned for the incremental refresh. */
+  private def silverActivity(s: SparkSession, dir: String): DataFrame = {
     val isSession = col("event_type").isin("view", "click")
     val isDecline = col("event_type") === "error"
     val isTicket = col("event_type") === "signup"
-    val activity = tbl(s, dir, "events").select(
+    tbl(s, dir, "events").select(
+      col("ts"),
       col("user_id").cast("string").as("customer_id"),
       when(isSession, col("ts")).as("session_login"),
       when(isSession, lit(1)).as("sessions"),
@@ -117,9 +118,25 @@ object SparkEntry {
         .cast("double").as("ticket_resolution"),
       when(isTicket, (length(col("props")) % 10).cast("double"))
         .as("ticket_sentiment"))
-    GoldOps.enrichOnePass(customerAsProfile(s, dir),
-      GoldOps.fusedFeatures(activity, now), now)
   }
+
+  /** The fused one-scan/one-shuffle Gold (row-identical to goldEnriched;
+    * see GoldOps.fusedFeatures) — shared by gold_enriched_onepass and the
+    * ML scoring pipeline. */
+  private def goldEnrichedOnePass(s: SparkSession, dir: String): DataFrame = {
+    val now = lit(NowEvents).cast("timestamp")
+    GoldOps.enrichOnePass(customerAsProfile(s, dir),
+      GoldOps.fusedFeatures(silverActivity(s, dir), now), now)
+  }
+
+  /** Incremental cutoff day for gold_incremental (events span
+    * 2024-01-01..01-30, so this selects the latter half of the partitions). */
+  private val IncrCutoff = "2024-01-16"
+
+  /** Staging dir for the date-partitioned silver activity, inside the build
+    * output tree; keyed by sf dir name so scale factors don't collide. */
+  private def incrSilverPath(dir: String): String =
+    s"target/graft-incr-silver/${new java.io.File(dir).getName}"
 
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
@@ -364,6 +381,23 @@ object SparkEntry {
     "gold_enriched_onepass" -> ((s, dir) =>
       goldEnrichedOnePass(s, dir).orderBy(col("customer_id"))),
 
+    // Incremental Gold refresh (Gold1.py:19-49's commented cutoff intent,
+    // made runnable): the silver activity stream lands date-partitioned;
+    // the refresh recomputes features ONLY over days >= the cutoff, and
+    // the scan prunes to those partitions at file-listing time
+    // (PartitionFilters — pinned in PlanAssertionsSpec). Oracle = the full
+    // recompute restricted to the same window.
+    "gold_incremental" -> ((s, dir) => {
+      val now = lit(NowEvents).cast("timestamp")
+      val path = incrSilverPath(dir)
+      ops.LayoutOps.writeDatePartitioned(silverActivity(s, dir), path, "ts",
+        org.apache.spark.sql.SaveMode.Overwrite)
+      val window = ops.LayoutOps.readSince(s, path, IncrCutoff)
+      GoldOps.enrichOnePass(customerAsProfile(s, dir),
+          GoldOps.fusedFeatures(window, now), now)
+        .orderBy(col("customer_id"))
+    }),
+
     // North-star ML: logistic-regression churn scoring over the Gold
     // features (train on a deterministic weak label, score in one pass).
     // Model output is not SQL-expressible → no oracle; behavior pinned in
@@ -449,12 +483,14 @@ object SparkEntry {
 
   // ----------------------------------------------------------------------
 
-  /** Shared oracle for gold_enriched and gold_enriched_onepass — the
-    * fused plan is row-identical to the chained one by construction. */
-  private val GoldEnrichedSql: String =
-    """WITH txn AS (
+  /** Shared oracle for gold_enriched / gold_enriched_onepass /
+    * gold_incremental — the fused plan is row-identical to the chained one
+    * by construction, and the incremental refresh is the same computation
+    * over events restricted to the cutoff window. */
+  private def goldEnrichedSqlWhere(rowFilter: String): String =
+    s"""WITH txn AS (
         |  SELECT CAST(user_id AS VARCHAR) AS customer_id, event_type, ts, value
-        |  FROM events
+        |  FROM events WHERE $rowFilter
         |), app AS (
         |  SELECT customer_id,
         |    CAST(MAX(date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')) AS INTEGER) AS login_gap_days,
@@ -480,7 +516,7 @@ object SparkEntry {
         |    AVG(CAST(CAST(CAST(FLOOR(value) AS INTEGER) AS VARCHAR) AS DOUBLE)) AS avg_resolution_time,
         |    AVG(CAST(length(props) % 10 AS DOUBLE)) AS avg_ticket_sentiment
         |  FROM (SELECT CAST(user_id AS VARCHAR) AS customer_id, value, props
-        |        FROM events WHERE event_type = 'signup') s
+        |        FROM events WHERE event_type = 'signup' AND $rowFilter) s
         |  GROUP BY customer_id
         |), cust AS (
         |  SELECT CAST(c_custkey AS VARCHAR) AS customer_id,
@@ -491,19 +527,21 @@ object SparkEntry {
         |    DATE '1995-01-01' + CAST(c_custkey AS INTEGER) AS signup_date
         |  FROM customer
         |)
-        |SELECT cust.customer_id, cust.name, cust.email, cust.gender, cust.age,
+        |SELECT cust.customer_id, cust.name, cust.email, cust.age, cust.gender,
         |  cust.signup_date,
+        |  CAST(date_diff('day', cust.signup_date, DATE '2024-02-01') AS INTEGER) AS signup_days_ago,
         |  app.login_gap_days, app.total_sessions_last_30d,
         |  dec.total_declined_payments, dec.avg_payment_value,
         |  arpu.arpu,
-        |  sup.avg_resolution_time, sup.avg_ticket_sentiment,
-        |  CAST(date_diff('day', cust.signup_date, DATE '2024-02-01') AS INTEGER) AS days_since_signup
+        |  sup.avg_resolution_time, sup.avg_ticket_sentiment
         |FROM cust
         |LEFT JOIN app ON cust.customer_id = app.customer_id
         |LEFT JOIN dec ON cust.customer_id = dec.customer_id
         |LEFT JOIN arpu ON cust.customer_id = arpu.customer_id
         |LEFT JOIN sup ON cust.customer_id = sup.customer_id
         |ORDER BY cust.customer_id""".stripMargin
+
+  private val GoldEnrichedSql: String = goldEnrichedSqlWhere("TRUE")
 
   private def coreOracles: Map[String, String] = Map(
 
@@ -649,6 +687,9 @@ object SparkEntry {
     "gold_enriched" -> GoldEnrichedSql,
     // row-identical by construction; same oracle
     "gold_enriched_onepass" -> GoldEnrichedSql,
+    // full recompute restricted to the cutoff window
+    "gold_incremental" -> goldEnrichedSqlWhere(
+      s"CAST(ts AS DATE) >= DATE '$IncrCutoff'"),
 
     "silver_clean_transactions" ->
       """SELECT customer_id, ts AS timestamp, event_type, value FROM (

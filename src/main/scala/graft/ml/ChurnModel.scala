@@ -21,7 +21,7 @@ object ChurnModel {
 
   val FeatureCols: Array[String] = Array(
     "login_gap_days", "total_sessions_last_30d", "total_declined_payments",
-    "avg_payment_value", "arpu", "days_since_signup")
+    "avg_payment_value", "arpu", "signup_days_ago")
 
   /** Nulls (customers missing a feature table) become 0 — the same
     * semantics a left-join enrichment implies: absence of activity. */

@@ -127,18 +127,23 @@ object GoldOps {
       .withColumn("arpu",
         round2(col("total_revenue") / (col("total_sessions_last_30d") + lit(1))))
 
+  /** The reference's exact 14-column output schema (`Gold1.py:101-106`):
+    * name AND position fidelity, so a reference consumer can switch without
+    * re-mapping columns. */
+  private val GoldSchema = Seq(
+    "customer_id", "name", "email", "age", "gender", "signup_date",
+    "signup_days_ago", "login_gap_days", "total_sessions_last_30d",
+    "total_declined_payments", "avg_payment_value", "arpu",
+    "avg_resolution_time", "avg_ticket_sentiment")
+
   /** The 14-column enrichment over the fused feature table: a single
     * broadcast-able left join instead of the reference's four. */
   def enrichOnePass(customers: DataFrame, fused: DataFrame,
                     now: Column = current_timestamp()): DataFrame =
     customers
       .join(fused, Seq("customer_id"), "left")
-      .withColumn("days_since_signup", datediff(now, col("signup_date")))
-      .select(
-        "customer_id", "name", "email", "gender", "age", "signup_date",
-        "login_gap_days", "total_sessions_last_30d",
-        "total_declined_payments", "avg_payment_value", "arpu",
-        "avg_resolution_time", "avg_ticket_sentiment", "days_since_signup")
+      .withColumn("signup_days_ago", datediff(now, col("signup_date")))
+      .select(GoldSchema.head, GoldSchema.tail: _*)
 
   /** J2–J5 + P7 (`Gold1.py:95-106`): the 14-column enrichment.
     *
@@ -157,10 +162,6 @@ object GoldOps {
       .join(declines, Seq("customer_id"), "left")
       .join(arpu.select("customer_id", "arpu"), Seq("customer_id"), "left")
       .join(support, Seq("customer_id"), "left")
-      .withColumn("days_since_signup", datediff(now, col("signup_date")))
-      .select(
-        "customer_id", "name", "email", "gender", "age", "signup_date",
-        "login_gap_days", "total_sessions_last_30d",
-        "total_declined_payments", "avg_payment_value", "arpu",
-        "avg_resolution_time", "avg_ticket_sentiment", "days_since_signup")
+      .withColumn("signup_days_ago", datediff(now, col("signup_date")))
+      .select(GoldSchema.head, GoldSchema.tail: _*)
 }

@@ -15,16 +15,26 @@ import org.apache.spark.sql.functions._
   */
 object LayoutOps {
 
-  /** Append `df` date-partitioned by the day of `tsCol` — the layout that
+  /** Write `df` date-partitioned by the day of `tsCol` — the layout that
     * makes the Gold incremental cutoff (`Gold1.py:20-27`'s commented
-    * intent) a partition-pruned scan instead of a full read. */
-  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String): Unit =
+    * intent) a partition-pruned scan instead of a full read. Append for
+    * streaming-style landing; Overwrite for an idempotent staging refresh. */
+  def writeDatePartitioned(df: DataFrame, path: String, tsCol: String,
+                           mode: SaveMode = SaveMode.Append): Unit =
     df.withColumn("p_date", to_date(col(tsCol)))
-      .write.partitionBy("p_date").mode(SaveMode.Append).parquet(path)
+      .write.partitionBy("p_date").mode(mode).parquet(path)
 
   /** Read back with a day filter the scan can prune on. */
   def readDay(spark: SparkSession, path: String, day: String): DataFrame =
     spark.read.parquet(path).filter(col("p_date") === lit(day).cast("date"))
+
+  /** Read every partition at-or-after `day` — the incremental-refresh scan.
+    * The predicate is on the partition column only, so it resolves at file
+    * listing time (`PartitionFilters` in the scan; pinned in
+    * PlanAssertionsSpec): at 100 TB the refresh reads the cutoff window's
+    * directories and nothing else. */
+  def readSince(spark: SparkSession, path: String, day: String): DataFrame =
+    spark.read.parquet(path).filter(col("p_date") >= lit(day).cast("date"))
 
   /** Save as a bucketed+sorted table: equi-joins and aggregations on `key`
     * between tables bucketed the same way need no exchange at all. */

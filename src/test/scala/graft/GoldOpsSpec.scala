@@ -86,17 +86,19 @@ class GoldOpsSpec extends AnyFunSuite {
       GoldOps.revenueArpu(txn, app), GoldOps.supportFeatures(Seq.empty[SupportTicket].toDF()),
       now)
     assert(out.columns.length == 14)
-    assert(out.columns.toSeq == Seq("customer_id", "name", "email", "gender",
-      "age", "signup_date", "login_gap_days", "total_sessions_last_30d",
-      "total_declined_payments", "avg_payment_value", "arpu",
-      "avg_resolution_time", "avg_ticket_sentiment", "days_since_signup"))
+    // the reference's exact schema, names AND positions (Gold1.py:101-106)
+    assert(out.columns.toSeq == Seq("customer_id", "name", "email", "age",
+      "gender", "signup_date", "signup_days_ago", "login_gap_days",
+      "total_sessions_last_30d", "total_declined_payments",
+      "avg_payment_value", "arpu", "avg_resolution_time",
+      "avg_ticket_sentiment"))
     // two profile rows for A → two enriched rows with identical features
     assert(out.filter($"customer_id" === "A").count() == 2)
     assert(out.filter($"customer_id" === "A").select("arpu").distinct().count() == 1)
-    // B: no txns/usage → feature columns null, days_since_signup = 16
+    // B: no txns/usage → feature columns null, signup_days_ago = 16
     val b = out.filter($"customer_id" === "B").collect()(0)
     assert(b.isNullAt(b.fieldIndex("arpu")) && b.isNullAt(b.fieldIndex("login_gap_days")))
-    assert(b.getAs[Int]("days_since_signup") == 16)
+    assert(b.getAs[Int]("signup_days_ago") == 16)
   }
 
   test("fused one-pass gold is row-identical to the chained four-table pipeline") {

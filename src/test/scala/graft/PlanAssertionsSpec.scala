@@ -56,6 +56,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"no pushdown visible:\n$p")
   }
 
+  test("gold_incremental scan prunes to the cutoff partitions") {
+    val p = plan("gold_incremental")
+    assert(p.contains("PartitionFilters") && p.contains("p_date"),
+      s"no partition pruning visible:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*p_date[^\\]]*>=".r.findFirstIn(p).isDefined,
+      s"cutoff predicate not in PartitionFilters:\n$p")
+  }
+
   test("IVF assignment is one projection: no exchange, join, or window") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.load(spark, dir, "embeddings")
