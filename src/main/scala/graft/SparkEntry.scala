@@ -752,10 +752,13 @@ object SparkEntry {
         .orderBy(col("h"))
     }),
 
-    // MinHash + LSH near-dup pairs (Spark xxhash64 family — no oracle;
-    // recall/precision pinned in DedupOpsSpec against exact Jaccard).
+    // MinHash + LSH near-dup pairs with the portable (md5-derived) family,
+    // so the ENTIRE pipeline — shingling, rolling gram hashes, 64 permuted
+    // minima, banding, estimate — is DuckDB-oracle-checked. The xxhash64
+    // production family is pinned separately in ExtOpsSpec.
     "ext_dedup_minhash" -> ((s, dir) => {
-      ops.DedupOps.minhashNearDups(tbl(s, dir, "documents"), threshold = 0.4)
+      ops.DedupOps.minhashNearDups(tbl(s, dir, "documents"), threshold = 0.4,
+          portable = true)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -876,9 +879,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // Winnowing-style robust fingerprint (Spark hash — no oracle).
+    // Winnowing-style robust fingerprint.
+    // Portable token-hash family → full DuckDB oracle for the rolling-hash
+    // winnow; the xxhash64 production family stays pinned in ExtOpsSpec.
     "ext_text_winnow" -> ((s, dir) => {
-      ops.TextOps.winnowFingerprints(tbl(s, dir, "documents"))
+      ops.TextOps.winnowFingerprints(tbl(s, dir, "documents"), portable = true)
         .orderBy(col("doc_id"))
     }),
 
@@ -900,7 +905,87 @@ object SparkEntry {
     })
   )
 
+  // --- generated oracles for the portable-hash sketch pipelines ---------
+
+  /** DuckDB rendering of DedupOps.tokenHashes(portable = true): first 15
+    * hex digits of md5 as int64, mod 2^32. `s` is the lambda variable. */
+  private val DuckTokenHash =
+    "CAST(('0x' || substr(md5(s),1,15)) AS BIGINT) % 4294967296"
+
+  /** Horner fold of DedupOps.gramHashes over `terms`: starting the fold at
+    * the first element equals Spark's 0-seeded fold, because
+    * (0*P + h) % M = h for h < M. */
+  private def duckHorner(terms: Seq[String]): String =
+    terms.tail.foldLeft(terms.head)((acc, t) =>
+      s"(($acc) * 1000003 + $t) % 4294967296")
+
+  /** `th`-list CTE + rolling n-gram hash list (DedupOps.gramHashes shape:
+    * a doc shorter than n tokens hashes as one whole-doc gram). */
+  private def duckGramList(n: Int): String =
+    s"""CASE WHEN len(th) < $n
+       |      THEN [list_reduce(th, (acc, x) -> (acc * 1000003 + x) % 4294967296)]
+       |      ELSE list_transform(generate_series(1, len(th) - ${n - 1}),
+       |             i -> ${duckHorner((0 until n).map(j => s"th[i+$j]"))})
+       |      END""".stripMargin
+
+  /** Full-pipeline MinHash oracle: portable token hashes → distinct rolling
+    * 3-gram hashes → 64 permuted minima (same seeded (a,b) family as
+    * DedupOps.hashParams) → banded candidate test (band slices equal — the
+    * hash-free rendering of the Spark side's per-band bucket join) →
+    * estimate filter. */
+  private def minhashOracleSql(num: Int, bands: Int, shingle: Int,
+                               threshold: Double): String = {
+    val ps = ops.DedupOps.hashParams(num)
+    val sigEntries = ps.map { case (a, b) =>
+      s"list_min(list_transform(hv, g -> (g * ${a} + ${b}) % ${ops.DedupOps.MinhashPrime}))"
+    }.mkString(",\n        |    ")
+    val rows = num / bands
+    val bandClauses = (0 until bands).map { b =>
+      (1 to rows).map(j => s"a.sig[${b * rows + j}] = b.sig[${b * rows + j}]")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n        |     OR ")
+    s"""WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
+        |           s -> $DuckTokenHash) AS th
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(${duckGramList(shingle)}) AS hv
+        |  FROM toks
+        |), sigs AS (
+        |  SELECT doc_id, [
+        |    $sigEntries
+        |  ] AS sig FROM grams
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(list_sum(list_transform(generate_series(1, $num),
+        |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        |      / $num AS est_jaccard
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  WHERE $bandClauses
+        |)
+        |SELECT doc_a, doc_b, est_jaccard FROM pairs
+        |WHERE est_jaccard >= $threshold
+        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Winnow oracle: min of the rolling window-hash set over portable token
+    * hashes (TextOps.winnowFingerprints(portable = true)). */
+  private def winnowOracleSql(window: Int): String =
+    s"""WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
+        |           s -> $DuckTokenHash) AS th
+        |  FROM documents
+        |)
+        |SELECT doc_id, list_min(${duckGramList(window)}) AS winnow_fp
+        |FROM toks
+        |ORDER BY doc_id""".stripMargin
+
   private def extOracles: Map[String, String] = Map(
+
+    "ext_dedup_minhash" ->
+      minhashOracleSql(num = 64, bands = 16, shingle = 3, threshold = 0.4),
+
+    "ext_text_winnow" -> winnowOracleSql(window = 8),
 
     "ext_range_join_sessions" ->
       """WITH lagged AS (

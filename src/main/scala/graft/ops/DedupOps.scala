@@ -35,9 +35,20 @@ object DedupOps {
 
   /** Per-token 32-bit hashes (bind behind a projection before gram loops).
     * 32-bit so the Horner fold in gramHashes stays under 2^53 — Spark 4
-    * runs ANSI mode and a long overflow is an error, not a wrap. */
-  def tokenHashes(w: Column): Column =
-    transform(w, t => pmod(xxhash64(t), lit(1L << 32)))
+    * runs ANSI mode and a long overflow is an error, not a wrap.
+    *
+    * `portable = true` derives the hash from md5 instead of xxhash64
+    * (first 15 hex digits as int64, then mod 2^32) — computable bit-
+    * identically in any engine with md5, which makes the whole
+    * minhash/winnowing pipeline DuckDB-oracle-checkable end-to-end.
+    * xxhash64 stays the production default: one 64-bit mix per token
+    * versus a full md5 + hex materialization. */
+  def tokenHashes(w: Column, portable: Boolean = false): Column =
+    if (portable)
+      transform(w, t =>
+        pmod(conv(substring(md5(t), 1, 15), 16, 10).cast("long"), lit(1L << 32)))
+    else
+      transform(w, t => pmod(xxhash64(t), lit(1L << 32)))
 
   private val GramPrime = 1000003L
   private val GramMod = 1L << 32
@@ -81,10 +92,11 @@ object DedupOps {
     * the map actually wraps: with a huge modulus (e.g. 2^61-1 > a*h+b) the
     * "hash" is monotone in h and every permutation picks the same shingle,
     * which inflates every Jaccard estimate toward 1. */
-  private val MinhashPrime = 4294967311L
+  private[graft] val MinhashPrime = 4294967311L
   /** Deterministic (a, b) hash-family params — seeded, no wall-clock.
-    * a < 2^31 keeps a*h below 2^63 (no signed-long overflow). */
-  private def hashParams(num: Int): Array[(Long, Long)] = {
+    * a < 2^31 keeps a*h below 2^63 (no signed-long overflow).
+    * `private[graft]` so the oracle-SQL generator inlines the same family. */
+  private[graft] def hashParams(num: Int): Array[(Long, Long)] = {
     val rng = new scala.util.Random(42)
     Array.fill(num)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
       rng.nextInt(Int.MaxValue).toLong))
@@ -98,11 +110,12 @@ object DedupOps {
     * stage is bound behind a projection so nothing is re-evaluated inside
     * the gram loop. Gram identity is the 32-bit rolling hash (collision
     * ~2^-32 per pair — noise relative to minhash's own variance). */
-  def minhashSignatures(docs: DataFrame, num: Int = 64, shingle: Int = 3): DataFrame = {
+  def minhashSignatures(docs: DataFrame, num: Int = 64, shingle: Int = 3,
+                        portable: Boolean = false): DataFrame = {
     val ps = hashParams(num)
     OpsUtil.spread(docs)
       .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), tokenHashes(col("w")).as("th"))
+      .select(col("doc_id"), tokenHashes(col("w"), portable).as("th"))
       .select(col("doc_id"),
         array_distinct(gramHashes(col("th"), shingle)).as("hv")) // < 2^32: a*h stays in 63 bits
       .select(col("doc_id"),
@@ -136,8 +149,9 @@ object DedupOps {
   /** MinHash near-dup pairs: LSH candidates filtered by estimated Jaccard
     * (fraction of agreeing signature positions). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-                      num: Int = 64, bands: Int = 16, shingle: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(docs, num, shingle)
+                      num: Int = 64, bands: Int = 16, shingle: Int = 3,
+                      portable: Boolean = false): DataFrame = {
+    val sigs = minhashSignatures(docs, num, shingle, portable)
     minhashLshCandidates(sigs, bands)
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"),

@@ -82,19 +82,21 @@ object TextOps {
 
   /** Winnowing-style robust fingerprint: minimum of the rolling window-hash
     * set — survives small edits anywhere outside the minimizing window.
-    * Hashes the window's tokens directly (multi-arg xxhash64) instead of
-    * materializing each 8-gram string. Spark-hash based (no oracle);
-    * pinned by unit test instead. */
+    * Rolling-hashes the window's token hashes directly instead of
+    * materializing each 8-gram string. */
   def winnowFingerprint(text: Column, window: Int = 8): Column =
     array_min(DedupOps.gramHashes(DedupOps.tokenHashes(
       split(lower(text), "\\s+")), window))
 
   /** Hot-path winnowing over a whole table: tokens and token hashes bound
-    * behind projections so nothing re-evaluates inside the rolling loop. */
-  def winnowFingerprints(docs: DataFrame, window: Int = 8): DataFrame =
+    * behind projections so nothing re-evaluates inside the rolling loop.
+    * `portable = true` swaps the token hash for the md5-derived family
+    * (DedupOps.tokenHashes) so the result is DuckDB-oracle-checkable. */
+  def winnowFingerprints(docs: DataFrame, window: Int = 8,
+                         portable: Boolean = false): DataFrame =
     OpsUtil.spread(docs)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("w"))
-      .select(col("doc_id"), DedupOps.tokenHashes(col("w")).as("th"))
+      .select(col("doc_id"), DedupOps.tokenHashes(col("w"), portable).as("th"))
       .select(col("doc_id"),
         array_min(DedupOps.gramHashes(col("th"), window)).as("winnow_fp"))
 
