@@ -122,6 +122,17 @@ object Pipelines {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
 
+  /** K5: console streaming sink — the debug tap the reference puts on its
+    * CDC bronze stream (`DezbeiumPostgresCDC/Bronze.py:99-103`). Driver-side
+    * by nature; never part of a scale path. */
+  def toConsoleSink(df: DataFrame, numRows: Int = 20,
+                    truncate: Boolean = true): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("console")
+      .option("numRows", numRows.toString)
+      .option("truncate", truncate.toString)
+      .outputMode("append")
+
   /** Run a streaming DataFrame to completion over currently-available input
     * (test/batch-backfill mode — `Trigger.AvailableNow` processes everything
     * then stops, the streaming analog of the reference's batch loop). */

@@ -47,6 +47,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.toSeq == Seq("C1", "C4"))
   }
 
+  test("K5 console sink starts, drains the stream, and terminates") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[CustomerProfile]
+    in.addData(
+      CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 10:00:00")))
+    val q = Pipelines.toConsoleSink(in.toDF(), numRows = 5)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.lastProgress.numInputRows == 1)
+  }
+
   test("bronze → silver → parquet sink end-to-end over a JSONL wire file") {
     val tmp = Files.createTempDirectory("graft_stream_").toString
     // wire: producer-shaped JSON lines with a topic column
