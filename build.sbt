@@ -23,8 +23,19 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Driver heap: SPARK_DRIVER_MEM wins; otherwise scale off host RAM so the
+// sf0.1 bench box (125 GiB) gets a big heap while smaller dev hosts still
+// start (a fixed 24g default would fail the JVM outright on an mismatched host).
+val defaultDriverMem: String = {
+  val memTotalGb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal"))
+      .map(_.replaceAll("[^0-9]", "").toLong / (1024L * 1024L)).getOrElse(0L)
+    catch { case _: Throwable => 0L }
+  if (memTotalGb >= 64) "24g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultDriverMem)}",
 )

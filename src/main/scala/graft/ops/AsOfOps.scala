@@ -38,11 +38,18 @@ object AsOfOps {
     val rPayload = right.columns.toSeq.filterNot(keys.contains)
     require(rPayload.intersect(lCols).isEmpty,
       s"right payload columns ${rPayload.intersect(lCols)} collide with left")
+    val reserved = Seq("__t", "__s", "__r", "__m")
+    val clashes = (lCols ++ right.columns).distinct.filter(reserved.contains)
+    require(clashes.isEmpty,
+      s"input columns $clashes collide with reserved as-of temp names $reserved")
 
     // __s orders a right row before a left row at the same timestamp so
     // the inclusive (>=) tie rule holds; __r packs the whole right payload
     // so the window carries one nullable struct, not per-column state.
-    val rNorm = right.select(
+    // NULL right times never match (standard ASOF semantics) — without the
+    // filter they'd sort first (ascending nulls-first) and their payload
+    // would be carried to left rows with no real preceding right row.
+    val rNorm = right.filter(col(rightTime).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__s"),
         struct(rPayload.map(col): _*).as("__r")): _*)

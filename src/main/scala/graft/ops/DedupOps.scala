@@ -201,6 +201,14 @@ object DedupOps {
 
   /** Exact Jaccard ≥ threshold over distinct word n-grams, PPJoin-style.
     *
+    * CACHE CONTRACT: the per-doc shingle table is persisted (and eagerly
+    * materialized — several concurrent downstream stages would otherwise
+    * race to populate it, recomputing the shingle pass per stage) and the
+    * returned lazy plan references it, so it cannot be unpersisted here.
+    * Callers owning the session lifecycle should clear it when done
+    * (`spark.sharedState.cacheManager.clearCache()` — Bench and Verify do
+    * this between queries).
+    *
     * A naive shingle self-join generates a candidate pair for EVERY shared
     * shingle — over a small vocabulary that approaches all-pairs and is the
     * operator that melts first at scale. Prefix filtering fixes it exactly:

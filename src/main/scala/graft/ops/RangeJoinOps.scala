@@ -41,7 +41,11 @@ object RangeJoinOps {
 
     def bin(c: String) = floor(unix_timestamp(col(c)) / binSeconds)
     val lBinned = left.withColumn("__bin", bin(pt))
-    val rBinned = right.withColumn("__bin",
+    // drop inverted (end < start) and null-bounded intervals explicitly:
+    // they can never contain a point, and an inverted pair would otherwise
+    // make `sequence` emit a DESCENDING bin list (default step -1) — junk
+    // candidate fan-out that only the containment filter saves.
+    val rBinned = right.filter(col(start) <= col(end)).withColumn("__bin",
       explode(sequence(bin(start), bin(end))))
     lBinned.join(rBinned, keys :+ "__bin")
       .filter(col(pt).between(col(start), col(end)))

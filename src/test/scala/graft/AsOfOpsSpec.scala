@@ -59,4 +59,28 @@ class AsOfOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("asOfJoin rejects inputs using the reserved temp column names") {
+    val bad = left.withColumn("__t", left("t"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfOps.asOfJoin(bad, right, Seq("key"), "t", "rt")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
+  test("asOfJoin: NULL right times never match (standard ASOF semantics)") {
+    val rWithNull = Seq(
+      ("u3", null.asInstanceOf[Timestamp], "ghost"), // must never surface
+      ("u1", ts("2024-01-05 00:00:00"), "a")
+    ).toDF("key", "rt", "payload")
+    val out = AsOfOps.asOfJoin(left, rWithNull, Seq("key"), "t", "rt")
+      .orderBy("id")
+      .as[(Long, String, Timestamp, Option[Timestamp], Option[String])]
+      .collect()
+    // u3's only right row has a null time → left row 5 stays unmatched
+    assert(out(4)._4.isEmpty && out(4)._5.isEmpty)
+    assert(!out.exists(_._5.contains("ghost")))
+    // u1 still matches its real row
+    assert(out(0)._5.contains("a"))
+  }
 }

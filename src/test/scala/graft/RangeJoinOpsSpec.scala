@@ -42,4 +42,16 @@ class RangeJoinOpsSpec extends AnyFunSuite {
       .select("id", "iv").as[(Long, String)].collect().sortBy(_._1)
     assert(out.toSeq == Seq((1L, "A"), (2L, "A"), (3L, "A"), (5L, "B")))
   }
+
+  test("pointInIntervalJoin drops inverted and null-bounded intervals") {
+    val withJunk = intervals.union(Seq(
+      // inverted: end < start — would emit a descending bin sequence
+      ("u1", "INV", ts("2024-01-01 11:00:00"), ts("2024-01-01 10:00:00")),
+      ("u1", "NULLS", null.asInstanceOf[Timestamp], ts("2024-01-01 11:00:00"))
+    ).toDF("user", "iv", "s", "e"))
+    val out = RangeJoinOps.pointInIntervalJoin(
+        points, withJunk, Seq("user"), "t", "s", "e", binSeconds = 3600L)
+      .select("id", "iv").as[(Long, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "A"), (2L, "A"), (3L, "A"), (5L, "B")))
+  }
 }
