@@ -398,6 +398,15 @@ object SparkEntry {
         .orderBy(col("customer_id"))
     }),
 
+    // Consumption edge (`GoldDataVisualiztion1.py` analog): per-feature
+    // distribution stats in ONE global aggregate — O(features) rows to the
+    // dashboard instead of the reference's whole-table toPandas. Fully
+    // oracle-checked (percentile ≡ DuckDB quantile_cont bit-for-bit).
+    "gold_feature_summary" -> ((s, dir) => {
+      ops.GoldViz.featureSummary(goldEnrichedOnePass(s, dir))
+        .orderBy(col("feature"))
+    }),
+
     // North-star ML: logistic-regression churn scoring over the Gold
     // features (train on a deterministic weak label, score in one pass).
     // Model output is not SQL-expressible → no oracle; behavior pinned in
@@ -542,6 +551,22 @@ object SparkEntry {
         |ORDER BY cust.customer_id""".stripMargin
 
   private val GoldEnrichedSql: String = goldEnrichedSqlWhere("TRUE")
+
+  /** Per-feature stats over the gold table (GoldViz.featureSummary):
+    * one UNION ALL arm per feature, quantile_cont ≡ Spark percentile. */
+  private def goldFeatureSummarySql: String = {
+    val goldBody = goldEnrichedSqlWhere("TRUE")
+      .stripSuffix("\nORDER BY cust.customer_id")
+    val arms = ops.GoldViz.Features.map { f =>
+      s"""SELECT '$f' AS feature, COUNT($f) AS n,
+         |  CAST(MIN($f) AS DOUBLE) AS fmin, CAST(MAX($f) AS DOUBLE) AS fmax,
+         |  quantile_cont(CAST($f AS DOUBLE), 0.25) AS p25,
+         |  quantile_cont(CAST($f AS DOUBLE), 0.5) AS p50,
+         |  quantile_cont(CAST($f AS DOUBLE), 0.75) AS p75
+         |FROM gold""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH gold AS (\n$goldBody\n)\n$arms\nORDER BY feature"
+  }
 
   private def coreOracles: Map[String, String] = Map(
 
@@ -690,6 +715,8 @@ object SparkEntry {
     // full recompute restricted to the cutoff window
     "gold_incremental" -> goldEnrichedSqlWhere(
       s"CAST(ts AS DATE) >= DATE '$IncrCutoff'"),
+
+    "gold_feature_summary" -> goldFeatureSummarySql,
 
     "silver_clean_transactions" ->
       """SELECT customer_id, ts AS timestamp, event_type, value FROM (

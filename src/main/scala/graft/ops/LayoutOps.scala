@@ -49,14 +49,20 @@ object LayoutOps {
     val tmp = path + "__compacting"
     df.repartition(target).write.mode(SaveMode.Overwrite).parquet(tmp)
     val rows = spark.read.parquet(tmp).count()
-    // atomic-ish swap (single-filesystem rename; a production build would
-    // go through a table format's commit protocol instead)
+    // swap via rename-aside ordering: old aside → new in → delete aside.
+    // A crash between any two steps leaves BOTH copies on disk (recoverable
+    // by hand) — unlike delete-then-rename, which has a window where the
+    // table is gone. True atomicity needs a table format's commit protocol;
+    // this is the strongest ordering a plain filesystem offers.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val t = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(p, true)
+    val aside = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(aside, true) // stale leftover from a previous crash
+    fs.rename(p, aside)
     fs.rename(t, p)
+    fs.delete(aside, true)
     rows
   }
 }

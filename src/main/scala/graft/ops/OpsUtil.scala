@@ -17,8 +17,31 @@ object OpsUtil {
     * data; on under-split inputs the shuffle it adds is by definition small.
     */
   def spread(df: DataFrame): DataFrame = {
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
-    else df
+    if (df.isStreaming) return df // no partition probe on streaming plans
+    val spark = df.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty) {
+      // non-file relation (in-memory fixtures): the RDD partition probe is
+      // the only option — it forces physical planning, which is why this
+      // branch must stay off large mid-pipeline frames (scan-stage only)
+      if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism)
+      else df
+    } else if (files.length >= parallelism) df // enough natural splits
+    else {
+      // derive the scan's natural split count from the file listing alone
+      // (metadata only — no plan compilation): files can only split finer
+      // than one-per-file when they exceed maxPartitionBytes
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      val totalBytes = files.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        try p.getFileSystem(hconf).getFileStatus(p).getLen
+        catch { case _: Throwable => 0L }
+      }.sum
+      val naturalSplits = math.max(files.length.toLong,
+        (totalBytes + maxBytes - 1) / maxBytes)
+      if (naturalSplits < parallelism) df.repartition(parallelism) else df
+    }
   }
 }
