@@ -914,6 +914,54 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic train/holdout split: pure row-local md5-bucket decision
+    // — same (salt, key) → same split on any engine, any partitioning
+    // (oracle-checked end-to-end).
+    "ext_sample_split" -> ((s, dir) => {
+      ops.SampleOps.trainHoldoutSplit(tbl(s, dir, "documents"),
+          col("doc_id"), holdoutPct = 10, salt = "r2")
+        .select(col("doc_id"), col("lang"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified sampling: per-language keep rates (downsample dominant
+    // strata, keep the tail) — still a row-local decision, no grouping.
+    "ext_sample_stratified" -> ((s, dir) => {
+      ops.SampleOps.stratifiedSample(tbl(s, dir, "documents"),
+          col("doc_id"), col("lang"), Map("en" -> 30, "es" -> 60),
+          defaultPct = 100, salt = "strat")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget sequence packing over hash lanes (oracle-checked):
+    // parallel per-bucket running sums, packs overshoot by < 1 doc.
+    "ext_pack_documents" -> ((s, dir) => {
+      ops.PackOps.packByBudget(tbl(s, dir, "documents"),
+          ops.TextOps.tokenCount(col("text")), budget = 512L, buckets = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub + audit counts. Fixture text is PII-free, so the query
+    // plants one email/IP/phone derived from doc_id before scrubbing —
+    // the oracle builds the identical dirty text, so the regex semantics
+    // themselves are hash-checked across engines.
+    "ext_text_redact" -> ((s, dir) => {
+      val dirty = tbl(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.0.0."),
+          pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(" call +1555"), lpad(col("doc_id").cast("string"), 7, "0"))
+          .as("text"))
+      val (ne, ni, np) = ops.TextOps.piiCounts(col("text"))
+      dirty.select(col("doc_id"),
+          ops.TextOps.redactPii(col("text")).as("redacted"),
+          ne.cast("long").as("n_emails"), ni.cast("long").as("n_ips"),
+          np.cast("long").as("n_phones"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multimodal: binary payload + metadata projection (oracle-checked).
     "ext_multimodal_meta" -> ((s, dir) => {
       ops.MultimodalOps.mediaMeta(
@@ -1013,6 +1061,58 @@ object SparkEntry {
       minhashOracleSql(num = 64, bands = 16, shingle = 3, threshold = 0.4),
 
     "ext_text_winnow" -> winnowOracleSql(window = 8),
+
+    "ext_sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN CAST(('0x' || substr(md5('r2|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 10
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_stratified" ->
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100
+        |  < CASE WHEN lang = 'es' THEN 60 WHEN lang = 'en' THEN 30 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_pack_documents" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    doc_id % 8 AS bucket
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, bucket,
+        |  CAST(FLOOR(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_seq,
+        |  SUM(n_tokens) OVER w AS cum_tokens
+        |FROM t
+        |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_text_redact" -> {
+      val email = ops.TextOps.EmailRe
+      val ip = ops.TextOps.Ipv4Re
+      val phone = ops.TextOps.PhoneRe
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com from 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || ' call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '$email', '[EMAIL]', 'g'),
+        |    '$ip', '[IP]', 'g'),
+        |    '$phone', '[PHONE]', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '$email')) AS n_emails,
+        |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+        |  len(regexp_extract_all(text, '$phone')) AS n_phones
+        |FROM dirty
+        |ORDER BY doc_id""".stripMargin
+    },
 
     "ext_range_join_sessions" ->
       """WITH lagged AS (

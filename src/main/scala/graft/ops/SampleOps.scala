@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and train/holdout splitting for training-data
+  * pipelines.
+  *
+  * At 100 TB you never `rand()`-sample a corpus: re-runs must select the
+  * SAME rows (resumable jobs, reproducible ablations, leak-free holdouts
+  * that stay held out across pipeline versions), and the decision must be
+  * a pure row-local function — no global state, no shuffle, no dependence
+  * on partitioning. Everything here keys off an md5-derived bucket of a
+  * stable row key: engine-portable (DuckDB-oracle-checked), salt-seeded,
+  * and O(1) per row inside whole-stage codegen.
+  */
+object SampleOps {
+
+  /** Deterministic bucket in [0, 100) from a stable key: first 15 hex
+    * digits of md5("salt|key") as int64, mod 100. Changing `salt` draws an
+    * independent sample; the same (salt, key) always lands in the same
+    * bucket, on any engine. */
+  def hashBucket(key: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat_ws("|", lit(salt), key.cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(100L))
+
+  /** Keep ~pct% of rows, deterministically. */
+  def sampleFraction(df: DataFrame, key: Column, pct: Int,
+                     salt: String = ""): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(hashBucket(key, salt) < pct)
+  }
+
+  /** Tag every row `train` or `holdout` (~holdoutPct%). The split is a
+    * pure function of the key: a document can never migrate between splits
+    * across runs or cluster layouts — the property that keeps a holdout
+    * honest for the lifetime of a training corpus. */
+  def trainHoldoutSplit(df: DataFrame, key: Column, holdoutPct: Int,
+                        salt: String = ""): DataFrame = {
+    require(holdoutPct >= 0 && holdoutPct <= 100)
+    df.withColumn("split",
+      when(hashBucket(key, salt) < holdoutPct, "holdout").otherwise("train"))
+  }
+
+  /** Per-stratum sampling rates (e.g. downsample dominant languages,
+    * keep the tail): rows in a stratum absent from `pcts` keep
+    * `defaultPct`. Still row-local — the stratum column is just another
+    * input to the decision, not a grouping. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       pcts: Map[String, Int], defaultPct: Int = 100,
+                       salt: String = ""): DataFrame = {
+    val pctCol = pcts.foldLeft(lit(defaultPct)) { case (els, (s, p)) =>
+      when(stratum === s, p).otherwise(els)
+    }
+    df.filter(hashBucket(key, salt) < pctCol)
+  }
+}

@@ -80,6 +80,33 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
+  // --- PII redaction ----------------------------------------------------
+
+  /** RE2-compatible patterns (identical semantics in Java regex and the
+    * DuckDB oracle's RE2): kept deliberately simple — production scrubbing
+    * layers more patterns the same way. Order matters: emails first (an
+    * address contains dots a later rule might nibble), then IPs, then
+    * phone-shaped digit runs. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val PhoneRe = "\\+?\\d[\\d-]{7,14}\\d"
+
+  /** Scrub emails/IPs/phone-shaped tokens to typed placeholder tags —
+    * the pre-training PII pass. Pure row-local projection, three chained
+    * codegen'd regex replaces, zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
+  /** Per-doc counts of each PII class (the audit side of the scrub). */
+  def piiCounts(text: Column): (Column, Column, Column) = (
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))))
+
   /** Winnowing-style robust fingerprint: minimum of the rolling window-hash
     * set — survives small edits anywhere outside the minimizing window.
     * Rolling-hashes the window's token hashes directly instead of

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{PackOps, SampleOps, TextOps}
+
+/** Training-data prep operators: deterministic sampling/splitting,
+  * token-budget packing, PII redaction. */
+class TrainPrepSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+
+  test("hashBucket is stable, in range, and salt-independent draws differ") {
+    val b = docs.select(SampleOps.hashBucket($"doc_id", "s1").as("b"))
+    assert(b.filter($"b" < 0 || $"b" >= 100).count() == 0)
+    val twice = docs.select($"doc_id",
+      SampleOps.hashBucket($"doc_id", "s1").as("b1"),
+      SampleOps.hashBucket($"doc_id", "s1").as("b2"),
+      SampleOps.hashBucket($"doc_id", "s2").as("other"))
+    assert(twice.filter($"b1" =!= $"b2").count() == 0)
+    assert(twice.filter($"b1" =!= $"other").count() > 0)
+  }
+
+  test("trainHoldoutSplit: disjoint, exhaustive, ~holdoutPct, re-run stable") {
+    val s1 = SampleOps.trainHoldoutSplit(docs, $"doc_id", 20, "seed")
+    val n = docs.count().toDouble
+    val hold = s1.filter($"split" === "holdout").count().toDouble
+    assert(s1.count() == n.toLong)
+    assert(math.abs(hold / n - 0.20) < 0.08, s"holdout rate ${hold / n}")
+    // same rows land in holdout on a fresh plan (pure function of the key)
+    val again = SampleOps.trainHoldoutSplit(docs, $"doc_id", 20, "seed")
+      .filter($"split" === "holdout").select("doc_id").as[Long].collect().toSet
+    val first = s1.filter($"split" === "holdout")
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == again)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val kept = SampleOps.stratifiedSample(docs, $"doc_id", $"lang",
+      Map("en" -> 0), defaultPct = 100, salt = "x")
+    assert(kept.filter($"lang" === "en").count() == 0)
+    val others = docs.filter($"lang" =!= "en").count()
+    assert(kept.count() == others) // non-en strata fully kept
+  }
+
+  test("packByBudget: every doc exactly once, packs fill to budget+<1 doc") {
+    val packed = PackOps.packByBudget(docs, TextOps.tokenCount($"text"),
+      budget = 200L, buckets = 4)
+    assert(packed.count() == docs.count())
+    assert(packed.select("doc_id").distinct().count() == docs.count())
+    val stats = PackOps.packStats(packed)
+      .join(packed.groupBy("bucket", "pack_seq")
+        .agg(max($"n_tokens").as("max_doc")), Seq("bucket", "pack_seq"))
+    // overshoot bound: pack_tokens < budget + its largest doc
+    assert(stats.filter($"pack_tokens" >= lit(200L) + $"max_doc").count() == 0)
+    // packs are contiguous per bucket: seq 0..max with no holes
+    val holes = stats.groupBy("bucket")
+      .agg(countDistinct($"pack_seq").as("n"), max($"pack_seq").as("mx"))
+      .filter($"n" =!= $"mx" + 1)
+    assert(holes.count() == 0)
+  }
+
+  test("redactPii scrubs emails, IPs, and phones; counts audit them") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "server at 192.168.0.17 responded"),
+      (3L, "call +1555-000-1234 today"),
+      (4L, "clean text with no pii at all"),
+      (5L, "a@b.co and 10.0.0.1 and +123456789")
+    ).toDF("id", "text")
+    val (ne, ni, np) = TextOps.piiCounts($"text")
+    val out = df.select($"id", TextOps.redactPii($"text").as("r"),
+        ne.as("e"), ni.as("i"), np.as("p"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "mail [EMAIL] now")
+    assert(out(1).getString(1) == "server at [IP] responded")
+    assert(out(2).getString(1) == "call [PHONE] today")
+    assert(out(3).getString(1) == "clean text with no pii at all")
+    assert(out(4).getString(1) == "[EMAIL] and [IP] and [PHONE]")
+    assert(out.map(r => (r.getInt(2), r.getInt(3), r.getInt(4))).toSeq ==
+      Seq((1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0), (1, 1, 1)))
+  }
+}
