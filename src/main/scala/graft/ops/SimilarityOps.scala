@@ -141,26 +141,16 @@ object SimilarityOps {
       .setFeaturesCol("__fv").setPredictionCol("cell_id")
       .fit(feat)
     val assigned = model.transform(feat)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-    // centroid table: nCells rows — driver-side model state, broadcast side
-    val spark = corpus.sparkSession
-    import spark.implicits._
+      .select(col("vec_id"), col("embedding"),
+        col("cell_id").cast("long").as("cell_id"))
+    // centroids are driver-side model state — probe row-locally over the
+    // literal centroid array (same zero-join shape as ivfTopK's probe)
     val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }.toSeq
-      .toDF("cell_id", "cent")
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cell_id"))
-    val probes = queries
-      .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      .crossJoin(broadcast(cents))
-      .select(col("query_id"), col("query_vec"), col("cell_id"),
-        cosine(col("query_vec"), col("cent")).as("csim"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nProbe)
-      .select(col("query_id"), col("query_vec"), col("cell_id"))
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+    val probes = probeCells(queries, cents, nProbe)
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    assigned.join(probes, Seq("cell_id"))
+    assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("embedding"), col("query_vec")).as("sim"))

@@ -82,6 +82,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"LSH degenerated to a nested loop:\n$p")
   }
 
+  test("sampling queries never read the text column (pruned scan)") {
+    for (q <- Seq("ext_sample_split", "ext_sample_stratified")) {
+      val p = plan(q)
+      val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+      assert(readSchemas.nonEmpty && readSchemas.forall(!_.contains("text")),
+        s"$q reads text it never uses:\n$p")
+    }
+  }
+
+  test("packing reads only doc_id and text; one exchange on the lane key") {
+    val p = plan("ext_pack_documents")
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(p).toSeq
+    assert(readSchemas.nonEmpty &&
+      readSchemas.forall(s => !s.contains("lang") && !s.contains("source")),
+      s"unpruned scan:\n$p")
+  }
+
   test("ANN brute force: scan reads only the projected embedding columns") {
     val p = plan("ext_ann_topk")
     // ReadSchema on the corpus side must not include the label column
