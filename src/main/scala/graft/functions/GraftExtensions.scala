@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
 /** SparkSessionExtensions entry point: registers graft's native functions
-  * at session build, so any session created with
+  * and optimizer rules at session build, so any session created with
   *
   * {{{
   *   SparkSession.builder().withExtensions(new GraftExtensions).getOrCreate()
@@ -13,7 +13,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   * or `--conf spark.sql.extensions=graft.functions.GraftExtensions` gets
   * `cosine_sim(a, b)` in SQL without imperative registration
-  * (VectorFunctions.register remains for already-built sessions). */
+  * (VectorFunctions.register remains for already-built sessions) and the
+  * point-in-interval theta-join → binned equi-join rewrite
+  * (graft.plans.IntervalJoinRule). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
@@ -21,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
   }
 }
