@@ -914,6 +914,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF top terms per document: one partial-aggregated (doc, term)
+    // shuffle, broadcast document-frequency dim, bounded-heap top-k
+    // (oracle-checked; score rounded to 6 dp for cross-engine ln parity).
+    "ext_text_tfidf" -> ((s, dir) => {
+      ops.TextOps.tfidfTopTerms(tbl(s, dir, "documents"), k = 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round6(col("tfidf")).as("tfidf6"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     // Deterministic train/holdout split: pure row-local md5-bucket decision
     // — same (salt, key) → same split on any engine, any partitioning
     // (oracle-checked end-to-end).
@@ -1061,6 +1071,28 @@ object SparkEntry {
       minhashOracleSql(num = 64, bands = 16, shingle = 3, threshold = 0.4),
 
     "ext_text_winnow" -> winnowOracleSql(window = 8),
+
+    "ext_text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf * ln((SELECT COUNT(*) FROM documents) / CAST(dfreq.df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term)
+        |), ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, term, tf, df,
+        |  FLOOR(tfidf * 1000000 + 0.5) / 1000000 AS tfidf6
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "ext_sample_split" ->
       """SELECT doc_id, lang,

@@ -127,6 +127,32 @@ object TextOps {
       .select(col("doc_id"),
         array_min(DedupOps.gramHashes(col("th"), window)).as("winnow_fp"))
 
+  /** TF-IDF top-k terms per document — corpus-level relevance weighting,
+    * shaped for scale: the (doc, term) counts shuffle once with map-side
+    * partial aggregation, the document-frequency table (≤ vocabulary rows,
+    * tiny next to the corpus) broadcasts back onto it, and the per-doc
+    * top-k is the `row_number ≤ k` pattern Spark runs as a partial
+    * `WindowGroupLimit` bounded heap. `nDocs` is index-style metadata
+    * (one count job at build, like an ANN centroid fit).
+    * Deterministic tiebreak: equal scores order by term. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count()
+    val terms = OpsUtil.spread(docs)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   /** One-pass document profile used by the `text_stats` query.
     *
     * The Column helpers above each embed their own `split` — fine for a

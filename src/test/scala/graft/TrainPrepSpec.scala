@@ -64,6 +64,25 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(holes.count() == 0)
   }
 
+  test("tfidfTopTerms: rare terms outrank ubiquitous ones; everywhere-terms score 0") {
+    val df = Seq(
+      (1L, "common rare common common"),
+      (2L, "common common"),
+      (3L, "common unique")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(df, k = 2).orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "tfidf")
+      .as[(Long, Int, String, Double)].collect()
+    // 'common' is in every doc → idf = ln(1) = 0 → ranks below any rare term
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.head._3 == "rare" && doc1.head._4 > 0)
+    assert(doc1(1)._3 == "common" && doc1(1)._4 == 0.0)
+    val doc3 = out.filter(_._1 == 3L)
+    assert(doc3.head._3 == "unique" && doc3.head._4 > 0)
+    // tf weighting: doc1's 'rare' (tf=1) vs doc3's 'unique' (tf=1), same df → equal scores
+    assert(math.abs(doc1.head._4 - doc3.head._4) < 1e-12)
+  }
+
   test("redactPii scrubs emails, IPs, and phones; counts audit them") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
