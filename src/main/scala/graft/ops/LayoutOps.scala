@@ -42,6 +42,50 @@ object LayoutOps {
     df.write.bucketBy(buckets, key).sortBy(key)
       .mode(SaveMode.Overwrite).format("parquet").saveAsTable(table)
 
+  /** MERGE-analog upsert: apply a batch of keyed changes (e.g. a CDC
+    * micro-batch — the Debezium topic shape bronze already parses) onto a
+    * parquet table, keeping the latest row per key by `orderCol`.
+    *
+    * Plan shape: current ∪ updates → one shuffle on the key → per-key
+    * `row_number = 1` (bounded window state, no full sort), rewritten via
+    * the same rename-aside swap as `compact`. A table format (Delta/
+    * Iceberg) would do this as a transactional MERGE with file-level
+    * pruning; the semantics — last-writer-wins per key — are identical,
+    * so the format string can swap in without touching callers.
+    *
+    * Updates with a key absent from the table insert; ties on
+    * (key, orderCol) prefer the update (updates win over current state).
+    * Returns the post-upsert row count. */
+  def upsert(spark: SparkSession, path: String, updates: DataFrame,
+             key: String, orderCol: String): Long = {
+    val current = spark.read.parquet(path)
+    require(current.columns.sorted.sameElements(updates.columns.sorted),
+      s"schema mismatch: table ${current.columns.toSeq} vs updates ${updates.columns.toSeq}")
+    val cols = current.columns.toSeq
+    val tagged = current.select(cols.map(col): _*).withColumn("__src", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("__src", lit(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col(orderCol).desc, col("__src").desc)
+    val merged = tagged
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(cols.map(col): _*)
+    val tmp = path + "__upserting"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val rows = spark.read.parquet(tmp).count()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val t = new org.apache.hadoop.fs.Path(tmp)
+    val aside = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(aside, true)
+    fs.rename(p, aside)
+    fs.rename(t, p)
+    fs.delete(aside, true)
+    rows
+  }
+
   /** Rewrite a parquet directory into `target` files — run periodically
     * behind streaming sinks whose micro-batches leave file confetti. */
   def compact(spark: SparkSession, path: String, target: Int): Long = {

@@ -216,6 +216,21 @@ object Pipelines {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** CDC apply: each micro-batch of parsed change rows upserts into a
+    * parquet table, last-writer-wins per key — the MERGE the reference's
+    * Debezium topology implies but never implements (its silver only
+    * appends, so updated customer rows accumulate as duplicates). The
+    * table must exist (seed it with an initial snapshot write). */
+  def cdcApply(changes: DataFrame, tablePath: String, key: String,
+               orderCol: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.LayoutOps.upsert(batch.sparkSession, tablePath, batch,
+          key, orderCol)
+        ()
+      }
+
   // --- gold batch-over-stream hand-off (T10) ----------------------------
 
   /** T10 as a streaming query instead of the reference's 60 s `while True`

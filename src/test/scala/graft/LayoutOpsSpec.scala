@@ -58,6 +58,33 @@ class LayoutOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert applies CDC-style changes: update, insert, last-writer-wins") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val tmp = Files.createTempDirectory("graft_upsert_").toString + "/t"
+    Seq(
+      ("C1", "alice@v1", ts("2024-01-01 00:00:00")),
+      ("C2", "bob@v1", ts("2024-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at").write.parquet(tmp)
+    val updates = Seq(
+      ("C1", "alice@v2", ts("2024-01-02 00:00:00")), // update (newer)
+      ("C2", "bob@stale", ts("2023-12-01 00:00:00")), // stale → ignored
+      ("C3", "carol@v1", ts("2024-01-01 00:00:00"))) // insert
+      .toDF("customer_id", "email", "updated_at")
+    val rows = LayoutOps.upsert(spark, tmp, updates, "customer_id", "updated_at")
+    assert(rows == 3)
+    val out = spark.read.parquet(tmp)
+      .select("customer_id", "email").as[(String, String)].collect().toMap
+    assert(out == Map("C1" -> "alice@v2", "C2" -> "bob@v1", "C3" -> "carol@v1"))
+    // tie on (key, orderCol): the update wins over current state
+    val tie = Seq(("C2", "bob@tied", ts("2024-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    LayoutOps.upsert(spark, tmp, tie, "customer_id", "updated_at")
+    val after = spark.read.parquet(tmp)
+      .filter($"customer_id" === "C2").select("email").as[String].head()
+    assert(after == "bob@tied")
+  }
+
   test("compact shrinks file confetti without losing rows") {
     val tmp = Files.createTempDirectory("graft_compact_").toString + "/t"
     events.repartition(24).write.parquet(tmp) // 24 small files
