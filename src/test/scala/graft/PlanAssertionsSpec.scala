@@ -99,6 +99,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"unpruned scan:\n$p")
   }
 
+  test("tfidf: broadcast df dim + partial WindowGroupLimit top-k") {
+    val p = plan("ext_text_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df dim not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"top-k not bounded-heap:\n$p")
+  }
+
   test("ANN brute force: scan reads only the projected embedding columns") {
     val p = plan("ext_ann_topk")
     // ReadSchema on the corpus side must not include the label column
