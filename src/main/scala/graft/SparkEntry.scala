@@ -368,6 +368,26 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable distinct-count sketches (DataSketches HLL): build one
+    // sketch per day, union at query time — the incremental pattern where
+    // a 100 TB corpus keeps per-partition sketches and never rescans
+    // history for a distinct count. Sketch bytes are implementation-
+    // specific → no SQL oracle; the estimate is pinned vs exact distinct
+    // in ExtOpsSpec, rows checked by the driver.
+    "ext_hll_daily_users" -> ((s, dir) => {
+      val daily = tbl(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+          countDistinct(col("user_id")).as("exact_day"))
+      daily.agg(
+          hll_sketch_estimate(hll_union_agg(col("sketch")))
+            .as("approx_total_users"),
+          sum(col("exact_day")).as("sum_daily_exact"),
+          count(lit(1)).as("n_days"))
+        .select(col("approx_total_users"), col("sum_daily_exact"),
+          col("n_days"))
+    }),
+
     // The full churn Gold pipeline (A1–A4, J1–J5, X1/X2/X5) over the
     // events/customer mapping. Flagship.
     "gold_enriched" -> ((s, dir) => {

@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
-    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule())
+    // bin width tunes interval-join fan-out vs bucket size; ~typical
+    // interval length is right (an interval spanning k bins replicates k+1×)
+    e.injectOptimizerRule { session =>
+      graft.plans.IntervalJoinRule(
+        session.conf.getOption("spark.graft.intervalJoin.binSeconds")
+          .map(_.toLong).getOrElse(3600L))
+    }
   }
 }

@@ -196,6 +196,18 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(perDoc.count() == 0)
   }
 
+  test("HLL daily sketches union to within 5% of the exact global distinct") {
+    val ev = Tables.load(spark, dir, "events")
+    val exact = ev.select(countDistinct($"user_id")).as[Long].head()
+    val approx = ev
+      .groupBy(to_date($"ts").as("day"))
+      .agg(hll_sketch_agg($"user_id").as("sketch"))
+      .agg(hll_sketch_estimate(hll_union_agg($"sketch")))
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+      s"HLL union estimate $approx vs exact $exact")
+  }
+
   test("approx_count_distinct lands within 10% of exact") {
     val ev = Tables.load(spark, dir, "events")
     val both = ev.groupBy($"event_type").agg(
