@@ -87,6 +87,7 @@ object Demo {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-demo")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

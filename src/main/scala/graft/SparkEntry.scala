@@ -913,6 +913,23 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // The SAME containment semantics written as the natural theta join:
+    // with GraftExtensions active, IntervalJoinRule plans it as the binned
+    // hash join automatically (pinned in PlanAssertionsSpec); the rows are
+    // identical either way (oracle-checked). Point side: purchases.
+    "ext_range_join_auto" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      val sess = ops.SessionOps.sessionStats(ev, gapMinutes = 30)
+        .select(col("user_id").as("su"), col("session_seq"),
+          col("session_start"), col("session_end"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(sess, col("user_id") === col("su") &&
+          col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    }),
+
     // Gap-based sessionization + per-session rollup (oracle-checked).
     "ext_sessionize" -> ((s, dir) => {
       ops.SessionOps.sessionStats(tbl(s, dir, "events"), gapMinutes = 30)
@@ -1085,6 +1102,36 @@ object SparkEntry {
         |FROM toks
         |ORDER BY doc_id""".stripMargin
 
+  /** Shared oracle for the manual and rule-rewritten range joins: session
+    * intervals built in SQL, then the theta containment join; `pointFilter`
+    * restricts the point side. */
+  private def rangeJoinOracleSql(pointFilter: String): String =
+    s"""WITH lagged AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER
+        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+        |  FROM events
+        |), flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
+        |  FROM lagged
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts,
+        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM flagged
+        |), intervals AS (
+        |  SELECT user_id, session_seq,
+        |    MIN(ts) AS session_start, MAX(ts) AS session_end
+        |  FROM sessions GROUP BY user_id, session_seq
+        |)
+        |SELECT e.event_id, e.user_id, i.session_seq
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |      FROM events WHERE $pointFilter) e
+        |JOIN intervals i ON e.user_id = i.user_id
+        |  AND e.ts BETWEEN i.session_start AND i.session_end
+        |ORDER BY event_id""".stripMargin
+
   private def extOracles: Map[String, String] = Map(
 
     "ext_dedup_minhash" ->
@@ -1166,31 +1213,9 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin
     },
 
-    "ext_range_join_sessions" ->
-      """WITH lagged AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    lag(CAST(ts AS TIMESTAMP)) OVER
-        |      (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
-        |  FROM events
-        |), flagged AS (
-        |  SELECT *, CASE WHEN prev_ts IS NULL
-        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_session
-        |  FROM lagged
-        |), sessions AS (
-        |  SELECT user_id, event_id, ts,
-        |    CAST(SUM(new_session) OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM flagged
-        |), intervals AS (
-        |  SELECT user_id, session_seq,
-        |    MIN(ts) AS session_start, MAX(ts) AS session_end
-        |  FROM sessions GROUP BY user_id, session_seq
-        |)
-        |SELECT e.event_id, e.user_id, i.session_seq
-        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
-        |JOIN intervals i ON e.user_id = i.user_id
-        |  AND e.ts BETWEEN i.session_start AND i.session_end
-        |ORDER BY event_id""".stripMargin,
+    "ext_range_join_sessions" -> rangeJoinOracleSql("TRUE"),
+
+    "ext_range_join_auto" -> rangeJoinOracleSql("event_type = 'purchase'"),
 
     "ext_asof_attribution" ->
       """WITH p AS (

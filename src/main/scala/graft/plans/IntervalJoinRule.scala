@@ -57,7 +57,13 @@ case class IntervalJoinRule(binSeconds: Long = 3600L)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, Inner, Some(cond), hint)
+        // already-binned joins (this rule's own output after the optimizer
+        // pushes the containment filter back into the join condition, or
+        // RangeJoinOps' hand-built __bin) must not re-match — without this
+        // guard the operator-optimization batch would re-bin to fixpoint
+        if !cond.references.exists(a =>
+          a.name.startsWith("__graft_bin") || a.name == "__bin") =>
       val conjuncts = splitConjunctivePredicates(cond)
       val eqs = conjuncts.collect {
         case e @ EqualTo(a: Attribute, b: Attribute)
@@ -92,7 +98,11 @@ case class IntervalJoinRule(binSeconds: Long = 3600L)
         val rFiltered = Filter(LessThanOrEqual(start, end), right)
         val rBin = AttributeReference("__graft_bin_r", LongType,
           nullable = false)()
-        val gen = Generate(Explode(Sequence(bin(start), bin(end), None)),
+        // Sequence is TimeZoneAwareExpression: without an explicit zone it
+        // is unresolved, and optimizer-batch plan validation rejects the
+        // rewrite (the analyzer only fills zones during analysis)
+        val gen = Generate(Explode(Sequence(bin(start), bin(end), None,
+          Some(conf.sessionLocalTimeZone))),
           unrequiredChildIndex = Nil, outer = false, qualifier = None,
           generatorOutput = Seq(rBin), child = rFiltered)
         val newCond = (eqs :+ EqualTo(lBin, rBin).asInstanceOf[Expression])

@@ -65,16 +65,27 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
   test("keyless interval join: nested loop becomes a bin hash join") {
     val keyless = points.join(intervals,
       points("t") >= intervals("s") && points("t") <= intervals("e"))
-    val naiveP = keyless.queryExecution.executedPlan.toString
-    assert(naiveP.contains("BroadcastNestedLoopJoin"), s"fixture too easy:\n$naiveP")
-    val rewritten = applyRule(keyless)
-    val p = rewritten.queryExecution.executedPlan.toString
+    // the test session loads GraftExtensions, so the SESSION optimizer
+    // already applies the rewrite — no manual rule application
+    val p = keyless.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"rewrite still nested-loops:\n$p")
-    // identical rows (cross-user matches included — no key constraint)
-    val naive = keyless.select($"id", $"iv").as[(Long, String)].collect().sorted
-    val re = rewritten.select($"id", $"iv").as[(Long, String)].collect().sorted
-    assert(naive.nonEmpty && re.toSeq == naive.toSeq)
+    assert(p.contains("__graft_bin"), s"bin key missing:\n$p")
+    // excluding the rule restores the nested loop (the fixture is real)
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.IntervalJoinRule")
+    try {
+      val naive = points.join(intervals,
+        points("t") >= intervals("s") && points("t") <= intervals("e"))
+      val naiveP = naive.queryExecution.executedPlan.toString
+      assert(naiveP.contains("BroadcastNestedLoopJoin"),
+        s"fixture too easy:\n$naiveP")
+      // identical rows with and without the rule
+      val expect = naive.select($"id", $"iv").as[(Long, String)].collect().sorted
+      spark.conf.unset("spark.sql.optimizer.excludedRules")
+      val re = keyless.select($"id", $"iv").as[(Long, String)].collect().sorted
+      assert(expect.nonEmpty && re.toSeq == expect.toSeq)
+    } finally spark.conf.unset("spark.sql.optimizer.excludedRules")
   }
 
   test("non-matching shapes pass through untouched") {

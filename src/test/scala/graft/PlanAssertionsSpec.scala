@@ -42,6 +42,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"bounded-heap top-k missing:\n$p")
   }
 
+  test("theta interval join auto-rewrites to the binned hash join") {
+    val p = plan("ext_range_join_auto")
+    assert(p.contains("__graft_bin"), s"IntervalJoinRule did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"still a nested loop:\n$p")
+  }
+
   test("as-of and range joins plan as hash joins, never nested loops") {
     for (q <- Seq("ext_asof_attribution", "ext_range_join_sessions")) {
       val p = plan(q)
