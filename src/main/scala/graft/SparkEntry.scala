@@ -951,6 +951,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Pairs → dedup groups: connected components over the exact-Jaccard
+    // near-dup pairs (min-label propagation; oracle = DuckDB recursive
+    // CTE transitive closure). keep = is_representative.
+    "ext_dedup_components" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairs = ops.DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+        .select(col("doc_a"), col("doc_b"))
+      val comp = ops.DedupOps.connectedComponents(pairs)
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("component"))
+        .withColumn("is_representative", col("doc_id") === col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per document: one partial-aggregated (doc, term)
     // shuffle, broadcast document-frequency dim, bounded-heap top-k
     // (oracle-checked; score rounded to 6 dp for cross-engine ln parity).
@@ -1138,6 +1154,47 @@ object SparkEntry {
       minhashOracleSql(num = 64, bands = 16, shingle = 3, threshold = 0.4),
 
     "ext_text_winnow" -> winnowOracleSql(window = 8),
+
+    // transitive closure of the same jaccard pairs the ngram oracle
+    // computes, via recursive CTE; min label per reachable set
+    "ext_dedup_components" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 1000
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(1, len(w) - 2),
+        |                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.3
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(doc, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.label FROM reach r
+        |  JOIN edges e ON e.a = r.doc WHERE r.label < e.b
+        |), comp AS (
+        |  SELECT doc, MIN(label) AS component FROM reach GROUP BY doc
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(c.component, d.doc_id) AS component,
+        |  d.doc_id = COALESCE(c.component, d.doc_id) AS is_representative
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+        |LEFT JOIN comp c ON c.doc = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "ext_text_tfidf" ->
       """WITH terms AS (

@@ -269,6 +269,58 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
+  // --- pairs → groups ---------------------------------------------------
+
+  /** Connected components over an undirected near-dup pair list (min-label
+    * propagation): every node ends labeled with the smallest doc_id
+    * reachable from it, turning pairwise candidates into dedup GROUPS —
+    * keep the representative (label == doc_id), drop the rest. Only nodes
+    * appearing in `pairs` are returned; callers left-join and coalesce to
+    * give singletons their own id.
+    *
+    * Scale shape: each round is one equi-join (labels ⋈ edges) + one
+    * min-aggregate, both shuffled on node id; the round count is the
+    * component diameter, and near-dup clusters are small and dense
+    * (diameter 2–4), so the loop is a handful of bounded shuffles, not an
+    * unbounded traversal. Every round materializes behind a persist so
+    * lineage stays flat. (For general billion-edge graphs the
+    * large-star/small-star formulation replaces this loop; the join/agg
+    * round structure is identical.) */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    // both directions via explode, not self-union: a union would evaluate
+    // the (expensive) pair-generation plan once per branch
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").cast("long").as("src"),
+          col("doc_b").cast("long").as("dst")),
+        struct(col("doc_b").cast("long").as("src"),
+          col("doc_a").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst").as("doc_id"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("doc_id").agg(min(col("label")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   // --- embedding LSH (banded random-hyperplane) -------------------------
 
   /** Banded sign-random-projection LSH near-dup pairs.

@@ -66,6 +66,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"k-means IVF recall $recall (probing 4/16 cells)")
   }
 
+  test("connectedComponents: chains collapse transitively to the min label") {
+    // two components: a diameter-4 chain (forces multiple propagation
+    // rounds) and a triangle; 99 is disconnected (absent from pairs)
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain
+      (2L, 5L), (5L, 7L), (2L, 7L)                    // triangle
+    ).toDF("doc_a", "doc_b")
+    val out = DedupOps.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 2L -> 2L, 5L -> 2L, 7L -> 2L))
+    assert(!out.contains(99L)) // only nodes present in pairs
+  }
+
   test("banded embedding LSH: verified subset of brute force, with usable recall") {
     val exact = SimilarityOps.nearDupPairs(emb, 0.3)
       .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()
