@@ -25,6 +25,19 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(twice.filter($"b1" =!= $"other").count() > 0)
   }
 
+  test("hashBucket distributes ~uniformly over 100 buckets") {
+    val n = 20000
+    val counts = spark.range(n)
+      .select(SampleOps.hashBucket($"id", "uniformity").as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().toMap
+    assert(counts.size == 100, s"only ${counts.size} buckets hit")
+    val expected = n / 100.0
+    // every bucket within ±35% of expectation (~6 sigma for binomial n=20k)
+    counts.foreach { case (b, c) =>
+      assert(math.abs(c - expected) / expected < 0.35,
+        s"bucket $b skewed: $c vs ~$expected") }
+  }
+
   test("trainHoldoutSplit: disjoint, exhaustive, ~holdoutPct, re-run stable") {
     val s1 = SampleOps.trainHoldoutSplit(docs, $"doc_id", 20, "seed")
     val n = docs.count().toDouble
