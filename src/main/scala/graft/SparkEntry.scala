@@ -951,6 +951,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Rolling event-time features: trailing 7-day spend/count per user at
+    // every purchase (RANGE frame over integer microseconds — sliding
+    // accumulator, one shuffle on the key; oracle-checked).
+    "ext_rolling_spend" -> ((s, dir) => {
+      ops.TimeSeriesOps.rollingByTime(
+          tbl(s, dir, "events").filter(col("event_type") === "purchase")
+            .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+          key = "user_id", ts = "ts", value = "value", windowDays = 7)
+        .select(col("event_id"), col("user_id"), col("spend_7d"), col("n_7d"))
+        .orderBy(col("event_id"))
+    }),
+
     // Pairs → dedup groups: connected components over the exact-Jaccard
     // near-dup pairs (min-label propagation; oracle = DuckDB recursive
     // CTE transitive closure). keep = is_representative.
@@ -1154,6 +1166,16 @@ object SparkEntry {
       minhashOracleSql(num = 64, bands = 16, shingle = 3, threshold = 0.4),
 
     "ext_text_winnow" -> winnowOracleSql(window = 8),
+
+    "ext_rolling_spend" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_7d,
+        |  COUNT(*) OVER w AS n_7d
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tts, value
+        |      FROM events WHERE event_type = 'purchase')
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(tts)
+        |  RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // transitive closure of the same jaccard pairs the ngram oracle
     // computes, via recursive CTE; min label per reachable set

@@ -77,6 +77,23 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(holes.count() == 0)
   }
 
+  test("rollingByTime: trailing window includes exactly the in-range events") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 00:00:00"), 10.0),
+      (2L, "u1", ts("2024-01-05 00:00:00"), 20.0), // 1 still in 7d window
+      (3L, "u1", ts("2024-01-09 00:00:00"), 40.0), // 1 aged out, 2 remains
+      (4L, "u2", ts("2024-01-05 00:00:00"), 7.0)   // other key isolated
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ops.TimeSeriesOps
+      .rollingByTime(ev, "user_id", "ts", "value", windowDays = 7)
+      .select("event_id", "spend_7d", "n_7d")
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 10.0, 1L), (2L, 30.0, 2L), (3L, 60.0, 2L), (4L, 7.0, 1L)))
+  }
+
   test("tfidfTopTerms: rare terms outrank ubiquitous ones; everywhere-terms score 0") {
     val df = Seq(
       (1L, "common rare common common"),
