@@ -1263,7 +1263,7 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_tokens, bucket,
         |  CAST(FLOOR(CAST(SUM(n_tokens) OVER w - n_tokens AS DOUBLE) / 512) AS BIGINT) AS pack_seq,
-        |  SUM(n_tokens) OVER w AS cum_tokens
+        |  CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens
         |FROM t
         |WINDOW w AS (PARTITION BY bucket ORDER BY doc_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)

@@ -217,17 +217,23 @@ object Pipelines {
     stream.join(broadcast(dim), Seq(key), "left")
 
   /** CDC apply: each micro-batch of parsed change rows upserts into a
-    * parquet table, last-writer-wins per key — the MERGE the reference's
-    * Debezium topology implies but never implements (its silver only
-    * appends, so updated customer rows accumulate as duplicates). The
-    * table must exist (seed it with an initial snapshot write). */
+    * key-bucketed parquet table, last-writer-wins per key — the MERGE the
+    * reference's Debezium topology implies but never implements (its
+    * silver only appends, so updated customer rows accumulate as
+    * duplicates). The target must be seeded with
+    * `LayoutOps.writeKeyBucketed(snapshot, tablePath, key, nBuckets)`;
+    * each micro-batch then rewrites only the buckets its keys hash into
+    * (`LayoutOps.upsertBucketed`), so per-batch I/O scales with the
+    * batch's key spread, not the table size — the property that keeps a
+    * 60 s CDC cadence viable at 100 TB. */
   def cdcApply(changes: DataFrame, tablePath: String, key: String,
-               orderCol: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+               orderCol: String, checkpoint: String,
+               nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.LayoutOps.upsert(batch.sparkSession, tablePath, batch,
-          key, orderCol)
+        graft.ops.LayoutOps.upsertBucketed(batch.sparkSession, tablePath,
+          batch, key, orderCol, nBuckets)
         ()
       }
 

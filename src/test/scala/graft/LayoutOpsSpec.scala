@@ -85,6 +85,129 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(after == "bob@tied")
   }
 
+  test("bucketed upsert: same last-writer-wins results, untouched buckets not rewritten") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val base = Files.createTempDirectory("graft_bupsert_").toString
+    val bucketed = base + "/bucketed"
+    val whole = base + "/whole"
+    val nBuckets = 8
+    // 64 keys spread across all 8 buckets
+    val snapshot = (1 to 64)
+      .map(i => (s"C$i", s"u$i@v1", ts("2024-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    LayoutOps.writeKeyBucketed(snapshot, bucketed, "customer_id", nBuckets)
+    snapshot.write.parquet(whole)
+    // updates touch 3 keys → a strict subset of buckets
+    val updates = Seq(
+      ("C1", "u1@v2", ts("2024-01-02 00:00:00")), // newer → wins
+      ("C2", "u2@stale", ts("2023-12-01 00:00:00")), // stale → loses
+      ("C999", "new@v1", ts("2024-01-01 00:00:00"))) // insert
+      .toDF("customer_id", "email", "updated_at")
+    val touchedBuckets = updates
+      .select(LayoutOps.bucketId($"customer_id", nBuckets)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(touchedBuckets.size < nBuckets, "fixture must leave buckets untouched")
+    // snapshot the physical state of every untouched bucket directory
+    def bucketFiles(b: Int): Map[String, Long] = {
+      val d = new java.io.File(bucketed, s"${LayoutOps.BucketCol}=$b")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched = (0 until nBuckets).filterNot(touchedBuckets)
+    val before = untouched.map(b => b -> bucketFiles(b)).toMap
+    assert(before.values.forall(_.nonEmpty), "every bucket should have data")
+
+    LayoutOps.upsertBucketed(spark, bucketed, updates, "customer_id", "updated_at", nBuckets)
+    LayoutOps.upsert(spark, whole, updates, "customer_id", "updated_at")
+
+    // (a) identical last-writer-wins results vs the whole-table upsert
+    val gotB = spark.read.parquet(bucketed)
+      .select("customer_id", "email", "updated_at")
+      .as[(String, String, Timestamp)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val gotW = spark.read.parquet(whole)
+      .select("customer_id", "email", "updated_at")
+      .as[(String, String, Timestamp)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(gotB == gotW)
+    assert(gotB("C1") == (("u1@v2", ts("2024-01-02 00:00:00"))))
+    assert(gotB.size == 65)
+    // (b) files in untouched buckets are bit-for-bit the ones written before
+    untouched.foreach { b =>
+      assert(bucketFiles(b) == before(b), s"bucket $b was rewritten")
+    }
+    // no swap debris
+    assert(!new java.io.File(bucketed + "__old").exists())
+    assert(!new java.io.File(bucketed + "__upserting").exists())
+  }
+
+  test("crash recovery: upsert and compact heal a died mid-swap (table gone, __old intact)") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    def seed(): String = {
+      val tmp = Files.createTempDirectory("graft_crash_").toString + "/t"
+      Seq(("C1", "a@v1", ts("2024-01-01 00:00:00")))
+        .toDF("customer_id", "email", "updated_at").write.parquet(tmp)
+      tmp
+    }
+    // simulate death between rename(table, aside) and rename(tmp, table):
+    // the table dir is missing, __old holds the only good copy, and a
+    // half-written __upserting/__compacting may linger.
+    def crash(path: String, tmpSuffix: String): Unit = {
+      val f = new java.io.File(path)
+      assert(f.renameTo(new java.io.File(path + "__old")))
+      val junk = new java.io.File(path + tmpSuffix)
+      junk.mkdirs()
+      Files.write(java.nio.file.Paths.get(junk.getPath, "part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    // upsert path
+    val t1 = seed(); crash(t1, "__upserting")
+    val updates = Seq(("C2", "b@v1", ts("2024-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val rows = LayoutOps.upsert(spark, t1, updates, "customer_id", "updated_at")
+    assert(rows == 2)
+    assert(spark.read.parquet(t1).count() == 2)
+    assert(!new java.io.File(t1 + "__old").exists())
+    // compact path
+    val t2 = seed(); crash(t2, "__compacting")
+    val rows2 = LayoutOps.compact(spark, t2, target = 1)
+    assert(rows2 == 1 && spark.read.parquet(t2).count() == 1)
+    assert(!new java.io.File(t2 + "__old").exists())
+  }
+
+  test("crash recovery: bucketed upsert restores aside buckets and clears stale tmp") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val path = Files.createTempDirectory("graft_bcrash_").toString + "/t"
+    val nBuckets = 4
+    val snapshot = (1 to 16)
+      .map(i => (s"C$i", s"u$i@v1", ts("2024-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    LayoutOps.writeKeyBucketed(snapshot, path, "customer_id", nBuckets)
+    val expected = spark.read.parquet(path)
+      .select("customer_id", "email").as[(String, String)].collect().toSet
+    // simulate death mid-swap: one bucket moved aside but never swapped
+    // back (its slot in the table is empty), stale tmp root left behind
+    val victims = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith(LayoutOps.BucketCol + "="))
+    val victim = victims.head
+    val asideRoot = new java.io.File(path + "__old")
+    asideRoot.mkdirs()
+    assert(victim.renameTo(new java.io.File(asideRoot, victim.getName)))
+    new java.io.File(path + "__upserting/junk").mkdirs()
+    // next upsert must first heal, then merge on the healed table
+    val updates = Seq(("C1", "u1@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    LayoutOps.upsertBucketed(spark, path, updates, "customer_id", "updated_at", nBuckets)
+    val got = spark.read.parquet(path)
+      .select("customer_id", "email").as[(String, String)].collect().toSet
+    assert(got == expected - (("C1", "u1@v1")) + (("C1", "u1@v2")))
+    assert(!asideRoot.exists() && !new java.io.File(path + "__upserting").exists())
+  }
+
   test("compact shrinks file confetti without losing rows") {
     val tmp = Files.createTempDirectory("graft_compact_").toString + "/t"
     events.repartition(24).write.parquet(tmp) // 24 small files

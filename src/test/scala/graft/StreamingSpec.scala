@@ -51,15 +51,17 @@ class StreamingSpec extends AnyFunSuite {
     implicit val ctx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_cdc_").toString
     val table = s"$tmp/customer_profile"
-    // initial snapshot
-    Seq(CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 00:00:00")))
-      .toDF().write.parquet(table)
+    // initial snapshot, laid out key-bucketed so per-batch upserts can
+    // prune to the touched buckets (the 100 TB CDC contract)
+    graft.ops.LayoutOps.writeKeyBucketed(
+      Seq(CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 00:00:00")))
+        .toDF(), table, "customer_id", nBuckets = 8)
     val in = MemoryStream[CustomerProfile]
     in.addData(
       CustomerProfile("C1", "Alice2", "a2@x.com", "Female", 31, "2020-01-01", ts("2024-01-02 00:00:00")),
       CustomerProfile("C2", "Bob", "b@x.com", "Male", 40, "2020-01-02", ts("2024-01-01 00:00:00")))
     val q = Pipelines.cdcApply(in.toDF(), table, "customer_id", "event_time",
-        s"$tmp/ckpt").trigger(Trigger.AvailableNow()).start()
+        s"$tmp/ckpt", nBuckets = 8).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val out = spark.read.parquet(table)
       .select("customer_id", "name").as[(String, String)].collect().toMap
