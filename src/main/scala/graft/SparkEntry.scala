@@ -236,6 +236,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // Scale path for value_quantiles: approx_percentile's GK sketch is
+    // mergeable with bounded memory per group (the exact `percentile`
+    // above buffers EVERY group value on the reduce side — correct as the
+    // small-scale audit, OOM at 100 TB with ~5 groups). accuracy=10000
+    // bounds rank error at 1/10000 of the group size. No hash oracle
+    // (sketch output is engine-specific); the error bound vs the exact
+    // query is pinned in ExtOpsSpec.
+    "ext_value_quantiles_approx" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_percentile(col("value"), lit(0.5), lit(10000)).as("p50"),
+          approx_percentile(col("value"), lit(0.9), lit(10000)).as("p90"),
+          approx_percentile(col("value"), lit(0.99), lit(10000)).as("p99"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Pivot: wide spend matrix segment × priority. Fixed value list →
     // deterministic schema and a single-pass pivoted hash aggregate (no
     // values-discovery job); clean column aliases for the oracle compare.
@@ -809,9 +827,14 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // SimHash near-dup pairs (no oracle — Spark hash family).
+    // SimHash near-dup pairs with the portable (md5-derived 60-bit) token
+    // family, so the whole pipeline — per-bit ±1 votes, fingerprint,
+    // 16-bit band pigeonhole, Hamming verify — is DuckDB-oracle-checked.
+    // The xxhash64 production family is pinned separately in ExtOpsSpec.
     "ext_dedup_simhash" -> ((s, dir) => {
-      ops.DedupOps.simhashNearDups(tbl(s, dir, "documents"), maxDist = 3)
+      ops.DedupOps.simhashNearDups(tbl(s, dir, "documents"), maxDist = 3,
+          portable = true)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -837,10 +860,13 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // Banded random-hyperplane LSH near-dup (no oracle — hash-derived
-    // planes): 64 planes × 8 bands, OR-across-bands candidates, exact
-    // cosine verify. Containment + recall vs the brute-force pairs is
-    // pinned in ExtOpsSpec.
+    // Banded random-hyperplane LSH near-dup: 64 planes × 8 bands,
+    // OR-across-bands candidates, exact cosine verify. The plane
+    // coefficients are a deterministic function of (plane, dim, seed)
+    // (SrpCoef.coef), so the oracle inlines them as literals and replays
+    // the exact projection — the whole bucketed pipeline is
+    // DuckDB-oracle-checked. Containment + recall vs the brute-force
+    // pairs is additionally pinned in ExtOpsSpec.
     "ext_dedup_embedding_lsh" -> ((s, dir) => {
       ops.DedupOps.embeddingLshPairs(tbl(s, dir, "embeddings"),
           threshold = 0.3, nPlanes = 64, bands = 8)
@@ -1130,6 +1156,98 @@ object SparkEntry {
         |FROM toks
         |ORDER BY doc_id""".stripMargin
 
+  /** Full-pipeline SimHash oracle (DedupOps.simhashNearDups(portable =
+    * true)): 60-bit md5 token hashes → per-bit ±1 votes → fingerprint as
+    * a 64-element bit LIST (never assembled into an int, so no signed-
+    * 64-bit edge cases in either engine) → 16-bit band pigeonhole →
+    * Hamming verify. Vote rule matches SimHash64 exactly: sum > 0 → 1,
+    * ties → 0. */
+  private def simhashOracleSql(bands: Int, bandBits: Int, maxDist: Int): String = {
+    val bandClauses = (0 until bands).map { b =>
+      s"list_slice(a.bits, ${b * bandBits + 1}, ${(b + 1) * bandBits}) = " +
+        s"list_slice(b.bits, ${b * bandBits + 1}, ${(b + 1) * bandBits})"
+    }.mkString("\n        |     OR ")
+    s"""WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
+        |           s -> CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)) AS th
+        |  FROM documents
+        |), fps AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 63), b ->
+        |    CASE WHEN list_sum(list_transform(th,
+        |        h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+        |      THEN 1 ELSE 0 END) AS bits
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(list_sum(list_transform(generate_series(1, 64),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS hamming
+        |  FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |  WHERE $bandClauses
+        |)
+        |SELECT doc_a, doc_b, hamming FROM pairs
+        |WHERE hamming <= $maxDist
+        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Banded SRP-LSH oracle (DedupOps.embeddingLshPairs): the hyperplane
+    * coefficients are a pure function of (plane, dim, seed)
+    * (SrpCoef.coef), inlined here as round-trip-exact double literals.
+    * Each plane's projection is rendered as a strictly left-associative
+    * addition chain — the same IEEE-754 operation sequence as the
+    * kernel's d-ordered accumulate, so the sign bits are bit-identical,
+    * not merely close. Candidates via 8-bit band-slice equality
+    * (OR across bands), then the exact-cosine verify of the
+    * ext_dedup_embedding oracle, filtered on the UNROUNDED sim like the
+    * Spark side. */
+  private def srpLshOracleSql(nPlanes: Int, bands: Int, dims: Int,
+                              seed: Long, threshold: Double): String = {
+    val bits = nPlanes / bands
+    val planeExprs = (0 until nPlanes).map { p =>
+      (0 until dims).map { d =>
+        s"e[${d + 1}]*(${graft.functions.SrpCoef.coef(p, d, seed)})"
+      }.mkString(" + ")
+    }.mkString(",\n        |    ")
+    val bandClauses = (0 until bands).map { b =>
+      s"list_slice(a.bits, ${b * bits + 1}, ${(b + 1) * bits}) = " +
+        s"list_slice(b.bits, ${b * bits + 1}, ${(b + 1) * bits})"
+    }.mkString("\n        |     OR ")
+    s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), sigs AS (
+        |  SELECT vec_id, [
+        |    $planeExprs
+        |  ] AS acc FROM emb
+        |), fps AS (
+        |  SELECT vec_id,
+        |    list_transform(acc, a -> CASE WHEN a > 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM sigs
+        |), cands AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM fps a JOIN fps b ON a.vec_id < b.vec_id
+        |  WHERE $bandClauses
+        |), ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT c.id_a, c.id_b, SUM(xa.x*xb.x) AS dp
+        |  FROM cands c
+        |  JOIN ex xa ON xa.vec_id = c.id_a
+        |  JOIN ex xb ON xb.vec_id = c.id_b AND xa.i = xb.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.id_a, d.id_b,
+        |  FLOOR(dp/(sqrt(na.nn)*sqrt(nb.nn)) * 1000000 + 0.5) / 1000000 AS sim6
+        |FROM dots d
+        |JOIN norms na ON na.vec_id = d.id_a
+        |JOIN norms nb ON nb.vec_id = d.id_b
+        |WHERE dp/(sqrt(na.nn)*sqrt(nb.nn)) >= $threshold
+        |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Shared oracle for the manual and rule-rewritten range joins: session
     * intervals built in SQL, then the theta containment join; `pointFilter`
     * restricts the point side. */
@@ -1164,6 +1282,13 @@ object SparkEntry {
 
     "ext_dedup_minhash" ->
       minhashOracleSql(num = 64, bands = 16, shingle = 3, threshold = 0.4),
+
+    "ext_dedup_simhash" ->
+      simhashOracleSql(bands = 4, bandBits = 16, maxDist = 3),
+
+    "ext_dedup_embedding_lsh" ->
+      srpLshOracleSql(nPlanes = 64, bands = 8, dims = 64, seed = 42L,
+        threshold = 0.3),
 
     "ext_text_winnow" -> winnowOracleSql(window = 8),
 

@@ -50,6 +50,16 @@ object DedupOps {
     else
       transform(w, t => pmod(xxhash64(t), lit(1L << 32)))
 
+  /** Portable 60-bit per-token hashes (first 15 hex digits of md5) —
+    * computable bit-identically in any engine with md5, like
+    * [[tokenHashes]]`(portable = true)` but WITHOUT the 2^32 reduction:
+    * SimHash wants as many informative bit positions as possible (60 of
+    * the fingerprint's 64; bits 60–63 vote −1 every token and settle to
+    * 0 identically in every engine). xxhash64 stays the production
+    * default. */
+  def tokenHashes60(w: Column): Column =
+    transform(w, t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+
   private val GramPrime = 1000003L
   private val GramMod = 1L << 32
 
@@ -168,18 +178,21 @@ object DedupOps {
     * Row-local via the native SimHash64 kernel — no explode, no
     * aggregation state, one pass per document (duplicate tokens vote once
     * per occurrence, like the classic weighted formulation). */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame, portable: Boolean = false): DataFrame =
     OpsUtil.spread(docs)
       .select(col("doc_id"), words(col("text")).as("w"))
-      .select(col("doc_id"), transform(col("w"), t => xxhash64(t)).as("th"))
+      .select(col("doc_id"),
+        (if (portable) tokenHashes60(col("w"))
+         else transform(col("w"), t => xxhash64(t))).as("th"))
       .select(col("doc_id"),
         graft.functions.SketchFunctions.simhash64(col("th")).as("fingerprint"))
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, bucketed by
     * 16-bit fingerprint bands (pigeonhole: distance ≤ 3 ⇒ some band of 4 is
     * identical), verified with bit_count(xor). */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val fps = simhash(docs)
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+                      portable: Boolean = false): DataFrame = {
+    val fps = simhash(docs, portable)
     val banded = fps.select(col("doc_id"), col("fingerprint"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

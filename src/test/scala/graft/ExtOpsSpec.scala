@@ -222,6 +222,48 @@ class ExtOpsSpec extends AnyFunSuite {
       s"HLL union estimate $approx vs exact $exact")
   }
 
+  test("approx quantiles track the exact percentiles within rank-error bounds") {
+    // The scale path (ext_value_quantiles_approx) must stay close to the
+    // audit path (value_quantiles): GK sketch at accuracy=10000 guarantees
+    // rank error <= n/10000; on the fixture's value distribution that
+    // translates to a tight value band. Compare per event_type.
+    val events = Tables.load(spark, dir, "events")
+    val exact = SparkEntry.queries("value_quantiles")(spark, dir)
+      .select($"event_type", $"p50", $"p90", $"p99")
+    val approx = SparkEntry.queries("ext_value_quantiles_approx")(spark, dir)
+      .select($"event_type", $"p50".as("a50"), $"p90".as("a90"), $"p99".as("a99"))
+    val joined = exact.join(approx, "event_type").collect()
+    assert(joined.length >= 3, "expect one row per event_type")
+    // The GK guarantee is on RANK, not value: the returned value's
+    // empirical quantile must sit within eps of the requested q (value
+    // distance is unbounded in a sparse tail, where adjacent order
+    // statistics can be far apart). eps = sketch rank error (1e-4) +
+    // one-sample discretization (1/n per group) + slack.
+    val byType = events.select($"event_type", $"value")
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted }
+    joined.foreach { r =>
+      val et = r.getString(0)
+      val vs = byType(et)
+      val eps = 1e-4 + 2.0 / vs.length + 0.005
+      def rankOf(v: Double): Double = {
+        val le = vs.count(_ <= v)
+        le.toDouble / vs.length
+      }
+      def chk(q: Double, a: Double, name: String): Unit = {
+        val rf = rankOf(a)
+        assert(rf >= q - eps && rf <= q + eps,
+          s"$et $name: approx=$a sits at empirical quantile $rf, want $q±$eps")
+      }
+      chk(0.5, r.getDouble(4), "p50")
+      chk(0.9, r.getDouble(5), "p90")
+      chk(0.99, r.getDouble(6), "p99")
+      // and the approx value must be an actual sample of the group
+      Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6))
+        .foreach(a => assert(vs.contains(a), s"$et: $a is not a data value"))
+    }
+  }
+
   test("approx_count_distinct lands within 10% of exact") {
     val ev = Tables.load(spark, dir, "events")
     val both = ev.groupBy($"event_type").agg(
