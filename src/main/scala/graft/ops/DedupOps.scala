@@ -298,7 +298,18 @@ object DedupOps {
     * unbounded traversal. Every round materializes behind a persist so
     * lineage stays flat. (For general billion-edge graphs the
     * large-star/small-star formulation replaces this loop; the join/agg
-    * round structure is identical.) */
+    * round structure is identical.)
+    *
+    * Throws if labels are still changing after `maxIter` rounds (a
+    * component's diameter exceeded the budget — e.g. a pathological
+    * chain-shaped input): silently returning partially-propagated labels
+    * would make a caller dedup against WRONG groups. Raise `maxIter` for
+    * long-chain graphs.
+    *
+    * The returned labels DataFrame is persisted (MEMORY_AND_DISK) — it is
+    * the loop's final fixpoint state and most callers iterate it more than
+    * once; callers must `unpersist()` it (or clear the session cache) when
+    * done. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // both directions via explode, not self-union: a union would evaluate
@@ -331,6 +342,13 @@ object DedupOps {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds: a " +
+          "component's diameter exceeds the iteration budget; labels would " +
+          "be partially propagated (wrong groups). Raise maxIter.")
+    }
     labels
   }
 

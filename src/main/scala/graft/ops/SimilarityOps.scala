@@ -57,6 +57,26 @@ object SimilarityOps {
           .orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
 
+  /** Ceiling for the literal-inlined centroid paths: above this many
+    * inlined floats (nCells × dims) the generated projection risks Janino's
+    * 64 KB method limit and classfile constant-pool blowup, so assignment /
+    * probing fall back to a closure over the executor-broadcast centroid
+    * matrix — the SAME row-local, zero-exchange shape, just evaluated as a
+    * deterministic UDF outside whole-stage codegen (equivalence inline vs
+    * fallback is spec-pinned). 64k floats ≈ 512 centroids × 128 dims. */
+  val MaxInlineCentroidFloats: Int = 1 << 16
+
+  /** Driver/executor-local cosine in double precision, same accumulation
+    * order as the fused native expression (one pass: dot + both norms). */
+  private def cosineLocal(a: Seq[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < b.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Row-local nearest-centroid assignment: the centroid table is ANN index
     * state — nCells rows of driver-side model data, inlined as literals — so
     * assignment is ONE projection over the corpus: an array of nCells fused
@@ -65,33 +85,67 @@ object SimilarityOps {
     * corpus × nCells rows AND full-shuffled them to pick a row-computable
     * argmax). Tiebreak: max csim, then lowest cell_id — `cents` must be
     * sorted by cell_id ascending so array_position's first-match IS the
-    * lowest id among ties. */
-  def assignCells(corpus: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame = {
+    * lowest id among ties. Past `maxInlineFloats` (see
+    * [[MaxInlineCentroidFloats]]) the same argmax runs as a closure over
+    * the broadcast centroid matrix instead of inlined literals. */
+  def assignCells(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                  maxInlineFloats: Int = MaxInlineCentroidFloats): DataFrame = {
     require(cents.nonEmpty, "assignCells needs at least one centroid")
     require(cents.map(_._1).sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
       "centroids must be sorted by cell_id ascending (argmax tiebreak)")
-    val csims = array(cents.map { case (_, c) =>
-      cosine(col("embedding"), typedlit(c)) }: _*)
-    val ids = typedlit(cents.map(_._1))
-    corpus
-      .withColumn("__csims", csims)
-      .withColumn("cell_id", element_at(ids,
-        array_position(col("__csims"), array_max(col("__csims"))).cast("int")))
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    if (cents.length.toLong * cents.head._2.length > maxInlineFloats) {
+      val bc = corpus.sparkSession.sparkContext.broadcast(cents)
+      val pick = udf { (emb: Seq[Float]) =>
+        val cs = bc.value
+        var bestId = cs(0)._1; var best = Double.NegativeInfinity; var i = 0
+        while (i < cs.length) {
+          val s = cosineLocal(emb, cs(i)._2)
+          // strict > over ascending cell_ids == lowest id wins ties
+          if (s > best) { best = s; bestId = cs(i)._1 }
+          i += 1
+        }
+        bestId
+      }
+      corpus.withColumn("cell_id", pick(col("embedding")))
+        .select(col("vec_id"), col("embedding"), col("cell_id"))
+    } else {
+      val csims = array(cents.map { case (_, c) =>
+        cosine(col("embedding"), typedlit(c)) }: _*)
+      val ids = typedlit(cents.map(_._1))
+      corpus
+        .withColumn("__csims", csims)
+        .withColumn("cell_id", element_at(ids,
+          array_position(col("__csims"), array_max(col("__csims"))).cast("int")))
+        .select(col("vec_id"), col("embedding"), col("cell_id"))
+    }
   }
 
   /** Row-local probe list: per query, the `nProbe` nearest cells by
     * (csim desc, cell_id asc) — computed by sorting a literal-sized struct
-    * array in place, no centroid join, no window. */
-  private def probeCells(queries: DataFrame, cents: Array[(Long, Array[Float])],
-                         nProbe: Int): DataFrame = {
-    val ranked = array(cents.map { case (id, c) =>
-      struct((-cosine(col("query_vec"), typedlit(c))).as("negsim"),
-        lit(id).as("cell_id")) }: _*)
-    queries
+    * array in place, no centroid join, no window. Same inline/broadcast
+    * split as [[assignCells]]. */
+  private[graft] def probeCells(queries: DataFrame,
+                                cents: Array[(Long, Array[Float])], nProbe: Int,
+                                maxInlineFloats: Int = MaxInlineCentroidFloats): DataFrame = {
+    val base = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      .withColumn("__pc", explode(slice(array_sort(ranked), 1, nProbe)))
-      .select(col("query_id"), col("query_vec"), col("__pc.cell_id").as("cell_id"))
+    if (cents.length.toLong * cents.head._2.length > maxInlineFloats) {
+      val bc = queries.sparkSession.sparkContext.broadcast(cents)
+      val probe = udf { (emb: Seq[Float]) =>
+        // (negsim, id) tuple order == (csim desc, cell_id asc)
+        bc.value.map { case (id, c) => (-cosineLocal(emb, c), id) }
+          .sorted.take(nProbe).map(_._2)
+      }
+      base.withColumn("cell_id", explode(probe(col("query_vec"))))
+        .select(col("query_id"), col("query_vec"), col("cell_id"))
+    } else {
+      val ranked = array(cents.map { case (id, c) =>
+        struct((-cosine(col("query_vec"), typedlit(c))).as("negsim"),
+          lit(id).as("cell_id")) }: _*)
+      base
+        .withColumn("__pc", explode(slice(array_sort(ranked), 1, nProbe)))
+        .select(col("query_id"), col("query_vec"), col("__pc.cell_id").as("cell_id"))
+    }
   }
 
   /** IVF-style approximate top-k.

@@ -80,6 +80,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!out.contains(99L)) // only nodes present in pairs
   }
 
+  test("connectedComponents: refuses to return partially-propagated labels") {
+    // diameter-4 chain with a 1-round budget: labels cannot reach the far
+    // end — silently returning them would dedup against WRONG groups
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(pairs, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("centroid broadcast fallback matches the literal-inline path") {
+    // force the fallback with a 1-float inline budget; results must be
+    // row-identical to the codegen'd literal projection (same argmax, same
+    // lowest-cell-id tiebreak, same probe ranking)
+    val cents = emb.orderBy($"vec_id").limit(8)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val inline = SimilarityOps.assignCells(emb, cents)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    val fallback = SimilarityOps.assignCells(emb, cents, maxInlineFloats = 1)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    assert(fallback == inline)
+    val queries = emb.filter($"vec_id" < 10)
+    val pInline = SimilarityOps.probeCells(queries, cents, nProbe = 3)
+      .select("query_id", "cell_id").as[(Long, Long)].collect().toSet
+    val pFallback = SimilarityOps.probeCells(queries, cents, nProbe = 3,
+        maxInlineFloats = 1)
+      .select("query_id", "cell_id").as[(Long, Long)].collect().toSet
+    assert(pFallback == pInline)
+  }
+
   test("banded embedding LSH: verified subset of brute force, with usable recall") {
     val exact = SimilarityOps.nearDupPairs(emb, 0.3)
       .select($"id_a", $"id_b", $"sim").as[(Long, Long, Double)].collect()

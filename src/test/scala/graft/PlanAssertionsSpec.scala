@@ -12,9 +12,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // plan pins assert the COLD shape; another suite's persisted frame
+    // (e.g. ml_churn_scores' gold cache) must not substitute an
+    // InMemoryRelation into the plan under test — suite order is arbitrary
+    spark.sharedState.cacheManager.clearCache()
     SparkEntry.queries(name)(spark, dir)
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+  }
 
   test("gold_enriched: every enrichment join is broadcast-hash") {
     val p = plan("gold_enriched")
