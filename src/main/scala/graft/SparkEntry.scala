@@ -1107,6 +1107,77 @@ object SparkEntry {
           ops.MultimodalOps.asMediaTable(tbl(s, dir, "documents")))
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    // LLM context-window chunking: token windows of 64 every 48 (overlap
+    // 16) — row-local tokenize/explode/slice, zero shuffle.
+    "ext_chunk_documents" -> ((s, dir) => {
+      ops.TextOps.chunkDocuments(tbl(s, dir, "documents"),
+          chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // C4/Gopher-style quality gate with per-rule audit reasons — one fused
+    // row-local pass, zero shuffle.
+    "ext_quality_filter" -> ((s, dir) => {
+      ops.TextOps.qualityFilter(tbl(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SCD Type-2 history over the event stream (user_id's event_type runs):
+    // one shuffle on the key, lag-filter + lead-close on the same sort.
+    "ext_scd2_history" -> ((s, dir) => {
+      ops.HistoryOps.scd2(
+          tbl(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          key = "user_id", ts = "ts", tiebreak = "event_id",
+          attr = "event_type")
+        .select(col("user_id"), col("event_type").as("attr_value"),
+          col("valid_from"), col("valid_to"), col("version"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    }),
+
+    // Per-group feature scaling (z-score + min-max): decimal-exact moments
+    // via a |groups|-row aggregate broadcast back — never a per-group
+    // window over the full stream.
+    "ext_feature_scale" -> ((s, dir) => {
+      ops.FeatureOps.scaleByGroup(
+          tbl(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          group = "event_type", value = "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("z_score"), col("min_max"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Exact decile bucketing of customer spend within segment (audit path;
+    // approx-percentile cut points are the 100x-scale sibling).
+    "ext_ntile_buckets" -> ((s, dir) => {
+      val spend = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("spend"))
+        .withColumnRenamed("o_custkey", "customer_id")
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      ops.FeatureOps.ntileBuckets(
+          spend.join(broadcast(cust),
+            spend("customer_id") === cust("c_custkey")).drop("c_custkey"),
+          group = "segment", value = "spend", tiebreak = "customer_id",
+          k = 10)
+        .select(col("customer_id"), col("segment"), col("spend"),
+          col("bucket"))
+        .orderBy(col("customer_id"))
+    }),
+
+    // Group-wise mean-pooled embeddings (class centroids), long format —
+    // map-side partial agg collapses the posexplode before the exchange.
+    "ext_embed_meanpool" -> ((s, dir) => {
+      ops.FeatureOps.meanPoolEmbeddings(
+          tbl(s, dir, "embeddings").select(col("label"), col("embedding")),
+          group = "label")
+        .orderBy(col("label"), col("dim"))
     })
   )
 
@@ -1680,6 +1751,133 @@ object SparkEntry {
         |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_chunk_documents" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 48)) AS start
+        |  FROM base
+        |)
+        |SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+        |  array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(toks, start + 1, start + 64)) AS INTEGER)
+        |    AS n_chunk_tokens
+        |FROM starts
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "ext_quality_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(text, '\s+') AS toks,
+        |    string_split_regex(lower(text), '\s+') AS ltoks
+        |  FROM documents
+        |), grammed AS (
+        |  SELECT *, list_transform(
+        |    range(1, CAST(greatest(len(toks) - 2, 1) + 1 AS BIGINT)),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+        |  FROM base
+        |), scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(toks) AS mean_word_len,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS symbol_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS digit_ratio,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], t))) AS DOUBLE)
+        |      / len(toks) AS stopword_ratio,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |      ELSE 0.0 END AS dup_trigram_ratio
+        |  FROM grammed
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, digit_ratio,
+        |  stopword_ratio, dup_trigram_ratio,
+        |  concat_ws(',',
+        |    CASE WHEN n_words < 10 THEN 'too_few_words' END,
+        |    CASE WHEN n_words > 5000 THEN 'too_many_words' END,
+        |    CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'word_len' END,
+        |    CASE WHEN symbol_ratio > 0.2 THEN 'symbol_ratio' END,
+        |    CASE WHEN digit_ratio > 0.3 THEN 'digit_ratio' END,
+        |    CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+        |    CASE WHEN dup_trigram_ratio > 0.3 THEN 'repetitive' END) AS drop_reasons,
+        |  concat_ws(',',
+        |    CASE WHEN n_words < 10 THEN 'too_few_words' END,
+        |    CASE WHEN n_words > 5000 THEN 'too_many_words' END,
+        |    CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'word_len' END,
+        |    CASE WHEN symbol_ratio > 0.2 THEN 'symbol_ratio' END,
+        |    CASE WHEN digit_ratio > 0.3 THEN 'digit_ratio' END,
+        |    CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+        |    CASE WHEN dup_trigram_ratio > 0.3 THEN 'repetitive' END) = ''
+        |    AS keep
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    ROW_NUMBER() OVER w AS rn,
+        |    LAG(event_type) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), changes AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM ordered
+        |  WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        |)
+        |SELECT user_id, event_type AS attr_value,
+        |  ts AS valid_from,
+        |  LEAD(ts) OVER w2 AS valid_to,
+        |  CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version,
+        |  (LEAD(ts) OVER w2) IS NULL AS is_current
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "ext_feature_scale" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
+        |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2,
+        |    COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  floor((e.value - CAST(s1 AS DOUBLE) / n)
+        |    / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1))
+        |    * 1000000 + 0.5) / 1000000.0 AS z_score,
+        |  floor((e.value - mn) / (mx - mn) * 1000000 + 0.5) / 1000000.0 AS min_max
+        |FROM events e JOIN stats USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "ext_ntile_buckets" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS customer_id,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT s.customer_id, c.c_mktsegment AS segment, s.spend,
+        |  CAST(NTILE(10) OVER (PARTITION BY c.c_mktsegment
+        |    ORDER BY s.spend, s.customer_id) AS INTEGER) AS bucket
+        |FROM spend s JOIN customer c ON c.c_custkey = s.customer_id
+        |ORDER BY s.customer_id""".stripMargin,
+
+    "ext_embed_meanpool" ->
+      """WITH ex AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(18,9)) AS c
+        |  FROM embeddings
+        |)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |  floor((CAST(SUM(c) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000.0
+        |    AS mean_val
+        |FROM ex GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin
   )
 }

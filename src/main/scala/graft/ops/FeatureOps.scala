@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Feature engineering for training pipelines: deterministic per-group
+  * scaling (z-score, min-max), rank bucketing, and group-wise embedding
+  * mean-pooling.
+  *
+  * Determinism note: every cross-row sum here goes through DECIMAL — double
+  * addition is order-dependent under Spark's nondeterministic partial
+  * aggregation, decimal addition is exact and associative, so the same
+  * input yields the same feature on any partitioning AND hash-matches the
+  * DuckDB oracle (see /root/repo/.claude/skills/verify gotchas).
+  */
+object FeatureOps {
+
+  /** floor-based half-up rounding at 6 dp — bit-identical across engines
+    * (Spark round() on doubles uses shortest-repr semantics DuckDB lacks). */
+  private def round6(c: Column): Column =
+    floor(c * 1000000 + 0.5).cast("double") / 1000000.0
+
+  /** Per-group z-score + min-max scaling of a value column.
+    *
+    * Two-pass shape chosen for scale: a partial-aggregated groupBy computes
+    * per-group (Σx, Σx², n, min, max) — the shuffle carries |groups| rows —
+    * and the stats broadcast-join back onto the stream. The window-function
+    * alternative (`avg(x) over (partition by g)`) would hash-partition the
+    * FULL table by group and buffer each group's rows; with few large
+    * groups (event types!) that is one reducer per group at 100 TB.
+    *
+    * Variance uses the decimal-exact moments: var = (Σx² − (Σx)²/n)/(n−1);
+    * both moments are exact decimals, so the double arithmetic on top is
+    * reproducible on any engine and partitioning. */
+  def scaleByGroup(df: DataFrame, group: String, value: String): DataFrame = {
+    val dec = col(value).cast("decimal(18,2)")
+    val stats = df.groupBy(col(group))
+      .agg(sum(dec).as("__s1"), sum(dec * dec).as("__s2"),
+        count(lit(1)).as("__n"),
+        min(col(value)).as("__min"), max(col(value)).as("__max"))
+      .select(col(group),
+        (col("__s1").cast("double") / col("__n")).as("__mean"),
+        ((col("__s2").cast("double")
+          - col("__s1").cast("double") * col("__s1").cast("double") / col("__n"))
+          / (col("__n") - 1)).as("__var"),
+        col("__min"), col("__max"))
+    df.join(broadcast(stats), Seq(group))
+      .withColumn("z_score", round6((col(value) - col("__mean"))
+        / sqrt(col("__var"))))
+      .withColumn("min_max", round6((col(value) - col("__min"))
+        / (col("__max") - col("__min"))))
+      .drop("__mean", "__var", "__min", "__max")
+  }
+
+  /** Exact rank bucketing: NTILE(k) of `value` within each `group` (ties
+    * broken by `tiebreak` for a total — hence deterministic — order).
+    *
+    * NTILE is inherently a per-group global sort; with few large groups the
+    * window shuffle is one reducer per group, so this is the AUDIT path.
+    * The 100×-scale sibling is bucketing by approx_percentile cut points
+    * (mergeable t-digest, bounded memory) — same pattern as
+    * value_quantiles / ext_value_quantiles_approx. */
+  def ntileBuckets(df: DataFrame, group: String, value: String,
+                   tiebreak: String, k: Int): DataFrame =
+    df.withColumn("bucket", ntile(k).over(
+      Window.partitionBy(col(group))
+        .orderBy(col(value).asc, col(tiebreak).asc)))
+
+  /** Group-wise mean-pooled embedding, long format: one (group, dim, mean)
+    * row per dimension — the doc-level-embedding-from-chunk-embeddings /
+    * class-centroid op.
+    *
+    * Shape: posexplode fans each vector into (group, dim, component) rows,
+    * but map-side partial aggregation collapses them before the exchange —
+    * the shuffle carries |groups| × dims rows, not corpus × dims. Components
+    * sum as DECIMAL(18,9) (floats are exact there), so the pooled mean is
+    * partitioning-independent and oracle-checkable; means round at 6 dp. */
+  def meanPoolEmbeddings(vectors: DataFrame, group: String): DataFrame =
+    OpsUtil.spread(vectors)
+      .select(col(group), posexplode(col("embedding")))
+      .select(col(group), (col("pos") + 1).as("dim"),
+        // float → double is exact; double → decimal(18,9) rounds the same
+        // way on both engines — make the hop explicit
+        col("col").cast("double").cast("decimal(18,9)").as("__c"))
+      .groupBy(col(group), col("dim"))
+      .agg((sum(col("__c")).cast("double") / count(lit(1))).as("mean_raw"))
+      .select(col(group), col("dim"), round6(col("mean_raw")).as("mean_val"))
+}

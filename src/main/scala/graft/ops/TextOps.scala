@@ -127,6 +127,87 @@ object TextOps {
       .select(col("doc_id"),
         array_min(DedupOps.gramHashes(col("th"), window)).as("winnow_fp"))
 
+  /** Fixed-size token-window chunking with stride — the LLM context-window
+    * splitter: emit windows of `chunkSize` whitespace tokens starting every
+    * `stride` tokens (overlap = chunkSize − stride; the final window may be
+    * short). Purely row-local: tokenize once behind a projection, explode
+    * the start offsets, slice in place — linear in corpus size with ZERO
+    * shuffle, which is the only shape a 100 TB chunking sweep can afford.
+    * chunk_id is the window ordinal (start ÷ stride), so (doc_id, chunk_id)
+    * is a stable global key for downstream packing / embedding. */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 128,
+                     stride: Int = 96): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    OpsUtil.spread(docs)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("col") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        size(slice(col("toks"), col("col") + 1, lit(chunkSize)))
+          .as("n_chunk_tokens"))
+  }
+
+  /** C4/Gopher-style document quality filter: per-doc rule columns plus a
+    * `keep` verdict and a stable comma-joined `drop_reasons` audit string.
+    * Every signal is a row-local projection over one bound token array —
+    * zero shuffle, one fused pass (same posture as [[profile]]).
+    *
+    * Rules (names appear in drop_reasons in this order):
+    *   too_few_words / too_many_words — word-count bounds;
+    *   word_len — mean word length outside [minMeanLen, maxMeanLen];
+    *   symbol_ratio — punctuation-to-char ratio above max;
+    *   digit_ratio — digit-to-char ratio above max;
+    *   low_stopword — stopword fraction below min (non-linguistic soup);
+    *   repetitive — duplicate-trigram fraction above max (boilerplate /
+    *     template spam; 1 − distinct/total over the doc's word trigrams). */
+  def qualityFilter(docs: DataFrame,
+                    minWords: Int = 10, maxWords: Int = 5000,
+                    minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                    maxSymbolRatio: Double = 0.2, maxDigitRatio: Double = 0.3,
+                    minStopwordRatio: Double = 0.02,
+                    maxDupTrigramRatio: Double = 0.3): DataFrame = {
+    val toks = col("__toks")
+    val n = size(toks)
+    val nWords = n.as("n_words")
+    val meanLen = (length(regexp_replace(col("text"), "\\s+", ""))
+      .cast("double") / n).as("mean_word_len")
+    val symRatio = punctRatio(col("text")).as("symbol_ratio")
+    val digRatio = ((length(col("text"))
+      - length(regexp_replace(col("text"), "[0-9]", "")))
+      .cast("double") / length(col("text"))).as("digit_ratio")
+    val stopRatio = (size(filter(col("__ltoks"),
+      t => t.isin(Stopwords: _*))).cast("double") / n).as("stopword_ratio")
+    // duplicate-trigram fraction: grams built by slicing the bound token
+    // array in place (no explode — the array never leaves the row)
+    val grams = transform(sequence(lit(1), greatest(n - 2, lit(1))),
+      i => array_join(slice(toks, i, lit(3)), " "))
+    val dupRatio = when(n >= 3,
+        lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(0.0).as("dup_trigram_ratio")
+    val scored = OpsUtil.spread(docs)
+      .select(col("doc_id"), col("text"),
+        split(col("text"), "\\s+").as("__toks"),
+        split(lower(col("text")), "\\s+").as("__ltoks"))
+      .select(col("doc_id"), nWords, meanLen, symRatio, digRatio, stopRatio,
+        dupRatio)
+    // concat_ws skips NULLs in both Spark and DuckDB, so each rule emits
+    // its name or NULL and the audit string needs no array filtering
+    val reasons = concat_ws(",",
+      when(col("n_words") < minWords, "too_few_words"),
+      when(col("n_words") > maxWords, "too_many_words"),
+      when(!col("mean_word_len").between(minMeanLen, maxMeanLen), "word_len"),
+      when(col("symbol_ratio") > maxSymbolRatio, "symbol_ratio"),
+      when(col("digit_ratio") > maxDigitRatio, "digit_ratio"),
+      when(col("stopword_ratio") < minStopwordRatio, "low_stopword"),
+      when(col("dup_trigram_ratio") > maxDupTrigramRatio, "repetitive"))
+    scored.withColumn("drop_reasons", reasons)
+      .withColumn("keep", col("drop_reasons") === "")
+  }
+
   /** TF-IDF top-k terms per document — corpus-level relevance weighting,
     * shaped for scale: the (doc, term) counts shuffle once with map-side
     * partial aggregation, the document-frequency table (≤ vocabulary rows,

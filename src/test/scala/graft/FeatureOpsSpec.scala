@@ -1,0 +1,146 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{FeatureOps, HistoryOps, TextOps}
+
+/** Feature engineering + history operators: chunking, quality gating,
+  * SCD-2 runs, deterministic scaling, NTILE bucketing, embedding pooling. */
+class FeatureOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("chunkDocuments: stride windows cover every token, last chunk short") {
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(doc, chunkSize = 4, stride = 3)
+      .orderBy($"chunk_id")
+      .as[(Long, Long, String, Int)].collect()
+    // starts 0,3,6,9 over 10 tokens
+    assert(chunks.map(_._2).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._4).toSeq == Seq(4, 4, 4, 1))
+    assert(chunks(0)._3 == "t1 t2 t3 t4")
+    assert(chunks(1)._3 == "t4 t5 t6 t7") // overlap of 1 token
+    assert(chunks(3)._3 == "t10")
+    // every token appears in at least one chunk
+    val covered = chunks.flatMap(_._3.split(" ")).toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
+  test("chunkDocuments: doc shorter than one chunk yields exactly one chunk") {
+    val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(doc, chunkSize = 64, stride = 48)
+      .as[(Long, Long, String, Int)].collect()
+    assert(chunks.length == 1 && chunks(0)._3 == "a b c" && chunks(0)._4 == 3)
+  }
+
+  test("qualityFilter: each rule fires on its designed offender") {
+    val good = "the quick brown fox jumps over the lazy dog and it runs on for a while with many fine words"
+    val docs = Seq(
+      1L -> good,
+      2L -> "too short",                                  // too_few_words
+      3L -> ("pneumonoultramicroscopics " * 12).trim,     // word_len (long words)
+      4L -> ("a b " * 10 + "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"), // symbol_ratio
+      5L -> ("the 123 456 789 012 345 678 901 234 567 890 on it " * 2).trim, // digit_ratio
+      6L -> ("zzz qqq vvv kkk jjj xxx www yyy uuu mmm nnn ppp " * 2).trim,   // low_stopword
+      7L -> ("the cat sat here " * 12).trim               // repetitive
+    ).toDF("doc_id", "text")
+    val out = TextOps.qualityFilter(docs)
+      .select($"doc_id", $"keep", $"drop_reasons")
+      .as[(Long, Boolean, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1, s"good doc dropped: ${out(1L)._2}")
+    assert(out(2L)._2.contains("too_few_words"))
+    assert(out(3L)._2.contains("word_len"))
+    assert(out(4L)._2.contains("symbol_ratio"))
+    assert(out(5L)._2.contains("digit_ratio"))
+    assert(out(6L)._2.contains("low_stopword"))
+    assert(out(7L)._2.contains("repetitive"))
+    assert(!out(7L)._1)
+  }
+
+  test("scd2: no-op updates collapse; intervals chain; current row open") {
+    val updates = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "free"),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "free"),  // no-op
+      (1L, ts("2024-01-03 00:00:00"), 3L, "pro"),
+      (1L, ts("2024-01-04 00:00:00"), 4L, "pro"),   // no-op
+      (1L, ts("2024-01-05 00:00:00"), 5L, "free"),
+      (2L, ts("2024-01-01 00:00:00"), 6L, "pro")
+    ).toDF("user_id", "ts", "event_id", "plan")
+    val hist = HistoryOps.scd2(updates, "user_id", "ts", "event_id", "plan")
+      .select($"user_id", $"plan", $"valid_from", $"valid_to", $"version",
+        $"is_current")
+      .as[(Long, String, Timestamp, Option[Timestamp], Int, Boolean)]
+      .collect().sortBy(r => (r._1, r._5))
+    assert(hist.map(r => (r._1, r._2, r._5)).toSeq ==
+      Seq((1L, "free", 1), (1L, "pro", 2), (1L, "free", 3), (2L, "pro", 1)))
+    // interval chaining: each valid_to equals the next version's valid_from
+    assert(hist(0)._4.contains(ts("2024-01-03 00:00:00")))
+    assert(hist(1)._4.contains(ts("2024-01-05 00:00:00")))
+    assert(hist(2)._4.isEmpty && hist(2)._6)
+    assert(hist(3)._4.isEmpty && hist(3)._6)
+    assert(hist.count(_._6) == 2) // exactly one current row per key
+  }
+
+  test("scd2: null attribute values are runs, not first-row markers") {
+    val updates = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, Some("a")),
+      (1L, ts("2024-01-02 00:00:00"), 2L, None),      // a -> null: change
+      (1L, ts("2024-01-03 00:00:00"), 3L, None),      // null -> null: no-op
+      (1L, ts("2024-01-04 00:00:00"), 4L, Some("a"))  // null -> a: change
+    ).toDF("user_id", "ts", "event_id", "plan")
+    val hist = HistoryOps.scd2(updates, "user_id", "ts", "event_id", "plan")
+    assert(hist.count() == 3)
+    assert(hist.orderBy($"version").select($"plan")
+      .as[Option[String]].collect().toSeq == Seq(Some("a"), None, Some("a")))
+  }
+
+  test("scaleByGroup matches directly computed stats and is partition-stable") {
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+      ("b", 5L, 5.0), ("b", 6L, 15.0)
+    ).toDF("g", "id", "v")
+    val out = FeatureOps.scaleByGroup(df, "g", "v")
+      .select($"id", $"z_score", $"min_max")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // group a: mean 25, var_samp 500/3*... = (3000 - 2500)/3 -> sd = sqrt(500/3)
+    val sdA = math.sqrt((1000.0 + 4900.0 - 100.0 * 100.0 / 4) / 3) // sum sq = 3000
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(1L)._1 == r6((10.0 - 25.0) / math.sqrt((3000.0 - 2500.0) / 3)))
+    assert(out(1L)._2 == 0.0 && out(4L)._2 == 1.0)
+    assert(out(2L)._2 == r6(10.0 / 30.0))
+    // repartitioned input yields identical features (decimal-exact moments)
+    val out2 = FeatureOps.scaleByGroup(df.repartition(7), "g", "v")
+      .select($"id", $"z_score", $"min_max")
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out2 == out)
+  }
+
+  test("ntileBuckets: deterministic deciles, ties broken by tiebreak") {
+    val df = (1 to 20).map(i => (i.toLong, "s", (i % 5).toDouble))
+      .toDF("id", "seg", "v")
+    val out = FeatureOps.ntileBuckets(df, "seg", "v", "id", 10)
+      .select($"id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(out.values.toSet == (1 to 10).toSet)
+    assert(out.values.groupBy(identity).values.forall(_.size == 2))
+    // rerun is byte-identical (total order)
+    val again = FeatureOps.ntileBuckets(df.repartition(5), "seg", "v", "id", 10)
+      .select($"id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(again == out)
+  }
+
+  test("meanPoolEmbeddings: exact means per (group, dim)") {
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 0.0f))
+    ).toDF("label", "embedding")
+    val out = FeatureOps.meanPoolEmbeddings(df, "label")
+      .as[(Int, Int, Double)].collect().toSet
+    assert(out == Set((0, 1, 2.0), (0, 2, 4.0), (1, 1, 10.0), (1, 2, 0.0)))
+  }
+}

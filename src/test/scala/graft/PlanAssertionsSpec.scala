@@ -123,4 +123,41 @@ class PlanAssertionsSpec extends AnyFunSuite {
     // ReadSchema on the corpus side must not include the label column
     assert(!p.contains("label"), s"unpruned scan:\n$p")
   }
+
+  test("chunking and quality filter never shuffle by key (row-local ops)") {
+    // the ops themselves (not the orderBy-wrapped queries): any exchange
+    // present may only be OpsUtil.spread's round-robin fan-out — a hash or
+    // range partitioning would mean the kernel stopped being row-local
+    val docs = Tables.load(spark, dir, "documents")
+    for (df <- Seq(graft.ops.TextOps.chunkDocuments(docs),
+                   graft.ops.TextOps.qualityFilter(docs))) {
+      val p = df.queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+        s"row-local op gained a keyed shuffle:\n$p")
+      assert(!p.contains("HashAggregate") && !p.contains("Window "),
+        s"row-local op gained an aggregate/window:\n$p")
+    }
+  }
+
+  test("meanPoolEmbeddings: partial agg collapses the explode before one exchange") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val p = graft.ops.FeatureOps.meanPoolEmbeddings(emb, "label")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one keyed exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"expected partial+final aggregate pair:\n$p")
+  }
+
+  test("scaleByGroup: stats join is broadcast, stream is never hash-shuffled") {
+    val ev = Tables.load(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val p = graft.ops.FeatureOps.scaleByGroup(ev, "event_type", "value")
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("BroadcastHashJoin"), s"stats dim not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"stream got sort-merge shuffled:\n$p")
+  }
 }
