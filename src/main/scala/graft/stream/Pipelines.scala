@@ -216,6 +216,27 @@ object Pipelines {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Watermarked stream-stream interval join: pair each left-stream row
+    * with the right-stream rows for the same key whose event time falls in
+    * [left.ts, left.ts + bound] — streaming attribution (touch → purchase
+    * within the window) without landing either stream first.
+    *
+    * Both sides are watermarked and the join condition carries the
+    * event-time bound, which is what lets Spark PRUNE state: each side
+    * buffers only rows inside watermark + bound, so state is
+    * O(rate × window), never O(stream). Left alias `l`, right alias `r`
+    * in the output. */
+  def streamStreamInterval(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String,
+                           bound: String = "30 minutes",
+                           watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
+        s"AND r.$rightTs <= l.$leftTs + interval $bound"))
+  }
+
   /** CDC apply: each micro-batch of parsed change rows upserts into a
     * key-bucketed parquet table, last-writer-wins per key — the MERGE the
     * reference's Debezium topology implies but never implements (its

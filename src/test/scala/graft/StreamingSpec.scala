@@ -215,6 +215,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map(10L -> Some("Alice"), 11L -> Some("Bob"), 99L -> None))
   }
 
+  test("stream-stream interval join pairs within the bound, drops outside") {
+    implicit val ctx = spark.sqlContext
+    val touches = MemoryStream[AppUsage]
+    val purchases = MemoryStream[Transaction]
+    touches.addData(
+      AppUsage("C1", ts("2024-01-01 10:00:00"), 1, ts("2024-01-01 10:00:00")),
+      AppUsage("C2", ts("2024-01-01 10:00:00"), 1, ts("2024-01-01 10:00:00")))
+    purchases.addData(
+      Transaction("C1", "purchase", ts("2024-01-01 10:10:00"), 50.0), // in window
+      Transaction("C1", "purchase", ts("2024-01-01 11:00:00"), 60.0), // past bound
+      Transaction("C1", "purchase", ts("2024-01-01 09:55:00"), 70.0), // before touch
+      Transaction("C3", "purchase", ts("2024-01-01 10:05:00"), 80.0)) // no touch
+    val joined = Pipelines.streamStreamInterval(
+        touches.toDF().select($"customer_id", $"event_time"),
+        purchases.toDF().select($"customer_id", $"timestamp", $"value"),
+        key = "customer_id", leftTs = "event_time", rightTs = "timestamp",
+        bound = "30 minutes")
+      .select(col("l.customer_id"), col("r.value"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("ss_join_t").as[(String, Double)].collect().toSet
+    assert(out == Set(("C1", 50.0)))
+  }
+
   test("goldForeachBatch refreshes gold per micro-batch over silver state") {
     val tmp = Files.createTempDirectory("graft_fb_").toString
     val b = ChurnDataGen.generate(200)
