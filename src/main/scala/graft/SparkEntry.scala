@@ -1054,6 +1054,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted sampling (A-ES): inclusion odds ∝ n_chars, top-20 per
+    // language stratum, reproducible on any engine/partitioning.
+    "ext_sample_weighted" -> ((s, dir) => {
+      ops.SampleOps.weightedSample(tbl(s, dir, "documents"),
+          col("doc_id"), col("n_chars").cast("double"), col("lang"),
+          k = 20, salt = "w1")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified sampling: per-language keep rates (downsample dominant
     // strata, keep the tail) — still a row-local decision, no grouping.
     "ext_sample_stratified" -> ((s, dir) => {
@@ -1470,6 +1480,21 @@ object SparkEntry {
         |  CASE WHEN CAST(('0x' || substr(md5('r2|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 10
         |       THEN 'holdout' ELSE 'train' END AS split
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_weighted" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ln((CAST(CAST(('0x' || substr(md5('w1|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS DOUBLE) + 0.5)
+        |       / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id) AS rk
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang, n_chars FROM ranked WHERE rk <= 20
         |ORDER BY doc_id""".stripMargin,
 
     "ext_sample_stratified" ->

@@ -42,6 +42,36 @@ object SampleOps {
       when(hashBucket(key, salt) < holdoutPct, "holdout").otherwise("train"))
   }
 
+  /** Deterministic weighted sample without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u ∈ (0,1) as a pure md5 hash of
+    * (salt, key) and scores priority = ln(u)/w; the k highest-priority
+    * rows per stratum are the sample. Inclusion probability rises with
+    * weight (the quality-weighted corpus-sampling op), yet re-runs select
+    * the SAME rows on any engine or partitioning — same reproducibility
+    * contract as [[hashBucket]]. Rows with null or non-positive weight
+    * are excluded.
+    *
+    * Scale shape: scoring is row-local; selection is the `row_number ≤ k`
+    * pattern Spark plans as a partial WindowGroupLimit bounded heap, so
+    * the exchange carries ≤ k rows per input partition per stratum. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     stratum: Column, k: Int, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k must be positive, got $k")
+    // 15 hex digits → v ∈ [0, 16^15); (v + 0.5) / 16^15 ∈ (0,1). 16^15 =
+    // 2^60 is exactly representable as a double; v > 2^53 rounds in the
+    // cast, identically on any IEEE-754 engine.
+    val v = conv(substring(md5(concat_ws("|", lit(salt), key.cast("string"))),
+      1, 15), 16, 10).cast("long").cast("double")
+    val u = (v + 0.5) / 1.152921504606846976e18
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__pri", log(u) / weight)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__pri").desc, key)))
+      .filter(col("__rk") <= k)
+      .drop("__pri", "__rk")
+  }
+
   /** Per-stratum sampling rates (e.g. downsample dominant languages,
     * keep the tail): rows in a stratum absent from `pcts` keep
     * `defaultPct`. Still row-local — the stratum column is just another

@@ -60,6 +60,32 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(kept.count() == others) // non-en strata fully kept
   }
 
+  test("weightedSample: heavy weights overrepresented, partition-stable") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // 200 keys, 20 "heavy" (weight 50x): with k=40 of 200 drawn by
+    // priority ln(u)/w, heavy keys should be drawn far above their 10%
+    // population share
+    val rows = spark.range(200).toDF("id")
+      .withColumn("w", when(col("id") < 20, 50.0).otherwise(1.0))
+    val picked = SampleOps.weightedSample(rows, col("id"), col("w"),
+        lit("all"), k = 40, salt = "ws")
+      .select("id").as[Long].collect().toSet
+    assert(picked.size == 40)
+    val heavy = picked.count(_ < 20)
+    assert(heavy >= 15, s"heavy keys picked $heavy/20 (expected near-all)")
+    // identical selection from a differently-partitioned input
+    val again = SampleOps.weightedSample(rows.repartition(13), col("id"),
+        col("w"), lit("all"), k = 40, salt = "ws")
+      .select("id").as[Long].collect().toSet
+    assert(again == picked)
+    // zero/null weights never selected
+    val withBad = rows.withColumn("w",
+      when(col("id") === 5, 0.0).otherwise(col("w")))
+    assert(!SampleOps.weightedSample(withBad, col("id"), col("w"),
+      lit("all"), k = 200, salt = "ws")
+      .select("id").as[Long].collect().contains(5L))
+  }
+
   test("packByBudget: every doc exactly once, packs fill to budget+<1 doc") {
     val packed = PackOps.packByBudget(docs, TextOps.tokenCount($"text"),
       budget = 200L, buckets = 4)
