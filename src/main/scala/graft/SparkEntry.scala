@@ -1181,6 +1181,16 @@ object SparkEntry {
         .orderBy(col("customer_id"))
     }),
 
+    // Z-order curve values (the clustering key behind
+    // LayoutOps.writeZOrdered): 16-bit Morton interleave, pure integer
+    // bit arithmetic — oracle-checked cross-engine.
+    "ext_zorder_values" -> ((s, dir) => {
+      tbl(s, dir, "events").select(col("event_id"), col("user_id"),
+          ops.LayoutOps.morton2(pmod(col("user_id"), lit(65536L)),
+            pmod(col("event_id"), lit(65536L))).as("zval"))
+        .orderBy(col("event_id"))
+    }),
+
     // Group-wise mean-pooled embeddings (class centroids), long format —
     // map-side partial agg collapses the posexplode before the exchange.
     "ext_embed_meanpool" -> ((s, dir) => {
@@ -1892,6 +1902,20 @@ object SparkEntry {
         |    ORDER BY s.spend, s.customer_id) AS INTEGER) AS bucket
         |FROM spend s JOIN customer c ON c.c_custkey = s.customer_id
         |ORDER BY s.customer_id""".stripMargin,
+
+    "ext_zorder_values" -> {
+      val terms = (0 until 16).map { i =>
+        s"((((u >> $i) & 1) << ${2 * i}) | (((e >> $i) & 1) << ${2 * i + 1}))"
+      }.mkString(" | ")
+      s"""WITH base AS (
+         |  SELECT event_id, user_id,
+         |    user_id % 65536 AS u, event_id % 65536 AS e
+         |  FROM events
+         |)
+         |SELECT event_id, user_id, CAST($terms AS BIGINT) AS zval
+         |FROM base
+         |ORDER BY event_id""".stripMargin
+    },
 
     "ext_embed_meanpool" ->
       """WITH ex AS (

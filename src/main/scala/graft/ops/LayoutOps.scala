@@ -42,6 +42,43 @@ object LayoutOps {
                                 aside: org.apache.hadoop.fs.Path): Unit =
     if (!fs.exists(table) && fs.exists(aside)) { fs.rename(aside, table); () }
 
+  /** 2-D Morton (Z-order) interleave of two 16-bit values: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1, so rows close in BOTH
+    * dimensions are close on the curve. Inputs must be in [0, 65535]
+    * (use [[normalize16]] for arbitrary numeric domains); pure integer
+    * bit arithmetic, codegen'd, engine-portable (oracle-checked). */
+  def morton2(a: org.apache.spark.sql.Column,
+              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Clamp-scale a numeric column from [lo, hi] onto the 16-bit grid. The
+    * (lo, hi) bounds are layout metadata — one stats job at table-build
+    * time, like ANN centroids — not computed inline. */
+  def normalize16(c: org.apache.spark.sql.Column, lo: Double,
+                  hi: Double): org.apache.spark.sql.Column =
+    least(greatest(floor((c - lo) / (hi - lo) * 65535.0 + 0.5), lit(0.0)),
+      lit(65535.0)).cast("long")
+
+  /** Write `df` Z-order-clustered on two dimensions: rows are range-
+    * partitioned and sorted by their Morton code, so every output file
+    * covers a small rectangle in (a, b) space and parquet min/max stats
+    * prune file/row-group reads for predicates on EITHER dimension — the
+    * property a single-column sort only gives the leading column. This is
+    * the format-less analog of a table format's OPTIMIZE ZORDER BY; the
+    * curve math is identical. Cost: one range exchange + in-partition
+    * sort, the same price as any clustered write. */
+  def writeZOrdered(df: DataFrame, path: String,
+                    a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column, numFiles: Int): Unit =
+    df.withColumn("__z", morton2(a, b))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Write `df` date-partitioned by the day of `tsCol` — the layout that
     * makes the Gold incremental cutoff (`Gold1.py:20-27`'s commented
     * intent) a partition-pruned scan instead of a full read. Append for

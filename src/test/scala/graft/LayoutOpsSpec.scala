@@ -208,6 +208,52 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(!asideRoot.exists() && !new java.io.File(path + "__upserting").exists())
   }
 
+  test("morton2 interleaves bits: a at even positions, b at odd") {
+    val out = Seq((3L, 2L), (0L, 0L), (65535L, 0L), (0L, 65535L))
+      .toDF("a", "b")
+      .select(LayoutOps.morton2($"a", $"b").as("z")).as[Long].collect()
+    assert(out(0) == 13L)           // a=11b -> bits 0,2; b=10b -> bit 3
+    assert(out(1) == 0L)
+    assert(out(2) == 0x55555555L)   // a=0xFFFF fills the even positions
+    assert(out(3) == 0xAAAAAAAAL)   // b=0xFFFF fills the odd positions
+  }
+
+  test("z-ordered layout confines every file to a small (a,b) rectangle") {
+    // 4096 rows on a uniform 64x64 grid scaled to 16 bits; 16 output files.
+    // A z-ordered write should bound EACH file's spread in BOTH dimensions
+    // (~quarter domain for aligned splits); a single-column sort bounds
+    // only its leading column and leaves the other near full-domain.
+    val grid = spark.range(4096)
+      .select((($"id" % 64) * 1024).as("x"),
+        (($"id" / 64).cast("long") * 1024).as("y"))
+    val dom = 65535.0
+    def avgSpread(path: String): (Double, Double) = {
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+      assert(files.length > 8, s"expected many files, got ${files.length}")
+      val spreads = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min($"x"), max($"x"), min($"y"), max($"y")).head
+        ((r.getLong(1) - r.getLong(0)).toDouble,
+          (r.getLong(3) - r.getLong(2)).toDouble)
+      }
+      (spreads.map(_._1).sum / spreads.length,
+        spreads.map(_._2).sum / spreads.length)
+    }
+    val zdir = Files.createTempDirectory("graft_z_").toString + "/t"
+    LayoutOps.writeZOrdered(grid, zdir, $"x", $"y", numFiles = 16)
+    val (zx, zy) = avgSpread(zdir)
+    assert(zx < 0.6 * dom, s"z-ordered x spread $zx")
+    assert(zy < 0.6 * dom, s"z-ordered y spread $zy")
+    // baseline: x-sorted layout leaves y unclustered
+    val xdir = Files.createTempDirectory("graft_zx_").toString + "/t"
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.parquet(xdir)
+    val (_, xy) = avgSpread(xdir)
+    assert(xy > 0.9 * dom, s"x-sorted layout unexpectedly clustered y: $xy")
+    assert(zy < 0.6 * xy, s"z-order ($zy) should beat x-sort ($xy) on y")
+  }
+
   test("compact shrinks file confetti without losing rows") {
     val tmp = Files.createTempDirectory("graft_compact_").toString + "/t"
     events.repartition(24).write.parquet(tmp) // 24 small files
