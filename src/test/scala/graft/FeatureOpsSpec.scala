@@ -32,6 +32,24 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("chunkDocuments: window count formula and full coverage across shapes") {
+    for ((n, cs, st) <- Seq((1, 4, 3), (3, 4, 3), (4, 4, 3), (5, 4, 3),
+        (10, 4, 4), (17, 5, 2), (100, 64, 48), (96, 64, 48))) {
+      val doc = Seq((1L, (1 to n).map(i => s"w$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val chunks = TextOps.chunkDocuments(doc, cs, st)
+        .orderBy($"chunk_id").as[(Long, Long, String, Int)].collect()
+      val expected = (n - 1) / st + 1
+      assert(chunks.length == expected, s"(n=$n cs=$cs st=$st)")
+      assert(chunks.map(_._2).toSeq == (0 until expected).map(_.toLong),
+        s"chunk ids not ordinal (n=$n cs=$cs st=$st)")
+      assert(chunks.forall(_._4 <= cs))
+      val covered = chunks.flatMap(_._3.split(" ")).toSet
+      assert(covered == (1 to n).map(i => s"w$i").toSet,
+        s"coverage gap (n=$n cs=$cs st=$st)")
+    }
+  }
+
   test("chunkDocuments: doc shorter than one chunk yields exactly one chunk") {
     val doc = Seq((1L, "a b c")).toDF("doc_id", "text")
     val chunks = TextOps.chunkDocuments(doc, chunkSize = 64, stride = 48)

@@ -150,6 +150,37 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected partial+final aggregate pair:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // at 100 TB a selective dim predicate should become a row-level filter
+    // on the fact scan BEFORE the shuffle — Spark's InjectRuntimeFilter
+    // does this with a bloom filter; pin that it actually fires for the
+    // enrichment-join shape when the join is too big to broadcast
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      val cust = Tables.load(spark, dir, "customer")
+        .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      val orders = Tables.load(spark, dir, "orders")
+      val j = orders.join(cust,
+        orders("o_custkey") === cust("c_custkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("scaleByGroup: stats join is broadcast, stream is never hash-shuffled") {
     val ev = Tables.load(spark, dir, "events")
       .select(org.apache.spark.sql.functions.col("event_id"),
