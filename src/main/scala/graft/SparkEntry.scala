@@ -1181,6 +1181,19 @@ object SparkEntry {
         .orderBy(col("customer_id"))
     }),
 
+    // The doc-embedding pipeline end to end: chunk → embed (portable stub
+    // encoder) → mean-pool chunk vectors back to one embedding per doc.
+    // Chunking and embedding are row-local; pooling partial-aggregates —
+    // the exact composition a 100 TB corpus embedding job runs.
+    "ext_chunk_embed_pool" -> ((s, dir) => {
+      val chunks = ops.TextOps.chunkDocuments(tbl(s, dir, "documents"),
+        chunkSize = 64, stride = 48)
+      val embedded = chunks.select(col("doc_id"),
+        ops.TextOps.stubEmbedding(col("chunk_text"), 8).as("embedding"))
+      ops.FeatureOps.meanPoolEmbeddings(embedded, group = "doc_id")
+        .orderBy(col("doc_id"), col("dim"))
+    }),
+
     // Z-order curve values (the clustering key behind
     // LayoutOps.writeZOrdered): 16-bit Morton interleave, pure integer
     // bit arithmetic — oracle-checked cross-engine.
@@ -1902,6 +1915,35 @@ object SparkEntry {
         |    ORDER BY s.spend, s.customer_id) AS INTEGER) AS bucket
         |FROM spend s JOIN customer c ON c.c_custkey = s.customer_id
         |ORDER BY s.customer_id""".stripMargin,
+
+    "ext_chunk_embed_pool" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents
+        |), starts AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, greatest(len(toks), 1), 48)) AS start
+        |  FROM base
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(toks, start + 1, start + 64), ' ')
+        |      AS chunk_text
+        |  FROM starts
+        |), embedded AS (
+        |  SELECT doc_id, list_transform(range(0, 8), i ->
+        |    CAST(CAST(('0x' || substr(md5(chunk_text || '|' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 AS DOUBLE) / 999.0)
+        |    AS emb
+        |  FROM chunks
+        |), ex AS (
+        |  SELECT doc_id, generate_subscripts(emb, 1) AS dim,
+        |    CAST(unnest(emb) AS DECIMAL(18,9)) AS c
+        |  FROM embedded
+        |)
+        |SELECT doc_id, CAST(dim AS INTEGER) AS dim,
+        |  floor((CAST(SUM(c) AS DOUBLE) / COUNT(*)) * 1000000 + 0.5) / 1000000.0
+        |    AS mean_val
+        |FROM ex GROUP BY doc_id, dim
+        |ORDER BY doc_id, dim""".stripMargin,
 
     "ext_zorder_values" -> {
       val terms = (0 until 16).map { i =>

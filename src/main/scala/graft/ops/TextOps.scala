@@ -208,6 +208,18 @@ object TextOps {
       .withColumn("keep", col("drop_reasons") === "")
   }
 
+  /** Deterministic, engine-portable stand-in for a text-embedding model
+    * call: dim i = (md5-derived hash of (text, i) mod 1000) / 999 ∈ [0, 1].
+    * The real encoder is an external model service; what the engine owns —
+    * and what this exercises — is the Spark-side contract: a row-local
+    * projection producing `array<double>`, feeding pooling / ANN / LSH
+    * downstream. Swap the expression for a model-serving UDF at the same
+    * call site in production. */
+  def stubEmbedding(text: Column, dims: Int = 8): Column =
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      pmod(conv(substring(md5(concat_ws("|", text, i.cast("string"))), 1, 15),
+        16, 10).cast("long"), lit(1000L)).cast("double") / 999.0)
+
   /** TF-IDF top-k terms per document — corpus-level relevance weighting,
     * shaped for scale: the (doc, term) counts shuffle once with map-side
     * partial aggregation, the document-frequency table (≤ vocabulary rows,

@@ -240,6 +240,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(("C1", 50.0)))
   }
 
+  test("quality filter and chunking run unchanged on a stream (stateless projections)") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData(
+      (1L, "the quick brown fox jumps over the lazy dog and it runs on for a while with many fine words"),
+      (2L, "too short"))
+    val q = graft.ops.TextOps.qualityFilter(
+        in.toDF().toDF("doc_id", "text"))
+      .select(col("doc_id"), col("keep"))
+      .writeStream.format("memory").queryName("qf_stream_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("qf_stream_t").as[(Long, Boolean)].collect().toMap
+    assert(out == Map(1L -> true, 2L -> false))
+    val q2 = graft.ops.TextOps.chunkDocuments(
+        in.toDF().toDF("doc_id", "text"), chunkSize = 4, stride = 3)
+      .writeStream.format("memory").queryName("chunk_stream_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.table("chunk_stream_t").count() > 2) // doc 1 fans out
+  }
+
   test("goldForeachBatch refreshes gold per micro-batch over silver state") {
     val tmp = Files.createTempDirectory("graft_fb_").toString
     val b = ChurnDataGen.generate(200)
