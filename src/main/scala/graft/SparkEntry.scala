@@ -1181,6 +1181,21 @@ object SparkEntry {
         .orderBy(col("customer_id"))
     }),
 
+    // Heavy hitters via the native Misra–Gries aggregate: each task builds
+    // an O(capacity) summary map-side and the exchange carries ONE summary
+    // per partition — no (token) shuffle at all. capacity 64 ≥ the fixture
+    // vocabulary, so the sketch degenerates to exact counts and the full
+    // hash oracle applies; the lossy regime is spec-pinned separately.
+    "ext_heavy_tokens" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .agg(graft.functions.SketchFunctions
+          .misra_gries_topk(col("token"), 64).as("summary"))
+        .select(explode(col("summary")).as("e"))
+        .select(col("e.item").as("token"), col("e.est").as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+    }),
+
     // The doc-embedding pipeline end to end: chunk → embed (portable stub
     // encoder) → mean-pool chunk vectors back to one embedding per doc.
     // Chunking and embedding are row-local; pooling partial-aggregates —
@@ -1915,6 +1930,15 @@ object SparkEntry {
         |    ORDER BY s.spend, s.customer_id) AS INTEGER) AS bucket
         |FROM spend s JOIN customer c ON c.c_custkey = s.customer_id
         |ORDER BY s.customer_id""".stripMargin,
+
+    "ext_heavy_tokens" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM toks GROUP BY token
+        |ORDER BY cnt DESC, token""".stripMargin,
 
     "ext_chunk_embed_pool" ->
       """WITH base AS (

@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("misra_gries_topk"),
+      new ExpressionInfo(classOf[MisraGriesTopK].getName, "misra_gries_topk"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MisraGriesTopK(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
     // bin width tunes interval-join fan-out vs bucket size; ~typical
     // interval length is right (an interval spanning k bins replicates k+1×)
     e.injectOptimizerRule { session =>

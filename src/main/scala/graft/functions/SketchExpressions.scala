@@ -238,4 +238,9 @@ object SketchFunctions {
   /** Sign-random-projection bit signature from an `array<float>` embedding. */
   def srp_signature(embedding: Column, nPlanes: Int, seed: Long): Column =
     column(SignRandomProjection(expression(embedding), nPlanes, seed))
+
+  /** Misra–Gries heavy-hitters summary aggregate (see
+    * [[MisraGriesTopK]]): array<struct<item, est>> by (est desc, item). */
+  def misra_gries_topk(item: Column, capacity: Int): Column =
+    column(MisraGriesTopK(expression(item), capacity).toAggregateExpression())
 }

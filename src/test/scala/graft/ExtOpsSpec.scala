@@ -91,6 +91,46 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("misra-gries: exact when capacity >= vocab, guarantees in the lossy regime") {
+    import graft.functions.SketchFunctions.misra_gries_topk
+    val toks = docs.select(explode(split(lower($"text"), "\\s+")).as("token"))
+    val exact = toks.groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    // exact regime: capacity above vocabulary → identical to GROUP BY,
+    // stable under repartitioning (merge path exercised)
+    for (t <- Seq(toks, toks.repartition(13))) {
+      val mg = t.agg(misra_gries_topk($"token", 256).as("s"))
+        .select(explode($"s").as("e")).select($"e.item", $"e.est")
+        .as[(String, Long)].collect().toMap
+      assert(mg == exact)
+    }
+    // lossy regime: capacity 4 over a skewed stream — the majority item
+    // must survive with a lower-bound count within n/(capacity+1) of truth
+    val n = 1000
+    val skewed = spark.range(n)
+      .select(when($"id" % 2 === 0, "hot")
+        .otherwise(concat(lit("t"), ($"id" % 97).cast("string"))).as("token"))
+    val mg = skewed.agg(misra_gries_topk($"token", 4).as("s"))
+      .select(explode($"s").as("e")).select($"e.item", $"e.est")
+      .as[(String, Long)].collect().toMap
+    assert(mg.contains("hot"), s"majority item evicted: $mg")
+    assert(mg("hot") <= n / 2, "count must be a lower bound")
+    assert(mg("hot") >= n / 2 - n / 5, s"lower bound too loose: ${mg("hot")}")
+    assert(mg.size <= 4)
+  }
+
+  test("misra_gries_topk is callable from SQL via GraftExtensions") {
+    docs.select(explode(split(lower($"text"), "\\s+")).as("token"))
+      .createOrReplaceTempView("mg_toks")
+    val viaSql = spark.sql(
+      "SELECT misra_gries_topk(token, 256) AS s FROM mg_toks")
+      .select(explode($"s").as("e")).select($"e.item", $"e.est")
+      .as[(String, Long)].collect().toMap
+    val exact = docs.select(explode(split(lower($"text"), "\\s+")).as("token"))
+      .groupBy("token").count().as[(String, Long)].collect().toMap
+    assert(viaSql == exact)
+  }
+
   test("centroid broadcast fallback matches the literal-inline path") {
     // force the fallback with a 1-float inline budget; results must be
     // row-identical to the codegen'd literal projection (same argmax, same
