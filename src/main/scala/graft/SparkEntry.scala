@@ -1226,6 +1226,53 @@ object SparkEntry {
           tbl(s, dir, "embeddings").select(col("label"), col("embedding")),
           group = "label")
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // Outlier capping: clip event values to their type's [p05, p95]. The
+    // cut points are a |groups|-row broadcast; the stream is never
+    // window-shuffled (exact percentile = audit path, see winsorize doc).
+    "ext_winsorize" -> ((s, dir) => {
+      ops.FeatureOps.winsorize(
+          tbl(s, dir, "events")
+            .select(col("event_id"), col("event_type"), col("value")),
+          group = "event_type", value = "value", lo = 0.05, hi = 0.95)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_winsorized"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Mean imputation over a deterministically-holed copy of the stream
+    // (the fixture has no nulls, so every 7th event's value is nulled):
+    // decimal-exact group means broadcast back, no window shuffle.
+    "ext_impute_mean" -> ((s, dir) => {
+      val holed = tbl(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("value")).as("value"))
+      ops.FeatureOps.imputeMean(holed, group = "event_type", value = "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("was_missing"), col("value_imputed"))
+        .orderBy(col("event_id"))
+    }),
+
+    // 100x-scale sibling of ext_ntile_buckets: approx_percentile cut points
+    // (mergeable GK sketch, bounded memory) + a row-local assignment — no
+    // per-group global sort. Sketch output => no SQL oracle; agreement with
+    // exact NTILE is pinned in FeatureOpsSpec.
+    "ext_ntile_approx" -> ((s, dir) => {
+      val spend = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(moneySum(col("o_totalprice")).as("spend"))
+        .withColumnRenamed("o_custkey", "customer_id")
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      ops.FeatureOps.ntileApproxBuckets(
+          spend.join(broadcast(cust),
+            spend("customer_id") === cust("c_custkey")).drop("c_custkey"),
+          group = "segment", value = "spend", k = 10)
+        .select(col("customer_id"), col("segment"), col("spend"),
+          col("bucket"))
+        .orderBy(col("customer_id"))
     })
   )
 
@@ -1930,6 +1977,35 @@ object SparkEntry {
         |    ORDER BY s.spend, s.customer_id) AS INTEGER) AS bucket
         |FROM spend s JOIN customer c ON c.c_custkey = s.customer_id
         |ORDER BY s.customer_id""".stripMargin,
+
+    "ext_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo,
+        |    quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  least(greatest(e.value, lo), hi) AS value_winsorized
+        |FROM events e JOIN cuts USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "ext_impute_mean" ->
+      """WITH holed AS (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events
+        |), stats AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value)
+        |      AS m
+        |  FROM holed GROUP BY event_type
+        |)
+        |SELECT h.event_id, h.event_type, h.value,
+        |  h.value IS NULL AS was_missing,
+        |  COALESCE(h.value, m) AS value_imputed
+        |FROM holed h JOIN stats USING (event_type)
+        |ORDER BY h.event_id""".stripMargin,
 
     "ext_heavy_tokens" ->
       """WITH toks AS (

@@ -67,6 +67,59 @@ object FeatureOps {
       Window.partitionBy(col(group))
         .orderBy(col(value).asc, col(tiebreak).asc)))
 
+  /** Per-group winsorization: clip `value` to its group's [lo, hi]
+    * percentiles — the outlier-capping step before scaling/training.
+    * Exact `percentile` is the AUDIT path (it buffers each group's values
+    * reduce-side — see the value_quantiles discussion); the 100×-scale
+    * variant swaps the cut-point aggregate for `approx_percentile` with
+    * everything else unchanged ([[ntileApproxBuckets]] shows the pattern).
+    * Cut points are a |groups|-row broadcast, the stream is never
+    * window-shuffled. */
+  def winsorize(df: DataFrame, group: String, value: String,
+                lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1")
+    val cuts = df.groupBy(col(group)).agg(
+      expr(s"percentile($value, $lo)").as("__lo"),
+      expr(s"percentile($value, $hi)").as("__hi"))
+    df.join(broadcast(cuts), Seq(group))
+      .withColumn(s"${value}_winsorized",
+        least(greatest(col(value), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /** Per-group mean imputation: fill null `value`s with the group mean
+    * (decimal-exact, partitioning-independent — same moment machinery as
+    * [[scaleByGroup]]) and flag the filled rows. |groups|-row broadcast
+    * join, no window. */
+  def imputeMean(df: DataFrame, group: String, value: String): DataFrame = {
+    val stats = df.groupBy(col(group)).agg(
+      (sum(col(value).cast("decimal(18,2)")).cast("double")
+        / count(col(value))).as("__mean"))
+    df.join(broadcast(stats), Seq(group))
+      .withColumn("was_missing", col(value).isNull)
+      .withColumn(s"${value}_imputed", coalesce(col(value), col("__mean")))
+      .drop("__mean")
+  }
+
+  /** Scale sibling of [[ntileBuckets]]: bucket by `approx_percentile` cut
+    * points instead of a per-group global sort. The cut-point aggregate is
+    * mergeable and bounded-memory (GK sketch), the assignment is a
+    * row-local comparison against the broadcast cut array — so this runs
+    * at any scale, trading exact equal-sized buckets for rank-error-bounded
+    * ones (agreement with exact NTILE pinned in spec). */
+  def ntileApproxBuckets(df: DataFrame, group: String, value: String,
+                         k: Int, accuracy: Int = 10000): DataFrame = {
+    val qs = (1 until k).map(_.toDouble / k)
+    val cuts = df.groupBy(col(group)).agg(
+      expr(s"approx_percentile($value, array(${qs.mkString(",")}), $accuracy)")
+        .as("__cuts"))
+    df.join(broadcast(cuts), Seq(group))
+      // bucket = 1 + number of cut points strictly below the value
+      .withColumn("bucket",
+        (size(filter(col("__cuts"), c => c < col(value))) + 1))
+      .drop("__cuts")
+  }
+
   /** Group-wise mean-pooled embedding, long format: one (group, dim, mean)
     * row per dimension — the doc-level-embedding-from-chunk-embeddings /
     * class-centroid op.

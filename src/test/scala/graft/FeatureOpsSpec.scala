@@ -161,4 +161,50 @@ class FeatureOpsSpec extends AnyFunSuite {
       .as[(Int, Int, Double)].collect().toSet
     assert(out == Set((0, 1, 2.0), (0, 2, 4.0), (1, 1, 10.0), (1, 2, 0.0)))
   }
+
+  test("winsorize: tails clipped to group cuts, interior untouched, partition-stable") {
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toDouble))
+      .toDF("seg", "id", "v")
+    val out = FeatureOps.winsorize(df, "seg", "v", 0.05, 0.95)
+      .select($"id", $"v_winsorized").as[(Long, Double)].collect().toMap
+    // interpolated percentiles over 1..100: p05 = 1 + 0.05*99 = 5.95,
+    // p95 = 1 + 0.95*99 = 95.05
+    assert(out(1L) == 5.95 && out(3L) == 5.95 && out(5L) == 5.95)
+    assert(out(100L) == 95.05 && out(97L) == 95.05 && out(96L) == 95.05)
+    assert(out(6L) == 6.0 && out(50L) == 50.0 && out(95L) == 95.0)
+    val again = FeatureOps.winsorize(df.repartition(7), "seg", "v", 0.05, 0.95)
+      .select($"id", $"v_winsorized").as[(Long, Double)].collect().toMap
+    assert(again == out)
+  }
+
+  test("imputeMean: nulls get the group mean + flag; non-nulls untouched") {
+    val df = Seq(("a", 1L, Some(2.0)), ("a", 2L, None), ("a", 3L, Some(4.0)),
+        ("b", 4L, Some(10.0)), ("b", 5L, None))
+      .toDF("seg", "id", "v")
+    val out = FeatureOps.imputeMean(df, "seg", "v")
+      .select($"id", $"was_missing", $"v_imputed")
+      .as[(Long, Boolean, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((true, 3.0)))   // mean of {2, 4}
+    assert(out(5L) == ((true, 10.0)))  // mean of {10}
+    assert(out(1L) == ((false, 2.0)) && out(3L) == ((false, 4.0))
+      && out(4L) == ((false, 10.0)))
+  }
+
+  test("ntileApproxBuckets: agrees with exact NTILE at high accuracy") {
+    // 250 distinct values per group (37 is invertible mod 501)
+    val df = (1 to 500)
+      .map(i => (if (i % 2 == 0) "x" else "y", i.toLong, (i * 37 % 501).toDouble))
+      .toDF("seg", "id", "v")
+    val exact = FeatureOps.ntileBuckets(df, "seg", "v", "id", 10)
+      .select($"id", $"bucket").as[(Long, Int)].collect().toMap
+    val approx = FeatureOps.ntileApproxBuckets(df, "seg", "v", 10)
+      .select($"id", $"bucket").as[(Long, Int)].collect().toMap
+    assert(approx.values.forall(b => b >= 1 && b <= 10))
+    // accuracy (10000) >> group size (250): GK rank error < 1, so the cut
+    // points are exact data values; only exact boundary rows may shift one
+    assert(exact.forall { case (id, b) => math.abs(approx(id) - b) <= 1 })
+    val disagree = exact.count { case (id, b) => approx(id) != b }
+    assert(disagree <= exact.size / 10, s"disagree=$disagree")
+  }
 }
