@@ -90,12 +90,32 @@ object Bench {
     val medians = names.map { case (name, _) =>
       name -> median(passes.map(_.toMap.apply(name)))
     }
+    // Locale.ROOT: f"" interpolation uses the JVM default locale, which in
+    // comma-decimal locales (de_DE) would emit "0,3026" — invalid JSON.
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def fmt(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      kvs.map { case (k, v) => "\"" + k + "\":" + num(v) }
         .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    // Per-pass raw timings go to a side file + an EARLY stdout line: the
+    // driver captures a bounded log TAIL, so anything bulky printed after
+    // the summary would evict the headline (this truncated BENCH_r03.json's
+    // median block). The compact median summary must be the LAST line.
     val runsJson = passes.map(fmt).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(medians)},"runs":$runsJson,"n_runs":$nRuns,"sf":"$sfDir"}""")
+    val runsLine = s"""{"metric":"runs","runs":$runsJson,"n_runs":$nRuns,"sf":"$sfDir"}"""
+    try {
+      val side = new java.io.File("target/graft-bench-runs.json")
+      side.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(side, "UTF-8")
+      try w.println(runsLine) finally w.close()
+    } catch { case _: Throwable => }
+    println(runsLine)
+    // staged_inputs: per-session staging convention (ensureStaged) — index/
+    // landing-job writes (incremental silver table, near-dup pairs) run once
+    // per session, outside the timed passes; medians time the read/consume
+    // path. Any cross-engine comparison must stage the reference identically.
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${fmt(medians)},"n_runs":$nRuns,"staged_inputs":true,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -466,6 +466,15 @@ object SparkEntry {
         .orderBy(col("feature"))
     }),
 
+    // Scale sibling: GK-sketch quartiles (bounded memory at any row count);
+    // exact `gold_feature_summary` stays as the audit path. Sketch estimates
+    // aren't SQL-portable → no_oracle (rows-checked); agreement with the
+    // exact summary pinned in GoldVizSpec.
+    "gold_feature_summary_approx" -> ((s, dir) => {
+      ops.GoldViz.featureSummaryApprox(goldEnrichedOnePass(s, dir))
+        .orderBy(col("feature"))
+    }),
+
     // North-star ML: logistic-regression churn scoring over the Gold
     // features (train on a deterministic weak label, score in one pass).
     // Model output is not SQL-expressible → no oracle; behavior pinned in
@@ -1910,6 +1919,7 @@ object SparkEntry {
         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, digit_ratio,
         |  stopword_ratio, dup_trigram_ratio,
         |  concat_ws(',',
+        |    CASE WHEN n_words IS NULL THEN 'null_text' END,
         |    CASE WHEN n_words < 10 THEN 'too_few_words' END,
         |    CASE WHEN n_words > 5000 THEN 'too_many_words' END,
         |    CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'word_len' END,
@@ -1918,6 +1928,7 @@ object SparkEntry {
         |    CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
         |    CASE WHEN dup_trigram_ratio > 0.3 THEN 'repetitive' END) AS drop_reasons,
         |  concat_ws(',',
+        |    CASE WHEN n_words IS NULL THEN 'null_text' END,
         |    CASE WHEN n_words < 10 THEN 'too_few_words' END,
         |    CASE WHEN n_words > 5000 THEN 'too_many_words' END,
         |    CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'word_len' END,
@@ -1955,7 +1966,7 @@ object SparkEntry {
         |  SELECT event_type,
         |    SUM(CAST(value AS DECIMAL(18,2))) AS s1,
         |    SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2,
-        |    COUNT(*) AS n, MIN(value) AS mn, MAX(value) AS mx
+        |    COUNT(value) AS n, MIN(value) AS mn, MAX(value) AS mx
         |  FROM events GROUP BY event_type
         |)
         |SELECT e.event_id, e.event_type, e.value,

@@ -35,9 +35,11 @@ object FeatureOps {
     * reproducible on any engine and partitioning. */
   def scaleByGroup(df: DataFrame, group: String, value: String): DataFrame = {
     val dec = col(value).cast("decimal(18,2)")
+    // count(col) — not count(*): sum/min/max skip nulls, so n must count
+    // only non-null values or a nullable column silently biases mean/var
     val stats = df.groupBy(col(group))
       .agg(sum(dec).as("__s1"), sum(dec * dec).as("__s2"),
-        count(lit(1)).as("__n"),
+        count(col(value)).as("__n"),
         min(col(value)).as("__min"), max(col(value)).as("__max"))
       .select(col(group),
         (col("__s1").cast("double") / col("__n")).as("__mean"),

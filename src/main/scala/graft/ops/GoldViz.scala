@@ -52,6 +52,40 @@ object GoldViz {
       .select("s.*")
   }
 
+  /** Scale sibling of [[featureSummary]]: same shape, quartiles via
+    * `approx_percentile` (GK sketch, mergeable, bounded memory). The exact
+    * form buffers every row's value in the final reduce — O(rows) memory on
+    * one task, a scale-killer at 100 TB; the sketch holds O(accuracy) per
+    * partition and merges map-side. accuracy=10000 bounds rank error at
+    * 1/10000 of the row count. Exact stays as the audit path; agreement is
+    * pinned in GoldVizSpec. Estimates aren't SQL-portable → no_oracle, like
+    * the other sketch queries. */
+  def featureSummaryApprox(gold: DataFrame, feats: Seq[String] = Features,
+                           accuracy: Int = 10000): DataFrame = {
+    val aggs = feats.flatMap { f =>
+      Seq(
+        count(col(f)).as(s"${f}__n"),
+        min(col(f)).cast("double").as(s"${f}__min"),
+        max(col(f)).cast("double").as(s"${f}__max"),
+        percentile_approx(col(f).cast("double"), lit(0.25), lit(accuracy))
+          .as(s"${f}__p25"),
+        percentile_approx(col(f).cast("double"), lit(0.5), lit(accuracy))
+          .as(s"${f}__p50"),
+        percentile_approx(col(f).cast("double"), lit(0.75), lit(accuracy))
+          .as(s"${f}__p75"))
+    }
+    gold.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(feats.map(f => struct(
+        lit(f).as("feature"),
+        col(s"${f}__n").as("n"),
+        col(s"${f}__min").as("fmin"),
+        col(s"${f}__max").as("fmax"),
+        col(s"${f}__p25").as("p25"),
+        col(s"${f}__p50").as("p50"),
+        col(s"${f}__p75").as("p75"))): _*)).as("s"))
+      .select("s.*")
+  }
+
   /** The five frames the reference dashboard reads
     * (`GoldDataVisualiztion1.py:9-14`), as named projections. */
   def vizFrames(app: DataFrame, declines: DataFrame, arpu: DataFrame,

@@ -157,6 +157,9 @@ object TextOps {
     * zero shuffle, one fused pass (same posture as [[profile]]).
     *
     * Rules (names appear in drop_reasons in this order):
+    *   null_text — NULL document: every metric is NULL so every other rule
+    *     would silently skip and the degenerate doc would pass the gate;
+    *     this explicit rule drops it with a reason;
     *   too_few_words / too_many_words — word-count bounds;
     *   word_len — mean word length outside [minMeanLen, maxMeanLen];
     *   symbol_ratio — punctuation-to-char ratio above max;
@@ -197,6 +200,8 @@ object TextOps {
     // concat_ws skips NULLs in both Spark and DuckDB, so each rule emits
     // its name or NULL and the audit string needs no array filtering
     val reasons = concat_ws(",",
+      // n_words is NULL exactly when text is NULL (size(split(NULL)) = NULL)
+      when(col("n_words").isNull, "null_text"),
       when(col("n_words") < minWords, "too_few_words"),
       when(col("n_words") > maxWords, "too_many_words"),
       when(!col("mean_word_len").between(minMeanLen, maxMeanLen), "word_len"),
@@ -226,11 +231,14 @@ object TextOps {
     * tiny next to the corpus) broadcasts back onto it, and the per-doc
     * top-k is the `row_number ≤ k` pattern Spark runs as a partial
     * `WindowGroupLimit` bounded heap. `nDocs` is index-style metadata
-    * (one count job at build, like an ANN centroid fit).
+    * (one count job at build, like an ANN centroid fit) — pipelines that
+    * already know the corpus size pass it via `nDocsKnown` and skip that
+    * job entirely (a landing job's row count is free metadata).
     * Deterministic tiebreak: equal scores order by term. */
-  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+                    nDocsKnown: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.count()
+    val nDocs = nDocsKnown.getOrElse(docs.count())
     val terms = OpsUtil.spread(docs)
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("term"))
