@@ -1205,6 +1205,20 @@ object SparkEntry {
         .orderBy(col("cnt").desc, col("token"))
     }),
 
+    // Heavy hitters over LONG ids — the canonical input (which users
+    // dominate the event stream?). Same native Misra–Gries aggregate, item
+    // type carried through as bigint. capacity 2048 ≥ distinct users at
+    // every tested SF, so counts are exact and the full hash oracle
+    // applies; at true 100 TB scale capacity is a bounded-memory knob.
+    "ext_heavy_users" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .agg(graft.functions.SketchFunctions
+          .misra_gries_topk(col("user_id"), 2048).as("summary"))
+        .select(explode(col("summary")).as("e"))
+        .select(col("e.item").as("user_id"), col("e.est").as("cnt"))
+        .orderBy(col("cnt").desc, col("user_id"))
+    }),
+
     // The doc-embedding pipeline end to end: chunk → embed (portable stub
     // encoder) → mean-pool chunk vectors back to one embedding per doc.
     // Chunking and embedding are row-local; pooling partial-aggregates —
@@ -2026,6 +2040,11 @@ object SparkEntry {
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM toks GROUP BY token
         |ORDER BY cnt DESC, token""".stripMargin,
+
+    "ext_heavy_users" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY user_id
+        |ORDER BY cnt DESC, user_id""".stripMargin,
 
     "ext_chunk_embed_pool" ->
       """WITH base AS (

@@ -119,6 +119,50 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(mg.size <= 4)
   }
 
+  test("misra-gries: survives items past the 64 KB writeUTF ceiling") {
+    import graft.functions.SketchFunctions.misra_gries_topk
+    // a 70 KB unbroken "token" — the raw-web-text pathology. writeUTF-based
+    // serialization throws UTFDataFormatException at shuffle time for any
+    // item whose modified-UTF-8 form exceeds 65,535 bytes; length-prefixed
+    // raw UTF-8 must carry it through the partial/merge path intact.
+    val blob = "x" * 70000
+    val toks = spark.range(20)
+      .select(when($"id" % 4 === 0, blob).otherwise(concat(lit("t"),
+        ($"id" % 5).cast("string"))).as("token"))
+      .repartition(7) // force a partial → shuffle → merge round-trip
+    val mg = toks.agg(misra_gries_topk($"token", 64).as("s"))
+      .select(explode($"s").as("e")).select($"e.item", $"e.est")
+      .as[(String, Long)].collect().toMap
+    val exact = toks.groupBy("token").count().as[(String, Long)].collect().toMap
+    assert(mg == exact)
+    assert(mg(blob) == 5L)
+  }
+
+  test("misra-gries: long items (user ids), exact and lossy regimes") {
+    import graft.functions.SketchFunctions.misra_gries_topk
+    // exact regime over bigint ids: identical to GROUP BY, merge-stable
+    val ids = spark.range(500).select(($"id" % 37).as("user_id"))
+      .repartition(11)
+    val mg = ids.agg(misra_gries_topk($"user_id", 64).as("s"))
+      .select(explode($"s").as("e")).select($"e.item", $"e.est")
+      .as[(Long, Long)].collect().toMap
+    val exact = ids.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+    assert(mg == exact)
+    // output item type follows the child type through to the schema
+    val itemType = ids.agg(misra_gries_topk($"user_id", 64).as("s"))
+      .select(explode($"s").as("e")).select($"e.item").schema.head.dataType
+    assert(itemType == org.apache.spark.sql.types.LongType)
+    // lossy regime: the majority id survives with a lower-bound count
+    val n = 1000
+    val skewed = spark.range(n)
+      .select(when($"id" % 2 === 0, 7L).otherwise($"id" % 97 + 100).as("user_id"))
+    val lossy = skewed.agg(misra_gries_topk($"user_id", 4).as("s"))
+      .select(explode($"s").as("e")).select($"e.item", $"e.est")
+      .as[(Long, Long)].collect().toMap
+    assert(lossy.contains(7L), s"majority id evicted: $lossy")
+    assert(lossy(7L) <= n / 2 && lossy(7L) >= n / 2 - n / 5)
+  }
+
   test("misra_gries_topk is callable from SQL via GraftExtensions") {
     docs.select(explode(split(lower($"text"), "\\s+")).as("token"))
       .createOrReplaceTempView("mg_toks")
