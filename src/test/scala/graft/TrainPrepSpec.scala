@@ -139,6 +139,45 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(math.abs(doc1.head._4 - doc3.head._4) < 1e-12)
   }
 
+  test("tfidfTopTerms: staged nDocsKnown skips the corpus-count job, same result") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val df = Seq(
+      (1L, "common rare common"),
+      (2L, "common other"),
+      (3L, "common unique")
+    ).toDF("doc_id", "text")
+    // results must be identical either way (|docs| = 3)
+    val viaCount = TextOps.tfidfTopTerms(df, k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    val viaKnown = TextOps.tfidfTopTerms(df, k = 2, nDocsKnown = Some(3L))
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+      .as[(Long, Int, String, Long, Long, Double)].collect().toSeq
+    assert(viaKnown == viaCount)
+    // job accounting: constructing the plan with a staged count submits NO
+    // Spark job; without it the IDF denominator costs an eager count() job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      TextOps.tfidfTopTerms(df, k = 2, nDocsKnown = Some(3L))
+      Thread.sleep(500) // listener bus is async; give a phantom job time to show
+      assert(jobs.get() == 0,
+        "plan construction with a staged corpus count must not run a job")
+      TextOps.tfidfTopTerms(df, k = 2)
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs.get() == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(jobs.get() >= 1,
+        "without nDocsKnown the IDF denominator pays a count job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("redactPii scrubs emails, IPs, and phones; counts audit them") {
     val df = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
