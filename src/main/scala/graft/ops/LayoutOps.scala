@@ -31,6 +31,63 @@ object LayoutOps {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Advisory single-writer lock for the swap-based mutators ([[upsert]],
+    * [[upsertBucketed]], [[compact]]): two concurrent writers interleaving
+    * rename-aside swaps on the same table can each restore the other's
+    * aside copy and lose a committed merge, so contended callers must fail
+    * fast instead.
+    *
+    * The lock is a `path__lock` file created with overwrite=false —
+    * atomic create-fails-if-exists on HDFS; best-effort (existence-check +
+    * create) on raw local and object stores without conditional writes. A
+    * held lock raises `ConcurrentModificationException` — deterministic
+    * busy signal, never a silent interleave. A writer that died holding
+    * the lock must not brick the table: a lock older than `staleMs` (by
+    * its own filesystem modification time) is broken and re-acquired.
+    * True multi-writer isolation needs a table format's commit protocol
+    * (optimistic retry on a log); this is the strongest contract a plain
+    * filesystem offers, and the contract is: ONE writer per table. */
+  private def withTableLock[A](fs: org.apache.hadoop.fs.FileSystem,
+                               path: String,
+                               staleMs: Long = 60 * 60 * 1000L)(body: => A): A = {
+    val lock = new org.apache.hadoop.fs.Path(path + "__lock")
+    def tryAcquire(): Boolean =
+      try {
+        val payload = java.lang.Long.toString(System.currentTimeMillis)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        if (fs.getUri.getScheme == "file") {
+          // O_CREAT|O_EXCL — genuinely atomic on a local filesystem, where
+          // Hadoop's create(overwrite=false) is an exists-then-create race
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(org.apache.hadoop.fs.Path
+              .getPathWithoutSchemeAndAuthority(lock).toString),
+            payload,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        } else {
+          val out = fs.create(lock, false)
+          out.write(payload)
+          out.close()
+        }
+        true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val age =
+        try System.currentTimeMillis - fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.IOException => 0L } // vanished → retry below
+      if (age > staleMs || !fs.exists(lock)) {
+        fs.delete(lock, false)
+        acquired = tryAcquire()
+      }
+    }
+    if (!acquired)
+      throw new java.util.ConcurrentModificationException(
+        s"another writer holds $lock; tables mutated by LayoutOps are " +
+          "single-writer (delete the lock only if its owner is dead)")
+    try body finally fs.delete(lock, false)
+  }
+
   /** Crash recovery for the whole-table rename-aside swap: if a previous
     * job died between `rename(table, aside)` and `rename(tmp, table)`, the
     * table dir is missing but the aside copy is intact — restore it before
@@ -123,6 +180,7 @@ object LayoutOps {
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              key: String, orderCol: String): Long = {
     val fs0 = fsFor(spark, path)
+    withTableLock(fs0, path) {
     recoverWholeTable(fs0, new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.fs.Path(path + "__old"))
     val current = spark.read.parquet(path)
@@ -150,6 +208,7 @@ object LayoutOps {
     fs.rename(t, p)
     fs.delete(aside, true)
     rows
+    }
   }
 
   /** Seed/refresh a key-bucketed table layout: rows land in
@@ -186,6 +245,13 @@ object LayoutOps {
     val table = new org.apache.hadoop.fs.Path(path)
     val asideRoot = new org.apache.hadoop.fs.Path(path + "__old")
     val tmpRoot = new org.apache.hadoop.fs.Path(path + "__upserting")
+    // derive the touched-bucket set BEFORE taking the lock — it reads only
+    // the update batch, and an empty batch never needs the table at all
+    val tagged0 = updates.withColumn(BucketCol, bucketId(col(key), nBuckets))
+    val touched: Seq[Int] = tagged0.select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted // bounded by nBuckets
+    if (touched.isEmpty) return 0L
+    withTableLock(fs, path) {
     // crash recovery: restore any aside bucket the died job never swapped
     // back in; everything else under the aside root is superseded.
     if (fs.exists(asideRoot)) {
@@ -197,10 +263,6 @@ object LayoutOps {
     }
     fs.delete(tmpRoot, true) // stale tmp from a died job
 
-    val tagged0 = updates.withColumn(BucketCol, bucketId(col(key), nBuckets))
-    val touched: Seq[Int] = tagged0.select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted // bounded by nBuckets
-    if (touched.isEmpty) return 0L
     val current = spark.read.parquet(path)
       .filter(col(BucketCol).isin(touched: _*)) // partition-pruned
     require(current.columns.sorted.sameElements(tagged0.columns.sorted),
@@ -232,12 +294,14 @@ object LayoutOps {
     fs.delete(asideRoot, true)
     fs.delete(tmpRoot, true)
     rows
+    }
   }
 
   /** Rewrite a parquet directory into `target` files — run periodically
     * behind streaming sinks whose micro-batches leave file confetti. */
   def compact(spark: SparkSession, path: String, target: Int): Long = {
     val fs0 = fsFor(spark, path)
+    withTableLock(fs0, path) {
     recoverWholeTable(fs0, new org.apache.hadoop.fs.Path(path),
       new org.apache.hadoop.fs.Path(path + "__old"))
     val df = spark.read.parquet(path)
@@ -258,5 +322,6 @@ object LayoutOps {
     fs.rename(t, p)
     fs.delete(aside, true)
     rows
+    }
   }
 }

@@ -208,6 +208,68 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(!asideRoot.exists() && !new java.io.File(path + "__upserting").exists())
   }
 
+  test("single-writer lock: contended upserts fail fast; stale locks break") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val path = Files.createTempDirectory("graft_lock_").toString + "/t"
+    val nBuckets = 4
+    val snapshot = (1 to 8)
+      .map(i => (s"C$i", s"u$i@v1", ts("2024-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    LayoutOps.writeKeyBucketed(snapshot, path, "customer_id", nBuckets)
+    def state(): Map[String, String] = spark.read.parquet(path)
+      .select("customer_id", "email").as[(String, String)].collect().toMap
+    val updates = Seq(("C1", "u1@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    // (a) a live writer's lock → deterministic busy failure, table untouched
+    val lock = new java.io.File(path + "__lock")
+    Files.write(lock.toPath, "held".getBytes("UTF-8"))
+    val before = state()
+    intercept[java.util.ConcurrentModificationException] {
+      LayoutOps.upsertBucketed(spark, path, updates, "customer_id",
+        "updated_at", nBuckets)
+    }
+    assert(state() == before, "a busy-rejected upsert must not touch the table")
+    // (b) a crashed writer's lock (older than staleness) is broken, not fatal
+    assert(lock.setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
+    LayoutOps.upsertBucketed(spark, path, updates, "customer_id",
+      "updated_at", nBuckets)
+    assert(state()("C1") == "u1@v2")
+    assert(!lock.exists(), "lock must be released after a successful upsert")
+    // (c) two genuinely concurrent upserts: each either merges or raises the
+    // busy signal — never any other failure, never an interleaved swap; the
+    // final table reflects exactly the successful merges
+    val u2 = Seq(("C2", "u2@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val u3 = Seq(("C3", "u3@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Long]]()
+    val threads = Seq("C2" -> u2, "C3" -> u3).map { case (k, u) =>
+      new Thread(() => {
+        start.await()
+        val r = try Right(LayoutOps.upsertBucketed(spark, path, u,
+          "customer_id", "updated_at", nBuckets))
+        catch { case t: Throwable => Left(t) }
+        results.put(k, r)
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    val after = state()
+    Seq("C2", "C3").foreach { k =>
+      results.get(k) match {
+        case Right(_) => assert(after(k) == "u" + k.drop(1) + "@v2")
+        case Left(_: java.util.ConcurrentModificationException) =>
+          assert(after(k) == "u" + k.drop(1) + "@v1")
+        case Left(t) => fail(s"unexpected failure for $k: $t")
+      }
+    }
+    assert(results.values.stream.anyMatch(_.isRight),
+      "at least one concurrent writer must win")
+    assert(!lock.exists() && !new java.io.File(path + "__old").exists()
+      && !new java.io.File(path + "__upserting").exists(), "no debris")
+  }
+
   test("morton2 interleaves bits: a at even positions, b at odd") {
     val out = Seq((3L, 2L), (0L, 0L), (65535L, 0L), (0L, 65535L))
       .toDF("a", "b")
