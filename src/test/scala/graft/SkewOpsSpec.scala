@@ -63,4 +63,65 @@ class SkewOpsSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("skewed LSH: dominant near-dup cluster triggers AQE skew split, matches brute force") {
+    // DedupOps.embeddingLshPairs claims hot buckets (dense regions all
+    // hashing to the same (band, bkey)) are AQE skew-split like any other
+    // equi-join; this pins it. One cluster of 1000 near-identical vectors
+    // (~10× the sf0.001 embeddings fixture) dominates every band's bucket
+    // while 500 background vectors spread thin — the banded self-join must
+    // (a) complete with the skew split visible in the final plan and
+    // (b) return exactly the brute-force pairs on the cluster slice.
+    val conf = Seq(
+      "spark.sql.shuffle.partitions" -> "64", // thin median, fat hot buckets
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dims = 16
+      val nCluster = 1000
+      val nBackground = 500
+      val rnd = new scala.util.Random(7)
+      val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+      val rows: Seq[(Long, Array[Float])] =
+        (0 until nCluster).map { i =>
+          // 1e-4 jitter: cosine to base ≈ 1, SRP sign flips essentially never
+          (i.toLong, base.map(_ + (rnd.nextGaussian() * 1e-4).toFloat))
+        } ++ (0 until nBackground).map { i =>
+          ((nCluster + i).toLong, Array.fill(dims)(rnd.nextGaussian().toFloat))
+        }
+      val vectors = rows.toDF("vec_id", "embedding")
+      val pairs = graft.ops.DedupOps.embeddingLshPairs(
+        vectors, threshold = 0.9, nPlanes = 64, bands = 8)
+      val agg = pairs.agg(
+        count(lit(1)).as("n"),
+        min($"sim").as("min_sim"),
+        count(when($"id_a" < nCluster && $"id_b" < nCluster, 1)).as("n_cluster"))
+      val (n, minSim, nCluster2) = {
+        val r = agg.collect().head
+        (r.getLong(0), r.getDouble(1), r.getLong(2))
+      }
+      // (a) the hot buckets were runtime-split, and the job finished
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not skew-split the hot LSH bucket:\n${plan.take(4000)}")
+      // (b) cluster slice matches the brute-force verifier exactly
+      val brute = graft.ops.SimilarityOps.nearDupPairs(
+        rows.take(nCluster).toDF("vec_id", "embedding"), threshold = 0.9).count()
+      assert(brute == nCluster.toLong * (nCluster - 1) / 2)
+      assert(nCluster2 == brute,
+        s"LSH found $nCluster2 cluster pairs, brute force found $brute")
+      assert(minSim >= 0.9, "no pair below the verify threshold may survive")
+      assert(n >= brute) // background pairs (if any) are extra, never missing
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }

@@ -188,6 +188,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(latest("B") == (3.0, 1L))
   }
 
+  test("checkpoint crash-recovery: re-executed batch stays exactly-once through sink and dedup state") {
+    // The crash window that matters: the engine died AFTER the file sink
+    // committed a batch's output but BEFORE the commit log recorded the
+    // batch. On restart Spark re-plans that batch with the same offsets; a
+    // correct sink must NOT double its rows (FileStreamSink's own batch log
+    // dedups) and the watermarked-dedup state must resume where the offset
+    // log says, not where the crash left the state store. Simulated by
+    // deleting the newest `commits/<n>` entry — exactly the on-disk state
+    // that window leaves behind.
+    val tmp = Files.createTempDirectory("graft_ckrec_").toString
+    val in = s"$tmp/in"; val out = s"$tmp/out"; val ck = s"$tmp/ckpt"
+    def writeBatch(rows: Seq[Transaction]): Unit =
+      rows.toDS().write.mode("append").json(in)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(transactionsSilver).json(in)
+      val q = Pipelines.toParquetSink(
+        Pipelines.silverTransactions(stream), out, ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeBatch(Seq(
+      Transaction("A", "purchase", ts("2024-01-01 10:00:00"), 10.0),
+      Transaction("B", "purchase", ts("2024-01-01 10:01:00"), 5.0),
+      Transaction("X", "purchase", ts("2024-01-01 10:01:30"), -1.0))) // filtered
+    run()
+    def sink(): Seq[(String, Double)] = spark.read.parquet(out)
+      .select("customer_id", "value").as[(String, Double)]
+      .collect().toSeq.sorted
+    assert(sink() == Seq(("A", 10.0), ("B", 5.0)))
+    // crash: newest engine commit never made it to disk
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    // the local checksum-FS sidecar goes with it (a real crash never
+    // leaves a .crc without its file; a stale one fails the re-write)
+    new java.io.File(commits.last.getParent, "." + commits.last.getName + ".crc").delete()
+    // second input batch: one duplicate of a batch-1 row (must be dropped
+    // by the RECOVERED dedup state) and one genuinely new row
+    writeBatch(Seq(
+      Transaction("A", "purchase", ts("2024-01-01 10:00:00"), 10.0), // dup key
+      Transaction("C", "purchase", ts("2024-01-01 10:02:00"), 7.0)))
+    run() // restart from the same checkpoint: re-executes the torn batch
+    assert(sink() == Seq(("A", 10.0), ("B", 5.0), ("C", 7.0)),
+      "re-executed batch must not double rows; recovered state must still dedup")
+  }
+
   test("CDC-variant bronze schema parses the Debezium-shaped payload") {
     import graft.ops.BronzeOps
     import graft.schemas.Schemas
@@ -260,6 +307,51 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(spark.table("chunk_stream_t").count() > 2) // doc 1 fans out
+  }
+
+  test("Kafka round-trip: bronze → silver over a real broker (SPARK_GRAFT_KAFKA)") {
+    // The env ships no broker, so this skips (canceled, not failed) unless
+    // SPARK_GRAFT_KAFKA points at a bootstrap server AND the
+    // spark-sql-kafka connector is on the classpath; with both it drives
+    // the S1/K2 production path end to end: batch-produce producer-shaped
+    // JSON → kafkaSource → parse → silver cleanse → toKafkaSink → batch
+    // consume and verify the keyed JSON round-trip.
+    val brokers = sys.env.get("SPARK_GRAFT_KAFKA").filter(_.nonEmpty)
+    assume(brokers.isDefined,
+      "set SPARK_GRAFT_KAFKA=<bootstrap.servers> to run the broker round-trip")
+    val servers = brokers.get
+    val suffix = java.util.UUID.randomUUID().toString.take(8)
+    val topicIn = s"graft_profiles_$suffix"
+    val topicOut = s"graft_silver_$suffix"
+    // produce: the reference's producer frame shape (key = id, value = JSON)
+    val wireRows = Seq(
+      CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 10:00:00")),
+      CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 10:00:00")), // dup
+      CustomerProfile("C2", "Bob", "bob@testmail.com", "Male", 40, "2020-01-01", ts("2024-01-01 10:01:00"))) // test email
+    wireRows.toDS().select(col("customer_id").cast("string").as("key"),
+        to_json(struct(col("*"))).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topicIn).save()
+    // consume via the production source, cleanse, land back on Kafka
+    val wire = Pipelines.kafkaSource(spark, servers, Seq(topicIn),
+      startingOffsets = "earliest")
+    val parsed = graft.ops.BronzeOps.parseTopic(
+      graft.ops.BronzeOps.castWire(wire), topicIn, customerProfileBronze)
+    val tmp = Files.createTempDirectory("graft_kafka_").toString
+    val q = Pipelines.toKafkaSink(Pipelines.silverCustomer(parsed),
+        "customer_id", servers, topicOut, s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // batch-consume the output topic: dup suppressed, test email filtered
+    val out = spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topicOut)
+      .option("startingOffsets", "earliest").load()
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("C1"))
+    assert(out.head.getString(1).contains("\"customer_id\":\"C1\""))
   }
 
   test("goldForeachBatch refreshes gold per micro-batch over silver state") {
