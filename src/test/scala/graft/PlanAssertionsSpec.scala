@@ -118,6 +118,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-k not bounded-heap:\n$p")
   }
 
+  test("heavy hitters: map-side partial sketch, exchange carries one summary per partition") {
+    // the point of the Misra-Gries aggregate: partial ObjectHashAggregate
+    // before the exchange (O(capacity) summary per task), final after — the
+    // shuffle must never carry one row per (token) like a groupBy would
+    for (q <- Seq("ext_heavy_tokens", "ext_heavy_users")) {
+      val p = plan(q)
+      assert("ObjectHashAggregate".r.findAllIn(p).size == 2,
+        s"$q: expected partial+final object hash aggregate, got:\n$p")
+      assert(p.contains("misra_gries_topk"), s"$q plan lost the sketch:\n$p")
+    }
+    // the long-item variant reads nothing but the id column
+    assert(plan("ext_heavy_users").contains("ReadSchema: struct<user_id:bigint>"))
+  }
+
   test("ANN brute force: scan reads only the projected embedding columns") {
     val p = plan("ext_ann_topk")
     // ReadSchema on the corpus side must not include the label column
