@@ -1,0 +1,271 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transactional parquet table via a manifest commit log — the commit
+  * protocol the reference delegates to Delta (`Bronze1.py:148-173` writes
+  * Delta tables; SURVEY §1.5 maps them to parquet because the env ships no
+  * format jars). [[LayoutOps.upsertBucketed]]'s rename-aside swap is
+  * honest about its weakness: a crash mid-swap needs heal-on-next-call,
+  * readers can observe a half-swapped table, and concurrency is a lock
+  * file. This module closes that gap with the (public, Delta-paper) log
+  * design re-expressed over any Hadoop filesystem:
+  *
+  *   - **Data files are immutable and write-once**, landed under
+  *     `files/<uuid>/p_bucket=N/`. They are INVISIBLE until a manifest
+  *     references them, so any crash before commit leaves only orphans
+  *     (removed by [[vacuum]]) — there is no torn-table window at all.
+  *   - **A version is one manifest file** `_txlog/<%020d>.manifest`
+  *     listing every (bucket, file) in the snapshot. Publishing a version
+  *     is a single atomic create-fails-if-exists (hard-link CAS on local
+  *     filesystems, no-overwrite rename on HDFS-likes) — the commit either
+  *     exists entirely or not at all.
+  *   - **Readers resolve the newest manifest** and read exactly its file
+  *     list (snapshot isolation; an in-flight commit never changes a
+  *     running query's inputs). Older manifests remain readable — time
+  *     travel — until vacuumed.
+  *   - **Writers race on the version file**: a lost CAS means another
+  *     commit landed first; the writer re-reads the new snapshot, redoes
+  *     its merge against it, and retries — optimistic concurrency instead
+  *     of [[LayoutOps]]'s single-writer lock, so two concurrent upserts
+  *     BOTH land (serialized by version number).
+  *
+  * Scale shape: like [[LayoutOps.upsertBucketed]], rows are bucketed by
+  * `pmod(xxhash64(key), n)` and an upsert rewrites only the files of
+  * touched buckets (file-level pruning via the manifest's bucket column —
+  * I/O ∝ update key spread, not table size). The manifest is O(files) text
+  * read once per query — at 100 TB that is the same driver-side cost as
+  * any file listing, and one manifest per commit replaces the per-call
+  * directory walks of the swap design.
+  */
+object TxTable {
+
+  /** One data file in a snapshot: its key bucket and table-relative path. */
+  final case class FileEntry(bucket: Int, rel: String)
+
+  /** A resolved table version: manifest number + its file list. */
+  final case class Snapshot(version: Long, entries: Seq[FileEntry]) {
+    def absFiles(table: String): Seq[String] = entries.map(e => s"$table/${e.rel}")
+  }
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String) = new Path(table, "_txlog")
+  private def versionPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.manifest")
+
+  // --- manifest encoding: one header line, one tab-separated line/file ---
+
+  private def renderManifest(entries: Seq[FileEntry]): Array[Byte] =
+    (s"txtable	1" +: entries.sortBy(e => (e.bucket, e.rel))
+      .map(e => s"${e.bucket}	${e.rel}"))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+
+  private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] =
+    new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
+      .drop(1).filter(_.nonEmpty).map { line =>
+        val Array(b, rel) = line.split('	')
+        FileEntry(b.toInt, rel)
+      }
+
+  /** Atomically publish `entries` as version `v`. Returns false when the
+    * version already exists (another writer won the race). The temp file
+    * is fully written first; the publish step is a hard link (local —
+    * link(2) fails EEXIST atomically) or a no-overwrite rename (HDFS
+    * rename-to-existing returns false), so a manifest is never observable
+    * half-written. */
+  private def tryCommit(fs: FileSystem, table: String, v: Long,
+                        entries: Seq[FileEntry]): Boolean = {
+    val dst = versionPath(table, v)
+    fs.mkdirs(logDir(table))
+    val tmp = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(renderManifest(entries))
+    out.close()
+    val published =
+      if (fs.getUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(Path.getPathWithoutSchemeAndAuthority(dst).toString),
+            java.nio.file.Paths.get(Path.getPathWithoutSchemeAndAuthority(tmp).toString))
+          true
+        } catch { case _: java.io.IOException => false }
+      } else {
+        try fs.rename(tmp, dst) catch { case _: java.io.IOException => false }
+      }
+    fs.delete(tmp, false)
+    published
+  }
+
+  /** Resolve the newest committed snapshot, or a specific `version`. */
+  def snapshot(spark: SparkSession, table: String,
+               version: Option[Long] = None): Snapshot = {
+    val fs = fsFor(spark, table)
+    val v = version.getOrElse {
+      val vs = listVersions(fs, table)
+      require(vs.nonEmpty, s"$table is not a TxTable (no committed manifest)")
+      vs.max
+    }
+    val p = versionPath(table, v)
+    require(fs.exists(p), s"version $v does not exist under $table")
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    Snapshot(v, parseManifest(bytes))
+  }
+
+  private def listVersions(fs: FileSystem, table: String): Seq[Long] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".manifest")).map(_.stripSuffix(".manifest").toLong)
+  }
+
+  /** Read the table at the newest version (or a time-travel `version`):
+    * exactly the manifest's files. The bucket column travels inside the
+    * data files, so explicit-file reads never run partition inference. */
+  def read(spark: SparkSession, table: String,
+           version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    require(snap.entries.nonEmpty, s"$table@v${snap.version} has no data files")
+    spark.read.parquet(snap.absFiles(table): _*)
+  }
+
+  /** Land `df` as new immutable data files (one directory per call, one
+    * file set per bucket) WITHOUT publishing them; returns the entries a
+    * commit may reference. Crash after this = invisible orphans.
+    *
+    * The one-file-set-per-bucket layout comes from a partitionBy on a
+    * DUPLICATE of the bucket column, then de-`k=v`-ing the directory names
+    * (`__pb=N` → `bucket-N`): partitionBy would strip the real column from
+    * the files, and `k=v` parents from different staging roots trip
+    * Spark's CONFLICTING_DIRECTORY_STRUCTURES check on any multi-commit
+    * read. This way the bucket survives as an ordinary column and no read
+    * ever depends on directory-name inference. */
+  private def stageFiles(spark: SparkSession, table: String,
+                         tagged: DataFrame): Seq[FileEntry] = {
+    val rel = s"files/${java.util.UUID.randomUUID()}"
+    val root = new Path(table, rel)
+    tagged.withColumn("__pb", col(LayoutOps.BucketCol))
+      .write.partitionBy("__pb").parquet(s"$table/$rel")
+    val fs = fsFor(spark, table)
+    fs.listStatus(root).filter(_.getPath.getName.startsWith("__pb="))
+      .foreach { st =>
+        val b = st.getPath.getName.stripPrefix("__pb=")
+        fs.rename(st.getPath, new Path(root, s"bucket-$b"))
+      }
+    val it = fs.listFiles(root, true)
+    val entries = Seq.newBuilder[FileEntry]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (name.endsWith(".parquet")) {
+        val bucketSeg = st.getPath.getParent.getName // bucket-N
+        val b = bucketSeg.stripPrefix("bucket-").toInt
+        entries += FileEntry(b, s"$rel/$bucketSeg/$name")
+      }
+    }
+    entries.result()
+  }
+
+  /** Create the table at version 0 from an initial snapshot. Fails if the
+    * table already has a committed version. */
+  def init(spark: SparkSession, table: String, df: DataFrame, key: String,
+           nBuckets: Int): Snapshot = {
+    val tagged = df.withColumn(LayoutOps.BucketCol,
+      LayoutOps.bucketId(col(key), nBuckets))
+    val entries = stageFiles(spark, table, tagged)
+    val fs = fsFor(spark, table)
+    require(tryCommit(fs, table, 0L, entries),
+      s"$table already initialized (version 0 exists)")
+    Snapshot(0L, entries)
+  }
+
+  /** MERGE-analog upsert with file-level pruning and optimistic
+    * concurrency: last-writer-wins per `key` by `orderCol` (ties prefer
+    * the update), same semantics as [[LayoutOps.upsert]]. Only files of
+    * buckets the update batch touches are read and rewritten; untouched
+    * entries carry into the new manifest verbatim. A lost commit race
+    * re-merges against the winner's snapshot and retries (the merge must
+    * re-run: its inputs changed), up to `maxRetries`. Returns the
+    * post-merge row count of the touched buckets. */
+  def upsert(spark: SparkSession, table: String, updates: DataFrame,
+             key: String, orderCol: String, nBuckets: Int,
+             maxRetries: Int = 5): Long = {
+    val fs = fsFor(spark, table)
+    val tagged0 = updates.withColumn(LayoutOps.BucketCol,
+      LayoutOps.bucketId(col(key), nBuckets))
+    val touched: Set[Int] = tagged0.select(col(LayoutOps.BucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet // bounded by nBuckets
+    if (touched.isEmpty) return 0L
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      val (touchedEntries, untouched) =
+        snap.entries.partition(e => touched(e.bucket))
+      val current =
+        if (touchedEntries.isEmpty) tagged0.filter(lit(false))
+        else spark.read.parquet(touchedEntries.map(e => s"$table/${e.rel}"): _*)
+      require(current.columns.sorted.sameElements(tagged0.columns.sorted),
+        s"schema mismatch: table ${current.columns.toSeq} vs updates ${tagged0.columns.toSeq}")
+      val cols = current.columns.toSeq
+      val unioned = current.select(cols.map(col): _*).withColumn("__src", lit(0))
+        .unionByName(tagged0.select(cols.map(col): _*).withColumn("__src", lit(1)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(key))
+        .orderBy(col(orderCol).desc, col("__src").desc)
+      val merged = unioned
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(cols.map(col): _*)
+      val newEntries = stageFiles(spark, table, merged)
+      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries)) {
+        return spark.read
+          .parquet(newEntries.map(e => s"$table/${e.rel}"): _*).count()
+      }
+      // lost the race: our staged files reference a stale base — drop the
+      // orphans and re-merge against the winner's snapshot
+      newEntries.map(_.rel.split('/')(1)).distinct
+        .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: lost the commit race $maxRetries times; giving up")
+    }
+    0L // unreachable
+  }
+
+  /** Remove data directories no retained manifest references and drop
+    * manifests older than the newest `keepVersions` (time travel shrinks
+    * accordingly). Orphans from crashed writers are exactly the
+    * unreferenced directories. Returns the deleted paths. */
+  def vacuum(spark: SparkSession, table: String,
+             keepVersions: Int = 1): Seq[String] = {
+    require(keepVersions >= 1, "must retain at least the newest version")
+    val fs = fsFor(spark, table)
+    val versions = listVersions(fs, table).sorted
+    val retained = versions.takeRight(keepVersions)
+    val referenced: Set[String] = retained
+      .flatMap(v => snapshot(spark, table, Some(v)).entries)
+      .map(_.rel.split('/')(1)).toSet
+    val deleted = Seq.newBuilder[String]
+    val filesRoot = new Path(table, "files")
+    if (fs.exists(filesRoot)) {
+      fs.listStatus(filesRoot).foreach { st =>
+        if (!referenced(st.getPath.getName)) {
+          fs.delete(st.getPath, true)
+          deleted += st.getPath.toString
+        }
+      }
+    }
+    versions.dropRight(keepVersions).foreach { v =>
+      fs.delete(versionPath(table, v), false)
+      deleted += versionPath(table, v).toString
+    }
+    deleted.result()
+  }
+}

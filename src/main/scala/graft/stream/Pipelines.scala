@@ -258,6 +258,24 @@ object Pipelines {
         ()
       }
 
+  /** CDC apply onto a [[graft.ops.TxTable]]: same per-batch MERGE
+    * semantics as [[cdcApply]], but each micro-batch lands as one atomic
+    * manifest commit — readers see exact batch boundaries (snapshot
+    * isolation), a crash mid-batch leaves only invisible orphan files, and
+    * a concurrent maintenance job (compaction, backfill) can commit
+    * between batches through the optimistic protocol instead of waiting on
+    * a writer lock. Seed the target with `TxTable.init(...)` first. */
+  def cdcApplyTx(changes: DataFrame, tablePath: String, key: String,
+                 orderCol: String, checkpoint: String,
+                 nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.TxTable.upsert(batch.sparkSession, tablePath, batch,
+          key, orderCol, nBuckets)
+        ()
+      }
+
   // --- gold batch-over-stream hand-off (T10) ----------------------------
 
   /** T10 as a streaming query instead of the reference's 60 s `while True`

@@ -68,6 +68,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Map("C1" -> "Alice2", "C2" -> "Bob"))
   }
 
+  test("cdcApplyTx lands each micro-batch as one atomic TxTable commit") {
+    implicit val ctx = spark.sqlContext
+    import graft.ops.TxTable
+    val tmp = Files.createTempDirectory("graft_cdctx_").toString
+    val table = s"$tmp/customer_profile"
+    TxTable.init(spark,  table,
+      Seq(CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 00:00:00")))
+        .toDF(), "customer_id", nBuckets = 8)
+    val in = MemoryStream[CustomerProfile]
+    in.addData(
+      CustomerProfile("C1", "Alice2", "a2@x.com", "Female", 31, "2020-01-01", ts("2024-01-02 00:00:00")),
+      CustomerProfile("C2", "Bob", "b@x.com", "Male", 40, "2020-01-02", ts("2024-01-01 00:00:00")))
+    val q = Pipelines.cdcApplyTx(in.toDF(), table, "customer_id", "event_time",
+        s"$tmp/ckpt", nBuckets = 8).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = TxTable.read(spark, table)
+      .select("customer_id", "name").as[(String, String)].collect().toMap
+    assert(out == Map("C1" -> "Alice2", "C2" -> "Bob"))
+    // one init + one micro-batch = versions 0 and 1; v0 still time-travels
+    assert(TxTable.snapshot(spark, table).version == 1L)
+    assert(TxTable.read(spark, table, Some(0L))
+      .select("name").as[String].collect().toSeq == Seq("Alice"))
+  }
+
   test("K5 console sink starts, drains the stream, and terminates") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[CustomerProfile]

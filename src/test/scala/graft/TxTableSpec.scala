@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{LayoutOps, TxTable}
+
+/** Manifest-commit transactional table: atomic publish, snapshot
+  * isolation, file-level pruning, optimistic concurrency, time travel,
+  * orphan vacuum. */
+class TxTableSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def seed(n: Int = 16): org.apache.spark.sql.DataFrame =
+    (1 to n).map(i => (s"C$i", s"u$i@v1", ts("2024-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+
+  private def state(table: String): Map[String, String] =
+    TxTable.read(spark, table).select("customer_id", "email")
+      .as[(String, String)].collect().toMap
+
+  test("init + read round-trips the snapshot at version 0") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    val snap = TxTable.init(spark, table, seed(), "customer_id", nBuckets = 4)
+    assert(snap.version == 0L && snap.entries.nonEmpty)
+    assert(state(table) == (1 to 16).map(i => s"C$i" -> s"u$i@v1").toMap)
+    // the bucket partition column is restored from the layout
+    assert(TxTable.read(spark, table).columns.contains(LayoutOps.BucketCol))
+    intercept[IllegalArgumentException] { // double-init must fail the CAS
+      TxTable.init(spark, table, seed(), "customer_id", nBuckets = 4)
+    }
+  }
+
+  test("upsert: last-writer-wins merge, untouched files carried verbatim") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(64), "customer_id", nBuckets = 8)
+    val v0 = TxTable.snapshot(spark, table)
+    val updates = Seq(
+      ("C1", "u1@v2", ts("2024-01-02 00:00:00")),   // newer → wins
+      ("C2", "u2@stale", ts("2023-12-01 00:00:00")), // stale → loses
+      ("C999", "new@v1", ts("2024-01-01 00:00:00"))) // insert
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.upsert(spark, table, updates, "customer_id", "updated_at",
+      nBuckets = 8)
+    val got = state(table)
+    assert(got("C1") == "u1@v2" && got("C2") == "u2@v1"
+      && got("C999") == "new@v1" && got.size == 65)
+    // file-level pruning: every untouched bucket's entries are the SAME
+    // file paths as version 0 — never rewritten, never re-listed
+    val touched = updates
+      .select(LayoutOps.bucketId($"customer_id", 8)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(touched.size < 8, "fixture must leave buckets untouched")
+    val v1 = TxTable.snapshot(spark, table)
+    assert(v1.version == 1L)
+    val before = v0.entries.filterNot(e => touched(e.bucket)).toSet
+    val after = v1.entries.filterNot(e => touched(e.bucket)).toSet
+    assert(before == after, "untouched bucket files must carry verbatim")
+    assert(v0.entries.filter(e => touched(e.bucket)).toSet
+      .intersect(v1.entries.toSet).isEmpty, "touched files must be replaced")
+  }
+
+  test("snapshot isolation: time travel to version 0 after an upsert") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(), "customer_id", nBuckets = 4)
+    val updates = Seq(("C1", "u1@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.upsert(spark, table, updates, "customer_id", "updated_at", 4)
+    assert(state(table)("C1") == "u1@v2")
+    val old = TxTable.read(spark, table, version = Some(0L))
+      .select("customer_id", "email").as[(String, String)].collect().toMap
+    assert(old("C1") == "u1@v1", "version 0 must read its original snapshot")
+  }
+
+  test("crashed writer: staged-but-uncommitted files are invisible; vacuum removes them") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(), "customer_id", nBuckets = 4)
+    val before = state(table)
+    // simulate a writer that died after landing data files but before its
+    // commit: data under files/<uuid> with no manifest referencing it
+    val orphan = Seq(("C1", "u1@TORN", ts("2030-01-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+      .withColumn(LayoutOps.BucketCol, LayoutOps.bucketId($"customer_id", 4))
+    orphan.write.partitionBy(LayoutOps.BucketCol)
+      .parquet(s"$table/files/deadbeef-dead-dead-dead-deaddeadbeef")
+    assert(state(table) == before, "uncommitted files must be invisible")
+    val deleted = TxTable.vacuum(spark, table)
+    assert(deleted.exists(_.contains("deadbeef")), s"orphan not vacuumed: $deleted")
+    assert(state(table) == before)
+    // vacuum with retention 1 after an upsert drops version 0 and its
+    // superseded files; the newest snapshot is untouched
+    val updates = Seq(("C1", "u1@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.upsert(spark, table, updates, "customer_id", "updated_at", 4)
+    TxTable.vacuum(spark, table, keepVersions = 1)
+    assert(state(table)("C1") == "u1@v2")
+    intercept[IllegalArgumentException] {
+      TxTable.read(spark, table, version = Some(0L)) // time travel vacuumed
+    }
+  }
+
+  test("optimistic concurrency: two racing upserts both commit, serialized by version") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(), "customer_id", nBuckets = 4)
+    val u2 = Seq(("C2", "u2@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val u3 = Seq(("C3", "u3@v2", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq(u2, u3).map { u =>
+      new Thread(() => {
+        start.await()
+        try TxTable.upsert(spark, table, u, "customer_id", "updated_at", 4)
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(failures.isEmpty, s"both writers must land: ${failures.peek()}")
+    val got = state(table)
+    assert(got("C2") == "u2@v2" && got("C3") == "u3@v2",
+      "the retried writer must re-merge against the winner's snapshot")
+    assert(TxTable.snapshot(spark, table).version == 2L,
+      "two commits → versions 1 and 2")
+  }
+}
