@@ -871,6 +871,25 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental dedup — the production shape: the corpus (80% of docs)
+    // is signed once into a staged band index (landing-job state, same
+    // ensureStaged convention as the silver staging); the "arriving" batch
+    // (20%) signs only itself and equi-joins the index. Batch cost is
+    // independent of corpus size; whole-corpus minhash is the audit path.
+    "ext_dedup_minhash_incr" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idxPath = s"target/graft-minhash-index/${new java.io.File(dir).getName}"
+      ensureStaged(idxPath) {
+        ops.DedupOps.minhashBandIndex(
+            docs.filter(pmod(col("doc_id"), lit(5)) =!= 0), portable = true)
+          .write.mode("overwrite").parquet(idxPath)
+      }
+      ops.DedupOps.minhashNearDupsIncremental(
+          docs.filter(pmod(col("doc_id"), lit(5)) === 0),
+          s.read.parquet(idxPath), threshold = 0.4, portable = true)
+        .orderBy(col("doc_new"), col("doc_corpus"))
+    }),
+
     // SimHash near-dup pairs with the portable (md5-derived 60-bit) token
     // family, so the whole pipeline — per-bit ±1 votes, fingerprint,
     // 16-bit band pigeonhole, Hamming verify — is DuckDB-oracle-checked.
@@ -1377,6 +1396,46 @@ object SparkEntry {
         |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** Incremental-minhash oracle: same signature/band pipeline as
+    * [[minhashOracleSql]], but pairs are (batch doc, corpus doc) where the
+    * batch is `doc_id % mod = 0` — the replayed split of
+    * `ext_dedup_minhash_incr`'s staged index flow. */
+  private def minhashIncrOracleSql(num: Int, bands: Int, shingle: Int,
+                                   threshold: Double, mod: Int): String = {
+    val ps = ops.DedupOps.hashParams(num)
+    val sigEntries = ps.map { case (a, b) =>
+      s"list_min(list_transform(hv, g -> (g * ${a} + ${b}) % ${ops.DedupOps.MinhashPrime}))"
+    }.mkString(",\n        |    ")
+    val rows = num / bands
+    val bandClauses = (0 until bands).map { b =>
+      (1 to rows).map(j => s"a.sig[${b * rows + j}] = b.sig[${b * rows + j}]")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n        |     OR ")
+    s"""WITH toks AS (
+        |  SELECT doc_id, list_transform(string_split_regex(lower(text), '\\s+'),
+        |           s -> $DuckTokenHash) AS th
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(${duckGramList(shingle)}) AS hv
+        |  FROM toks
+        |), sigs AS (
+        |  SELECT doc_id, [
+        |    $sigEntries
+        |  ] AS sig FROM grams
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus,
+        |    CAST(list_sum(list_transform(generate_series(1, $num),
+        |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+        |      / $num AS est_jaccard
+        |  FROM sigs a JOIN sigs b
+        |    ON a.doc_id % $mod = 0 AND b.doc_id % $mod != 0
+        |  WHERE $bandClauses
+        |)
+        |SELECT doc_new, doc_corpus, est_jaccard FROM pairs
+        |WHERE est_jaccard >= $threshold
+        |ORDER BY doc_new, doc_corpus""".stripMargin
+  }
+
   /** Winnow oracle: min of the rolling window-hash set over portable token
     * hashes (TextOps.winnowFingerprints(portable = true)). */
   private def winnowOracleSql(window: Int): String =
@@ -1515,6 +1574,10 @@ object SparkEntry {
 
     "ext_dedup_minhash" ->
       minhashOracleSql(num = 64, bands = 16, shingle = 3, threshold = 0.4),
+
+    "ext_dedup_minhash_incr" ->
+      minhashIncrOracleSql(num = 64, bands = 16, shingle = 3,
+        threshold = 0.4, mod = 5),
 
     "ext_dedup_simhash" ->
       simhashOracleSql(bands = 4, bandBits = 16, maxDist = 3),

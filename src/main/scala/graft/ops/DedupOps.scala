@@ -133,11 +133,10 @@ object DedupOps {
           col("hv"), ps.map(_._1), ps.map(_._2), MinhashPrime).as("signature"))
   }
 
-  /** LSH banding: signature → `bands` bucket keys; docs sharing any bucket
-    * are candidates. Join is equi on the bucket key — candidate generation
-    * is O(collisions), never all-pairs. */
-  def minhashLshCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
-    val buckets = sigs.select(col("doc_id"), col("signature"),
+  /** Band-key projection: signature → one (band, bkey) row per band, the
+    * key both the self-join and the incremental index join bucket on. */
+  private def bandKeys(sigs: DataFrame, bands: Int): DataFrame =
+    sigs.select(col("doc_id"), col("signature"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),
             xxhash64(concat_ws(",",
@@ -145,6 +144,18 @@ object DedupOps {
                 size(col("signature")) / bands)), b).as("bkey")))).as("bk"))
       .select(col("doc_id"), col("signature"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+
+  /** Estimated Jaccard = fraction of agreeing signature positions. */
+  private def estJaccard(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column, num: Int) =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x).cast("double") / num
+
+  /** LSH banding: signature → `bands` bucket keys; docs sharing any bucket
+    * are candidates. Join is equi on the bucket key — candidate generation
+    * is O(collisions), never all-pairs. */
+  def minhashLshCandidates(sigs: DataFrame, bands: Int = 16): DataFrame = {
+    val buckets = bandKeys(sigs, bands)
     // self-join the SAME plan and rename after: pre-join renamed
     // projections defeat exchange-reuse canonicalization, and the
     // signature stage would be computed twice
@@ -163,12 +174,41 @@ object DedupOps {
                       portable: Boolean = false): DataFrame = {
     val sigs = minhashSignatures(docs, num, shingle, portable)
     minhashLshCandidates(sigs, bands)
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / num)
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), num))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** The staged state incremental dedup joins against: the corpus's
+    * (doc_id, band, bkey, signature) rows. At 100 TB the corpus is signed
+    * ONCE — the landing job appends each accepted batch's band keys here —
+    * and arriving batches never touch corpus text again. */
+  def minhashBandIndex(docs: DataFrame, num: Int = 64, bands: Int = 16,
+                       shingle: Int = 3, portable: Boolean = false): DataFrame =
+    bandKeys(minhashSignatures(docs, num, shingle, portable), bands)
+
+  /** Incremental near-dup check — the production dedup shape: sign ONLY
+    * the new batch, equi-join its band keys against the staged corpus
+    * [[minhashBandIndex]], verify candidates by estimated Jaccard. Batch
+    * cost is O(|batch| + collisions) independent of corpus size; the
+    * whole-corpus [[minhashNearDups]] is the backfill/audit path. Output
+    * is oriented (doc_new, doc_corpus) — no a<b dance, the sides are
+    * disjoint by construction when the batch is not yet in the index. */
+  def minhashNearDupsIncremental(newDocs: DataFrame, index: DataFrame,
+                                 threshold: Double = 0.5, num: Int = 64,
+                                 bands: Int = 16, shingle: Int = 3,
+                                 portable: Boolean = false): DataFrame = {
+    val newBanded =
+      bandKeys(minhashSignatures(newDocs, num, shingle, portable), bands)
+    newBanded.as("l").join(index.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_new"), col("r.doc_id").as("doc_corpus"),
+        col("l.signature").as("sig_a"), col("r.signature").as("sig_b"))
+      .dropDuplicates(Seq("doc_new", "doc_corpus"))
+      .withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), num))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_corpus"), col("est_jaccard"))
   }
 
   // --- SimHash ----------------------------------------------------------

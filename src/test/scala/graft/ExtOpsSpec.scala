@@ -91,6 +91,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("incremental minhash ≡ whole-corpus pairs restricted to batch × corpus") {
+    // the staged-index path must find exactly the pairs the audit path
+    // finds between the batch and the corpus — same bands, same verify
+    val corpus = docs.filter(pmod($"doc_id", lit(5)) =!= 0)
+    val batch = docs.filter(pmod($"doc_id", lit(5)) === 0)
+    val idx = DedupOps.minhashBandIndex(corpus, portable = true)
+    val incr = DedupOps.minhashNearDupsIncremental(batch, idx,
+        threshold = 0.3, portable = true)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = DedupOps.minhashNearDups(docs, threshold = 0.3, portable = true)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a % 5 == 0) != (b % 5 == 0) }
+      .map { case (a, b, j) => if (a % 5 == 0) (a, b, j) else (b, a, j) }.toSet
+    assert(incr == full)
+  }
+
   test("misra-gries: exact when capacity >= vocab, guarantees in the lossy regime") {
     import graft.functions.SketchFunctions.misra_gries_topk
     val toks = docs.select(explode(split(lower($"text"), "\\s+")).as("token"))
