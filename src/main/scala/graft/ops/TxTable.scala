@@ -239,6 +239,45 @@ object TxTable {
     0L // unreachable
   }
 
+  /** Compact fragmented buckets: every bucket whose file count exceeds
+    * `maxFilesPerBucket` (streaming CDC lands one file set per commit, so
+    * counts grow per micro-batch) is re-read and rewritten as one fresh
+    * file set, published as a normal commit. Runs safely CONCURRENT with
+    * upserts via the same optimistic protocol — a lost race re-reads the
+    * winner's snapshot and re-compacts, and readers of older versions are
+    * untouched until [[vacuum]]. Returns the number of buckets compacted
+    * at the version that finally committed. */
+  def compact(spark: SparkSession, table: String,
+              maxFilesPerBucket: Int = 4, maxRetries: Int = 5): Int = {
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      val byBucket = snap.entries.groupBy(_.bucket)
+      val fragmented: Set[Int] =
+        byBucket.filter(_._2.size > maxFilesPerBucket).keySet
+      if (fragmented.isEmpty) return 0
+      val (toRewrite, untouched) =
+        snap.entries.partition(e => fragmented(e.bucket))
+      // one exchange on the bucket key → one task per bucket → one file
+      // per bucket; without it the rewrite inherits read parallelism and
+      // can fragment again
+      val merged = spark.read
+        .parquet(toRewrite.map(e => s"$table/${e.rel}"): _*)
+        .repartition(col(LayoutOps.BucketCol))
+      val newEntries = stageFiles(spark, table, merged)
+      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries))
+        return fragmented.size
+      newEntries.map(_.rel.split('/')(1)).distinct
+        .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: compaction lost the commit race $maxRetries times")
+    }
+    0 // unreachable
+  }
+
   /** Remove data directories no retained manifest references and drop
     * manifests older than the newest `keepVersions` (time travel shrinks
     * accordingly). Orphans from crashed writers are exactly the

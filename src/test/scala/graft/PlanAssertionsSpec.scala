@@ -118,6 +118,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-k not bounded-heap:\n$p")
   }
 
+  test("incremental dedup: staged-index join is hash-equi, never a nested loop") {
+    val p = plan("ext_dedup_minhash_incr")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"index join degraded to a product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi join in:\n$p")
+  }
+
   test("heavy hitters: map-side partial sketch, exchange carries one summary per partition") {
     // the point of the Misra-Gries aggregate: partial ObjectHashAggregate
     // before the exchange (O(capacity) summary per task), final after — the

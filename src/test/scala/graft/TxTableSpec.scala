@@ -104,6 +104,27 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("compact coalesces fragmented buckets without changing the data") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    // 8 write tasks × 2 buckets → ~8 files per bucket: the fragmentation a
+    // streaming writer accumulates, without depending on its task layout
+    TxTable.init(spark, table, seed(64).repartition(8), "customer_id",
+      nBuckets = 2)
+    val before = state(table)
+    val frag = TxTable.snapshot(spark, table)
+    val worst = frag.entries.groupBy(_.bucket).values.map(_.size).max
+    assert(worst > 2, s"fixture must fragment (worst bucket $worst files)")
+    val compacted = TxTable.compact(spark, table, maxFilesPerBucket = 2)
+    assert(compacted >= 1)
+    val after = TxTable.snapshot(spark, table)
+    assert(after.version == frag.version + 1)
+    assert(after.entries.groupBy(_.bucket).values.forall(_.size <= 2),
+      s"still fragmented: ${after.entries}")
+    assert(state(table) == before, "compaction must not change the data")
+    // second pass is a no-op
+    assert(TxTable.compact(spark, table, maxFilesPerBucket = 2) == 0)
+  }
+
   test("optimistic concurrency: two racing upserts both commit, serialized by version") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(), "customer_id", nBuckets = 4)
