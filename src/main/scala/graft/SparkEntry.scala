@@ -1076,6 +1076,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Canonical-representative election — pairs → clusters → keep/drop:
+    // consumes the SAME staged near-dup pair table as ext_dedup_components
+    // (a real pipeline stages pairs once and derives both views), labels
+    // every doc with its component, and keeps the longest member per
+    // cluster (n_chars desc, doc_id tiebreak). Oracle replays CC with a
+    // recursive CTE and the election with a window (oracle-checked).
+    "ext_dedup_canonical" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairsPath =
+        s"target/graft-stage/${new java.io.File(dir).getName}/ngram_pairs"
+      ensureStaged(pairsPath) {
+        ops.DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+          .select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(pairsPath)
+      }
+      ops.DedupOps.canonicalDocs(docs, s.read.parquet(pairsPath))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style global segment dedup with reassembly: disjoint 5-token
+    // segments, keep the globally first occurrence of each, rebuild docs
+    // from survivors (oracle-checked end-to-end incl. the rebuilt text).
+    "ext_segment_dedup" -> ((s, dir) => {
+      ops.DedupOps.segmentDedup(tbl(s, dir, "documents"), width = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Benchmark decontamination — test-set-overlap scrub: docs with
+    // doc_id % 10 == 7 play the held-out eval suite, the rest the training
+    // corpus; any shared 5-gram flags the doc (oracle-checked). The
+    // Bloom-filter scale sibling is ext_decontaminate_bloom.
+    "ext_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ops.DedupOps.decontaminate(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 7), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bloom-filter decontamination — constant-memory scale sibling: the
+    // benchmark gram set compressed to a deterministic Bloom filter, one-
+    // sided error (never misses a contaminated doc; false-positive rate
+    // <= fpp). no_oracle by contract (murmur3-seeded sketch isn't SQL-
+    // replayable); superset-of-exact + FP bound pinned in ExtOpsSpec.
+    "ext_decontaminate_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      ops.DedupOps.decontaminateBloom(
+          docs.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+          docs.filter(pmod(col("doc_id"), lit(10)) === 7), n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // TF-IDF top terms per document: one partial-aggregated (doc, term)
     // shuffle, broadcast document-frequency dim, bounded-heap top-k
     // (oracle-checked; score rounded to 6 dp for cross-engine ln parity).
@@ -1637,6 +1689,106 @@ object SparkEntry {
         |  d.doc_id = COALESCE(c.component, d.doc_id) AS is_representative
         |FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
         |LEFT JOIN comp c ON c.doc = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "ext_dedup_canonical" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 1000
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(1, len(w) - 2),
+        |                i -> array_to_string(w[i:i+2], ' ')) END) AS g
+        |  FROM docs
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes na ON na.doc_id = doc_a
+        |  JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter) >= 0.3
+        |), edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs
+        |), reach(doc, label) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.label FROM reach r
+        |  JOIN edges e ON e.a = r.doc WHERE r.label < e.b
+        |), comp AS (
+        |  SELECT doc, MIN(label) AS component FROM reach GROUP BY doc
+        |), labeled AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.component, d.doc_id) AS component
+        |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 1000) d
+        |  LEFT JOIN comp c ON c.doc = d.doc_id
+        |)
+        |SELECT doc_id, component,
+        |  COUNT(*) OVER (PARTITION BY component) AS n_members,
+        |  (ROW_NUMBER() OVER (PARTITION BY component
+        |     ORDER BY n_chars DESC, doc_id)) = 1 AS is_canonical
+        |FROM labeled
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_segment_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+        |), nums AS (
+        |  SELECT doc_id, w,
+        |    unnest(generate_series(0, CAST(floor((len(w) - 1) / 5.0) AS INT))) AS seg_no
+        |  FROM toks
+        |), segs AS (
+        |  SELECT doc_id, seg_no,
+        |    array_to_string(w[seg_no * 5 + 1 : seg_no * 5 + 5], ' ') AS seg
+        |  FROM nums
+        |), kept AS (
+        |  SELECT doc_id, seg_no, seg,
+        |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_no) AS rn
+        |  FROM segs
+        |), rebuilt AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_no) AS text_dedup
+        |  FROM kept WHERE rn = 1 GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(floor((len(t.w) - 1) / 5.0) + 1 AS BIGINT) AS n_segments,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.text_dedup, '') AS text_dedup
+        |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "ext_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |), bench AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id % 10 = 7
+        |), bg AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(1, len(w) - 4),
+        |                i -> array_to_string(w[i:i+4], ' ')) END) AS g
+        |  FROM bench
+        |), cg AS (
+        |  SELECT DISTINCT doc_id, unnest(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |         ELSE list_transform(generate_series(1, len(w) - 4),
+        |                i -> array_to_string(w[i:i+4], ' ')) END) AS g
+        |  FROM corpus
+        |), hits AS (
+        |  SELECT cg.doc_id, COUNT(*) AS n_hits
+        |  FROM cg JOIN bg USING (g) GROUP BY cg.doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_gram_hits,
+        |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
     "ext_text_tfidf" ->

@@ -392,6 +392,209 @@ object DedupOps {
     labels
   }
 
+  // --- corpus-level span dedup (C4-style) -------------------------------
+
+  /** Global exact span dedup with document reassembly — the C4 recipe
+    * (Raffel et al. 2020 dedup "three-sentence spans" globally, keeping one
+    * occurrence) re-expressed over fixed-width token segments: cut every
+    * document into disjoint `width`-token segments, keep only the globally
+    * FIRST occurrence of each distinct segment (ordered by (doc_id,
+    * seg_no)), and rebuild each document from its surviving segments in
+    * original order.
+    *
+    * Scale shape: one shuffle, keyed by the segment text (Spark hash-
+    * partitions the string key; exactness is preserved because row_number
+    * partitions on the full segment, not a lossy hash). Per-doc segment
+    * arrays never exceed the doc's own length, so the rebuild
+    * `collect_list` is bounded by document size — the same bound any
+    * reassembly must hold. Docs whose every segment is a repeat survive
+    * with `n_kept = 0` and empty text (the downstream filter decides their
+    * fate; silently dropping rows would corrupt corpus bookkeeping). */
+  def segmentDedup(docs: DataFrame, width: Int = 5): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val segs = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), floor((size(col("toks")) - 1) / lit(width)).cast("int")),
+          i => array_join(slice(col("toks"), i * width + 1, lit(width)), " "))))
+      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg"))
+    val kept = segs
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_no"))))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+        x => x.getField("seg")), " ").as("text_dedup"))
+    docs
+      .select(col("doc_id"),
+        (floor((size(split(col("text"), "\\s+")) - 1) / lit(width)) + 1)
+          .cast("long").as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
+  // --- benchmark decontamination ----------------------------------------
+
+  /** Distinct lowercase word n-grams per document, exploded to one row per
+    * (doc_id, gram). Shared by the decontamination paths. */
+  private def distinctGrams(docs: DataFrame, n: Int): DataFrame =
+    OpsUtil.spread(docs)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(shinglesFromWords(col("w"), n))).as("g"))
+
+  /** Benchmark decontamination — flag training documents that share any
+    * word `n`-gram with a held-out benchmark/eval set (the standard
+    * test-set-overlap scrub run before pre-training). Output: every corpus
+    * doc with its count of distinct overlapping grams and a `contaminated`
+    * verdict; the caller filters or quarantines.
+    *
+    * Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    * benchmark gram set broadcasts and the probe is a map-side semi-join —
+    * the corpus is scanned once, shuffled only by doc_id for the per-doc
+    * hit count (and that aggregation is map-side-combined). If the
+    * benchmark ever outgrows broadcast, drop the hint and the same plan
+    * degrades to a shuffled equi-join, never all-pairs. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 5): DataFrame = {
+    val bench = distinctGrams(benchmark, n).select(col("g")).distinct()
+    val hits = distinctGrams(corpus, n)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+      .withColumn("contaminated", col("n_gram_hits") > 0)
+  }
+
+  /** Bloom-filter decontamination — the constant-memory scale sibling of
+    * [[decontaminate]]: compress the benchmark gram set into a Bloom
+    * filter (bits ∝ expectedGrams, independent of corpus size) and probe
+    * each corpus gram row-locally. One-sided error by construction: a
+    * present gram ALWAYS hits (no false negatives — contaminated docs are
+    * never missed), an absent gram false-positives with probability ≤
+    * `fpp`, so the flagged set is a superset of the exact one; run
+    * [[decontaminate]] on the (tiny) flagged slice when exact counts
+    * matter. The filter itself is deterministic (fixed murmur3 seeds in
+    * Spark's sketch), so results are stable across runs.
+    *
+    * `expectedGrams` is index-build metadata (the benchmark's distinct
+    * gram count) — pass the known value to keep the build single-job.
+    * The probe is a Scala UDF: Spark's `BloomFilterMightContain` is
+    * internal (runtime-filter injection only), and the probe sits outside
+    * the pre-aggregation hot loop, after the per-row distinct-gram
+    * explode. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 5,
+                         expectedGrams: Long = 1L << 16,
+                         fpp: Double = 0.001): DataFrame = {
+    val bf = distinctGrams(benchmark, n).select(col("g")).distinct()
+      .stat.bloomFilter("g", expectedGrams, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((g: String) => g != null && bc.value.mightContainString(g))
+    val hits = distinctGrams(corpus, n)
+      .filter(mightContain(col("g")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_gram_hits"))
+    corpus.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"))
+      .withColumn("contaminated", col("n_gram_hits") > 0)
+  }
+
+  // --- ingestion-time dedup (the landing-job shape) ---------------------
+
+  /** Admit one arriving batch into a continuously-deduplicated corpus —
+    * the landing-job core that [[graft.stream.Pipelines.dedupIngest]] runs
+    * per micro-batch, callable directly for batch backfills.
+    *
+    * Steps, all O(|batch| + collisions), independent of corpus size:
+    *   1. sign the batch ONCE ([[minhashBandIndex]] rows: doc_id,
+    *      signature, band, bkey), persisted — probe and index append reuse
+    *      it;
+    *   2. reject docs near-dup (est. Jaccard ≥ threshold) of any doc
+    *      already in the corpus index (equi-join on band keys);
+    *   3. reject docs near-dup of a SMALLER-id batch sibling (the batch's
+    *      own self-join). Transitive chains resolve conservatively: a doc
+    *      is rejected if ANY smaller-id near-dup exists in the batch, even
+    *      one that was itself rejected — dedup may over-drop chain tails,
+    *      never under-drop;
+    *   4. append accepted docs to `corpusPath` and their band keys to
+    *      `indexPath` — the index grows by the accepted slice only, so the
+    *      next batch probes an up-to-date corpus without ever re-reading
+    *      corpus text.
+    *
+    * A missing index directory means "empty corpus" (first batch
+    * bootstraps it). NOT crash-atomic across the two appends — pair with
+    * [[TxTable]]-style manifests when exactly-once matters; the streaming
+    * caller gets effective exactly-once from its checkpointed batch ids. */
+  def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
+                  threshold: Double = 0.5, num: Int = 64, bands: Int = 16,
+                  shingle: Int = 3, portable: Boolean = false): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    val s = batch.sparkSession
+    val banded = minhashBandIndex(batch, num, bands, shingle, portable)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count() // eager: probe, self-join, and index append all read it
+    try {
+      val vsCorpus =
+        if (new java.io.File(indexPath).isDirectory)
+          banded.as("l").join(s.read.parquet(indexPath).as("r"),
+              col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+                col("l.doc_id") =!= col("r.doc_id"))
+            .select(col("l.doc_id").as("doc_id"),
+              col("l.signature").as("sig_a"), col("r.signature").as("sig_b"))
+            .filter(estJaccard(col("sig_a"), col("sig_b"), num) >= threshold)
+            .select(col("doc_id"))
+        else batch.sparkSession.emptyDataFrame
+          .withColumn("doc_id", lit(0L)).limit(0)
+      val withinBatch = banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+            col("l.doc_id") > col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_id"),
+          col("l.signature").as("sig_a"), col("r.signature").as("sig_b"))
+        .filter(estJaccard(col("sig_a"), col("sig_b"), num) >= threshold)
+        .select(col("doc_id"))
+      val rejected = vsCorpus.unionByName(withinBatch).distinct()
+      val accepted = batch.join(rejected, Seq("doc_id"), "left_anti")
+      accepted.write.mode("append").parquet(corpusPath)
+      banded.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .write.mode("append").parquet(indexPath)
+    } finally { banded.unpersist(blocking = false); () }
+  }
+
+  // --- canonical representative per near-dup cluster --------------------
+
+  /** Resolve near-dup clusters to keep/drop decisions — the step that turns
+    * pair lists into an actual deduplicated corpus. Labels every doc with
+    * its connected component (via [[connectedComponents]] over `pairs`;
+    * singletons label themselves) and elects one canonical representative
+    * per component: the LONGEST member (`n_chars` desc, doc_id tiebreak) —
+    * near-dup clusters usually contain truncated/boilerplate variants of
+    * one best document, so keep-longest beats keep-first for training data.
+    *
+    * Scale shape: the CC labels table is |docs-in-pairs| rows (tiny next to
+    * the corpus), the label join is an equi-join, and both window columns
+    * (rank, member count) share one partitioning on `component` — one
+    * shuffle past the join. */
+  def canonicalDocs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val w = Window.partitionBy(col("component"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .withColumn("__rank", row_number().over(
+        w.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .select(col("doc_id"), col("component"), col("n_members"),
+        (col("__rank") === 1).as("is_canonical"))
+  }
+
   // --- embedding LSH (banded random-hyperplane) -------------------------
 
   /** Banded sign-random-projection LSH near-dup pairs.

@@ -418,4 +418,93 @@ class ExtOpsSpec extends AnyFunSuite {
       .select("k", "tag").as[(String, String)].collect().toSet
     assert(out == Set(("k1", "first"), ("k2", "only")))
   }
+
+  test("segment dedup: global first occurrence wins, docs rebuilt in order") {
+    val tiny = Seq(
+      (1L, "a b c d e f g h i j"),  // two segments, both first occurrences
+      (2L, "a b c d e x y z w v"),  // first segment repeats doc 1's
+      (3L, "f g h i j")             // whole doc repeats doc 1's 2nd segment
+    ).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(tiny, width = 5).orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 2L, 2L, "a b c d e f g h i j")))
+    assert(out(1) == ((2L, 2L, 1L, "x y z w v")))
+    assert(out(2) == ((3L, 1L, 0L, "")))
+  }
+
+  test("segment dedup invariants on the real corpus: survivors = distinct segments") {
+    val out = DedupOps.segmentDedup(docs, width = 5)
+    assert(out.count() == docs.count(), "every doc survives with bookkeeping")
+    assert(out.filter($"n_kept" > $"n_segments").count() == 0)
+    // each distinct segment survives exactly once corpus-wide
+    val distinctSegs = docs
+      .select(explode(org.apache.spark.sql.functions.transform(
+        sequence(lit(0),
+          floor((size(split($"text", "\\s+")) - 1) / lit(5)).cast("int")),
+        i => array_join(slice(split($"text", "\\s+"), i * 5 + 1, lit(5)), " "))))
+      .distinct().count()
+    val totalKept = out.agg(sum($"n_kept")).as[Long].head()
+    assert(totalKept == distinctSegs,
+      s"kept $totalKept segments vs $distinctSegs distinct")
+  }
+
+  test("decontamination: shared 5-grams flag a doc; clean docs pass") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps over a fence")).toDF("doc_id", "text")
+    val out = DedupOps.decontaminate(corpus, bench, n = 5).orderBy($"doc_id")
+      .as[(Long, Long, Boolean)].collect()
+    // exactly one shared 5-gram: "quick brown fox jumps over"
+    assert(out(0) == ((1L, 1L, true)))
+    assert(out(1) == ((2L, 0L, false)))
+  }
+
+  test("bloom decontamination: superset of exact, no false negatives, bounded FPs") {
+    val corpus = docs.filter(pmod($"doc_id", lit(10)) =!= 7)
+    val bench = docs.filter(pmod($"doc_id", lit(10)) === 7)
+    val exact = DedupOps.decontaminate(corpus, bench, n = 5)
+    val bloom = DedupOps.decontaminateBloom(corpus, bench, n = 5)
+    val exactHits = exact.filter($"contaminated")
+      .select("doc_id").as[Long].collect().toSet
+    val bloomHits = bloom.filter($"contaminated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactHits.nonEmpty, "fixture should contain planted near-dups")
+    assert(exactHits.subsetOf(bloomHits),
+      s"bloom missed ${exactHits -- bloomHits} — one-sided error violated")
+    val nCorpus = corpus.count()
+    assert((bloomHits -- exactHits).size <= nCorpus / 20 + 2,
+      s"false-positive docs ${(bloomHits -- exactHits).size} of $nCorpus")
+    // per-doc: the bloom gram-hit count never undercounts the exact one
+    val under = exact.select($"doc_id", $"n_gram_hits".as("e"))
+      .join(bloom.select($"doc_id", $"n_gram_hits".as("b")), Seq("doc_id"))
+      .filter($"b" < $"e").count()
+    assert(under == 0, "bloom undercounted grams for some doc")
+  }
+
+  test("canonical election: longest member per component, singletons self-canonical") {
+    val meta = Seq((1L, 10L), (2L, 30L), (3L, 20L), (4L, 5L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = DedupOps.canonicalDocs(meta, pairs).orderBy($"doc_id")
+      .as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 3L, false),  // component of {1,2,3}, labeled by min id 1
+      (2L, 1L, 3L, true),   // longest member (30 chars) is canonical
+      (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true)))  // singleton: its own canonical
+  }
+
+  test("canonical election on the real corpus: exactly one canonical per component") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+      .select($"doc_a", $"doc_b")
+    val out = DedupOps.canonicalDocs(docs, pairs)
+    assert(out.count() == docs.count())
+    val bad = out.groupBy($"component")
+      .agg(sum(when($"is_canonical", 1L).otherwise(0L)).as("n_canon"))
+      .filter($"n_canon" =!= 1L).count()
+    assert(bad == 0, "every component must elect exactly one canonical")
+  }
 }

@@ -213,4 +213,32 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"stats dim not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"stream got sort-merge shuffled:\n$p")
   }
+
+  test("decontamination: benchmark gram set broadcasts onto the corpus probe") {
+    val p = plan("ext_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"gram probe should be a map-side broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"decontamination must never go all-pairs:\n$p")
+  }
+
+  test("segment dedup: one global window pass, no all-pairs anywhere") {
+    val p = plan("ext_segment_dedup")
+    // exactly one Window operator: the global first-occurrence row_number
+    // keyed on the segment; rebuild is a hash aggregate, not another sort
+    assert("Window \\[row_number".r.findAllIn(p).size == 1, s"plan:\n$p")
+    // rn=1 prunes map-side: partial WindowGroupLimit keeps one row per
+    // segment BEFORE the exchange, so the shuffle carries distinct-segment
+    // cardinality, not corpus cardinality
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"bounded-heap first-occurrence prune missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"segment dedup must stay equi-keyed:\n$p")
+  }
+
+  test("canonical election: both window columns share one component shuffle") {
+    val p = plan("ext_dedup_canonical")
+    assert("hashpartitioning\\(component".r.findAllIn(p).size == 1,
+      s"rank and member-count must reuse one partitioning on component:\n$p")
+  }
 }
