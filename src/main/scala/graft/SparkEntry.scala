@@ -1149,6 +1149,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic shuffle-and-shard — the write-training-shards step:
+    // shard + within-shard order are pure md5 functions of the key, so the
+    // "random" permutation reproduces on any engine (oracle-checked).
+    "ext_shard_assign" -> ((s, dir) => {
+      ops.SampleOps.shardAssign(tbl(s, dir, "documents"), col("doc_id"),
+          nShards = 8, salt = "r5")
+        .select(col("doc_id"), col("shard_id"), col("shuffle_key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Weighted sampling (A-ES): inclusion odds ∝ n_chars, top-20 per
     // language stratum, reproducible on any engine/partitioning.
     "ext_sample_weighted" -> ((s, dir) => {
@@ -1817,6 +1827,13 @@ object SparkEntry {
       """SELECT doc_id, lang,
         |  CASE WHEN CAST(('0x' || substr(md5('r2|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 < 10
         |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_shard_assign" ->
+      """SELECT doc_id,
+        |  CAST(('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS shard_id,
+        |  CAST(('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS shuffle_key
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -542,8 +542,13 @@ object DedupOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     banded.count() // eager: probe, self-join, and index append all read it
     try {
+      // Hadoop FS probe, not java.io: the index lives wherever the corpus
+      // does (HDFS / object store), only incidentally on local disk here
+      val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+      val idxExists = idxPath
+        .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
       val vsCorpus =
-        if (new java.io.File(indexPath).isDirectory)
+        if (idxExists)
           banded.as("l").join(s.read.parquet(indexPath).as("r"),
               col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
                 col("l.doc_id") =!= col("r.doc_id"))

@@ -84,4 +84,24 @@ object SampleOps {
     }
     df.filter(hashBucket(key, salt) < pctCol)
   }
+
+  /** Deterministic corpus shuffle-and-shard — the last step before
+    * training: assign every row a shard and a within-shard order, both
+    * pure md5 functions of (salt, key), so the "random" order is
+    * reproducible on any engine and partitioning (same contract as
+    * [[hashBucket]]) and adjacent source documents land far apart.
+    *
+    * `shard_id` = hash mod nShards; `shuffle_key` = the raw 60-bit hash —
+    * a training writer does `.repartition(nShards, shard_id)` then sorts
+    * each shard by `shuffle_key` (`sortWithinPartitions`): one bounded
+    * shuffle and a per-shard sort, never a global ORDER BY through one
+    * range partitioner. Re-salting redraws the whole permutation. */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int,
+                  salt: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val h = conv(substring(md5(concat_ws("|", lit(salt), key.cast("string"))),
+      1, 15), 16, 10).cast("long")
+    df.withColumn("shard_id", pmod(h, lit(nShards.toLong)))
+      .withColumn("shuffle_key", h)
+  }
 }

@@ -276,6 +276,31 @@ object Pipelines {
         ()
       }
 
+  /** Ingestion-time near-dup dedup — the landing-job pattern for a
+    * continuously-growing corpus: each micro-batch of documents is
+    * admitted through [[graft.ops.DedupOps.ingestBatch]] (sign the batch
+    * once, probe the staged MinHash band index, reject near-dups of the
+    * corpus or of smaller-id batch siblings, append survivors to
+    * `corpusPath` and their band keys to `indexPath`).
+    *
+    * Dedup state lives in the index PARQUET, not in streaming state: no
+    * watermark, no state-store growth, restart picks up from the
+    * checkpointed batch id, and per-batch cost stays O(|batch| +
+    * collisions) no matter how large the corpus grows — the property that
+    * distinguishes this from `dropDuplicates` state, which is bounded only
+    * by a watermark and keys only on exact equality. */
+  def dedupIngest(docs: DataFrame, corpusPath: String, indexPath: String,
+                  checkpoint: String, threshold: Double = 0.5,
+                  num: Int = 64, bands: Int = 16, shingle: Int = 3,
+                  portable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.DedupOps.ingestBatch(batch, corpusPath, indexPath,
+          threshold, num, bands, shingle, portable)
+        ()
+      }
+
   // --- gold batch-over-stream hand-off (T10) ----------------------------
 
   /** T10 as a streaming query instead of the reference's 60 s `while True`

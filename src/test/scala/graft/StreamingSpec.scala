@@ -259,6 +259,39 @@ class StreamingSpec extends AnyFunSuite {
       "re-executed batch must not double rows; recovered state must still dedup")
   }
 
+  test("dedupIngest: near-dups rejected across batches and within a batch; restart-safe") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_ingest_").toString
+    val (corpus, index, ckpt) = (s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt")
+    val dA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dB = "red orange yellow green blue indigo violet bright colors shine"
+    val dC = "one two three four five six seven eight nine ten"
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = Pipelines.dedupIngest(
+          in.toDF().toDF("doc_id", "text"), corpus, index, ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1 bootstraps the (missing) index: both docs admitted
+    in.addData((1L, dA), (2L, dB))
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: 3 duplicates corpus doc 1 → rejected against the index;
+    // 5 duplicates its smaller-id batch sibling 4 → rejected within-batch
+    in.addData((3L, dA), (4L, dC), (5L, dC))
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // the index grew by the ACCEPTED slice only
+    assert(spark.read.parquet(index).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // restart on the same checkpoint with no new data: no re-admission
+    run()
+    assert(spark.read.parquet(corpus).count() == 3)
+  }
+
   test("CDC-variant bronze schema parses the Debezium-shaped payload") {
     import graft.ops.BronzeOps
     import graft.schemas.Schemas

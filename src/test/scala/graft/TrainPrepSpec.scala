@@ -198,4 +198,29 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(out.map(r => (r.getInt(2), r.getInt(3), r.getInt(4))).toSeq ==
       Seq((1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0), (1, 1, 1)))
   }
+
+  test("shardAssign: exhaustive, balanced, partition-stable, salt redraws") {
+    import graft.ops.SampleOps
+    val ids = spark.range(4000).toDF("id")
+    val out = SampleOps.shardAssign(ids, $"id", nShards = 8, salt = "s1")
+    assert(out.count() == 4000, "every row keeps exactly one shard")
+    // shard_id consistent with its own shuffle_key, and in range
+    assert(out.filter($"shard_id" =!= pmod($"shuffle_key", lit(8L))).count() == 0)
+    // balance: no shard more than 2x the ideal 500
+    val sizes = out.groupBy("shard_id").count().as[(Long, Long)].collect().toMap
+    assert(sizes.size == 8 && sizes.values.forall(n => n > 250 && n < 1000),
+      s"shard skew: $sizes")
+    // pure function of (salt, key): immune to physical partitioning
+    val re = SampleOps.shardAssign(ids.repartition(13), $"id", 8, salt = "s1")
+      .select("id", "shard_id", "shuffle_key").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(re == out.select("id", "shard_id", "shuffle_key")
+      .as[(Long, Long, Long)].collect().toSet)
+    // a different salt draws a (near-)independent permutation
+    val moved = SampleOps.shardAssign(ids, $"id", 8, salt = "s2")
+      .select("id", "shard_id").as[(Long, Long)].collect().toMap
+    val same = out.select("id", "shard_id").as[(Long, Long)].collect()
+      .count { case (id, sh) => moved(id) == sh }
+    assert(same < 1000, s"re-salt left $same of 4000 rows in place")
+  }
 }
