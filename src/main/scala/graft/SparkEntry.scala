@@ -1149,6 +1149,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus mixture weighting — per-language sampling fractions that
+    // realize a target data mix (by char mass) without upsampling: the
+    // binding stratum keeps 1.0, everything else downsamples
+    // (oracle-checked; char sums are integer-valued doubles → exact).
+    "ext_mixture_weights" -> ((s, dir) => {
+      ops.SampleOps.mixtureWeights(tbl(s, dir, "documents"), col("lang"),
+          col("n_chars"), Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.15,
+            "de" -> 0.15, "zh" -> 0.1))
+        .orderBy(col("stratum"))
+    }),
+
     // Deterministic shuffle-and-shard — the write-training-shards step:
     // shard + within-shard order are pure md5 functions of the key, so the
     // "random" permutation reproduces on any engine (oracle-checked).
@@ -1829,6 +1840,27 @@ object SparkEntry {
         |       THEN 'holdout' ELSE 'train' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_mixture_weights" ->
+      """WITH per AS (
+        |  SELECT lang AS stratum, COUNT(*) AS n_docs,
+        |    SUM(CAST(n_chars AS DOUBLE)) AS stratum_weight
+        |  FROM documents GROUP BY 1
+        |), tgt AS (
+        |  SELECT stratum, n_docs, stratum_weight,
+        |    CASE stratum WHEN 'en' THEN 0.4 WHEN 'es' THEN 0.2
+        |                 WHEN 'fr' THEN 0.15 WHEN 'de' THEN 0.15
+        |                 WHEN 'zh' THEN 0.1 END AS target_share
+        |  FROM per
+        |), capped AS (
+        |  SELECT MIN(stratum_weight / target_share) AS mix_total
+        |  FROM tgt WHERE target_share IS NOT NULL
+        |)
+        |SELECT stratum, n_docs, stratum_weight, target_share, mix_total,
+        |  LEAST(1.0, FLOOR(target_share * mix_total / stratum_weight * 1000000 + 0.5) / 1000000) AS sample_frac
+        |FROM tgt, capped
+        |WHERE target_share IS NOT NULL
+        |ORDER BY stratum""".stripMargin,
 
     "ext_shard_assign" ->
       """SELECT doc_id,

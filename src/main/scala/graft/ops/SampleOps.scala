@@ -85,6 +85,42 @@ object SampleOps {
     df.filter(hashBucket(key, salt) < pctCol)
   }
 
+  /** Corpus mixture weighting — the data-mixing step of a training
+    * pipeline: given target mix shares per stratum (e.g. 40% en, 20% zh …
+    * by token mass), compute the per-stratum sampling fraction that
+    * realizes the LARGEST corpus achieving those shares without
+    * upsampling. The binding stratum (smallest weight/target ratio) keeps
+    * fraction 1.0; every other stratum downsamples to match. Feed the
+    * fractions to [[stratifiedSample]] (as pcts) or a per-row
+    * `hashBucket < frac*100` filter for the actual draw.
+    *
+    * Scale shape: one partial-aggregated groupBy to |strata| rows, then
+    * the cap (a 1-row aggregate of that tiny frame) broadcast back — the
+    * corpus itself is scanned exactly once, and nothing larger than
+    * |strata| rows ever sits on one node. Strata without a target share
+    * are excluded from the mix (and the output). */
+  def mixtureWeights(df: DataFrame, stratum: Column, weight: Column,
+                     targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "every target share must be positive")
+    val tCol = targets.foldLeft(lit(null).cast("double")) {
+      case (els, (s, t)) => when(col("stratum") === s, t).otherwise(els)
+    }
+    val per = df.select(stratum.as("stratum"), weight.cast("double").as("w"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("stratum_weight"))
+      .withColumn("target_share", tCol)
+      .filter(col("target_share").isNotNull)
+    val cap = per.agg(
+      min(col("stratum_weight") / col("target_share")).as("mix_total"))
+    per.crossJoin(broadcast(cap))
+      .withColumn("sample_frac", least(lit(1.0),
+        floor(col("target_share") * col("mix_total") / col("stratum_weight")
+          * 1000000 + 0.5) / 1000000.0))
+      .select(col("stratum"), col("n_docs"), col("stratum_weight"),
+        col("target_share"), col("mix_total"), col("sample_frac"))
+  }
+
   /** Deterministic corpus shuffle-and-shard — the last step before
     * training: assign every row a shard and a within-shard order, both
     * pure md5 functions of (salt, key), so the "random" order is

@@ -199,6 +199,28 @@ class TrainPrepSpec extends AnyFunSuite {
       Seq((1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0), (1, 1, 1)))
   }
 
+  test("mixtureWeights: binding stratum keeps 1.0, others realize the target mix") {
+    import graft.ops.SampleOps
+    val docs = Seq(
+      ("en", 120L), ("en", 80L),   // weight 200
+      ("zh", 50L),                 // weight 50
+      ("es", 30L),                 // weight 30 → binding: 30/0.25 = 120
+      ("fr", 10L)                  // no target → excluded
+    ).toDF("lang", "n_chars")
+    val out = SampleOps.mixtureWeights(docs, $"lang", $"n_chars",
+        Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.25))
+      .select($"stratum", $"stratum_weight", $"sample_frac")
+      .as[(String, Double, Double)].collect()
+      .map { case (s, w, f) => s -> (w, f) }.toMap
+    assert(out.keySet == Set("en", "zh", "es"))
+    assert(out("es")._2 == 1.0, "binding stratum must not downsample")
+    assert(out("en")._2 == 0.3 && out("zh")._2 == 0.6)
+    // realized shares hit the targets exactly: frac × weight / mix_total
+    val mixTotal = 120.0
+    val shares = out.map { case (s, (w, f)) => s -> f * w / mixTotal }
+    assert(shares == Map("en" -> 0.5, "zh" -> 0.25, "es" -> 0.25), s"$shares")
+  }
+
   test("shardAssign: exhaustive, balanced, partition-stable, salt redraws") {
     import graft.ops.SampleOps
     val ids = spark.range(4000).toDF("id")
