@@ -133,6 +133,11 @@ object SparkEntry {
     * 2024-01-01..01-30, so this selects the latter half of the partitions). */
   private val IncrCutoff = "2024-01-16"
 
+  /** Fixed query-term set for the BM25 retrieval query (ext_text_bm25) —
+    * mid-frequency vocabulary from the synthetic corpus, mirrored literally
+    * in the oracle SQL. */
+  private val Bm25Terms = Seq("spark", "stream", "window", "join")
+
   /** Staging dir for the date-partitioned silver activity, inside the build
     * output tree; keyed by sf dir name so scale factors don't collide. */
   private def incrSilverPath(dir: String): String =
@@ -167,6 +172,35 @@ object SparkEntry {
     stagedCounts.computeIfAbsent(
       new java.io.File(new java.io.File(dir), table).getAbsolutePath,
       _ => tbl(s, dir, table).count())
+
+  /** Mean whitespace-token document length — BM25 index metadata, staged
+    * once per (table path, JVM) like [[stagedCount]]: a search index build
+    * records avgdl in its manifest; queries read it instead of re-scanning. */
+  private val stagedAvgdls =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  private[graft] def stagedAvgdl(s: SparkSession, dir: String,
+                                 table: String): Double =
+    stagedAvgdls.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), table).getAbsolutePath,
+      { _ =>
+        val sumLen = tbl(s, dir, table)
+          .agg(sum(size(split(lower(col("text")), "\\s+"))))
+          .head().getLong(0)
+        sumLen.toDouble / stagedCount(s, dir, table)
+      })
+
+  /** Per-dimension quantizer calibration (min, max) — vector-index build
+    * metadata, staged once per (table path, JVM) like [[stagedCount]]: a
+    * production index keeps its calibration in the index manifest. */
+  private val stagedQuantStatsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Double, Double)]]()
+
+  private def stagedQuantStats(s: SparkSession,
+                               dir: String): Array[(Double, Double)] =
+    stagedQuantStatsMap.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
+      _ => ops.SimilarityOps.quantizationStats(tbl(s, dir, "embeddings")))
 
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
@@ -1139,6 +1173,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // BM25 ranked retrieval: postings filtered to the query terms BEFORE
+    // the shuffle, broadcast df/avgdl stats, literal-ordered per-term score
+    // combine (bit-deterministic), TakeOrdered global top-k. N and avgdl are
+    // staged index metadata — zero scalar jobs in the query itself
+    // (oracle-checked; score rounded to 6 dp for cross-engine ln parity).
+    "ext_text_bm25" -> ((s, dir) => {
+      ops.TextOps.bm25TopDocs(tbl(s, dir, "documents"), Bm25Terms, k = 20,
+          nDocsKnown = Some(stagedCount(s, dir, "documents")),
+          avgdlKnown = Some(stagedAvgdl(s, dir, "documents")))
+        .select(col("doc_id"), round6(col("score")).as("score6"),
+          col("n_terms"))
+        .orderBy(col("score6").desc, col("doc_id"))
+    }),
+
     // Deterministic train/holdout split: pure row-local md5-bucket decision
     // — same (salt, key) → same split on any engine, any partitioning
     // (oracle-checked end-to-end).
@@ -1833,6 +1881,48 @@ object SparkEntry {
         |  FLOOR(tfidf * 1000000 + 0.5) / 1000000 AS tfidf6
         |FROM ranked WHERE rank <= 5
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25 replay: same tokenization, same literal-ordered per-term score
+    // combine (COALESCE(SUM(CASE ...)) chain mirrors the Spark conditional
+    // aggregates), same Lucene idf; constants written as the same IEEE
+    // double expressions ((1.2 + 1.0), 1.0 - 0.75) the Scala code folds
+    "ext_text_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(w) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl,
+        |         CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n
+        |  FROM dl
+        |), terms AS (
+        |  SELECT doc_id, unnest(w) AS term FROM toks
+        |), tf AS (
+        |  SELECT t.doc_id, d.dl, term, COUNT(*) AS tf
+        |  FROM terms t JOIN dl d ON d.doc_id = t.doc_id
+        |  WHERE term IN ('spark', 'stream', 'window', 'join')
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl))) AS s
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(CASE WHEN term = 'spark' THEN s END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'stream' THEN s END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'window' THEN s END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'join' THEN s END), 0.0) AS score,
+        |    COUNT(*) AS n_terms
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT doc_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS score6, n_terms
+        |FROM agg
+        |ORDER BY score DESC, doc_id
+        |LIMIT 20""".stripMargin,
 
     "ext_sample_split" ->
       """SELECT doc_id, lang,

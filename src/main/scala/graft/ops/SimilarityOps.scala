@@ -212,6 +212,80 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  // --------------------------------------------------------------------
+  // Scalar (int8-style) embedding quantization — the memory-compression
+  // scale path for vector search: 64-dim float32 → 64 one-byte codes is a
+  // 4× smaller index (16× vs float64), which at 100 TB is the difference
+  // between an in-memory ANN index and one that spills. Affine per-dim
+  // quantizer: code = round((x - min_d) / (max_d - min_d) * (L-1)),
+  // recon = min_d + code * span_d / (L-1). All integer/double math is
+  // fixed-order and engine-portable (oracle replays it bit-for-bit).
+  // --------------------------------------------------------------------
+
+  /** Per-dimension (min, max) calibration over the corpus — quantizer
+    * index metadata, like IVF centroids: one partial-aggregated shuffle of
+    * |dims| rows, collected driver-side and re-broadcast as literals. */
+  def quantizationStats(vectors: DataFrame): Array[(Double, Double)] =
+    vectors
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("dim")
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+
+  /** Row-local quantize: `array<float>` embedding → `array<int>` codes in
+    * [0, levels-1]. Stats are inlined literals — zero joins, zero shuffle,
+    * stays in whole-stage codegen. Degenerate dims (min == max) map to 0. */
+  def quantizeExpr(emb: Column, stats: Array[(Double, Double)],
+                   levels: Int = 256): Column = {
+    val mins = typedlit(stats.map(_._1))
+    val maxs = typedlit(stats.map(_._2))
+    val top = lit((levels - 1).toDouble)
+    transform(emb, (x, i) => {
+      val mn = element_at(mins, i + 1)
+      val mx = element_at(maxs, i + 1)
+      when(mx === mn, lit(0)).otherwise(
+        least(greatest(floor((x.cast("double") - mn) / (mx - mn) * top
+          + 0.5), lit(0.0)), top).cast("int"))
+    })
+  }
+
+  /** Row-local dequantize: codes → `array<double>` reconstruction. */
+  def dequantizeExpr(codes: Column, stats: Array[(Double, Double)],
+                     levels: Int = 256): Column = {
+    val mins = typedlit(stats.map(_._1))
+    val spans = typedlit(stats.map { case (mn, mx) => mx - mn })
+    val top = lit((levels - 1).toDouble)
+    transform(codes, (c, i) =>
+      element_at(mins, i + 1)
+        + (c.cast("double") * element_at(spans, i + 1)) / top)
+  }
+
+  /** Brute-force top-k over the QUANTIZED corpus: codes dequantize
+    * row-locally (a projection — the compressed index never inflates on
+    * disk or in the exchange), queries stay float and broadcast. Same
+    * WindowGroupLimit bounded-heap shape as [[bruteForceTopK]]; recall vs
+    * the exact float path is spec-pinned. */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                    stats: Array[(Double, Double)],
+                    levels: Int = 256): DataFrame = {
+    val coded = OpsUtil.spread(corpus).select(col("vec_id"),
+      quantizeExpr(col("embedding"), stats, levels).as("codes"))
+    coded.crossJoin(broadcast(queries.select(
+        col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("query_vec"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosineHof(dequantizeExpr(col("codes"), stats, levels),
+          col("query_vec")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine ≥ threshold. Brute force over normalized vectors; the LSH-bucketed
     * scale path is DedupOps.embeddingLshPairs. */

@@ -254,6 +254,64 @@ object TextOps {
         col("tfidf"))
   }
 
+  /** BM25 ranked retrieval: score every document against a small literal
+    * query-term set and keep the global top-k (Robertson/Spärck Jones
+    * weighting with the Lucene `ln(1 + (N - df + .5)/(df + .5))` idf).
+    *
+    * Scale shape — the corpus-search primitive at 100 TB:
+    *   - tokenize once per row; the posting explode is filtered to the
+    *     query terms BEFORE the (doc, term) shuffle, so the exchange
+    *     carries only matching postings, never the full inverted index;
+    *   - doc length rides the groupBy key (functionally dependent on
+    *     doc_id — zero extra shuffle width);
+    *   - `df` (≤ |queryTerms| rows) and `avgdl` (1 row) broadcast back;
+    *   - per-document scores combine via per-term conditional aggregates
+    *     summed in FIXED literal order, so the result is bit-deterministic
+    *     under any partitioning (a plain sum(double) would fold in shuffle
+    *     order);
+    *   - the global top-k is `ORDER BY ... LIMIT k` → TakeOrderedAndProject
+    *     (per-partition bounded heaps, no full sort).
+    * `nDocsKnown` / `avgdlKnown`: corpus size and mean doc length are
+    * index-build metadata (a landing job's manifest statistics) — pass them
+    * to skip the two scalar jobs entirely. */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  nDocsKnown: Option[Long] = None,
+                  avgdlKnown: Option[Double] = None): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
+    val nDocs = nDocsKnown.getOrElse(docs.count())
+    val toks = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    // exact mean doc length: integer sum / integer count, one double divide
+    val avgdl = avgdlKnown.getOrElse {
+      val r = toks.agg(sum(size(col("toks"))).as("s")).head()
+      r.getLong(0).toDouble / nDocs
+    }
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tf = postings.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
+      + 1.0)
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("s", idf * tfNorm)
+    // (doc_id, term) is unique post-tf, so each conditional agg folds exactly
+    // one value; the final + chain is literal-ordered → bit-deterministic
+    val perTerm = queryTerms.map(t =>
+      sum(when(col("term") === t, col("s"))).as(s"__s_$t"))
+    val total = queryTerms.map(t => coalesce(col(s"__s_$t"), lit(0.0d)))
+      .reduce(_ + _)
+    scored.groupBy("doc_id")
+      .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_terms"): _*)
+      .select(col("doc_id"), total.as("score"), col("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** One-pass document profile used by the `text_stats` query.
     *
     * The Column helpers above each embed their own `split` — fine for a

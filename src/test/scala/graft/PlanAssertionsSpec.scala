@@ -118,6 +118,20 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"top-k not bounded-heap:\n$p")
   }
 
+  test("bm25: postings filtered before the shuffle, stats broadcast, TakeOrdered top-k") {
+    val p = plan("ext_text_bm25")
+    // query-term IN-filter must sit below the first exchange (row-local),
+    // so the shuffle carries only matching postings
+    val firstEx = p.indexOf("Exchange")
+    val inFilter = p.indexOf("term")
+    assert(firstEx >= 0 && inFilter >= 0, s"missing shuffle or term filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df stats not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k not a bounded heap:\n$p")
+    // staged N/avgdl: no scalar subquery or extra agg for corpus stats
+    assert(!p.contains("Subquery"), s"corpus stats not staged:\n$p")
+  }
+
   test("incremental dedup: staged-index join is hash-equi, never a nested loop") {
     val p = plan("ext_dedup_minhash_incr")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

@@ -139,6 +139,36 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(math.abs(doc1.head._4 - doc3.head._4) < 1e-12)
   }
 
+  test("bm25TopDocs: tf saturation + idf ordering; non-matching docs absent") {
+    val df = Seq(
+      (1L, "spark spark join x"), // both terms, tf(spark)=2
+      (2L, "spark y z"),          // one term
+      (3L, "a b c d")             // no query terms
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25TopDocs(df, Seq("spark", "join"), k = 10)
+      .select("doc_id", "score", "n_terms")
+      .as[(Long, Double, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 2L)) // ranked, doc3 filtered out
+    assert(out(0)._2 > out(1)._2)
+    assert(out(0)._3 == 2L && out(1)._3 == 1L)
+    // replay doc2's score by hand: one term, tf=1, dl=3, N=3, avgdl=11/3
+    val avgdl = 11.0 / 3
+    val idfSpark = math.log((3.0 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val tfn = (1 * (1.2 + 1.0)) / (1 + 1.2 * (1.0 - 0.75 + (0.75 * 3) / avgdl))
+    assert(math.abs(out(1)._2 - idfSpark * tfn) < 1e-12)
+  }
+
+  test("bm25TopDocs: bit-identical scores under any input partitioning") {
+    val base = docs.limit(200)
+    val a = TextOps.bm25TopDocs(base, Seq("spark", "join", "the"), k = 50)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val b = TextOps.bm25TopDocs(base.repartition(13),
+        Seq("spark", "join", "the"), k = 50)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    // literal-ordered per-term combine → exact equality, not approximate
+    assert(a == b)
+  }
+
   test("tfidfTopTerms: staged nDocsKnown skips the corpus-count job, same result") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val df = Seq(
