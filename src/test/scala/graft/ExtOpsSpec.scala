@@ -66,6 +66,38 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"k-means IVF recall $recall (probing 4/16 cells)")
   }
 
+  test("scalar quantization: codes in range, reconstruction within half a step") {
+    val stats = SimilarityOps.quantizationStats(emb)
+    assert(stats.length == 64)
+    val coded = emb.select($"vec_id", $"embedding",
+      SimilarityOps.quantizeExpr($"embedding", stats).as("codes"),
+      SimilarityOps.dequantizeExpr(
+        SimilarityOps.quantizeExpr($"embedding", stats), stats).as("recon"))
+    // every code in [0, 255]
+    val bad = coded.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" > 255).count()
+    assert(bad == 0)
+    // |x - recon(x)| <= span/510 + eps per dim (half a quantization step)
+    val maxStep = stats.map { case (mn, mx) => (mx - mn) / 510.0 }.max
+    val worst = coded
+      .select(explode(zip_with($"embedding".cast("array<double>"), $"recon",
+        (x, r) => abs(x - r))).as("err"))
+      .agg(max($"err")).as[Double].head()
+    assert(worst <= maxStep + 1e-12, s"recon err $worst > half-step $maxStep")
+  }
+
+  test("quantized ANN: high recall vs the exact float top-k") {
+    val stats = SimilarityOps.quantizationStats(emb)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = SimilarityOps.quantizedTopK(emb, queries, 5, stats)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (quant & exact).size.toDouble / exact.size
+    // 8-bit codes perturb cosine by ~1e-3 — neighbor sets should barely move
+    assert(recall >= 0.85, s"quantized recall $recall")
+  }
+
   test("connectedComponents: chains collapse transitively to the min label") {
     // two components: a diameter-4 chain (forces multiple propagation
     // rounds) and a triangle; 99 is disconnected (absent from pairs)
