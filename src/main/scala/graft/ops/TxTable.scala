@@ -60,11 +60,20 @@ object TxTable {
     new Path(logDir(table), f"$v%020d.manifest")
 
   // --- manifest encoding: one header line, one tab-separated line/file ---
+  // The header optionally carries writer-transaction metadata
+  // (`txtable\t1\t<appId>\t<batchId>`) — extra fields on line 1, so older
+  // parsers (which drop the header wholesale) read such manifests fine.
 
-  private def renderManifest(entries: Seq[FileEntry]): Array[Byte] =
-    (s"txtable	1" +: entries.sortBy(e => (e.bucket, e.rel))
+  private def renderManifest(entries: Seq[FileEntry],
+                             txn: Option[(String, Long)] = None): Array[Byte] = {
+    val header = txn match {
+      case Some((app, batch)) => s"txtable	1	$app	$batch"
+      case None => "txtable	1"
+    }
+    (header +: entries.sortBy(e => (e.bucket, e.rel))
       .map(e => s"${e.bucket}	${e.rel}"))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+  }
 
   private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] =
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
@@ -73,6 +82,12 @@ object TxTable {
         FileEntry(b.toInt, rel)
       }
 
+  private def parseTxn(bytes: Array[Byte]): Option[(String, Long)] = {
+    val header = new String(bytes, StandardCharsets.UTF_8)
+      .takeWhile(_ != '\n').split('	')
+    if (header.length >= 4) Some((header(2), header(3).toLong)) else None
+  }
+
   /** Atomically publish `entries` as version `v`. Returns false when the
     * version already exists (another writer won the race). The temp file
     * is fully written first; the publish step is a hard link (local —
@@ -80,12 +95,13 @@ object TxTable {
     * rename-to-existing returns false), so a manifest is never observable
     * half-written. */
   private def tryCommit(fs: FileSystem, table: String, v: Long,
-                        entries: Seq[FileEntry]): Boolean = {
+                        entries: Seq[FileEntry],
+                        txn: Option[(String, Long)] = None): Boolean = {
     val dst = versionPath(table, v)
     fs.mkdirs(logDir(table))
     val tmp = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(entries))
+    out.write(renderManifest(entries, txn))
     out.close()
     val published =
       if (fs.getUri.getScheme == "file") {
@@ -183,6 +199,65 @@ object TxTable {
     require(tryCommit(fs, table, 0L, entries),
       s"$table already initialized (version 0 exists)")
     Snapshot(0L, entries)
+  }
+
+  /** Highest `batchId` a writer identified by `appId` has committed, or
+    * None. Scans retained manifest headers (one small file each — bounded
+    * by [[vacuum]]'s retention, and a replay check runs once per
+    * micro-batch, not per row). */
+  def lastCommittedBatch(spark: SparkSession, table: String,
+                         appId: String): Option[Long] = {
+    val fs = fsFor(spark, table)
+    val batches = listVersions(fs, table).flatMap { v =>
+      val in = fs.open(versionPath(table, v))
+      val bytes = try in.readAllBytes() finally in.close()
+      parseTxn(bytes)
+    }.collect { case (app, batch) if app == appId => batch }
+    if (batches.isEmpty) None else Some(batches.max)
+  }
+
+  /** Idempotent append for streaming sinks — the Delta `txnAppId` /
+    * `txnVersion` pattern: the (appId, batchId) of the writing query rides
+    * the manifest header, and a REPLAYED micro-batch (foreachBatch re-runs
+    * after a crash between sink write and checkpoint commit) is detected
+    * and skipped, making parquet-append streaming exactly-once instead of
+    * at-least-once. Returns true when the batch committed, false when it
+    * was already in the log (replay). Lost commit races re-stage and
+    * retry like [[upsert]]. */
+  def appendOnce(spark: SparkSession, table: String, batch: DataFrame,
+                 key: String, nBuckets: Int, appId: String, batchId: Long,
+                 maxRetries: Int = 5): Boolean = {
+    val fs = fsFor(spark, table)
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
+      return false
+    val tagged = batch.withColumn(LayoutOps.BucketCol,
+      LayoutOps.bucketId(col(key), nBuckets))
+    // appended files are independent of the base snapshot, so stage ONCE;
+    // a lost race only needs a fresh manifest over the winner's snapshot
+    // (append conflicts auto-resolve — no re-merge, unlike upsert)
+    val newEntries = stageFiles(spark, table, tagged)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      if (tryCommit(fs, table, snap.version + 1, snap.entries ++ newEntries,
+          Some((appId, batchId))))
+        return true
+      // the race winner may have been a concurrent replay of this very
+      // batch — re-check before retrying, and drop our orphans if so
+      if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) {
+        newEntries.map(_.rel.split('/')(1)).distinct
+          .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+        return false
+      }
+      attempt += 1
+      if (attempt > maxRetries) {
+        newEntries.map(_.rel.split('/')(1)).distinct
+          .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+        throw new java.util.ConcurrentModificationException(
+          s"$table: append lost the commit race $maxRetries times; giving up")
+      }
+    }
+    false // unreachable
   }
 
   /** MERGE-analog upsert with file-level pruning and optimistic

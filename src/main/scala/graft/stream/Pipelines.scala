@@ -276,6 +276,26 @@ object Pipelines {
         ()
       }
 
+  /** Exactly-once streaming append into a [[graft.ops.TxTable]]: each
+    * micro-batch commits atomically with its (appId, batchId) in the
+    * manifest header, so a batch REPLAYED after a crash between the sink
+    * write and the checkpoint commit is recognized and skipped
+    * (`TxTable.appendOnce`) — the Delta txnAppId/txnVersion idempotence
+    * pattern. This upgrades the plain parquet append sink (K1, at-least-
+    * once on replay) to exactly-once without any dedup-on-read. Seed the
+    * target with `TxTable.init(...)`; pick `appId` stable across restarts
+    * (it identifies the QUERY, not the run). */
+  def appendTx(stream: DataFrame, tablePath: String, key: String,
+               checkpoint: String, appId: String,
+               nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.TxTable.appendOnce(batch.sparkSession, tablePath, batch,
+          key, nBuckets, appId, batchId)
+        ()
+      }
+
   /** Ingestion-time near-dup dedup — the landing-job pattern for a
     * continuously-growing corpus: each micro-batch of documents is
     * admitted through [[graft.ops.DedupOps.ingestBatch]] (sign the batch

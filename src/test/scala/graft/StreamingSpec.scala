@@ -47,6 +47,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.toSeq == Seq("C1", "C4"))
   }
 
+  test("appendTx: exactly-once append through TxTable commits; replay skipped") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_txappend_").toString
+    val table = s"$tmp/customer_tx"
+    graft.ops.TxTable.init(spark, table,
+      Seq(CustomerProfile("C1", "Alice", "a@x.com", "Female", 30,
+        "2020-01-01", ts("2024-01-01 00:00:00"))).toDF(),
+      "customer_id", nBuckets = 4)
+    val in = MemoryStream[CustomerProfile]
+    in.addData(
+      CustomerProfile("C2", "Bob", "b@x.com", "Male", 40, "2020-01-02", ts("2024-01-01 01:00:00")),
+      CustomerProfile("C3", "Carol", "c@x.com", "Female", 25, "2020-01-03", ts("2024-01-01 02:00:00")))
+    def run(): Unit = {
+      val q = Pipelines.appendTx(in.toDF(), table, "customer_id",
+          s"$tmp/ckpt", appId = "cust_stream", nBuckets = 4)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    assert(graft.ops.TxTable.read(spark, table).count() == 3)
+    val v = graft.ops.TxTable.snapshot(spark, table).version
+    // restart from the same checkpoint with no new data: nothing commits
+    run()
+    assert(graft.ops.TxTable.snapshot(spark, table).version == v)
+    // crash-replay simulation: the checkpoint committed batch 0 but a
+    // recovering run re-delivers it — the txn log rejects the duplicate
+    val replay = Seq(CustomerProfile("C2", "Bob", "b@x.com", "Male", 40,
+      "2020-01-02", ts("2024-01-01 01:00:00"))).toDF()
+    assert(!graft.ops.TxTable.appendOnce(spark, table, replay,
+      "customer_id", 4, "cust_stream", 0L))
+    assert(graft.ops.TxTable.read(spark, table).count() == 3,
+      "replayed micro-batch must not duplicate rows")
+    // genuinely new data still flows
+    in.addData(CustomerProfile("C4", "Dave", "d@x.com", "Male", 33,
+      "2020-01-04", ts("2024-01-01 03:00:00")))
+    run()
+    assert(graft.ops.TxTable.read(spark, table).count() == 4)
+  }
+
   test("cdcApply upserts each micro-batch into the silver table") {
     implicit val ctx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_cdc_").toString

@@ -149,4 +149,33 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(spark, table).version == 2L,
       "two commits → versions 1 and 2")
   }
+
+  test("appendOnce: replayed batch ids skip; txn log survives interleaved commits") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
+    val b0 = Seq(("C100", "x@b0", ts("2024-01-03 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    assert(TxTable.appendOnce(spark, table, b0, "customer_id", 4, "appA", 0L))
+    val v1 = TxTable.snapshot(spark, table).version
+    val n1 = TxTable.read(spark, table).count()
+    assert(n1 == 9)
+    // foreachBatch replay of batch 0 after a crash: no commit, no new rows
+    assert(!TxTable.appendOnce(spark, table, b0, "customer_id", 4, "appA", 0L))
+    assert(TxTable.snapshot(spark, table).version == v1)
+    assert(TxTable.read(spark, table).count() == n1)
+    assert(TxTable.lastCommittedBatch(spark, table, "appA") == Some(0L))
+    // a different query id is an independent txn stream
+    assert(TxTable.appendOnce(spark, table, b0, "customer_id", 4, "appB", 0L))
+    // an interleaved NON-txn commit (maintenance upsert) must not erase
+    // appA's replay protection
+    val up = Seq(("C1", "u1@v2", ts("2024-01-04 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.upsert(spark, table, up, "customer_id", "updated_at", nBuckets = 4)
+    assert(!TxTable.appendOnce(spark, table, b0, "customer_id", 4, "appA", 0L))
+    // the NEXT batch id commits normally
+    val b1 = Seq(("C101", "y@b1", ts("2024-01-05 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    assert(TxTable.appendOnce(spark, table, b1, "customer_id", 4, "appA", 1L))
+    assert(TxTable.lastCommittedBatch(spark, table, "appA") == Some(1L))
+  }
 }
