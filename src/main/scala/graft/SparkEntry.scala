@@ -1244,6 +1244,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // End-to-end corpus prep — the composition a training-data pipeline
+    // actually runs: C4/Gopher quality gate → LM perplexity gate → exact
+    // dedup (keep lowest doc_id). Join-FREE by construction: quality
+    // carries text/lang through (qualityFilter `carry`), the LM rides as
+    // literal maps, and the only shuffle in the whole pipeline is the
+    // dedup's one window exchange (oracle-checked end-to-end).
+    "ext_corpus_prep" -> ((s, dir) => {
+      val lm = stagedCharLM(s, dir)
+      val gated = ops.TextOps.qualityFilter(tbl(s, dir, "documents"),
+          carry = Seq("text", "lang"))
+        .filter(col("keep"))
+        .withColumn("nll6",
+          round6(ops.TextOps.lmNegLogLik(col("text"), lm)))
+        .filter(col("nll6") <= 1.75)
+        .withColumn("h", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
+      ops.DedupOps.exactDedup(gated, Seq("h"), Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("nll6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Deterministic train/holdout split: pure row-local md5-bucket decision
     // — same (salt, key) → same split on any engine, any partitioning
     // (oracle-checked end-to-end).
@@ -2015,6 +2035,88 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  FLOOR(SUM(nll) / COUNT(*) * 1000000 + 0.5) / 1000000 AS nll6
         |FROM scored GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // end-to-end replay: quality rules (as ext_quality_filter) → LM NLL
+    // (as ext_text_lm_score) → keep-min-doc_id dedup on the normalized md5
+    "ext_corpus_prep" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, text,
+        |    string_split_regex(text, '\s+') AS toks,
+        |    string_split_regex(lower(text), '\s+') AS ltoks
+        |  FROM documents
+        |), grammed AS (
+        |  SELECT *, list_transform(
+        |    range(1, CAST(greatest(len(toks) - 2, 1) + 1 AS BIGINT)),
+        |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+        |  FROM base
+        |), qscored AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(toks) AS INTEGER) AS n_words,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |      / len(toks) AS mean_word_len,
+        |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS symbol_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / length(text) AS digit_ratio,
+        |    CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], t))) AS DOUBLE)
+        |      / len(toks) AS stopword_ratio,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |      ELSE 0.0 END AS dup_trigram_ratio
+        |  FROM grammed
+        |), kept AS (
+        |  SELECT doc_id, lang, text FROM qscored
+        |  WHERE concat_ws(',',
+        |    CASE WHEN n_words IS NULL THEN 'null_text' END,
+        |    CASE WHEN n_words < 10 THEN 'too_few_words' END,
+        |    CASE WHEN n_words > 5000 THEN 'too_many_words' END,
+        |    CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'word_len' END,
+        |    CASE WHEN symbol_ratio > 0.2 THEN 'symbol_ratio' END,
+        |    CASE WHEN digit_ratio > 0.3 THEN 'digit_ratio' END,
+        |    CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+        |    CASE WHEN dup_trigram_ratio > 0.3 THEN 'repetitive' END) = ''
+        |), ref AS (
+        |  SELECT text FROM documents WHERE lang = 'en'
+        |), refbg AS (
+        |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> substring(text, i, 2))) AS bg
+        |  FROM ref
+        |), bgc AS (
+        |  SELECT bg, COUNT(*) AS n FROM refbg GROUP BY bg
+        |), ctxc AS (
+        |  SELECT substring(bg, 1, 1) AS c, SUM(n) AS cn FROM bgc GROUP BY 1
+        |), vocab AS (
+        |  SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS v FROM (
+        |    SELECT unnest(list_transform(generate_series(1, length(text)),
+        |      i -> substring(text, i, 1))) AS c
+        |    FROM ref)
+        |), docbg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+        |    i -> substring(text, i, 2))) AS bg
+        |  FROM kept WHERE length(text) >= 2
+        |), nllbg AS (
+        |  SELECT doc_id,
+        |    -ln((COALESCE(n, 0) + 1.0) / (COALESCE(cn, 0) + v)) AS nll
+        |  FROM docbg
+        |  LEFT JOIN bgc USING (bg)
+        |  LEFT JOIN ctxc ON ctxc.c = substring(bg, 1, 1)
+        |  CROSS JOIN vocab
+        |), nlldoc AS (
+        |  SELECT doc_id,
+        |    FLOOR(SUM(nll) / COUNT(*) * 1000000 + 0.5) / 1000000 AS nll6
+        |  FROM nllbg GROUP BY doc_id
+        |), gated AS (
+        |  SELECT k.doc_id, k.lang, n.nll6,
+        |    md5(lower(regexp_replace(k.text, '\s+', ' ', 'g'))) AS h
+        |  FROM kept k JOIN nlldoc n USING (doc_id)
+        |  WHERE n.nll6 <= 1.75
+        |), deduped AS (
+        |  SELECT doc_id, lang, nll6,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |  FROM gated
+        |)
+        |SELECT doc_id, lang, nll6 FROM deduped WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     "ext_sample_split" ->

@@ -172,7 +172,8 @@ object TextOps {
                     minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
                     maxSymbolRatio: Double = 0.2, maxDigitRatio: Double = 0.3,
                     minStopwordRatio: Double = 0.02,
-                    maxDupTrigramRatio: Double = 0.3): DataFrame = {
+                    maxDupTrigramRatio: Double = 0.3,
+                    carry: Seq[String] = Nil): DataFrame = {
     val toks = col("__toks")
     val n = size(toks)
     val nWords = n.as("n_words")
@@ -191,12 +192,17 @@ object TextOps {
     val dupRatio = when(n >= 3,
         lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
       .otherwise(0.0).as("dup_trigram_ratio")
+    // `carry`: pass-through columns for downstream pipeline stages (LM
+    // gate, dedup hash) — composing via carry keeps the whole prep
+    // pipeline join-free, which is the point at 100 TB
+    val carryNames = carry.filterNot(_ == "doc_id").distinct
     val scored = OpsUtil.spread(docs)
-      .select(col("doc_id"), col("text"),
+      .select(Seq(col("doc_id"), col("text"),
         split(col("text"), "\\s+").as("__toks"),
         split(lower(col("text")), "\\s+").as("__ltoks"))
-      .select(col("doc_id"), nWords, meanLen, symRatio, digRatio, stopRatio,
-        dupRatio)
+        ++ carryNames.filterNot(_ == "text").map(col): _*)
+      .select(Seq(col("doc_id"), nWords, meanLen, symRatio, digRatio,
+        stopRatio, dupRatio) ++ carryNames.map(col): _*)
     // concat_ws skips NULLs in both Spark and DuckDB, so each rule emits
     // its name or NULL and the audit string needs no array filtering
     val reasons = concat_ws(",",

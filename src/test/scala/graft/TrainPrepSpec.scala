@@ -169,6 +169,19 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("qualityFilter carry: pass-through columns ride along, verdicts unchanged") {
+    val base = TextOps.qualityFilter(docs)
+    val carried = TextOps.qualityFilter(docs, carry = Seq("text", "lang"))
+    assert(carried.columns.toSet == base.columns.toSet ++ Set("text", "lang"))
+    val a = base.select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val b = carried.select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(a == b, "carrying columns must not change any verdict")
+    // carried values are the original ones
+    val langs = carried.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val orig = docs.select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(langs == orig)
+  }
+
   test("charBigramLM: reference-like text scores lower NLL than gibberish; short text null") {
     val lm = TextOps.trainCharBigramLM(docs.filter($"lang" === "en"))
     assert(lm.vocab > 0 && lm.bigrams.nonEmpty)
