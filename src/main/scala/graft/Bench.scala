@@ -63,7 +63,10 @@ object Bench {
       }
     }
 
+    // optional comma-separated query filter (dev iteration on hot queries)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // full suite per pass (not per-query repeats) so each pass sees the
     // same cross-query cache/GC environment

@@ -214,6 +214,18 @@ object SparkEntry {
       _ => ops.TextOps.trainCharBigramLM(
         tbl(s, dir, "documents").filter(col("lang") === "en")))
 
+  /** PQ codebooks (m=8 subspaces, 16 codewords) — vector-index build
+    * metadata, staged once per (sf dir, JVM) like [[stagedQuantStats]]. */
+  private val stagedPqCbs =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def stagedPqCodebooks(s: SparkSession,
+                                dir: String): Array[Array[Array[Double]]] =
+    stagedPqCbs.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
+      _ => ops.SimilarityOps.pqCodebooks(tbl(s, dir, "embeddings"),
+        m = 8, k = 16))
+
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
@@ -1021,6 +1033,19 @@ object SparkEntry {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    // ANN top-k over the PRODUCT-QUANTIZED index (ADC scoring): m=8
+    // codes per vector, codeword-lookup sums instead of full-dim dot
+    // products — the billion-vector search shape. Deterministic codebooks
+    // (first-16-by-id subvectors) make encode + score oracle-replayable.
+    "ext_ann_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          cbs = stagedPqCodebooks(s, dir))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ANN top-k over the QUANTIZED index: codes dequantize row-locally
     // inside the scoring projection (the compressed index never inflates
     // in the exchange); same bounded-heap top-k as ext_ann_topk. Recall vs
@@ -1236,11 +1261,11 @@ object SparkEntry {
     // corpus size (oracle-checked; nll rounded to 6 dp for ln parity).
     "ext_text_lm_score" -> ((s, dir) => {
       val lm = stagedCharLM(s, dir)
-      tbl(s, dir, "documents")
-        .filter(length(col("text")) >= 2)
+      ops.TextOps.lmScore(
+          tbl(s, dir, "documents").filter(length(col("text")) >= 2), lm)
         .select(col("doc_id"),
           (length(col("text")) - 1).cast("long").as("n_bigrams"),
-          round6(ops.TextOps.lmNegLogLik(col("text"), lm)).as("nll6"))
+          round6(col("nll")).as("nll6"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1252,12 +1277,22 @@ object SparkEntry {
     // dedup's one window exchange (oracle-checked end-to-end).
     "ext_corpus_prep" -> ((s, dir) => {
       val lm = stagedCharLM(s, dir)
-      val gated = ops.TextOps.qualityFilter(tbl(s, dir, "documents"),
+      // persist each scored stage before its gate: a filter on a computed
+      // column is pushed below the projection, substituting the FULL
+      // expression tree into the predicate — the O(n²) trigram metrics
+      // (quality) and the LM fold would each evaluate twice per row
+      // (measured 5.1 s vs 1.5 s for the quality stage at sf0.1). Same
+      // one-materialize convention the dedup pipelines use.
+      val kept = ops.TextOps.qualityFilter(tbl(s, dir, "documents"),
           carry = Seq("text", "lang"))
+        .select(col("doc_id"), col("lang"), col("text"), col("keep"))
+        .persist()
         .filter(col("keep"))
-        .withColumn("nll6",
-          round6(ops.TextOps.lmNegLogLik(col("text"), lm)))
-        .filter(col("nll6") <= 1.75)
+      val scored = ops.TextOps.lmScore(kept, lm)
+        .withColumn("nll6", round6(col("nll")))
+        .select(col("doc_id"), col("lang"), col("text"), col("nll6"))
+        .persist()
+      val gated = scored.filter(col("nll6") <= 1.75)
         .withColumn("h", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
       ops.DedupOps.exactDedup(gated, Seq("h"), Seq(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("nll6"))
@@ -2306,6 +2341,64 @@ object SparkEntry {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
         |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id,
+        |  FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim6
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // PQ replay: codebooks = subvectors of the first 16 vectors by id;
+    // encode = argmin L2 per subspace (ties → lowest codeword index, the
+    // array_position first-match); ADC score = codeword lookup sums
+    "ext_ann_pq" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cbbase AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, v
+        |  FROM vecs ORDER BY vec_id LIMIT 16
+        |), subs AS (
+        |  SELECT unnest(generate_series(0, 7)) AS s
+        |), cb AS (
+        |  SELECT s, j, list_slice(v, s*8 + 1, s*8 + 8) AS cw
+        |  FROM cbbase CROSS JOIN subs
+        |), dist AS (
+        |  SELECT vec_id, s, j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      d -> (v[s*8 + d] - cw[d]) * (v[s*8 + d] - cw[d]))) AS d2
+        |  FROM vecs CROSS JOIN cb
+        |), codes AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10
+        |), qdot AS (
+        |  SELECT query_id, s, j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      d -> qv[s*8 + d] * cw[d])) AS dp
+        |  FROM q CROSS JOIN cb
+        |), cwn AS (
+        |  SELECT s, j, list_sum(list_transform(cw, x -> x * x)) AS nn FROM cb
+        |), qn AS (
+        |  SELECT query_id, list_sum(list_transform(qv, x -> x * x)) AS nn FROM q
+        |), scored AS (
+        |  SELECT qd.query_id, c.vec_id AS neighbor_id,
+        |    SUM(qd.dp) AS dp, SUM(w.nn) AS rn2
+        |  FROM codes c
+        |  JOIN qdot qd ON qd.s = c.s AND qd.j = c.j
+        |  JOIN cwn w ON w.s = c.s AND w.j = c.j
+        |  WHERE c.vec_id <> qd.query_id
+        |  GROUP BY 1, 2
+        |), simd AS (
+        |  SELECT scored.query_id, neighbor_id,
+        |    dp / (sqrt(qn.nn) * sqrt(rn2)) AS sim
+        |  FROM scored JOIN qn ON qn.query_id = scored.query_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM simd
         |)
         |SELECT query_id, rank, neighbor_id,
         |  FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim6

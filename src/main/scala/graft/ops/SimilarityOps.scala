@@ -286,6 +286,136 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  // --------------------------------------------------------------------
+  // Product quantization (PQ) — the other half of the compressed-index
+  // story: split each vector into `m` subspaces, quantize every subvector
+  // to its nearest of `k` codewords, store m small codes per vector
+  // (64-dim float32 → 8 bytes at m=8, k≤256: 32× compression). Scoring
+  // uses asymmetric distance (ADC): the float query is compared to
+  // codewords — O(m) lookup-sums per candidate instead of O(dims)
+  // multiplies, the trick that makes billion-vector search tractable.
+  // Codebooks here are deterministic (subvectors of the first k corpus
+  // vectors by id — the ivfTopK centroid convention, so encode/score are
+  // oracle-replayable); a production build fits per-subspace k-means
+  // exactly like ivfTopKKmeans fits its cells.
+  // --------------------------------------------------------------------
+
+  /** Deterministic PQ codebooks: `[m][k][dims/m]` — codeword j of
+    * subspace s is the s-th subvector of the (j+1)-th corpus vector by id.
+    * Driver-side index metadata, like centroids. */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int): Array[Array[Array[Double]]] = {
+    val base = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(base.length == k, s"corpus has fewer than $k vectors")
+    val dims = base.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    Array.tabulate(m)(s => base.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Row-local PQ encode: per subspace, the argmin-L2 codeword index
+    * (ties → lowest index). Returns `array<int>` of length m.
+    *
+    * Evaluated as a deterministic closure over the codebook matrix rather
+    * than an inlined Catalyst tree: the expression form is m·k·dsub
+    * (1000+) nodes, which blows past whole-stage codegen and runs
+    * interpreted-and-boxed per row (~0.3 ms/row measured — the same
+    * Janino-ceiling economics as [[assignCells]]'s fallback). The closure
+    * runs the identical fixed-order double arithmetic (left-to-right
+    * distance fold, strict `<` argmin = first-lowest index), so results
+    * are bit-identical; equivalence is spec-pinned. */
+  def pqEncode(emb: Column, cbs: Array[Array[Array[Double]]]): Column = {
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    val enc = udf { (v: Seq[Float]) =>
+      Array.tabulate(m) { s =>
+        var bestJ = 0
+        var best = Double.PositiveInfinity
+        var j = 0
+        while (j < cbs(s).length) {
+          val cw = cbs(s)(j)
+          var d2 = 0.0
+          var d = 0
+          while (d < dsub) {
+            val diff = v(s * dsub + d).toDouble - cw(d)
+            d2 += diff * diff
+            d += 1
+          }
+          // strict < over ascending j == lowest index wins ties, matching
+          // array_position's first-match and the oracle's (d2, j) ordering
+          if (d2 < best) { best = d2; bestJ = j }
+          j += 1
+        }
+        bestJ
+      }
+    }
+    enc(emb)
+  }
+
+  /** ADC top-k over the PQ-coded corpus: per candidate, the cosine against
+    * the RECONSTRUCTION is assembled from m codeword lookups (query-side
+    * sub-dots + codeword norms), never from the original floats — the
+    * compressed index is all that streams through the executors. Same
+    * broadcast-queries / WindowGroupLimit shape as [[bruteForceTopK]];
+    * recall vs the exact path is spec-pinned. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+             cbs: Array[Array[Array[Double]]]): DataFrame = {
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    val coded = OpsUtil.spread(corpus).select(col("vec_id"),
+      pqEncode(col("embedding"), cbs).as("codes"))
+    // the ADC trick, done properly: the query-side sub-dot table
+    // (m × k codeword dots) and the query norm are computed ONCE PER QUERY
+    // ROW — as a closure (the inlined expression form is ~m·k·dsub nodes,
+    // past the Janino ceiling; same fixed-order arithmetic, bit-identical)
+    // — so the per-candidate work is m codegen'd element_at lookups, no
+    // higher-order functions in the |corpus| × |queries| hot loop
+    val lutUdf = udf { (v: Seq[Float]) =>
+      val qdots = Array.tabulate(m) { s =>
+        cbs(s).map { cw =>
+          var dp = 0.0
+          var d = 0
+          while (d < dsub) {
+            dp += v(s * dsub + d).toDouble * cw(d)
+            d += 1
+          }
+          dp
+        }
+      }
+      var qn2 = 0.0
+      var i = 0
+      while (i < v.length) {
+        val x = v(i).toDouble
+        qn2 += x * x
+        i += 1
+      }
+      (qdots, qn2)
+    }
+    val qlut = queries
+      .select(col("vec_id").as("query_id"), lutUdf(col("embedding")).as("q"))
+      .select(col("query_id"), col("q._1").as("qdots"), col("q._2").as("qn2"))
+    // codeword norms are index constants — a [m][k] literal
+    val cwNorms = typedlit(cbs.map(_.map(cw =>
+      cw.map(x => x * x).sum).toSeq).toSeq)
+    val dp = (0 until m).map { s =>
+      element_at(element_at(col("qdots"), s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val rn2 = (0 until m).map { s =>
+      element_at(element_at(cwNorms, s + 1),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    coded.crossJoin(broadcast(qlut))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dp / (sqrt(col("qn2")) * sqrt(rn2))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine ≥ threshold. Brute force over normalized vectors; the LSH-bucketed
     * scale path is DedupOps.embeddingLshPairs. */

@@ -355,7 +355,12 @@ object TextOps {
     * over the document's bigrams, folded left-to-right (deterministic).
     * The model rides the plan as literal maps — zero joins, zero shuffle:
     * at 100 TB the quality sweep stays a single fused scan. NULL for
-    * docs with fewer than two characters. */
+    * docs with fewer than two characters.
+    *
+    * This is the semantic definition; prefer [[lmScore]] on the hot path —
+    * `element_at` on a MAP literal is a linear scan (|model| string
+    * compares per bigram) and `substr(i, 2)` re-seeks the string per
+    * position, which measured ~8 s over sf0.1's 5k docs. */
   def lmNegLogLik(text: Column, lm: CharBigramLM): Column = {
     val bgMap = map_from_arrays(
       typedlit(lm.bigrams.keys.toArray),
@@ -374,6 +379,46 @@ object TextOps {
     })
     // guard BEFORE building the sequence: sequence(1, n<1) would descend
     when(n >= 1, total / n.cast("double"))
+  }
+
+  /** Hot-path LM scoring, bit-identical to [[lmNegLogLik]] (spec-pinned):
+    * the text is split to char codes ONCE into a bound column, and the
+    * model becomes two dense array LUTs indexed by `c1*128 + c2` / `c1` —
+    * O(1) `element_at` per bigram instead of a linear map scan, O(n) per
+    * document instead of O(n·|model|). ASCII-keyed models only (checked);
+    * non-ASCII characters in SCORED text take the same miss path
+    * (count 0) as the map version, so results never diverge. */
+  def lmScore(docs: DataFrame, lm: CharBigramLM, textCol: String = "text",
+              outCol: String = "nll"): DataFrame = {
+    val asciiModel = lm.bigrams.keys.forall(bg => bg.forall(_ < 128)) &&
+      lm.contexts.keys.forall(c => c.forall(_ < 128))
+    if (!asciiModel)
+      return docs.withColumn(outCol, lmNegLogLik(col(textCol), lm))
+    val bgArr = new Array[Long](128 * 128)
+    lm.bigrams.foreach { case (bg, n) =>
+      if (bg.length == 2) bgArr(bg(0) * 128 + bg(1)) = n }
+    val ctxArr = new Array[Long](128)
+    lm.contexts.foreach { case (c, n) => ctxArr(c(0)) = n }
+    val bgLut = typedlit(bgArr)
+    val ctxLut = typedlit(ctxArr)
+    val v = lit(lm.vocab.toDouble)
+    // split once → char codes → fold over (c_i, c_i+1) pairs zipped from
+    // two array slices; the fold visits pairs in text order, so the NLL
+    // accumulation order (and thus every bit) matches lmNegLogLik
+    val codes = transform(split(col(textCol), ""), c => ascii(c))
+    val n = length(col(textCol)) - 1
+    val len = greatest(n, lit(0))
+    val pairs = arrays_zip(slice(codes, lit(1), len), slice(codes, lit(2), len))
+    val total = aggregate(pairs, lit(0.0d), (acc, p) => {
+      val c1 = p.getItem("0")
+      val c2 = p.getItem("1")
+      val bc = when(c1 < 128 && c2 < 128,
+        element_at(bgLut, c1 * 128 + c2 + 1)).otherwise(lit(0L)).cast("double")
+      val cc = when(c1 < 128, element_at(ctxLut, c1 + 1))
+        .otherwise(lit(0L)).cast("double")
+      acc - log((bc + 1.0) / (cc + v))
+    })
+    docs.withColumn(outCol, when(n >= 1, total / n.cast("double")))
   }
 
   /** One-pass document profile used by the `text_stats` query.

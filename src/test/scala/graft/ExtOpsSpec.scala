@@ -98,6 +98,41 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"quantized recall $recall")
   }
 
+  test("PQ: codes in range; ADC shortlist + exact re-rank recovers the true top-k") {
+    import org.apache.spark.sql.expressions.Window
+    val cbs = SimilarityOps.pqCodebooks(emb, m = 8, k = 16)
+    assert(cbs.length == 8 && cbs.forall(_.length == 16)
+      && cbs.forall(_.forall(_.length == 8)))
+    val codes = emb.select(SimilarityOps.pqEncode($"embedding", cbs).as("c"))
+    assert(codes.select(explode($"c").as("j"))
+      .filter($"j" < 0 || $"j" >= 16).count() == 0)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // production shape: coarse ADC shortlist (cheap, compressed index),
+    // exact re-rank of the shortlist with real vectors (tiny float read)
+    val shortlist = SimilarityOps.pqTopK(emb, queries, 25, cbs)
+      .select($"query_id", $"neighbor_id")
+    val reranked = shortlist
+      .join(emb.select($"vec_id".as("neighbor_id"), $"embedding".as("nv")),
+        Seq("neighbor_id"))
+      .join(emb.select($"vec_id".as("query_id"), $"embedding".as("qv")),
+        Seq("query_id"))
+      .select($"query_id", $"neighbor_id",
+        SimilarityOps.cosine($"nv", $"qv").as("sim"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+        .orderBy($"sim".desc, $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (reranked & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ shortlist+rerank recall $recall")
+    // raw ADC ordering alone is coarser but must still beat random
+    val adcOnly = SimilarityOps.pqTopK(emb, queries, 5, cbs)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (adcOnly & exact).size.toDouble / exact.size
+    assert(adcRecall >= 0.15, s"raw ADC recall $adcRecall")
+  }
+
   test("connectedComponents: chains collapse transitively to the min label") {
     // two components: a diameter-4 chain (forces multiple propagation
     // rounds) and a triangle; 99 is disconnected (absent from pairs)

@@ -207,6 +207,17 @@ class TrainPrepSpec extends AnyFunSuite {
       s"en ${byLang("en")} should score below zh ${byLang("zh")}")
   }
 
+  test("lmScore LUT fast path is bit-identical to the map-literal definition") {
+    val lm = TextOps.trainCharBigramLM(docs.filter($"lang" === "en"))
+    val slow = docs.select($"doc_id",
+        TextOps.lmNegLogLik($"text", lm).as("nll"))
+      .as[(Long, Option[Double])].collect().toMap
+    val fast = TextOps.lmScore(docs, lm)
+      .select($"doc_id", $"nll")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(fast == slow, "dense-LUT scoring must not change a single bit")
+  }
+
   test("tfidfTopTerms: staged nDocsKnown skips the corpus-count job, same result") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val df = Seq(
