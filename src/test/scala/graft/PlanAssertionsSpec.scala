@@ -132,6 +132,27 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Subquery"), s"corpus stats not staged:\n$p")
   }
 
+  test("lm scoring / quantization: single fused scan — no joins, only the output-sort exchange") {
+    for (q <- Seq("ext_text_lm_score", "ext_embed_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: model/calibration must ride as literals, not joins:\n$p")
+      // the only exchange is the rangepartitioning for the final ORDER BY
+      assert("Exchange".r.findAllIn(p).size <= 1,
+        s"$q: scoring must not shuffle:\n$p")
+    }
+  }
+
+  test("pq ADC: broadcast query LUTs, bounded-heap top-k, no codebook join") {
+    val p = plan("ext_ann_pq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query LUTs must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"top-k not a partial bounded heap:\n$p")
+    // codebooks and codeword norms are literals/closures — exactly one
+    // join in the whole plan (corpus x broadcast queries)
+    assert("Join".r.findAllIn(p).size == 1, s"unexpected extra join:\n$p")
+  }
+
   test("incremental dedup: staged-index join is hash-equi, never a nested loop") {
     val p = plan("ext_dedup_minhash_incr")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),

@@ -403,6 +403,22 @@ class StreamingSpec extends AnyFunSuite {
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q2.awaitTermination()
     assert(spark.table("chunk_stream_t").count() > 2) // doc 1 fans out
+    // LM scoring is also a pure projection (literal-LUT model): a streamed
+    // micro-batch scores identically to the same rows in batch
+    val lm = graft.ops.TextOps.trainCharBigramLM(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("lang") === "en"))
+    val q3 = graft.ops.TextOps.lmScore(in.toDF().toDF("doc_id", "text"), lm)
+      .select(col("doc_id"), col("nll"))
+      .writeStream.format("memory").queryName("lm_stream_t")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q3.awaitTermination()
+    val streamed = spark.table("lm_stream_t").as[(Long, Double)].collect().toMap
+    val batchRows = graft.ops.TextOps.lmScore(
+        Seq((1L, "the quick brown fox jumps over the lazy dog and it runs on for a while with many fine words"),
+          (2L, "too short")).toDF("doc_id", "text"), lm)
+      .select(col("doc_id"), col("nll")).as[(Long, Double)].collect().toMap
+    assert(streamed == batchRows)
   }
 
   test("Kafka round-trip: bronze → silver over a real broker (SPARK_GRAFT_KAFKA)") {
