@@ -382,12 +382,14 @@ object TextOps {
   }
 
   /** Hot-path LM scoring, bit-identical to [[lmNegLogLik]] (spec-pinned):
-    * the text is split to char codes ONCE into a bound column, and the
-    * model becomes two dense array LUTs indexed by `c1*128 + c2` / `c1` —
-    * O(1) `element_at` per bigram instead of a linear map scan, O(n) per
-    * document instead of O(n·|model|). ASCII-keyed models only (checked);
-    * non-ASCII characters in SCORED text take the same miss path
-    * (count 0) as the map version, so results never diverge. */
+    * the model becomes two dense count LUTs (`c1*128 + c2` / `c1`) and the
+    * scoring runs as the native codegen'd kernel
+    * [[graft.functions.CharBigramNll]] — one pass over the UTF-8 bytes
+    * with primitive lookups, no higher-order functions, no boxing.
+    * ASCII-keyed models only (checked; non-ASCII models fall back to the
+    * map-literal definition); non-ASCII characters in SCORED text take
+    * the same miss path (count 0) on both routes, so results never
+    * diverge. */
   def lmScore(docs: DataFrame, lm: CharBigramLM, textCol: String = "text",
               outCol: String = "nll"): DataFrame = {
     val asciiModel = lm.bigrams.keys.forall(bg => bg.forall(_ < 128)) &&
@@ -399,26 +401,8 @@ object TextOps {
       if (bg.length == 2) bgArr(bg(0) * 128 + bg(1)) = n }
     val ctxArr = new Array[Long](128)
     lm.contexts.foreach { case (c, n) => ctxArr(c(0)) = n }
-    val bgLut = typedlit(bgArr)
-    val ctxLut = typedlit(ctxArr)
-    val v = lit(lm.vocab.toDouble)
-    // split once → char codes → fold over (c_i, c_i+1) pairs zipped from
-    // two array slices; the fold visits pairs in text order, so the NLL
-    // accumulation order (and thus every bit) matches lmNegLogLik
-    val codes = transform(split(col(textCol), ""), c => ascii(c))
-    val n = length(col(textCol)) - 1
-    val len = greatest(n, lit(0))
-    val pairs = arrays_zip(slice(codes, lit(1), len), slice(codes, lit(2), len))
-    val total = aggregate(pairs, lit(0.0d), (acc, p) => {
-      val c1 = p.getItem("0")
-      val c2 = p.getItem("1")
-      val bc = when(c1 < 128 && c2 < 128,
-        element_at(bgLut, c1 * 128 + c2 + 1)).otherwise(lit(0L)).cast("double")
-      val cc = when(c1 < 128, element_at(ctxLut, c1 + 1))
-        .otherwise(lit(0L)).cast("double")
-      acc - log((bc + 1.0) / (cc + v))
-    })
-    docs.withColumn(outCol, when(n >= 1, total / n.cast("double")))
+    docs.withColumn(outCol, graft.functions.TextFunctions
+      .char_bigram_nll(col(textCol), bgArr, ctxArr, lm.vocab))
   }
 
   /** One-pass document profile used by the `text_stats` query.
