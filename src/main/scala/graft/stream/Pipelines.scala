@@ -321,6 +321,36 @@ object Pipelines {
         ()
       }
 
+  /** The COMPLETE training-data landing job as one streaming query: each
+    * micro-batch of raw documents passes the C4/Gopher quality gate and
+    * the LM perplexity gate (both stateless row-local projections), and
+    * the survivors go through [[graft.ops.DedupOps.ingestBatch]]'s
+    * near-dup admission against the staged MinHash band index — so the
+    * corpus parquet only ever accumulates clean, in-distribution,
+    * non-duplicate documents. Composition of the three spec'd stages;
+    * state lives in the index parquet (no streaming state store), restart
+    * picks up from the checkpointed batch id. */
+  def prepIngest(docs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
+                 corpusPath: String, indexPath: String, checkpoint: String,
+                 maxNll: Double = 1.75, threshold: Double = 0.5,
+                 num: Int = 64, bands: Int = 16, shingle: Int = 3,
+                 portable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cols = batch.columns.toSeq
+        val kept = graft.ops.TextOps.qualityFilter(batch,
+            carry = cols.filterNot(_ == "doc_id"))
+          .filter(col("keep"))
+          .select(cols.map(col): _*)
+        val gated = graft.ops.TextOps.lmScore(kept, lm)
+          .filter(col("nll") <= maxNll)
+          .select(cols.map(col): _*)
+        graft.ops.DedupOps.ingestBatch(gated, corpusPath, indexPath,
+          threshold, num, bands, shingle, portable)
+        ()
+      }
+
   // --- gold batch-over-stream hand-off (T10) ----------------------------
 
   /** T10 as a streaming query instead of the reference's 60 s `while True`

@@ -331,6 +331,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == 3)
   }
 
+  test("prepIngest: quality, LM, and dedup gates compose in one landing job") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_prep_").toString
+    val (corpus, index, ckpt) = (s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt")
+    val lm = graft.ops.TextOps.trainCharBigramLM(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("lang") === "en"))
+    val good = "the fast join table scan and merge sort with the big data batch stream"
+    val goodDup = "the fast join table scan and merge sort with the big data batch window"
+    val tooShort = "too short"
+    val gibberish = "the qzx jkq wvv pqz zkx qjw for xqz vqk jzz wkq pxv qkz"
+    // threshold between the in-distribution and gibberish scores, chosen
+    // from the model rather than hard-coded
+    import graft.ops.TextOps
+    val probe = Seq((1L, good), (2L, gibberish)).toDF("doc_id", "text")
+    val scores = TextOps.lmScore(probe, lm).select($"doc_id", $"nll")
+      .as[(Long, Double)].collect().toMap
+    assert(scores(1L) < scores(2L), "fixture sanity: gibberish must score worse")
+    val maxNll = (scores(1L) + scores(2L)) / 2
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = Pipelines.prepIngest(in.toDF().toDF("doc_id", "text"), lm,
+          corpus, index, ckpt, maxNll = maxNll)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: good admitted; tooShort fails the quality gate; gibberish
+    // passes quality (word shape is fine) but fails the LM gate
+    in.addData((1L, good), (2L, tooShort), (3L, gibberish))
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+    // batch 2: near-dup of doc 1 rejected against the corpus index
+    in.addData((4L, goodDup))
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+  }
+
   test("CDC-variant bronze schema parses the Debezium-shaped payload") {
     import graft.ops.BronzeOps
     import graft.schemas.Schemas
