@@ -226,6 +226,18 @@ object SparkEntry {
       _ => ops.SimilarityOps.pqCodebooks(tbl(s, dir, "embeddings"),
         m = 8, k = 16))
 
+  /** BPE merge table (30 merges learned from the word-frequency table) —
+    * tokenizer model state, staged once per (sf dir, JVM) like the LM and
+    * quantizer calibration. */
+  private val stagedBpeMergesMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def stagedBpeMerges(s: SparkSession,
+                              dir: String): Seq[(String, String)] =
+    stagedBpeMergesMap.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "documents").getAbsolutePath,
+      _ => ops.BpeOps.bpeTrain(tbl(s, dir, "documents"), numMerges = 30))
+
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
@@ -1296,6 +1308,26 @@ object SparkEntry {
         .withColumn("h", md5(lower(regexp_replace(col("text"), "\\s+", " "))))
       ops.DedupOps.exactDedup(gated, Seq("h"), Seq(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("nll6"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE sub-word tokenization against staged learned merges — the LLM
+    // tokenizer construction (Sennrich et al.). Training runs on the
+    // word-frequency table (vocabulary-sized, corpus-size-independent);
+    // encoding is a row-local replay of the merges, zero shuffle.
+    // `no_oracle` BY CONTRACT: the merge table is data-derived model
+    // state (like ext_ann_ivf_kmeans' cells); the learning rule and the
+    // encode round-trip are spec-pinned on hand-computable fixtures.
+    "ext_bpe_tokens" -> ((s, dir) => {
+      val merges = stagedBpeMerges(s, dir)
+      // spread: the encode kernel is CPU-bound and the documents scan is
+      // a handful of splits — same under-split remedy as the sketch queries
+      ops.OpsUtil.spread(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"),
+          size(ops.BpeOps.bpeEncode(col("text"), merges)).as("n_bpe_tokens"))
+        .select(col("doc_id"), col("n_chars"), col("n_bpe_tokens"),
+          round6(col("n_bpe_tokens").cast("double") / col("n_chars"))
+            .as("tokens_per_char6"))
         .orderBy(col("doc_id"))
     }),
 

@@ -206,9 +206,18 @@ object TxTable {
     * by [[vacuum]]'s retention, and a replay check runs once per
     * micro-batch, not per row). */
   def lastCommittedBatch(spark: SparkSession, table: String,
-                         appId: String): Option[Long] = {
-    val fs = fsFor(spark, table)
-    val batches = listVersions(fs, table).flatMap { v =>
+                         appId: String): Option[Long] =
+    lastCommittedBatchUpTo(fsFor(spark, table), table, appId, Long.MaxValue)
+
+  /** Replay check bounded to versions ≤ `upTo` — the atomicity anchor for
+    * [[appendOnce]]: checking against exactly the snapshot version a
+    * commit will build on makes (check, CAS-at-version+1) race-free; any
+    * concurrent duplicate either sits at a version ≤ upTo (seen here) or
+    * committed after, in which case OUR CAS at upTo+1 loses and we
+    * re-check. */
+  private def lastCommittedBatchUpTo(fs: FileSystem, table: String,
+                                     appId: String, upTo: Long): Option[Long] = {
+    val batches = listVersions(fs, table).filter(_ <= upTo).flatMap { v =>
       val in = fs.open(versionPath(table, v))
       val bytes = try in.readAllBytes() finally in.close()
       parseTxn(bytes)
@@ -239,16 +248,20 @@ object TxTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
-      if (tryCommit(fs, table, snap.version + 1, snap.entries ++ newEntries,
-          Some((appId, batchId))))
-        return true
-      // the race winner may have been a concurrent replay of this very
-      // batch — re-check before retrying, and drop our orphans if so
-      if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId)) {
+      // replay check bound to THIS snapshot version: with the CAS landing
+      // at exactly version+1, a concurrent duplicate either already shows
+      // up here, or commits in between and our CAS loses — either way the
+      // duplicate can never co-commit (two racing replays of one batch id
+      // was a real bug this closes; spec-pinned)
+      if (lastCommittedBatchUpTo(fs, table, appId, snap.version)
+          .exists(_ >= batchId)) {
         newEntries.map(_.rel.split('/')(1)).distinct
           .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
         return false
       }
+      if (tryCommit(fs, table, snap.version + 1, snap.entries ++ newEntries,
+          Some((appId, batchId))))
+        return true
       attempt += 1
       if (attempt > maxRetries) {
         newEntries.map(_.rel.split('/')(1)).distinct

@@ -182,6 +182,36 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(langs == orig)
   }
 
+  test("BPE: argmax merge order on the classic fixture; encode replays merges exactly") {
+    import graft.ops.BpeOps
+    // word freqs: low x3, lower x2, newest x4, widest x1
+    // pair counts: we:6 (2 from lower + 4 from newest) is the unique max
+    val df = Seq((1L, "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val merges = BpeOps.bpeTrain(df, numMerges = 3)
+    assert(merges.head == ("w", "e"), s"first merge should be (w,e): $merges")
+    assert(merges.length == 3)
+    // deterministic: retraining yields the identical merge list
+    assert(BpeOps.bpeTrain(df, numMerges = 3) == merges)
+    // encode: concatenating a word's tokens restores the word; merged
+    // symbols appear as single tokens
+    val toks = df.select(BpeOps.bpeEncode($"text", merges).as("t"))
+      .as[Seq[String]].head()
+    assert(toks.nonEmpty && toks.contains("we"))
+    val restored = toks.mkString("")
+    assert(restored == "lowlowlowlowerlowernewestnewestnewestnewestwidest")
+    // greedy left-to-right within a word: with merges (w,e) the word
+    // "wewe" becomes [we, we]
+    val g = Seq((1L, "wewe")).toDF("doc_id", "text")
+      .select(BpeOps.bpeEncode($"text", Seq(("w", "e"))).as("t"))
+      .as[Seq[String]].head()
+    assert(g == Seq("we", "we"))
+    // empty merge budget: plain characters
+    val none = df.select(BpeOps.bpeEncode($"text", Nil).as("t"))
+      .as[Seq[String]].head()
+    assert(none.forall(_.length == 1))
+  }
+
   test("charBigramLM: reference-like text scores lower NLL than gibberish; short text null") {
     val lm = TextOps.trainCharBigramLM(docs.filter($"lang" === "en"))
     assert(lm.vocab > 0 && lm.bigrams.nonEmpty)

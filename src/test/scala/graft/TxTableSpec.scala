@@ -150,6 +150,50 @@ class TxTableSpec extends AnyFunSuite {
       "two commits → versions 1 and 2")
   }
 
+  test("appendOnce races: concurrent appends both land without re-staging; dup race skips once") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
+    val bA = Seq(("C200", "a@b0", ts("2024-01-03 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val bB = Seq(("C201", "b@b0", ts("2024-01-03 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // two writers (different appIds) race the same base version
+    val threads = Seq(("appA", bA), ("appB", bB)).map { case (app, b) =>
+      new Thread(() => {
+        start.await()
+        try TxTable.appendOnce(spark, table, b, "customer_id", 4, app, 0L)
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(failures.isEmpty, s"both appenders must land: ${failures.peek()}")
+    assert(TxTable.snapshot(spark, table).version == 2L)
+    assert(TxTable.read(spark, table).count() == 10)
+    // two replays of the SAME (appId, batchId) racing: exactly one commits
+    val c1 = Seq(("C202", "c@b1", ts("2024-01-04 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+    val start2 = new java.util.concurrent.CountDownLatch(1)
+    val dups = (1 to 2).map { _ =>
+      new Thread(() => {
+        start2.await()
+        try results.add(TxTable.appendOnce(spark, table, c1,
+          "customer_id", 4, "appA", 1L))
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    dups.foreach(_.start()); start2.countDown(); dups.foreach(_.join())
+    assert(failures.isEmpty, s"replay race must not throw: ${failures.peek()}")
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(identity) == 1,
+      s"exactly one of the racing replays commits: $results")
+    assert(TxTable.read(spark, table)
+      .filter($"customer_id" === "C202").count() == 1,
+      "the duplicated batch must appear exactly once")
+  }
+
   test("appendOnce: replayed batch ids skip; txn log survives interleaved commits") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
