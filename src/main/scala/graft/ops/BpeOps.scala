@@ -25,7 +25,7 @@ object BpeOps {
 
   /** One merge step over a symbol sequence: every adjacent (a, b) becomes
     * ab, scanning left to right (the standard greedy rule). */
-  private def mergeOnce(syms: IndexedSeq[String], a: String,
+  private[graft] def mergeOnce(syms: IndexedSeq[String], a: String,
                         b: String): IndexedSeq[String] = {
     val out = new ArrayBuffer[String](syms.length)
     var i = 0
@@ -96,7 +96,7 @@ object BpeOps {
     * version allocation-thrashed a 32-thread executor 5× slower than
     * 4 threads), identical left-to-right greedy semantics to
     * [[mergeOnce]]. `ab` strings are precomputed per merge. */
-  private def encodeWord(w: String, as: Array[String], bs: Array[String],
+  private[graft] def encodeWord(w: String, as: Array[String], bs: Array[String],
                          abs: Array[String]): Array[String] = {
     val syms = new Array[String](w.length)
     var i = 0
