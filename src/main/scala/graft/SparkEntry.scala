@@ -563,6 +563,20 @@ object SparkEntry {
     // features (train on a deterministic weak label, score in one pass).
     // Model output is not SQL-expressible → no oracle; behavior pinned in
     // ChurnModelSpec, rows checked by the driver.
+    // Trained text-quality classifier (fastText-style reference-vs-rest):
+    // hashed token features -> distributed LR, scored as one projection.
+    // `no_oracle` BY CONTRACT (model output, like ml_churn_scores);
+    // separation and determinism are spec-pinned in QualityModelSpec.
+    "ml_text_quality" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").persist()
+      val model = ml.QualityModel.fit(
+        docs.withColumn("label", ml.QualityModel.referenceLabel))
+      ml.QualityModel.score(model, docs)
+        .select(col("doc_id"), col("lang"),
+          round6(col("quality_probability")).as("quality_probability6"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ml_churn_scores" -> ((s, dir) => {
       // persist: the gold features feed both the L-BFGS fit (several jobs)
       // and the scoring pass — without it the pipeline re-executes per
