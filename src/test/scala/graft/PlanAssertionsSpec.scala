@@ -153,6 +153,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Join".r.findAllIn(p).size == 1, s"unexpected extra join:\n$p")
   }
 
+  test("bpe tokenize: join-free scan; text never reaches the sort") {
+    val p = plan("ext_bpe_tokens")
+    assert(!p.contains("Join"), s"merge table must ride in the closure:\n$p")
+    // the output sort carries only (doc_id, n_chars, counts) — the token
+    // arrays and text reduce to ints below the exchange
+    val sortIdx = p.indexOf("Sort ")
+    assert(sortIdx >= 0 && !p.substring(0, sortIdx).contains("text#"),
+      s"text column should not survive into the sort:\n$p")
+  }
+
   test("incremental dedup: staged-index join is hash-equi, never a nested loop") {
     val p = plan("ext_dedup_minhash_incr")
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
