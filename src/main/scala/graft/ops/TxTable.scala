@@ -327,6 +327,33 @@ object TxTable {
     0L // unreachable
   }
 
+  /** Incremental change feed: the rows in data files ADDED after
+    * `sinceVersion`, up to the newest commit (or `untilVersion`) — the
+    * Delta change-data-feed read shape that lets a downstream job consume
+    * a 100 TB table incrementally: I/O ∝ new files since the last cursor,
+    * never a table rescan. Returns (df, highWatermark) — the caller
+    * persists the watermark as its next cursor. Append and upsert commits
+    * both surface their new files; for upserts that means the POST-MERGE
+    * rows of rewritten buckets (last-writer-wins state, not a row-level
+    * diff — downstream MERGEs idempotently on the key, same as any CDC
+    * snapshot consumer). */
+  def changesSince(spark: SparkSession, table: String, sinceVersion: Long,
+                   untilVersion: Option[Long] = None): (DataFrame, Long) = {
+    val upTo = untilVersion.getOrElse(snapshot(spark, table).version)
+    require(upTo >= sinceVersion,
+      s"until ($upTo) must be >= since ($sinceVersion)")
+    val baseline: Set[String] =
+      snapshot(spark, table, Some(sinceVersion)).entries.map(_.rel).toSet
+    val added = snapshot(spark, table, Some(upTo)).entries
+      .filterNot(e => baseline(e.rel))
+    val df =
+      if (added.isEmpty) {
+        // empty frame with the table schema (from the current snapshot)
+        read(spark, table, Some(upTo)).filter(lit(false))
+      } else spark.read.parquet(added.map(e => s"$table/${e.rel}"): _*)
+    (df, upTo)
+  }
+
   /** Compact fragmented buckets: every bucket whose file count exceeds
     * `maxFilesPerBucket` (streaming CDC lands one file set per commit, so
     * counts grow per micro-batch) is re-read and rewritten as one fresh

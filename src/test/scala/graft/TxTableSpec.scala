@@ -150,6 +150,35 @@ class TxTableSpec extends AnyFunSuite {
       "two commits → versions 1 and 2")
   }
 
+  test("changesSince: manifest-diff reads exactly the files new commits added") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(16), "customer_id", nBuckets = 4)
+    // cursor at v0: no changes yet
+    val (none, w0) = TxTable.changesSince(spark, table, 0L)
+    assert(none.count() == 0 && w0 == 0L)
+    // append commit → feed carries exactly the appended rows
+    val b0 = Seq(("C300", "x@b0", ts("2024-01-03 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.appendOnce(spark, table, b0, "customer_id", 4, "cdc", 0L)
+    val (c1, w1) = TxTable.changesSince(spark, table, 0L)
+    assert(w1 == 1L)
+    assert(c1.select("customer_id").as[String].collect().toSeq == Seq("C300"))
+    // upsert commit → feed from the NEW cursor carries the post-merge
+    // state of the touched buckets only (C1's bucket), not the table
+    val up = Seq(("C1", "u1@v2", ts("2024-01-04 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.upsert(spark, table, up, "customer_id", "updated_at", nBuckets = 4)
+    val (c2, w2) = TxTable.changesSince(spark, table, w1)
+    assert(w2 == 2L)
+    val changed = c2.select("customer_id", "email")
+      .as[(String, String)].collect().toMap
+    assert(changed("C1") == "u1@v2")
+    assert(changed.size < 17, "feed must carry touched buckets, not the table")
+    // cumulative read from v0 covers both commits
+    val (all, _) = TxTable.changesSince(spark, table, 0L)
+    assert(all.filter($"customer_id".isin("C300", "C1")).count() >= 2)
+  }
+
   test("appendOnce races: concurrent appends both land without re-staging; dup race skips once") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
