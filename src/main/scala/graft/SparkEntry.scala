@@ -1030,6 +1030,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // LSH-bucketed kNN JOIN: every corpus vector gets its top-3 neighbors,
+    // candidates from the same seeded 64-plane/8-band SRP bucketing as
+    // ext_dedup_embedding_lsh — the corpus-scale retrieval shape where the
+    // query side is too big to broadcast. Deterministic planes mean the
+    // oracle replays buckets, candidates, and ranks exactly.
+    "ext_knn_join" -> ((s, dir) => {
+      ops.SimilarityOps.knnJoinLsh(tbl(s, dir, "embeddings"), k = 3)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF approximate top-k — deterministic (first-16-by-id centroids,
     // exact double cosine, id tiebreaks), so fully oracle-checked.
     "ext_ann_ivf" -> ((s, dir) => {
@@ -1819,6 +1831,66 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for the LSH kNN join: replays the seeded hyperplane projection
+    * (SrpCoef coefficients inlined as literals), the banded bucket match
+    * (OR across band slices, both directions), exact cosine, and the
+    * per-query row_number ≤ k ranking. */
+  private def knnJoinOracleSql(nPlanes: Int, bands: Int, dims: Int,
+                               seed: Long, k: Int): String = {
+    val bits = nPlanes / bands
+    val planeExprs = (0 until nPlanes).map { p =>
+      (0 until dims).map { d =>
+        s"e[${d + 1}]*(${graft.functions.SrpCoef.coef(p, d, seed)})"
+      }.mkString(" + ")
+    }.mkString(",\n        |    ")
+    val bandClauses = (0 until bands).map { b =>
+      s"list_slice(a.bits, ${b * bits + 1}, ${(b + 1) * bits}) = " +
+        s"list_slice(b.bits, ${b * bits + 1}, ${(b + 1) * bits})"
+    }.mkString("\n        |     OR ")
+    s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), sigs AS (
+        |  SELECT vec_id, [
+        |    $planeExprs
+        |  ] AS acc FROM emb
+        |), fps AS (
+        |  SELECT vec_id,
+        |    list_transform(acc, a -> CASE WHEN a > 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM sigs
+        |), cands AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM fps a JOIN fps b ON a.vec_id <> b.vec_id
+        |  WHERE $bandClauses
+        |), ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(xa.x*xb.x) AS dp
+        |  FROM cands c
+        |  JOIN ex xa ON xa.vec_id = c.query_id
+        |  JOIN ex xb ON xb.vec_id = c.neighbor_id AND xa.i = xb.i
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |    dp/(sqrt(nq.nn)*sqrt(ne.nn)) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.query_id
+        |  JOIN norms ne ON ne.vec_id = d.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, rank, neighbor_id,
+        |  FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim6
+        |FROM ranked WHERE rank <= $k
+        |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Shared oracle for the manual and rule-rewritten range joins: session
     * intervals built in SQL, then the theta containment join; `pointFilter`
     * restricts the point side. */
@@ -1864,6 +1936,9 @@ object SparkEntry {
     "ext_dedup_embedding_lsh" ->
       srpLshOracleSql(nPlanes = 64, bands = 8, dims = 64, seed = 42L,
         threshold = 0.3),
+
+    "ext_knn_join" ->
+      knnJoinOracleSql(nPlanes = 64, bands = 8, dims = 64, seed = 42L, k = 3),
 
     "ext_text_winnow" -> winnowOracleSql(window = 8),
 

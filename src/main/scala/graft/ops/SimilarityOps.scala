@@ -57,6 +57,61 @@ object SimilarityOps {
           .orderBy(col("sim").desc, col("neighbor_id"))))
       .filter(col("rank") <= k)
 
+  /** Approximate k-nearest-neighbour JOIN: every row of `vectors` gets its
+    * k most cosine-similar neighbours, with candidates drawn from banded
+    * sign-random-projection buckets instead of the |V|² score matrix.
+    *
+    * This is the corpus-scale sibling of [[bruteForceTopK]]: that one
+    * broadcasts a small query batch and streams the corpus past it; here
+    * the "query side" IS the corpus, so broadcast is impossible and the
+    * candidate set must come from an equi-join. `nPlanes` seeded
+    * hyperplanes (native one-pass SignRandomProjection kernel) yield a
+    * sign bit each; the bits split into `bands` bucket keys, vectors
+    * sharing ANY band's key become candidate pairs (OR across bands —
+    * recall for similarity s is 1 − (1 − p^bits)^bands with
+    * p = 1 − acos(s)/π), and candidates are scored with the exact fused
+    * cosine kernel. Both join legs are the SAME banded plan, so Spark
+    * reuses one exchange; the per-query top-k is the row_number ≤ k
+    * pattern Spark rewrites into partial+final `WindowGroupLimit`, so the
+    * rank shuffle carries at most k rows per query per input partition.
+    * Hot buckets (dense embedding regions) are AQE skew-split like any
+    * equi-join.
+    *
+    * Queries whose buckets contain no other vector yield no rows — the
+    * caller sees missing query_ids, not null neighbours (same contract as
+    * every LSH path here: recall < 1 by construction, tunable via bands).
+    * The hyperplanes are a pure function of (plane, dim, seed), so the
+    * whole pipeline — buckets, candidates, scores, ranks — is replayable
+    * by an external oracle. */
+  def knnJoinLsh(vectors: DataFrame, k: Int, nPlanes: Int = 64,
+                 bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(nPlanes % bands == 0,
+      s"bands ($bands) must divide nPlanes ($nPlanes)")
+    val bits = nPlanes / bands
+    val mask = (1L << bits) - 1
+    val keyed = OpsUtil.spread(vectors).withColumn("sig",
+      graft.functions.SketchFunctions.srp_signature(
+        col("embedding"), nPlanes, seed))
+    val banded = keyed.select(col("vec_id"), col("embedding"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          expr(s"shiftright(sig, ${b * bits}) & $mask").as("bkey"))): _*))
+          .as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.vec_id") =!= col("r.vec_id"))
+      .select(col("l.vec_id").as("query_id"), col("r.vec_id").as("neighbor_id"),
+        cosine(col("l.embedding"), col("r.embedding")).as("sim"))
+      .dropDuplicates(Seq("query_id", "neighbor_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Ceiling for the literal-inlined centroid paths: above this many
     * inlined floats (nCells × dims) the generated projection risks Janino's
     * 64 KB method limit and classfile constant-pool blowup, so assignment /
@@ -68,7 +123,7 @@ object SimilarityOps {
 
   /** Driver/executor-local cosine in double precision, same accumulation
     * order as the fused native expression (one pass: dot + both norms). */
-  private def cosineLocal(a: Seq[Float], b: Array[Float]): Double = {
+  private[graft] def cosineLocal(a: Seq[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < b.length) {
       val x = a(i).toDouble; val y = b(i).toDouble

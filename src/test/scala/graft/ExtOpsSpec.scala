@@ -297,6 +297,42 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH kNN join: well-formed ranks, exact sims, high-sim neighbors found") {
+    val knn = SimilarityOps.knnJoinLsh(emb, k = 3)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(knn.nonEmpty, "fixture should produce kNN rows")
+    // per query: ranks contiguous from 1, sims non-increasing, no dup neighbor
+    knn.groupBy(_._1).foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"query $q ranks not contiguous")
+      assert(sorted.map(_._3).distinct.length == sorted.length,
+        s"query $q repeated a neighbor")
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0)._4 >= w(1)._4,
+          s"query $q sims not non-increasing")
+      }
+    }
+    // reported sims are the exact cosine, not an estimate
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    knn.take(50).foreach { case (q, _, n, sim) =>
+      val expect = SimilarityOps.cosineLocal(vecs(q).toSeq, vecs(n))
+      assert(math.abs(sim - expect) < 1e-12, s"sim mismatch for ($q,$n)")
+    }
+    // every strong near-dup pair must surface as a neighbor of its partner
+    // (same 8x8 banding theory as the pairs test: recall ~0.75 at sim 0.8)
+    val hot = SimilarityOps.nearDupPairs(emb, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    if (hot.nonEmpty) {
+      val got = knn.map(r => (r._1, r._3)).toSet
+      val found = hot.count(p => got((p._1, p._2)) || got((p._2, p._1)))
+      val recall = found.toDouble / hot.length
+      assert(recall >= 0.5, s"high-sim kNN recall $recall over ${hot.length}")
+    }
+  }
+
   test("srp signature: native kernel matches a scala re-computation") {
     import graft.functions.SrpCoef
     val rows = emb.limit(20).select($"vec_id", $"embedding",

@@ -94,6 +94,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"LSH degenerated to a nested loop:\n$p")
   }
 
+  test("kNN join: band-bucket equi-join candidates, bounded-heap top-k") {
+    val p = plan("ext_knn_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"kNN join degenerated to a nested loop:\n$p")
+    // per-query top-k must pre-reduce map-side: partial WindowGroupLimit
+    // keeps <= k rows per query per partition ahead of the rank exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit:\n$p")
+  }
+
   test("sampling queries never read the text column (pruned scan)") {
     for (q <- Seq("ext_sample_split", "ext_sample_stratified")) {
       val p = plan(q)
