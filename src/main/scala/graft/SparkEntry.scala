@@ -1468,6 +1468,29 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Declarative data-quality expectations (Deequ-style landing gate):
+    // seven constraints over events measured in ONE aggregation pass, each
+    // reported as (check, metric, passed). The event_type whitelist
+    // deliberately omits 'error' so the report carries a true failure row —
+    // the gate REPORTS, the caller decides. All metrics are
+    // order-independent aggregates, so the whole report hash-replays.
+    "ext_expectations" -> ((s, dir) => {
+      import ops.ExpectOps._
+      report(tbl(s, dir, "events"), Seq(
+        completeness("user_id", atLeast = 0.95),
+        completeness("value", atLeast = 0.95),
+        uniqueness("event_id", atLeast = 1.0),
+        minAtLeast("value", lo = 0.0),
+        maxAtMost("value", hi = 1000.0),
+        compliance("event_type_known",
+          col("event_type").isin("click", "view", "purchase", "signup"),
+          atLeast = 0.95),
+        sizeBetween(lo = 1000.0)))
+        .select(col("check").as("check_name"),
+          round6(col("metric")).as("metric6"), col("passed"))
+        .orderBy(col("check_name"))
+    }),
+
     // SCD Type-2 history over the event stream (user_id's event_type runs):
     // one shuffle on the key, lag-filter + lead-close on the same sort.
     "ext_scd2_history" -> ((s, dir) => {
@@ -2798,6 +2821,36 @@ object SparkEntry {
         |    AS keep
         |FROM scored
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_expectations" ->
+      """WITH m AS (
+        |  SELECT
+        |    avg(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp_user,
+        |    avg(CASE WHEN value IS NOT NULL THEN 1.0 ELSE 0.0 END) AS comp_value,
+        |    CAST(count(DISTINCT event_id) AS DOUBLE) / count(event_id) AS uniq_event,
+        |    CAST(min(value) AS DOUBLE) AS min_value,
+        |    CAST(max(value) AS DOUBLE) AS max_value,
+        |    avg(CASE WHEN event_type IN ('click','view','purchase','signup')
+        |        THEN 1.0 ELSE 0.0 END) AS known_type,
+        |    CAST(count(*) AS DOUBLE) AS sz
+        |  FROM events
+        |)
+        |SELECT check_name, FLOOR(metric * 1000000 + 0.5) / 1000000 AS metric6,
+        |       passed
+        |FROM (
+        |  SELECT 'completeness(user_id)' AS check_name, comp_user AS metric,
+        |    comp_user >= 0.95 AND comp_user <= 1.0 AS passed FROM m
+        |  UNION ALL SELECT 'completeness(value)', comp_value,
+        |    comp_value >= 0.95 AND comp_value <= 1.0 FROM m
+        |  UNION ALL SELECT 'uniqueness(event_id)', uniq_event,
+        |    uniq_event >= 1.0 AND uniq_event <= 1.0 FROM m
+        |  UNION ALL SELECT 'min(value)', min_value, min_value >= 0.0 FROM m
+        |  UNION ALL SELECT 'max(value)', max_value, max_value <= 1000.0 FROM m
+        |  UNION ALL SELECT 'compliance(event_type_known)', known_type,
+        |    known_type >= 0.95 AND known_type <= 1.0 FROM m
+        |  UNION ALL SELECT 'size', sz, sz >= 1000.0 FROM m
+        |)
+        |ORDER BY check_name""".stripMargin,
 
     "ext_scd2_history" ->
       """WITH ordered AS (
