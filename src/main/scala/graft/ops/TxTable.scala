@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Transactional parquet table via a manifest commit log — the commit
   * protocol the reference delegates to Delta (`Bronze1.py:148-173` writes
@@ -47,8 +48,11 @@ object TxTable {
   /** One data file in a snapshot: its key bucket and table-relative path. */
   final case class FileEntry(bucket: Int, rel: String)
 
-  /** A resolved table version: manifest number + its file list. */
-  final case class Snapshot(version: Long, entries: Seq[FileEntry]) {
+  /** A resolved table version: manifest number + its file list + the
+    * table schema as of that version (None only for pre-evolution v1
+    * manifests, where the schema lives in parquet footers). */
+  final case class Snapshot(version: Long, entries: Seq[FileEntry],
+                            schema: Option[StructType] = None) {
     def absFiles(table: String): Seq[String] = entries.map(e => s"$table/${e.rel}")
   }
 
@@ -60,15 +64,24 @@ object TxTable {
     new Path(logDir(table), f"$v%020d.manifest")
 
   // --- manifest encoding: one header line, one tab-separated line/file ---
-  // The header optionally carries writer-transaction metadata
-  // (`txtable\t1\t<appId>\t<batchId>`) — extra fields on line 1, so older
-  // parsers (which drop the header wholesale) read such manifests fine.
+  // Header v1: `txtable\t1[\t<appId>\t<batchId>]`. Header v2 adds the
+  // table schema as the 5th field (Spark StructType JSON — single-line,
+  // control chars escaped, so tab-separation is safe) with `-` placeholders
+  // for absent txn metadata: `txtable\t2\t<appId|->\t<batchId|->\t<json>`.
+  // Parsers drop the header fields they don't know, so v1 readers read v2
+  // manifests (losing only the schema) and vice versa.
 
   private def renderManifest(entries: Seq[FileEntry],
-                             txn: Option[(String, Long)] = None): Array[Byte] = {
-    val header = txn match {
-      case Some((app, batch)) => s"txtable	1	$app	$batch"
-      case None => "txtable	1"
+                             txn: Option[(String, Long)] = None,
+                             schema: Option[StructType] = None): Array[Byte] = {
+    val header = schema match {
+      case Some(sc) =>
+        val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
+        s"txtable	2	$app	$batch	${sc.json}"
+      case None => txn match {
+        case Some((app, batch)) => s"txtable	1	$app	$batch"
+        case None => "txtable	1"
+      }
     }
     (header +: entries.sortBy(e => (e.bucket, e.rel))
       .map(e => s"${e.bucket}	${e.rel}"))
@@ -82,10 +95,21 @@ object TxTable {
         FileEntry(b.toInt, rel)
       }
 
+  private def headerFields(bytes: Array[Byte]): Array[String] =
+    new String(bytes, StandardCharsets.UTF_8).takeWhile(_ != '\n').split('	')
+
   private def parseTxn(bytes: Array[Byte]): Option[(String, Long)] = {
-    val header = new String(bytes, StandardCharsets.UTF_8)
-      .takeWhile(_ != '\n').split('	')
-    if (header.length >= 4) Some((header(2), header(3).toLong)) else None
+    val header = headerFields(bytes)
+    if (header.length >= 4 && header(2) != "-" && header(3) != "-")
+      Some((header(2), header(3).toLong))
+    else None
+  }
+
+  private def parseSchema(bytes: Array[Byte]): Option[StructType] = {
+    val header = headerFields(bytes)
+    if (header.length >= 5 && header(1) == "2")
+      Some(DataType.fromJson(header(4)).asInstanceOf[StructType])
+    else None
   }
 
   /** Atomically publish `entries` as version `v`. Returns false when the
@@ -96,12 +120,13 @@ object TxTable {
     * half-written. */
   private def tryCommit(fs: FileSystem, table: String, v: Long,
                         entries: Seq[FileEntry],
-                        txn: Option[(String, Long)] = None): Boolean = {
+                        txn: Option[(String, Long)] = None,
+                        schema: Option[StructType] = None): Boolean = {
     val dst = versionPath(table, v)
     fs.mkdirs(logDir(table))
     val tmp = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(entries, txn))
+    out.write(renderManifest(entries, txn, schema))
     out.close()
     val published =
       if (fs.getUri.getScheme == "file") {
@@ -131,7 +156,7 @@ object TxTable {
     require(fs.exists(p), s"version $v does not exist under $table")
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    Snapshot(v, parseManifest(bytes))
+    Snapshot(v, parseManifest(bytes), parseSchema(bytes))
   }
 
   private def listVersions(fs: FileSystem, table: String): Seq[Long] = {
@@ -143,12 +168,62 @@ object TxTable {
 
   /** Read the table at the newest version (or a time-travel `version`):
     * exactly the manifest's files. The bucket column travels inside the
-    * data files, so explicit-file reads never run partition inference. */
+    * data files, so explicit-file reads never run partition inference.
+    *
+    * When the manifest carries a schema (v2), the read projects to it
+    * WITHOUT any footer merging: files written before a column existed
+    * surface it as null (Spark's parquet reader fills fields absent from a
+    * file) — at 100 TB that replaces a mergeSchema pass over every footer
+    * with one manifest line. */
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, version)
     require(snap.entries.nonEmpty, s"$table@v${snap.version} has no data files")
-    spark.read.parquet(snap.absFiles(table): _*)
+    val reader = snap.schema.fold(spark.read)(spark.read.schema)
+    reader.parquet(snap.absFiles(table): _*)
+  }
+
+  /** Widen `base` with fields `incoming` adds; a field present in both
+    * must keep its exact type — a silent type change would corrupt every
+    * pre-evolution file's reads, so it throws instead (schema
+    * ENFORCEMENT, the flip side of schema evolution). Field order: base
+    * first, additions after, everything nullable (old files lack new
+    * fields; new files may lack old ones). */
+  private[graft] def mergeSchemas(base: StructType,
+                                  incoming: StructType): StructType = {
+    val byName = base.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach { f =>
+      byName.get(f.name).foreach { ex =>
+        require(ex.dataType == f.dataType,
+          s"schema enforcement: column '${f.name}' is ${ex.dataType.sql} " +
+            s"but incoming batch has ${f.dataType.sql}")
+      }
+    }
+    val additions = incoming.fields.filterNot(f => byName.contains(f.name))
+    StructType((base.fields ++ additions)
+      .map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  /** The schema a new commit should record: the current snapshot's schema
+    * (inferred from data files for pre-evolution v1 manifests) widened by
+    * the incoming batch's fields. */
+  private def evolvedSchema(spark: SparkSession, table: String,
+                            snap: Snapshot, incoming: StructType): StructType = {
+    val base = snap.schema.getOrElse {
+      if (snap.entries.isEmpty) incoming
+      else spark.read.parquet(snap.absFiles(table): _*).schema
+    }
+    mergeSchemas(base, incoming)
+  }
+
+  /** Align `df` to `target`: missing columns become typed nulls, order
+    * follows `target` (parquet readers match by name, but a stable layout
+    * keeps staged files uniform). */
+  private def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name) else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   /** Land `df` as new immutable data files (one directory per call, one
@@ -196,9 +271,10 @@ object TxTable {
       LayoutOps.bucketId(col(key), nBuckets))
     val entries = stageFiles(spark, table, tagged)
     val fs = fsFor(spark, table)
-    require(tryCommit(fs, table, 0L, entries),
+    val schema = mergeSchemas(StructType(Nil), tagged.schema)
+    require(tryCommit(fs, table, 0L, entries, schema = Some(schema)),
       s"$table already initialized (version 0 exists)")
-    Snapshot(0L, entries)
+    Snapshot(0L, entries, Some(schema))
   }
 
   /** Highest `batchId` a writer identified by `appId` has committed, or
@@ -260,7 +336,8 @@ object TxTable {
         return false
       }
       if (tryCommit(fs, table, snap.version + 1, snap.entries ++ newEntries,
-          Some((appId, batchId))))
+          Some((appId, batchId)),
+          Some(evolvedSchema(spark, table, snap, tagged.schema))))
         return true
       attempt += 1
       if (attempt > maxRetries) {
@@ -295,14 +372,18 @@ object TxTable {
       val snap = snapshot(spark, table)
       val (touchedEntries, untouched) =
         snap.entries.partition(e => touched(e.bucket))
+      // schema evolution: updates may carry NEW columns (old rows surface
+      // them as null); a type change on an existing column throws in
+      // mergeSchemas. Both sides align to the widened schema, so the merge
+      // window runs over one uniform layout.
+      val evolved = evolvedSchema(spark, table, snap, tagged0.schema)
       val current =
-        if (touchedEntries.isEmpty) tagged0.filter(lit(false))
-        else spark.read.parquet(touchedEntries.map(e => s"$table/${e.rel}"): _*)
-      require(current.columns.sorted.sameElements(tagged0.columns.sorted),
-        s"schema mismatch: table ${current.columns.toSeq} vs updates ${tagged0.columns.toSeq}")
-      val cols = current.columns.toSeq
+        if (touchedEntries.isEmpty) alignTo(tagged0.filter(lit(false)), evolved)
+        else spark.read.schema(evolved)
+          .parquet(touchedEntries.map(e => s"$table/${e.rel}"): _*)
+      val cols = evolved.fieldNames.toSeq
       val unioned = current.select(cols.map(col): _*).withColumn("__src", lit(0))
-        .unionByName(tagged0.select(cols.map(col): _*).withColumn("__src", lit(1)))
+        .unionByName(alignTo(tagged0, evolved).withColumn("__src", lit(1)))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(key))
         .orderBy(col(orderCol).desc, col("__src").desc)
@@ -311,7 +392,8 @@ object TxTable {
         .filter(col("__rn") === 1)
         .select(cols.map(col): _*)
       val newEntries = stageFiles(spark, table, merged)
-      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries)) {
+      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries,
+          schema = Some(evolved))) {
         return spark.read
           .parquet(newEntries.map(e => s"$table/${e.rel}"): _*).count()
       }
@@ -344,13 +426,14 @@ object TxTable {
       s"until ($upTo) must be >= since ($sinceVersion)")
     val baseline: Set[String] =
       snapshot(spark, table, Some(sinceVersion)).entries.map(_.rel).toSet
-    val added = snapshot(spark, table, Some(upTo)).entries
-      .filterNot(e => baseline(e.rel))
+    val snapUpTo = snapshot(spark, table, Some(upTo))
+    val added = snapUpTo.entries.filterNot(e => baseline(e.rel))
     val df =
       if (added.isEmpty) {
         // empty frame with the table schema (from the current snapshot)
         read(spark, table, Some(upTo)).filter(lit(false))
-      } else spark.read.parquet(added.map(e => s"$table/${e.rel}"): _*)
+      } else snapUpTo.schema.fold(spark.read)(spark.read.schema)
+        .parquet(added.map(e => s"$table/${e.rel}"): _*)
     (df, upTo)
   }
 
@@ -377,11 +460,12 @@ object TxTable {
       // one exchange on the bucket key → one task per bucket → one file
       // per bucket; without it the rewrite inherits read parallelism and
       // can fragment again
-      val merged = spark.read
+      val merged = snap.schema.fold(spark.read)(spark.read.schema)
         .parquet(toRewrite.map(e => s"$table/${e.rel}"): _*)
         .repartition(col(LayoutOps.BucketCol))
       val newEntries = stageFiles(spark, table, merged)
-      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries))
+      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries,
+          schema = snap.schema))
         return fragmented.size
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))

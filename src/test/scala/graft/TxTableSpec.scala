@@ -179,6 +179,44 @@ class TxTableSpec extends AnyFunSuite {
     assert(all.filter($"customer_id".isin("C300", "C1")).count() >= 2)
   }
 
+  test("schema evolution: appended/upserted columns widen the table; old rows read null") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
+    assert(TxTable.snapshot(spark, table).schema.isDefined,
+      "init must record the schema in the manifest")
+    // append a batch carrying a NEW column
+    val b0 = Seq(("C100", "n@b0", ts("2024-01-03 00:00:00"), "gold"))
+      .toDF("customer_id", "email", "updated_at", "tier")
+    TxTable.appendOnce(spark, table, b0, "customer_id", 4, "evo", 0L)
+    val got = TxTable.read(spark, table)
+    assert(got.columns.contains("tier"))
+    val tiers = got.select("customer_id", "tier")
+      .as[(String, Option[String])].collect().toMap
+    assert(tiers("C100").contains("gold"))
+    assert(tiers("C1").isEmpty, "pre-evolution rows must surface null")
+    // upsert with yet another new column; missing old column fills null
+    val up = Seq(("C1", ts("2024-01-05 00:00:00"), 7))
+      .toDF("customer_id", "updated_at", "score")
+    TxTable.upsert(spark, table, up, "customer_id", "updated_at", nBuckets = 4)
+    val after = TxTable.read(spark, table)
+    val c1 = after.filter($"customer_id" === "C1")
+      .select($"email", $"tier", $"score")
+      .as[(Option[String], Option[String], Option[Int])].head()
+    assert(c1 == ((None, None, Some(7))),
+      "upserted row: missing columns null, new column set")
+    // change feed and compaction carry the evolved schema
+    val (feed, _) = TxTable.changesSince(spark, table, 0L)
+    assert(feed.columns.contains("score") && feed.columns.contains("tier"))
+    // time travel still shows the ORIGINAL schema at v0
+    assert(!TxTable.read(spark, table, Some(0L)).columns.contains("tier"))
+    // schema enforcement: a type change on an existing column throws
+    val bad = Seq(("C2", 123L, ts("2024-01-06 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    intercept[IllegalArgumentException] {
+      TxTable.upsert(spark, table, bad, "customer_id", "updated_at", 4)
+    }
+  }
+
   test("appendOnce races: concurrent appends both land without re-staging; dup race skips once") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
