@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IncrementalOps, LayoutOps, TxTable}
+
+/** Incremental aggregate maintenance: the folded state must equal a full
+  * recompute after every advance, touch only delta buckets, and no-op on
+  * an unchanged source. */
+class IncrementalOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nBuckets = 4
+
+  private def fullRecompute(source: String): Map[String, (Long, BigDecimal)] =
+    TxTable.read(spark, source)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value".cast("decimal(18,2)")).as("s"))
+      .as[(String, Long, BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  private def stateOf(state: String): Map[String, (Long, BigDecimal)] =
+    TxTable.read(spark, state)
+      .select($"user_id", $"n_rows", $"sum_value")
+      .as[(String, Long, BigDecimal)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("advance folds each delta into state == full recompute; untouched buckets not rewritten") {
+    val base = Files.createTempDirectory("graft_incr_").toString
+    val source = s"$base/source"
+    val state = s"$base/state"
+    val seed = (1 to 32).map(i => (s"U${i % 8}", i * 1.5))
+      .toDF("user_id", "value")
+    TxTable.init(spark, source, seed, "user_id", nBuckets)
+    var cursor = IncrementalOps.initState(spark, source, state,
+      "user_id", Seq("value"), nBuckets)
+    assert(stateOf(state) == fullRecompute(source))
+
+    // single-key append: delta folds in, untouched state buckets stay
+    val filesBefore = TxTable.snapshot(spark, state).entries
+      .groupBy(_.bucket).view.mapValues(_.map(_.rel).toSet).toMap
+    val touchedBucket = spark.range(1)
+      .select(LayoutOps.bucketId(lit("U1"), nBuckets)).head().getInt(0)
+    val b0 = Seq(("U1", 100.0), ("U1", 50.0)).toDF("user_id", "value")
+    TxTable.appendOnce(spark, source, b0, "user_id", nBuckets, "incr-src", 0L)
+    cursor = IncrementalOps.advance(spark, source, state,
+      "user_id", Seq("value"), cursor, nBuckets)
+    assert(stateOf(state) == fullRecompute(source),
+      "state after advance must equal a full recompute")
+    val filesAfter = TxTable.snapshot(spark, state).entries
+      .groupBy(_.bucket).view.mapValues(_.map(_.rel).toSet).toMap
+    filesBefore.foreach { case (b, rels) =>
+      if (b != touchedBucket)
+        assert(filesAfter(b) == rels,
+          s"untouched state bucket $b was rewritten")
+    }
+
+    // second delta with a NEW key lands correctly too
+    val b1 = Seq(("U99", 7.0), ("U2", 1.0)).toDF("user_id", "value")
+    TxTable.appendOnce(spark, source, b1, "user_id", nBuckets, "incr-src", 1L)
+    cursor = IncrementalOps.advance(spark, source, state,
+      "user_id", Seq("value"), cursor, nBuckets)
+    assert(stateOf(state) == fullRecompute(source))
+    assert(stateOf(state).contains("U99"))
+
+    // no new commits: advance is a no-op and bumps nothing
+    val vBefore = TxTable.snapshot(spark, state).version
+    val unchanged = IncrementalOps.advance(spark, source, state,
+      "user_id", Seq("value"), cursor, nBuckets)
+    assert(unchanged == cursor)
+    assert(TxTable.snapshot(spark, state).version == vBefore)
+  }
+}
