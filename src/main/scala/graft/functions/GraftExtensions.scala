@@ -29,6 +29,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MisraGriesTopK(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    // simhash64(array<long>): 64-bit SimHash fingerprint of token hashes
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs(0))))
+    // srp_signature(array<float>, nPlanes, seed): sign-random-projection
+    // bit signature (the LSH family every embedding-dedup/kNN path uses)
+    e.injectFunction((
+      FunctionIdentifier("srp_signature"),
+      new ExpressionInfo(classOf[SignRandomProjection].getName, "srp_signature"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SignRandomProjection(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue(),
+          exprs(2).eval().asInstanceOf[Number].longValue())))
+    // minhash_signature(array<long> element hashes, num perms): signature
+    // under the library's standard seeded (a, b) family — the same family
+    // DedupOps and the oracle-SQL generator inline, so SQL callers get
+    // signatures comparable with every DataFrame-side pipeline
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val ps = graft.ops.DedupOps.hashParams(
+          exprs(1).eval().asInstanceOf[Number].intValue())
+        MinHashSignature(exprs(0), ps.map(_._1), ps.map(_._2),
+          graft.ops.DedupOps.MinhashPrime)
+      }))
     // bin width tunes interval-join fan-out vs bucket size; ~typical
     // interval length is right (an interval spanning k bins replicates k+1×)
     e.injectOptimizerRule { session =>

@@ -258,6 +258,32 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(viaSql == exact)
   }
 
+  test("sketch kernels are callable from SQL and match the DataFrame API") {
+    emb.createOrReplaceTempView("sql_emb")
+    // srp_signature: SQL call == SketchFunctions call
+    val viaSql = spark.sql(
+      "SELECT vec_id, srp_signature(embedding, 64, 42) AS sig FROM sql_emb")
+      .as[(Long, Long)].collect().toMap
+    val viaApi = emb.select($"vec_id",
+        graft.functions.SketchFunctions.srp_signature($"embedding", 64, 42L))
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == viaApi)
+    // simhash64 + minhash_signature over token hashes
+    docs.select($"doc_id",
+        expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))")
+          .as("hs"))
+      .createOrReplaceTempView("sql_toks")
+    val sh = spark.sql(
+      "SELECT doc_id, simhash64(hs), minhash_signature(hs, 16) FROM sql_toks")
+      .as[(Long, Long, Seq[Long])].collect()
+    assert(sh.nonEmpty && sh.forall(_._3.length == 16))
+    val shApi = docs.select($"doc_id",
+        graft.functions.SketchFunctions.simhash64(
+          expr("transform(split(lower(text), '\\\\s+'), t -> xxhash64(t))")))
+      .as[(Long, Long)].collect().toMap
+    sh.foreach { case (id, s, _) => assert(shApi(id) == s) }
+  }
+
   test("centroid broadcast fallback matches the literal-inline path") {
     // force the fallback with a 1-float inline budget; results must be
     // row-identical to the codegen'd literal projection (same argmax, same
