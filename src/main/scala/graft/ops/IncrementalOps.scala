@@ -22,12 +22,19 @@ import org.apache.spark.sql.functions._
   * ingest shape — [[TxTable.appendOnce]]); an upsert commit surfaces
   * post-merge bucket state in the feed, which would double-count here.
   * Sums run in DECIMAL(18,2) so partial-aggregation order cannot change a
-  * bit (same rule as SparkEntry.moneySum). Cursor persistence is the
-  * caller's (same contract as changesSince); re-running `advance` with an
-  * already-consumed cursor re-folds those rows, so callers that need
-  * exactly-once across crashes should stamp the cursor transactionally
-  * with their own commit. */
+  * bit (same rule as SparkEntry.moneySum).
+  *
+  * Exactly-once: every state commit stamps `(appId, folded source
+  * version)` into the state table's own txn header, so the cursor needs
+  * no side store — [[resume]] recovers it from the state log, and a
+  * replayed `advance` (crash between commit and the caller noting it, or
+  * a plain double-call) detects the already-folded watermark and skips.
+  * One maintainer per (state, appId) at a time; concurrent maintainers
+  * would race the same delta before either commit lands. */
 object IncrementalOps {
+
+  /** Default txn app id for a state table's maintenance log. */
+  def appIdFor(state: String): String = s"graft-incr:$state"
 
   // Spark widens sum(DECIMAL(18,2)) to DECIMAL(28,2); cast back so the
   // state schema is stable across refreshes (schema enforcement would
@@ -41,23 +48,36 @@ object IncrementalOps {
       .agg(count(lit(1)).as("n_rows"), valueCols.map(sumCol): _*)
 
   /** Build the state table from the source's CURRENT snapshot and return
-    * the cursor (source version) the state now reflects. */
+    * the cursor (source version) the state now reflects. The cursor is
+    * also stamped into the state's txn log, so it never needs persisting
+    * elsewhere. */
   def initState(spark: SparkSession, source: String, state: String,
                 key: String, valueCols: Seq[String], nBuckets: Int): Long = {
     val snap = TxTable.snapshot(spark, source)
     val base = aggOf(TxTable.read(spark, source), key, valueCols)
       .withColumn("state_version", lit(snap.version))
-    TxTable.init(spark, state, base, key, nBuckets)
+    TxTable.init(spark, state, base, key, nBuckets,
+      txn = Some((appIdFor(state), snap.version)))
     snap.version
   }
 
+  /** The source version the state last folded, recovered from the state
+    * table's own txn log — the crash-safe replacement for a caller-held
+    * cursor. */
+  def resume(spark: SparkSession, state: String): Option[Long] =
+    TxTable.lastCommittedBatch(spark, state, appIdFor(state))
+
   /** Fold every source commit after `cursor` into the state; returns the
-    * new cursor. No-op (returns `cursor`) when nothing landed. */
+    * new cursor. No-op when nothing landed. A stale `cursor` (replay
+    * after a crash, or a plain double-call) cannot double-count: the fold
+    * always starts from the LATER of the caller's cursor and the state
+    * log's own stamped watermark. */
   def advance(spark: SparkSession, source: String, state: String,
               key: String, valueCols: Seq[String], cursor: Long,
               nBuckets: Int): Long = {
-    val (delta, hw) = TxTable.changesSince(spark, source, cursor)
-    if (hw == cursor) return cursor
+    val from = math.max(cursor, resume(spark, state).getOrElse(cursor))
+    val (delta, hw) = TxTable.changesSince(spark, source, from)
+    if (hw == from) return from
     val dAgg = aggOf(delta, key, valueCols)
     if (dAgg.isEmpty) return hw
     // current state of ONLY the touched buckets (manifest-pruned read);
@@ -80,7 +100,8 @@ object IncrementalOps {
         valueCols.map(c =>
           sum(col(s"sum_$c")).cast("decimal(18,2)").as(s"sum_$c")): _*)
       .withColumn("state_version", lit(hw))
-    TxTable.upsert(spark, state, merged, key, "state_version", nBuckets)
+    TxTable.upsert(spark, state, merged, key, "state_version", nBuckets,
+      txn = Some((appIdFor(state), hw)))
     hw
   }
 }

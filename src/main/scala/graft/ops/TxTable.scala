@@ -266,13 +266,13 @@ object TxTable {
   /** Create the table at version 0 from an initial snapshot. Fails if the
     * table already has a committed version. */
   def init(spark: SparkSession, table: String, df: DataFrame, key: String,
-           nBuckets: Int): Snapshot = {
+           nBuckets: Int, txn: Option[(String, Long)] = None): Snapshot = {
     val tagged = df.withColumn(LayoutOps.BucketCol,
       LayoutOps.bucketId(col(key), nBuckets))
     val entries = stageFiles(spark, table, tagged)
     val fs = fsFor(spark, table)
     val schema = mergeSchemas(StructType(Nil), tagged.schema)
-    require(tryCommit(fs, table, 0L, entries, schema = Some(schema)),
+    require(tryCommit(fs, table, 0L, entries, txn = txn, schema = Some(schema)),
       s"$table already initialized (version 0 exists)")
     Snapshot(0L, entries, Some(schema))
   }
@@ -360,7 +360,7 @@ object TxTable {
     * post-merge row count of the touched buckets. */
   def upsert(spark: SparkSession, table: String, updates: DataFrame,
              key: String, orderCol: String, nBuckets: Int,
-             maxRetries: Int = 5): Long = {
+             maxRetries: Int = 5, txn: Option[(String, Long)] = None): Long = {
     val fs = fsFor(spark, table)
     val tagged0 = updates.withColumn(LayoutOps.BucketCol,
       LayoutOps.bucketId(col(key), nBuckets))
@@ -393,7 +393,7 @@ object TxTable {
         .select(cols.map(col): _*)
       val newEntries = stageFiles(spark, table, merged)
       if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries,
-          schema = Some(evolved))) {
+          txn = txn, schema = Some(evolved))) {
         return spark.read
           .parquet(newEntries.map(e => s"$table/${e.rel}"): _*).count()
       }

@@ -73,5 +73,22 @@ class IncrementalOpsSpec extends AnyFunSuite {
       "user_id", Seq("value"), cursor, nBuckets)
     assert(unchanged == cursor)
     assert(TxTable.snapshot(spark, state).version == vBefore)
+
+    // crash-replay: a STALE cursor (0) must not double-count — the state
+    // log's stamped watermark wins, and the cursor is recoverable
+    assert(IncrementalOps.resume(spark, state).contains(cursor))
+    val replayed = IncrementalOps.advance(spark, source, state,
+      "user_id", Seq("value"), 0L, nBuckets)
+    assert(replayed == cursor)
+    assert(stateOf(state) == fullRecompute(source),
+      "stale-cursor replay double-counted the delta")
+
+    // stale cursor + NEW data: folds only the genuinely new commit
+    val b2 = Seq(("U3", 9.0)).toDF("user_id", "value")
+    TxTable.appendOnce(spark, source, b2, "user_id", nBuckets, "incr-src", 2L)
+    val c3 = IncrementalOps.advance(spark, source, state,
+      "user_id", Seq("value"), 0L, nBuckets)
+    assert(c3 > cursor)
+    assert(stateOf(state) == fullRecompute(source))
   }
 }
