@@ -1243,6 +1243,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Sliding-window duplicated-span detection (Lee et al. exact-substring
+    // dedup): maximal runs of 8-gram positions that occur more than once
+    // anywhere in the corpus, merged per doc via gaps-and-islands.
+    // Catches repeats segmentDedup's disjoint grid misses.
+    "ext_dedup_spans" -> ((s, dir) => {
+      ops.DedupOps.duplicatedSpans(tbl(s, dir, "documents"), k = 8)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     // Benchmark decontamination — test-set-overlap scrub: docs with
     // doc_id % 10 == 7 play the held-out eval suite, the rest the training
     // corpus; any shared 5-gram flags the doc (oracle-checked). The
@@ -2086,6 +2095,33 @@ object SparkEntry {
         |  COALESCE(r.text_dedup, '') AS text_dedup
         |FROM toks t LEFT JOIN rebuilt r USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "ext_dedup_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |), pg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+        |    i -> {'pos': CAST(i - 1 AS INTEGER),
+        |          'g': array_to_string(w[i:i+7], ' ')})) AS e
+        |  FROM docs WHERE len(w) >= 8
+        |), g2 AS (
+        |  SELECT doc_id, e.pos AS pos, e.g AS g FROM pg
+        |), dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS n_occ
+        |    FROM g2)
+        |  WHERE n_occ > 1
+        |), isl AS (
+        |  SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        |  FROM dup
+        |)
+        |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS span_start,
+        |  CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+        |  COUNT(*) AS n_dup_grams
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "ext_decontaminate" ->
       """WITH corpus AS (

@@ -438,6 +438,54 @@ object DedupOps {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Corpus-level duplicated-SPAN detection — the sliding-window
+    * formulation of exact substring dedup (Lee et al. 2022 remove every
+    * repeated ≥50-token span; their suffix-array machinery re-expressed as
+    * relational ops): a position is "duplicated" when its k-token sliding
+    * gram occurs more than once ANYWHERE in the corpus (other docs or the
+    * same doc — internal repetition counts), and maximal runs of
+    * consecutive duplicated positions merge into one reported span
+    * (gaps-and-islands over the position sequence). Unlike [[segmentDedup]]
+    * (disjoint fixed segments, so a duplicate straddling a boundary is
+    * missed), the sliding window catches repeats at ANY alignment.
+    *
+    * Output: (doc_id, span_start, span_end, n_dup_grams) — token indices,
+    * inclusive; span_end − span_start + 1 is the span's token length. The
+    * caller excises or weighs spans; reporting (not silent row mutation)
+    * keeps corpus bookkeeping intact, same contract as [[segmentDedup]].
+    *
+    * Scale shape: two shuffles — one window pass keyed by the gram to
+    * count occurrences (exact: the key is the full gram text, as in
+    * segmentDedup; at extreme scale swap in a 64-bit gram hash for
+    * shuffle-width at ~2^-64 collision noise), one window+agg keyed by
+    * doc_id for the island merge. Rows ∝ total token count; nothing is
+    * ever all-pairs, and per-doc state is bounded by document length. */
+  def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val grams = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (size(col("toks")) - k).cast("int")),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val dupPos = grams
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("n_occ") > 1)
+      .select(col("doc_id"), col("pos"))
+    // positions are unique per doc, so pos - row_number is constant exactly
+    // within a consecutive run (gaps-and-islands)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+  }
+
   // --- benchmark decontamination ----------------------------------------
 
   /** Distinct lowercase word n-grams per document, exploded to one row per

@@ -323,6 +323,27 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicatedSpans: any-alignment cross-doc repeats and internal repeats merge into maximal spans") {
+    // A and B share a 9-token run at DIFFERENT offsets (0 vs 2) — the
+    // disjoint-segment grid would straddle it; sliding 8-grams must not
+    val shared = "a b c d e f g h i"
+    val fixture = Seq(
+      (1L, s"$shared j"),                    // run at offset 0
+      (2L, s"x y $shared z"),                // same run at offset 2
+      (3L, "p q r s t u v w p q r s t u v w"), // internal 8-token repeat
+      (4L, "lone doc with no repeats at all here ok")).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(fixture, k = 8)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 0, 8, 2L),   // grams at pos 0,1 duplicated -> one span 0..8
+      (2L, 2, 10, 2L),  // same grams at pos 2,3 -> span 2..10
+      (3L, 0, 7, 1L),   // internal repeat: gram 0 == gram 8
+      (3L, 8, 15, 1L)))
+    // doc 4 reports nothing; docs shorter than k produce no grams
+    val short = Seq((9L, "too short")).toDF("doc_id", "text")
+    assert(DedupOps.duplicatedSpans(short, k = 8).isEmpty)
+  }
+
   test("LSH kNN join: well-formed ranks, exact sims, high-sim neighbors found") {
     val knn = SimilarityOps.knnJoinLsh(emb, k = 3)
       .select($"query_id", $"rank", $"neighbor_id", $"sim")
