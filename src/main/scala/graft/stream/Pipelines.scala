@@ -296,6 +296,38 @@ object Pipelines {
         ()
       }
 
+  /** [[appendTx]] with a data-quality gate — the dead-letter landing
+    * pattern: each micro-batch is measured against `checks`
+    * ([[graft.ops.ExpectOps]], one aggregation pass over the batch) BEFORE
+    * it can commit. A batch passing every expectation appends to
+    * `tablePath` exactly-once; a failing batch diverts WHOLE to
+    * `quarantinePath` (same exactly-once protocol, distinct appId
+    * namespace) so nothing is lost and nothing bad is published —
+    * partially admitting a failing batch would make the failure invisible
+    * downstream. The per-batch expectation report lands nowhere by design
+    * (it is one collected row of driver-side gate state); callers wanting
+    * an audit trail can re-run the same checks on the quarantine table. */
+  def appendTxGated(stream: DataFrame, tablePath: String,
+                    quarantinePath: String,
+                    checks: Seq[graft.ops.ExpectOps.Expectation],
+                    key: String, checkpoint: String, appId: String,
+                    nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { // an empty replay batch has nothing to gate
+          val passed = graft.ops.ExpectOps.report(batch, checks)
+            .agg(min(col("passed"))).head().getBoolean(0)
+          if (passed)
+            graft.ops.TxTable.appendOnce(batch.sparkSession, tablePath, batch,
+              key, nBuckets, appId, batchId)
+          else
+            graft.ops.TxTable.appendOnce(batch.sparkSession, quarantinePath,
+              batch, key, nBuckets, s"$appId-quarantine", batchId)
+        }
+        ()
+      }
+
   /** Ingestion-time near-dup dedup — the landing-job pattern for a
     * continuously-growing corpus: each micro-batch of documents is
     * admitted through [[graft.ops.DedupOps.ingestBatch]] (sign the batch

@@ -86,6 +86,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ops.TxTable.read(spark, table).count() == 4)
   }
 
+  test("appendTxGated: failing batches divert whole to quarantine, passing batches publish") {
+    import graft.ops.ExpectOps
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_txgate_").toString
+    val table = s"$tmp/good"
+    val quarantine = s"$tmp/dead"
+    graft.ops.TxTable.init(spark, table,
+      Seq(CustomerProfile("C0", "Seed", "s@x.com", "Female", 50,
+        "2020-01-01", ts("2024-01-01 00:00:00"))).toDF(),
+      "customer_id", nBuckets = 4)
+    graft.ops.TxTable.init(spark, quarantine,
+      Seq(CustomerProfile("QSEED", "Q", "q@x.com", "Male", 1,
+        "2020-01-01", ts("2024-01-01 00:00:00"))).toDF(),
+      "customer_id", nBuckets = 4)
+    val checks = Seq(
+      ExpectOps.completeness("email", atLeast = 1.0),
+      ExpectOps.minAtLeast("age", lo = 18.0))
+    val in = MemoryStream[CustomerProfile]
+    def run(): Unit = {
+      val q = Pipelines.appendTxGated(in.toDF(), table, quarantine, checks,
+          "customer_id", s"$tmp/ckpt", appId = "gated", nBuckets = 4)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 0: clean -> publishes
+    in.addData(CustomerProfile("C1", "Ann", "a@x.com", "Female", 30,
+      "2020-01-02", ts("2024-01-01 01:00:00")))
+    run()
+    assert(graft.ops.TxTable.read(spark, table).count() == 2)
+    // batch 1: one under-age row fails min(age) -> WHOLE batch quarantined
+    in.addData(
+      CustomerProfile("C2", "Bob", "b@x.com", "Male", 40, "2020-01-03",
+        ts("2024-01-01 02:00:00")),
+      CustomerProfile("C3", "Kid", "k@x.com", "Male", 12, "2020-01-04",
+        ts("2024-01-01 03:00:00")))
+    run()
+    assert(graft.ops.TxTable.read(spark, table).count() == 2,
+      "failing batch must not publish any row")
+    val dead = graft.ops.TxTable.read(spark, quarantine)
+      .select($"customer_id").as[String].collect().toSet
+    assert(dead == Set("QSEED", "C2", "C3"),
+      "quarantine must hold the entire failing batch")
+    // restart from the same checkpoint: nothing re-lands anywhere
+    val (vT, vQ) = (graft.ops.TxTable.snapshot(spark, table).version,
+      graft.ops.TxTable.snapshot(spark, quarantine).version)
+    run()
+    assert(graft.ops.TxTable.snapshot(spark, table).version == vT)
+    assert(graft.ops.TxTable.snapshot(spark, quarantine).version == vQ)
+  }
+
   test("cdcApply upserts each micro-batch into the silver table") {
     implicit val ctx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_cdc_").toString
