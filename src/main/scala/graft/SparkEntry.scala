@@ -1252,6 +1252,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("span_start"))
     }),
 
+    // The excision half: keep each repeated 8-gram's globally-first
+    // occurrence, cut every later copy's tokens, rebuild text row-locally
+    // (oracle replays the keep-first window and the anti-interval rebuild).
+    "ext_dedup_excise" -> ((s, dir) => {
+      ops.DedupOps.exciseDuplicatedSpans(tbl(s, dir, "documents"), k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination — test-set-overlap scrub: docs with
     // doc_id % 10 == 7 play the held-out eval suite, the rest the training
     // corpus; any shared 5-gram flags the doc (oracle-checked). The
@@ -2122,6 +2130,50 @@ object SparkEntry {
         |  COUNT(*) AS n_dup_grams
         |FROM isl GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "ext_dedup_excise" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |), pg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+        |    i -> {'pos': CAST(i - 1 AS INTEGER),
+        |          'g': array_to_string(w[i:i+7], ' ')})) AS e
+        |  FROM docs WHERE len(w) >= 8
+        |), g2 AS (
+        |  SELECT doc_id, e.pos AS pos, e.g AS g FROM pg
+        |), red AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM g2)
+        |  WHERE rn > 1
+        |), isl AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |  FROM (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        |            AS island
+        |        FROM red)
+        |  GROUP BY doc_id, island
+        |), t2 AS (
+        |  SELECT doc_id, e.pos AS pos, e.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': w[i]})) AS e
+        |    FROM docs)
+        |), kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM t2 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM isl i
+        |    WHERE i.doc_id = t.doc_id AND t.pos BETWEEN i.s AND i.e)
+        |)
+        |SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+        |  CAST(len(d.w) - COALESCE(kc.n, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(ks.txt, '') AS text_clean
+        |FROM docs d
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id)
+        |  kc USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+        |  FROM kept GROUP BY doc_id) ks USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "ext_decontaminate" ->
       """WITH corpus AS (

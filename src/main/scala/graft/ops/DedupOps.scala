@@ -486,6 +486,57 @@ object DedupOps {
         col("n_dup_grams"))
   }
 
+  /** The excision half of exact substring dedup: every duplicated k-gram
+    * position whose gram occurred EARLIER in global (doc_id, pos) order is
+    * redundant (the first occurrence survives — Lee et al. keep one copy);
+    * redundant positions merge into islands exactly as in
+    * [[duplicatedSpans]], and each document is rebuilt without the tokens
+    * those islands cover.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean). Every input doc
+    * appears — a fully-excised doc survives with empty text (downstream
+    * decides its fate; same bookkeeping contract as [[segmentDedup]]).
+    *
+    * Scale shape: the gram window (keyed by gram text) and the per-doc
+    * island window are the only shuffles; interval lists are collected
+    * per document (bounded by the doc's own token count — the same bound
+    * any reassembly holds) and the token-drop runs as a row-local
+    * higher-order-function filter, so the rebuild never shuffles. */
+  def exciseDuplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val grams = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (size(col("toks")) - k).cast("int")),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+    val redundant = grams
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))))
+      .filter(col("__rn") > 1)
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val islands = redundant
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(k - 1)).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("iv"))
+    toks.join(islands, Seq("doc_id"), "left")
+      .withColumn("iv", coalesce(col("iv"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .withColumn("kept", filter(
+        transform(col("toks"), (t, i) => when(
+          !exists(col("iv"), v =>
+            i >= v.getField("s") && i <= v.getField("e")), t)),
+        t => t.isNotNull))
+      .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("text_clean"))
+  }
+
   // --- benchmark decontamination ----------------------------------------
 
   /** Distinct lowercase word n-grams per document, exploded to one row per

@@ -344,6 +344,23 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(DedupOps.duplicatedSpans(short, k = 8).isEmpty)
   }
 
+  test("exciseDuplicatedSpans: first occurrence survives, later copies cut, untouched docs intact") {
+    val shared = "a b c d e f g h i"
+    val fixture = Seq(
+      (1L, s"$shared j"),
+      (2L, s"x y $shared z"),
+      (3L, "lone doc with no repeats at all here ok")).toDF("doc_id", "text")
+    val got = DedupOps.exciseDuplicatedSpans(fixture, k = 8)
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 is the first occurrence -> untouched
+    assert(got(1L) == ((10, 0L, s"$shared j")))
+    // doc 2's copy spans tokens 2..10 -> excised, frame tokens survive
+    assert(got(2L) == ((12, 9L, "x y z")))
+    // doc 3 has no repeats -> byte-identical rebuild
+    assert(got(3L) == ((9, 0L, "lone doc with no repeats at all here ok")))
+  }
+
   test("LSH kNN join: well-formed ranks, exact sims, high-sim neighbors found") {
     val knn = SimilarityOps.knnJoinLsh(emb, k = 3)
       .select($"query_id", $"rank", $"neighbor_id", $"sim")
