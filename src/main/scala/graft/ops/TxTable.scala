@@ -183,6 +183,34 @@ object TxTable {
     reader.parquet(snap.absFiles(table): _*)
   }
 
+  /** Point-lookup read: only the files of the buckets `keys` hash into are
+    * opened (I/O ∝ |distinct key buckets|, not table size — the record-
+    * serving path a CDC-maintained table exists for), then the exact key
+    * filter applies on top. The filter column must be the table's bucket
+    * key (same `nBuckets` the writers used); a mismatched bucket count
+    * would silently miss rows, so callers treat (key, nBuckets) as part of
+    * the table's identity, exactly as the writers do. */
+  def readKeys(spark: SparkSession, table: String, key: String,
+               keys: Seq[Any], nBuckets: Int,
+               version: Option[Long] = None): DataFrame = {
+    require(keys.nonEmpty, "at least one key required")
+    val snap = snapshot(spark, table, version)
+    // one tiny local job maps every key through the SAME bucket expression
+    // the writers used (no hand-rolled reimplementation to drift)
+    val wanted: Set[Int] = spark.range(1)
+      .select(explode(array(keys.map(k =>
+        LayoutOps.bucketId(lit(k), nBuckets)): _*)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val hit = snap.entries.filter(e => wanted(e.bucket))
+    val keyFilter = col(key).isin(keys: _*)
+    if (hit.isEmpty)
+      read(spark, table, version).filter(lit(false))
+    else
+      snap.schema.fold(spark.read)(spark.read.schema)
+        .parquet(hit.map(e => s"$table/${e.rel}"): _*)
+        .filter(keyFilter)
+  }
+
   /** Widen `base` with fields `incoming` adds; a field present in both
     * must keep its exact type — a silent type change would corrupt every
     * pre-evolution file's reads, so it throws instead (schema

@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.lit
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.{LayoutOps, TxTable}
@@ -177,6 +178,28 @@ class TxTableSpec extends AnyFunSuite {
     // cumulative read from v0 covers both commits
     val (all, _) = TxTable.changesSince(spark, table, 0L)
     assert(all.filter($"customer_id".isin("C300", "C1")).count() >= 2)
+  }
+
+  test("readKeys: point lookups open only the hit buckets") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(32), "customer_id", nBuckets = 8)
+    val got = TxTable.readKeys(spark, table, "customer_id",
+        Seq("C3", "C17"), nBuckets = 8)
+      .select("customer_id", "email").as[(String, String)].collect().toMap
+    assert(got == Map("C3" -> "u3@v1", "C17" -> "u17@v1"))
+    // the pruned read must open strictly fewer files than the snapshot
+    val snap = TxTable.snapshot(spark, table)
+    val wantedBuckets = Seq("C3", "C17").map(k => spark.range(1)
+      .select(LayoutOps.bucketId(lit(k), 8)).head().getInt(0)).toSet
+    assert(wantedBuckets.size < snap.entries.map(_.bucket).distinct.size,
+      "fixture must leave buckets unread")
+    val opened = TxTable.readKeys(spark, table, "customer_id",
+      Seq("C3", "C17"), nBuckets = 8).inputFiles.length
+    assert(opened < snap.entries.size,
+      s"expected a pruned read, opened $opened of ${snap.entries.size}")
+    // absent key: well-typed empty result
+    assert(TxTable.readKeys(spark, table, "customer_id",
+      Seq("NOPE"), nBuckets = 8).isEmpty)
   }
 
   test("schema evolution: appended/upserted columns widen the table; old rows read null") {
