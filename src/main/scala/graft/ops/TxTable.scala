@@ -211,6 +211,93 @@ object TxTable {
         .filter(keyFilter)
   }
 
+  // --- zone-map data skipping (sidecar per-file column stats) -----------
+
+  private def statsPath(table: String, c: String) =
+    new Path(logDir(table), s"stats-$c.parquet")
+
+  /** Build or incrementally refresh the per-file (min, max) sidecar for
+    * `statsCol` — the ANALYZE/OPTIMIZE-style maintenance job behind
+    * [[readWhere]]'s file skipping (the Delta per-file-stats idea as a
+    * tiny parquet sidecar). Only files not yet in the sidecar are scanned
+    * (I/O ∝ new files since the last run); the sidecar itself is O(files)
+    * rows. Skipping pays off exactly when the data is clustered on
+    * `statsCol` — time-ordered appends or [[LayoutOps.writeZOrdered]]
+    * layouts — which is why stats are a per-column opt-in, not a
+    * write-path tax. Returns the number of files newly profiled.
+    *
+    * The sidecar rewrite is not atomic (delete + rename); a reader racing
+    * the swap sees no sidecar and simply skips nothing — degraded, never
+    * wrong. Same fallback covers pre-stats tables and files added after
+    * the last refresh. */
+  def computeStats(spark: SparkSession, table: String,
+                   statsCol: String): Int = {
+    val snap = snapshot(spark, table)
+    val fs = fsFor(spark, table)
+    val sp = statsPath(table, statsCol)
+    val existing =
+      if (fs.exists(sp)) Some(spark.read.parquet(sp.toString))
+      else None
+    val known: Set[String] = existing
+      .map(_.select("rel").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val missing = snap.entries.filterNot(e => known(e.rel))
+    if (missing.isEmpty) return 0
+    val fresh = snap.schema.fold(spark.read)(spark.read.schema)
+      .parquet(missing.map(e => s"$table/${e.rel}"): _*)
+      .select(regexp_extract(input_file_name(), "files/.*$", 0).as("rel"),
+        col(statsCol))
+      .groupBy(col("rel"))
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
+    val all = existing match {
+      case Some(old) =>
+        old.select(col("rel"), col("lo"), col("hi")).unionByName(fresh)
+          .dropDuplicates(Seq("rel"))
+      case None => fresh
+    }
+    val tmp = new Path(logDir(table),
+      s".stats-tmp-${java.util.UUID.randomUUID()}")
+    all.coalesce(1).write.parquet(tmp.toString)
+    fs.delete(sp, true)
+    fs.rename(tmp, sp)
+    missing.size
+  }
+
+  private def cmpAny(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Range read with zone-map file skipping: rows where `statsCol` lies in
+    * [lo, hi], opening ONLY files whose sidecar (min, max) overlaps the
+    * bound — plus any file the sidecar doesn't know (never prune blind).
+    * `lo`/`hi` must match the column's external type (e.g. `java.lang.Long`
+    * for a BIGINT, `java.sql.Timestamp` for a TIMESTAMP). The exact
+    * predicate is applied on top, so skipping is transparent: same rows as
+    * `read(...).filter(between)`, less I/O when the layout clusters. */
+  def readWhere(spark: SparkSession, table: String, statsCol: String,
+                lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    val fs = fsFor(spark, table)
+    val sp = statsPath(table, statsCol)
+    val statsMap: Map[String, (Any, Any)] =
+      if (!fs.exists(sp)) Map.empty
+      else spark.read.parquet(sp.toString)
+        .select(col("rel"), col("lo"), col("hi")).collect()
+        .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+    def mayMatch(e: FileEntry): Boolean = statsMap.get(e.rel) match {
+      case Some((l, h)) if l != null && h != null =>
+        cmpAny(h, lo) >= 0 && cmpAny(l, hi) <= 0
+      case Some((l, h)) if l == null && h == null =>
+        false // all-null file: a range predicate can never select from it
+      case _ => true
+    }
+    val kept = snap.entries.filter(mayMatch)
+    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    if (kept.isEmpty) read(spark, table, version).filter(lit(false))
+    else snap.schema.fold(spark.read)(spark.read.schema)
+      .parquet(kept.map(e => s"$table/${e.rel}"): _*)
+      .filter(pred)
+  }
+
   /** Widen `base` with fields `incoming` adds; a field present in both
     * must keep its exact type — a silent type change would corrupt every
     * pre-evolution file's reads, so it throws instead (schema

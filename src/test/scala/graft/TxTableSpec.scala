@@ -202,6 +202,48 @@ class TxTableSpec extends AnyFunSuite {
       Seq("NOPE"), nBuckets = 8).isEmpty)
   }
 
+  test("zone maps: readWhere skips files outside the bound; unknown files never pruned") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
+      .toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "zm", 0L)
+    TxTable.appendOnce(spark, table, batch(200 until 300), "k", 4, "zm", 1L)
+    val profiled = TxTable.computeStats(spark, table, "day")
+    assert(profiled == TxTable.snapshot(spark, table).entries.size)
+
+    // bound inside commit 2's range: only its fileset's files open
+    val mid = TxTable.readWhere(spark, table, "day", 120L, 180L)
+    assert(mid.select("day").as[Long].collect().sorted.toSeq ==
+      (120L to 180L))
+    val commit2Files = TxTable.snapshot(spark, table).entries
+      .map(_.rel.split('/')(1)).distinct
+    assert(mid.inputFiles.forall(f => f.contains("/files/")),
+      "readWhere must read table files")
+    val openedSets = mid.inputFiles
+      .map(_.split("/files/")(1).split('/')(0)).toSet
+    assert(openedSets.size == 1,
+      s"expected one fileset opened, got $openedSets")
+
+    // a commit landed AFTER the stats refresh: not in the sidecar -> must
+    // still be read (never prune blind)
+    TxTable.appendOnce(spark, table, batch(300 until 400), "k", 4, "zm", 2L)
+    val late = TxTable.readWhere(spark, table, "day", 350L, 360L)
+    assert(late.select("day").as[Long].collect().sorted.toSeq ==
+      (350L to 360L))
+
+    // incremental refresh profiles only the new files
+    val newly = TxTable.computeStats(spark, table, "day")
+    assert(newly > 0 && newly < TxTable.snapshot(spark, table).entries.size)
+    // and equivalence with the unpruned read holds on any bound
+    val a = TxTable.readWhere(spark, table, "day", 95L, 205L)
+      .select("k", "day").as[(String, Long)].collect().toSet
+    val b = TxTable.read(spark, table)
+      .filter($"day".between(95L, 205L))
+      .select("k", "day").as[(String, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("schema evolution: appended/upserted columns widen the table; old rows read null") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
