@@ -361,6 +361,65 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((9, 0L, "lone doc with no repeats at all here ok")))
   }
 
+  test("span ops agree with an independent local reimplementation on random repeat-heavy corpora") {
+    val k = 4
+    def localSpans(docs: Seq[(Long, String)]): Set[(Long, Int, Int, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").toSeq }
+      val grams = for {
+        (id, w) <- toks; if w.length >= k
+        i <- 0 to w.length - k
+      } yield (id, i, w.slice(i, i + k).mkString(" "))
+      val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+      val runs = grams.filter(g => counts(g._3) > 1).groupBy(_._1)
+      runs.flatMap { case (id, ps) =>
+        ps.map(_._2).sorted.foldLeft(List.empty[List[Int]]) {
+          case (h :: t, p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(r => (id, r.min, r.max + k - 1, r.size.toLong))
+      }.toSet
+    }
+    def localExcise(docs: Seq[(Long, String)]): Map[Long, (Int, Long, String)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").toSeq }
+      val grams = for {
+        (id, w) <- toks; if w.length >= k
+        i <- 0 to w.length - k
+      } yield (id, i, w.slice(i, i + k).mkString(" "))
+      val redundant = grams.groupBy(_._3).values.flatMap(
+        _.sortBy(g => (g._1, g._2)).drop(1)).toSeq
+      val runsByDoc = redundant.groupBy(_._1).view.mapValues {
+        ps => ps.map(_._2).sorted.foldLeft(List.empty[List[Int]]) {
+          case (h :: t, p) if h.head == p - 1 => (p :: h) :: t
+          case (acc, p) => List(p) :: acc
+        }.map(r => (r.min, r.max + k - 1))
+      }.toMap
+      toks.map { case (id, w) =>
+        val cover = runsByDoc.getOrElse(id, Nil)
+        val kept = w.zipWithIndex.collect {
+          case (t, i) if !cover.exists(c => i >= c._1 && i <= c._2) => t }
+        id -> ((w.length, (w.length - kept.length).toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocab = Seq("ga", "bu", "zo", "meu", "ho", "da")
+      val docs: Seq[(Long, String)] = (0 until 30).map { i =>
+        val n = rnd.nextInt(40)
+        (i.toLong, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = DedupOps.duplicatedSpans(df, k)
+        .as[(Long, Int, Int, Long)].collect().toSet
+      assert(gotSpans == localSpans(docs), s"spans diverged on trial $trial")
+      val gotExcise = DedupOps.exciseDuplicatedSpans(df, k)
+        .as[(Long, Int, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(gotExcise == localExcise(docs), s"excise diverged on trial $trial")
+    }
+  }
+
   test("LSH kNN join: well-formed ranks, exact sims, high-sim neighbors found") {
     val knn = SimilarityOps.knnJoinLsh(emb, k = 3)
       .select($"query_id", $"rank", $"neighbor_id", $"sim")
