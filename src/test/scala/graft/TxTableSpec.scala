@@ -282,6 +282,50 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized op interleaving: table state always equals the driver-side model") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    val rnd = new scala.util.Random(23)
+    var model = Map.empty[String, String]
+    var clock = 0L
+    def rows(kv: Seq[(String, String)]) = {
+      clock += 1
+      kv.map { case (k, v) =>
+        (k, v, new Timestamp(1700000000000L + clock * 1000)) }
+        .toDF("customer_id", "email", "updated_at")
+    }
+    val seedKv = (1 to 12).map(i => s"K$i" -> s"v0-$i")
+    TxTable.init(spark, table, rows(seedKv), "customer_id", nBuckets = 4)
+    model = seedKv.toMap
+    var nextKey = 100
+    var batchId = 0L
+    for (step <- 1 to 15) {
+      rnd.nextInt(4) match {
+        case 0 => // append strictly-new keys
+          val kv = (1 to 1 + rnd.nextInt(3)).map { _ =>
+            nextKey += 1; s"K$nextKey" -> s"a$step" }
+          TxTable.appendOnce(spark, table, rows(kv), "customer_id", 4,
+            "model", batchId)
+          batchId += 1
+          model ++= kv
+        case 1 => // upsert a mix of existing and new keys
+          val existing = rnd.shuffle(model.keys.toSeq).take(1 + rnd.nextInt(3))
+          val kv = existing.map(_ -> s"u$step") :+ {
+            nextKey += 1; s"K$nextKey" -> s"u$step" }
+          TxTable.upsert(spark, table, rows(kv), "customer_id",
+            "updated_at", nBuckets = 4)
+          model ++= kv
+        case 2 =>
+          TxTable.compact(spark, table, maxFilesPerBucket = 2)
+        case 3 =>
+          TxTable.vacuum(spark, table, keepVersions = 1)
+      }
+      val got = TxTable.read(spark, table)
+        .select("customer_id", "email").as[(String, String)]
+        .collect().toMap
+      assert(got == model, s"diverged from model at step $step")
+    }
+  }
+
   test("appendOnce races: concurrent appends both land without re-staging; dup race skips once") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
