@@ -1384,6 +1384,40 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental materialized gold: per-user (count, spend) maintained by
+    // IncrementalOps over a staged 3-commit TxTable source — the state is
+    // folded delta-by-delta (never a source rescan), yet must equal the
+    // full recompute, which is exactly what the DuckDB oracle checks.
+    // Re-runs hit the exactly-once watermark and fold nothing.
+    "ext_incr_gold" -> ((s, dir) => {
+      val base = s"target/graft-stage/${new java.io.File(dir).getName}"
+      val srcPath = s"$base/incr_src"
+      val statePath = s"$base/incr_state"
+      ensureStaged(srcPath) {
+        if (!new java.io.File(srcPath, "_txlog").exists()) {
+          val ev = tbl(s, dir, "events")
+            .select(col("event_id"), col("user_id"), col("value"))
+          ops.TxTable.init(s, srcPath,
+            ev.filter(pmod(col("event_id"), lit(3)) === 0), "user_id", 8)
+          ops.IncrementalOps.initState(s, srcPath, statePath,
+            "user_id", Seq("value"), 8)
+          ops.TxTable.appendOnce(s, srcPath,
+            ev.filter(pmod(col("event_id"), lit(3)) === 1), "user_id", 8,
+            "incr-gold-src", 0L)
+          ops.TxTable.appendOnce(s, srcPath,
+            ev.filter(pmod(col("event_id"), lit(3)) === 2), "user_id", 8,
+            "incr-gold-src", 1L)
+        }
+      }
+      val cursor = ops.IncrementalOps.resume(s, statePath).getOrElse(0L)
+      ops.IncrementalOps.advance(s, srcPath, statePath,
+        "user_id", Seq("value"), cursor, 8)
+      ops.TxTable.read(s, statePath)
+        .select(col("user_id"), col("n_rows"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // Corpus mixture weighting — per-language sampling fractions that
     // realize a target data mix (by char mass) without upsampling: the
     // binding stratum keeps 1.0, everything else downsamples
@@ -2392,6 +2426,13 @@ object SparkEntry {
         |       THEN 'holdout' ELSE 'train' END AS split
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // the incrementally-maintained state must equal the full aggregate
+    "ext_incr_gold" ->
+      """SELECT user_id, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "ext_mixture_weights" ->
       """WITH per AS (
