@@ -476,6 +476,40 @@ object SparkEntry {
           col("o_orderpriority").asc_nulls_first)
     }),
 
+    // A6: CUBE grouping sets — every (segment, priority) margin in one
+    // pass (Expand-based, same shuffle count as a plain groupBy);
+    // grouping_id disambiguates real NULL keys from subtotal rows.
+    "cube_revenue" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_spend"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("c_mktsegment").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // J6: FULL OUTER reconciliation — customers vs order rollups with
+    // presence flags on both sides (the audit join every migration runs).
+    "reconcile_full_outer" -> ((s, dir) => {
+      val perCust = tbl(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("spend"))
+      tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("cust_id"),
+          col("c_custkey").isNotNull.as("in_customer"),
+          col("o_custkey").isNotNull.as("has_orders"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("spend"), lit(0.0d)).as("spend"))
+        .orderBy(col("cust_id"))
+    }),
+
     // Sketch aggregate: HyperLogLog distinct users per event type.
     // Implementation-specific estimate → no SQL oracle; the estimate is
     // pinned against the exact distinct count in ExtOpsSpec.
@@ -834,6 +868,31 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, o_orderpriority)
         |ORDER BY n_name NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "cube_revenue" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend,
+        |  CAST(GROUPING(c_mktsegment, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderpriority)
+        |ORDER BY gid, c_mktsegment NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
+
+    "reconcile_full_outer" ->
+      """WITH per AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |  FROM orders GROUP BY o_custkey
+        |)
+        |SELECT COALESCE(c_custkey, o_custkey) AS cust_id,
+        |  c_custkey IS NOT NULL AS in_customer,
+        |  o_custkey IS NOT NULL AS has_orders,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(spend, 0.0) AS spend
+        |FROM customer FULL OUTER JOIN per ON c_custkey = o_custkey
+        |ORDER BY cust_id""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment AS segment
