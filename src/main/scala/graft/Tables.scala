@@ -22,4 +22,15 @@ object Tables {
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
+
+  /** Every testdata table name under a scale-factor directory. */
+  val All: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so a pure-SQL session (the
+    * `spark.sql(...)` user, plus the kernels GraftExtensions injects) can
+    * drive the engine without touching the DataFrame API. Temp views are
+    * lazy — registration reads no data. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    All.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
