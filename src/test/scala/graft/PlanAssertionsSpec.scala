@@ -94,6 +94,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"LSH degenerated to a nested loop:\n$p")
   }
 
+  test("cube: Expand feeds ONE aggregate pipeline, dim join stays broadcast") {
+    val p = plan("cube_revenue")
+    assert(p.contains("Expand"), s"cube must plan via Expand:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer dim should broadcast:\n$p")
+    // Expand multiplies rows by grouping-set count, but partial aggregation
+    // still combines map-side: exactly one agg exchange (plus output sort)
+    val nAggExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(nAggExchanges == 1, s"expected 1 agg exchange, got $nAggExchanges:\n$p")
+  }
+
+  test("full-outer reconcile: hash join, never a nested loop") {
+    val p = plan("reconcile_full_outer")
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"full outer degenerated to a nested loop:\n$p")
+  }
+
   test("kNN join: band-bucket equi-join candidates, bounded-heap top-k") {
     val p = plan("ext_knn_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
