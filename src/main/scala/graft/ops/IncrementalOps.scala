@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   * no side store — [[resume]] recovers it from the state log, and a
   * replayed `advance` (crash between commit and the caller noting it, or
   * a plain double-call) detects the already-folded watermark and skips.
-  * One maintainer per (state, appId) at a time; concurrent maintainers
-  * would race the same delta before either commit lands. */
+  * Even two maintainers racing the SAME delta are safe: the state upsert
+  * carries the watermark as an idempotence token, so the loser's retry
+  * sees the winner's txn in the log and aborts instead of re-applying
+  * (spec-pinned). */
 object IncrementalOps {
 
   /** Default txn app id for a state table's maintenance log. */

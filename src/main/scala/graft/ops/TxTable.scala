@@ -485,6 +485,16 @@ object TxTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
+      // txn doubles as an idempotence token (appendOnce's replay check):
+      // if this (appId, batchId) already committed at or below THIS
+      // snapshot, a replay or a lost race must NOT re-apply the merge —
+      // two racing incremental maintainers folding the same delta would
+      // otherwise double-count on the loser's retry.
+      txn.foreach { case (appId, batchId) =>
+        if (lastCommittedBatchUpTo(fs, table, appId, snap.version)
+            .exists(_ >= batchId))
+          return 0L
+      }
       val (touchedEntries, untouched) =
         snap.entries.partition(e => touched(e.bucket))
       // schema evolution: updates may carry NEW columns (old rows surface

@@ -151,6 +151,39 @@ class TxTableSpec extends AnyFunSuite {
       "two commits → versions 1 and 2")
   }
 
+  test("txn-stamped upsert is an idempotence token: racing duplicates apply once") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(), "customer_id", nBuckets = 4)
+    val u = Seq(("C2", "u2@fold", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    // sequential replay: second call sees the txn in the log and aborts
+    TxTable.upsert(spark, table, u, "customer_id", "updated_at", 4,
+      txn = Some(("maint", 7L)))
+    val v1 = TxTable.snapshot(spark, table).version
+    assert(TxTable.upsert(spark, table, u, "customer_id", "updated_at", 4,
+      txn = Some(("maint", 7L))) == 0L)
+    assert(TxTable.snapshot(spark, table).version == v1,
+      "replayed txn must not commit a new version")
+    // concurrent race on the SAME watermark: exactly one commit lands
+    val u2 = Seq(("C3", "u3@fold", ts("2024-01-03 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        start.await()
+        try TxTable.upsert(spark, table, u2, "customer_id", "updated_at", 4,
+          txn = Some(("maint", 8L)))
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(failures.isEmpty, s"racers must not throw: ${failures.peek()}")
+    assert(TxTable.snapshot(spark, table).version == v1 + 1,
+      "exactly one of the racing duplicate folds may commit")
+    assert(state(table)("C3") == "u3@fold")
+  }
+
   test("changesSince: manifest-diff reads exactly the files new commits added") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(16), "customer_id", nBuckets = 4)
