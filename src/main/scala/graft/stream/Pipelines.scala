@@ -229,12 +229,17 @@ object Pipelines {
   def streamStreamInterval(left: DataFrame, right: DataFrame, key: String,
                            leftTs: String, rightTs: String,
                            bound: String = "30 minutes",
-                           watermark: String = "10 minutes"): DataFrame = {
+                           watermark: String = "10 minutes",
+                           joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).alias("l")
     val r = right.withWatermark(rightTs, watermark).alias("r")
+    // the two-sided event-time bound is what makes OUTER types legal here:
+    // state on both sides is provably finite, so once the watermark passes
+    // leftTs + bound + watermark an unmatched left row can emit null-padded
+    // (left_outer) instead of waiting forever
     l.join(r, expr(
       s"l.$key = r.$key AND r.$rightTs >= l.$leftTs " +
-        s"AND r.$rightTs <= l.$leftTs + interval $bound"))
+        s"AND r.$rightTs <= l.$leftTs + interval $bound"), joinType)
   }
 
   /** CDC apply: each micro-batch of parsed change rows upserts into a

@@ -472,6 +472,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Set(("C1", 50.0)))
   }
 
+  test("left-outer stream-stream join: unmatched rows null-pad once the watermark closes their window") {
+    implicit val ctx = spark.sqlContext
+    val touches = MemoryStream[AppUsage]
+    val purchases = MemoryStream[Transaction]
+    val joined = Pipelines.streamStreamInterval(
+        touches.toDF().select($"customer_id", $"event_time"),
+        purchases.toDF().select($"customer_id", $"timestamp", $"value"),
+        key = "customer_id", leftTs = "event_time", rightTs = "timestamp",
+        bound = "30 minutes", joinType = "left_outer")
+      .select(col("l.customer_id"), col("r.value"))
+    val q = joined.writeStream.format("memory").queryName("ss_outer_t")
+      .outputMode("append").start()
+    try {
+      // C1 matches; C2 has NO purchase in its window
+      touches.addData(
+        AppUsage("C1", ts("2024-01-01 10:00:00"), 1, ts("2024-01-01 10:00:00")),
+        AppUsage("C2", ts("2024-01-01 10:00:00"), 1, ts("2024-01-01 10:00:00")))
+      purchases.addData(
+        Transaction("C1", "purchase", ts("2024-01-01 10:10:00"), 50.0))
+      q.processAllAvailable()
+      val early = spark.table("ss_outer_t")
+        .as[(String, Option[Double])].collect().toSet
+      assert(early == Set(("C1", Some(50.0)))
+        || early.isEmpty, // matched row may also wait for the watermark
+        s"C2 must NOT null-pad before its window provably closed: $early")
+      // advance both watermarks far past 10:30 + 10 min slack
+      touches.addData(
+        AppUsage("C9", ts("2024-01-01 12:00:00"), 1, ts("2024-01-01 12:00:00")))
+      purchases.addData(
+        Transaction("C9", "purchase", ts("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // one more micro-batch so the closed state actually flushes
+      touches.addData(
+        AppUsage("C10", ts("2024-01-01 13:00:00"), 1, ts("2024-01-01 13:00:00")))
+      purchases.addData(
+        Transaction("C10", "purchase", ts("2024-01-01 13:00:00"), 2.0))
+      q.processAllAvailable()
+      val out = spark.table("ss_outer_t")
+        .as[(String, Option[Double])].collect().toSet
+      assert(out.contains(("C1", Some(50.0))), s"match missing: $out")
+      assert(out.contains(("C2", None)),
+        s"unmatched left row must emit null-padded after watermark: $out")
+    } finally q.stop()
+  }
+
   test("quality filter and chunking run unchanged on a stream (stateless projections)") {
     implicit val ctx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
