@@ -1453,20 +1453,23 @@ object SparkEntry {
       val srcPath = s"$base/incr_src"
       val statePath = s"$base/incr_state"
       ensureStaged(srcPath) {
-        if (!new java.io.File(srcPath, "_txlog").exists()) {
-          val ev = tbl(s, dir, "events")
-            .select(col("event_id"), col("user_id"), col("value"))
+        // every sub-step is individually idempotent (existence check /
+        // txn-log replay skip), so a crash mid-staging resumes cleanly in
+        // the next JVM instead of wedging on a half-built pair of tables
+        val ev = tbl(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+        if (!new java.io.File(srcPath, "_txlog").exists())
           ops.TxTable.init(s, srcPath,
             ev.filter(pmod(col("event_id"), lit(3)) === 0), "user_id", 8)
+        if (!new java.io.File(statePath, "_txlog").exists())
           ops.IncrementalOps.initState(s, srcPath, statePath,
             "user_id", Seq("value"), 8)
-          ops.TxTable.appendOnce(s, srcPath,
-            ev.filter(pmod(col("event_id"), lit(3)) === 1), "user_id", 8,
-            "incr-gold-src", 0L)
-          ops.TxTable.appendOnce(s, srcPath,
-            ev.filter(pmod(col("event_id"), lit(3)) === 2), "user_id", 8,
-            "incr-gold-src", 1L)
-        }
+        ops.TxTable.appendOnce(s, srcPath,
+          ev.filter(pmod(col("event_id"), lit(3)) === 1), "user_id", 8,
+          "incr-gold-src", 0L)
+        ops.TxTable.appendOnce(s, srcPath,
+          ev.filter(pmod(col("event_id"), lit(3)) === 2), "user_id", 8,
+          "incr-gold-src", 1L)
       }
       val cursor = ops.IncrementalOps.resume(s, statePath).getOrElse(0L)
       ops.IncrementalOps.advance(s, srcPath, statePath,
