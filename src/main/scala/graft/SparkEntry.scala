@@ -381,6 +381,22 @@ object SparkEntry {
         .limit(100)
     }),
 
+    // Per-stratum trending terms: top-10 tokens per corpus source — one
+    // (source, token) shuffle, WindowGroupLimit-bounded rank per stratum.
+    "ext_top_tokens_per_source" -> ((s, dir) => {
+      val counts = tbl(s, dir, "documents")
+        .select(col("source"),
+          explode(split(lower(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      counts.withColumn("rank", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("n").desc, col("token"))))
+        .filter(col("rank") <= 10)
+        .select(col("source"), col("rank"), col("token"), col("n"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     // Window: top-k per group via row_number (deterministic tiebreak).
     "topk_orders_per_customer" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -924,6 +940,22 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "ext_top_tokens_per_source" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents
+        |), counts AS (
+        |  SELECT source, token, COUNT(*) AS n FROM toks
+        |  WHERE length(token) > 0 GROUP BY source, token
+        |), ranked AS (
+        |  SELECT source, token, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n DESC, token) AS INTEGER) AS rank
+        |  FROM counts
+        |)
+        |SELECT source, rank, token, n FROM ranked WHERE rank <= 10
+        |ORDER BY source, rank""".stripMargin,
 
     "ext_token_counts" ->
       """SELECT token, COUNT(*) AS n FROM (
