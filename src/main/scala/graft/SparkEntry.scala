@@ -1133,6 +1133,15 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Contrastive training pairs: top-1 LSH neighbor as the positive,
+    // two salted-md5 negatives per anchor over the dense id space —
+    // fully deterministic, so buckets, ranks, AND draws oracle-replay.
+    "ext_contrastive_pairs" -> ((s, dir) => {
+      ops.SimilarityOps.contrastivePairs(tbl(s, dir, "embeddings"),
+          nVectors = stagedCount(s, dir, "embeddings"), nNeg = 2)
+        .orderBy(col("anchor_id"), col("role"), col("other_id"))
+    }),
+
     // IVF approximate top-k — deterministic (first-16-by-id centroids,
     // exact double cosine, id tiebreaks), so fully oracle-checked.
     "ext_ann_ivf" -> ((s, dir) => {
@@ -2059,6 +2068,86 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Oracle for contrastive pairs: the kNN replay at k=1 supplies the
+    * positives; negatives replay the salted-md5 draw over COUNT(*) ids
+    * (same hex-prefix convention as the sampling oracles). */
+  private def contrastiveOracleSql(nPlanes: Int, bands: Int, dims: Int,
+                                   seed: Long, nNeg: Int,
+                                   salt: String): String = {
+    val bits = nPlanes / bands
+    val planeExprs = (0 until nPlanes).map { p =>
+      (0 until dims).map { d =>
+        s"e[${d + 1}]*(${graft.functions.SrpCoef.coef(p, d, seed)})"
+      }.mkString(" + ")
+    }.mkString(",\n        |    ")
+    val bandClauses = (0 until bands).map { b =>
+      s"list_slice(a.bits, ${b * bits + 1}, ${(b + 1) * bits}) = " +
+        s"list_slice(b.bits, ${b * bits + 1}, ${(b + 1) * bits})"
+    }.mkString("\n        |     OR ")
+    val negDraws = (0 until nNeg).map(j => s"$j").mkString(", ")
+    s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), nv AS (
+        |  SELECT COUNT(*) AS n FROM embeddings
+        |), sigs AS (
+        |  SELECT vec_id, [
+        |    $planeExprs
+        |  ] AS acc FROM emb
+        |), fps AS (
+        |  SELECT vec_id,
+        |    list_transform(acc, a -> CASE WHEN a > 0 THEN 1 ELSE 0 END) AS bits
+        |  FROM sigs
+        |), cands AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        |  FROM fps a JOIN fps b ON a.vec_id <> b.vec_id
+        |  WHERE $bandClauses
+        |), ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT c.query_id, c.neighbor_id, SUM(xa.x*xb.x) AS dp
+        |  FROM cands c
+        |  JOIN ex xa ON xa.vec_id = c.query_id
+        |  JOIN ex xb ON xb.vec_id = c.neighbor_id AND xa.i = xb.i
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |    dp/(sqrt(nq.nn)*sqrt(ne.nn)) AS sim
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.query_id
+        |  JOIN norms ne ON ne.vec_id = d.neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, neighbor_id) AS rank
+        |  FROM scored
+        |), pos AS (
+        |  SELECT query_id AS anchor_id, 'pos' AS role,
+        |    neighbor_id AS other_id
+        |  FROM ranked WHERE rank <= 1
+        |), draws AS (
+        |  SELECT vec_id AS anchor_id, unnest([$negDraws]) AS j FROM embeddings
+        |), hashed AS (
+        |  SELECT anchor_id,
+        |    CAST(('0x' || substr(md5('$salt|' || CAST(anchor_id AS VARCHAR)
+        |      || '|' || CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      % (SELECT n FROM nv) AS h
+        |  FROM draws
+        |), negs AS (
+        |  SELECT anchor_id, 'neg' AS role,
+        |    CASE WHEN h = anchor_id THEN (h + 1) % (SELECT n FROM nv)
+        |         ELSE h END AS other_id
+        |  FROM hashed
+        |)
+        |SELECT anchor_id, role, other_id FROM pos
+        |UNION ALL
+        |SELECT anchor_id, role, other_id FROM negs
+        |ORDER BY anchor_id, role, other_id""".stripMargin
+  }
+
   /** Shared oracle for the manual and rule-rewritten range joins: session
     * intervals built in SQL, then the theta containment join; `pointFilter`
     * restricts the point side. */
@@ -2107,6 +2196,10 @@ object SparkEntry {
 
     "ext_knn_join" ->
       knnJoinOracleSql(nPlanes = 64, bands = 8, dims = 64, seed = 42L, k = 3),
+
+    "ext_contrastive_pairs" ->
+      contrastiveOracleSql(nPlanes = 64, bands = 8, dims = 64, seed = 42L,
+        nNeg = 2, salt = "cp"),
 
     "ext_text_winnow" -> winnowOracleSql(window = 8),
 

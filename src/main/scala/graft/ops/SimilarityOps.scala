@@ -112,6 +112,46 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Contrastive training-pair construction — the DPR/SimCLR data-prep
+    * step: every anchor vector gets one POSITIVE (its top approximate
+    * neighbor from [[knnJoinLsh]]'s banded-SRP candidates) and `nNeg`
+    * NEGATIVES drawn by a pure salted-md5 hash of (anchor, draw index)
+    * over the dense id space [0, nVectors) — the same reproducibility
+    * contract as SampleOps.hashBucket: the dataset is a pure function of
+    * the corpus, identical across runs, partitionings, and engines, so an
+    * external oracle replays it bit-for-bit. A hashed negative landing on
+    * the anchor itself shifts by one (mod nVectors) rather than
+    * resampling, keeping the draw closed-form; a negative colliding with
+    * the positive is kept (standard in-batch-negative noise, and removing
+    * it would make the draw depend on LSH recall). Anchors whose buckets
+    * hold no neighbor yield no positive row (recall < 1, tunable via
+    * bands). Requires dense vec_ids 0..nVectors-1 (the embedding-corpus
+    * layout; re-index first otherwise).
+    *
+    * Scale shape: positives inherit knnJoinLsh's equi-join + bounded-heap
+    * plan; negatives are a pure row-local projection (explode × nNeg, no
+    * shuffle). */
+  def contrastivePairs(vectors: DataFrame, nVectors: Long, nNeg: Int = 2,
+                       salt: String = "cp", nPlanes: Int = 64,
+                       bands: Int = 8, seed: Long = 42L): DataFrame = {
+    require(nNeg > 0, s"nNeg must be positive, got $nNeg")
+    require(nVectors > 1, s"need at least 2 vectors, got $nVectors")
+    val pos = knnJoinLsh(vectors, k = 1, nPlanes, bands, seed)
+      .select(col("query_id").as("anchor_id"), lit("pos").as("role"),
+        col("neighbor_id").as("other_id"))
+    val negs = vectors
+      .select(col("vec_id").as("anchor_id"),
+        explode(array((0 until nNeg).map(j => lit(j)): _*)).as("j"))
+      .withColumn("h", pmod(conv(substring(md5(concat_ws("|", lit(salt),
+          col("anchor_id").cast("string"), col("j").cast("string"))),
+          1, 15), 16, 10).cast("long"), lit(nVectors)))
+      .select(col("anchor_id"), lit("neg").as("role"),
+        when(col("h") === col("anchor_id"),
+          pmod(col("h") + 1, lit(nVectors))).otherwise(col("h"))
+          .as("other_id"))
+    pos.unionByName(negs)
+  }
+
   /** Ceiling for the literal-inlined centroid paths: above this many
     * inlined floats (nCells × dims) the generated projection risks Janino's
     * 64 KB method limit and classfile constant-pool blowup, so assignment /

@@ -456,6 +456,29 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("contrastive pairs: deterministic draws, no self-negatives, positives beat negatives on average") {
+    val n = emb.count()
+    val pairs = SimilarityOps.contrastivePairs(emb, n, nNeg = 2)
+      .as[(Long, String, Long)].collect()
+    val (pos, neg) = pairs.partition(_._2 == "pos")
+    assert(neg.length == n * 2, "every anchor draws exactly nNeg negatives")
+    assert(neg.forall(p => p._1 != p._3), "a negative must never be the anchor")
+    assert(neg.forall(p => p._3 >= 0 && p._3 < n), "draws stay in the id space")
+    // positives are nearest neighbors: mean cosine must exceed the
+    // negatives' mean (random draws) by a clear margin
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    def meanSim(ps: Array[(Long, String, Long)]) =
+      ps.map(p => SimilarityOps.cosineLocal(vecs(p._1).toSeq, vecs(p._3)))
+        .sum / ps.length
+    assert(pos.nonEmpty && meanSim(pos) > meanSim(neg) + 0.1,
+      s"pos ${meanSim(pos)} vs neg ${meanSim(neg)}")
+    // pure function of the corpus: a second invocation is identical
+    val again = SimilarityOps.contrastivePairs(emb, n, nNeg = 2)
+      .as[(Long, String, Long)].collect()
+    assert(pairs.toSet == again.toSet)
+  }
+
   test("srp signature: native kernel matches a scala re-computation") {
     import graft.functions.SrpCoef
     val rows = emb.limit(20).select($"vec_id", $"embedding",
