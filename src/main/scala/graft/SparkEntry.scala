@@ -1410,6 +1410,33 @@ object SparkEntry {
         .orderBy(col("score6").desc, col("doc_id"))
     }),
 
+    // Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25
+    // top-20) and vector (cosine top-20 for anchor vec 0) rankings:
+    // score = Σ 1/(60 + rank), the standard RRF constant. Both legs are
+    // deterministic, the fusion is fixed-order double arithmetic, so the
+    // whole hybrid ranking oracle-replays. Each leg keeps its own scale
+    // shape (postings pre-filter + broadcast stats; broadcast query batch
+    // + WindowGroupLimit); fusion joins two ≤ k-row frames.
+    "ext_hybrid_search" -> ((s, dir) => {
+      val lex = ops.TextOps.bm25TopDocs(tbl(s, dir, "documents"),
+          Bm25Terms, k = 20,
+          nDocsKnown = Some(stagedCount(s, dir, "documents")),
+          avgdlKnown = Some(stagedAvgdl(s, dir, "documents")))
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+      val emb = tbl(s, dir, "embeddings")
+      val vec = ops.SimilarityOps
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round6(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+            .as("rrf6"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("rrf6").desc, col("doc_id"))
+    }),
+
     // CCNet-style LM quality scoring: char-bigram model trained on the
     // English reference slice (staged model state), scored as a row-local
     // literal-map fold — zero joins, zero shuffle, one fused scan at any
@@ -2488,6 +2515,73 @@ object SparkEntry {
         |FROM agg
         |ORDER BY score DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    "ext_hybrid_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(w) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl,
+        |         CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n
+        |  FROM dl
+        |), terms AS (
+        |  SELECT doc_id, unnest(w) AS term FROM toks
+        |), tf AS (
+        |  SELECT t.doc_id, d.dl, term, COUNT(*) AS tf
+        |  FROM terms t JOIN dl d ON d.doc_id = t.doc_id
+        |  WHERE term IN ('spark', 'stream', 'window', 'join')
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl))) AS s
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |), agg AS (
+        |  SELECT doc_id,
+        |    COALESCE(SUM(CASE WHEN term = 'spark' THEN s END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'stream' THEN s END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'window' THEN s END), 0.0)
+        |    + COALESCE(SUM(CASE WHEN term = 'join' THEN s END), 0.0) AS score
+        |  FROM scored GROUP BY 1
+        |  ORDER BY score DESC, doc_id LIMIT 20
+        |), lex AS (
+        |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+        |  FROM agg
+        |), ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT e.vec_id AS neighbor_id, SUM(q.x*e.x) AS dp
+        |  FROM ex q JOIN ex e ON q.i = e.i
+        |  WHERE q.vec_id = 0 AND e.vec_id <> 0
+        |  GROUP BY 1
+        |), vecr AS (
+        |  SELECT neighbor_id AS doc_id, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY dp/(sqrt(nq.nn)*sqrt(ne.nn)) DESC, neighbor_id)
+        |    AS INTEGER) AS vec_rank
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = 0
+        |  JOIN norms ne ON ne.vec_id = neighbor_id
+        |  QUALIFY vec_rank <= 20
+        |), fused AS (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    COALESCE(1.0/(60 + l.lex_rank), 0.0)
+        |      + COALESCE(1.0/(60 + v.vec_rank), 0.0) AS rrf,
+        |    l.lex_rank, v.vec_rank
+        |  FROM lex l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+        |)
+        |SELECT doc_id, FLOOR(rrf * 1000000 + 0.5) / 1000000 AS rrf6,
+        |  lex_rank, vec_rank
+        |FROM fused
+        |ORDER BY rrf6 DESC, doc_id""".stripMargin,
 
     // LM replay: bigram/context counts + vocab from the en slice, add-one
     // smoothed NLL per bigram, averaged per doc; context totals derive from
