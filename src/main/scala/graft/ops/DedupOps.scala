@@ -438,6 +438,34 @@ object DedupOps {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** One row per sliding k-token gram position: (doc_id, pos, g) with `g`
+    * the lowercase space-joined gram text. Shared by the duplicated-span
+    * family. */
+  private def gramPositions(docs: DataFrame, k: Int): DataFrame =
+    OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), (size(col("toks")) - k).cast("int")),
+        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+      .select(col("doc_id"), col("pos"), col("col").as("g"))
+
+  /** Merge consecutive duplicated positions into maximal spans
+    * (gaps-and-islands): positions are unique per doc, so pos − row_number
+    * is constant exactly within a consecutive run. One doc_id-keyed
+    * window+agg shuffle; per-doc state bounded by document length. */
+  private def mergeIslands(dupPos: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPos
+      .withColumn("island", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_dup_grams"))
+  }
+
   /** Corpus-level duplicated-SPAN detection — the sliding-window
     * formulation of exact substring dedup (Lee et al. 2022 remove every
     * repeated ≥50-token span; their suffix-array machinery re-expressed as
@@ -454,36 +482,78 @@ object DedupOps {
     * caller excises or weighs spans; reporting (not silent row mutation)
     * keeps corpus bookkeeping intact, same contract as [[segmentDedup]].
     *
-    * Scale shape: two shuffles — one window pass keyed by the gram to
-    * count occurrences (exact: the key is the full gram text, as in
-    * segmentDedup; at extreme scale swap in a 64-bit gram hash for
-    * shuffle-width at ~2^-64 collision noise), one window+agg keyed by
-    * doc_id for the island merge. Rows ∝ total token count; nothing is
-    * ever all-pairs, and per-doc state is bounded by document length. */
+    * Scale shape (the skew-safe default): grams are keyed by their 64-bit
+    * xxhash64 — an 8-byte shuffle key instead of 50–100 bytes of gram text
+    * (~2^-64 false-duplicate noise, negligible against tokenizer noise) —
+    * and the occurrence count is a `groupBy(hash).count` whose map-side
+    * partial aggregation collapses a boilerplate gram (cookie banner,
+    * license header — exactly what this operator exists to find) to ONE
+    * row per map task before the shuffle, so a million-fold-repeated gram
+    * costs ~#tasks shuffle rows, not a million. The duplicated-gram set
+    * then re-joins the positions by hash — an equi-join AQE can skew-split,
+    * unlike a window partition. Total: the gram-hash agg+join shuffles plus
+    * the doc_id island window; nothing is ever all-pairs.
+    * [[duplicatedSpansExact]] keeps the text-keyed window formulation as
+    * the collision-free audit sibling. */
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val grams = OpsUtil.spread(docs)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), (size(col("toks")) - k).cast("int")),
-        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-      .select(col("doc_id"), col("pos"), col("col").as("g"))
-    val dupPos = grams
+    val grams = gramPositions(docs, k)
+      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
+    // __ghx (a derived function of gh) is load-bearing, not noise: grouping
+    // by (gh, __ghx) leaves the aggregate's output partitioned by a key the
+    // join cannot reuse, so EnsureRequirements inserts a fresh exchange of
+    // the (small, post-filter) duplicated-gram set adjacent to the join.
+    // AQE's OptimizeSkewedJoin only rewrites a sort-merge join whose inputs
+    // are BOTH bare ENSURE_REQUIREMENTS shuffle stages — with the aggregate
+    // left inline, the hot gram's position partition can never be split
+    // (verified by the SkewOpsSpec stress case). Counts are unchanged:
+    // __ghx is functionally dependent on gh, so the groups are per-gh.
+    val dupGrams = grams
+      .select(col("gh"), xxhash64(col("gh")).as("__ghx"))
+      .groupBy(col("gh"), col("__ghx")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"))
+    val dupPos = grams.join(dupGrams, Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+    mergeIslands(dupPos, k)
+  }
+
+  /** Text-keyed audit sibling of [[duplicatedSpans]]: counts occurrences
+    * over the full gram string (zero collision risk, wider shuffle and a
+    * skew-exposed window partition on a hot gram) — use for bounded audit
+    * slices and as the oracle for the hashed path. */
+  def duplicatedSpansExact(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val dupPos = gramPositions(docs, k)
       .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("n_occ") > 1)
       .select(col("doc_id"), col("pos"))
-    // positions are unique per doc, so pos - row_number is constant exactly
-    // within a consecutive run (gaps-and-islands)
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPos
-      .withColumn("island", col("pos") - row_number().over(w))
-      .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(k - 1)).as("span_end"),
-        count(lit(1)).as("n_dup_grams"))
-      .select(col("doc_id"), col("span_start"), col("span_end"),
-        col("n_dup_grams"))
+    mergeIslands(dupPos, k)
+  }
+
+  /** Redundant-position set for excision: among a duplicated gram's
+    * occurrences, every position except the global (doc_id, pos)-minimum
+    * is redundant (the first occurrence survives — Lee et al. keep one
+    * copy). Computed as one `groupBy(hash)` aggregate — `min(struct(doc_id,
+    * pos))` IS the first occurrence under struct ordering, and partial
+    * aggregation folds a hot gram's million occurrences to one candidate
+    * per map task — followed by an AQE-skew-splittable equi-join back to
+    * the positions. No per-gram global sort, no window over a skewed key. */
+  private def redundantPositions(grams: DataFrame): DataFrame = {
+    // __ghx for the same reason as in [[duplicatedSpans]]: it forces a
+    // fresh ENSURE_REQUIREMENTS exchange under the join, the only shape
+    // AQE's skew-join rule will split on the hot position side
+    val firstOcc = grams
+      .select(col("gh"), xxhash64(col("gh")).as("__ghx"),
+        col("doc_id"), col("pos"))
+      .groupBy(col("gh"), col("__ghx"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+      .select(col("gh"), col("first"))
+    grams.join(firstOcc, Seq("gh"))
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos"))
   }
 
   /** The excision half of exact substring dedup: every duplicated k-gram
@@ -497,26 +567,46 @@ object DedupOps {
     * appears — a fully-excised doc survives with empty text (downstream
     * decides its fate; same bookkeeping contract as [[segmentDedup]]).
     *
-    * Scale shape: the gram window (keyed by gram text) and the per-doc
-    * island window are the only shuffles; interval lists are collected
-    * per document (bounded by the doc's own token count — the same bound
-    * any reassembly holds) and the token-drop runs as a row-local
-    * higher-order-function filter, so the rebuild never shuffles. */
+    * Scale shape: grams keyed by xxhash64 (8-byte shuffle key); first
+    * occurrence per gram from a min-aggregate (map-side combined — a hot
+    * boilerplate gram never concentrates on one reducer the way the old
+    * per-gram row_number sort did) + equi-join (AQE skew handling applies);
+    * the per-doc island window is the only other shuffle. Interval lists
+    * are collected per document (bounded by the doc's own token count —
+    * the same bound any reassembly holds) and the token-drop runs as a
+    * row-local higher-order-function filter, so the rebuild never
+    * shuffles. [[exciseDuplicatedSpansExact]] is the text-keyed audit
+    * sibling. */
   def exciseDuplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toks = OpsUtil.spread(docs)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-    val grams = toks
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), (size(col("toks")) - k).cast("int")),
-        i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
-      .select(col("doc_id"), col("pos"), col("col").as("g"))
-    val redundant = grams
+    val grams = gramPositions(docs, k)
+      .select(xxhash64(col("g")).as("gh"), col("doc_id"), col("pos"))
+    rebuildWithoutSpans(toks, redundantPositions(grams), k)
+  }
+
+  /** Text-keyed audit sibling of [[exciseDuplicatedSpans]] — the original
+    * per-gram row_number formulation (collision-free, but the sort key is
+    * raw gram text and a hot gram lands on one reducer); kept for bounded
+    * audit slices and as the hashed path's oracle. */
+  def exciseDuplicatedSpansExact(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val redundant = gramPositions(docs, k)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("g")).orderBy(col("doc_id"), col("pos"))))
       .filter(col("__rn") > 1)
       .select(col("doc_id"), col("pos"))
+    rebuildWithoutSpans(toks, redundant, k)
+  }
+
+  /** Merge redundant positions into islands and rebuild each document
+    * without the covered tokens (row-local higher-order filter — the
+    * rebuild never shuffles). */
+  private def rebuildWithoutSpans(toks: DataFrame, redundant: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val islands = redundant
       .withColumn("island", col("pos") - row_number().over(w))

@@ -417,6 +417,14 @@ class ExtOpsSpec extends AnyFunSuite {
         .as[(Long, Int, Long, String)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       assert(gotExcise == localExcise(docs), s"excise diverged on trial $trial")
+      // the text-keyed audit siblings must agree with the hashed scale path
+      val exactSpans = DedupOps.duplicatedSpansExact(df, k)
+        .as[(Long, Int, Int, Long)].collect().toSet
+      assert(exactSpans == gotSpans, s"exact spans sibling diverged on $trial")
+      val exactExcise = DedupOps.exciseDuplicatedSpansExact(df, k)
+        .as[(Long, Int, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(exactExcise == gotExcise, s"exact excise sibling diverged on $trial")
     }
   }
 

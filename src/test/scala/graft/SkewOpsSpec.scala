@@ -124,4 +124,66 @@ class SkewOpsSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("span dedup: a boilerplate gram repeated 100k× is AQE-skew-split, results exact") {
+    // duplicatedSpans/exciseDuplicatedSpans claim the hashed groupBy+join
+    // formulation survives the hot-gram input the old gram-text window
+    // could not (a cookie banner / license header appearing everywhere —
+    // the exact thing this operator exists to find): partial aggregation
+    // folds the hot key map-side and the position re-join is an equi-join
+    // AQE skew-splits. This pins both the plan shape and the results.
+    val conf = Seq(
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val nDocs = 100000
+      // every doc opens with the same 4-token boilerplate, then one unique
+      // token: with k=4 the pos-0 gram occurs nDocs times (ONE key), the
+      // pos-1 gram is globally unique — maximal skew on the gram join
+      val docs = spark.range(nDocs).select(
+        $"id".as("doc_id"),
+        concat(lit("b0 b1 b2 b3 x"), $"id").as("text"))
+      // collect the operator outputs directly: the skew assertion must read
+      // the executed plan of the SAME query that ran (a derived .agg would
+      // execute its own plan, and a global aggregate consuming the join
+      // also suppresses the skew rewrite — see OptimizeSkewedJoin's
+      // requirement validation)
+      val spans = graft.ops.DedupOps.duplicatedSpans(docs, k = 4)
+      val sRows = spans.collect()
+      assert(sRows.length == nDocs &&
+        sRows.forall(r => r.getInt(1) == 0 && r.getInt(2) == 3 &&
+          r.getLong(3) == 1L),
+        "every doc must report exactly the boilerplate span 0..3")
+      val sPlan = spans.queryExecution.executedPlan.toString
+      assert(sPlan.contains("skew=true"),
+        s"spans: AQE did not skew-split the hot-gram join:\n${sPlan.take(4000)}")
+      // no window may run partitioned by the gram key in the hashed path
+      assert(!sPlan.contains("windowspecdefinition(gh") &&
+        !sPlan.contains("windowspecdefinition(g#"),
+        "hashed span path must not window over the gram key")
+      val excised = graft.ops.DedupOps.exciseDuplicatedSpans(docs, k = 4)
+      val eRows = excised.collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      // doc 0 is the global first occurrence (survives whole); every other
+      // doc loses exactly the 4 boilerplate tokens
+      assert(eRows.length == nDocs)
+      assert(eRows.map(_._2).sum == 4L * (nDocs - 1))
+      assert(eRows.count(_._2 == 0L) == 1 && eRows.find(_._2 == 0L).get._1 == 0L,
+        "only doc 0 may be untouched")
+      val ePlan = excised.queryExecution.executedPlan.toString
+      assert(ePlan.contains("skew=true"),
+        s"excise: AQE did not skew-split the hot-gram join:\n${ePlan.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
