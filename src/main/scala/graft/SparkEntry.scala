@@ -138,6 +138,20 @@ object SparkEntry {
     * in the oracle SQL. */
   private val Bm25Terms = Seq("spark", "stream", "window", "join")
 
+  /** Fixed query TABLE for the query-set retrieval ops (ext_bm25_queryset,
+    * ext_hybrid_queryset) — corpus-vocabulary queries, mirrored as VALUES in
+    * the oracle SQL; ids double as anchor vec_ids for the vector leg. */
+  private val RetrievalQueries = Seq(
+    (1L, "spark stream window"),
+    (2L, "join merge hash"),
+    (3L, "vector query filter"),
+    (4L, "customer order data"))
+
+  private def retrievalQueriesDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RetrievalQueries.toDF("query_id", "query_text")
+  }
+
   /** Staging dir for the date-partitioned silver activity, inside the build
     * output tree; keyed by sf dir name so scale factors don't collide. */
   private def incrSilverPath(dir: String): String =
@@ -1422,8 +1436,7 @@ object SparkEntry {
           Bm25Terms, k = 20,
           nDocsKnown = Some(stagedCount(s, dir, "documents")),
           avgdlKnown = Some(stagedAvgdl(s, dir, "documents")))
-        .select(col("doc_id"), row_number().over(
-          Window.orderBy(col("score").desc, col("doc_id"))).as("lex_rank"))
+        .select(col("doc_id"), col("rank").as("lex_rank"))
       val emb = tbl(s, dir, "embeddings")
       val vec = ops.SimilarityOps
         .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 20)
@@ -1435,6 +1448,46 @@ object SparkEntry {
             .as("rrf6"),
           col("lex_rank"), col("vec_rank"))
         .orderBy(col("rrf6").desc, col("doc_id"))
+    }),
+
+    // Query-SET BM25 — a whole query TABLE ranked in one corpus scan (the
+    // retrieval shape data curation needs: thousands of queries share one
+    // postings pass instead of one plan per query). Distinct query terms
+    // broadcast as the postings pre-filter; per-(query, doc) scores sum
+    // 6 dp fixed-point longs (order-independent, engine-exact); per-query
+    // top-k is a WindowGroupLimit rank filter (oracle-checked).
+    "ext_bm25_queryset" -> ((s, dir) => {
+      ops.TextOps.bm25TopDocsForQueries(tbl(s, dir, "documents"),
+          retrievalQueriesDF(s), k = 10,
+          nDocsKnown = Some(stagedCount(s, dir, "documents")),
+          avgdlKnown = Some(stagedAvgdl(s, dir, "documents")))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Per-query hybrid retrieval — RRF fusion of the query-set BM25 ranking
+    // with each query's vector ranking (anchor embedding vec_id = query_id).
+    // Both legs keep their scale shapes (one shared corpus scan / broadcast
+    // query batch + WindowGroupLimit); the fusion full-outer-joins two
+    // ≤ |queries|·k row frames on (query_id, doc_id) (oracle-checked).
+    "ext_hybrid_queryset" -> ((s, dir) => {
+      val lex = ops.TextOps.bm25TopDocsForQueries(tbl(s, dir, "documents"),
+          retrievalQueriesDF(s), k = 20,
+          nDocsKnown = Some(stagedCount(s, dir, "documents")),
+          avgdlKnown = Some(stagedAvgdl(s, dir, "documents")))
+        .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+      val emb = tbl(s, dir, "embeddings")
+      val anchors = emb.filter(
+        col("vec_id").isin(RetrievalQueries.map(_._1): _*))
+      val vec = ops.SimilarityOps.bruteForceTopK(emb, anchors, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+      lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          round6(coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+            .as("rrf6"),
+          col("lex_rank"), col("vec_rank"))
+        .orderBy(col("query_id"), col("rrf6").desc, col("doc_id"))
     }),
 
     // CCNet-style LM quality scoring: char-bigram model trained on the
@@ -2513,8 +2566,136 @@ object SparkEntry {
         |)
         |SELECT doc_id, FLOOR(score * 1000000 + 0.5) / 1000000 AS score6, n_terms
         |FROM agg
-        |ORDER BY score DESC, doc_id
+        |ORDER BY FLOOR(score * 1000000 + 0.5) DESC, doc_id
         |LIMIT 20""".stripMargin,
+
+    // query-set BM25 replay: same Robertson/Lucene-idf formula as
+    // ext_text_bm25, fanned out per query; per-(query, doc) totals sum 6 dp
+    // fixed-point BIGINTs exactly like the Spark side, so the aggregation
+    // is order-independent on both engines
+    "ext_bm25_queryset" ->
+      """WITH queries(query_id, query_text) AS (
+        |  VALUES (1, 'spark stream window'), (2, 'join merge hash'),
+        |         (3, 'vector query filter'), (4, 'customer order data')
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(w) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl,
+        |         CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n
+        |  FROM dl
+        |), qterms AS (
+        |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |         unnest(string_split_regex(lower(query_text), '\s+')) AS term
+        |  FROM queries
+        |), terms AS (
+        |  SELECT doc_id, unnest(w) AS term FROM toks
+        |), tf AS (
+        |  SELECT t.doc_id, d.dl, term, COUNT(*) AS tf
+        |  FROM terms t JOIN dl d ON d.doc_id = t.doc_id
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(FLOOR((ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl))))
+        |      * 1000000 + 0.5) AS BIGINT) AS s6
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |), pq AS (
+        |  SELECT q.query_id, s.doc_id, SUM(s.s6) AS s6sum, COUNT(*) AS n_terms
+        |  FROM scored s JOIN qterms q USING (term)
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY s6sum DESC, doc_id) AS INTEGER) AS rank,
+        |    doc_id, CAST(s6sum AS DOUBLE) / 1000000 AS score6, n_terms
+        |  FROM pq
+        |)
+        |SELECT query_id, rank, doc_id, score6, n_terms FROM ranked
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // per-query hybrid replay: query-set BM25 leg (k=20) fused with each
+    // query's vector ranking (anchor vec_id = query_id) by reciprocal rank
+    "ext_hybrid_queryset" ->
+      """WITH queries(query_id, query_text) AS (
+        |  VALUES (1, 'spark stream window'), (2, 'join merge hash'),
+        |         (3, 'vector query filter'), (4, 'customer order data')
+        |), toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(w) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl,
+        |         CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n
+        |  FROM dl
+        |), qterms AS (
+        |  SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id,
+        |         unnest(string_split_regex(lower(query_text), '\s+')) AS term
+        |  FROM queries
+        |), terms AS (
+        |  SELECT doc_id, unnest(w) AS term FROM toks
+        |), tf AS (
+        |  SELECT t.doc_id, d.dl, term, COUNT(*) AS tf
+        |  FROM terms t JOIN dl d ON d.doc_id = t.doc_id
+        |  WHERE term IN (SELECT DISTINCT term FROM qterms)
+        |  GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    CAST(FLOOR((ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      ((tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + (0.75 * dl) / avgdl))))
+        |      * 1000000 + 0.5) AS BIGINT) AS s6
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |), pq AS (
+        |  SELECT q.query_id, s.doc_id, SUM(s.s6) AS s6sum, COUNT(*) AS n_terms
+        |  FROM scored s JOIN qterms q USING (term)
+        |  GROUP BY 1, 2
+        |), lex AS (
+        |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY query_id ORDER BY s6sum DESC, doc_id)
+        |    AS INTEGER) AS lex_rank
+        |  FROM pq
+        |  QUALIFY lex_rank <= 20
+        |), ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, SUM(q.x*e.x) AS dp
+        |  FROM ex q JOIN ex e ON q.i = e.i
+        |  WHERE q.vec_id IN (1, 2, 3, 4) AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2
+        |), vecr AS (
+        |  SELECT d.query_id, neighbor_id AS doc_id, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY d.query_id
+        |    ORDER BY dp/(sqrt(nq.nn)*sqrt(ne.nn)) DESC, neighbor_id)
+        |    AS INTEGER) AS vec_rank
+        |  FROM dots d
+        |  JOIN norms nq ON nq.vec_id = d.query_id
+        |  JOIN norms ne ON ne.vec_id = neighbor_id
+        |  QUALIFY vec_rank <= 20
+        |), fused AS (
+        |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+        |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+        |    COALESCE(1.0/(60 + l.lex_rank), 0.0)
+        |      + COALESCE(1.0/(60 + v.vec_rank), 0.0) AS rrf,
+        |    l.lex_rank, v.vec_rank
+        |  FROM lex l FULL OUTER JOIN vecr v
+        |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+        |)
+        |SELECT query_id, doc_id, FLOOR(rrf * 1000000 + 0.5) / 1000000 AS rrf6,
+        |  lex_rank, vec_rank
+        |FROM fused
+        |ORDER BY query_id, rrf6 DESC, doc_id""".stripMargin,
 
     "ext_hybrid_search" ->
       """WITH toks AS (
@@ -2547,10 +2728,11 @@ object SparkEntry {
         |    + COALESCE(SUM(CASE WHEN term = 'window' THEN s END), 0.0)
         |    + COALESCE(SUM(CASE WHEN term = 'join' THEN s END), 0.0) AS score
         |  FROM scored GROUP BY 1
-        |  ORDER BY score DESC, doc_id LIMIT 20
+        |  ORDER BY FLOOR(score * 1000000 + 0.5) DESC, doc_id LIMIT 20
         |), lex AS (
         |  SELECT doc_id, CAST(ROW_NUMBER() OVER (
-        |    ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+        |    ORDER BY FLOOR(score * 1000000 + 0.5) DESC, doc_id)
+        |    AS INTEGER) AS lex_rank
         |  FROM agg
         |), ex AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,

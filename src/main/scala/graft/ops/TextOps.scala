@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis for training-data pipelines (SURVEY §2.11): token counting,
   * quality scoring, language ID, fingerprinting.
@@ -285,6 +286,8 @@ object TextOps {
                   nDocsKnown: Option[Long] = None,
                   avgdlKnown: Option[Double] = None): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"bm25TopDocs query terms must be distinct, got $queryTerms")
     val nDocs = nDocsKnown.getOrElse(docs.count())
     val toks = OpsUtil.spread(docs)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
@@ -298,7 +301,13 @@ object TextOps {
         explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = postings.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the tf >= 1 filter is vacuous (count ≥ 1 by construction) but
+    // load-bearing: it forces this branch to reference the tf VALUE, so the
+    // optimizer cannot specialize its copy of the tf subplan to a keys-only
+    // aggregate — both consumers stay plan-identical below the exchange and
+    // ReuseExchange collapses them to ONE postings scan + shuffle
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
       + 1.0)
     val tfNorm = (col("tf") * (k1 + 1.0)) /
@@ -306,16 +315,98 @@ object TextOps {
     val scored = tf.join(broadcast(dfreq), Seq("term"))
       .withColumn("s", idf * tfNorm)
     // (doc_id, term) is unique post-tf, so each conditional agg folds exactly
-    // one value; the final + chain is literal-ordered → bit-deterministic
-    val perTerm = queryTerms.map(t =>
-      sum(when(col("term") === t, col("s"))).as(s"__s_$t"))
-    val total = queryTerms.map(t => coalesce(col(s"__s_$t"), lit(0.0d)))
+    // one value; the final + chain is literal-ordered → bit-deterministic.
+    // Aggregates alias by term INDEX (terms may contain '.'/'`', which would
+    // misparse as nested-field references in col()).
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("s"))).as(s"__s_$i") }
+    val total = queryTerms.indices.map(i => coalesce(col(s"__s_$i"), lit(0.0d)))
       .reduce(_ + _)
+    // the top-k boundary breaks on the ROUNDED score (the granularity any
+    // cross-engine comparison happens at) + doc_id, so a last-ulp ln
+    // divergence between engines can never flip which doc makes the cut
     scored.groupBy("doc_id")
       .agg(perTerm.head, perTerm.tail :+ count(lit(1)).as("n_terms"): _*)
       .select(col("doc_id"), total.as("score"), col("n_terms"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(floor(col("score") * 1e6 + 0.5).desc, col("doc_id"))
       .limit(k)
+      // rank over the ≤ k surviving rows (partitionBy(lit) keeps the tiny
+      // window out of WindowExec's no-partition warning path); callers fuse
+      // on it instead of re-ranking with a global window
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(0))
+          .orderBy(floor(col("score") * 1e6 + 0.5).desc, col("doc_id"))))
+      .select(col("doc_id"), col("rank"), col("score"), col("n_terms"))
+  }
+
+  /** Query-SET BM25 retrieval: rank the corpus against a whole TABLE of
+    * queries — the shape retrieval-based data curation actually needs
+    * (DPR-style hard-negative mining, eval-suite sweeps, dedup-by-query),
+    * where thousands of queries must share ONE corpus scan instead of
+    * re-running [[bm25TopDocs]] per query. Queries: (query_id, query_text);
+    * output: (query_id, rank, doc_id, score6, n_terms), rank 1..k per
+    * query by descending score.
+    *
+    * Scale shape — one corpus scan, no per-term plan width:
+    *   - the distinct term set across ALL queries broadcasts as the postings
+    *     pre-filter (map-side semi-join BEFORE the (doc, term) shuffle —
+    *     same property as the literal-term path, but data-driven);
+    *   - per-(doc, term) tf is the only corpus-sized shuffle; df broadcasts
+    *     back (≤ |distinct query terms| rows);
+    *   - the query fan-out is a broadcast join postings×(query terms), so a
+    *     term shared by many queries replicates only matching postings;
+    *   - per-(query, doc) scores sum FIXED-POINT longs (each per-term score
+    *     pre-rounded to 6 dp as `floor(s·10⁶ + 0.5)`): integer addition is
+    *     associative, so the total is bit-deterministic under ANY shuffle
+    *     order or engine — no literal-ordered column chain needed, which is
+    *     what frees the plan from per-term width (the single-query path's
+    *     cap);
+    *   - per-query top-k is a rank-filter window → partial WindowGroupLimit
+    *     prunes map-side; no global sort.
+    * The 6 dp fixed-point sum differs from the exact-double sum by < n·5e-7
+    * — inside the tolerance any cross-engine ln comparison already needs. */
+  def bm25TopDocsForQueries(docs: DataFrame, queries: DataFrame, k: Int = 10,
+                            k1: Double = 1.2, b: Double = 0.75,
+                            nDocsKnown: Option[Long] = None,
+                            avgdlKnown: Option[Double] = None): DataFrame = {
+    val nDocs = nDocsKnown.getOrElse(docs.count())
+    val toks = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val avgdl = avgdlKnown.getOrElse {
+      val r = toks.agg(sum(size(col("toks"))).as("s")).head()
+      r.getLong(0).toDouble / nDocs
+    }
+    // per-query DISTINCT terms (BM25 scores a term once per query); the
+    // global distinct term set is the data-driven postings pre-filter
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(split(lower(col("query_text")), "\\s+")))
+        .as("term"))
+    val allTerms = qterms.select(col("term")).distinct()
+    val postings = toks
+      .select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .join(broadcast(allTerms), Seq("term"))
+    val tf = postings.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    // vacuous tf >= 1 filter for the same ReuseExchange reason as in
+    // [[bm25TopDocs]]: one postings scan + shuffle feeds both tf and df
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
+      + 1.0)
+    val tfNorm = (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("s6", floor((idf * tfNorm) * 1e6 + 0.5).cast("long"))
+    val perQueryDoc = scored.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s6")).as("s6sum"), count(lit(1)).as("n_terms"))
+    perQueryDoc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("s6sum").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("s6sum").cast("double") / 1e6).as("score6"), col("n_terms"))
   }
 
   /** Character-bigram language model with add-one smoothing — the CCNet

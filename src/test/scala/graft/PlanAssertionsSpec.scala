@@ -160,6 +160,33 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Subquery"), s"corpus stats not staged:\n$p")
   }
 
+  test("bm25 queryset: one corpus scan, broadcast term fan-out, bounded per-query top-k") {
+    // AQE's explain shows the pre-reuse plan (stage dedup happens at
+    // runtime); compiling with AQE off exposes the static ReuseExchange
+    // decision this pin is about — the tf and df consumers must share one
+    // postings scan + shuffle
+    val pNoAqe = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("ext_bm25_queryset")(spark, dir)
+        .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    assert("documents\\.parquet".r.findAllIn(pNoAqe).size == 1 &&
+      pNoAqe.contains("ReusedExchange"),
+      s"query-set retrieval must share one corpus scan:\n$pNoAqe")
+    val p = plan("ext_bm25_queryset")
+    // query terms / df stats / query fan-out all ride broadcast joins —
+    // nothing corpus-sized is shuffled except the (doc, term) tf aggregate
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"term filter + df + query fan-out must broadcast:\n$p")
+    // per-query top-k prunes map-side before the rank exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"per-query top-k not bounded-heap:\n$p")
+    // staged N/avgdl: no scalar subquery jobs inside the query
+    assert(!p.contains("Subquery"), s"corpus stats not staged:\n$p")
+  }
+
   test("lm scoring / quantization: single fused scan — no joins, only the output-sort exchange") {
     for (q <- Seq("ext_text_lm_score", "ext_embed_quantize")) {
       val p = plan(q)
