@@ -632,6 +632,9 @@ object SparkEntry {
     // `no_oracle` BY CONTRACT (model output, like ml_churn_scores);
     // separation and determinism are spec-pinned in QualityModelSpec.
     "ml_text_quality" -> ((s, dir) => {
+      // persisted frames are released by the runner after the query's
+      // action (Verify/Bench/smoke clear the cache per query — a builder
+      // cannot unpersist what the caller has not yet executed)
       val docs = tbl(s, dir, "documents").persist()
       val model = ml.QualityModel.fit(
         docs.withColumn("label", ml.QualityModel.referenceLabel))
@@ -1517,7 +1520,8 @@ object SparkEntry {
       // expression tree into the predicate — the O(n²) trigram metrics
       // (quality) and the LM fold would each evaluate twice per row
       // (measured 5.1 s vs 1.5 s for the quality stage at sf0.1). Same
-      // one-materialize convention the dedup pipelines use.
+      // one-materialize convention the dedup pipelines use. Released by
+      // the runner's per-query cache clear after the action completes.
       val kept = ops.TextOps.qualityFilter(tbl(s, dir, "documents"),
           carry = Seq("text", "lang"))
         .select(col("doc_id"), col("lang"), col("text"), col("keep"))

@@ -195,11 +195,21 @@ object TxTable {
                version: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "at least one key required")
     val snap = snapshot(spark, table, version)
+    // bucket hashing is TYPE-sensitive (xxhash64 of an Int literal differs
+    // from the same value as a Long), so every caller-supplied key is cast
+    // to the table's declared key type BEFORE hashing — a Scala Int passed
+    // against a BIGINT key column would otherwise probe the wrong buckets
+    // and silently return no rows. Schema source: the v2 manifest, else the
+    // files' own footers (v1 tables).
+    val keyType = snap.schema.getOrElse(read(spark, table, version).schema)
+      .find(_.name == key).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"key column '$key' not in $table schema"))
     // one tiny local job maps every key through the SAME bucket expression
     // the writers used (no hand-rolled reimplementation to drift)
     val wanted: Set[Int] = spark.range(1)
       .select(explode(array(keys.map(k =>
-        LayoutOps.bucketId(lit(k), nBuckets)): _*)).as("b"))
+        LayoutOps.bucketId(lit(k).cast(keyType), nBuckets)): _*)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val hit = snap.entries.filter(e => wanted(e.bucket))
     val keyFilter = col(key).isin(keys: _*)
@@ -245,7 +255,13 @@ object TxTable {
     if (missing.isEmpty) return 0
     val fresh = snap.schema.fold(spark.read)(spark.read.schema)
       .parquet(missing.map(e => s"$table/${e.rel}"): _*)
-      .select(regexp_extract(input_file_name(), "files/.*$", 0).as("rel"),
+      // END-anchored at the writer's fixed depth (files/<uuid>/<bucket
+      // partition>/<part file>): a table rooted under a directory that
+      // itself contains a 'files' segment must not shadow the match, or
+      // every refresh would re-profile all files and readWhere would never
+      // prune — silently
+      .select(regexp_extract(input_file_name(),
+        "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
         col(statsCol))
       .groupBy(col("rel"))
       .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))

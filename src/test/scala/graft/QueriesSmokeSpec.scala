@@ -25,6 +25,11 @@ class QueriesSmokeSpec extends AnyFunSuite {
       val df = fn(spark, dir)
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned 0 rows")
+      // release frames a query persisted internally (same per-query hygiene
+      // as Verify/Bench) so caches never accumulate across the suite
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
     }
   }
 }

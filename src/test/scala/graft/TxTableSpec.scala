@@ -235,6 +235,46 @@ class TxTableSpec extends AnyFunSuite {
       Seq("NOPE"), nBuckets = 8).isEmpty)
   }
 
+  test("readKeys: Int literals against a BIGINT key column still hit (typed bucket hashing)") {
+    // xxhash64 is type-sensitive: hashing a key as Int computes different
+    // buckets than the writers (who hashed the column's Long values) — the
+    // lookup must cast caller literals to the table's key type, not trust
+    // the caller's Scala type
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    val data = (1L to 32L).map(i => (i, s"v$i")).toDF("id", "v")
+    TxTable.init(spark, table, data, "id", nBuckets = 8)
+    val got = TxTable.readKeys(spark, table, "id", Seq(3, 17), nBuckets = 8)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(3L -> "v3", 17L -> "v17"),
+      "Int-typed keys against a BIGINT column must probe the writers' buckets")
+    // and the read is still pruned, not a full-table fallback
+    val snap = TxTable.snapshot(spark, table)
+    assert(TxTable.readKeys(spark, table, "id", Seq(3, 17), 8)
+      .inputFiles.length < snap.entries.size)
+  }
+
+  test("computeStats: a 'files' segment in the table ROOT path must not break rel keys") {
+    // the sidecar's rel extraction is end-anchored at the writer's layout
+    // depth; a table rooted at .../files/tbl must still produce rel keys
+    // that match manifest entries, or every refresh re-profiles everything
+    // and readWhere never prunes
+    val table = Files.createTempDirectory("graft_tx_").toString + "/files/tbl"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong)).toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "zm", 0L)
+    val profiled = TxTable.computeStats(spark, table, "day")
+    assert(profiled == TxTable.snapshot(spark, table).entries.size)
+    // re-profiling must be incremental: nothing new -> zero files scanned
+    assert(TxTable.computeStats(spark, table, "day") == 0,
+      "rel keys failed to match manifest entries — refresh was not incremental")
+    // and pruning works: a bound inside one commit opens one fileset
+    val mid = TxTable.readWhere(spark, table, "day", 120L, 180L)
+    assert(mid.select("day").as[Long].collect().sorted.toSeq == (120L to 180L))
+    val openedSets = mid.inputFiles
+      .map(_.split("/files/").last.split('/')(0)).toSet
+    assert(openedSets.size == 1, s"expected one fileset, got $openedSets")
+  }
+
   test("zone maps: readWhere skips files outside the bound; unknown files never pruned") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
