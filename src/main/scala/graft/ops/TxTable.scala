@@ -20,11 +20,17 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *     `files/<uuid>/p_bucket=N/`. They are INVISIBLE until a manifest
   *     references them, so any crash before commit leaves only orphans
   *     (removed by [[vacuum]]) — there is no torn-table window at all.
-  *   - **A version is one manifest file** `_txlog/<%020d>.manifest`
-  *     listing every (bucket, file) in the snapshot. Publishing a version
-  *     is a single atomic create-fails-if-exists (hard-link CAS on local
-  *     filesystems, no-overwrite rename on HDFS-likes) — the commit either
-  *     exists entirely or not at all.
+  *   - **A version is one manifest file** `_txlog/<%020d>.manifest` —
+  *     version 0 lists the full snapshot; every later commit is a DELTA
+  *     (added/removed files only, O(changes) bytes), with a full
+  *     `.checkpoint` sidecar materialized every [[CheckpointInterval]]
+  *     commits so resolution never walks more than one interval of deltas
+  *     (the public Delta checkpoint design — commit cost and resolution
+  *     cost both stay flat as a streaming table ages through thousands of
+  *     commits). Publishing a version is a single atomic
+  *     create-fails-if-exists (hard-link CAS on local filesystems,
+  *     no-overwrite rename on HDFS-likes) — the commit either exists
+  *     entirely or not at all.
   *   - **Readers resolve the newest manifest** and read exactly its file
   *     list (snapshot isolation; an in-flight commit never changes a
   *     running query's inputs). Older manifests remain readable — time
@@ -62,12 +68,26 @@ object TxTable {
   private def logDir(table: String) = new Path(table, "_txlog")
   private def versionPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.manifest")
+  private def checkpointPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.checkpoint")
+
+  /** A full snapshot manifest is written every this many commits as a
+    * `.checkpoint` sidecar (the public Delta checkpoint design): commits
+    * themselves stay O(changed files) delta manifests forever, and
+    * snapshot resolution walks at most this many deltas back to the
+    * nearest checkpoint — a year-old streaming table resolves in O(1)
+    * manifest reads instead of re-listing its whole history. */
+  val CheckpointInterval = 20
 
   // --- manifest encoding: one header line, one tab-separated line/file ---
   // Header v1: `txtable\t1[\t<appId>\t<batchId>]`. Header v2 adds the
   // table schema as the 5th field (Spark StructType JSON — single-line,
   // control chars escaped, so tab-separation is safe) with `-` placeholders
   // for absent txn metadata: `txtable\t2\t<appId|->\t<batchId|->\t<json>`.
+  // Header v3 marks a DELTA manifest (same field positions, `-` for an
+  // absent schema); its body lists changes against the PREVIOUS version:
+  // `+\t<bucket>\t<rel>` adds a file, `-\t<rel>` removes one. Full
+  // snapshots for delta chains live in `.checkpoint` sidecars (v2 bytes).
   // Parsers drop the header fields they don't know, so v1 readers read v2
   // manifests (losing only the schema) and vice versa.
 
@@ -95,6 +115,36 @@ object TxTable {
         FileEntry(b.toInt, rel)
       }
 
+  private def renderDelta(adds: Seq[FileEntry], removes: Seq[String],
+                          txn: Option[(String, Long)],
+                          schema: Option[StructType]): Array[Byte] = {
+    val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
+    val sc = schema.map(_.json).getOrElse("-")
+    val header = s"txtable	3	$app	$batch	$sc"
+    (header +: (removes.sorted.map(r => s"-	$r") ++
+      adds.sortBy(e => (e.bucket, e.rel)).map(e => s"+	${e.bucket}	${e.rel}")))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
+  }
+
+  /** (adds, removed rels) of a v3 delta manifest. */
+  private def parseDelta(bytes: Array[Byte]): (Seq[FileEntry], Set[String]) = {
+    val adds = Seq.newBuilder[FileEntry]
+    val removes = Set.newBuilder[String]
+    new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
+      .drop(1).filter(_.nonEmpty).foreach { line =>
+        line.split('	') match {
+          case Array("+", b, rel) => adds += FileEntry(b.toInt, rel)
+          case Array("-", rel)    => removes += rel
+          case other => throw new IllegalStateException(
+            s"malformed delta manifest line: ${other.mkString("\\t")}")
+        }
+      }
+    (adds.result(), removes.result())
+  }
+
+  private def isDelta(bytes: Array[Byte]): Boolean =
+    headerFields(bytes)(1) == "3"
+
   private def headerFields(bytes: Array[Byte]): Array[String] =
     new String(bytes, StandardCharsets.UTF_8).takeWhile(_ != '\n').split('	')
 
@@ -107,7 +157,8 @@ object TxTable {
 
   private def parseSchema(bytes: Array[Byte]): Option[StructType] = {
     val header = headerFields(bytes)
-    if (header.length >= 5 && header(1) == "2")
+    if (header.length >= 5 && (header(1) == "2" || header(1) == "3") &&
+        header(4) != "-")
       Some(DataType.fromJson(header(4)).asInstanceOf[StructType])
     else None
   }
@@ -121,12 +172,16 @@ object TxTable {
   private def tryCommit(fs: FileSystem, table: String, v: Long,
                         entries: Seq[FileEntry],
                         txn: Option[(String, Long)] = None,
-                        schema: Option[StructType] = None): Boolean = {
+                        schema: Option[StructType] = None): Boolean =
+    tryPublish(fs, table, v, renderManifest(entries, txn, schema))
+
+  private def tryPublish(fs: FileSystem, table: String, v: Long,
+                         bytes: Array[Byte]): Boolean = {
     val dst = versionPath(table, v)
     fs.mkdirs(logDir(table))
     val tmp = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(entries, txn, schema))
+    out.write(bytes)
     out.close()
     val published =
       if (fs.getUri.getScheme == "file") {
@@ -143,7 +198,55 @@ object TxTable {
     published
   }
 
-  /** Resolve the newest committed snapshot, or a specific `version`. */
+  /** Publish version base.version + 1 as a DELTA manifest (O(changed
+    * files) bytes — commit cost never grows with table size or age), and
+    * on every [[CheckpointInterval]]-th version additionally materialize a
+    * full `.checkpoint` sidecar so resolution stays O(interval). The
+    * checkpoint write is best-effort AFTER the CAS: its content is a pure
+    * function of the log, so a crashed or racing checkpointer is harmless
+    * (readers fall back to walking further; the next writer or [[vacuum]]
+    * rewrites the identical bytes). */
+  private[graft] def commitNext(fs: FileSystem, table: String, base: Snapshot,
+                                adds: Seq[FileEntry], removes: Set[String],
+                                txn: Option[(String, Long)] = None,
+                                schema: Option[StructType] = None): Boolean = {
+    val v = base.version + 1
+    val ok = tryPublish(fs, table, v,
+      renderDelta(adds, removes.toSeq, txn, schema))
+    if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
+      val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
+      try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    ok
+  }
+
+  private def writeCheckpoint(fs: FileSystem, table: String, v: Long,
+                              entries: Seq[FileEntry],
+                              schema: Option[StructType]): Unit = {
+    val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(renderManifest(entries, None, schema))
+    out.close()
+    val dst = checkpointPath(table, v)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+  }
+
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Resolve the newest committed snapshot, or a specific `version`.
+    *
+    * Resolution walks BACKWARD from `version` over delta manifests until
+    * it hits a full anchor — a `.checkpoint` sidecar or a full manifest —
+    * then folds the deltas forward. Writers checkpoint every
+    * [[CheckpointInterval]] commits, so the walk is O(interval) manifest
+    * reads no matter how many commits the table has accumulated. A delta
+    * whose chain runs into a vacuumed version fails loudly (the version
+    * predates the retained log) instead of resolving wrong. */
   def snapshot(spark: SparkSession, table: String,
                version: Option[Long] = None): Snapshot = {
     val fs = fsFor(spark, table)
@@ -152,11 +255,35 @@ object TxTable {
       require(vs.nonEmpty, s"$table is not a TxTable (no committed manifest)")
       vs.max
     }
-    val p = versionPath(table, v)
-    require(fs.exists(p), s"version $v does not exist under $table")
-    val in = fs.open(p)
-    val bytes = try in.readAllBytes() finally in.close()
-    Snapshot(v, parseManifest(bytes), parseSchema(bytes))
+    // walk back collecting deltas (newest first) until a full anchor
+    var cursor = v
+    var anchor: Option[Snapshot] = None
+    val deltas = Seq.newBuilder[Array[Byte]]
+    while (anchor.isEmpty) {
+      val cp = checkpointPath(table, cursor)
+      if (fs.exists(cp)) {
+        val bytes = readBytes(fs, cp)
+        anchor = Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes)))
+      } else {
+        val p = versionPath(table, cursor)
+        require(fs.exists(p),
+          s"version $cursor does not exist under $table" +
+            (if (cursor != v) s" (required to resolve version $v — " +
+              "it predates the vacuumed log retention)" else ""))
+        val bytes = readBytes(fs, p)
+        if (isDelta(bytes)) { deltas += bytes; cursor -= 1 }
+        else anchor =
+          Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes)))
+      }
+    }
+    // fold the collected deltas forward (they were gathered newest-first);
+    // anchor.version + |deltas| == v by construction
+    deltas.result().reverse.foldLeft(anchor.get) { (snap, bytes) =>
+      val (adds, removes) = parseDelta(bytes)
+      Snapshot(snap.version + 1,
+        snap.entries.filterNot(e => removes(e.rel)) ++ adds,
+        parseSchema(bytes).orElse(snap.schema))
+    }
   }
 
   private def listVersions(fs: FileSystem, table: String): Seq[Long] = {
@@ -466,9 +593,9 @@ object TxTable {
           .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
         return false
       }
-      if (tryCommit(fs, table, snap.version + 1, snap.entries ++ newEntries,
-          Some((appId, batchId)),
-          Some(evolvedSchema(spark, table, snap, tagged.schema))))
+      if (commitNext(fs, table, snap, adds = newEntries, removes = Set.empty,
+          txn = Some((appId, batchId)),
+          schema = Some(evolvedSchema(spark, table, snap, tagged.schema))))
         return true
       attempt += 1
       if (attempt > maxRetries) {
@@ -533,7 +660,8 @@ object TxTable {
         .filter(col("__rn") === 1)
         .select(cols.map(col): _*)
       val newEntries = stageFiles(spark, table, merged)
-      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries,
+      if (commitNext(fs, table, snap, adds = newEntries,
+          removes = touchedEntries.map(_.rel).toSet,
           txn = txn, schema = Some(evolved))) {
         return spark.read
           .parquet(newEntries.map(e => s"$table/${e.rel}"): _*).count()
@@ -605,8 +733,8 @@ object TxTable {
         .parquet(toRewrite.map(e => s"$table/${e.rel}"): _*)
         .repartition(col(LayoutOps.BucketCol))
       val newEntries = stageFiles(spark, table, merged)
-      if (tryCommit(fs, table, snap.version + 1, untouched ++ newEntries,
-          schema = snap.schema))
+      if (commitNext(fs, table, snap, adds = newEntries,
+          removes = toRewrite.map(_.rel).toSet, schema = snap.schema))
         return fragmented.size
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
@@ -619,8 +747,12 @@ object TxTable {
   }
 
   /** Remove data directories no retained manifest references and drop
-    * manifests older than the newest `keepVersions` (time travel shrinks
-    * accordingly). Orphans from crashed writers are exactly the
+    * manifests (and checkpoints) older than the newest `keepVersions`
+    * (time travel shrinks accordingly — a vacuumed version fails loudly on
+    * read). Before pruning, the oldest retained version is materialized as
+    * a `.checkpoint` so the surviving log is self-contained: retained
+    * delta manifests resolve against it instead of walking into the
+    * deleted range. Orphans from crashed writers are exactly the
     * unreferenced directories. Returns the deleted paths. */
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 1): Seq[String] = {
@@ -628,6 +760,14 @@ object TxTable {
     val fs = fsFor(spark, table)
     val versions = listVersions(fs, table).sorted
     val retained = versions.takeRight(keepVersions)
+    val minKeep = retained.head
+    // anchor the retained log BEFORE deleting anything below it (resolve
+    // needs the pre-prune chain); idempotent — checkpoint bytes are a pure
+    // function of the log
+    if (versions.head < minKeep && !fs.exists(checkpointPath(table, minKeep))) {
+      val snapMin = snapshot(spark, table, Some(minKeep))
+      writeCheckpoint(fs, table, minKeep, snapMin.entries, snapMin.schema)
+    }
     val referenced: Set[String] = retained
       .flatMap(v => snapshot(spark, table, Some(v)).entries)
       .map(_.rel.split('/')(1)).toSet
@@ -644,6 +784,8 @@ object TxTable {
     versions.dropRight(keepVersions).foreach { v =>
       fs.delete(versionPath(table, v), false)
       deleted += versionPath(table, v).toString
+      if (fs.delete(checkpointPath(table, v), false))
+        deleted += checkpointPath(table, v).toString
     }
     deleted.result()
   }

@@ -235,6 +235,67 @@ class TxTableSpec extends AnyFunSuite {
       Seq("NOPE"), nBuckets = 8).isEmpty)
   }
 
+  test("checkpointed log: 500 commits resolve in O(interval) reads; vacuum prunes pre-checkpoint log") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 500 log-level commits (no data change — pure manifest traffic, the
+    // shape a long-lived streaming table's log actually accumulates)
+    (1 to 500).foreach { i =>
+      val snap = TxTable.snapshot(spark, table)
+      assert(snap.version == i - 1)
+      assert(TxTable.commitNext(fs, table, snap, adds = Nil,
+        removes = Set.empty, txn = Some(("bulk", i.toLong))))
+    }
+    val logDir = new org.apache.hadoop.fs.Path(table, "_txlog")
+    val names = fs.listStatus(logDir).map(_.getPath.getName)
+    assert(names.count(_.endsWith(".manifest")) == 501)
+    // checkpoints landed on the interval cadence
+    val cps = names.filter(_.endsWith(".checkpoint"))
+      .map(_.stripSuffix(".checkpoint").toLong).sorted
+    assert(cps.toSeq == (20L to 500L by 20L),
+      s"expected checkpoints every ${TxTable.CheckpointInterval}, got ${cps.toSeq}")
+    // commit cost is O(changes), not O(files): delta manifests carry no
+    // snapshot listing (these no-op commits are header-only)
+    val delta137 = fs.open(new org.apache.hadoop.fs.Path(logDir, f"${137L}%020d.manifest"))
+    val deltaText = try new String(delta137.readAllBytes()) finally delta137.close()
+    assert(deltaText.linesIterator.size == 1 && deltaText.startsWith("txtable\t3"),
+      s"no-op delta must be header-only:\n$deltaText")
+    // O(interval) resolution, operationally: delete EVERY manifest and
+    // checkpoint below 480 — head resolution must still work because it
+    // only ever walks back to checkpoint 480
+    fs.delete(new org.apache.hadoop.fs.Path(logDir, f"${500L}%020d.checkpoint"), false)
+    (1L to 479L).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(logDir, f"$v%020d.manifest"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(logDir, f"$v%020d.checkpoint"), false)
+    }
+    assert(TxTable.snapshot(spark, table).version == 500L)
+    assert(state(table) == (1 to 8).map(i => s"C$i" -> s"u$i@v1").toMap)
+    // time travel to a version whose chain is intact still works...
+    assert(TxTable.snapshot(spark, table, Some(490L)).entries.nonEmpty)
+    // ...but a version below the surviving checkpoint fails LOUDLY, naming
+    // the missing link — never resolves wrong
+    val err = intercept[IllegalArgumentException] {
+      TxTable.snapshot(spark, table, Some(479L))
+    }
+    assert(err.getMessage.contains("479"))
+    // vacuum keeps the head self-contained and prunes the rest
+    TxTable.vacuum(spark, table, keepVersions = 1)
+    assert(TxTable.snapshot(spark, table).version == 500L)
+    assert(state(table) == (1 to 8).map(i => s"C$i" -> s"u$i@v1").toMap)
+    intercept[IllegalArgumentException] {
+      TxTable.read(spark, table, version = Some(490L))
+    }
+    // and real data commits still land on top of the checkpointed log
+    TxTable.appendOnce(spark, table,
+      Seq(("C99", "u99@v1", ts("2024-02-01 00:00:00")))
+        .toDF("customer_id", "email", "updated_at"),
+      "customer_id", 2, "tail", 0L)
+    assert(state(table)("C99") == "u99@v1")
+    assert(TxTable.snapshot(spark, table).version == 501L)
+  }
+
   test("readKeys: Int literals against a BIGINT key column still hit (typed bucket hashing)") {
     // xxhash64 is type-sensitive: hashing a key as Int computes different
     // buckets than the writers (who hashed the column's Long values) — the
