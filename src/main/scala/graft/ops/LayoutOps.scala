@@ -12,6 +12,19 @@ import org.apache.spark.sql.functions._
   * listing; two tables bucketed on the join key turn a sort-merge join's
   * two shuffles into zero; and compaction keeps file counts (and thus task
   * counts and parquet footer overhead) bounded as micro-batches accumulate.
+  *
+  * STATUS of the swap-based MUTATORS ([[upsert]], [[upsertBucketed]],
+  * [[compact]]): LEGACY/audit siblings. They mutate a plain parquet
+  * directory via rename-aside swaps guarded by an advisory lock — honest
+  * about their weaknesses (heal-on-next-call after a crashed swap, no
+  * snapshot isolation, single writer) and occasionally right for scratch
+  * or audit tables precisely BECAUSE the layout is a bare directory any
+  * tool can read. Data that matters lands through [[TxTable]] (atomic
+  * manifest commits, optimistic concurrency, time travel); the streaming
+  * ingest path (`stream.Pipelines.cdcApply` / `appendTx` / `prepIngest`)
+  * rides TxTable. The pure LAYOUT helpers here (date partitioning,
+  * key-bucketed writes, Z-order, bucket ids) are first-class and shared —
+  * TxTable itself builds on [[bucketId]]/[[BucketCol]].
   */
 object LayoutOps {
 

@@ -242,42 +242,45 @@ object Pipelines {
         s"AND r.$rightTs <= l.$leftTs + interval $bound"), joinType)
   }
 
-  /** CDC apply: each micro-batch of parsed change rows upserts into a
-    * key-bucketed parquet table, last-writer-wins per key — the MERGE the
-    * reference's Debezium topology implies but never implements (its
-    * silver only appends, so updated customer rows accumulate as
-    * duplicates). The target must be seeded with
-    * `LayoutOps.writeKeyBucketed(snapshot, tablePath, key, nBuckets)`;
-    * each micro-batch then rewrites only the buckets its keys hash into
-    * (`LayoutOps.upsertBucketed`), so per-batch I/O scales with the
-    * batch's key spread, not the table size — the property that keeps a
-    * 60 s CDC cadence viable at 100 TB. */
+  /** CDC apply — THE ingest path for change streams: each micro-batch of
+    * parsed change rows MERGEs into a [[graft.ops.TxTable]], last-writer-
+    * wins per key (the MERGE the reference's Debezium topology implies but
+    * never implements — its silver only appends, so updated customer rows
+    * accumulate as duplicates). Each micro-batch lands as one atomic
+    * manifest commit: readers see exact batch boundaries (snapshot
+    * isolation), a crash mid-batch leaves only invisible orphan files, and
+    * a concurrent maintenance job (compaction, backfill) can commit
+    * between batches through the optimistic protocol instead of waiting on
+    * a writer lock. Per-batch I/O rewrites only the buckets the batch's
+    * keys hash into — the property that keeps a 60 s CDC cadence viable at
+    * 100 TB. Seed the target with `TxTable.init(snapshot, ...)` first. */
   def cdcApply(changes: DataFrame, tablePath: String, key: String,
                orderCol: String, checkpoint: String,
                nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.LayoutOps.upsertBucketed(batch.sparkSession, tablePath,
-          batch, key, orderCol, nBuckets)
+        graft.ops.TxTable.upsert(batch.sparkSession, tablePath, batch,
+          key, orderCol, nBuckets)
         ()
       }
 
-  /** CDC apply onto a [[graft.ops.TxTable]]: same per-batch MERGE
-    * semantics as [[cdcApply]], but each micro-batch lands as one atomic
-    * manifest commit — readers see exact batch boundaries (snapshot
-    * isolation), a crash mid-batch leaves only invisible orphan files, and
-    * a concurrent maintenance job (compaction, backfill) can commit
-    * between batches through the optimistic protocol instead of waiting on
-    * a writer lock. Seed the target with `TxTable.init(...)` first. */
-  def cdcApplyTx(changes: DataFrame, tablePath: String, key: String,
-                 orderCol: String, checkpoint: String,
-                 nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
+  /** LEGACY/audit sibling of [[cdcApply]] on the rename-aside swap design
+    * ([[graft.ops.LayoutOps.upsertBucketed]]): same per-batch MERGE
+    * semantics over a plain key-bucketed directory — no commit log at all,
+    * which is occasionally what an audit or scratch pipeline wants — but
+    * strictly weaker guarantees (advisory writer lock, heal-on-next-call
+    * after a crashed swap, no snapshot isolation or time travel). New
+    * ingest pipelines should land on [[cdcApply]]. Seed the target with
+    * `LayoutOps.writeKeyBucketed(snapshot, tablePath, key, nBuckets)`. */
+  def cdcApplySwap(changes: DataFrame, tablePath: String, key: String,
+                   orderCol: String, checkpoint: String,
+                   nBuckets: Int = 64): DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.TxTable.upsert(batch.sparkSession, tablePath, batch,
-          key, orderCol, nBuckets)
+        graft.ops.LayoutOps.upsertBucketed(batch.sparkSession, tablePath,
+          batch, key, orderCol, nBuckets)
         ()
       }
 

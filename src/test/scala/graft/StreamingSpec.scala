@@ -136,28 +136,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.ops.TxTable.snapshot(spark, quarantine).version == vQ)
   }
 
-  test("cdcApply upserts each micro-batch into the silver table") {
-    implicit val ctx = spark.sqlContext
-    val tmp = Files.createTempDirectory("graft_cdc_").toString
-    val table = s"$tmp/customer_profile"
-    // initial snapshot, laid out key-bucketed so per-batch upserts can
-    // prune to the touched buckets (the 100 TB CDC contract)
-    graft.ops.LayoutOps.writeKeyBucketed(
-      Seq(CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 00:00:00")))
-        .toDF(), table, "customer_id", nBuckets = 8)
-    val in = MemoryStream[CustomerProfile]
-    in.addData(
-      CustomerProfile("C1", "Alice2", "a2@x.com", "Female", 31, "2020-01-01", ts("2024-01-02 00:00:00")),
-      CustomerProfile("C2", "Bob", "b@x.com", "Male", 40, "2020-01-02", ts("2024-01-01 00:00:00")))
-    val q = Pipelines.cdcApply(in.toDF(), table, "customer_id", "event_time",
-        s"$tmp/ckpt", nBuckets = 8).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    val out = spark.read.parquet(table)
-      .select("customer_id", "name").as[(String, String)].collect().toMap
-    assert(out == Map("C1" -> "Alice2", "C2" -> "Bob"))
-  }
-
-  test("cdcApplyTx lands each micro-batch as one atomic TxTable commit") {
+  test("cdcApply lands each micro-batch as one atomic TxTable commit") {
     implicit val ctx = spark.sqlContext
     import graft.ops.TxTable
     val tmp = Files.createTempDirectory("graft_cdctx_").toString
@@ -169,7 +148,7 @@ class StreamingSpec extends AnyFunSuite {
     in.addData(
       CustomerProfile("C1", "Alice2", "a2@x.com", "Female", 31, "2020-01-01", ts("2024-01-02 00:00:00")),
       CustomerProfile("C2", "Bob", "b@x.com", "Male", 40, "2020-01-02", ts("2024-01-01 00:00:00")))
-    val q = Pipelines.cdcApplyTx(in.toDF(), table, "customer_id", "event_time",
+    val q = Pipelines.cdcApply(in.toDF(), table, "customer_id", "event_time",
         s"$tmp/ckpt", nBuckets = 8).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     val out = TxTable.read(spark, table)
@@ -179,6 +158,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(TxTable.snapshot(spark, table).version == 1L)
     assert(TxTable.read(spark, table, Some(0L))
       .select("name").as[String].collect().toSeq == Seq("Alice"))
+  }
+
+  test("cdcApplySwap (legacy audit sibling) upserts micro-batches into a bucketed dir") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_cdc_").toString
+    val table = s"$tmp/customer_profile"
+    graft.ops.LayoutOps.writeKeyBucketed(
+      Seq(CustomerProfile("C1", "Alice", "a@x.com", "Female", 30, "2020-01-01", ts("2024-01-01 00:00:00")))
+        .toDF(), table, "customer_id", nBuckets = 8)
+    val in = MemoryStream[CustomerProfile]
+    in.addData(
+      CustomerProfile("C1", "Alice2", "a2@x.com", "Female", 31, "2020-01-01", ts("2024-01-02 00:00:00")),
+      CustomerProfile("C2", "Bob", "b@x.com", "Male", 40, "2020-01-02", ts("2024-01-01 00:00:00")))
+    val q = Pipelines.cdcApplySwap(in.toDF(), table, "customer_id", "event_time",
+        s"$tmp/ckpt", nBuckets = 8).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.read.parquet(table)
+      .select("customer_id", "name").as[(String, String)].collect().toMap
+    assert(out == Map("C1" -> "Alice2", "C2" -> "Bob"))
   }
 
   test("K5 console sink starts, drains the stream, and terminates") {
