@@ -363,18 +363,33 @@ object Pipelines {
 
   /** The COMPLETE training-data landing job as one streaming query: each
     * micro-batch of raw documents passes the C4/Gopher quality gate and
-    * the LM perplexity gate (both stateless row-local projections), and
-    * the survivors go through [[graft.ops.DedupOps.ingestBatch]]'s
-    * near-dup admission against the staged MinHash band index — so the
-    * corpus parquet only ever accumulates clean, in-distribution,
-    * non-duplicate documents. Composition of the three spec'd stages;
-    * state lives in the index parquet (no streaming state store), restart
-    * picks up from the checkpointed batch id. */
+    * the LM perplexity gate (both stateless row-local projections), has
+    * duplicated spans EXCISED (the Lee et al. exact-substring stage —
+    * [[graft.ops.DedupOps.exciseDuplicatedSpans]]' hashed formulation, so
+    * boilerplate repeated across the batch keeps its first occurrence and
+    * loses every other copy; a fully-excised doc is dropped), and the
+    * survivors go through [[graft.ops.DedupOps.ingestBatch]]'s near-dup
+    * admission against the staged MinHash band index — so the corpus
+    * parquet only ever accumulates clean, in-distribution, boilerplate-
+    * free, non-duplicate documents. Composition of the four spec'd
+    * stages; state lives in the index parquet (no streaming state store),
+    * restart picks up from the checkpointed batch id and replays
+    * idempotently (ingestBatch admission is keyed, so exactly-once
+    * admission is preserved).
+    *
+    * Span excision rewrites only documents it actually cut (`n_removed >
+    * 0`, whitespace-normalized lowercase rebuild — the operator's
+    * contract); untouched documents keep their original bytes. Scope is
+    * the micro-batch (+ internal repetition): cross-batch near-duplicate
+    * text is the band index's job, while the span stage kills the
+    * license-header/cookie-banner boilerplate that near-dup signatures
+    * deliberately tolerate. `spanK` = 0 disables the stage. */
   def prepIngest(docs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
                  corpusPath: String, indexPath: String, checkpoint: String,
                  maxNll: Double = 1.75, threshold: Double = 0.5,
                  num: Int = 64, bands: Int = 16, shingle: Int = 3,
-                 portable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
+                 portable: Boolean = false,
+                 spanK: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -386,7 +401,17 @@ object Pipelines {
         val gated = graft.ops.TextOps.lmScore(kept, lm)
           .filter(col("nll") <= maxNll)
           .select(cols.map(col): _*)
-        graft.ops.DedupOps.ingestBatch(gated, corpusPath, indexPath,
+        val admitted =
+          if (spanK <= 0) gated
+          else gated
+            .join(graft.ops.DedupOps.exciseDuplicatedSpans(gated, k = spanK)
+                .select(col("doc_id"), col("n_removed"), col("text_clean")),
+              Seq("doc_id"))
+            .filter(!(col("n_removed") > 0 && length(col("text_clean")) === 0))
+            .withColumn("text", when(col("n_removed") > 0, col("text_clean"))
+              .otherwise(col("text")))
+            .select(cols.map(col): _*)
+        graft.ops.DedupOps.ingestBatch(admitted, corpusPath, indexPath,
           threshold, num, bands, shingle, portable)
         ()
       }

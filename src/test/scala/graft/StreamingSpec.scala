@@ -416,6 +416,29 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet == Set(1L))
+    // batch 3: the span-excision stage (Lee et al.) — three docs sharing a
+    // 9-token boilerplate prefix: the first keeps it, the second is
+    // admitted with the span CUT OUT, a boilerplate-only doc is fully
+    // excised and dropped
+    val boiler = "the big table scan and the fast merge sort"
+    in.addData(
+      (5L, s"$boiler with the data stream batch"),
+      (6L, s"$boiler with the join batch window"),
+      (7L, boiler))
+    run()
+    val byId = spark.read.parquet(corpus).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(byId.keySet == Set(1L, 5L, 6L), s"got ${byId.keySet}")
+    // first occurrence untouched (original bytes); the later copy is
+    // rewritten — docs 5 and 6 share an 11-token prefix ("$boiler with
+    // the"), so sliding 8-grams mark positions 0..10 and the cut leaves
+    // only the unique tail
+    assert(byId(5L) == s"$boiler with the data stream batch")
+    assert(byId(6L) == "join batch window", s"got '${byId(6L)}'")
+    // replay with no new data: admission is idempotent (exactly-once)
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 5L, 6L))
   }
 
   test("CDC-variant bronze schema parses the Debezium-shaped payload") {
