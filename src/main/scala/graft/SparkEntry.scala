@@ -240,6 +240,18 @@ object SparkEntry {
       _ => ops.SimilarityOps.pqCodebooks(tbl(s, dir, "embeddings"),
         m = 8, k = 16))
 
+  /** Learned (per-subspace seeded k-means) PQ codebooks — index-build
+    * model state, staged once per (sf dir, JVM) like [[stagedPqCodebooks]]. */
+  private val stagedPqKmCbs =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def stagedPqKmeansCodebooks(s: SparkSession,
+                                      dir: String): Array[Array[Array[Double]]] =
+    stagedPqKmCbs.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
+      _ => ops.SimilarityOps.pqCodebooksKmeans(tbl(s, dir, "embeddings"),
+        m = 8, k = 16))
+
   /** BPE merge table (30 merges learned from the word-frequency table) —
     * tokenizer model state, staged once per (sf dir, JVM) like the LM and
     * quantizer calibration. */
@@ -1196,6 +1208,21 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
           cbs = stagedPqCodebooks(s, dir))
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Production PQ: per-subspace seeded k-means codebooks (Jégou et al.)
+    // replace the deterministic first-16-by-id stand-in — lower
+    // quantization error, same ADC mechanics. `no_oracle` BY CONTRACT
+    // (k-means codebooks are model state, like ext_ann_ivf_kmeans' cells);
+    // rows checked by the driver, recall ≥ the deterministic codebooks
+    // pinned in ExtOpsSpec.
+    "ext_ann_pq_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+          cbs = stagedPqKmeansCodebooks(s, dir))
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round6(col("sim")).as("sim6"))
         .orderBy(col("query_id"), col("rank"))

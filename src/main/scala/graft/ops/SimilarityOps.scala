@@ -409,6 +409,42 @@ object SimilarityOps {
     Array.tabulate(m)(s => base.map(v => v.slice(s * dsub, (s + 1) * dsub)))
   }
 
+  /** LEARNED PQ codebooks: per-subspace seeded k-means (the Jégou et al.
+    * construction) replaces [[pqCodebooks]]' first-k-by-id stand-in —
+    * codewords follow each subspace's actual distribution, so
+    * quantization error (and with it ADC ranking error) drops while the
+    * index mechanics stay byte-identical. Training is m seeded distributed
+    * Lloyd's fits over the corpus' subvector slices (the same
+    * ivfTopKKmeans machinery, one fit per subspace; at 100 TB the fit runs
+    * on a sample — codebooks are index-build metadata, not query work).
+    * The deterministic [[pqCodebooks]] stays as the oracle/audit sibling:
+    * k-means output is model state, so queries built on THESE codebooks
+    * are `no_oracle` by the same contract as `ext_ann_ivf_kmeans`; the
+    * recall improvement over the deterministic codebooks is spec-pinned. */
+  def pqCodebooksKmeans(corpus: DataFrame, m: Int, k: Int,
+                        seed: Long = 42L): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val dims = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    // one pass stages all m subvector columns, then m driver-side fits;
+    // persist so the m fits don't rescan the corpus m times
+    val subCols = (0 until m).map(s =>
+      array_to_vector(slice(col("embedding"), s * dsub + 1, dsub)
+        .cast("array<double>")).as(s"__s$s"))
+    val staged = OpsUtil.spread(corpus).select(subCols: _*).persist()
+    try {
+      Array.tabulate(m) { s =>
+        val model = new KMeans()
+          .setK(k).setSeed(seed + s).setMaxIter(10)
+          .setFeaturesCol(s"__s$s").setPredictionCol("__c")
+          .fit(staged)
+        model.clusterCenters.map(_.toArray)
+      }
+    } finally { staged.unpersist(); () }
+  }
+
   /** Row-local PQ encode: per subspace, the argmin-L2 codeword index
     * (ties → lowest index). Returns `array<int>` of length m.
     *

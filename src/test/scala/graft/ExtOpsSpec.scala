@@ -131,6 +131,43 @@ class ExtOpsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val adcRecall = (adcOnly & exact).size.toDouble / exact.size
     assert(adcRecall >= 0.15, s"raw ADC recall $adcRecall")
+    // learned codebooks (per-subspace seeded k-means) must quantize at
+    // least as well as the deterministic first-k-by-id stand-in. Two pins:
+    // (a) mean squared reconstruction error — the direct codebook-quality
+    // metric — may not regress over the whole corpus;
+    // (b) raw ADC recall on a NEUTRAL query slice may not regress. The
+    // vec_id<10 queries above are useless for this comparison: they sit
+    // INSIDE the deterministic codebook's seed vectors (ids 0..15), which
+    // encodes exactly them near-losslessly — a fixture artifact, not
+    // codebook quality.
+    val cbsKm = SimilarityOps.pqCodebooksKmeans(emb, m = 8, k = 16)
+    assert(cbsKm.length == 8 && cbsKm.forall(_.forall(_.length == 8)))
+    val vecs = emb.select($"embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    def mse(cb: Array[Array[Array[Double]]]): Double = {
+      val mm = cb.length; val dsub = cb.head.head.length
+      vecs.map { v =>
+        (0 until mm).map { s =>
+          val sub = v.slice(s * dsub, (s + 1) * dsub)
+          cb(s).map(cw =>
+            sub.zip(cw).map { case (a, b) => (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val (mseKm, mseDet) = (mse(cbsKm), mse(cbs))
+    assert(mseKm <= mseDet,
+      s"k-means codebooks reconstruct worse: $mseKm > $mseDet")
+    val qNeutral = emb.filter($"vec_id" >= 100 && $"vec_id" < 110)
+    val exactN = SimilarityOps.bruteForceTopK(emb, qNeutral, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val detN = SimilarityOps.pqTopK(emb, qNeutral, 5, cbs)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val kmN = SimilarityOps.pqTopK(emb, qNeutral, 5, cbsKm)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val detRecallN = (detN & exactN).size.toDouble / exactN.size
+    val kmRecallN = (kmN & exactN).size.toDouble / exactN.size
+    assert(kmRecallN >= detRecallN,
+      s"k-means codebook recall $kmRecallN < deterministic $detRecallN")
   }
 
   test("connectedComponents: chains collapse transitively to the min label") {
