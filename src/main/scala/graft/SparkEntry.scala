@@ -264,6 +264,25 @@ object SparkEntry {
       new java.io.File(new java.io.File(dir), "documents").getAbsolutePath,
       _ => ops.BpeOps.bpeTrain(tbl(s, dir, "documents"), numMerges = 30))
 
+  /** Warm every per-(sf dir, JVM) piece of staged model/index state —
+    * corpus counts, avgdl, the char-bigram LM, quantizer calibration,
+    * both PQ codebook sets, BPE merges — OUTSIDE any timed measurement.
+    * The staging convention (Bench's `staged_inputs`) is that index-build
+    * work runs once per session like a production landing job; without
+    * this hook the heaviest build (the m seeded k-means fits behind
+    * ext_ann_pq_kmeans, ~30 s) lands inside timed pass 1 and reads as a
+    * 30× spread on an otherwise 1 s query. */
+  def prestage(s: SparkSession, dir: String): Unit = {
+    stagedCount(s, dir, "documents")
+    stagedAvgdl(s, dir, "documents")
+    stagedCharLM(s, dir)
+    stagedQuantStats(s, dir)
+    stagedPqCodebooks(s, dir)
+    stagedPqKmeansCodebooks(s, dir)
+    stagedBpeMerges(s, dir)
+    ()
+  }
+
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
@@ -1139,6 +1158,17 @@ object SparkEntry {
           threshold = 0.3, nPlanes = 64, bands = 8)
         .select(col("id_a"), col("id_b"), round6(col("sim")).as("sim6"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SemDeDup-shape semantic dedup: deterministic first-16-by-id cells,
+    // within-cell keep-first pruning at cosine ≥ 0.35 — cells make the
+    // quadratic pairwise term an explicit budget (Σ|cell|², one AQE-
+    // splittable equi-join); cell assignment, pairs, and flags all replay
+    // in the oracle (same assignment SQL as ext_ann_ivf).
+    "ext_dedup_semantic" -> ((s, dir) => {
+      ops.DedupOps.semanticDedup(tbl(s, dir, "embeddings"),
+          nCells = 16, threshold = 0.35)
+        .orderBy(col("vec_id"))
     }),
 
     // Brute-force cosine top-k (exact ANN baseline; oracle-checked).
@@ -3299,6 +3329,51 @@ object SparkEntry {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM scored
         |ORDER BY doc_id""".stripMargin,
+
+    // semantic-dedup replay: deterministic cell assignment (identical to
+    // ext_ann_ivf's), then within-cell lower-id pairs at cosine >= 0.35
+    "ext_dedup_semantic" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), cdots AS (
+        |  SELECT a.vec_id, b.vec_id AS cell_id, SUM(a.x*b.x) AS dp
+        |  FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id < 16
+        |  GROUP BY 1, 2
+        |), csims AS (
+        |  SELECT cdots.vec_id, cell_id,
+        |    dp/(sqrt(nv.nn)*sqrt(nc.nn)) AS csim
+        |  FROM cdots
+        |  JOIN norms nv ON nv.vec_id = cdots.vec_id
+        |  JOIN norms nc ON nc.vec_id = cell_id
+        |), assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM csims) t
+        |  WHERE rn = 1
+        |), cellpairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM assigned a JOIN assigned b
+        |  ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+        |), pdots AS (
+        |  SELECT cp.id_a, cp.id_b, SUM(x1.x*x2.x) AS dp
+        |  FROM cellpairs cp
+        |  JOIN ex x1 ON x1.vec_id = cp.id_a
+        |  JOIN ex x2 ON x2.vec_id = cp.id_b AND x2.i = x1.i
+        |  GROUP BY 1, 2
+        |), dups AS (
+        |  SELECT DISTINCT id_a AS vec_id
+        |  FROM pdots
+        |  JOIN norms na ON na.vec_id = id_a
+        |  JOIN norms nb ON nb.vec_id = id_b
+        |  WHERE dp/(sqrt(na.nn)*sqrt(nb.nn)) >= 0.35
+        |)
+        |SELECT a.vec_id, a.cell_id, (d.vec_id IS NOT NULL) AS is_dup
+        |FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     "ext_ann_ivf" ->
       """WITH ex AS (

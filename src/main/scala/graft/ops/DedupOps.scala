@@ -829,4 +829,45 @@ object DedupOps {
       .dropDuplicates(Seq("id_a", "id_b"))
       .filter(col("sim") >= threshold)
   }
+
+  /** SemDeDup-shape semantic dedup (cluster-scoped embedding pruning,
+    * Abbas et al. 2023): assign every vector to its nearest centroid
+    * cell, then WITHIN each cell flag as duplicate any vector whose
+    * cosine to a LOWER-id cell-mate reaches `threshold` (keep-first, the
+    * library-wide dedup convention). Output: (vec_id, cell_id, is_dup)
+    * for EVERY input vector — flag-don't-drop bookkeeping, same contract
+    * as [[segmentDedup]].
+    *
+    * This is the third embedding-dedup shape next to
+    * [[SimilarityOps.nearDupPairs]] (exact all-pairs audit) and
+    * [[embeddingLshPairs]] (probabilistic banded recall): cells make the
+    * quadratic term an explicit BUDGET — pairwise work is Σ|cell|², so
+    * nCells (∝ corpus size in a production build) bounds per-cell cost,
+    * and the only shuffle is the cell equi-join AQE can skew-split. Like
+    * every cluster/LSH method it trades recall at boundaries: two
+    * near-dups straddling a cell boundary are not compared (spec-pinned
+    * as contract, not bug). Centroids here are the deterministic
+    * first-nCells-by-id stand-in so the whole pipeline — assignment,
+    * pairs, flags — replays in an external oracle; a production build
+    * swaps in `ivfTopKKmeans`-style seeded k-means centroids exactly as
+    * the ANN family does. */
+  def semanticDedup(vectors: DataFrame, nCells: Int = 16,
+                    threshold: Double = 0.35): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    val cents = vectors.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = SimilarityOps.assignCells(OpsUtil.spread(vectors), cents)
+    val mates = assigned.select(col("cell_id"),
+      col("vec_id").as("prior_id"), col("embedding").as("prior_emb"))
+    val dups = assigned.join(mates, Seq("cell_id"))
+      .filter(col("prior_id") < col("vec_id"))
+      .filter(SimilarityOps.cosine(col("embedding"), col("prior_emb"))
+        >= threshold)
+      .select(col("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(dups.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -170,6 +170,33 @@ class ExtOpsSpec extends AnyFunSuite {
       s"k-means codebook recall $kmRecallN < deterministic $detRecallN")
   }
 
+  test("semanticDedup: within-cell keep-first flags; boundary misses are contract") {
+    // dims=4, two orthogonal centroids (the first nCells=2 vectors by id)
+    val fixture = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),   // centroid / cell 0
+      (1L, Array(0f, 1f, 0f, 0f)),   // centroid / cell 1
+      (2L, Array(2f, 0.1f, 0f, 0f)), // cell 0, near-parallel to 0 -> dup
+      (3L, Array(0f, 3f, 0.1f, 0f)), // cell 1, near-parallel to 1 -> dup
+      (4L, Array(0.71f, 0.70f, 0f, 0f)), // cell 0 (barely)
+      (5L, Array(0.70f, 0.71f, 0f, 0f)), // cell 1 (barely)
+      (6L, Array(0f, 0f, 1f, 0f))    // cell 0 or 1 by tiebreak, no mate close
+    ).toDF("vec_id", "embedding")
+    val got = DedupOps.semanticDedup(fixture, nCells = 2, threshold = 0.9)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.size == 7, "flag-don't-drop: every vector reports")
+    // keep-first: the centroids themselves (lowest ids) are never dups
+    assert(!got(0L)._2 && !got(1L)._2)
+    // within-cell near-parallels flag against their lower-id mates
+    assert(got(2L) == ((0L, true)) && got(3L) == ((1L, true)))
+    // vectors 4 and 5 have cosine ~0.9998 — but they straddle the cell
+    // boundary (4 -> cell 0, 5 -> cell 1), so NEITHER is flagged: the
+    // recall-at-boundaries tradeoff every cluster/LSH method shares,
+    // pinned here as contract
+    assert(got(4L)._1 == 0L && got(5L)._1 == 1L, s"cells: $got")
+    assert(!got(4L)._2 && !got(5L)._2)
+    assert(!got(6L)._2, "orthogonal outlier must survive")
+  }
+
   test("connectedComponents: chains collapse transitively to the min label") {
     // two components: a diameter-4 chain (forces multiple propagation
     // rounds) and a triangle; 99 is disconnected (absent from pairs)
