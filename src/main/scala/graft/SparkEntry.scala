@@ -280,6 +280,12 @@ object SparkEntry {
     stagedPqCodebooks(s, dir)
     stagedPqKmeansCodebooks(s, dir)
     stagedBpeMerges(s, dir)
+    // building these two queries triggers their ensureStaged landing
+    // writes (date-partitioned silver; the 3-commit TxTable source) and
+    // one idempotent incremental fold, so timed passes measure the
+    // steady-state read/refresh path the queries' names claim
+    queries("gold_incremental")(s, dir)
+    queries("ext_incr_gold")(s, dir)
     ()
   }
 
