@@ -157,6 +157,10 @@ object SparkEntry {
   private def incrSilverPath(dir: String): String =
     s"target/graft-incr-silver/${new java.io.File(dir).getName}"
 
+  /** Staging dir for the corpus gram-hash index (ext_dedup_excise_incr). */
+  private def spanIndexPath(dir: String): String =
+    s"target/graft-span-index/${new java.io.File(dir).getName}"
+
   /** Paths staged by [[ensureStaged]] in this JVM. */
   private val stagedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -1440,6 +1444,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL excision — the admitted corpus (doc_id < 250)
+    // participates through its staged gram-hash index, never a re-scan:
+    // batch positions (doc_id >= 250) are cut when the corpus saw the
+    // substring first or a smaller in-batch occurrence exists. Equivalent
+    // to the batch slice of full excision over corpus ∪ batch
+    // (property-pinned), at O(batch + index hits) cost; the oracle
+    // replays the index membership from the corpus slice's gram text.
+    "ext_dedup_excise_incr" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val idxPath = spanIndexPath(dir)
+      ensureStaged(idxPath) {
+        ops.DedupOps.spanGramIndex(docs.filter(col("doc_id") < 250), k = 8)
+          .write.mode("overwrite").parquet(idxPath)
+      }
+      ops.DedupOps.exciseAgainstIndex(docs.filter(col("doc_id") >= 250),
+          s.read.parquet(idxPath), k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // Benchmark decontamination — test-set-overlap scrub: docs with
     // doc_id % 10 == 7 play the held-out eval suite, the rest the training
     // corpus; any shared 5-gram flags the doc (oracle-checked). The
@@ -2516,6 +2539,60 @@ object SparkEntry {
         |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
         |    FROM g2)
         |  WHERE rn > 1
+        |), isl AS (
+        |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+        |  FROM (SELECT doc_id, pos,
+        |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        |            AS island
+        |        FROM red)
+        |  GROUP BY doc_id, island
+        |), t2 AS (
+        |  SELECT doc_id, e.pos AS pos, e.tok AS tok FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w)),
+        |      i -> {'pos': CAST(i - 1 AS INTEGER), 'tok': w[i]})) AS e
+        |    FROM docs)
+        |), kept AS (
+        |  SELECT t.doc_id, t.pos, t.tok FROM t2 t
+        |  WHERE NOT EXISTS (SELECT 1 FROM isl i
+        |    WHERE i.doc_id = t.doc_id AND t.pos BETWEEN i.s AND i.e)
+        |)
+        |SELECT d.doc_id, CAST(len(d.w) AS INTEGER) AS n_tokens,
+        |  CAST(len(d.w) - COALESCE(kc.n, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(ks.txt, '') AS text_clean
+        |FROM docs d
+        |LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id)
+        |  kc USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
+        |  FROM kept GROUP BY doc_id) ks USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // incremental excision replay: corpus-slice gram membership (text
+    // form — results identical to the hashed index modulo ~2^-64
+    // collisions) OR within-batch non-first occurrence
+    "ext_dedup_excise_incr" ->
+      """WITH corpus AS (
+        |  SELECT string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id < 250
+        |), cg AS (
+        |  SELECT DISTINCT unnest(list_transform(generate_series(1, len(w) - 7),
+        |    i -> array_to_string(w[i:i+7], ' '))) AS g
+        |  FROM corpus WHERE len(w) >= 8
+        |), docs AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w
+        |  FROM documents WHERE doc_id >= 250
+        |), pg AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 7),
+        |    i -> {'pos': CAST(i - 1 AS INTEGER),
+        |          'g': array_to_string(w[i:i+7], ' ')})) AS e
+        |  FROM docs WHERE len(w) >= 8
+        |), g2 AS (
+        |  SELECT doc_id, e.pos AS pos, e.g AS g FROM pg
+        |), red AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, g,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM g2)
+        |  WHERE rn > 1 OR g IN (SELECT g FROM cg)
         |), isl AS (
         |  SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
         |  FROM (SELECT doc_id, pos,

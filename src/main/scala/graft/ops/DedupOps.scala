@@ -586,6 +586,44 @@ object DedupOps {
     rebuildWithoutSpans(toks, redundantPositions(grams), k)
   }
 
+  /** Distinct 64-bit gram hashes of a corpus slice — the staged INDEX for
+    * [[exciseAgainstIndex]], the exact analog of the MinHash band index:
+    * one column `gh`, one row per distinct k-gram. Grows by appending the
+    * admitted batch's grams; a probe is an 8-byte equi-join, never a
+    * corpus-text re-read. */
+  def spanGramIndex(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    gramPositions(docs, k).select(xxhash64(col("g")).as("gh")).distinct()
+  }
+
+  /** INCREMENTAL exact-substring dedup: [[exciseDuplicatedSpans]] where
+    * the corpus-so-far participates through a staged [[spanGramIndex]]
+    * instead of being re-scanned — the Lee et al. stage made cumulative,
+    * the way the staged band index makes MinHash dedup incremental. A
+    * batch position is redundant when its gram hash exists in the index
+    * (the admitted corpus saw that substring first — the corpus copy
+    * always survives) OR a smaller (doc_id, pos) occurrence exists within
+    * the batch itself. With corpus doc ids below batch doc ids this is
+    * EXACTLY the batch slice of running [[exciseDuplicatedSpans]] over
+    * corpus ∪ batch (property-pinned in ExtOpsSpec) — at a fraction of
+    * the cost: per-batch work is O(batch grams + index hits); the index
+    * probe and the within-batch first-occurrence aggregate are both
+    * 8-byte-keyed joins AQE can skew-split. */
+  def exciseAgainstIndex(batch: DataFrame, index: DataFrame,
+                         k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = OpsUtil.spread(batch)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val grams = gramPositions(batch, k)
+      .select(xxhash64(col("g")).as("gh"), col("doc_id"), col("pos"))
+    val vsIndex = grams
+      .join(index.select(col("gh")).distinct(), Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+    val redundant = redundantPositions(grams)
+      .unionByName(vsIndex).distinct()
+    rebuildWithoutSpans(toks, redundant, k)
+  }
+
   /** Text-keyed audit sibling of [[exciseDuplicatedSpans]] — the original
     * per-gram row_number formulation (collision-free, but the sort key is
     * raw gram text and a hot gram lands on one reducer); kept for bounded

@@ -489,6 +489,18 @@ class ExtOpsSpec extends AnyFunSuite {
         .as[(Long, Int, Long, String)].collect()
         .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       assert(exactExcise == gotExcise, s"exact excise sibling diverged on $trial")
+      // incremental excision against the staged gram index must equal the
+      // batch slice of full excision over corpus ∪ batch (corpus doc ids
+      // sit below batch ids, so "in the index" == "occurred earlier")
+      val corpusDf = df.filter($"doc_id" < 15)
+      val batchDf = df.filter($"doc_id" >= 15)
+      val incr = DedupOps.exciseAgainstIndex(batchDf,
+          DedupOps.spanGramIndex(corpusDf, k), k)
+        .as[(Long, Int, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val fullBatchSlice = gotExcise.filter(_._1 >= 15L)
+      assert(incr == fullBatchSlice,
+        s"incremental excision diverged from the full-run slice on $trial")
     }
   }
 
