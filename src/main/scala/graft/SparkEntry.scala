@@ -290,6 +290,7 @@ object SparkEntry {
     // steady-state read/refresh path the queries' names claim
     queries("gold_incremental")(s, dir)
     queries("ext_incr_gold")(s, dir)
+    queries("ext_dedup_excise_incr")(s, dir)
     ()
   }
 
