@@ -548,16 +548,20 @@ object TxTable {
     * commit will build on makes (check, CAS-at-version+1) race-free; any
     * concurrent duplicate either sits at a version ≤ upTo (seen here) or
     * committed after, in which case OUR CAS at upTo+1 loses and we
-    * re-check. */
+    * re-check.
+    *
+    * Walks versions DESCENDING and stops at the app's first (= newest)
+    * txn header: batch ids are monotone per appId BY CONTRACT (they are
+    * streaming epoch ids / maintenance cursors), so the newest commit
+    * carries the app's max batch and the scan is O(commits since the
+    * app's last write), not O(retained log) — the difference between a
+    * replay check that stays flat and one that degrades as a table ages
+    * between vacuums. */
   private def lastCommittedBatchUpTo(fs: FileSystem, table: String,
-                                     appId: String, upTo: Long): Option[Long] = {
-    val batches = listVersions(fs, table).filter(_ <= upTo).flatMap { v =>
-      val in = fs.open(versionPath(table, v))
-      val bytes = try in.readAllBytes() finally in.close()
-      parseTxn(bytes)
-    }.collect { case (app, batch) if app == appId => batch }
-    if (batches.isEmpty) None else Some(batches.max)
-  }
+                                     appId: String, upTo: Long): Option[Long] =
+    listVersions(fs, table).filter(_ <= upTo).sorted.reverseIterator
+      .flatMap(v => parseTxn(readBytes(fs, versionPath(table, v))))
+      .collectFirst { case (app, batch) if app == appId => batch }
 
   /** Idempotent append for streaming sinks — the Delta `txnAppId` /
     * `txnVersion` pattern: the (appId, batchId) of the writing query rides

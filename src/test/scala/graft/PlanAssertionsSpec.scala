@@ -122,6 +122,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected partial WindowGroupLimit:\n$p")
   }
 
+  test("span dedup family: gram shuffles are hash-keyed, never gram text") {
+    for (q <- Seq("ext_dedup_spans", "ext_dedup_excise",
+        "ext_dedup_excise_incr")) {
+      val p = plan(q)
+      // the skew fix's whole point: no exchange may partition by the raw
+      // gram string (50-100 bytes/row and hot-key-prone) — only the 8-byte
+      // xxhash64 key or doc_id
+      assert(!p.contains("hashpartitioning(g#"),
+        s"$q shuffles raw gram text:\n$p")
+      assert(p.contains("xxhash64"), s"$q lost its hashed gram key:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q went all-pairs:\n$p")
+    }
+  }
+
+  test("semantic dedup: cell equi-join only — no all-pairs, no nested loop") {
+    val p = plan("ext_dedup_semantic")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pruning degenerated to all-pairs:\n$p")
+  }
+
   test("sampling queries never read the text column (pruned scan)") {
     for (q <- Seq("ext_sample_split", "ext_sample_stratified")) {
       val p = plan(q)
