@@ -868,6 +868,74 @@ object DedupOps {
       .filter(col("sim") >= threshold)
   }
 
+  /** Embedding-modality ingest admission — [[ingestBatch]]'s sibling for
+    * vector near-dups (image/audio embeddings land continuously too):
+    * sign ONLY the new batch with the seeded SRP family, probe the staged
+    * band index for corpus collisions, verify candidates with the exact
+    * fused cosine kernel, reject near-dups of the corpus or of smaller-id
+    * batch siblings, append survivors to `corpusPath` and their banded
+    * rows to `indexPath`.
+    *
+    * The index parquet is (band, bkey, vec_id, embedding) — the vector
+    * rides IN the index (×bands duplication) so candidate verification is
+    * exact cosine off the probe join itself, never a corpus re-read:
+    * per-batch cost stays O(|batch| + collisions) at any corpus size, the
+    * same property [[ingestBatch]] gets from storing signatures. At
+    * production dims, pair with [[SimilarityOps.quantizeExpr]]-style int8
+    * codes to cut index bytes 4×. Same non-atomicity note as
+    * [[ingestBatch]]: pair with [[TxTable]] manifests when exactly-once
+    * matters; a streaming caller gets effective exactly-once from its
+    * checkpointed batch ids. */
+  def embedIngestBatch(batch: DataFrame, corpusPath: String,
+                       indexPath: String, threshold: Double = 0.9,
+                       nPlanes: Int = 64, bands: Int = 8,
+                       seed: Long = 42L): Unit = {
+    import org.apache.spark.storage.StorageLevel
+    require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
+    val s = batch.sparkSession
+    val bits = nPlanes / bands
+    val mask = (1L << bits) - 1
+    val banded = OpsUtil.spread(batch)
+      .withColumn("sig", graft.functions.SketchFunctions
+        .srp_signature(col("embedding"), nPlanes, seed))
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+          expr(s"shiftright(sig, ${b * bits}) & $mask").as("bkey"))): _*)).as("bk"))
+      .select(col("vec_id"), col("embedding"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    banded.count() // eager: probe, self-join, and index append all read it
+    try {
+      val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+      val idxExists = idxPath
+        .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
+      val vsCorpus =
+        if (idxExists)
+          banded.as("l").join(s.read.parquet(indexPath).as("r"),
+              col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+                col("l.vec_id") =!= col("r.vec_id"))
+            .select(col("l.vec_id").as("vec_id"),
+              SimilarityOps.cosine(col("l.embedding"), col("r.embedding"))
+                .as("sim"))
+            .filter(col("sim") >= threshold)
+            .select(col("vec_id"))
+        else s.emptyDataFrame.withColumn("vec_id", lit(0L)).limit(0)
+      val withinBatch = banded.as("l").join(banded.as("r"),
+          col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+            col("l.vec_id") > col("r.vec_id"))
+        .select(col("l.vec_id").as("vec_id"),
+          SimilarityOps.cosine(col("l.embedding"), col("r.embedding")).as("sim"))
+        .filter(col("sim") >= threshold)
+        .select(col("vec_id"))
+      val rejected = vsCorpus.unionByName(withinBatch).distinct()
+      val accepted = batch.join(rejected, Seq("vec_id"), "left_anti")
+      accepted.write.mode("append").parquet(corpusPath)
+      banded.join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("band"), col("bkey"), col("vec_id"), col("embedding"))
+        .write.mode("append").parquet(indexPath)
+    } finally { banded.unpersist(blocking = false); () }
+  }
+
   /** SemDeDup-shape semantic dedup (cluster-scoped embedding pruning,
     * Abbas et al. 2023): assign every vector to its nearest centroid
     * cell, then WITHIN each cell flag as duplicate any vector whose

@@ -361,6 +361,27 @@ object Pipelines {
         ()
       }
 
+  /** Embedding-modality ingestion dedup — [[dedupIngest]]'s sibling for
+    * vector streams (continuously-landing image/audio embeddings): each
+    * micro-batch is admitted through
+    * [[graft.ops.DedupOps.embedIngestBatch]] (sign the batch, probe the
+    * staged SRP band index, exact-cosine-verify collisions, reject
+    * near-dups of the corpus or of smaller-id batch siblings). Dedup
+    * state lives in the index parquet — no streaming state store, restart
+    * picks up from the checkpointed batch id, per-batch cost stays
+    * O(|batch| + collisions) at any corpus size. */
+  def embedIngest(vectors: DataFrame, corpusPath: String, indexPath: String,
+                  checkpoint: String, threshold: Double = 0.9,
+                  nPlanes: Int = 64, bands: Int = 8,
+                  seed: Long = 42L): DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.DedupOps.embedIngestBatch(batch, corpusPath, indexPath,
+          threshold, nPlanes, bands, seed)
+        ()
+      }
+
   /** The COMPLETE training-data landing job as one streaming query: each
     * micro-batch of raw documents passes the C4/Gopher quality gate and
     * the LM perplexity gate (both stateless row-local projections), has

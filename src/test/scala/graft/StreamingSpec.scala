@@ -441,6 +441,39 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 5L, 6L))
   }
 
+  test("embedIngest: vector micro-batches admit against the staged band index") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_embi_").toString
+    val (corpus, index, ckpt) = (s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt")
+    val dims = 16
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    val other = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat)
+    val in = MemoryStream[(Long, Array[Float])]
+    def run(): Unit = {
+      val q = Pipelines.embedIngest(in.toDF().toDF("vec_id", "embedding"),
+          corpus, index, ckpt, threshold = 0.9)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: two distinct vectors admitted; a within-batch near-copy of
+    // vec 1 (higher id) rejected
+    in.addData((1L, base), (2L, other), (3L, jitter(base)))
+    run()
+    assert(spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // batch 2: near-copy of corpus vec 2 rejected, novel vector admitted
+    val novel = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    in.addData((4L, jitter(other)), (5L, novel))
+    run()
+    assert(spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 5L))
+    // replay with no new data: checkpointed admission is idempotent
+    run()
+    assert(spark.read.parquet(corpus).count() == 3)
+  }
+
   test("CDC-variant bronze schema parses the Debezium-shaped payload") {
     import graft.ops.BronzeOps
     import graft.schemas.Schemas
