@@ -256,6 +256,18 @@ object SparkEntry {
       _ => ops.SimilarityOps.pqCodebooksKmeans(tbl(s, dir, "embeddings"),
         m = 8, k = 16))
 
+  /** Seeded IVF k-means model — index-build state, staged once per
+    * (sf dir, JVM) like the PQ codebooks. */
+  private val stagedIvfModels = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.ml.clustering.KMeansModel]()
+
+  private def stagedIvfModel(s: SparkSession,
+                             dir: String): org.apache.spark.ml.clustering.KMeansModel =
+    stagedIvfModels.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
+      _ => ops.SimilarityOps.fitIvfKmeans(tbl(s, dir, "embeddings"),
+        nCells = 16))
+
   /** BPE merge table (30 merges learned from the word-frequency table) —
     * tokenizer model state, staged once per (sf dir, JVM) like the LM and
     * quantizer calibration. */
@@ -283,6 +295,7 @@ object SparkEntry {
     stagedQuantStats(s, dir)
     stagedPqCodebooks(s, dir)
     stagedPqKmeansCodebooks(s, dir)
+    stagedIvfModel(s, dir)
     stagedBpeMerges(s, dir)
     // building these two queries triggers their ensureStaged landing
     // writes (date-partitioned silver; the 3-commit TxTable source) and
@@ -1283,12 +1296,14 @@ object SparkEntry {
     }),
 
     // Production IVF: seeded k-means centroids (MLlib Lloyd's), same index
-    // mechanics. No hash oracle — k-means cell ids are model output, not
+    // mechanics. The fit is STAGED per (sf, JVM) — index-build metadata
+    // like the PQ codebooks, so the query times serving, not training.
+    // No hash oracle — k-means cell ids are model output, not
     // SQL-expressible; rows>0 checked here, recall pinned in ExtOpsSpec.
     "ext_ann_ivf_kmeans" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
-      SimilarityOps.ivfTopKKmeans(emb, emb.filter(col("vec_id") < 10), k = 5,
-          nCells = 16, nProbe = 4)
+      SimilarityOps.ivfTopKWithModel(emb, emb.filter(col("vec_id") < 10),
+          k = 5, stagedIvfModel(s, dir), nProbe = 4)
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round6(col("sim")).as("sim6"))
         .orderBy(col("query_id"), col("rank"))

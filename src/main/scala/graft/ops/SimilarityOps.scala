@@ -279,16 +279,33 @@ object SimilarityOps {
     * probe fan-out even across a 100 TB corpus. Training is a seeded
     * distributed Lloyd's pass over the corpus (sample at real scale);
     * index assignment is one `model.transform` projection. */
-  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
-                    nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+  /** The seeded Lloyd's fit behind [[ivfTopKKmeans]], extracted so callers
+    * can stage it: the model is index-BUILD metadata (like PQ codebooks or
+    * the LM table), not query work — a serving path fits once per corpus
+    * snapshot and answers queries against the staged centroids. */
+  def fitIvfKmeans(corpus: DataFrame, nCells: Int,
+                   seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    new KMeans()
+      .setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("__fv").setPredictionCol("cell_id")
+      .fit(corpus.withColumn("__fv",
+        array_to_vector(col("embedding").cast("array<double>"))))
+  }
+
+  def ivfTopKKmeans(corpus: DataFrame, queries: DataFrame, k: Int,
+                    nCells: Int, nProbe: Int, seed: Long = 42L): DataFrame =
+    ivfTopKWithModel(corpus, queries, k,
+      fitIvfKmeans(corpus, nCells, seed), nProbe)
+
+  /** [[ivfTopKKmeans]] against an already-fitted (staged) model. */
+  def ivfTopKWithModel(corpus: DataFrame, queries: DataFrame, k: Int,
+                       model: org.apache.spark.ml.clustering.KMeansModel,
+                       nProbe: Int): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     val feat = corpus.withColumn("__fv",
       array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__fv").setPredictionCol("cell_id")
-      .fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id"), col("embedding"),
         col("cell_id").cast("long").as("cell_id"))

@@ -169,6 +169,27 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("query-set BM25 agrees with the single-query path on a shared query") {
+    val base = docs.limit(300)
+    val terms = Seq("spark", "join", "the")
+    val single = TextOps.bm25TopDocs(base, terms, k = 20)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val qs = TextOps.bm25TopDocsForQueries(base,
+        Seq((1L, terms.mkString(" "))).toDF("query_id", "query_text"), k = 20)
+      .select("doc_id", "score6").as[(Long, Double)].collect().toMap
+    // same k and the same scoring formula; the query-set path pre-rounds
+    // each per-term score to 6 dp before the (order-independent) integer
+    // sum, so totals differ from the exact-double chain by < |terms|*5e-7
+    // — rankings may flip only inside that band, so demand near-total
+    // overlap and tight score agreement on the intersection
+    val common = single.keySet & qs.keySet
+    assert(common.size >= 18, s"only ${common.size}/20 docs shared")
+    common.foreach { id =>
+      assert(math.abs(single(id) - qs(id)) <= 2e-6,
+        s"doc $id: single=${single(id)} queryset=${qs(id)}")
+    }
+  }
+
   test("qualityFilter carry: pass-through columns ride along, verdicts unchanged") {
     val base = TextOps.qualityFilter(docs)
     val carried = TextOps.qualityFilter(docs, carry = Seq("text", "lang"))
