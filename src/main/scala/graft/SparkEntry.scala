@@ -1195,6 +1195,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // Production semantic dedup: the staged seeded-k-means model assigns
+    // cells (balanced populations -> balanced pairwise budget), same
+    // within-cell keep-first pruning. `no_oracle` BY CONTRACT (k-means
+    // cells are model state, like ext_ann_ivf_kmeans); soundness and
+    // determinism spec-pinned, rows checked by the driver.
+    "ext_dedup_semantic_kmeans" -> ((s, dir) => {
+      ops.DedupOps.semanticDedupKmeans(tbl(s, dir, "embeddings"),
+          stagedIvfModel(s, dir), threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
     // Brute-force cosine top-k (exact ANN baseline; oracle-checked).
     "ext_ann_topk" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")

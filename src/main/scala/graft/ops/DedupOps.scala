@@ -963,7 +963,32 @@ object DedupOps {
     val cents = vectors.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val assigned = SimilarityOps.assignCells(OpsUtil.spread(vectors), cents)
+    pruneWithinCells(
+      SimilarityOps.assignCells(OpsUtil.spread(vectors), cents), threshold)
+  }
+
+  /** [[semanticDedup]] with LEARNED cells: the staged seeded-k-means model
+    * ([[SimilarityOps.fitIvfKmeans]]) assigns cells, so cell populations
+    * follow the data distribution and the Σ|cell|² pairwise budget is
+    * balanced — the production SemDeDup shape, exactly as the ANN family
+    * pairs deterministic cells (oracle) with learned ones (serving).
+    * `no_oracle` by the model-state contract; soundness (every flag has a
+    * lower-id global witness at ≥ threshold) and determinism are
+    * spec-pinned. */
+  def semanticDedupKmeans(vectors: DataFrame,
+                          model: org.apache.spark.ml.clustering.KMeansModel,
+                          threshold: Double = 0.35): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val assigned = model.transform(OpsUtil.spread(vectors).withColumn("__fv",
+        array_to_vector(col("embedding").cast("array<double>"))))
+      .select(col("vec_id"), col("embedding"),
+        col("cell_id").cast("long").as("cell_id"))
+    pruneWithinCells(assigned, threshold)
+  }
+
+  /** Within-cell keep-first pruning shared by both cell assignments. */
+  private def pruneWithinCells(assigned: DataFrame,
+                               threshold: Double): DataFrame = {
     val mates = assigned.select(col("cell_id"),
       col("vec_id").as("prior_id"), col("embedding").as("prior_emb"))
     val dups = assigned.join(mates, Seq("cell_id"))

@@ -197,6 +197,33 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(!got(6L)._2, "orthogonal outlier must survive")
   }
 
+  test("semanticDedupKmeans: flags are sound (global lower-id witness) and deterministic") {
+    val model = SimilarityOps.fitIvfKmeans(emb, nCells = 8)
+    def run() = DedupOps.semanticDedupKmeans(emb, model, threshold = 0.3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val a = run()
+    assert(a == run(), "staged-model dedup must be deterministic")
+    assert(a.map(_._1).distinct.size == a.size, "one row per vector")
+    // soundness: a flagged vector must have SOME lower-id vector at
+    // cosine >= threshold (cellmate pairs are a subset of all pairs) —
+    // verified against a driver-side exact cosine over the fixture
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().toMap
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      var dp = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        dp += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i); i += 1
+      }
+      dp / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val flagged = a.filter(_._3).map(_._1)
+    flagged.foreach { id =>
+      assert(vecs.keys.exists(o => o < id && cos(vecs(o), vecs(id)) >= 0.3),
+        s"vec $id flagged without any lower-id witness")
+    }
+  }
+
   test("connectedComponents: chains collapse transitively to the min label") {
     // two components: a diameter-4 chain (forces multiple propagation
     // rounds) and a triangle; 99 is disconnected (absent from pairs)
