@@ -1504,6 +1504,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination — the embedding-space sibling: corpus
+    // vectors (vec_id % 10 != 7) flagged when their max cosine to any
+    // held-out benchmark vector (% 10 == 7) reaches 0.35 — paraphrased
+    // eval leakage the n-gram scrub misses. Benchmark broadcasts, corpus
+    // streams once, per-vector max is order-independent (oracle-checked
+    // at 6 dp).
+    "ext_decontaminate_semantic" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      ops.DedupOps.decontaminateSemantic(
+          emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
+          emb.filter(pmod(col("vec_id"), lit(10)) === 7), threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
     // Bloom-filter decontamination — constant-memory scale sibling: the
     // benchmark gram set compressed to a deterministic Bloom filter, one-
     // sided error (never misses a contaminated doc; false-positive rate
@@ -2648,6 +2662,34 @@ object SparkEntry {
         |LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS txt
         |  FROM kept GROUP BY doc_id) ks USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // semantic decontamination replay: exact cosine of every corpus ×
+    // benchmark pair, per-corpus-vector max, verdict at the same 6 dp
+    // granularity the Spark side emits
+    "ext_decontaminate_semantic" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), dots AS (
+        |  SELECT c.vec_id, b.vec_id AS bench_id, SUM(c.x*b.x) AS dp
+        |  FROM ex c JOIN ex b ON c.i = b.i
+        |    AND b.vec_id % 10 = 7 AND c.vec_id % 10 <> 7
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT d.vec_id, dp/(sqrt(nc.nn)*sqrt(nb.nn)) AS s
+        |  FROM dots d
+        |  JOIN norms nc ON nc.vec_id = d.vec_id
+        |  JOIN norms nb ON nb.vec_id = d.bench_id
+        |), mx AS (
+        |  SELECT vec_id, FLOOR(MAX(s) * 1000000 + 0.5) / 1000000 AS max_sim6
+        |  FROM sims GROUP BY 1
+        |)
+        |SELECT vec_id, max_sim6, (max_sim6 >= 0.35) AS contaminated
+        |FROM mx
+        |ORDER BY vec_id""".stripMargin,
 
     "ext_decontaminate" ->
       """WITH corpus AS (

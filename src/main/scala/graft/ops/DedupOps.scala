@@ -868,6 +868,35 @@ object DedupOps {
       .filter(col("sim") >= threshold)
   }
 
+  /** Semantic benchmark decontamination — the embedding-space sibling of
+    * [[decontaminate]]: flag corpus vectors whose max cosine to ANY
+    * held-out benchmark vector reaches `threshold`. N-gram overlap only
+    * catches verbatim test-set leakage; paraphrased or re-rendered eval
+    * material shows up in embedding space, which is why a pre-training
+    * scrub runs both. Output: every corpus vector with its max benchmark
+    * similarity and the verdict (flag-don't-drop, like the n-gram scrub).
+    *
+    * Scale shape: eval suites are tiny next to a 100 TB corpus, so the
+    * benchmark broadcasts and the corpus streams ONCE through the fused
+    * cosine kernel; `max` per vector is order-independent (unlike a
+    * float sum), so the result is bit-stable under any partitioning and
+    * the contamination verdict compares at 6 dp — the granularity any
+    * cross-engine check uses. If the benchmark ever outgrows broadcast,
+    * the SRP-banded candidate path ([[embeddingLshPairs]]) is the
+    * fallback shape. */
+  def decontaminateSemantic(corpus: DataFrame, benchmark: DataFrame,
+                            threshold: Double = 0.35): DataFrame =
+    OpsUtil.spread(corpus)
+      .crossJoin(broadcast(benchmark.select(col("embedding").as("bench_emb"))))
+      .select(col("vec_id"),
+        SimilarityOps.cosine(col("embedding"), col("bench_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"))
+      .select(col("vec_id"),
+        (floor(col("max_sim") * 1e6 + 0.5).cast("double") / 1e6)
+          .as("max_sim6"))
+      .withColumn("contaminated", col("max_sim6") >= threshold)
+
   /** Embedding-modality ingest admission — [[ingestBatch]]'s sibling for
     * vector near-dups (image/audio embeddings land continuously too):
     * sign ONLY the new batch with the seeded SRP family, probe the staged
