@@ -296,6 +296,47 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(spark, table).version == 501L)
   }
 
+  test("checkpoint sidecars carry the evolved schema across vacuum") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(4), "customer_id", nBuckets = 2)
+    // append past the first checkpoint with the ORIGINAL schema...
+    (0 until 18).foreach { i =>
+      TxTable.appendOnce(spark, table,
+        Seq((s"A$i", s"a$i@v1", ts("2024-01-02 00:00:00")))
+          .toDF("customer_id", "email", "updated_at"),
+        "customer_id", 2, "sch", i.toLong)
+    }
+    // ...evolve at v19 (pre-checkpoint-20), then cross the boundary
+    TxTable.upsert(spark, table,
+      Seq(("A0", "a0@v2", ts("2024-01-03 00:00:00"), "gold"))
+        .toDF("customer_id", "email", "updated_at", "tier"),
+      "customer_id", "updated_at", 2)
+    (18 until 22).foreach { i =>
+      TxTable.appendOnce(spark, table,
+        Seq((s"B$i", s"b$i@v1", ts("2024-01-04 00:00:00")))
+          .toDF("customer_id", "email", "updated_at"),
+        "customer_id", 2, "sch", i.toLong)
+    }
+    assert(TxTable.snapshot(spark, table).version == 23L)
+    // the v20 checkpoint must have captured the evolved schema: resolve a
+    // post-checkpoint version and the head, both must surface `tier`
+    // (old rows as null)
+    for (v <- Seq(Some(21L), None)) {
+      val df = TxTable.read(spark, table, v)
+      assert(df.columns.contains("tier"), s"version $v lost the evolved schema")
+    }
+    assert(TxTable.read(spark, table).filter($"customer_id" === "A0")
+      .select("tier").as[String].head() == "gold")
+    // vacuum to retention 1: the head (a delta) resolves through its own
+    // fresh checkpoint and STILL carries the schema
+    TxTable.vacuum(spark, table, keepVersions = 1)
+    val after = TxTable.read(spark, table)
+    assert(after.columns.contains("tier"))
+    assert(after.filter($"customer_id" === "C1").select("tier")
+      .as[String].head() == null, "pre-evolution rows must read null tier")
+    assert(after.count() == 4 + 18 + 4)
+  }
+
   test("readKeys: Int literals against a BIGINT key column still hit (typed bucket hashing)") {
     // xxhash64 is type-sensitive: hashing a key as Int computes different
     // buckets than the writers (who hashed the column's Long values) — the
