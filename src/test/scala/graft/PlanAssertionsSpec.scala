@@ -142,6 +142,17 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"within-cell pruning degenerated to all-pairs:\n$p")
   }
 
+  test("semantic decontamination: benchmark broadcast, map-side max, one corpus stream") {
+    val p = plan("ext_decontaminate_semantic")
+    // corpus × benchmark is deliberately a broadcast nested loop (the
+    // benchmark is the tiny side) — it must be BROADCAST, never a
+    // shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"benchmark side must broadcast:\n$p")
+    // per-vector max combines map-side before the exchange
+    assert(p.contains("partial_max"), s"max not partially aggregated:\n$p")
+  }
+
   test("sampling queries never read the text column (pruned scan)") {
     for (q <- Seq("ext_sample_split", "ext_sample_stratified")) {
       val p = plan(q)
