@@ -364,11 +364,19 @@ object TextOps {
     *   - per-query top-k is a rank-filter window → partial WindowGroupLimit
     *     prunes map-side; no global sort.
     * The 6 dp fixed-point sum differs from the exact-double sum by < n·5e-7
-    * — inside the tolerance any cross-engine ln comparison already needs. */
+    * — inside the tolerance any cross-engine ln comparison already needs.
+    *
+    * `broadcastQueries` (default true) covers the dominant case — up to
+    * ~10⁶ (query, term) rows ride comfortably in a broadcast. For an
+    * extreme query set (mining negatives for a whole corpus of queries),
+    * pass false: the identical plan degrades to shuffled equi-joins on
+    * `term` — more exchanges, never wrong, and AQE skew-splits a hot
+    * term the same way. */
   def bm25TopDocsForQueries(docs: DataFrame, queries: DataFrame, k: Int = 10,
                             k1: Double = 1.2, b: Double = 0.75,
                             nDocsKnown: Option[Long] = None,
-                            avgdlKnown: Option[Double] = None): DataFrame = {
+                            avgdlKnown: Option[Double] = None,
+                            broadcastQueries: Boolean = true): DataFrame = {
     val nDocs = nDocsKnown.getOrElse(docs.count())
     val toks = OpsUtil.spread(docs)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
@@ -385,7 +393,8 @@ object TextOps {
     val postings = toks
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
-      .join(broadcast(allTerms), Seq("term"))
+      .join(if (broadcastQueries) broadcast(allTerms) else allTerms,
+        Seq("term"))
     val tf = postings.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     // vacuous tf >= 1 filter for the same ReuseExchange reason as in
     // [[bm25TopDocs]]: one postings scan + shuffle feeds both tf and df
@@ -395,9 +404,11 @@ object TextOps {
       + 1.0)
     val tfNorm = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
+    val scored = tf
+      .join(if (broadcastQueries) broadcast(dfreq) else dfreq, Seq("term"))
       .withColumn("s6", floor((idf * tfNorm) * 1e6 + 0.5).cast("long"))
-    val perQueryDoc = scored.join(broadcast(qterms), Seq("term"))
+    val perQueryDoc = scored
+      .join(if (broadcastQueries) broadcast(qterms) else qterms, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s6")).as("s6sum"), count(lit(1)).as("n_terms"))
     perQueryDoc
