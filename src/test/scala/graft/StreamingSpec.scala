@@ -474,6 +474,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == 3)
   }
 
+  test("embedIngest torn index: degradation is over-admission, never data loss") {
+    // embedIngestBatch documents that the corpus and index appends are not
+    // crash-atomic: losing the INDEX append (crash between the two) means
+    // a later near-dup can slip in — over-admission — but admitted corpus
+    // rows are never lost and admission never drops a novel vector. Pin
+    // that contract by simulating the torn state.
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_embt_").toString
+    val (corpus, index) = (s"$tmp/corpus", s"$tmp/index")
+    val dims = 16
+    val rnd = new scala.util.Random(9)
+    val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat)
+    graft.ops.DedupOps.embedIngestBatch(
+      Seq((1L, base)).toDF("vec_id", "embedding"), corpus, index)
+    // simulate the torn state: the index append is lost, the corpus kept
+    val fs = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(index), true)
+    // a near-dup of the (now unindexed) corpus vector over-admits...
+    graft.ops.DedupOps.embedIngestBatch(
+      Seq((2L, jitter(base))).toDF("vec_id", "embedding"), corpus, index)
+    val ids = spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L),
+      "torn index must degrade to over-admission, never lose corpus rows")
+    // ...and the rebuilt index guards again: a further near-dup is rejected
+    graft.ops.DedupOps.embedIngestBatch(
+      Seq((3L, jitter(base))).toDF("vec_id", "embedding"), corpus, index)
+    assert(spark.read.parquet(corpus).select("vec_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("CDC-variant bronze schema parses the Debezium-shaped payload") {
     import graft.ops.BronzeOps
     import graft.schemas.Schemas
