@@ -377,6 +377,23 @@ class StreamingSpec extends AnyFunSuite {
     // restart on the same checkpoint with no new data: no re-admission
     run()
     assert(spark.read.parquet(corpus).count() == 3)
+    // torn-state contract (ingestBatch documents non-atomicity across the
+    // corpus and index appends): losing the INDEX degrades to
+    // over-admission of a later near-dup — corpus rows survive, and the
+    // rebuilt index guards again from the next batch
+    val fs = new org.apache.hadoop.fs.Path(index)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(index), true)
+    graft.ops.DedupOps.ingestBatch(
+      Seq((6L, dA)).toDF("doc_id", "text"), corpus, index)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L, 6L),
+      "torn index must over-admit, never lose corpus rows")
+    graft.ops.DedupOps.ingestBatch(
+      Seq((7L, dA)).toDF("doc_id", "text"), corpus, index)
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L, 4L, 6L),
+      "rebuilt index must reject the next near-dup")
   }
 
   test("prepIngest: quality, LM, and dedup gates compose in one landing job") {
