@@ -330,11 +330,12 @@ object TextOps {
       .select(col("doc_id"), total.as("score"), col("n_terms"))
       .orderBy(floor(col("score") * 1e6 + 0.5).desc, col("doc_id"))
       .limit(k)
-      // rank over the ≤ k surviving rows (partitionBy(lit) keeps the tiny
-      // window out of WindowExec's no-partition warning path); callers fuse
-      // on it instead of re-ranking with a global window
+      // rank over the ≤ k surviving rows; the partition key is constant
+      // (pmod(hash, 1) = 0) but NON-foldable, so Catalyst cannot constant-
+      // fold it away and WindowExec sees a real partition spec — no
+      // "No Partition Defined" warning, still one ≤ k-row partition
       .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0))
+        Window.partitionBy(pmod(xxhash64(col("doc_id")), lit(1L)))
           .orderBy(floor(col("score") * 1e6 + 0.5).desc, col("doc_id"))))
       .select(col("doc_id"), col("rank"), col("score"), col("n_terms"))
   }

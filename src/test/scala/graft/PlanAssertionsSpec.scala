@@ -191,6 +191,25 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Subquery"), s"corpus stats not staged:\n$p")
   }
 
+  test("bm25 rank window keeps its non-foldable partition key") {
+    // ext_text_bm25 drops the rank column (the window prunes away there);
+    // rank consumers (hybrid fusion) see this plan, where the constant
+    // partition key must SURVIVE optimization — it is non-foldable by
+    // construction, so WindowExec never takes its empty-partition-spec
+    // ("No Partition Defined") warning path
+    spark.sharedState.cacheManager.clearCache()
+    val p = ops.TextOps.bm25TopDocs(
+        Tables.load(spark, dir, "documents"),
+        Seq("spark", "stream"), k = 5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the pmod key is extracted into a `_w0` projection; a Window node with
+    // a populated partition-spec group renders THREE bracket groups
+    // (functions, partitionSpec, orderSpec) — an empty spec renders two
+    val windowed = """Window \[[^\]]*\], \[(\w+#\d+L?)\], \[""".r
+    assert(windowed.findFirstIn(p).isDefined,
+      s"rank window lost its non-foldable partition key:\n$p")
+  }
+
   test("bm25 queryset: one corpus scan, broadcast term fan-out, bounded per-query top-k") {
     // AQE's explain shows the pre-reuse plan (stage dedup happens at
     // runtime); compiling with AQE off exposes the static ReuseExchange
