@@ -588,12 +588,17 @@ object DedupOps {
 
   /** Distinct 64-bit gram hashes of a corpus slice — the staged INDEX for
     * [[exciseAgainstIndex]], the exact analog of the MinHash band index:
-    * one column `gh`, one row per distinct k-gram. Grows by appending the
-    * admitted batch's grams; a probe is an 8-byte equi-join, never a
-    * corpus-text re-read. */
+    * rows `(doc_id, gh)`, one per distinct k-gram per owning document.
+    * Grows by appending the admitted batch's grams; a probe is an 8-byte
+    * equi-join, never a corpus-text re-read. Carrying the owner id makes a
+    * micro-batch REPLAY idempotent the same way the band index's
+    * `l.doc_id =!= r.doc_id` probe does: a batch whose grams already
+    * landed in the index (crash after the index append, before the
+    * checkpoint commit) self-excludes and re-derives the same excision. */
   def spanGramIndex(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    gramPositions(docs, k).select(xxhash64(col("g")).as("gh")).distinct()
+    gramPositions(docs, k)
+      .select(col("doc_id"), xxhash64(col("g")).as("gh")).distinct()
   }
 
   /** INCREMENTAL exact-substring dedup: [[exciseDuplicatedSpans]] where
@@ -608,7 +613,14 @@ object DedupOps {
     * corpus ∪ batch (property-pinned in ExtOpsSpec) — at a fraction of
     * the cost: per-batch work is O(batch grams + index hits); the index
     * probe and the within-batch first-occurrence aggregate are both
-    * 8-byte-keyed joins AQE can skew-split. */
+    * 8-byte-keyed joins AQE can skew-split.
+    *
+    * When the index carries a `doc_id` column (the [[spanGramIndex]]
+    * shape), hits from the SAME document are excluded — the band-index
+    * replay defense: a replayed micro-batch whose own grams already
+    * reached the index re-derives exactly its first-attempt excision
+    * instead of excising itself to nothing. A bare `gh`-only index (older
+    * staged artifacts) still probes, without the replay defense. */
   def exciseAgainstIndex(batch: DataFrame, index: DataFrame,
                          k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -616,9 +628,16 @@ object DedupOps {
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
     val grams = gramPositions(batch, k)
       .select(xxhash64(col("g")).as("gh"), col("doc_id"), col("pos"))
-    val vsIndex = grams
-      .join(index.select(col("gh")).distinct(), Seq("gh"))
-      .select(col("doc_id"), col("pos"))
+    val vsIndex =
+      if (index.columns.contains("doc_id")) {
+        val idx = index.select(col("gh").as("__igh"),
+          col("doc_id").as("__isrc")).distinct()
+        grams.join(idx, col("gh") === col("__igh") &&
+            col("doc_id") =!= col("__isrc"))
+          .select(col("doc_id"), col("pos"))
+      } else
+        grams.join(index.select(col("gh")).distinct(), Seq("gh"))
+          .select(col("doc_id"), col("pos"))
     val redundant = redundantPositions(grams)
       .unionByName(vsIndex).distinct()
     rebuildWithoutSpans(toks, redundant, k)
@@ -759,10 +778,17 @@ object DedupOps {
     * A missing index directory means "empty corpus" (first batch
     * bootstraps it). NOT crash-atomic across the two appends — pair with
     * [[TxTable]]-style manifests when exactly-once matters; the streaming
-    * caller gets effective exactly-once from its checkpointed batch ids. */
+    * caller gets effective exactly-once from its checkpointed batch ids.
+    *
+    * Returns the ACCEPTED slice (already written), persisted so callers
+    * maintaining derived indexes — the landing job appends the accepted
+    * docs' span grams — read it without recomputing the probe joins
+    * (recomputing would re-list the just-appended index files and
+    * self-reject). Callers should `unpersist` it when done; an ignored
+    * return is eventually reclaimed by the context cleaner. */
   def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
                   threshold: Double = 0.5, num: Int = 64, bands: Int = 16,
-                  shingle: Int = 3, portable: Boolean = false): Unit = {
+                  shingle: Int = 3, portable: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val s = batch.sparkSession
     val banded = minhashBandIndex(batch, num, bands, shingle, portable)
@@ -794,9 +820,12 @@ object DedupOps {
         .select(col("doc_id"))
       val rejected = vsCorpus.unionByName(withinBatch).distinct()
       val accepted = batch.join(rejected, Seq("doc_id"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      accepted.count() // pin BEFORE the appends mutate the probed index
       accepted.write.mode("append").parquet(corpusPath)
       banded.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .write.mode("append").parquet(indexPath)
+      accepted
     } finally { banded.unpersist(blocking = false); () }
   }
 

@@ -358,6 +358,7 @@ object Pipelines {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ops.DedupOps.ingestBatch(batch, corpusPath, indexPath,
           threshold, num, bands, shingle, portable)
+          .unpersist(blocking = false)
         ()
       }
 
@@ -385,10 +386,12 @@ object Pipelines {
   /** The COMPLETE training-data landing job as one streaming query: each
     * micro-batch of raw documents passes the C4/Gopher quality gate and
     * the LM perplexity gate (both stateless row-local projections), has
-    * duplicated spans EXCISED (the Lee et al. exact-substring stage —
-    * [[graft.ops.DedupOps.exciseDuplicatedSpans]]' hashed formulation, so
-    * boilerplate repeated across the batch keeps its first occurrence and
-    * loses every other copy; a fully-excised doc is dropped), and the
+    * duplicated spans EXCISED (the Lee et al. exact-substring stage made
+    * cumulative — [[graft.ops.DedupOps.exciseAgainstIndex]] vs the staged
+    * span-gram index, so boilerplate repeated anywhere in the admitted
+    * corpus OR the batch keeps its first occurrence and loses every other
+    * copy; a rewritten doc must re-clear the quality gate on its final
+    * text, so a fully- or mostly-excised remnant is dropped), and the
     * survivors go through [[graft.ops.DedupOps.ingestBatch]]'s near-dup
     * admission against the staged MinHash band index — so the corpus
     * parquet only ever accumulates clean, in-distribution, boilerplate-
@@ -401,20 +404,30 @@ object Pipelines {
     * Span excision rewrites only documents it actually cut (`n_removed >
     * 0`, whitespace-normalized lowercase rebuild — the operator's
     * contract); untouched documents keep their original bytes. Scope is
-    * the micro-batch (+ internal repetition): cross-batch near-duplicate
-    * text is the band index's job, while the span stage kills the
-    * license-header/cookie-banner boilerplate that near-dup signatures
-    * deliberately tolerate. `spanK` = 0 disables the stage. */
+    * CORPUS-WIDE: the batch probes the staged span-gram index
+    * ([[graft.ops.DedupOps.exciseAgainstIndex]] over
+    * [[graft.ops.DedupOps.spanGramIndex]] at `spanIndexPath`, default
+    * `indexPath + "_spans"`), so boilerplate injected across batches —
+    * license headers, cookie banners accumulating over days of ingest —
+    * is cut the same as within-batch repetition; the admitted docs'
+    * grams append to the index after admission (the band-index
+    * maintenance pattern), keeping per-batch cost O(batch grams + index
+    * hits) at any corpus age. The index stores `(doc_id, gh)` and the
+    * probe excludes same-doc hits, so a torn batch (index appended,
+    * checkpoint uncommitted) REPLAYS to the same excision instead of
+    * excising itself to nothing. `spanK` = 0 disables the stage. */
   def prepIngest(docs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
                  corpusPath: String, indexPath: String, checkpoint: String,
                  maxNll: Double = 1.75, threshold: Double = 0.5,
                  num: Int = 64, bands: Int = 16, shingle: Int = 3,
-                 portable: Boolean = false,
-                 spanK: Int = 8): DataStreamWriter[org.apache.spark.sql.Row] =
+                 portable: Boolean = false, spanK: Int = 8,
+                 spanIndexPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
         val cols = batch.columns.toSeq
+        val sgPath = spanIndexPath.getOrElse(indexPath + "_spans")
         val kept = graft.ops.TextOps.qualityFilter(batch,
             carry = cols.filterNot(_ == "doc_id"))
           .filter(col("keep"))
@@ -424,16 +437,37 @@ object Pipelines {
           .select(cols.map(col): _*)
         val admitted =
           if (spanK <= 0) gated
-          else gated
-            .join(graft.ops.DedupOps.exciseDuplicatedSpans(gated, k = spanK)
-                .select(col("doc_id"), col("n_removed"), col("text_clean")),
-              Seq("doc_id"))
-            .filter(!(col("n_removed") > 0 && length(col("text_clean")) === 0))
-            .withColumn("text", when(col("n_removed") > 0, col("text_clean"))
-              .otherwise(col("text")))
-            .select(cols.map(col): _*)
-        graft.ops.DedupOps.ingestBatch(admitted, corpusPath, indexPath,
-          threshold, num, bands, shingle, portable)
+          else {
+            val sg = new org.apache.hadoop.fs.Path(sgPath)
+            val sgExists = sg
+              .getFileSystem(s.sparkContext.hadoopConfiguration).exists(sg)
+            val excised =
+              if (sgExists) graft.ops.DedupOps.exciseAgainstIndex(gated,
+                s.read.parquet(sgPath), k = spanK)
+              else graft.ops.DedupOps.exciseDuplicatedSpans(gated, k = spanK)
+            // a REWRITTEN doc must still clear the quality gate on its
+            // final text — a sub-floor remnant (a doc that was mostly
+            // boilerplate) is junk like any other junk; this also
+            // subsumes the fully-excised (empty-text) drop
+            val rewritten = gated
+              .join(excised.select(col("doc_id"), col("n_removed"),
+                col("text_clean")), Seq("doc_id"))
+              .withColumn("text", when(col("n_removed") > 0, col("text_clean"))
+                .otherwise(col("text")))
+            graft.ops.TextOps.qualityFilter(rewritten,
+                carry = cols.filterNot(_ == "doc_id") :+ "n_removed")
+              .filter(col("n_removed") === 0 || col("keep"))
+              .select(cols.map(col): _*)
+          }
+        val accepted = graft.ops.DedupOps.ingestBatch(admitted, corpusPath,
+          indexPath, threshold, num, bands, shingle, portable)
+        // grow the span index by the ACCEPTED docs' (post-excision) grams,
+        // exactly how ingestBatch grows the band index by the accepted
+        // band keys — the next batch probes an up-to-date substring corpus
+        if (spanK > 0)
+          graft.ops.DedupOps.spanGramIndex(accepted, k = spanK)
+            .write.mode("append").parquet(sgPath)
+        accepted.unpersist(blocking = false)
         ()
       }
 

@@ -531,6 +531,67 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exciseAgainstIndex replay defense: self-hits excluded, batch re-derives its own excision") {
+    // the torn-batch scenario the landing job documents: a micro-batch's
+    // post-excision grams reached the span index, the checkpoint did not
+    // commit, and the SAME batch replays against an index that now
+    // contains its own output. With the (doc_id, gh) index the probe
+    // excludes same-doc hits, so the replay derives the first attempt's
+    // excision exactly instead of excising the batch to nothing.
+    val k = 8
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bTail = "lambda mu nu xi omicron pi rho sigma"
+    val batch = Seq((1L, a), (2L, s"$a $bTail")).toDF("doc_id", "text")
+    val first = DedupOps.exciseDuplicatedSpans(batch, k)
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(first(2L)._2 > 0 && first(2L)._3 == bTail,
+      s"fixture sanity: doc 2's copied prefix must be cut, got $first")
+    // index state after the torn first attempt: grams of the FINAL texts
+    val finalTexts = Seq((1L, a), (2L, bTail)).toDF("doc_id", "text")
+    val index = DedupOps.spanGramIndex(finalTexts, k)
+    val replay = DedupOps.exciseAgainstIndex(batch, index, k)
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(replay == first,
+      s"replay must re-derive the first attempt's excision:\n$replay\nvs\n$first")
+    // negative control: a legacy gh-only index has no owner column, so
+    // the batch's own grams excise it to nothing — the reason the index
+    // carries doc_id
+    val legacy = DedupOps.exciseAgainstIndex(batch, index.select($"gh"), k)
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(legacy(1L)._3.isEmpty && legacy(2L)._3.isEmpty,
+      s"legacy index should self-excise (documents the defense): $legacy")
+  }
+
+  test("recallAtK: identity recall 1, disjoint recall 0, lost queries still surface") {
+    val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 3)
+    val self = SimilarityOps.recallAtK(exact, exact, 3)
+      .select($"query_id", $"hits", $"n_exact", $"recall")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(self.length == 5, s"every query must appear, got ${self.length}")
+    assert(self.forall { case (_, h, n, r) => h == n && r == 1.0 },
+      s"identity recall must be 1.0: ${self.toSeq}")
+    // an approx index that returned nothing (or garbage) for every query:
+    // queries surface with recall 0 instead of vanishing from the report
+    val garbage = exact.withColumn("neighbor_id", col("neighbor_id") + 1000000L)
+    val zero = SimilarityOps.recallAtK(exact, garbage, 3)
+      .select($"query_id", $"hits", $"recall")
+      .as[(Long, Long, Double)].collect()
+    assert(zero.length == 5 && zero.forall { case (_, h, r) => h == 0L && r == 0.0 },
+      s"disjoint recall must be 0.0 for every query: ${zero.toSeq}")
+    // the one-pass multi-index report agrees with the per-leg operator
+    val report = SimilarityOps.recallReport(exact,
+        Seq("self" -> exact, "none" -> garbage), 3)
+      .select($"method", $"query_id", $"recall")
+      .as[(String, Long, Double)].collect()
+    assert(report.length == 10, s"5 queries x 2 methods, got ${report.length}")
+    assert(report.forall { case (m, _, r) =>
+      (m == "self" && r == 1.0) || (m == "none" && r == 0.0) },
+      s"report diverged from per-leg recall: ${report.toSeq}")
+  }
+
   test("LSH kNN join: well-formed ranks, exact sims, high-sim neighbors found") {
     val knn = SimilarityOps.knnJoinLsh(emb, k = 3)
       .select($"query_id", $"rank", $"neighbor_id", $"sim")

@@ -404,7 +404,10 @@ class StreamingSpec extends AnyFunSuite {
       Tables.load(spark, "/root/testdata/sf0.001", "documents")
         .filter(col("lang") === "en"))
     val good = "the fast join table scan and merge sort with the big data batch stream"
-    val goodDup = "the fast join table scan and merge sort with the big data batch window"
+    // one token INSERTED mid-doc: every sliding 8-gram crosses the edit
+    // (no span for excision to cut), but shingle overlap stays high — the
+    // shape only the MinHash near-dup gate can catch
+    val goodDup = "the fast join table scan and merge also sort with the big data batch stream"
     val tooShort = "too short"
     val gibberish = "the qzx jkq wvv pqz zkx qjw for xqz vqk jzz wkq pxv qkz"
     // threshold between the in-distribution and gibberish scores, chosen
@@ -435,27 +438,53 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L))
     // batch 3: the span-excision stage (Lee et al.) — three docs sharing a
     // 9-token boilerplate prefix: the first keeps it, the second is
-    // admitted with the span CUT OUT, a boilerplate-only doc is fully
-    // excised and dropped
+    // admitted with the span CUT OUT (its remnant re-clears the quality
+    // gate), a boilerplate-only doc is fully excised and dropped
     val boiler = "the big table scan and the fast merge sort"
+    val tail6 = "a join batch window over the sorted merge data stream"
     in.addData(
       (5L, s"$boiler with the data stream batch"),
-      (6L, s"$boiler with the join batch window"),
+      (6L, s"$boiler with $tail6"),
       (7L, boiler))
     run()
     val byId = spark.read.parquet(corpus).select("doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(byId.keySet == Set(1L, 5L, 6L), s"got ${byId.keySet}")
     // first occurrence untouched (original bytes); the later copy is
-    // rewritten — docs 5 and 6 share an 11-token prefix ("$boiler with
-    // the"), so sliding 8-grams mark positions 0..10 and the cut leaves
-    // only the unique tail
+    // rewritten — docs 5 and 6 share a 10-token prefix ("$boiler with"),
+    // so sliding 8-grams mark positions 0..2, the cut covers tokens 0..9,
+    // and the 10-word unique tail survives the re-applied quality gate
     assert(byId(5L) == s"$boiler with the data stream batch")
-    assert(byId(6L) == "join batch window", s"got '${byId(6L)}'")
+    assert(byId(6L) == tail6, s"got '${byId(6L)}'")
     // replay with no new data: admission is idempotent (exactly-once)
     run()
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 5L, 6L))
+    // batch 4: CROSS-BATCH excision — doc 8 repeats doc 5's admitted text
+    // (its grams sit in the staged span-gram index from batch 3's append)
+    // and adds a novel tail. No doc in THIS batch carries the span, so
+    // only the index can catch it: the copied prefix is cut, the 10-word
+    // tail re-clears the quality gate and passes near-dup admission (its
+    // remaining shingles overlap nothing in the corpus)
+    val tail = "and the fast table data join sort batch window merge"
+    in.addData((8L, s"$boiler with the data stream batch $tail"))
+    run()
+    val byId4 = spark.read.parquet(corpus).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(byId4.keySet == Set(1L, 5L, 6L, 8L), s"got ${byId4.keySet}")
+    assert(byId4(8L) == tail, s"got '${byId4(8L)}'")
+    // the index grew by the admitted batch's post-excision grams, so a
+    // LATER copy of doc 8's novel tail is itself cross-batch-excisable
+    val sgIdx = spark.read.parquet(s"${index}_spans")
+    assert(sgIdx.columns.toSet == Set("doc_id", "gh"))
+    assert(sgIdx.filter(col("doc_id") === 8L).count() > 0,
+      "admitted batch's grams must append to the span index")
+    // replay with no new data: span-index growth + admission idempotent
+    run()
+    assert(spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 5L, 6L, 8L))
+    assert(spark.read.parquet(s"${index}_spans").count() == sgIdx.count(),
+      "no-op replay must not regrow the span index")
   }
 
   test("embedIngest: vector micro-batches admit against the staged band index") {
