@@ -564,6 +564,67 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@k of an approximate ANN result against its exact baseline —
+    * index-quality monitoring as a first-class queryable frame (the eval
+    * step of every ANN deployment), not a number buried in a test log.
+    *
+    * Both inputs use the top-k contract every retrieval op here emits:
+    * `(query_id, neighbor_id, rank, ...)`. Per query: `n_exact` = baseline
+    * rows within rank ≤ k (< k only when the corpus itself is smaller),
+    * `hits` = how many of those the approximate index also returned within
+    * its own top-k, `recall` = hits / n_exact. Queries the approximate
+    * index returned NOTHING for (an empty LSH bucket) still appear, with
+    * recall 0 — silent query loss is exactly what monitoring must surface.
+    *
+    * Scale shape: both sides are ≤ k rows per query (bounded by the top-k
+    * operators that produced them), so this is one equi-join on
+    * (query_id, neighbor_id) and one aggregate over k·|queries| rows —
+    * negligible next to the searches it evaluates, AQE-splittable like any
+    * equi-join. Deterministic joins/aggs over two exact inputs: fully
+    * oracle-checkable. */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val e = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    e.join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("n_exact"))
+      .select(col("query_id"), col("hits"), col("n_exact"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
+  /** Multi-index [[recallAtK]]: score SEVERAL approximate indexes against
+    * one exact baseline in a single pass — the exact subtree appears ONCE
+    * in the plan (evaluated once, not once per leg), the legs union into
+    * one tagged frame, and one join + one aggregate produce the whole
+    * report keyed (method, query_id). The (exact × methods) cross is a
+    * broadcast of a |methods|-row literal frame, so every (method, query)
+    * cell appears even when that index returned nothing for the query. */
+  def recallReport(exact: DataFrame, legs: Seq[(String, DataFrame)],
+                   k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(legs.nonEmpty, "recallReport needs at least one approximate leg")
+    val s = exact.sparkSession
+    import s.implicits._
+    val tagged = legs.map { case (m, df) =>
+      df.filter(col("rank") <= k).select(lit(m).as("method"),
+        col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    }.reduce(_ unionByName _)
+    val methods = legs.map(_._1).toDF("method")
+    exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .crossJoin(broadcast(methods))
+      .join(tagged, Seq("method", "query_id", "neighbor_id"), "left")
+      .groupBy(col("method"), col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("n_exact"))
+      .select(col("method"), col("query_id"), col("hits"), col("n_exact"),
+        (col("hits").cast("double") / col("n_exact")).as("recall"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with
     * cosine ≥ threshold. Brute force over normalized vectors; the LSH-bucketed
     * scale path is DedupOps.embeddingLshPairs. */
