@@ -324,7 +324,41 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ extQueries
 
-  def oracleSql: Map[String, String] = coreOracles ++ extOracles
+  def oracleSql: Map[String, String] =
+    coreOracles ++ extOracles ++ derivedOracles
+
+  /** Oracles composed FROM other oracles (kept out of the literal maps so
+    * the component SQL lives in one place): ext_ann_recall wraps the four
+    * ANN replays as derived-table CTEs and recomputes recall@5 the same
+    * way the Spark side does — left join exact onto each approximate leg,
+    * count hits, divide. */
+  private def derivedOracles: Map[String, String] = {
+    val ext = extOracles
+    def leg(method: String, cte: String): String =
+      s"""  SELECT '$method' AS method, e.query_id,
+         |    CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |    COUNT(*) AS n_exact
+         |  FROM exact e LEFT JOIN $cte a
+         |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |  GROUP BY 1, 2""".stripMargin
+    Map(
+      "ext_ann_recall" ->
+        s"""WITH exact AS (SELECT * FROM (${ext("ext_ann_topk")}) t),
+           |ivf AS (SELECT * FROM (${ext("ext_ann_ivf")}) t),
+           |pq AS (SELECT * FROM (${ext("ext_ann_pq")}) t),
+           |quant AS (SELECT * FROM (${ext("ext_ann_quantized")}) t),
+           |legs AS (
+           |${leg("ivf", "ivf")}
+           |  UNION ALL
+           |${leg("pq", "pq")}
+           |  UNION ALL
+           |${leg("quantized", "quant")}
+           |)
+           |SELECT method, query_id, hits, n_exact,
+           |  FLOOR(CAST(hits AS DOUBLE) / n_exact * 1000000 + 0.5) / 1000000 AS recall6
+           |FROM legs
+           |ORDER BY method, query_id""".stripMargin)
+  }
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1306,6 +1340,30 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ANN index-quality monitoring: recall@5 of every deterministic
+    // approximate index (IVF, PQ/ADC, int8-quantized) against the exact
+    // brute-force baseline, one row per (method, query) — the eval frame
+    // an ANN deployment dashboards. Deterministic joins/aggregates over
+    // oracle-green inputs, so the whole report is oracle-checked; the
+    // oracle SQL composes the four ANN replays as derived-table CTEs.
+    "ext_ann_recall" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      SimilarityOps.recallReport(
+          SimilarityOps.bruteForceTopK(emb, q, k = 5),
+          Seq(
+            "ivf" -> SimilarityOps.ivfTopK(emb, q, k = 5,
+              nCells = 16, nProbe = 4),
+            "pq" -> SimilarityOps.pqTopK(emb, q, k = 5,
+              cbs = stagedPqCodebooks(s, dir)),
+            "quantized" -> SimilarityOps.quantizedTopK(emb, q, k = 5,
+              stats = stagedQuantStats(s, dir))),
+          k = 5)
+        .select(col("method"), col("query_id"), col("hits"), col("n_exact"),
+          round6(col("recall")).as("recall6"))
+        .orderBy(col("method"), col("query_id"))
+    }),
+
     // Production IVF: seeded k-means centroids (MLlib Lloyd's), same index
     // mechanics. The fit is STAGED per (sf, JVM) — index-build metadata
     // like the PQ codebooks, so the query times serving, not training.
@@ -1515,6 +1573,23 @@ object SparkEntry {
       ops.DedupOps.decontaminateSemantic(
           emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
           emb.filter(pmod(col("vec_id"), lit(10)) === 7), threshold = 0.35)
+        .orderBy(col("vec_id"))
+    }),
+
+    // CELL-PRUNED semantic decontamination — the large-benchmark scale
+    // sibling: corpus vectors probe their 4 nearest benchmark-centroid
+    // cells and score only those cells' members, so cost is
+    // O(corpus·(nCells + nProbe·cell)) instead of O(corpus·bench) dots.
+    // Deterministic centroids (first-16 benchmark ids) make assignment,
+    // probes, and scores oracle-replayable; flags are a sound subset of
+    // the exact pass (spec-pinned), boundary misses are the documented
+    // recall trade.
+    "ext_decontaminate_semantic_cells" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      ops.DedupOps.decontaminateSemanticCells(
+          emb.filter(pmod(col("vec_id"), lit(10)) =!= 7),
+          emb.filter(pmod(col("vec_id"), lit(10)) === 7),
+          threshold = 0.35, nCells = 16, nProbe = 6)
         .orderBy(col("vec_id"))
     }),
 
@@ -2682,6 +2757,64 @@ object SparkEntry {
         |  SELECT d.vec_id, dp/(sqrt(nc.nn)*sqrt(nb.nn)) AS s
         |  FROM dots d
         |  JOIN norms nc ON nc.vec_id = d.vec_id
+        |  JOIN norms nb ON nb.vec_id = d.bench_id
+        |), mx AS (
+        |  SELECT vec_id, FLOOR(MAX(s) * 1000000 + 0.5) / 1000000 AS max_sim6
+        |  FROM sims GROUP BY 1
+        |)
+        |SELECT vec_id, max_sim6, (max_sim6 >= 0.35) AS contaminated
+        |FROM mx
+        |ORDER BY vec_id""".stripMargin,
+
+    // cell-pruned semantic decontamination replay: centroids = first 16
+    // benchmark ids; bench members argmax-assign (tie -> lowest cell_id);
+    // corpus probes its 6 nearest centroids; score only probed members
+    "ext_decontaminate_semantic_cells" ->
+      """WITH ex AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), norms AS (
+        |  SELECT vec_id, SUM(x*x) AS nn FROM ex GROUP BY vec_id
+        |), cents AS (
+        |  SELECT vec_id AS cell_id FROM embeddings
+        |  WHERE vec_id % 10 = 7 ORDER BY vec_id LIMIT 16
+        |), cdots AS (
+        |  SELECT a.vec_id, b.vec_id AS cell_id, SUM(a.x*b.x) AS dp
+        |  FROM ex a JOIN ex b ON a.i = b.i
+        |  WHERE b.vec_id IN (SELECT cell_id FROM cents)
+        |  GROUP BY 1, 2
+        |), csims AS (
+        |  SELECT cdots.vec_id, cell_id,
+        |    dp/(sqrt(nv.nn)*sqrt(nc.nn)) AS csim
+        |  FROM cdots
+        |  JOIN norms nv ON nv.vec_id = cdots.vec_id
+        |  JOIN norms nc ON nc.vec_id = cell_id
+        |), assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id) AS rn
+        |    FROM csims WHERE vec_id % 10 = 7) t
+        |  WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id) AS rn
+        |    FROM csims WHERE vec_id % 10 <> 7) t
+        |  WHERE rn <= 6
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS bench_id
+        |  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+        |), dots2 AS (
+        |  SELECT c.query_id, c.bench_id, SUM(q.x*e.x) AS dp
+        |  FROM cand c
+        |  JOIN ex q ON q.vec_id = c.query_id
+        |  JOIN ex e ON e.vec_id = c.bench_id AND e.i = q.i
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT d.query_id AS vec_id, dp/(sqrt(nq.nn)*sqrt(nb.nn)) AS s
+        |  FROM dots2 d
+        |  JOIN norms nq ON nq.vec_id = d.query_id
         |  JOIN norms nb ON nb.vec_id = d.bench_id
         |), mx AS (
         |  SELECT vec_id, FLOOR(MAX(s) * 1000000 + 0.5) / 1000000 AS max_sim6

@@ -926,6 +926,48 @@ object DedupOps {
           .as("max_sim6"))
       .withColumn("contaminated", col("max_sim6") >= threshold)
 
+  /** Cell-pruned [[decontaminateSemantic]] — the scale path for LARGE
+    * benchmarks (a 100k-prompt eval suite makes the exact pass's
+    * O(|corpus|·|bench|) dot products the most expensive scan in the
+    * pipeline). Centroids are the first `nCells` BENCHMARK vectors by id
+    * (the deterministic stand-in, same convention as [[semanticDedup]] /
+    * ivfTopK); benchmark members assign to their nearest centroid; each
+    * corpus vector probes its `nProbe` nearest centroids and scores ONLY
+    * the members of those cells — O(|corpus|·(nCells + nProbe·avgCell))
+    * dots, with the member join a broadcast equi-join on cell_id.
+    *
+    * `max_sim6` is a max over a SUBSET of the benchmark, so it lower-
+    * bounds the exact pass's value and a flag here implies a flag there
+    * (soundness by construction, spec-pinned); a near-hit whose argmax
+    * member hides in an unprobed cell is missed — the recall trade every
+    * cell/LSH method makes, measured against the exact oracle in
+    * ExtOpsSpec. Every centroid's cell contains at least the centroid
+    * itself, so each corpus vector scores ≥ 1 candidate and the
+    * flag-don't-drop output still covers the full corpus. Deterministic
+    * end to end (literal centroids, id tiebreaks) — fully
+    * oracle-replayable, adapting the IVF replay. */
+  def decontaminateSemanticCells(corpus: DataFrame, benchmark: DataFrame,
+                                 threshold: Double = 0.35, nCells: Int = 16,
+                                 nProbe: Int = 4): DataFrame = {
+    require(nCells > 0, s"nCells must be positive, got $nCells")
+    require(nProbe > 0, s"nProbe must be positive, got $nProbe")
+    val cents = benchmark.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val members = SimilarityOps.assignCells(benchmark, cents)
+      .select(col("cell_id"), col("embedding").as("bench_emb"))
+    SimilarityOps.probeCells(OpsUtil.spread(corpus), cents, nProbe)
+      .join(broadcast(members), Seq("cell_id"))
+      .select(col("query_id").as("vec_id"),
+        SimilarityOps.cosine(col("query_vec"), col("bench_emb")).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("sim")).as("max_sim"))
+      .select(col("vec_id"),
+        (floor(col("max_sim") * 1e6 + 0.5).cast("double") / 1e6)
+          .as("max_sim6"))
+      .withColumn("contaminated", col("max_sim6") >= threshold)
+  }
+
   /** Embedding-modality ingest admission — [[ingestBatch]]'s sibling for
     * vector near-dups (image/audio embeddings land continuously too):
     * sign ONLY the new batch with the seeded SRP family, probe the staged

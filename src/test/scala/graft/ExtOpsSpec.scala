@@ -565,6 +565,36 @@ class ExtOpsSpec extends AnyFunSuite {
       s"legacy index should self-excise (documents the defense): $legacy")
   }
 
+  test("cell-pruned semantic decontamination: sound vs exact, full coverage, useful recall") {
+    val corpus = emb.filter($"vec_id" % 10 =!= 7)
+    val bench = emb.filter($"vec_id" % 10 === 7)
+    val exact = DedupOps.decontaminateSemantic(corpus, bench, 0.35)
+      .select($"vec_id", $"max_sim6", $"contaminated")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val cells = DedupOps.decontaminateSemanticCells(corpus, bench, 0.35,
+        nCells = 16, nProbe = 6)
+      .select($"vec_id", $"max_sim6", $"contaminated")
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // flag-don't-drop coverage: every corpus vector appears in both
+    assert(cells.keySet == exact.keySet,
+      s"coverage hole: ${exact.keySet.diff(cells.keySet).take(5)}")
+    // soundness by construction: the pruned max is over a SUBSET of the
+    // benchmark, so it lower-bounds the exact max and never flags a
+    // vector the exact pass wouldn't
+    assert(cells.forall { case (id, (s6, c)) =>
+      s6 <= exact(id)._1 && (!c || exact(id)._2) },
+      "pruned max exceeded exact max or flagged a non-contaminated vector")
+    // recall on the shipped fixture (deterministic): the probed cells
+    // must find the dominant share of true contamination
+    val truePos = exact.count(_._2._2)
+    val found = cells.count { case (id, (_, c)) => c && exact(id)._2 }
+    assert(truePos > 0, "fixture sanity: exact pass must flag something")
+    assert(found.toDouble / truePos >= 0.7,
+      s"cell-pruned recall too low: $found/$truePos")
+  }
+
   test("recallAtK: identity recall 1, disjoint recall 0, lost queries still surface") {
     val exact = SimilarityOps.bruteForceTopK(emb, emb.filter($"vec_id" < 5), 3)
     val self = SimilarityOps.recallAtK(exact, exact, 3)
