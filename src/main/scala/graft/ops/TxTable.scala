@@ -417,24 +417,43 @@ object TxTable {
     * predicate is applied on top, so skipping is transparent: same rows as
     * `read(...).filter(between)`, less I/O when the layout clusters. */
   def readWhere(spark: SparkSession, table: String, statsCol: String,
-                lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+                lo: Any, hi: Any, version: Option[Long] = None): DataFrame =
+    readWhereAll(spark, table, Seq((statsCol, lo, hi)), version)
+
+  /** [[readWhere]] over a CONJUNCTION of range predicates: a file is
+    * opened only when its sidecar (min, max) overlaps EVERY bound — the
+    * multi-column zone-map read (Delta keeps per-file stats for 32
+    * columns; here each profiled column has its own sidecar, so adding a
+    * second column never re-profiles the first). A column without a
+    * sidecar simply doesn't prune (its predicate still applies), so
+    * degradation is extra I/O, never wrong rows. */
+  def readWhereAll(spark: SparkSession, table: String,
+                   bounds: Seq[(String, Any, Any)],
+                   version: Option[Long] = None): DataFrame = {
+    require(bounds.nonEmpty, "readWhereAll needs at least one bound")
     val snap = snapshot(spark, table, version)
     val fs = fsFor(spark, table)
-    val sp = statsPath(table, statsCol)
-    val statsMap: Map[String, (Any, Any)] =
-      if (!fs.exists(sp)) Map.empty
-      else spark.read.parquet(sp.toString)
-        .select(col("rel"), col("lo"), col("hi")).collect()
-        .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
-    def mayMatch(e: FileEntry): Boolean = statsMap.get(e.rel) match {
-      case Some((l, h)) if l != null && h != null =>
-        cmpAny(h, lo) >= 0 && cmpAny(l, hi) <= 0
-      case Some((l, h)) if l == null && h == null =>
-        false // all-null file: a range predicate can never select from it
-      case _ => true
+    val perCol = bounds.map { case (c, lo, hi) =>
+      val sp = statsPath(table, c)
+      val statsMap: Map[String, (Any, Any)] =
+        if (!fs.exists(sp)) Map.empty
+        else spark.read.parquet(sp.toString)
+          .select(col("rel"), col("lo"), col("hi")).collect()
+          .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+      (statsMap, lo, hi)
+    }
+    def mayMatch(e: FileEntry): Boolean = perCol.forall {
+      case (statsMap, lo, hi) => statsMap.get(e.rel) match {
+        case Some((l, h)) if l != null && h != null =>
+          cmpAny(h, lo) >= 0 && cmpAny(l, hi) <= 0
+        case Some((l, h)) if l == null && h == null =>
+          false // all-null file: a range predicate can never select from it
+        case _ => true
+      }
     }
     val kept = snap.entries.filter(mayMatch)
-    val pred = col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi)
+    val pred = bounds.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (kept.isEmpty) read(spark, table, version).filter(lit(false))
     else snap.schema.fold(spark.read)(spark.read.schema)
       .parquet(kept.map(e => s"$table/${e.rel}"): _*)
@@ -496,11 +515,15 @@ object TxTable {
     * read. This way the bucket survives as an ordinary column and no read
     * ever depends on directory-name inference. */
   private def stageFiles(spark: SparkSession, table: String,
-                         tagged: DataFrame): Seq[FileEntry] = {
+                         tagged: DataFrame,
+                         maxRecordsPerFile: Long = 0L): Seq[FileEntry] = {
     val rel = s"files/${java.util.UUID.randomUUID()}"
     val root = new Path(table, rel)
-    tagged.withColumn("__pb", col(LayoutOps.BucketCol))
-      .write.partitionBy("__pb").parquet(s"$table/$rel")
+    val writer = tagged.withColumn("__pb", col(LayoutOps.BucketCol)).write
+    (if (maxRecordsPerFile > 0)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .partitionBy("__pb").parquet(s"$table/$rel")
     val fs = fsFor(spark, table)
     fs.listStatus(root).filter(_.getPath.getName.startsWith("__pb="))
       .foreach { st =>
@@ -719,7 +742,56 @@ object TxTable {
     * untouched until [[vacuum]]. Returns the number of buckets compacted
     * at the version that finally committed. */
   def compact(spark: SparkSession, table: String,
-              maxFilesPerBucket: Int = 4, maxRetries: Int = 5): Int = {
+              maxFilesPerBucket: Int = 4, maxRetries: Int = 5): Int =
+    // one exchange on the bucket key → one task per bucket → one file
+    // per bucket; without it the rewrite inherits read parallelism and
+    // can fragment again
+    compactWith(spark, table, maxFilesPerBucket, maxRetries,
+      _.repartition(col(LayoutOps.BucketCol)), 0L)
+
+  /** [[compact]] with a Z-ORDER layout — the OPTIMIZE ZORDER BY idea from
+    * the public Delta playbook, both halves of which already existed here
+    * separately ([[LayoutOps.morton2]] clustering, the zone-map sidecar):
+    * fragmented buckets are rewritten clustered by the Morton interleave
+    * of `(aCol, bCol)` (normalized onto the 16-bit grid by the given
+    * layout-metadata bounds), and the (min, max) sidecars for BOTH
+    * columns are refreshed right after the commit, so [[readWhere]] /
+    * [[readWhereAll]] pruning improves as part of the same maintenance
+    * call.
+    *
+    * The rewrite keeps the bucket partitioning (key-pruned reads are
+    * untouched) and sorts by z WITHIN each bucket; `maxRecordsPerFile`
+    * rolls each bucket's sorted stream into several files, each covering
+    * a narrow z-range — which is precisely what makes the per-file
+    * (min, max) tight enough to skip. Same optimistic commit protocol as
+    * [[compact]]: concurrent writers retry, readers of older versions are
+    * untouched until [[vacuum]]. */
+  def compactZOrdered(spark: SparkSession, table: String,
+                      aCol: String, aLo: Double, aHi: Double,
+                      bCol: String, bLo: Double, bHi: Double,
+                      maxFilesPerBucket: Int = 4,
+                      maxRecordsPerFile: Long = 0L,
+                      maxRetries: Int = 5): Int = {
+    val n = compactWith(spark, table, maxFilesPerBucket, maxRetries,
+      df => df
+        .withColumn("__z", LayoutOps.morton2(
+          LayoutOps.normalize16(col(aCol), aLo, aHi),
+          LayoutOps.normalize16(col(bCol), bLo, bHi)))
+        .repartition(col(LayoutOps.BucketCol))
+        .sortWithinPartitions(col(LayoutOps.BucketCol), col("__z"))
+        .drop("__z"),
+      maxRecordsPerFile)
+    if (n > 0) { // incremental: profiles only the files the rewrite added
+      computeStats(spark, table, aCol)
+      computeStats(spark, table, bCol)
+    }
+    n
+  }
+
+  private def compactWith(spark: SparkSession, table: String,
+                          maxFilesPerBucket: Int, maxRetries: Int,
+                          layout: DataFrame => DataFrame,
+                          maxRecordsPerFile: Long): Int = {
     val fs = fsFor(spark, table)
     var attempt = 0
     while (true) {
@@ -730,13 +802,9 @@ object TxTable {
       if (fragmented.isEmpty) return 0
       val (toRewrite, untouched) =
         snap.entries.partition(e => fragmented(e.bucket))
-      // one exchange on the bucket key → one task per bucket → one file
-      // per bucket; without it the rewrite inherits read parallelism and
-      // can fragment again
-      val merged = snap.schema.fold(spark.read)(spark.read.schema)
-        .parquet(toRewrite.map(e => s"$table/${e.rel}"): _*)
-        .repartition(col(LayoutOps.BucketCol))
-      val newEntries = stageFiles(spark, table, merged)
+      val merged = layout(snap.schema.fold(spark.read)(spark.read.schema)
+        .parquet(toRewrite.map(e => s"$table/${e.rel}"): _*))
+      val newEntries = stageFiles(spark, table, merged, maxRecordsPerFile)
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = toRewrite.map(_.rel).toSet, schema = snap.schema))
         return fragmented.size

@@ -419,6 +419,76 @@ class TxTableSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("compactZOrdered: readWhere opens strictly fewer files after the rewrite; sidecars refresh in the same call") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    // every commit scatters x over the full [0, 255] range (37 is odd →
+    // bijection mod 256), so every pre-compact file overlaps any x bound
+    // and zone maps cannot skip a thing until the layout clusters
+    def batch(seed: Int) = (0 until 256).map { i =>
+      (s"k${seed}_$i", ((i * 37 + seed * 11) % 256).toLong,
+        ((i * 53 + seed * 7) % 256).toLong)
+    }.toDF("k", "x", "y").coalesce(2)
+    TxTable.init(spark, table, batch(0), "k", nBuckets = 4)
+    for (b <- 1 until 5)
+      TxTable.appendOnce(spark, table, batch(b), "k", 4, "zc", b - 1L)
+    TxTable.computeStats(spark, table, "x")
+    val before = TxTable.readWhere(spark, table, "x", 0L, 31L)
+    val beforeRows = before.select("k", "x", "y")
+      .as[(String, Long, Long)].collect().toSet
+    val beforeFiles = before.inputFiles.length
+    assert(beforeFiles > 4, s"fixture sanity: scattered layout, $beforeFiles")
+    val v = TxTable.snapshot(spark, table).version
+    val n = TxTable.compactZOrdered(spark, table, "x", 0, 255, "y", 0, 255,
+      maxFilesPerBucket = 2, maxRecordsPerFile = 80)
+    assert(n == 4, s"all four buckets were fragmented, compacted $n")
+    val after = TxTable.readWhere(spark, table, "x", 0L, 31L)
+    assert(after.select("k", "x", "y").as[(String, Long, Long)]
+      .collect().toSet == beforeRows, "rewrite must not change the data")
+    assert(after.inputFiles.length < beforeFiles,
+      s"z-ordered layout must prune: ${after.inputFiles.length} vs $beforeFiles")
+    // a reader pinned to the pre-compact version is untouched
+    assert(TxTable.read(spark, table, Some(v)).count() == 5L * 256)
+    // both sidecars were refreshed inside compactZOrdered
+    assert(TxTable.computeStats(spark, table, "x") == 0)
+    assert(TxTable.computeStats(spark, table, "y") == 0)
+  }
+
+  test("readWhereAll: conjunction pruning on a second column without re-profiling the first") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong, d * 2L))
+      .toDF("k", "day", "size")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "mc", 0L)
+    TxTable.appendOnce(spark, table, batch(200 until 300), "k", 4, "mc", 1L)
+    val all = TxTable.snapshot(spark, table).entries.size
+    assert(TxTable.computeStats(spark, table, "day") == all)
+    assert(TxTable.computeStats(spark, table, "size") == all)
+    assert(TxTable.computeStats(spark, table, "day") == 0,
+      "profiling a second column must not re-profile the first")
+    // both bounds inside commit 1's range: one fileset opened
+    val hit = TxTable.readWhereAll(spark, table,
+      Seq(("day", 120L, 180L), ("size", 240L, 360L)))
+    assert(hit.select("day").as[Long].collect().sorted.toSeq ==
+      (120L to 180L))
+    assert(hit.inputFiles.map(_.split("/files/")(1).split('/')(0))
+      .toSet.size == 1, "conjunction should open exactly one fileset")
+    // bounds individually satisfiable but jointly impossible: the
+    // conjunction of zone maps prunes EVERYTHING before any I/O
+    val none = TxTable.readWhereAll(spark, table,
+      Seq(("day", 120L, 180L), ("size", 500L, 590L)))
+    assert(none.count() == 0)
+    assert(none.inputFiles.isEmpty,
+      s"jointly-impossible bounds must open no files: ${none.inputFiles.toSeq}")
+    // equivalence with the unpruned conjunction on any bound
+    val a = TxTable.readWhereAll(spark, table,
+        Seq(("day", 95L, 205L), ("size", 300L, 380L)))
+      .select("k", "day", "size").as[(String, Long, Long)].collect().toSet
+    val b = TxTable.read(spark, table)
+      .filter($"day".between(95L, 205L) && $"size".between(300L, 380L))
+      .select("k", "day", "size").as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   test("schema evolution: appended/upserted columns widen the table; old rows read null") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
