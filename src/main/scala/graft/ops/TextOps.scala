@@ -370,9 +370,15 @@ object TextOps {
     * `broadcastQueries` (default true) covers the dominant case — up to
     * ~10⁶ (query, term) rows ride comfortably in a broadcast. For an
     * extreme query set (mining negatives for a whole corpus of queries),
-    * pass false: the identical plan degrades to shuffled equi-joins on
-    * `term` — more exchanges, never wrong, and AQE skew-splits a hot
-    * term the same way. */
+    * pass false: the plan degrades to shuffled equi-joins on `term`. In
+    * that mode each join's inputs carry a derived companion key (the
+    * [[graft.ops.DedupOps.duplicatedSpans]] `__ghx` trick): grouping /
+    * joining by (term, hash-of-term) leaves every output partitioned by a
+    * key the NEXT term-keyed join cannot reuse, so EnsureRequirements
+    * plants bare exchanges adjacent to every join — the only shape AQE's
+    * OptimizeSkewedJoin rewrites when a stopword-grade term goes hot
+    * (stress-pinned in ScaleStressSpec). One extra exchange per join vs
+    * the chained shape — the price of splittability. */
   def bm25TopDocsForQueries(docs: DataFrame, queries: DataFrame, k: Int = 10,
                             k1: Double = 1.2, b: Double = 0.75,
                             nDocsKnown: Option[Long] = None,
@@ -390,7 +396,14 @@ object TextOps {
     val qterms = queries.select(col("query_id"),
       explode(array_distinct(split(lower(col("query_text")), "\\s+")))
         .as("term"))
-    val allTerms = qterms.select(col("term")).distinct()
+    // __tx / __tx2 are derived functions of term (see the scaladoc): they
+    // only exist to deny partitioning reuse between consecutive term-keyed
+    // joins in the shuffled fallback; term-level semantics are unchanged
+    val tx = xxhash64(col("term"))
+    val allTerms =
+      if (broadcastQueries) qterms.select(col("term")).distinct()
+      else qterms.select(col("term"), tx.as("__tx")).distinct()
+        .select(col("term"))
     val postings = toks
       .select(col("doc_id"), size(col("toks")).as("dl"),
         explode(col("toks")).as("term"))
@@ -399,14 +412,23 @@ object TextOps {
     val tf = postings.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
     // vacuous tf >= 1 filter for the same ReuseExchange reason as in
     // [[bm25TopDocs]]: one postings scan + shuffle feeds both tf and df
-    val dfreq = tf.filter(col("tf") >= 1)
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq =
+      if (broadcastQueries)
+        tf.filter(col("tf") >= 1)
+          .groupBy("term").agg(count(lit(1)).as("df"))
+      else tf.filter(col("tf") >= 1)
+        .select(col("term"), tx.as("__tx"), xxhash64(tx).as("__tx2"))
+        .groupBy(col("term"), col("__tx"), col("__tx2"))
+        .agg(count(lit(1)).as("df"))
+        .select(col("term"), col("__tx"), col("df"))
     val idf = log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)
       + 1.0)
     val tfNorm = (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + (lit(b) * col("dl")) / avgdl))
-    val scored = tf
-      .join(if (broadcastQueries) broadcast(dfreq) else dfreq, Seq("term"))
+    val scored =
+      (if (broadcastQueries) tf.join(broadcast(dfreq), Seq("term"))
+       else tf.withColumn("__tx", tx).join(dfreq, Seq("term", "__tx"))
+         .drop("__tx"))
       .withColumn("s6", floor((idf * tfNorm) * 1e6 + 0.5).cast("long"))
     val perQueryDoc = scored
       .join(if (broadcastQueries) broadcast(qterms) else qterms, Seq("term"))

@@ -94,4 +94,65 @@ class ScaleStressSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
       s"per-query top-k lost its bounded heap at 10x:\n${p.take(4000)}")
   }
+
+  test("bm25 queryset shuffled fallback: a hot shared term is AQE-skew-split, results well-formed") {
+    // broadcastQueries = false is the extreme-query-set escape hatch (a
+    // whole corpus of mined queries): every query-side join degrades to a
+    // shuffled equi-join on `term`. A stopword-grade term shared by EVERY
+    // doc and EVERY query is then one shuffle key carrying |docs| rows —
+    // the plan must survive via AQE skew-split, exactly like the span
+    // specs pin for the gram join.
+    val conf = Seq(
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val nDocs = 100000
+      // every doc: the hot term + 3 docs-local tokens; every query: the
+      // hot term + one selective term -> the term-keyed joins all see one
+      // giant key next to uniform ones
+      val docsDf = spark.range(nDocs).select(
+        $"id".as("doc_id"),
+        concat(lit("the t"), $"id" % 97, lit(" u"), $"id" % 89,
+          lit(" v"), $"id" % 83).as("text"))
+      val queries = (1 to 8).map(q => (q.toLong, s"the t${q * 7}"))
+        .toDF("query_id", "query_text")
+      val out = TextOps.bm25TopDocsForQueries(docsDf, queries, k = 10,
+        nDocsKnown = Some(nDocs.toLong), avgdlKnown = Some(4.0),
+        broadcastQueries = false)
+      // collect THIS frame: the skew assertion must read the executed plan
+      // of the same query that ran (the SkewOpsSpec convention)
+      val got = out.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getLong(2), r.getDouble(3)))
+      assert(got.map(_._1).distinct.length == 8, "every query must rank docs")
+      got.groupBy(_._1).foreach { case (q, rs) =>
+        val sorted = rs.sortBy(_._2)
+        assert(sorted.length == 10 &&
+          sorted.map(_._2).toSeq == (1 to sorted.length),
+          s"query $q ranks malformed")
+        assert(sorted.map(_._4).sliding(2).forall(w =>
+          w.length < 2 || w(0) >= w(1)), s"query $q scores not sorted")
+        // the selective term dominates the stopword: the top docs must all
+        // contain the query's t-term (idf of 'the' is ~0 at df = nDocs)
+        val sel = (q * 7) % 97
+        assert(sorted.forall { case (_, _, d, _) => d % 97 == sel },
+          s"query $q top docs missed the selective term")
+      }
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"fallback: AQE did not skew-split the hot-term join:\n${p.take(4000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"fallback degenerated:\n${p.take(4000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }
