@@ -282,15 +282,29 @@ object SimilarityOps {
   /** The seeded Lloyd's fit behind [[ivfTopKKmeans]], extracted so callers
     * can stage it: the model is index-BUILD metadata (like PQ codebooks or
     * the LM table), not query work — a serving path fits once per corpus
-    * snapshot and answers queries against the staged centroids. */
-  def fitIvfKmeans(corpus: DataFrame, nCells: Int,
-                   seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel = {
+    * snapshot and answers queries against the staged centroids.
+    *
+    * `samplePct` bounds the index-build cost at scale: Lloyd's iterations
+    * scan the training set maxIter times, and centroid quality saturates
+    * far below 100 TB of vectors, so a production fit trains on a
+    * deterministic [[SampleOps.hashBucket]] slice — same rows every run,
+    * on any partitioning, so the fit (and every index built from it) is
+    * reproducible. Determinism + recall parity of the sampled fit are
+    * spec-pinned in ExtOpsSpec. */
+  def fitIvfKmeans(corpus: DataFrame, nCells: Int, seed: Long = 42L,
+                   samplePct: Int = 100): org.apache.spark.ml.clustering.KMeansModel = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(samplePct > 0 && samplePct <= 100,
+      s"samplePct must be in (0,100], got $samplePct")
+    val train =
+      if (samplePct >= 100) corpus
+      else SampleOps.sampleFraction(corpus, col("vec_id"), samplePct,
+        salt = "ivf-fit")
     new KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__fv").setPredictionCol("cell_id")
-      .fit(corpus.withColumn("__fv",
+      .fit(train.withColumn("__fv",
         array_to_vector(col("embedding").cast("array<double>"))))
   }
 
@@ -439,18 +453,28 @@ object SimilarityOps {
     * are `no_oracle` by the same contract as `ext_ann_ivf_kmeans`; the
     * recall improvement over the deterministic codebooks is spec-pinned. */
   def pqCodebooksKmeans(corpus: DataFrame, m: Int, k: Int,
-                        seed: Long = 42L): Array[Array[Array[Double]]] = {
+                        seed: Long = 42L,
+                        samplePct: Int = 100): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(samplePct > 0 && samplePct <= 100,
+      s"samplePct must be in (0,100], got $samplePct")
     val dims = corpus.select(size(col("embedding"))).head().getInt(0)
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val dsub = dims / m
+    // same bounded-build contract as [[fitIvfKmeans]]: codebook quality
+    // saturates on a deterministic hash sample long before full-corpus
+    // scale, and the sample is the same rows every run
+    val train =
+      if (samplePct >= 100) corpus
+      else SampleOps.sampleFraction(corpus, col("vec_id"), samplePct,
+        salt = "pq-fit")
     // one pass stages all m subvector columns, then m driver-side fits;
     // persist so the m fits don't rescan the corpus m times
     val subCols = (0 until m).map(s =>
       array_to_vector(slice(col("embedding"), s * dsub + 1, dsub)
         .cast("array<double>")).as(s"__s$s"))
-    val staged = OpsUtil.spread(corpus).select(subCols: _*).persist()
+    val staged = OpsUtil.spread(train).select(subCols: _*).persist()
     try {
       Array.tabulate(m) { s =>
         val model = new KMeans()

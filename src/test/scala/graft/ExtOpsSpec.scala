@@ -565,6 +565,35 @@ class ExtOpsSpec extends AnyFunSuite {
       s"legacy index should self-excise (documents the defense): $legacy")
   }
 
+  test("sampled k-means fits: deterministic rows, bounded build, recall holds on the fixture") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // IVF: the half-corpus hash-sample fit is bit-reproducible (same rows
+    // every run by construction) and its index still clears the same
+    // recall floor the full fit is pinned to
+    val m1 = SimilarityOps.fitIvfKmeans(emb, 16, samplePct = 50)
+    val m2 = SimilarityOps.fitIvfKmeans(emb, 16, samplePct = 50)
+    assert(m1.clusterCenters.map(_.toArray.toSeq).toSeq ==
+      m2.clusterCenters.map(_.toArray.toSeq).toSeq,
+      "sampled IVF fit must be deterministic")
+    val approx = SimilarityOps.ivfTopKWithModel(emb, queries, 5, m1, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"sampled-fit IVF recall $recall")
+    // PQ: sampled codebooks reproduce exactly and ADC ordering still
+    // beats the raw-ADC floor the full-fit codebooks are pinned to
+    val cb1 = SimilarityOps.pqCodebooksKmeans(emb, m = 8, k = 16, samplePct = 50)
+    val cb2 = SimilarityOps.pqCodebooksKmeans(emb, m = 8, k = 16, samplePct = 50)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb2.map(_.map(_.toSeq).toSeq).toSeq,
+      "sampled PQ codebooks must be deterministic")
+    val adc = SimilarityOps.pqTopK(emb, queries, 5, cb1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adcRecall = (adc & exact).size.toDouble / exact.size
+    assert(adcRecall >= 0.15, s"sampled-fit ADC recall $adcRecall")
+  }
+
   test("cell-pruned semantic decontamination: sound vs exact, full coverage, useful recall") {
     val corpus = emb.filter($"vec_id" % 10 =!= 7)
     val bench = emb.filter($"vec_id" % 10 === 7)
