@@ -204,7 +204,7 @@ object SimilarityOps {
       corpus.withColumn("cell_id", pick(col("embedding")))
         .select(col("vec_id"), col("embedding"), col("cell_id"))
     } else {
-      val csims = array(cents.map { case (_, c) =>
+      val csims = array(cents.toIndexedSeq.map { case (_, c) =>
         cosine(col("embedding"), typedlit(c)) }: _*)
       val ids = typedlit(cents.map(_._1))
       corpus
@@ -234,7 +234,7 @@ object SimilarityOps {
       base.withColumn("cell_id", explode(probe(col("query_vec"))))
         .select(col("query_id"), col("query_vec"), col("cell_id"))
     } else {
-      val ranked = array(cents.map { case (id, c) =>
+      val ranked = array(cents.toIndexedSeq.map { case (id, c) =>
         struct((-cosine(col("query_vec"), typedlit(c))).as("negsim"),
           lit(id).as("cell_id")) }: _*)
       base
