@@ -23,8 +23,11 @@ object TextOps {
 
   /** Ratio of punctuation characters to all characters. */
   def punctRatio(text: Column): Column =
+    // nullif guard: an empty document must score null (and fail a gate on
+    // the word count), not throw ANSI DIVIDE_BY_ZERO — a landing job hits
+    // the empty case whenever span excision consumes a whole doc
     (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
-      .cast("double") / length(text)
+      .cast("double") / nullif(length(text), lit(0))
 
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
     "in", "is", "it", "for", "on", "with", "as", "at", "by")
@@ -183,7 +186,8 @@ object TextOps {
     val symRatio = punctRatio(col("text")).as("symbol_ratio")
     val digRatio = ((length(col("text"))
       - length(regexp_replace(col("text"), "[0-9]", "")))
-      .cast("double") / length(col("text"))).as("digit_ratio")
+      .cast("double") / nullif(length(col("text")), lit(0)))
+      .as("digit_ratio")
     val stopRatio = (size(filter(col("__ltoks"),
       t => t.isin(Stopwords: _*))).cast("double") / n).as("stopword_ratio")
     // duplicate-trigram fraction: grams built by slicing the bound token

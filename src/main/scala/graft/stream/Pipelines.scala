@@ -415,16 +415,27 @@ object Pipelines {
     * hits) at any corpus age. The index stores `(doc_id, gh)` and the
     * probe excludes same-doc hits, so a torn batch (index appended,
     * checkpoint uncommitted) REPLAYS to the same excision instead of
-    * excising itself to nothing. `spanK` = 0 disables the stage. */
+    * excising itself to nothing. `spanK` = 0 disables the stage.
+    *
+    * `metricsPath`: when set, every micro-batch appends ONE audit row —
+    * (batch_id, n_in, n_quality, n_lm, n_span_cut, n_span_admitted,
+    * n_accepted) — the admission funnel a production landing job
+    * dashboards (what fraction died at which gate; a collapsing
+    * n_accepted/n_in ratio is the first sign of a poisoned source or a
+    * drifting LM threshold). Counts cost extra per-batch jobs, so the
+    * funnel is opt-in; a replayed batch re-appends under the SAME
+    * batch_id, so consumers read one row per batch_id (the same
+    * append-dedup contract as the corpus itself). */
   def prepIngest(docs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
                  corpusPath: String, indexPath: String, checkpoint: String,
                  maxNll: Double = 1.75, threshold: Double = 0.5,
                  num: Int = 64, bands: Int = 16, shingle: Int = 3,
                  portable: Boolean = false, spanK: Int = 8,
-                 spanIndexPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+                 spanIndexPath: Option[String] = None,
+                 metricsPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val cols = batch.columns.toSeq
         val sgPath = spanIndexPath.getOrElse(indexPath + "_spans")
@@ -435,8 +446,8 @@ object Pipelines {
         val gated = graft.ops.TextOps.lmScore(kept, lm)
           .filter(col("nll") <= maxNll)
           .select(cols.map(col): _*)
-        val admitted =
-          if (spanK <= 0) gated
+        val (admitted, nSpanCut) =
+          if (spanK <= 0) (gated, 0L)
           else {
             val sg = new org.apache.hadoop.fs.Path(sgPath)
             val sgExists = sg
@@ -454,10 +465,14 @@ object Pipelines {
                 col("text_clean")), Seq("doc_id"))
               .withColumn("text", when(col("n_removed") > 0, col("text_clean"))
                 .otherwise(col("text")))
-            graft.ops.TextOps.qualityFilter(rewritten,
+            val out = graft.ops.TextOps.qualityFilter(rewritten,
                 carry = cols.filterNot(_ == "doc_id") :+ "n_removed")
               .filter(col("n_removed") === 0 || col("keep"))
               .select(cols.map(col): _*)
+            val cut =
+              if (metricsPath.isEmpty) 0L
+              else rewritten.filter(col("n_removed") > 0).count()
+            (out, cut)
           }
         val accepted = graft.ops.DedupOps.ingestBatch(admitted, corpusPath,
           indexPath, threshold, num, bands, shingle, portable)
@@ -467,6 +482,14 @@ object Pipelines {
         if (spanK > 0)
           graft.ops.DedupOps.spanGramIndex(accepted, k = spanK)
             .write.mode("append").parquet(sgPath)
+        metricsPath.foreach { mp =>
+          import s.implicits._
+          Seq((batchId, batch.count(), kept.count(), gated.count(),
+              nSpanCut, admitted.count(), accepted.count()))
+            .toDF("batch_id", "n_in", "n_quality", "n_lm", "n_span_cut",
+              "n_span_admitted", "n_accepted")
+            .coalesce(1).write.mode("append").parquet(mp)
+        }
         accepted.unpersist(blocking = false)
         ()
       }

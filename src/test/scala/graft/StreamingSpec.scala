@@ -421,7 +421,8 @@ class StreamingSpec extends AnyFunSuite {
     val in = MemoryStream[(Long, String)]
     def run(): Unit = {
       val q = Pipelines.prepIngest(in.toDF().toDF("doc_id", "text"), lm,
-          corpus, index, ckpt, maxNll = maxNll)
+          corpus, index, ckpt, maxNll = maxNll,
+          metricsPath = Some(s"$tmp/metrics"))
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
@@ -445,7 +446,11 @@ class StreamingSpec extends AnyFunSuite {
     in.addData(
       (5L, s"$boiler with the data stream batch"),
       (6L, s"$boiler with $tail6"),
-      (7L, boiler))
+      // doc 7: 11 words of PURE boilerplate (doc 5's prefix) — long
+      // enough to clear the quality gate on entry, fully excised by the
+      // span stage, dropped by the re-applied quality gate on its empty
+      // remnant
+      (7L, s"$boiler with the"))
     run()
     val byId = spark.read.parquet(corpus).select("doc_id", "text")
       .as[(Long, String)].collect().toMap
@@ -485,6 +490,20 @@ class StreamingSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(1L, 5L, 6L, 8L))
     assert(spark.read.parquet(s"${index}_spans").count() == sgIdx.count(),
       "no-op replay must not regrow the span index")
+    // the audit funnel: one row per non-empty batch recording how many
+    // docs survived each gate — (n_in, n_quality, n_lm, n_span_cut,
+    // n_span_admitted, n_accepted) per batch in order
+    val funnel = spark.read.parquet(s"$tmp/metrics")
+      .select($"batch_id", $"n_in", $"n_quality", $"n_lm", $"n_span_cut",
+        $"n_span_admitted", $"n_accepted")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+      .filter(_._2 > 0).sortBy(_._1).map(r => (r._2, r._3, r._4, r._5, r._6, r._7))
+    assert(funnel.toSeq == Seq(
+      (3L, 2L, 1L, 0L, 1L, 1L), // good in; tooShort quality-dies; gibberish LM-dies
+      (1L, 1L, 1L, 0L, 1L, 0L), // goodDup survives gates, near-dup-rejected
+      (3L, 3L, 3L, 2L, 2L, 2L), // 6 cut + admitted, 7 fully excised
+      (1L, 1L, 1L, 1L, 1L, 1L)  // 8 cross-batch cut, tail admitted
+    ), s"funnel mismatch: ${funnel.toSeq}")
   }
 
   test("embedIngest: vector micro-batches admit against the staged band index") {
