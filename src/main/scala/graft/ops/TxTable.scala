@@ -788,6 +788,45 @@ object TxTable {
     n
   }
 
+  /** Change the table's bucket count in ONE commit — partition evolution
+    * for the bucketed layout (the rebucket/OPTIMIZE migration every
+    * bucketed table format eventually needs): every live file is read
+    * once, re-hashed on the SAME key into `newBuckets` buckets, staged as
+    * a fresh file set, and published via the optimistic protocol with
+    * every old file removed. (key, nBuckets) is part of the table's
+    * identity (see [[readKeys]]); this is the migration that changes it —
+    * callers switch their nBuckets after the commit, readers of OLDER
+    * versions keep the old layout (time travel intact until [[vacuum]]),
+    * and a concurrent writer that wins the commit race is re-read and
+    * re-bucketed on retry. Cost: one full table rewrite — the explicit,
+    * unhidden price of re-partitioning; schedule it like any maintenance
+    * commit. Returns the version the migration committed at. */
+  def rebucket(spark: SparkSession, table: String, key: String,
+               newBuckets: Int, maxRetries: Int = 5): Long = {
+    require(newBuckets > 0, s"newBuckets must be positive, got $newBuckets")
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      val re = snap.schema.fold(spark.read)(spark.read.schema)
+        .parquet(snap.entries.map(e => s"$table/${e.rel}"): _*)
+        .withColumn(LayoutOps.BucketCol,
+          LayoutOps.bucketId(col(key), newBuckets))
+        .repartition(col(LayoutOps.BucketCol))
+      val newEntries = stageFiles(spark, table, re)
+      if (commitNext(fs, table, snap, adds = newEntries,
+          removes = snap.entries.map(_.rel).toSet, schema = snap.schema))
+        return snap.version + 1
+      newEntries.map(_.rel.split('/')(1)).distinct
+        .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: rebucket lost the commit race $maxRetries times")
+    }
+    0L // unreachable
+  }
+
   private def compactWith(spark: SparkSession, table: String,
                           maxFilesPerBucket: Int, maxRetries: Int,
                           layout: DataFrame => DataFrame,

@@ -489,6 +489,39 @@ class TxTableSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("rebucket: one-commit bucket-count migration; old versions keep the old layout") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    def batch(r: Range) = r.map(d => (s"k$d", d.toLong)).toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "rb", 0L)
+    val vOld = TxTable.snapshot(spark, table).version
+    val oldState = TxTable.read(spark, table)
+      .select("k", "day").as[(String, Long)].collect().toSet
+    // point lookups work with the CURRENT identity (key, 4)
+    assert(TxTable.readKeys(spark, table, "k", Seq("k42", "k150"), 4)
+      .select("day").as[Long].collect().toSet == Set(42L, 150L))
+    val vNew = TxTable.rebucket(spark, table, "k", newBuckets = 8)
+    assert(vNew == vOld + 1, "migration must be exactly one commit")
+    // identical data under the new layout, buckets in the new range
+    assert(TxTable.read(spark, table)
+      .select("k", "day").as[(String, Long)].collect().toSet == oldState)
+    val buckets = TxTable.snapshot(spark, table).entries.map(_.bucket).toSet
+    assert(buckets.max < 8 && buckets.size > 4,
+      s"expected an 8-bucket layout, got $buckets")
+    // the table's identity is now (k, 8): lookups hit under the new count
+    assert(TxTable.readKeys(spark, table, "k", Seq("k42", "k150"), 8)
+      .select("day").as[Long].collect().toSet == Set(42L, 150L))
+    // a reader pinned BEFORE the migration still uses the old layout
+    assert(TxTable.readKeys(spark, table, "k", Seq("k42"), 4, Some(vOld))
+      .select("day").as[Long].collect().toSet == Set(42L))
+    assert(TxTable.read(spark, table, Some(vOld))
+      .select("k", "day").as[(String, Long)].collect().toSet == oldState)
+    // writers continue onto the new layout
+    TxTable.appendOnce(spark, table, batch(200 until 210), "k", 8, "rb", 1L)
+    assert(TxTable.readKeys(spark, table, "k", Seq("k205"), 8)
+      .select("day").as[Long].collect().toSet == Set(205L))
+  }
+
   test("schema evolution: appended/upserted columns widen the table; old rows read null") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
