@@ -342,6 +342,16 @@ object SparkEntry {
          |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          |  GROUP BY 1, 2""".stripMargin
     Map(
+      // mixture APPLY replay: the plan CTE is the mixture-weights oracle
+      // verbatim; the keep rule is the same md5 micro-bucket the Spark
+      // side computes, at sample_frac's own 1e-6 quantization
+      "ext_mixture_resample" ->
+        s"""WITH plan AS (SELECT * FROM (${extOracles("ext_mixture_weights")}) t)
+           |SELECT d.doc_id, d.lang, d.n_chars
+           |FROM documents d JOIN plan p ON p.stratum = d.lang
+           |WHERE CAST(('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+           |  < CAST(FLOOR(p.sample_frac * 1000000 + 0.5) AS BIGINT)
+           |ORDER BY d.doc_id""".stripMargin,
       "ext_ann_recall" ->
         s"""WITH exact AS (SELECT * FROM (${ext("ext_ann_topk")}) t),
            |ivf AS (SELECT * FROM (${ext("ext_ann_ivf")}) t),
@@ -1820,6 +1830,21 @@ object SparkEntry {
           col("n_chars"), Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.15,
             "de" -> 0.15, "zh" -> 0.1))
         .orderBy(col("stratum"))
+    }),
+
+    // Mixture APPLY — the data-mixing step itself: the mixtureWeights
+    // plan resamples the corpus to the target mix, each doc kept iff its
+    // md5 micro-bucket falls under its language's sample_frac. One
+    // broadcast join + a row-local integer predicate, no shuffle;
+    // deterministic end to end, so the mixed corpus oracle-replays.
+    "ext_mixture_resample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val plan = ops.SampleOps.mixtureWeights(docs, col("lang"),
+        col("n_chars"), Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.15,
+          "de" -> 0.15, "zh" -> 0.1))
+      ops.SampleOps.mixtureResample(docs, col("lang"), col("doc_id"), plan)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }),
 
     // Deterministic shuffle-and-shard — the write-training-shards step:

@@ -121,6 +121,30 @@ object SampleOps {
         col("target_share"), col("mix_total"), col("sample_frac"))
   }
 
+  /** APPLY a mixture plan — the step that turns [[mixtureWeights]]'
+    * target fractions into an actual resampled corpus: each row keeps iff
+    * its md5 micro-bucket (1e-6 granularity, matching `sample_frac`'s own
+    * quantization) falls under its stratum's fraction. Same determinism
+    * contract as [[hashBucket]] at finer resolution: row-local,
+    * engine-portable, re-runs select the SAME rows, so the mixed corpus
+    * is a pure function of (corpus, plan, salt). Strata absent from the
+    * plan drop entirely (they had no target share). The plan is one row
+    * per stratum — broadcast; the filter is exact integer math, so the
+    * whole resample is one broadcast join + a codegen'd row-local
+    * predicate, no shuffle at any corpus size. */
+  def mixtureResample(df: DataFrame, stratum: Column, key: Column,
+                      plan: DataFrame, salt: String = "mix"): DataFrame = {
+    val cols = df.columns.toSeq
+    val p = broadcast(plan.select(col("stratum").as("__mix_stratum"),
+      floor(col("sample_frac") * 1e6 + 0.5).cast("long").as("__mix_keep")))
+    val h6 = pmod(conv(substring(md5(concat_ws("|", lit(salt),
+      key.cast("string"))), 1, 15), 16, 10).cast("long"), lit(1000000L))
+    df.withColumn("__mix_stratum", stratum)
+      .join(p, Seq("__mix_stratum"))
+      .filter(h6 < col("__mix_keep"))
+      .select(cols.map(col): _*)
+  }
+
   /** Deterministic corpus shuffle-and-shard — the last step before
     * training: assign every row a shard and a within-shard order, both
     * pure md5 functions of (salt, key), so the "random" order is

@@ -565,6 +565,31 @@ class ExtOpsSpec extends AnyFunSuite {
       s"legacy index should self-excise (documents the defense): $legacy")
   }
 
+  test("mixtureResample: binding stratum kept whole, keep rates track the plan") {
+    import graft.ops.SampleOps
+    val targets = Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.15,
+      "de" -> 0.15, "zh" -> 0.1)
+    val plan = SampleOps.mixtureWeights(docs, $"lang", $"n_chars", targets)
+    val fracs = plan.select($"stratum", $"sample_frac")
+      .as[(String, Double)].collect().toMap
+    assert(fracs.values.exists(_ == 1.0), "a binding stratum must keep 1.0")
+    val before = docs.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    val mixed = SampleOps.mixtureResample(docs, $"lang", $"doc_id", plan)
+    val after = mixed.groupBy($"lang").count()
+      .as[(String, Long)].collect().toMap
+    fracs.foreach { case (lang, f) =>
+      val kept = after.getOrElse(lang, 0L).toDouble / before(lang)
+      if (f == 1.0) assert(kept == 1.0, s"binding stratum $lang lost docs")
+      else assert(math.abs(kept - f) < 0.15,
+        s"$lang kept $kept of docs vs planned $f")
+    }
+    // re-runs select the same rows (pure function of corpus, plan, salt)
+    val again = SampleOps.mixtureResample(docs, $"lang", $"doc_id", plan)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == mixed.select($"doc_id").as[Long].collect().toSet)
+  }
+
   test("sampled k-means fits: deterministic rows, bounded build, recall holds on the fixture") {
     val queries = emb.filter($"vec_id" < 10)
     val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
