@@ -342,6 +342,21 @@ object SparkEntry {
          |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
          |  GROUP BY 1, 2""".stripMargin
     Map(
+      // LM threshold-sweep replay: the scored CTE is the lm-score oracle
+      // verbatim; each threshold's pass count is a filtered aggregate
+      // over the same 6 dp nll values
+      "ext_lm_threshold_sweep" ->
+        s"""WITH scored AS (SELECT * FROM (${extOracles("ext_text_lm_score")}) t),
+           |thr(threshold) AS (VALUES (1.5), (1.75), (2.0), (2.25), (2.5),
+           |                          (2.75), (3.0))
+           |SELECT t.threshold,
+           |  CAST(COUNT(*) FILTER (WHERE s.nll6 <= t.threshold) AS BIGINT) AS n_pass,
+           |  COUNT(*) AS n_docs,
+           |  FLOOR(CAST(COUNT(*) FILTER (WHERE s.nll6 <= t.threshold) AS DOUBLE)
+           |    / COUNT(*) * 1000000 + 0.5) / 1000000 AS pass_rate6
+           |FROM scored s CROSS JOIN thr t
+           |GROUP BY t.threshold
+           |ORDER BY t.threshold""".stripMargin,
       // mixture APPLY replay: the plan CTE is the mixture-weights oracle
       // verbatim; the keep rule is the same md5 micro-bucket the Spark
       // side computes, at sample_frac's own 1e-6 quantization
@@ -1721,6 +1736,19 @@ object SparkEntry {
           (length(col("text")) - 1).cast("long").as("n_bigrams"),
           round6(col("nll")).as("nll6"))
         .orderBy(col("doc_id"))
+    }),
+
+    // LM-gate threshold sweep — the maxNll tuning artifact: pass counts
+    // and corpus fractions for a grid of candidate gates, ALL from one
+    // aggregation scan (conditional sums + a driver-side stack).
+    // Thresholds are exactly-representable quarters compared on 6 dp
+    // nll, so the report oracle-replays bit-for-bit.
+    "ext_lm_threshold_sweep" -> ((s, dir) => {
+      val lm = stagedCharLM(s, dir)
+      ops.TextOps.lmThresholdSweep(
+          tbl(s, dir, "documents").filter(length(col("text")) >= 2), lm,
+          Seq(1.5, 1.75, 2.0, 2.25, 2.5, 2.75, 3.0))
+        .orderBy(col("threshold"))
     }),
 
     // End-to-end corpus prep — the composition a training-data pipeline

@@ -447,6 +447,41 @@ object TextOps {
         (col("s6sum").cast("double") / 1e6).as("score6"), col("n_terms"))
   }
 
+  /** LM-gate threshold sweep — the tuning artifact behind
+    * [[graft.stream.Pipelines.prepIngest]]'s `maxNll`: for each candidate
+    * threshold, how many documents pass the perplexity gate and what
+    * fraction of the corpus that is. Choosing the gate IS a
+    * threshold-vs-yield trade, and a production pipeline re-runs this
+    * sweep whenever the reference slice or the corpus mix drifts.
+    *
+    * ONE aggregation scan: every threshold is a conditional sum inside a
+    * single global aggregate (map-side combined), then a driver-side
+    * `stack` reshapes the 1-row wide result to long form — no
+    * per-threshold rescans, no extra shuffle at any corpus size.
+    * Comparisons use the 6 dp rounded nll (the cross-engine granularity)
+    * and exactly-representable thresholds, so the report oracle-replays
+    * bit-for-bit. */
+  def lmThresholdSweep(docs: DataFrame, lm: CharBigramLM,
+                       thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    require(thresholds == thresholds.sorted && thresholds.distinct == thresholds,
+      s"thresholds must be sorted and distinct, got $thresholds")
+    val scored = lmScore(docs, lm)
+      .select((floor(col("nll") * 1e6 + 0.5).cast("double") / 1e6).as("nll6"))
+    val aggs = count(lit(1)).as("n_docs") +:
+      thresholds.zipWithIndex.map { case (t, i) =>
+        sum(when(col("nll6") <= t, 1L).otherwise(0L)).as(s"__p$i") }
+    val stackArgs = thresholds.zipWithIndex
+      .map { case (t, i) => s"CAST($t AS DOUBLE), __p$i" }.mkString(", ")
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${thresholds.size}, $stackArgs)" +
+        " as (threshold, n_pass)"), col("n_docs"))
+      .withColumn("pass_rate6",
+        floor(col("n_pass") / col("n_docs") * 1e6 + 0.5).cast("double") / 1e6)
+      .select(col("threshold"), col("n_pass"), col("n_docs"),
+        col("pass_rate6"))
+  }
+
   /** Character-bigram language model with add-one smoothing — the CCNet
     * quality-filter shape: train on a trusted reference slice, score every
     * candidate document by average negative log-likelihood (nats/bigram);

@@ -191,6 +191,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(!p.contains("Subquery"), s"corpus stats not staged:\n$p")
   }
 
+  test("lm threshold sweep: one corpus scan, one global aggregate, stack reshape") {
+    val p = plan("ext_lm_threshold_sweep")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"sweep must read the corpus exactly once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"all thresholds must ride ONE partial+final aggregate:\n$p")
+    assert(p.contains("Generate"), s"long-form reshape must be a stack:\n$p")
+  }
+
   test("bm25 rank window keeps its non-foldable partition key") {
     // ext_text_bm25 drops the rank column (the window prunes away there);
     // rank consumers (hybrid fusion) see this plan, where the constant
