@@ -1167,6 +1167,15 @@ object SparkEntry {
         .orderBy(col("h"))
     }),
 
+    // Per-source duplication rates — the report mixture planning reads
+    // BEFORE weighting sources (a 40%-duplicate source carries 40% less
+    // unique mass than its row count claims). Exact-dedup plan + a
+    // bounded per-source rollup; fully oracle-replayed.
+    "ext_dedup_rates" -> ((s, dir) => {
+      ops.DedupOps.dedupRates(tbl(s, dir, "documents"), stratum = "source")
+        .orderBy(col("source"))
+    }),
+
     // MinHash + LSH near-dup pairs with the portable (md5-derived) family,
     // so the ENTIRE pipeline — shingling, rolling gram hashes, 64 permuted
     // minima, banding, estimate — is DuckDB-oracle-checked. The xxhash64
@@ -3411,6 +3420,26 @@ object SparkEntry {
         |FROM documents
         |GROUP BY 1
         |ORDER BY h""".stripMargin,
+
+    "ext_dedup_rates" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+        |  FROM documents
+        |), first AS (
+        |  SELECT h, MIN(doc_id) AS keep_id FROM fp GROUP BY h
+        |), agg AS (
+        |  SELECT fp.source, COUNT(*) AS n_docs,
+        |    CAST(SUM(CASE WHEN fp.doc_id <> f.keep_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_dups
+        |  FROM fp JOIN first f USING (h)
+        |  GROUP BY fp.source
+        |)
+        |SELECT source, n_docs, n_dups,
+        |  FLOOR(CAST(n_dups AS DOUBLE) / n_docs * 1000000 + 0.5) / 1000000
+        |    AS dup_rate6
+        |FROM agg
+        |ORDER BY source""".stripMargin,
 
     "ext_dedup_ngram_jaccard" ->
       """WITH docs AS (

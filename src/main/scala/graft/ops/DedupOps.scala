@@ -96,6 +96,31 @@ object DedupOps {
       .groupBy("h")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Per-stratum exact-duplication rates — the report mixture planning
+    * consumes BEFORE weighting sources (a source that is 40% duplicates
+    * contributes 40% less unique mass than its row count claims; feeding
+    * raw counts into [[SampleOps.mixtureWeights]] over-weights it). A doc
+    * is a duplicate when its normalized-text md5 was already seen at a
+    * lower doc_id — the library-wide keep-first convention, same
+    * fingerprint as [[exactTextGroups]].
+    *
+    * Scale shape: one fingerprint aggregate (map-side combined) + an
+    * equi-join back on the 16-byte hash + one stratum aggregate — the
+    * exact-dedup plan plus a bounded per-source rollup, portable to the
+    * oracle end to end. */
+  def dedupRates(docs: DataFrame, stratum: String = "source"): DataFrame = {
+    val fp = OpsUtil.spread(docs).select(col("doc_id"), col(stratum),
+      md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("h"))
+    val first = fp.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    fp.join(first, Seq("h"))
+      .groupBy(col(stratum))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .withColumn("dup_rate6",
+        floor(col("n_dups") / col("n_docs") * 1e6 + 0.5).cast("double") / 1e6)
+  }
+
   // --- MinHash + LSH ----------------------------------------------------
 
   /** Prime just above 2^32. The modulus MUST be smaller than a*h's range so
