@@ -357,6 +357,21 @@ object SparkEntry {
            |FROM scored s CROSS JOIN thr t
            |GROUP BY t.threshold
            |ORDER BY t.threshold""".stripMargin,
+      // LSH recall replay: exact@3 is the brute-force replay cut at rank 3
+      // (same ordering, so top-3 of top-5 IS exact top-3); the lsh leg is
+      // the kNN-join replay sliced to the query ids
+      "ext_ann_recall_lsh" ->
+        s"""WITH exact AS (SELECT * FROM (${ext("ext_ann_topk")}) t WHERE rank <= 3),
+           |lsh AS (SELECT * FROM (${ext("ext_knn_join")}) t WHERE query_id < 10)
+           |SELECT 'lsh' AS method, e.query_id,
+           |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |  COUNT(*) AS n_exact,
+           |  FLOOR(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / COUNT(*) * 1000000 + 0.5) / 1000000 AS recall6
+           |FROM exact e LEFT JOIN lsh a
+           |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+           |GROUP BY e.query_id
+           |ORDER BY e.query_id""".stripMargin,
       // mixture APPLY replay: the plan CTE is the mixture-weights oracle
       // verbatim; the keep rule is the same md5 micro-bucket the Spark
       // side computes, at sample_frac's own 1e-6 quantization
@@ -1372,6 +1387,23 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round6(col("sim")).as("sim6"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-index recall monitoring — the corpus-scale index (banded SRP
+    // kNN join) measured against brute force on a query slice, the same
+    // report shape as ext_ann_recall. An LSH index can silently LOSE
+    // queries (empty buckets); the report surfaces them as recall 0.
+    "ext_ann_recall_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.recallReport(
+          SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+            k = 3),
+          Seq("lsh" -> SimilarityOps.knnJoinLsh(emb, k = 3)
+            .filter(col("query_id") < 10)),
+          k = 3)
+        .select(col("method"), col("query_id"), col("hits"), col("n_exact"),
+          round6(col("recall")).as("recall6"))
+        .orderBy(col("query_id"))
     }),
 
     // ANN index-quality monitoring: recall@5 of every deterministic
