@@ -357,6 +357,16 @@ object SparkEntry {
            |FROM scored s CROSS JOIN thr t
            |GROUP BY t.threshold
            |ORDER BY t.threshold""".stripMargin,
+      // leak-free split replay: component labels come verbatim from the
+      // connected-components oracle; the side is the same salted md5
+      // bucket of the component id the Spark hashBucket computes
+      "ext_split_leakfree" ->
+        s"""WITH comp AS (SELECT * FROM (${ext("ext_dedup_components")}) t)
+           |SELECT doc_id, component,
+           |  CASE WHEN CAST(('0x' || substr(md5('lf|' || CAST(component AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+           |       THEN 'holdout' ELSE 'train' END AS split
+           |FROM comp
+           |ORDER BY doc_id""".stripMargin,
       // LSH recall replay: exact@3 is the brute-force replay cut at rank 3
       // (same ordering, so top-3 of top-5 IS exact top-3); the lsh leg is
       // the kNN-join replay sliced to the query ids
@@ -1548,6 +1558,26 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("label"), col("doc_id")).as("component"))
         .withColumn("is_representative", col("doc_id") === col("component"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Leak-free holdout split — the near-dup COMPONENT is the unit of
+    // assignment, so clusters land whole on one side and no eval doc has
+    // a training-set near-duplicate (the split-before-dedup mistake,
+    // fixed structurally). Same staged pair table as ext_dedup_components;
+    // deterministic md5 bucket on the component id (oracle-replayed).
+    "ext_split_leakfree" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairsPath =
+        s"target/graft-stage/${new java.io.File(dir).getName}/ngram_pairs"
+      ensureStaged(pairsPath) {
+        ops.DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+          .select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(pairsPath)
+      }
+      ops.DedupOps.componentSplit(docs, s.read.parquet(pairsPath),
+          holdoutPct = 20, salt = "lf")
+        .select(col("doc_id"), col("component"), col("split"))
         .orderBy(col("doc_id"))
     }),
 

@@ -854,6 +854,34 @@ object DedupOps {
     } finally { banded.unpersist(blocking = false); () }
   }
 
+  /** Leak-free train/holdout split: the unit of assignment is the
+    * near-dup COMPONENT, not the document — two near-duplicates on
+    * opposite sides of a holdout leak evaluation text into training (the
+    * classic split-before-dedup mistake, which no amount of later
+    * deduplication repairs because the split already memorized the
+    * assignment). Every member of a cluster rides its component id
+    * through the same deterministic md5 bucket
+    * ([[SampleOps.hashBucket]]), so clusters land WHOLE on one side;
+    * singletons ride their own doc_id, giving the identical marginal
+    * distribution to the doc-keyed [[SampleOps.trainHoldoutSplit]].
+    *
+    * Scale shape: CC labels are |docs-in-pairs| rows (tiny next to the
+    * corpus), one left equi-join, then a row-local bucket — the same
+    * cost as the canonical-election labeling. Deterministic end to end
+    * (md5 bucket over the oracle-replayable component ids). */
+  def componentSplit(docs: DataFrame, pairs: DataFrame, holdoutPct: Int,
+                     salt: String = "split"): DataFrame = {
+    require(holdoutPct >= 0 && holdoutPct <= 100,
+      s"holdoutPct must be in [0,100], got $holdoutPct")
+    val comp = connectedComponents(pairs)
+    docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("label"), col("doc_id")))
+      .drop("label")
+      .withColumn("split",
+        when(SampleOps.hashBucket(col("component"), salt) < holdoutPct,
+          "holdout").otherwise("train"))
+  }
+
   // --- canonical representative per near-dup cluster --------------------
 
   /** Resolve near-dup clusters to keep/drop decisions — the step that turns

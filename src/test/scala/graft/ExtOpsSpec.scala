@@ -565,6 +565,29 @@ class ExtOpsSpec extends AnyFunSuite {
       s"legacy index should self-excise (documents the defense): $legacy")
   }
 
+  test("componentSplit: no near-dup pair straddles the holdout boundary") {
+    import graft.ops.SampleOps
+    val subset = docs.filter($"doc_id" < 1000)
+    val pairs = DedupOps.ngramJaccardPairs(subset, n = 3, threshold = 0.3)
+      .select($"doc_a", $"doc_b")
+    val split = DedupOps.componentSplit(subset, pairs, holdoutPct = 20,
+        salt = "lf")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val ps = pairs.as[(Long, Long)].collect()
+    assert(ps.nonEmpty, "fixture must contain near-dup pairs")
+    assert(ps.forall { case (a, b) => split(a) == split(b) },
+      "a near-dup pair crossed the split — evaluation leak")
+    assert(split.values.toSet == Set("train", "holdout"),
+      "both sides must be populated")
+    // the doc-keyed split WOULD leak on this fixture — the failure mode
+    // the component key exists to prevent (deterministic: if the fixture
+    // ever stops leaking naively, strengthen it, don't weaken this pin)
+    val naive = SampleOps.trainHoldoutSplit(subset, $"doc_id", 20, "lf")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(ps.exists { case (a, b) => naive(a) != naive(b) },
+      "fixture sanity: the doc-keyed split should cross at least one pair")
+  }
+
   test("mixtureResample: binding stratum kept whole, keep rates track the plan") {
     import graft.ops.SampleOps
     val targets = Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.15,
