@@ -417,6 +417,23 @@ object DedupOps {
     labels
   }
 
+  /** [[connectedComponents]] with the cache handle RESOLVED instead of
+    * handed to the caller: the label fixpoint is materialized to a
+    * lineage-truncated local checkpoint (one pass over the already-cached
+    * frame) and the loop's persist is released before returning. The
+    * checkpoint blocks are ContextCleaner-managed — freed when the frame
+    * is garbage-collected — so embedding the result in a long-lived lazy
+    * DataFrame pins nothing in the session cache. Labels are
+    * |docs-in-pairs| rows (bounded metadata next to the corpus); on
+    * executor loss the non-replayable checkpoint fails the job loudly and
+    * a re-run rebuilds it — the right trade for a frame this small. */
+  def materializedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter)
+    val out = cc.localCheckpoint(eager = true)
+    cc.unpersist(blocking = false)
+    out
+  }
+
   // --- corpus-level span dedup (C4-style) -------------------------------
 
   /** Global exact span dedup with document reassembly — the C4 recipe
@@ -645,7 +662,13 @@ object DedupOps {
     * replay defense: a replayed micro-batch whose own grams already
     * reached the index re-derives exactly its first-attempt excision
     * instead of excising itself to nothing. A bare `gh`-only index (older
-    * staged artifacts) still probes, without the replay defense. */
+    * staged artifacts) still probes, without the replay defense. The
+    * owner comparison is NULL-SAFE: a mixed index directory (legacy
+    * gh-only files merged with (doc_id, gh) files resolves legacy rows to
+    * doc_id = null), and a null-unsafe `=!=` would evaluate to null there,
+    * silently dropping every pre-upgrade gram from matching. With `<=>`
+    * an unknown owner counts as a foreign-document hit — the conservative
+    * reading: the corpus saw that substring first. */
   def exciseAgainstIndex(batch: DataFrame, index: DataFrame,
                          k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -658,7 +681,7 @@ object DedupOps {
         val idx = index.select(col("gh").as("__igh"),
           col("doc_id").as("__isrc")).distinct()
         grams.join(idx, col("gh") === col("__igh") &&
-            col("doc_id") =!= col("__isrc"))
+            !(col("doc_id") <=> col("__isrc")))
           .select(col("doc_id"), col("pos"))
       } else
         grams.join(index.select(col("gh")).distinct(), Seq("gh"))
@@ -868,12 +891,15 @@ object DedupOps {
     * Scale shape: CC labels are |docs-in-pairs| rows (tiny next to the
     * corpus), one left equi-join, then a row-local bucket — the same
     * cost as the canonical-election labeling. Deterministic end to end
-    * (md5 bucket over the oracle-replayable component ids). */
+    * (md5 bucket over the oracle-replayable component ids). The CC
+    * labels are materialized ([[materializedComponents]]) before being
+    * embedded in the returned lazy frame, so this call leaves NOTHING
+    * pinned in the session cache — callers need no unpersist. */
   def componentSplit(docs: DataFrame, pairs: DataFrame, holdoutPct: Int,
                      salt: String = "split"): DataFrame = {
     require(holdoutPct >= 0 && holdoutPct <= 100,
       s"holdoutPct must be in [0,100], got $holdoutPct")
-    val comp = connectedComponents(pairs)
+    val comp = materializedComponents(pairs)
     docs.join(comp, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("label"), col("doc_id")))
       .drop("label")
@@ -895,9 +921,10 @@ object DedupOps {
     * Scale shape: the CC labels table is |docs-in-pairs| rows (tiny next to
     * the corpus), the label join is an equi-join, and both window columns
     * (rank, member count) share one partitioning on `component` — one
-    * shuffle past the join. */
+    * shuffle past the join. CC labels are materialized
+    * ([[materializedComponents]]) — nothing stays pinned in the cache. */
   def canonicalDocs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val comp = connectedComponents(pairs)
+    val comp = materializedComponents(pairs)
     val w = Window.partitionBy(col("component"))
     docs.select(col("doc_id"), col("n_chars"))
       .join(comp, Seq("doc_id"), "left")

@@ -53,7 +53,14 @@ object SampleOps {
     *
     * Scale shape: scoring is row-local; selection is the `row_number ≤ k`
     * pattern Spark plans as a partial WindowGroupLimit bounded heap, so
-    * the exchange carries ≤ k rows per input partition per stratum. */
+    * the exchange carries ≤ k rows per input partition per stratum. The
+    * partition spec composes a non-foldable always-zero guard
+    * (`pmod(xxhash64(key), 1)`) with the stratum: a caller passing a
+    * LITERAL stratum (a global weighted sample) would otherwise have the
+    * constant folded away, degrading to an unpartitioned window — one
+    * partition holding the whole corpus. The guard keeps WindowExec on
+    * the partitioned, WindowGroupLimit-capped path in both cases without
+    * changing which rows group together. */
   def weightedSample(df: DataFrame, key: Column, weight: Column,
                      stratum: Column, k: Int, salt: String = ""): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -67,7 +74,8 @@ object SampleOps {
     df.filter(weight.isNotNull && weight > 0)
       .withColumn("__pri", log(u) / weight)
       .withColumn("__rk", row_number().over(
-        Window.partitionBy(stratum).orderBy(col("__pri").desc, key)))
+        Window.partitionBy(stratum, pmod(xxhash64(key), lit(1L)))
+          .orderBy(col("__pri").desc, key)))
       .filter(col("__rk") <= k)
       .drop("__pri", "__rk")
   }

@@ -56,9 +56,13 @@ object TxTable {
 
   /** A resolved table version: manifest number + its file list + the
     * table schema as of that version (None only for pre-evolution v1
-    * manifests, where the schema lives in parquet footers). */
+    * manifests, where the schema lives in parquet footers) + the bucket
+    * identity `(key, nBuckets)` the version's files were hashed with
+    * (None for pre-identity manifests, where identity is out-of-band
+    * caller knowledge). */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
-                            schema: Option[StructType] = None) {
+                            schema: Option[StructType] = None,
+                            bucketing: Option[(String, Int)] = None) {
     def absFiles(table: String): Seq[String] = entries.map(e => s"$table/${e.rel}")
   }
 
@@ -88,16 +92,24 @@ object TxTable {
   // absent schema); its body lists changes against the PREVIOUS version:
   // `+\t<bucket>\t<rel>` adds a file, `-\t<rel>` removes one. Full
   // snapshots for delta chains live in `.checkpoint` sidecars (v2 bytes).
+  // Fields 6-7 (optional, both or neither) record the BUCKET IDENTITY the
+  // version's files were hashed with: `<key>\t<nBuckets>` (`-\t-` when
+  // unchanged in a delta). Recording identity in-log is what lets
+  // commitNext make a racing old-layout writer fail LOUDLY after a
+  // rebucket instead of silently producing a mixed-bucket table that
+  // readKeys would quietly miss rows in.
   // Parsers drop the header fields they don't know, so v1 readers read v2
   // manifests (losing only the schema) and vice versa.
 
   private def renderManifest(entries: Seq[FileEntry],
                              txn: Option[(String, Long)] = None,
-                             schema: Option[StructType] = None): Array[Byte] = {
+                             schema: Option[StructType] = None,
+                             bucketing: Option[(String, Int)] = None): Array[Byte] = {
+    val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("")
     val header = schema match {
       case Some(sc) =>
         val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
-        s"txtable	2	$app	$batch	${sc.json}"
+        s"txtable	2	$app	$batch	${sc.json}$bk"
       case None => txn match {
         case Some((app, batch)) => s"txtable	1	$app	$batch"
         case None => "txtable	1"
@@ -117,10 +129,12 @@ object TxTable {
 
   private def renderDelta(adds: Seq[FileEntry], removes: Seq[String],
                           txn: Option[(String, Long)],
-                          schema: Option[StructType]): Array[Byte] = {
+                          schema: Option[StructType],
+                          bucketing: Option[(String, Int)] = None): Array[Byte] = {
     val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
     val sc = schema.map(_.json).getOrElse("-")
-    val header = s"txtable	3	$app	$batch	$sc"
+    val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("	-	-")
+    val header = s"txtable	3	$app	$batch	$sc$bk"
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel)).map(e => s"+	${e.bucket}	${e.rel}")))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
@@ -163,6 +177,13 @@ object TxTable {
     else None
   }
 
+  private def parseBucketing(bytes: Array[Byte]): Option[(String, Int)] = {
+    val header = headerFields(bytes)
+    if (header.length >= 7 && header(5) != "-" && header(6) != "-")
+      Some((header(5), header(6).toInt))
+    else None
+  }
+
   /** Atomically publish `entries` as version `v`. Returns false when the
     * version already exists (another writer won the race). The temp file
     * is fully written first; the publish step is a hard link (local —
@@ -172,8 +193,9 @@ object TxTable {
   private def tryCommit(fs: FileSystem, table: String, v: Long,
                         entries: Seq[FileEntry],
                         txn: Option[(String, Long)] = None,
-                        schema: Option[StructType] = None): Boolean =
-    tryPublish(fs, table, v, renderManifest(entries, txn, schema))
+                        schema: Option[StructType] = None,
+                        bucketing: Option[(String, Int)] = None): Boolean =
+    tryPublish(fs, table, v, renderManifest(entries, txn, schema, bucketing))
 
   private def tryPublish(fs: FileSystem, table: String, v: Long,
                          bytes: Array[Byte]): Boolean = {
@@ -205,17 +227,42 @@ object TxTable {
     * checkpoint write is best-effort AFTER the CAS: its content is a pure
     * function of the log, so a crashed or racing checkpointer is harmless
     * (readers fall back to walking further; the next writer or [[vacuum]]
-    * rewrites the identical bytes). */
+    * rewrites the identical bytes).
+    *
+    * BUCKET-IDENTITY ENFORCEMENT: when both the writer and the base
+    * snapshot declare a bucket identity and they differ, the commit
+    * throws (unless `allowRebucket` — the [[rebucket]] migration itself).
+    * This closes the silent-mixed-layout race: a writer that resolved its
+    * snapshot before a concurrent rebucket committed re-resolves on its
+    * CAS retry, sees the NEW identity here, and fails loudly instead of
+    * landing old-layout files that [[readKeys]] would quietly miss. A
+    * writer passing None (identity-agnostic maintenance like [[compact]])
+    * inherits the base's identity unchanged. */
   private[graft] def commitNext(fs: FileSystem, table: String, base: Snapshot,
                                 adds: Seq[FileEntry], removes: Set[String],
                                 txn: Option[(String, Long)] = None,
-                                schema: Option[StructType] = None): Boolean = {
+                                schema: Option[StructType] = None,
+                                bucketing: Option[(String, Int)] = None,
+                                allowRebucket: Boolean = false): Boolean = {
+    (bucketing, base.bucketing) match {
+      case (Some(b), Some(cur)) if b != cur && !allowRebucket =>
+        throw new IllegalStateException(
+          s"$table: bucket identity changed under this writer — table is " +
+            s"(key=${cur._1}, nBuckets=${cur._2}) as of v${base.version} " +
+            s"but the commit was staged for (key=${b._1}, nBuckets=${b._2}). " +
+            "A rebucket migration ran; re-resolve and re-stage with the " +
+            "new identity.")
+      case _ => ()
+    }
+    val effBucketing = if (allowRebucket) bucketing
+                       else bucketing.orElse(base.bucketing)
     val v = base.version + 1
     val ok = tryPublish(fs, table, v,
-      renderDelta(adds, removes.toSeq, txn, schema))
+      renderDelta(adds, removes.toSeq, txn, schema, effBucketing))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
       val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
-      try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema))
+      try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
+        effBucketing)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     ok
@@ -223,10 +270,11 @@ object TxTable {
 
   private def writeCheckpoint(fs: FileSystem, table: String, v: Long,
                               entries: Seq[FileEntry],
-                              schema: Option[StructType]): Unit = {
+                              schema: Option[StructType],
+                              bucketing: Option[(String, Int)] = None): Unit = {
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(entries, None, schema))
+    out.write(renderManifest(entries, None, schema, bucketing))
     out.close()
     val dst = checkpointPath(table, v)
     fs.delete(dst, false)
@@ -263,7 +311,8 @@ object TxTable {
       val cp = checkpointPath(table, cursor)
       if (fs.exists(cp)) {
         val bytes = readBytes(fs, cp)
-        anchor = Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes)))
+        anchor = Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
+          parseBucketing(bytes)))
       } else {
         val p = versionPath(table, cursor)
         require(fs.exists(p),
@@ -273,7 +322,8 @@ object TxTable {
         val bytes = readBytes(fs, p)
         if (isDelta(bytes)) { deltas += bytes; cursor -= 1 }
         else anchor =
-          Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes)))
+          Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
+            parseBucketing(bytes)))
       }
     }
     // fold the collected deltas forward (they were gathered newest-first);
@@ -282,7 +332,8 @@ object TxTable {
       val (adds, removes) = parseDelta(bytes)
       Snapshot(snap.version + 1,
         snap.entries.filterNot(e => removes(e.rel)) ++ adds,
-        parseSchema(bytes).orElse(snap.schema))
+        parseSchema(bytes).orElse(snap.schema),
+        parseBucketing(bytes).orElse(snap.bucketing))
     }
   }
 
@@ -322,6 +373,16 @@ object TxTable {
                version: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "at least one key required")
     val snap = snapshot(spark, table, version)
+    // when the resolved manifest RECORDS the bucket identity (every
+    // post-identity commit does), a caller-supplied mismatch throws
+    // instead of silently probing the wrong buckets — the stale-caller
+    // failure after a rebucket migration becomes loud
+    snap.bucketing.foreach { case (k, n) =>
+      require(k == key && n == nBuckets,
+        s"$table@v${snap.version} is bucketed as (key=$k, nBuckets=$n) but " +
+          s"readKeys was called with (key=$key, nBuckets=$nBuckets) — a " +
+          "stale caller after a rebucket would silently miss rows")
+    }
     // bucket hashing is TYPE-sensitive (xxhash64 of an Int literal differs
     // from the same value as a Long), so every caller-supplied key is cast
     // to the table's declared key type BEFORE hashing — a Scala Int passed
@@ -553,9 +614,11 @@ object TxTable {
     val entries = stageFiles(spark, table, tagged)
     val fs = fsFor(spark, table)
     val schema = mergeSchemas(StructType(Nil), tagged.schema)
-    require(tryCommit(fs, table, 0L, entries, txn = txn, schema = Some(schema)),
+    require(!key.contains("\t"), "bucket key column name must not contain a tab")
+    require(tryCommit(fs, table, 0L, entries, txn = txn, schema = Some(schema),
+        bucketing = Some((key, nBuckets))),
       s"$table already initialized (version 0 exists)")
-    Snapshot(0L, entries, Some(schema))
+    Snapshot(0L, entries, Some(schema), Some((key, nBuckets)))
   }
 
   /** Highest `batchId` a writer identified by `appId` has committed, or
@@ -622,7 +685,8 @@ object TxTable {
       }
       if (commitNext(fs, table, snap, adds = newEntries, removes = Set.empty,
           txn = Some((appId, batchId)),
-          schema = Some(evolvedSchema(spark, table, snap, tagged.schema))))
+          schema = Some(evolvedSchema(spark, table, snap, tagged.schema)),
+          bucketing = Some((key, nBuckets))))
         return true
       attempt += 1
       if (attempt > maxRetries) {
@@ -689,7 +753,8 @@ object TxTable {
       val newEntries = stageFiles(spark, table, merged)
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = touchedEntries.map(_.rel).toSet,
-          txn = txn, schema = Some(evolved))) {
+          txn = txn, schema = Some(evolved),
+          bucketing = Some((key, nBuckets)))) {
         return spark.read
           .parquet(newEntries.map(e => s"$table/${e.rel}"): _*).count()
       }
@@ -815,7 +880,8 @@ object TxTable {
         .repartition(col(LayoutOps.BucketCol))
       val newEntries = stageFiles(spark, table, re)
       if (commitNext(fs, table, snap, adds = newEntries,
-          removes = snap.entries.map(_.rel).toSet, schema = snap.schema))
+          removes = snap.entries.map(_.rel).toSet, schema = snap.schema,
+          bucketing = Some((key, newBuckets)), allowRebucket = true))
         return snap.version + 1
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))

@@ -565,6 +565,28 @@ class ExtOpsSpec extends AnyFunSuite {
       s"legacy index should self-excise (documents the defense): $legacy")
   }
 
+  test("exciseAgainstIndex: null owners in a mixed legacy index still count as foreign hits") {
+    // a span-index directory that accreted legacy gh-only files BEFORE the
+    // (doc_id, gh) upgrade resolves legacy rows with doc_id = null under
+    // the new schema. A null-unsafe owner comparison (doc_id =!= __isrc)
+    // evaluates to null there and silently drops every pre-upgrade gram
+    // from matching — cross-batch excision would quietly lose the
+    // pre-upgrade corpus. The null-safe probe treats an unknown owner as
+    // a foreign-document hit (the corpus saw that substring first).
+    val k = 8
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bTail = "lambda mu nu xi omicron pi rho sigma"
+    val batch = Seq((10L, s"$a $bTail")).toDF("doc_id", "text")
+    val legacyRows = DedupOps
+      .spanGramIndex(Seq((1L, a)).toDF("doc_id", "text"), k)
+      .select(lit(null).cast("long").as("doc_id"), $"gh")
+    val out = DedupOps.exciseAgainstIndex(batch, legacyRows, k)
+      .as[(Long, Int, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(10L)._2 > 0 && out(10L)._3 == bTail,
+      s"null-owner index grams must still excise the copied prefix: $out")
+  }
+
   test("componentSplit: no near-dup pair straddles the holdout boundary") {
     import graft.ops.SampleOps
     val subset = docs.filter($"doc_id" < 1000)
@@ -586,6 +608,25 @@ class ExtOpsSpec extends AnyFunSuite {
       .select($"doc_id", $"split").as[(Long, String)].collect().toMap
     assert(ps.exists { case (a, b) => naive(a) != naive(b) },
       "fixture sanity: the doc-keyed split should cross at least one pair")
+  }
+
+  test("componentSplit pins nothing in the session cache") {
+    // connectedComponents' contract hands the caller a persisted frame to
+    // unpersist; componentSplit embeds the labels in a LAZY result a
+    // caller may hold indefinitely, so it must resolve that handle itself
+    // (materialize + unpersist) — repeated calls in a long-running session
+    // must not accrete pinned cache entries.
+    spark.catalog.clearCache()
+    val subset = docs.filter($"doc_id" < 1000)
+    // literal pairs (ngramJaccardPairs has its OWN documented cache
+    // contract — using it here would blame its persist on componentSplit)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val split = DedupOps.componentSplit(subset, pairs, holdoutPct = 20,
+      salt = "leak")
+    assert(split.count() > 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "componentSplit leaked a cached frame into the session cache")
   }
 
   test("mixtureResample: binding stratum kept whole, keep rates track the plan") {

@@ -86,6 +86,30 @@ class TrainPrepSpec extends AnyFunSuite {
       .select("id").as[Long].collect().contains(5L))
   }
 
+  test("weightedSample: global (literal-stratum) call keeps the bounded-heap window path") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val rows = spark.range(5000).toDF("id").withColumn("w", lit(1.0))
+      .repartition(8)
+    // a lit(...) stratum used to constant-fold the partition spec away —
+    // an unpartitioned WindowExec holding the whole corpus in ONE
+    // partition. The non-foldable guard keeps the spec alive, so the plan
+    // stays a partial WindowGroupLimit bounded heap for BOTH the global
+    // and the stratified call.
+    val global = SampleOps.weightedSample(rows, col("id"), col("w"),
+      lit("all"), k = 10, salt = "g")
+    val gp = global.queryExecution.executedPlan.toString
+    assert(gp.contains("WindowGroupLimit") && gp.contains("Partial"),
+      s"global weightedSample lost the partial WindowGroupLimit:\n$gp")
+    assert(global.count() == 10)
+    val strat = SampleOps.weightedSample(
+      rows.withColumn("s", (col("id") % 4).cast("string")),
+      col("id"), col("w"), col("s"), k = 10, salt = "g")
+    val sp = strat.queryExecution.executedPlan.toString
+    assert(sp.contains("WindowGroupLimit") && sp.contains("Partial"),
+      s"stratified weightedSample lost the partial WindowGroupLimit:\n$sp")
+    assert(strat.count() == 40)
+  }
+
   test("packByBudget: every doc exactly once, packs fill to budget+<1 doc") {
     val packed = PackOps.packByBudget(docs, TextOps.tokenCount($"text"),
       budget = 200L, buckets = 4)

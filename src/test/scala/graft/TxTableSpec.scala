@@ -522,6 +522,41 @@ class TxTableSpec extends AnyFunSuite {
       .select("day").as[Long].collect().toSet == Set(205L))
   }
 
+  test("bucket identity rides the log: stale-layout writers and readers fail loudly after rebucket") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    def batch(r: Range) = r.map(d => (s"k$d", d.toLong)).toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 50), "k", nBuckets = 4)
+    assert(TxTable.snapshot(spark, table).bucketing.contains(("k", 4)),
+      "init must record (key, nBuckets) in the manifest")
+    TxTable.rebucket(spark, table, "k", newBuckets = 8)
+    assert(TxTable.snapshot(spark, table).bucketing.contains(("k", 8)),
+      "rebucket must flip the recorded identity")
+    // the race ADVICE flagged: a writer still configured for the OLD
+    // identity must not land a mixed-bucket layout — commitNext rejects
+    intercept[IllegalStateException] {
+      TxTable.appendOnce(spark, table, batch(50 until 60), "k", 4, "stale", 0L)
+    }
+    intercept[IllegalStateException] {
+      TxTable.upsert(spark, table, batch(0 until 5), "k", "day", nBuckets = 4)
+    }
+    // stale point lookups refuse instead of silently missing rows
+    intercept[IllegalArgumentException] {
+      TxTable.readKeys(spark, table, "k", Seq("k7"), nBuckets = 4)
+    }
+    // correctly-configured writers/readers proceed on the new layout
+    assert(TxTable.appendOnce(spark, table, batch(50 until 60), "k", 8,
+      "fresh", 0L))
+    assert(TxTable.readKeys(spark, table, "k", Seq("k55"), 8)
+      .select("day").as[Long].collect().toSet == Set(55L))
+    // identity survives identity-agnostic maintenance (compact passes None)
+    TxTable.compact(spark, table, maxFilesPerBucket = 0)
+    assert(TxTable.snapshot(spark, table).bucketing.contains(("k", 8)),
+      "compaction must inherit, not erase, the recorded identity")
+    // time travel: pre-migration versions still resolve the OLD identity
+    assert(TxTable.snapshot(spark, table, Some(0L)).bucketing
+      .contains(("k", 4)))
+  }
+
   test("schema evolution: appended/upserted columns widen the table; old rows read null") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
