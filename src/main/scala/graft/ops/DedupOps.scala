@@ -824,9 +824,15 @@ object DedupOps {
     *      corpus text.
     *
     * A missing index directory means "empty corpus" (first batch
-    * bootstraps it). NOT crash-atomic across the two appends — pair with
-    * [[TxTable]]-style manifests when exactly-once matters; the streaming
-    * caller gets effective exactly-once from its checkpointed batch ids.
+    * bootstraps it). With `txn = Some((appId, batchId))` — the streaming
+    * path — the index is a [[TxTable]] and its append commits exactly
+    * once per batch id ([[TxTable.appendIndexOnce]]): atomic manifests,
+    * bounded file counts via auto-compaction, and a torn batch (index
+    * committed, checkpoint lost) replays to a no-op index commit while
+    * the probe's `doc_id` exclusion re-derives the same accepted set.
+    * Without txn (direct batch backfills, legacy staged dirs) both
+    * appends stay plain parquet — NOT crash-atomic; the probe-exclusion
+    * contract alone covers replays.
     *
     * Returns the ACCEPTED slice (already written), persisted so callers
     * maintaining derived indexes — the landing job appends the accepted
@@ -836,7 +842,9 @@ object DedupOps {
     * return is eventually reclaimed by the context cleaner. */
   def ingestBatch(batch: DataFrame, corpusPath: String, indexPath: String,
                   threshold: Double = 0.5, num: Int = 64, bands: Int = 16,
-                  shingle: Int = 3, portable: Boolean = false): DataFrame = {
+                  shingle: Int = 3, portable: Boolean = false,
+                  txn: Option[(String, Long)] = None,
+                  indexBuckets: Int = 8): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val s = batch.sparkSession
     val banded = minhashBandIndex(batch, num, bands, shingle, portable)
@@ -850,7 +858,7 @@ object DedupOps {
         .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
       val vsCorpus =
         if (idxExists)
-          banded.as("l").join(s.read.parquet(indexPath).as("r"),
+          banded.as("l").join(TxTable.readAny(s, indexPath).as("r"),
               col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
                 col("l.doc_id") =!= col("r.doc_id"))
             .select(col("l.doc_id").as("doc_id"),
@@ -871,8 +879,22 @@ object DedupOps {
         .persist(StorageLevel.MEMORY_AND_DISK)
       accepted.count() // pin BEFORE the appends mutate the probed index
       accepted.write.mode("append").parquet(corpusPath)
-      banded.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        .write.mode("append").parquet(indexPath)
+      val idxRows = banded
+        .join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      txn match {
+        case Some((appId, batchId)) =>
+          TxTable.appendIndexOnce(s, indexPath, idxRows, "doc_id",
+            indexBuckets, appId, batchId)
+        case None =>
+          // an ad-hoc backfill against a TxTable index must still commit
+          // through the log — a bare parquet append here would land files
+          // the manifest never lists (silently invisible to every probe)
+          if (TxTable.isTxTable(s, indexPath))
+            TxTable.appendIndexOnce(s, indexPath, idxRows, "doc_id",
+              indexBuckets, s"adhoc-${java.util.UUID.randomUUID()}", 0L,
+              autoCompactEvery = 0)
+          else idxRows.write.mode("append").parquet(indexPath)
+      }
       accepted
     } finally { banded.unpersist(blocking = false); () }
   }
@@ -1062,14 +1084,17 @@ object DedupOps {
     * per-batch cost stays O(|batch| + collisions) at any corpus size, the
     * same property [[ingestBatch]] gets from storing signatures. At
     * production dims, pair with [[SimilarityOps.quantizeExpr]]-style int8
-    * codes to cut index bytes 4×. Same non-atomicity note as
-    * [[ingestBatch]]: pair with [[TxTable]] manifests when exactly-once
-    * matters; a streaming caller gets effective exactly-once from its
-    * checkpointed batch ids. */
+    * codes to cut index bytes 4×. Same txn contract as [[ingestBatch]]:
+    * with `txn = Some((appId, batchId))` the index is a [[TxTable]] and
+    * appends commit exactly once per batch id with bounded file counts;
+    * without it both appends stay plain parquet (non-atomic, replay
+    * covered by the `vec_id` probe exclusion alone). */
   def embedIngestBatch(batch: DataFrame, corpusPath: String,
                        indexPath: String, threshold: Double = 0.9,
                        nPlanes: Int = 64, bands: Int = 8,
-                       seed: Long = 42L): Unit = {
+                       seed: Long = 42L,
+                       txn: Option[(String, Long)] = None,
+                       indexBuckets: Int = 8): Unit = {
     import org.apache.spark.storage.StorageLevel
     require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
     val s = batch.sparkSession
@@ -1091,7 +1116,7 @@ object DedupOps {
         .getFileSystem(s.sparkContext.hadoopConfiguration).exists(idxPath)
       val vsCorpus =
         if (idxExists)
-          banded.as("l").join(s.read.parquet(indexPath).as("r"),
+          banded.as("l").join(TxTable.readAny(s, indexPath).as("r"),
               col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
                 col("l.vec_id") =!= col("r.vec_id"))
             .select(col("l.vec_id").as("vec_id"),
@@ -1110,9 +1135,21 @@ object DedupOps {
       val rejected = vsCorpus.unionByName(withinBatch).distinct()
       val accepted = batch.join(rejected, Seq("vec_id"), "left_anti")
       accepted.write.mode("append").parquet(corpusPath)
-      banded.join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      val idxRows = banded
+        .join(accepted.select(col("vec_id")), Seq("vec_id"), "left_semi")
         .select(col("band"), col("bkey"), col("vec_id"), col("embedding"))
-        .write.mode("append").parquet(indexPath)
+      txn match {
+        case Some((appId, batchId)) =>
+          TxTable.appendIndexOnce(s, indexPath, idxRows, "vec_id",
+            indexBuckets, appId, batchId)
+        case None =>
+          // same guard as ingestBatch: never bare-append into a TxTable
+          if (TxTable.isTxTable(s, indexPath))
+            TxTable.appendIndexOnce(s, indexPath, idxRows, "vec_id",
+              indexBuckets, s"adhoc-${java.util.UUID.randomUUID()}", 0L,
+              autoCompactEvery = 0)
+          else idxRows.write.mode("append").parquet(indexPath)
+      }
     } finally { banded.unpersist(blocking = false); () }
   }
 

@@ -356,9 +356,19 @@ object TxTable {
   def read(spark: SparkSession, table: String,
            version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, version)
-    require(snap.entries.nonEmpty, s"$table@v${snap.version} has no data files")
-    val reader = snap.schema.fold(spark.read)(spark.read.schema)
-    reader.parquet(snap.absFiles(table): _*)
+    if (snap.entries.isEmpty) {
+      // a table whose every commit was empty (e.g. a side-index whose
+      // first batches admitted nothing) reads as a typed empty frame when
+      // the manifest records the schema; pre-schema (v1) empty tables have
+      // no schema source anywhere and must fail loudly
+      val sc = snap.schema.getOrElse(throw new IllegalStateException(
+        s"$table@v${snap.version} has no data files and no recorded schema"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    } else {
+      val reader = snap.schema.fold(spark.read)(spark.read.schema)
+      reader.parquet(snap.absFiles(table): _*)
+    }
   }
 
   /** Point-lookup read: only the files of the buckets `keys` hash into are
@@ -648,6 +658,73 @@ object TxTable {
     listVersions(fs, table).filter(_ <= upTo).sorted.reverseIterator
       .flatMap(v => parseTxn(readBytes(fs, versionPath(table, v))))
       .collectFirst { case (app, batch) if app == appId => batch }
+
+  /** True when `path` carries at least one committed TxTable manifest. */
+  def isTxTable(spark: SparkSession, path: String): Boolean =
+    listVersions(fsFor(spark, path), path).nonEmpty
+
+  /** Read `path` as a TxTable when a commit log exists, else as plain
+    * parquet — the dispatch that lets TxTable-backed side-indexes coexist
+    * with legacy staged directories: probes keep working across the
+    * upgrade, and the snapshot-resolved file list replaces the fragile
+    * "file listing pinned before the append" invariant (a TxTable read
+    * plans exactly one committed version's files, no matter what lands
+    * concurrently). */
+  def readAny(spark: SparkSession, path: String): DataFrame =
+    if (isTxTable(spark, path)) read(spark, path)
+    else spark.read.parquet(path)
+
+  /** Exactly-once append for a streaming SIDE-INDEX table (MinHash band
+    * index, span-gram index, SRP embed index — the per-micro-batch
+    * artifacts that otherwise accrete one plain-parquet file set per
+    * batch forever, the classic streaming small-files failure):
+    *
+    *   - first batch BOOTSTRAPS the table ([[init]] with the txn recorded
+    *     in version 0, so a crash between init and the stream checkpoint
+    *     replays as a detected duplicate, not a double-init);
+    *   - later batches go through [[appendOnce]] keyed by (appId,
+    *     batchId) — a torn batch (index committed, checkpoint lost)
+    *     replays to a no-op commit instead of duplicate index rows;
+    *   - rows are pre-partitioned one-task-per-bucket so each commit
+    *     lands AT MOST `nBuckets` files regardless of input parallelism;
+    *   - every `autoCompactEvery`-th batch runs [[compact]], so the live
+    *     file count stays O(nBuckets · (maxFilesPerBucket +
+    *     autoCompactEvery)) at any ingest age — bounded maintenance
+    *     inside the landing job itself, no external scheduler;
+    *   - a directory that predates the log (legacy staged index with
+    *     plain parquet files) degrades to the old `mode("append")` write
+    *     — never silently hides the pre-upgrade slice behind a fresh log.
+    *
+    * Returns true when the batch committed (or legacy-appended), false on
+    * a detected replay. */
+  def appendIndexOnce(spark: SparkSession, table: String, rows: DataFrame,
+                      key: String, nBuckets: Int, appId: String,
+                      batchId: Long, autoCompactEvery: Int = 16,
+                      maxFilesPerBucket: Int = 4): Boolean = {
+    val fs = fsFor(spark, table)
+    val root = new Path(table)
+    if (rows.isEmpty) return false // nothing to commit; replay-idempotent
+    val aligned = rows.repartition(nBuckets,
+      LayoutOps.bucketId(col(key), nBuckets))
+    val committed =
+      if (isTxTable(spark, table)) {
+        val ok = appendOnce(spark, table, aligned, key, nBuckets, appId, batchId)
+        if (autoCompactEvery > 0 &&
+            batchId % autoCompactEvery == autoCompactEvery - 1)
+          compact(spark, table, maxFilesPerBucket)
+        ok
+      } else if (fs.exists(root) && fs.listStatus(root).nonEmpty) {
+        // legacy staged directory: keep appending plainly — initializing a
+        // log here would make TxTable.read hide the pre-upgrade files
+        aligned.write.mode("append").parquet(table)
+        true
+      } else {
+        init(spark, table, aligned, key, nBuckets,
+          txn = Some((appId, batchId)))
+        true
+      }
+    committed
+  }
 
   /** Idempotent append for streaming sinks — the Delta `txnAppId` /
     * `txnVersion` pattern: the (appId, batchId) of the writing query rides

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.ops.{BronzeOps, GoldOps}
+import graft.ops.{BronzeOps, GoldOps, TxTable}
 import graft.schemas.Schemas
 
 /** Structured-Streaming assembly of the medallion pipeline
@@ -343,24 +343,41 @@ object Pipelines {
     * corpus or of smaller-id batch siblings, append survivors to
     * `corpusPath` and their band keys to `indexPath`).
     *
-    * Dedup state lives in the index PARQUET, not in streaming state: no
+    * Dedup state lives in the index TABLE, not in streaming state: no
     * watermark, no state-store growth, restart picks up from the
     * checkpointed batch id, and per-batch cost stays O(|batch| +
     * collisions) no matter how large the corpus grows — the property that
     * distinguishes this from `dropDuplicates` state, which is bounded only
-    * by a watermark and keys only on exact equality. */
+    * by a watermark and keys only on exact equality.
+    *
+    * The band index is a [[graft.ops.TxTable]] committed exactly once per
+    * batch id ([[graft.ops.TxTable.appendIndexOnce]]): atomic manifests
+    * replace the plain per-batch parquet appends that accrete a
+    * million-file listing at production cadence, and an in-job compaction
+    * every [[graft.ops.TxTable.appendIndexOnce]] cycle keeps the live
+    * file count bounded at any ingest age. */
   def dedupIngest(docs: DataFrame, corpusPath: String, indexPath: String,
                   checkpoint: String, threshold: Double = 0.5,
                   num: Int = 64, bands: Int = 16, shingle: Int = 3,
                   portable: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.DedupOps.ingestBatch(batch, corpusPath, indexPath,
-          threshold, num, bands, shingle, portable)
+          threshold, num, bands, shingle, portable,
+          txn = Some((BandIndexApp, batchId)))
           .unpersist(blocking = false)
         ()
       }
+
+  /** Stable txn app ids for the landing jobs' side-index commits (the
+    * appId half of [[graft.ops.TxTable.appendOnce]]'s idempotence key;
+    * batch ids come from the stream checkpoint). One landing stream per
+    * index table is the design — two streams sharing an index would
+    * interleave batch ids and break the per-app monotonicity contract. */
+  private[graft] val BandIndexApp = "graft-band-index"
+  private[graft] val SpanIndexApp = "graft-span-index"
+  private[graft] val EmbedIndexApp = "graft-embed-index"
 
   /** Embedding-modality ingestion dedup — [[dedupIngest]]'s sibling for
     * vector streams (continuously-landing image/audio embeddings): each
@@ -368,7 +385,9 @@ object Pipelines {
     * [[graft.ops.DedupOps.embedIngestBatch]] (sign the batch, probe the
     * staged SRP band index, exact-cosine-verify collisions, reject
     * near-dups of the corpus or of smaller-id batch siblings). Dedup
-    * state lives in the index parquet — no streaming state store, restart
+    * state lives in the index table — a [[graft.ops.TxTable]] committed
+    * exactly once per batch id with in-job compaction, like
+    * [[dedupIngest]]'s band index — no streaming state store, restart
     * picks up from the checkpointed batch id, per-batch cost stays
     * O(|batch| + collisions) at any corpus size. */
   def embedIngest(vectors: DataFrame, corpusPath: String, indexPath: String,
@@ -377,9 +396,10 @@ object Pipelines {
                   seed: Long = 42L): DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ops.DedupOps.embedIngestBatch(batch, corpusPath, indexPath,
-          threshold, nPlanes, bands, seed)
+          threshold, nPlanes, bands, seed,
+          txn = Some((EmbedIndexApp, batchId)))
         ()
       }
 
@@ -422,10 +442,19 @@ object Pipelines {
     * n_accepted) — the admission funnel a production landing job
     * dashboards (what fraction died at which gate; a collapsing
     * n_accepted/n_in ratio is the first sign of a poisoned source or a
-    * drifting LM threshold). Counts cost extra per-batch jobs, so the
-    * funnel is opt-in; a replayed batch re-appends under the SAME
-    * batch_id, so consumers read one row per batch_id (the same
-    * append-dedup contract as the corpus itself). */
+    * drifting LM threshold). Every gate verdict rides the ONE flagged
+    * frame as a column, so the funnel is a single conditional-sum
+    * aggregation over cached rows (the `lmThresholdSweep` trick) — one
+    * extra job per batch, never a post-append lineage recompute. A
+    * replayed batch re-appends under the SAME batch_id, so consumers
+    * read one row per batch_id (the same append-dedup contract as the
+    * corpus itself).
+    *
+    * Both side-indexes (MinHash bands inside
+    * [[graft.ops.DedupOps.ingestBatch]], span grams here) are
+    * [[graft.ops.TxTable]]s committed exactly once per batch id with
+    * in-job compaction — atomic manifests back the owner-id replay
+    * contract, and index file counts stay bounded at any ingest age. */
   def prepIngest(docs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
                  corpusPath: String, indexPath: String, checkpoint: String,
                  maxNll: Double = 1.75, threshold: Double = 0.5,
@@ -436,25 +465,37 @@ object Pipelines {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.storage.StorageLevel
         val s = batch.sparkSession
         val cols = batch.columns.toSeq
         val sgPath = spanIndexPath.getOrElse(indexPath + "_spans")
-        val kept = graft.ops.TextOps.qualityFilter(batch,
-            carry = cols.filterNot(_ == "doc_id"))
-          .filter(col("keep"))
-          .select(cols.map(col): _*)
-        val gated = graft.ops.TextOps.lmScore(kept, lm)
-          .filter(col("nll") <= maxNll)
-          .select(cols.map(col): _*)
-        val (admitted, nSpanCut) =
-          if (spanK <= 0) (gated, 0L)
+        // ONE flagged frame carries every stateless gate verdict as a
+        // column (__q quality, __l quality∧LM): the admitted slice AND
+        // the audit funnel both derive from it — persisted, so nothing
+        // downstream re-runs the projections, and no count can observe
+        // post-append state
+        val flagged = graft.ops.TextOps.lmScore(
+            graft.ops.TextOps.qualityFilter(batch,
+                carry = cols.filterNot(_ == "doc_id"))
+              .withColumnRenamed("keep", "__q")
+              .select((cols :+ "__q").map(col): _*), lm)
+          .withColumn("__l", col("__q") && col("nll") <= maxNll)
+          .select((cols :+ "__q" :+ "__l").map(col): _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val gated = flagged.filter(col("__l")).select(cols.map(col): _*)
+        // span stage: requalified rewrite audit (doc_id, n_removed, keep)
+        // persists alongside — the funnel's span columns read it cached
+        val (admitted, spanAudit) =
+          if (spanK <= 0) (gated, None)
           else {
-            val sg = new org.apache.hadoop.fs.Path(sgPath)
-            val sgExists = sg
-              .getFileSystem(s.sparkContext.hadoopConfiguration).exists(sg)
             val excised =
-              if (sgExists) graft.ops.DedupOps.exciseAgainstIndex(gated,
-                s.read.parquet(sgPath), k = spanK)
+              if (TxTable.isTxTable(s, sgPath) || {
+                    val sg = new org.apache.hadoop.fs.Path(sgPath)
+                    sg.getFileSystem(s.sparkContext.hadoopConfiguration)
+                      .exists(sg)
+                  })
+                graft.ops.DedupOps.exciseAgainstIndex(gated,
+                  TxTable.readAny(s, sgPath), k = spanK)
               else graft.ops.DedupOps.exciseDuplicatedSpans(gated, k = spanK)
             // a REWRITTEN doc must still clear the quality gate on its
             // final text — a sub-floor remnant (a doc that was mostly
@@ -465,32 +506,69 @@ object Pipelines {
                 col("text_clean")), Seq("doc_id"))
               .withColumn("text", when(col("n_removed") > 0, col("text_clean"))
                 .otherwise(col("text")))
-            val out = graft.ops.TextOps.qualityFilter(rewritten,
+            val requal = graft.ops.TextOps.qualityFilter(rewritten,
                 carry = cols.filterNot(_ == "doc_id") :+ "n_removed")
-              .filter(col("n_removed") === 0 || col("keep"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val out = requal.filter(col("n_removed") === 0 || col("keep"))
               .select(cols.map(col): _*)
-            val cut =
-              if (metricsPath.isEmpty) 0L
-              else rewritten.filter(col("n_removed") > 0).count()
-            (out, cut)
+            (out, Some(requal))
           }
         val accepted = graft.ops.DedupOps.ingestBatch(admitted, corpusPath,
-          indexPath, threshold, num, bands, shingle, portable)
+          indexPath, threshold, num, bands, shingle, portable,
+          txn = Some((BandIndexApp, batchId)))
         // grow the span index by the ACCEPTED docs' (post-excision) grams,
         // exactly how ingestBatch grows the band index by the accepted
-        // band keys — the next batch probes an up-to-date substring corpus
+        // band keys — the next batch probes an up-to-date substring
+        // corpus. Committed once per batch id: a torn batch replays to a
+        // no-op commit, with the owner-id probe exclusion as the
+        // defense-in-depth for the half-committed window.
         if (spanK > 0)
-          graft.ops.DedupOps.spanGramIndex(accepted, k = spanK)
-            .write.mode("append").parquet(sgPath)
+          TxTable.appendIndexOnce(s, sgPath,
+            graft.ops.DedupOps.spanGramIndex(accepted, k = spanK),
+            "gh", 8, SpanIndexApp, batchId)
         metricsPath.foreach { mp =>
-          import s.implicits._
-          Seq((batchId, batch.count(), kept.count(), gated.count(),
-              nSpanCut, admitted.count(), accepted.count()))
-            .toDF("batch_id", "n_in", "n_quality", "n_lm", "n_span_cut",
-              "n_span_admitted", "n_accepted")
-            .coalesce(1).write.mode("append").parquet(mp)
+          // the whole funnel is ONE single-stage job: union the CACHED
+          // audit projections (flagged / span requalification / accepted,
+          // each tagged with indicator columns), collapse to one partition
+          // — a micro-batch's audit rows are tiny — and aggregate
+          // conditional sums. No joins (a broadcast build is its own
+          // job) and no exchange (each AQE stage is its own job), so
+          // enabling metrics costs exactly one extra job per batch and
+          // never recomputes gate lineage. The span leg needs no __l
+          // flag: requalification rows ARE exactly the gated docs.
+          val fLeg = flagged.select(lit(1L).as("__in"),
+            when(col("__q"), 1L).otherwise(0L).as("__q1"),
+            when(col("__l"), 1L).otherwise(0L).as("__l1"),
+            lit(0L).as("__cut"), lit(0L).as("__adm"), lit(0L).as("__acc"))
+          val sLeg = spanAudit.map(_.select(lit(0L).as("__in"),
+            lit(0L).as("__q1"), lit(0L).as("__l1"),
+            when(col("n_removed") > 0, 1L).otherwise(0L).as("__cut"),
+            when(col("n_removed") === 0 || col("keep"), 1L).otherwise(0L)
+              .as("__adm"),
+            lit(0L).as("__acc")))
+          val aLeg = accepted.select(lit(0L).as("__in"), lit(0L).as("__q1"),
+            lit(0L).as("__l1"), lit(0L).as("__cut"), lit(0L).as("__adm"),
+            lit(1L).as("__acc"))
+          val legs = (Seq(fLeg) ++ sLeg.toSeq :+ aLeg)
+            .reduce(_ unionByName _)
+          val admitExpr =
+            if (spanAudit.isDefined) sum(col("__adm")) else sum(col("__l1"))
+          legs.coalesce(1).agg(
+              coalesce(sum(col("__in")), lit(0L)).as("n_in"),
+              coalesce(sum(col("__q1")), lit(0L)).as("n_quality"),
+              coalesce(sum(col("__l1")), lit(0L)).as("n_lm"),
+              coalesce(sum(col("__cut")), lit(0L)).as("n_span_cut"),
+              coalesce(admitExpr, lit(0L)).as("n_span_admitted"),
+              coalesce(sum(col("__acc")), lit(0L)).as("n_accepted"))
+            .withColumn("batch_id", lit(batchId))
+            .select(col("batch_id"), col("n_in"), col("n_quality"),
+              col("n_lm"), col("n_span_cut"), col("n_span_admitted"),
+              col("n_accepted"))
+            .write.mode("append").parquet(mp)
         }
         accepted.unpersist(blocking = false)
+        spanAudit.foreach(_.unpersist(blocking = false))
+        flagged.unpersist(blocking = false)
         ()
       }
 

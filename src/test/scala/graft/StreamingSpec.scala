@@ -371,8 +371,11 @@ class StreamingSpec extends AnyFunSuite {
     run()
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
-    // the index grew by the ACCEPTED slice only
-    assert(spark.read.parquet(index).select("doc_id")
+    // the index grew by the ACCEPTED slice only — and it is a TxTable
+    // now: atomic manifest commits, not loose per-batch parquet appends
+    assert(graft.ops.TxTable.isTxTable(spark, index),
+      "streaming band index must live on the commit log")
+    assert(graft.ops.TxTable.readAny(spark, index).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 2L, 4L))
     // restart on the same checkpoint with no new data: no re-admission
     run()
@@ -479,16 +482,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(byId4.keySet == Set(1L, 5L, 6L, 8L), s"got ${byId4.keySet}")
     assert(byId4(8L) == tail, s"got '${byId4(8L)}'")
     // the index grew by the admitted batch's post-excision grams, so a
-    // LATER copy of doc 8's novel tail is itself cross-batch-excisable
-    val sgIdx = spark.read.parquet(s"${index}_spans")
-    assert(sgIdx.columns.toSet == Set("doc_id", "gh"))
+    // LATER copy of doc 8's novel tail is itself cross-batch-excisable;
+    // like the band index it lives on the TxTable commit log
+    assert(graft.ops.TxTable.isTxTable(spark, s"${index}_spans"),
+      "streaming span-gram index must live on the commit log")
+    val sgIdx = graft.ops.TxTable.readAny(spark, s"${index}_spans")
+    // the TxTable bucket column rides inside the data files by design
+    assert(Set("doc_id", "gh").subsetOf(sgIdx.columns.toSet))
     assert(sgIdx.filter(col("doc_id") === 8L).count() > 0,
       "admitted batch's grams must append to the span index")
+    val sgCount = sgIdx.count()
     // replay with no new data: span-index growth + admission idempotent
     run()
     assert(spark.read.parquet(corpus).select("doc_id")
       .as[Long].collect().toSet == Set(1L, 5L, 6L, 8L))
-    assert(spark.read.parquet(s"${index}_spans").count() == sgIdx.count(),
+    assert(graft.ops.TxTable.readAny(spark, s"${index}_spans").count() == sgCount,
       "no-op replay must not regrow the span index")
     // the audit funnel: one row per non-empty batch recording how many
     // docs survived each gate — (n_in, n_quality, n_lm, n_span_cut,
@@ -504,6 +512,51 @@ class StreamingSpec extends AnyFunSuite {
       (3L, 3L, 3L, 2L, 2L, 2L), // 6 cut + admitted, 7 fully excised
       (1L, 1L, 1L, 1L, 1L, 1L)  // 8 cross-batch cut, tail admitted
     ), s"funnel mismatch: ${funnel.toSeq}")
+  }
+
+  test("prepIngest funnel: the metrics path costs at most one extra job per batch") {
+    // the advisor-flagged failure mode: per-stage .count() calls re-ran the
+    // quality/LM/excision lineage 4-5× per micro-batch after the appends.
+    // Now every verdict rides one cached flagged frame and the funnel is a
+    // single conditional-sum aggregation, so enabling metrics may add at
+    // most ONE job (the funnel write) over the metrics-off baseline.
+    implicit val ctx = spark.sqlContext
+    val lm = graft.ops.TextOps.trainCharBigramLM(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("lang") === "en"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def stableJobs(): Int = {
+      // listener events are async: poll until the counter stops moving
+      var last = -1; var cur = jobs.get()
+      while (cur != last) { Thread.sleep(300); last = cur; cur = jobs.get() }
+      cur
+    }
+    def runOnce(withMetrics: Boolean): Int = {
+      val tmp = Files.createTempDirectory("graft_funjob_").toString
+      val in = MemoryStream[(Long, String)]
+      in.addData(
+        (1L, "the fast join table scan and merge sort with the big data batch stream"),
+        (2L, "a filter group order window frame for the wide shuffle spill merge"),
+        (3L, "too short"))
+      val writer = Pipelines.prepIngest(in.toDF().toDF("doc_id", "text"), lm,
+          s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt", maxNll = 100.0,
+          metricsPath = if (withMetrics) Some(s"$tmp/metrics") else None)
+        .trigger(Trigger.AvailableNow())
+      jobs.set(0)
+      spark.sparkContext.addSparkListener(listener)
+      try { writer.start().awaitTermination(); stableJobs() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val base = runOnce(withMetrics = false)
+    val withM = runOnce(withMetrics = true)
+    assert(withM <= base + 1,
+      s"metrics path must cost at most one extra job: $base -> $withM")
   }
 
   test("embedIngest: vector micro-batches admit against the staged band index") {
