@@ -382,6 +382,39 @@ object SparkEntry {
            |  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
            |GROUP BY e.query_id
            |ORDER BY e.query_id""".stripMargin,
+      // full mixture-pipeline replay: the rates CTE is the dedup-rates
+      // oracle verbatim; corrected mass multiplies the exact integer raw
+      // sum by the exact rational unique fraction ONCE per stratum (the
+      // same single IEEE rounding the Spark side performs); plan + keep
+      // rule replay as in ext_mixture_resample
+      "ext_mixture_pipeline" ->
+        s"""WITH rates AS (SELECT * FROM (${ext("ext_dedup_rates")}) t),
+           |raw AS (
+           |  SELECT source AS stratum, SUM(CAST(n_chars AS DOUBLE)) AS raw_weight
+           |  FROM documents GROUP BY 1
+           |), stats AS (
+           |  SELECT r.stratum, ra.n_docs,
+           |    r.raw_weight * (ra.n_docs - ra.n_dups) / ra.n_docs AS stratum_weight
+           |  FROM raw r JOIN rates ra ON ra.source = r.stratum
+           |), tgt AS (
+           |  SELECT stratum, stratum_weight,
+           |    CASE stratum WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25
+           |                 WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.15
+           |                 WHEN 'src4' THEN 0.1 END AS target_share
+           |  FROM stats
+           |), capped AS (
+           |  SELECT MIN(stratum_weight / target_share) AS mix_total
+           |  FROM tgt WHERE target_share IS NOT NULL
+           |), plan AS (
+           |  SELECT stratum,
+           |    LEAST(1.0, FLOOR(target_share * mix_total / stratum_weight * 1000000 + 0.5) / 1000000) AS sample_frac
+           |  FROM tgt, capped WHERE target_share IS NOT NULL
+           |)
+           |SELECT d.doc_id, d.source, d.lang, d.n_chars
+           |FROM documents d JOIN plan p ON p.stratum = d.source
+           |WHERE CAST(('0x' || substr(md5('mixp|' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+           |  < CAST(FLOOR(p.sample_frac * 1000000 + 0.5) AS BIGINT)
+           |ORDER BY d.doc_id""".stripMargin,
       // mixture APPLY replay: the plan CTE is the mixture-weights oracle
       // verbatim; the keep rule is the same md5 micro-bucket the Spark
       // side computes, at sample_frac's own 1e-6 quantization
@@ -1943,6 +1976,21 @@ object SparkEntry {
           "de" -> 0.15, "zh" -> 0.1))
       ops.SampleOps.mixtureResample(docs, col("lang"), col("doc_id"), plan)
         .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The END-TO-END mixture-planning pipeline — dedupRates (unique-mass
+    // correction) → corrected mixture weights → resample, the full
+    // plan-then-apply loop a curation run executes, previously three
+    // separate oracle-gated pieces. Each source's mass is corrected by
+    // its exact duplicate fraction before planning, so a duplicate-heavy
+    // source contributes its UNIQUE mass to the mix.
+    "ext_mixture_pipeline" -> ((s, dir) => {
+      ops.SampleOps.mixturePipeline(tbl(s, dir, "documents"),
+          stratum = "source", key = col("doc_id"), weight = col("n_chars"),
+          targets = Map("src0" -> 0.3, "src1" -> 0.25, "src2" -> 0.2,
+            "src3" -> 0.15, "src4" -> 0.1), salt = "mixp")
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
 

@@ -108,15 +108,27 @@ object SampleOps {
     * |strata| rows ever sits on one node. Strata without a target share
     * are excluded from the mix (and the output). */
   def mixtureWeights(df: DataFrame, stratum: Column, weight: Column,
-                     targets: Map[String, Double]): DataFrame = {
+                     targets: Map[String, Double]): DataFrame =
+    mixtureWeightsFromStats(
+      df.select(stratum.as("stratum"), weight.cast("double").as("w"))
+        .groupBy("stratum")
+        .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("stratum_weight")),
+      targets)
+
+  /** [[mixtureWeights]]' planning half over PRE-AGGREGATED per-stratum
+    * stats `(stratum, n_docs, stratum_weight)` — the entry point when the
+    * mass estimate comes from somewhere other than a raw row sum, e.g.
+    * the unique-mass correction in [[mixturePipeline]] (a 40%-duplicate
+    * source carries 40% less unique mass than its row count claims). The
+    * stats frame is |strata| rows; everything here is driver-scale. */
+  def mixtureWeightsFromStats(stats: DataFrame,
+                              targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0),
       "every target share must be positive")
     val tCol = targets.foldLeft(lit(null).cast("double")) {
       case (els, (s, t)) => when(col("stratum") === s, t).otherwise(els)
     }
-    val per = df.select(stratum.as("stratum"), weight.cast("double").as("w"))
-      .groupBy("stratum")
-      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("stratum_weight"))
+    val per = stats
       .withColumn("target_share", tCol)
       .filter(col("target_share").isNotNull)
     val cap = per.agg(
@@ -127,6 +139,42 @@ object SampleOps {
           * 1000000 + 0.5) / 1000000.0))
       .select(col("stratum"), col("n_docs"), col("stratum_weight"),
         col("target_share"), col("mix_total"), col("sample_frac"))
+  }
+
+  /** The END-TO-END mixture-planning pipeline — the full plan-then-apply
+    * loop a curation run executes, composed from its three oracle-gated
+    * pieces: per-stratum duplication rates
+    * ([[DedupOps.dedupRates]]) correct each stratum's mass down to its
+    * UNIQUE mass (duplicates inflate raw row/char counts but add no
+    * information to a training mix), the corrected stats feed
+    * [[mixtureWeightsFromStats]], and the resulting plan resamples the
+    * corpus through [[mixtureResample]]'s row-local md5 predicate.
+    *
+    * Determinism for oracle parity: the correction multiplies each
+    * stratum's EXACT integer-summed raw mass by the exact rational
+    * `(n_docs − n_dups) / n_docs` ONCE per stratum — never a sum of
+    * inexact per-row products — so the corrected weight is a single
+    * IEEE-rounded operation any engine reproduces bit-identically.
+    *
+    * Scale shape: dedupRates is one md5-keyed shuffle + a |strata|
+    * rollup; the raw-mass aggregate is one partial-aggregated groupBy;
+    * the plan is |strata| rows broadcast into the row-local resample
+    * predicate — the corpus is scanned twice (fingerprint + resample),
+    * shuffled once. */
+  def mixturePipeline(docs: DataFrame, stratum: String, key: Column,
+                      weight: Column, targets: Map[String, Double],
+                      salt: String = "mixp"): DataFrame = {
+    val rates = DedupOps.dedupRates(docs, stratum)
+      .select(col(stratum).as("stratum"), col("n_docs"), col("n_dups"))
+    val raw = docs
+      .select(col(stratum).as("stratum"), weight.cast("double").as("w"))
+      .groupBy("stratum").agg(sum(col("w")).as("raw_weight"))
+    val stats = raw.join(rates, Seq("stratum"))
+      .select(col("stratum"), col("n_docs"),
+        (col("raw_weight") * (col("n_docs") - col("n_dups"))
+          / col("n_docs")).as("stratum_weight"))
+    val plan = mixtureWeightsFromStats(stats, targets)
+    mixtureResample(docs, col(stratum), key, plan, salt)
   }
 
   /** APPLY a mixture plan — the step that turns [[mixtureWeights]]'

@@ -629,6 +629,44 @@ class ExtOpsSpec extends AnyFunSuite {
       "componentSplit leaked a cached frame into the session cache")
   }
 
+  test("mixturePipeline: duplicate-heavy stratum planned on UNIQUE mass; resample tracks the corrected plan") {
+    import graft.ops.SampleOps
+    // two strata with EQUAL raw char mass; 'b' is half exact duplicates.
+    // Planned on raw mass a 50/50 target keeps both whole (the naive
+    // plan); planned on unique mass 'b' binds the mix (2000 unique chars
+    // against the 0.5 share → mix_total 4000) and 'a' downsamples to
+    // exactly 0.5 — the correction is the difference, spec-pinned.
+    val a = (0 until 40).map(i =>
+      (i.toLong, s"alpha document $i " + ("x " * 40), "en", "a", 100L))
+    val bu = (0 until 20).map(i =>
+      ((100 + i).toLong, s"beta document $i " + ("y " * 40), "en", "b", 100L))
+    val bd = (0 until 20).map(i => // exact copies of bu's texts
+      ((200 + i).toLong, s"beta document $i " + ("y " * 40), "en", "b", 100L))
+    val corpus = (a ++ bu ++ bd)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val targets = Map("a" -> 0.5, "b" -> 0.5)
+    // fixture sanity: the NAIVE (raw-mass) plan keeps both strata whole —
+    // the duplicate inflation the correction exists to cancel
+    val naive = SampleOps.mixtureWeights(corpus, $"source", $"n_chars", targets)
+      .select($"stratum", $"sample_frac").as[(String, Double)].collect().toMap
+    assert(naive == Map("a" -> 1.0, "b" -> 1.0), s"naive plan: $naive")
+    val mixed = SampleOps.mixturePipeline(corpus, "source", $"doc_id",
+      $"n_chars", targets, salt = "s")
+    val kept = mixed.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // binding stratum (b, on unique mass) rides whole through the resample
+    assert(kept("b") == 40L, s"binding stratum must keep 1.0: $kept")
+    // 'a' downsamples at EXACTLY the corrected frac (0.5): the kept set is
+    // the deterministic md5 micro-bucket rule, recomputed independently
+    val expectedA = corpus.filter($"source" === "a").filter(
+      pmod(conv(substring(md5(concat_ws("|", lit("s"),
+        $"doc_id".cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(1000000L)) < 500000L).count()
+    assert(kept("a") == expectedA,
+      s"corrected frac 0.5 must select the md5 rule's rows: $kept vs $expectedA")
+    assert(kept("a") < 40L, "correction must actually downsample 'a'")
+  }
+
   test("mixtureResample: binding stratum kept whole, keep rates track the plan") {
     import graft.ops.SampleOps
     val targets = Map("en" -> 0.4, "es" -> 0.2, "fr" -> 0.15,
