@@ -119,10 +119,26 @@ object LayoutOps {
     * bit arithmetic, codegen'd, engine-portable (oracle-checked). */
   def morton2(a: org.apache.spark.sql.Column,
               b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 16).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+    mortonN(Seq(a, b))
+
+  /** N-D Morton interleave over 16-bit-normalized inputs — the curve
+    * behind Delta's multi-column OPTIMIZE ZORDER BY. Bit i of column j
+    * lands at position i·N + j. Past 3 columns the 63-bit signed-long
+    * budget forces coarser per-column resolution (`min(16, 63/N)` bits);
+    * the TOP bits of each input are kept, so resolution loss only merges
+    * already-adjacent curve cells — locality, the property pruning rides
+    * on, is preserved. (N=2 reproduces [[morton2]] bit for bit.) */
+  def mortonN(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    val n = cols.size
+    require(n >= 2, s"mortonN needs at least 2 columns, got $n")
+    val bits = math.min(16, 63 / n)
+    val parts = for {
+      (c, j) <- cols.zipWithIndex
+      ct = if (bits < 16) shiftright(c, 16 - bits) else c
+      i <- 0 until bits
+    } yield shiftleft(shiftright(ct, i).bitwiseAND(lit(1L)), i * n + j)
+    parts.reduce(_.bitwiseOR(_))
+  }
 
   /** Clamp-scale a numeric column from [lo, hi] onto the 16-bit grid. The
     * (lo, hi) bounds are layout metadata — one stats job at table-build

@@ -913,20 +913,36 @@ object TxTable {
                       bCol: String, bLo: Double, bHi: Double,
                       maxFilesPerBucket: Int = 4,
                       maxRecordsPerFile: Long = 0L,
-                      maxRetries: Int = 5): Int = {
+                      maxRetries: Int = 5): Int =
+    compactZOrderedN(spark, table,
+      Seq((aCol, aLo, aHi), (bCol, bLo, bHi)),
+      maxFilesPerBucket, maxRecordsPerFile, maxRetries)
+
+  /** [[compactZOrdered]] over N columns — Delta's OPTIMIZE ZORDER BY
+    * takes any column list; so does this. Each `(col, lo, hi)` bound is
+    * layout metadata normalizing that column onto the interleave grid
+    * ([[LayoutOps.mortonN]]); the rewrite keeps the bucket partitioning,
+    * sorts by the N-D curve within each bucket, rolls files at
+    * `maxRecordsPerFile`, and refreshes ALL N zone-map sidecars in the
+    * same maintenance call, so [[readWhereAll]] conjunctions over any
+    * subset of the columns prune immediately after the commit. */
+  def compactZOrderedN(spark: SparkSession, table: String,
+                       colBounds: Seq[(String, Double, Double)],
+                       maxFilesPerBucket: Int = 4,
+                       maxRecordsPerFile: Long = 0L,
+                       maxRetries: Int = 5): Int = {
+    require(colBounds.size >= 2,
+      s"z-order needs at least 2 columns, got ${colBounds.size}")
     val n = compactWith(spark, table, maxFilesPerBucket, maxRetries,
       df => df
-        .withColumn("__z", LayoutOps.morton2(
-          LayoutOps.normalize16(col(aCol), aLo, aHi),
-          LayoutOps.normalize16(col(bCol), bLo, bHi)))
+        .withColumn("__z", LayoutOps.mortonN(colBounds.map {
+          case (c, lo, hi) => LayoutOps.normalize16(col(c), lo, hi) }))
         .repartition(col(LayoutOps.BucketCol))
         .sortWithinPartitions(col(LayoutOps.BucketCol), col("__z"))
         .drop("__z"),
       maxRecordsPerFile)
-    if (n > 0) { // incremental: profiles only the files the rewrite added
-      computeStats(spark, table, aCol)
-      computeStats(spark, table, bCol)
-    }
+    if (n > 0) // incremental: profiles only the files the rewrite added
+      colBounds.foreach { case (c, _, _) => computeStats(spark, table, c) }
     n
   }
 

@@ -280,6 +280,35 @@ class LayoutOpsSpec extends AnyFunSuite {
     assert(out(3) == 0xAAAAAAAAL)   // b=0xFFFF fills the odd positions
   }
 
+  test("mortonN: N=2 reproduces morton2; N=3 matches a Scala reimplementation") {
+    val pairs = Seq((3L, 2L), (65535L, 0L), (12345L, 54321L), (7L, 65535L))
+    val viaN = pairs.toDF("a", "b")
+      .select(LayoutOps.mortonN(Seq($"a", $"b")).as("z")).as[Long].collect()
+    val via2 = pairs.toDF("a", "b")
+      .select(LayoutOps.morton2($"a", $"b").as("z")).as[Long].collect()
+    assert(viaN.toSeq == via2.toSeq, "N=2 must be bit-identical to morton2")
+    // 3 columns: 16 bits each fits 48 bits — full resolution; bit i of
+    // column j lands at position 3i + j
+    def m3(a: Long, b: Long, c: Long): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1L) << (3 * i)) | (((b >> i) & 1L) << (3 * i + 1)) |
+          (((c >> i) & 1L) << (3 * i + 2))
+      }.reduce(_ | _)
+    val triples = Seq((3L, 2L, 1L), (65535L, 0L, 0L), (0L, 65535L, 0L),
+      (0L, 0L, 65535L), (12345L, 54321L, 33333L))
+    val got = triples.toDF("a", "b", "c")
+      .select(LayoutOps.mortonN(Seq($"a", $"b", $"c")).as("z"))
+      .as[Long].collect().toSeq
+    assert(got == triples.map((m3 _).tupled), s"3-D interleave diverged: $got")
+    // 4+ columns truncate to the TOP min(16, 63/N) bits per column — the
+    // code stays inside a signed long and close values stay close
+    val z4 = Seq((65535L, 65535L, 65535L, 65535L)).toDF("a", "b", "c", "d")
+      .select(LayoutOps.mortonN(Seq($"a", $"b", $"c", $"d")).as("z"))
+      .as[Long].head()
+    assert(z4 == (1L << 60) - 1, s"4x15-bit all-ones must fill 60 bits: $z4")
+    assert(z4 > 0, "must stay positive (inside the signed-long budget)")
+  }
+
   test("z-ordered layout confines every file to a small (a,b) rectangle") {
     // 4096 rows on a uniform 64x64 grid scaled to 16 bits; 16 output files.
     // A z-ordered write should bound EACH file's spread in BOTH dimensions

@@ -453,6 +453,42 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.computeStats(spark, table, "y") == 0)
   }
 
+  test("compactZOrderedN: 3-column z-compact prunes a 3-way conjunction and refreshes all sidecars") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    // three decorrelated pseudo-random dimensions (affine bijections mod
+    // 256): pre-compact, every file spans all three domains and no zone
+    // map can skip anything
+    def batch(seed: Int) = (0 until 256).map { i =>
+      (s"k${seed}_$i", ((i * 37 + seed * 11) % 256).toLong,
+        ((i * 53 + seed * 7) % 256).toLong,
+        ((i * 71 + seed * 13) % 256).toLong)
+    }.toDF("k", "x", "y", "w").coalesce(2)
+    TxTable.init(spark, table, batch(0), "k", nBuckets = 4)
+    for (b <- 1 until 5)
+      TxTable.appendOnce(spark, table, batch(b), "k", 4, "z3", b - 1L)
+    Seq("x", "y", "w").foreach(c => TxTable.computeStats(spark, table, c))
+    val bounds = Seq(("x", 0L: Any, 63L: Any), ("y", 64L: Any, 127L: Any),
+      ("w", 128L: Any, 191L: Any))
+    val before = TxTable.readWhereAll(spark, table, bounds)
+    val beforeRows = before.select("k", "x", "y", "w")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val beforeFiles = before.inputFiles.length
+    assert(beforeFiles > 4, s"fixture sanity: scattered layout, $beforeFiles")
+    val n = TxTable.compactZOrderedN(spark, table,
+      Seq(("x", 0, 255), ("y", 0, 255), ("w", 0, 255)),
+      maxFilesPerBucket = 2, maxRecordsPerFile = 80)
+    assert(n == 4, s"all four buckets were fragmented, compacted $n")
+    val after = TxTable.readWhereAll(spark, table, bounds)
+    assert(after.select("k", "x", "y", "w").as[(String, Long, Long, Long)]
+      .collect().toSet == beforeRows, "rewrite must not change the data")
+    assert(after.inputFiles.length < beforeFiles,
+      s"3-D z-layout must prune the conjunction: ${after.inputFiles.length} vs $beforeFiles")
+    // all three sidecars were refreshed inside the same maintenance call
+    Seq("x", "y", "w").foreach(c =>
+      assert(TxTable.computeStats(spark, table, c) == 0,
+        s"sidecar $c must already cover the rewrite"))
+  }
+
   test("readWhereAll: conjunction pruning on a second column without re-profiling the first") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     def batch(days: Range) = days.map(d => (s"k$d", d.toLong, d * 2L))
