@@ -268,6 +268,47 @@ object SparkEntry {
       _ => ops.SimilarityOps.fitIvfKmeans(tbl(s, dir, "embeddings"),
         nCells = 16))
 
+  /** Deterministic IVF centroids (first 16 by vec_id) — shared by the
+    * IVF-PQ index pieces; tiny driver metadata, staged for reuse. */
+  private val stagedIvfpqCentsMap = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[(Long, Array[Float])]]()
+
+  private def stagedIvfpqCents(s: SparkSession,
+                               dir: String): Array[(Long, Array[Float])] =
+    stagedIvfpqCentsMap.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
+      _ => tbl(s, dir, "embeddings").orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)))
+
+  /** Deterministic IVF-PQ residual codebooks — index metadata for the
+    * oracle-replayable IVFADC query. */
+  private val stagedIvfpqCbsMap =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+
+  private def stagedIvfpqCodebooks(s: SparkSession,
+                                   dir: String): Array[Array[Array[Double]]] =
+    stagedIvfpqCbsMap.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
+      _ => ops.SimilarityOps.ivfpqCodebooks(tbl(s, dir, "embeddings"),
+        stagedIvfpqCents(s, dir), m = 8, kCodes = 16))
+
+  /** Learned IVF-PQ state: k-means cells + k-means RESIDUAL codebooks —
+    * the production IVFADC build; model state by the usual contract. */
+  private val stagedIvfpqKmMap = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[(Long, Array[Float])], Array[Array[Array[Double]]])]()
+
+  private def stagedIvfpqKmeans(s: SparkSession, dir: String):
+      (Array[(Long, Array[Float])], Array[Array[Array[Double]]]) =
+    stagedIvfpqKmMap.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "embeddings").getAbsolutePath,
+      _ => {
+        val cents = stagedIvfModel(s, dir).clusterCenters.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+        (cents, ops.SimilarityOps.ivfpqCodebooksKmeans(
+          tbl(s, dir, "embeddings"), cents, m = 8, kCodes = 16))
+      })
+
   /** BPE merge table (30 merges learned from the word-frequency table) —
     * tokenizer model state, staged once per (sf dir, JVM) like the LM and
     * quantizer calibration. */
@@ -296,6 +337,8 @@ object SparkEntry {
     stagedPqCodebooks(s, dir)
     stagedPqKmeansCodebooks(s, dir)
     stagedIvfModel(s, dir)
+    stagedIvfpqCodebooks(s, dir)
+    stagedIvfpqKmeans(s, dir)
     stagedBpeMerges(s, dir)
     // building these two queries triggers their ensureStaged landing
     // writes (date-partitioned silver; the 3-commit TxTable source) and
@@ -428,10 +471,13 @@ object SparkEntry {
       "ext_ann_recall" ->
         s"""WITH exact AS (SELECT * FROM (${ext("ext_ann_topk")}) t),
            |ivf AS (SELECT * FROM (${ext("ext_ann_ivf")}) t),
+           |ivfpq AS (SELECT * FROM (${ext("ext_ann_ivfpq")}) t),
            |pq AS (SELECT * FROM (${ext("ext_ann_pq")}) t),
            |quant AS (SELECT * FROM (${ext("ext_ann_quantized")}) t),
            |legs AS (
            |${leg("ivf", "ivf")}
+           |  UNION ALL
+           |${leg("ivfpq", "ivfpq")}
            |  UNION ALL
            |${leg("pq", "pq")}
            |  UNION ALL
@@ -1404,6 +1450,36 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF-PQ (the FAISS IVFADC composition): IVF cells prune the corpus,
+    // PQ codes on the RESIDUAL (vector − centroid) score within probed
+    // cells — the production shape for billion-vector search, here with
+    // deterministic centroids + residual codebooks so the ENTIRE pipeline
+    // (assign → residual-encode → probe → ADC) oracle-replays.
+    "ext_ann_ivfpq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      SimilarityOps.ivfpqTopKWith(emb, emb.filter(col("vec_id") < 10), k = 5,
+          cents = stagedIvfpqCents(s, dir),
+          cbs = stagedIvfpqCodebooks(s, dir), nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Production IVF-PQ: seeded k-means cells + k-means residual
+    // codebooks replace both deterministic stand-ins. `no_oracle` BY
+    // CONTRACT (k-means output is model state, like ext_ann_ivf_kmeans /
+    // ext_ann_pq_kmeans); rows checked by the driver, recall ≥ flat PQ at
+    // equal code bytes pinned in ExtOpsSpec.
+    "ext_ann_ivfpq_kmeans" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val (cents, cbs) = stagedIvfpqKmeans(s, dir)
+      SimilarityOps.ivfpqTopKWith(emb, emb.filter(col("vec_id") < 10), k = 5,
+          cents = cents, cbs = cbs, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          round6(col("sim")).as("sim6"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // Production PQ: per-subspace seeded k-means codebooks (Jégou et al.)
     // replace the deterministic first-16-by-id stand-in — lower
     // quantization error, same ADC mechanics. `no_oracle` BY CONTRACT
@@ -1463,6 +1539,9 @@ object SparkEntry {
           Seq(
             "ivf" -> SimilarityOps.ivfTopK(emb, q, k = 5,
               nCells = 16, nProbe = 4),
+            "ivfpq" -> SimilarityOps.ivfpqTopKWith(emb, q, k = 5,
+              cents = stagedIvfpqCents(s, dir),
+              cbs = stagedIvfpqCodebooks(s, dir), nProbe = 4),
             "pq" -> SimilarityOps.pqTopK(emb, q, k = 5,
               cbs = stagedPqCodebooks(s, dir)),
             "quantized" -> SimilarityOps.quantizedTopK(emb, q, k = 5,
@@ -3901,6 +3980,111 @@ object SparkEntry {
         |  FROM dots2
         |  JOIN norms nq ON nq.vec_id = query_id
         |  JOIN norms ne ON ne.vec_id = neighbor_id
+        |)
+        |SELECT query_id, rank, neighbor_id,
+        |  FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim6
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF-PQ (IVFADC) replay: deterministic centroids (first 16 by id),
+    // cosine assignment, residual = v − centroid, residual codebooks =
+    // subvectors of the first-16 NON-CENTROID residuals by id (centroid
+    // vectors' residuals are exactly zero), codes = argmin L2
+    // (ties → lowest j), probes = top-4 cells per query, ADC score =
+    // query·centroid + Σ codeword lookups over the assembled
+    // reconstruction norm |c|² + 2·c·r̂ + |r̂|²
+    "ext_ann_ivfpq" ->
+      """WITH vecs AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell_id, v AS cv FROM vecs ORDER BY vec_id LIMIT 16
+        |), csims AS (
+        |  SELECT a.vec_id, c.cell_id,
+        |    list_sum(list_transform(generate_series(1, 64), d -> a.v[d] * c.cv[d]))
+        |      / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |         * sqrt(list_sum(list_transform(c.cv, x -> x*x)))) AS csim
+        |  FROM vecs a CROSS JOIN cents c
+        |), assigned AS (
+        |  SELECT vec_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM csims) t
+        |  WHERE rn = 1
+        |), resid AS (
+        |  SELECT a.vec_id, a.cell_id,
+        |    list_transform(generate_series(1, 64), d -> v.v[d] - c.cv[d]) AS r
+        |  FROM assigned a
+        |  JOIN vecs v ON v.vec_id = a.vec_id
+        |  JOIN cents c ON c.cell_id = a.cell_id
+        |), cbbase AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j, r
+        |  FROM resid WHERE vec_id NOT IN (SELECT cell_id FROM cents)
+        |  ORDER BY vec_id LIMIT 16
+        |), subs AS (
+        |  SELECT unnest(generate_series(0, 7)) AS s
+        |), cb AS (
+        |  SELECT s, j, list_slice(r, s*8 + 1, s*8 + 8) AS cw
+        |  FROM cbbase CROSS JOIN subs
+        |), dist AS (
+        |  SELECT vec_id, s, j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      d -> (r[s*8 + d] - cw[d]) * (r[s*8 + d] - cw[d]))) AS d2
+        |  FROM resid CROSS JOIN cb
+        |), codes AS (
+        |  SELECT vec_id, s, j FROM (
+        |    SELECT vec_id, s, j,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+        |    FROM dist) WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT vec_id, cell_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY csim DESC, cell_id) AS rn FROM csims WHERE vec_id < 10) t
+        |  WHERE rn <= 4
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10
+        |), qcell AS (
+        |  SELECT q.query_id, c.cell_id,
+        |    list_sum(list_transform(generate_series(1, 64), d -> q.qv[d] * c.cv[d])) AS dp
+        |  FROM q CROSS JOIN cents c
+        |), qdot AS (
+        |  SELECT query_id, s, j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      d -> qv[s*8 + d] * cw[d])) AS dp
+        |  FROM q CROSS JOIN cb
+        |), cwn AS (
+        |  SELECT s, j, list_sum(list_transform(cw, x -> x * x)) AS nn FROM cb
+        |), cdot AS (
+        |  SELECT c.cell_id, cb.s, cb.j,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      d -> c.cv[cb.s*8 + d] * cb.cw[d])) AS dp
+        |  FROM cents c CROSS JOIN cb
+        |), cn AS (
+        |  SELECT cell_id, list_sum(list_transform(cv, x -> x * x)) AS nn FROM cents
+        |), qn AS (
+        |  SELECT query_id, list_sum(list_transform(qv, x -> x * x)) AS nn FROM q
+        |), cand AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id
+        |  FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+        |  WHERE a.vec_id <> p.query_id
+        |), scored AS (
+        |  SELECT c.query_id, c.neighbor_id,
+        |    qc.dp + SUM(qd.dp) AS dp,
+        |    cn.nn + 2 * SUM(cd.dp) + SUM(w.nn) AS rn2,
+        |    qn.nn AS qn2
+        |  FROM cand c
+        |  JOIN codes k2 ON k2.vec_id = c.neighbor_id
+        |  JOIN qdot qd ON qd.query_id = c.query_id AND qd.s = k2.s AND qd.j = k2.j
+        |  JOIN cdot cd ON cd.cell_id = c.cell_id AND cd.s = k2.s AND cd.j = k2.j
+        |  JOIN cwn w ON w.s = k2.s AND w.j = k2.j
+        |  JOIN qcell qc ON qc.query_id = c.query_id AND qc.cell_id = c.cell_id
+        |  JOIN cn ON cn.cell_id = c.cell_id
+        |  JOIN qn ON qn.query_id = c.query_id
+        |  GROUP BY c.query_id, c.neighbor_id, qc.dp, cn.nn, qn.nn
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    dp / (sqrt(qn2) * sqrt(rn2)) AS sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dp / (sqrt(qn2) * sqrt(rn2)) DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
         |)
         |SELECT query_id, rank, neighbor_id,
         |  FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim6

@@ -588,6 +588,229 @@ object SimilarityOps {
       .filter(col("rank") <= k)
   }
 
+  // --------------------------------------------------------------------
+  // IVF-PQ — the FAISS IVFADC composition, the production shape for
+  // billion-vector search: IVF cells PRUNE the corpus (only nProbe cells
+  // per query are scored) and PQ codes on the RESIDUAL (vector − its
+  // assigned centroid) score within the probed cells. Residuals are much
+  // smaller in magnitude than raw vectors, so the same code budget spends
+  // its resolution on the part the centroid didn't already explain —
+  // recall at equal code bytes beats flat PQ (spec-pinned). Both halves
+  // existed here separately (ivfTopK cells, pqTopK ADC); this composes
+  // them: candidates = probed-cell equi-join (never a cross join), score
+  // = query·centroid lookup + m residual-codeword lookup-sums, and the
+  // reconstruction norm |c + r̂|² assembles from THREE literal tables
+  // (|c|², c·r̂ per (cell, subspace, codeword), |r̂|²) — every per-
+  // candidate term is a codegen'd element_at over index constants.
+  // --------------------------------------------------------------------
+
+  /** Residual of each assigned corpus vector against its cell centroid,
+    * as an `array<double>` projection (expects `cell_id` + `embedding`
+    * columns; `cents` ids must match the assignment's). */
+  private def residualExpr(cents: Array[(Long, Array[Float])]): Column = {
+    val idsLit = typedlit(cents.map(_._1))
+    val centsLit = typedlit(cents.map(_._2.map(_.toDouble).toSeq).toSeq)
+    val centRow = element_at(centsLit,
+      array_position(idsLit, col("cell_id")).cast("int"))
+    transform(col("embedding"), (x, i) =>
+      x.cast("double") - element_at(centRow, i + 1))
+  }
+
+  /** [[pqEncode]] over an `array<double>` input — the residual path.
+    * Same fixed-order argmin-L2 closure contract (ties → lowest index). */
+  def pqEncodeDouble(v: Column, cbs: Array[Array[Array[Double]]]): Column = {
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    val enc = udf { (r: Seq[Double]) =>
+      Array.tabulate(m) { s =>
+        var bestJ = 0
+        var best = Double.PositiveInfinity
+        var j = 0
+        while (j < cbs(s).length) {
+          val cw = cbs(s)(j)
+          var d2 = 0.0
+          var d = 0
+          while (d < dsub) {
+            val diff = r(s * dsub + d) - cw(d)
+            d2 += diff * diff
+            d += 1
+          }
+          if (d2 < best) { best = d2; bestJ = j }
+          j += 1
+        }
+        bestJ
+      }
+    }
+    enc(v)
+  }
+
+  /** Deterministic RESIDUAL codebooks for [[ivfpqTopK]]: codeword j of
+    * subspace s is the s-th subvector of the (j+1)-th NON-CENTROID corpus
+    * vector's residual (vector − its cosine-assigned centroid), by
+    * vec_id — the [[pqCodebooks]] convention lifted to residual space, so
+    * the whole IVFADC pipeline stays oracle-replayable. Centroid vectors
+    * are excluded from the training slice because their residuals are
+    * exactly zero (each is its own nearest centroid) — an all-zero
+    * codebook would collapse every reconstruction onto its centroid.
+    * Driver-side index metadata. */
+  def ivfpqCodebooks(corpus: DataFrame, cents: Array[(Long, Array[Float])],
+                     m: Int, kCodes: Int): Array[Array[Array[Double]]] = {
+    val centIds = cents.map(_._1)
+    val base = corpus.filter(!col("vec_id").isin(centIds: _*))
+      .orderBy(col("vec_id")).limit(kCodes)
+      .select(col("embedding")).collect().map(_.getSeq[Float](0))
+    require(base.length == kCodes, s"corpus has fewer than $kCodes vectors")
+    val dims = base.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val resid: Array[Array[Double]] = base.map { v =>
+      var bestC = cents(0)._2
+      var best = Double.NegativeInfinity
+      cents.foreach { case (_, c) =>
+        val s = cosineLocal(v, c)
+        // strict > over ascending cell ids == lowest id wins ties,
+        // matching assignCells
+        if (s > best) { best = s; bestC = c }
+      }
+      Array.tabulate(dims)(i => v(i).toDouble - bestC(i).toDouble)
+    }
+    val dsub = dims / m
+    Array.tabulate(m)(s => resid.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** LEARNED residual codebooks: per-subspace seeded k-means over the
+    * DISTRIBUTED residuals (assignment + residual are projections; the m
+    * fits run over one persisted staging of the subvector columns, a
+    * deterministic hash sample at scale) — [[pqCodebooksKmeans]] lifted
+    * to residual space. Model state by the usual contract; the
+    * deterministic [[ivfpqCodebooks]] sibling stays the oracle. */
+  def ivfpqCodebooksKmeans(corpus: DataFrame,
+                           cents: Array[(Long, Array[Float])], m: Int,
+                           kCodes: Int, seed: Long = 42L,
+                           samplePct: Int = 100): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(samplePct > 0 && samplePct <= 100,
+      s"samplePct must be in (0,100], got $samplePct")
+    val dims = cents.head._2.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val dsub = dims / m
+    val train =
+      if (samplePct >= 100) corpus
+      else SampleOps.sampleFraction(corpus, col("vec_id"), samplePct,
+        salt = "ivfpq-fit")
+    val resid = assignCells(OpsUtil.spread(train), cents)
+      .withColumn("__r", residualExpr(cents))
+    val subCols = (0 until m).map(s =>
+      array_to_vector(slice(col("__r"), s * dsub + 1, dsub)).as(s"__s$s"))
+    val staged = resid.select(subCols: _*).persist()
+    try {
+      Array.tabulate(m) { s =>
+        new KMeans()
+          .setK(kCodes).setSeed(seed + s).setMaxIter(10)
+          .setFeaturesCol(s"__s$s").setPredictionCol("__c")
+          .fit(staged)
+          .clusterCenters.map(_.toArray)
+      }
+    } finally { staged.unpersist(); () }
+  }
+
+  /** IVF-PQ top-k with deterministic centroids (first nCells by id) and
+    * deterministic residual codebooks — fully oracle-replayable. */
+  def ivfpqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+                nProbe: Int, m: Int, kCodes: Int): DataFrame = {
+    val cents = corpus.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    ivfpqTopKWith(corpus, queries, k, cents,
+      ivfpqCodebooks(corpus, cents, m, kCodes), nProbe)
+  }
+
+  /** IVF-PQ top-k against staged index state (centroids + residual
+    * codebooks — swap in k-means versions of either for the production
+    * build; mechanics are identical).
+    *
+    * Scale shape: the corpus streams as (vec_id, cell_id, m codes) —
+    * the compressed index only; candidates come from the probed-cell
+    * equi-join (queries × nProbe rows broadcast); per-candidate scoring
+    * is O(m) codegen'd literal lookups. The only corpus-sized work is
+    * the one-pass encode and the bounded-heap top-k. */
+  def ivfpqTopKWith(corpus: DataFrame, queries: DataFrame, k: Int,
+                    cents: Array[(Long, Array[Float])],
+                    cbs: Array[Array[Array[Double]]], nProbe: Int): DataFrame = {
+    val m = cbs.length
+    val dsub = cbs.head.head.length
+    val dims = cents.head._2.length
+    require(m * dsub == dims,
+      s"codebooks cover ${m * dsub} dims but centroids have $dims")
+    val assigned = assignCells(OpsUtil.spread(corpus), cents)
+    val coded = assigned
+      .withColumn("codes", pqEncodeDouble(residualExpr(cents), cbs))
+      .select(col("vec_id"), col("cell_id"), col("codes"))
+    val centArr = cents.map(_._2)
+    // query-side LUTs, once per query row: full-dim query·centroid dots,
+    // per-subspace query·residual-codeword dots, query norm — all fixed-
+    // order loops (bit-identical to the oracle's ordered list_sum)
+    val lut = udf { (v: Seq[Float]) =>
+      val qcell = centArr.map { c =>
+        var dp = 0.0
+        var i = 0
+        while (i < c.length) { dp += v(i).toDouble * c(i).toDouble; i += 1 }
+        dp
+      }
+      val qdots = Array.tabulate(m) { s =>
+        cbs(s).map { cw =>
+          var dp = 0.0
+          var d = 0
+          while (d < dsub) { dp += v(s * dsub + d).toDouble * cw(d); d += 1 }
+          dp
+        }
+      }
+      var qn2 = 0.0
+      var i = 0
+      while (i < v.length) { val x = v(i).toDouble; qn2 += x * x; i += 1 }
+      (qcell, qdots, qn2)
+    }
+    val probes = probeCells(queries, cents, nProbe)
+      .select(col("query_id"), col("cell_id"))
+    val qlut = queries
+      .select(col("vec_id").as("query_id"), lut(col("embedding")).as("q"))
+      .select(col("query_id"), col("q._1").as("qcell"),
+        col("q._2").as("qdots"), col("q._3").as("qn2"))
+    val probeSide = probes.join(qlut, Seq("query_id"))
+    val idsLit = typedlit(cents.map(_._1))
+    val ordC = array_position(idsLit, col("cell_id")).cast("int")
+    // index constants: |c|², c·r̂ per (cell, subspace, codeword), |r̂|²
+    val centN2 = typedlit(centArr.map(_.map(x => x.toDouble * x).sum))
+    val cDot = typedlit(centArr.map { c =>
+      (0 until m).map { s =>
+        cbs(s).map { cw =>
+          var dp = 0.0
+          var d = 0
+          while (d < dsub) { dp += c(s * dsub + d).toDouble * cw(d); d += 1 }
+          dp
+        }.toSeq
+      }
+    }.toSeq)
+    val cwN2 = typedlit(cbs.map(_.map(cw => cw.map(x => x * x).sum).toSeq).toSeq)
+    def codeAt(s: Int) = element_at(col("codes"), s + 1) + 1
+    val dp = element_at(col("qcell"), ordC) + (0 until m).map(s =>
+      element_at(element_at(col("qdots"), s + 1), codeAt(s))).reduce(_ + _)
+    val rdot = (0 until m).map(s =>
+      element_at(element_at(element_at(cDot, ordC), s + 1), codeAt(s)))
+      .reduce(_ + _)
+    val rn2 = element_at(centN2, ordC) + lit(2.0) * rdot +
+      (0 until m).map(s =>
+        element_at(element_at(cwN2, s + 1), codeAt(s))).reduce(_ + _)
+    coded.join(broadcast(probeSide), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dp / (sqrt(col("qn2")) * sqrt(rn2))).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+  }
+
   /** Recall@k of an approximate ANN result against its exact baseline —
     * index-quality monitoring as a first-class queryable frame (the eval
     * step of every ANN deployment), not a number buried in a test log.

@@ -778,6 +778,44 @@ class ExtOpsSpec extends AnyFunSuite {
       s"report diverged from per-leg recall: ${report.toSeq}")
   }
 
+  test("IVF-PQ: residual coding beats flat PQ at equal code bytes; learned variant well-formed") {
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = SimilarityOps.bruteForceTopK(emb, queries, 5)
+    val cents = emb.orderBy($"vec_id").limit(16)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val detCbs = SimilarityOps.ivfpqCodebooks(emb, cents, m = 8, kCodes = 16)
+    // the degenerate-codebook regression: centroid vectors' residuals are
+    // zero; the training slice must exclude them or every reconstruction
+    // collapses onto its centroid
+    assert(detCbs.flatten.exists(_.exists(_ != 0.0)),
+      "residual codebooks must not be all-zero")
+    val ivfpq = SimilarityOps.ivfpqTopKWith(emb, queries, k = 5, cents,
+      detCbs, nProbe = 4)
+    val flat = SimilarityOps.pqTopK(emb, queries, k = 5,
+      SimilarityOps.pqCodebooks(emb, m = 8, k = 16))
+    // same m=8, kCodes=16 → identical code bytes per vector; residual
+    // coding spends them on what the centroid didn't explain
+    val rep = SimilarityOps.recallReport(exact,
+        Seq("ivfpq" -> ivfpq, "pq" -> flat), k = 5)
+      .groupBy($"method").agg(avg($"recall").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(rep("ivfpq") >= rep("pq"),
+      s"residual coding must not lose recall at equal code bytes: $rep")
+    // learned variant (k-means cells + k-means residual codebooks): full
+    // result surface, every query served
+    val km = SimilarityOps.fitIvfKmeans(emb, nCells = 16)
+    val kmCents = km.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }
+    val learned = SimilarityOps.ivfpqTopKWith(emb, queries, k = 5, kmCents,
+      SimilarityOps.ivfpqCodebooksKmeans(emb, kmCents, m = 8, kCodes = 16),
+      nProbe = 4)
+      .select($"query_id", $"rank").as[(Long, Int)].collect()
+    assert(learned.length == 50, s"10 queries x top-5, got ${learned.length}")
+    assert(learned.groupBy(_._1)
+      .forall(_._2.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+  }
+
   test("LSH kNN join: well-formed ranks, exact sims, high-sim neighbors found") {
     val knn = SimilarityOps.knnJoinLsh(emb, k = 3)
       .select($"query_id", $"rank", $"neighbor_id", $"sim")
