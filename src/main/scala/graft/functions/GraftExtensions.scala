@@ -64,5 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         session.conf.getOption("spark.graft.intervalJoin.binSeconds")
           .map(_.toLong).getOrElse(3600L))
     }
+    // zone-map file skipping for SQL reads of TxTables: range predicates
+    // over registered views reach the per-file (min, max) sidecars, so a
+    // SQL-only session prunes like readWhere/readWhereAll
+    e.injectOptimizerRule { session =>
+      graft.plans.TxTablePruneRule(session)
+    }
   }
 }

@@ -477,8 +477,44 @@ object TxTable {
     missing.size
   }
 
-  private def cmpAny(a: Any, b: Any): Int =
+  private[graft] def cmpAny(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Per-file (lo, hi) sidecar map for `c` — empty when the column was
+    * never profiled. Cached by the sidecar's modification time, so
+    * per-query callers (the [[graft.plans.TxTablePruneRule]] SQL path
+    * runs once per optimization) re-read the tiny parquet only after a
+    * [[computeStats]] refresh. */
+  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, (Any, Any)])]()
+
+  private[graft] def fileStats(spark: SparkSession, table: String,
+                               c: String): Map[String, (Any, Any)] = {
+    val fs = fsFor(spark, table)
+    val sp = statsPath(table, c)
+    if (!fs.exists(sp)) return Map.empty
+    val mtime = fs.getFileStatus(sp).getModificationTime
+    val key = sp.toString
+    val cached = statsCache.get(key)
+    if (cached != null && cached._1 == mtime) cached._2
+    else {
+      val m = spark.read.parquet(sp.toString)
+        .select(col("rel"), col("lo"), col("hi")).collect()
+        .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+      statsCache.put(key, (mtime, m))
+      m
+    }
+  }
+
+  /** Register the table's resolved snapshot as a temp view for SQL-only
+    * callers. With [[graft.functions.GraftExtensions]] loaded, range
+    * predicates over profiled columns reach the zone-map sidecars through
+    * [[graft.plans.TxTablePruneRule]], so `spark.sql` readers get the
+    * same file skipping as [[readWhere]]/[[readWhereAll]] without any
+    * Scala API. */
+  def registerView(spark: SparkSession, table: String, name: String,
+                   version: Option[Long] = None): Unit =
+    read(spark, table, version).createOrReplaceTempView(name)
 
   /** Range read with zone-map file skipping: rows where `statsCol` lies in
     * [lo, hi], opening ONLY files whose sidecar (min, max) overlaps the
@@ -503,15 +539,8 @@ object TxTable {
                    version: Option[Long] = None): DataFrame = {
     require(bounds.nonEmpty, "readWhereAll needs at least one bound")
     val snap = snapshot(spark, table, version)
-    val fs = fsFor(spark, table)
     val perCol = bounds.map { case (c, lo, hi) =>
-      val sp = statsPath(table, c)
-      val statsMap: Map[String, (Any, Any)] =
-        if (!fs.exists(sp)) Map.empty
-        else spark.read.parquet(sp.toString)
-          .select(col("rel"), col("lo"), col("hi")).collect()
-          .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
-      (statsMap, lo, hi)
+      (fileStats(spark, table, c), lo, hi)
     }
     def mayMatch(e: FileEntry): Boolean = perCol.forall {
       case (statsMap, lo, hi) => statsMap.get(e.rel) match {

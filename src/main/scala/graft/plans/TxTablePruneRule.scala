@@ -1,0 +1,158 @@
+package graft.plans
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+
+/** Catalyst optimizer rule: zone-map file skipping for SQL reads of
+  * [[graft.ops.TxTable]]s.
+  *
+  * The Scala surface ([[graft.ops.TxTable.readWhere]] /
+  * [[graft.ops.TxTable.readWhereAll]] / [[graft.ops.TxTable.readKeys]])
+  * consults the per-file (min, max) sidecars and the manifest's bucket
+  * column before opening anything; a `spark.sql` session reading a
+  * registered TxTable view used to get none of that — the relation lists
+  * every committed file and pruning happens only at parquet row-group
+  * level. This rule closes the gap at the optimizer: a `Filter` with
+  * simple range/equality conjuncts over a parquet relation whose files
+  * live under a TxTable root (`<root>/files/...` with `<root>/_txlog`)
+  * is rewritten to scan ONLY the files whose profiled (lo, hi) ranges
+  * overlap every extracted bound — the same never-prune-blind semantics
+  * as `readWhereAll`: unprofiled columns and unknown files never prune,
+  * all-null files cannot satisfy a range predicate and drop, and the
+  * full filter still applies on top, so the rewrite changes I/O, never
+  * rows.
+  *
+  * Scale shape: the sidecar is O(files) driver metadata read once per
+  * refresh ([[graft.ops.TxTable.fileStats]] caches by modification
+  * time); the rewrite itself touches only the plan. Convergence: when
+  * pruning removes nothing the node is returned unchanged, so the
+  * fixed-point optimizer batch terminates. */
+case class TxTablePruneRule(session: SparkSession) extends Rule[LogicalPlan]
+    with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, rel: LogicalRelation)
+        if rel.relation.isInstanceOf[HadoopFsRelation] =>
+      val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+      tableRootOf(hfs) match {
+        case Some(root) =>
+          val bounds = extractBounds(cond)
+          if (bounds.isEmpty) f
+          else {
+            val current = hfs.location.inputFiles
+            val kept = pruned(root, current, bounds)
+            if (kept.length == current.length) f
+            else {
+              val idx = new InMemoryFileIndex(session,
+                kept.map(new Path(_)).toSeq, Map.empty[String, String],
+                Some(hfs.dataSchema))
+              val newHfs = HadoopFsRelation(idx, hfs.partitionSchema,
+                hfs.dataSchema, hfs.bucketSpec, hfs.fileFormat,
+                hfs.options)(session)
+              Filter(cond, rel.copy(relation = newHfs))
+            }
+          }
+        case None => f
+      }
+  }
+
+  /** The TxTable root owning this relation's files, if any: every file a
+    * TxTable commit references sits at `<root>/files/<uuid>/bucket-N/…`
+    * with the commit log at `<root>/_txlog`. Positive answers are cached
+    * (a table's root never stops being one); the check itself only runs
+    * for paths that contain a `/files/` segment. */
+  private def tableRootOf(hfs: HadoopFsRelation): Option[String] = {
+    val head = hfs.location.rootPaths.headOption.map(_.toString)
+    head.filter(_.contains("/files/")).flatMap { h =>
+      val cut = h.lastIndexOf("/files/")
+      val root = h.substring(0, cut)
+      val hit = TxTablePruneRule.knownRoots.get(root)
+      if (hit != null) Some(root).filter(_ => hit)
+      else {
+        val isTx = Try {
+          val p = new Path(root, "_txlog")
+          p.getFileSystem(session.sparkContext.hadoopConfiguration).exists(p)
+        }.getOrElse(false)
+        if (isTx) TxTablePruneRule.knownRoots.put(root, true)
+        Some(root).filter(_ => isTx)
+      }
+    }
+  }
+
+  /** Simple single-column bounds from the filter's conjuncts, in EXTERNAL
+    * Scala types (the sidecars hold external values): inclusive bounds
+    * from >= / <= / =, and the strict forms used inclusively — pruning
+    * may only over-keep, never over-drop. Anything non-literal or
+    * non-attribute is ignored (it still filters rows, just not files). */
+  private def extractBounds(
+      cond: Expression): Seq[(String, Option[Any], Option[Any])] = {
+    def ext(l: Literal): Option[Any] =
+      Option(l.value).map(CatalystTypeConverters.convertToScala(_, l.dataType))
+    splitConjunctivePredicates(cond).flatMap {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        ext(l).map(v => (a.name, Some(v), Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, None, Some(v)))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, Some(v), None))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        ext(l).map(v => (a.name, Some(v), Some(v)))
+      case _ => None
+    }
+  }
+
+  private def pruned(root: String, files: Array[String],
+                     bounds: Seq[(String, Option[Any], Option[Any])]): Array[String] = {
+    val perCol = bounds.groupBy(_._1).map { case (c, bs) =>
+      (graft.ops.TxTable.fileStats(session, root, c), bs)
+    }.filter(_._1.nonEmpty) // unprofiled columns never prune
+    if (perCol.isEmpty) files
+    else files.filter { f =>
+      val cut = f.lastIndexOf("/files/")
+      if (cut < 0) true
+      else {
+        val rel = f.substring(cut + 1)
+        perCol.forall { case (stats, bs) =>
+          stats.get(rel) match {
+            case Some((l, h)) if l != null && h != null =>
+              bs.forall { case (_, lo, hi) =>
+                Try {
+                  lo.forall(v => graft.ops.TxTable.cmpAny(h, v) >= 0) &&
+                    hi.forall(v => graft.ops.TxTable.cmpAny(l, v) <= 0)
+                }.getOrElse(true) // incomparable types: never prune blind
+              }
+            case Some((l, h)) if l == null && h == null =>
+              false // all-null file: a range predicate cannot select it
+            case _ => true // unknown file (post-refresh append): keep
+          }
+        }
+      }
+    }
+  }
+}
+
+object TxTablePruneRule {
+  /** Roots confirmed to carry a TxTable log — never invalidated (a
+    * directory does not stop being a table root). */
+  private val knownRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+}

@@ -35,6 +35,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sql == api)
   }
 
+  test("SQL range query over a registered TxTable prunes files via the zone-map rule") {
+    import graft.ops.TxTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txsql_").toString + "/t"
+    // time-clustered appends (the streaming landing shape): each commit
+    // covers a disjoint day range, so zone maps can skip whole commits
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong, d * 2L))
+      .toDF("k", "day", "size")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "sq", 0L)
+    TxTable.appendOnce(spark, table, batch(200 until 300), "k", 4, "sq", 1L)
+    TxTable.computeStats(spark, table, "day")
+    TxTable.registerView(spark, table, "tx_events")
+    val all = TxTable.snapshot(spark, table).entries.size
+    // both bounds inside commit 1's range — a SQL-only reader must open
+    // strictly fewer files than the full snapshot
+    val q = spark.sql(
+      "SELECT k, day, size FROM tx_events WHERE day BETWEEN 120 AND 180")
+    val opened = q.queryExecution.executedPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+      case _ => Nil
+    }
+    assert(opened.size < all,
+      s"SQL scan must prune via the sidecars: opened ${opened.size} of $all")
+    // transparency: identical rows to the unpruned read + filter
+    val expect = TxTable.read(spark, table)
+      .filter($"day".between(120L, 180L))
+      .select("k", "day", "size").as[(String, Long, Long)].collect().toSet
+    assert(q.as[(String, Long, Long)].collect().toSet == expect)
+    // a predicate on an UNPROFILED column prunes nothing but stays correct
+    val up = spark.sql(
+      "SELECT k, day, size FROM tx_events WHERE size BETWEEN 240 AND 360")
+    assert(up.as[(String, Long, Long)].collect().toSet ==
+      TxTable.read(spark, table).filter($"size".between(240L, 360L))
+        .select("k", "day", "size").as[(String, Long, Long)].collect().toSet)
+  }
+
   test("native kernels compose with views in one SQL statement") {
     Tables.registerAll(spark, dir)
     val got = spark.sql(
