@@ -2058,6 +2058,44 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // The admission-funnel observability surface AS a query: a
+    // deterministic 4-batch split of `documents` replays through the REAL
+    // landing job (Pipelines.prepIngestBatch — quality gate → LM gate →
+    // near-dup admission with the portable MinHash family; span stage off
+    // so every stage is SQL-replayable), and the staged metrics parquet
+    // surfaces per-batch rates plus the cumulative admission curve — the
+    // funnel a production landing job dashboards, itself hash-checked
+    // like ext_dedup_rates. The oracle composes the quality + LM replays
+    // with a 4-step unrolled admission chain over the same signatures.
+    "ext_ingest_funnel" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val lm = stagedCharLM(s, dir)
+      val root = s"target/graft-ingest-funnel/${new java.io.File(dir).getName}"
+      ensureStaged(root) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        (0 until 4).foreach { b =>
+          graft.stream.Pipelines.prepIngestBatch(
+            docs.filter(pmod(col("doc_id"), lit(4)) === b), b.toLong, lm,
+            s"$root/corpus", s"$root/index", maxNll = 1.75, threshold = 0.4,
+            num = 64, bands = 16, shingle = 3, portable = true, spanK = 0,
+            metricsPath = Some(s"$root/metrics"))
+        }
+      }
+      s.read.parquet(s"$root/metrics")
+        .select(col("batch_id"), col("n_in"), col("n_quality"), col("n_lm"),
+          col("n_span_cut"), col("n_span_admitted"), col("n_accepted"))
+        .withColumn("accept_rate6",
+          floor(col("n_accepted").cast("double") / col("n_in") * 1e6 + 0.5)
+            / 1e6)
+        // running curve over a handful of batch rows; the non-foldable
+        // guard keeps the window off the unpartitioned path
+        .withColumn("cum_accepted", sum(col("n_accepted")).over(
+          Window.partitionBy(pmod(xxhash64(col("batch_id")), lit(1L)))
+            .orderBy(col("batch_id"))))
+        .orderBy(col("batch_id"))
+    }),
+
     // The END-TO-END mixture-planning pipeline — dedupRates (unique-mass
     // correction) → corrected mixture weights → resample, the full
     // plan-then-apply loop a curation run executes, previously three
@@ -2445,6 +2483,143 @@ object SparkEntry {
         |ORDER BY doc_new, doc_corpus""".stripMargin
   }
 
+  /** Admission-funnel oracle: replays the `ext_ingest_funnel` staged
+    * landing — the quality + LM gate replays (the ext_corpus_prep CTEs),
+    * then an UNROLLED `nBatches`-step near-dup admission chain over the
+    * portable MinHash signatures: batch n's rejects are its gated docs
+    * band-matching (est ≥ threshold) an ACCEPTED doc of an earlier batch
+    * or a smaller-id gated sibling in the same batch (the conservative
+    * chain rule ingestBatch applies); accepted_n feeds batch n+1's index.
+    * The funnel row per batch is counts + rate + cumulative curve. */
+  private def ingestFunnelOracleSql(num: Int, bands: Int, shingle: Int,
+                                    threshold: Double, nBatches: Int,
+                                    maxNll: Double): String = {
+    val ps = ops.DedupOps.hashParams(num)
+    val sigEntries = ps.map { case (a, b) =>
+      s"list_min(list_transform(hv, g -> (g * ${a} + ${b}) % ${ops.DedupOps.MinhashPrime}))"
+    }.mkString(",\n      ")
+    val rows = num / bands
+    val bandClauses = (0 until bands).map { b =>
+      (1 to rows).map(j => s"a.sig[${b * rows + j}] = b.sig[${b * rows + j}]")
+        .mkString("(", " AND ", ")")
+    }.mkString("\n       OR ")
+    val est = s"CAST(list_sum(list_transform(generate_series(1, $num), " +
+      s"i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / $num"
+    val chain = (0 until nBatches).map { n =>
+      val vsPrev =
+        if (n == 0) s"(b.batch = $n AND b.doc_id < a.doc_id)"
+        else {
+          val prev = (0 until n).map(i => s"SELECT doc_id FROM acc$i")
+            .mkString(" UNION ALL ")
+          s"(b.doc_id IN ($prev) OR (b.batch = $n AND b.doc_id < a.doc_id))"
+        }
+      s"""rej$n AS (
+         |  SELECT DISTINCT a.doc_id FROM sigs a JOIN sigs b ON ($bandClauses)
+         |  WHERE a.batch = $n AND $vsPrev
+         |    AND $est >= $threshold
+         |), acc$n AS (
+         |  SELECT doc_id FROM sigs WHERE batch = $n
+         |    AND doc_id NOT IN (SELECT doc_id FROM rej$n)
+         |)""".stripMargin
+    }.mkString(", ")
+    val accCase = "CASE b.batch_id " + (0 until nBatches).map(i =>
+      s"WHEN $i THEN (SELECT COUNT(*) FROM acc$i)").mkString(" ") + " END"
+    val batchVals = (0 until nBatches).map(i => s"($i)").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(text, '\\s+') AS toks,
+       |    string_split_regex(lower(text), '\\s+') AS ltoks
+       |  FROM documents
+       |), grammed AS (
+       |  SELECT *, list_transform(
+       |    range(1, CAST(greatest(len(toks) - 2, 1) + 1 AS BIGINT)),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) AS grams
+       |  FROM base
+       |), qscored AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(toks) AS INTEGER) AS n_words,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / len(toks) AS mean_word_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS symbol_ratio,
+       |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+       |      / length(text) AS digit_ratio,
+       |    CAST(len(list_filter(ltoks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], t))) AS DOUBLE)
+       |      / len(toks) AS stopword_ratio,
+       |    CASE WHEN len(toks) >= 3
+       |      THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+       |      ELSE 0.0 END AS dup_trigram_ratio
+       |  FROM grammed
+       |), kept AS (
+       |  SELECT doc_id, text FROM qscored
+       |  WHERE concat_ws(',',
+       |    CASE WHEN n_words IS NULL THEN 'null_text' END,
+       |    CASE WHEN n_words < 10 THEN 'too_few_words' END,
+       |    CASE WHEN n_words > 5000 THEN 'too_many_words' END,
+       |    CASE WHEN NOT (mean_word_len BETWEEN 2.0 AND 12.0) THEN 'word_len' END,
+       |    CASE WHEN symbol_ratio > 0.2 THEN 'symbol_ratio' END,
+       |    CASE WHEN digit_ratio > 0.3 THEN 'digit_ratio' END,
+       |    CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+       |    CASE WHEN dup_trigram_ratio > 0.3 THEN 'repetitive' END) = ''
+       |), ref AS (
+       |  SELECT text FROM documents WHERE lang = 'en'
+       |), refbg AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+       |    i -> substring(text, i, 2))) AS bg
+       |  FROM ref
+       |), bgc AS (
+       |  SELECT bg, COUNT(*) AS n FROM refbg GROUP BY bg
+       |), ctxc AS (
+       |  SELECT substring(bg, 1, 1) AS c, SUM(n) AS cn FROM bgc GROUP BY 1
+       |), vocab AS (
+       |  SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS v FROM (
+       |    SELECT unnest(list_transform(generate_series(1, length(text)),
+       |      i -> substring(text, i, 1))) AS c
+       |    FROM ref)
+       |), docbg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+       |    i -> substring(text, i, 2))) AS bg
+       |  FROM kept WHERE length(text) >= 2
+       |), nllbg AS (
+       |  SELECT doc_id,
+       |    -ln((COALESCE(n, 0) + 1.0) / (COALESCE(cn, 0) + v)) AS nll
+       |  FROM docbg
+       |  LEFT JOIN bgc USING (bg)
+       |  LEFT JOIN ctxc ON ctxc.c = substring(bg, 1, 1)
+       |  CROSS JOIN vocab
+       |), nlldoc AS (
+       |  SELECT doc_id,
+       |    FLOOR(SUM(nll) / COUNT(*) * 1000000 + 0.5) / 1000000 AS nll6
+       |  FROM nllbg GROUP BY doc_id
+       |), gated AS (
+       |  SELECT k.doc_id FROM kept k JOIN nlldoc n USING (doc_id)
+       |  WHERE n.nll6 <= $maxNll
+       |), mtoks AS (
+       |  SELECT d.doc_id, list_transform(string_split_regex(lower(d.text), '\\s+'),
+       |           s -> $DuckTokenHash) AS th
+       |  FROM documents d JOIN gated g USING (doc_id)
+       |), mgrams AS (
+       |  SELECT doc_id, list_distinct(${duckGramList(shingle)}) AS hv
+       |  FROM mtoks
+       |), sigs AS (
+       |  SELECT doc_id, doc_id % $nBatches AS batch, [
+       |    $sigEntries
+       |  ] AS sig FROM mgrams
+       |), $chain, funnel AS (
+       |  SELECT b.batch_id,
+       |    (SELECT COUNT(*) FROM documents d WHERE d.doc_id % $nBatches = b.batch_id) AS n_in,
+       |    (SELECT COUNT(*) FROM kept k WHERE k.doc_id % $nBatches = b.batch_id) AS n_quality,
+       |    (SELECT COUNT(*) FROM gated g WHERE g.doc_id % $nBatches = b.batch_id) AS n_lm,
+       |    $accCase AS n_accepted
+       |  FROM (VALUES $batchVals) AS b(batch_id)
+       |)
+       |SELECT CAST(batch_id AS BIGINT) AS batch_id, n_in, n_quality, n_lm,
+       |  CAST(0 AS BIGINT) AS n_span_cut, n_lm AS n_span_admitted, n_accepted,
+       |  FLOOR(CAST(n_accepted AS DOUBLE) / n_in * 1000000 + 0.5) / 1000000 AS accept_rate6,
+       |  CAST(SUM(n_accepted) OVER (ORDER BY batch_id) AS BIGINT) AS cum_accepted
+       |FROM funnel ORDER BY batch_id""".stripMargin
+  }
+
   /** Winnow oracle: min of the rolling window-hash set over portable token
     * hashes (TextOps.winnowFingerprints(portable = true)). */
   private def winnowOracleSql(window: Int): String =
@@ -2727,6 +2902,10 @@ object SparkEntry {
     "ext_dedup_minhash_incr" ->
       minhashIncrOracleSql(num = 64, bands = 16, shingle = 3,
         threshold = 0.4, mod = 5),
+
+    "ext_ingest_funnel" ->
+      ingestFunnelOracleSql(num = 64, bands = 16, shingle = 3,
+        threshold = 0.4, nBatches = 4, maxNll = 1.75),
 
     "ext_dedup_simhash" ->
       simhashOracleSql(bands = 4, bandBits = 16, maxDist = 3),

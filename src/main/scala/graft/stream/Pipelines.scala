@@ -465,6 +465,26 @@ object Pipelines {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        prepIngestBatch(batch, batchId, lm, corpusPath, indexPath, maxNll,
+          threshold, num, bands, shingle, portable, spanK, spanIndexPath,
+          metricsPath)
+      }
+
+  /** One landing micro-batch — EXACTLY the body [[prepIngest]] runs per
+    * streaming micro-batch, callable from batch code: driver-paced
+    * backfills, and the oracle-gated `ext_ingest_funnel` fixture, which
+    * replays a deterministic batch split through the real landing job so
+    * the observability surface itself is hash-checked. `batchId` is the
+    * txn id for both side-index commits; callers must keep it monotone
+    * per target (the streaming path gets this from its checkpoint). */
+  def prepIngestBatch(batch: DataFrame, batchId: Long,
+                      lm: graft.ops.TextOps.CharBigramLM,
+                      corpusPath: String, indexPath: String,
+                      maxNll: Double = 1.75, threshold: Double = 0.5,
+                      num: Int = 64, bands: Int = 16, shingle: Int = 3,
+                      portable: Boolean = false, spanK: Int = 8,
+                      spanIndexPath: Option[String] = None,
+                      metricsPath: Option[String] = None): Unit = {
         import org.apache.spark.storage.StorageLevel
         val s = batch.sparkSession
         val cols = batch.columns.toSeq
@@ -570,7 +590,7 @@ object Pipelines {
         spanAudit.foreach(_.unpersist(blocking = false))
         flagged.unpersist(blocking = false)
         ()
-      }
+  }
 
   // --- gold batch-over-stream hand-off (T10) ----------------------------
 
