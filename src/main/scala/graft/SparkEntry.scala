@@ -347,6 +347,9 @@ object SparkEntry {
     queries("gold_incremental")(s, dir)
     queries("ext_incr_gold")(s, dir)
     queries("ext_dedup_excise_incr")(s, dir)
+    // the funnel fixture runs a 4-batch landing job (quality/LM scoring +
+    // admission joins + index commits) — landing-job work, not query work
+    queries("ext_ingest_funnel")(s, dir)
     ()
   }
 

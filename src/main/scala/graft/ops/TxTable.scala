@@ -506,6 +506,27 @@ object TxTable {
     }
   }
 
+  /** Newest snapshot, cached by version number — for per-query callers
+    * (the optimizer rule) that must not pay manifest resolution on every
+    * optimization pass. One directory listing per call; manifests re-read
+    * only when a new commit landed. */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Snapshot)]()
+
+  private[graft] def cachedSnapshot(spark: SparkSession,
+                                    table: String): Snapshot = {
+    val vs = listVersions(fsFor(spark, table), table)
+    require(vs.nonEmpty, s"$table is not a TxTable (no committed manifest)")
+    val v = vs.max
+    val c = snapCache.get(table)
+    if (c != null && c._1 == v) c._2
+    else {
+      val s = snapshot(spark, table, Some(v))
+      snapCache.put(table, (v, s))
+      s
+    }
+  }
+
   /** Register the table's resolved snapshot as a temp view for SQL-only
     * callers. With [[graft.functions.GraftExtensions]] loaded, range
     * predicates over profiled columns reach the zone-map sidecars through

@@ -44,10 +44,11 @@ case class TxTablePruneRule(session: SparkSession) extends Rule[LogicalPlan]
       tableRootOf(hfs) match {
         case Some(root) =>
           val bounds = extractBounds(cond)
-          if (bounds.isEmpty) f
+          val eqs = extractEqualities(cond)
+          if (bounds.isEmpty && eqs.isEmpty) f
           else {
             val current = hfs.location.inputFiles
-            val kept = pruned(root, current, bounds)
+            val kept = bucketPruned(root, pruned(root, current, bounds), eqs)
             if (kept.length == current.length) f
             else {
               val idx = new InMemoryFileIndex(session,
@@ -117,6 +118,64 @@ case class TxTablePruneRule(session: SparkSession) extends Rule[LogicalPlan]
       case EqualTo(l: Literal, a: AttributeReference) =>
         ext(l).map(v => (a.name, Some(v), Some(v)))
       case _ => None
+    }
+  }
+
+  /** Equality / IN literals per column, kept as CATALYST literals: the
+    * bucket hash must run on exactly the internal value the writer's
+    * `pmod(xxhash64(key), n)` saw (UTF8String for strings, micros for
+    * timestamps), and the analyzer has already cast the literal to the
+    * column's type. */
+  private def extractEqualities(
+      cond: Expression): Map[String, Seq[Literal]] =
+    splitConjunctivePredicates(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if l.value != null =>
+        Some(a.name -> Seq(l))
+      case EqualTo(l: Literal, a: AttributeReference) if l.value != null =>
+        Some(a.name -> Seq(l))
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall {
+            case l: Literal => l.value != null; case _ => false } =>
+        Some(a.name -> vs.map(_.asInstanceOf[Literal]))
+      case InSet(a: AttributeReference, hset) if !hset.contains(null) =>
+        Some(a.name -> hset.toSeq.map(Literal(_, a.dataType)))
+      case _ => None
+    }.toMap
+
+  /** Manifest-level BUCKET pruning — the SQL analog of
+    * [[graft.ops.TxTable.readKeys]], enabled by the bucket identity the
+    * commit log records: an equality/IN predicate on the table's bucket
+    * key keeps only the files of the buckets the probed values hash
+    * into. The hash is the writer's own expression
+    * (`pmod(xxhash64(key), n)`) evaluated driver-side on the Catalyst
+    * literal, so it can never drift from the layout. Tables whose log
+    * predates identity recording (bucketing = None) never prune. */
+  private def bucketPruned(root: String, files: Array[String],
+                           eqs: Map[String, Seq[Literal]]): Array[String] = {
+    if (eqs.isEmpty) return files
+    val snap = Try(graft.ops.TxTable.cachedSnapshot(session, root))
+      .getOrElse(return files)
+    snap.bucketing match {
+      case Some((key, n)) if eqs.contains(key) =>
+        // seed 42 = functions.xxhash64's default — the writer's expression
+        val wanted: Set[Int] = eqs(key).flatMap { l =>
+          Try(Pmod(XxHash64(Seq(l), 42L), Literal(n.toLong))
+            .eval(null).asInstanceOf[Long].toInt).toOption
+        }.toSet
+        if (wanted.isEmpty) files
+        else {
+          val bucketOf: Map[String, Int] =
+            snap.entries.map(e => e.rel -> e.bucket).toMap
+          files.filter { f =>
+            val cut = f.lastIndexOf("/files/")
+            if (cut < 0) true
+            else bucketOf.get(f.substring(cut + 1)) match {
+              case Some(b) => wanted(b)
+              case None => true // unknown file (other snapshot): keep
+            }
+          }
+        }
+      case _ => files
     }
   }
 

@@ -73,6 +73,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .select("k", "day", "size").as[(String, Long, Long)].collect().toSet)
   }
 
+  test("SQL point lookup over a registered TxTable prunes to the key's buckets") {
+    import graft.ops.TxTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txsqlk_").toString + "/t"
+    def batch(r: Range) = r.map(d => (s"k$d", d.toLong)).toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 400), "k", nBuckets = 8)
+    TxTable.registerView(spark, table, "tx_keyed")
+    val all = TxTable.snapshot(spark, table).entries.size
+    assert(all >= 8, s"fixture sanity: $all files")
+    // equality on the BUCKET KEY: the manifest's recorded identity lets
+    // the rule hash the literal exactly like the writer and keep only the
+    // matching buckets' files — readKeys for SQL sessions
+    val q = spark.sql("SELECT k, day FROM tx_keyed WHERE k = 'k42'")
+    assert(q.queryExecution.executedPlan.toString.nonEmpty) // force plan
+    val opened = q.queryExecution.executedPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+      case _ => Nil
+    }
+    assert(opened.size < all,
+      s"point lookup must bucket-prune: opened ${opened.size} of $all")
+    assert(q.as[(String, Long)].collect().toSeq == Seq(("k42", 42L)))
+    // IN-list prunes to the union of the probed keys' buckets and agrees
+    // with the Scala readKeys surface
+    val in = spark.sql(
+      "SELECT k, day FROM tx_keyed WHERE k IN ('k7', 'k250')")
+    assert(in.as[(String, Long)].collect().toSet ==
+      TxTable.readKeys(spark, table, "k", Seq("k7", "k250"), 8)
+        .select("k", "day").as[(String, Long)].collect().toSet)
+    // equality on a NON-key column prunes nothing but stays correct
+    assert(spark.sql("SELECT k FROM tx_keyed WHERE day = 9")
+      .as[String].collect().toSeq == Seq("k9"))
+  }
+
   test("native kernels compose with views in one SQL statement") {
     Tables.registerAll(spark, dir)
     val got = spark.sql(
