@@ -58,7 +58,7 @@ object TextOps {
     * heuristic. Tiny on purpose: a real profile table would be a broadcast
     * dimension; the operator shape (score-per-language → argmax) is what
     * scales. */
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  private[graft] val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "with", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "los", "por"),
     "fr" -> Seq("le", "la", "les", "des", "est", "une", "dans"),
@@ -305,6 +305,20 @@ object TextOps {
         explode(col("toks")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
     val tf = postings.groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    scoreBm25Postings(tf, queryTerms, k, k1, b, nDocs, avgdl)
+  }
+
+  /** Score pre-filtered postings `(doc_id, dl, term, tf)` — one row per
+    * (doc, query term) the doc contains — and keep the global top-k. The
+    * shared tail of [[bm25TopDocs]] (postings built by a filtered corpus
+    * explode) and [[bm25FromIndex]] (postings read key-pruned from a
+    * persistent inverted index): both produce BIT-IDENTICAL rankings
+    * because the math lives only here. `df` is derived from the postings
+    * themselves (count of docs per term — exact whether the postings came
+    * from a corpus scan or a term-pruned index read). */
+  private def scoreBm25Postings(tf: DataFrame, queryTerms: Seq[String],
+                                k: Int, k1: Double, b: Double,
+                                nDocs: Long, avgdl: Double): DataFrame = {
     // the tf >= 1 filter is vacuous (count ≥ 1 by construction) but
     // load-bearing: it forces this branch to reference the tf VALUE, so the
     // optimizer cannot specialize its copy of the tf subplan to a keys-only
@@ -342,6 +356,176 @@ object TextOps {
         Window.partitionBy(pmod(xxhash64(col("doc_id")), lit(1L)))
           .orderBy(floor(col("score") * 1e6 + 0.5).desc, col("doc_id"))))
       .select(col("doc_id"), col("rank"), col("score"), col("n_terms"))
+  }
+
+  // --- persistent inverted index (TxTable-backed BM25) ------------------
+
+  /** Build a persistent BM25 inverted index over `docs` at `indexPath`:
+    * postings `(term, doc_id, dl, tf)` land as a [[TxTable]] BUCKETED BY
+    * TERM, plus a one-row `<indexPath>_globals` parquet recording the
+    * corpus statistics (`n_docs`, `sum_dl`) the scorer needs.
+    *
+    * This is the other half of the retrieval trade [[bm25TopDocs]] makes:
+    * the scan path re-tokenizes the corpus per query batch (right when
+    * queries are rare or the corpus changes faster than it is queried);
+    * the index pays ONE corpus explode + shuffle up front, after which a
+    * query's I/O is proportional to its terms' bucket files — not corpus
+    * size ([[TxTable.readKeys]] manifest pruning). At 100 TB that is the
+    * difference between a query costing a full scan and costing a few
+    * postings buckets, and the TxTable layer gives the index atomic
+    * commits, compaction, and exactly-once incremental appends
+    * ([[appendToBm25Index]]) for free. */
+  def buildBm25Index(docs: DataFrame, indexPath: String,
+                     nBuckets: Int = 16,
+                     positions: Boolean = false): Unit = {
+    val spark = docs.sparkSession
+    val toks = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    TxTable.init(spark, indexPath, bm25Postings(toks, positions),
+      "term", nBuckets)
+    // globals from the same tokenization, one tiny scalar job; split()
+    // yields ≥ 1 token for every non-null text, so n_docs counts docs with
+    // a tokenizable text — exactly the docs the postings cover
+    val g = toks.filter(col("toks").isNotNull)
+      .agg(count(lit(1)).as("n_docs"), sum(size(col("toks"))).as("sum_dl"))
+    g.coalesce(1).write.mode("overwrite").parquet(indexPath + "_globals")
+  }
+
+  /** Postings rows for one tokenized frame. With `positions` the index is
+    * POSITIONAL (Lucene's proximity option): each posting carries the
+    * sorted 0-based token offsets of the term in the doc, enabling
+    * [[phraseSearchFromIndex]]; tf = size(positions) either way, so the
+    * BM25 read path is schema-agnostic. */
+  private def bm25Postings(toks: DataFrame,
+                           positions: Boolean = false): DataFrame =
+    if (!positions)
+      toks.select(col("doc_id"), size(col("toks")).as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    else
+      toks.select(col("doc_id"), size(col("toks")).as("dl"),
+          posexplode(col("toks")).as(Seq("pos", "term")))
+        .groupBy("term", "doc_id", "dl")
+        .agg(count(lit(1)).as("tf"),
+          array_sort(collect_list(col("pos"))).as("positions"))
+
+  /** Exactly-once incremental index maintenance — the landing-job side of
+    * [[buildBm25Index]]: tokenize ONLY the arriving batch, append its
+    * postings via [[TxTable.appendIndexOnce]] (keyed by `(appId, batchId)`,
+    * so a torn batch replays to a no-op; the FIRST batch bootstraps the
+    * index with the txn recorded in version 0; auto-compaction bounds
+    * file counts), then refresh the globals sidecar. Batch cost is
+    * O(batch postings), never a corpus re-scan. Caller contract: batch
+    * doc_ids are new to the index (admission dedup runs upstream).
+    * Returns true when the batch committed, false on a detected replay. */
+  def appendToBm25Index(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, newDocs: DataFrame,
+                        appId: String, batchId: Long,
+                        nBucketsIfNew: Int = 16,
+                        positionsIfNew: Boolean = false): Boolean = {
+    val exists = TxTable.isTxTable(spark, indexPath)
+    val nBuckets =
+      if (exists)
+        TxTable.snapshot(spark, indexPath).bucketing match {
+          case Some(("term", n)) => n
+          case Some((k, _)) => throw new IllegalStateException(
+            s"$indexPath is bucketed by '$k', not 'term'")
+          case None => nBucketsIfNew
+        }
+      else nBucketsIfNew
+    // an existing index dictates its own shape: appends must carry
+    // positions iff the index does, or the schemas would diverge
+    val positional =
+      if (exists) TxTable.read(spark, indexPath)
+        .schema.fieldNames.contains("positions")
+      else positionsIfNew
+    val toks = OpsUtil.spread(newDocs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+    val committed = TxTable.appendIndexOnce(spark, indexPath,
+      bm25Postings(toks, positional), "term", nBuckets, appId, batchId)
+    // refresh on commit, and also when the sidecar is missing — heals the
+    // torn window where a crash landed between the postings commit and
+    // the globals write (the replayed batch commits nothing but must
+    // still leave the index queryable)
+    val gPath = new org.apache.hadoop.fs.Path(indexPath + "_globals")
+    val gFs = gPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (committed || !gFs.exists(gPath)) refreshBm25Globals(spark, indexPath)
+    committed
+  }
+
+  /** Recompute the `<indexPath>_globals` sidecar from the index itself:
+    * every doc appears in the postings (split() emits ≥ 1 token per doc),
+    * so one per-doc rollup recovers `(n_docs, sum_dl)` exactly. A
+    * maintenance call (runs after each incremental append) — one index
+    * scan, never a corpus scan. */
+  def refreshBm25Globals(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String): Unit = {
+    val perDoc = TxTable.read(spark, indexPath)
+      .groupBy("doc_id").agg(first(col("dl")).as("dl"))
+    val g = perDoc.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    g.coalesce(1).write.mode("overwrite").parquet(indexPath + "_globals")
+  }
+
+  /** BM25 top-k answered FROM the persistent index — bit-identical to
+    * [[bm25TopDocs]] over the same corpus (the scoring math is the shared
+    * [[scoreBm25Postings]]), but the corpus is never touched: the postings
+    * read opens only the query terms' bucket files (manifest pruning — at
+    * any corpus size the I/O is a few buckets), `df` falls out of the
+    * pruned postings themselves, and `(n_docs, avgdl)` come from the
+    * one-row globals sidecar. */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession,
+                    indexPath: String, queryTerms: Seq[String],
+                    k: Int = 10, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25FromIndex needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"bm25FromIndex query terms must be distinct, got $queryTerms")
+    val (key, nBuckets) = TxTable.snapshot(spark, indexPath).bucketing
+      .getOrElse(throw new IllegalStateException(
+        s"$indexPath is not a bucketed BM25 index"))
+    require(key == "term", s"$indexPath is bucketed by '$key', not 'term'")
+    val g = spark.read.parquet(indexPath + "_globals").head()
+    val nDocs = g.getAs[Long]("n_docs")
+    val avgdl = g.getAs[Long]("sum_dl").toDouble / nDocs
+    val tf = TxTable.readKeys(spark, indexPath, "term", queryTerms, nBuckets)
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    scoreBm25Postings(tf, queryTerms, k, k1, b, nDocs, avgdl)
+  }
+
+  /** Exact phrase search over a POSITIONAL index ([[buildBm25Index]] with
+    * `positions = true`): the docs containing `phrase`'s terms
+    * CONSECUTIVELY, with occurrence counts — the proximity query a
+    * bag-of-words scorer cannot answer.
+    *
+    * Scale shape: each term's postings read is key-pruned (only the
+    * phrase terms' bucket files open); leg i shifts its position array by
+    * −i row-locally, so after an ≤|phrase|-way doc_id equi-join of the
+    * pruned frames, a phrase occurrence is exactly a shared value across
+    * all shifted arrays — `n_occurrences = |∩ legs|`, computed per row.
+    * The corpus text is never touched and nothing scans beyond the
+    * phrase terms' postings. A term repeated in the phrase reuses the
+    * one pruned read with a different shift. */
+  def phraseSearchFromIndex(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String,
+                            phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val (key, nBuckets) = TxTable.snapshot(spark, indexPath).bucketing
+      .getOrElse(throw new IllegalStateException(
+        s"$indexPath is not a bucketed index"))
+    require(key == "term", s"$indexPath is bucketed by '$key', not 'term'")
+    val posts = TxTable.readKeys(spark, indexPath, "term", phrase.distinct,
+        nBuckets)
+      .select(col("term"), col("doc_id"), col("positions"))
+    val legs = phrase.zipWithIndex.map { case (t, i) =>
+      posts.filter(col("term") === t)
+        .select(col("doc_id"),
+          transform(col("positions"), p => p - i).as(s"__p_$i"))
+    }
+    val joined = legs.reduce((a, b) => a.join(b, Seq("doc_id")))
+    val inter = (1 until phrase.size).foldLeft(col("__p_0")) { (acc, i) =>
+      array_intersect(acc, col(s"__p_$i")) }
+    joined.select(col("doc_id"), size(inter).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
   }
 
   /** Query-SET BM25 retrieval: rank the corpus against a whole TABLE of

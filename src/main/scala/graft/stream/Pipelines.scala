@@ -377,6 +377,7 @@ object Pipelines {
     * interleave batch ids and break the per-app monotonicity contract. */
   private[graft] val BandIndexApp = "graft-band-index"
   private[graft] val SpanIndexApp = "graft-span-index"
+  private[graft] val SearchIndexApp = "graft-search-index"
   private[graft] val EmbedIndexApp = "graft-embed-index"
 
   /** Embedding-modality ingestion dedup — [[dedupIngest]]'s sibling for
@@ -454,20 +455,26 @@ object Pipelines {
     * [[graft.ops.DedupOps.ingestBatch]], span grams here) are
     * [[graft.ops.TxTable]]s committed exactly once per batch id with
     * in-job compaction — atomic manifests back the owner-id replay
-    * contract, and index file counts stay bounded at any ingest age. */
+    * contract, and index file counts stay bounded at any ingest age.
+    *
+    * `searchIndexPath`: when set, each batch's ACCEPTED docs also land
+    * in a BM25 inverted index ([[graft.ops.TextOps.appendToBm25Index]]) —
+    * the corpus becomes full-text-queryable as it is admitted, under the
+    * same exactly-once/auto-compaction contract as the dedup indexes. */
   def prepIngest(docs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
                  corpusPath: String, indexPath: String, checkpoint: String,
                  maxNll: Double = 1.75, threshold: Double = 0.5,
                  num: Int = 64, bands: Int = 16, shingle: Int = 3,
                  portable: Boolean = false, spanK: Int = 8,
                  spanIndexPath: Option[String] = None,
-                 metricsPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+                 metricsPath: Option[String] = None,
+                 searchIndexPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         prepIngestBatch(batch, batchId, lm, corpusPath, indexPath, maxNll,
           threshold, num, bands, shingle, portable, spanK, spanIndexPath,
-          metricsPath)
+          metricsPath, searchIndexPath)
       }
 
   /** One landing micro-batch — EXACTLY the body [[prepIngest]] runs per
@@ -484,7 +491,8 @@ object Pipelines {
                       num: Int = 64, bands: Int = 16, shingle: Int = 3,
                       portable: Boolean = false, spanK: Int = 8,
                       spanIndexPath: Option[String] = None,
-                      metricsPath: Option[String] = None): Unit = {
+                      metricsPath: Option[String] = None,
+                      searchIndexPath: Option[String] = None): Unit = {
         import org.apache.spark.storage.StorageLevel
         val s = batch.sparkSession
         val cols = batch.columns.toSeq
@@ -546,6 +554,16 @@ object Pipelines {
           TxTable.appendIndexOnce(s, sgPath,
             graft.ops.DedupOps.spanGramIndex(accepted, k = spanK),
             "gh", 8, SpanIndexApp, batchId)
+        // full-text search-index maintenance: the accepted docs' postings
+        // land in the BM25 inverted index under the same batch id (first
+        // batch bootstraps it), so the corpus is BM25-queryable the moment
+        // a batch is admitted — same exactly-once + auto-compaction
+        // contract as the dedup side-indexes, same O(batch) cost.
+        searchIndexPath.foreach { sip =>
+          graft.ops.TextOps.appendToBm25Index(s, sip,
+            accepted.select(col("doc_id"), col("text")),
+            SearchIndexApp, batchId)
+        }
         metricsPath.foreach { mp =>
           // the whole funnel is ONE single-stage job: union the CACHED
           // audit projections (flagged / span requalification / accepted,

@@ -956,6 +956,60 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(fps(0) == fps(1)) // min window-hash lands in the shared prefix
   }
 
+  test("funnelStages: strict ordered chain; equal-ts and out-of-order excluded") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full funnel in order → 3
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, t("2024-01-01 10:02:00"), 1L, "purchase"),
+      // user 2: purchase BEFORE the click chain → stops at 2
+      (4L, t("2024-01-01 09:00:00"), 2L, "purchase"),
+      (5L, t("2024-01-01 10:00:00"), 2L, "view"),
+      (6L, t("2024-01-01 11:00:00"), 2L, "click"),
+      // user 3: click at the SAME ts as the view — strict > keeps stage 1
+      (7L, t("2024-01-01 10:00:00"), 3L, "view"),
+      (8L, t("2024-01-01 10:00:00"), 3L, "click"),
+      // user 4: never viewed → 0
+      (9L, t("2024-01-01 10:00:00"), 4L, "click")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = SessionOps.funnelStages(ev, Seq("view", "click", "purchase"))
+      .select("user_id", "funnel_stage")
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(1L -> 3, 2L -> 2, 3L -> 1, 4L -> 0), s"got $out")
+  }
+
+  test("cohortRetention counts returning users per (cohort week, offset)") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-02 10:00:00"), 1L, "view"), // u1 cohort week 0
+      (2L, t("2024-01-09 10:00:00"), 1L, "view"), // u1 returns week 1
+      (3L, t("2024-01-10 10:00:00"), 2L, "view")  // u2 cohort week 1
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = SessionOps.cohortRetention(ev, "2024-01-01")
+      .select("cohort_week", "week_offset", "n_users")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(out == Set((0, 0, 1L), (0, 1, 1L), (1, 0, 1L)), s"got $out")
+  }
+
+  test("eventTransitions counts consecutive pairs in (ts, event_id) order") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, t("2024-01-01 10:01:00"), 1L, "click"),
+      (3L, t("2024-01-01 10:02:00"), 1L, "click"),
+      (4L, t("2024-01-01 10:00:00"), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = SessionOps.eventTransitions(ev)
+      .select("from_type", "to_type", "n")
+      .as[(String, String, Long)].collect().toSet
+    assert(out == Set(("view", "click", 1L), ("click", "click", 1L)),
+      s"got $out")
+  }
+
   test("sessionize splits on gap > 30min and rolls up exactly") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)

@@ -514,6 +514,51 @@ class StreamingSpec extends AnyFunSuite {
     ), s"funnel mismatch: ${funnel.toSeq}")
   }
 
+  test("prepIngest search index: admitted corpus is BM25-queryable, batch-by-batch") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_prep_sidx_").toString
+    val (corpus, index, ckpt) = (s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt")
+    val sidx = s"$tmp/search"
+    val lm = graft.ops.TextOps.trainCharBigramLM(
+      Tables.load(spark, "/root/testdata/sf0.001", "documents")
+        .filter(col("lang") === "en"))
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = Pipelines.prepIngest(in.toDF().toDF("doc_id", "text"), lm,
+          corpus, index, ckpt, maxNll = 10.0, spanK = 0,
+          searchIndexPath = Some(sidx))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // two batches of distinct in-distribution docs (no near-dups, LM gate
+    // wide open): all admitted, so the search index must cover exactly
+    // the corpus after each batch
+    in.addData(
+      (1L, "the fast join table scan and merge sort with the big data batch"),
+      (2L, "a window over the sorted stream with the batch join and filter"))
+    run()
+    in.addData(
+      (3L, "the table stream merge with a join filter scan and sort order"))
+    run()
+    val admitted = spark.read.parquet(corpus)
+      .select("doc_id", "text")
+    assert(admitted.count() == 3)
+    val terms = Seq("join", "stream")
+    val fromIndex = graft.ops.TextOps
+      .bm25FromIndex(spark, sidx, terms, k = 10)
+      .select("doc_id", "rank", "score").as[(Long, Int, Double)]
+      .collect().toSeq
+    val fromCorpus = graft.ops.TextOps.bm25TopDocs(admitted, terms, k = 10)
+      .select("doc_id", "rank", "score").as[(Long, Int, Double)]
+      .collect().toSeq
+    assert(fromIndex == fromCorpus,
+      s"index-vs-corpus mismatch: $fromIndex vs $fromCorpus")
+    // replay with no new data: the search index does not regrow
+    val before = graft.ops.TxTable.read(spark, sidx).count()
+    run()
+    assert(graft.ops.TxTable.read(spark, sidx).count() == before)
+  }
+
   test("prepIngest funnel: the metrics path costs at most one extra job per batch") {
     // the advisor-flagged failure mode: per-stage .count() calls re-ran the
     // quality/LM/excision lineage 4-5× per micro-batch after the appends.

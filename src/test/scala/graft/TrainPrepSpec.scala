@@ -193,6 +193,74 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("bm25 inverted index: indexed query is bit-identical to the corpus-scan path") {
+    val base = docs.limit(300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_")
+      .toString + "/idx"
+    TextOps.buildBm25Index(base, idx, nBuckets = 8)
+    val terms = Seq("spark", "join", "the")
+    val scan = TextOps.bm25TopDocs(base, terms, k = 20)
+      .select("doc_id", "rank", "score", "n_terms")
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    val indexed = TextOps.bm25FromIndex(spark, idx, terms, k = 20)
+      .select("doc_id", "rank", "score", "n_terms")
+      .as[(Long, Int, Double, Long)].collect().toSeq
+    // shared scoring tail + exact (nDocs, avgdl) globals → EXACT equality
+    assert(indexed == scan)
+    // and the read path is key-pruned: the postings read opens only the
+    // query terms' bucket files, a strict subset of the index
+    val nb = graft.ops.TxTable.snapshot(spark, idx).bucketing.get._2
+    val pruned = graft.ops.TxTable
+      .readKeys(spark, idx, "term", terms, nb).inputFiles.length
+    val all = graft.ops.TxTable.read(spark, idx).inputFiles.length
+    assert(pruned < all, s"pruned=$pruned all=$all")
+  }
+
+  test("bm25 index: incremental append equals from-scratch; replay is a no-op") {
+    val base = docs.limit(300)
+    val idx = java.nio.file.Files.createTempDirectory("graft_bm25_")
+      .toString + "/idx"
+    val old = base.filter(pmod($"doc_id", lit(5)) =!= 0)
+    val batch = base.filter(pmod($"doc_id", lit(5)) === 0)
+    TextOps.buildBm25Index(old, idx, nBuckets = 8)
+    assert(TextOps.appendToBm25Index(spark, idx, batch, "bm25-test", 0L))
+    val terms = Seq("spark", "join", "the")
+    val expect = TextOps.bm25TopDocs(base, terms, k = 20)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val got = TextOps.bm25FromIndex(spark, idx, terms, k = 20)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == expect)
+    // torn-batch replay: same (appId, batchId) commits nothing, results hold
+    assert(!TextOps.appendToBm25Index(spark, idx, batch, "bm25-test", 0L))
+    val again = TextOps.bm25FromIndex(spark, idx, terms, k = 20)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(again == expect)
+  }
+
+  test("positional index: phrase search counts exact adjacencies; BM25 unchanged") {
+    val df = Seq(
+      (1L, "the data stream runs the data stream"), // 'the data stream' ×2
+      (2L, "stream data then data stream here now"), // ×1 (only 'data stream')
+      (3L, "data and stream apart from each other")  // ×0
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_pos_")
+      .toString + "/idx"
+    TextOps.buildBm25Index(df, idx, nBuckets = 4, positions = true)
+    val two = TextOps.phraseSearchFromIndex(spark, idx, Seq("data", "stream"))
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 2L, 2L -> 1L), s"got $two")
+    val three = TextOps
+      .phraseSearchFromIndex(spark, idx, Seq("the", "data", "stream"))
+      .as[(Long, Long)].collect().toMap
+    assert(three == Map(1L -> 2L), s"got $three")
+    // tf = |positions|, so BM25 over the positional index matches the scan
+    val scan = TextOps.bm25TopDocs(df, Seq("data", "stream"), k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val indexed = TextOps.bm25FromIndex(spark, idx, Seq("data", "stream"), k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(indexed == scan)
+  }
+
   test("query-set BM25 agrees with the single-query path on a shared query") {
     val base = docs.limit(300)
     val terms = Seq("spark", "join", "the")
