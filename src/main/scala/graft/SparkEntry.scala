@@ -466,6 +466,9 @@ object SparkEntry {
     // the funnel fixture runs a 4-batch landing job (quality/LM scoring +
     // admission joins + index commits) — landing-job work, not query work
     queries("ext_ingest_funnel")(s, dir)
+    // the BM25 inverted-index build (ext_bm25_indexed / ext_index_postings
+    // / ext_phrase_search read it) — index builds are landing-job work
+    stagedBm25Index(s, dir)
     ()
   }
 
@@ -519,6 +522,25 @@ object SparkEntry {
            |FROM scored s CROSS JOIN thr t
            |GROUP BY t.threshold
            |ORDER BY t.threshold""".stripMargin,
+      // cluster-size histogram replay: component labels come verbatim
+      // from the connected-components oracle; two rollups on top
+      "ext_dedup_cluster_sizes" ->
+        s"""WITH comp AS (SELECT * FROM (${ext("ext_dedup_components")}) t),
+           |cs AS (
+           |  SELECT component, COUNT(*) AS cluster_size
+           |  FROM comp GROUP BY 1
+           |)
+           |SELECT cluster_size, COUNT(*) AS n_clusters
+           |FROM cs GROUP BY 1
+           |ORDER BY cluster_size""".stripMargin,
+      // lang-agreement replay: the detected side is the lang-id oracle
+      // verbatim, joined back to the asserted metadata column
+      "ext_lang_agreement" ->
+        s"""WITH det AS (SELECT * FROM (${ext("ext_lang_id")}) t)
+           |SELECT d.lang, det.lang_detected, COUNT(*) AS n
+           |FROM documents d JOIN det USING (doc_id)
+           |GROUP BY 1, 2
+           |ORDER BY lang, lang_detected""".stripMargin,
       // leak-free split replay: component labels come verbatim from the
       // connected-components oracle; the side is the same salted md5
       // bucket of the component id the Spark hashBucket computes
@@ -1792,6 +1814,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup-cluster size histogram — the duplication-profile artifact
+    // mixture planning reads (how much mass sits in how-big clusters;
+    // singletons included as size-1). Rides the same staged pair table
+    // and CC labels as ext_dedup_components; two tiny rollups on top.
+    "ext_dedup_cluster_sizes" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 1000)
+      val pairsPath =
+        s"target/graft-stage/${new java.io.File(dir).getName}/ngram_pairs"
+      ensureStaged(pairsPath) {
+        ops.DedupOps.ngramJaccardPairs(docs, n = 3, threshold = 0.3)
+          .select(col("doc_a"), col("doc_b"))
+          .write.mode("overwrite").parquet(pairsPath)
+      }
+      val comp = ops.DedupOps.connectedComponents(s.read.parquet(pairsPath))
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(coalesce(col("label"), col("doc_id")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // Leak-free holdout split — the near-dup COMPONENT is the unit of
     // assignment, so clusters land whole on one side and no eval doc has
     // a training-set near-duplicate (the split-before-dedup mistake,
@@ -2039,6 +2083,28 @@ object SparkEntry {
     "ext_event_transitions" -> ((s, dir) => {
       ops.SessionOps.eventTransitions(tbl(s, dir, "events"))
         .orderBy(col("from_type"), col("to_type"))
+    }),
+
+    // Metadata-trust audit: confusion matrix of the ASSERTED lang column
+    // vs the content-DETECTED language — the check a curation pipeline
+    // runs before trusting upstream labels for mixture planning. One
+    // row-local projection + tiny rollup.
+    "ext_lang_agreement" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(col("lang"),
+          ops.TextOps.langId(col("text")).as("lang_detected"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_detected"))
+    }),
+
+    // Robust per-type outlier screen: |value − median| > 3·1.4826·MAD —
+    // two grouped exact-percentile aggregates + a broadcast verdict join;
+    // stats rounded to 6 dp so the flag replays across engines.
+    "ext_outlier_mad" -> ((s, dir) => {
+      ops.FeatureOps.madOutliers(tbl(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med6"), col("mad6"), col("is_outlier"))
+        .orderBy(col("event_id"))
     }),
 
     // Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25
@@ -3606,6 +3672,28 @@ object SparkEntry {
         |FROM seq WHERE to_type IS NOT NULL
         |GROUP BY 1, 2
         |ORDER BY from_type, to_type""".stripMargin,
+
+    // MAD replay: quantile_cont interpolates exactly like Spark's
+    // percentile (pinned by gold_feature_summary); stats are 6 dp-rounded
+    // on both sides before the identical double comparison
+    "ext_outlier_mad" ->
+      """WITH med AS (
+        |  SELECT event_type, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+        |  FROM events GROUP BY 1
+        |), mad AS (
+        |  SELECT e.event_type,
+        |    CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DOUBLE) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY 1
+        |)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  FLOOR(m.med * 1000000 + 0.5) / 1000000 AS med6,
+        |  FLOOR(d.mad * 1000000 + 0.5) / 1000000 AS mad6,
+        |  abs(e.value - FLOOR(m.med * 1000000 + 0.5) / 1000000)
+        |    > 3.0 * 1.4826 * (FLOOR(d.mad * 1000000 + 0.5) / 1000000)
+        |    AS is_outlier
+        |FROM events e JOIN med m USING (event_type)
+        |              JOIN mad d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
 
     // query-set BM25 replay: same Robertson/Lucene-idf formula as
     // ext_text_bm25, fanned out per query; per-(query, doc) totals sum 6 dp

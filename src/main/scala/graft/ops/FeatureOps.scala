@@ -89,6 +89,35 @@ object FeatureOps {
       .drop("__lo", "__hi")
   }
 
+  /** Robust per-group outlier detection: flag rows where
+    * |x − median| > k · 1.4826 · MAD (MAD = median absolute deviation;
+    * 1.4826 rescales MAD to σ under normality) — the outlier screen that,
+    * unlike z-scores, a few extreme rows cannot drag along with them.
+    *
+    * Shape: two grouped exact-percentile aggregates (median, then MAD
+    * against the broadcast medians) + one |groups|-row broadcast join for
+    * the row-local verdict — no window, no per-group sort of the data.
+    * The stats are rounded to 6 dp before the comparison, so the verdict
+    * is reproducible across engines (the flag compares doubles built from
+    * identical literals on identical inputs). Exact percentile holds a
+    * group's values in memory — the scale path swaps in
+    * `approx_percentile` exactly as [[ntileBucketsApprox]] does. */
+  def madOutliers(df: DataFrame, group: String, value: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(group))
+      .agg(expr(s"percentile($value, 0.5)").as("__med"))
+    val stats = df.join(broadcast(med), Seq(group))
+      .groupBy(col(group)).agg(
+        first(col("__med")).as("__med"),
+        expr(s"percentile(abs($value - __med), 0.5)").as("__mad"))
+    df.join(broadcast(stats), Seq(group))
+      .withColumn("med6", floor(col("__med") * 1e6 + 0.5) / 1e6)
+      .withColumn("mad6", floor(col("__mad") * 1e6 + 0.5) / 1e6)
+      .withColumn("is_outlier",
+        abs(col(value) - col("med6")) > lit(k) * lit(1.4826) * col("mad6"))
+      .drop("__med", "__mad")
+  }
+
   /** Per-group mean imputation: fill null `value`s with the group mean
     * (decimal-exact, partitioning-independent — same moment machinery as
     * [[scaleByGroup]]) and flag the filled rows. |groups|-row broadcast

@@ -32,6 +32,23 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("madOutliers: robust flag survives the outlier it detects") {
+    // group a: median 11, MAD 2 → cutoff 3·1.4826·2 ≈ 8.9; 100.0 (Δ=89)
+    // flags, 13.0 (Δ=2) does not. A mean/stddev z-score would have been
+    // dragged far right by the 100 — the point of the robust screen.
+    val df = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 10.0), ("a", 3L, 11.0),
+      ("a", 4L, 13.0), ("a", 5L, 100.0),
+      ("b", 6L, 5.0), ("b", 7L, 5.0), ("b", 8L, 5.0)
+    ).toDF("grp", "id", "value")
+    val out = FeatureOps.madOutliers(df, "grp", "value")
+      .select($"id", $"is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(out(5L), "the 100.0 point must flag")
+    assert(!out(1L) && !out(2L) && !out(3L) && !out(4L))
+    // group b: MAD 0 → only exact deviation flags; all-equal group clean
+    assert(!out(6L) && !out(7L) && !out(8L))
+  }
+
   test("chunkDocuments: window count formula and full coverage across shapes") {
     for ((n, cs, st) <- Seq((1, 4, 3), (3, 4, 3), (4, 4, 3), (5, 4, 3),
         (10, 4, 4), (17, 5, 2), (100, 64, 48), (96, 64, 48))) {
