@@ -469,7 +469,35 @@ object SparkEntry {
     // the BM25 inverted-index build (ext_bm25_indexed / ext_index_postings
     // / ext_phrase_search read it) — index builds are landing-job work
     stagedBm25Index(s, dir)
+    // the 3-commit versioned-orders TxTable (ext_timetravel /
+    // ext_table_changes read its log) — commit history is landing-job work
+    stagedVersionedOrders(s, dir)
     ()
+  }
+
+  /** Versioned-orders TxTable fixture for the time-travel / change-feed
+    * queries: three deterministic commits (o_orderkey % 3 == 0 at v0,
+    * == 1 appended at v1, == 2 at v2). Deleted and rebuilt on first touch
+    * per session so stale disk state can never leak into results. */
+  private def stagedVersionedOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-versioned-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      val orders = tbl(s, dir, "orders")
+      def slice(r: Int) =
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      ops.TxTable.init(s, path, slice(0), key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.appendOnce(s, path, slice(1), "o_orderkey", 8,
+        appId = "tt-stage", batchId = 1L)
+      ops.TxTable.appendOnce(s, path, slice(2), "o_orderkey", 8,
+        appId = "tt-stage", batchId = 2L)
+      ()
+    }
+    path
   }
 
   /** The 14-column Gold enrichment over the testdata mapping (the
@@ -1770,6 +1798,48 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Time travel over the TxTable commit log: the same aggregate at each
+    // of three committed versions — each read is a manifest-pinned file
+    // list (no directory listing, no mergeSchema), so reading history
+    // costs the same I/O as reading the head did then (oracle replays the
+    // deterministic %3 commit slices).
+    "ext_timetravel" -> ((s, dir) => {
+      val path = stagedVersionedOrders(s, dir)
+      (0L to 2L).map { v =>
+        ops.TxTable.read(s, path, version = Some(v))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+          .select(lit(v).as("version"), col("n_orders"), col("total_price"))
+      }.reduce(_.unionByName(_)).orderBy(col("version"))
+    }),
+
+    // File-granular change feed (the Delta CDF read shape): rows added
+    // between v0 and v2 surface with their commit version; I/O is only the
+    // CHANGED files of each step — the incremental-consumer contract that
+    // makes downstream maintenance O(delta) instead of O(table).
+    "ext_table_changes" -> ((s, dir) => {
+      val path = stagedVersionedOrders(s, dir)
+      ops.TxTable.changesBetween(s, path, 0L, 2L)
+        .groupBy(col("_commit_version"), col("_change_type"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("o_orderpriority"))
+    }),
+
+    // Gopher-style intra-document repetition signals: fraction of the
+    // document covered by its most frequent word / bigram / trigram plus
+    // the duplicate-word fraction, with the conventional keep gates. Every
+    // signal is a row-local sorted-array fold — zero shuffle at any corpus
+    // size (oracle-checked, all columns).
+    "ext_quality_repetition" -> ((s, dir) => {
+      ops.TextOps.repetitionSignals(tbl(s, dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Winnowing-style robust fingerprint.
     // Portable token-hash family → full DuckDB oracle for the rolling-hash
     // winnow; the xxhash64 production family stays pinned in ExtOpsSpec.
@@ -2105,6 +2175,21 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("med6"), col("mad6"), col("is_outlier"))
         .orderBy(col("event_id"))
+    }),
+
+    // PSI drift monitor: purchase-value distribution, first half of the
+    // month (reference/training window) vs second half (current/serving
+    // window) — equal-width buckets over the reference range, per-bucket
+    // (p−q)·ln(p/q) contributions. One broadcast stats row, one
+    // |buckets|-row agg, bulk data never shuffled (oracle-checked).
+    "ext_feature_psi" -> ((s, dir) => {
+      val purchases = tbl(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      ops.FeatureOps.psiDrift(
+          purchases.filter(col("ts") < split),
+          purchases.filter(col("ts") >= split), "value")
+        .orderBy(col("bucket"))
     }),
 
     // Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25
@@ -3695,6 +3780,49 @@ object SparkEntry {
         |              JOIN mad d USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
 
+    // PSI replay: equal-width buckets over the reference min/max, exact
+    // integer count fractions (bit-identical IEEE division), ln-based
+    // contributions rounded half-up at 6 dp on both engines
+    "ext_feature_psi" ->
+      """WITH base AS (
+        |  SELECT ts, value FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL
+        |), ref AS (
+        |  SELECT value FROM base WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+        |), cur AS (
+        |  SELECT value FROM base WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |), st AS (SELECT min(value) AS mn, max(value) AS mx FROM ref),
+        |tagged AS (
+        |  SELECT value, 'ref' AS side FROM ref
+        |  UNION ALL SELECT value, 'cur' AS side FROM cur
+        |), b AS (
+        |  SELECT least(greatest(CAST(floor((t.value - st.mn)
+        |      / (CASE WHEN st.mx > st.mn THEN (st.mx - st.mn) / 10
+        |              ELSE 1.0 END)) AS INTEGER), 0), 9) AS bucket, side
+        |  FROM tagged t, st
+        |), counts AS (
+        |  SELECT bucket,
+        |    CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM b GROUP BY bucket
+        |), tot AS (
+        |  SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+        |         CAST(sum(n_cur) AS BIGINT) AS tc FROM counts
+        |), frac AS (
+        |  SELECT bucket, n_ref, n_cur,
+        |    CAST(n_ref AS DOUBLE) / tr AS p_ref,
+        |    CAST(n_cur AS DOUBLE) / tc AS p_cur
+        |  FROM counts, tot
+        |)
+        |SELECT bucket, n_ref, n_cur, p_ref, p_cur,
+        |  floor((greatest(p_ref, 1e-6) - greatest(p_cur, 1e-6))
+        |      * ln(greatest(p_ref, 1e-6) / greatest(p_cur, 1e-6))
+        |      * 1000000 + 0.5) / 1000000.0 AS psi_contrib
+        |FROM frac
+        |ORDER BY bucket""".stripMargin,
+
     // query-set BM25 replay: same Robertson/Lucene-idf formula as
     // ext_text_bm25, fanned out per query; per-(query, doc) totals sum 6 dp
     // fixed-point BIGINTs exactly like the Spark side, so the aggregation
@@ -4414,6 +4542,81 @@ object SparkEntry {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
         |FROM scored
         |ORDER BY doc_id""".stripMargin,
+
+    // time-travel replay: version v's snapshot is exactly the union of the
+    // %3 slices committed at versions <= v
+    "ext_timetravel" ->
+      """WITH versions(version) AS (VALUES (0), (1), (2))
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  count(o.o_orderkey) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM versions v JOIN orders o ON o.o_orderkey % 3 <= v.version
+        |GROUP BY v.version
+        |ORDER BY version""".stripMargin,
+
+    // change-feed replay: appends at v1/v2 are inserts of the %3=1 / %3=2
+    // slices (append-only history → file-diff CDF is exact)
+    "ext_table_changes" ->
+      """WITH ch AS (
+        |  SELECT 1 AS cv, 'insert' AS ct, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 2 AS cv, 'insert' AS ct, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |)
+        |SELECT CAST(cv AS BIGINT) AS "_commit_version",
+        |  ct AS "_change_type", o_orderpriority,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM ch GROUP BY cv, ct, o_orderpriority
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    // repetition-signal replay: per-doc n-gram mode counts via 1-based list
+    // indexing CTEs; divisions are exact-int → double, so the fractions are
+    // bit-identical IEEE results in both engines (no rounding needed)
+    "ext_quality_repetition" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, len(ws) AS n, ws, unnest(range(1, len(ws) + 1)) AS i
+        |  FROM l
+        |), toks AS (
+        |  SELECT doc_id, n, ws[i] AS w,
+        |    CASE WHEN i + 1 <= n THEN ws[i] || ' ' || ws[i + 1] END AS bg,
+        |    CASE WHEN i + 2 <= n
+        |      THEN ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] END AS tg
+        |  FROM pos
+        |), wc AS (
+        |  SELECT doc_id, any_value(n) AS n, w, count(*) AS c
+        |  FROM toks GROUP BY doc_id, w
+        |), wagg AS (
+        |  SELECT doc_id, any_value(n) AS n, max(c) AS mx, count(*) AS dw
+        |  FROM wc GROUP BY doc_id
+        |), bc AS (
+        |  SELECT doc_id, bg, count(*) AS c
+        |  FROM toks WHERE bg IS NOT NULL GROUP BY doc_id, bg
+        |), bagg AS (SELECT doc_id, max(c) AS mx FROM bc GROUP BY doc_id),
+        |tc AS (
+        |  SELECT doc_id, tg, count(*) AS c
+        |  FROM toks WHERE tg IS NOT NULL GROUP BY doc_id, tg
+        |), tagg AS (SELECT doc_id, max(c) AS mx FROM tc GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CAST(w.n AS INTEGER) AS n_words,
+        |  CAST(w.n - w.dw AS DOUBLE) / w.n AS dup_word_frac,
+        |  CAST(w.mx AS DOUBLE) / w.n AS top_word_frac,
+        |  coalesce(CAST(b.mx AS DOUBLE) / (w.n - 1), 0.0) AS top_bigram_frac,
+        |  coalesce(CAST(t.mx AS DOUBLE) / (w.n - 2), 0.0) AS top_trigram_frac,
+        |  (CAST(w.mx AS DOUBLE) / w.n <= 0.30
+        |   AND coalesce(CAST(b.mx AS DOUBLE) / (w.n - 1), 0.0) <= 0.20
+        |   AND coalesce(CAST(t.mx AS DOUBLE) / (w.n - 2), 0.0) <= 0.15) AS keep
+        |FROM wagg w
+        |LEFT JOIN bagg b ON w.doc_id = b.doc_id
+        |LEFT JOIN tagg t ON w.doc_id = t.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
 
     // semantic-dedup replay: deterministic cell assignment (identical to
     // ext_ann_ivf's), then within-cell lower-id pairs at cosine >= 0.35

@@ -170,4 +170,49 @@ object FeatureOps {
       .groupBy(col(group), col("dim"))
       .agg((sum(col("__c")).cast("double") / count(lit(1))).as("mean_raw"))
       .select(col(group), col("dim"), round6(col("mean_raw")).as("mean_val"))
+
+  /** Population Stability Index between a reference and a current sample of
+    * `value` — the drift monitor a feature pipeline runs between training
+    * and serving windows. Equal-width buckets over the REFERENCE range
+    * (current-window values outside it clamp into the end buckets, the
+    * standard PSI convention); per-bucket contribution is
+    * (p̂ − q̂)·ln(p̂/q̂) with both fractions floored at `eps` so an empty
+    * bucket contributes a large-but-finite score instead of ∞. PSI ≥ 0.2 is
+    * the conventional "investigate" gate; the caller sums `psi_contrib`.
+    *
+    * Scale shape: one 1-row min/max aggregate broadcast onto the union of
+    * both sides, one |buckets|-row groupBy with map-side partial
+    * aggregation, and a 1-row totals broadcast — the bulk data is scanned
+    * once per side and never shuffled by anything wider than the bucket id.
+    * Contributions round at 6 dp (the ln parity guard). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, value: String,
+               nBuckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val v = col(value)
+    val stats = ref.filter(v.isNotNull)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    val tagged = ref.filter(v.isNotNull)
+      .select(v.cast("double").as("__v"), lit("ref").as("__side"))
+      .unionByName(cur.filter(v.isNotNull)
+        .select(v.cast("double").as("__v"), lit("cur").as("__side")))
+    val width = when(col("__mx") > col("__mn"),
+      (col("__mx") - col("__mn")) / lit(nBuckets)).otherwise(lit(1.0))
+    val bucket = least(greatest(
+      floor((col("__v") - col("__mn")) / width).cast("int"), lit(0)),
+      lit(nBuckets - 1))
+    val counts = tagged.crossJoin(broadcast(stats))
+      .select(bucket.as("bucket"), col("__side"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__side") === "cur", 1L).otherwise(0L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("__tr"),
+      sum(col("n_cur")).as("__tc"))
+    val pRef = col("n_ref").cast("double") / col("__tr")
+    val pCur = col("n_cur").cast("double") / col("__tc")
+    val pR = greatest(pRef, lit(eps))
+    val pC = greatest(pCur, lit(eps))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        pRef.as("p_ref"), pCur.as("p_cur"),
+        round6((pR - pC) * log(pR / pC)).as("psi_contrib"))
+  }
 }

@@ -760,6 +760,70 @@ object TextOps {
     * expression trees, so ten columns would re-split the text ~ten times.
     * Here the token arrays and scalar lengths are bound once behind
     * projections and every stat reads the bound attributes. */
+  /** Max multiplicity of any element in `arr` — computed row-locally as the
+    * longest run of the SORTED array (one `aggregate` fold, no shuffle, no
+    * per-row hashmap allocation). 0 for an empty array. */
+  private def maxMultiplicity(arr: Column): Column =
+    aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
+        lit(0).as("best")),
+      (a, x) => {
+        val run = when(x <=> a.getField("prev"), a.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(a.getField("best"), run).as("best"))
+      },
+      a => a.getField("best"))
+
+  /** Word n-grams of `arr` joined with single spaces; empty array when the
+    * document is shorter than `n` words (guarded — `sequence(0, -1)` would
+    * count DOWN, not return empty). */
+  private def wordNgrams(arr: Column, n: Int): Column =
+    when(size(arr) >= n,
+      transform(sequence(lit(0), size(arr) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(arr, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Gopher-style intra-document repetition signals (Rae et al. 2021, public
+    * literature): the fraction of a document covered by its most frequent
+    * word / bigram / trigram, and the overall duplicate-word fraction.
+    * Documents dominated by a few repeated n-grams are boilerplate or
+    * generator loops and get down-weighted or dropped before LM training.
+    *
+    * Every signal is a row-local fold over the token array (sort + one
+    * `aggregate` pass per n-gram order) — zero shuffle, embarrassingly
+    * parallel, the right shape for a 100 TB quality sweep. `keep` applies
+    * conventional gates (most-common-word ≤ 30% of tokens, top bigram
+    * ≤ 20%, top trigram ≤ 15% — thresholds are parameters).
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+                        maxTopWordFrac: Double = 0.30,
+                        maxTopBigramFrac: Double = 0.20,
+                        maxTopTrigramFrac: Double = 0.15): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    def topFrac(n: Int): Column = {
+      val denom = col("n_words") - (n - 1)
+      if (n == 1) maxMultiplicity(col("__ws")).cast("double") / col("n_words")
+      else when(col("n_words") >= n,
+        maxMultiplicity(wordNgrams(col("__ws"), n)).cast("double") / denom)
+        .otherwise(lit(0.0))
+    }
+    OpsUtil.spread(docs)
+      .select(col("doc_id"), ws.as("__ws"))
+      .select(col("doc_id"), col("__ws"), size(col("__ws")).as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        ((col("n_words") - size(array_distinct(col("__ws")))).cast("double")
+          / col("n_words")).as("dup_word_frac"),
+        topFrac(1).as("top_word_frac"),
+        topFrac(2).as("top_bigram_frac"),
+        topFrac(3).as("top_trigram_frac"))
+      .withColumn("keep",
+        col("top_word_frac") <= maxTopWordFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac &&
+          col("top_trigram_frac") <= maxTopTrigramFrac)
+  }
+
   def profile(docs: DataFrame): DataFrame = {
     val toks = col("ltoks")
     val markerScores = LangMarkers.map { case (lang, ms) =>

@@ -1206,4 +1206,47 @@ class ExtOpsSpec extends AnyFunSuite {
       .filter($"n_canon" =!= 1L).count()
     assert(bad == 0, "every component must elect exactly one canonical")
   }
+
+  test("repetition signals: hand-computed n-gram mode fractions") {
+    val fixture = Seq(
+      (1L, "a a a b"),        // top word a=3/4; bigrams [a a, a a, a b] → 2/3;
+                              // trigrams [a a a, a a b] → 1/2; distinct 2 → dup 0.5
+      (2L, "x"),              // single word: bigram/trigram fracs are 0.0
+      (3L, "p q r s t")       // all distinct: dup 0, top word 1/5
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(fixture).orderBy($"doc_id")
+      .select($"doc_id", $"n_words", $"dup_word_frac", $"top_word_frac",
+        $"top_bigram_frac", $"top_trigram_frac", $"keep")
+      .as[(Long, Int, Double, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 4, 0.5, 0.75, 2.0 / 3, 0.5, false),
+      (2L, 1, 0.0, 1.0, 0.0, 0.0, false),
+      (3L, 5, 0.0, 0.2, 0.25, 1.0 / 3, false))) // trigram 1/3 > 0.15 gate
+  }
+
+  test("repetition signals on the real corpus: bounded, complete, discriminating") {
+    val out = TextOps.repetitionSignals(docs).cache()
+    try {
+      assert(out.count() == docs.count())
+      val bad = out.filter(
+        $"dup_word_frac" < 0 || $"dup_word_frac" > 1 ||
+          $"top_word_frac" <= 0 || $"top_word_frac" > 1 ||
+          $"top_bigram_frac" < 0 || $"top_bigram_frac" > 1 ||
+          $"top_trigram_frac" < 0 || $"top_trigram_frac" > 1 ||
+          // mode fraction can never be below uniform 1/n
+          $"top_word_frac" * $"n_words" < 1.0).count()
+      assert(bad == 0)
+      // the word-soup corpus is duplicate-heavy at the word level but below
+      // the conventional n-gram gates (top word ≤ 0.25 here) — so defaults
+      // keep everything, and a tightened gate splits the corpus
+      val dupMax = out.agg(max($"dup_word_frac")).as[Double].head()
+      assert(dupMax > 0.5, s"repetitive docs exist by construction ($dupMax)")
+      assert(out.filter($"keep").count() == out.count(), "defaults keep all")
+      val tight = TextOps.repetitionSignals(docs, maxTopWordFrac = 0.1)
+      val keptTight = tight.filter($"keep").count()
+      assert(keptTight > 0 && keptTight < out.count(),
+        s"a 0.1 top-word gate must split the corpus (kept $keptTight)")
+    } finally { out.unpersist(); () }
+  }
 }

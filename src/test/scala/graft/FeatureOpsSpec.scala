@@ -224,4 +224,26 @@ class FeatureOpsSpec extends AnyFunSuite {
     val disagree = exact.count { case (id, b) => approx(id) != b }
     assert(disagree <= exact.size / 10, s"disagree=$disagree")
   }
+
+  test("psiDrift: hand-computed two-bucket drift, out-of-range values clamp") {
+    val ref = Seq(0.0, 1.0, 2.0, 3.0).toDF("v") // mn=0 mx=3, width 1.5
+    val cur = Seq(0.0, 0.0, 0.0, 5.0).toDF("v") // 5.0 clamps into bucket 1
+    val out = FeatureOps.psiDrift(ref, cur, "v", nBuckets = 2)
+      .orderBy($"bucket")
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    // ref buckets: {0,1}→0, {2,3}→1 (3/1.5=2 clamps); p = (.5,.5)
+    // cur buckets: {0,0,0}→0, {5}→1; q = (.75,.25)
+    // contrib0 = (.5-.75)·ln(.5/.75) = 0.101366…; contrib1 = .25·ln2
+    assert(out == Seq(
+      (0, 2L, 3L, 0.5, 0.75, 0.101366),
+      (1, 2L, 1L, 0.5, 0.25, 0.173287)))
+  }
+
+  test("psiDrift: identical distributions score zero; nulls are ignored") {
+    val ref = Seq[java.lang.Double](1.0, 2.0, 3.0, null).toDF("v")
+    val cur = Seq[java.lang.Double](1.0, 2.0, 3.0).toDF("v")
+    val psi = FeatureOps.psiDrift(ref, cur, "v", nBuckets = 3)
+      .agg(sum($"psi_contrib")).as[Double].head()
+    assert(psi == 0.0)
+  }
 }
