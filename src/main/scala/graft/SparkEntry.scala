@@ -2177,6 +2177,17 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Robust scaling: (x − median)/IQR per event type — the
+    // outlier-insensitive scaler (corrupt values move mean/stddev
+    // arbitrarily; they barely move quartiles). Same broadcast-stats
+    // shape as ext_outlier_mad (oracle-checked).
+    "ext_feature_robust_scale" -> ((s, dir) => {
+      ops.FeatureOps.robustScale(tbl(s, dir, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med6"), col("iqr6"), col("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     // PSI drift monitor: purchase-value distribution, first half of the
     // month (reference/training window) vs second half (current/serving
     // window) — equal-width buckets over the reference range, per-bucket
@@ -3778,6 +3789,29 @@ object SparkEntry {
         |    AS is_outlier
         |FROM events e JOIN med m USING (event_type)
         |              JOIN mad d USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // robust-scale replay: quantile_cont matches Spark's exact percentile
+    // interpolation; quartile stats round half-up at 6 dp before use on
+    // both engines (the same contract ext_outlier_mad pins)
+    "ext_feature_robust_scale" ->
+      """WITH st AS (
+        |  SELECT event_type,
+        |    CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med,
+        |    CAST(quantile_cont(value, 0.75) - quantile_cont(value, 0.25)
+        |      AS DOUBLE) AS iqr
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT event_type,
+        |    FLOOR(med * 1000000 + 0.5) / 1000000 AS med6,
+        |    FLOOR(iqr * 1000000 + 0.5) / 1000000 AS iqr6
+        |  FROM st
+        |)
+        |SELECT e.event_id, e.event_type, e.value, r.med6, r.iqr6,
+        |  FLOOR((e.value - r.med6)
+        |      / (CASE WHEN r.iqr6 <> 0 THEN r.iqr6 ELSE 1.0 END)
+        |      * 1000000 + 0.5) / 1000000.0 AS robust_z
+        |FROM events e JOIN r USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
 
     // PSI replay: equal-width buckets over the reference min/max, exact

@@ -171,6 +171,25 @@ object FeatureOps {
       .agg((sum(col("__c")).cast("double") / count(lit(1))).as("mean_raw"))
       .select(col(group), col("dim"), round6(col("mean_raw")).as("mean_val"))
 
+  /** Per-group robust scaling: (x − median) / IQR — the outlier-insensitive
+    * sibling of [[scaleByGroup]]'s z-score (a handful of corrupt values move
+    * mean/stddev arbitrarily far; they barely move the quartiles). Same
+    * two-pass scale shape as [[madOutliers]]: one grouped exact-percentile
+    * aggregate (|groups| rows), broadcast back onto the stream. Quartile
+    * stats round at 6 dp before use so the scaled value replays bit-equal
+    * on any engine; a degenerate group (IQR 0) divides by 1 instead. */
+  def robustScale(df: DataFrame, group: String, value: String): DataFrame = {
+    val stats = df.groupBy(col(group)).agg(
+      expr(s"percentile($value, 0.5)").as("__med"),
+      expr(s"percentile($value, 0.75) - percentile($value, 0.25)").as("__iqr"))
+    df.join(broadcast(stats), Seq(group))
+      .withColumn("med6", floor(col("__med") * 1e6 + 0.5) / 1e6)
+      .withColumn("iqr6", floor(col("__iqr") * 1e6 + 0.5) / 1e6)
+      .withColumn("robust_z", round6((col(value) - col("med6")) /
+        when(col("iqr6") =!= 0.0, col("iqr6")).otherwise(lit(1.0))))
+      .drop("__med", "__iqr")
+  }
+
   /** Population Stability Index between a reference and a current sample of
     * `value` — the drift monitor a feature pipeline runs between training
     * and serving windows. Equal-width buckets over the REFERENCE range

@@ -415,6 +415,36 @@ object TxTable {
     }
   }
 
+  /** DESCRIBE HISTORY analog: one row per RETAINED log version, oldest
+    * first, read from manifest headers alone — bounded metadata, zero data
+    * I/O. `kind` is 'full' (anchor manifest) or 'delta'; `n_adds` /
+    * `n_removes` count the commit's file changes; `txn_app` / `txn_batch`
+    * surface the exactly-once stamp when the commit carried one;
+    * `bucket_key` / `n_buckets` the layout identity; `checkpointed` whether
+    * a resolution anchor sidecar exists at that version. Versions dropped
+    * by [[vacuum]] are absent — their history is gone by design. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val fs = fsFor(spark, table)
+    val rows = listVersions(fs, table).sorted.map { v =>
+      val bytes = readBytes(fs, versionPath(table, v))
+      val (kind, nAdds, nRemoves) =
+        if (isDelta(bytes)) {
+          val (a, r) = parseDelta(bytes); ("delta", a.size, r.size)
+        } else ("full", parseManifest(bytes).size, 0)
+      val txn = parseTxn(bytes)
+      val bk = parseBucketing(bytes)
+      (v, kind, nAdds, nRemoves,
+        txn.map(_._1).orNull,
+        txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
+        bk.map(_._1).orNull,
+        bk.map(b => java.lang.Integer.valueOf(b._2)).orNull,
+        fs.exists(checkpointPath(table, v)))
+    }
+    spark.createDataFrame(rows).toDF("version", "kind", "n_adds",
+      "n_removes", "txn_app", "txn_batch", "bucket_key", "n_buckets",
+      "checkpointed")
+  }
+
   /** Point-lookup read: only the files of the buckets `keys` hash into are
     * opened (I/O ∝ |distinct key buckets|, not table size — the record-
     * serving path a CDC-maintained table exists for), then the exact key

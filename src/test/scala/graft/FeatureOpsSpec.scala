@@ -225,6 +225,21 @@ class FeatureOpsSpec extends AnyFunSuite {
     assert(disagree <= exact.size / 10, s"disagree=$disagree")
   }
 
+  test("robustScale: (x-median)/IQR per group; constant group divides by 1") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 5.0),
+      ("c", 7.0), ("c", 7.0), ("c", 7.0))
+      .toDF("k", "v")
+    val out = FeatureOps.robustScale(df, "k", "v")
+      .select($"k", $"v", $"med6", $"iqr6", $"robust_z")
+      .as[(String, Double, Double, Double, Double)].collect().toSet
+    // g: med 3, q1 2, q3 4 → iqr 2 → z = (v-3)/2
+    // c: med 7, iqr 0 → degenerate → z = (v-7)/1 = 0
+    assert(out == Set(
+      ("g", 1.0, 3.0, 2.0, -1.0), ("g", 2.0, 3.0, 2.0, -0.5),
+      ("g", 3.0, 3.0, 2.0, 0.0), ("g", 4.0, 3.0, 2.0, 0.5),
+      ("g", 5.0, 3.0, 2.0, 1.0), ("c", 7.0, 7.0, 0.0, 0.0)))
+  }
+
   test("psiDrift: hand-computed two-bucket drift, out-of-range values clamp") {
     val ref = Seq(0.0, 1.0, 2.0, 3.0).toDF("v") // mn=0 mx=3, width 1.5
     val cur = Seq(0.0, 0.0, 0.0, 5.0).toDF("v") // 5.0 clamps into bucket 1

@@ -809,6 +809,29 @@ class TxTableSpec extends AnyFunSuite {
       && empty.columns.contains("_commit_version"))
   }
 
+  test("history: one metadata row per version — kinds, txn stamps, layout identity") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
+    val b1 = Seq(("C101", "a@b1", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.appendOnce(spark, table, b1, "customer_id", 4, "hist-app", 7L)
+    val up = Seq(("C1", "u1@v2", ts("2024-02-01 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.upsert(spark, table, up, "customer_id", "updated_at", nBuckets = 4)
+
+    val h = TxTable.history(spark, table).orderBy($"version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(h.map(_.getString(1)).toSeq == Seq("full", "delta", "delta"))
+    // the append's exactly-once stamp rides the header
+    assert(h(1).getString(4) == "hist-app" && h(1).getLong(5) == 7L)
+    assert(h(2).isNullAt(4), "maintenance upsert carries no txn stamp")
+    // layout identity recorded on every commit
+    assert(h.forall(r => r.getString(6) == "customer_id" && r.getInt(7) == 4))
+    // the upsert rewrote exactly one bucket file: one remove, one add
+    assert(h(2).getInt(2) == 1 && h(2).getInt(3) == 1)
+    assert(h(0).getInt(3) == 0, "init removes nothing")
+  }
+
   test("changesBetween: a rewriting commit surfaces as file-granular delete+insert") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
