@@ -189,7 +189,10 @@ object SparkEntry {
     * arms in declaration order (first-wins), score > 0 required, else
     * 'und'. Docs whose text yields no marker hits fall out of the join and
     * re-enter via the LEFT JOIN with all-zero scores. */
-  private val LangIdOracleSql: String = {
+  /** The chained CTE definitions computing `pred(doc_id, lang_pred)` —
+    * shared by [[LangIdOracleSql]] and the corpus-health replay so the
+    * marker argmax is generated exactly once. */
+  private def langPredCteSql: String = {
     val langs = ops.TextOps.LangMarkers.map(_._1)
     val markerRows = ops.TextOps.LangMarkers
       .flatMap { case (l, ms) => ms.map(m => s"('$l', '$m')") }
@@ -201,7 +204,7 @@ object SparkEntry {
     val best = s"GREATEST(${langs.map(l => s"s_$l").mkString(", ")})"
     val cases = langs
       .map(l => s"WHEN s_$l > 0 AND s_$l = best THEN '$l'").mkString(" ")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS term
       |  FROM documents
       |), markers(lang, term) AS (VALUES
@@ -218,10 +221,65 @@ object SparkEntry {
       |  FROM documents d LEFT JOIN pivoted USING (doc_id)
       |), withbest AS (
       |  SELECT *, $best AS best FROM joined
-      |)
-      |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_detected
-      |FROM withbest
+      |), pred AS (
+      |  SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM withbest
+      |)""".stripMargin
+  }
+
+  private val LangIdOracleSql: String =
+    s"""WITH $langPredCteSql
+      |SELECT doc_id, lang_pred AS lang_detected
+      |FROM pred
       |ORDER BY doc_id""".stripMargin
+
+  /** Per-source corpus-health replay: lang-ID CTEs generated from the one
+    * Scala marker source of truth; quality replayed with the
+    * ext_text_stats formula (stopword list generated from
+    * [[ops.TextOps.Stopwords]]); duplicates by the portable md5
+    * fingerprint. Quality values are exact multiples of 0.25, so their
+    * double sums are order-independent on both engines; every other
+    * fraction is an exact-integer division. */
+  private val CorpusHealthOracleSql: String = {
+    val stopList =
+      ops.TextOps.Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH $langPredCteSql, feat AS (
+      |  SELECT d.doc_id, d.source, d.lang, p.lang_pred,
+      |    CAST(length(d.text) AS INTEGER) AS n_chars,
+      |    CAST(len(string_split_regex(d.text, '\\s+')) AS INTEGER)
+      |      AS n_words,
+      |    ((CASE WHEN length(d.text) BETWEEN 50 AND 10000
+      |        THEN 1.0 ELSE 0.0 END)
+      |     + (CASE WHEN CAST(len(list_filter(
+      |            string_split_regex(lower(d.text), '\\s+'),
+      |            t -> list_contains($stopList, t))) AS DOUBLE)
+      |          / len(string_split_regex(lower(d.text), '\\s+')) > 0.05
+      |        THEN 1.0 ELSE 0.0 END)
+      |     + (CASE WHEN CAST(length(d.text) - length(regexp_replace(
+      |            d.text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+      |          / length(d.text) < 0.2 THEN 1.0 ELSE 0.0 END)
+      |     + (CASE WHEN CAST(length(regexp_replace(d.text, '\\s+', '', 'g'))
+      |            AS DOUBLE)
+      |          / len(string_split_regex(d.text, '\\s+'))
+      |          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 4.0
+      |      AS quality,
+      |    md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS fp
+      |  FROM documents d JOIN pred p USING (doc_id)
+      |), perfp AS (
+      |  SELECT source, fp, count(*) AS n, sum(n_chars) AS chars,
+      |    sum(n_words) AS words, sum(quality) AS q,
+      |    sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS agree
+      |  FROM feat GROUP BY source, fp
+      |)
+      |SELECT source,
+      |  CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_unique,
+      |  CAST(sum(chars) AS BIGINT) AS total_chars,
+      |  CAST(sum(words) AS DOUBLE) / sum(n) AS mean_words,
+      |  sum(q) / sum(n) AS mean_quality,
+      |  CAST(sum(agree) AS DOUBLE) / sum(n) AS lang_agree_rate,
+      |  1.0 - CAST(count(*) AS DOUBLE) / sum(n) AS dup_rate
+      |FROM perfp GROUP BY source
+      |ORDER BY source""".stripMargin
   }
 
   /** Fixed query TABLE for the query-set retrieval ops (ext_bm25_queryset,
@@ -2177,6 +2235,41 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // Per-source corpus health report — the one-stop table a curation run
+    // reads before planning a mixture: volume, exact duplicate rate (md5
+    // fingerprint), mean quality, mean length, and asserted-vs-detected
+    // language agreement, per source. ONE corpus scan; the two-level
+    // (source, fp) → source aggregation carries |sources × unique-fp|
+    // partial rows with map-side combine and nothing else (oracle-checked;
+    // quality sums are exact 0.25 multiples → order-independent).
+    "ext_corpus_health" -> ((s, dir) => {
+      val base = ops.OpsUtil.spread(tbl(s, dir, "documents"))
+        .select(col("source"), col("lang"),
+          length(col("text")).as("n_chars"),
+          size(split(col("text"), "\\s+")).as("n_words"),
+          ops.TextOps.qualityScore(col("text")).as("quality"),
+          ops.TextOps.langId(col("text")).as("lang_pred"),
+          ops.TextOps.fingerprint(col("text")).as("fp"))
+      base.groupBy(col("source"), col("fp"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("long")).as("chars"),
+          sum(col("n_words").cast("long")).as("words"),
+          sum(col("quality")).as("q"),
+          sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+            .as("agree"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_unique"),
+          sum(col("chars")).as("total_chars"),
+          (sum(col("words")).cast("double") / sum(col("n"))).as("mean_words"),
+          (sum(col("q")) / sum(col("n"))).as("mean_quality"),
+          (sum(col("agree")).cast("double") / sum(col("n")))
+            .as("lang_agree_rate"))
+        .withColumn("dup_rate",
+          lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+        .orderBy(col("source"))
+    }),
+
     // Robust scaling: (x − median)/IQR per event type — the
     // outlier-insensitive scaler (corrupt values move mean/stddev
     // arbitrarily; they barely move quartiles). Same broadcast-stats
@@ -3790,6 +3883,9 @@ object SparkEntry {
         |FROM events e JOIN med m USING (event_type)
         |              JOIN mad d USING (event_type)
         |ORDER BY e.event_id""".stripMargin,
+
+    // per-source corpus health: generated replay (see CorpusHealthOracleSql)
+    "ext_corpus_health" -> CorpusHealthOracleSql,
 
     // robust-scale replay: quantile_cont matches Spark's exact percentile
     // interpolation; quartile stats round half-up at 6 dp before use on

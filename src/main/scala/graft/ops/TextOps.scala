@@ -29,8 +29,8 @@ object TextOps {
     (length(text) - length(regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
       .cast("double") / nullif(length(text), lit(0))
 
-  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
-    "in", "is", "it", "for", "on", "with", "as", "at", "by")
+  private[graft] val Stopwords = Seq("the", "a", "an", "and", "or", "of",
+    "to", "in", "is", "it", "for", "on", "with", "as", "at", "by")
 
   /** Fraction of tokens that are (English) stopwords. */
   def stopwordRatio(text: Column): Column = {
