@@ -468,14 +468,42 @@ object Pipelines {
                  portable: Boolean = false, spanK: Int = 8,
                  spanIndexPath: Option[String] = None,
                  metricsPath: Option[String] = None,
-                 searchIndexPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+                 searchIndexPath: Option[String] = None,
+                 driftRef: Option[NllDriftRef] = None,
+                 driftPath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         prepIngestBatch(batch, batchId, lm, corpusPath, indexPath, maxNll,
           threshold, num, bands, shingle, portable, spanK, spanIndexPath,
-          metricsPath, searchIndexPath)
+          metricsPath, searchIndexPath, driftRef, driftPath)
       }
+
+  /** Frozen reference distribution for the landing job's NLL drift
+    * monitor: equal-width bucket edges over the reference's score range
+    * plus the reference's per-bucket probabilities — bounded driver
+    * metadata (like the LM itself), computed ONCE from a trusted corpus
+    * sample and carried into every micro-batch. */
+  final case class NllDriftRef(mn: Double, mx: Double, probs: Seq[Double])
+
+  /** Build an [[NllDriftRef]] from a reference corpus: one min/max
+    * aggregate + one ≤`nBuckets`-row bucket-count collect. */
+  def nllDriftRef(refDocs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
+                  nBuckets: Int = 10): NllDriftRef = {
+    val scored = graft.ops.TextOps.lmScore(refDocs, lm)
+      .select(col("nll")).filter(col("nll").isNotNull)
+    val mm = scored.agg(min(col("nll")), max(col("nll"))).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
+    val b = least(greatest(
+      floor((col("nll") - lit(mn)) / lit(width)).cast("int"), lit(0)),
+      lit(nBuckets - 1))
+    val counts = scored.select(b.as("__b")).groupBy(col("__b")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    NllDriftRef(mn, mx,
+      (0 until nBuckets).map(i => counts.getOrElse(i, 0L) / total))
+  }
 
   /** One landing micro-batch — EXACTLY the body [[prepIngest]] runs per
     * streaming micro-batch, callable from batch code: driver-paced
@@ -492,7 +520,9 @@ object Pipelines {
                       portable: Boolean = false, spanK: Int = 8,
                       spanIndexPath: Option[String] = None,
                       metricsPath: Option[String] = None,
-                      searchIndexPath: Option[String] = None): Unit = {
+                      searchIndexPath: Option[String] = None,
+                      driftRef: Option[NllDriftRef] = None,
+                      driftPath: Option[String] = None): Unit = {
         import org.apache.spark.storage.StorageLevel
         val s = batch.sparkSession
         val cols = batch.columns.toSeq
@@ -508,7 +538,7 @@ object Pipelines {
               .withColumnRenamed("keep", "__q")
               .select((cols :+ "__q").map(col): _*), lm)
           .withColumn("__l", col("__q") && col("nll") <= maxNll)
-          .select((cols :+ "__q" :+ "__l").map(col): _*)
+          .select((cols :+ "__q" :+ "__l" :+ "nll").map(col): _*)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val gated = flagged.filter(col("__l")).select(cols.map(col): _*)
         // span stage: requalified rewrite audit (doc_id, n_removed, keep)
@@ -603,6 +633,42 @@ object Pipelines {
               col("n_lm"), col("n_span_cut"), col("n_span_admitted"),
               col("n_accepted"))
             .write.mode("append").parquet(mp)
+        }
+        // NLL drift monitor: PSI of this batch's RAW-FEED score
+        // distribution against the frozen reference — upstream content
+        // shifts surface here even when the gates still pass everything.
+        // Bucket edges are driver metadata (NllDriftRef), so the whole
+        // check is ONE conditional-sum aggregation over the cached
+        // flagged frame: one extra job per batch when enabled, no joins,
+        // no lineage recompute — the funnel's own cost discipline.
+        (driftRef, driftPath) match {
+          case (Some(ref), Some(dp)) =>
+            val n = ref.probs.length
+            val width = if (ref.mx > ref.mn) (ref.mx - ref.mn) / n else 1.0
+            val bucket = least(greatest(
+              floor((col("nll") - lit(ref.mn)) / lit(width)).cast("int"),
+              lit(0)), lit(n - 1))
+            val aggCols =
+              count(lit(1)).cast("double").as("__t") +:
+                (0 until n).map(i =>
+                  sum(when(col("__b") === i, 1L).otherwise(0L))
+                    .cast("double").as(s"__c$i"))
+            val agg = flagged.filter(col("nll").isNotNull)
+              .select(bucket.as("__b"))
+              .agg(aggCols.head, aggCols.tail: _*)
+            val eps = 1e-6
+            val psi = (0 until n).map { i =>
+              val p = greatest(col(s"__c$i") / col("__t"), lit(eps))
+              val q = lit(math.max(ref.probs(i), eps))
+              (p - q) * log(p / q)
+            }.reduce(_ + _)
+            agg.select(lit(batchId).as("batch_id"),
+                col("__t").cast("long").as("n_scored"),
+                when(col("__t") > 0,
+                  floor(psi * 1e6 + 0.5).cast("double") / 1e6)
+                  .as("psi"))
+              .write.mode("append").parquet(dp)
+          case _ => ()
         }
         accepted.unpersist(blocking = false)
         spanAudit.foreach(_.unpersist(blocking = false))

@@ -604,6 +604,44 @@ class StreamingSpec extends AnyFunSuite {
       s"metrics path must cost at most one extra job: $base -> $withM")
   }
 
+  test("prepIngest drift monitor: in-distribution batch scores exactly 0, shifted feed spikes") {
+    implicit val ctx = spark.sqlContext
+    val tmp = Files.createTempDirectory("graft_drift_").toString
+    val ref = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("lang") === "en")
+    val lm = graft.ops.TextOps.trainCharBigramLM(ref)
+    val dref = Pipelines.nllDriftRef(ref, lm)
+    assert(math.abs(dref.probs.sum - 1.0) < 1e-9)
+    val in = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = Pipelines.prepIngest(in.toDF().toDF("doc_id", "text"), lm,
+          s"$tmp/corpus", s"$tmp/index", s"$tmp/ckpt", maxNll = 100.0,
+          driftRef = Some(dref), driftPath = Some(s"$tmp/drift"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 0: the reference corpus itself — p == q bucket for bucket, so
+    // PSI is EXACTLY zero (same counts, same divisions, same doubles)
+    in.addData(ref.select($"doc_id", $"text").as[(Long, String)]
+      .collect().toSeq: _*)
+    run()
+    // batch 1: consonant-soup feed — every doc scores far above the
+    // reference range and clamps into the top bucket
+    in.addData(
+      (900001L, "qzx jkq wvv pqz zkx qjw xqz vqk jzz wkq pxv qkz qjz zqx"),
+      (900002L, "wqz kxj vzq pzk xkz wjq zqx kqv zjz qkw vxp zkq zjq xqz"),
+      (900003L, "jqx qkj vwv zpq xzk wqj zxq kvq zzj qwk pvx zqk jzq qxz"))
+    run()
+    val drift = spark.read.parquet(s"$tmp/drift").orderBy($"batch_id")
+      .select($"batch_id", $"n_scored", $"psi")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(drift.map(_._1) == Seq(0L, 1L))
+    assert(drift(0)._2 == ref.count() && drift(0)._3 == 0.0,
+      s"identical distribution must score exactly 0: ${drift(0)}")
+    assert(drift(1)._3 > 0.2,
+      s"shifted feed must trip the conventional 0.2 PSI gate: ${drift(1)}")
+  }
+
   test("embedIngest: vector micro-batches admit against the staged band index") {
     implicit val ctx = spark.sqlContext
     val tmp = Files.createTempDirectory("graft_embi_").toString
