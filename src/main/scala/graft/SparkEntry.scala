@@ -558,6 +558,36 @@ object SparkEntry {
     path
   }
 
+  /** Incremental distinct-count sketch state (ext_hll_incremental): a
+    * 3-commit events TxTable source with the HLL state table maintained
+    * through init + two advances — landing-job work staged once per
+    * session; the query reads the state. */
+  private def stagedHllState(s: SparkSession, dir: String): String = {
+    val root = s"target/graft-hll-state/${new java.io.File(dir).getName}"
+    ensureStaged(root) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+      val ev = tbl(s, dir, "events").select(col("event_type"), col("user_id"))
+      def slice(r: Int) = ev.filter(pmod(col("user_id"), lit(3)) === r)
+      val src = s"$root/source"
+      val st = s"$root/state"
+      ops.TxTable.init(s, src, slice(0), "event_type", 4)
+      var cur = ops.IncrementalOps.initDistinctState(s, src, st,
+        "event_type", "user_id", 4)
+      ops.TxTable.appendOnce(s, src, slice(1), "event_type", 4, "hll-stage", 1L)
+      cur = ops.IncrementalOps.advanceDistinct(s, src, st,
+        "event_type", "user_id", cur, 4)
+      ops.TxTable.appendOnce(s, src, slice(2), "event_type", 4, "hll-stage", 2L)
+      ops.IncrementalOps.advanceDistinct(s, src, st,
+        "event_type", "user_id", cur, 4)
+      ()
+    }
+    root
+  }
+
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
@@ -1847,6 +1877,37 @@ object SparkEntry {
     "ext_sessionize" -> ((s, dir) => {
       ops.SessionOps.sessionStats(tbl(s, dir, "events"), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Incrementally-maintained distinct users per event type: the
+    // non-associative aggregate kept associative as mergeable HLL sketch
+    // state on a TxTable, folded through init + two advances (O(delta +
+    // touched buckets) per refresh — never a rescan). Sketch estimates →
+    // no DuckDB oracle by the model-state contract; IncrementalOpsSpec
+    // pins incremental ≡ one-shot sketch and the error envelope vs exact.
+    "ext_hll_incremental" -> ((s, dir) => {
+      val st = s"${stagedHllState(s, dir)}/state"
+      ops.IncrementalOps.distinctEstimates(s, st, "event_type")
+        .select(col("event_type"), col("n_rows"), col("approx_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Native session_window sessionization (the streaming-capable stateful
+    // operator streamingSessions runs; here in batch): gap-merged sessions
+    // with window bounds [first_ts, last_ts + gap). One shuffle on
+    // user_id; decimal-exact value totals (oracle replays the gap merge
+    // with a lag/cumsum state machine).
+    "ext_session_window" -> ((s, dir) => {
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("session_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"),
+          col("session_value"))
+        .orderBy(col("user_id"), col("session_start"))
     }),
 
     // One-pass text profile: token counts, quality, language ID,
@@ -4635,6 +4696,29 @@ object SparkEntry {
         |FROM sessions
         |GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // session_window replay: new session iff the gap to the previous event
+    // is >= 30 min (Spark's window end is EXCLUSIVE: an event landing
+    // exactly at last_ts + gap starts a new session); end = last + gap
+    "ext_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e
+        |)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "ext_text_stats" ->
       """WITH base AS (

@@ -106,4 +106,78 @@ object IncrementalOps {
       txn = Some((appIdFor(state), hw)))
     hw
   }
+
+  // --- incremental DISTINCT counts (mergeable sketch state) -------------
+  //
+  // count-distinct is the aggregate that breaks the fold above: it is not
+  // associative over raw counts (|A ∪ B| ≠ |A| + |B|). The scalable fix is
+  // to keep the aggregate in a MERGEABLE sketch domain: per-key HLL
+  // sketches (Spark's DataSketches hll_* family) stored as a binary state
+  // column, where union (register max) IS associative — so the same
+  // O(delta + touched buckets) maintenance applies to distinct users per
+  // segment. Estimates are approximate (~1% at the default lgConfigK) but
+  // deterministic: same rows → same sketch bytes → same estimate, and a
+  // union of per-batch sketches estimates the same set as one pass
+  // (spec-pinned within tolerance; exactly-once via the same watermark
+  // txn stamps as advance()).
+
+  private def sketchAggOf(rows: DataFrame, key: String,
+                          distinctCol: String): DataFrame =
+    rows.groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"),
+        hll_sketch_agg(col(distinctCol)).as("hll"))
+
+  /** Build the distinct-count state (key, n_rows, hll sketch) from the
+    * source's current snapshot; cursor semantics identical to
+    * [[initState]]. */
+  def initDistinctState(spark: SparkSession, source: String, state: String,
+                        key: String, distinctCol: String,
+                        nBuckets: Int): Long = {
+    val snap = TxTable.snapshot(spark, source)
+    val base = sketchAggOf(TxTable.read(spark, source), key, distinctCol)
+      .withColumn("state_version", lit(snap.version))
+    TxTable.init(spark, state, base, key, nBuckets,
+      txn = Some((appIdFor(state), snap.version)))
+    snap.version
+  }
+
+  /** Fold source commits after `cursor` into the sketch state — the
+    * [[advance]] shape with hll_union_agg as the merge. Replay-safe via
+    * the same stamped-watermark contract. */
+  def advanceDistinct(spark: SparkSession, source: String, state: String,
+                      key: String, distinctCol: String, cursor: Long,
+                      nBuckets: Int): Long = {
+    val from = math.max(cursor, resume(spark, state).getOrElse(cursor))
+    val (delta, hw) = TxTable.changesSince(spark, source, from)
+    if (hw == from) return from
+    val dAgg = sketchAggOf(delta, key, distinctCol)
+    if (dAgg.isEmpty) return hw
+    val touched: Set[Int] = dAgg
+      .select(LayoutOps.bucketId(col(key), nBuckets)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val snap = TxTable.snapshot(spark, state)
+    val touchedEntries = snap.entries.filter(e => touched(e.bucket))
+    val outCols = Seq(col(key), col("n_rows"), col("hll"))
+    val stateRows =
+      if (touchedEntries.isEmpty) dAgg.select(outCols: _*).filter(lit(false))
+      else snap.schema.fold(spark.read)(spark.read.schema)
+        .parquet(touchedEntries.map(e => s"$state/${e.rel}"): _*)
+        .select(outCols: _*)
+    val merged = stateRows.unionByName(dAgg.select(outCols: _*))
+      .groupBy(col(key))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        hll_union_agg(col("hll")).as("hll"))
+      .withColumn("state_version", lit(hw))
+    TxTable.upsert(spark, state, merged, key, "state_version", nBuckets,
+      txn = Some((appIdFor(state), hw)))
+    hw
+  }
+
+  /** Read the sketch state as estimates: (key, n_rows, approx_distinct).
+    * The sketch never leaves the state table; consumers get numbers. */
+  def distinctEstimates(spark: SparkSession, state: String,
+                        key: String): DataFrame =
+    TxTable.read(spark, state)
+      .select(col(key), col("n_rows"),
+        hll_sketch_estimate(col("hll")).as("approx_distinct"))
 }
