@@ -1,0 +1,198 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.v2.parquet.GraftParquetShim
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.TxTable
+
+/** TxTable as a first-class Spark DSv2 catalog: `spark.table("txcat.
+  * \`/path/to/table\`")` reads the committed snapshot through the stock
+  * vectorized parquet reader, REPORTING the table's bucket layout as a
+  * `KeyGroupedPartitioning(bucket(n, key))`.
+  *
+  * That report is what buys the 100 TB win the Scala `readKeys` surface
+  * can't express: with `spark.sql.sources.v2.bucketing.enabled=true`,
+  * Spark's storage-partitioned join matches two TxTables committed with
+  * the same (key, nBuckets) identity and plans their equi-join with ZERO
+  * shuffle on either side — the join runs bucket-against-bucket on the
+  * manifests' own layout, and a groupBy on the bucket key aggregates
+  * shuffle-free the same way. The catalog also implements
+  * [[FunctionCatalog]] because Spark resolves the `bucket` transform
+  * through the owning catalog; the bound function reproduces the writers'
+  * exact `pmod(xxhash64(key, seed 42), n)` layout hash (evaluated through
+  * the same catalyst kernel, so it can never drift).
+  *
+  * Identifier → path: the table identifier IS the filesystem path
+  * (backquoted single segment, or namespace segments joined with '/').
+  * Read-only by design: writes go through the TxTable commit protocol,
+  * never through SQL INSERT.
+  */
+class TxTableCatalog extends TableCatalog with FunctionCatalog {
+  private var catalogName: String = "txtable"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+  }
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    if (!TxTable.isTxTable(SparkSession.active, path))
+      throw new NoSuchTableException(ident)
+    new TxSparkTable(path)
+  }
+
+  override def alterTable(ident: Identifier,
+                          changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "TxTable catalog is read-only: schema changes ride data commits")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "TxTable catalog is read-only: the path is the identity")
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** A committed TxTable snapshot as a readable V2 table. Requires the
+  * commit log to carry schema and bucket identity (manifest v2+, which
+  * every writer in this repo records). */
+final class TxSparkTable(path: String) extends Table with SupportsRead {
+  private val snap = TxTable.snapshot(SparkSession.active, path)
+  private val dataSchema: StructType = snap.schema.getOrElse(
+    throw new IllegalStateException(
+      s"$path@v${snap.version} has no recorded schema — pre-v2 manifests " +
+        "cannot be served through the SQL catalog"))
+  private[sources] val bucketing: (String, Int) = snap.bucketing.getOrElse(
+    throw new IllegalStateException(
+      s"$path@v${snap.version} records no bucket identity — rewrite once " +
+        "with a current writer to serve it through the SQL catalog"))
+
+  override def name(): String = path
+  override def schema(): StructType = dataSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] =
+    Array(Expressions.bucket(bucketing._2, bucketing._1))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxScanBuilder(path, snap, bucketing, dataSchema)
+}
+
+final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
+                          bucketing: (String, Int), dataSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = dataSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep the file order of dataSchema; Spark hands back a subset
+    required = requiredSchema
+  }
+
+  override def build(): Scan =
+    new TxScan(path, snap, bucketing, dataSchema, required)
+}
+
+/** Snapshot-pinned scan: one input partition per bucket (exactly the
+  * manifest's files — no listing, no footer merging), read through the
+  * stock vectorized parquet reader, partitioning reported as
+  * `bucket(n, key)` so joins/aggregations on the bucket key plan without
+  * an exchange. */
+final class TxScan(path: String, snap: TxTable.Snapshot,
+                   bucketing: (String, Int), dataSchema: StructType,
+                   required: StructType)
+    extends Scan with Batch with SupportsReportPartitioning {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTxTable $path v${snap.version} buckets=${bucketing._2}"
+
+  private lazy val buckets: Seq[(Int, Seq[TxTable.FileEntry])] =
+    snap.entries.groupBy(_.bucket).toSeq.sortBy(_._1)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    buckets.zipWithIndex.map { case ((b, entries), i) =>
+      val pfs = entries.sortBy(_.rel).map { e =>
+        val p = new Path(s"$path/${e.rel}")
+        val st = fs.getFileStatus(p)
+        GraftParquetShim.partitionedFile(p.toString, st.getLen,
+          st.getModificationTime)
+      }.toArray
+      GraftParquetShim.bucketFilePartition(i, pfs, b): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetShim.readerFactory(SparkSession.active, dataSchema, required)
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(bucketing._2, bucketing._1)), buckets.size)
+}
+
+/** The `bucket` transform function Spark resolves through the catalog when
+  * comparing two scans' reported partitionings. The bound kernel evaluates
+  * the writers' own catalyst `xxhash64(key, seed 42)` expression, so the
+  * SQL surface and the storage layout can never disagree on placement. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key): graft TxTable layout hash pmod(xxhash64(key, 42), n)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, key), got $inputType")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"numBuckets must be int, got ${inputType.fields(0).dataType}")
+    new GraftBoundBucket(inputType.fields(1).dataType)
+  }
+}
+
+final class GraftBoundBucket(keyType: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val v = input.get(1, keyType)
+    val h = XxHash64(Seq(Literal(v, keyType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+}

@@ -1,0 +1,63 @@
+package org.apache.spark.sql.execution.datasources.v2.parquet
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.connector.read.{HasPartitionKey, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Spark-package shim for graft's TxTable DSv2 read path (public-knowledge
+  * Spark internals, the pattern OSS connectors use to reuse the stock
+  * readers): constructs the vectorized parquet reader factory and
+  * file-partition values whose Scala visibility is package-private.
+  *
+  * Everything here delegates; the TxTable-specific logic (manifest →
+  * buckets → partitions) lives in `graft.sources`. */
+object GraftParquetShim {
+
+  /** The stock vectorized/codegen parquet reader factory over an explicit
+    * (dataSchema, readDataSchema) pair — no partition columns (TxTable
+    * buckets travel INSIDE the data files), no pushed filters (the
+    * manifest already pruned at file granularity). Delegates to a real
+    * [[ParquetScan]] over an empty file index so every read-support hadoop
+    * conf key (requested schema, timezone, rebase modes, …) is prepared by
+    * the stock code path, not re-derived here. */
+  def readerFactory(spark: SparkSession, dataSchema: StructType,
+                    readDataSchema: StructType): PartitionReaderFactory = {
+    val index = new org.apache.spark.sql.execution.datasources
+      .InMemoryFileIndex(spark, Seq.empty, Map.empty, Some(dataSchema))
+    ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
+      dataSchema, readDataSchema, new StructType(), Array.empty,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), None,
+      Seq.empty, Seq.empty,
+      Array.empty[org.apache.spark.sql.connector.read.VariantExtraction])
+      .createReaderFactory()
+  }
+
+  /** A whole-file PartitionedFile with empty partition values. */
+  def partitionedFile(path: String, size: Long,
+                      modTime: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPathString(path), 0L,
+      size, Array.empty, modTime, size)
+
+  /** One input partition per TxTable bucket: the stock FilePartition (so
+    * the stock reader factory accepts it) plus [[HasPartitionKey]] carrying
+    * the bucket id — the hook storage-partitioned joins group on. */
+  final class GraftBucketFilePartition(index: Int,
+                                       files: Array[PartitionedFile],
+                                       val bucketId: Int)
+      extends FilePartition(index, files) with HasPartitionKey {
+    override def partitionKey(): InternalRow =
+      new GenericInternalRow(Array[Any](bucketId))
+  }
+
+  def bucketFilePartition(index: Int, files: Array[PartitionedFile],
+                          bucketId: Int): FilePartition with HasPartitionKey =
+    new GraftBucketFilePartition(index, files, bucketId)
+}
