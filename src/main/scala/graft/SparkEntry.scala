@@ -588,6 +588,32 @@ object SparkEntry {
     root
   }
 
+  /** Co-bucketed TxTable pair for the storage-partitioned join query:
+    * orders and (slim) lineitem committed with the same-count bucket
+    * layout on their join keys — the layout identity the DSv2 catalog
+    * reports back to the planner. */
+  private def stagedSpjTables(s: SparkSession, dir: String): (String, String) = {
+    val root = s"target/graft-spj/${new java.io.File(dir).getName}"
+    ensureStaged(root) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+      ops.TxTable.init(s, s"$root/orders",
+        tbl(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.init(s, s"$root/lineitem",
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"),
+            col("l_discount")),
+        key = "l_orderkey", nBuckets = 8)
+      ()
+    }
+    (s"$root/orders", s"$root/lineitem")
+  }
+
   /** The 14-column Gold enrichment over the testdata mapping (the
     * reference's chained four-join topology; gold_enriched query). */
   private def goldEnriched(s: SparkSession, dir: String): DataFrame = {
@@ -1877,6 +1903,32 @@ object SparkEntry {
     "ext_sessionize" -> ((s, dir) => {
       ops.SessionOps.sessionStats(tbl(s, dir, "events"), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_seq"))
+    }),
+
+    // Revenue per priority over a STORAGE-PARTITIONED join: both sides are
+    // TxTables read through the DSv2 catalog, committed with the same
+    // bucket layout on the join key — the reported
+    // KeyGroupedPartitioning lets Spark plan the merge join with ZERO
+    // exchange on either side (TxCatalogSpec + PlanAssertionsSpec pin the
+    // no-Exchange plan; at 100 TB this is the difference between joining
+    // in place and re-shuffling both fact tables). Oracle replays the
+    // plain join.
+    "ext_spj_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.txspj",
+        classOf[graft.sources.TxTableCatalog].getName)
+      // activates ONLY on scans that report a key-grouped layout (the
+      // TxTable catalog's); every other query plans exactly as before
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val (op, lp) = stagedSpjTables(s, dir)
+      val o = s.table(s"txspj.`$op`").hint("merge")
+      val l = s.table(s"txspj.`$lp`").hint("merge")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum((floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              * 100 + 0.5) / 100).cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Incrementally-maintained distinct users per event type: the
@@ -3947,6 +3999,17 @@ object SparkEntry {
 
     // per-source corpus health: generated replay (see CorpusHealthOracleSql)
     "ext_corpus_health" -> CorpusHealthOracleSql,
+
+    // storage-partitioned join replay: the partitioning is a pure
+    // execution property — the oracle is the plain join
+    "ext_spj_join" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+        |    * 100 + 0.5) / 100 AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // robust-scale replay: quantile_cont matches Spark's exact percentile
     // interpolation; quartile stats round half-up at 6 dp before use on

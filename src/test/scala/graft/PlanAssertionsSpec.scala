@@ -400,4 +400,19 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("hashpartitioning\\(component".r.findAllIn(p).size == 1,
       s"rank and member-count must reuse one partitioning on component:\n$p")
   }
+
+  test("ext_spj_join: the join subtree runs on the storage layout — no exchange") {
+    val p = plan("ext_spj_join")
+    assert(p.contains("SortMergeJoin"), s"plan:\n$p")
+    // nothing BELOW the join may shuffle: both scans arrive co-partitioned
+    // by the commit log's bucket identity (the substring after the join
+    // line is exactly its subtree in tree-rendered plans)
+    val below = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!below.contains("Exchange"),
+      s"storage-partitioned join must not shuffle its inputs:\n$p")
+    // the only hash exchange in the whole plan is the final ≤|priorities|-
+    // row aggregation
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly the aggregation exchange:\n$p")
+  }
 }
