@@ -109,16 +109,122 @@ final class TxSparkTable(path: String) extends Table with SupportsRead {
 
 final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
                           bucketing: (String, Int), dataSchema: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = dataSchema
+  private var kept: Seq[TxTable.FileEntry] = snap.entries
+  private var prunedBy: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep the file order of dataSchema; Spark hands back a subset
     required = requiredSchema
   }
 
+  /** File-level pushdown: zone-map sidecars answer range conjuncts and the
+    * manifest's bucket identity answers equality/IN on the bucket key —
+    * the catalog path prunes exactly like `readWhereAll`/`readKeys`.
+    * Every filter is returned as a residual (pruning shrinks I/O, never
+    * substitutes for row evaluation), so the rewrite can only over-keep. */
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (k, used) = TxCatalogPruning.prune(SparkSession.active, path, snap,
+      bucketing, dataSchema, filters)
+    kept = k
+    prunedBy = used
+    filters
+  }
+
+  /** The filters that participated in file pruning (display/debugging —
+    * they are ALSO evaluated on rows via the residuals above). */
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    prunedBy
+
   override def build(): Scan =
-    new TxScan(path, snap, bucketing, dataSchema, required)
+    new TxScan(path, snap.copy(entries = kept), bucketing, dataSchema,
+      required)
+}
+
+/** Driver-side file pruning shared semantics with
+  * [[graft.plans.TxTablePruneRule]], over DSv2 source filters (external
+  * values). Over-keep only: unprofiled columns, unknown files, and
+  * incomparable types never prune; all-null files cannot satisfy a range
+  * predicate and drop. */
+private[sources] object TxCatalogPruning {
+  import scala.util.Try
+
+  import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+  import org.apache.spark.sql.sources._
+
+  def prune(spark: SparkSession, path: String, snap: TxTable.Snapshot,
+            bucketing: (String, Int), schema: StructType,
+            filters: Array[Filter])
+      : (Seq[TxTable.FileEntry], Array[Filter]) = {
+    val bounds: Seq[(String, Option[Any], Option[Any], Filter)] =
+      filters.toSeq.flatMap {
+        case f @ GreaterThanOrEqual(c, v) => Seq((c, Some(v), None, f: Filter))
+        case f @ GreaterThan(c, v) => Seq((c, Some(v), None, f: Filter))
+        case f @ LessThanOrEqual(c, v) => Seq((c, None, Some(v), f: Filter))
+        case f @ LessThan(c, v) => Seq((c, None, Some(v), f: Filter))
+        case f @ EqualTo(c, v) if v != null =>
+          Seq((c, Some(v), Some(v), f: Filter))
+        case _ => Seq.empty
+      }
+    val eqs: Seq[(String, Seq[Any], Filter)] = filters.toSeq.flatMap {
+      case f @ EqualTo(c, v) if v != null => Seq((c, Seq(v), f: Filter))
+      case f @ In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        Seq((c, vs.toSeq, f: Filter))
+      case _ => Seq.empty
+    }
+
+    var kept = snap.entries
+    val used = Seq.newBuilder[Filter]
+
+    // zone-map sidecars: every bound over a profiled column must overlap
+    val perCol = bounds.groupBy(_._1).toSeq.map { case (c, bs) =>
+      (TxTable.fileStats(spark, path, c), bs)
+    }.filter(_._1.nonEmpty)
+    if (perCol.nonEmpty) {
+      perCol.foreach { case (_, bs) => bs.foreach(b => used += b._4) }
+      kept = kept.filter { e =>
+        perCol.forall { case (stats, bs) =>
+          stats.get(e.rel) match {
+            case Some((l, h)) if l != null && h != null =>
+              bs.forall { case (_, lo, hi, _) =>
+                Try {
+                  lo.forall(v => TxTable.cmpAny(h, v) >= 0) &&
+                    hi.forall(v => TxTable.cmpAny(l, v) <= 0)
+                }.getOrElse(true)
+              }
+            case Some((l, h)) if l == null && h == null => false
+            case _ => true
+          }
+        }
+      }
+    }
+
+    // manifest bucket identity: equality/IN on the bucket key keeps only
+    // the probed buckets' files — the writer's own hash, evaluated on the
+    // value converted through the column's catalyst type
+    val (key, n) = bucketing
+    eqs.filter(_._1 == key).foreach { case (_, vs, f) =>
+      val dt = schema.fields.find(_.name == key).map(_.dataType)
+      dt.foreach { t =>
+        val hashed: Seq[Option[Int]] = vs.map { v =>
+          Try(Pmod(XxHash64(Seq(Literal.create(v, t)), 42L),
+            Literal(n.toLong)).eval(null).asInstanceOf[Long].toInt).toOption
+        }
+        // any value we failed to hash could live in any bucket → no prune
+        if (hashed.nonEmpty && hashed.forall(_.isDefined)) {
+          val wanted = hashed.flatten.toSet
+          used += f
+          kept = kept.filter(e => wanted(e.bucket))
+        }
+      }
+    }
+    (kept, used.result().distinct.toArray)
+  }
 }
 
 /** Snapshot-pinned scan: one input partition per bucket (exactly the

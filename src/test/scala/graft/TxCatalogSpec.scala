@@ -87,6 +87,46 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().map {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.map {
+          case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+            f.files.length
+          case _ => 0
+        }.sum
+      case _ => 0
+    }.sum
+
+  test("catalog pushdown: zone maps skip commits, bucket key prunes to its buckets") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_pd_").toString
+      val table = s"$base/t"
+      def batch(days: Range) = days.map(d => (s"k$d", d.toLong, d * 2L))
+        .toDF("k", "day", "size")
+      TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+      TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "pd", 0L)
+      TxTable.appendOnce(spark, table, batch(200 until 300), "k", 4, "pd", 1L)
+      TxTable.computeStats(spark, table, "day")
+      val all = TxTable.snapshot(spark, table).entries.size
+      // range inside commit 1 only: zone maps must skip the other commits
+      val ranged = tbl(table).filter($"day".between(120L, 180L))
+      assert(ranged.count() == 61)
+      assert(scannedFiles(ranged) < all,
+        s"zone maps must prune: ${scannedFiles(ranged)} of $all")
+      // bucket-key point lookup: only the key's bucket files open
+      val point = tbl(table).filter($"k" === "k42")
+      assert(point.select($"day").as[Long].collect().toSeq == Seq(42L))
+      assert(scannedFiles(point) <= all / 2,
+        s"bucket identity must prune: ${scannedFiles(point)} of $all")
+      // unprofiled column: no pruning, full correctness
+      val up = tbl(table).filter($"size".between(240L, 360L))
+      assert(up.count() ==
+        TxTable.read(spark, table).filter($"size".between(240L, 360L)).count())
+      assert(scannedFiles(up) == all, "unprofiled columns must not prune")
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mm_").toString
