@@ -530,6 +530,10 @@ object SparkEntry {
     // the 3-commit versioned-orders TxTable (ext_timetravel /
     // ext_table_changes read its log) — commit history is landing-job work
     stagedVersionedOrders(s, dir)
+    // the co-bucketed SPJ pair and the maintained HLL sketch state —
+    // commit/maintenance work, not query work
+    stagedSpjTables(s, dir)
+    stagedHllState(s, dir)
     ()
   }
 

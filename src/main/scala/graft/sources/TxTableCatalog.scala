@@ -50,17 +50,26 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
 
   override def name(): String = catalogName
 
-  private def pathOf(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString("/")
+  /** Identifier → (path, version): a trailing `@vN` selects a committed
+    * version (Delta-style time travel through the SQL surface:
+    * `spark.table("txcat.\`/path@v2\`")`). */
+  private def pathOf(ident: Identifier): (String, Option[Long]) = {
+    val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    val m = "^(.*)@v(\\d+)$".r
+    raw match {
+      case m(p, v) => (p, Some(v.toLong))
+      case _ => (raw, None)
+    }
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
   override def loadTable(ident: Identifier): Table = {
-    val path = pathOf(ident)
+    val (path, version) = pathOf(ident)
     if (!TxTable.isTxTable(SparkSession.active, path))
       throw new NoSuchTableException(ident)
-    new TxSparkTable(path)
+    new TxSparkTable(path, version)
   }
 
   override def alterTable(ident: Identifier,
@@ -83,11 +92,13 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
     else throw new NoSuchFunctionException(ident)
 }
 
-/** A committed TxTable snapshot as a readable V2 table. Requires the
-  * commit log to carry schema and bucket identity (manifest v2+, which
-  * every writer in this repo records). */
-final class TxSparkTable(path: String) extends Table with SupportsRead {
-  private val snap = TxTable.snapshot(SparkSession.active, path)
+/** A committed TxTable snapshot as a readable V2 table (optionally pinned
+  * to a time-travel `version`). Requires the commit log to carry schema
+  * and bucket identity (manifest v2+, which every writer in this repo
+  * records). */
+final class TxSparkTable(path: String, version: Option[Long] = None)
+    extends Table with SupportsRead {
+  private val snap = TxTable.snapshot(SparkSession.active, path, version)
   private val dataSchema: StructType = snap.schema.getOrElse(
     throw new IllegalStateException(
       s"$path@v${snap.version} has no recorded schema — pre-v2 manifests " +

@@ -127,6 +127,17 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("time travel through the catalog: @vN pins a committed version") {
+    registered {
+      val (a, _) = freshTables()
+      TxTable.appendOnce(spark, a,
+        Seq(("K100", 100L)).toDF("k", "v"), "k", nBuckets, "tt", 0L)
+      assert(tbl(s"$a@v0").count() == 64)
+      assert(tbl(a).count() == 65)
+      intercept[Exception] { tbl(s"$a@v99").count() } // absent version: loud
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mm_").toString
