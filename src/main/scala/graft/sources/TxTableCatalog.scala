@@ -92,17 +92,21 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
     else throw new NoSuchFunctionException(ident)
 }
 
-/** A committed TxTable snapshot as a readable V2 table (optionally pinned
-  * to a time-travel `version`). Requires the commit log to carry schema
-  * and bucket identity (manifest v2+, which every writer in this repo
-  * records). */
+/** A committed TxTable snapshot as a readable + appendable V2 table
+  * (optionally pinned to a time-travel `version`). Requires the commit
+  * log to carry schema and bucket identity (manifest v2+, which every
+  * writer in this repo records). The layout's internal bucket column is
+  * HIDDEN from the SQL schema (readers project around it; INSERT
+  * computes it per row), like a partition transform column. */
 final class TxSparkTable(path: String, version: Option[Long] = None)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   private val snap = TxTable.snapshot(SparkSession.active, path, version)
-  private val dataSchema: StructType = snap.schema.getOrElse(
+  private val fullSchema: StructType = snap.schema.getOrElse(
     throw new IllegalStateException(
       s"$path@v${snap.version} has no recorded schema — pre-v2 manifests " +
         "cannot be served through the SQL catalog"))
+  private val dataSchema: StructType =
+    StructType(fullSchema.filterNot(_.name == graft.ops.LayoutOps.BucketCol))
   private[sources] val bucketing: (String, Int) = snap.bucketing.getOrElse(
     throw new IllegalStateException(
       s"$path@v${snap.version} records no bucket identity — rewrite once " +
@@ -111,11 +115,19 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
   override def name(): String = path
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(bucketing._2, bucketing._1))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(path, snap, bucketing, dataSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(version.isEmpty,
+      s"cannot INSERT into time-travel snapshot $path@v${snap.version}")
+    new TxWriteBuilder(path, info.schema(), bucketing)
+  }
 }
 
 final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
@@ -295,6 +307,162 @@ object GraftBucketFunction extends UnboundFunction {
       s"numBuckets must be int, got ${inputType.fields(0).dataType}")
     new GraftBoundBucket(inputType.fields(1).dataType)
   }
+}
+
+// --- SQL write path ------------------------------------------------------
+
+/** INSERT INTO a TxTable through the catalog: executors route rows to
+  * bucket files with the writers' own layout hash and stage them under a
+  * fresh `files/<uuid>/` directory; the driver publishes ONE manifest
+  * commit over the staged entries (optimistic CAS retry, like every other
+  * TxTable writer) — a failed or aborted INSERT leaves only unreferenced
+  * staging files for vacuum, never a torn table. */
+final class TxWriteBuilder(path: String, querySchema: StructType,
+                           bucketing: (String, Int))
+    extends org.apache.spark.sql.connector.write.WriteBuilder {
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new TxWrite(path, querySchema, bucketing)
+}
+
+final class TxWrite(path: String, querySchema: StructType,
+                    bucketing: (String, Int))
+    extends org.apache.spark.sql.connector.write.Write {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new TxBatchWrite(path, querySchema, bucketing)
+}
+
+final case class TxCommitMessage(files: Seq[(Int, String)])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class TxBatchWrite(path: String, querySchema: StructType,
+                         bucketing: (String, Int))
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val stagedRel = s"files/${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val spark = SparkSession.active
+    new TxDataWriterFactory(path, stagedRel, querySchema, bucketing,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.writeHadoopConf(spark)))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val adds = messages.toSeq.flatMap {
+      case TxCommitMessage(fs) => fs.map { case (b, rel) =>
+        TxTable.FileEntry(b, rel) }
+      case _ => Seq.empty
+    }
+    if (adds.isEmpty) return
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writeSchema = StructType(querySchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        graft.ops.LayoutOps.BucketCol, IntegerType))
+    var attempt = 0
+    while (attempt <= 5) {
+      val snap = TxTable.snapshot(spark, path)
+      val merged = TxTable.mergeSchemas(
+        snap.schema.getOrElse(writeSchema), writeSchema)
+      if (TxTable.commitNext(fs, path, snap, adds = adds,
+          removes = Set.empty, txn = None, schema = Some(merged),
+          bucketing = Some(bucketing)))
+        return
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$path: INSERT lost the commit race 5 times; staged files remain " +
+        s"under $stagedRel for vacuum")
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path, stagedRel), true)
+    ()
+  }
+}
+
+final class TxDataWriterFactory(
+    path: String, stagedRel: String, schema: StructType,
+    bucketing: (String, Int),
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TxDataWriter(path, stagedRel, schema, bucketing, conf.value,
+      partitionId, taskId)
+}
+
+/** Task-side writer: one parquet file per bucket this task sees, rows
+  * carried through Spark's own ParquetWriteSupport with the bucket id
+  * appended — byte-compatible with files the Scala writers stage. */
+final class TxDataWriter(
+    path: String, stagedRel: String, schema: StructType,
+    bucketing: (String, Int),
+    conf: org.apache.hadoop.conf.Configuration,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.execution.datasources.v2.parquet.GraftParquetShim
+
+  private val (key, nBuckets) = bucketing
+  private val keyIdx = schema.fieldIndex(key)
+  private val keyType = schema.fields(keyIdx).dataType
+  private val writeSchema = StructType(schema.fields :+
+    org.apache.spark.sql.types.StructField(
+      graft.ops.LayoutOps.BucketCol, IntegerType))
+  private val writers = scala.collection.mutable.Map.empty[Int,
+    (String, org.apache.parquet.hadoop.ParquetWriter[InternalRow])]
+  private val out = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(writeSchema.length)
+
+  private def bucketOf(row: InternalRow): Int = {
+    val v = row.get(keyIdx, keyType)
+    val h = XxHash64(Seq(Literal(v, keyType)), 42L)
+      .eval(InternalRow.empty).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val b = bucketOf(row)
+    val (_, w) = writers.getOrElseUpdate(b, {
+      val rel =
+        s"$stagedRel/bucket-$b/part-$partitionId-$taskId-$b.snappy.parquet"
+      (rel, GraftParquetShim.rowParquetWriter(s"$path/$rel", writeSchema,
+        new org.apache.hadoop.conf.Configuration(conf)))
+    })
+    var i = 0
+    while (i < schema.length) {
+      out.update(i, row.get(i, schema.fields(i).dataType)); i += 1
+    }
+    out.update(schema.length, b)
+    w.write(out)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_._2.close())
+    TxCommitMessage(writers.toSeq.map { case (b, (rel, _)) => (b, rel) })
+  }
+
+  override def abort(): Unit = {
+    writers.values.foreach(w => scala.util.Try(w._2.close()))
+    val fs = new Path(path).getFileSystem(conf)
+    writers.values.foreach { case (rel, _) =>
+      scala.util.Try(fs.delete(new Path(s"$path/$rel"), false))
+    }
+    ()
+  }
+
+  override def close(): Unit = ()
 }
 
 final class GraftBoundBucket(keyType: DataType)

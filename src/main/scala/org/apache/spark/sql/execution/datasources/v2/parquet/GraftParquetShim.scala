@@ -60,4 +60,66 @@ object GraftParquetShim {
   def bucketFilePartition(index: Int, files: Array[PartitionedFile],
                           bucketId: Int): FilePartition with HasPartitionKey =
     new GraftBucketFilePartition(index, files, bucketId)
+
+  /** Driver-side hadoop conf for [[rowParquetWriter]]: newHadoopConf plus
+    * the keys ParquetWriteSupport.init ASSERTS are explicitly present
+    * (Spark's prepareWrite sets them; a bare session conf only carries
+    * keys the user changed) — resolved through SQLConf so the session's
+    * actual values (not re-derived defaults) travel to the executors. */
+  def writeHadoopConf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration = {
+    val conf = spark.sessionState.newHadoopConf()
+    val sql = spark.sessionState.conf
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_WRITE_LEGACY_FORMAT.key,
+      sql.writeLegacyParquetFormat.toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sql.parquetOutputTimestampType.toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sql.getConf(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sql.parquetFieldIdWriteEnabled.toString)
+    conf.set(org.apache.spark.sql.internal.SQLConf
+      .PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sql.getConf(org.apache.spark.sql.internal.SQLConf
+        .PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    conf
+  }
+
+  /** Executor-side parquet writer for catalyst InternalRows, via Spark's
+    * own ParquetWriteSupport (same timestamp/decimal/rebase semantics as
+    * every other file this engine writes). The hadoop conf must come from
+    * [[writeHadoopConf]] so the SQL entries the write support consults
+    * ride along. */
+  def rowParquetWriter(path: String,
+                       schema: StructType,
+                       conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.hadoop.ParquetWriter[InternalRow] = {
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, conf)
+    new GraftRowWriterBuilder(new org.apache.hadoop.fs.Path(path))
+      .withConf(conf)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE)
+      .build()
+  }
+
+  private final class GraftRowWriterBuilder(p: org.apache.hadoop.fs.Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[InternalRow,
+        GraftRowWriterBuilder](p) {
+    override def self(): GraftRowWriterBuilder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport
+  }
 }

@@ -138,6 +138,38 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL INSERT commits one manifest version with the writers' bucket routing") {
+    registered {
+      val (a, _) = freshTables()
+      val v0 = graft.ops.TxTable.snapshot(spark, a).version
+      spark.sql(s"INSERT INTO txspj.`$a` VALUES ('K100', 100), ('K101', 101)")
+      val snap = TxTable.snapshot(spark, a)
+      assert(snap.version == v0 + 1, "one INSERT = one atomic commit")
+      // visible to both surfaces
+      assert(tbl(a).count() == 66 && TxTable.read(spark, a).count() == 66)
+      // bucket routing matches the layout hash: the point-lookup read
+      // (which opens ONLY the keys' buckets) finds the inserted rows
+      val got = TxTable.readKeys(spark, a, "k", Seq("K100", "K101"), nBuckets)
+        .select($"k", $"v").as[(String, Long)].collect().toSet
+      assert(got == Set(("K100", 100L), ("K101", 101L)))
+      // and the in-file bucket column agrees with the manifest placement
+      val inFile = TxTable.read(spark, a)
+        .filter($"k".isin("K100", "K101"))
+        .select($"k", col(graft.ops.LayoutOps.BucketCol).cast("int"))
+        .as[(String, Int)].collect().toMap
+      val expected = Seq("K100", "K101").map { k =>
+        k -> spark.range(1)
+          .select(graft.ops.LayoutOps.bucketId(lit(k), nBuckets))
+          .head().getInt(0)
+      }.toMap
+      assert(inFile == expected)
+      // time-travel snapshots cannot be INSERT targets
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$a@v0` VALUES ('K9', 9)")
+      }
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mm_").toString
