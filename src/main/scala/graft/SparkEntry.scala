@@ -282,6 +282,89 @@ object SparkEntry {
       |ORDER BY source""".stripMargin
   }
 
+  /** Drift-monitor replay (ext_ingest_drift), GENERATED so the per-bucket
+    * contribution sum is the same LEFT-ASSOCIATIVE addition chain the
+    * Spark expression tree folds — double addition is order-dependent, so
+    * the oracle must add in the identical order. NLL replays exactly as
+    * ext_text_lm_score (6 dp half-up), bucket edges come from the
+    * reference min/max of those rounded scores, and every fraction is an
+    * exact-integer division. */
+  private val IngestDriftOracleSql: String = {
+    val n = 10
+    val pivot = (0 until n)
+      .map(i => s"MAX(CASE WHEN b = $i THEN ct END) AS c$i")
+      .mkString(",\n        |    ")
+    val chain = (1 until n).foldLeft("c0") { (acc, i) => s"($acc + c$i)" }
+    s"""WITH ref AS (
+      |  SELECT text FROM documents WHERE lang = 'en'
+      |), refbg AS (
+      |  SELECT unnest(list_transform(generate_series(1, length(text) - 1),
+      |    i -> substring(text, i, 2))) AS bg
+      |  FROM ref
+      |), bgc AS (
+      |  SELECT bg, COUNT(*) AS n FROM refbg GROUP BY bg
+      |), ctxc AS (
+      |  SELECT substring(bg, 1, 1) AS c, SUM(n) AS cn FROM bgc GROUP BY 1
+      |), vocab AS (
+      |  SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS v FROM (
+      |    SELECT unnest(list_transform(generate_series(1, length(text)),
+      |      i -> substring(text, i, 1))) AS c
+      |    FROM ref)
+      |), docbg AS (
+      |  SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 1),
+      |    i -> substring(text, i, 2))) AS bg
+      |  FROM documents WHERE length(text) >= 2
+      |), perbg AS (
+      |  SELECT doc_id,
+      |    -ln((COALESCE(n, 0) + 1.0) / (COALESCE(cn, 0) + v)) AS nll
+      |  FROM docbg
+      |  LEFT JOIN bgc USING (bg)
+      |  LEFT JOIN ctxc ON ctxc.c = substring(bg, 1, 1)
+      |  CROSS JOIN vocab
+      |), scored AS (
+      |  SELECT doc_id,
+      |    FLOOR(SUM(nll) / COUNT(*) * 1000000 + 0.5) / 1000000 AS nll
+      |  FROM perbg GROUP BY doc_id
+      |), st AS (SELECT min(nll) AS mn, max(nll) AS mx FROM scored),
+      |w AS (
+      |  SELECT mn, CASE WHEN mx > mn THEN (mx - mn) / $n ELSE 1.0 END AS wd
+      |  FROM st
+      |), bucketed AS (
+      |  SELECT doc_id,
+      |    least(greatest(CAST(floor((nll - mn) / wd) AS INTEGER), 0),
+      |      ${n - 1}) AS b
+      |  FROM scored, w
+      |), refc AS (SELECT b, count(*) AS c FROM bucketed GROUP BY b),
+      |reft AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM refc),
+      |allb AS (SELECT unnest(range(0, $n)) AS b),
+      |q AS (
+      |  SELECT allb.b, greatest(COALESCE(refc.c, 0) / reft.t, 1e-6) AS qq
+      |  FROM allb LEFT JOIN refc ON allb.b = refc.b CROSS JOIN reft
+      |), bcounts AS (
+      |  SELECT doc_id % 4 AS batch_id, b, count(*) AS c
+      |  FROM bucketed GROUP BY 1, 2
+      |), btot AS (
+      |  SELECT batch_id, CAST(sum(c) AS DOUBLE) AS t
+      |  FROM bcounts GROUP BY 1
+      |), cell AS (
+      |  SELECT bt.batch_id, q.b,
+      |    greatest(COALESCE(bc.c, 0) / bt.t, 1e-6) AS p, q.qq
+      |  FROM btot bt CROSS JOIN q
+      |  LEFT JOIN bcounts bc ON bc.batch_id = bt.batch_id AND bc.b = q.b
+      |), contrib AS (
+      |  SELECT batch_id, b, (p - qq) * ln(p / qq) AS ct FROM cell
+      |), pivoted AS (
+      |  SELECT batch_id,
+      |    $pivot
+      |  FROM contrib GROUP BY batch_id
+      |)
+      |SELECT p.batch_id,
+      |  CAST(t.t AS BIGINT) AS n_scored,
+      |  FLOOR($chain * 1000000 + 0.5) / 1000000 AS psi
+      |FROM pivoted p JOIN btot t ON p.batch_id = t.batch_id
+      |ORDER BY p.batch_id""".stripMargin
+  }
+
   /** Fixed query TABLE for the query-set retrieval ops (ext_bm25_queryset,
     * ext_hybrid_queryset) — corpus-vocabulary queries, mirrored as VALUES in
     * the oracle SQL; ids double as anchor vec_ids for the vector leg. */
@@ -405,6 +488,19 @@ object SparkEntry {
       new java.io.File(new java.io.File(dir), "documents").getAbsolutePath,
       _ => ops.TextOps.trainCharBigramLM(
         tbl(s, dir, "documents").filter(col("lang") === "en")))
+
+  /** Frozen NLL drift reference (ext_ingest_drift) — equal-width 6 dp
+    * bucket edges + per-bucket probabilities over the full corpus, staged
+    * once per (sf dir, JVM) like the LM itself. */
+  private val stagedDriftRefs = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.stream.Pipelines.NllDriftRef]()
+
+  private def stagedDriftRef(s: SparkSession,
+                             dir: String): graft.stream.Pipelines.NllDriftRef =
+    stagedDriftRefs.computeIfAbsent(
+      new java.io.File(new java.io.File(dir), "documents").getAbsolutePath,
+      _ => graft.stream.Pipelines.nllDriftRef(
+        tbl(s, dir, "documents"), stagedCharLM(s, dir)))
 
   /** PQ codebooks (m=8 subspaces, 16 codewords) — vector-index build
     * metadata, staged once per (sf dir, JVM) like [[stagedQuantStats]]. */
@@ -2668,6 +2764,33 @@ object SparkEntry {
         .orderBy(col("batch_id"))
     }),
 
+    // The landing job's PSI drift monitor as an oracle-gated query: the
+    // same deterministic 4-batch split replays through the REAL landing
+    // job with the frozen full-corpus NLL reference, and the per-batch
+    // drift rows (n_scored + 6 dp PSI of the raw feed's score
+    // distribution) hash-check against a composed LM-replay + bucketize +
+    // fixed-order contribution-sum oracle.
+    "ext_ingest_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val lm = stagedCharLM(s, dir)
+      val dref = stagedDriftRef(s, dir)
+      val root = s"target/graft-ingest-drift/${new java.io.File(dir).getName}"
+      ensureStaged(root) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        (0 until 4).foreach { b =>
+          graft.stream.Pipelines.prepIngestBatch(
+            docs.filter(pmod(col("doc_id"), lit(4)) === b), b.toLong, lm,
+            s"$root/corpus", s"$root/index", maxNll = 1.75, threshold = 0.4,
+            num = 64, bands = 16, shingle = 3, portable = true, spanK = 0,
+            driftRef = Some(dref), driftPath = Some(s"$root/drift"))
+        }
+      }
+      s.read.parquet(s"$root/drift")
+        .select(col("batch_id"), col("n_scored"), col("psi"))
+        .orderBy(col("batch_id"))
+    }),
+
     // The END-TO-END mixture-planning pipeline — dedupRates (unique-mass
     // correction) → corrected mixture weights → resample, the full
     // plan-then-apply loop a curation run executes, previously three
@@ -4003,6 +4126,9 @@ object SparkEntry {
 
     // per-source corpus health: generated replay (see CorpusHealthOracleSql)
     "ext_corpus_health" -> CorpusHealthOracleSql,
+
+    // drift-monitor replay: generated (see IngestDriftOracleSql)
+    "ext_ingest_drift" -> IngestDriftOracleSql,
 
     // storage-partitioned join replay: the partitioning is a pure
     // execution property — the oracle is the plain join

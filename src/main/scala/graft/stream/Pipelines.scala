@@ -487,11 +487,15 @@ object Pipelines {
   final case class NllDriftRef(mn: Double, mx: Double, probs: Seq[Double])
 
   /** Build an [[NllDriftRef]] from a reference corpus: one min/max
-    * aggregate + one ≤`nBuckets`-row bucket-count collect. */
+    * aggregate + one ≤`nBuckets`-row bucket-count collect. Scores round
+    * half-up at 6 dp before bucketing (here AND in the per-batch leg), so
+    * bucket assignment is reproducible across engines — the same parity
+    * contract the LM-score oracle pins. */
   def nllDriftRef(refDocs: DataFrame, lm: graft.ops.TextOps.CharBigramLM,
                   nBuckets: Int = 10): NllDriftRef = {
     val scored = graft.ops.TextOps.lmScore(refDocs, lm)
-      .select(col("nll")).filter(col("nll").isNotNull)
+      .select((floor(col("nll") * 1e6 + 0.5) / 1e6).as("nll"))
+      .filter(col("nll").isNotNull)
     val mm = scored.agg(min(col("nll")), max(col("nll"))).head()
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val width = if (mx > mn) (mx - mn) / nBuckets else 1.0
@@ -645,8 +649,9 @@ object Pipelines {
           case (Some(ref), Some(dp)) =>
             val n = ref.probs.length
             val width = if (ref.mx > ref.mn) (ref.mx - ref.mn) / n else 1.0
+            val nll6 = floor(col("nll") * 1e6 + 0.5) / 1e6
             val bucket = least(greatest(
-              floor((col("nll") - lit(ref.mn)) / lit(width)).cast("int"),
+              floor((nll6 - lit(ref.mn)) / lit(width)).cast("int"),
               lit(0)), lit(n - 1))
             val aggCols =
               count(lit(1)).cast("double").as("__t") +:
