@@ -777,7 +777,7 @@ object TxTable {
     * app's last write), not O(retained log) — the difference between a
     * replay check that stays flat and one that degrades as a table ages
     * between vacuums. */
-  private def lastCommittedBatchUpTo(fs: FileSystem, table: String,
+  private[graft] def lastCommittedBatchUpTo(fs: FileSystem, table: String,
                                      appId: String, upTo: Long): Option[Long] =
     listVersions(fs, table).filter(_ <= upTo).sorted.reverseIterator
       .flatMap(v => parseTxn(readBytes(fs, versionPath(table, v))))

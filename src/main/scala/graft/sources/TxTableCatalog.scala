@@ -115,7 +115,8 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
   override def name(): String = path
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(bucketing._2, bucketing._1))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -126,7 +127,7 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(version.isEmpty,
       s"cannot INSERT into time-travel snapshot $path@v${snap.version}")
-    new TxWriteBuilder(path, info.schema(), bucketing)
+    new TxWriteBuilder(path, info.schema(), bucketing, info.queryId())
   }
 }
 
@@ -318,17 +319,114 @@ object GraftBucketFunction extends UnboundFunction {
   * TxTable writer) — a failed or aborted INSERT leaves only unreferenced
   * staging files for vacuum, never a torn table. */
 final class TxWriteBuilder(path: String, querySchema: StructType,
-                           bucketing: (String, Int))
+                           bucketing: (String, Int), queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder {
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new TxWrite(path, querySchema, bucketing)
+    new TxWrite(path, querySchema, bucketing, queryId)
 }
 
 final class TxWrite(path: String, querySchema: StructType,
-                    bucketing: (String, Int))
+                    bucketing: (String, Int), queryId: String)
     extends org.apache.spark.sql.connector.write.Write {
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new TxBatchWrite(path, querySchema, bucketing)
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new TxStreamingWrite(path, querySchema, bucketing, queryId)
+}
+
+/** Exactly-once streaming sink through the catalog
+  * (`df.writeStream.toTable("txcat.\`/path\`")`): every epoch's rows
+  * stage like a batch INSERT, and the epoch commit stamps
+  * `(txcat:<queryId>, epochId)` into the manifest header — the same
+  * Delta txn pattern [[graft.ops.TxTable.appendOnce]] uses, so a
+  * replayed epoch (crash between sink commit and checkpoint write)
+  * detects its own stamp, discards its staged files, and no-ops. */
+final class TxStreamingWrite(path: String, querySchema: StructType,
+                             bucketing: (String, Int), queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  private val stagedBase = s"files/${java.util.UUID.randomUUID()}"
+  private[sources] def appId: String = s"txcat:$queryId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    new TxStreamingWriterFactory(path, stagedBase, querySchema, bucketing,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.writeHadoopConf(spark)))
+  }
+
+  override def commit(epochId: Long,
+                      messages: Array[org.apache.spark.sql.connector.write
+                        .WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val adds = messages.toSeq.flatMap {
+      case TxCommitMessage(fls) => fls.map { case (b, rel) =>
+        TxTable.FileEntry(b, rel) }
+      case _ => Seq.empty
+    }
+    def dropStaged(): Unit = {
+      adds.map(_.rel.split('/').take(2).mkString("/")).distinct
+        .foreach(u => fs.delete(new Path(path, u), true))
+      ()
+    }
+    if (adds.isEmpty) return
+    val writeSchema = StructType(querySchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        graft.ops.LayoutOps.BucketCol, IntegerType))
+    var attempt = 0
+    while (attempt <= 5) {
+      val snap = TxTable.snapshot(spark, path)
+      // replay check bound to THIS snapshot version (the appendOnce
+      // race-free pattern): a duplicate epoch either shows up here or
+      // commits in between and our CAS loses
+      if (TxTable.lastCommittedBatchUpTo(fs, path, appId, snap.version)
+          .exists(_ >= epochId)) {
+        dropStaged()
+        return
+      }
+      val merged = TxTable.mergeSchemas(
+        snap.schema.getOrElse(writeSchema), writeSchema)
+      if (TxTable.commitNext(fs, path, snap, adds = adds,
+          removes = Set.empty, txn = Some((appId, epochId)),
+          schema = Some(merged), bucketing = Some(bucketing)))
+        return
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$path: streaming epoch $epochId lost the commit race 5 times")
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[org.apache.spark.sql.connector.write
+                       .WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.toSeq.flatMap {
+      case TxCommitMessage(fls) => fls.map(_._2)
+      case _ => Seq.empty
+    }.map(_.split('/').take(2).mkString("/")).distinct
+      .foreach(u => fs.delete(new Path(path, u), true))
+    ()
+  }
+}
+
+final class TxStreamingWriterFactory(
+    path: String, stagedBase: String, schema: StructType,
+    bucketing: (String, Int),
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TxDataWriter(path, s"$stagedBase-e$epochId", schema, bucketing,
+      conf.value, partitionId, taskId)
 }
 
 final case class TxCommitMessage(files: Seq[(Int, String)])

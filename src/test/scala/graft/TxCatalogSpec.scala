@@ -170,6 +170,58 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("writeStream.toTable: one manifest version per epoch, replayed epochs no-op") {
+    registered {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val ctx = spark.sqlContext
+      val (a, _) = freshTables()
+      val v0 = TxTable.snapshot(spark, a).version
+      val in = MemoryStream[(String, Long)]
+      val ckpt = Files.createTempDirectory("graft_cat_stream_").toString
+      def run(): Unit = {
+        val q = in.toDF().toDF("k", "v").writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"txspj.`$a`")
+        q.awaitTermination()
+      }
+      in.addData(("S1", 1L), ("S2", 2L)); run()
+      in.addData(("S3", 3L)); run()
+      assert(TxTable.read(spark, a).count() == 67)
+      val snap = TxTable.snapshot(spark, a)
+      assert(snap.version == v0 + 2, "one atomic commit per epoch")
+      // the exactly-once stamp rides the manifest headers
+      val stamps = TxTable.history(spark, a)
+        .filter($"txn_app".startsWith("txcat:"))
+        .select($"txn_app", $"txn_batch").as[(String, Long)].collect().toSeq
+      assert(stamps.map(_._2).sorted == Seq(0L, 1L))
+      val appId = stamps.head._1
+
+      // a replayed epoch (crash between sink commit and checkpoint write)
+      // must detect its stamp, drop its staged files, and commit nothing
+      val sw = new graft.sources.TxStreamingWrite(a,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType))),
+        ("k", nBuckets), queryId = appId.stripPrefix("txcat:"))
+      val fs = new org.apache.hadoop.fs.Path(a)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staged = new org.apache.hadoop.fs.Path(a,
+        "files/replay-e0/bucket-0/f.parquet")
+      fs.mkdirs(staged.getParent)
+      fs.create(staged).close()
+      sw.commit(0L, Array(graft.sources.TxCommitMessage(
+        Seq((0, "files/replay-e0/bucket-0/f.parquet")))))
+      assert(TxTable.snapshot(spark, a).version == snap.version,
+        "replayed epoch must not commit")
+      assert(!fs.exists(staged.getParent.getParent),
+        "replayed epoch must drop its staged files")
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mm_").toString
