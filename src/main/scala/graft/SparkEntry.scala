@@ -617,9 +617,11 @@ object SparkEntry {
     queries("gold_incremental")(s, dir)
     queries("ext_incr_gold")(s, dir)
     queries("ext_dedup_excise_incr")(s, dir)
-    // the funnel fixture runs a 4-batch landing job (quality/LM scoring +
-    // admission joins + index commits) — landing-job work, not query work
+    // the funnel and drift fixtures each run a 4-batch landing job
+    // (quality/LM scoring + admission joins + index commits) —
+    // landing-job work, not query work
     queries("ext_ingest_funnel")(s, dir)
+    queries("ext_ingest_drift")(s, dir)
     // the BM25 inverted-index build (ext_bm25_indexed / ext_index_postings
     // / ext_phrase_search read it) — index builds are landing-job work
     stagedBm25Index(s, dir)

@@ -401,6 +401,34 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"rank and member-count must reuse one partitioning on component:\n$p")
   }
 
+  test("ext_corpus_health: one corpus scan feeds the two-level aggregation") {
+    val p = plan("ext_corpus_health")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"health report must read the corpus once:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the health rollup:\n$p")
+  }
+
+  test("ext_feature_psi: bulk rows never shuffle — only broadcast stats and bucket agg") {
+    val p = plan("ext_feature_psi")
+    // every hash exchange must carry the |buckets|-row bucket counts (the
+    // static plan re-derives them for the totals branch; AQE reuses at
+    // runtime) — never the bulk event rows; stats join via broadcast only
+    val keys = "Exchange hashpartitioning\\((\\w+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(keys.nonEmpty && keys.forall(_.startsWith("bucket")),
+      s"only the bucket-count exchange belongs, got $keys:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"stats must broadcast, never sort-merge:\n$p")
+  }
+
+  test("ext_quality_repetition: zero shuffle — row-local folds end to end") {
+    val p = plan("ext_quality_repetition")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition signals are row-local; no hash exchange belongs:\n$p")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"no join/window belongs in a per-row fold:\n$p")
+  }
+
   test("ext_spj_join: the join subtree runs on the storage layout — no exchange") {
     val p = plan("ext_spj_join")
     assert(p.contains("SortMergeJoin"), s"plan:\n$p")
