@@ -127,6 +127,33 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ survives AQE and compaction: executed plan still shuffle-free") {
+    registered {
+      val (a, b) = freshTables()
+      // compact one side: files merge per bucket, layout identity intact
+      TxTable.compact(spark, a, maxFilesPerBucket = 1)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true")
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val j = tbl(a).join(tbl(b), "k").select($"k", $"v", $"w")
+        val rows = j.as[(String, Long, Long)].collect().toSet
+        assert(rows == (1 to 64).map(i => (s"K$i", i.toLong, i * 10L)).toSet)
+        // AQE finalizes after the action; the FINAL plan must be
+        // exchange-free too
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"),
+          s"SPJ must hold under AQE and after compaction:\n$p")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("time travel through the catalog: @vN pins a committed version") {
     registered {
       val (a, _) = freshTables()
