@@ -36,9 +36,12 @@ import graft.ops.TxTable
   * the same catalyst kernel, so it can never drift).
   *
   * Identifier → path: the table identifier IS the filesystem path
-  * (backquoted single segment, or namespace segments joined with '/').
-  * Read-only by design: writes go through the TxTable commit protocol,
-  * never through SQL INSERT.
+  * (backquoted single segment, or namespace segments joined with '/'),
+  * with an optional `@vN` suffix for time travel. Writes (batch INSERT
+  * and the exactly-once streaming sink) publish through the same
+  * manifest commit protocol as every Scala writer; catalog-level DDL
+  * (create/alter/drop/rename) stays unsupported — the path is the
+  * table's identity.
   */
 class TxTableCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "txtable"
@@ -523,9 +526,12 @@ final class TxDataWriter(
     .GenericInternalRow(writeSchema.length)
 
   private def bucketOf(row: InternalRow): Int = {
+    // the writers' pmod(xxhash64(key, 42), n) via the same interpreted
+    // kernel the XxHash64 expression folds per child — no per-row
+    // expression allocation on the write hot path
     val v = row.get(keyIdx, keyType)
-    val h = XxHash64(Seq(Literal(v, keyType)), 42L)
-      .eval(InternalRow.empty).asInstanceOf[Long]
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(v, keyType, 42L)
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
 
@@ -574,8 +580,8 @@ final class GraftBoundBucket(keyType: DataType)
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
     val v = input.get(1, keyType)
-    val h = XxHash64(Seq(Literal(v, keyType)), 42L)
-      .eval(InternalRow.empty).asInstanceOf[Long]
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(v, keyType, 42L)
     (((h % n) + n) % n).toInt
   }
 }
