@@ -2007,6 +2007,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_seq"))
     }),
 
+    // SQL point lookup THROUGH THE CATALOG: spark.table over the TxTable
+    // commit log with an IN predicate on the bucket key — the scan's
+    // pushdown hashes the literals with the writers' own layout hash and
+    // opens only the probed buckets' files (readKeys semantics for a
+    // SQL-only session; scanned-file counts spec-pinned in
+    // TxCatalogSpec). Oracle replays the plain lookup.
+    "ext_catalog_pointread" -> ((s, dir) => {
+      val path = stagedVersionedOrders(s, dir)
+      s.conf.set("spark.sql.catalog.txspj",
+        classOf[graft.sources.TxTableCatalog].getName)
+      s.table(s"txspj.`$path`")
+        .filter(col("o_orderkey").isin(3L, 42L, 99L))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Revenue per priority over a STORAGE-PARTITIONED join: both sides are
     // TxTables read through the DSv2 catalog, committed with the same
     // bucket layout on the join key — the reported
@@ -4131,6 +4148,13 @@ object SparkEntry {
 
     // drift-monitor replay: generated (see IngestDriftOracleSql)
     "ext_ingest_drift" -> IngestDriftOracleSql,
+
+    // catalog point-lookup replay: the bucket pruning is a pure execution
+    // property — the oracle is the plain lookup
+    "ext_catalog_pointread" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM orders WHERE o_orderkey IN (3, 42, 99)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // storage-partitioned join replay: the partitioning is a pure
     // execution property — the oracle is the plain join
