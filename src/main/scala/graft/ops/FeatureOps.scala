@@ -11,8 +11,9 @@ import org.apache.spark.sql.expressions.Window
   * Determinism note: every cross-row sum here goes through DECIMAL — double
   * addition is order-dependent under Spark's nondeterministic partial
   * aggregation, decimal addition is exact and associative, so the same
-  * input yields the same feature on any partitioning AND hash-matches the
-  * DuckDB oracle (see /root/repo/.claude/skills/verify gotchas).
+  * input yields the same feature on any partitioning AND is reproducible
+  * against any other engine computing the same exact sum (double partial
+  * aggregation would differ run-to-run in the last ulps).
   */
 object FeatureOps {
 

@@ -238,13 +238,18 @@ object TextOps {
 
   /** TF-IDF top-k terms per document — corpus-level relevance weighting,
     * shaped for scale: the (doc, term) counts shuffle once with map-side
-    * partial aggregation, the document-frequency table (≤ vocabulary rows,
-    * tiny next to the corpus) broadcasts back onto it, and the per-doc
-    * top-k is the `row_number ≤ k` pattern Spark runs as a partial
-    * `WindowGroupLimit` bounded heap. `nDocs` is index-style metadata
-    * (one count job at build, like an ANN centroid fit) — pipelines that
-    * already know the corpus size pass it via `nDocsKnown` and skip that
-    * job entirely (a landing job's row count is free metadata).
+    * partial aggregation, the document-frequency table joins back onto
+    * them UNHINTED — `dfreq` is one row per distinct corpus term, which
+    * at web scale is a multi-GB frame no driver should be forced to
+    * broadcast, so the join strategy is left to AQE (broadcast at small
+    * vocabularies, term-keyed shuffled join at 100 TB — and `tf` already
+    * exchanges on `term` for the df aggregation, so AQE reuses that
+    * partitioning for the sort-merge side). The per-doc top-k is the
+    * `row_number ≤ k` pattern Spark runs as a partial `WindowGroupLimit`
+    * bounded heap. `nDocs` is index-style metadata (one count job at
+    * build, like an ANN centroid fit) — pipelines that already know the
+    * corpus size pass it via `nDocsKnown` and skip that job entirely (a
+    * landing job's row count is free metadata).
     * Deterministic tiebreak: equal scores order by term. */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5,
                     nDocsKnown: Option[Long] = None): DataFrame = {
@@ -255,7 +260,7 @@ object TextOps {
         explode(split(lower(col("text")), "\\s+")).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), Seq("term"))
+    tf.join(dfreq, Seq("term"))
       .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df")))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -802,9 +807,16 @@ object TextOps {
                         maxTopBigramFrac: Double = 0.20,
                         maxTopTrigramFrac: Double = 0.15): DataFrame = {
     val ws = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    // every fraction is guarded to n_words >= its n-gram order: an empty /
+    // whitespace-only document emits a well-defined (0-words, all-zero
+    // fractions, keep) row instead of NULLs from 0/0 division — nothing
+    // repeats in an empty document, and NULL fractions would silently
+    // fall out of downstream threshold gates
     def topFrac(n: Int): Column = {
       val denom = col("n_words") - (n - 1)
-      if (n == 1) maxMultiplicity(col("__ws")).cast("double") / col("n_words")
+      if (n == 1) when(col("n_words") >= 1,
+        maxMultiplicity(col("__ws")).cast("double") / col("n_words"))
+        .otherwise(lit(0.0))
       else when(col("n_words") >= n,
         maxMultiplicity(wordNgrams(col("__ws"), n)).cast("double") / denom)
         .otherwise(lit(0.0))
@@ -813,8 +825,9 @@ object TextOps {
       .select(col("doc_id"), ws.as("__ws"))
       .select(col("doc_id"), col("__ws"), size(col("__ws")).as("n_words"))
       .select(col("doc_id"), col("n_words"),
-        ((col("n_words") - size(array_distinct(col("__ws")))).cast("double")
-          / col("n_words")).as("dup_word_frac"),
+        when(col("n_words") >= 1,
+          (col("n_words") - size(array_distinct(col("__ws")))).cast("double")
+            / col("n_words")).otherwise(lit(0.0)).as("dup_word_frac"),
         topFrac(1).as("top_word_frac"),
         topFrac(2).as("top_bigram_frac"),
         topFrac(3).as("top_trigram_frac"))

@@ -387,9 +387,15 @@ object TxTable {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val latest = snapshot(spark, table, Some(toVersion))
-    val schema = latest.schema.getOrElse(throw new IllegalStateException(
-      s"$table@v$toVersion carries no schema (pre-v2 manifest) — " +
-        "changesBetween needs the recorded schema to type change frames"))
+    // the internal layout column is hidden from change frames for the same
+    // reason TxSparkTable hides it from the SQL schema: it is storage
+    // metadata (recomputed by every writer), not table data a CDF consumer
+    // should see — parquet projection simply never reads it
+    val schema = StructType(latest.schema.getOrElse(
+      throw new IllegalStateException(
+        s"$table@v$toVersion carries no schema (pre-v2 manifest) — " +
+          "changesBetween needs the recorded schema to type change frames"))
+      .filterNot(_.name == LayoutOps.BucketCol))
     def readFiles(rels: Seq[String], tpe: String, v: Long): DataFrame =
       spark.read.schema(schema).parquet(rels.map(r => s"$table/$r"): _*)
         .withColumn("_change_type", lit(tpe))

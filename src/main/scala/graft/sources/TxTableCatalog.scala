@@ -55,12 +55,22 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
 
   /** Identifier → (path, version): a trailing `@vN` selects a committed
     * version (Delta-style time travel through the SQL surface:
-    * `spark.table("txcat.\`/path@v2\`")`). */
+    * `spark.table("txcat.\`/path@v2\`")`).
+    *
+    * `@vN` is a reserved suffix, resolved conservatively so it cannot
+    * hijack a legitimate filesystem path that happens to end in it: the
+    * LITERAL path is probed first, and only when no committed TxTable
+    * lives there does the suffix strip into a time-travel read of the
+    * base path. A directory named `snap@v3` that is itself a table
+    * therefore reads (and accepts INSERTs) as `snap@v3`'s head, never as
+    * `snap` pinned to version 3. */
   private def pathOf(ident: Identifier): (String, Option[Long]) = {
     val raw = (ident.namespace() :+ ident.name()).mkString("/")
     val m = "^(.*)@v(\\d+)$".r
     raw match {
-      case m(p, v) => (p, Some(v.toLong))
+      case m(p, v) if !TxTable.isTxTable(SparkSession.active, raw) &&
+          TxTable.isTxTable(SparkSession.active, p) =>
+        (p, Some(v.toLong))
       case _ => (raw, None)
     }
   }
@@ -78,14 +88,16 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
     throw new UnsupportedOperationException(
-      "TxTable catalog is read-only: schema changes ride data commits")
+      "ALTER TABLE is unsupported on a TxTable: schema changes ride data " +
+        "commits (INSERT/append a batch carrying the new columns)")
 
   override def dropTable(ident: Identifier): Boolean = false
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
-      "TxTable catalog is read-only: the path is the identity")
+      "RENAME is unsupported on a TxTable: the filesystem path IS the " +
+        "table's identity (move the directory to rename)")
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "bucket"))

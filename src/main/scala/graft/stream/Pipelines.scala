@@ -672,6 +672,11 @@ object Pipelines {
                 when(col("__t") > 0,
                   floor(psi * 1e6 + 0.5).cast("double") / 1e6)
                   .as("psi"))
+              // a micro-batch with zero scorable rows has no distribution
+              // to drift: emit NO row (same emptiness contract as the
+              // funnel's audit legs) instead of a (n_scored=0, psi=NULL)
+              // placeholder downstream monitors would have to special-case
+              .filter(col("n_scored") > 0)
               .write.mode("append").parquet(dp)
           case _ => ()
         }

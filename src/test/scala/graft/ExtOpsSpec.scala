@@ -1212,7 +1212,9 @@ class ExtOpsSpec extends AnyFunSuite {
       (1L, "a a a b"),        // top word a=3/4; bigrams [a a, a a, a b] → 2/3;
                               // trigrams [a a a, a a b] → 1/2; distinct 2 → dup 0.5
       (2L, "x"),              // single word: bigram/trigram fracs are 0.0
-      (3L, "p q r s t")       // all distinct: dup 0, top word 1/5
+      (3L, "p q r s t"),      // all distinct: dup 0, top word 1/5
+      (4L, "   ")             // whitespace-only: 0 words → all-zero
+                              // fractions and keep (never NULLs from 0/0)
     ).toDF("doc_id", "text")
     val out = TextOps.repetitionSignals(fixture).orderBy($"doc_id")
       .select($"doc_id", $"n_words", $"dup_word_frac", $"top_word_frac",
@@ -1222,7 +1224,8 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(out == Seq(
       (1L, 4, 0.5, 0.75, 2.0 / 3, 0.5, false),
       (2L, 1, 0.0, 1.0, 0.0, 0.0, false),
-      (3L, 5, 0.0, 0.2, 0.25, 1.0 / 3, false))) // trigram 1/3 > 0.15 gate
+      (3L, 5, 0.0, 0.2, 0.25, 1.0 / 3, false), // trigram 1/3 > 0.15 gate
+      (4L, 0, 0.0, 0.0, 0.0, 0.0, true)))
   }
 
   test("repetition signals on the real corpus: bounded, complete, discriminating") {

@@ -443,4 +443,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
       s"expected exactly the aggregation exchange:\n$p")
   }
+
+  test("ext_text_tfidf: the full-vocabulary df join is never hint-forced to broadcast") {
+    // dfreq is one row per distinct corpus term — a multi-GB frame at
+    // 100 TB. The join must be AQE's choice, not a broadcast() hint: with
+    // the broadcast threshold disabled the plan must fall back to a
+    // term-keyed shuffled join (a hint would ignore the threshold and
+    // force the driver-OOM plan)
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(k)
+    spark.conf.set(k, "-1")
+    try {
+      val p = plan("ext_text_tfidf")
+      assert(!p.contains("BroadcastHashJoin"),
+        s"dfreq join is hint-forced to broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected the term-keyed shuffled join fallback:\n$p")
+    } finally spark.conf.set(k, prev)
+  }
 }

@@ -249,6 +249,28 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("@vN is reserved but cannot hijack a literal path that IS a table") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_at_").toString
+      // a directory whose NAME ends in @v3 and which is itself a table:
+      // the literal path wins — head read, INSERT accepted — instead of
+      // silently version-pinning a read of `.../snap`
+      val literal = s"$base/snap@v3"
+      TxTable.init(spark, literal,
+        (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      assert(tbl(literal).count() == 8)
+      spark.sql(s"INSERT INTO txspj.`$literal` VALUES ('K9', 9)")
+      assert(tbl(literal).count() == 9)
+      // with no literal table at the raw path, the suffix is time travel
+      val plain = s"$base/t"
+      TxTable.init(spark, plain,
+        (1 to 4).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      TxTable.appendOnce(spark, plain,
+        Seq(("K5", 5L)).toDF("k", "v"), "k", nBuckets, "at", 0L)
+      assert(tbl(s"$plain@v0").count() == 4 && tbl(plain).count() == 5)
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mm_").toString

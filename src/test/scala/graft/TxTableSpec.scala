@@ -807,6 +807,12 @@ class TxTableSpec extends AnyFunSuite {
     assert(empty.count() == 0)
     assert(empty.columns.contains("_change_type")
       && empty.columns.contains("_commit_version"))
+    // the internal layout column stays hidden from CDF consumers, exactly
+    // as the SQL catalog hides it from spark.table's schema
+    val full = TxTable.changesBetween(spark, table, 0L, 2L)
+    assert(!full.columns.contains(graft.ops.LayoutOps.BucketCol),
+      s"CDF leaked the bucket column: ${full.columns.mkString(",")}")
+    assert(!empty.columns.contains(graft.ops.LayoutOps.BucketCol))
   }
 
   test("history: one metadata row per version — kinds, txn stamps, layout identity") {
