@@ -649,6 +649,9 @@ object SparkEntry {
     // commit/maintenance work, not query work
     stagedSpjTables(s, dir)
     stagedHllState(s, dir)
+    // the streaming drain of the versioned-orders log (one micro-batch
+    // per commit) — the subscription run is landing-job work
+    stagedStreamDrain(s, dir)
     ()
   }
 
@@ -672,9 +675,47 @@ object SparkEntry {
         appId = "tt-stage", batchId = 1L)
       ops.TxTable.appendOnce(s, path, slice(2), "o_orderkey", 8,
         appId = "tt-stage", batchId = 2L)
+      // zone-map maintenance (ANALYZE-style landing work): lets MIN/MAX
+      // answer metadata-only through the catalog (ext_metadata_agg)
+      ops.TxTable.computeStats(s, path, "o_totalprice")
       ()
     }
     path
+  }
+
+  /** Streaming-source landing for ext_stream_table_source: drains the
+    * 3-commit versioned-orders TxTable through the DSv2 MicroBatchStream
+    * (offsets = commit versions) with `maxVersionsPerTrigger=1`, so each
+    * commit arrives as its own micro-batch; every batch lands tagged with
+    * its id. Landing-job work staged once per session — the query reads
+    * the landed result, proving the subscription served exactly the
+    * committed slices in commit order. */
+  private def stagedStreamDrain(s: SparkSession, dir: String): String = {
+    val root = s"target/graft-stream-source/${new java.io.File(dir).getName}"
+    val out = s"$root/landed"
+    ensureStaged(root) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(root))
+      ensureTxCatalog(s)
+      val src = stagedVersionedOrders(s, dir)
+      val q = s.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"txspj.`$src`")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    out
   }
 
   /** Incremental distinct-count sketch state (ext_hll_incremental): a
@@ -2134,6 +2175,38 @@ object SparkEntry {
             .as("total_price"))
         .orderBy(col("_commit_version"), col("_change_type"),
           col("o_orderpriority"))
+    }),
+
+    // Metadata-only aggregates through the catalog: COUNT(*) answers from
+    // the manifest's per-file row counts, MIN/MAX from the zone-map
+    // sidecars — the plan is a LocalTableScan (plan-pinned), ZERO data
+    // files opened, zero jobs. The Delta metadata-query shortcut, and the
+    // natural payoff of owning the commit log: at 100 TB this is the
+    // difference between a catalog lookup and a full-table scan.
+    "ext_metadata_agg" -> ((s, dir) => {
+      val path = stagedVersionedOrders(s, dir)
+      ensureTxCatalog(s)
+      s.sql(s"SELECT count(*) AS n_orders, " +
+        s"min(o_totalprice) AS min_price, " +
+        s"max(o_totalprice) AS max_price FROM txspj.`$path`")
+    }),
+
+    // The commit log as a streaming SOURCE: readStream.table over the
+    // versioned-orders TxTable (offsets = commit versions, one micro-batch
+    // per commit under maxVersionsPerTrigger=1) — downstream incremental
+    // consumers subscribe to commits instead of driving change-feed
+    // cursors by hand. I/O per batch is exactly the commit's added files.
+    // The drain is landing-job work (staged once); the query aggregates
+    // the landed batches and the oracle replays the deterministic %3
+    // commit slices per batch id.
+    "ext_stream_table_source" -> ((s, dir) => {
+      val landed = stagedStreamDrain(s, dir)
+      s.read.parquet(landed)
+        .groupBy(col("batch_id"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("batch_id"), col("o_orderpriority"))
     }),
 
     // Gopher-style intra-document repetition signals: fraction of the
@@ -5021,6 +5094,28 @@ object SparkEntry {
         |    AS total_price
         |FROM ch GROUP BY cv, ct, o_orderpriority
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // metadata-aggregate replay: the versioned table's head holds all
+    // orders rows, so the manifest-answered aggregates equal the direct
+    // table aggregates (min/max of stored doubles are exact)
+    "ext_metadata_agg" ->
+      """SELECT count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price
+        |FROM orders""".stripMargin,
+
+    // streaming-source replay: micro-batch b (one per commit under
+    // maxVersionsPerTrigger=1) carries exactly the %3 == b slice the
+    // matching commit appended
+    "ext_stream_table_source" ->
+      """WITH batches(b) AS (VALUES (0), (1), (2))
+        |SELECT CAST(b AS BIGINT) AS batch_id, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM batches JOIN orders ON o_orderkey % 3 = b
+        |GROUP BY b, o_orderpriority
+        |ORDER BY batch_id, o_orderpriority""".stripMargin,
 
     // repetition-signal replay: per-doc n-gram mode counts via 1-based list
     // indexing CTEs; divisions are exact-int → double, so the fractions are

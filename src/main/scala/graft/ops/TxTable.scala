@@ -51,8 +51,14 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object TxTable {
 
-  /** One data file in a snapshot: its key bucket and table-relative path. */
-  final case class FileEntry(bucket: Int, rel: String)
+  /** One data file in a snapshot: its key bucket, table-relative path, and
+    * (since the row-count manifest extension) the file's exact row count —
+    * None for files committed before counts were recorded. Counts are what
+    * let `COUNT(*)` answer from the manifest alone with ZERO data files
+    * opened (the Delta metadata-query shortcut); absent counts degrade to
+    * a scan, never to a wrong answer. */
+  final case class FileEntry(bucket: Int, rel: String,
+                             rows: Option[Long] = None)
 
   /** A resolved table version: manifest number + its file list + the
     * table schema as of that version (None only for pre-evolution v1
@@ -100,6 +106,11 @@ object TxTable {
   // readKeys would quietly miss rows in.
   // Parsers drop the header fields they don't know, so v1 readers read v2
   // manifests (losing only the schema) and vice versa.
+  // BODY extension (row counts): a file line may carry a 3rd field — the
+  // file's exact row count (`-` when unknown): `<bucket>\t<rel>\t<rows>`;
+  // delta adds likewise `+\t<bucket>\t<rel>\t<rows>`. Parsers accept both
+  // widths, so pre-count manifests keep resolving (their entries read as
+  // rows=None and metadata-only aggregates simply refuse).
 
   private def renderManifest(entries: Seq[FileEntry],
                              txn: Option[(String, Long)] = None,
@@ -116,15 +127,22 @@ object TxTable {
       }
     }
     (header +: entries.sortBy(e => (e.bucket, e.rel))
-      .map(e => s"${e.bucket}	${e.rel}"))
+      .map(e => s"${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}"))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
   }
+
+  private def parseRows(s: String): Option[Long] =
+    if (s == "-") None else Some(s.toLong)
 
   private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] =
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
       .drop(1).filter(_.nonEmpty).map { line =>
-        val Array(b, rel) = line.split('	')
-        FileEntry(b.toInt, rel)
+        line.split('	') match {
+          case Array(b, rel) => FileEntry(b.toInt, rel)
+          case Array(b, rel, r) => FileEntry(b.toInt, rel, parseRows(r))
+          case other => throw new IllegalStateException(
+            s"malformed manifest line: ${other.mkString("\\t")}")
+        }
       }
 
   private def renderDelta(adds: Seq[FileEntry], removes: Seq[String],
@@ -136,7 +154,8 @@ object TxTable {
     val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("	-	-")
     val header = s"txtable	3	$app	$batch	$sc$bk"
     (header +: (removes.sorted.map(r => s"-	$r") ++
-      adds.sortBy(e => (e.bucket, e.rel)).map(e => s"+	${e.bucket}	${e.rel}")))
+      adds.sortBy(e => (e.bucket, e.rel))
+        .map(e => s"+	${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}")))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
   }
 
@@ -148,6 +167,8 @@ object TxTable {
       .drop(1).filter(_.nonEmpty).foreach { line =>
         line.split('	') match {
           case Array("+", b, rel) => adds += FileEntry(b.toInt, rel)
+          case Array("+", b, rel, r) =>
+            adds += FileEntry(b.toInt, rel, parseRows(r))
           case Array("-", rel)    => removes += rel
           case other => throw new IllegalStateException(
             s"malformed delta manifest line: ${other.mkString("\\t")}")
@@ -733,13 +754,25 @@ object TxTable {
       }
     val it = fs.listFiles(root, true)
     val entries = Seq.newBuilder[FileEntry]
+    val hconf = spark.sparkContext.hadoopConfiguration
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
       if (name.endsWith(".parquet")) {
         val bucketSeg = st.getPath.getParent.getName // bucket-N
         val b = bucketSeg.stripPrefix("bucket-").toInt
-        entries += FileEntry(b, s"$rel/$bucketSeg/$name")
+        // exact row count from the footer metadata (one small read per
+        // newly staged file, driver-side — O(commit's files), never table
+        // size; at larger fan-outs the same counts could ride executor
+        // write metrics). Best-effort: a failed footer read records None,
+        // degrading COUNT(*) to a scan rather than blocking the commit.
+        val rows = scala.util.Try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(st.getPath, hconf))
+          try r.getRecordCount finally r.close()
+        }.toOption
+        entries += FileEntry(b, s"$rel/$bucketSeg/$name", rows)
       }
     }
     entries.result()

@@ -131,11 +131,11 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
   override def schema(): StructType = dataSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(bucketing._2, bucketing._1))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxScanBuilder(path, snap, bucketing, dataSchema)
+    new TxScanBuilder(path, snap, bucketing, dataSchema, version, options)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -147,13 +147,101 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
 }
 
 final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
-                          bucketing: (String, Int), dataSchema: StructType)
+                          bucketing: (String, Int), dataSchema: StructType,
+                          pinnedVersion: Option[Long] = None,
+                          options: CaseInsensitiveStringMap =
+                            CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   private var required: StructType = dataSchema
   private var kept: Seq[TxTable.FileEntry] = snap.entries
   private var prunedBy: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+  private var aggAnswer: Option[(StructType, InternalRow)] = None
+
+  /** Metadata-only aggregates — the payoff of owning the log: a global
+    * (no GROUP BY, no residual filter) `COUNT(*)` answers from the
+    * manifest's recorded per-file row counts, and `MIN`/`MAX` over a
+    * zone-map-profiled column answer from the per-file (lo, hi) sidecars —
+    * ZERO data files opened, zero Spark jobs (the scan plans as a local
+    * one-row relation). Refusal is always graceful: any file missing a
+    * recorded count (pre-count commits), any unprofiled or partially
+    * profiled column, any other aggregate function, or any grouping makes
+    * the pushdown decline and Spark plans the ordinary scan. Spark only
+    * attempts the pushdown when no filter remains above the scan, so
+    * pruning state never interacts with the shortcut. */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = answerFromMetadata(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    // complete pushdown only: a partial answer would still open every
+    // file, which defeats the point
+    aggAnswer = answerFromMetadata(agg)
+    aggAnswer.isDefined
+  }
+
+  private def answerFromMetadata(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (agg.groupByExpressions.nonEmpty) return None
+    val spark = SparkSession.active
+
+    def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[org.apache.spark.sql.types.StructField] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        dataSchema.fields.find(_.name == r.fieldNames()(0))
+      case _ => None
+    }
+
+    /** min/max of a column from its zone-map sidecar — only when EVERY
+      * live file is profiled (stale or absent sidecars refuse; all-null
+      * files contribute nothing, matching min/max null-skipping). */
+    def extremum(col: org.apache.spark.sql.connector.expressions.Expression,
+                 isMin: Boolean)
+        : Option[(org.apache.spark.sql.types.StructField, Any)] =
+      columnOf(col).flatMap { f =>
+        val stats = TxTable.fileStats(spark, path, f.name)
+        if (!snap.entries.forall(e => stats.contains(e.rel))) None
+        else {
+          val side = snap.entries.flatMap(e =>
+            Option(if (isMin) stats(e.rel)._1 else stats(e.rel)._2))
+          val v =
+            if (side.isEmpty) null
+            else side.reduce((a, b) =>
+              if (TxTable.cmpAny(a, b) <= 0 == isMin) a else b)
+          Some((org.apache.spark.sql.types.StructField(
+            if (isMin) s"min(${f.name})" else s"max(${f.name})",
+            f.dataType, nullable = true), v))
+        }
+      }
+
+    val answered: Seq[Option[(org.apache.spark.sql.types.StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          val counts = snap.entries.map(_.rows)
+          if (counts.exists(_.isEmpty)) None
+          else Some((org.apache.spark.sql.types.StructField("count(*)",
+            org.apache.spark.sql.types.LongType, nullable = false),
+            counts.flatten.sum: Any))
+        case m: Min => extremum(m.column, isMin = true)
+        case m: Max => extremum(m.column, isMin = false)
+        case _ => None
+      }
+    if (answered.exists(_.isEmpty) || answered.isEmpty) return None
+    val fields = answered.flatten
+    val schema = StructType(fields.map(_._1))
+    val row = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(fields.map { case (f, v) =>
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(f.dataType)(v)
+      }.toArray)
+    Some((schema, row))
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep the file order of dataSchema; Spark hands back a subset
@@ -180,9 +268,25 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     prunedBy
 
-  override def build(): Scan =
-    new TxScan(path, snap.copy(entries = kept), bucketing, dataSchema,
-      required)
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row)) =>
+      new TxLocalAggScan(path, snap.version, schema, row)
+    case None =>
+      new TxScan(path, snap.copy(entries = kept), bucketing, dataSchema,
+        required, pinnedVersion, options)
+  }
+}
+
+/** A fully-pushed metadata aggregate: one driver-local row computed from
+  * the manifest + sidecars — plans as a LocalTableScan, zero jobs, zero
+  * data files opened. */
+final class TxLocalAggScan(path: String, version: Long,
+                           schema: StructType, row: InternalRow)
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String =
+    s"GraftTxTable metadata-only aggregate $path v$version"
 }
 
 /** Driver-side file pruning shared semantics with
@@ -273,11 +377,26 @@ private[sources] object TxCatalogPruning {
   * an exchange. */
 final class TxScan(path: String, snap: TxTable.Snapshot,
                    bucketing: (String, Int), dataSchema: StructType,
-                   required: StructType)
+                   required: StructType,
+                   pinnedVersion: Option[Long] = None,
+                   options: CaseInsensitiveStringMap =
+                     CaseInsensitiveStringMap.empty())
     extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** The commit log as a streaming source (offsets = commit versions; the
+    * public Delta streaming-source shape) — see [[TxMicroBatchStream]]. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(pinnedVersion.isEmpty,
+      s"cannot stream a time-travel snapshot $path@v${snap.version}: a " +
+        "pinned version never advances — use option startingVersion to " +
+        "begin the subscription at a specific commit instead")
+    new TxMicroBatchStream(path, dataSchema, required, options)
+  }
+
   override def description(): String =
     s"GraftTxTable $path v${snap.version} buckets=${bucketing._2}"
 
@@ -305,6 +424,139 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(bucketing._2, bucketing._1)), buckets.size)
+}
+
+/** A streaming offset that IS a commit version — the whole point of
+  * owning the log: progress tracking needs no file-listing diffs, just a
+  * monotonically increasing manifest number. */
+final case class TxStreamOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** TxTable as a DSv2 streaming SOURCE — the read half of the exactly-once
+  * loop whose write half is [[TxStreamingWrite]]: downstream incremental
+  * consumers `spark.readStream.table("txcat.\`/path\`")` and receive each
+  * commit's ADDED files as micro-batch input, instead of driving
+  * change-feed cursors by hand (the Delta streaming-source design; batch
+  * shape shared with [[TxTable.changesSince]]).
+  *
+  *   - **Offsets are commit versions.** `latestOffset` is one manifest
+  *     resolution; a batch (start, end] plans exactly the files commits
+  *     start+1..end added — I/O ∝ new data, never a table rescan, which is
+  *     what makes a 100 TB table subscribable. Offset resolution walks at
+  *     most [[TxTable.CheckpointInterval]] deltas per version (manifest
+  *     metadata only).
+  *   - **Restart-exact**: offsets live in the stream checkpoint; the same
+  *     (start, end] replans the same file list from the log, so a crashed
+  *     query resumes at the right version with no duplicates or gaps.
+  *     [[TxTable.vacuum]] retention must cover consumer lag, exactly as
+  *     with any log-compacted source — a vacuumed version fails loudly.
+  *   - **Non-append commits are a decision, not an accident**: a commit
+  *     that REMOVES files (upsert/compaction rewrite) throws by default;
+  *     `skipChangeCommits=true` skips such commits entirely,
+  *     `ignoreChanges=true` re-emits their added files (at-least-once for
+  *     rewritten rows) — the documented Delta option pair.
+  *   - `startingVersion` (a version number, or `latest`) begins the
+  *     subscription at a commit instead of the initial snapshot;
+  *     `maxVersionsPerTrigger` rate-limits admission (T7 for the table
+  *     source). `Trigger.AvailableNow` is first-class: the head version is
+  *     pinned at prepare time, so the query drains to a fixed point and
+  *     stops even while writers keep committing. */
+final class TxMicroBatchStream(path: String, dataSchema: StructType,
+                               required: StructType,
+                               options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def spark = SparkSession.active
+  private val startingVersion = Option(options.get("startingVersion"))
+  private val skipChangeCommits = options.getBoolean("skipChangeCommits", false)
+  private val ignoreChanges = options.getBoolean("ignoreChanges", false)
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
+  /** Head version pinned by Trigger.AvailableNow at prepare time. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  private def headVersion: Long = TxTable.snapshot(spark, path).version
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headVersion)
+
+  override def initialOffset(): Offset = TxStreamOffset(startingVersion match {
+    case Some("latest") => headVersion // only commits after stream start
+    case Some(v) => v.toLong - 1 // serve from commit v inclusive
+    case None => -1L // initial snapshot: every commit from v0
+  })
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(_ =>
+      ReadLimit.allAvailable()) // versions are capped in latestOffset
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: Spark calls latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TxStreamOffset].version
+    val head = availableNowCap.getOrElse(headVersion)
+    val capped = maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))
+    TxStreamOffset(math.max(capped, s))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    TxStreamOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  /** The files commits (start, end] ADDED, grouped one partition per
+    * bucket like the batch scan. Walks the per-version snapshots (bounded
+    * manifest metadata) so a multi-version batch attributes adds/removes
+    * to the exact commit that made them. */
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[TxStreamOffset].version
+    val e = end.asInstanceOf[TxStreamOffset].version
+    if (e <= s) return Array.empty
+    var prev: Set[String] =
+      if (s < 0) Set.empty
+      else TxTable.snapshot(spark, path, Some(s)).entries.map(_.rel).toSet
+    val picked = Seq.newBuilder[TxTable.FileEntry]
+    (s + 1 to e).foreach { v =>
+      val cur = TxTable.snapshot(spark, path, Some(v)).entries
+      val curRels = cur.map(_.rel).toSet
+      val removed = prev -- curRels
+      val added = cur.filterNot(en => prev(en.rel))
+      if (removed.nonEmpty && !ignoreChanges && !skipChangeCommits)
+        throw new IllegalStateException(
+          s"$path: commit v$v rewrote or removed data files (upsert/" +
+            "compaction) mid-stream. Streaming reads serve appends exactly-" +
+            "once; for rewriting tables choose: skipChangeCommits=true " +
+            "(skip rewrite commits) or ignoreChanges=true (re-emit " +
+            "rewritten files, at-least-once for their rows).")
+      if (removed.isEmpty || ignoreChanges) picked ++= added
+      prev = curRels
+    }
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    picked.result().groupBy(_.bucket).toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((b, entries), i) =>
+        val pfs = entries.sortBy(_.rel).map { en =>
+          val p = new Path(s"$path/${en.rel}")
+          val st = fs.getFileStatus(p)
+          GraftParquetShim.partitionedFile(p.toString, st.getLen,
+            st.getModificationTime)
+        }.toArray
+        GraftParquetShim.bucketFilePartition(i, pfs, b): InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftParquetShim.readerFactory(spark, dataSchema, required)
 }
 
 /** The `bucket` transform function Spark resolves through the catalog when
@@ -381,8 +633,8 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val adds = messages.toSeq.flatMap {
-      case TxCommitMessage(fls) => fls.map { case (b, rel) =>
-        TxTable.FileEntry(b, rel) }
+      case TxCommitMessage(fls) => fls.map { case (b, rel, n) =>
+        TxTable.FileEntry(b, rel, Some(n)) }
       case _ => Seq.empty
     }
     def dropStaged(): Unit = {
@@ -444,7 +696,7 @@ final class TxStreamingWriterFactory(
       conf.value, partitionId, taskId)
 }
 
-final case class TxCommitMessage(files: Seq[(Int, String)])
+final case class TxCommitMessage(files: Seq[(Int, String, Long)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class TxBatchWrite(path: String, querySchema: StructType,
@@ -467,8 +719,8 @@ final class TxBatchWrite(path: String, querySchema: StructType,
         .WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val adds = messages.toSeq.flatMap {
-      case TxCommitMessage(fs) => fs.map { case (b, rel) =>
-        TxTable.FileEntry(b, rel) }
+      case TxCommitMessage(fs) => fs.map { case (b, rel, n) =>
+        TxTable.FileEntry(b, rel, Some(n)) }
       case _ => Seq.empty
     }
     if (adds.isEmpty) return
@@ -534,6 +786,10 @@ final class TxDataWriter(
       graft.ops.LayoutOps.BucketCol, IntegerType))
   private val writers = scala.collection.mutable.Map.empty[Int,
     (String, org.apache.parquet.hadoop.ParquetWriter[InternalRow])]
+  // exact per-file row counts, tallied on the write path for free — they
+  // ride the commit message into the manifest so COUNT(*) can answer from
+  // metadata alone
+  private val rowCounts = scala.collection.mutable.Map.empty[Int, Long]
   private val out = new org.apache.spark.sql.catalyst.expressions
     .GenericInternalRow(writeSchema.length)
 
@@ -561,12 +817,14 @@ final class TxDataWriter(
     }
     out.update(schema.length, b)
     w.write(out)
+    rowCounts(b) = rowCounts.getOrElse(b, 0L) + 1L
   }
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writers.values.foreach(_._2.close())
-    TxCommitMessage(writers.toSeq.map { case (b, (rel, _)) => (b, rel) })
+    TxCommitMessage(writers.toSeq.map { case (b, (rel, _)) =>
+      (b, rel, rowCounts.getOrElse(b, 0L)) })
   }
 
   override def abort(): Unit = {

@@ -444,6 +444,14 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"expected exactly the aggregation exchange:\n$p")
   }
 
+  test("ext_metadata_agg: plans as a local scan — no data files, no jobs") {
+    val p = plan("ext_metadata_agg")
+    assert(p.contains("LocalTableScan"),
+      s"metadata aggregate must answer from the manifest:\n$p")
+    assert(!p.contains("BatchScan"),
+      s"no data scan belongs under a metadata-only aggregate:\n$p")
+  }
+
   test("ext_text_tfidf: the full-vocabulary df join is never hint-forced to broadcast") {
     // dfreq is one row per distinct corpus term — a multi-GB frame at
     // 100 TB. The join must be AQE's choice, not a broadcast() hint: with

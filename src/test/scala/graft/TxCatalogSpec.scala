@@ -241,7 +241,7 @@ class TxCatalogSpec extends AnyFunSuite {
       fs.mkdirs(staged.getParent)
       fs.create(staged).close()
       sw.commit(0L, Array(graft.sources.TxCommitMessage(
-        Seq((0, "files/replay-e0/bucket-0/f.parquet")))))
+        Seq((0, "files/replay-e0/bucket-0/f.parquet", 1L)))))
       assert(TxTable.snapshot(spark, a).version == snap.version,
         "replayed epoch must not commit")
       assert(!fs.exists(staged.getParent.getParent),
@@ -286,6 +286,166 @@ class TxCatalogSpec extends AnyFunSuite {
         assert(p.contains("Exchange"),
           s"incompatible layouts must shuffle, not silently mis-join:\n$p")
       }
+    }
+  }
+
+  test("metadata-only aggregates answer from the log with zero data files opened") {
+    registered {
+      val (a, _) = freshTables() // 64 rows, v = 1..64
+      TxTable.computeStats(spark, a, "v")
+      val q = spark.sql(
+        s"SELECT count(*) AS n, min(v) AS lo, max(v) AS hi FROM txspj.`$a`")
+      val r = q.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((64L, 1L, 64L)))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("LocalTableScan") && !p.contains("BatchScan"),
+        s"expected a metadata-only local scan:\n$p")
+
+      // an append WITHOUT a stats refresh: count(*) still metadata-only
+      // (counts ride every commit), min/max gracefully fall back to a scan
+      TxTable.appendOnce(spark, a,
+        Seq(("K0", 0L)).toDF("k", "v"), "k", nBuckets, "agg", 0L)
+      val c2 = spark.sql(s"SELECT count(*) AS n FROM txspj.`$a`")
+      assert(c2.head().getLong(0) == 65L)
+      assert(c2.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      val m2 = spark.sql(s"SELECT min(v) AS lo FROM txspj.`$a`")
+      assert(m2.head().getLong(0) == 0L, "fallback scan must be correct")
+      assert(m2.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "unprofiled head file must refuse the metadata shortcut")
+
+      // time travel composes: the pinned snapshot's counts answer
+      val tt = spark.sql(s"SELECT count(*) AS n FROM txspj.`$a@v0`")
+      assert(tt.head().getLong(0) == 64L)
+      assert(tt.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+
+      // grouped and filtered aggregates plan the ordinary scan, correctly
+      val g = spark.sql(
+        s"SELECT k, count(*) AS n FROM txspj.`$a` GROUP BY k")
+      assert(g.count() == 65L)
+      assert(g.queryExecution.executedPlan.toString.contains("BatchScan"))
+      val f = spark.sql(
+        s"SELECT count(*) AS n FROM txspj.`$a` WHERE v > 10")
+      assert(f.head().getLong(0) == 54L)
+      assert(f.queryExecution.executedPlan.toString.contains("BatchScan"))
+    }
+  }
+
+  // --- streaming SOURCE over the commit log ------------------------------
+
+  /** Drain `spark.readStream.table(txspj.path)` with AvailableNow into a
+    * collector; returns the per-micro-batch row sets (batch order). */
+  private def drain(path: String, ckpt: String,
+                    opts: Map[String, String] = Map.empty)
+      : Seq[Set[(String, Long)]] = {
+    import org.apache.spark.sql.streaming.Trigger
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[Set[(String, Long)]]
+    val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) =>
+      r.option(k, v) }
+    val q = reader.table(s"txspj.`$path`")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select($"k", $"v").as[(String, Long)].collect().toSet
+        batches.synchronized { batches += rows; () }
+      }
+      .start()
+    q.awaitTermination()
+    batches.toSeq
+  }
+
+  test("readStream over a TxTable: commits stream as micro-batches, restart resumes at the right version") {
+    registered {
+      val (a, _) = freshTables()
+      val ckpt = Files.createTempDirectory("graft_cat_src_").toString
+      // run 1: the initial snapshot (v0) is the first batch
+      val run1 = drain(a, ckpt)
+      assert(run1.flatten.toSet ==
+        (1 to 64).map(i => (s"K$i", i.toLong)).toSet)
+      // two more commits while the stream is DOWN
+      TxTable.appendOnce(spark, a,
+        Seq(("S1", 1001L), ("S2", 1002L)).toDF("k", "v"), "k", nBuckets,
+        "src", 1L)
+      TxTable.appendOnce(spark, a,
+        Seq(("S3", 1003L)).toDF("k", "v"), "k", nBuckets, "src", 2L)
+      // run 2 from the SAME checkpoint: exactly the two commits' rows, one
+      // micro-batch per commit under maxVersionsPerTrigger=1 — no replay
+      // of the snapshot, no gaps
+      val run2 = drain(a, ckpt, Map("maxVersionsPerTrigger" -> "1"))
+      assert(run2.map(_.map(_._1)) == Seq(Set("S1", "S2"), Set("S3")),
+        s"expected one batch per commit, got $run2")
+      // run 3, nothing new: zero batches (or only empty ones)
+      assert(drain(a, ckpt).forall(_.isEmpty))
+    }
+  }
+
+  test("streaming source: startingVersion subscribes mid-log") {
+    registered {
+      val (a, _) = freshTables()
+      TxTable.appendOnce(spark, a,
+        Seq(("S1", 1L)).toDF("k", "v"), "k", nBuckets, "sv", 1L)
+      val fromV1 = drain(a,
+        Files.createTempDirectory("graft_cat_sv_").toString,
+        Map("startingVersion" -> "1"))
+      assert(fromV1.flatten.toSet == Set(("S1", 1L)),
+        "startingVersion=1 must skip the v0 snapshot")
+      // latest: nothing until a NEW commit lands
+      val ckpt = Files.createTempDirectory("graft_cat_svl_").toString
+      assert(drain(a, ckpt, Map("startingVersion" -> "latest"))
+        .forall(_.isEmpty))
+      TxTable.appendOnce(spark, a,
+        Seq(("S2", 2L)).toDF("k", "v"), "k", nBuckets, "sv", 2L)
+      assert(drain(a, ckpt, Map("startingVersion" -> "latest"))
+        .flatten.toSet == Set(("S2", 2L)))
+    }
+  }
+
+  test("streaming source: rewriting commits are loud by default, skippable, or re-emitted") {
+    registered {
+      val (a, _) = freshTables()
+      val ckpt = Files.createTempDirectory("graft_cat_rw_").toString
+      drain(a, ckpt) // consume the snapshot
+      // an upsert REWRITES a bucket's files
+      TxTable.upsert(spark, a,
+        Seq(("K1", 9999L)).toDF("k", "v"), "k", "v", nBuckets)
+      val err = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { drain(a, ckpt) }
+      assert(err.getMessage.contains("skipChangeCommits") ||
+        Option(err.getCause).exists(
+          _.getMessage.contains("skipChangeCommits")),
+        s"rewrite commit must fail with guidance: ${err.getMessage}")
+      // skipChangeCommits: the rewrite commit vanishes from the feed
+      assert(drain(a, ckpt, Map("skipChangeCommits" -> "true"))
+        .forall(_.isEmpty))
+      // ignoreChanges (fresh subscription at the rewrite commit): the
+      // rewritten bucket's files re-emit — at-least-once, rows present
+      val v = TxTable.snapshot(spark, a).version
+      val reEmit = drain(a,
+        Files.createTempDirectory("graft_cat_rw2_").toString,
+        Map("ignoreChanges" -> "true", "startingVersion" -> v.toString))
+      assert(reEmit.flatten.exists(_ == ("K1", 9999L)),
+        s"rewritten rows must surface under ignoreChanges, got $reEmit")
+    }
+  }
+
+  test("streaming a time-travel snapshot is refused") {
+    registered {
+      val (a, _) = freshTables()
+      val e = intercept[Exception] {
+        spark.readStream.table(s"txspj.`$a@v0`").writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_cat_tts_").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+          .start().awaitTermination()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("time-travel")), s"got: ${msgs(e)}")
     }
   }
 

@@ -37,6 +37,38 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("manifests record exact per-file row counts; pre-count manifests parse as unknown") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 4)
+    val b1 = Seq(("C101", "a@b1", ts("2024-01-02 00:00:00")),
+      ("C102", "b@b1", ts("2024-01-02 00:00:00")))
+      .toDF("customer_id", "email", "updated_at")
+    TxTable.appendOnce(spark, table, b1, "customer_id", 4, "rc", 1L)
+    val snap = TxTable.snapshot(spark, table)
+    assert(snap.entries.forall(_.rows.isDefined),
+      "every staged file must carry its footer row count")
+    assert(snap.entries.flatMap(_.rows).sum == 10L)
+    // a legacy manifest body without the count field resolves as unknown
+    // (graceful backfill: metadata-only shortcuts refuse, reads unaffected)
+    val logDir = new java.io.File(s"$table/_txlog")
+    logDir.listFiles().filter(_.getName.endsWith(".manifest")).foreach { f =>
+      val stripped = scala.io.Source.fromFile(f).getLines().map { line =>
+        val parts = line.split('\t')
+        if (line.startsWith("txtable")) line
+        else if (parts.length == 3 && parts(0) != "-") // full-body line
+          s"${parts(0)}\t${parts(1)}"
+        else if (parts.length == 4 && parts(0) == "+") // delta add line
+          s"${parts(0)}\t${parts(1)}\t${parts(2)}"
+        else line
+      }.mkString("", "\n", "\n")
+      java.nio.file.Files.writeString(f.toPath, stripped)
+    }
+    val legacy = TxTable.snapshot(spark, table)
+    assert(legacy.entries.forall(_.rows.isEmpty))
+    assert(TxTable.read(spark, table).count() == 10L,
+      "reads are count-agnostic")
+  }
+
   test("upsert: last-writer-wins merge, untouched files carried verbatim") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     TxTable.init(spark, table, seed(64), "customer_id", nBuckets = 8)
