@@ -794,6 +794,45 @@ object TxTable {
     Snapshot(0L, entries, Some(schema), Some((key, nBuckets)))
   }
 
+  /** Create an EMPTY table at version 0 — the DDL half of the SQL-only
+    * lifecycle (CREATE TABLE / CTAS through the catalog): one manifest
+    * commit recording the schema and bucket identity with no data files.
+    * The first INSERT/append then evolves from this anchor exactly like
+    * any later commit. Fails if the table already has a committed
+    * version. */
+  def create(spark: SparkSession, table: String, schema: StructType,
+             key: String, nBuckets: Int): Snapshot = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(schema.fieldNames.contains(key),
+      s"bucket key '$key' is not a column of ${schema.simpleString}")
+    require(!key.contains("\t"), "bucket key column name must not contain a tab")
+    val full = mergeSchemas(StructType(Nil), StructType(
+      schema.filterNot(_.name == LayoutOps.BucketCol)
+        :+ StructField(LayoutOps.BucketCol,
+          org.apache.spark.sql.types.IntegerType)))
+    val fs = fsFor(spark, table)
+    require(tryCommit(fs, table, 0L, Seq.empty, txn = None,
+        schema = Some(full), bucketing = Some((key, nBuckets))),
+      s"$table already initialized (version 0 exists)")
+    Snapshot(0L, Seq.empty, Some(full), Some((key, nBuckets)))
+  }
+
+  /** Drop the table: delete its commit log, data directories, and zone-map
+    * sidecars. Destructive by definition (DROP TABLE semantics); the
+    * enclosing directory itself is left to the caller since the path is
+    * caller-owned identity. Returns false when no committed table lives at
+    * `table`. */
+  def drop(spark: SparkSession, table: String): Boolean = {
+    val fs = fsFor(spark, table)
+    if (!isTxTable(spark, table)) false
+    else {
+      fs.delete(new Path(table, "files"), true)
+      fs.delete(logDir(table), true)
+      snapCache.remove(table)
+      true
+    }
+  }
+
   /** Highest `batchId` a writer identified by `appId` has committed, or
     * None. Scans retained manifest headers (one small file each — bounded
     * by [[vacuum]]'s retention, and a replay check runs once per
@@ -1185,10 +1224,21 @@ object TxTable {
     * read). Before pruning, the oldest retained version is materialized as
     * a `.checkpoint` so the surviving log is self-contained: retained
     * delta manifests resolve against it instead of walking into the
-    * deleted range. Orphans from crashed writers are exactly the
-    * unreferenced directories. Returns the deleted paths. */
+    * deleted range. Orphans from crashed writers (including aborted or
+    * crashed DSv2 INSERTs/epochs, which stage under `files/<uuid>` and
+    * never publish) are exactly the unreferenced directories.
+    *
+    * `orphanRetentionMs` is the in-flight protection horizon (the Delta
+    * vacuum-retention idea): an unreferenced directory younger than it is
+    * presumed to be a RACING writer's stage — between staging and its CAS
+    * commit every writer's files are unreferenced by design — and is left
+    * alone. Production sweeps set it comfortably above the longest
+    * stage-to-commit window; 0 (the default here) sweeps everything and is
+    * only safe when no writer can be in flight. Returns the deleted
+    * paths. */
   def vacuum(spark: SparkSession, table: String,
-             keepVersions: Int = 1): Seq[String] = {
+             keepVersions: Int = 1,
+             orphanRetentionMs: Long = 0L): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the newest version")
     val fs = fsFor(spark, table)
     val versions = listVersions(fs, table).sorted
@@ -1206,9 +1256,11 @@ object TxTable {
       .map(_.rel.split('/')(1)).toSet
     val deleted = Seq.newBuilder[String]
     val filesRoot = new Path(table, "files")
+    val sweepBefore = System.currentTimeMillis() - orphanRetentionMs
     if (fs.exists(filesRoot)) {
       fs.listStatus(filesRoot).foreach { st =>
-        if (!referenced(st.getPath.getName)) {
+        if (!referenced(st.getPath.getName) &&
+            st.getModificationTime <= sweepBefore) {
           fs.delete(st.getPath, true)
           deleted += st.getPath.toString
         }

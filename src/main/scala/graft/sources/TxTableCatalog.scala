@@ -37,11 +37,14 @@ import graft.ops.TxTable
   *
   * Identifier → path: the table identifier IS the filesystem path
   * (backquoted single segment, or namespace segments joined with '/'),
-  * with an optional `@vN` suffix for time travel. Writes (batch INSERT
-  * and the exactly-once streaming sink) publish through the same
-  * manifest commit protocol as every Scala writer; catalog-level DDL
-  * (create/alter/drop/rename) stays unsupported — the path is the
-  * table's identity.
+  * with an optional `@vN` suffix for time travel. Writes (batch INSERT,
+  * CTAS, and the exactly-once streaming sink) publish through the same
+  * manifest commit protocol as every Scala writer; CREATE TABLE
+  * bootstraps an empty version-0 manifest from the declared schema +
+  * `bucket(n, key)` transform and DROP TABLE deletes the log — the full
+  * SQL-only lifecycle (create → insert → stream → query → time-travel).
+  * ALTER/RENAME stay unsupported: schema changes ride data commits and
+  * the path is the table's identity.
   */
 class TxTableCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = "txtable"
@@ -85,13 +88,60 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
     new TxSparkTable(path, version)
   }
 
+  /** CREATE TABLE / CTAS: bootstraps a TxTable from pure SQL — an empty
+    * version-0 manifest carrying the declared schema and the bucket
+    * identity from the REQUIRED `PARTITIONED BY (bucket(n, key))`
+    * transform (a TxTable without a bucket layout cannot exist: placement
+    * is part of the table's identity). CTAS is create + the standard
+    * catalog INSERT write; a failed CTAS write cleans up through
+    * [[dropTable]], leaving nothing (data files were only staged). */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    val (path, _) = pathOf(ident)
+    if (TxTable.isTxTable(spark, path))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val bucketing: (String, Int) = partitions match {
+      case Array(t) if t.name == "bucket" =>
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == IntegerType => l.value.asInstanceOf[Int]
+        }
+        val key = t.references.toSeq match {
+          case Seq(r) if r.fieldNames.length == 1 => Some(r.fieldNames()(0))
+          case _ => None
+        }
+        (n, key) match {
+          case (Some(nb), Some(k)) => (k, nb)
+          case _ => throw new UnsupportedOperationException(
+            s"unsupported bucket transform ${t.describe()}: expected " +
+              "bucket(<int literal>, <single column>)")
+        }
+      case _ => throw new UnsupportedOperationException(
+        "a TxTable is DEFINED by its bucket layout: declare exactly " +
+          "PARTITIONED BY (bucket(n, key)) " +
+          s"(got ${partitions.map(_.describe()).mkString("[", ", ", "]")})")
+    }
+    TxTable.create(spark, path, schema, bucketing._1, bucketing._2)
+    new TxSparkTable(path)
+  }
+
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "ALTER TABLE is unsupported on a TxTable: schema changes ride data " +
         "commits (INSERT/append a batch carrying the new columns)")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** DROP TABLE: deletes the commit log and data directories (also the
+    * CTAS failure-cleanup hook). Time-travel identifiers refuse —
+    * dropping one version of a table is not a thing. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val (path, version) = pathOf(ident)
+    if (version.isDefined) false
+    else TxTable.drop(SparkSession.active, path)
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
@@ -400,21 +450,29 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
   override def description(): String =
     s"GraftTxTable $path v${snap.version} buckets=${bucketing._2}"
 
-  private lazy val buckets: Seq[(Int, Seq[TxTable.FileEntry])] =
-    snap.entries.groupBy(_.bucket).toSeq.sortBy(_._1)
-
+  /** ONE input partition per data FILE, each carrying its bucket as the
+    * partition key. Spark owns the grouping decision from there:
+    * with `spark.sql.sources.v2.bucketing.enabled` it groups same-key
+    * splits back into one task per bucket (the storage-partitioned join
+    * shape); without it every file is its own task (maximal plain-scan
+    * parallelism — a pre-grouped scan would cap reads at |buckets| tasks
+    * no matter how many executors exist); and with
+    * `partiallyClusteredDistribution.enabled` it can keep a HOT bucket's
+    * files as separate tasks while replicating the other side — the skew
+    * escape hatch for co-bucketed joins, which AQE cannot provide because
+    * there is no exchange to re-plan (spec-pinned skew posture in
+    * TxCatalogSpec). */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    buckets.zipWithIndex.map { case ((b, entries), i) =>
-      val pfs = entries.sortBy(_.rel).map { e =>
+    snap.entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map {
+      case (e, i) =>
         val p = new Path(s"$path/${e.rel}")
         val st = fs.getFileStatus(p)
-        GraftParquetShim.partitionedFile(p.toString, st.getLen,
-          st.getModificationTime)
-      }.toArray
-      GraftParquetShim.bucketFilePartition(i, pfs, b): InputPartition
+        GraftParquetShim.bucketFilePartition(i,
+          Array(GraftParquetShim.partitionedFile(p.toString, st.getLen,
+            st.getModificationTime)), e.bucket): InputPartition
     }.toArray
   }
 
@@ -423,7 +481,8 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.bucket(bucketing._2, bucketing._1)), buckets.size)
+      Array(Expressions.bucket(bucketing._2, bucketing._1)),
+      snap.entries.size)
 }
 
 /** A streaming offset that IS a commit version — the whole point of

@@ -271,6 +271,62 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SPJ skew posture: default groups per bucket; partially-clustered splits the hot bucket") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_skew_").toString
+      val (a, b) = (s"$base/hot", s"$base/dim")
+      // 16 keys, one row each; then the HOT key gains 100× rows across
+      // three more commits — several files in its bucket, the split
+      // granularity partially-clustered distribution works with
+      TxTable.init(spark, a,
+        (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (0 until 3).foreach { i =>
+        TxTable.appendOnce(spark, a,
+          (1 to 500).map(j => ("K1", (1000 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "skew", i.toLong)
+      }
+      TxTable.init(spark, b,
+        (1 to 16).map(i => (s"K$i", i * 10L)).toDF("k", "w"), "k", nBuckets)
+      val expected = 16 + 3 * 500
+      withSpjConfs {
+        // THE PINNED DEFAULT: full grouping — one task per bucket, zero
+        // exchange. Correct, and the hot bucket is one straggler task
+        // (AQE cannot split it: there is no exchange to re-plan).
+        val j1 = tbl(a).join(tbl(b), "k").select($"k", $"v", $"w")
+        assert(j1.count() == expected)
+        val p1 = j1.queryExecution.executedPlan.toString
+        assert(!p1.contains("Exchange"), s"SPJ must hold under skew:\n$p1")
+        val grouped = j1.rdd.getNumPartitions
+        assert(grouped <= nBuckets,
+          s"default grouping must be one task per bucket, got $grouped")
+        // THE ESCAPE HATCH (documented, spec-pinned): partially-clustered
+        // distribution keeps the hot bucket's files as separate tasks and
+        // replicates the dim side — still no exchange, same rows, but the
+        // straggler is now |files| parallel tasks. This is the knob to
+        // flip at 100× when one bucket dominates a co-bucketed join.
+        val saved = Seq(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+          .map(k => k -> spark.conf.getOption(k))
+        saved.foreach { case (k, _) => spark.conf.set(k, "true") }
+        try {
+          val j2 = tbl(a).join(tbl(b), "k").select($"k", $"v", $"w")
+          assert(j2.count() == expected,
+            "partially-clustered SPJ must stay exact")
+          val p2 = j2.queryExecution.executedPlan.toString
+          assert(!p2.contains("Exchange"),
+            s"partially-clustered must not reintroduce a shuffle:\n$p2")
+          assert(j2.rdd.getNumPartitions > grouped,
+            s"hot bucket must split beyond $grouped bucket-tasks, got " +
+              s"${j2.rdd.getNumPartitions}")
+        } finally saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    }
+  }
+
   test("mismatched bucket counts fall back to a correct shuffled join") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mm_").toString
@@ -286,6 +342,89 @@ class TxCatalogSpec extends AnyFunSuite {
         assert(p.contains("Exchange"),
           s"incompatible layouts must shuffle, not silently mis-join:\n$p")
       }
+    }
+  }
+
+  test("SQL-only lifecycle: CREATE TABLE + CTAS bootstrap TxTables; the created pair SPJ-joins with zero exchanges") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_ddl_").toString
+      val (a, b) = (s"$base/a", s"$base/b")
+      // CREATE TABLE: empty v0 manifest carrying schema + bucket identity
+      spark.sql(s"CREATE TABLE txspj.`$a` (k STRING, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      assert(TxTable.isTxTable(spark, a))
+      val snap0 = TxTable.snapshot(spark, a)
+      assert(snap0.version == 0L && snap0.entries.isEmpty &&
+        snap0.bucketing.contains(("k", 4)))
+      assert(tbl(a).count() == 0L, "empty created table reads as 0 rows")
+      // fill via SQL INSERT, then CTAS a co-bucketed sibling
+      val values = (1 to 32).map(i => s"('K$i', $i)").mkString(", ")
+      spark.sql(s"INSERT INTO txspj.`$a` VALUES $values")
+      spark.sql(s"CREATE TABLE txspj.`$b` PARTITIONED BY (bucket(4, k)) " +
+        s"AS SELECT k, v * 10 AS w FROM txspj.`$a`")
+      assert(tbl(b).count() == 32L)
+      // the created pair is co-committed: storage-partitioned join, no
+      // exchange on either side
+      withSpjConfs {
+        val j = tbl(a).join(tbl(b), "k").select($"k", $"v", $"w")
+        assert(j.as[(String, Long, Long)].collect().toSet ==
+          (1 to 32).map(i => (s"K$i", i.toLong, i * 10L)).toSet)
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"),
+          s"CTAS-created co-bucketed pair must join shuffle-free:\n$p")
+      }
+      // duplicate create refuses; missing bucket transform refuses
+      intercept[org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException] {
+        spark.sql(s"CREATE TABLE txspj.`$a` (k STRING) " +
+          "PARTITIONED BY (bucket(4, k))")
+      }
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE txspj.`$base/c` (k STRING, v BIGINT)")
+      }
+      // DROP TABLE removes the log; the path stops resolving
+      spark.sql(s"DROP TABLE txspj.`$b`")
+      assert(!TxTable.isTxTable(spark, b))
+      intercept[Exception] { tbl(b).count() }
+    }
+  }
+
+  test("vacuum collects a crashed INSERT's staged files, honoring the in-flight horizon") {
+    registered {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      import org.apache.spark.unsafe.types.UTF8String
+      val (a, _) = freshTables()
+      val before = TxTable.read(spark, a).count()
+      val v0 = TxTable.snapshot(spark, a).version
+      // run the DSv2 INSERT machinery up to the task commit, then "crash"
+      // the driver before the manifest publish — the staged files are now
+      // exactly an unreferenced orphan directory
+      val bw = new graft.sources.TxBatchWrite(a,
+        StructType(Seq(StructField("k", StringType),
+          StructField("v", LongType))), ("k", nBuckets))
+      val w = bw.createBatchWriterFactory(null).createWriter(0, 0L)
+      w.write(new GenericInternalRow(
+        Array[Any](UTF8String.fromString("CRASHED"), 1L)))
+      w.commit()
+      val fs = new org.apache.hadoop.fs.Path(a)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val filesRoot = new org.apache.hadoop.fs.Path(a, "files")
+      val stagedDirs = fs.listStatus(filesRoot).length
+      // a horizon longer than the stage's age presumes an in-flight
+      // writer: the stage survives, nothing else is touched
+      val protectedSweep =
+        TxTable.vacuum(spark, a, orphanRetentionMs = 3600L * 1000)
+      assert(protectedSweep.isEmpty,
+        s"fresh stage must ride out the horizon: $protectedSweep")
+      assert(fs.listStatus(filesRoot).length == stagedDirs)
+      // past the horizon it is garbage: swept, table bit-identical
+      val swept = TxTable.vacuum(spark, a)
+      assert(swept.nonEmpty, "orphaned stage must be collected")
+      assert(fs.listStatus(filesRoot).length == stagedDirs - 1)
+      assert(TxTable.read(spark, a).count() == before)
+      assert(TxTable.snapshot(spark, a).version == v0,
+        "vacuum must not commit anything")
     }
   }
 
