@@ -650,8 +650,9 @@ object SparkEntry {
     stagedSpjTables(s, dir)
     stagedHllState(s, dir)
     // the streaming drain of the versioned-orders log (one micro-batch
-    // per commit) — the subscription run is landing-job work
+    // per commit) and the SQL MERGE apply — landing-job work
     stagedStreamDrain(s, dir)
+    stagedMergedOrders(s, dir)
     ()
   }
 
@@ -716,6 +717,40 @@ object SparkEntry {
       q.awaitTermination()
     }
     out
+  }
+
+  /** SQL MERGE fixture (ext_sql_merge): a TxTable of the even-keyed
+    * orders, then ONE `MERGE INTO` through the catalog applying the
+    * %3 == 0 slice — matched keys get o_totalprice + 1000, unmatched
+    * insert. The group-based COW rewrite touches only the buckets the
+    * source keys hash into (spec-pinned in TxCatalogSpec); the apply is
+    * landing-job work staged once per session, the query reads the merged
+    * state. */
+  private def stagedMergedOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-merge/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders")
+      ops.TxTable.init(s, path,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        key = "o_orderkey", nBuckets = 8)
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .createOrReplaceTempView("graft_merge_source")
+      s.sql(
+        s"""MERGE INTO txspj.`$path` t USING graft_merge_source s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  t.o_totalprice = t.o_totalprice + 1000.0
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      ()
+    }
+    path
   }
 
   /** Incremental distinct-count sketch state (ext_hll_incremental): a
@@ -2175,6 +2210,23 @@ object SparkEntry {
             .as("total_price"))
         .orderBy(col("_commit_version"), col("_change_type"),
           col("o_orderpriority"))
+    }),
+
+    // SQL MERGE INTO through the catalog (the CDC apply the reference's
+    // Debezium topology implies, expressed in pure SQL): the staged fixture
+    // applies one MERGE — matched keys update, unmatched insert — via the
+    // group-based copy-on-write rewrite, whose I/O is only the buckets the
+    // source keys hash into (runtime group filtering through the layout
+    // hash; file-count spec-pinned). The query aggregates the merged
+    // state; the oracle replays the merge relationally.
+    "ext_sql_merge" -> ((s, dir) => {
+      val path = stagedMergedOrders(s, dir)
+      ops.TxTable.read(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
+            .cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Metadata-only aggregates through the catalog: COUNT(*) answers from
@@ -5094,6 +5146,25 @@ object SparkEntry {
         |    AS total_price
         |FROM ch GROUP BY cv, ct, o_orderpriority
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // MERGE replay: post-merge state = evens (updated where %3=0) plus the
+    // odd %3=0 inserts; per-row half-up rounding before the decimal sum
+    // keeps computed doubles bit-identical across engines
+    "ext_sql_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(p * 100 + 0.5) / 100 AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total_price
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // metadata-aggregate replay: the versioned table's head holds all
     // orders rows, so the manifest-answered aggregates equal the direct

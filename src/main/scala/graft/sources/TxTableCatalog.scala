@@ -164,7 +164,8 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
   * HIDDEN from the SQL schema (readers project around it; INSERT
   * computes it per row), like a partition transform column. */
 final class TxSparkTable(path: String, version: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   private val snap = TxTable.snapshot(SparkSession.active, path, version)
   private val fullSchema: StructType = snap.schema.getOrElse(
     throw new IllegalStateException(
@@ -179,6 +180,17 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
 
   override def name(): String = path
   override def schema(): StructType = dataSchema
+
+  /** The layout bucket as a METADATA column (the `_partition`/`_spec_id`
+    * pattern): hidden from `SELECT *`, selectable by name for layout
+    * debugging, and — the load-bearing part — the metadata attribute the
+    * row-level operations REQUIRE, which keeps Spark's COW rewrite on the
+    * projecting write path (matched/copied rows carry their metadata;
+    * without a required metadata column Spark's ReplaceData hands the
+    * writer raw MergeRows output). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftBucketMetadataColumn)
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
@@ -193,6 +205,21 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     require(version.isEmpty,
       s"cannot INSERT into time-travel snapshot $path@v${snap.version}")
     new TxWriteBuilder(path, info.schema(), bucketing, info.queryId())
+  }
+
+  /** SQL MERGE INTO / UPDATE / DELETE as a group-based (copy-on-write)
+    * row-level operation — see [[TxRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"cannot mutate time-travel snapshot $path@v${snap.version}")
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new TxRowLevelOperation(path, snap, bucketing, dataSchema,
+          info.command())
+    }
   }
 }
 
@@ -477,12 +504,294 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetShim.readerFactory(SparkSession.active, dataSchema, required)
+    // the file schema includes the layout bucket column (it travels inside
+    // every data file), so a projection requesting the bucket METADATA
+    // column is served straight from the files
+    GraftParquetShim.readerFactory(SparkSession.active,
+      TxFileSchema(dataSchema), required)
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(bucketing._2, bucketing._1)),
       snap.entries.size)
+}
+
+/** The on-disk file schema: the SQL-visible columns plus the layout
+  * bucket column every writer appends. */
+private[sources] object TxFileSchema {
+  def apply(dataSchema: StructType): StructType =
+    if (dataSchema.fieldNames.contains(graft.ops.LayoutOps.BucketCol))
+      dataSchema
+    else StructType(dataSchema.fields :+ org.apache.spark.sql.types
+      .StructField(graft.ops.LayoutOps.BucketCol, IntegerType))
+}
+
+/** The bucket layout column surfaced as a metadata column. */
+object GraftBucketMetadataColumn extends MetadataColumn {
+  override def name(): String = graft.ops.LayoutOps.BucketCol
+  override def dataType(): DataType = IntegerType
+  override def comment(): String =
+    "layout bucket this row's key hashes into (pmod(xxhash64(key, 42), n))"
+}
+
+// --- SQL row-level operations (MERGE / UPDATE / DELETE) -------------------
+
+/** Group-based (copy-on-write) row-level operation over the commit log —
+  * the rewrite every SQL `MERGE INTO` / `UPDATE` / `DELETE` on a TxTable
+  * plans through (the public Iceberg/Delta COW shape):
+  *
+  *   - Spark rewrites the statement into ReplaceData: scan the AFFECTED
+  *     groups (here: files), apply the merge actions, write back every
+  *     surviving row of those groups, then swap.
+  *   - **Group granularity is the file, pruned to the touched BUCKETS.**
+  *     Static conditions prune through the same zone-map/bucket-identity
+  *     kernel as any read ([[TxCatalogPruning]]); for MERGE, Spark's
+  *     runtime group filtering feeds the SOURCE's join-key values into
+  *     [[TxRowLevelScan.filter]], which hashes them with the writers' own
+  *     layout kernel and keeps only their buckets' files — I/O and rewrite
+  *     volume ∝ update key spread, never table size (spec-pinned
+  *     file-count assertion), the property that makes CDC-style MERGE
+  *     viable at 100 TB.
+  *   - **One atomic commit**: the write removes exactly the files the
+  *     filtered scan served and adds the staged replacements, validating
+  *     under the optimistic protocol that no concurrent commit touched the
+  *     rewritten files (a stale basis fails loudly — re-run the MERGE —
+  *     rather than silently undoing the concurrent write).
+  *
+  * The scan and the write share this operation instance: [[scannedFiles]]
+  * is the contract between them. */
+final class TxRowLevelOperation(path: String, snap: TxTable.Snapshot,
+    bucketing: (String, Int), dataSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The files the (statically + runtime) filtered scan serves — exactly
+    * what the replace-data commit removes. Starts at the full snapshot
+    * (no filterable condition = full-table rewrite) and only shrinks. */
+  @volatile private[sources] var scannedFiles: Seq[TxTable.FileEntry] =
+    snap.entries
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"GraftTxTable $cmd $path v${snap.version}"
+
+  /** Requiring the bucket metadata column keeps Spark's rewrite on the
+    * metadata-projecting write path (copied/updated rows arrive through
+    * the data projection, never as raw MergeRows output). The writer
+    * itself recomputes placement from the key, so the metadata row is
+    * informational. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(graft.ops.LayoutOps.BucketCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxRowLevelScanBuilder(this, path, snap, bucketing, dataSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new TxReplaceDataWrite(TxRowLevelOperation.this, path,
+          info.schema(), bucketing)
+    }
+}
+
+/** Scan side of the rewrite: static predicates prune files exactly like
+  * the ordinary catalog scan; the build result additionally accepts
+  * runtime group filters. */
+final class TxRowLevelScanBuilder(op: TxRowLevelOperation, path: String,
+                                  snap: TxTable.Snapshot,
+                                  bucketing: (String, Int),
+                                  dataSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = dataSchema
+  private var kept: Seq[TxTable.FileEntry] = snap.entries
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (k, _) = TxCatalogPruning.prune(SparkSession.active, path, snap,
+      bucketing, dataSchema, filters)
+    kept = k
+    op.scannedFiles = k
+    filters
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def build(): Scan =
+    new TxRowLevelScan(op, path, kept, bucketing, dataSchema, required)
+}
+
+/** The affected-groups scan: serves the kept files and, via
+  * [[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]],
+  * accepts Spark's runtime group filter — the distinct join-key values of
+  * the MERGE source — hashed through the writers' own bucket kernel to
+  * keep only the touched buckets' files. Over-keep only; every predicate
+  * is still evaluated on rows by the rewrite plan itself. */
+final class TxRowLevelScan(op: TxRowLevelOperation, path: String,
+                           initialEntries: Seq[TxTable.FileEntry],
+                           bucketing: (String, Int),
+                           dataSchema: StructType, required: StructType)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  @volatile private var entries: Seq[TxTable.FileEntry] = initialEntries
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTxTable row-level scan $path (${bucketing._1})"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(bucketing._1))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val (key, n) = bucketing
+    val keyType = dataSchema.fields.find(_.name == key).map(_.dataType)
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames()(0) == key
+      case _ => false
+    }
+    def valuesOf(p: Predicate): Option[Seq[Any]] = p.name() match {
+      case "IN" if p.children().nonEmpty && keyRef(p.children()(0)) =>
+        val vs = p.children().drop(1).toSeq.map {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            Option(l.value: Any)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case "=" if p.children().length == 2 && keyRef(p.children()(0)) =>
+        p.children()(1) match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            Some(Seq(l.value))
+          case _ => None
+        }
+      case _ => None
+    }
+    keyType.foreach { t =>
+      predicates.toSeq.flatMap(p => valuesOf(p)).foreach { vs =>
+        // literal values arrive as catalyst internals — the same domain
+        // the write path hashes, so placement cannot drift
+        val wanted = vs.map(v =>
+          (((org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(v, t, 42L) % n) + n) % n).toInt).toSet
+        entries = entries.filter(e => wanted(e.bucket))
+      }
+    }
+    op.scannedFiles = entries
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map { case (e, i) =>
+      val p = new Path(s"$path/${e.rel}")
+      val st = fs.getFileStatus(p)
+      GraftParquetShim.bucketFilePartition(i,
+        Array(GraftParquetShim.partitionedFile(p.toString, st.getLen,
+          st.getModificationTime)), e.bucket): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // the file schema includes the layout bucket column (it travels inside
+    // every data file), so a projection requesting the bucket METADATA
+    // column is served straight from the files
+    GraftParquetShim.readerFactory(SparkSession.active,
+      TxFileSchema(dataSchema), required)
+}
+
+/** Write side of the rewrite: stages replacement rows per bucket like any
+  * catalog write, then publishes ONE commit that removes exactly the
+  * scanned files. The conflict check makes concurrent-writer races loud:
+  * if any rewritten file is no longer live at commit time, the merge's
+  * basis is stale and the statement must re-run. */
+final class TxReplaceDataWrite(op: TxRowLevelOperation, path: String,
+                               querySchema: StructType,
+                               bucketing: (String, Int))
+    extends org.apache.spark.sql.connector.write.Write {
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+    new TxReplaceBatchWrite(op, path, querySchema, bucketing)
+}
+
+final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
+                                querySchema: StructType,
+                                bucketing: (String, Int))
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  private val stagedRel = s"files/${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val spark = SparkSession.active
+    new TxDataWriterFactory(path, stagedRel, querySchema, bucketing,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.writeHadoopConf(spark)))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val adds = messages.toSeq.flatMap {
+      case TxCommitMessage(fls) => fls.map { case (b, rel, nr) =>
+        TxTable.FileEntry(b, rel, Some(nr)) }
+      case _ => Seq.empty
+    }
+    val removes = op.scannedFiles.map(_.rel).toSet
+    if (adds.isEmpty && removes.isEmpty) return // nothing was affected
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writeSchema = StructType(querySchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        graft.ops.LayoutOps.BucketCol, IntegerType))
+    var attempt = 0
+    while (attempt <= 5) {
+      val snap = TxTable.snapshot(spark, path)
+      val live = snap.entries.map(_.rel).toSet
+      if (!removes.subsetOf(live))
+        throw new java.util.ConcurrentModificationException(
+          s"$path: a concurrent commit rewrote files this MERGE/UPDATE/" +
+            "DELETE read — its basis is stale; re-run the statement " +
+            s"(missing: ${(removes -- live).take(3).mkString(", ")}…)")
+      val merged = TxTable.mergeSchemas(
+        snap.schema.getOrElse(writeSchema), writeSchema)
+      if (TxTable.commitNext(fs, path, snap, adds = adds,
+          removes = removes, txn = None, schema = Some(merged),
+          bucketing = Some(bucketing)))
+        return
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$path: row-level commit lost the race 5 times; staged files " +
+        s"remain under $stagedRel for vacuum")
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path, stagedRel), true)
+    ()
+  }
 }
 
 /** A streaming offset that IS a commit version — the whole point of
@@ -615,7 +924,7 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetShim.readerFactory(spark, dataSchema, required)
+    GraftParquetShim.readerFactory(spark, TxFileSchema(dataSchema), required)
 }
 
 /** The `bucket` transform function Spark resolves through the catalog when
@@ -861,6 +1170,13 @@ final class TxDataWriter(
       .hash(v, keyType, 42L)
     (((h % nBuckets) + nBuckets) % nBuckets).toInt
   }
+
+  /** Metadata-carrying write (copied/updated rows of a COW rewrite): the
+    * metadata row holds the bucket the row CAME from; placement is always
+    * recomputed from the key — same value by construction, and immune to
+    * a future rebucket racing the rewrite. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
 
   override def write(row: InternalRow): Unit = {
     val b = bucketOf(row)

@@ -389,6 +389,71 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  private def bucketOf(k: String): Int = spark.range(1)
+    .select(graft.ops.LayoutOps.bucketId(org.apache.spark.sql.functions
+      .lit(k), nBuckets)).head().getInt(0)
+
+  test("SQL MERGE INTO rewrites only the buckets the source keys hash into — one atomic commit") {
+    registered {
+      val (a, _) = freshTables() // K1..K64 -> v = 1..64
+      Seq(("K1", 100L), ("K2", 200L), ("KNEW", 999L)).toDF("k", "v")
+        .createOrReplaceTempView("merge_updates")
+      val snap0 = TxTable.snapshot(spark, a)
+      spark.sql(
+        s"""MERGE INTO txspj.`$a` t USING merge_updates s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+           |""".stripMargin)
+      val snap1 = TxTable.snapshot(spark, a)
+      assert(snap1.version == snap0.version + 1, "one atomic commit")
+      // row-level semantics: updates applied, insert landed, rest intact
+      val m = tbl(a).as[(String, Long)].collect().toMap
+      assert(m.size == 65 && m("K1") == 100L && m("K2") == 200L &&
+        m("KNEW") == 999L && m("K3") == 3L)
+      // COW granularity: ONLY the touched buckets' files were replaced —
+      // runtime group filtering hashed the source keys through the layout
+      // kernel; untouched buckets' files carried into the manifest verbatim
+      val touched = Seq("K1", "K2", "KNEW").map(bucketOf).toSet
+      val removed = snap0.entries.map(_.rel).toSet --
+        snap1.entries.map(_.rel).toSet
+      assert(removed.nonEmpty, "rewritten files must be swapped out")
+      val removedBuckets =
+        snap0.entries.filter(e => removed(e.rel)).map(_.bucket).toSet
+      assert(removedBuckets.subsetOf(touched),
+        s"MERGE rewrote buckets $removedBuckets beyond the touched $touched")
+      val untouchedCarried = snap0.entries
+        .filter(e => !touched(e.bucket)).map(_.rel)
+        .forall(snap1.entries.map(_.rel).toSet)
+      assert(untouchedCarried, "untouched buckets must carry verbatim")
+      // time travel shows the pre-merge state
+      assert(tbl(s"$a@v${snap0.version}").filter($"k" === "K1")
+        .select($"v").as[Long].head() == 1L)
+    }
+  }
+
+  test("SQL UPDATE and DELETE ride the row-level path with static bucket pruning") {
+    registered {
+      val (a, _) = freshTables()
+      val snap0 = TxTable.snapshot(spark, a)
+      spark.sql(s"UPDATE txspj.`$a` SET v = v + 1000 WHERE k = 'K5'")
+      val snap1 = TxTable.snapshot(spark, a)
+      assert(snap1.version == snap0.version + 1)
+      assert(tbl(a).filter($"k" === "K5").select($"v").as[Long]
+        .head() == 1005L)
+      val removed1 = snap0.entries.map(_.rel).toSet --
+        snap1.entries.map(_.rel).toSet
+      val removedBuckets1 =
+        snap0.entries.filter(e => removed1(e.rel)).map(_.bucket).toSet
+      assert(removedBuckets1 == Set(bucketOf("K5")),
+        s"static equality must prune the rewrite to K5's bucket, " +
+          s"got $removedBuckets1")
+      spark.sql(s"DELETE FROM txspj.`$a` WHERE k = 'K7'")
+      assert(tbl(a).filter($"k" === "K7").count() == 0L)
+      assert(tbl(a).count() == 63L, "only K7's row may disappear")
+      assert(TxTable.snapshot(spark, a).version == snap1.version + 1)
+    }
+  }
+
   test("vacuum collects a crashed INSERT's staged files, honoring the in-flight horizon") {
     registered {
       import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
