@@ -193,7 +193,8 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
+      TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(bucketing._2, bucketing._1))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -955,16 +956,30 @@ object GraftBucketFunction extends UnboundFunction {
   * staging files for vacuum, never a torn table. */
 final class TxWriteBuilder(path: String, querySchema: StructType,
                            bucketing: (String, Int), queryId: String)
-    extends org.apache.spark.sql.connector.write.WriteBuilder {
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var replaceAll = false
+
+  /** `INSERT OVERWRITE` (truncate-and-write): the commit removes every
+    * file of the snapshot it lands on — one atomic swap, old versions
+    * remain time-travelable until vacuum. Schema stays under the same
+    * widening enforcement as appends (overwrite replaces DATA, never
+    * silently changes a column's type). */
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    replaceAll = true
+    this
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new TxWrite(path, querySchema, bucketing, queryId)
+    new TxWrite(path, querySchema, bucketing, queryId, replaceAll)
 }
 
 final class TxWrite(path: String, querySchema: StructType,
-                    bucketing: (String, Int), queryId: String)
+                    bucketing: (String, Int), queryId: String,
+                    replaceAll: Boolean = false)
     extends org.apache.spark.sql.connector.write.Write {
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new TxBatchWrite(path, querySchema, bucketing)
+    new TxBatchWrite(path, querySchema, bucketing, replaceAll)
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new TxStreamingWrite(path, querySchema, bucketing, queryId)
@@ -1068,7 +1083,8 @@ final case class TxCommitMessage(files: Seq[(Int, String, Long)])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class TxBatchWrite(path: String, querySchema: StructType,
-                         bucketing: (String, Int))
+                         bucketing: (String, Int),
+                         replaceAll: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val stagedRel = s"files/${java.util.UUID.randomUUID()}"
 
@@ -1091,7 +1107,9 @@ final class TxBatchWrite(path: String, querySchema: StructType,
         TxTable.FileEntry(b, rel, Some(n)) }
       case _ => Seq.empty
     }
-    if (adds.isEmpty) return
+    // an append of nothing is a no-op; an OVERWRITE with nothing is a
+    // real statement (truncate) and must still commit the removal
+    if (adds.isEmpty && !replaceAll) return
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val writeSchema = StructType(querySchema.fields :+
@@ -1102,8 +1120,12 @@ final class TxBatchWrite(path: String, querySchema: StructType,
       val snap = TxTable.snapshot(spark, path)
       val merged = TxTable.mergeSchemas(
         snap.schema.getOrElse(writeSchema), writeSchema)
+      // overwrite = last-writer-wins truncate of whatever snapshot the
+      // CAS lands on (the standard non-conflicting overwrite semantics)
+      val removes: Set[String] =
+        if (replaceAll) snap.entries.map(_.rel).toSet else Set.empty
       if (TxTable.commitNext(fs, path, snap, adds = adds,
-          removes = Set.empty, txn = None, schema = Some(merged),
+          removes = removes, txn = None, schema = Some(merged),
           bucketing = Some(bucketing)))
         return
       attempt += 1

@@ -431,6 +431,26 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT OVERWRITE truncates and writes in one atomic commit; history stays travelable") {
+    registered {
+      val (a, _) = freshTables() // 64 rows at v0
+      val v0 = TxTable.snapshot(spark, a).version
+      spark.sql(
+        s"INSERT OVERWRITE txspj.`$a` VALUES ('W1', 1), ('W2', 2)")
+      val snap1 = TxTable.snapshot(spark, a)
+      assert(snap1.version == v0 + 1, "one atomic truncate-and-write")
+      assert(tbl(a).as[(String, Long)].collect().toSet ==
+        Set(("W1", 1L), ("W2", 2L)))
+      // the pre-overwrite snapshot remains readable until vacuum
+      assert(tbl(s"$a@v$v0").count() == 64L)
+      // the overwrite's file counts ride the manifest: metadata COUNT(*)
+      val c = spark.sql(s"SELECT count(*) AS n FROM txspj.`$a`")
+      assert(c.head().getLong(0) == 2L)
+      assert(c.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+    }
+  }
+
   test("SQL UPDATE and DELETE ride the row-level path with static bucket pruning") {
     registered {
       val (a, _) = freshTables()
@@ -632,6 +652,46 @@ class TxCatalogSpec extends AnyFunSuite {
         Map("ignoreChanges" -> "true", "startingVersion" -> v.toString))
       assert(reEmit.flatten.exists(_ == ("K1", 9999L)),
         s"rewritten rows must surface under ignoreChanges, got $reEmit")
+    }
+  }
+
+  test("commit-to-commit replication: readStream.table into writeStream.toTable, exactly-once end to end") {
+    registered {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Files.createTempDirectory("graft_cat_repl_").toString
+      val (src, dst) = (s"$base/src", s"$base/dst")
+      TxTable.init(spark, src,
+        (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      // the replica is born from pure SQL DDL, then maintained by the
+      // source→sink loop: five lines of code, exactly-once on both ends
+      spark.sql(s"CREATE TABLE txspj.`$dst` (k STRING, v BIGINT) " +
+        s"PARTITIONED BY (bucket($nBuckets, k))")
+      val ckpt = Files.createTempDirectory("graft_cat_repl_ck_").toString
+      def replicate(): Unit = {
+        val q = spark.readStream.table(s"txspj.`$src`")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"txspj.`$dst`")
+        q.awaitTermination()
+      }
+      replicate()
+      assert(tbl(dst).as[(String, Long)].collect().toSet ==
+        (1 to 8).map(i => (s"K$i", i.toLong)).toSet)
+      // new commits on the source flow through; nothing replays
+      TxTable.appendOnce(spark, src,
+        Seq(("K9", 9L)).toDF("k", "v"), "k", nBuckets, "repl", 1L)
+      replicate()
+      replicate() // no new source commits: replica unchanged
+      assert(tbl(dst).count() == 9L)
+      assert(tbl(dst).as[(String, Long)].collect().toSet ==
+        (1 to 9).map(i => (s"K$i", i.toLong)).toSet)
+      // the replica is a real co-bucketed TxTable: it SPJ-joins the source
+      withSpjConfs {
+        val j = tbl(src).join(tbl(dst).withColumnRenamed("v", "w"), "k")
+        assert(j.count() == 9L)
+        assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+      }
     }
   }
 
