@@ -459,10 +459,55 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
                    pinnedVersion: Option[Long] = None,
                    options: CaseInsensitiveStringMap =
                      CaseInsensitiveStringMap.empty())
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Files this scan serves: the statically pruned snapshot, further
+    * shrunk by runtime (dynamic-pruning) filters before execution. */
+  @volatile private var entries: Seq[TxTable.FileEntry] = snap.entries
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** EXACT statistics from the log — what makes the planner's broadcast
+    * and AQE decisions right without an ANALYZE pass: numRows is the
+    * manifest's recorded per-file row counts (absent counts → unknown,
+    * never a guess), sizeInBytes the files' actual lengths (immutable
+    * files; lengths cached per (table, file) across queries). A DSv2
+    * source without this reports the conf default size and a small
+    * TxTable dim would never auto-broadcast. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val size = entries.map(e => TxFileSizes.of(fs, path, e.rel)).sum
+    val rows = entries.map(_.rows)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        if (rows.exists(_.isEmpty)) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows.flatten.sum)
+    }
+  }
+
+  /** Dynamic pruning for the catalog scan (the DSv2 runtime-filtering
+    * shape): when this table joins a filtered dimension on its bucket
+    * key, Spark feeds the dim's surviving key values here at execution
+    * time and the scan drops every bucket they don't hash into —
+    * partition pruning for a layout that has no directory partitions.
+    * Over-keep only; the join itself still evaluates exactly. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(bucketing._1))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter
+        .Predicate]): Unit = {
+    entries = TxRuntimePrune(predicates, entries, bucketing, dataSchema)
+  }
 
   /** The commit log as a streaming source (offsets = commit versions; the
     * public Delta streaming-source shape) — see [[TxMicroBatchStream]]. */
@@ -494,7 +539,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     val spark = SparkSession.active
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    snap.entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map {
+    entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map {
       case (e, i) =>
         val p = new Path(s"$path/${e.rel}")
         val st = fs.getFileStatus(p)
@@ -514,7 +559,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
       Array(Expressions.bucket(bucketing._2, bucketing._1)),
-      snap.entries.size)
+      entries.size)
 }
 
 /** The on-disk file schema: the SQL-visible columns plus the layout
@@ -525,6 +570,66 @@ private[sources] object TxFileSchema {
       dataSchema
     else StructType(dataSchema.fields :+ org.apache.spark.sql.types
       .StructField(graft.ops.LayoutOps.BucketCol, IntegerType))
+}
+
+/** Shared runtime-filter kernel: IN/= predicates on the bucket key (the
+  * v2 Predicate shape dynamic pruning delivers, values already catalyst-
+  * internal) hash through the writers' own layout kernel and keep only
+  * their buckets' files. Unrecognized predicates prune nothing. */
+private[sources] object TxRuntimePrune {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  def apply(predicates: Array[Predicate],
+            entries: Seq[TxTable.FileEntry],
+            bucketing: (String, Int),
+            dataSchema: StructType): Seq[TxTable.FileEntry] = {
+    val (key, n) = bucketing
+    val keyType = dataSchema.fields.find(_.name == key).map(_.dataType)
+    def keyRef(e: V2Expr): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames()(0) == key
+      case _ => false
+    }
+    def valuesOf(p: Predicate): Option[Seq[Any]] = p.name() match {
+      case "IN" if p.children().nonEmpty && keyRef(p.children()(0)) =>
+        val vs = p.children().drop(1).toSeq.map {
+          case l: V2Literal[_] => Option(l.value: Any)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case "=" if p.children().length == 2 && keyRef(p.children()(0)) =>
+        p.children()(1) match {
+          case l: V2Literal[_] => Some(Seq(l.value))
+          case _ => None
+        }
+      case _ => None
+    }
+    var kept = entries
+    keyType.foreach { t =>
+      predicates.toSeq.flatMap(p => valuesOf(p)).foreach { vs =>
+        // literal values arrive as catalyst internals — the same domain
+        // the write path hashes, so placement cannot drift
+        val wanted = vs.map(v =>
+          (((org.apache.spark.sql.catalyst.expressions.XxHash64Function
+            .hash(v, t, 42L) % n) + n) % n).toInt).toSet
+        kept = kept.filter(e => wanted(e.bucket))
+      }
+    }
+    kept
+  }
+}
+
+/** Per-(table, file) length cache for scan statistics — data files are
+  * immutable and write-once, so a length never goes stale. */
+private[sources] object TxFileSizes {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def of(fs: org.apache.hadoop.fs.FileSystem, table: String,
+         rel: String): Long =
+    cache.computeIfAbsent(s"$table/$rel",
+      k => java.lang.Long.valueOf(fs.getFileStatus(new Path(k)).getLen))
+      .longValue()
 }
 
 /** The bucket layout column surfaced as a metadata column. */
@@ -659,40 +764,7 @@ final class TxRowLevelScan(op: TxRowLevelOperation, path: String,
     Array(Expressions.column(bucketing._1))
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    val (key, n) = bucketing
-    val keyType = dataSchema.fields.find(_.name == key).map(_.dataType)
-    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Boolean = e match {
-      case r: NamedReference =>
-        r.fieldNames.length == 1 && r.fieldNames()(0) == key
-      case _ => false
-    }
-    def valuesOf(p: Predicate): Option[Seq[Any]] = p.name() match {
-      case "IN" if p.children().nonEmpty && keyRef(p.children()(0)) =>
-        val vs = p.children().drop(1).toSeq.map {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            Option(l.value: Any)
-          case _ => None
-        }
-        if (vs.forall(_.isDefined)) Some(vs.flatten) else None
-      case "=" if p.children().length == 2 && keyRef(p.children()(0)) =>
-        p.children()(1) match {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            Some(Seq(l.value))
-          case _ => None
-        }
-      case _ => None
-    }
-    keyType.foreach { t =>
-      predicates.toSeq.flatMap(p => valuesOf(p)).foreach { vs =>
-        // literal values arrive as catalyst internals — the same domain
-        // the write path hashes, so placement cannot drift
-        val wanted = vs.map(v =>
-          (((org.apache.spark.sql.catalyst.expressions.XxHash64Function
-            .hash(v, t, 42L) % n) + n) % n).toInt).toSet
-        entries = entries.filter(e => wanted(e.bucket))
-      }
-    }
+    entries = TxRuntimePrune(predicates, entries, bucketing, dataSchema)
     op.scannedFiles = entries
   }
 

@@ -431,6 +431,66 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("scan statistics come from the log: a TxTable dim auto-broadcasts with no hint") {
+    registered {
+      val (a, _) = freshTables() // 64 rows — a few KB on disk
+      val fact = spark.range(20000)
+        .selectExpr("concat('K', (id % 64) + 1) AS k", "id AS x")
+      val saved = Seq("spark.sql.adaptive.enabled")
+        .map(k => k -> spark.conf.getOption(k))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        // without SupportsReportStatistics a DSv2 relation reports the
+        // conf default size (effectively infinite) and the dim side
+        // would plan sort-merge; with manifest-exact sizeInBytes the
+        // planner broadcasts it under the stock 10 MB threshold
+        val j = fact.join(tbl(a), "k")
+        assert(j.count() == 20000L)
+        val p = j.queryExecution.executedPlan.toString
+        assert(p.contains("BroadcastHashJoin"),
+          s"log-backed stats must let the small dim auto-broadcast:\n$p")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("dynamic runtime filtering prunes the fact scan to the dim's surviving buckets") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_dpp_").toString
+      val fact = s"$base/fact"
+      // several commits → several files per bucket, so pruning is visible
+      TxTable.init(spark, fact,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (0 until 3).foreach { i =>
+        TxTable.appendOnce(spark, fact,
+          (1 to 64).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "dpp", i.toLong)
+      }
+      val total = TxTable.snapshot(spark, fact).entries.size
+      val dim = (1 to 64).map(i => (s"K$i", if (i <= 2) "hot" else "cold"))
+        .toDF("k", "tag")
+      dim.createOrReplaceTempView("dpp_dim")
+      tbl(fact).createOrReplaceTempView("dpp_fact")
+      val q = spark.sql(
+        """SELECT f.k, f.v FROM dpp_fact f
+          |JOIN dpp_dim d ON f.k = d.k WHERE d.tag = 'hot'""".stripMargin)
+      // correctness first: exactly the hot keys' rows (4 commits each)
+      assert(q.count() == 2L * 4)
+      // the executed scan served only the buckets K1/K2 hash into —
+      // Spark fed the dim's surviving keys into the scan at runtime and
+      // the layout hash dropped every other bucket's files
+      val hotBuckets = Seq("K1", "K2").map(bucketOf).toSet
+      val expectedMax = TxTable.snapshot(spark, fact).entries
+        .count(e => hotBuckets(e.bucket))
+      val read = scannedFiles(q)
+      assert(read <= expectedMax && read < total,
+        s"runtime filter must prune the fact scan: read $read of $total " +
+          s"(hot buckets hold $expectedMax)")
+    }
+  }
+
   test("INSERT OVERWRITE truncates and writes in one atomic commit; history stays travelable") {
     registered {
       val (a, _) = freshTables() // 64 rows at v0
