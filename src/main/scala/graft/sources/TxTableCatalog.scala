@@ -230,12 +230,38 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
                           options: CaseInsensitiveStringMap =
                             CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
   private var required: StructType = dataSchema
   private var kept: Seq[TxTable.FileEntry] = snap.entries
   private var prunedBy: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   private var aggAnswer: Option[(StructType, InternalRow)] = None
+  private var sawFilters = false
+
+  /** LIMIT n served from the FEWEST files whose recorded row counts cover
+    * n — `LIMIT 10` on a ten-thousand-file table opens one file. Spark
+    * offers limit pushdown even when this builder's filters are residual
+    * (they are evaluated AFTER the scan), so the shrink must refuse
+    * whenever ANY filter reached pushFilters: with a filter in play, a
+    * dropped file could hold the only matching rows. Partial pushdown:
+    * Spark still applies the exact limit on the served rows. Files
+    * without a recorded count also refuse (over-keep). */
+  override def pushLimit(limit: Int): Boolean = {
+    if (sawFilters || kept.exists(_.rows.isEmpty)) return false
+    var acc = 0L
+    val picked = Seq.newBuilder[TxTable.FileEntry]
+    val it = kept.sortBy(e => (e.bucket, e.rel)).iterator
+    while (acc < limit && it.hasNext) {
+      val e = it.next()
+      picked += e
+      acc += e.rows.get
+    }
+    kept = picked.result()
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Metadata-only aggregates — the payoff of owning the log: a global
     * (no GROUP BY, no residual filter) `COUNT(*)` answers from the
@@ -334,6 +360,7 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
+    sawFilters = sawFilters || filters.nonEmpty
     val (k, used) = TxCatalogPruning.prune(SparkSession.active, path, snap,
       bucketing, dataSchema, filters)
     kept = k

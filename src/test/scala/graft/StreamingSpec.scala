@@ -914,6 +914,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(gold.count() > 0)
   }
 
+  test("T10 off the commit log: the TxTable streaming source triggers gold refresh per commit") {
+    // the reference polls gold in a 60 s while-True loop (Gold1.py:144-146);
+    // round 8 made that a file-stream trigger; this closes it NATIVELY —
+    // the silver transactions table is a TxTable and downstream SUBSCRIBES
+    // to its commits through the DSv2 source: one gold refresh per commit,
+    // no directory polling, no hand-driven cursors
+    val tmp = Files.createTempDirectory("graft_fb_tx_").toString
+    val b = ChurnDataGen.generate(200)
+    import graft.ops.{SilverOps, TxTable}
+    SilverOps.cleanCustomer(ChurnDataGen.profilesDF(spark, b))
+      .write.parquet(s"$tmp/silver/customer_profile")
+    SilverOps.cleanAppUsage(ChurnDataGen.usageDF(spark, b))
+      .write.parquet(s"$tmp/silver/app_usage")
+    SilverOps.cleanSupportTickets(ChurnDataGen.ticketsDF(spark, b))
+      .write.parquet(s"$tmp/silver/support_tickets")
+    val txns = SilverOps.cleanTransactions(
+      ChurnDataGen.transactionsDF(spark, b))
+    txns.write.parquet(s"$tmp/silver/churn_transactions")
+    // the same cleansed table ALSO lives as a TxTable whose commits drive
+    // the refresh; two commits = two refreshes
+    val txPath = s"$tmp/silver_tx"
+    val (first, rest) = (txns.limit(50), txns)
+    TxTable.init(spark, txPath, first, "customer_id", 4)
+    spark.conf.set("spark.sql.catalog.txspj",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try {
+      def run(): Unit = {
+        val stream = spark.readStream
+          .option("maxVersionsPerTrigger", "1")
+          .table(s"txspj.`$txPath`")
+        val q = Pipelines.goldForeachBatch(stream, spark, s"$tmp/silver",
+            s"$tmp/gold", s"$tmp/ckpt",
+            lit("2024-02-01 00:00:00").cast("timestamp"))
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      run() // consumes the init commit → one refresh
+      TxTable.appendOnce(spark, txPath, rest, "customer_id", 4, "t10", 1L)
+      run() // consumes the append commit → a second refresh
+      val gold = spark.read.parquet(s"$tmp/gold")
+      assert(gold.columns.length == 15)
+      assert(gold.select("batch_id").distinct().count() == 2,
+        "one gold refresh per commit")
+      // a run with no new commits refreshes nothing (no empty batches)
+      run()
+      assert(spark.read.parquet(s"$tmp/gold")
+        .select("batch_id").distinct().count() == 2)
+    } finally spark.conf.unset("spark.sql.catalog.txspj")
+  }
+
   test("goldRefresh over silver parquet produces the 14-col table") {
     val tmp = Files.createTempDirectory("graft_gold_").toString
     val b = ChurnDataGen.generate(300)

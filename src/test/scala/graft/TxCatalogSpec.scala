@@ -431,6 +431,31 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("LIMIT pushdown opens only enough files to cover n; filters block it") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_lim_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (0 until 3).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 64).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "lim", i.toLong)
+      }
+      val total = TxTable.snapshot(spark, t).entries.size
+      val lim = spark.sql(s"SELECT k, v FROM txspj.`$t` LIMIT 5")
+      assert(lim.count() == 5L)
+      assert(scannedFiles(lim) < total,
+        s"LIMIT 5 must not plan all $total files")
+      // a residual filter blocks the offer: every matching row stays
+      // eligible and the result is exact
+      val f = spark.sql(
+        s"SELECT k, v FROM txspj.`$t` WHERE v > 250 LIMIT 4")
+      assert(f.count() == 4L)
+      assert(f.select($"v").as[Long].collect().forall(_ > 250L))
+    }
+  }
+
   test("scan statistics come from the log: a TxTable dim auto-broadcasts with no hint") {
     registered {
       val (a, _) = freshTables() // 64 rows — a few KB on disk
