@@ -927,8 +927,10 @@ final case class TxStreamOffset(version: Long)
   *     rewritten rows) — the documented Delta option pair.
   *   - `startingVersion` (a version number, or `latest`) begins the
   *     subscription at a commit instead of the initial snapshot;
-  *     `maxVersionsPerTrigger` rate-limits admission (T7 for the table
-  *     source). `Trigger.AvailableNow` is first-class: the head version is
+  *     `maxVersionsPerTrigger` and `maxFilesPerTrigger` rate-limit
+  *     admission by commits / added files (T7 for the table source; an
+  *     over-sized single commit still admits, so the stream never
+  *     stalls). `Trigger.AvailableNow` is first-class: the head version is
   *     pinned at prepare time, so the query drains to a fixed point and
   *     stops even while writers keep committing. */
 final class TxMicroBatchStream(path: String, dataSchema: StructType,
@@ -945,6 +947,8 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
   private val ignoreChanges = options.getBoolean("ignoreChanges", false)
   private val maxVersionsPerTrigger: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
 
   /** Head version pinned by Trigger.AvailableNow at prepare time. */
   @volatile private var availableNowCap: Option[Long] = None
@@ -971,8 +975,31 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TxStreamOffset].version
     val head = availableNowCap.getOrElse(headVersion)
-    val capped = maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))
-    TxStreamOffset(math.max(capped, s))
+    var end = maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))
+    // file-count admission (the Delta maxFilesPerTrigger shape): stop the
+    // batch at the last version that keeps its cumulative added-file count
+    // under the cap — but always admit at least one version, or a single
+    // over-sized commit would stall the stream forever
+    maxFilesPerTrigger.filter(_ => end > s).foreach { mf =>
+      var prev: Set[String] =
+        if (s < 0) Set.empty
+        else TxTable.snapshot(spark, path, Some(s)).entries.map(_.rel).toSet
+      var acc = 0
+      var chosen = s
+      var v = s + 1
+      var full = false
+      while (v <= end && !full) {
+        val curRels =
+          TxTable.snapshot(spark, path, Some(v)).entries.map(_.rel).toSet
+        val added = (curRels -- prev).size
+        if (chosen == s || acc + added <= mf) { chosen = v; acc += added }
+        else full = true
+        prev = curRels
+        v += 1
+      }
+      end = chosen
+    }
+    TxStreamOffset(math.max(end, s))
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -640,6 +640,15 @@ class StreamingSpec extends AnyFunSuite {
       s"identical distribution must score exactly 0: ${drift(0)}")
     assert(drift(1)._3 > 0.2,
       s"shifted feed must trip the conventional 0.2 PSI gate: ${drift(1)}")
+    // batch 2: single-char docs — no bigrams, no NLL, zero scorable rows.
+    // A batch with no distribution to drift emits NO row (same emptiness
+    // contract as the funnel's audit legs), never an (0, NULL) placeholder
+    in.addData((900011L, "x"), (900012L, "y"))
+    run()
+    val after = spark.read.parquet(s"$tmp/drift")
+      .select($"batch_id").as[Long].collect().toSeq.sorted
+    assert(after == Seq(0L, 1L),
+      s"empty batch must not append a drift row, got $after")
   }
 
   test("embedIngest: vector micro-batches admit against the staged band index") {

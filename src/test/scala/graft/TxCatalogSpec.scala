@@ -712,6 +712,36 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming source: maxFilesPerTrigger caps batch admission by added files") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_mft_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (1 to 2).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 16).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "mft", i.toLong)
+      }
+      val nFiles = TxTable.snapshot(spark, t).entries.size
+      // admission granularity is the COMMIT: a cap of 1 admits exactly one
+      // version per batch (the at-least-one rule keeps an over-sized
+      // commit from stalling the stream) → one batch per commit
+      val tight = drain(t,
+        Files.createTempDirectory("graft_cat_mft_ck1_").toString,
+        Map("maxFilesPerTrigger" -> "1")).filter(_.nonEmpty)
+      assert(tight.size == 3,
+        s"cap below any commit's files = one commit per batch, got " +
+          s"${tight.size}")
+      assert(tight.flatten.size == 48, "no rows lost or duplicated")
+      // a cap covering everything drains in one batch
+      val wide = drain(t,
+        Files.createTempDirectory("graft_cat_mft_ck2_").toString,
+        Map("maxFilesPerTrigger" -> nFiles.toString)).filter(_.nonEmpty)
+      assert(wide.size == 1 && wide.flatten.size == 48)
+    }
+  }
+
   test("streaming source: rewriting commits are loud by default, skippable, or re-emitted") {
     registered {
       val (a, _) = freshTables()
