@@ -2212,6 +2212,28 @@ object SparkEntry {
           col("o_orderpriority"))
     }),
 
+    // Dynamic runtime filtering through the catalog: the versioned-orders
+    // TxTable joins a small FILTERED key list on its bucket key — at
+    // execution time Spark feeds the dim's surviving keys into the scan
+    // (SupportsRuntimeV2Filtering) and the layout hash drops every other
+    // bucket's files before any I/O happens. Partition pruning for a
+    // layout with no directory partitions; file counts spec-pinned in
+    // TxCatalogSpec. Oracle replays the plain filtered join.
+    "ext_catalog_dpp" -> ((s, dir) => {
+      val path = stagedVersionedOrders(s, dir)
+      ensureTxCatalog(s)
+      val dim = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("dk"), col("o_orderpriority").as("dp"))
+        .filter(col("dk") % 1000 === 7)
+      s.table(s"txspj.`$path`")
+        .join(dim, col("o_orderkey") === col("dk"))
+        .groupBy(col("dp").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // SQL MERGE INTO through the catalog (the CDC apply the reference's
     // Debezium topology implies, expressed in pure SQL): the staged fixture
     // applies one MERGE — matched keys update, unmatched insert — via the
@@ -5146,6 +5168,16 @@ object SparkEntry {
         |    AS total_price
         |FROM ch GROUP BY cv, ct, o_orderpriority
         |ORDER BY 1, 2, 3""".stripMargin,
+
+    // DPP replay: the runtime-filtered join selects exactly the dim's
+    // surviving keys' rows (o_orderkey is unique)
+    "ext_catalog_dpp" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_orderkey % 1000 = 7
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     // MERGE replay: post-merge state = evens (updated where %3=0) plus the
     // odd %3=0 inserts; per-row half-up rounding before the decimal sum
