@@ -1249,7 +1249,12 @@ object TxTable {
     // function of the log
     if (versions.head < minKeep && !fs.exists(checkpointPath(table, minKeep))) {
       val snapMin = snapshot(spark, table, Some(minKeep))
-      writeCheckpoint(fs, table, minKeep, snapMin.entries, snapMin.schema)
+      // the anchor must carry EVERYTHING resolution needs — dropping the
+      // bucket identity here would strip the table's layout from every
+      // post-vacuum read that resolves through this checkpoint (found by
+      // the SQL-procedures spec: vacuum then read threw "no identity")
+      writeCheckpoint(fs, table, minKeep, snapMin.entries, snapMin.schema,
+        snapMin.bucketing)
     }
     val referenced: Set[String] = retained
       .flatMap(v => snapshot(spark, table, Some(v)).entries)

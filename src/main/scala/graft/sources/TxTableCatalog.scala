@@ -46,7 +46,8 @@ import graft.ops.TxTable
   * ALTER/RENAME stay unsupported: schema changes ride data commits and
   * the path is the table's identity.
   */
-class TxTableCatalog extends TableCatalog with FunctionCatalog {
+class TxTableCatalog extends TableCatalog with FunctionCatalog
+    with ProcedureCatalog {
   private var catalogName: String = "txtable"
 
   override def initialize(name: String,
@@ -155,6 +156,18 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog {
   override def loadFunction(ident: Identifier): UnboundFunction =
     if (ident.name() == "bucket") GraftBucketFunction
     else throw new NoSuchFunctionException(ident)
+
+  /** Maintenance as SQL: `CALL txspj.compact('/path')` and friends —
+    * see [[TxProcedures]]. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    TxProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    TxProcedures.load(ident.name()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name()}' — available: " +
+          TxProcedures.names.mkString(", ")))
 }
 
 /** A committed TxTable snapshot as a readable + appendable V2 table
@@ -1377,4 +1390,107 @@ final class GraftBoundBucket(keyType: DataType)
       .hash(v, keyType, 42L)
     (((h % n) + n) % n).toInt
   }
+}
+
+// --- SQL maintenance procedures (CALL txspj.<proc>(...)) ------------------
+
+/** A driver-computed one-row procedure result. */
+final class TxLocalResultScan(desc: String, schema: StructType,
+                              resultRows: Array[InternalRow])
+    extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = resultRows
+  override def description(): String = desc
+}
+
+/** The table-maintenance surface for SQL-only sessions — DSv2 stored
+  * procedures (the Iceberg `CALL catalog.proc(...)` shape): compaction,
+  * zone-map profiling, vacuum, and rebucket migration are all one CALL
+  * away, so a deployment can schedule maintenance from plain SQL instead
+  * of a Scala job. Each procedure delegates to the same [[TxTable]]
+  * kernel every Scala caller uses and returns a one-row result frame. */
+object TxProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.types.{LongType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def spark = SparkSession.active
+
+  private abstract class Proc(procName: String, doc: String,
+                              params: Seq[ProcedureParameter],
+                              resultSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = doc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Array[Any]
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val row: InternalRow =
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(run(input))
+      java.util.Collections.singletonList[Scan](
+        new TxLocalResultScan(s"GraftTxTable procedure $procName",
+          resultSchema, Array(row))).iterator()
+    }
+  }
+
+  private val compact: Proc = new Proc("compact",
+    "rewrite buckets holding more than max_files_per_bucket files",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_files_per_bucket", IntegerType)
+        .defaultValue("4").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("buckets_compacted", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.compact(spark, input.getUTF8String(0).toString,
+        input.getInt(1)))
+  }
+
+  private val computeStats: Proc = new Proc("compute_stats",
+    "build/refresh the per-file (min,max) zone-map sidecar for a column",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("files_profiled", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.computeStats(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString))
+  }
+
+  private val vacuum: Proc = new Proc("vacuum",
+    "drop pre-horizon log versions and unreferenced data (respecting the " +
+      "in-flight orphan retention)",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_versions", IntegerType)
+        .defaultValue("1").build(),
+      ProcedureParameter.in("orphan_retention_ms", LongType)
+        .defaultValue("0").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("deleted_paths", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.vacuum(spark, input.getUTF8String(0).toString,
+        input.getInt(1), input.getLong(2)).size)
+  }
+
+  private val rebucket: Proc = new Proc("rebucket",
+    "one-commit bucket-count migration (full rewrite; changes the " +
+      "table's layout identity)",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("key", StringType).build(),
+      ProcedureParameter.in("n_buckets", IntegerType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("committed_version", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.rebucket(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, input.getInt(2)))
+  }
+
+  private val all: Map[String, UnboundProcedure] =
+    Seq(compact, computeStats, vacuum, rebucket)
+      .map(p => p.name() -> (p: UnboundProcedure)).toMap
+
+  def names: Seq[String] = all.keys.toSeq.sorted
+  def load(name: String): Option[UnboundProcedure] = all.get(name)
 }

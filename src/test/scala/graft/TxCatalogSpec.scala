@@ -431,6 +431,49 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("maintenance as SQL: CALL compact / compute_stats / vacuum / rebucket") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_proc_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (1 to 5).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 32).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "proc", i.toLong)
+      }
+      val before = TxTable.snapshot(spark, t).entries.size
+      // compact: fragmented buckets rewritten through the same kernel the
+      // Scala caller uses; default max_files_per_bucket filled by Spark
+      val c = spark.sql(s"CALL txspj.compact('$t', 1)")
+      assert(c.head().getInt(0) == nBuckets, "every bucket was fragmented")
+      assert(TxTable.snapshot(spark, t).entries.size < before)
+      // compute_stats, then the metadata MIN/MAX shortcut answers
+      val st = spark.sql(s"CALL txspj.compute_stats('$t', 'v')")
+      assert(st.head().getInt(0) > 0)
+      val mm = spark.sql(s"SELECT min(v) AS lo, max(v) AS hi FROM txspj.`$t`")
+      assert((mm.head().getLong(0), mm.head().getLong(1)) == ((1L, 532L)))
+      assert(mm.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      // vacuum drops the pre-compaction files; the head stays intact
+      val v = spark.sql(s"CALL txspj.vacuum('$t', 1, 0)")
+      assert(v.head().getInt(0) > 0)
+      assert(tbl(t).count() == 32L * 6)
+      // rebucket migrates the layout identity in one commit
+      val rb = spark.sql(s"CALL txspj.rebucket('$t', 'k', 8)")
+      assert(rb.head().getLong(0) > 0L)
+      assert(TxTable.snapshot(spark, t).bucketing.contains(("k", 8)))
+      assert(tbl(t).count() == 32L * 6)
+      // unknown procedures fail loudly with the available list
+      val e = intercept[Exception] {
+        spark.sql(s"CALL txspj.optimize('$t')").collect()
+      }
+      def msgs(x: Throwable): String =
+        if (x == null) "" else x.getMessage + "|" + msgs(x.getCause)
+      assert(msgs(e).contains("compact"), msgs(e))
+    }
+  }
+
   test("LIMIT pushdown opens only enough files to cover n; filters block it") {
     registered {
       val base = Files.createTempDirectory("graft_cat_lim_").toString
