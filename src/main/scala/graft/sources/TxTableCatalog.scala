@@ -1487,8 +1487,29 @@ object TxProcedures {
         input.getUTF8String(1).toString, input.getInt(2)))
   }
 
+  private val history: Proc = new Proc("history",
+    "DESCRIBE HISTORY: one row per retained log version, from manifest " +
+      "headers alone (zero data I/O)",
+    Seq(ProcedureParameter.in("table", StringType).build()),
+    org.apache.spark.sql.types.StructType(Seq())) {
+    // multi-row result: the schema/rows come from the history frame itself
+    override protected def run(input: InternalRow): Array[Any] =
+      throw new UnsupportedOperationException("unused — call() overridden")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val df = TxTable.history(spark, input.getUTF8String(0).toString)
+      val schema = df.schema
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(schema)
+      val rows = df.collect().map(r =>
+        conv(r).asInstanceOf[InternalRow]) // bounded: one row per version
+      java.util.Collections.singletonList[Scan](
+        new TxLocalResultScan("GraftTxTable procedure history", schema,
+          rows)).iterator()
+    }
+  }
+
   private val all: Map[String, UnboundProcedure] =
-    Seq(compact, computeStats, vacuum, rebucket)
+    Seq(compact, computeStats, vacuum, rebucket, history)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

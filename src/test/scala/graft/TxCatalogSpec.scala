@@ -464,6 +464,10 @@ class TxCatalogSpec extends AnyFunSuite {
       assert(rb.head().getLong(0) > 0L)
       assert(TxTable.snapshot(spark, t).bucketing.contains(("k", 8)))
       assert(tbl(t).count() == 32L * 6)
+      // DESCRIBE HISTORY from SQL: one metadata row per retained version
+      val h = spark.sql(s"CALL txspj.history('$t')")
+      assert(h.count() == TxTable.history(spark, t).count())
+      assert(h.columns.toSeq.take(2) == Seq("version", "kind"))
       // unknown procedures fail loudly with the available list
       val e = intercept[Exception] {
         spark.sql(s"CALL txspj.optimize('$t')").collect()
