@@ -178,7 +178,8 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
   * computes it per row), like a partition transform column. */
 final class TxSparkTable(path: String, version: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with TruncatableTable {
   private val snap = TxTable.snapshot(SparkSession.active, path, version)
   private val fullSchema: StructType = snap.schema.getOrElse(
     throw new IllegalStateException(
@@ -219,6 +220,28 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     require(version.isEmpty,
       s"cannot INSERT into time-travel snapshot $path@v${snap.version}")
     new TxWriteBuilder(path, info.schema(), bucketing, info.queryId())
+  }
+
+  /** TRUNCATE TABLE: one commit removing whatever snapshot it lands on
+    * (same last-writer-wins semantics as INSERT OVERWRITE's truncate
+    * half); history stays time-travelable until vacuum. */
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty,
+      s"cannot TRUNCATE time-travel snapshot $path@v${snap.version}")
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt <= 5) {
+      val cur = TxTable.snapshot(spark, path)
+      if (cur.entries.isEmpty) return true
+      if (TxTable.commitNext(fs, path, cur, adds = Seq.empty,
+          removes = cur.entries.map(_.rel).toSet, txn = None,
+          schema = cur.schema, bucketing = cur.bucketing))
+        return true
+      attempt += 1
+    }
+    false
   }
 
   /** SQL MERGE INTO / UPDATE / DELETE as a group-based (copy-on-write)

@@ -580,6 +580,13 @@ class TxCatalogSpec extends AnyFunSuite {
       assert(c.head().getLong(0) == 2L)
       assert(c.queryExecution.executedPlan.toString
         .contains("LocalTableScan"))
+      // TRUNCATE TABLE: one commit to empty, history intact, appendable
+      spark.sql(s"TRUNCATE TABLE txspj.`$a`")
+      assert(tbl(a).count() == 0L)
+      assert(TxTable.snapshot(spark, a).version == snap1.version + 1)
+      assert(tbl(s"$a@v${snap1.version}").count() == 2L)
+      spark.sql(s"INSERT INTO txspj.`$a` VALUES ('T1', 1)")
+      assert(tbl(a).as[(String, Long)].collect().toSet == Set(("T1", 1L)))
     }
   }
 
