@@ -402,12 +402,8 @@ object SparkEntry {
       if (new java.io.File(idxPath, "_txlog").exists() &&
           !ops.TxTable.read(s, idxPath).schema.fieldNames
             .contains("positions")) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete(); ()
-        }
-        rm(new java.io.File(idxPath))
-        rm(new java.io.File(idxPath + "_globals"))
+        rmTree(new java.io.File(idxPath))
+        rmTree(new java.io.File(idxPath + "_globals"))
       }
       if (!new java.io.File(idxPath, "_txlog").exists())
         ops.TextOps.buildBm25Index(tbl(s, dir, "documents"), idxPath,
@@ -432,6 +428,13 @@ object SparkEntry {
   private def ensureStaged(path: String)(write: => Unit): Unit = {
     val abs = new java.io.File(path).getAbsolutePath
     if (stagedPaths.add(abs)) write
+  }
+
+  /** Recursive delete for staged fixture directories (null-safe against a
+    * concurrent delete racing the listing). */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
   }
 
   /** Corpus row counts, staged once per (table path, JVM) — the same
@@ -653,6 +656,11 @@ object SparkEntry {
     // per commit) and the SQL MERGE apply — landing-job work
     stagedStreamDrain(s, dir)
     stagedMergedOrders(s, dir)
+    // the key-clustered TopN fixture and the retention-delete landing
+    // (commit slicing + ANALYZE + the metadata DELETE itself are
+    // maintenance work; the queries time the surviving read path)
+    stagedClusteredOrders(s, dir)
+    stagedRetentionOrders(s, dir)
     ()
   }
 
@@ -663,11 +671,7 @@ object SparkEntry {
   private def stagedVersionedOrders(s: SparkSession, dir: String): String = {
     val path = s"target/graft-versioned-orders/${new java.io.File(dir).getName}"
     ensureStaged(path) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      rmTree(new java.io.File(path))
       val orders = tbl(s, dir, "orders")
       def slice(r: Int) =
         orders.filter(pmod(col("o_orderkey"), lit(3)) === r)
@@ -684,6 +688,66 @@ object SparkEntry {
     path
   }
 
+  /** Orders as a key-range-clustered TxTable (commit i = the i-th third
+    * of the o_orderkey range) with an o_orderkey zone-map sidecar — the
+    * layout that makes TopN file pruning bite: `ORDER BY o_orderkey DESC
+    * LIMIT n` opens only the files whose recorded (lo, hi) can hold a
+    * top-n key (scanned-file counts spec-pinned in TxCatalogSpec). */
+  private def stagedClusteredOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-clustered-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val orders = tbl(s, dir, "orders")
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (cut1, cut2) = (maxKey / 3, 2 * maxKey / 3)
+      ops.TxTable.init(s, path, orders.filter(col("o_orderkey") <= cut1),
+        key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut1 &&
+          col("o_orderkey") <= cut2),
+        "o_orderkey", 8, appId = "topn-stage", batchId = 1L)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut2),
+        "o_orderkey", 8, appId = "topn-stage", batchId = 2L)
+      ops.TxTable.computeStats(s, path, "o_orderkey")
+      ()
+    }
+    path
+  }
+
+  /** Orders staged as a key-range-clustered TxTable, then retention-swept
+    * through pure SQL: `DELETE ... WHERE o_orderkey <= maxKey/3` exactly
+    * covers the first commit's files, so Spark's
+    * OptimizeMetadataOnlyDeleteFromTable routes the statement to
+    * [[graft.sources.TxSparkTable]]'s `deleteWhere` — ONE manifest commit,
+    * zero data files read or rewritten (the 100 TB retention-delete shape;
+    * file-identity and null-count guards spec-pinned in TxCatalogSpec).
+    * The query reads the surviving table. */
+  private def stagedRetentionOrders(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-retention-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val orders = tbl(s, dir, "orders")
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (cut1, cut2) = (maxKey / 3, 2 * maxKey / 3)
+      ops.TxTable.init(s, path, orders.filter(col("o_orderkey") <= cut1),
+        key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut1 &&
+          col("o_orderkey") <= cut2),
+        "o_orderkey", 8, appId = "ret-stage", batchId = 1L)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut2),
+        "o_orderkey", 8, appId = "ret-stage", batchId = 2L)
+      ops.TxTable.computeStats(s, path, "o_orderkey")
+      ensureTxCatalog(s)
+      s.sql(s"DELETE FROM txspj.`$path` WHERE o_orderkey <= $cut1")
+      ()
+    }
+    path
+  }
+
   /** Streaming-source landing for ext_stream_table_source: drains the
     * 3-commit versioned-orders TxTable through the DSv2 MicroBatchStream
     * (offsets = commit versions) with `maxVersionsPerTrigger=1`, so each
@@ -695,11 +759,7 @@ object SparkEntry {
     val root = s"target/graft-stream-source/${new java.io.File(dir).getName}"
     val out = s"$root/landed"
     ensureStaged(root) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      rmTree(new java.io.File(root))
       ensureTxCatalog(s)
       val src = stagedVersionedOrders(s, dir)
       val q = s.readStream
@@ -729,11 +789,7 @@ object SparkEntry {
   private def stagedMergedOrders(s: SparkSession, dir: String): String = {
     val path = s"target/graft-merge/${new java.io.File(dir).getName}"
     ensureStaged(path) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(path))
+      rmTree(new java.io.File(path))
       ensureTxCatalog(s)
       val orders = tbl(s, dir, "orders")
       ops.TxTable.init(s, path,
@@ -760,11 +816,7 @@ object SparkEntry {
   private def stagedHllState(s: SparkSession, dir: String): String = {
     val root = s"target/graft-hll-state/${new java.io.File(dir).getName}"
     ensureStaged(root) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      rmTree(new java.io.File(root))
       val ev = tbl(s, dir, "events").select(col("event_type"), col("user_id"))
       def slice(r: Int) = ev.filter(pmod(col("user_id"), lit(3)) === r)
       val src = s"$root/source"
@@ -790,11 +842,7 @@ object SparkEntry {
   private def stagedSpjTables(s: SparkSession, dir: String): (String, String) = {
     val root = s"target/graft-spj/${new java.io.File(dir).getName}"
     ensureStaged(root) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(root))
+      rmTree(new java.io.File(root))
       ops.TxTable.init(s, s"$root/orders",
         tbl(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")),
@@ -2114,6 +2162,43 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ORDER BY + LIMIT through the catalog: the scan's TopN pushdown
+    // ranks files by their zone-map bounds on the sort column and opens
+    // only those that can hold a top-n value — `ORDER BY key DESC
+    // LIMIT 25` on a key-clustered table reads the tail commit's files,
+    // not the table (file counts spec-pinned in TxCatalogSpec; at 100 TB
+    // this is "newest 100 events" answered from a handful of files).
+    // Oracle replays the plain ORDER BY LIMIT.
+    "ext_catalog_topn" -> ((s, dir) => {
+      val path = stagedClusteredOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .orderBy(col("o_orderkey").desc)
+        .limit(25)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Retention DELETE answered from metadata: the staged landing job ran
+    // `DELETE WHERE o_orderkey <= maxKey/3` against a key-clustered
+    // TxTable — zone maps + null counts prove every file of the first
+    // commit fully matches, so the statement is ONE manifest commit with
+    // zero files read or rewritten (undecidable predicates fall back to
+    // the exact COW rewrite; both paths spec-pinned in TxCatalogSpec).
+    // The query audits the surviving table; the oracle replays the
+    // delete as a WHERE over the raw orders.
+    "ext_metadata_delete" -> ((s, dir) => {
+      val path = stagedRetentionOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Revenue per priority over a STORAGE-PARTITIONED join: both sides are
@@ -4317,6 +4402,25 @@ object SparkEntry {
     "ext_catalog_pointread" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
         |FROM orders WHERE o_orderkey IN (3, 42, 99)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // metadata-delete replay: whether the delete dropped files from the
+    // manifest or rewrote them is a pure execution property — the oracle
+    // replays the retention predicate as a WHERE (// is DuckDB integer
+    // division, matching Spark's Long division on positive keys)
+    "ext_metadata_delete" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // catalog TopN replay: the file pruning is a pure execution
+    // property — the oracle is the plain ORDER BY LIMIT
+    "ext_catalog_topn" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+        |FROM (SELECT * FROM orders ORDER BY o_orderkey DESC LIMIT 25)
         |ORDER BY o_orderkey""".stripMargin,
 
     // storage-partitioned join replay: the partitioning is a pure

@@ -544,8 +544,11 @@ object TxTable {
     val snap = snapshot(spark, table)
     val fs = fsFor(spark, table)
     val sp = statsPath(table, statsCol)
+    // sidecars written before the null-count column force one full
+    // re-profile (cheap, one-time) rather than carrying unknown nulls
     val existing =
       if (fs.exists(sp)) Some(spark.read.parquet(sp.toString))
+        .filter(_.schema.fieldNames.contains("nulls"))
       else None
     val known: Set[String] = existing
       .map(_.select("rel").collect().map(_.getString(0)).toSet)
@@ -563,13 +566,20 @@ object TxTable {
         "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
         col(statsCol))
       .groupBy(col("rel"))
-      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"))
-    val all = existing match {
+      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+        sum(col(statsCol).isNull.cast("long")).as("nulls"))
+    // trim rows for files no longer live (compacted / vacuumed / deleted):
+    // every stats consumer over-keeps on a missing rel, so dropping them
+    // is safe — and without it the sidecar grows O(files EVER), not
+    // O(files live), under steady compaction churn
+    val liveRels = snap.entries.map(_.rel).toSet
+    val all = (existing match {
       case Some(old) =>
-        old.select(col("rel"), col("lo"), col("hi")).unionByName(fresh)
+        old.select(col("rel"), col("lo"), col("hi"), col("nulls"))
+          .unionByName(fresh)
           .dropDuplicates(Seq("rel"))
       case None => fresh
-    }
+    }).filter(udf((r: String) => liveRels(r)).apply(col("rel")))
     val tmp = new Path(logDir(table),
       s".stats-tmp-${java.util.UUID.randomUUID()}")
     all.coalesce(1).write.parquet(tmp.toString)
@@ -587,10 +597,10 @@ object TxTable {
     * runs once per optimization) re-read the tiny parquet only after a
     * [[computeStats]] refresh. */
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Map[String, (Any, Any)])]()
+    String, (Long, Map[String, (Any, Any, Option[Long])])]()
 
-  private[graft] def fileStats(spark: SparkSession, table: String,
-                               c: String): Map[String, (Any, Any)] = {
+  private def fileStatsRaw(spark: SparkSession, table: String,
+                           c: String): Map[String, (Any, Any, Option[Long])] = {
     val fs = fsFor(spark, table)
     val sp = statsPath(table, c)
     if (!fs.exists(sp)) return Map.empty
@@ -599,13 +609,35 @@ object TxTable {
     val cached = statsCache.get(key)
     if (cached != null && cached._1 == mtime) cached._2
     else {
-      val m = spark.read.parquet(sp.toString)
-        .select(col("rel"), col("lo"), col("hi")).collect()
-        .map(r => r.getString(0) -> ((r.get(1), r.get(2)))).toMap
+      val df = spark.read.parquet(sp.toString)
+      val hasNulls = df.schema.fieldNames.contains("nulls")
+      val m =
+        if (hasNulls)
+          df.select(col("rel"), col("lo"), col("hi"), col("nulls")).collect()
+            .map(r => r.getString(0) ->
+              ((r.get(1), r.get(2),
+                if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+        else // pre-null-count sidecar: ranges usable, null counts unknown
+          df.select(col("rel"), col("lo"), col("hi")).collect()
+            .map(r => r.getString(0) ->
+              ((r.get(1), r.get(2), None: Option[Long]))).toMap
       statsCache.put(key, (mtime, m))
       m
     }
   }
+
+  private[graft] def fileStats(spark: SparkSession, table: String,
+                               c: String): Map[String, (Any, Any)] =
+    fileStatsRaw(spark, table, c).map { case (k, (lo, hi, _)) =>
+      k -> ((lo, hi)) }
+
+  /** Per-file (lo, hi, nullCount) — null counts present only for sidecars
+    * refreshed since the column was added (callers must refuse, not
+    * guess, on None). */
+  private[graft] def fileStatsWithNulls(
+      spark: SparkSession, table: String,
+      c: String): Map[String, (Any, Any, Option[Long])] =
+    fileStatsRaw(spark, table, c)
 
   /** Newest snapshot, cached by version number — for per-query callers
     * (the optimizer rule) that must not pay manifest resolution on every

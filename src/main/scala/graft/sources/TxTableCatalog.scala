@@ -136,12 +136,16 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
         "commits (INSERT/append a batch carrying the new columns)")
 
   /** DROP TABLE: deletes the commit log and data directories (also the
-    * CTAS failure-cleanup hook). Time-travel identifiers refuse —
-    * dropping one version of a table is not a thing. */
+    * CTAS failure-cleanup hook). Time-travel identifiers refuse loudly —
+    * Spark's DropTableExec ignores the boolean return, so a silent
+    * `false` would report success without dropping anything. */
   override def dropTable(ident: Identifier): Boolean = {
     val (path, version) = pathOf(ident)
-    if (version.isDefined) false
-    else TxTable.drop(SparkSession.active, path)
+    if (version.isDefined)
+      throw new UnsupportedOperationException(
+        s"cannot DROP time-travel snapshot $path@v${version.get}: drop " +
+          "the table head (or vacuum old versions) instead")
+    TxTable.drop(SparkSession.active, path)
   }
 
   override def renameTable(oldIdent: Identifier,
@@ -179,7 +183,7 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
 final class TxSparkTable(path: String, version: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
-    with TruncatableTable {
+    with TruncatableTable with SupportsDelete {
   private val snap = TxTable.snapshot(SparkSession.active, path, version)
   private val fullSchema: StructType = snap.schema.getOrElse(
     throw new IllegalStateException(
@@ -222,9 +226,58 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     new TxWriteBuilder(path, info.schema(), bucketing, info.queryId())
   }
 
+  /** Metadata-only DELETE routing: Spark's
+    * OptimizeMetadataOnlyDeleteFromTable converts the group-based COW
+    * rewrite into [[deleteWhere]] exactly when this accepts — see
+    * [[TxMetadataDelete]] for the zone-map decision procedure. Refusal
+    * (any undecidable file, a time-travel snapshot) keeps the exact
+    * copy-on-write path; correctness never depends on acceptance. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    version.isEmpty && TxMetadataDelete.plan(
+      SparkSession.active, path, snap, filters.toSeq).isDefined
+
+  /** The accepted delete: ONE manifest commit dropping the fully-covered
+    * files — zero data files opened, zero rows rewritten; dropped
+    * versions stay time-travelable until vacuum. The coverage plan is
+    * recomputed on every CAS attempt's fresh snapshot, so a concurrent
+    * commit can never smuggle a partially-covered file past the check —
+    * if one appears, the statement fails loudly for a re-run. */
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(version.isEmpty,
+      s"cannot DELETE from time-travel snapshot $path@v${snap.version}")
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    while (attempt <= 5) {
+      val cur = TxTable.snapshot(spark, path)
+      TxMetadataDelete.plan(spark, path, cur, filters.toSeq) match {
+        case None =>
+          throw new java.util.ConcurrentModificationException(
+            s"$path: a concurrent commit made the metadata DELETE " +
+              "undecidable — re-run the statement (it will take the " +
+              "copy-on-write path)")
+        case Some(removes) =>
+          if (removes.isEmpty) return
+          if (TxTable.commitNext(fs, path, cur, adds = Seq.empty,
+              removes = removes.map(_.rel).toSet, txn = None,
+              schema = cur.schema, bucketing = cur.bucketing))
+            return
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$path: DELETE lost the commit race 6 times")
+  }
+
   /** TRUNCATE TABLE: one commit removing whatever snapshot it lands on
     * (same last-writer-wins semantics as INSERT OVERWRITE's truncate
-    * half); history stays time-travelable until vacuum. */
+    * half); history stays time-travelable until vacuum. Contention
+    * exhaustion THROWS (like every other TxTable writer) — Spark's
+    * TruncateTableExec ignores the boolean return, so a silent `false`
+    * would report an un-truncated table as truncated. */
   override def truncateTable(): Boolean = {
     require(version.isEmpty,
       s"cannot TRUNCATE time-travel snapshot $path@v${snap.version}")
@@ -241,7 +294,8 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
         return true
       attempt += 1
     }
-    false
+    throw new java.util.ConcurrentModificationException(
+      s"$path: TRUNCATE lost the commit race 6 times")
   }
 
   /** SQL MERGE INTO / UPDATE / DELETE as a group-based (copy-on-write)
@@ -267,7 +321,7 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
                             CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = dataSchema
   private var kept: Seq[TxTable.FileEntry] = snap.entries
   private var prunedBy: Array[org.apache.spark.sql.sources.Filter] =
@@ -298,6 +352,75 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
   }
 
   override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY c LIMIT n served from only the files that can hold a top-n
+    * value — the zone-map TopN shortcut: rank files by their GUARANTEED
+    * bound on the sort column (every non-null row of a file is at least
+    * as good as its lo for DESC / its hi for ASC), walk best-first until
+    * the accumulated non-null row counts cover n — the last bound walked
+    * is a floor T on the n-th value — then keep exactly the files whose
+    * BEST value ties or beats T. Dropped files hold only rows strictly
+    * worse than the n-th value, so the top-n multiset is preserved and
+    * Spark's retained sort+limit (partial pushdown) finishes exactly.
+    * `ORDER BY ts DESC LIMIT 100` on a time-clustered table opens a
+    * handful of tail files instead of all of them.
+    *
+    * Null ordering is honored via the sidecar's per-file null counts:
+    * NULLS FIRST consumes nulls before any value (null-holding files are
+    * always kept and n shrinks by the total null count); NULLS LAST means
+    * a null can only surface when fewer than n non-null values exist —
+    * that case refuses rather than prunes. Refusal is always graceful
+    * (residual filters in play, multi-column sort, non-column sort key,
+    * unprofiled files, pre-null-count sidecars, or missing manifest row
+    * counts → ordinary scan). */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{
+      NamedReference, NullOrdering, SortDirection}
+    if (sawFilters || orders.length != 1) return false
+    if (kept.isEmpty || kept.exists(_.rows.isEmpty)) return false
+    val colName = orders(0).expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+      case _ => return false
+    }
+    val stats = TxTable.fileStatsWithNulls(SparkSession.active, path, colName)
+    if (!kept.forall(e => stats.get(e.rel).exists(_._3.isDefined)))
+      return false
+    val desc = orders(0).direction() == SortDirection.DESCENDING
+    val nullsFirst = orders(0).nullOrdering() == NullOrdering.NULLS_FIRST
+    final case class FileRange(e: TxTable.FileEntry, lo: Any, hi: Any,
+                               nulls: Long, nonNull: Long)
+    val ranges = kept.map { e =>
+      val (lo, hi, n) = stats(e.rel)
+      FileRange(e, lo, hi, n.get, e.rows.get - n.get)
+    }
+    val totalNulls = ranges.map(_.nulls).sum
+    val need: Long = if (nullsFirst) limit - totalNulls else limit
+    if (!nullsFirst && ranges.map(_.nonNull).sum < limit) return false
+    if (need <= 0) { // top-n is entirely nulls
+      kept = ranges.filter(_.nulls > 0).map(_.e)
+      return true
+    }
+    def better(a: Any, b: Any): Boolean =
+      if (desc) TxTable.cmpAny(a, b) > 0 else TxTable.cmpAny(a, b) < 0
+    def guaranteed(f: FileRange): Any = if (desc) f.lo else f.hi
+    def best(f: FileRange): Any = if (desc) f.hi else f.lo
+    val ranked = ranges.filter(_.nonNull > 0)
+      .sortWith((x, y) => better(guaranteed(x), guaranteed(y)))
+    var acc = 0L
+    var t: Any = null
+    val it = ranked.iterator
+    while (acc < need && it.hasNext) {
+      val f = it.next(); acc += f.nonNull; t = guaranteed(f)
+    }
+    if (acc < need) return false
+    kept = ranges.filter { f =>
+      (best(f) != null && !better(t, best(f))) ||
+        (nullsFirst && f.nulls > 0)
+    }.map(_.e)
+    true
+  }
 
   /** Metadata-only aggregates — the payoff of owning the log: a global
     * (no GROUP BY, no residual filter) `COUNT(*)` answers from the
@@ -428,6 +551,136 @@ final class TxLocalAggScan(path: String, version: Long,
   override def rows(): Array[InternalRow] = Array(row)
   override def description(): String =
     s"GraftTxTable metadata-only aggregate $path v$version"
+}
+
+/** Metadata-only DELETE — the 100 TB retention story: `DELETE FROM t
+  * WHERE day < X` on a day-clustered table must drop whole files from the
+  * manifest without reading, rewriting, or even opening them. Spark's
+  * own `OptimizeMetadataOnlyDeleteFromTable` rule converts the group-based
+  * COW rewrite back into a [[SupportsDeleteV2.deleteWhere]] call whenever
+  * [[canDeleteWhere]] accepts, so the decision procedure here IS the
+  * routing: accept only when every live file is provably FULL (every row
+  * matches — file dropped) or ZERO (no row matches — file untouched)
+  * under the predicate; one Partial file refuses and the statement runs
+  * the exact copy-on-write path instead.
+  *
+  * Decidability comes from the zone-map sidecars' (lo, hi, nullCount)
+  * plus the manifest's row counts. Null counts are load-bearing, not an
+  * optimization: `v < X` does NOT match a null row, so a file whose range
+  * is entirely below X but which holds nulls is only PARTIALLY deleted —
+  * dropping it would silently destroy the null rows. Three-valued
+  * coverage composes through AND/OR exactly like parquet's statistics
+  * filter; anything unprovable degrades to Partial, never guesses. */
+private[sources] object TxMetadataDelete {
+  import org.apache.spark.sql.sources._
+
+  sealed trait Coverage
+  case object Full extends Coverage
+  case object Zero extends Coverage
+  case object Partial extends Coverage
+
+  private def andCov(a: Coverage, b: Coverage): Coverage = (a, b) match {
+    case (Zero, _) | (_, Zero) => Zero
+    case (Full, Full) => Full
+    case _ => Partial
+  }
+
+  private def orCov(a: Coverage, b: Coverage): Coverage = (a, b) match {
+    case (Full, _) | (_, Full) => Full
+    case (Zero, Zero) => Zero
+    case _ => Partial
+  }
+
+  /** Some(files to drop) iff every live file is decidable under the
+    * conjunction of `filters`; None falls back to the COW rewrite. */
+  def plan(spark: SparkSession, path: String, snap: TxTable.Snapshot,
+           filters: Seq[Filter]): Option[Seq[TxTable.FileEntry]] = {
+    val statsFor = scala.collection.mutable.Map
+      .empty[String, Map[String, (Any, Any, Option[Long])]]
+    def stats(c: String): Map[String, (Any, Any, Option[Long])] =
+      statsFor.getOrElseUpdate(c, TxTable.fileStatsWithNulls(spark, path, c))
+    def cmp(a: Any, b: Any): Option[Int] =
+      scala.util.Try(TxTable.cmpAny(a, b)).toOption
+
+    def coverage(f: Filter, e: TxTable.FileEntry): Coverage = {
+      // (lo, hi, nulls) — present only for post-null-count sidecars
+      def st(c: String): Option[(Any, Any, Long)] =
+        stats(c).get(e.rel).flatMap { case (lo, hi, n) =>
+          n.map(nn => (lo, hi, nn)) }
+      /** Range comparison coverage: `fullHi`/`zeroLo` decide from the
+        * non-null range; FULL additionally requires zero nulls (a null
+        * never matches a comparison, so it must survive the delete). */
+      def rangeCov(c: String, full: (Any, Any) => Option[Boolean],
+                   zero: (Any, Any) => Option[Boolean]): Coverage =
+        st(c) match {
+          case None => Partial
+          case Some((lo, _, _)) if lo == null => Zero // all-null file
+          case Some((lo, hi, nulls)) =>
+            if (nulls == 0L && full(lo, hi).contains(true)) Full
+            else if (zero(lo, hi).contains(true)) Zero
+            else Partial
+        }
+      f match {
+        case AlwaysTrue() => Full
+        case AlwaysFalse() => Zero
+        case And(a, b) => andCov(coverage(a, e), coverage(b, e))
+        case Or(a, b) => orCov(coverage(a, e), coverage(b, e))
+        case LessThan(c, v) if v != null =>
+          rangeCov(c, (_, hi) => cmp(hi, v).map(_ < 0),
+            (lo, _) => cmp(lo, v).map(_ >= 0))
+        case LessThanOrEqual(c, v) if v != null =>
+          rangeCov(c, (_, hi) => cmp(hi, v).map(_ <= 0),
+            (lo, _) => cmp(lo, v).map(_ > 0))
+        case GreaterThan(c, v) if v != null =>
+          rangeCov(c, (lo, _) => cmp(lo, v).map(_ > 0),
+            (_, hi) => cmp(hi, v).map(_ <= 0))
+        case GreaterThanOrEqual(c, v) if v != null =>
+          rangeCov(c, (lo, _) => cmp(lo, v).map(_ >= 0),
+            (_, hi) => cmp(hi, v).map(_ < 0))
+        case EqualTo(c, v) if v != null =>
+          rangeCov(c,
+            (lo, hi) => for (a <- cmp(lo, v); b <- cmp(hi, v))
+              yield a == 0 && b == 0,
+            (lo, hi) => for (a <- cmp(v, lo); b <- cmp(v, hi))
+              yield a < 0 || b > 0)
+        case EqualNullSafe(c, v) if v != null =>
+          coverage(EqualTo(c, v), e)
+        case EqualNullSafe(c, null) => coverage(IsNull(c), e)
+        case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+          st(c) match {
+            case None => Partial
+            case Some((lo, _, _)) if lo == null => Zero
+            case Some((lo, hi, nulls)) =>
+              val allOutside = vs.forall(v =>
+                cmp(v, lo).exists(_ < 0) || cmp(v, hi).exists(_ > 0))
+              val singleton = cmp(lo, hi).contains(0) &&
+                vs.exists(v => cmp(v, lo).contains(0))
+              if (allOutside) Zero
+              else if (nulls == 0L && singleton) Full
+              else Partial
+          }
+        case IsNull(c) => st(c) match {
+          case None => Partial
+          case Some((_, _, 0L)) => Zero
+          case Some((_, _, nulls)) if e.rows.contains(nulls) => Full
+          case _ => Partial
+        }
+        case IsNotNull(c) => st(c) match {
+          case None => Partial
+          case Some((_, _, 0L)) => Full
+          case Some((_, _, nulls)) if e.rows.contains(nulls) => Zero
+          case _ => Partial
+        }
+        case _ => Partial
+      }
+    }
+
+    val verdicts = snap.entries.map(e =>
+      e -> filters.foldLeft(Full: Coverage)((acc, f) =>
+        andCov(acc, coverage(f, e))))
+    if (verdicts.exists(_._2 == Partial)) None
+    else Some(verdicts.collect { case (e, Full) => e })
+  }
 }
 
 /** Driver-side file pruning shared semantics with
@@ -598,7 +851,26 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     * escape hatch for co-bucketed joins, which AQE cannot provide because
     * there is no exchange to re-plan (spec-pinned skew posture in
     * TxCatalogSpec). */
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    TxScanPlanning.partitionsFor(path, entries)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxScanPlanning.readerFor(dataSchema, required)
+
+  override def outputPartitioning(): Partitioning =
+    new KeyGroupedPartitioning(
+      Array(Expressions.bucket(bucketing._2, bucketing._1)),
+      entries.size)
+}
+
+/** Shared physical planning for every batch scan over a TxTable file
+  * list (plain scans and row-level-operation scans): one input partition
+  * per data file keyed by its bucket, and a reader factory over the
+  * on-disk file schema. One definition so a future planning change
+  * (file-size capping, locality hints) applies to every scan shape. */
+private[sources] object TxScanPlanning {
+  def partitionsFor(path: String,
+                    entries: Seq[TxTable.FileEntry]): Array[InputPartition] = {
     val spark = SparkSession.active
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -612,17 +884,13 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    // the file schema includes the layout bucket column (it travels inside
-    // every data file), so a projection requesting the bucket METADATA
-    // column is served straight from the files
+  /** The file schema includes the layout bucket column (it travels inside
+    * every data file), so a projection requesting the bucket METADATA
+    * column is served straight from the files. */
+  def readerFor(dataSchema: StructType,
+                required: StructType): PartitionReaderFactory =
     GraftParquetShim.readerFactory(SparkSession.active,
       TxFileSchema(dataSchema), required)
-
-  override def outputPartitioning(): Partitioning =
-    new KeyGroupedPartitioning(
-      Array(Expressions.bucket(bucketing._2, bucketing._1)),
-      entries.size)
 }
 
 /** The on-disk file schema: the SQL-visible columns plus the layout
@@ -684,15 +952,22 @@ private[sources] object TxRuntimePrune {
 }
 
 /** Per-(table, file) length cache for scan statistics — data files are
-  * immutable and write-once, so a length never goes stale. */
+  * immutable and write-once, so a length never goes stale. Bounded: a
+  * long-lived session that churns tables (write/compact/vacuum/drop)
+  * would otherwise accrete one entry per ever-seen file forever; past
+  * the cap the map is simply cleared (a miss is one cheap metadata RPC,
+  * and correctness never depends on a hit). */
 private[sources] object TxFileSizes {
+  private val MaxEntries = 100000
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   def of(fs: org.apache.hadoop.fs.FileSystem, table: String,
-         rel: String): Long =
+         rel: String): Long = {
+    if (cache.size() > MaxEntries) cache.clear()
     cache.computeIfAbsent(s"$table/$rel",
       k => java.lang.Long.valueOf(fs.getFileStatus(new Path(k)).getLen))
       .longValue()
+  }
 }
 
 /** The bucket layout column surfaced as a metadata column. */
@@ -831,25 +1106,11 @@ final class TxRowLevelScan(op: TxRowLevelOperation, path: String,
     op.scannedFiles = entries
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val fs = new Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map { case (e, i) =>
-      val p = new Path(s"$path/${e.rel}")
-      val st = fs.getFileStatus(p)
-      GraftParquetShim.bucketFilePartition(i,
-        Array(GraftParquetShim.partitionedFile(p.toString, st.getLen,
-          st.getModificationTime)), e.bucket): InputPartition
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    TxScanPlanning.partitionsFor(path, entries)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    // the file schema includes the layout bucket column (it travels inside
-    // every data file), so a projection requesting the bucket METADATA
-    // column is served straight from the files
-    GraftParquetShim.readerFactory(SparkSession.active,
-      TxFileSchema(dataSchema), required)
+    TxScanPlanning.readerFor(dataSchema, required)
 }
 
 /** Write side of the rewrite: stages replacement rows per bucket like any
@@ -1001,8 +1262,7 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
   })
 
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.fold(ReadLimit.allAvailable())(_ =>
-      ReadLimit.allAvailable()) // versions are capped in latestOffset
+    ReadLimit.allAvailable() // version/file caps applied in latestOffset
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -1144,7 +1404,7 @@ final class TxWrite(path: String, querySchema: StructType,
     new TxBatchWrite(path, querySchema, bucketing, replaceAll)
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-    new TxStreamingWrite(path, querySchema, bucketing, queryId)
+    new TxStreamingWrite(path, querySchema, bucketing, queryId, replaceAll)
 }
 
 /** Exactly-once streaming sink through the catalog
@@ -1153,9 +1413,16 @@ final class TxWrite(path: String, querySchema: StructType,
   * `(txcat:<queryId>, epochId)` into the manifest header — the same
   * Delta txn pattern [[graft.ops.TxTable.appendOnce]] uses, so a
   * replayed epoch (crash between sink commit and checkpoint write)
-  * detects its own stamp, discards its staged files, and no-ops. */
+  * detects its own stamp, discards its staged files, and no-ops.
+  *
+  * Complete output mode (`replaceAll=true`, routed here by Spark calling
+  * [[TxWriteBuilder.truncate]] before building the micro-batch write):
+  * each epoch's commit removes every file of the snapshot it lands on,
+  * so the table always holds exactly the latest recomputed result —
+  * prior epochs remain time-travelable until vacuum. */
 final class TxStreamingWrite(path: String, querySchema: StructType,
-                             bucketing: (String, Int), queryId: String)
+                             bucketing: (String, Int), queryId: String,
+                             replaceAll: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   private val stagedBase = s"files/${java.util.UUID.randomUUID()}"
   private[sources] def appId: String = s"txcat:$queryId"
@@ -1187,7 +1454,9 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
         .foreach(u => fs.delete(new Path(path, u), true))
       ()
     }
-    if (adds.isEmpty) return
+    // an Append epoch with no rows is a no-op; a Complete epoch with no
+    // rows is a real recomputed result (empty) and must still truncate
+    if (adds.isEmpty && !replaceAll) return
     val writeSchema = StructType(querySchema.fields :+
       org.apache.spark.sql.types.StructField(
         graft.ops.LayoutOps.BucketCol, IntegerType))
@@ -1204,8 +1473,10 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
       }
       val merged = TxTable.mergeSchemas(
         snap.schema.getOrElse(writeSchema), writeSchema)
+      val removes: Set[String] =
+        if (replaceAll) snap.entries.map(_.rel).toSet else Set.empty
       if (TxTable.commitNext(fs, path, snap, adds = adds,
-          removes = Set.empty, txn = Some((appId, epochId)),
+          removes = removes, txn = Some((appId, epochId)),
           schema = Some(merged), bucketing = Some(bucketing)))
         return
       attempt += 1

@@ -249,6 +249,60 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("writeStream outputMode(complete): each epoch REPLACES the table, prior epochs stay time-travelable") {
+    registered {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val ctx = spark.sqlContext
+      val base = Files.createTempDirectory("graft_cat_complete_").toString
+      val t = s"$base/agg"
+      spark.sql(s"CREATE TABLE txspj.`$t` (k STRING, cnt BIGINT) " +
+        s"PARTITIONED BY (bucket($nBuckets, k))")
+      val in = MemoryStream[String]
+      val ckpt = Files.createTempDirectory("graft_cat_complete_ck_").toString
+      def run(): Unit = {
+        val q = in.toDF().toDF("k").groupBy($"k").agg(count("*").as("cnt"))
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .toTable(s"txspj.`$t`")
+        q.awaitTermination()
+      }
+      in.addData("A", "A", "B"); run()
+      assert(spark.table(s"txspj.`$t`").as[(String, Long)].collect().toMap
+        == Map("A" -> 2L, "B" -> 1L))
+      in.addData("A", "C"); run()
+      // Complete mode recomputes the FULL aggregate each epoch: the table
+      // must hold exactly the latest result, never an append next to the
+      // previous epoch's rows (Spark routes Complete through
+      // SupportsTruncate.truncate(), so the epoch commit removes the
+      // snapshot it lands on)
+      assert(spark.table(s"txspj.`$t`").as[(String, Long)].collect().toMap
+        == Map("A" -> 3L, "B" -> 1L, "C" -> 1L))
+      assert(spark.table(s"txspj.`$t`").count() == 3)
+      // the replaced epoch-1 result remains time-travelable until vacuum
+      assert(spark.table(s"txspj.`$t@v1`").as[(String, Long)].collect().toMap
+        == Map("A" -> 2L, "B" -> 1L))
+    }
+  }
+
+  test("DROP TABLE refuses time-travel snapshots loudly (exec ignores the boolean)") {
+    registered {
+      val (a, _) = freshTables()
+      spark.sql(s"INSERT INTO txspj.`$a` VALUES ('D1', 1)")
+      // Spark's DropTableExec discards dropTable's return value, so a
+      // silent `false` would report success — the refusal must throw
+      val e = intercept[Exception] {
+        spark.sql(s"DROP TABLE txspj.`$a@v0`")
+      }
+      assert(e.getMessage.contains("time-travel"))
+      // nothing was dropped: head and snapshot both still readable
+      assert(spark.table(s"txspj.`$a`").count() == 65)
+      assert(spark.table(s"txspj.`$a@v0`").count() == 64)
+    }
+  }
+
   test("@vN is reserved but cannot hijack a literal path that IS a table") {
     registered {
       val base = Files.createTempDirectory("graft_cat_at_").toString
@@ -500,6 +554,135 @@ class TxCatalogSpec extends AnyFunSuite {
         s"SELECT k, v FROM txspj.`$t` WHERE v > 250 LIMIT 4")
       assert(f.count() == 4L)
       assert(f.select($"v").as[Long].collect().forall(_ > 250L))
+    }
+  }
+
+  test("TopN pushdown: ORDER BY LIMIT opens only files that can hold a top-n value") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_topn_").toString
+      val t = s"$base/t"
+      // time-clustered appends: commit i holds v in [100i, 100i+63]
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (1 to 3).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 64).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "topn", i.toLong)
+      }
+      TxTable.computeStats(spark, t, "v")
+      val total = TxTable.snapshot(spark, t).entries.size
+      val top = spark.sql(s"SELECT k, v FROM txspj.`$t` ORDER BY v DESC LIMIT 5")
+      assert(top.select($"v").as[Long].collect().toSeq ==
+        Seq(364L, 363L, 362L, 361L, 360L))
+      // only the newest commit's files can hold a top-5 value
+      assert(scannedFiles(top) <= nBuckets,
+        s"TopN must prune to the tail commit: ${scannedFiles(top)} of $total")
+      // ascending mirror: only the OLDEST commit's files
+      val bottom = spark.sql(s"SELECT k, v FROM txspj.`$t` ORDER BY v LIMIT 5")
+      assert(bottom.select($"v").as[Long].collect().toSeq ==
+        Seq(1L, 2L, 3L, 4L, 5L))
+      assert(scannedFiles(bottom) <= nBuckets)
+      // a residual filter blocks the shrink; the result stays exact
+      val filtered = spark.sql(
+        s"SELECT k, v FROM txspj.`$t` WHERE v <= 170 ORDER BY v DESC LIMIT 3")
+      assert(filtered.select($"v").as[Long].collect().toSeq ==
+        Seq(164L, 163L, 162L))
+      // an unprofiled sort column refuses: exact result over the full scan
+      val byK = spark.sql(s"SELECT k, v FROM txspj.`$t` ORDER BY k LIMIT 4")
+      assert(scannedFiles(byK) == total, "unprofiled sort column must not prune")
+      assert(byK.count() == 4)
+    }
+  }
+
+  test("metadata-only DELETE: decidable predicates drop whole files without rewriting; partial coverage takes COW") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_mdel_").toString
+      val t = s"$base/t"
+      // three key-range commits: v in [1,64], [101,164], [201,264]
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (1 to 2).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 64).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "mdel", i.toLong)
+      }
+      TxTable.computeStats(spark, t, "v")
+      val before = TxTable.snapshot(spark, t)
+      val rels0 = before.entries.map(_.rel).toSet
+      // fully covers commit 0 (range [1,64] < 100), zero-covers the rest:
+      // one manifest commit, no files read or written
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE v < 100")
+      val after = TxTable.snapshot(spark, t)
+      assert(after.version == before.version + 1)
+      val rels1 = after.entries.map(_.rel).toSet
+      assert(rels1.subsetOf(rels0),
+        "metadata DELETE must not write new files")
+      assert(rels1.size < rels0.size)
+      assert(spark.table(s"txspj.`$t`").count() == 128)
+      assert(spark.table(s"txspj.`$t`").agg(min($"v")).head().getLong(0)
+        == 101L)
+      // the dropped slice stays time-travelable
+      assert(spark.table(s"txspj.`$t@v${before.version}`").count() == 192)
+      // a mid-file cut is PARTIAL coverage: the statement must fall back
+      // to the exact COW rewrite (new files appear), rows exact
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE v < 130")
+      val rels2 = TxTable.snapshot(spark, t).entries.map(_.rel).toSet
+      assert((rels2 -- rels1).nonEmpty,
+        "partial coverage must take the copy-on-write path")
+      assert(spark.table(s"txspj.`$t`").count() == 99)
+      assert(spark.table(s"txspj.`$t`").agg(min($"v")).head().getLong(0)
+        == 130L)
+    }
+  }
+
+  test("metadata DELETE treats null counts as load-bearing: null rows survive a below-range cut") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_mdel_null_").toString
+      val t = s"$base/t"
+      // every non-null v is below the cut, but nulls ride along: dropping
+      // whole files would destroy rows the predicate does NOT match
+      TxTable.init(spark, t,
+        ((1 to 60).map(i => (s"K$i", Some(i.toLong))) ++
+          (61 to 64).map(i => (s"K$i", None: Option[Long])))
+          .toDF("k", "v"), "k", nBuckets)
+      TxTable.computeStats(spark, t, "v")
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE v < 100")
+      val left = spark.table(s"txspj.`$t`")
+        .select($"k").as[String].collect().toSet
+      assert(left == (61 to 64).map(i => s"K$i").toSet,
+        "null-v rows must survive: v < 100 is not true for NULL")
+      // an unprofiled column also refuses metadata routing; rows exact
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE k = 'K61'")
+      assert(spark.table(s"txspj.`$t`").count() == 3)
+    }
+  }
+
+  test("TopN pushdown honors null ordering via sidecar null counts") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_topn_null_").toString
+      val t = s"$base/t"
+      // commit 0: no nulls; commit 1: eight null-v rows among non-nulls
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"N$i", Some(i.toLong))).toDF("k", "v"),
+        "k", nBuckets)
+      TxTable.appendOnce(spark, t,
+        (65 to 128).map(i =>
+          (s"N$i", if (i <= 72) None else Some(i.toLong))).toDF("k", "v"),
+        "k", nBuckets, "topnn", 0L)
+      TxTable.computeStats(spark, t, "v")
+      val total = TxTable.snapshot(spark, t).entries.size
+      // ASC is NULLS FIRST: top-10 = the 8 nulls + v=1,2
+      val asc = spark.sql(s"SELECT k, v FROM txspj.`$t` ORDER BY v LIMIT 10")
+      val got = asc.as[(String, Option[Long])].collect().toSet
+      val wantNullKeys = (65 to 72).map(i => s"N$i").toSet
+      assert(got.filter(_._2.isEmpty).map(_._1) == wantNullKeys)
+      assert(got.flatMap(_._2) == Set(1L, 2L))
+      // DESC is NULLS LAST: nulls can never surface in a covered top-n,
+      // so the all-non-null tail answers and null-only pruning still holds
+      val desc = spark.sql(s"SELECT k, v FROM txspj.`$t` ORDER BY v DESC LIMIT 3")
+      assert(desc.select($"v").as[Long].collect().toSeq ==
+        Seq(128L, 127L, 126L))
+      assert(scannedFiles(desc) <= total)
     }
   }
 

@@ -451,6 +451,27 @@ class TxTableSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("computeStats trims sidecar rows for files no longer live") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
+      .toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "tr", 0L)
+    TxTable.computeStats(spark, table, "day")
+    // compaction rewrites every fragmented bucket: the old rels die
+    TxTable.compact(spark, table, maxFilesPerBucket = 1)
+    TxTable.computeStats(spark, table, "day")
+    val live = TxTable.snapshot(spark, table).entries.map(_.rel).toSet
+    val sidecar = spark.read.parquet(s"$table/_txlog/stats-day.parquet")
+      .select("rel").as[String].collect().toSet
+    assert(sidecar == live,
+      s"sidecar must hold exactly the live files: ${sidecar.size} vs ${live.size}")
+    // and skipping still works over the compacted layout
+    val got = TxTable.readWhere(spark, table, "day", 20L, 30L)
+      .select("day").as[Long].collect().sorted.toSeq
+    assert(got == (20L to 30L))
+  }
+
   test("compactZOrdered: readWhere opens strictly fewer files after the rewrite; sidecars refresh in the same call") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     // every commit scatters x over the full [0, 255] range (37 is odd →
