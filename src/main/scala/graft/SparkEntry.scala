@@ -661,6 +661,7 @@ object SparkEntry {
     // maintenance work; the queries time the surviving read path)
     stagedClusteredOrders(s, dir)
     stagedRetentionOrders(s, dir)
+    stagedBackfillOrders(s, dir)
     ()
   }
 
@@ -743,6 +744,46 @@ object SparkEntry {
       ops.TxTable.computeStats(s, path, "o_orderkey")
       ensureTxCatalog(s)
       s.sql(s"DELETE FROM txspj.`$path` WHERE o_orderkey <= $cut1")
+      ()
+    }
+    path
+  }
+
+  /** A REPLACE WHERE backfill staged over a key-range-clustered orders
+    * TxTable: the middle third's rows are atomically replaced with a
+    * recomputed frame (`o_orderstatus = 'B'`) via
+    * `df.writeTo(t).overwrite(cond)` — the DSv2 overwrite-by-filter
+    * path. The predicate exactly covers the middle commit's files, so
+    * the replacement drops them from the manifest UNREAD (zone-map Full
+    * coverage) and stages only the new rows; partially-covered layouts
+    * would rewrite just their remainders (both routes spec-pinned in
+    * TxCatalogSpec). The idempotent-backfill shape every production
+    * partition reload needs. */
+  private def stagedBackfillOrders(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-backfill-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val orders = tbl(s, dir, "orders")
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (cut1, cut2) = (maxKey / 3, 2 * maxKey / 3)
+      ops.TxTable.init(s, path, orders.filter(col("o_orderkey") <= cut1),
+        key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut1 &&
+          col("o_orderkey") <= cut2),
+        "o_orderkey", 8, appId = "bf-stage", batchId = 1L)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut2),
+        "o_orderkey", 8, appId = "bf-stage", batchId = 2L)
+      ops.TxTable.computeStats(s, path, "o_orderkey")
+      ensureTxCatalog(s)
+      orders.filter(col("o_orderkey") > cut1 && col("o_orderkey") <= cut2)
+        .withColumn("o_orderstatus", lit("B")) // backfill marker ('B' is
+        // not among the source statuses O/F/P, so it identifies the
+        // replaced rows without widening the schema)
+        .writeTo(s"txspj.`$path`")
+        .overwrite(col("o_orderkey") > cut1 && col("o_orderkey") <= cut2)
       ()
     }
     path
@@ -2198,6 +2239,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // REPLACE WHERE backfill audit: the staged landing job atomically
+    // replaced the middle key-range third via overwrite-by-filter (full
+    // zone-map coverage -> the old files dropped from the manifest
+    // unread; see stagedBackfillOrders). The query audits the post-
+    // backfill table; the oracle replays the replacement as a CASE.
+    "ext_replace_where" -> ((s, dir) => {
+      val path = stagedBackfillOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_orderstatus") === "B").cast("long"))
+            .cast("long").as("n_backfilled"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -4413,6 +4470,20 @@ object SparkEntry {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // REPLACE WHERE replay: whether the backfill dropped whole files or
+    // rewrote remainders is a pure execution property — the oracle
+    // replays the replacement as a CASE over the raw orders (no source
+    // o_orderstatus is 'B', so the marker identifies replaced rows)
+    "ext_replace_where" ->
+      """WITH m AS (SELECT MAX(o_orderkey) AS mk FROM orders)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderkey > (SELECT mk // 3 FROM m)
+        |    AND o_orderkey <= (SELECT (2 * mk) // 3 FROM m)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled
+        |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

@@ -810,6 +810,14 @@ object TxTable {
     entries.result()
   }
 
+  /** Stage an already-bucket-tagged frame as new data files (no commit) —
+    * the DSv2 overwrite-by-filter path rewrites partially-covered files'
+    * remainders through the same writer the Scala paths use, so staged
+    * bytes are identical regardless of entry point. */
+  private[graft] def stageRewrite(spark: SparkSession, table: String,
+                                  tagged: DataFrame): Seq[FileEntry] =
+    stageFiles(spark, table, tagged)
+
   /** Create the table at version 0 from an initial snapshot. Fails if the
     * table already has a committed version. */
   def init(spark: SparkSession, table: String, df: DataFrame, key: String,

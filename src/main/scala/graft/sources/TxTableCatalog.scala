@@ -212,7 +212,7 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(bucketing._2, bucketing._1))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -572,6 +572,7 @@ final class TxLocalAggScan(path: String, version: Long,
   * coverage composes through AND/OR exactly like parquet's statistics
   * filter; anything unprovable degrades to Partial, never guesses. */
 private[sources] object TxMetadataDelete {
+  import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
 
   sealed trait Coverage
@@ -595,6 +596,17 @@ private[sources] object TxMetadataDelete {
     * conjunction of `filters`; None falls back to the COW rewrite. */
   def plan(spark: SparkSession, path: String, snap: TxTable.Snapshot,
            filters: Seq[Filter]): Option[Seq[TxTable.FileEntry]] = {
+    val vs = verdicts(spark, path, snap, filters)
+    if (vs.exists(_._2 == Partial)) None
+    else Some(vs.collect { case (e, Full) => e })
+  }
+
+  /** Per-file coverage verdict for the conjunction of `filters` — the
+    * shared decision kernel behind metadata DELETE (all-or-nothing) and
+    * overwrite-by-filter (Full files drop, Partial files rewrite their
+    * remainder, Zero files are untouched). */
+  def verdicts(spark: SparkSession, path: String, snap: TxTable.Snapshot,
+               filters: Seq[Filter]): Seq[(TxTable.FileEntry, Coverage)] = {
     val statsFor = scala.collection.mutable.Map
       .empty[String, Map[String, (Any, Any, Option[Long])]]
     def stats(c: String): Map[String, (Any, Any, Option[Long])] =
@@ -675,11 +687,36 @@ private[sources] object TxMetadataDelete {
       }
     }
 
-    val verdicts = snap.entries.map(e =>
+    snap.entries.map(e =>
       e -> filters.foldLeft(Full: Coverage)((acc, f) =>
         andCov(acc, coverage(f, e))))
-    if (verdicts.exists(_._2 == Partial)) None
-    else Some(verdicts.collect { case (e, Full) => e })
+  }
+
+  /** Row-level evaluation of a v1 source filter as a Column — the
+    * overwrite-by-filter rewrite path needs the EXACT predicate on the
+    * rows of partially-covered files (coverage only routes; this
+    * decides). Throws on a filter shape with no Column equivalent, which
+    * surfaces at overwrite() planning time, never mid-commit. */
+  def filterColumn(f: Filter): org.apache.spark.sql.Column = f match {
+    case AlwaysTrue() => lit(true)
+    case AlwaysFalse() => lit(false)
+    case And(a, b) => filterColumn(a) && filterColumn(b)
+    case Or(a, b) => filterColumn(a) || filterColumn(b)
+    case Not(x) => !filterColumn(x)
+    case EqualTo(c, v) => col(c) === lit(v)
+    case EqualNullSafe(c, v) => col(c) <=> lit(v)
+    case LessThan(c, v) => col(c) < lit(v)
+    case LessThanOrEqual(c, v) => col(c) <= lit(v)
+    case GreaterThan(c, v) => col(c) > lit(v)
+    case GreaterThanOrEqual(c, v) => col(c) >= lit(v)
+    case In(c, vs) => col(c).isin(vs.toIndexedSeq: _*)
+    case IsNull(c) => col(c).isNull
+    case IsNotNull(c) => col(c).isNotNull
+    case StringStartsWith(c, v) => col(c).startsWith(v)
+    case StringEndsWith(c, v) => col(c).endsWith(v)
+    case StringContains(c, v) => col(c).contains(v)
+    case other => throw new UnsupportedOperationException(
+      s"REPLACE WHERE cannot evaluate predicate $other on rewrite rows")
   }
 }
 
@@ -1379,8 +1416,11 @@ object GraftBucketFunction extends UnboundFunction {
 final class TxWriteBuilder(path: String, querySchema: StructType,
                            bucketing: (String, Int), queryId: String)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var replaceAll = false
+  private var overwriteFilters: Option[Array[
+    org.apache.spark.sql.sources.Filter]] = None
 
   /** `INSERT OVERWRITE` (truncate-and-write): the commit removes every
     * file of the snapshot it lands on — one atomic swap, old versions
@@ -1392,19 +1432,43 @@ final class TxWriteBuilder(path: String, querySchema: StructType,
     this
   }
 
+  /** REPLACE WHERE (`df.writeTo(t).overwrite(cond)`): atomically delete
+    * the rows matching `cond` and insert the new rows — the idempotent
+    * backfill shape. Commit-time routing per file via the shared
+    * [[TxMetadataDelete]] coverage kernel: fully-covered files drop from
+    * the manifest unread, zero-covered files are untouched, and only
+    * partially-covered files rewrite their non-matching remainder.
+    * Evaluating the predicate row-exactly is validated HERE (planning
+    * time) so an unsupported shape fails before any work. */
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    filters.foreach(TxMetadataDelete.filterColumn) // throws on unsupported
+    overwriteFilters = Some(filters)
+    this
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new TxWrite(path, querySchema, bucketing, queryId, replaceAll)
+    new TxWrite(path, querySchema, bucketing, queryId, replaceAll,
+      overwriteFilters)
 }
 
 final class TxWrite(path: String, querySchema: StructType,
                     bucketing: (String, Int), queryId: String,
-                    replaceAll: Boolean = false)
+                    replaceAll: Boolean = false,
+                    overwriteFilters: Option[Array[
+                      org.apache.spark.sql.sources.Filter]] = None)
     extends org.apache.spark.sql.connector.write.Write {
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-    new TxBatchWrite(path, querySchema, bucketing, replaceAll)
+    new TxBatchWrite(path, querySchema, bucketing, replaceAll,
+      overwriteFilters)
   override def toStreaming
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(overwriteFilters.isEmpty,
+      "overwrite-by-filter is a batch operation; streaming writes are " +
+        "Append (per-epoch commits) or Complete (per-epoch truncate)")
     new TxStreamingWrite(path, querySchema, bucketing, queryId, replaceAll)
+  }
 }
 
 /** Exactly-once streaming sink through the catalog
@@ -1517,7 +1581,9 @@ final case class TxCommitMessage(files: Seq[(Int, String, Long)])
 
 final class TxBatchWrite(path: String, querySchema: StructType,
                          bucketing: (String, Int),
-                         replaceAll: Boolean = false)
+                         replaceAll: Boolean = false,
+                         overwriteFilters: Option[Array[
+                           org.apache.spark.sql.sources.Filter]] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val stagedRel = s"files/${java.util.UUID.randomUUID()}"
 
@@ -1540,9 +1606,9 @@ final class TxBatchWrite(path: String, querySchema: StructType,
         TxTable.FileEntry(b, rel, Some(n)) }
       case _ => Seq.empty
     }
-    // an append of nothing is a no-op; an OVERWRITE with nothing is a
-    // real statement (truncate) and must still commit the removal
-    if (adds.isEmpty && !replaceAll) return
+    // an append of nothing is a no-op; an OVERWRITE (full or by filter)
+    // with nothing is a real statement and must still commit the removal
+    if (adds.isEmpty && !replaceAll && overwriteFilters.isEmpty) return
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val writeSchema = StructType(querySchema.fields :+
@@ -1553,18 +1619,50 @@ final class TxBatchWrite(path: String, querySchema: StructType,
       val snap = TxTable.snapshot(spark, path)
       val merged = TxTable.mergeSchemas(
         snap.schema.getOrElse(writeSchema), writeSchema)
-      // overwrite = last-writer-wins truncate of whatever snapshot the
+      // overwrite = last-writer-wins replacement of whatever snapshot the
       // CAS lands on (the standard non-conflicting overwrite semantics)
-      val removes: Set[String] =
-        if (replaceAll) snap.entries.map(_.rel).toSet else Set.empty
-      if (TxTable.commitNext(fs, path, snap, adds = adds,
+      val (removes: Set[String], rewriteAdds: Seq[TxTable.FileEntry]) =
+        overwriteFilters match {
+          case Some(ofs) =>
+            // REPLACE WHERE routing per file: Full drops by metadata,
+            // Zero is untouched, Partial rewrites its non-matching
+            // remainder through the shared staging writer. "Matching" is
+            // cond IS TRUE (a null predicate keeps the row — delete
+            // semantics), so the remainder filter is NOT coalesce(cond,
+            // false).
+            import org.apache.spark.sql.functions.{coalesce, lit, not}
+            val vs = TxMetadataDelete.verdicts(spark, path, snap, ofs.toSeq)
+            val full = vs.collect { case (e, TxMetadataDelete.Full) => e }
+            val partial = vs.collect { case (e, TxMetadataDelete.Partial) => e }
+            val rewrites =
+              if (partial.isEmpty) Seq.empty
+              else {
+                val cond =
+                  if (ofs.isEmpty) lit(true)
+                  else ofs.map(TxMetadataDelete.filterColumn)
+                    .reduce(_ && _)
+                val keep = spark.read.schema(snap.schema.getOrElse(merged))
+                  .parquet(partial.map(e => s"$path/${e.rel}"): _*)
+                  .filter(not(coalesce(cond, lit(false))))
+                TxTable.stageRewrite(spark, path, keep)
+              }
+            ((full ++ partial).map(_.rel).toSet, rewrites)
+          case None =>
+            (if (replaceAll) snap.entries.map(_.rel).toSet
+             else Set.empty[String], Seq.empty[TxTable.FileEntry])
+        }
+      if (TxTable.commitNext(fs, path, snap, adds = adds ++ rewriteAdds,
           removes = removes, txn = None, schema = Some(merged),
           bucketing = Some(bucketing)))
         return
+      // lost the race: this attempt's rewrite staging references a stale
+      // base — drop it (the tasks' own staged files are reused as-is)
+      rewriteAdds.map(_.rel.split('/').take(2).mkString("/")).distinct
+        .foreach(u => fs.delete(new Path(path, u), true))
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"$path: INSERT lost the commit race 5 times; staged files remain " +
+      s"$path: INSERT lost the commit race 6 times; staged files remain " +
         s"under $stagedRel for vacuum")
   }
 

@@ -635,6 +635,55 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("REPLACE WHERE: full slices drop by metadata, partial files rewrite remainders, zero files untouched") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_rw_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (1 to 2).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 64).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "rw", i.toLong)
+      }
+      TxTable.computeStats(spark, t, "v")
+      val snap0 = TxTable.snapshot(spark, t)
+      val rels0 = snap0.entries.map(_.rel).toSet
+      val commit1Rels =
+        TxTable.snapshot(spark, t, Some(1L)).entries.map(_.rel).toSet --
+          TxTable.snapshot(spark, t, Some(0L)).entries.map(_.rel).toSet
+      // backfill EXACTLY commit 1's slice: every one of its files is
+      // fully covered -> dropped from the manifest unread; commits 0 and
+      // 2 are zero-covered -> carried verbatim
+      val repl = (1 to 10).map(i => (s"R$i", (100 + i).toLong)).toDF("k", "v")
+      repl.writeTo(s"txspj.`$t`").overwrite($"v".between(101L, 164L))
+      val snap1 = TxTable.snapshot(spark, t)
+      val rels1 = snap1.entries.map(_.rel).toSet
+      assert((rels1 & rels0) == (rels0 -- commit1Rels),
+        "zero-covered files must be carried verbatim; full files dropped")
+      assert(spark.table(s"txspj.`$t`").count() == 138)
+      assert(spark.table(s"txspj.`$t`")
+        .filter($"v".between(101L, 164L)).select($"k").as[String]
+        .collect().toSet == (1 to 10).map(i => s"R$i").toSet)
+      // a mid-range backfill: only the partially-covered files rewrite
+      // their non-matching remainder; everything else is untouched
+      TxTable.computeStats(spark, t, "v") // profile the backfill's files
+      Seq(("P1", 215L)).toDF("k", "v")
+        .writeTo(s"txspj.`$t`").overwrite($"v".between(210L, 220L))
+      val after = spark.table(s"txspj.`$t`")
+      assert(after.filter($"v".between(210L, 220L)).select($"k")
+        .as[String].collect().toSeq == Seq("P1"))
+      assert(after.filter($"v".between(201L, 209L)).count() == 9)
+      assert(after.filter($"v" >= 221L).count() == 44)
+      assert(after.count() == 138 - 11 + 1)
+      // zero-covered survivors of round 2 carried verbatim again
+      val rels2 = TxTable.snapshot(spark, t).entries.map(_.rel).toSet
+      assert((rels1 -- rels2).forall(!_.isEmpty)) // removed some
+      assert((rels2 & rels1).nonEmpty,
+        "untouched files must survive a partial REPLACE WHERE")
+    }
+  }
+
   test("metadata DELETE treats null counts as load-bearing: null rows survive a below-range cut") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mdel_null_").toString
