@@ -213,6 +213,32 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  /** Manifest-derived metadata for `SHOW TBLPROPERTIES` / `DESCRIBE
+    * EXTENDED` — the DESCRIBE DETAIL surface: version, layout identity,
+    * live file count, exact row count when every live file recorded one,
+    * and which columns carry zone-map sidecars. All O(manifest) driver
+    * metadata; no data file is opened. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("format", "graft-txtable")
+    m.put("version", snap.version.toString)
+    m.put("bucket.key", bucketing._1)
+    m.put("bucket.count", bucketing._2.toString)
+    m.put("files", snap.entries.size.toString)
+    val counts = snap.entries.map(_.rows)
+    if (counts.forall(_.isDefined))
+      m.put("rows", counts.flatten.sum.toString)
+    val statsCols = scala.util.Try {
+      val fs = new Path(path)
+        .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      fs.listStatus(new Path(path, "_txlog")).map(_.getPath.getName)
+        .filter(n => n.startsWith("stats-") && n.endsWith(".parquet"))
+        .map(_.stripPrefix("stats-").stripSuffix(".parquet")).sorted
+    }.getOrElse(Array.empty[String])
+    if (statsCols.nonEmpty) m.put("stats.columns", statsCols.mkString(","))
+    m
+  }
   override def partitioning(): Array[Transform] =
     Array(Expressions.bucket(bucketing._2, bucketing._1))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1261,9 +1287,10 @@ final case class TxStreamOffset(version: Long)
   *     rewritten rows) — the documented Delta option pair.
   *   - `startingVersion` (a version number, or `latest`) begins the
   *     subscription at a commit instead of the initial snapshot;
-  *     `maxVersionsPerTrigger` and `maxFilesPerTrigger` rate-limit
-  *     admission by commits / added files (T7 for the table source; an
-  *     over-sized single commit still admits, so the stream never
+  *     `maxVersionsPerTrigger` / `maxFilesPerTrigger` /
+  *     `maxRowsPerTrigger` rate-limit admission by commits / added files
+  *     / the manifests' exact added-row counts (T7 for the table source;
+  *     an over-sized single commit still admits, so the stream never
   *     stalls). `Trigger.AvailableNow` is first-class: the head version is
   *     pinned at prepare time, so the query drains to a fixed point and
   *     stops even while writers keep committing. */
@@ -1283,6 +1310,8 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
   private val maxFilesPerTrigger: Option[Int] =
     Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  private val maxRowsPerTrigger: Option[Long] =
+    Option(options.get("maxRowsPerTrigger")).map(_.toLong)
 
   /** Head version pinned by Trigger.AvailableNow at prepare time. */
   @volatile private var availableNowCap: Option[Long] = None
@@ -1309,25 +1338,36 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     val s = start.asInstanceOf[TxStreamOffset].version
     val head = availableNowCap.getOrElse(headVersion)
     var end = maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))
-    // file-count admission (the Delta maxFilesPerTrigger shape): stop the
-    // batch at the last version that keeps its cumulative added-file count
-    // under the cap — but always admit at least one version, or a single
-    // over-sized commit would stall the stream forever
-    maxFilesPerTrigger.filter(_ => end > s).foreach { mf =>
+    // file- and row-count admission (the Delta maxFilesPerTrigger /
+    // maxBytesPerTrigger shape — rows instead of bytes because the
+    // manifests record EXACT per-file row counts): stop the batch at the
+    // last version that keeps the cumulative added file/row counts under
+    // the caps — but always admit at least one version, or a single
+    // over-sized commit would stall the stream forever. A file without a
+    // recorded row count admits conservatively (it fills the row cap by
+    // itself, never silently floods a batch).
+    if ((maxFilesPerTrigger.nonEmpty || maxRowsPerTrigger.nonEmpty)
+        && end > s) {
       var prev: Set[String] =
         if (s < 0) Set.empty
         else TxTable.snapshot(spark, path, Some(s)).entries.map(_.rel).toSet
-      var acc = 0
+      var accF = 0
+      var accR = 0L
       var chosen = s
       var v = s + 1
       var full = false
       while (v <= end && !full) {
-        val curRels =
-          TxTable.snapshot(spark, path, Some(v)).entries.map(_.rel).toSet
-        val added = (curRels -- prev).size
-        if (chosen == s || acc + added <= mf) { chosen = v; acc += added }
+        val cur = TxTable.snapshot(spark, path, Some(v)).entries
+        val added = cur.filterNot(e => prev(e.rel))
+        val af = added.size
+        val ar =
+          if (added.exists(_.rows.isEmpty)) Long.MaxValue / 2
+          else added.flatMap(_.rows).sum
+        val fits = maxFilesPerTrigger.forall(accF + af <= _) &&
+          maxRowsPerTrigger.forall(accR + ar <= _)
+        if (chosen == s || fits) { chosen = v; accF += af; accR += ar }
         else full = true
-        prev = curRels
+        prev = cur.map(_.rel).toSet
         v += 1
       }
       end = chosen

@@ -1028,6 +1028,59 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming source: maxRowsPerTrigger caps admission by the manifests' exact row counts") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_mrt_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      (1 to 2).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 16).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "mrt", i.toLong)
+      }
+      // 16 rows per commit: a cap of 20 fits one commit but not two →
+      // one batch per commit (commit-granular admission, at-least-one)
+      val tight = drain(t,
+        Files.createTempDirectory("graft_cat_mrt_ck1_").toString,
+        Map("maxRowsPerTrigger" -> "20")).filter(_.nonEmpty)
+      assert(tight.size == 3,
+        s"20-row cap must admit one 16-row commit per batch, got " +
+          s"${tight.size}")
+      assert(tight.flatten.size == 48, "no rows lost or duplicated")
+      // a cap of 32 fits two commits, then the third alone → two batches
+      val paired = drain(t,
+        Files.createTempDirectory("graft_cat_mrt_ck2_").toString,
+        Map("maxRowsPerTrigger" -> "32")).filter(_.nonEmpty)
+      assert(paired.size == 2 && paired.flatten.size == 48,
+        s"32-row cap must pack two commits then one, got ${paired.size}")
+    }
+  }
+
+  test("SHOW TBLPROPERTIES surfaces manifest metadata without opening data files") {
+    registered {
+      val (a, _) = freshTables()
+      TxTable.computeStats(spark, a, "v")
+      val props = spark.sql(s"SHOW TBLPROPERTIES txspj.`$a`")
+        .as[(String, String)].collect().toMap
+      assert(props("format") == "graft-txtable")
+      assert(props("bucket.key") == "k")
+      assert(props("bucket.count") == nBuckets.toString)
+      assert(props("files").toInt ==
+        TxTable.snapshot(spark, a).entries.size)
+      assert(props("rows").toLong == 64L)
+      assert(props("stats.columns") == "v")
+      // a time-travel identifier reports ITS version's metadata
+      spark.sql(s"INSERT INTO txspj.`$a` VALUES ('T1', 1)")
+      val v0 = spark.sql(s"SHOW TBLPROPERTIES txspj.`$a@v0`")
+        .as[(String, String)].collect().toMap
+      assert(v0("version") == "0" && v0("rows").toLong == 64L)
+      val head = spark.sql(s"SHOW TBLPROPERTIES txspj.`$a`")
+        .as[(String, String)].collect().toMap
+      assert(head("rows").toLong == 65L)
+    }
+  }
+
   test("streaming source: rewriting commits are loud by default, skippable, or re-emitted") {
     registered {
       val (a, _) = freshTables()
