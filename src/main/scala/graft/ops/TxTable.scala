@@ -286,6 +286,13 @@ object TxTable {
         effBucketing)
       catch { case scala.util.control.NonFatal(_) => () }
     }
+    // committed writes keep profiled sidecars fresh from footers (no data
+    // read; no-op unless the table has ANALYZEd columns). Post-commit and
+    // best-effort: a failure here can only leave stats stale, which every
+    // consumer treats as over-keep.
+    if (ok && adds.nonEmpty)
+      try { refreshStatsFromFooters(SparkSession.active, table); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     ok
   }
 
@@ -590,6 +597,173 @@ object TxTable {
 
   private[graft] def cmpAny(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
+
+  /** Keep profiled sidecars FRESH without reading data: harvest per-file
+    * (lo, hi, nulls) from parquet FOOTER metadata for live files the
+    * sidecar doesn't know yet, and drop rows for files no longer live.
+    * Footers already carry exact column statistics — truncated binary
+    * bounds stay valid OUTER bounds per the parquet spec, so every
+    * consumer's conservative contract (pruning over-keeps, coverage
+    * degrades Full→Partial) holds. Runs after every committing write
+    * (see [[commitNext]]), which closes the staleness window that would
+    * otherwise open between ANALYZE runs for TopN pushdown, metadata
+    * DELETE, REPLACE WHERE routing, and file skipping. A column whose
+    * physical type has no clean external mapping (INT96 timestamps,
+    * decimals) refuses per file and is left to the scan-based
+    * [[computeStats]]. Best-effort by contract: any failure leaves the
+    * sidecar as it was. Returns files newly profiled across sidecars. */
+  def refreshStatsFromFooters(spark: SparkSession, table: String): Int = {
+    val fs = fsFor(spark, table)
+    val cols = scala.util.Try {
+      fs.listStatus(logDir(table)).map(_.getPath.getName)
+        .filter(n => n.startsWith("stats-") && n.endsWith(".parquet"))
+        .map(_.stripPrefix("stats-").stripSuffix(".parquet")).toSeq
+    }.getOrElse(Seq.empty)
+    if (cols.isEmpty) return 0
+    val snap = snapshot(spark, table)
+    if (snap.schema.isEmpty) return 0
+    val schema = snap.schema.get
+    val liveRels = snap.entries.map(_.rel).toSet
+    val hconf = spark.sparkContext.hadoopConfiguration
+    var touched = 0
+    cols.foreach { c =>
+      schema.fields.find(_.name == c).foreach { field =>
+        val existing = fileStatsRaw(spark, table, c)
+        val missing = snap.entries.filterNot(e => existing.contains(e.rel))
+        val harvested = missing.flatMap { e =>
+          footerColumnStats(hconf, new Path(table, e.rel), c, field.dataType)
+            .map(s => e.rel -> s)
+        }
+        val kept = existing.filter { case (rel, _) => liveRels(rel) }
+        if (harvested.nonEmpty || kept.size != existing.size) {
+          val rows: Seq[org.apache.spark.sql.Row] =
+            (kept.toSeq.map { case (rel, (lo, hi, n)) =>
+              org.apache.spark.sql.Row(rel, lo, hi,
+                n.map(java.lang.Long.valueOf).orNull)
+            } ++ harvested.map { case (rel, (lo, hi, n)) =>
+              org.apache.spark.sql.Row(rel, lo, hi, java.lang.Long.valueOf(n))
+            })
+          val sideSchema = StructType(Seq(
+            StructField("rel", org.apache.spark.sql.types.StringType),
+            StructField("lo", field.dataType),
+            StructField("hi", field.dataType),
+            StructField("nulls", org.apache.spark.sql.types.LongType)))
+          val df = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+            sideSchema)
+          val sp = statsPath(table, c)
+          val tmp = new Path(logDir(table),
+            s".stats-tmp-${java.util.UUID.randomUUID()}")
+          df.coalesce(1).write.parquet(tmp.toString)
+          fs.delete(sp, true)
+          fs.rename(tmp, sp)
+          touched += harvested.size
+        }
+      }
+    }
+    touched
+  }
+
+  /** Exact (lo, hi, nulls) for one top-level column of one parquet file
+    * from its FOOTER row-group statistics — None whenever anything is not
+    * cleanly provable (missing/unset stats, unmappable physical type), so
+    * callers never record a guessed bound. */
+  private def footerColumnStats(
+      conf: org.apache.hadoop.conf.Configuration, file: Path,
+      column: String, dt: DataType): Option[(Any, Any, Long)] = {
+    import org.apache.spark.sql.types._
+    scala.util.Try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        var nulls = 0L
+        var lo: Any = null
+        var hi: Any = null
+        var ok = true
+        blocks.foreach { b =>
+          if (ok) {
+            b.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case None => ok = false
+              case Some(cc) =>
+                val st = cc.getStatistics
+                if (st == null || st.getNumNulls < 0) ok = false
+                else {
+                  nulls += st.getNumNulls
+                  if (st.hasNonNullValue) {
+                    val conv: Option[(Any, Any)] = (dt, st) match {
+                      case (LongType, s: org.apache.parquet.column.statistics
+                          .LongStatistics) =>
+                        Some((java.lang.Long.valueOf(s.getMin),
+                          java.lang.Long.valueOf(s.getMax)))
+                      case (IntegerType, s: org.apache.parquet.column
+                          .statistics.IntStatistics) =>
+                        Some((java.lang.Integer.valueOf(s.getMin),
+                          java.lang.Integer.valueOf(s.getMax)))
+                      case (DoubleType, s: org.apache.parquet.column
+                          .statistics.DoubleStatistics) =>
+                        Some((java.lang.Double.valueOf(s.getMin),
+                          java.lang.Double.valueOf(s.getMax)))
+                      case (FloatType, s: org.apache.parquet.column
+                          .statistics.FloatStatistics) =>
+                        Some((java.lang.Float.valueOf(s.getMin),
+                          java.lang.Float.valueOf(s.getMax)))
+                      case (StringType, s: org.apache.parquet.column
+                          .statistics.BinaryStatistics) =>
+                        Some((s.genericGetMin.toStringUsingUTF8,
+                          s.genericGetMax.toStringUsingUTF8))
+                      case (DateType, s: org.apache.parquet.column
+                          .statistics.IntStatistics) =>
+                        Some((java.sql.Date.valueOf(
+                          java.time.LocalDate.ofEpochDay(s.getMin.toLong)),
+                          java.sql.Date.valueOf(
+                            java.time.LocalDate.ofEpochDay(s.getMax.toLong))))
+                      case (TimestampType, s: org.apache.parquet.column
+                          .statistics.LongStatistics)
+                          if cc.getPrimitiveType.getLogicalTypeAnnotation
+                            .isInstanceOf[org.apache.parquet.schema
+                              .LogicalTypeAnnotation
+                              .TimestampLogicalTypeAnnotation] =>
+                        val unit = cc.getPrimitiveType
+                          .getLogicalTypeAnnotation
+                          .asInstanceOf[org.apache.parquet.schema
+                            .LogicalTypeAnnotation
+                            .TimestampLogicalTypeAnnotation].getUnit
+                        def toTs(v: Long): java.sql.Timestamp = {
+                          val micros = unit match {
+                            case org.apache.parquet.schema
+                              .LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                              Math.multiplyExact(v, 1000L)
+                            case org.apache.parquet.schema
+                              .LogicalTypeAnnotation.TimeUnit.MICROS => v
+                            case _ => throw new IllegalArgumentException
+                          }
+                          val ts = new java.sql.Timestamp(
+                            Math.floorDiv(micros, 1000000L) * 1000L)
+                          ts.setNanos(
+                            (Math.floorMod(micros, 1000000L) * 1000L).toInt)
+                          ts
+                        }
+                        Some((toTs(s.getMin), toTs(s.getMax)))
+                      case _ => None
+                    }
+                    conv match {
+                      case None => ok = false
+                      case Some((l, h)) =>
+                        if (lo == null || cmpAny(l, lo) < 0) lo = l
+                        if (hi == null || cmpAny(h, hi) > 0) hi = h
+                    }
+                  }
+                }
+            }
+          }
+        }
+        if (ok) Some((lo, hi, nulls)) else None
+      } finally r.close()
+    }.toOption.flatten
+  }
 
   /** Per-file (lo, hi) sidecar map for `c` — empty when the column was
     * never profiled. Cached by the sidecar's modification time, so

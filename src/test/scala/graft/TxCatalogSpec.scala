@@ -684,6 +684,28 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL INSERT auto-refreshes sidecars: a metadata DELETE decides on rows committed after ANALYZE") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_fresh_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      TxTable.computeStats(spark, t, "v")
+      // the INSERT's commit harvests its own files' footer stats (incl.
+      // null counts), so a retention delete covering EXACTLY those rows
+      // is still decidable with no ANALYZE in between
+      spark.sql(s"INSERT INTO txspj.`$t` VALUES ('F1', 1001), ('F2', 1002)")
+      val before = TxTable.snapshot(spark, t)
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE v > 1000")
+      val after = TxTable.snapshot(spark, t)
+      assert(after.version == before.version + 1)
+      assert(after.entries.map(_.rel).toSet
+        .subsetOf(before.entries.map(_.rel).toSet),
+        "the freshly-inserted files must drop by metadata, not rewrite")
+      assert(spark.table(s"txspj.`$t`").count() == 64)
+    }
+  }
+
   test("metadata DELETE treats null counts as load-bearing: null rows survive a below-range cut") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mdel_null_").toString
@@ -896,8 +918,9 @@ class TxCatalogSpec extends AnyFunSuite {
       assert(p.contains("LocalTableScan") && !p.contains("BatchScan"),
         s"expected a metadata-only local scan:\n$p")
 
-      // an append WITHOUT a stats refresh: count(*) still metadata-only
-      // (counts ride every commit), min/max gracefully fall back to a scan
+      // an append WITHOUT an ANALYZE in between: counts ride every commit
+      // and the commit auto-harvested the profiled column's footer stats,
+      // so count(*) AND min/max all stay metadata-only and see the row
       TxTable.appendOnce(spark, a,
         Seq(("K0", 0L)).toDF("k", "v"), "k", nBuckets, "agg", 0L)
       val c2 = spark.sql(s"SELECT count(*) AS n FROM txspj.`$a`")
@@ -905,9 +928,15 @@ class TxCatalogSpec extends AnyFunSuite {
       assert(c2.queryExecution.executedPlan.toString
         .contains("LocalTableScan"))
       val m2 = spark.sql(s"SELECT min(v) AS lo FROM txspj.`$a`")
-      assert(m2.head().getLong(0) == 0L, "fallback scan must be correct")
-      assert(m2.queryExecution.executedPlan.toString.contains("BatchScan"),
-        "unprofiled head file must refuse the metadata shortcut")
+      assert(m2.head().getLong(0) == 0L)
+      assert(m2.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+        "footer-harvested stats must keep the metadata shortcut")
+      // an UNPROFILED column still refuses gracefully: ordinary scan
+      val mk = spark.sql(s"SELECT min(k) AS lo FROM txspj.`$a`")
+      assert(mk.head().getString(0) == "K0", "fallback scan must be correct")
+      assert(mk.queryExecution.executedPlan.toString.contains("BatchScan"),
+        "unprofiled column must refuse the metadata shortcut")
 
       // time travel composes: the pinned snapshot's counts answer
       val tt = spark.sql(s"SELECT count(*) AS n FROM txspj.`$a@v0`")

@@ -432,16 +432,16 @@ class TxTableSpec extends AnyFunSuite {
     assert(openedSets.size == 1,
       s"expected one fileset opened, got $openedSets")
 
-    // a commit landed AFTER the stats refresh: not in the sidecar -> must
-    // still be read (never prune blind)
+    // a commit landed AFTER the ANALYZE: the commit itself harvested the
+    // new files' FOOTER stats into the sidecar, so the fresh fileset is
+    // pruned-on immediately and the scan-based refresh has nothing to do
     TxTable.appendOnce(spark, table, batch(300 until 400), "k", 4, "zm", 2L)
     val late = TxTable.readWhere(spark, table, "day", 350L, 360L)
     assert(late.select("day").as[Long].collect().sorted.toSeq ==
       (350L to 360L))
-
-    // incremental refresh profiles only the new files
-    val newly = TxTable.computeStats(spark, table, "day")
-    assert(newly > 0 && newly < TxTable.snapshot(spark, table).entries.size)
+    assert(late.inputFiles.map(_.split("/files/")(1).split('/')(0))
+      .toSet.size == 1, "footer-fresh stats must prune the late read")
+    assert(TxTable.computeStats(spark, table, "day") == 0)
     // and equivalence with the unpruned read holds on any bound
     val a = TxTable.readWhere(spark, table, "day", 95L, 205L)
       .select("k", "day").as[(String, Long)].collect().toSet
@@ -449,6 +449,25 @@ class TxTableSpec extends AnyFunSuite {
       .filter($"day".between(95L, 205L))
       .select("k", "day").as[(String, Long)].collect().toSet
     assert(a == b)
+  }
+
+  test("sidecars stay fresh from footers: commits auto-refresh profiled stats, no data scan needed") {
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
+      .toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.computeStats(spark, table, "day") // the one-time opt-in
+    // append WITHOUT any ANALYZE afterwards: the commit itself harvests
+    // the new files' footer statistics into the sidecar
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "fr", 0L)
+    assert(TxTable.computeStats(spark, table, "day") == 0,
+      "footer harvest must leave nothing for the scan-based ANALYZE")
+    // and skipping works on the fresh commit immediately
+    val mid = TxTable.readWhere(spark, table, "day", 120L, 180L)
+    assert(mid.select("day").as[Long].collect().sorted.toSeq ==
+      (120L to 180L))
+    assert(mid.inputFiles.map(_.split("/files/")(1).split('/')(0))
+      .toSet.size == 1, "fresh stats must prune to the new fileset")
   }
 
   test("computeStats trims sidecar rows for files no longer live") {
