@@ -562,19 +562,59 @@ object TxTable {
       .getOrElse(Set.empty)
     val missing = snap.entries.filterNot(e => known(e.rel))
     if (missing.isEmpty) return 0
-    val fresh = snap.schema.fold(spark.read)(spark.read.schema)
-      .parquet(missing.map(e => s"$table/${e.rel}"): _*)
-      // END-anchored at the writer's fixed depth (files/<uuid>/<bucket
-      // partition>/<part file>): a table rooted under a directory that
-      // itself contains a 'files' segment must not shadow the match, or
-      // every refresh would re-profile all files and readWhere would never
-      // prune — silently
-      .select(regexp_extract(input_file_name(),
-        "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
-        col(statsCol))
-      .groupBy(col("rel"))
-      .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
-        sum(col(statsCol).isNull.cast("long")).as("nulls"))
+    // footer-first ANALYZE: parquet footers already carry exact
+    // (min, max, nullCount) per row group, so a 100 TB table profiles
+    // from O(files) metadata reads, not a 100 TB scan. Only files whose
+    // footer refuses (unmappable physical type, missing statistics) fall
+    // to the data scan below.
+    val colType = snap.schema.flatMap(_.fields.find(_.name == statsCol))
+      .map(_.dataType)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val footered: Seq[(String, (Any, Any, Long))] = colType match {
+      case Some(t) => missing.flatMap(e =>
+        footerColumnStats(hconf, new Path(table, e.rel), statsCol, t)
+          .map(s => e.rel -> s))
+      case None => Seq.empty
+    }
+    val footeredRels = footered.map(_._1).toSet
+    val needScan = missing.filterNot(e => footeredRels(e.rel))
+    val sideSchema = StructType(Seq(
+      StructField("rel", org.apache.spark.sql.types.StringType),
+      StructField("lo", colType.getOrElse(
+        org.apache.spark.sql.types.NullType)),
+      StructField("hi", colType.getOrElse(
+        org.apache.spark.sql.types.NullType)),
+      StructField("nulls", org.apache.spark.sql.types.LongType)))
+    val footeredDf =
+      if (footered.isEmpty) None
+      else Some(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            footered.map { case (rel, (lo, hi, n)) =>
+              org.apache.spark.sql.Row(rel, lo, hi,
+                java.lang.Long.valueOf(n)) }).asJava),
+        sideSchema))
+    val scanned =
+      if (needScan.isEmpty) None
+      else Some(snap.schema.fold(spark.read)(spark.read.schema)
+        .parquet(needScan.map(e => s"$table/${e.rel}"): _*)
+        // END-anchored at the writer's fixed depth (files/<uuid>/<bucket
+        // partition>/<part file>): a table rooted under a directory that
+        // itself contains a 'files' segment must not shadow the match, or
+        // every refresh would re-profile all files and readWhere would
+        // never prune — silently
+        .select(regexp_extract(input_file_name(),
+          "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
+          col(statsCol))
+        .groupBy(col("rel"))
+        .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
+          sum(col(statsCol).isNull.cast("long")).as("nulls")))
+    val fresh = (footeredDf, scanned) match {
+      case (Some(f), Some(s)) => f.unionByName(s)
+      case (Some(f), None) => f
+      case (None, Some(s)) => s
+      case (None, None) => return 0 // unreachable: missing was non-empty
+    }
     // trim rows for files no longer live (compacted / vacuumed / deleted):
     // every stats consumer over-keeps on a missing rel, so dropping them
     // is safe — and without it the sidecar grows O(files EVER), not

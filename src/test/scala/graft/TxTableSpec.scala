@@ -470,6 +470,56 @@ class TxTableSpec extends AnyFunSuite {
       .toSet.size == 1, "fresh stats must prune to the new fileset")
   }
 
+  test("ANALYZE is footer-first: a mappable column profiles with no data-scan job; unmappable falls back") {
+    val base = Files.createTempDirectory("graft_tx_").toString
+    val table = s"$base/t"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
+      .toDF("k", "day")
+      .withColumn("dec",
+        org.apache.spark.sql.functions.col("day").cast("decimal(10,2)"))
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "ff", 0L)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def stableJobs(): Int = {
+      var last = -1; var cur = jobs.get()
+      while (cur != last) { Thread.sleep(300); last = cur; cur = jobs.get() }
+      cur
+    }
+    // LONG maps from footers: the only job is the sidecar write itself
+    jobs.set(0)
+    spark.sparkContext.addSparkListener(listener)
+    val profiled =
+      try { val n = TxTable.computeStats(spark, table, "day"); stableJobs(); n }
+      finally spark.sparkContext.removeSparkListener(listener)
+    val jobsMappable = jobs.get()
+    assert(profiled == TxTable.snapshot(spark, table).entries.size)
+    assert(jobsMappable <= 1,
+      s"footer-first ANALYZE must not scan data: $jobsMappable jobs")
+    val mid = TxTable.readWhere(spark, table, "day", 120L, 180L)
+    assert(mid.select("day").as[Long].collect().sorted.toSeq ==
+      (120L to 180L))
+    assert(mid.inputFiles.map(_.split("/files/")(1).split('/')(0))
+      .toSet.size == 1, "footer-profiled bounds must prune")
+    // DECIMAL has no clean footer mapping: the scan fallback profiles it
+    // and pruning still works over the scanned bounds
+    jobs.set(0)
+    spark.sparkContext.addSparkListener(listener)
+    try { TxTable.computeStats(spark, table, "dec"); stableJobs(); () }
+    finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() > 1,
+      "unmappable column must take the scan path (scan + write jobs)")
+    val dmid = TxTable.readWhere(spark, table, "dec",
+      new java.math.BigDecimal("120.00"), new java.math.BigDecimal("180.00"))
+    assert(dmid.select("day").as[Long].collect().sorted.toSeq ==
+      (120L to 180L))
+  }
+
   test("computeStats trims sidecar rows for files no longer live") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
