@@ -242,7 +242,9 @@ object TxTable {
   }
 
   /** Publish version base.version + 1 as a DELTA manifest (O(changed
-    * files) bytes — commit cost never grows with table size or age), and
+    * files) bytes — commit cost stays amortized O(changed), never
+    * O(table): the post-commit stats refresh appends only the new files'
+    * rows and the checkpoint/sidecar compactions are periodic), and
     * on every [[CheckpointInterval]]-th version additionally materialize a
     * full `.checkpoint` sidecar so resolution stays O(interval). The
     * checkpoint write is best-effort AFTER the CAS: its content is a pure
@@ -561,7 +563,14 @@ object TxTable {
       .map(_.select("rel").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
     val missing = snap.entries.filterNot(e => known(e.rel))
-    if (missing.isEmpty) return 0
+    val liveSet = snap.entries.map(_.rel).toSet
+    // even with nothing new to profile, ANALYZE leaves a canonical
+    // sidecar: dead files' rows trimmed, per-commit append parts folded
+    // back into one (the auto-refresh defers both to its compaction cap)
+    val stale = known.exists(r => !liveSet(r)) ||
+      scala.util.Try(fs.listStatus(sp)
+        .count(_.getPath.getName.endsWith(".parquet"))).getOrElse(0) > 1
+    if (missing.isEmpty && !stale) return 0
     // footer-first ANALYZE: parquet footers already carry exact
     // (min, max, nullCount) per row group, so a 100 TB table profiles
     // from O(files) metadata reads, not a 100 TB scan. Only files whose
@@ -572,8 +581,8 @@ object TxTable {
     val hconf = spark.sparkContext.hadoopConfiguration
     val footered: Seq[(String, (Any, Any, Long))] = colType match {
       case Some(t) => missing.flatMap(e =>
-        footerColumnStats(hconf, new Path(table, e.rel), statsCol, t)
-          .map(s => e.rel -> s))
+        footerFileStats(hconf, new Path(table, e.rel), Seq((statsCol, t)))
+          .get(statsCol).map(s => e.rel -> s))
       case None => Seq.empty
     }
     val footeredRels = footered.map(_._1).toSet
@@ -609,24 +618,25 @@ object TxTable {
         .groupBy(col("rel"))
         .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
           sum(col(statsCol).isNull.cast("long")).as("nulls")))
-    val fresh = (footeredDf, scanned) match {
-      case (Some(f), Some(s)) => f.unionByName(s)
-      case (Some(f), None) => f
-      case (None, Some(s)) => s
-      case (None, None) => return 0 // unreachable: missing was non-empty
-    }
+    val fresh: Option[org.apache.spark.sql.DataFrame] =
+      (footeredDf, scanned) match {
+        case (Some(f), Some(s)) => Some(f.unionByName(s))
+        case (f, s) => f.orElse(s) // either side alone, or trim-only pass
+      }
     // trim rows for files no longer live (compacted / vacuumed / deleted):
     // every stats consumer over-keeps on a missing rel, so dropping them
     // is safe — and without it the sidecar grows O(files EVER), not
     // O(files live), under steady compaction churn
-    val liveRels = snap.entries.map(_.rel).toSet
-    val all = (existing match {
-      case Some(old) =>
+    val all = ((existing, fresh) match {
+      case (Some(old), Some(f)) =>
         old.select(col("rel"), col("lo"), col("hi"), col("nulls"))
-          .unionByName(fresh)
+          .unionByName(f)
           .dropDuplicates(Seq("rel"))
-      case None => fresh
-    }).filter(udf((r: String) => liveRels(r)).apply(col("rel")))
+      case (Some(old), None) =>
+        old.select(col("rel"), col("lo"), col("hi"), col("nulls"))
+      case (None, Some(f)) => f
+      case (None, None) => return 0
+    }).filter(udf((r: String) => liveSet(r)).apply(col("rel")))
     val tmp = new Path(logDir(table),
       s".stats-tmp-${java.util.UUID.randomUUID()}")
     all.coalesce(1).write.parquet(tmp.toString)
@@ -638,80 +648,142 @@ object TxTable {
   private[graft] def cmpAny(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
 
-  /** Keep profiled sidecars FRESH without reading data: harvest per-file
-    * (lo, hi, nulls) from parquet FOOTER metadata for live files the
-    * sidecar doesn't know yet, and drop rows for files no longer live.
-    * Footers already carry exact column statistics — truncated binary
-    * bounds stay valid OUTER bounds per the parquet spec, so every
-    * consumer's conservative contract (pruning over-keeps, coverage
-    * degrades Full→Partial) holds. Runs after every committing write
-    * (see [[commitNext]]), which closes the staleness window that would
-    * otherwise open between ANALYZE runs for TopN pushdown, metadata
-    * DELETE, REPLACE WHERE routing, and file skipping. A column whose
-    * physical type has no clean external mapping (INT96 timestamps,
-    * decimals) refuses per file and is left to the scan-based
-    * [[computeStats]]. Best-effort by contract: any failure leaves the
-    * sidecar as it was. Returns files newly profiled across sidecars. */
-  def refreshStatsFromFooters(spark: SparkSession, table: String): Int = {
-    val fs = fsFor(spark, table)
-    val cols = scala.util.Try {
+  /** The sidecar columns this table has opted into (one `stats-<c>`
+    * directory per ANALYZEd column under the log). */
+  private[graft] def statsColumns(fs: FileSystem,
+                                  table: String): Seq[String] =
+    scala.util.Try {
       fs.listStatus(logDir(table)).map(_.getPath.getName)
         .filter(n => n.startsWith("stats-") && n.endsWith(".parquet"))
         .map(_.stripPrefix("stats-").stripSuffix(".parquet")).toSeq
     }.getOrElse(Seq.empty)
+
+  /** A sidecar "file" is a parquet DIRECTORY: [[computeStats]] writes it
+    * as one part; per-commit refreshes APPEND one small part with only
+    * the new files' rows (driver-side parquet writer — no Spark job, no
+    * O(live files) rewrite), and once the part count passes this cap the
+    * refresh compacts the directory back to one part (also dropping rows
+    * for dead files). Commit cost therefore stays amortized O(changed
+    * files), not O(table). */
+  private val MaxSidecarParts = 64
+
+  /** One part-file append into a sidecar directory, reader-safe: written
+    * under a dot-name (hidden from parquet readers) then renamed. */
+  private def writeSidecarPart(spark: SparkSession, fs: FileSystem,
+                               dir: Path, dt: DataType,
+                               rows: Seq[(String, (Any, Any, Long))]): Unit = {
+    val sideSchema = StructType(Seq(
+      StructField("rel", org.apache.spark.sql.types.StringType),
+      StructField("lo", dt), StructField("hi", dt),
+      StructField("nulls", org.apache.spark.sql.types.LongType)))
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(sideSchema)
+    val name = s"part-graft-${java.util.UUID.randomUUID()}.parquet"
+    val tmp = new Path(dir, s".$name")
+    val w = org.apache.spark.sql.execution.datasources.v2.parquet
+      .GraftParquetShim.rowParquetWriter(tmp.toString, sideSchema,
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.writeHadoopConf(spark))
+    try rows.foreach { case (rel, (lo, hi, n)) =>
+      w.write(conv(org.apache.spark.sql.Row(rel, lo, hi,
+        java.lang.Long.valueOf(n)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    } finally w.close()
+    if (!fs.rename(tmp, new Path(dir, name))) fs.delete(tmp, false)
+    ()
+  }
+
+  /** Keep profiled sidecars FRESH without reading data: harvest per-file
+    * (lo, hi, nulls) from parquet FOOTER metadata for live files the
+    * sidecar doesn't know yet. Footers already carry exact column
+    * statistics — truncated binary bounds stay valid OUTER bounds per the
+    * parquet spec, so every consumer's conservative contract (pruning
+    * over-keeps, coverage degrades Full→Partial) holds; see
+    * [[footerFileStats]] for the NaN and all-null refusals. Runs after
+    * every committing write (see [[commitNext]]), which closes the
+    * staleness window that would otherwise open between ANALYZE runs for
+    * TopN pushdown, metadata DELETE, REPLACE WHERE routing, and file
+    * skipping. Each new file's footer is opened ONCE for all profiled
+    * columns; the refresh APPENDS one small part per column (no Spark
+    * job) and compacts past [[MaxSidecarParts]] — also the moment dead
+    * files' rows are trimmed. Rows without null counts (pre-null-count
+    * sidecars) are treated as MISSING so the upgrade actually happens: a
+    * file whose footer refuses stays absent and falls to the scan-based
+    * [[computeStats]]. Best-effort by contract: any failure leaves the
+    * sidecar as it was. Returns files newly profiled across sidecars. */
+  def refreshStatsFromFooters(spark: SparkSession, table: String): Int = {
+    val fs = fsFor(spark, table)
+    val cols = statsColumns(fs, table)
     if (cols.isEmpty) return 0
     val snap = snapshot(spark, table)
     if (snap.schema.isEmpty) return 0
     val schema = snap.schema.get
     val liveRels = snap.entries.map(_.rel).toSet
     val hconf = spark.sparkContext.hadoopConfiguration
+    val typed = cols.flatMap(c =>
+      schema.fields.find(_.name == c).map(f => (c, f.dataType)))
+    // rows WITH null counts are usable; anything else (absent, or written
+    // before the null-count column) counts as missing and re-harvests
+    val usable: Map[String, Map[String, (Any, Any, Option[Long])]] =
+      typed.map { case (c, _) =>
+        c -> fileStatsRaw(spark, table, c)
+          .filter { case (_, (_, _, n)) => n.isDefined }
+      }.toMap
+    val hadUnusable: Map[String, Boolean] = typed.map { case (c, _) =>
+      c -> fileStatsRaw(spark, table, c).exists(_._2._3.isEmpty)
+    }.toMap
+    // ONE footer open per file, harvesting every column that needs it
+    val harvested = scala.collection.mutable.Map
+      .empty[String, List[(String, (Any, Any, Long))]]
+    snap.entries.foreach { e =>
+      val needs = typed.filter { case (c, _) => !usable(c).contains(e.rel) }
+      if (needs.nonEmpty)
+        footerFileStats(hconf, new Path(table, e.rel), needs).foreach {
+          case (c, s) =>
+            harvested(c) = (e.rel -> s) :: harvested.getOrElse(c, Nil)
+        }
+    }
     var touched = 0
-    cols.foreach { c =>
-      schema.fields.find(_.name == c).foreach { field =>
-        val existing = fileStatsRaw(spark, table, c)
-        val missing = snap.entries.filterNot(e => existing.contains(e.rel))
-        val harvested = missing.flatMap { e =>
-          footerColumnStats(hconf, new Path(table, e.rel), c, field.dataType)
-            .map(s => e.rel -> s)
+    typed.foreach { case (c, dt) =>
+      val newRows = harvested.getOrElse(c, Nil)
+      val sp = statsPath(table, c)
+      val parts = scala.util.Try(
+        fs.listStatus(sp).count(_.getPath.getName.endsWith(".parquet")))
+        .getOrElse(0)
+      val mustCompact = hadUnusable(c) || parts > MaxSidecarParts
+      if (newRows.nonEmpty && !mustCompact) {
+        writeSidecarPart(spark, fs, sp, dt, newRows)
+        touched += newRows.size
+      } else if (newRows.nonEmpty || mustCompact) {
+        // compaction: one fresh part = live usable rows + new harvest;
+        // dead files' rows and null-count-less rows drop here
+        val keep = usable(c).toSeq.collect {
+          case (rel, (lo, hi, Some(n))) if liveRels(rel) =>
+            rel -> ((lo, hi, n))
         }
-        val kept = existing.filter { case (rel, _) => liveRels(rel) }
-        if (harvested.nonEmpty || kept.size != existing.size) {
-          val rows: Seq[org.apache.spark.sql.Row] =
-            (kept.toSeq.map { case (rel, (lo, hi, n)) =>
-              org.apache.spark.sql.Row(rel, lo, hi,
-                n.map(java.lang.Long.valueOf).orNull)
-            } ++ harvested.map { case (rel, (lo, hi, n)) =>
-              org.apache.spark.sql.Row(rel, lo, hi, java.lang.Long.valueOf(n))
-            })
-          val sideSchema = StructType(Seq(
-            StructField("rel", org.apache.spark.sql.types.StringType),
-            StructField("lo", field.dataType),
-            StructField("hi", field.dataType),
-            StructField("nulls", org.apache.spark.sql.types.LongType)))
-          val df = spark.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](
-              scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-            sideSchema)
-          val sp = statsPath(table, c)
-          val tmp = new Path(logDir(table),
-            s".stats-tmp-${java.util.UUID.randomUUID()}")
-          df.coalesce(1).write.parquet(tmp.toString)
-          fs.delete(sp, true)
-          fs.rename(tmp, sp)
-          touched += harvested.size
-        }
+        val tmp = new Path(logDir(table),
+          s".stats-tmp-${java.util.UUID.randomUUID()}")
+        fs.mkdirs(tmp)
+        writeSidecarPart(spark, fs, tmp, dt, keep ++ newRows)
+        fs.delete(sp, true)
+        fs.rename(tmp, sp)
+        touched += newRows.size
       }
     }
     touched
   }
 
-  /** Exact (lo, hi, nulls) for one top-level column of one parquet file
-    * from its FOOTER row-group statistics — None whenever anything is not
-    * cleanly provable (missing/unset stats, unmappable physical type), so
-    * callers never record a guessed bound. */
-  private def footerColumnStats(
+  /** Exact (lo, hi, nulls) per requested top-level column of one parquet
+    * file from its FOOTER row-group statistics — the footer is opened
+    * ONCE for all columns. A column is absent from the result whenever
+    * anything is not cleanly provable: missing/unset statistics, an
+    * unmappable physical type, NaN float/double bounds, or a chunk
+    * claiming "no non-null values" that its row count does not
+    * corroborate (the parquet-mr NaN-drop case). Callers never record a
+    * guessed bound. */
+  private def footerFileStats(
       conf: org.apache.hadoop.conf.Configuration, file: Path,
-      column: String, dt: DataType): Option[(Any, Any, Long)] = {
+      cols: Seq[(String, DataType)]): Map[String, (Any, Any, Long)] = {
     import org.apache.spark.sql.types._
     scala.util.Try {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -719,6 +791,7 @@ object TxTable {
       try {
         import scala.jdk.CollectionConverters._
         val blocks = r.getFooter.getBlocks.asScala.toSeq
+        cols.flatMap { case (column, dt) =>
         var nulls = 0L
         var lo: Any = null
         var hi: Any = null
@@ -732,7 +805,16 @@ object TxTable {
                 if (st == null || st.getNumNulls < 0) ok = false
                 else {
                   nulls += st.getNumNulls
-                  if (st.hasNonNullValue) {
+                  if (!st.hasNonNullValue) {
+                    // "no non-null values" must be corroborated by the
+                    // block's own row count: parquet-mr DROPS float/double
+                    // min/max (clearing hasNonNullValue, keeping
+                    // null_count) whenever a chunk contains NaN — trusting
+                    // the flag alone would record a data-full file as
+                    // all-null and let Full/Zero coverage decisions
+                    // silently destroy or resurrect its rows
+                    if (st.getNumNulls != b.getRowCount) ok = false
+                  } else {
                     val conv: Option[(Any, Any)] = (dt, st) match {
                       case (LongType, s: org.apache.parquet.column.statistics
                           .LongStatistics) =>
@@ -743,11 +825,13 @@ object TxTable {
                         Some((java.lang.Integer.valueOf(s.getMin),
                           java.lang.Integer.valueOf(s.getMax)))
                       case (DoubleType, s: org.apache.parquet.column
-                          .statistics.DoubleStatistics) =>
+                          .statistics.DoubleStatistics)
+                          if !s.getMin.isNaN && !s.getMax.isNaN =>
                         Some((java.lang.Double.valueOf(s.getMin),
                           java.lang.Double.valueOf(s.getMax)))
                       case (FloatType, s: org.apache.parquet.column
-                          .statistics.FloatStatistics) =>
+                          .statistics.FloatStatistics)
+                          if !s.getMin.isNaN && !s.getMax.isNaN =>
                         Some((java.lang.Float.valueOf(s.getMin),
                           java.lang.Float.valueOf(s.getMax)))
                       case (StringType, s: org.apache.parquet.column
@@ -800,9 +884,10 @@ object TxTable {
             }
           }
         }
-        if (ok) Some((lo, hi, nulls)) else None
+        if (ok) Some(column -> ((lo, hi, nulls))) else None
+        }.toMap
       } finally r.close()
-    }.toOption.flatten
+    }.getOrElse(Map.empty)
   }
 
   /** Per-file (lo, hi) sidecar map for `c` — empty when the column was
@@ -811,17 +896,25 @@ object TxTable {
     * runs once per optimization) re-read the tiny parquet only after a
     * [[computeStats]] refresh. */
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Map[String, (Any, Any, Option[Long])])]()
+    String, (Long, Map[String, (Any, Any, Option[Long])],
+      Map[String, (Any, Any)])]()
 
   private def fileStatsRaw(spark: SparkSession, table: String,
-                           c: String): Map[String, (Any, Any, Option[Long])] = {
+                           c: String): Map[String, (Any, Any, Option[Long])] =
+    fileStatsCached(spark, table, c)._1
+
+  /** Both shapes of the sidecar map, cached together so the hot per-query
+    * pruning path ([[fileStats]]) never re-materializes an O(files)
+    * projection per call. */
+  private def fileStatsCached(spark: SparkSession, table: String, c: String)
+      : (Map[String, (Any, Any, Option[Long])], Map[String, (Any, Any)]) = {
     val fs = fsFor(spark, table)
     val sp = statsPath(table, c)
-    if (!fs.exists(sp)) return Map.empty
+    if (!fs.exists(sp)) return (Map.empty, Map.empty)
     val mtime = fs.getFileStatus(sp).getModificationTime
     val key = sp.toString
     val cached = statsCache.get(key)
-    if (cached != null && cached._1 == mtime) cached._2
+    if (cached != null && cached._1 == mtime) (cached._2, cached._3)
     else {
       val df = spark.read.parquet(sp.toString)
       val hasNulls = df.schema.fieldNames.contains("nulls")
@@ -830,20 +923,30 @@ object TxTable {
           df.select(col("rel"), col("lo"), col("hi"), col("nulls")).collect()
             .map(r => r.getString(0) ->
               ((r.get(1), r.get(2),
-                if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+                if (r.isNullAt(3)) None else Some(r.getLong(3)))))
         else // pre-null-count sidecar: ranges usable, null counts unknown
           df.select(col("rel"), col("lo"), col("hi")).collect()
             .map(r => r.getString(0) ->
-              ((r.get(1), r.get(2), None: Option[Long]))).toMap
-      statsCache.put(key, (mtime, m))
-      m
+              ((r.get(1), r.get(2), None: Option[Long])))
+      // a rel can appear in more than one part (racing refresh appends,
+      // pre-upgrade rows next to harvested ones): prefer the row that
+      // carries a null count; duplicates with counts are identical by
+      // construction (immutable files, deterministic footers)
+      val raw = m.foldLeft(Map.empty[String, (Any, Any, Option[Long])]) {
+        case (acc, (rel, v)) => acc.get(rel) match {
+          case Some((_, _, Some(_))) => acc
+          case _ => acc + (rel -> v)
+        }
+      }
+      val proj = raw.map { case (k, (lo, hi, _)) => k -> ((lo, hi)) }
+      statsCache.put(key, (mtime, raw, proj))
+      (raw, proj)
     }
   }
 
   private[graft] def fileStats(spark: SparkSession, table: String,
                                c: String): Map[String, (Any, Any)] =
-    fileStatsRaw(spark, table, c).map { case (k, (lo, hi, _)) =>
-      k -> ((lo, hi)) }
+    fileStatsCached(spark, table, c)._2
 
   /** Per-file (lo, hi, nullCount) — null counts present only for sidecars
     * refreshed since the column was added (callers must refuse, not

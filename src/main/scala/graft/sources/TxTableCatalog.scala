@@ -229,13 +229,10 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     val counts = snap.entries.map(_.rows)
     if (counts.forall(_.isDefined))
       m.put("rows", counts.flatten.sum.toString)
-    val statsCols = scala.util.Try {
-      val fs = new Path(path)
-        .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-      fs.listStatus(new Path(path, "_txlog")).map(_.getPath.getName)
-        .filter(n => n.startsWith("stats-") && n.endsWith(".parquet"))
-        .map(_.stripPrefix("stats-").stripSuffix(".parquet")).sorted
-    }.getOrElse(Array.empty[String])
+    val statsCols = scala.util.Try(TxTable.statsColumns(
+      new Path(path).getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      path).sorted).getOrElse(Seq.empty)
     if (statsCols.nonEmpty) m.put("stats.columns", statsCols.mkString(","))
     m
   }
@@ -1586,7 +1583,7 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"$path: streaming epoch $epochId lost the commit race 5 times")
+      s"$path: streaming epoch $epochId lost the commit race 6 times")
   }
 
   override def abort(epochId: Long,

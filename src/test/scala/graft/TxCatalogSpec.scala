@@ -684,6 +684,43 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN poisons parquet footer stats: the harvest refuses and DELETE stays exact") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_nan_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toDouble)).toDF("k", "d"),
+        "k", nBuckets)
+      TxTable.computeStats(spark, t, "d")
+      // clean rows in one commit, the NaN row alone in the next: only the
+      // NaN row's file carries poisoned footer stats
+      TxTable.appendOnce(spark, t,
+        Seq(("N1", 100.0), ("N3", 101.0)).toDF("k", "d"),
+        "k", nBuckets, "nan", 0L)
+      val before = TxTable.snapshot(spark, t).entries.map(_.rel).toSet
+      // parquet-mr DROPS a float/double chunk's min/max when it holds a
+      // NaN (keeping null_count) — the harvest must refuse such files
+      // rather than record them as all-null
+      TxTable.appendOnce(spark, t,
+        Seq(("N2", Double.NaN)).toDF("k", "d"), "k", nBuckets, "nan", 1L)
+      val nanRels = TxTable.snapshot(spark, t).entries.map(_.rel).toSet -- before
+      assert(nanRels.nonEmpty)
+      val stats = TxTable.fileStatsWithNulls(spark, t, "d")
+      assert(nanRels.forall(r => !stats.contains(r)),
+        "NaN-poisoned footers must refuse, not harvest")
+      // NaN sorts GREATEST in Spark: d >= 100 matches all three appended
+      // rows. A poisoned (all-null) stats row would zero-cover their file
+      // and silently resurrect them through the metadata DELETE path.
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE d >= 100")
+      assert(spark.table(s"txspj.`$t`").count() == 64)
+      // and TopN over the column still answers exactly (missing stats
+      // refuse the pushdown instead of crashing the ranking)
+      val top = spark.sql(s"SELECT k, d FROM txspj.`$t` ORDER BY d DESC LIMIT 3")
+      assert(top.select($"d").as[Double].collect().toSeq ==
+        Seq(64.0, 63.0, 62.0))
+    }
+  }
+
   test("SQL INSERT auto-refreshes sidecars: a metadata DELETE decides on rows committed after ANALYZE") {
     registered {
       val base = Files.createTempDirectory("graft_cat_fresh_").toString
