@@ -711,6 +711,9 @@ object SparkEntry {
         orders.filter(col("o_orderkey") > cut2),
         "o_orderkey", 8, appId = "topn-stage", batchId = 2L)
       ops.TxTable.computeStats(s, path, "o_orderkey")
+      // bloom opt-in on the non-key, unclustered customer column — the
+      // membership sidecar ext_bloom_pointread probes
+      ops.TxTable.computeBloom(s, path, "o_custkey")
       ()
     }
     path
@@ -2220,6 +2223,21 @@ object SparkEntry {
         .limit(25)
         .select(col("o_orderkey"), col("o_orderpriority"),
           col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Point lookup on a NON-key column through the catalog: the bucket
+    // identity only answers the layout key, and o_custkey is unclustered
+    // so zone maps cannot help — the per-file BLOOM sidecar prunes the
+    // scan to files that might hold the probed customers (membership
+    // pruning; false positives only over-keep; spec-pinned file counts
+    // in TxCatalogSpec). Oracle replays the plain lookup.
+    "ext_bloom_pointread" -> ((s, dir) => {
+      val path = stagedClusteredOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .filter(col("o_custkey").isin(7L, 13L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -4459,6 +4477,13 @@ object SparkEntry {
     "ext_catalog_pointread" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
         |FROM orders WHERE o_orderkey IN (3, 42, 99)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // bloom point-lookup replay: the membership pruning is a pure
+    // execution property — the oracle is the plain lookup
+    "ext_bloom_pointread" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders WHERE o_custkey IN (7, 13)
         |ORDER BY o_orderkey""".stripMargin,
 
     // metadata-delete replay: whether the delete dropped files from the

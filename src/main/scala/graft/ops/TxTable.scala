@@ -648,6 +648,132 @@ object TxTable {
   private[graft] def cmpAny(a: Any, b: Any): Int =
     a.asInstanceOf[Comparable[Any]].compareTo(b)
 
+  // --- bloom sidecars (per-file membership filters) ----------------------
+
+  private def bloomPath(table: String, c: String) =
+    new Path(logDir(table), s"bloom-$c.parquet")
+
+  /** The bloom-profiled columns this table has opted into. */
+  private[graft] def bloomColumns(fs: FileSystem,
+                                  table: String): Seq[String] =
+    scala.util.Try {
+      fs.listStatus(logDir(table)).map(_.getPath.getName)
+        .filter(n => n.startsWith("bloom-") && n.endsWith(".parquet"))
+        .map(_.stripPrefix("bloom-").stripSuffix(".parquet")).toSeq
+    }.getOrElse(Seq.empty)
+
+  /** Per-file bloom over xxhash64(value): map-side mergeable, serialized
+    * with the sketch's own format so the driver probes the exact bits the
+    * executors built. */
+  private class BloomAgg(expected: Long, fpp: Double)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        java.lang.Long, org.apache.spark.util.sketch.BloomFilter,
+        Array[Byte]] {
+    override def zero: org.apache.spark.util.sketch.BloomFilter =
+      org.apache.spark.util.sketch.BloomFilter.create(expected, fpp)
+    override def reduce(b: org.apache.spark.util.sketch.BloomFilter,
+                        h: java.lang.Long) = {
+      if (h != null) b.putLong(h.longValue()); b
+    }
+    override def merge(a: org.apache.spark.util.sketch.BloomFilter,
+                       b: org.apache.spark.util.sketch.BloomFilter) = {
+      a.mergeInPlace(b); a
+    }
+    override def finish(b: org.apache.spark.util.sketch.BloomFilter)
+        : Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders
+        .kryo[org.apache.spark.util.sketch.BloomFilter]
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** Build or incrementally refresh the per-file BLOOM sidecar for
+    * `bloomCol` — membership pruning for the equality/IN probes the other
+    * two skipping structures cannot serve: the bucket identity answers
+    * point lookups on the LAYOUT key exactly, zone maps answer ranges on
+    * CLUSTERED columns, and blooms answer `col = v` on high-cardinality,
+    * UNCLUSTERED columns (document ids, URLs, foreign keys) by recording
+    * each file's value set probabilistically. One scan over files not yet
+    * profiled; a false positive only ever OVER-keeps a file. Values hash
+    * through the writers' own xxhash64 domain, so driver-side membership
+    * and executor-side bits can never disagree; null values are skipped
+    * (an equality probe is never null). Returns files newly profiled. */
+  def computeBloom(spark: SparkSession, table: String, bloomCol: String,
+                   fpp: Double = 0.01): Int = {
+    val snap = snapshot(spark, table)
+    val fs = fsFor(spark, table)
+    val sp = bloomPath(table, bloomCol)
+    val existing =
+      if (fs.exists(sp)) Some(spark.read.parquet(sp.toString)) else None
+    val known: Set[String] = existing
+      .map(_.select("rel").collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty)
+    val liveSet = snap.entries.map(_.rel).toSet
+    val missing = snap.entries.filterNot(e => known(e.rel))
+    val stale = known.exists(r => !liveSet(r))
+    if (missing.isEmpty && !stale) return 0
+    // size each file's filter for the largest file in the batch (manifest
+    // row counts when recorded); oversizing only costs bits
+    val perFile = missing.flatMap(_.rows)
+      .reduceOption(_ max _).getOrElse(200000L).max(1024L)
+    val bloomUdaf = udaf(new BloomAgg(perFile, fpp),
+      org.apache.spark.sql.Encoders.LONG)
+    val fresh =
+      if (missing.isEmpty) None
+      else Some(snap.schema.fold(spark.read)(spark.read.schema)
+        .parquet(missing.map(e => s"$table/${e.rel}"): _*)
+        .where(col(bloomCol).isNotNull)
+        .select(regexp_extract(input_file_name(),
+          "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
+          xxhash64(col(bloomCol)).as("h"))
+        .groupBy(col("rel"))
+        .agg(bloomUdaf(col("h")).as("bloom")))
+    val all = ((existing, fresh) match {
+      case (Some(o), Some(f)) =>
+        o.select(col("rel"), col("bloom")).unionByName(f)
+          .dropDuplicates(Seq("rel"))
+      case (Some(o), None) => o.select(col("rel"), col("bloom"))
+      case (None, Some(f)) => f
+      case (None, None) => return 0
+    }).filter(udf((r: String) => liveSet(r)).apply(col("rel")))
+    val tmp = new Path(logDir(table),
+      s".bloom-tmp-${java.util.UUID.randomUUID()}")
+    all.coalesce(1).write.parquet(tmp.toString)
+    fs.delete(sp, true)
+    fs.rename(tmp, sp)
+    missing.size
+  }
+
+  private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, org.apache.spark.util.sketch.BloomFilter])]()
+
+  /** Per-file deserialized blooms for `c` — empty when never profiled;
+    * cached by the sidecar's modification time. */
+  private[graft] def fileBlooms(spark: SparkSession, table: String,
+                                c: String)
+      : Map[String, org.apache.spark.util.sketch.BloomFilter] = {
+    val fs = fsFor(spark, table)
+    val sp = bloomPath(table, c)
+    if (!fs.exists(sp)) return Map.empty
+    val mtime = fs.getFileStatus(sp).getModificationTime
+    val key = sp.toString
+    val cached = bloomCache.get(key)
+    if (cached != null && cached._1 == mtime) cached._2
+    else {
+      val m = spark.read.parquet(sp.toString)
+        .select(col("rel"), col("bloom")).collect()
+        .map(r => r.getString(0) ->
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            r.getAs[Array[Byte]](1))).toMap
+      bloomCache.put(key, (mtime, m))
+      m
+    }
+  }
+
   /** The sidecar columns this table has opted into (one `stats-<c>`
     * directory per ANALYZEd column under the log). */
   private[graft] def statsColumns(fs: FileSystem,

@@ -234,6 +234,11 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
         SparkSession.active.sparkContext.hadoopConfiguration),
       path).sorted).getOrElse(Seq.empty)
     if (statsCols.nonEmpty) m.put("stats.columns", statsCols.mkString(","))
+    val bloomCols = scala.util.Try(TxTable.bloomColumns(
+      new Path(path).getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration),
+      path).sorted).getOrElse(Seq.empty)
+    if (bloomCols.nonEmpty) m.put("bloom.columns", bloomCols.mkString(","))
     m
   }
   override def partitioning(): Array[Transform] =
@@ -348,6 +353,8 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
   private var required: StructType = dataSchema
   private var kept: Seq[TxTable.FileEntry] = snap.entries
   private var prunedBy: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var allFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   private var aggAnswer: Option[(StructType, InternalRow)] = None
   private var sawFilters = false
@@ -543,6 +550,7 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     sawFilters = sawFilters || filters.nonEmpty
+    allFilters = filters
     val (k, used) = TxCatalogPruning.prune(SparkSession.active, path, snap,
       bucketing, dataSchema, filters)
     kept = k
@@ -560,7 +568,7 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
       new TxLocalAggScan(path, snap.version, schema, row)
     case None =>
       new TxScan(path, snap.copy(entries = kept), bucketing, dataSchema,
-        required, pinnedVersion, options)
+        required, pinnedVersion, options, allFilters)
   }
 }
 
@@ -801,6 +809,28 @@ private[sources] object TxCatalogPruning {
       }
     }
 
+    // bloom sidecars: equality/IN on a bloom-profiled column keeps only
+    // files whose filter might contain one of the probed values — the
+    // membership structure for point lookups on NON-key, unclustered
+    // columns. Unknown files and unhashable values never prune; a false
+    // positive only over-keeps.
+    eqs.foreach { case (c, vs, f) =>
+      val blooms = TxTable.fileBlooms(spark, path, c)
+      if (blooms.nonEmpty) {
+        schema.fields.find(_.name == c).map(_.dataType).foreach { t =>
+          val hashed: Seq[Option[Long]] = vs.map(v =>
+            Try(XxHash64(Seq(Literal.create(v, t)), 42L)
+              .eval(null).asInstanceOf[Long]).toOption)
+          if (hashed.nonEmpty && hashed.forall(_.isDefined)) {
+            val hs = hashed.flatten
+            used += f
+            kept = kept.filter(e => blooms.get(e.rel)
+              .forall(b => hs.exists(b.mightContainLong)))
+          }
+        }
+      }
+    }
+
     // manifest bucket identity: equality/IN on the bucket key keeps only
     // the probed buckets' files — the writer's own hash, evaluated on the
     // value converted through the column's catalyst type
@@ -834,7 +864,9 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
                    required: StructType,
                    pinnedVersion: Option[Long] = None,
                    options: CaseInsensitiveStringMap =
-                     CaseInsensitiveStringMap.empty())
+                     CaseInsensitiveStringMap.empty(),
+                   pushed: Array[org.apache.spark.sql.sources.Filter] =
+                     Array.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -915,7 +947,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     TxScanPlanning.partitionsFor(path, entries)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.readerFor(dataSchema, required)
+    TxScanPlanning.readerFor(dataSchema, required, pushed)
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -946,11 +978,16 @@ private[sources] object TxScanPlanning {
 
   /** The file schema includes the layout bucket column (it travels inside
     * every data file), so a projection requesting the bucket METADATA
-    * column is served straight from the files. */
-  def readerFor(dataSchema: StructType,
-                required: StructType): PartitionReaderFactory =
+    * column is served straight from the files. `pushed` filters enable
+    * row-group/page skipping inside kept files — pass them ONLY for plain
+    * query scans: a row-level-operation scan must read every row of the
+    * affected files (the non-matching rows are the COW rewrite's
+    * keep-side), so its reader never filters. */
+  def readerFor(dataSchema: StructType, required: StructType,
+                pushed: Array[org.apache.spark.sql.sources.Filter] =
+                  Array.empty): PartitionReaderFactory =
     GraftParquetShim.readerFactory(SparkSession.active,
-      TxFileSchema(dataSchema), required)
+      TxFileSchema(dataSchema), required, pushed)
 }
 
 /** The on-disk file schema: the SQL-visible columns plus the layout
@@ -1888,6 +1925,20 @@ object TxProcedures {
         input.getUTF8String(1).toString))
   }
 
+  private val computeBloom: Proc = new Proc("compute_bloom",
+    "build/refresh the per-file bloom sidecar for equality pruning on a " +
+      "non-key column",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build(),
+      ProcedureParameter.in("fpp", org.apache.spark.sql.types.DoubleType)
+        .defaultValue("0.01").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("files_profiled", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.computeBloom(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, input.getDouble(2)))
+  }
+
   private val vacuum: Proc = new Proc("vacuum",
     "drop pre-horizon log versions and unreferenced data (respecting the " +
       "in-flight orphan retention)",
@@ -1938,7 +1989,7 @@ object TxProcedures {
   }
 
   private val all: Map[String, UnboundProcedure] =
-    Seq(compact, computeStats, vacuum, rebucket, history)
+    Seq(compact, computeStats, computeBloom, vacuum, rebucket, history)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -23,17 +23,22 @@ object GraftParquetShim {
 
   /** The stock vectorized/codegen parquet reader factory over an explicit
     * (dataSchema, readDataSchema) pair — no partition columns (TxTable
-    * buckets travel INSIDE the data files), no pushed filters (the
-    * manifest already pruned at file granularity). Delegates to a real
-    * [[ParquetScan]] over an empty file index so every read-support hadoop
-    * conf key (requested schema, timezone, rebase modes, …) is prepared by
-    * the stock code path, not re-derived here. */
+    * buckets travel INSIDE the data files). `pushedFilters` ride into the
+    * stock reader for ROW-GROUP and page (column-index) skipping INSIDE
+    * kept files — the level below the manifest's file pruning; parquet
+    * filtering is conservative and Spark re-evaluates the residuals
+    * above, so it can only shrink I/O, never change results. Delegates to
+    * a real [[ParquetScan]] over an empty file index so every
+    * read-support hadoop conf key (requested schema, timezone, rebase
+    * modes, …) is prepared by the stock code path, not re-derived here. */
   def readerFactory(spark: SparkSession, dataSchema: StructType,
-                    readDataSchema: StructType): PartitionReaderFactory = {
+                    readDataSchema: StructType,
+                    pushedFilters: Array[org.apache.spark.sql.sources.Filter]
+                      = Array.empty): PartitionReaderFactory = {
     val index = new org.apache.spark.sql.execution.datasources
       .InMemoryFileIndex(spark, Seq.empty, Map.empty, Some(dataSchema))
     ParquetScan(spark, spark.sessionState.newHadoopConf(), index,
-      dataSchema, readDataSchema, new StructType(), Array.empty,
+      dataSchema, readDataSchema, new StructType(), pushedFilters,
       org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(), None,
       Seq.empty, Seq.empty,
       Array.empty[org.apache.spark.sql.connector.read.VariantExtraction])

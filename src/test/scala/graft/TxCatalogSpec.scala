@@ -557,6 +557,85 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom sidecars: equality on a non-key column prunes to the files that might hold it") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_bloom_").toString
+      val t = s"$base/t"
+      // grp values are commit-localized but UNCLUSTERED within a commit
+      // (zone maps would be useless here even if profiled); the bucket
+      // key k is unrelated, so only a membership structure can prune
+      def batch(r: Range) = scala.util.Random.shuffle(
+        r.map(i => (s"K$i", s"G$i"))).toDF("k", "grp")
+      TxTable.init(spark, t, batch(1 to 200), "k", nBuckets)
+      TxTable.appendOnce(spark, t, batch(201 to 400), "k", nBuckets, "bl", 0L)
+      TxTable.appendOnce(spark, t, batch(401 to 600), "k", nBuckets, "bl", 1L)
+      spark.sql(s"CALL txspj.compute_bloom('$t', 'grp')")
+      val total = TxTable.snapshot(spark, t).entries.size
+      val q = spark.table(s"txspj.`$t`").filter($"grp" === "G250")
+      assert(q.select($"k").as[String].collect().toSeq == Seq("K250"))
+      assert(scannedFiles(q) <= total / 2,
+        s"bloom must prune to the middle commit's files: " +
+          s"${scannedFiles(q)} of $total")
+      // IN-lists probe every value; files outside all probes drop
+      val in = spark.table(s"txspj.`$t`")
+        .filter($"grp".isin("G10", "G20"))
+      assert(in.count() == 2)
+      assert(scannedFiles(in) <= total / 2)
+      // a commit landed after the bloom refresh: its files are unknown to
+      // the sidecar and must never be pruned
+      TxTable.appendOnce(spark, t, batch(601 to 700), "k", nBuckets, "bl", 2L)
+      val late = spark.table(s"txspj.`$t`").filter($"grp" === "G650")
+      assert(late.select($"k").as[String].collect().toSeq == Seq("K650"))
+      // incremental refresh profiles only the new files; lookups then prune
+      assert(spark.sql(s"CALL txspj.compute_bloom('$t', 'grp')")
+        .head().getInt(0) > 0)
+      val fresh = spark.table(s"txspj.`$t`").filter($"grp" === "G650")
+      assert(fresh.select($"k").as[String].collect().toSeq == Seq("K650"))
+      assert(scannedFiles(fresh) < total)
+      // SHOW TBLPROPERTIES surfaces the opt-in
+      val props = spark.sql(s"SHOW TBLPROPERTIES txspj.`$t`")
+        .as[(String, String)].collect().toMap
+      assert(props("bloom.columns") == "grp")
+    }
+  }
+
+  test("pushed filters reach the parquet reader: row groups INSIDE kept files skip") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_rg_").toString
+      val t = s"$base/t"
+      // small parquet blocks -> many row groups per bucket file; rows
+      // written in v order so each row group covers a narrow v range
+      val hc = spark.sparkContext.hadoopConfiguration
+      val (oldBlock, oldPage) =
+        (hc.get("parquet.block.size"), hc.get("parquet.page.size"))
+      hc.setInt("parquet.block.size", 64 * 1024)
+      hc.setInt("parquet.page.size", 16 * 1024)
+      try {
+        val rows = (1 to 60000).map(i => (s"K$i", i.toLong, "x" * 64))
+          .toDF("k", "v", "pad").orderBy("v").coalesce(1)
+        TxTable.init(spark, t, rows, "k", nBuckets)
+      } finally {
+        if (oldBlock == null) hc.unset("parquet.block.size")
+        else hc.set("parquet.block.size", oldBlock)
+        if (oldPage == null) hc.unset("parquet.page.size")
+        else hc.set("parquet.page.size", oldPage)
+      }
+      // no sidecar: file-level pruning keeps everything, so any scan
+      // shrink below is the parquet reader's row-group statistics at work
+      val q = spark.table(s"txspj.`$t`")
+        .filter($"v" <= 1000L).select($"k", $"v")
+      assert(q.count() == 1000)
+      q.collect()
+      val scanRows = q.queryExecution.executedPlan.collectLeaves().collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b.metrics("numOutputRows").value
+      }.sum
+      assert(scanRows > 0 && scanRows < 15000,
+        s"row-group skipping must bound the scan to the matching groups, " +
+          s"read $scanRows of 60000")
+    }
+  }
+
   test("TopN pushdown: ORDER BY LIMIT opens only files that can hold a top-n value") {
     registered {
       val base = Files.createTempDirectory("graft_cat_topn_").toString
