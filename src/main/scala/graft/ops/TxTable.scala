@@ -553,12 +553,21 @@ object TxTable {
     val snap = snapshot(spark, table)
     val fs = fsFor(spark, table)
     val sp = statsPath(table, statsCol)
-    // sidecars written before the null-count column force one full
-    // re-profile (cheap, one-time) rather than carrying unknown nulls
+    // part listing BEFORE the read: the final swap deletes exactly this
+    // set, so a part a concurrent commit's refresh appends mid-ANALYZE
+    // survives instead of being wiped by a whole-directory replace
+    val partsBefore: Seq[Path] = scala.util.Try(
+      fs.listStatus(sp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq)
+      .getOrElse(Seq.empty)
+    // only rows with RECORDED null counts count as profiled: rows without
+    // them (pre-null-count sidecars, or legacy refresh output) re-profile
+    // rather than surviving a dedup and downgrading a known count
     val existing =
-      if (fs.exists(sp)) Some(spark.read.parquet(sp.toString))
+      if (partsBefore.isEmpty) None
+      else Some(spark.read.parquet(partsBefore.map(_.toString): _*))
         .filter(_.schema.fieldNames.contains("nulls"))
-      else None
+        .map(_.filter(col("nulls").isNotNull))
     val known: Set[String] = existing
       .map(_.select("rel").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
@@ -567,9 +576,7 @@ object TxTable {
     // even with nothing new to profile, ANALYZE leaves a canonical
     // sidecar: dead files' rows trimmed, per-commit append parts folded
     // back into one (the auto-refresh defers both to its compaction cap)
-    val stale = known.exists(r => !liveSet(r)) ||
-      scala.util.Try(fs.listStatus(sp)
-        .count(_.getPath.getName.endsWith(".parquet"))).getOrElse(0) > 1
+    val stale = known.exists(r => !liveSet(r)) || partsBefore.size > 1
     if (missing.isEmpty && !stale) return 0
     // footer-first ANALYZE: parquet footers already carry exact
     // (min, max, nullCount) per row group, so a 100 TB table profiles
@@ -640,9 +647,30 @@ object TxTable {
     val tmp = new Path(logDir(table),
       s".stats-tmp-${java.util.UUID.randomUUID()}")
     all.coalesce(1).write.parquet(tmp.toString)
-    fs.delete(sp, true)
-    fs.rename(tmp, sp)
+    swapSidecarParts(fs, sp, tmp, partsBefore)
     missing.size
+  }
+
+  /** Publish a freshly written sidecar: move the new parquet part(s) from
+    * `tmp` INTO the sidecar directory, then delete exactly `readParts` —
+    * never the whole directory, so a part a concurrent refresh appended
+    * mid-rewrite survives (readers between the append and the delete see
+    * duplicate rels, which [[fileStatsCached]]'s preference dedup
+    * handles). Bootstrap (no existing directory) is a plain rename. */
+  private def swapSidecarParts(fs: FileSystem, sp: Path, tmp: Path,
+                               readParts: Seq[Path]): Unit = {
+    if (!fs.exists(sp)) {
+      if (!fs.rename(tmp, sp)) fs.delete(tmp, true)
+      return
+    }
+    fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).foreach { p =>
+        fs.rename(p,
+          new Path(sp, s"part-graft-${java.util.UUID.randomUUID()}.parquet"))
+      }
+    readParts.foreach(p => fs.delete(p, false))
+    fs.delete(tmp, true)
+    ()
   }
 
   private[graft] def cmpAny(a: Any, b: Any): Int =
@@ -653,14 +681,20 @@ object TxTable {
   private def bloomPath(table: String, c: String) =
     new Path(logDir(table), s"bloom-$c.parquet")
 
+  /** Sidecar columns of one family (`stats-` / `bloom-`) this table has
+    * opted into. */
+  private def sidecarColumns(fs: FileSystem, table: String,
+                             prefix: String): Seq[String] =
+    scala.util.Try {
+      fs.listStatus(logDir(table)).map(_.getPath.getName)
+        .filter(n => n.startsWith(prefix) && n.endsWith(".parquet"))
+        .map(_.stripPrefix(prefix).stripSuffix(".parquet")).toSeq
+    }.getOrElse(Seq.empty)
+
   /** The bloom-profiled columns this table has opted into. */
   private[graft] def bloomColumns(fs: FileSystem,
                                   table: String): Seq[String] =
-    scala.util.Try {
-      fs.listStatus(logDir(table)).map(_.getPath.getName)
-        .filter(n => n.startsWith("bloom-") && n.endsWith(".parquet"))
-        .map(_.stripPrefix("bloom-").stripSuffix(".parquet")).toSeq
-    }.getOrElse(Seq.empty)
+    sidecarColumns(fs, table, "bloom-")
 
   /** Per-file bloom over xxhash64(value): map-side mergeable, serialized
     * with the sketch's own format so the driver probes the exact bits the
@@ -707,8 +741,13 @@ object TxTable {
     val snap = snapshot(spark, table)
     val fs = fsFor(spark, table)
     val sp = bloomPath(table, bloomCol)
+    val partsBefore: Seq[Path] = scala.util.Try(
+      fs.listStatus(sp).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq)
+      .getOrElse(Seq.empty)
     val existing =
-      if (fs.exists(sp)) Some(spark.read.parquet(sp.toString)) else None
+      if (partsBefore.isEmpty) None
+      else Some(spark.read.parquet(partsBefore.map(_.toString): _*))
     val known: Set[String] = existing
       .map(_.select("rel").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
@@ -722,16 +761,37 @@ object TxTable {
       .reduceOption(_ max _).getOrElse(200000L).max(1024L)
     val bloomUdaf = udaf(new BloomAgg(perFile, fpp),
       org.apache.spark.sql.Encoders.LONG)
+    // files whose column is entirely null still get a row — an EMPTY
+    // bloom: an equality probe can never match a null, so such files
+    // prune exactly, and without the row they would count as missing and
+    // be re-scanned by every future refresh (the schema-evolution case:
+    // every pre-evolution file reads the new column as all-null)
+    val emptyBloom: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.spark.util.sketch.BloomFilter.create(1024, fpp).writeTo(bos)
+      bos.toByteArray
+    }
     val fresh =
       if (missing.isEmpty) None
-      else Some(snap.schema.fold(spark.read)(spark.read.schema)
-        .parquet(missing.map(e => s"$table/${e.rel}"): _*)
-        .where(col(bloomCol).isNotNull)
-        .select(regexp_extract(input_file_name(),
-          "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
-          xxhash64(col(bloomCol)).as("h"))
-        .groupBy(col("rel"))
-        .agg(bloomUdaf(col("h")).as("bloom")))
+      else {
+        val agged = snap.schema.fold(spark.read)(spark.read.schema)
+          .parquet(missing.map(e => s"$table/${e.rel}"): _*)
+          .where(col(bloomCol).isNotNull)
+          .select(regexp_extract(input_file_name(),
+            "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
+            xxhash64(col(bloomCol)).as("h"))
+          .groupBy(col("rel"))
+          .agg(bloomUdaf(col("h")).as("bloom"))
+        val missingDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              missing.map(e => org.apache.spark.sql.Row(e.rel))).asJava),
+          StructType(Seq(StructField("rel",
+            org.apache.spark.sql.types.StringType))))
+        Some(missingDf.join(agged, Seq("rel"), "left")
+          .select(col("rel"),
+            coalesce(col("bloom"), lit(emptyBloom)).as("bloom")))
+      }
     val all = ((existing, fresh) match {
       case (Some(o), Some(f)) =>
         o.select(col("rel"), col("bloom")).unionByName(f)
@@ -743,11 +803,15 @@ object TxTable {
     val tmp = new Path(logDir(table),
       s".bloom-tmp-${java.util.UUID.randomUUID()}")
     all.coalesce(1).write.parquet(tmp.toString)
-    fs.delete(sp, true)
-    fs.rename(tmp, sp)
+    swapSidecarParts(fs, sp, tmp, partsBefore)
     missing.size
   }
 
+  /** BOUNDED: blooms are the heavyweight sidecar (hundreds of KB per
+    * file at default sizing), so only a few (table, column) sidecars stay
+    * resident — past the cap the whole cache clears and the next probe
+    * re-reads its one sidecar. */
+  private val MaxBloomSidecarsCached = 4
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Map[String, org.apache.spark.util.sketch.BloomFilter])]()
 
@@ -761,6 +825,7 @@ object TxTable {
     if (!fs.exists(sp)) return Map.empty
     val mtime = fs.getFileStatus(sp).getModificationTime
     val key = sp.toString
+    if (bloomCache.size() > MaxBloomSidecarsCached) bloomCache.clear()
     val cached = bloomCache.get(key)
     if (cached != null && cached._1 == mtime) cached._2
     else {
@@ -778,11 +843,7 @@ object TxTable {
     * directory per ANALYZEd column under the log). */
   private[graft] def statsColumns(fs: FileSystem,
                                   table: String): Seq[String] =
-    scala.util.Try {
-      fs.listStatus(logDir(table)).map(_.getPath.getName)
-        .filter(n => n.startsWith("stats-") && n.endsWith(".parquet"))
-        .map(_.stripPrefix("stats-").stripSuffix(".parquet")).toSeq
-    }.getOrElse(Seq.empty)
+    sidecarColumns(fs, table, "stats-")
 
   /** A sidecar "file" is a parquet DIRECTORY: [[computeStats]] writes it
     * as one part; per-commit refreshes APPEND one small part with only
@@ -794,10 +855,13 @@ object TxTable {
   private val MaxSidecarParts = 64
 
   /** One part-file append into a sidecar directory, reader-safe: written
-    * under a dot-name (hidden from parquet readers) then renamed. */
+    * under a dot-name (hidden from parquet readers) then renamed. False =
+    * the rename failed and the rows were NOT recorded (callers must not
+    * count them as profiled). */
   private def writeSidecarPart(spark: SparkSession, fs: FileSystem,
                                dir: Path, dt: DataType,
-                               rows: Seq[(String, (Any, Any, Long))]): Unit = {
+                               rows: Seq[(String, (Any, Any, Long))])
+      : Boolean = {
     val sideSchema = StructType(Seq(
       StructField("rel", org.apache.spark.sql.types.StringType),
       StructField("lo", dt), StructField("hi", dt),
@@ -815,8 +879,7 @@ object TxTable {
         java.lang.Long.valueOf(n)))
         .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
     } finally w.close()
-    if (!fs.rename(tmp, new Path(dir, name))) fs.delete(tmp, false)
-    ()
+    fs.rename(tmp, new Path(dir, name)) || { fs.delete(tmp, false); false }
   }
 
   /** Keep profiled sidecars FRESH without reading data: harvest per-file
@@ -848,6 +911,16 @@ object TxTable {
     val hconf = spark.sparkContext.hadoopConfiguration
     val typed = cols.flatMap(c =>
       schema.fields.find(_.name == c).map(f => (c, f.dataType)))
+    // part listing BEFORE the sidecar read: compaction later deletes
+    // exactly this set, so any part appended after this point survives
+    // (its rows are either already in the read below — duplicate, deduped
+    // by fileStatsCached — or untouched on disk)
+    val partsBefore: Map[String, Seq[Path]] = typed.map { case (c, _) =>
+      c -> scala.util.Try(
+        fs.listStatus(statsPath(table, c)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq)
+        .getOrElse(Seq.empty)
+    }.toMap
     // rows WITH null counts are usable; anything else (absent, or written
     // before the null-count column) counts as missing and re-harvests
     val usable: Map[String, Map[String, (Any, Any, Option[Long])]] =
@@ -858,46 +931,65 @@ object TxTable {
     val hadUnusable: Map[String, Boolean] = typed.map { case (c, _) =>
       c -> fileStatsRaw(spark, table, c).exists(_._2._3.isEmpty)
     }.toMap
-    // ONE footer open per file, harvesting every column that needs it
+    // ONE footer open per file, harvesting every column that needs it —
+    // except files this session already saw refuse (NaN-poisoned,
+    // unmappable type, column absent): without the memo every commit
+    // would re-open those footers forever, degrading commit cost from
+    // O(new) to O(new + permanently-refused)
     val harvested = scala.collection.mutable.Map
       .empty[String, List[(String, (Any, Any, Long))]]
     snap.entries.foreach { e =>
-      val needs = typed.filter { case (c, _) => !usable(c).contains(e.rel) }
-      if (needs.nonEmpty)
-        footerFileStats(hconf, new Path(table, e.rel), needs).foreach {
-          case (c, s) =>
-            harvested(c) = (e.rel -> s) :: harvested.getOrElse(c, Nil)
+      val needs = typed.filter { case (c, _) =>
+        !usable(c).contains(e.rel) &&
+          !footerRefusals.containsKey(s"$table/${e.rel}#$c")
+      }
+      if (needs.nonEmpty) {
+        val got = footerFileStats(hconf, new Path(table, e.rel), needs)
+        needs.foreach { case (c, _) =>
+          got.get(c) match {
+            case Some(s) =>
+              harvested(c) = (e.rel -> s) :: harvested.getOrElse(c, Nil)
+            case None =>
+              if (footerRefusals.size() > 100000) footerRefusals.clear()
+              footerRefusals.put(s"$table/${e.rel}#$c", java.lang.Boolean.TRUE)
+          }
         }
+      }
     }
     var touched = 0
     typed.foreach { case (c, dt) =>
       val newRows = harvested.getOrElse(c, Nil)
       val sp = statsPath(table, c)
-      val parts = scala.util.Try(
-        fs.listStatus(sp).count(_.getPath.getName.endsWith(".parquet")))
-        .getOrElse(0)
-      val mustCompact = hadUnusable(c) || parts > MaxSidecarParts
+      val partsNow = partsBefore(c)
+      val mustCompact = hadUnusable(c) || partsNow.size > MaxSidecarParts
       if (newRows.nonEmpty && !mustCompact) {
-        writeSidecarPart(spark, fs, sp, dt, newRows)
-        touched += newRows.size
+        if (writeSidecarPart(spark, fs, sp, dt, newRows))
+          touched += newRows.size
       } else if (newRows.nonEmpty || mustCompact) {
-        // compaction: one fresh part = live usable rows + new harvest;
-        // dead files' rows and null-count-less rows drop here
+        // compaction: one fresh part = live usable rows + new harvest
+        // (dead files' rows and null-count-less rows drop), appended
+        // FIRST, then only the parts read above deleted — readers in the
+        // window see duplicates, which fileStatsCached dedupes
         val keep = usable(c).toSeq.collect {
           case (rel, (lo, hi, Some(n))) if liveRels(rel) =>
             rel -> ((lo, hi, n))
         }
-        val tmp = new Path(logDir(table),
-          s".stats-tmp-${java.util.UUID.randomUUID()}")
-        fs.mkdirs(tmp)
-        writeSidecarPart(spark, fs, tmp, dt, keep ++ newRows)
-        fs.delete(sp, true)
-        fs.rename(tmp, sp)
-        touched += newRows.size
+        if (writeSidecarPart(spark, fs, sp, dt, keep ++ newRows)) {
+          partsNow.foreach(p => fs.delete(p, false))
+          touched += newRows.size
+        }
       }
     }
     touched
   }
+
+  /** Files whose footer refused a column's harvest this session — a
+    * bounded memo so per-commit refreshes stop re-opening footers that
+    * can never map; the scan-based [[computeStats]] remains their path
+    * into the sidecar (and landing there removes them from every future
+    * `needs` set regardless of this memo). */
+  private val footerRefusals =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Exact (lo, hi, nulls) per requested top-level column of one parquet
     * file from its FOOTER row-group statistics — the footer is opened

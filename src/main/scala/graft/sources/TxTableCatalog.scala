@@ -229,16 +229,17 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     val counts = snap.entries.map(_.rows)
     if (counts.forall(_.isDefined))
       m.put("rows", counts.flatten.sum.toString)
-    val statsCols = scala.util.Try(TxTable.statsColumns(
-      new Path(path).getFileSystem(
-        SparkSession.active.sparkContext.hadoopConfiguration),
-      path).sorted).getOrElse(Seq.empty)
-    if (statsCols.nonEmpty) m.put("stats.columns", statsCols.mkString(","))
-    val bloomCols = scala.util.Try(TxTable.bloomColumns(
-      new Path(path).getFileSystem(
-        SparkSession.active.sparkContext.hadoopConfiguration),
-      path).sorted).getOrElse(Seq.empty)
-    if (bloomCols.nonEmpty) m.put("bloom.columns", bloomCols.mkString(","))
+    scala.util.Try {
+      val fs = new Path(path).getFileSystem(
+        SparkSession.active.sparkContext.hadoopConfiguration)
+      (TxTable.statsColumns(fs, path).sorted,
+        TxTable.bloomColumns(fs, path).sorted)
+    }.foreach { case (statsCols, bloomCols) =>
+      if (statsCols.nonEmpty)
+        m.put("stats.columns", statsCols.mkString(","))
+      if (bloomCols.nonEmpty)
+        m.put("bloom.columns", bloomCols.mkString(","))
+    }
     m
   }
   override def partitioning(): Array[Transform] =

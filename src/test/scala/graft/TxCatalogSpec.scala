@@ -599,6 +599,30 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom records all-null files with an EMPTY filter: they prune and never re-scan") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_bloom_null_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 100).map(i => (s"K$i", Some(s"G$i"))).toDF("k", "grp"),
+        "k", nBuckets)
+      // the schema-evolution shape: a whole commit whose probed column is
+      // null — an equality probe can never match it
+      TxTable.appendOnce(spark, t,
+        (101 to 200).map(i => (s"K$i", None: Option[String]))
+          .toDF("k", "grp"), "k", nBuckets, "bn", 0L)
+      val total = TxTable.snapshot(spark, t).entries.size
+      assert(TxTable.computeBloom(spark, t, "grp") == total,
+        "every file gets a bloom row, all-null ones an empty filter")
+      // no rescan loop: the all-null files are recorded, not re-missing
+      assert(TxTable.computeBloom(spark, t, "grp") == 0)
+      val q = spark.table(s"txspj.`$t`").filter($"grp" === "G5")
+      assert(q.select($"k").as[String].collect().toSeq == Seq("K5"))
+      assert(scannedFiles(q) <= total / 2,
+        s"all-null files must prune for equality: ${scannedFiles(q)} of $total")
+    }
+  }
+
   test("pushed filters reach the parquet reader: row groups INSIDE kept files skip") {
     registered {
       val base = Files.createTempDirectory("graft_cat_rg_").toString
