@@ -48,7 +48,8 @@ case class TxTablePruneRule(session: SparkSession) extends Rule[LogicalPlan]
           if (bounds.isEmpty && eqs.isEmpty) f
           else {
             val current = hfs.location.inputFiles
-            val kept = bucketPruned(root, pruned(root, current, bounds), eqs)
+            val kept = bucketPruned(root,
+              bloomPruned(root, pruned(root, current, bounds), eqs), eqs)
             if (kept.length == current.length) f
             else {
               val idx = new InMemoryFileIndex(session,
@@ -177,6 +178,37 @@ case class TxTablePruneRule(session: SparkSession) extends Rule[LogicalPlan]
         }
       case _ => files
     }
+  }
+
+  /** Bloom membership pruning — the SQL-view analog of the catalog
+    * scan's probe: equality/IN on a bloom-profiled column keeps only the
+    * files whose filter might contain one of the probed values. The hash
+    * is the writer's own xxhash64 evaluated on the CATALYST literal
+    * (exactly the value the executors hashed when building the filter);
+    * unknown files and unhashable values never prune, false positives
+    * only over-keep. */
+  private def bloomPruned(root: String, files: Array[String],
+                          eqs: Map[String, Seq[Literal]]): Array[String] = {
+    if (eqs.isEmpty) return files
+    var kept = files
+    eqs.foreach { case (c, lits) =>
+      val blooms = Try(graft.ops.TxTable.fileBlooms(session, root, c))
+        .getOrElse(Map.empty[String,
+          org.apache.spark.util.sketch.BloomFilter])
+      if (blooms.nonEmpty) {
+        val hs = lits.flatMap(l =>
+          Try(XxHash64(Seq(l), 42L).eval(null).asInstanceOf[Long]).toOption)
+        if (hs.nonEmpty && hs.size == lits.size) {
+          kept = kept.filter { f =>
+            val cut = f.lastIndexOf("/files/")
+            if (cut < 0) true
+            else blooms.get(f.substring(cut + 1))
+              .forall(b => hs.exists(b.mightContainLong))
+          }
+        }
+      }
+    }
+    kept
   }
 
   private def pruned(root: String, files: Array[String],

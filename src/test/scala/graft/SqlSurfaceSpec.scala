@@ -107,6 +107,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("k9"))
   }
 
+  test("SQL equality on a bloom-profiled NON-key column prunes files through the rule") {
+    import graft.ops.TxTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txsqlb_").toString + "/t"
+    // grp values are commit-localized but unclustered and NOT the bucket
+    // key: only the bloom sidecar can prune this lookup
+    def batch(r: Range) = scala.util.Random.shuffle(
+      r.map(i => (s"k$i", s"G$i"))).toDF("k", "grp")
+    TxTable.init(spark, table, batch(1 to 200), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(201 to 400), "k", 4, "sb", 0L)
+    TxTable.computeBloom(spark, table, "grp")
+    TxTable.registerView(spark, table, "tx_bloomed")
+    val all = TxTable.snapshot(spark, table).entries.size
+    val q = spark.sql("SELECT k FROM tx_bloomed WHERE grp = 'G250'")
+    assert(q.as[String].collect().toSeq == Seq("k250"))
+    val opened = q.queryExecution.executedPlan.collectLeaves().flatMap {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.relation.location.inputFiles.toSeq
+      case _ => Nil
+    }
+    assert(opened.size <= all / 2,
+      s"bloom must prune the first commit's files: ${opened.size} of $all")
+  }
+
   test("native kernels compose with views in one SQL statement") {
     Tables.registerAll(spark, dir)
     val got = spark.sql(
