@@ -544,10 +544,11 @@ object TxTable {
     * layouts — which is why stats are a per-column opt-in, not a
     * write-path tax. Returns the number of files newly profiled.
     *
-    * The sidecar rewrite is not atomic (delete + rename); a reader racing
-    * the swap sees no sidecar and simply skips nothing — degraded, never
-    * wrong. Same fallback covers pre-stats tables and files added after
-    * the last refresh. */
+    * The sidecar rewrite appends the merged part first and only then
+    * deletes exactly the parts it read ([[swapSidecarParts]]); a reader
+    * racing the swap sees duplicate rels (deduped on read) or a stale
+    * part — degraded, never wrong. Same over-keep fallback covers
+    * pre-stats tables and files added after the last refresh. */
   def computeStats(spark: SparkSession, table: String,
                    statsCol: String): Int = {
     val snap = snapshot(spark, table)
@@ -556,10 +557,7 @@ object TxTable {
     // part listing BEFORE the read: the final swap deletes exactly this
     // set, so a part a concurrent commit's refresh appends mid-ANALYZE
     // survives instead of being wiped by a whole-directory replace
-    val partsBefore: Seq[Path] = scala.util.Try(
-      fs.listStatus(sp).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).toSeq)
-      .getOrElse(Seq.empty)
+    val partsBefore: Seq[Path] = listSidecarParts(fs, sp)
     // only rows with RECORDED null counts count as profiled: rows without
     // them (pre-null-count sidecars, or legacy refresh output) re-profile
     // rather than surviving a dedup and downgrading a known count
@@ -589,6 +587,7 @@ object TxTable {
     val footered: Seq[(String, (Any, Any, Long))] = colType match {
       case Some(t) => missing.flatMap(e =>
         footerFileStats(hconf, new Path(table, e.rel), Seq((statsCol, t)))
+          .getOrElse(Map.empty)
           .get(statsCol).map(s => e.rel -> s))
       case None => Seq.empty
     }
@@ -651,24 +650,43 @@ object TxTable {
     missing.size
   }
 
+  /** The COMMITTED parquet parts of a sidecar directory. Dot- and
+    * underscore-names are excluded to match what `spark.read.parquet`
+    * will actually read: Spark silently filters hidden paths even when
+    * passed explicitly, so listing them here would (a) delete a
+    * concurrent [[writeSidecarPart]]'s still-hidden in-flight temp as if
+    * it had been read, and (b) throw UNABLE_TO_INFER_SCHEMA when a
+    * crashed append left ONLY hidden names behind. */
+  private def listSidecarParts(fs: FileSystem, dir: Path): Seq[Path] =
+    scala.util.Try(
+      fs.listStatus(dir).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+        }.toSeq)
+      .getOrElse(Seq.empty)
+
   /** Publish a freshly written sidecar: move the new parquet part(s) from
     * `tmp` INTO the sidecar directory, then delete exactly `readParts` —
     * never the whole directory, so a part a concurrent refresh appended
     * mid-rewrite survives (readers between the append and the delete see
     * duplicate rels, which [[fileStatsCached]]'s preference dedup
-    * handles). Bootstrap (no existing directory) is a plain rename. */
+    * handles). The old parts are deleted ONLY if every rename landed:
+    * a failed rename leaves the previous sidecar intact (degraded — the
+    * merge is lost and retried by the next ANALYZE — never destroyed).
+    * Bootstrap (no existing directory) is a plain rename. */
   private def swapSidecarParts(fs: FileSystem, sp: Path, tmp: Path,
                                readParts: Seq[Path]): Unit = {
     if (!fs.exists(sp)) {
       if (!fs.rename(tmp, sp)) fs.delete(tmp, true)
       return
     }
-    fs.listStatus(tmp).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).foreach { p =>
+    val renamesOk = fs.listStatus(tmp).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).forall { p =>
         fs.rename(p,
           new Path(sp, s"part-graft-${java.util.UUID.randomUUID()}.parquet"))
       }
-    readParts.foreach(p => fs.delete(p, false))
+    if (renamesOk) readParts.foreach(p => fs.delete(p, false))
     fs.delete(tmp, true)
     ()
   }
@@ -741,10 +759,7 @@ object TxTable {
     val snap = snapshot(spark, table)
     val fs = fsFor(spark, table)
     val sp = bloomPath(table, bloomCol)
-    val partsBefore: Seq[Path] = scala.util.Try(
-      fs.listStatus(sp).map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).toSeq)
-      .getOrElse(Seq.empty)
+    val partsBefore: Seq[Path] = listSidecarParts(fs, sp)
     val existing =
       if (partsBefore.isEmpty) None
       else Some(spark.read.parquet(partsBefore.map(_.toString): _*))
@@ -753,7 +768,11 @@ object TxTable {
       .getOrElse(Set.empty)
     val liveSet = snap.entries.map(_.rel).toSet
     val missing = snap.entries.filterNot(e => known(e.rel))
-    val stale = known.exists(r => !liveSet(r))
+    // multi-part fold mirrors computeStats: racing builds / a crashed
+    // swap leave >1 part (duplicate rels), and blooms are the HEAVY
+    // sidecar — without the fold every future cache miss reads and
+    // deserializes all parts forever
+    val stale = known.exists(r => !liveSet(r)) || partsBefore.size > 1
     if (missing.isEmpty && !stale) return 0
     // size each file's filter for the largest file in the batch (manifest
     // row counts when recorded); oversizing only costs bits
@@ -809,8 +828,9 @@ object TxTable {
 
   /** BOUNDED: blooms are the heavyweight sidecar (hundreds of KB per
     * file at default sizing), so only a few (table, column) sidecars stay
-    * resident — past the cap the whole cache clears and the next probe
-    * re-reads its one sidecar. */
+    * resident — inserting past the cap evicts one arbitrary resident
+    * entry (hits never evict, so a steady mix of cap+1 sidecars keeps a
+    * ~cap/(cap+1) hit rate instead of thrashing to zero). */
   private val MaxBloomSidecarsCached = 4
   private val bloomCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Map[String, org.apache.spark.util.sketch.BloomFilter])]()
@@ -825,7 +845,6 @@ object TxTable {
     if (!fs.exists(sp)) return Map.empty
     val mtime = fs.getFileStatus(sp).getModificationTime
     val key = sp.toString
-    if (bloomCache.size() > MaxBloomSidecarsCached) bloomCache.clear()
     val cached = bloomCache.get(key)
     if (cached != null && cached._1 == mtime) cached._2
     else {
@@ -834,6 +853,12 @@ object TxTable {
         .map(r => r.getString(0) ->
           org.apache.spark.util.sketch.BloomFilter.readFrom(
             r.getAs[Array[Byte]](1))).toMap
+      if (!bloomCache.containsKey(key)) {
+        while (bloomCache.size() >= MaxBloomSidecarsCached) {
+          val it = bloomCache.keys()
+          if (it.hasMoreElements) bloomCache.remove(it.nextElement())
+        }
+      }
       bloomCache.put(key, (mtime, m))
       m
     }
@@ -916,10 +941,7 @@ object TxTable {
     // (its rows are either already in the read below — duplicate, deduped
     // by fileStatsCached — or untouched on disk)
     val partsBefore: Map[String, Seq[Path]] = typed.map { case (c, _) =>
-      c -> scala.util.Try(
-        fs.listStatus(statsPath(table, c)).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).toSeq)
-        .getOrElse(Seq.empty)
+      c -> listSidecarParts(fs, statsPath(table, c))
     }.toMap
     // rows WITH null counts are usable; anything else (absent, or written
     // before the null-count column) counts as missing and re-harvests
@@ -944,14 +966,22 @@ object TxTable {
           !footerRefusals.containsKey(s"$table/${e.rel}#$c")
       }
       if (needs.nonEmpty) {
-        val got = footerFileStats(hconf, new Path(table, e.rel), needs)
-        needs.foreach { case (c, _) =>
-          got.get(c) match {
-            case Some(s) =>
-              harvested(c) = (e.rel -> s) :: harvested.getOrElse(c, Nil)
-            case None =>
-              if (footerRefusals.size() > 100000) footerRefusals.clear()
-              footerRefusals.put(s"$table/${e.rel}#$c", java.lang.Boolean.TRUE)
+        footerFileStats(hconf, new Path(table, e.rel), needs) match {
+          case None => // footer unopenable (possibly transient I/O):
+          // no harvest this round, and NO memo — the next commit's
+          // refresh retries instead of freezing the file out forever
+          case Some(got) => needs.foreach { case (c, _) =>
+            got.get(c) match {
+              case Some(s) =>
+                harvested(c) = (e.rel -> s) :: harvested.getOrElse(c, Nil)
+              case None =>
+                // the footer PARSED and provably refused this column
+                // (NaN-poisoned, unmappable type, column absent) —
+                // permanent for this file's bytes, safe to memoize
+                if (footerRefusals.size() > 100000) footerRefusals.clear()
+                footerRefusals.put(s"$table/${e.rel}#$c",
+                  java.lang.Boolean.TRUE)
+            }
           }
         }
       }
@@ -998,10 +1028,14 @@ object TxTable {
     * unmappable physical type, NaN float/double bounds, or a chunk
     * claiming "no non-null values" that its row count does not
     * corroborate (the parquet-mr NaN-drop case). Callers never record a
-    * guessed bound. */
+    * guessed bound. `None` means the footer could not be OPENED at all
+    * (transient I/O is indistinguishable from permanent corruption here)
+    * — callers must treat that as "retry later", never memoize it as a
+    * permanent refusal. */
   private def footerFileStats(
       conf: org.apache.hadoop.conf.Configuration, file: Path,
-      cols: Seq[(String, DataType)]): Map[String, (Any, Any, Long)] = {
+      cols: Seq[(String, DataType)])
+      : Option[Map[String, (Any, Any, Long)]] = {
     import org.apache.spark.sql.types._
     scala.util.Try {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -1105,7 +1139,7 @@ object TxTable {
         if (ok) Some(column -> ((lo, hi, nulls))) else None
         }.toMap
       } finally r.close()
-    }.getOrElse(Map.empty)
+    }.toOption
   }
 
   /** Per-file (lo, hi) sidecar map for `c` — empty when the column was

@@ -541,6 +541,48 @@ class TxTableSpec extends AnyFunSuite {
     assert(got == (20L to 30L))
   }
 
+  test("sidecar swap skips hidden parts: in-flight temps survive, an all-hidden dir doesn't break ANALYZE") {
+    // Spark's parquet reader silently filters hidden paths even when
+    // passed explicitly, so the swap's part listing must exclude them
+    // too — or a racing writeSidecarPart's dot-temp gets deleted as if
+    // it had been read, and a dir holding ONLY leftovers throws
+    // UNABLE_TO_INFER_SCHEMA instead of bootstrapping
+    val table = Files.createTempDirectory("graft_tx_").toString + "/t"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
+      .toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.computeStats(spark, table, "day")
+    val spDir = new java.io.File(s"$table/_txlog/stats-day.parquet")
+    // plant a concurrent writer's in-flight temp (garbage bytes: it must
+    // never be read)
+    val inflight = new java.io.File(spDir, ".part-graft-race.parquet")
+    java.nio.file.Files.write(inflight.toPath, Array[Byte](1, 2, 3))
+    // force a full swap: new files + multi-part fold
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "hd", 0L)
+    TxTable.computeStats(spark, table, "day")
+    assert(inflight.exists(),
+      "the swap deleted an in-flight hidden part it never read")
+    // skipping still correct with the garbage dot-file in place
+    val mid = TxTable.readWhere(spark, table, "day", 120L, 180L)
+    assert(mid.select("day").as[Long].collect().sorted.toSeq ==
+      (120L to 180L))
+
+    // a stats dir containing ONLY hidden leftovers (crashed append after
+    // a failed swap) must profile from scratch, not throw
+    val t2 = Files.createTempDirectory("graft_tx_").toString + "/t2"
+    TxTable.init(spark, t2, batch(0 until 50), "k", nBuckets = 2)
+    val sp2 = new java.io.File(s"$t2/_txlog/stats-day.parquet")
+    assert(sp2.mkdirs())
+    java.nio.file.Files.write(
+      new java.io.File(sp2, ".part-graft-orphan.parquet").toPath,
+      Array[Byte](9, 9))
+    val profiled = TxTable.computeStats(spark, t2, "day")
+    assert(profiled == TxTable.snapshot(spark, t2).entries.size,
+      "an all-hidden sidecar dir must bootstrap a full profile")
+    assert(TxTable.readWhere(spark, t2, "day", 10L, 20L)
+      .select("day").as[Long].collect().sorted.toSeq == (10L to 20L))
+  }
+
   test("compactZOrdered: readWhere opens strictly fewer files after the rewrite; sidecars refresh in the same call") {
     val table = Files.createTempDirectory("graft_tx_").toString + "/t"
     // every commit scatters x over the full [0, 255] range (37 is odd →
