@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.roaringbitmap.RoaringBitmap
+
+/** Deletion-vector plumbing for [[TxTable]]'s merge-on-read deletes — the
+  * public Delta/Iceberg DV design re-expressed over the graft commit log:
+  * a DELETE that only partially covers a file marks the matching ROW
+  * POSITIONS dead in a per-file compressed bitmap (RoaringBitmap — the
+  * same library Spark itself depends on) instead of rewriting the file.
+  * The bitmaps for one delete commit land in ONE staged parquet sidecar
+  * `(rel, dv, ndel)` under `files/<uuid>/` — vacuum-managed exactly like
+  * data — and each affected manifest entry is atomically re-added with a
+  * [[TxTable.DvRef]] pointing at it.
+  *
+  * Positions are the file's physical row indexes (`_metadata.row_index`
+  * on the DataFrame read path; reader ordinal on the DSv2 per-file path —
+  * identical because a whole-file scan with no pushed filters reads rows
+  * in file order). Readers drop marked positions; compaction folds DVs
+  * away by rewriting through the DV-aware read.
+  *
+  * Scale shape: the delete scans ONLY the partially-covered files (full
+  * coverage is a manifest drop; zero coverage is untouched), the bitmap
+  * build is a distributed per-file aggregation, and a read's extra cost
+  * is one broadcast of the SCANNED files' bitmaps plus a row-filter on
+  * exactly those files — clean files keep their vectorized/codegen path
+  * untouched. */
+object DeletionVectors {
+
+  /** Files can hold at most Int.MaxValue rows for a positional bitmap;
+    * parquet files at sane sizes are orders of magnitude below this. */
+  private[graft] val MaxPos = Int.MaxValue.toLong
+
+  def serialize(bm: RoaringBitmap): Array[Byte] = {
+    bm.runOptimize()
+    val out = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(out))
+    out.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): RoaringBitmap = {
+    val bm = new RoaringBitmap()
+    bm.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  /** Distributed per-file position collector: positions stream in as
+    * longs, merge map-side into one RoaringBitmap per file. */
+  private class DvAgg extends org.apache.spark.sql.expressions.Aggregator[
+      java.lang.Long, RoaringBitmap, Array[Byte]] {
+    override def zero: RoaringBitmap = new RoaringBitmap()
+    override def reduce(b: RoaringBitmap, pos: java.lang.Long): RoaringBitmap = {
+      if (pos != null) {
+        require(pos.longValue() >= 0 && pos.longValue() <= MaxPos,
+          s"row position ${pos.longValue()} outside positional-bitmap range")
+        b.add(pos.intValue())
+      }
+      b
+    }
+    override def merge(a: RoaringBitmap, b: RoaringBitmap): RoaringBitmap = {
+      a.or(b); a
+    }
+    override def finish(b: RoaringBitmap): Array[Byte] = serialize(b)
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.kryo[RoaringBitmap]
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  private[graft] def dvUdaf: org.apache.spark.sql.expressions
+      .UserDefinedFunction =
+    udaf(new DvAgg, org.apache.spark.sql.Encoders.LONG)
+
+  /** Executor/driver-shared cache of deserialized bitmaps. DV sidecar
+    * files are immutable (staged once, referenced by rel), so the
+    * (dvRel, rel) key can never go stale; bounded by clearing past the
+    * cap — a miss is one sidecar-row read. */
+  private val MaxCached = 4096
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, RoaringBitmap]()
+
+  private[graft] def cachedBitmap(key: String,
+                                  bytes: => Array[Byte]): RoaringBitmap = {
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val bm = deserialize(bytes)
+    if (cache.size() >= MaxCached) cache.clear()
+    cache.put(key, bm)
+    bm
+  }
+
+  /** Driver-side load of the deletion bitmaps for `entries` (only those
+    * carrying a [[TxTable.DvRef]]): one read over the distinct DV sidecar
+    * files, returning rel -> (cache key, serialized bitmap). Bounded by
+    * the scanned files' bitmap bytes — the same order as the broadcast a
+    * DV-aware read ships. */
+  private[graft] def loadBitmaps(spark: SparkSession, table: String,
+                                 entries: Seq[TxTable.FileEntry])
+      : Map[String, (String, Array[Byte])] = {
+    val dvd = entries.flatMap(e => e.dv.map(d => e.rel -> d.rel))
+    if (dvd.isEmpty) return Map.empty
+    val wanted = dvd.toMap
+    val dvFiles = dvd.map(_._2).distinct.map(r => s"$table/$r")
+    spark.read.parquet(dvFiles: _*)
+      .select(col("rel"), col("dv"))
+      .collect()
+      .iterator
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .filter { case (rel, _) => wanted.contains(rel) }
+      .map { case (rel, bytes) => rel -> ((s"${wanted(rel)}#$rel", bytes)) }
+      .toMap
+  }
+
+  /** The live-row predicate for the DataFrame read path over DV'd files:
+    * keep a row iff its (file rel, physical row index) is NOT marked in
+    * the file's bitmap. `bitmaps` travels as a task binary; executors
+    * deserialize each file's bitmap once through the bounded cache. The
+    * UDF sits only on the DV'd files' leg of a read — clean files never
+    * pay it. */
+  private[graft] def liveFilter(spark: SparkSession,
+                                bitmaps: Map[String, (String, Array[Byte])])
+      : Column = {
+    val bc = spark.sparkContext.broadcast(bitmaps)
+    val live = udf { (rel: String, pos: Long) =>
+      bc.value.get(rel) match {
+        case Some((key, bytes)) =>
+          pos > MaxPos || !cachedBitmap(key, bytes).contains(pos.toInt)
+        case None => true
+      }
+    }
+    live(col("__dv_rel"), col("__dv_pos"))
+  }
+
+  /** Read `entries` of `table` applying deletion vectors: clean files go
+    * through the ordinary (vectorized, codegen) parquet read; DV'd files
+    * add the physical row index + rel, filter live rows, and union back.
+    * Schema/columns identical to a plain read on both legs. */
+  private[graft] def readEntries(spark: SparkSession, table: String,
+                                 entries: Seq[TxTable.FileEntry],
+                                 schema: Option[StructType]): DataFrame = {
+    def reader = schema.fold(spark.read)(spark.read.schema)
+    val (dvd, clean) = entries.partition(_.dv.isDefined)
+    require(entries.nonEmpty, "readEntries needs at least one file")
+    val cleanDf =
+      if (clean.isEmpty) None
+      else Some(reader.parquet(clean.map(e => s"$table/${e.rel}"): _*))
+    val dvdDf =
+      if (dvd.isEmpty) None
+      else {
+        val bitmaps = loadBitmaps(spark, table, dvd)
+        val raw = reader.parquet(dvd.map(e => s"$table/${e.rel}"): _*)
+        val cols = raw.columns.toSeq
+        Some(raw
+          .withColumn("__dv_rel", regexp_extract(input_file_name(),
+            "files/[^/]+/[^/]+/[^/]+$", 0))
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+          .filter(liveFilter(spark, bitmaps))
+          .select(cols.map(col): _*))
+      }
+    (cleanDf, dvdDf) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (c, d) => c.orElse(d).get
+    }
+  }
+
+  /** Stage ONE deletion-vector sidecar parquet holding `rows` of
+    * `(rel, dv, ndel)` under a fresh `files/<uuid>/` directory (driver-
+    * side writer — the row count is the commit's touched files, bounded
+    * metadata) and return its table-relative path. Crash before the
+    * commit leaves an unreferenced orphan for vacuum, like any stage. */
+  private[graft] def stageDvFile(spark: SparkSession, table: String,
+                                 rows: Seq[(String, Array[Byte], Long)])
+      : String = {
+    require(rows.nonEmpty, "no deletion vectors to stage")
+    val rel = s"files/${java.util.UUID.randomUUID()}/dv.parquet"
+    val schema = StructType(Seq(
+      StructField("rel", StringType, nullable = false),
+      StructField("dv", BinaryType, nullable = false),
+      StructField("ndel", LongType, nullable = false)))
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(table, rel).getParent)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    val w = org.apache.spark.sql.execution.datasources.v2.parquet
+      .GraftParquetShim.rowParquetWriter(s"$table/$rel", schema,
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.writeHadoopConf(spark))
+    try rows.foreach { case (r, dv, n) =>
+      w.write(conv(org.apache.spark.sql.Row(r, dv, java.lang.Long.valueOf(n)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    } finally w.close()
+    rel
+  }
+}

@@ -56,9 +56,26 @@ object TxTable {
     * None for files committed before counts were recorded. Counts are what
     * let `COUNT(*)` answer from the manifest alone with ZERO data files
     * opened (the Delta metadata-query shortcut); absent counts degrade to
-    * a scan, never to a wrong answer. */
+    * a scan, never to a wrong answer.
+    *
+    * `dv` is the file's DELETION VECTOR, when a merge-on-read delete has
+    * marked rows dead without rewriting the file: the table-relative path
+    * of the DV sidecar parquet holding this file's deleted-position
+    * bitmap, plus the EXACT deleted-row count. `rows` stays the physical
+    * footer count; live rows = rows - dv.ndel. Every reader must apply
+    * the bitmap; every metadata shortcut must count live rows. */
   final case class FileEntry(bucket: Int, rel: String,
-                             rows: Option[Long] = None)
+                             rows: Option[Long] = None,
+                             dv: Option[DvRef] = None) {
+    /** Exact LIVE row count, when the physical count is recorded. */
+    def liveRows: Option[Long] = rows.map(_ - dv.fold(0L)(_.ndel))
+  }
+
+  /** Reference to one file's deletion vector: the DV sidecar parquet's
+    * table-relative path (staged under `files/<uuid>/` like any data, so
+    * vacuum's referenced-set logic covers it) and the bitmap's exact
+    * cardinality. */
+  final case class DvRef(rel: String, ndel: Long)
 
   /** A resolved table version: manifest number + its file list + the
     * table schema as of that version (None only for pre-evolution v1
@@ -111,6 +128,13 @@ object TxTable {
   // delta adds likewise `+\t<bucket>\t<rel>\t<rows>`. Parsers accept both
   // widths, so pre-count manifests keep resolving (their entries read as
   // rows=None and metadata-only aggregates simply refuse).
+  // BODY extension (deletion vectors): a file line may carry 4th+5th
+  // fields — the table-relative path of the file's deletion-vector
+  // sidecar and the exact deleted-row count:
+  // `<bucket>\t<rel>\t<rows>\t<dvRel>\t<ndel>` (delta adds analogous).
+  // A merge-on-read delete commits as remove(rel) + add(rel with dv) in
+  // ONE delta — snapshot resolution (filterNot removes, then append adds)
+  // replaces the entry atomically.
 
   private def renderManifest(entries: Seq[FileEntry],
                              txn: Option[(String, Long)] = None,
@@ -127,9 +151,12 @@ object TxTable {
       }
     }
     (header +: entries.sortBy(e => (e.bucket, e.rel))
-      .map(e => s"${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}"))
+      .map(e => s"${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}${dvSuffix(e)}"))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
   }
+
+  private def dvSuffix(e: FileEntry): String =
+    e.dv.fold("")(d => s"	${d.rel}	${d.ndel}")
 
   private def parseRows(s: String): Option[Long] =
     if (s == "-") None else Some(s.toLong)
@@ -140,6 +167,9 @@ object TxTable {
         line.split('	') match {
           case Array(b, rel) => FileEntry(b.toInt, rel)
           case Array(b, rel, r) => FileEntry(b.toInt, rel, parseRows(r))
+          case Array(b, rel, r, dvRel, ndel) =>
+            FileEntry(b.toInt, rel, parseRows(r),
+              Some(DvRef(dvRel, ndel.toLong)))
           case other => throw new IllegalStateException(
             s"malformed manifest line: ${other.mkString("\\t")}")
         }
@@ -155,7 +185,8 @@ object TxTable {
     val header = s"txtable	3	$app	$batch	$sc$bk"
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel))
-        .map(e => s"+	${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}")))
+        .map(e =>
+          s"+	${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}${dvSuffix(e)}")))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
   }
 
@@ -169,6 +200,9 @@ object TxTable {
           case Array("+", b, rel) => adds += FileEntry(b.toInt, rel)
           case Array("+", b, rel, r) =>
             adds += FileEntry(b.toInt, rel, parseRows(r))
+          case Array("+", b, rel, r, dvRel, ndel) =>
+            adds += FileEntry(b.toInt, rel, parseRows(r),
+              Some(DvRef(dvRel, ndel.toLong)))
           case Array("-", rel)    => removes += rel
           case other => throw new IllegalStateException(
             s"malformed delta manifest line: ${other.mkString("\\t")}")
@@ -396,8 +430,7 @@ object TxTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
     } else {
-      val reader = snap.schema.fold(spark.read)(spark.read.schema)
-      reader.parquet(snap.absFiles(table): _*)
+      DeletionVectors.readEntries(spark, table, snap.entries, snap.schema)
     }
   }
 
@@ -524,8 +557,7 @@ object TxTable {
     if (hit.isEmpty)
       read(spark, table, version).filter(lit(false))
     else
-      snap.schema.fold(spark.read)(spark.read.schema)
-        .parquet(hit.map(e => s"$table/${e.rel}"): _*)
+      DeletionVectors.readEntries(spark, table, hit, snap.schema)
         .filter(keyFilter)
   }
 
@@ -1278,8 +1310,7 @@ object TxTable {
     val pred = bounds.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (kept.isEmpty) read(spark, table, version).filter(lit(false))
-    else snap.schema.fold(spark.read)(spark.read.schema)
-      .parquet(kept.map(e => s"$table/${e.rel}"): _*)
+    else DeletionVectors.readEntries(spark, table, kept, snap.schema)
       .filter(pred)
   }
 
@@ -1626,8 +1657,10 @@ object TxTable {
       val evolved = evolvedSchema(spark, table, snap, tagged0.schema)
       val current =
         if (touchedEntries.isEmpty) alignTo(tagged0.filter(lit(false)), evolved)
-        else spark.read.schema(evolved)
-          .parquet(touchedEntries.map(e => s"$table/${e.rel}"): _*)
+        // DV-aware: a merge window over a file with a deletion vector
+        // must not resurrect its dead rows into the rewrite
+        else DeletionVectors.readEntries(spark, table, touchedEntries,
+          Some(evolved))
       val cols = evolved.fieldNames.toSeq
       val unioned = current.select(cols.map(col): _*).withColumn("__src", lit(0))
         .unionByName(alignTo(tagged0, evolved).withColumn("__src", lit(1)))
@@ -1658,6 +1691,95 @@ object TxTable {
     0L // unreachable
   }
 
+  /** MERGE-ON-READ delete: mark matching rows dead in per-file deletion
+    * vectors instead of rewriting data files — the public Delta/Iceberg
+    * DV design over this log. One scan over `candidates` (defaults to
+    * every live file; the SQL path narrows it to the partially-covered
+    * files via zone-map coverage) collects the matching physical row
+    * positions per file into compressed bitmaps, merges them with any
+    * EXISTING vectors (a second delete on the same file unions, never
+    * resets), stages one DV sidecar parquet, and publishes one delta
+    * commit re-adding each touched entry with its [[DvRef]]. No data file
+    * is written; untouched files aren't even read.
+    *
+    * At 100 TB: a DELETE touching one row in each of 10k files writes a
+    * few KB of bitmaps and one manifest, where copy-on-write would
+    * rewrite 10k files. The read-side price — bitmap filters on exactly
+    * the DV'd files — is reclaimed by the next [[compact]], which folds
+    * vectors away. Returns the number of newly deleted rows. */
+  def deleteWhereMor(spark: SparkSession, table: String,
+                     cond: org.apache.spark.sql.Column,
+                     candidates: Option[Seq[FileEntry]] = None,
+                     maxRetries: Int = 5): Long = {
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      val live = snap.entries.map(_.rel).toSet
+      val cand = candidates.fold(snap.entries)(_.filter(e => live(e.rel)))
+      stageMorDelete(spark, table, snap, cand, cond) match {
+        case None => return 0L
+        case Some((adds, removes, ndel)) =>
+          if (commitNext(fs, table, snap, adds = adds, removes = removes,
+              schema = snap.schema, bucketing = snap.bucketing))
+            return ndel
+          // lost the race: drop the staged DV sidecar and re-resolve
+          adds.headOption.flatMap(_.dv).foreach(d =>
+            fs.delete(new Path(table, d.rel.split('/').take(2)
+              .mkString("/")), true))
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: MOR delete lost the commit race $maxRetries times")
+    }
+    0L // unreachable
+  }
+
+  /** The DV build shared by [[deleteWhereMor]] and the SQL DELETE path:
+    * scan `candidates` (already-deleted rows excluded), collect matching
+    * positions per file, merge with existing vectors, stage ONE sidecar.
+    * Returns (re-adds with fresh DvRefs, removed rels, newly deleted
+    * rows) — or None when nothing matched. */
+  private[graft] def stageMorDelete(spark: SparkSession, table: String,
+                                    snap: Snapshot,
+                                    candidates: Seq[FileEntry],
+                                    cond: org.apache.spark.sql.Column)
+      : Option[(Seq[FileEntry], Set[String], Long)] = {
+    if (candidates.isEmpty) return None
+    val schema = snap.schema
+    val existing = DeletionVectors.loadBitmaps(spark, table, candidates)
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val raw = reader.parquet(candidates.map(e => s"$table/${e.rel}"): _*)
+      .withColumn("__dv_rel", regexp_extract(input_file_name(),
+        "files/[^/]+/[^/]+/[^/]+$", 0))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val fresh: Seq[(String, Array[Byte], Long)] = raw
+      .filter(DeletionVectors.liveFilter(spark, existing))
+      .filter(cond)
+      .groupBy(col("__dv_rel"))
+      .agg(DeletionVectors.dvUdaf(col("__dv_pos")).as("dv"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+      .toSeq
+    if (fresh.isEmpty) return None
+    val byRel = candidates.map(e => e.rel -> e).toMap
+    val merged = fresh.map { case (rel, bytes, n) =>
+      val bm = DeletionVectors.deserialize(bytes)
+      existing.get(rel).foreach { case (_, old) =>
+        bm.or(DeletionVectors.deserialize(old))
+      }
+      (rel, DeletionVectors.serialize(bm), bm.getLongCardinality, n)
+    }
+    val dvRel = DeletionVectors.stageDvFile(spark, table,
+      merged.map { case (rel, bytes, total, _) => (rel, bytes, total) })
+    val adds = merged.map { case (rel, _, total, _) =>
+      byRel(rel).copy(dv = Some(DvRef(dvRel, total)))
+    }
+    Some((adds, merged.map(_._1).toSet, merged.map(_._4).sum))
+  }
+
   /** Incremental change feed: the rows in data files ADDED after
     * `sinceVersion`, up to the newest commit (or `untilVersion`) — the
     * Delta change-data-feed read shape that lets a downstream job consume
@@ -1681,8 +1803,8 @@ object TxTable {
       if (added.isEmpty) {
         // empty frame with the table schema (from the current snapshot)
         read(spark, table, Some(upTo)).filter(lit(false))
-      } else snapUpTo.schema.fold(spark.read)(spark.read.schema)
-        .parquet(added.map(e => s"$table/${e.rel}"): _*)
+      } else DeletionVectors.readEntries(spark, table, added,
+        snapUpTo.schema)
     (df, upTo)
   }
 
@@ -1777,8 +1899,8 @@ object TxTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
-      val re = snap.schema.fold(spark.read)(spark.read.schema)
-        .parquet(snap.entries.map(e => s"$table/${e.rel}"): _*)
+      val re = DeletionVectors.readEntries(spark, table, snap.entries,
+          snap.schema)
         .withColumn(LayoutOps.BucketCol,
           LayoutOps.bucketId(col(key), newBuckets))
         .repartition(col(LayoutOps.BucketCol))
@@ -1811,8 +1933,11 @@ object TxTable {
       if (fragmented.isEmpty) return 0
       val (toRewrite, untouched) =
         snap.entries.partition(e => fragmented(e.bucket))
-      val merged = layout(snap.schema.fold(spark.read)(spark.read.schema)
-        .parquet(toRewrite.map(e => s"$table/${e.rel}"): _*))
+      // DV-aware read: compaction is exactly the moment deletion vectors
+      // FOLD AWAY — the rewrite stages only live rows and the fresh
+      // entries carry no dv
+      val merged = layout(DeletionVectors.readEntries(spark, table,
+        toRewrite, snap.schema))
       val newEntries = stageFiles(spark, table, merged, maxRecordsPerFile)
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = toRewrite.map(_.rel).toSet, schema = snap.schema))
@@ -1867,7 +1992,11 @@ object TxTable {
     }
     val referenced: Set[String] = retained
       .flatMap(v => snapshot(spark, table, Some(v)).entries)
-      .map(_.rel.split('/')(1)).toSet
+      // a referenced entry pins BOTH its data directory and (when a
+      // merge-on-read delete marked it) its deletion-vector sidecar's
+      // directory — sweeping a live DV would resurrect deleted rows
+      .flatMap(e => e.rel +: e.dv.map(_.rel).toSeq)
+      .map(_.split('/')(1)).toSet
     val deleted = Seq.newBuilder[String]
     val filesRoot = new Path(table, "files")
     val sweepBefore = System.currentTimeMillis() - orphanRetentionMs
