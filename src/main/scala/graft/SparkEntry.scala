@@ -662,6 +662,10 @@ object SparkEntry {
     stagedClusteredOrders(s, dir)
     stagedRetentionOrders(s, dir)
     stagedBackfillOrders(s, dir)
+    // the MOR retention fixture (commit slicing + ANALYZE + two
+    // deletion-vector DELETEs are maintenance work; the query times the
+    // DV-aware read path)
+    stagedMorOrders(s, dir)
     ()
   }
 
@@ -787,6 +791,43 @@ object SparkEntry {
         // replaced rows without widening the schema)
         .writeTo(s"txspj.`$path`")
         .overwrite(col("o_orderkey") > cut1 && col("o_orderkey") <= cut2)
+      ()
+    }
+    path
+  }
+
+  /** Merge-on-read retention fixture for ext_mor_delete: a 3-commit
+    * orders TxTable (bucketed by o_orderkey) against which the landing
+    * job ran two SQL DELETEs on o_totalprice — a column every file's key
+    * layout scatters, so zone maps prove NO file fully covered and both
+    * statements take the deletion-vector path: the matching row positions
+    * land in per-file RoaringBitmap sidecars, ZERO data files are
+    * rewritten (the second delete exercises the bitmap UNION on files the
+    * first already marked). At 100 TB this is the difference between a
+    * few KB of bitmaps + one manifest commit per retention sweep and
+    * rewriting every touched file. Reads reclaim the bitmap-filter tax at
+    * the next compaction, which folds vectors away (spec-pinned in
+    * DeletionVectorSpec). */
+  private def stagedMorOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-mor-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val orders = tbl(s, dir, "orders")
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (cut1, cut2) = (maxKey / 3, 2 * maxKey / 3)
+      ops.TxTable.init(s, path, orders.filter(col("o_orderkey") <= cut1),
+        key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut1 &&
+          col("o_orderkey") <= cut2),
+        "o_orderkey", 8, appId = "mor-stage", batchId = 1L)
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > cut2),
+        "o_orderkey", 8, appId = "mor-stage", batchId = 2L)
+      ops.TxTable.computeStats(s, path, "o_totalprice")
+      ensureTxCatalog(s)
+      s.sql(s"DELETE FROM txspj.`$path` WHERE o_totalprice < 50000.0")
+      s.sql(s"DELETE FROM txspj.`$path` WHERE o_totalprice > 400000.0")
       ()
     }
     path
@@ -2273,6 +2314,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           sum((col("o_orderstatus") === "B").cast("long"))
             .cast("long").as("n_backfilled"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Merge-on-read DELETE audit: the staged landing job ran two
+    // mid-file o_totalprice retention cuts that no zone map fully
+    // covers — both statements marked rows dead in per-file deletion
+    // vectors (RoaringBitmap sidecars; bitmap UNION on twice-touched
+    // files) without rewriting a single data file (spec-pinned in
+    // TxCatalogSpec / DeletionVectorSpec). The query audits the
+    // surviving table through the catalog — the DV-aware scan serves
+    // exactly the live rows; the oracle replays both deletes as a
+    // WHERE over the raw orders.
+    "ext_mor_delete" -> ((s, dir) => {
+      val path = stagedMorOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -4509,6 +4571,19 @@ object SparkEntry {
         |    AND o_orderkey <= (SELECT (2 * mk) // 3 FROM m)
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_backfilled
         |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // merge-on-read DELETE replay: whether the deletes rewrote files or
+    // marked bitmap positions is a pure execution property — the oracle
+    // replays both retention cuts as a WHERE over the raw orders
+    // (survivors are the rows NEITHER delete matched)
+    "ext_mor_delete" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+        |  MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 400000.0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFu
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.v2.parquet.GraftParquetShim
 import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -226,9 +227,11 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     m.put("bucket.key", bucketing._1)
     m.put("bucket.count", bucketing._2.toString)
     m.put("files", snap.entries.size.toString)
-    val counts = snap.entries.map(_.rows)
+    val counts = snap.entries.map(_.liveRows)
     if (counts.forall(_.isDefined))
       m.put("rows", counts.flatten.sum.toString)
+    val ndel = snap.entries.flatMap(_.dv).map(_.ndel).sum
+    if (ndel > 0) m.put("rows.deleted", ndel.toString)
     scala.util.Try {
       val fs = new Path(path).getFileSystem(
         SparkSession.active.sparkContext.hadoopConfiguration)
@@ -255,23 +258,34 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     new TxWriteBuilder(path, info.schema(), bucketing, info.queryId())
   }
 
-  /** Metadata-only DELETE routing: Spark's
-    * OptimizeMetadataOnlyDeleteFromTable converts the group-based COW
-    * rewrite into [[deleteWhere]] exactly when this accepts — see
-    * [[TxMetadataDelete]] for the zone-map decision procedure. Refusal
-    * (any undecidable file, a time-travel snapshot) keeps the exact
-    * copy-on-write path; correctness never depends on acceptance. */
+  /** SQL DELETE routing — Spark's OptimizeMetadataOnlyDeleteFromTable
+    * converts the group-based COW rewrite into [[deleteWhere]] exactly
+    * when this accepts. With deletion vectors in the log, acceptance no
+    * longer needs every file DECIDABLE — it needs every filter
+    * row-EVALUABLE (a [[TxMetadataDelete.filterColumn]] equivalent
+    * exists): fully-covered files drop from the manifest, zero-covered
+    * files are untouched, and everything else gets a merge-on-read
+    * deletion vector. A SQL DELETE therefore NEVER rewrites a data file.
+    * `spark.graft.sql.delete.mor=false` restores the round-8 posture
+    * (accept only all-decidable metadata drops; partial coverage falls
+    * back to the exact copy-on-write rewrite). */
   override def canDeleteWhere(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    version.isEmpty && TxMetadataDelete.plan(
-      SparkSession.active, path, snap, filters.toSeq).isDefined
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val spark = SparkSession.active
+    if (version.nonEmpty) return false
+    if (spark.conf.get("spark.graft.sql.delete.mor", "true").toBoolean)
+      scala.util.Try(filters.foreach(TxMetadataDelete.filterColumn))
+        .isSuccess
+    else TxMetadataDelete.plan(spark, path, snap, filters.toSeq).isDefined
+  }
 
-  /** The accepted delete: ONE manifest commit dropping the fully-covered
-    * files — zero data files opened, zero rows rewritten; dropped
-    * versions stay time-travelable until vacuum. The coverage plan is
-    * recomputed on every CAS attempt's fresh snapshot, so a concurrent
-    * commit can never smuggle a partially-covered file past the check —
-    * if one appears, the statement fails loudly for a re-run. */
+  /** The accepted delete, as ONE atomic commit: fully-covered files drop
+    * (zero data files opened — the metadata shortcut), partially-covered
+    * and undecidable files are scanned ONCE to build per-file deletion
+    * bitmaps and re-added with their [[TxTable.DvRef]]s. Dropped versions
+    * stay time-travelable until vacuum. The coverage plan is recomputed
+    * on every CAS attempt's fresh snapshot, so a concurrent commit can
+    * never smuggle an unexamined file past the check. */
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(version.isEmpty,
@@ -279,22 +293,39 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     val spark = SparkSession.active
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mor = spark.conf.get("spark.graft.sql.delete.mor", "true").toBoolean
     var attempt = 0
     while (attempt <= 5) {
       val cur = TxTable.snapshot(spark, path)
-      TxMetadataDelete.plan(spark, path, cur, filters.toSeq) match {
-        case None =>
-          throw new java.util.ConcurrentModificationException(
-            s"$path: a concurrent commit made the metadata DELETE " +
-              "undecidable — re-run the statement (it will take the " +
-              "copy-on-write path)")
-        case Some(removes) =>
-          if (removes.isEmpty) return
-          if (TxTable.commitNext(fs, path, cur, adds = Seq.empty,
-              removes = removes.map(_.rel).toSet, txn = None,
-              schema = cur.schema, bucketing = cur.bucketing))
-            return
+      val vs = TxMetadataDelete.verdicts(spark, path, cur, filters.toSeq)
+      val full = vs.collect { case (e, TxMetadataDelete.Full) => e }
+      val partial = vs.collect { case (e, TxMetadataDelete.Partial) => e }
+      if (partial.nonEmpty && !mor)
+        throw new java.util.ConcurrentModificationException(
+          s"$path: a concurrent commit made the metadata DELETE " +
+            "undecidable — re-run the statement (it will take the " +
+            "copy-on-write path)")
+      val staged =
+        if (partial.isEmpty) None
+        else {
+          val cond = filters.map(TxMetadataDelete.filterColumn)
+            .reduceOption(_ && _)
+            .getOrElse(org.apache.spark.sql.functions.lit(true))
+          TxTable.stageMorDelete(spark, path, cur, partial, cond)
+        }
+      val (adds, morRemoves) = staged match {
+        case Some((a, r, _)) => (a, r)
+        case None => (Seq.empty[TxTable.FileEntry], Set.empty[String])
       }
+      if (full.isEmpty && adds.isEmpty) return
+      if (TxTable.commitNext(fs, path, cur, adds = adds,
+          removes = full.map(_.rel).toSet ++ morRemoves, txn = None,
+          schema = cur.schema, bucketing = cur.bucketing))
+        return
+      // lost the race: drop this attempt's staged DV sidecar and retry
+      adds.headOption.flatMap(_.dv).foreach(d =>
+        fs.delete(new Path(path, d.rel.split('/').take(2)
+          .mkString("/")), true))
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -376,7 +407,9 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     while (acc < limit && it.hasNext) {
       val e = it.next()
       picked += e
-      acc += e.rows.get
+      // LIVE rows: a deletion-vector'd file serves rows - ndel, and the
+      // accumulated count must cover `limit` in rows actually served
+      acc += e.liveRows.get
     }
     kept = picked.result()
     true
@@ -411,6 +444,11 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
       NamedReference, NullOrdering, SortDirection}
     if (sawFilters || orders.length != 1) return false
     if (kept.isEmpty || kept.exists(_.rows.isEmpty)) return false
+    // a deletion-vector'd file's zone map and null counts describe its
+    // PHYSICAL rows — a deleted row may hold the guaranteed bound the
+    // ranking leans on, so file dropping is unsound; refuse (graceful:
+    // the ordinary scan sorts exactly) until compaction folds the DVs
+    if (kept.exists(_.dv.isDefined)) return false
     val colName = orders(0).expression() match {
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
       case _ => return false
@@ -498,7 +536,10 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     def extremum(col: org.apache.spark.sql.connector.expressions.Expression,
                  isMin: Boolean)
         : Option[(org.apache.spark.sql.types.StructField, Any)] =
-      columnOf(col).flatMap { f =>
+      // zone maps describe physical rows: a deletion-vector'd file's
+      // extremum may be a deleted row — refuse until compaction
+      if (snap.entries.exists(_.dv.isDefined)) None
+      else columnOf(col).flatMap { f =>
         val stats = TxTable.fileStats(spark, path, f.name)
         if (!snap.entries.forall(e => stats.contains(e.rel))) None
         else {
@@ -517,7 +558,9 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     val answered: Seq[Option[(org.apache.spark.sql.types.StructField, Any)]] =
       agg.aggregateExpressions.toSeq.map {
         case _: CountStar =>
-          val counts = snap.entries.map(_.rows)
+          // liveRows: manifests record EXACT per-file deleted counts, so
+          // COUNT(*) over a deletion-vector'd table stays metadata-only
+          val counts = snap.entries.map(_.liveRows)
           if (counts.exists(_.isEmpty)) None
           else Some((org.apache.spark.sql.types.StructField("count(*)",
             org.apache.spark.sql.types.LongType, nullable = false),
@@ -892,7 +935,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val size = entries.map(e => TxFileSizes.of(fs, path, e.rel)).sum
-    val rows = entries.map(_.rows)
+    val rows = entries.map(_.liveRows)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
@@ -948,7 +991,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     TxScanPlanning.partitionsFor(path, entries)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.readerFor(dataSchema, required, pushed)
+    TxScanPlanning.dvReaderFor(path, entries, dataSchema, required, pushed)
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -989,6 +1032,95 @@ private[sources] object TxScanPlanning {
                   Array.empty): PartitionReaderFactory =
     GraftParquetShim.readerFactory(SparkSession.active,
       TxFileSchema(dataSchema), required, pushed)
+
+  /** DV-aware reader factory for `entries`: when none carry a deletion
+    * vector this IS the stock (vectorized, filter-pushing) factory —
+    * zero overhead on clean tables. When some do, the scan degrades to
+    * row-based reads (Spark's DSv2 exec refuses mixed row/columnar
+    * partitions) and DV'd files additionally read WITHOUT pushed parquet
+    * filters — row-group/page skipping would break the physical-position
+    * arithmetic the bitmaps index — while a per-partition wrapper drops
+    * the marked positions. The read tax lasts until the next [[TxTable
+    * .compact]] folds the vectors away; correctness never depends on the
+    * fast path. */
+  def dvReaderFor(path: String, entries: Seq[TxTable.FileEntry],
+                  dataSchema: StructType, required: StructType,
+                  pushed: Array[org.apache.spark.sql.sources.Filter] =
+                    Array.empty): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val dvd = entries.filter(_.dv.isDefined)
+    val base = readerFor(dataSchema, required, pushed)
+    if (dvd.isEmpty) base
+    else {
+      val byRel = graft.ops.DeletionVectors.loadBitmaps(spark, path, dvd)
+      val raw =
+        if (pushed.isEmpty) base else readerFor(dataSchema, required)
+      new DvPartitionReaderFactory(base, raw, byRel)
+    }
+  }
+}
+
+/** Per-partition deletion-vector application over delegate parquet
+  * readers: clean partitions delegate untouched (row-based — see
+  * [[TxScanPlanning.dvReaderFor]] for why the whole scan drops columnar),
+  * DV'd partitions read through the UNFILTERED delegate counting physical
+  * row positions and skip the bitmap-marked ones. Positions count per
+  * FILE, so a DV'd partition must hold exactly one file — every TxTable
+  * planner that can serve DV'd entries plans them one-file-per-partition.
+  * The factory ships the scanned DV'd files' serialized bitmaps (bounded:
+  * exactly what the DataFrame read path broadcasts); executors
+  * deserialize each once through [[graft.ops.DeletionVectors]]'s bounded
+  * cache. */
+private[sources] final class DvPartitionReaderFactory(
+    base: PartitionReaderFactory, raw: PartitionReaderFactory,
+    dvByRel: Map[String, (String, Array[Byte])])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  /** Files are matched by their table-relative `files/<uuid>/<dir>/<name>`
+    * suffix — engine-generated segments with no URI-encoding ambiguity —
+    * exactly how the DataFrame read path keys `input_file_name()`. */
+  private def dvFiles(p: InputPartition): Seq[(String, Array[Byte])] =
+    p match {
+      case fp: FilePartition =>
+        fp.files.toSeq.flatMap { f =>
+          DvPartitionReaderFactory.RelRe.findFirstIn(f.filePath.toString)
+            .flatMap(dvByRel.get)
+        }
+      case _ => Seq.empty
+    }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val dvs = dvFiles(p)
+    if (dvs.isEmpty) return base.createReader(p)
+    require(p.asInstanceOf[FilePartition].files.length == 1,
+      "a deletion-vector'd file must be planned as its own partition")
+    val (key, bytes) = dvs.head
+    val delegate = raw.createReader(p)
+    new PartitionReader[InternalRow] {
+      private val bm = graft.ops.DeletionVectors.cachedBitmap(key, bytes)
+      private var pos = -1L
+      override def next(): Boolean = {
+        while (delegate.next()) {
+          pos += 1
+          if (pos > graft.ops.DeletionVectors.MaxPos ||
+              !bm.contains(pos.toInt)) return true
+        }
+        false
+      }
+      override def get(): InternalRow = delegate.get()
+      override def close(): Unit = delegate.close()
+    }
+  }
+}
+
+private[sources] object DvPartitionReaderFactory {
+  /** The table-relative data-file suffix (same shape the DataFrame path's
+    * `input_file_name()` regexp extracts). */
+  val RelRe: scala.util.matching.Regex = "files/[^/]+/[^/]+/[^/]+$".r
 }
 
 /** The on-disk file schema: the SQL-visible columns plus the layout
@@ -1207,8 +1339,11 @@ final class TxRowLevelScan(op: TxRowLevelOperation, path: String,
   override def planInputPartitions(): Array[InputPartition] =
     TxScanPlanning.partitionsFor(path, entries)
 
+  /** DV-aware: an affected file with a deletion vector must hand the
+    * rewrite only its LIVE rows — a plain read would resurrect the dead
+    * ones into the replacement files. */
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.readerFor(dataSchema, required)
+    TxScanPlanning.dvReaderFor(path, entries, dataSchema, required)
 }
 
 /** Write side of the rewrite: stages replacement rows per bucket like any
@@ -1446,20 +1581,34 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     }
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    picked.result().groupBy(_.bucket).toSeq.sortBy(_._1).zipWithIndex
-      .map { case ((b, entries), i) =>
-        val pfs = entries.sortBy(_.rel).map { en =>
-          val p = new Path(s"$path/${en.rel}")
-          val st = fs.getFileStatus(p)
-          GraftParquetShim.partitionedFile(p.toString, st.getLen,
-            st.getModificationTime)
-        }.toArray
-        GraftParquetShim.bucketFilePartition(i, pfs, b): InputPartition
-      }.toArray
+    // a re-emitted file carrying a deletion vector (possible only under
+    // ignoreChanges — appends never carry DVs) must be its own partition:
+    // the DV reader wrapper counts physical positions per FILE
+    val (dvd, clean) = picked.result().partition(_.dv.isDefined)
+    batchDvEntries = dvd
+    def pf(en: TxTable.FileEntry): org.apache.spark.sql.execution
+        .datasources.PartitionedFile = {
+      val p = new Path(s"$path/${en.rel}")
+      val st = fs.getFileStatus(p)
+      GraftParquetShim.partitionedFile(p.toString, st.getLen,
+        st.getModificationTime)
+    }
+    val grouped = clean.groupBy(_.bucket).toSeq.sortBy(_._1).map {
+      case (b, entries) => (b, entries.sortBy(_.rel).map(pf).toArray)
+    } ++ dvd.sortBy(e => (e.bucket, e.rel)).map(e => (e.bucket, Array(pf(e))))
+    grouped.zipWithIndex.map { case ((b, pfs), i) =>
+      GraftParquetShim.bucketFilePartition(i, pfs, b): InputPartition
+    }.toArray
   }
 
+  /** The DV'd entries of the micro-batch most recently planned — Spark
+    * calls [[planInputPartitions]] then [[createReaderFactory]] for each
+    * batch's execution, so the factory pairs with the partitions it
+    * serves. */
+  @volatile private var batchDvEntries: Seq[TxTable.FileEntry] = Seq.empty
+
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftParquetShim.readerFactory(spark, TxFileSchema(dataSchema), required)
+    TxScanPlanning.dvReaderFor(path, batchDvEntries, dataSchema, required)
 }
 
 /** The `bucket` transform function Spark resolves through the catalog when
@@ -1716,8 +1865,11 @@ final class TxBatchWrite(path: String, querySchema: StructType,
                   if (ofs.isEmpty) lit(true)
                   else ofs.map(TxMetadataDelete.filterColumn)
                     .reduce(_ && _)
-                val keep = spark.read.schema(snap.schema.getOrElse(merged))
-                  .parquet(partial.map(e => s"$path/${e.rel}"): _*)
+                // DV-aware read: a partially-covered file with a deletion
+                // vector must not resurrect its dead rows into the
+                // remainder rewrite
+                val keep = graft.ops.DeletionVectors.readEntries(spark,
+                    path, partial, Some(snap.schema.getOrElse(merged)))
                   .filter(not(coalesce(cond, lit(false))))
                 TxTable.stageRewrite(spark, path, keep)
               }

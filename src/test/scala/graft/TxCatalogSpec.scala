@@ -697,7 +697,7 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("metadata-only DELETE: decidable predicates drop whole files without rewriting; partial coverage takes COW") {
+  test("SQL DELETE never rewrites data: full coverage drops files by metadata, partial coverage takes a deletion vector") {
     registered {
       val base = Files.createTempDirectory("graft_cat_mdel_").toString
       val t = s"$base/t"
@@ -726,15 +726,102 @@ class TxCatalogSpec extends AnyFunSuite {
         == 101L)
       // the dropped slice stays time-travelable
       assert(spark.table(s"txspj.`$t@v${before.version}`").count() == 192)
-      // a mid-file cut is PARTIAL coverage: the statement must fall back
-      // to the exact COW rewrite (new files appear), rows exact
+      // a mid-file cut is PARTIAL coverage: the statement marks the rows
+      // dead in per-file deletion vectors — SAME data files, one DV
+      // sidecar, rows exact through every read surface
       spark.sql(s"DELETE FROM txspj.`$t` WHERE v < 130")
-      val rels2 = TxTable.snapshot(spark, t).entries.map(_.rel).toSet
-      assert((rels2 -- rels1).nonEmpty,
-        "partial coverage must take the copy-on-write path")
+      val after2 = TxTable.snapshot(spark, t)
+      val rels2 = after2.entries.map(_.rel).toSet
+      assert(rels2.subsetOf(rels1),
+        "partial coverage must not add or rewrite data files (MOR)")
+      val dvd = after2.entries.filter(_.dv.isDefined)
+      assert(dvd.nonEmpty, "partially-covered files must carry DVs")
+      assert(after2.entries.flatMap(_.liveRows).sum == 99,
+        "manifest live counts must account for every DV'd row")
       assert(spark.table(s"txspj.`$t`").count() == 99)
       assert(spark.table(s"txspj.`$t`").agg(min($"v")).head().getLong(0)
         == 130L)
+      assert(TxTable.read(spark, t).count() == 99,
+        "the DataFrame surface agrees with the catalog surface")
+      // the pre-delete slice stays time-travelable WITH its rows
+      assert(spark.table(s"txspj.`$t@v${after2.version - 1}`").count()
+        == 128)
+    }
+  }
+
+  test("DV'd tables through the catalog: COUNT(*) stays metadata-only and exact; MIN/MAX and TopN refuse; SPJ joins stay shuffle-free") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_dv_").toString
+      val (a, b) = (s"$base/a", s"$base/b")
+      TxTable.init(spark, a,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      TxTable.init(spark, b,
+        (1 to 64).map(i => (s"K$i", i * 10L)).toDF("k", "w"), "k", nBuckets)
+      TxTable.computeStats(spark, a, "v")
+      assert(TxTable.deleteWhereMor(spark, a,
+        $"v" % 2 === 0 && $"v" <= 40) == 20L)
+      // COUNT(*) answers from the manifest's live counts: zero jobs read
+      // data files (LocalTableScan plan), value exact
+      val cnt = spark.sql(s"SELECT count(*) AS c FROM txspj.`$a`")
+      assert(cnt.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+        "COUNT(*) over a DV'd table must stay metadata-only")
+      assert(cnt.as[Long].head() == 44L)
+      // MIN/MAX refuse metadata answers (a deleted row may hold the
+      // extremum) and fall back to the exact scan
+      val mn = spark.sql(s"SELECT min(v) AS m FROM txspj.`$a`")
+      assert(!mn.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      assert(mn.as[Long].head() == 1L)
+      // TopN refuses file pruning on DV'd files and sorts exactly: the
+      // top-3 ascending v skips deleted 2 and 4
+      val top = spark.sql(
+        s"SELECT v FROM txspj.`$a` ORDER BY v LIMIT 3").as[Long].collect()
+      assert(top.toSeq == Seq(1L, 3L, 5L))
+      // row-serving parity with the DataFrame surface
+      assert(tbl(a).select($"k").as[String].collect().toSet ==
+        TxTable.read(spark, a).select($"k").as[String].collect().toSet)
+      // SPJ: the DV'd side still reports its bucket partitioning — join
+      // plans with zero exchange and dead rows stay dead
+      withSpjConfs {
+        val j = tbl(a).join(tbl(b), "k").select($"k", $"v", $"w")
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"),
+          s"DV'd co-bucketed join must not shuffle:\n$p")
+        val rows = j.as[(String, Long, Long)].collect().toSet
+        val expect = (1 to 64).filterNot(i => i % 2 == 0 && i <= 40)
+          .map(i => (s"K$i", i.toLong, i * 10L)).toSet
+        assert(rows == expect)
+      }
+    }
+  }
+
+  test("SQL UPDATE and REPLACE WHERE over DV'd files do not resurrect dead rows") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_dvup_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE v <= 8")
+      assert(TxTable.snapshot(spark, t).entries.exists(_.dv.isDefined))
+      // the COW rewrite reads the affected files through the DV wrapper:
+      // K9 updates, K1..K8 stay dead
+      spark.sql(s"UPDATE txspj.`$t` SET v = v + 1000 WHERE k = 'K9'")
+      assert(tbl(t).count() == 56)
+      assert(tbl(t).filter($"v" <= 8).count() == 0,
+        "a row-level rewrite must not resurrect DV-deleted rows")
+      assert(tbl(t).filter($"k" === "K9").select($"v").as[Long]
+        .head() == 1009L)
+      assert(TxTable.snapshot(spark, t).entries.exists(_.dv.isDefined),
+        "buckets the UPDATE did not touch keep their vectors")
+      // REPLACE WHERE's remainder rewrite is likewise DV-aware
+      Seq(("K10", 5000L)).toDF("k", "v").writeTo(s"txspj.`$t`")
+        .overwrite($"k" === "K10")
+      assert(tbl(t).count() == 56)
+      assert(tbl(t).filter($"v" <= 8).count() == 0,
+        "the remainder rewrite must not resurrect DV-deleted rows")
+      assert(tbl(t).filter($"k" === "K10").select($"v").as[Long]
+        .head() == 5000L)
     }
   }
 
