@@ -653,9 +653,11 @@ object SparkEntry {
     stagedSpjTables(s, dir)
     stagedHllState(s, dir)
     // the streaming drain of the versioned-orders log (one micro-batch
-    // per commit) and the SQL MERGE apply — landing-job work
+    // per commit) and the SQL MERGE applies (COW + delta-MOR siblings) —
+    // landing-job work
     stagedStreamDrain(s, dir)
     stagedMergedOrders(s, dir)
+    stagedDeltaMergedOrders(s, dir)
     // the key-clustered TopN fixture and the retention-delete landing
     // (commit slicing + ANALYZE + the metadata DELETE itself are
     // maintenance work; the queries time the surviving read path)
@@ -889,6 +891,44 @@ object SparkEntry {
            |  t.o_totalprice = t.o_totalprice + 1000.0
            |WHEN NOT MATCHED THEN INSERT *
            |""".stripMargin)
+      ()
+    }
+    path
+  }
+
+  /** Delta-MERGE sibling of [[stagedMergedOrders]] (ext_sql_merge_mor):
+    * the SAME MERGE statement applied with
+    * `spark.graft.sql.rowlevel.mor=true` — matched rows become
+    * deletion-vector bits and new row versions/inserts append; ZERO data
+    * files are rewritten (write volume ∝ changed rows, the CDC posture
+    * at 100 TB). The query must produce rows identical to the COW
+    * sibling's — both share one oracle replay. Conf saved/restored so
+    * staging cannot leak planner state into other queries. */
+  private def stagedDeltaMergedOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-merge-mor/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders")
+      ops.TxTable.init(s, path,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        key = "o_orderkey", nBuckets = 8)
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .createOrReplaceTempView("graft_merge_mor_source")
+      val morKey = "spark.graft.sql.rowlevel.mor"
+      val saved = s.conf.getOption(morKey)
+      s.conf.set(morKey, "true")
+      try s.sql(
+        s"""MERGE INTO txspj.`$path` t USING graft_merge_mor_source s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET
+           |  t.o_totalprice = t.o_totalprice + 1000.0
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      finally saved match {
+        case Some(v) => s.conf.set(morKey, v)
+        case None => s.conf.unset(morKey)
+      }
       ()
     }
     path
@@ -2466,6 +2506,23 @@ object SparkEntry {
     "ext_sql_merge" -> ((s, dir) => {
       val path = stagedMergedOrders(s, dir)
       ops.TxTable.read(s, path)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
+            .cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // The SAME MERGE applied delta-based (merge-on-read): matched rows'
+    // positions land in deletion-vector bitmaps and only the changed row
+    // versions are written — zero data files rewritten (entry rels
+    // spec-pinned in TxCatalogSpec). The query reads through the catalog,
+    // exercising the DV-aware DSv2 scan; result rows are identical to
+    // ext_sql_merge's and both share one oracle replay.
+    "ext_sql_merge_mor" -> ((s, dir) => {
+      val path = stagedDeltaMergedOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
@@ -5458,6 +5515,25 @@ object SparkEntry {
     // odd %3=0 inserts; per-row half-up rounding before the decimal sum
     // keeps computed doubles bit-identical across engines
     "ext_sql_merge" ->
+      """WITH merged AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(floor(p * 100 + 0.5) / 100 AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total_price
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // delta-MERGE replay: semantics identical to ext_sql_merge (whether
+    // matched rows rewrote files or set deletion-vector bits is a pure
+    // execution property) — the same relational replay, verbatim
+    "ext_sql_merge_mor" ->
       """WITH merged AS (
         |  SELECT o_orderpriority,
         |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0

@@ -104,13 +104,20 @@ object DeletionVectors {
     if (dvd.isEmpty) return Map.empty
     val wanted = dvd.toMap
     val dvFiles = dvd.map(_._2).distinct.map(r => s"$table/$r")
+    // a rel can appear in SEVERAL sidecars (each delete stages a fresh
+    // one holding the files it touched, superseding their older rows) —
+    // only the row from the sidecar the ENTRY references is current; an
+    // older sidecar's row for the same rel is a stale subset that must
+    // never shadow it
     spark.read.parquet(dvFiles: _*)
-      .select(col("rel"), col("dv"))
+      .select(col("rel"), col("dv"), input_file_name().as("__src"))
       .collect()
       .iterator
-      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
-      .filter { case (rel, _) => wanted.contains(rel) }
-      .map { case (rel, bytes) => rel -> ((s"${wanted(rel)}#$rel", bytes)) }
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getString(2)))
+      .filter { case (rel, _, src) =>
+        wanted.get(rel).exists(dvRel => src.endsWith(dvRel)) }
+      .map { case (rel, bytes, _) =>
+        rel -> ((s"${wanted(rel)}#$rel", bytes)) }
       .toMap
   }
 
@@ -164,6 +171,35 @@ object DeletionVectors {
       case (Some(c), Some(d)) => c.unionByName(d)
       case (c, d) => c.orElse(d).get
     }
+  }
+
+  /** The inverse read: rows of `entries` whose physical position IS set
+    * in the given bitmap — the change-feed's exact row-level DELETE
+    * emission (a deletion-vector diff between two versions marks exactly
+    * the rows that died in between). Bitmap cache keys are
+    * content-addressed (the diff bitmaps are ad hoc, not sidecar-backed). */
+  private[graft] def readMarked(spark: SparkSession, table: String,
+                                marked: Seq[(TxTable.FileEntry, Array[Byte])],
+                                schema: Option[StructType]): DataFrame = {
+    require(marked.nonEmpty, "readMarked needs at least one file")
+    val keyed = marked.map { case (e, bytes) =>
+      e.rel -> ((s"diff#${java.util.UUID.nameUUIDFromBytes(bytes)}", bytes))
+    }.toMap
+    val reader = schema.fold(spark.read)(spark.read.schema)
+    val raw = reader.parquet(marked.map { case (e, _) =>
+      s"$table/${e.rel}" }: _*)
+    val cols = raw.columns.toSeq
+    val bc = spark.sparkContext.broadcast(keyed)
+    val hit = udf { (rel: String, pos: Long) =>
+      bc.value.get(rel).exists { case (key, bytes) =>
+        pos <= MaxPos && cachedBitmap(key, bytes).contains(pos.toInt) }
+    }
+    raw
+      .withColumn("__dv_rel", regexp_extract(input_file_name(),
+        "files/[^/]+/[^/]+/[^/]+$", 0))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .filter(hit(col("__dv_rel"), col("__dv_pos")))
+      .select(cols.map(col): _*)
   }
 
   /** Stage ONE deletion-vector sidecar parquet holding `rows` of

@@ -435,16 +435,22 @@ object TxTable {
   }
 
   /** Change feed between two committed versions — the Delta CDF read shape
-    * (`table_changes`), derived purely from the manifest file-diff: rows in
-    * files ADDED at version v surface as (`_change_type`='insert',
-    * `_commit_version`=v); rows in files REMOVED at v as 'delete'. No
-    * per-row change tracking exists in the log, so a rewriting commit
-    * (upsert/compaction) reports whole rewritten files as delete+insert —
-    * exact for append-only history, conservative otherwise (documented
-    * file-granular CDF). I/O is only the CHANGED files of each step, never
-    * a full-table scan, and the per-step manifest walk is O(checkpoint
-    * interval) — incremental consumers pay for the delta they read, which
-    * is what makes downstream incremental maintenance viable at 100 TB. */
+    * (`table_changes`), derived from the manifest file-diff plus the
+    * deletion-vector diff: rows in files ADDED at version v surface as
+    * (`_change_type`='insert', `_commit_version`=v); rows LIVE in files
+    * removed at v as 'delete' (rows a vector had already killed don't
+    * re-die); and a merge-on-read delete — same rel, grown vector —
+    * surfaces EXACTLY the newly-marked positions as 'delete' rows (the
+    * bitmap diff is a per-row change log the rel-level file diff cannot
+    * see). No per-row change tracking exists for rewrites, so an
+    * upsert/compaction commit still reports whole rewritten files as
+    * delete+insert — exact for append-only + MOR-delete history,
+    * conservative otherwise (documented file-granular CDF). I/O is only
+    * the CHANGED files of each step (for a MOR delete: only the touched
+    * files, filtered to the diff positions), never a full-table scan, and
+    * the per-step manifest walk is O(checkpoint interval) — incremental
+    * consumers pay for the delta they read, which is what makes
+    * downstream incremental maintenance viable at 100 TB. */
   def changesBetween(spark: SparkSession, table: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion,
@@ -459,18 +465,44 @@ object TxTable {
         s"$table@v$toVersion carries no schema (pre-v2 manifest) — " +
           "changesBetween needs the recorded schema to type change frames"))
       .filterNot(_.name == LayoutOps.BucketCol))
-    def readFiles(rels: Seq[String], tpe: String, v: Long): DataFrame =
-      spark.read.schema(schema).parquet(rels.map(r => s"$table/$r"): _*)
-        .withColumn("_change_type", lit(tpe))
+    def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
-    var prev = snapshot(spark, table, Some(fromVersion)).entries.map(_.rel).toSet
+    var prev: Map[String, FileEntry] = snapshot(spark, table,
+      Some(fromVersion)).entries.map(e => e.rel -> e).toMap
     val frames = Seq.newBuilder[DataFrame]
     (fromVersion + 1 to toVersion).foreach { v =>
-      val cur = snapshot(spark, table, Some(v)).entries.map(_.rel).toSet
-      val added = (cur -- prev).toSeq.sorted
-      val removed = (prev -- cur).toSeq.sorted
-      if (added.nonEmpty) frames += readFiles(added, "insert", v)
-      if (removed.nonEmpty) frames += readFiles(removed, "delete", v)
+      val cur = snapshot(spark, table, Some(v)).entries
+        .map(e => e.rel -> e).toMap
+      val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
+      val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
+      // same rel, grown deletion vector: the newly-marked positions are
+      // exactly the rows that died at v (bitmap diff, batched: one
+      // sidecar read per side per version)
+      val grownRels = cur.keysIterator.filter(rel =>
+        prev.contains(rel) &&
+          cur(rel).dv.exists(d => !prev(rel).dv.contains(d)))
+        .toSeq.sorted
+      if (added.nonEmpty)
+        frames += stamp(DeletionVectors.readEntries(spark, table, added,
+          Some(schema)), "insert", v)
+      if (removed.nonEmpty)
+        frames += stamp(DeletionVectors.readEntries(spark, table, removed,
+          Some(schema)), "delete", v)
+      if (grownRels.nonEmpty) {
+        val curBms = DeletionVectors.loadBitmaps(spark, table,
+          grownRels.map(cur))
+        val prevBms = DeletionVectors.loadBitmaps(spark, table,
+          grownRels.map(prev).filter(_.dv.isDefined))
+        val dvGrown = grownRels.map { rel =>
+          val bm = DeletionVectors.deserialize(curBms(rel)._2)
+          prevBms.get(rel).foreach { case (_, bytes) =>
+            bm.andNot(DeletionVectors.deserialize(bytes)) }
+          (cur(rel), DeletionVectors.serialize(bm))
+        }
+        frames += stamp(DeletionVectors.readMarked(spark, table, dvGrown,
+          Some(schema)), "delete", v)
+      }
       prev = cur
     }
     frames.result().reduceOption(_.unionByName(_)).getOrElse {

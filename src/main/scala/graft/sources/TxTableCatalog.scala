@@ -208,7 +208,8 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     * without a required metadata column Spark's ReplaceData hands the
     * writer raw MergeRows output). */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftBucketMetadataColumn)
+    Array(GraftBucketMetadataColumn, GraftFileMetadataColumn,
+      GraftPosMetadataColumn)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -358,8 +359,18 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
       s"$path: TRUNCATE lost the commit race 6 times")
   }
 
-  /** SQL MERGE INTO / UPDATE / DELETE as a group-based (copy-on-write)
-    * row-level operation — see [[TxRowLevelOperation]]. */
+  /** SQL MERGE INTO / UPDATE / DELETE as a row-level operation. Two
+    * shapes, a session decision (`spark.graft.sql.rowlevel.mor`):
+    *
+    *   - default: group-based copy-on-write ([[TxRowLevelOperation]]) —
+    *     affected files rewrite whole; read path stays clean/vectorized.
+    *   - `mor=true`: delta-based merge-on-read
+    *     ([[TxDeltaRowLevelOperation]]) — write volume ∝ CHANGED ROWS:
+    *     matched rows' positions land in deletion-vector bitmaps, new
+    *     row versions append; no data file is rewritten. The read tax
+    *     (bitmap filters, row-based scans on DV'd files) is reclaimed at
+    *     the next compaction. The right trade when updates are sparse
+    *     relative to file sizes — the common CDC shape at 100 TB. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
@@ -368,8 +379,13 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
-        new TxRowLevelOperation(path, snap, bucketing, dataSchema,
-          info.command())
+        if (SparkSession.active.conf
+            .get("spark.graft.sql.rowlevel.mor", "false").toBoolean)
+          new TxDeltaRowLevelOperation(path, snap, bucketing, dataSchema,
+            info.command())
+        else
+          new TxRowLevelOperation(path, snap, bucketing, dataSchema,
+            info.command())
     }
   }
 }
@@ -991,7 +1007,8 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     TxScanPlanning.partitionsFor(path, entries)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.dvReaderFor(path, entries, dataSchema, required, pushed)
+    TxScanPlanning.augmentedReaderFor(path, entries, dataSchema, required,
+      pushed)
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -1056,6 +1073,98 @@ private[sources] object TxScanPlanning {
       val raw =
         if (pushed.isEmpty) base else readerFor(dataSchema, required)
       new DvPartitionReaderFactory(base, raw, byRel)
+    }
+  }
+
+  /** The synthesized row-identity columns ([[GraftFileMetadataColumn]],
+    * [[GraftPosMetadataColumn]]) — never stored in data files. */
+  private val SynthCols = Set("_file", "_pos")
+
+  /** [[dvReaderFor]] plus row-identity synthesis: when `required` asks
+    * for `_file`/`_pos`, the parquet reader serves the remaining columns
+    * UNFILTERED (pushed parquet filters would skip rows and corrupt the
+    * physical-position count) and a per-partition wrapper appends the
+    * file's table-relative rel and the running physical position —
+    * positions stay correct over deletion-vector'd files because the DV
+    * skip COUNTS the dead rows it drops. Scans that don't ask for
+    * identity pay nothing (delegates to [[dvReaderFor]]). */
+  def augmentedReaderFor(path: String, entries: Seq[TxTable.FileEntry],
+                         dataSchema: StructType, required: StructType,
+                         pushed: Array[org.apache.spark.sql.sources.Filter] =
+                           Array.empty): PartitionReaderFactory = {
+    if (!required.fieldNames.exists(SynthCols))
+      return dvReaderFor(path, entries, dataSchema, required, pushed)
+    val spark = SparkSession.active
+    val dataRequired =
+      StructType(required.fields.filterNot(f => SynthCols(f.name)))
+    val dvd = entries.filter(_.dv.isDefined)
+    val byRel = graft.ops.DeletionVectors.loadBitmaps(spark, path, dvd)
+    val raw = readerFor(dataSchema, dataRequired)
+    new SynthPartitionReaderFactory(raw, required, dataRequired, byRel)
+  }
+}
+
+/** Row-identity synthesis over a delegate parquet reader: every served
+  * partition must hold exactly ONE file (the TxTable planners' shape);
+  * the wrapper counts physical positions, drops deletion-vector-marked
+  * ones, and projects `(data columns…, _file, _pos)` in the required
+  * order. Row-based by construction — identity scans are the row-level
+  * operations' affected-file reads, never the hot analytical path. */
+private[sources] final class SynthPartitionReaderFactory(
+    raw: PartitionReaderFactory, required: StructType,
+    dataRequired: StructType,
+    dvByRel: Map[String, (String, Array[Byte])])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[FilePartition]
+    require(fp.files.length == 1,
+      "row-identity scans plan one file per partition")
+    val rel = DvPartitionReaderFactory.RelRe
+      .findFirstIn(fp.files.head.filePath.toString)
+      .getOrElse(fp.files.head.filePath.toString)
+    val bm = dvByRel.get(rel).map { case (key, bytes) =>
+      graft.ops.DeletionVectors.cachedBitmap(key, bytes) }
+    val relUtf = org.apache.spark.unsafe.types.UTF8String.fromString(rel)
+    val dataIdx = dataRequired.fieldNames.zipWithIndex.toMap
+    // per-output-field plan: Left(data ordinal) | Right(synthesizer)
+    val plan: Array[Either[Int, String]] = required.fields.map { f =>
+      if (f.name == "_file" || f.name == "_pos") Right(f.name)
+      else Left(dataIdx(f.name))
+    }
+    val delegate = raw.createReader(p)
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private val out = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(required.length)
+      override def next(): Boolean = {
+        while (delegate.next()) {
+          pos += 1
+          val dead = bm.exists(b =>
+            pos <= graft.ops.DeletionVectors.MaxPos && b.contains(pos.toInt))
+          if (!dead) return true
+        }
+        false
+      }
+      override def get(): InternalRow = {
+        val row = delegate.get()
+        var i = 0
+        while (i < plan.length) {
+          plan(i) match {
+            case Left(j) =>
+              out.update(i, row.get(j, dataRequired.fields(j).dataType))
+            case Right("_file") => out.update(i, relUtf)
+            case Right(_) => out.update(i, pos)
+          }
+          i += 1
+        }
+        out
+      }
+      override def close(): Unit = delegate.close()
     }
   }
 }
@@ -1208,6 +1317,30 @@ object GraftBucketMetadataColumn extends MetadataColumn {
     "layout bucket this row's key hashes into (pmod(xxhash64(key, 42), n))"
 }
 
+/** Position-based row identity (the public Iceberg `_file`/`_pos` shape):
+  * the table-relative data file and the row's PHYSICAL position inside
+  * it. Together they are the rowId the delta-based row-level operations
+  * address deletes by — the same (file, position) domain the deletion-
+  * vector bitmaps index, so a delta DELETE is literally "set this bit".
+  * Synthesized by the scan (see [[TxScanPlanning.augmentedReaderFor]]);
+  * never stored in data files. */
+object GraftFileMetadataColumn extends MetadataColumn {
+  override def name(): String = "_file"
+  override def dataType(): DataType =
+    org.apache.spark.sql.types.StringType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "table-relative data file this row lives in"
+}
+
+object GraftPosMetadataColumn extends MetadataColumn {
+  override def name(): String = "_pos"
+  override def dataType(): DataType = org.apache.spark.sql.types.LongType
+  override def isNullable: Boolean = false
+  override def comment(): String =
+    "physical row position inside _file (deletion-vector bit domain)"
+}
+
 // --- SQL row-level operations (MERGE / UPDATE / DELETE) -------------------
 
 /** Group-based (copy-on-write) row-level operation over the commit log —
@@ -1237,13 +1370,10 @@ object GraftBucketMetadataColumn extends MetadataColumn {
 final class TxRowLevelOperation(path: String, snap: TxTable.Snapshot,
     bucketing: (String, Int), dataSchema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
-    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with TxAffectedFiles {
 
-  /** The files the (statically + runtime) filtered scan serves — exactly
-    * what the replace-data commit removes. Starts at the full snapshot
-    * (no filterable condition = full-table rewrite) and only shrinks. */
-  @volatile private[sources] var scannedFiles: Seq[TxTable.FileEntry] =
-    snap.entries
+  scannedFiles = snap.entries
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -1273,10 +1403,20 @@ final class TxRowLevelOperation(path: String, snap: TxTable.Snapshot,
     }
 }
 
+/** The scan↔write contract every row-level operation shape shares: the
+  * files the (statically + runtime) filtered scan serves — exactly what
+  * the group-based commit removes, and the candidate set whose deletion
+  * vectors the delta-based commit may touch. Starts at the full snapshot
+  * (no filterable condition = full-table work) and only shrinks. */
+private[sources] trait TxAffectedFiles {
+  @volatile private[sources] var scannedFiles: Seq[TxTable.FileEntry] =
+    Seq.empty
+}
+
 /** Scan side of the rewrite: static predicates prune files exactly like
   * the ordinary catalog scan; the build result additionally accepts
   * runtime group filters. */
-final class TxRowLevelScanBuilder(op: TxRowLevelOperation, path: String,
+final class TxRowLevelScanBuilder(op: TxAffectedFiles, path: String,
                                   snap: TxTable.Snapshot,
                                   bucketing: (String, Int),
                                   dataSchema: StructType)
@@ -1312,7 +1452,7 @@ final class TxRowLevelScanBuilder(op: TxRowLevelOperation, path: String,
   * the MERGE source — hashed through the writers' own bucket kernel to
   * keep only the touched buckets' files. Over-keep only; every predicate
   * is still evaluated on rows by the rewrite plan itself. */
-final class TxRowLevelScan(op: TxRowLevelOperation, path: String,
+final class TxRowLevelScan(op: TxAffectedFiles, path: String,
                            initialEntries: Seq[TxTable.FileEntry],
                            bucketing: (String, Int),
                            dataSchema: StructType, required: StructType)
@@ -1341,9 +1481,10 @@ final class TxRowLevelScan(op: TxRowLevelOperation, path: String,
 
   /** DV-aware: an affected file with a deletion vector must hand the
     * rewrite only its LIVE rows — a plain read would resurrect the dead
-    * ones into the replacement files. */
+    * ones into the replacement files. Synthesizes `_file`/`_pos` when the
+    * operation is delta-based (its rowId projection needs them). */
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.dvReaderFor(path, entries, dataSchema, required)
+    TxScanPlanning.augmentedReaderFor(path, entries, dataSchema, required)
 }
 
 /** Write side of the rewrite: stages replacement rows per bucket like any
@@ -1422,6 +1563,257 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
     fs.delete(new Path(path, stagedRel), true)
     ()
   }
+}
+
+// --- delta-based (merge-on-read) row-level operations ----------------------
+
+/** SQL MERGE INTO / UPDATE / DELETE as a DELTA operation (Spark's
+  * `SupportsDelta`, the public Iceberg position-delta shape) over the
+  * commit log: instead of rewriting every affected file (the group-based
+  * COW sibling), the write receives exactly the CHANGED rows —
+  *
+  *   - a matched-and-deleted row arrives as its `(_file, _pos)` row id →
+  *     one bit in that file's deletion-vector bitmap;
+  *   - an update arrives as delete + insert
+  *     ([[representUpdateAsDeleteAndInsert]]), so a row whose bucket key
+  *     changes migrates buckets correctly by construction;
+  *   - inserts append through the same per-bucket staging writer as any
+  *     catalog write.
+  *
+  * ONE atomic commit publishes the appended files plus the touched
+  * entries re-added with merged [[TxTable.DvRef]]s (a file whose live
+  * rows all died drops instead). Write volume ∝ changed rows — the CDC
+  * MERGE posture at 100 TB, where the COW rewrite's write amplification
+  * (whole files per sparse update) dominates statement cost. The read-
+  * side bitmap tax is reclaimed by the next compaction. Candidate I/O is
+  * still pruned like the COW path: static predicates + the runtime
+  * group filter shrink the scan to the source keys' buckets. */
+final class TxDeltaRowLevelOperation(path: String, snap: TxTable.Snapshot,
+    bucketing: (String, Int), dataSchema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta
+    with TxAffectedFiles {
+
+  scannedFiles = snap.entries
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"GraftTxTable delta $cmd $path v${snap.version}"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column(GraftFileMetadataColumn.name()),
+      Expressions.column(GraftPosMetadataColumn.name()))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TxRowLevelScanBuilder(this, path, snap, bucketing, dataSchema)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new TxDeltaWrite(TxDeltaRowLevelOperation.this, path,
+          info.schema(), bucketing)
+    }
+}
+
+final class TxDeltaWrite(op: TxAffectedFiles, path: String,
+                         dataSchema: StructType, bucketing: (String, Int))
+    extends org.apache.spark.sql.connector.write.DeltaWrite {
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+    new TxDeltaBatchWrite(op, path, dataSchema, bucketing)
+}
+
+/** Commit side of the delta write: tasks report appended files and
+  * per-file deleted-position bitmaps; the driver ORs the task bitmaps,
+  * merges them with any EXISTING vectors on a fresh snapshot (a repeat
+  * MERGE on the same files unions, never resets), stages ONE DV sidecar,
+  * and publishes one manifest commit. Conflicts are loud: a touched file
+  * no longer live at commit time means the statement's row positions
+  * refer to a rewritten file — stale basis, re-run. */
+final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
+                              dataSchema: StructType,
+                              bucketing: (String, Int))
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  private val stagedRel = s"files/${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val spark = SparkSession.active
+    new TxDeltaWriterFactory(path, stagedRel, dataSchema, bucketing,
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.writeHadoopConf(spark)))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    import org.roaringbitmap.RoaringBitmap
+    val spark = SparkSession.active
+    val inserts = messages.toSeq.flatMap {
+      case TxDeltaCommitMessage(fls, _) => fls.map { case (b, rel, nr) =>
+        TxTable.FileEntry(b, rel, Some(nr)) }
+      case _ => Seq.empty
+    }
+    // OR the task bitmaps per file (tasks partition rows, bitmaps union)
+    val taskDeletes = scala.collection.mutable.Map
+      .empty[String, RoaringBitmap]
+    messages.foreach {
+      case TxDeltaCommitMessage(_, dels) => dels.foreach { case (rel, b) =>
+        val bm = graft.ops.DeletionVectors.deserialize(b)
+        taskDeletes.get(rel) match {
+          case Some(acc) => acc.or(bm)
+          case None => taskDeletes(rel) = bm
+        }
+      }
+      case _ =>
+    }
+    if (inserts.isEmpty && taskDeletes.isEmpty) return
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val writeSchema = StructType(dataSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        graft.ops.LayoutOps.BucketCol, IntegerType))
+    var attempt = 0
+    while (attempt <= 5) {
+      val snap = TxTable.snapshot(spark, path)
+      val liveByRel = snap.entries.map(e => e.rel -> e).toMap
+      val gone = taskDeletes.keySet.filterNot(liveByRel.contains)
+      if (gone.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$path: a concurrent commit rewrote files this MERGE/UPDATE " +
+            "deleted rows from — its row positions are stale; re-run " +
+            s"the statement (missing: ${gone.take(3).mkString(", ")}…)")
+      // merge with the files' EXISTING vectors as of THIS snapshot (a
+      // concurrent delete may have marked more rows since the scan)
+      val touched = taskDeletes.keys.toSeq.sorted.map(liveByRel)
+      val existing = graft.ops.DeletionVectors
+        .loadBitmaps(spark, path, touched.filter(_.dv.isDefined))
+      val merged = touched.map { e =>
+        val bm = taskDeletes(e.rel).clone()
+        existing.get(e.rel).foreach { case (_, bytes) =>
+          bm.or(graft.ops.DeletionVectors.deserialize(bytes)) }
+        (e, graft.ops.DeletionVectors.serialize(bm),
+          bm.getLongCardinality)
+      }
+      // a file whose physical rows ALL died drops outright (exact only
+      // when the manifest recorded its count; otherwise keep the DV)
+      val (fullyDead, partial) = merged.partition { case (e, _, total) =>
+        e.rows.contains(total) }
+      val dvRel =
+        if (partial.isEmpty) None
+        else Some(graft.ops.DeletionVectors.stageDvFile(spark, path,
+          partial.map { case (e, bytes, total) => (e.rel, bytes, total) }))
+      val reAdds = partial.map { case (e, _, total) =>
+        e.copy(dv = Some(TxTable.DvRef(dvRel.get, total)))
+      }
+      val merged0 = TxTable.mergeSchemas(
+        snap.schema.getOrElse(writeSchema), writeSchema)
+      if (TxTable.commitNext(fs, path, snap, adds = inserts ++ reAdds,
+          removes = taskDeletes.keySet.toSet, txn = None,
+          schema = Some(merged0), bucketing = Some(bucketing)))
+        return
+      // lost the race: this attempt's DV sidecar references a stale
+      // merge basis — drop it (tasks' appended files are reused as-is)
+      dvRel.foreach(r => fs.delete(
+        new Path(path, r.split('/').take(2).mkString("/")), true))
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$path: delta commit lost the race 6 times; staged files remain " +
+        s"under $stagedRel for vacuum")
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(path, stagedRel), true)
+    ()
+  }
+}
+
+/** Task message: appended `(bucket, rel, rows)` files plus this task's
+  * serialized per-file deleted-position bitmaps — bounded by the task's
+  * own deletes (RoaringBitmaps over row positions compress runs). */
+final case class TxDeltaCommitMessage(
+    files: Seq[(Int, String, Long)],
+    deletes: Seq[(String, Array[Byte])])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class TxDeltaWriterFactory(
+    path: String, stagedRel: String, schema: StructType,
+    bucketing: (String, Int),
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new TxDeltaWriter(path, stagedRel, schema, bucketing, conf.value,
+      partitionId, taskId)
+}
+
+/** Task-side delta writer: inserts ride the shared per-bucket staging
+  * writer ([[TxDataWriter]] — placement recomputed from the key);
+  * deletes set bits in per-file RoaringBitmaps keyed by the rowId's
+  * `_file`. Updates arrive pre-split as delete + insert. */
+final class TxDeltaWriter(
+    path: String, stagedRel: String, schema: StructType,
+    bucketing: (String, Int),
+    conf: org.apache.hadoop.conf.Configuration,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  import org.roaringbitmap.RoaringBitmap
+
+  private val inserts =
+    new TxDataWriter(path, stagedRel, schema, bucketing, conf,
+      partitionId, taskId)
+  private val deletes =
+    scala.collection.mutable.Map.empty[String, RoaringBitmap]
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val rel = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    require(pos >= 0 && pos <= graft.ops.DeletionVectors.MaxPos,
+      s"row position $pos outside positional-bitmap range")
+    deletes.getOrElseUpdate(rel, new RoaringBitmap()).add(pos.toInt)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    // unreachable with representUpdateAsDeleteAndInsert = true; keep the
+    // semantics correct anyway
+    delete(metadata, id)
+    insert(row)
+  }
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val dataMsg = inserts.commit() match {
+      case TxCommitMessage(fls) => fls
+      case _ => Seq.empty
+    }
+    TxDeltaCommitMessage(dataMsg, deletes.toSeq.map { case (rel, bm) =>
+      (rel, graft.ops.DeletionVectors.serialize(bm)) })
+  }
+
+  override def abort(): Unit = inserts.abort()
+  override def close(): Unit = inserts.close()
 }
 
 /** A streaming offset that IS a commit version — the whole point of

@@ -140,4 +140,39 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(df.select("day").as[Long].collect().sorted.toSeq ==
       (200L until 210L))
   }
+
+  test("changesBetween surfaces MOR deletes as exact row-level 'delete' rows (bitmap diff per version)") {
+    val table = freshTable()
+    val v0 = TxTable.snapshot(spark, table).version
+    TxTable.deleteWhereMor(spark, table, col("day") < 5L)
+    val v1 = TxTable.snapshot(spark, table).version
+    TxTable.deleteWhereMor(spark, table, col("day") >= 5L && col("day") < 8L)
+    val v2 = TxTable.snapshot(spark, table).version
+    // step 1: exactly days 0..4 die; step 2: exactly 5..7 — the second
+    // diff must NOT re-emit the first delete's rows (union'd bitmaps)
+    val step1 = TxTable.changesBetween(spark, table, v0, v1)
+    assert(step1.select($"_change_type").distinct().as[String]
+      .collect().toSeq == Seq("delete"))
+    assert(step1.select($"day").as[Long].collect().sorted.toSeq ==
+      (0L until 5L))
+    val step2 = TxTable.changesBetween(spark, table, v1, v2)
+    assert(step2.select($"day").as[Long].collect().sorted.toSeq ==
+      (5L until 8L))
+    // the full window stamps each delete with its commit version
+    val all = TxTable.changesBetween(spark, table, v0, v2)
+    assert(all.filter($"_commit_version" === v1).select($"day")
+      .as[Long].collect().sorted.toSeq == (0L until 5L))
+    assert(all.filter($"_commit_version" === v2).select($"day")
+      .as[Long].collect().sorted.toSeq == (5L until 8L))
+    // delete everything left: the change frame must carry exactly the
+    // rows alive at v2 — rows deleted earlier must not re-die, whether
+    // the files drop or their vectors grow to full coverage
+    val before = TxTable.read(spark, table).count()
+    TxTable.deleteWhereMor(spark, table, lit(true))
+    val v3 = TxTable.snapshot(spark, table).version
+    val step3 = TxTable.changesBetween(spark, table, v2, v3)
+    assert(step3.count() == before,
+      "only rows alive at v2 may surface as deletes at v3")
+    assert(step3.filter($"day" < 8L).count() == 0)
+  }
 }

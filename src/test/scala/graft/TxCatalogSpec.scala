@@ -1423,6 +1423,97 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  private def withMorRowLevel[T](body: => T): T = {
+    val k = "spark.graft.sql.rowlevel.mor"
+    val saved = spark.conf.getOption(k)
+    spark.conf.set(k, "true")
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("delta MERGE (mor): matched rows become deletion-vector bits, inserts append — zero data files rewritten") {
+    registered {
+      withMorRowLevel {
+        val base = Files.createTempDirectory("graft_cat_dmrg_").toString
+        val t = s"$base/t"
+        TxTable.init(spark, t,
+          (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+          "k", nBuckets)
+        val before = TxTable.snapshot(spark, t)
+        val rels0 = before.entries.map(_.rel).toSet
+        Seq(("K5", 500L), ("K7", 700L), ("K100", 1000L))
+          .toDF("k", "v").createOrReplaceTempView("dmrg_src")
+        spark.sql(
+          s"""MERGE INTO txspj.`$t` tgt USING dmrg_src src ON tgt.k = src.k
+             |WHEN MATCHED THEN UPDATE SET v = src.v
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val after = TxTable.snapshot(spark, t)
+        assert(after.version == before.version + 1, "one atomic commit")
+        // every original file is still live (none rewritten); the only
+        // new rels are the appended inserts + updated row versions
+        assert(rels0.subsetOf(after.entries.map(_.rel).toSet),
+          "delta MERGE must not rewrite or drop existing data files")
+        assert(after.entries.exists(_.dv.isDefined),
+          "matched rows' files must carry deletion vectors")
+        // runtime group filtering holds for the delta shape too: only
+        // the source keys' buckets may be touched
+        val touchedBuckets = after.entries.filter(_.dv.isDefined)
+          .map(_.bucket).toSet
+        assert(touchedBuckets.subsetOf(
+          Set(bucketOf("K5"), bucketOf("K7"))),
+          s"DV'd buckets $touchedBuckets must be within the matched " +
+            "source keys' buckets")
+        // rows exact through both surfaces
+        assert(tbl(t).count() == 65)
+        assert(tbl(t).filter($"k" === "K5").select($"v").as[Long]
+          .head() == 500L)
+        assert(tbl(t).filter($"k" === "K7").select($"v").as[Long]
+          .head() == 700L)
+        assert(tbl(t).filter($"k" === "K100").select($"v").as[Long]
+          .head() == 1000L)
+        assert(TxTable.read(spark, t).count() == 65)
+        // pre-merge version intact
+        assert(spark.table(s"txspj.`$t@v${before.version}`").count() == 64)
+        // a SECOND delta statement on the same files UNIONS vectors
+        spark.sql(s"UPDATE txspj.`$t` SET v = v + 1 WHERE k = 'K5'")
+        assert(tbl(t).filter($"k" === "K5").select($"v").as[Long]
+          .head() == 501L)
+        assert(tbl(t).count() == 65)
+        // metadata COUNT(*) stays exact over the merged vectors
+        val cnt = spark.sql(s"SELECT count(*) AS c FROM txspj.`$t`")
+        assert(cnt.queryExecution.executedPlan.toString
+          .contains("LocalTableScan"))
+        assert(cnt.as[Long].head() == 65L)
+      }
+    }
+  }
+
+  test("delta UPDATE migrating the bucket key moves the row to its new bucket") {
+    registered {
+      withMorRowLevel {
+        val base = Files.createTempDirectory("graft_cat_dkey_").toString
+        val t = s"$base/t"
+        TxTable.init(spark, t,
+          (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+          "k", nBuckets)
+        spark.sql(s"UPDATE txspj.`$t` SET k = 'K999' WHERE k = 'K3'")
+        assert(tbl(t).filter($"k" === "K3").count() == 0)
+        val moved = tbl(t).filter($"k" === "K999")
+        assert(moved.count() == 1)
+        assert(moved.select($"v").as[Long].head() == 3L)
+        // the new row version lives in K999's bucket (the writers' own
+        // hash), not K3's old one — delete+insert migrates by construction
+        assert(tbl(t).filter($"k" === "K999")
+          .select(col(graft.ops.LayoutOps.BucketCol)).as[Int].head()
+          == bucketOf("K999"),
+          "migrated row must land in its key's bucket")
+      }
+    }
+  }
+
   private def withSpjConfs[T](body: => T): T = {
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
