@@ -2378,6 +2378,27 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Row-level change feed over the MOR deletes: the two retention cuts
+    // never removed a file — the rel-level diff is blind to them — but the
+    // DELETION-VECTOR diff surfaces exactly the newly-marked positions as
+    // _change_type='delete' rows, stamped with their commit (spec-pinned
+    // in DeletionVectorSpec incl. no-re-death of union'd bitmaps). I/O is
+    // the touched files only, filtered to the diff positions — the shape
+    // that lets a downstream consumer propagate a 100 TB table's deletes
+    // without rescanning it. The staged table's last two commits ARE the
+    // two deletes; the oracle replays their union over the raw orders.
+    "ext_mor_changes" -> ((s, dir) => {
+      val path = stagedMorOrders(s, dir)
+      val head = ops.TxTable.snapshot(s, path).version
+      ops.TxTable.changesBetween(s, path, head - 2, head)
+        .filter(col("_change_type") === "delete")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_deleted"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Revenue per priority over a STORAGE-PARTITIONED join: both sides are
     // TxTables read through the DSv2 catalog, committed with the same
     // bucket layout on the join key — the reported
@@ -4641,6 +4662,17 @@ object SparkEntry {
         |  MAX(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_totalprice >= 50000.0 AND o_totalprice <= 400000.0
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // MOR change-feed replay: the deleted multiset is the union of the
+    // two retention cuts (the second applied to survivors of the first,
+    // whose matches are disjoint from it) — a plain WHERE over raw orders
+    "ext_mor_changes" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_deleted,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders
+        |WHERE o_totalprice < 50000.0 OR o_totalprice > 400000.0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

@@ -1977,7 +1977,10 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     // ignoreChanges — appends never carry DVs) must be its own partition:
     // the DV reader wrapper counts physical positions per FILE
     val (dvd, clean) = picked.result().partition(_.dv.isDefined)
-    batchDvEntries = dvd
+    // accumulate (newest DvRef per rel wins — versions walk in order) so
+    // a factory paired with any planned batch sees every bitmap it may
+    // need; extra map entries are inert for partitions not serving them
+    dvd.foreach(e => streamDvEntries.put(e.rel, e))
     def pf(en: TxTable.FileEntry): org.apache.spark.sql.execution
         .datasources.PartitionedFile = {
       val p = new Path(s"$path/${en.rel}")
@@ -1993,14 +1996,16 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     }.toArray
   }
 
-  /** The DV'd entries of the micro-batch most recently planned — Spark
-    * calls [[planInputPartitions]] then [[createReaderFactory]] for each
-    * batch's execution, so the factory pairs with the partitions it
-    * serves. */
-  @volatile private var batchDvEntries: Seq[TxTable.FileEntry] = Seq.empty
+  /** Every DV'd entry any planned micro-batch re-emitted (possible only
+    * under ignoreChanges), newest [[TxTable.DvRef]] per rel. */
+  private val streamDvEntries =
+    new java.util.concurrent.ConcurrentHashMap[String, TxTable.FileEntry]()
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.dvReaderFor(path, batchDvEntries, dataSchema, required)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    import scala.jdk.CollectionConverters._
+    TxScanPlanning.dvReaderFor(path,
+      streamDvEntries.values.asScala.toSeq, dataSchema, required)
+  }
 }
 
 /** The `bucket` transform function Spark resolves through the catalog when
