@@ -34,6 +34,12 @@ object DeletionVectors {
     * parquet files at sane sizes are orders of magnitude below this. */
   private[graft] val MaxPos = Int.MaxValue.toLong
 
+  /** The table-relative data-file suffix `files/<uuid>/<dir>/<name>` —
+    * the ONE pattern every DV consumer keys files by (`input_file_name`
+    * extraction here, partition-path extraction on the DSv2 side). Load-
+    * bearing: a drifted copy would silently serve deleted rows. */
+  private[graft] val RelPattern = "files/[^/]+/[^/]+/[^/]+$"
+
   def serialize(bm: RoaringBitmap): Array[Byte] = {
     bm.runOptimize()
     val out = new java.io.ByteArrayOutputStream()
@@ -76,21 +82,28 @@ object DeletionVectors {
 
   /** Executor/driver-shared cache of deserialized bitmaps. DV sidecar
     * files are immutable (staged once, referenced by rel), so the
-    * (dvRel, rel) key can never go stale; bounded by clearing past the
-    * cap — a miss is one sidecar-row read. */
+    * (dvRel, rel) key can never go stale. Size-bounded LRU: past the cap
+    * the ELDEST entry alone evicts (a whole-cache clear would stampede
+    * every in-flight partition into re-deserializing mid-scan). */
   private val MaxCached = 4096
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, RoaringBitmap]()
+  private val cache =
+    new java.util.LinkedHashMap[String, RoaringBitmap](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, RoaringBitmap]): Boolean =
+        size() > MaxCached
+    }
 
   private[graft] def cachedBitmap(key: String,
-                                  bytes: => Array[Byte]): RoaringBitmap = {
-    val hit = cache.get(key)
-    if (hit != null) return hit
-    val bm = deserialize(bytes)
-    if (cache.size() >= MaxCached) cache.clear()
-    cache.put(key, bm)
-    bm
-  }
+                                  bytes: => Array[Byte]): RoaringBitmap =
+    cache.synchronized {
+      val hit = cache.get(key)
+      if (hit != null) hit
+      else {
+        val bm = deserialize(bytes)
+        cache.put(key, bm)
+        bm
+      }
+    }
 
   /** Driver-side load of the deletion bitmaps for `entries` (only those
     * carrying a [[TxTable.DvRef]]): one read over the distinct DV sidecar
@@ -123,16 +136,18 @@ object DeletionVectors {
 
   /** The live-row predicate for the DataFrame read path over DV'd files:
     * keep a row iff its (file rel, physical row index) is NOT marked in
-    * the file's bitmap. `bitmaps` travels as a task binary; executors
+    * the file's bitmap. `bitmaps` is captured by the UDF closure and
+    * travels inside the task binary (bounded: the scanned files' bitmap
+    * bytes) — deliberately NOT a Spark broadcast, which would accrete one
+    * undestroyed block per read in a long-lived session; executors
     * deserialize each file's bitmap once through the bounded cache. The
     * UDF sits only on the DV'd files' leg of a read — clean files never
     * pay it. */
   private[graft] def liveFilter(spark: SparkSession,
                                 bitmaps: Map[String, (String, Array[Byte])])
       : Column = {
-    val bc = spark.sparkContext.broadcast(bitmaps)
     val live = udf { (rel: String, pos: Long) =>
-      bc.value.get(rel) match {
+      bitmaps.get(rel) match {
         case Some((key, bytes)) =>
           pos > MaxPos || !cachedBitmap(key, bytes).contains(pos.toInt)
         case None => true
@@ -162,7 +177,7 @@ object DeletionVectors {
         val cols = raw.columns.toSeq
         Some(raw
           .withColumn("__dv_rel", regexp_extract(input_file_name(),
-            "files/[^/]+/[^/]+/[^/]+$", 0))
+            RelPattern, 0))
           .withColumn("__dv_pos", col("_metadata.row_index"))
           .filter(liveFilter(spark, bitmaps))
           .select(cols.map(col): _*))
@@ -189,14 +204,14 @@ object DeletionVectors {
     val raw = reader.parquet(marked.map { case (e, _) =>
       s"$table/${e.rel}" }: _*)
     val cols = raw.columns.toSeq
-    val bc = spark.sparkContext.broadcast(keyed)
+    // closure-captured, not broadcast — see liveFilter
     val hit = udf { (rel: String, pos: Long) =>
-      bc.value.get(rel).exists { case (key, bytes) =>
+      keyed.get(rel).exists { case (key, bytes) =>
         pos <= MaxPos && cachedBitmap(key, bytes).contains(pos.toInt) }
     }
     raw
       .withColumn("__dv_rel", regexp_extract(input_file_name(),
-        "files/[^/]+/[^/]+/[^/]+$", 0))
+        RelPattern, 0))
       .withColumn("__dv_pos", col("_metadata.row_index"))
       .filter(hit(col("__dv_rel"), col("__dv_pos")))
       .select(cols.map(col): _*)

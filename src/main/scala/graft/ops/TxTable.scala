@@ -683,7 +683,7 @@ object TxTable {
         // every refresh would re-profile all files and readWhere would
         // never prune — silently
         .select(regexp_extract(input_file_name(),
-          "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
+          DeletionVectors.RelPattern, 0).as("rel"),
           col(statsCol))
         .groupBy(col("rel"))
         .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
@@ -861,7 +861,7 @@ object TxTable {
           .parquet(missing.map(e => s"$table/${e.rel}"): _*)
           .where(col(bloomCol).isNotNull)
           .select(regexp_extract(input_file_name(),
-            "files/[^/]+/[^/]+/[^/]+$", 0).as("rel"),
+            DeletionVectors.RelPattern, 0).as("rel"),
             xxhash64(col(bloomCol)).as("h"))
           .groupBy(col("rel"))
           .agg(bloomUdaf(col("h")).as("bloom"))
@@ -1747,8 +1747,15 @@ object TxTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
-      val live = snap.entries.map(_.rel).toSet
-      val cand = candidates.fold(snap.entries)(_.filter(e => live(e.rel)))
+      // candidates narrow by REL only — the entries themselves re-resolve
+      // from the fresh snapshot so a concurrent delete's grown DvRef is
+      // merged, never shadowed by the caller's stale copy
+      val cand = candidates match {
+        case None => snap.entries
+        case Some(cs) =>
+          val rels = cs.map(_.rel).toSet
+          snap.entries.filter(e => rels(e.rel))
+      }
       stageMorDelete(spark, table, snap, cand, cond) match {
         case None => return 0L
         case Some((adds, removes, ndel)) =>
@@ -1784,7 +1791,7 @@ object TxTable {
     val reader = schema.fold(spark.read)(spark.read.schema)
     val raw = reader.parquet(candidates.map(e => s"$table/${e.rel}"): _*)
       .withColumn("__dv_rel", regexp_extract(input_file_name(),
-        "files/[^/]+/[^/]+/[^/]+$", 0))
+        DeletionVectors.RelPattern, 0))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     val fresh: Seq[(String, Array[Byte], Long)] = raw
       .filter(DeletionVectors.liveFilter(spark, existing))

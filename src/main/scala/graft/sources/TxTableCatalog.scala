@@ -1229,7 +1229,8 @@ private[sources] final class DvPartitionReaderFactory(
 private[sources] object DvPartitionReaderFactory {
   /** The table-relative data-file suffix (same shape the DataFrame path's
     * `input_file_name()` regexp extracts). */
-  val RelRe: scala.util.matching.Regex = "files/[^/]+/[^/]+/[^/]+$".r
+  val RelRe: scala.util.matching.Regex =
+    graft.ops.DeletionVectors.RelPattern.r
 }
 
 /** The on-disk file schema: the SQL-visible columns plus the layout
@@ -1525,7 +1526,8 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
         TxTable.FileEntry(b, rel, Some(nr)) }
       case _ => Seq.empty
     }
-    val removes = op.scannedFiles.map(_.rel).toSet
+    val scanned = op.scannedFiles
+    val removes = scanned.map(_.rel).toSet
     if (adds.isEmpty && removes.isEmpty) return // nothing was affected
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1535,12 +1537,24 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
     var attempt = 0
     while (attempt <= 5) {
       val snap = TxTable.snapshot(spark, path)
-      val live = snap.entries.map(_.rel).toSet
-      if (!removes.subsetOf(live))
+      val liveByRel = snap.entries.map(e => e.rel -> e).toMap
+      val gone = removes.filterNot(liveByRel.contains)
+      if (gone.nonEmpty)
         throw new java.util.ConcurrentModificationException(
           s"$path: a concurrent commit rewrote files this MERGE/UPDATE/" +
             "DELETE read — its basis is stale; re-run the statement " +
-            s"(missing: ${(removes -- live).take(3).mkString(", ")}…)")
+            s"(missing: ${gone.take(3).mkString(", ")}…)")
+      // a rel can survive while its DELETION VECTOR grows (a concurrent
+      // MOR delete): committing this rewrite — written from the pre-
+      // delete scan — would resurrect those rows AND erase the delete.
+      // Same staleness, made loud.
+      val dvDrift = scanned.filter(e => liveByRel(e.rel).dv != e.dv)
+      if (dvDrift.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$path: a concurrent delete marked rows dead in files this " +
+            "MERGE/UPDATE/DELETE read — its basis is stale; re-run the " +
+            s"statement (drifted: ${dvDrift.take(3).map(_.rel)
+              .mkString(", ")}…)")
       val merged = TxTable.mergeSchemas(
         snap.schema.getOrElse(writeSchema), writeSchema)
       if (TxTable.commitNext(fs, path, snap, adds = adds,
@@ -1686,6 +1700,10 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
     val writeSchema = StructType(dataSchema.fields :+
       org.apache.spark.sql.types.StructField(
         graft.ops.LayoutOps.BucketCol, IntegerType))
+    // the scan basis: the files (and their DvRefs) the row positions
+    // were computed against — the scan side of the TxAffectedFiles
+    // contract
+    val scannedByRel = op.scannedFiles.map(e => e.rel -> e).toMap
     var attempt = 0
     while (attempt <= 5) {
       val snap = TxTable.snapshot(spark, path)
@@ -1696,8 +1714,21 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
           s"$path: a concurrent commit rewrote files this MERGE/UPDATE " +
             "deleted rows from — its row positions are stale; re-run " +
             s"the statement (missing: ${gone.take(3).mkString(", ")}…)")
-      // merge with the files' EXISTING vectors as of THIS snapshot (a
-      // concurrent delete may have marked more rows since the scan)
+      // a touched file whose DELETION VECTOR changed since the scan is a
+      // write-write conflict this merge cannot resolve: a concurrently-
+      // deleted row may be one this statement UPDATES, and silently
+      // re-inserting its new version would undo the delete (the public
+      // ConcurrentDeleteReadException posture). Union-only growth cannot
+      // distinguish that case, so any drift on a touched file is loud.
+      val dvDrift = taskDeletes.keySet.filter { rel =>
+        scannedByRel.get(rel).fold(true)(_.dv != liveByRel(rel).dv) }
+      if (dvDrift.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$path: a concurrent delete marked rows dead in files this " +
+            "MERGE/UPDATE touched — its basis is stale; re-run the " +
+            s"statement (drifted: ${dvDrift.take(3).mkString(", ")}…)")
+      // merge with the files' existing vectors (== the scan basis, just
+      // verified drift-free)
       val touched = taskDeletes.keys.toSeq.sorted.map(liveByRel)
       val existing = graft.ops.DeletionVectors
         .loadBitmaps(spark, path, touched.filter(_.dv.isDefined))
