@@ -1514,6 +1514,46 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("a concurrent MOR delete between scan and commit makes both row-level commit shapes fail loudly") {
+    registered {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val base = Files.createTempDirectory("graft_cat_race_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      val scanBasis = TxTable.snapshot(spark, t)
+      // the "concurrent" delete: lands AFTER the ops captured their basis
+      assert(TxTable.deleteWhereMor(spark, t, $"v" <= 10L) == 10L)
+      val drifted = TxTable.snapshot(spark, t).entries
+        .find(_.dv.isDefined).get
+      // group-based (COW) commit over the stale basis: committing would
+      // resurrect the deleted rows AND erase the delete — must throw
+      val cowOp = new graft.sources.TxRowLevelOperation(t, scanBasis,
+        ("k", nBuckets), tbl(t).schema, Command.UPDATE)
+      val cowWrite = new graft.sources.TxReplaceBatchWrite(cowOp, t,
+        tbl(t).schema, ("k", nBuckets))
+      val e1 = intercept[java.util.ConcurrentModificationException] {
+        cowWrite.commit(Array(graft.sources.TxCommitMessage(Seq.empty)))
+      }
+      assert(e1.getMessage.contains("stale"))
+      // delta commit touching the drifted file: the union cannot tell an
+      // update-of-a-concurrently-deleted-row apart — must throw
+      val dOp = new graft.sources.TxDeltaRowLevelOperation(t, scanBasis,
+        ("k", nBuckets), tbl(t).schema, Command.UPDATE)
+      val dWrite = new graft.sources.TxDeltaBatchWrite(dOp, t,
+        tbl(t).schema, ("k", nBuckets))
+      val bm = new org.roaringbitmap.RoaringBitmap(); bm.add(0)
+      val e2 = intercept[java.util.ConcurrentModificationException] {
+        dWrite.commit(Array(graft.sources.TxDeltaCommitMessage(Seq.empty,
+          Seq(drifted.rel ->
+            graft.ops.DeletionVectors.serialize(bm)))))
+      }
+      assert(e2.getMessage.contains("stale"))
+      // the table is untouched by both refused commits
+      assert(tbl(t).count() == 54)
+    }
+  }
+
   private def withSpjConfs[T](body: => T): T = {
     val confs = Seq(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
