@@ -1863,6 +1863,51 @@ object TxTable {
     compactWith(spark, table, maxFilesPerBucket, maxRetries,
       _.repartition(col(LayoutOps.BucketCol)), 0L)
 
+  /** Targeted deletion-vector fold (the public Delta `REORG … APPLY
+    * (PURGE)` idea): rewrite EXACTLY the files whose deleted fraction
+    * reaches `minDeletedFraction`, staging their live rows and dropping
+    * the vectors — every other file is untouched. [[compact]] folds
+    * vectors too, but only where a bucket is FRAGMENTED; a lightly-
+    * fragmented, heavily-deleted file would otherwise pay the bitmap
+    * read tax (and the row-based scan downgrade on the DSv2 path)
+    * forever. Rewrite I/O is bounded by the chosen threshold — the knob
+    * that turns "maintenance someday" into a scheduled O(dirty files)
+    * job at 100 TB. A DV'd file with no recorded physical count purges
+    * unconditionally (its tax is real even if unquantified). Returns the
+    * number of files purged. */
+  def purgeDeletes(spark: SparkSession, table: String,
+                   minDeletedFraction: Double = 0.1,
+                   maxRetries: Int = 5): Int = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
+      s"minDeletedFraction must be in [0,1], got $minDeletedFraction")
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      val targets = snap.entries.filter(e => e.dv.exists(d =>
+        e.rows.fold(true)(r =>
+          r == 0L || d.ndel.toDouble / r >= minDeletedFraction)))
+      if (targets.isEmpty) return 0
+      // live rows only; keep the bucket layout (same co-location
+      // guarantees as compact — one task per touched bucket)
+      val merged = DeletionVectors.readEntries(spark, table, targets,
+          snap.schema)
+        .repartition(col(LayoutOps.BucketCol))
+      val newEntries = stageFiles(spark, table, merged)
+      if (commitNext(fs, table, snap, adds = newEntries,
+          removes = targets.map(_.rel).toSet, schema = snap.schema,
+          bucketing = snap.bucketing))
+        return targets.size
+      newEntries.map(_.rel.split('/')(1)).distinct
+        .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: purge lost the commit race $maxRetries times")
+    }
+    0 // unreachable
+  }
+
   /** [[compact]] with a Z-ORDER layout — the OPTIMIZE ZORDER BY idea from
     * the public Delta playbook, both halves of which already existed here
     * separately ([[LayoutOps.morton2]] clustering, the zone-map sidecar):

@@ -2520,6 +2520,20 @@ object TxProcedures {
         input.getUTF8String(1).toString, input.getDouble(2)))
   }
 
+  private val purgeDeletes: Proc = new Proc("purge_deletes",
+    "rewrite files whose deletion-vector fraction reaches the threshold " +
+      "(folds the vectors; bounded by the dirty files alone)",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("min_deleted_fraction",
+        org.apache.spark.sql.types.DoubleType)
+        .defaultValue("0.1").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("files_purged", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.purgeDeletes(spark, input.getUTF8String(0).toString,
+        input.getDouble(1)))
+  }
+
   private val vacuum: Proc = new Proc("vacuum",
     "drop pre-horizon log versions and unreferenced data (respecting the " +
       "in-flight orphan retention)",
@@ -2570,7 +2584,8 @@ object TxProcedures {
   }
 
   private val all: Map[String, UnboundProcedure] =
-    Seq(compact, computeStats, computeBloom, vacuum, rebucket, history)
+    Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
+      rebucket, history)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

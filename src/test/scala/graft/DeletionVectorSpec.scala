@@ -175,4 +175,45 @@ class DeletionVectorSpec extends AnyFunSuite {
       "only rows alive at v2 may surface as deletes at v3")
     assert(step3.filter($"day" < 8L).count() == 0)
   }
+
+  test("purgeDeletes rewrites only files past the deleted-fraction threshold; vacuum then sweeps the superseded sidecar") {
+    val table = freshTable()
+    // delete a narrow slice: every file is touched a little
+    TxTable.deleteWhereMor(spark, table, col("day") < 8L)
+    val snap1 = TxTable.snapshot(spark, table)
+    val dvd = snap1.entries.filter(_.dv.isDefined)
+    assert(dvd.nonEmpty)
+    // threshold ABOVE every file's deleted fraction: nothing purges
+    assert(TxTable.purgeDeletes(spark, table,
+      minDeletedFraction = 0.9) == 0)
+    assert(TxTable.snapshot(spark, table).version == snap1.version)
+    // fractions are small (≤8 dead of ~50 per file): a low threshold
+    // purges exactly the DV'd files, untouched files keep their rels
+    val untouchedRels = snap1.entries.filterNot(_.dv.isDefined)
+      .map(_.rel).toSet
+    val purged = TxTable.purgeDeletes(spark, table,
+      minDeletedFraction = 0.01)
+    assert(purged == dvd.size)
+    val snap2 = TxTable.snapshot(spark, table)
+    assert(snap2.entries.forall(_.dv.isEmpty),
+      "purged files must carry no vectors")
+    assert(untouchedRels.subsetOf(snap2.entries.map(_.rel).toSet),
+      "files under the threshold must keep their rels")
+    assert(TxTable.read(spark, table).count() == 192)
+    assert(TxTable.read(spark, table).filter(col("day") < 8L).count() == 0)
+    // the old sidecar is now unreferenced by the retained head: vacuum
+    // keeps only the head version and must sweep it
+    val fs = new org.apache.hadoop.fs.Path(table).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val sidecarDirs = dvd.flatMap(_.dv).map(_.rel.split('/')(1)).distinct
+    sidecarDirs.foreach { u =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(table, s"files/$u")))
+    }
+    TxTable.vacuum(spark, table, keepVersions = 1, orphanRetentionMs = 0L)
+    sidecarDirs.foreach { u =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(table, s"files/$u")),
+        "a superseded DV sidecar must be swept once unreferenced")
+    }
+    assert(TxTable.read(spark, table).count() == 192)
+  }
 }

@@ -485,7 +485,7 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("maintenance as SQL: CALL compact / compute_stats / vacuum / rebucket") {
+  test("maintenance as SQL: CALL compact / compute_stats / vacuum / purge_deletes / rebucket") {
     registered {
       val base = Files.createTempDirectory("graft_cat_proc_").toString
       val t = s"$base/t"
@@ -513,11 +513,18 @@ class TxCatalogSpec extends AnyFunSuite {
       val v = spark.sql(s"CALL txspj.vacuum('$t', 1, 0)")
       assert(v.head().getInt(0) > 0)
       assert(tbl(t).count() == 32L * 6)
+      // purge_deletes folds deletion vectors for the dirty files alone
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE v <= 3")
+      assert(TxTable.snapshot(spark, t).entries.exists(_.dv.isDefined))
+      val pg = spark.sql(s"CALL txspj.purge_deletes('$t', 0.0D)")
+      assert(pg.head().getInt(0) > 0)
+      assert(TxTable.snapshot(spark, t).entries.forall(_.dv.isEmpty))
+      assert(tbl(t).count() == 32L * 6 - 3)
       // rebucket migrates the layout identity in one commit
       val rb = spark.sql(s"CALL txspj.rebucket('$t', 'k', 8)")
       assert(rb.head().getLong(0) > 0L)
       assert(TxTable.snapshot(spark, t).bucketing.contains(("k", 8)))
-      assert(tbl(t).count() == 32L * 6)
+      assert(tbl(t).count() == 32L * 6 - 3)
       // DESCRIBE HISTORY from SQL: one metadata row per retained version
       val h = spark.sql(s"CALL txspj.history('$t')")
       assert(h.count() == TxTable.history(spark, t).count())
@@ -793,6 +800,28 @@ class TxCatalogSpec extends AnyFunSuite {
           .map(i => (s"K$i", i.toLong, i * 10L)).toSet
         assert(rows == expect)
       }
+    }
+  }
+
+  test("clean tables keep the vectorized scan; a deletion vector downgrades that table's scan to row-based until purged") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_dvplan_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      def planOf() = tbl(t).filter($"v" > 10L).queryExecution
+        .executedPlan.toString
+      assert(planOf().contains("ColumnarToRow"),
+        s"clean TxTable scans must stay columnar/vectorized:\n${planOf()}")
+      spark.sql(s"DELETE FROM txspj.`$t` WHERE v = 5")
+      assert(!planOf().contains("ColumnarToRow"),
+        "a DV'd file forces the scan row-based (DSv2 refuses mixed " +
+          "row/columnar partitions) — the documented MOR read tax")
+      // purge restores the vectorized path
+      TxTable.purgeDeletes(spark, t, minDeletedFraction = 0.0)
+      assert(planOf().contains("ColumnarToRow"),
+        "purging the vectors must restore the columnar scan")
+      assert(tbl(t).count() == 63)
     }
   }
 
