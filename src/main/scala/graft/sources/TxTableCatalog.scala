@@ -130,11 +130,45 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     new TxSparkTable(path)
   }
 
+  /** Schema evolution as DDL — ONE schema-only manifest commit, zero
+    * data files touched (the Delta/Iceberg metadata-evolution shape):
+    *
+    *   - ADD COLUMN: nullable top-level columns append to the schema;
+    *     files committed before the change simply project the new column
+    *     as NULL (explicit-schema parquet reads fill missing columns).
+    *   - DROP COLUMN: the column leaves the schema; the bytes stay in
+    *     old files and readers project around them. The bucket KEY
+    *     cannot drop — it is the table's layout identity.
+    *
+    * Everything else (renames would orphan old files' name-based
+    * columns; type changes would need per-file casts) refuses loudly.
+    * Type WIDENING still rides data commits (mergeSchemas on write).
+    * Time travel keeps each version's own schema. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is unsupported on a TxTable: schema changes ride data " +
-        "commits (INSERT/append a batch carrying the new columns)")
+                          changes: TableChange*): Table = {
+    val (path, version) = pathOf(ident)
+    require(version.isEmpty,
+      s"cannot ALTER time-travel snapshot $path@v${version.get}")
+    val spark = SparkSession.active
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var attempt = 0
+    var done = false
+    while (!done && attempt <= 5) {
+      val snap = TxTable.snapshot(spark, path)
+      val cur = snap.schema.getOrElse(throw new IllegalStateException(
+        s"$path carries no recorded schema (pre-v2 manifest) — cannot ALTER"))
+      val next = changes.foldLeft(cur)(TxAlterSchema.apply(path, snap, _, _))
+      done = next == cur || TxTable.commitNext(fs, path, snap,
+        adds = Seq.empty, removes = Set.empty, txn = None,
+        schema = Some(next), bucketing = snap.bucketing)
+      attempt += 1
+    }
+    if (!done)
+      throw new java.util.ConcurrentModificationException(
+        s"$path: ALTER TABLE lost the commit race 6 times")
+    new TxSparkTable(path)
+  }
 
   /** DROP TABLE: deletes the commit log and data directories (also the
     * CTAS failure-cleanup hook). Time-travel identifiers refuse loudly —
@@ -173,6 +207,60 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       throw new UnsupportedOperationException(
         s"unknown procedure '${ident.name()}' — available: " +
           TxProcedures.names.mkString(", ")))
+}
+
+/** The TableChange → schema kernel behind [[TxTableCatalog.alterTable]]:
+  * pure, so every CAS attempt re-derives from the fresh snapshot. */
+private[sources] object TxAlterSchema {
+  import org.apache.spark.sql.connector.catalog.TableChange._
+
+  def apply(path: String, snap: TxTable.Snapshot, schema: StructType,
+            change: TableChange): StructType = change match {
+    case add: AddColumn =>
+      require(add.fieldNames.length == 1,
+        s"ALTER TABLE ADD COLUMN supports top-level columns only, got " +
+          add.fieldNames.mkString("."))
+      val name = add.fieldNames()(0)
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"column '$name' already exists in $path")
+      require(add.isNullable,
+        s"new column '$name' must be nullable: rows committed before the " +
+          "change can only read it as NULL")
+      val f = org.apache.spark.sql.types.StructField(name, add.dataType(),
+        nullable = true)
+      // keep the internal layout column last (writer convention)
+      val (data, layout) = schema.fields.partition(
+        _.name != graft.ops.LayoutOps.BucketCol)
+      StructType(data ++ Array(f) ++ layout)
+    case del: DeleteColumn =>
+      require(del.fieldNames.length == 1,
+        s"ALTER TABLE DROP COLUMN supports top-level columns only, got " +
+          del.fieldNames.mkString("."))
+      val name = del.fieldNames()(0)
+      val exists = schema.fieldNames.contains(name)
+      if (!exists) {
+        require(del.ifExists, s"column '$name' does not exist in $path")
+        schema
+      } else {
+        snap.bucketing.foreach { case (key, _) =>
+          require(name != key,
+            s"cannot drop '$name': it is the bucket key — the table's " +
+              "layout identity (rebucket to a different key first)")
+        }
+        require(name != graft.ops.LayoutOps.BucketCol,
+          s"cannot drop the internal layout column $name")
+        require(schema.fields.count(
+          _.name != graft.ops.LayoutOps.BucketCol) > 1,
+          s"cannot drop '$name': it is the last data column")
+        StructType(schema.fields.filterNot(_.name == name))
+      }
+    case other =>
+      throw new UnsupportedOperationException(
+        s"ALTER TABLE ${other.getClass.getSimpleName} is unsupported on " +
+          "a TxTable: renames would orphan old files' name-based columns " +
+          "and type changes need per-file casts — type WIDENING rides " +
+          "data commits (write a batch with the wider type)")
+  }
 }
 
 /** A committed TxTable snapshot as a readable + appendable V2 table

@@ -399,6 +399,46 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN: one schema-only commit, old files project NULL / around dropped bytes") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_alter_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      val v0 = TxTable.snapshot(spark, t).version
+      val rels0 = TxTable.snapshot(spark, t).entries.map(_.rel).toSet
+      spark.sql(s"ALTER TABLE txspj.`$t` ADD COLUMN note STRING")
+      val snap1 = TxTable.snapshot(spark, t)
+      assert(snap1.version == v0 + 1, "one schema-only commit")
+      assert(snap1.entries.map(_.rel).toSet == rels0,
+        "ALTER must touch zero data files")
+      // pre-change rows project the new column as NULL
+      assert(tbl(t).schema.fieldNames.toSeq == Seq("k", "v", "note"))
+      assert(tbl(t).filter($"note".isNull).count() == 32)
+      // new writes carry it; old and new rows coexist
+      spark.sql(
+        s"INSERT INTO txspj.`$t` VALUES ('K100', 100L, 'fresh')")
+      assert(tbl(t).filter($"note" === "fresh").count() == 1)
+      assert(tbl(t).count() == 33)
+      // time travel keeps the pre-change schema
+      assert(!spark.table(s"txspj.`$t@v$v0`")
+        .schema.fieldNames.contains("note"))
+      // DROP projects around the stored bytes (v survives in files)
+      spark.sql(s"ALTER TABLE txspj.`$t` DROP COLUMN note")
+      assert(tbl(t).schema.fieldNames.toSeq == Seq("k", "v"))
+      assert(tbl(t).count() == 33)
+      // guard rails: bucket key cannot drop, adds must be nullable-legal,
+      // renames refuse
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE txspj.`$t` DROP COLUMN k")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE txspj.`$t` RENAME COLUMN v TO w")
+      }
+      assert(tbl(t).count() == 33, "refused ALTERs leave the table intact")
+    }
+  }
+
   test("SQL-only lifecycle: CREATE TABLE + CTAS bootstrap TxTables; the created pair SPJ-joins with zero exchanges") {
     registered {
       val base = Files.createTempDirectory("graft_cat_ddl_").toString
