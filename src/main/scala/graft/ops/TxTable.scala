@@ -83,9 +83,16 @@ object TxTable {
     * identity `(key, nBuckets)` the version's files were hashed with
     * (None for pre-identity manifests, where identity is out-of-band
     * caller knowledge). */
+  /** `dropped` is the version's DROPPED-COLUMN TOMBSTONE set (names an
+    * `ALTER TABLE DROP COLUMN` removed whose bytes may still live in
+    * retained data files): union-evolution writers must never re-add a
+    * tombstoned name to the schema, or the stored bytes would silently
+    * resurrect. A tombstone clears only when the name is re-added via
+    * ALTER ADD after every live file has shed the old bytes. */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
                             schema: Option[StructType] = None,
-                            bucketing: Option[(String, Int)] = None) {
+                            bucketing: Option[(String, Int)] = None,
+                            dropped: Set[String] = Set.empty) {
     def absFiles(table: String): Seq[String] = entries.map(e => s"$table/${e.rel}")
   }
 
@@ -136,15 +143,38 @@ object TxTable {
   // ONE delta — snapshot resolution (filterNot removes, then append adds)
   // replaces the entry atomically.
 
+  // HEADER extension (dropped-column tombstones): field 8 records the
+  // FULL tombstone set as of the version — URL-encoded names, comma-
+  // joined — or `-` for an explicitly empty set. An ABSENT field (older
+  // writers) inherits the previous version's set during resolution, so
+  // pre-tombstone manifests keep resolving unchanged.
+  private def renderDropped(dropped: Set[String]): String =
+    if (dropped.isEmpty) "-"
+    else dropped.toSeq.sorted.map(n =>
+      java.net.URLEncoder.encode(n, "UTF-8")).mkString(",")
+
+  private def parseDropped(bytes: Array[Byte]): Option[Set[String]] = {
+    val header = headerFields(bytes)
+    if (header.length < 8) None
+    else if (header(7) == "-") Some(Set.empty)
+    else Some(header(7).split(',').toSet
+      .map((s: String) => java.net.URLDecoder.decode(s, "UTF-8")))
+  }
+
   private def renderManifest(entries: Seq[FileEntry],
                              txn: Option[(String, Long)] = None,
                              schema: Option[StructType] = None,
-                             bucketing: Option[(String, Int)] = None): Array[Byte] = {
-    val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("")
+                             bucketing: Option[(String, Int)] = None,
+                             dropped: Set[String] = Set.empty): Array[Byte] = {
+    require(dropped.isEmpty || schema.isDefined,
+      "dropped-column tombstones require a recorded schema")
+    val dr = if (dropped.nonEmpty) s"	${renderDropped(dropped)}" else ""
+    val bk = bucketing.map { case (k, n) => s"	$k	$n" }
+      .getOrElse(if (dropped.nonEmpty) "	-	-" else "")
     val header = schema match {
       case Some(sc) =>
         val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
-        s"txtable	2	$app	$batch	${sc.json}$bk"
+        s"txtable	2	$app	$batch	${sc.json}$bk$dr"
       case None => txn match {
         case Some((app, batch)) => s"txtable	1	$app	$batch"
         case None => "txtable	1"
@@ -178,11 +208,12 @@ object TxTable {
   private def renderDelta(adds: Seq[FileEntry], removes: Seq[String],
                           txn: Option[(String, Long)],
                           schema: Option[StructType],
-                          bucketing: Option[(String, Int)] = None): Array[Byte] = {
+                          bucketing: Option[(String, Int)] = None,
+                          dropped: Set[String] = Set.empty): Array[Byte] = {
     val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
     val sc = schema.map(_.json).getOrElse("-")
     val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("	-	-")
-    val header = s"txtable	3	$app	$batch	$sc$bk"
+    val header = s"txtable	3	$app	$batch	$sc$bk	${renderDropped(dropped)}"
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel))
         .map(e =>
@@ -300,7 +331,9 @@ object TxTable {
                                 txn: Option[(String, Long)] = None,
                                 schema: Option[StructType] = None,
                                 bucketing: Option[(String, Int)] = None,
-                                allowRebucket: Boolean = false): Boolean = {
+                                allowRebucket: Boolean = false,
+                                dropped: Option[Set[String]] = None)
+      : Boolean = {
     (bucketing, base.bucketing) match {
       case (Some(b), Some(cur)) if b != cur && !allowRebucket =>
         throw new IllegalStateException(
@@ -313,13 +346,17 @@ object TxTable {
     }
     val effBucketing = if (allowRebucket) bucketing
                        else bucketing.orElse(base.bucketing)
+    // tombstones inherit from the base unless this commit changes them
+    // (ALTER DROP adds, a post-purge ALTER ADD clears)
+    val effDropped = dropped.getOrElse(base.dropped)
     val v = base.version + 1
     val ok = tryPublish(fs, table, v,
-      renderDelta(adds, removes.toSeq, txn, schema, effBucketing))
+      renderDelta(adds, removes.toSeq, txn, schema, effBucketing,
+        effDropped))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
       val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
       try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
-        effBucketing)
+        effBucketing, effDropped)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     // committed writes keep profiled sidecars fresh from footers (no data
@@ -335,10 +372,11 @@ object TxTable {
   private def writeCheckpoint(fs: FileSystem, table: String, v: Long,
                               entries: Seq[FileEntry],
                               schema: Option[StructType],
-                              bucketing: Option[(String, Int)] = None): Unit = {
+                              bucketing: Option[(String, Int)] = None,
+                              dropped: Set[String] = Set.empty): Unit = {
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(entries, None, schema, bucketing))
+    out.write(renderManifest(entries, None, schema, bucketing, dropped))
     out.close()
     val dst = checkpointPath(table, v)
     fs.delete(dst, false)
@@ -376,7 +414,7 @@ object TxTable {
       if (fs.exists(cp)) {
         val bytes = readBytes(fs, cp)
         anchor = Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
-          parseBucketing(bytes)))
+          parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty)))
       } else {
         val p = versionPath(table, cursor)
         require(fs.exists(p),
@@ -387,7 +425,7 @@ object TxTable {
         if (isDelta(bytes)) { deltas += bytes; cursor -= 1 }
         else anchor =
           Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
-            parseBucketing(bytes)))
+            parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty)))
       }
     }
     // fold the collected deltas forward (they were gathered newest-first);
@@ -397,7 +435,8 @@ object TxTable {
       Snapshot(snap.version + 1,
         snap.entries.filterNot(e => removes(e.rel)) ++ adds,
         parseSchema(bytes).orElse(snap.schema),
-        parseBucketing(bytes).orElse(snap.bucketing))
+        parseBucketing(bytes).orElse(snap.bucketing),
+        parseDropped(bytes).getOrElse(snap.dropped))
     }
   }
 
@@ -1352,8 +1391,16 @@ object TxTable {
     * ENFORCEMENT, the flip side of schema evolution). Field order: base
     * first, additions after, everything nullable (old files lack new
     * fields; new files may lack old ones). */
+  /** Union schema evolution, minus tombstones: `dropped` names never
+    * re-enter the schema through a writer whose batch still carries them
+    * (the batch's bytes for those columns land in files but stay
+    * unprojected) — otherwise any pre-DROP writer would silently revert
+    * an `ALTER TABLE DROP COLUMN` and resurrect the old files' stored
+    * values. */
   private[graft] def mergeSchemas(base: StructType,
-                                  incoming: StructType): StructType = {
+                                  incoming: StructType,
+                                  dropped: Set[String] = Set.empty)
+      : StructType = {
     val byName = base.fields.map(f => f.name -> f).toMap
     incoming.fields.foreach { f =>
       byName.get(f.name).foreach { ex =>
@@ -1362,9 +1409,31 @@ object TxTable {
             s"but incoming batch has ${f.dataType.sql}")
       }
     }
-    val additions = incoming.fields.filterNot(f => byName.contains(f.name))
+    val additions = incoming.fields.filterNot(f =>
+      byName.contains(f.name) || dropped.contains(f.name))
     StructType((base.fields ++ additions)
       .map(f => StructField(f.name, f.dataType, nullable = true)))
+  }
+
+  /** Live data files whose parquet FOOTER still carries a column of the
+    * given name — the check gating re-ADD of a tombstoned column (bytes
+    * still on disk would resurrect as the "new" column's values, or brick
+    * reads on a type mismatch). O(live files) driver footer reads, DDL-
+    * time only — the same cost class as footer-first ANALYZE. An
+    * unreadable footer counts as carrying the name (refusal over
+    * resurrection). */
+  private[graft] def liveFilesCarrying(spark: SparkSession, table: String,
+                                       snap: Snapshot, name: String): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    snap.entries.count { e =>
+      scala.util.Try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(s"$table/${e.rel}"), conf))
+        try r.getFooter.getFileMetaData.getSchema.containsField(name)
+        finally r.close()
+      }.getOrElse(true)
+    }
   }
 
   /** The schema a new commit should record: the current snapshot's schema
@@ -1376,7 +1445,7 @@ object TxTable {
       if (snap.entries.isEmpty) incoming
       else spark.read.parquet(snap.absFiles(table): _*).schema
     }
-    mergeSchemas(base, incoming)
+    mergeSchemas(base, incoming, snap.dropped)
   }
 
   /** Align `df` to `target`: missing columns become typed nulls, order
@@ -1880,32 +1949,16 @@ object TxTable {
                    maxRetries: Int = 5): Int = {
     require(minDeletedFraction >= 0.0 && minDeletedFraction <= 1.0,
       s"minDeletedFraction must be in [0,1], got $minDeletedFraction")
-    val fs = fsFor(spark, table)
-    var attempt = 0
-    while (true) {
-      val snap = snapshot(spark, table)
-      val targets = snap.entries.filter(e => e.dv.exists(d =>
-        e.rows.fold(true)(r =>
-          r == 0L || d.ndel.toDouble / r >= minDeletedFraction)))
-      if (targets.isEmpty) return 0
-      // live rows only; keep the bucket layout (same co-location
-      // guarantees as compact — one task per touched bucket)
-      val merged = DeletionVectors.readEntries(spark, table, targets,
-          snap.schema)
-        .repartition(col(LayoutOps.BucketCol))
-      val newEntries = stageFiles(spark, table, merged)
-      if (commitNext(fs, table, snap, adds = newEntries,
-          removes = targets.map(_.rel).toSet, schema = snap.schema,
-          bucketing = snap.bucketing))
-        return targets.size
-      newEntries.map(_.rel.split('/')(1)).distinct
-        .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
-      attempt += 1
-      if (attempt > maxRetries)
-        throw new java.util.ConcurrentModificationException(
-          s"$table: purge lost the commit race $maxRetries times")
+    // keep the bucket layout (same co-location guarantees as compact —
+    // one task per touched bucket)
+    rewriteWith(spark, table, maxRetries,
+      _.repartition(col(LayoutOps.BucketCol)), 0L, raceName = "purge") {
+      snap =>
+        val targets = snap.entries.filter(e => e.dv.exists(d =>
+          e.rows.fold(true)(r =>
+            r == 0L || d.ndel.toDouble / r >= minDeletedFraction)))
+        (targets, targets.size)
     }
-    0 // unreachable
   }
 
   /** [[compact]] with a Z-ORDER layout — the OPTIMIZE ZORDER BY idea from
@@ -2006,32 +2059,43 @@ object TxTable {
   private def compactWith(spark: SparkSession, table: String,
                           maxFilesPerBucket: Int, maxRetries: Int,
                           layout: DataFrame => DataFrame,
-                          maxRecordsPerFile: Long): Int = {
+                          maxRecordsPerFile: Long): Int =
+    rewriteWith(spark, table, maxRetries, layout, maxRecordsPerFile,
+      raceName = "compaction") { snap =>
+      val fragmented: Set[Int] = snap.entries.groupBy(_.bucket)
+        .filter(_._2.size > maxFilesPerBucket).keySet
+      (snap.entries.filter(e => fragmented(e.bucket)), fragmented.size)
+    }
+
+  /** The shared optimistic rewrite loop behind [[compactWith]] and
+    * [[purgeDeletes]]: `select` picks the files to rewrite from each
+    * attempt's FRESH snapshot (plus the success return value); their live
+    * rows restage through `layout` (DV-aware read — rewriting is exactly
+    * the moment deletion vectors FOLD AWAY: the fresh entries carry no
+    * dv) and one commit swaps them; a lost race deletes this attempt's
+    * staged files and retries. */
+  private def rewriteWith(spark: SparkSession, table: String,
+                          maxRetries: Int, layout: DataFrame => DataFrame,
+                          maxRecordsPerFile: Long, raceName: String)
+                         (select: Snapshot => (Seq[FileEntry], Int)): Int = {
     val fs = fsFor(spark, table)
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
-      val byBucket = snap.entries.groupBy(_.bucket)
-      val fragmented: Set[Int] =
-        byBucket.filter(_._2.size > maxFilesPerBucket).keySet
-      if (fragmented.isEmpty) return 0
-      val (toRewrite, untouched) =
-        snap.entries.partition(e => fragmented(e.bucket))
-      // DV-aware read: compaction is exactly the moment deletion vectors
-      // FOLD AWAY — the rewrite stages only live rows and the fresh
-      // entries carry no dv
+      val (toRewrite, result) = select(snap)
+      if (toRewrite.isEmpty) return 0
       val merged = layout(DeletionVectors.readEntries(spark, table,
         toRewrite, snap.schema))
       val newEntries = stageFiles(spark, table, merged, maxRecordsPerFile)
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = toRewrite.map(_.rel).toSet, schema = snap.schema))
-        return fragmented.size
+        return result
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
-          s"$table: compaction lost the commit race $maxRetries times")
+          s"$table: $raceName lost the commit race $maxRetries times")
     }
     0 // unreachable
   }

@@ -142,8 +142,10 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     *
     * Everything else (renames would orphan old files' name-based
     * columns; type changes would need per-file casts) refuses loudly.
-    * Type WIDENING still rides data commits (mergeSchemas on write).
-    * Time travel keeps each version's own schema. */
+    * New columns can equivalently ride data commits (union evolution on
+    * write); type changes are unsupported everywhere — mergeSchemas
+    * enforces exact type equality per column. Time travel keeps each
+    * version's own schema. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val (path, version) = pathOf(ident)
@@ -158,10 +160,13 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       val snap = TxTable.snapshot(spark, path)
       val cur = snap.schema.getOrElse(throw new IllegalStateException(
         s"$path carries no recorded schema (pre-v2 manifest) — cannot ALTER"))
-      val next = changes.foldLeft(cur)(TxAlterSchema.apply(path, snap, _, _))
-      done = next == cur || TxTable.commitNext(fs, path, snap,
-        adds = Seq.empty, removes = Set.empty, txn = None,
-        schema = Some(next), bucketing = snap.bucketing)
+      val (next, nextDropped) = changes.foldLeft((cur, snap.dropped))(
+        TxAlterSchema.apply(spark, path, snap, _, _))
+      done = (next == cur && nextDropped == snap.dropped) ||
+        TxTable.commitNext(fs, path, snap,
+          adds = Seq.empty, removes = Set.empty, txn = None,
+          schema = Some(next), bucketing = snap.bucketing,
+          dropped = Some(nextDropped))
       attempt += 1
     }
     if (!done)
@@ -209,57 +214,84 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
           TxProcedures.names.mkString(", ")))
 }
 
-/** The TableChange → schema kernel behind [[TxTableCatalog.alterTable]]:
-  * pure, so every CAS attempt re-derives from the fresh snapshot. */
+/** The TableChange → (schema, tombstones) kernel behind
+  * [[TxTableCatalog.alterTable]] — re-derived from the fresh snapshot on
+  * every CAS attempt.
+  *
+  * DROP COLUMN leaves the column's bytes in retained data files and
+  * records the name as a TOMBSTONE in the commit: union-evolution
+  * writers ([[TxTable.mergeSchemas]]) skip tombstoned names, so a
+  * pre-drop writer's next batch cannot silently revert the DROP and
+  * resurrect the stored values. ADD COLUMN reads live files' parquet
+  * FOOTERS (O(files), DDL-time) and refuses while any still carries the
+  * name — re-using it would surface the old bytes as the "new" column
+  * (or brick reads on a type mismatch); once compaction/purge has
+  * rewritten them, the ADD succeeds and clears the tombstone. */
 private[sources] object TxAlterSchema {
   import org.apache.spark.sql.connector.catalog.TableChange._
 
-  def apply(path: String, snap: TxTable.Snapshot, schema: StructType,
-            change: TableChange): StructType = change match {
-    case add: AddColumn =>
-      require(add.fieldNames.length == 1,
-        s"ALTER TABLE ADD COLUMN supports top-level columns only, got " +
-          add.fieldNames.mkString("."))
-      val name = add.fieldNames()(0)
-      require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"column '$name' already exists in $path")
-      require(add.isNullable,
-        s"new column '$name' must be nullable: rows committed before the " +
-          "change can only read it as NULL")
-      val f = org.apache.spark.sql.types.StructField(name, add.dataType(),
-        nullable = true)
-      // keep the internal layout column last (writer convention)
-      val (data, layout) = schema.fields.partition(
-        _.name != graft.ops.LayoutOps.BucketCol)
-      StructType(data ++ Array(f) ++ layout)
-    case del: DeleteColumn =>
-      require(del.fieldNames.length == 1,
-        s"ALTER TABLE DROP COLUMN supports top-level columns only, got " +
-          del.fieldNames.mkString("."))
-      val name = del.fieldNames()(0)
-      val exists = schema.fieldNames.contains(name)
-      if (!exists) {
-        require(del.ifExists, s"column '$name' does not exist in $path")
-        schema
-      } else {
-        snap.bucketing.foreach { case (key, _) =>
-          require(name != key,
-            s"cannot drop '$name': it is the bucket key — the table's " +
-              "layout identity (rebucket to a different key first)")
+  def apply(spark: SparkSession, path: String, snap: TxTable.Snapshot,
+            state: (StructType, Set[String]), change: TableChange)
+      : (StructType, Set[String]) = {
+    val (schema, dropped) = state
+    change match {
+      case add: AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"ALTER TABLE ADD COLUMN supports top-level columns only, got " +
+            add.fieldNames.mkString("."))
+        require(add.position() == null,
+          "ALTER TABLE ADD COLUMN ... FIRST/AFTER is unsupported on a " +
+            "TxTable (columns append; reorder with a SELECT)")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column '$name' already exists in $path")
+        require(add.isNullable,
+          s"new column '$name' must be nullable: rows committed before " +
+            "the change can only read it as NULL")
+        val carriers = TxTable.liveFilesCarrying(spark, path, snap, name)
+        require(carriers == 0,
+          s"cannot add column '$name': $carriers live data file(s) still " +
+            "carry stored bytes under that name (from a dropped column " +
+            "or a union-evolution writer) — reading them back as the new " +
+            "column would resurrect old values. CALL compact/" +
+            "purge_deletes to rewrite them first, or pick a fresh name.")
+        val f = org.apache.spark.sql.types.StructField(name, add.dataType(),
+          nullable = true)
+        // keep the internal layout column last (writer convention)
+        val (data, layout) = schema.fields.partition(
+          _.name != graft.ops.LayoutOps.BucketCol)
+        (StructType(data ++ Array(f) ++ layout), dropped - name)
+      case del: DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"ALTER TABLE DROP COLUMN supports top-level columns only, got " +
+            del.fieldNames.mkString("."))
+        val name = del.fieldNames()(0)
+        val exists = schema.fieldNames.contains(name)
+        if (!exists) {
+          require(del.ifExists, s"column '$name' does not exist in $path")
+          state
+        } else {
+          snap.bucketing.foreach { case (key, _) =>
+            require(name != key,
+              s"cannot drop '$name': it is the bucket key — the table's " +
+                "layout identity (rebucket to a different key first)")
+          }
+          require(name != graft.ops.LayoutOps.BucketCol,
+            s"cannot drop the internal layout column $name")
+          require(schema.fields.count(
+            _.name != graft.ops.LayoutOps.BucketCol) > 1,
+            s"cannot drop '$name': it is the last data column")
+          (StructType(schema.fields.filterNot(_.name == name)),
+            dropped + name)
         }
-        require(name != graft.ops.LayoutOps.BucketCol,
-          s"cannot drop the internal layout column $name")
-        require(schema.fields.count(
-          _.name != graft.ops.LayoutOps.BucketCol) > 1,
-          s"cannot drop '$name': it is the last data column")
-        StructType(schema.fields.filterNot(_.name == name))
-      }
-    case other =>
-      throw new UnsupportedOperationException(
-        s"ALTER TABLE ${other.getClass.getSimpleName} is unsupported on " +
-          "a TxTable: renames would orphan old files' name-based columns " +
-          "and type changes need per-file casts — type WIDENING rides " +
-          "data commits (write a batch with the wider type)")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE ${other.getClass.getSimpleName} is unsupported " +
+            "on a TxTable: renames would orphan old files' name-based " +
+            "columns and type changes would need per-file casts — new " +
+            "columns can also ride data commits (union evolution); type " +
+            "changes are unsupported")
+    }
   }
 }
 
@@ -1644,7 +1676,7 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
             s"statement (drifted: ${dvDrift.take(3).map(_.rel)
               .mkString(", ")}…)")
       val merged = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema)
+        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
       if (TxTable.commitNext(fs, path, snap, adds = adds,
           removes = removes, txn = None, schema = Some(merged),
           bucketing = Some(bucketing)))
@@ -1839,7 +1871,7 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
         e.copy(dv = Some(TxTable.DvRef(dvRel.get, total)))
       }
       val merged0 = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema)
+        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
       if (TxTable.commitNext(fs, path, snap, adds = inserts ++ reAdds,
           removes = taskDeletes.keySet.toSet, txn = None,
           schema = Some(merged0), bucketing = Some(bucketing)))
@@ -2276,7 +2308,7 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
         return
       }
       val merged = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema)
+        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
       val removes: Set[String] =
         if (replaceAll) snap.entries.map(_.rel).toSet else Set.empty
       if (TxTable.commitNext(fs, path, snap, adds = adds,
@@ -2358,7 +2390,7 @@ final class TxBatchWrite(path: String, querySchema: StructType,
     while (attempt <= 5) {
       val snap = TxTable.snapshot(spark, path)
       val merged = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema)
+        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
       // overwrite = last-writer-wins replacement of whatever snapshot the
       // CAS lands on (the standard non-conflicting overwrite semantics)
       val (removes: Set[String], rewriteAdds: Seq[TxTable.FileEntry]) =

@@ -427,15 +427,38 @@ class TxCatalogSpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE txspj.`$t` DROP COLUMN note")
       assert(tbl(t).schema.fieldNames.toSeq == Seq("k", "v"))
       assert(tbl(t).count() == 33)
-      // guard rails: bucket key cannot drop, adds must be nullable-legal,
-      // renames refuse
+      // the drop TOMBSTONES the name: a pre-drop writer whose batch still
+      // carries 'note' cannot silently revert it through union evolution
+      TxTable.appendOnce(spark, t,
+        Seq(("K200", 200L, "ghost")).toDF("k", "v", "note"),
+        "k", nBuckets, "alter-spec", 9L)
+      assert(tbl(t).schema.fieldNames.toSeq == Seq("k", "v"),
+        "a stale writer must not resurrect a dropped column")
+      assert(tbl(t).count() == 34)
+      // re-adding the name refuses while live files still carry bytes
+      // under it (reading them back would resurrect 'fresh'/'ghost')
+      val eAdd = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txspj.`$t` ADD COLUMN note STRING")
+      }
+      assert(eAdd.getMessage.contains("resurrect"))
+      // after a full rewrite sheds the bytes, the name is reusable and
+      // every pre-change row reads NULL — the tombstone clears
+      TxTable.compact(spark, t, maxFilesPerBucket = 0)
+      spark.sql(s"ALTER TABLE txspj.`$t` ADD COLUMN note STRING")
+      assert(tbl(t).filter($"note".isNull).count() == 34,
+        "no stored value may survive into the re-added column")
+      assert(TxTable.snapshot(spark, t).dropped.isEmpty)
+      // guard rails: bucket key cannot drop, renames and positions refuse
       intercept[Exception] {
         spark.sql(s"ALTER TABLE txspj.`$t` DROP COLUMN k")
       }
       intercept[Exception] {
         spark.sql(s"ALTER TABLE txspj.`$t` RENAME COLUMN v TO w")
       }
-      assert(tbl(t).count() == 33, "refused ALTERs leave the table intact")
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE txspj.`$t` ADD COLUMN zzz INT FIRST")
+      }
+      assert(tbl(t).count() == 34, "refused ALTERs leave the table intact")
     }
   }
 
