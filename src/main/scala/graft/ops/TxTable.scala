@@ -2118,14 +2118,78 @@ object TxTable {
     * stage-to-commit window; 0 (the default here) sweeps everything and is
     * only safe when no writer can be in flight. Returns the deleted
     * paths. */
+  // --- named tags (version pins) ----------------------------------------
+
+  private def tagPath(table: String, name: String) =
+    new Path(logDir(table), s"tag-$name")
+
+  private val TagName = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  /** Pin a committed version under an immutable NAME (the public Iceberg
+    * tag idea): `tag(t, "train-v1")` makes the exact corpus snapshot a
+    * training run consumed addressable forever — readable as
+    * `spark.table("txcat.\`/t@train-v1\`")` — and [[vacuum]] keeps the
+    * tagged version's manifests and files alive regardless of the
+    * retention horizon. Tags are immutable (re-tagging a name throws;
+    * [[untag]] releases the pin); the `v<digits>` shape is reserved for
+    * direct version addressing. Returns the pinned version. */
+  def tag(spark: SparkSession, table: String, name: String,
+          version: Option[Long] = None): Long = {
+    require(TagName.matches(name) && !name.matches("^v\\d+$"),
+      s"invalid tag name '$name': [A-Za-z0-9][A-Za-z0-9._-]*, and " +
+        "'v<digits>' is reserved for version addressing")
+    val fs = fsFor(spark, table)
+    val v = version.getOrElse(snapshot(spark, table).version)
+    snapshot(spark, table, Some(v)) // must be resolvable — throws if not
+    val p = tagPath(table, name)
+    if (fs.exists(p))
+      throw new IllegalStateException(
+        s"$table: tag '$name' already exists (tags are immutable — " +
+          "untag first to move it)")
+    val tmp = new Path(logDir(table), s".tag-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
+    out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"$table: tag '$name' already exists (lost the creation race)")
+    }
+    v
+  }
+
+  /** All tags of the table: name -> pinned version. */
+  def tags(spark: SparkSession, table: String): Map[String, Long] = {
+    val fs = fsFor(spark, table)
+    val dir = logDir(table)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith("tag-"))
+      .map { st =>
+        val name = st.getPath.getName.stripPrefix("tag-")
+        name -> new String(readBytes(fs, st.getPath),
+          StandardCharsets.UTF_8).trim.toLong
+      }.toMap
+  }
+
+  /** Release a tag's pin. The version stays readable until a later
+    * [[vacuum]] collects it. */
+  def untag(spark: SparkSession, table: String, name: String): Boolean =
+    fsFor(spark, table).delete(tagPath(table, name), false)
+
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 1,
              orphanRetentionMs: Long = 0L): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the newest version")
     val fs = fsFor(spark, table)
     val versions = listVersions(fs, table).sorted
-    val retained = versions.takeRight(keepVersions)
-    val minKeep = retained.head
+    // tagged versions are PINNED: they survive the retention horizon
+    // (with their manifests, files, and DV sidecars) until untagged —
+    // what makes a tag a reproducible training-corpus snapshot
+    val tagged = tags(spark, table).values.toSet
+    val retained = (versions.takeRight(keepVersions) ++
+      versions.filter(tagged)).distinct.sorted
+    val minKeep = versions.takeRight(keepVersions).head
     // anchor the retained log BEFORE deleting anything below it (resolve
     // needs the pre-prune chain); idempotent — checkpoint bytes are a pure
     // function of the log
@@ -2135,8 +2199,20 @@ object TxTable {
       // bucket identity here would strip the table's layout from every
       // post-vacuum read that resolves through this checkpoint (found by
       // the SQL-procedures spec: vacuum then read threw "no identity")
+      // … and likewise the dropped-column tombstones: an anchor without
+      // them would let post-vacuum writers resurrect a dropped column
       writeCheckpoint(fs, table, minKeep, snapMin.entries, snapMin.schema,
-        snapMin.bucketing)
+        snapMin.bucketing, snapMin.dropped)
+    }
+    // each pinned version below the horizon gets its own anchor too —
+    // the manifests BETWEEN it and its old anchor are about to go, and a
+    // checkpoint makes the tag resolve standalone forever after
+    versions.filter(v => tagged(v) && v < minKeep).foreach { v =>
+      if (!fs.exists(checkpointPath(table, v))) {
+        val s = snapshot(spark, table, Some(v))
+        writeCheckpoint(fs, table, v, s.entries, s.schema, s.bucketing,
+          s.dropped)
+      }
     }
     val referenced: Set[String] = retained
       .flatMap(v => snapshot(spark, table, Some(v)).entries)
@@ -2157,7 +2233,7 @@ object TxTable {
         }
       }
     }
-    versions.dropRight(keepVersions).foreach { v =>
+    versions.dropRight(keepVersions).filterNot(tagged).foreach { v =>
       fs.delete(versionPath(table, v), false)
       deleted += versionPath(table, v).toString
       if (fs.delete(checkpointPath(table, v), false))

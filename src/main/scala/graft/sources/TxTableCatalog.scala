@@ -71,11 +71,20 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     * `snap` pinned to version 3. */
   private def pathOf(ident: Identifier): (String, Option[Long]) = {
     val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    val spark = SparkSession.active
     val m = "^(.*)@v(\\d+)$".r
+    val t = "^(.*)@([A-Za-z0-9][A-Za-z0-9._-]*)$".r
     raw match {
-      case m(p, v) if !TxTable.isTxTable(SparkSession.active, raw) &&
-          TxTable.isTxTable(SparkSession.active, p) =>
+      case m(p, v) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) =>
         (p, Some(v.toLong))
+      // a NAMED TAG pin (`t@train-v1`): only when the literal path is
+      // not itself a table, the base is, and the tag exists — the same
+      // cannot-hijack guard as @vN
+      case t(p, name) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) &&
+          TxTable.tags(spark, p).contains(name) =>
+        (p, Some(TxTable.tags(spark, p)(name)))
       case _ => (raw, None)
     }
   }
@@ -2640,6 +2649,35 @@ object TxProcedures {
         input.getUTF8String(1).toString, input.getDouble(2)))
   }
 
+  private val tagProc: Proc = new Proc("tag",
+    "pin a committed version under an immutable name; readable as " +
+      "t@<name>, vacuum-protected until untagged",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("pinned_version", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      val v = input.getLong(2)
+      Array(TxTable.tag(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString,
+        if (v < 0) None else Some(v)))
+    }
+  }
+
+  private val untagProc: Proc = new Proc("untag",
+    "release a tag's pin (the version stays until a later vacuum)",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("removed", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.untag(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString))
+  }
+
   private val purgeDeletes: Proc = new Proc("purge_deletes",
     "rewrite files whose deletion-vector fraction reaches the threshold " +
       "(folds the vectors; bounded by the dirty files alone)",
@@ -2705,7 +2743,7 @@ object TxProcedures {
 
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
-      rebucket, history)
+      rebucket, history, tagProc, untagProc)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

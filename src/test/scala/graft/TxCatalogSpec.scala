@@ -1606,6 +1606,49 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("named tags pin versions: t@name reads the snapshot, vacuum keeps it alive, tags are immutable") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_tag_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      val v1 = spark.sql(s"CALL txspj.tag('$t', 'train.v1')")
+        .head().getLong(0)
+      assert(v1 == TxTable.snapshot(spark, t).version)
+      // advance the table well past the tag
+      (1 to 4).foreach { i =>
+        TxTable.appendOnce(spark, t,
+          (1 to 32).map(j => (s"K$j", (100 * i + j).toLong)).toDF("k", "v"),
+          "k", nBuckets, "tag-spec", i.toLong)
+      }
+      assert(tbl(t).count() == 32L * 5)
+      // the tag reads the pinned snapshot by name
+      assert(spark.table(s"txspj.`$t@train.v1`").count() == 32)
+      assert(spark.table(s"txspj.`$t@train.v1`")
+        .agg(max($"v")).head().getLong(0) == 32L)
+      // tags are immutable; bad names refuse
+      intercept[Exception] { TxTable.tag(spark, t, "train.v1") }
+      intercept[Exception] { TxTable.tag(spark, t, "v7") }
+      // vacuum keeps ONLY the head + the pinned version — and the pin
+      // survives with its data files readable
+      TxTable.vacuum(spark, t, keepVersions = 1, orphanRetentionMs = 0L)
+      assert(spark.table(s"txspj.`$t@train.v1`").count() == 32,
+        "a tagged snapshot must survive vacuum intact")
+      assert(tbl(t).count() == 32L * 5)
+      // a tagged snapshot refuses writes like any pinned version
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$t@train.v1` VALUES ('X', 1L)")
+      }
+      // untag releases the pin; the next vacuum collects the version
+      assert(TxTable.untag(spark, t, "train.v1"))
+      TxTable.vacuum(spark, t, keepVersions = 1, orphanRetentionMs = 0L)
+      intercept[Exception] {
+        spark.table(s"txspj.`$t@train.v1`").count()
+      }
+      assert(tbl(t).count() == 32L * 5, "the head is untouched")
+    }
+  }
+
   test("a concurrent MOR delete between scan and commit makes both row-level commit shapes fail loudly") {
     registered {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command
