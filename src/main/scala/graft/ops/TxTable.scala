@@ -284,8 +284,17 @@ object TxTable {
     tryPublish(fs, table, v, renderManifest(entries, txn, schema, bucketing))
 
   private def tryPublish(fs: FileSystem, table: String, v: Long,
-                         bytes: Array[Byte]): Boolean = {
-    val dst = versionPath(table, v)
+                         bytes: Array[Byte]): Boolean =
+    atomicPublish(fs, table, versionPath(table, v), bytes)
+
+  /** Atomic create-if-absent under the log dir: hard link on local
+    * filesystems (link(2) fails EEXIST atomically), no-overwrite rename
+    * elsewhere. False = the destination already exists (lost the race).
+    * The publish step every log artifact (manifest, tag) goes through —
+    * a plain `fs.rename` OVERWRITES on local filesystems and would turn
+    * a race into silent clobbering. */
+  private def atomicPublish(fs: FileSystem, table: String, dst: Path,
+                            bytes: Array[Byte]): Boolean = {
     fs.mkdirs(logDir(table))
     val tmp = new Path(logDir(table), s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
@@ -1409,8 +1418,12 @@ object TxTable {
             s"but incoming batch has ${f.dataType.sql}")
       }
     }
+    // tombstones match CASE-INSENSITIVELY: Spark's default resolver and
+    // the parquet reader both fold case, so a batch carrying 'Note'
+    // against a {'note'} tombstone would otherwise resurrect the bytes
+    val droppedLower = dropped.map(_.toLowerCase)
     val additions = incoming.fields.filterNot(f =>
-      byName.contains(f.name) || dropped.contains(f.name))
+      byName.contains(f.name) || droppedLower.contains(f.name.toLowerCase))
     StructType((base.fields ++ additions)
       .map(f => StructField(f.name, f.dataType, nullable = true)))
   }
@@ -1423,17 +1436,25 @@ object TxTable {
     * unreadable footer counts as carrying the name (refusal over
     * resurrection). */
   private[graft] def liveFilesCarrying(spark: SparkSession, table: String,
-                                       snap: Snapshot, name: String): Int = {
+                                       snap: Snapshot, name: String)
+      : Option[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    snap.entries.count { e =>
+    // CASE-INSENSITIVE field match (Spark's reader folds case when
+    // resolving requested columns against file schemas) and short-
+    // circuit on the first carrier — the guard needs existence, not a
+    // count
+    snap.entries.find { e =>
       scala.util.Try {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new Path(s"$table/${e.rel}"), conf))
-        try r.getFooter.getFileMetaData.getSchema.containsField(name)
-        finally r.close()
+        try {
+          import scala.jdk.CollectionConverters._
+          r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .exists(_.getName.equalsIgnoreCase(name))
+        } finally r.close()
       }.getOrElse(true)
-    }
+    }.map(_.rel)
   }
 
   /** The schema a new commit should record: the current snapshot's schema
@@ -2142,33 +2163,42 @@ object TxTable {
     val v = version.getOrElse(snapshot(spark, table).version)
     snapshot(spark, table, Some(v)) // must be resolvable — throws if not
     val p = tagPath(table, name)
-    if (fs.exists(p))
+    if (!atomicPublish(fs, table, p,
+        s"$v\n".getBytes(StandardCharsets.UTF_8)))
       throw new IllegalStateException(
         s"$table: tag '$name' already exists (tags are immutable — " +
           "untag first to move it)")
-    val tmp = new Path(logDir(table), s".tag-tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    out.write(s"$v\n".getBytes(StandardCharsets.UTF_8))
-    out.close()
-    if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"$table: tag '$name' already exists (lost the creation race)")
+    // close the tag-vs-vacuum window: a vacuum that listed tags before
+    // this one landed may have collected the version — re-validate after
+    // publishing and withdraw the dangling pin loudly (vacuum's own
+    // second listing right before manifest deletion narrows the window
+    // from the other side)
+    try snapshot(spark, table, Some(v))
+    catch {
+      case e: Exception =>
+        fs.delete(p, false)
+        throw new IllegalStateException(
+          s"$table: version $v was vacuumed while tag '$name' was being " +
+            "created — the pin was withdrawn; re-run against a retained " +
+            "version", e)
     }
     v
   }
 
-  /** All tags of the table: name -> pinned version. */
+  /** All tags of the table: name -> pinned version. A malformed or
+    * half-written tag file is SKIPPED (never bricks tag lookups or
+    * vacuum); [[tag]]'s atomic publish makes well-formedness the normal
+    * case. */
   def tags(spark: SparkSession, table: String): Map[String, Long] = {
     val fs = fsFor(spark, table)
     val dir = logDir(table)
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir).toSeq
       .filter(_.getPath.getName.startsWith("tag-"))
-      .map { st =>
+      .flatMap { st =>
         val name = st.getPath.getName.stripPrefix("tag-")
-        name -> new String(readBytes(fs, st.getPath),
-          StandardCharsets.UTF_8).trim.toLong
+        scala.util.Try(new String(readBytes(fs, st.getPath),
+          StandardCharsets.UTF_8).trim.toLong).toOption.map(name -> _)
       }.toMap
   }
 
@@ -2233,7 +2263,12 @@ object TxTable {
         }
       }
     }
-    versions.dropRight(keepVersions).filterNot(tagged).foreach { v =>
+    // second tag listing right before the destructive step: a tag that
+    // landed since the first read still saves its version (tag() itself
+    // re-validates after publishing — the two sides narrow the window
+    // from both ends)
+    val taggedNow = tagged ++ tags(spark, table).values
+    versions.dropRight(keepVersions).filterNot(taggedNow).foreach { v =>
       fs.delete(versionPath(table, v), false)
       deleted += versionPath(table, v).toString
       if (fs.delete(checkpointPath(table, v), false))

@@ -82,9 +82,11 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       // not itself a table, the base is, and the tag exists — the same
       // cannot-hijack guard as @vN
       case t(p, name) if !TxTable.isTxTable(spark, raw) &&
-          TxTable.isTxTable(spark, p) &&
-          TxTable.tags(spark, p).contains(name) =>
-        (p, Some(TxTable.tags(spark, p)(name)))
+          TxTable.isTxTable(spark, p) =>
+        TxTable.tags(spark, p).get(name) match {
+          case Some(v) => (p, Some(v))
+          case None => (raw, None)
+        }
       case _ => (raw, None)
     }
   }
@@ -257,19 +259,23 @@ private[sources] object TxAlterSchema {
         require(add.isNullable,
           s"new column '$name' must be nullable: rows committed before " +
             "the change can only read it as NULL")
-        val carriers = TxTable.liveFilesCarrying(spark, path, snap, name)
-        require(carriers == 0,
-          s"cannot add column '$name': $carriers live data file(s) still " +
-            "carry stored bytes under that name (from a dropped column " +
-            "or a union-evolution writer) — reading them back as the new " +
-            "column would resurrect old values. CALL compact/" +
-            "purge_deletes to rewrite them first, or pick a fresh name.")
+        TxTable.liveFilesCarrying(spark, path, snap, name).foreach { rel =>
+          throw new IllegalArgumentException(
+            s"cannot add column '$name': live data files (e.g. $rel) " +
+              "still carry stored bytes under that name (from a dropped " +
+              "column or a union-evolution writer) — reading them back " +
+              "as the new column would resurrect old values. CALL " +
+              "compact/purge_deletes to rewrite them first, or pick a " +
+              "fresh name.")
+        }
         val f = org.apache.spark.sql.types.StructField(name, add.dataType(),
           nullable = true)
         // keep the internal layout column last (writer convention)
         val (data, layout) = schema.fields.partition(
           _.name != graft.ops.LayoutOps.BucketCol)
-        (StructType(data ++ Array(f) ++ layout), dropped - name)
+        // tombstones clear case-insensitively (they block that way too)
+        (StructType(data ++ Array(f) ++ layout),
+          dropped.filterNot(_.equalsIgnoreCase(name)))
       case del: DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"ALTER TABLE DROP COLUMN supports top-level columns only, got " +
