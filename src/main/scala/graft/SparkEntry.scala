@@ -648,6 +648,9 @@ object SparkEntry {
     // the 3-commit versioned-orders TxTable (ext_timetravel /
     // ext_table_changes read its log) — commit history is landing-job work
     stagedVersionedOrders(s, dir)
+    // the delete+restore fixture (ext_restore reads two of its heads) —
+    // the MOR delete and the rollback commit are maintenance work
+    stagedRestoredOrders(s, dir)
     // the co-bucketed SPJ pair and the maintained HLL sketch state —
     // commit/maintenance work, not query work
     stagedSpjTables(s, dir)
@@ -690,6 +693,31 @@ object SparkEntry {
       // zone-map maintenance (ANALYZE-style landing work): lets MIN/MAX
       // answer metadata-only through the catalog (ext_metadata_agg)
       ops.TxTable.computeStats(s, path, "o_totalprice")
+      ()
+    }
+    path
+  }
+
+  /** Restored-orders TxTable fixture for the RESTORE query: the three
+    * deterministic %3 commits (v0..v2), a merge-on-read DELETE of the
+    * urgent orders (v3), then a RESTORE to v1 (v4) — a metadata-only
+    * rollback commit that resets the deletion vectors and re-references
+    * the v1 file set. The query reads both heads via time travel. */
+  private def stagedRestoredOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-restored-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val orders = tbl(s, dir, "orders")
+      def slice(r: Int) =
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === r)
+      ops.TxTable.init(s, path, slice(0), key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.appendOnce(s, path, slice(1), "o_orderkey", 8,
+        appId = "restore-stage", batchId = 1L)
+      ops.TxTable.appendOnce(s, path, slice(2), "o_orderkey", 8,
+        appId = "restore-stage", batchId = 2L)
+      ops.TxTable.deleteWhereMor(s, path,
+        col("o_orderpriority") === "1-URGENT")
+      ops.TxTable.restore(s, path, 1L)
       ()
     }
     path
@@ -2493,6 +2521,23 @@ object SparkEntry {
             .as("total_price"))
         .orderBy(col("_commit_version"), col("_change_type"),
           col("o_orderpriority"))
+    }),
+
+    // RESTORE as a first-class query surface: the table's v3 head is a
+    // merge-on-read DELETE of the urgent orders; v4 is `CALL restore`
+    // back to v1 — a METADATA-ONLY commit (zero data rewritten at any
+    // scale) that resets the deletion vectors, so the deleted rows
+    // genuinely return while the pre-restore head stays time-travelable.
+    // The oracle replays both heads from the deterministic commit slices.
+    "ext_restore" -> ((s, dir) => {
+      val path = stagedRestoredOrders(s, dir)
+      Seq(3L, 4L).map { v =>
+        ops.TxTable.read(s, path, version = Some(v))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total_price"))
+          .select(lit(v).as("version"), col("n_orders"), col("total_price"))
+      }.reduce(_.unionByName(_)).orderBy(col("version"))
     }),
 
     // Dynamic runtime filtering through the catalog: the versioned-orders
@@ -5513,6 +5558,27 @@ object SparkEntry {
         |    AS total_price
         |FROM versions v JOIN orders o ON o.o_orderkey % 3 <= v.version
         |GROUP BY v.version
+        |ORDER BY version""".stripMargin,
+
+    // restore replay: v3 = the three slices minus the MOR-deleted urgent
+    // orders; v4 = the restored v1 content (slices %3<=1, urgent rows
+    // back — the rollback reset the deletion vectors)
+    "ext_restore" ->
+      """WITH v3 AS (
+        |  SELECT o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <= 2 AND o_orderpriority <> '1-URGENT'
+        |), v4 AS (
+        |  SELECT o_totalprice FROM orders WHERE o_orderkey % 3 <= 1
+        |)
+        |SELECT CAST(3 AS BIGINT) AS version, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM v3
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT) AS version, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM v4
         |ORDER BY version""".stripMargin,
 
     // change-feed replay: appends at v1/v2 are inserts of the %3=1 / %3=2

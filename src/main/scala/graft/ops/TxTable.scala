@@ -2141,6 +2141,97 @@ object TxTable {
     * paths. */
   // --- named tags (version pins) ----------------------------------------
 
+  /** RESTORE (the public Delta rollback idea): make the table's head a
+    * NEW commit whose content is exactly the snapshot at `version` —
+    * metadata-only, no data rewrite, history preserved (the rollback is
+    * itself a version, so it can be inspected, time-traveled past, or
+    * undone by a second restore). The delta is ENTRY-exact, not
+    * path-exact: a file present in both head and target but with a
+    * different deletion vector is removed+re-added, so restoring past a
+    * merge-on-read delete genuinely resurrects the rows.
+    *
+    * Contracts held across the rollback:
+    *  - dropped-column tombstones are PERMANENT: the restored schema
+    *    sheds any column the current head has tombstoned (its bytes in
+    *    the restored files stay projected away), and the tombstone sets
+    *    union — restore can bring data back, never a dropped column.
+    *  - bucket identity travels FROM THE TARGET manifest (a restore
+    *    across a rebucket resurrects the old layout, correctly labeled);
+    *    a target that predates identity recording under an identity-
+    *    recorded head is REFUSED — its files' layout cannot be proven,
+    *    and committing them under the head's identity would rebuild the
+    *    silent-mixed-layout race the log exists to kill.
+    *  - restore-vs-vacuum: files only the target references may be
+    *    swept by a concurrent vacuum. Narrowed from both ends, the same
+    *    pattern as tag(): existence-checked immediately before the
+    *    commit here, re-verified immediately after; vacuum re-resolves
+    *    the head right before its destructive step.
+    *
+    * Returns the new head version. */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val base = snapshot(spark, table)
+      val target = snapshot(spark, table, Some(version))
+      if (target.bucketing.isEmpty && base.bucketing.isDefined)
+        throw new IllegalStateException(
+          s"$table: version $version predates bucket-identity recording " +
+            "but the current head declares an identity — the target " +
+            "files' layout cannot be proven, and restoring them would " +
+            "risk a silent mixed-bucket table. Restore to an identity-" +
+            "recorded version instead.")
+      val baseBy = base.entries.map(e => e.rel -> e).toMap
+      val targetBy = target.entries.map(e => e.rel -> e).toMap
+      val removes = base.entries
+        .filterNot(e => targetBy.get(e.rel).contains(e)).map(_.rel).toSet
+      val adds = target.entries.filterNot(e => baseBy.get(e.rel).contains(e))
+      def missingOf(es: Seq[FileEntry]): Seq[String] = es
+        .flatMap(e => e.rel +: e.dv.map(_.rel).toSeq)
+        .filterNot(rel => fs.exists(new Path(s"$table/$rel")))
+      val missing = missingOf(adds)
+      if (missing.nonEmpty)
+        throw new IllegalStateException(
+          s"$table: cannot restore to version $version — ${missing.size} " +
+            s"file(s) it references were vacuumed (e.g. ${missing.head}). " +
+            "Tag versions that must stay restorable.")
+      val restoredSchema = target.schema.map { sch =>
+        StructType(sch.fields.filterNot(f =>
+          base.dropped.exists(_.equalsIgnoreCase(f.name))))
+      }.orElse(base.schema)
+      val ok = commitNext(fs, table, base, adds, removes, txn = None,
+        schema = restoredSchema,
+        bucketing = target.bucketing.orElse(base.bucketing),
+        allowRebucket = true,
+        dropped = Some(base.dropped ++ target.dropped))
+      if (ok) {
+        val gone = missingOf(adds)
+        if (gone.nonEmpty)
+          throw new IllegalStateException(
+            s"$table: a vacuum swept ${gone.size} restored file(s) (e.g. " +
+              s"${gone.head}) while the restore to v$version was " +
+              "committing — the new head v" + (base.version + 1) +
+              " is dangling; restore again to a retained version.")
+        committed = base.version + 1
+      } else {
+        attempt += 1
+        require(attempt < 50,
+          s"$table: restore lost the commit race $attempt times — giving up")
+      }
+    }
+    committed
+  }
+
+  /** [[restore]] addressed by tag name. */
+  def restoreTag(spark: SparkSession, table: String, name: String): Long = {
+    val pinned = tags(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"$table: no tag named '$name' (have: " +
+          s"${tags(spark, table).keys.toSeq.sorted.mkString(", ")})"))
+    restore(spark, table, pinned)
+  }
+
   private def tagPath(table: String, name: String) =
     new Path(logDir(table), s"tag-$name")
 
@@ -2254,9 +2345,20 @@ object TxTable {
     val deleted = Seq.newBuilder[String]
     val filesRoot = new Path(table, "files")
     val sweepBefore = System.currentTimeMillis() - orphanRetentionMs
+    // second head resolution right before the destructive step: a
+    // RESTORE that committed since the first listing re-references files
+    // that were only reachable through pre-horizon versions — its head
+    // must survive this sweep (restore() existence-checks from the other
+    // side; the two narrow the window from both ends, like tag())
+    val headNowRefs: Set[String] =
+      scala.util.Try(snapshot(spark, table)).toOption.toSeq
+        .flatMap(_.entries)
+        .flatMap(e => e.rel +: e.dv.map(_.rel).toSeq)
+        .map(_.split('/')(1)).toSet
+    val referencedNow = referenced ++ headNowRefs
     if (fs.exists(filesRoot)) {
       fs.listStatus(filesRoot).foreach { st =>
-        if (!referenced(st.getPath.getName) &&
+        if (!referencedNow(st.getPath.getName) &&
             st.getModificationTime <= sweepBefore) {
           fs.delete(st.getPath, true)
           deleted += st.getPath.toString

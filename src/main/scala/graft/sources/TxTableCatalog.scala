@@ -2726,6 +2726,34 @@ object TxProcedures {
         input.getUTF8String(1).toString, input.getInt(2)))
   }
 
+  private val restoreProc: Proc = new Proc("restore",
+    "roll the table's head to a committed version or tag as a NEW " +
+      "metadata-only commit (history preserved; a second restore undoes " +
+      "it)",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").build(),
+      ProcedureParameter.in("tag", StringType)
+        .defaultValue("''").build()),
+    StructType(Seq(
+      org.apache.spark.sql.types
+        .StructField("committed_version", LongType, nullable = false),
+      org.apache.spark.sql.types
+        .StructField("restored_version", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      val table = input.getUTF8String(0).toString
+      val v = input.getLong(1)
+      val tagName = input.getUTF8String(2).toString
+      require((v >= 0) != tagName.nonEmpty,
+        "pass exactly one of version => N or tag => 'name'")
+      val target = if (v >= 0) v
+        else TxTable.tags(spark, table).getOrElse(tagName,
+          throw new IllegalArgumentException(
+            s"$table: no tag named '$tagName'"))
+      Array(TxTable.restore(spark, table, target), target)
+    }
+  }
+
   private val history: Proc = new Proc("history",
     "DESCRIBE HISTORY: one row per retained log version, from manifest " +
       "headers alone (zero data I/O)",
@@ -2749,7 +2777,7 @@ object TxProcedures {
 
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
-      rebucket, history, tagProc, untagProc)
+      rebucket, history, tagProc, untagProc, restoreProc)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -1649,6 +1649,81 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("RESTORE rolls the head to a prior version as a new commit: DV resets, history preserved, undo-able, tag-addressable") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_restore_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      TxTable.appendOnce(spark, t,
+        (33 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+        "k", nBuckets, "restore-spec", 1L)                         // v1
+      assert(TxTable.deleteWhereMor(spark, t, $"v" <= 8L) == 8L)   // v2
+      assert(tbl(t).count() == 56)
+      // SQL restore to v1: metadata-only new commit v3, DVs reset so the
+      // merge-on-read-deleted rows genuinely come back
+      val r = spark.sql(s"CALL txspj.restore('$t', version => 1)").head()
+      assert((r.getLong(0), r.getLong(1)) == ((3L, 1L)))
+      assert(tbl(t).count() == 64)
+      assert(TxTable.snapshot(spark, t).entries.forall(_.dv.isEmpty),
+        "restoring past a MOR delete must reset the deletion vectors")
+      // history is preserved: the pre-restore head still time-travels
+      assert(TxTable.read(spark, t, version = Some(2L)).count() == 56)
+      // the rollback is itself undo-able by restoring forward
+      assert(TxTable.restore(spark, t, 2L) == 4L)
+      assert(tbl(t).count() == 56)
+      // tag-addressed restore
+      TxTable.tag(spark, t, "good", Some(1L))
+      val r2 = spark.sql(s"CALL txspj.restore('$t', tag => 'good')").head()
+      assert((r2.getLong(0), r2.getLong(1)) == ((5L, 1L)))
+      assert(tbl(t).count() == 64)
+      // exactly one of version/tag
+      intercept[Exception] {
+        spark.sql(s"CALL txspj.restore('$t', version => 1, tag => 'good')")
+          .collect()
+      }
+      intercept[Exception] {
+        spark.sql(s"CALL txspj.restore('$t')").collect()
+      }
+    }
+  }
+
+  test("RESTORE keeps tombstones permanent, carries the target's bucket identity, and refuses vacuumed targets") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_restore2_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      spark.sql(s"ALTER TABLE txspj.`$t` ADD COLUMN note STRING")    // v1
+      TxTable.appendOnce(spark, t,
+        (33 to 64).map(i => (s"K$i", i.toLong, s"n$i"))
+          .toDF("k", "v", "note"), "k", nBuckets, "restore-spec", 1L) // v2
+      spark.sql(s"ALTER TABLE txspj.`$t` DROP COLUMN note")          // v3
+      // restore to v2 (whose schema carried `note`): data comes back,
+      // the DROPPED column does not — tombstones survive the rollback
+      assert(TxTable.restore(spark, t, 2L) == 4L)
+      val snap4 = TxTable.snapshot(spark, t)
+      assert(!tbl(t).columns.contains("note"),
+        "a restore must never resurrect a dropped column")
+      assert(snap4.dropped.exists(_.equalsIgnoreCase("note")))
+      assert(tbl(t).count() == 64)
+      // restore across a rebucket resurrects the OLD layout, correctly
+      // labeled in the log — point reads keep working against it
+      TxTable.rebucket(spark, t, "k", nBuckets * 2)                  // v5
+      assert(TxTable.snapshot(spark, t).bucketing.contains(("k", nBuckets * 2)))
+      assert(TxTable.restore(spark, t, 4L) == 6L)
+      assert(TxTable.snapshot(spark, t).bucketing.contains(("k", nBuckets)))
+      assert(TxTable.readKeys(spark, t, "k", Seq("K7"), nBuckets)
+        .count() == 1)
+      // a vacuum after the restore keeps the restored head's files alive
+      TxTable.vacuum(spark, t, keepVersions = 1, orphanRetentionMs = 0L)
+      assert(tbl(t).count() == 64)
+      // …and a target the vacuum collected refuses loudly
+      val e = intercept[Exception] { TxTable.restore(spark, t, 0L) }
+      assert(e.getMessage.contains("does not exist"))
+    }
+  }
+
   test("a concurrent MOR delete between scan and commit makes both row-level commit shapes fail loudly") {
     registered {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command
