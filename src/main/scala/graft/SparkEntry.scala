@@ -2540,6 +2540,25 @@ object SparkEntry {
       }.reduce(_.unionByName(_)).orderBy(col("version"))
     }),
 
+    // Row-level CHANGE FEED through the catalog (`#changes` suffix): the
+    // delete+restore history surfaces as exact row-level changes — the
+    // appended slice as inserts, the MOR delete as exactly the newly-dead
+    // urgent rows (bitmap diff, I/O = the touched files filtered to diff
+    // positions), and the restore as file-level deletes of the un-restored
+    // slice plus the REVIVED urgent rows as inserts. Downstream
+    // incremental consumers pay O(commit delta), never a table re-scan.
+    "ext_changefeed" -> ((s, dir) => {
+      val path = stagedRestoredOrders(s, dir)
+      ensureTxCatalog(s)
+      s.read.option("startingVersion", 2).option("endingVersion", 4)
+        .table(s"txspj.`$path#changes`")
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("_commit_version"), col("_change_type"))
+    }),
+
     // Dynamic runtime filtering through the catalog: the versioned-orders
     // TxTable joins a small FILTERED key list on its bucket key — at
     // execution time Spark feeds the dim's surviving keys into the scan
@@ -5580,6 +5599,31 @@ object SparkEntry {
         |    AS total_price
         |FROM v4
         |ORDER BY version""".stripMargin,
+
+    // change-feed-over-restore replay: v2 inserts slice %3=2; the v3 MOR
+    // delete kills the urgent rows of all three slices; the v4 restore
+    // drops the %3=2 files (their LIVE rows die file-granularly) and
+    // revives the %3<=1 urgent rows the vectors had killed
+    "ext_changefeed" ->
+      """WITH ch AS (
+        |  SELECT 2 AS cv, 'insert' AS ct, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT 3 AS cv, 'delete' AS ct, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <= 2 AND o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 4 AS cv, 'delete' AS ct, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 2 AND o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT 4 AS cv, 'insert' AS ct, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <= 1 AND o_orderpriority = '1-URGENT'
+        |)
+        |SELECT CAST(cv AS BIGINT) AS "_commit_version",
+        |  ct AS "_change_type", count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM ch GROUP BY cv, ct
+        |ORDER BY "_commit_version", "_change_type"""".stripMargin,
 
     // change-feed replay: appends at v1/v2 are inserts of the %3=1 / %3=2
     // slices (append-only history → file-diff CDF is exact)

@@ -524,12 +524,13 @@ object TxTable {
         .map(e => e.rel -> e).toMap
       val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
-      // same rel, grown deletion vector: the newly-marked positions are
-      // exactly the rows that died at v (bitmap diff, batched: one
-      // sidecar read per side per version)
-      val grownRels = cur.keysIterator.filter(rel =>
-        prev.contains(rel) &&
-          cur(rel).dv.exists(d => !prev(rel).dv.contains(d)))
+      // same rel, CHANGED deletion vector (bitmap diff, batched: one
+      // sidecar read per side per version): newly-marked positions are
+      // exactly the rows that died at v; un-marked positions — possible
+      // only under a [[restore]] that reset/shrank the vector — are
+      // exactly the rows that REVIVED at v and surface as 'insert'
+      val changedRels = cur.keysIterator.filter(rel =>
+        prev.contains(rel) && cur(rel).dv != prev(rel).dv)
         .toSeq.sorted
       if (added.nonEmpty)
         frames += stamp(DeletionVectors.readEntries(spark, table, added,
@@ -537,19 +538,30 @@ object TxTable {
       if (removed.nonEmpty)
         frames += stamp(DeletionVectors.readEntries(spark, table, removed,
           Some(schema)), "delete", v)
-      if (grownRels.nonEmpty) {
+      if (changedRels.nonEmpty) {
         val curBms = DeletionVectors.loadBitmaps(spark, table,
-          grownRels.map(cur))
+          changedRels.map(cur).filter(_.dv.isDefined))
         val prevBms = DeletionVectors.loadBitmaps(spark, table,
-          grownRels.map(prev).filter(_.dv.isDefined))
-        val dvGrown = grownRels.map { rel =>
-          val bm = DeletionVectors.deserialize(curBms(rel)._2)
-          prevBms.get(rel).foreach { case (_, bytes) =>
-            bm.andNot(DeletionVectors.deserialize(bytes)) }
-          (cur(rel), DeletionVectors.serialize(bm))
+          changedRels.map(prev).filter(_.dv.isDefined))
+        def bmOf(bms: Map[String, (String, Array[Byte])], rel: String) =
+          bms.get(rel).map(b => DeletionVectors.deserialize(b._2))
+            .getOrElse(new org.roaringbitmap.RoaringBitmap())
+        val diffs = changedRels.map { rel =>
+          val cb = bmOf(curBms, rel)
+          val pb = bmOf(prevBms, rel)
+          (rel, org.roaringbitmap.RoaringBitmap.andNot(cb, pb),
+            org.roaringbitmap.RoaringBitmap.andNot(pb, cb))
         }
-        frames += stamp(DeletionVectors.readMarked(spark, table, dvGrown,
-          Some(schema)), "delete", v)
+        val dead = diffs.collect { case (rel, d, _) if !d.isEmpty =>
+          (cur(rel), DeletionVectors.serialize(d)) }
+        val revived = diffs.collect { case (rel, _, r) if !r.isEmpty =>
+          (cur(rel), DeletionVectors.serialize(r)) }
+        if (dead.nonEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table, dead,
+            Some(schema)), "delete", v)
+        if (revived.nonEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table, revived,
+            Some(schema)), "insert", v)
       }
       prev = cur
     }

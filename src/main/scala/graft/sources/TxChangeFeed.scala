@@ -1,0 +1,303 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.GraftParquetShim
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.roaringbitmap.RoaringBitmap
+
+import graft.ops.{DeletionVectors, TxTable}
+
+/** The TxTable ROW-LEVEL CHANGE FEED as a DSv2 table — the Delta
+  * `table_changes` / CDF-streaming design done on the commit log this
+  * engine owns. Loaded through the catalog by the reserved `#changes`
+  * path suffix:
+  *
+  *   - batch: `spark.read.option("startingVersion", 2)
+  *     .option("endingVersion", 4).table("txcat.\`/t#changes\`")` —
+  *     `startingVersion` is INCLUSIVE of that commit's changes (default
+  *     0 = full history, the initial snapshot surfacing as inserts),
+  *     `endingVersion` defaults to the head.
+  *   - streaming: `spark.readStream.table("txcat.\`/t#changes\`")` —
+  *     offsets are commit versions exactly like the append source
+  *     ([[TxMicroBatchStream]]); `startingVersion` (number | `latest`)
+  *     and `maxVersionsPerTrigger` admission ride along, and
+  *     `Trigger.AvailableNow` pins the head at prepare time.
+  *
+  * The schema is the table's data schema plus `_change_type` STRING and
+  * `_commit_version` LONG. Change derivation is the manifest file-diff
+  * plus the deletion-vector BITMAP diff per commit:
+  *
+  *   - files added at v → their live rows as 'insert'@v;
+  *   - files removed at v → their then-live rows as 'delete'@v;
+  *   - same rel, changed vector → EXACTLY the newly-marked positions as
+  *     'delete'@v, and (a [[TxTable.restore]] that shrank the vector)
+  *     exactly the revived positions as 'insert'@v.
+  *
+  * Unlike the append-only streaming source — which throws on rewrite
+  * commits because it promises exactly-once appends — the change feed
+  * REPRESENTS every commit: rewrites surface file-granularly
+  * (delete+insert of the rewritten files, the documented conservative
+  * shape), deletes and restores surface row-exactly. I/O per commit is
+  * only that commit's changed files (DV'd ones filtered to the diff
+  * positions), never a table re-scan — the contract that keeps a 100 TB
+  * table's downstream consumers paying O(delta). */
+final class TxChangesTable(path: String) extends Table with SupportsRead {
+  private val snap = TxTable.snapshot(SparkSession.active, path)
+  private[sources] val dataSchema: StructType = StructType(
+    snap.schema.getOrElse(throw new IllegalStateException(
+      s"$path carries no recorded schema (pre-v2 manifest) — the change " +
+        "feed needs the recorded schema to type change frames"))
+      .filterNot(_.name == graft.ops.LayoutOps.BucketCol))
+  private val outSchema = StructType(dataSchema.fields
+    :+ StructField("_change_type", StringType, nullable = false)
+    :+ StructField("_commit_version", LongType, nullable = false))
+
+  override def name(): String = s"$path#changes"
+  override def schema(): StructType = outSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new TxChangesScan(path, dataSchema, outSchema, options)
+  }
+}
+
+/** Scan serving both read modes off [[TxChangeFeedPlanning]]. The change
+  * schema is served whole — CDF consumers read the change columns by
+  * definition, so column pruning would buy little and cost the planner a
+  * second schema path. */
+private[sources] final class TxChangesScan(path: String,
+    dataSchema: StructType, outSchema: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+  private def spark = SparkSession.active
+  override def readSchema(): StructType = outSchema
+  override def description(): String = s"GraftTxChanges $path"
+
+  override def toBatch: Batch = new Batch {
+    private val start =
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    private val end = Option(options.get("endingVersion")).map(_.toLong)
+      .getOrElse(TxTable.snapshot(spark, path).version)
+    override def planInputPartitions(): Array[InputPartition] =
+      TxChangeFeedPlanning.plan(spark, path, start - 1, end)
+    override def createReaderFactory(): PartitionReaderFactory =
+      TxChangeFeedPlanning.readerFactory(dataSchema)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TxChangesMicroBatchStream(path, dataSchema, options)
+}
+
+/** Commit-version offsets over the row-level change feed — the same
+  * offset/admission shape as the append source, but every commit kind is
+  * representable so no skip/ignore escape hatches are needed. */
+final class TxChangesMicroBatchStream(path: String, dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def spark = SparkSession.active
+  private val startingVersion = Option(options.get("startingVersion"))
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+
+  @volatile private var availableNowCap: Option[Long] = None
+  private def headVersion: Long = TxTable.snapshot(spark, path).version
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(headVersion)
+
+  override def initialOffset(): Offset =
+    TxStreamOffset(startingVersion match {
+      case Some("latest") => headVersion // only commits after stream start
+      case Some(v) => v.toLong - 1 // serve from commit v inclusive
+      case None => -1L // full history: initial snapshot as inserts
+    })
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: Spark calls latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TxStreamOffset].version
+    val head = availableNowCap.getOrElse(headVersion)
+    TxStreamOffset(math.max(s,
+      maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))))
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    TxStreamOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[TxStreamOffset].version
+    val e = end.asInstanceOf[TxStreamOffset].version
+    if (e <= s) Array.empty
+    else TxChangeFeedPlanning.plan(spark, path, s, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    TxChangeFeedPlanning.readerFactory(dataSchema)
+}
+
+/** Shared planner/reader for batch and streaming change scans. */
+private[sources] object TxChangeFeedPlanning {
+
+  /** One unit of change: the stock [[FilePartition]] the parquet reader
+    * accepts, stamped with its change type and commit version. Bitmap
+    * semantics: `include=true` emits ONLY the bitmap positions (a DV
+    * diff), `include=false` emits every position NOT in the bitmap (live
+    * rows of a DV'd file); an absent bitmap serves the whole file.
+    * Bitmap'd partitions hold exactly one file — positions count per
+    * file. */
+  final case class TxChangePartition(inner: FilePartition,
+      changeType: String, version: Long, include: Boolean,
+      bitmap: Option[Array[Byte]], cacheKey: String) extends InputPartition
+
+  /** Partitions for the row-level changes of commits (from, to];
+    * `from = -1` starts at the initial snapshot. The walk is per-version
+    * manifest metadata (O(checkpoint interval) reads each) plus one
+    * batched DV-sidecar load per side per version — bounded by the
+    * commits' own change volume. */
+  def plan(spark: SparkSession, path: String, from: Long, to: Long)
+      : Array[InputPartition] = {
+    require(from <= to, s"change range ($from, $to] is empty or inverted")
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pf(rel: String) = {
+      val p = new Path(s"$path/$rel")
+      val st = fs.getFileStatus(p)
+      GraftParquetShim.partitionedFile(p.toString, st.getLen,
+        st.getModificationTime)
+    }
+    val parts = Seq.newBuilder[(String, Long, Boolean,
+      Option[Array[Byte]], String, Array[String])] // (+ rels) pre-index
+    var prev: Map[String, TxTable.FileEntry] =
+      if (from < 0) Map.empty
+      else TxTable.snapshot(spark, path, Some(from)).entries
+        .map(e => e.rel -> e).toMap
+    (from + 1 to to).foreach { v =>
+      val cur = TxTable.snapshot(spark, path, Some(v)).entries
+        .map(e => e.rel -> e).toMap
+      val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
+      val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
+      val changed = cur.keySet.intersect(prev.keySet).toSeq.sorted
+        .filter(rel => cur(rel).dv != prev(rel).dv)
+      val curBms = DeletionVectors.loadBitmaps(spark, path,
+        (added ++ changed.map(cur)).filter(_.dv.isDefined))
+      val prevBms = DeletionVectors.loadBitmaps(spark, path,
+        (removed ++ changed.map(prev)).filter(_.dv.isDefined))
+      // whole live files: DV-less ones ride together (one partition per
+      // commit+type), DV'd ones one-per-file with an exclusion bitmap
+      def emit(entries: Seq[TxTable.FileEntry], tpe: String,
+               bms: Map[String, (String, Array[Byte])]): Unit = {
+        val (dvd, clean) = entries.partition(_.dv.isDefined)
+        if (clean.nonEmpty)
+          parts += ((tpe, v, false, None, "",
+            clean.map(_.rel).sorted.toArray))
+        dvd.foreach { e =>
+          val (key, bytes) = bms(e.rel)
+          parts += ((tpe, v, false, Some(bytes), key, Array(e.rel)))
+        }
+      }
+      emit(added, "insert", curBms)
+      emit(removed, "delete", prevBms)
+      // same rel, changed vector: newly-marked positions died at v,
+      // un-marked positions (a restore shrank the vector) revived at v
+      changed.foreach { rel =>
+        def bmOf(e: TxTable.FileEntry,
+                 bms: Map[String, (String, Array[Byte])]): RoaringBitmap =
+          e.dv.fold(new RoaringBitmap())(_ =>
+            DeletionVectors.deserialize(bms(rel)._2))
+        val cb = bmOf(cur(rel), curBms)
+        val pb = bmOf(prev(rel), prevBms)
+        val newlyDead = RoaringBitmap.andNot(cb, pb)
+        val revived = RoaringBitmap.andNot(pb, cb)
+        if (!newlyDead.isEmpty)
+          parts += (("delete", v, true,
+            Some(DeletionVectors.serialize(newlyDead)),
+            s"cdf-dead:$rel@$v", Array(rel)))
+        if (!revived.isEmpty)
+          parts += (("insert", v, true,
+            Some(DeletionVectors.serialize(revived)),
+            s"cdf-revived:$rel@$v", Array(rel)))
+      }
+      prev = cur
+    }
+    parts.result().zipWithIndex.map {
+      case ((tpe, v, include, bitmap, key, rels), i) =>
+        TxChangePartition(FilePartition(i, rels.map(pf)), tpe, v,
+          include, bitmap, key): InputPartition
+    }.toArray
+  }
+
+  def readerFactory(dataSchema: StructType): PartitionReaderFactory =
+    new TxChangeReaderFactory(
+      TxScanPlanning.readerFor(dataSchema, dataSchema),
+      dataSchema.fields.map(_.dataType))
+}
+
+/** Wraps the stock parquet reader: applies the partition's bitmap by
+  * physical position (inclusion for DV diffs, exclusion for live rows of
+  * DV'd files) and appends the change-type/commit-version constants.
+  * Row-based by construction — change feeds are incremental-consumer
+  * reads, not the hot analytical path. */
+private[sources] final class TxChangeReaderFactory(
+    raw: PartitionReaderFactory, dataTypes: Array[DataType])
+    extends PartitionReaderFactory {
+  import org.apache.spark.sql.connector.read.PartitionReader
+
+  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[TxChangeFeedPlanning.TxChangePartition]
+    if (cp.bitmap.isDefined)
+      require(cp.inner.files.length == 1,
+        "a bitmap'd change partition must hold exactly one file")
+    val bm = cp.bitmap.map(DeletionVectors.cachedBitmap(cp.cacheKey, _))
+    val tpe = UTF8String.fromString(cp.changeType)
+    val delegate = raw.createReader(cp.inner)
+    val n = dataTypes.length
+    new PartitionReader[InternalRow] {
+      private var pos = -1L
+      private val out = new GenericInternalRow(n + 2)
+      override def next(): Boolean = bm match {
+        case None => delegate.next()
+        case Some(b) =>
+          while (delegate.next()) {
+            pos += 1
+            val marked =
+              pos <= DeletionVectors.MaxPos && b.contains(pos.toInt)
+            if (marked == cp.include) return true
+          }
+          false
+      }
+      override def get(): InternalRow = {
+        val row = delegate.get()
+        var i = 0
+        while (i < n) { out.update(i, row.get(i, dataTypes(i))); i += 1 }
+        out.update(n, tpe)
+        out.update(n + 1, cp.version)
+        out
+      }
+      override def close(): Unit = delegate.close()
+    }
+  }
+}

@@ -95,8 +95,20 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     Array.empty
 
   override def loadTable(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    // the reserved `#changes` suffix serves the row-level change feed
+    // ([[TxChangesTable]]) — resolved with the same cannot-hijack guard
+    // as `@vN`: the literal path wins if it is itself a table
+    val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    val ch = "^(.*)#changes$".r
+    raw match {
+      case ch(p) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) =>
+        return new TxChangesTable(p)
+      case _ => ()
+    }
     val (path, version) = pathOf(ident)
-    if (!TxTable.isTxTable(SparkSession.active, path))
+    if (!TxTable.isTxTable(spark, path))
       throw new NoSuchTableException(ident)
     new TxSparkTable(path, version)
   }

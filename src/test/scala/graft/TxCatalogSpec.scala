@@ -1724,6 +1724,82 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("row-level change feed via #changes: batch ranges, DV-diff exactness, streaming drain, restart, hijack guard") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_cdf_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      TxTable.appendOnce(spark, t,
+        (33 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+        "k", nBuckets, "cdf-spec", 1L)                               // v1
+      assert(TxTable.deleteWhereMor(spark, t, $"v" <= 8L) == 8L)     // v2
+      TxTable.restore(spark, t, 1L)                                  // v3
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select($"k", $"v", $"_change_type", $"_commit_version")
+          .as[(String, Long, String, Long)].collect().toSet
+      // full history: initial snapshot as inserts, the MOR delete as
+      // exactly the newly-dead rows, the restore as exactly the revived
+      val all = rows(spark.read.table(s"txspj.`$t#changes`"))
+      val expected =
+        (1 to 32).map(i => (s"K$i", i.toLong, "insert", 0L)).toSet ++
+        (33 to 64).map(i => (s"K$i", i.toLong, "insert", 1L)) ++
+        (1 to 8).map(i => (s"K$i", i.toLong, "delete", 2L)) ++
+        (1 to 8).map(i => (s"K$i", i.toLong, "insert", 3L))
+      assert(all == expected)
+      // version-range batch read: just the delete commit
+      assert(rows(spark.read.option("startingVersion", 2)
+        .option("endingVersion", 2).table(s"txspj.`$t#changes`")) ==
+        (1 to 8).map(i => (s"K$i", i.toLong, "delete", 2L)).toSet)
+      // parity with the Scala batch CDF (which starts EXCLUSIVE)
+      assert(rows(spark.read.option("startingVersion", 1)
+        .table(s"txspj.`$t#changes`")) ==
+        rows(TxTable.changesBetween(spark, t, 0L, 3L)))
+      // streaming drain: one commit per micro-batch under the admission
+      // cap, full history replayed exactly
+      import org.apache.spark.sql.streaming.Trigger
+      val got = scala.collection.mutable.ArrayBuffer
+        .empty[Set[(String, Long, String, Long)]]
+      def drainChanges(ckpt: String,
+                       opts: Map[String, String] = Map.empty): Unit = {
+        val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) =>
+          r.option(k, v) }
+        val q = reader.table(s"txspj.`$t#changes`")
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val b = rows(df)
+            got.synchronized { got += b; () }
+          }.start()
+        q.awaitTermination()
+      }
+      val ckpt = s"$base/ckpt"
+      drainChanges(ckpt, Map("maxVersionsPerTrigger" -> "1"))
+      assert(got.count(_.nonEmpty) == 4)
+      assert(got.flatten.toSet == expected)
+      // restart-exactness: a new commit after the drain is the ONLY
+      // thing the checkpointed stream serves next
+      got.clear()
+      TxTable.appendOnce(spark, t,
+        Seq(("K65", 65L)).toDF("k", "v"), "k", nBuckets, "cdf-spec", 2L)
+      drainChanges(ckpt)
+      assert(got.flatten.toSet ==
+        Set(("K65", 65L, "insert", 4L)))
+      // the feed is read-only
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$t#changes` VALUES ('X', 1L)")
+      }
+      // cannot-hijack: a literal table path ending in #changes reads as
+      // ITSELF, not as some other table's change feed
+      val weird = s"$base/w#changes"
+      TxTable.init(spark, weird,
+        Seq(("A", 1L)).toDF("k", "v"), "k", nBuckets)
+      assert(!spark.table(s"txspj.`$weird`").columns
+        .contains("_change_type"))
+      assert(spark.table(s"txspj.`$weird`").count() == 1)
+    }
+  }
+
   test("a concurrent MOR delete between scan and commit makes both row-level commit shapes fail loudly") {
     registered {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command
