@@ -89,10 +89,15 @@ object TxTable {
     * tombstoned name to the schema, or the stored bytes would silently
     * resurrect. A tombstone clears only when the name is re-added via
     * ALTER ADD after every live file has shed the old bytes. */
+  /** `props` is the version's table-property map (persisted, versioned
+    * metadata — CHECK constraints ride here under `constraint.<name>`
+    * keys); inherited across commits unless a commit changes it, exactly
+    * like the tombstone set. */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
                             schema: Option[StructType] = None,
                             bucketing: Option[(String, Int)] = None,
-                            dropped: Set[String] = Set.empty) {
+                            dropped: Set[String] = Set.empty,
+                            props: Map[String, String] = Map.empty) {
     def absFiles(table: String): Seq[String] = entries.map(e => s"$table/${e.rel}")
   }
 
@@ -161,20 +166,50 @@ object TxTable {
       .map((s: String) => java.net.URLDecoder.decode(s, "UTF-8")))
   }
 
+  // HEADER extension (table properties): field 9 records the FULL
+  // key→value property map as of the version — `k=v` pairs, both sides
+  // URL-encoded, comma-joined — or `-` for an explicitly empty map. An
+  // ABSENT field (older writers) inherits the previous version's map
+  // during resolution, exactly like the tombstone field. CHECK
+  // constraints live here under `constraint.<name>` keys.
+  private def renderProps(props: Map[String, String]): String =
+    if (props.isEmpty) "-"
+    else props.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString(",")
+
+  private def parseProps(bytes: Array[Byte]): Option[Map[String, String]] = {
+    val header = headerFields(bytes)
+    if (header.length < 9) None
+    else if (header(8) == "-") Some(Map.empty)
+    else Some(header(8).split(',').toSeq.map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap)
+  }
+
   private def renderManifest(entries: Seq[FileEntry],
                              txn: Option[(String, Long)] = None,
                              schema: Option[StructType] = None,
                              bucketing: Option[(String, Int)] = None,
-                             dropped: Set[String] = Set.empty): Array[Byte] = {
+                             dropped: Set[String] = Set.empty,
+                             props: Map[String, String] = Map.empty)
+      : Array[Byte] = {
     require(dropped.isEmpty || schema.isDefined,
       "dropped-column tombstones require a recorded schema")
-    val dr = if (dropped.nonEmpty) s"	${renderDropped(dropped)}" else ""
+    require(props.isEmpty || schema.isDefined,
+      "table properties require a recorded schema")
+    val pr = if (props.nonEmpty) s"	${renderProps(props)}" else ""
+    val dr = if (dropped.nonEmpty || props.nonEmpty)
+      s"	${renderDropped(dropped)}" else ""
     val bk = bucketing.map { case (k, n) => s"	$k	$n" }
-      .getOrElse(if (dropped.nonEmpty) "	-	-" else "")
+      .getOrElse(if (dropped.nonEmpty || props.nonEmpty) "	-	-" else "")
     val header = schema match {
       case Some(sc) =>
         val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
-        s"txtable	2	$app	$batch	${sc.json}$bk$dr"
+        s"txtable	2	$app	$batch	${sc.json}$bk$dr$pr"
       case None => txn match {
         case Some((app, batch)) => s"txtable	1	$app	$batch"
         case None => "txtable	1"
@@ -209,11 +244,14 @@ object TxTable {
                           txn: Option[(String, Long)],
                           schema: Option[StructType],
                           bucketing: Option[(String, Int)] = None,
-                          dropped: Set[String] = Set.empty): Array[Byte] = {
+                          dropped: Set[String] = Set.empty,
+                          props: Map[String, String] = Map.empty)
+      : Array[Byte] = {
     val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
     val sc = schema.map(_.json).getOrElse("-")
     val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("	-	-")
-    val header = s"txtable	3	$app	$batch	$sc$bk	${renderDropped(dropped)}"
+    val header = s"txtable	3	$app	$batch	$sc$bk	" +
+      s"${renderDropped(dropped)}	${renderProps(props)}"
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel))
         .map(e =>
@@ -280,8 +318,10 @@ object TxTable {
                         entries: Seq[FileEntry],
                         txn: Option[(String, Long)] = None,
                         schema: Option[StructType] = None,
-                        bucketing: Option[(String, Int)] = None): Boolean =
-    tryPublish(fs, table, v, renderManifest(entries, txn, schema, bucketing))
+                        bucketing: Option[(String, Int)] = None,
+                        props: Map[String, String] = Map.empty): Boolean =
+    tryPublish(fs, table, v,
+      renderManifest(entries, txn, schema, bucketing, props = props))
 
   private def tryPublish(fs: FileSystem, table: String, v: Long,
                          bytes: Array[Byte]): Boolean =
@@ -341,7 +381,8 @@ object TxTable {
                                 schema: Option[StructType] = None,
                                 bucketing: Option[(String, Int)] = None,
                                 allowRebucket: Boolean = false,
-                                dropped: Option[Set[String]] = None)
+                                dropped: Option[Set[String]] = None,
+                                props: Option[Map[String, String]] = None)
       : Boolean = {
     (bucketing, base.bucketing) match {
       case (Some(b), Some(cur)) if b != cur && !allowRebucket =>
@@ -358,14 +399,15 @@ object TxTable {
     // tombstones inherit from the base unless this commit changes them
     // (ALTER DROP adds, a post-purge ALTER ADD clears)
     val effDropped = dropped.getOrElse(base.dropped)
+    val effProps = props.getOrElse(base.props)
     val v = base.version + 1
     val ok = tryPublish(fs, table, v,
       renderDelta(adds, removes.toSeq, txn, schema, effBucketing,
-        effDropped))
+        effDropped, effProps))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
       val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
       try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
-        effBucketing, effDropped)
+        effBucketing, effDropped, effProps)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     // committed writes keep profiled sidecars fresh from footers (no data
@@ -382,10 +424,12 @@ object TxTable {
                               entries: Seq[FileEntry],
                               schema: Option[StructType],
                               bucketing: Option[(String, Int)] = None,
-                              dropped: Set[String] = Set.empty): Unit = {
+                              dropped: Set[String] = Set.empty,
+                              props: Map[String, String] = Map.empty): Unit = {
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(entries, None, schema, bucketing, dropped))
+    out.write(renderManifest(entries, None, schema, bucketing, dropped,
+      props))
     out.close()
     val dst = checkpointPath(table, v)
     fs.delete(dst, false)
@@ -423,7 +467,8 @@ object TxTable {
       if (fs.exists(cp)) {
         val bytes = readBytes(fs, cp)
         anchor = Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
-          parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty)))
+          parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty),
+          parseProps(bytes).getOrElse(Map.empty)))
       } else {
         val p = versionPath(table, cursor)
         require(fs.exists(p),
@@ -434,7 +479,8 @@ object TxTable {
         if (isDelta(bytes)) { deltas += bytes; cursor -= 1 }
         else anchor =
           Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
-            parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty)))
+            parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty),
+            parseProps(bytes).getOrElse(Map.empty)))
       }
     }
     // fold the collected deltas forward (they were gathered newest-first);
@@ -445,7 +491,8 @@ object TxTable {
         snap.entries.filterNot(e => removes(e.rel)) ++ adds,
         parseSchema(bytes).orElse(snap.schema),
         parseBucketing(bytes).orElse(snap.bucketing),
-        parseDropped(bytes).getOrElse(snap.dropped))
+        parseDropped(bytes).getOrElse(snap.dropped),
+        parseProps(bytes).getOrElse(snap.props))
     }
   }
 
@@ -1575,7 +1622,8 @@ object TxTable {
     * any later commit. Fails if the table already has a committed
     * version. */
   def create(spark: SparkSession, table: String, schema: StructType,
-             key: String, nBuckets: Int): Snapshot = {
+             key: String, nBuckets: Int,
+             props: Map[String, String] = Map.empty): Snapshot = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(schema.fieldNames.contains(key),
       s"bucket key '$key' is not a column of ${schema.simpleString}")
@@ -1586,9 +1634,11 @@ object TxTable {
           org.apache.spark.sql.types.IntegerType)))
     val fs = fsFor(spark, table)
     require(tryCommit(fs, table, 0L, Seq.empty, txn = None,
-        schema = Some(full), bucketing = Some((key, nBuckets))),
+        schema = Some(full), bucketing = Some((key, nBuckets)),
+        props = props),
       s"$table already initialized (version 0 exists)")
-    Snapshot(0L, Seq.empty, Some(full), Some((key, nBuckets)))
+    Snapshot(0L, Seq.empty, Some(full), Some((key, nBuckets)),
+      props = props)
   }
 
   /** Drop the table: delete its commit log, data directories, and zone-map
@@ -1716,8 +1766,9 @@ object TxTable {
     val fs = fsFor(spark, table)
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
       return false
-    val tagged = batch.withColumn(LayoutOps.BucketCol,
-      LayoutOps.bucketId(col(key), nBuckets))
+    val tagged = enforceConstraints(spark, table, batch)
+      .withColumn(LayoutOps.BucketCol,
+        LayoutOps.bucketId(col(key), nBuckets))
     // appended files are independent of the base snapshot, so stage ONCE;
     // a lost race only needs a fresh manifest over the winner's snapshot
     // (append conflicts auto-resolve — no re-merge, unlike upsert)
@@ -1764,8 +1815,9 @@ object TxTable {
              key: String, orderCol: String, nBuckets: Int,
              maxRetries: Int = 5, txn: Option[(String, Long)] = None): Long = {
     val fs = fsFor(spark, table)
-    val tagged0 = updates.withColumn(LayoutOps.BucketCol,
-      LayoutOps.bucketId(col(key), nBuckets))
+    val tagged0 = enforceConstraints(spark, table, updates)
+      .withColumn(LayoutOps.BucketCol,
+        LayoutOps.bucketId(col(key), nBuckets))
     val touched: Set[Int] = tagged0.select(col(LayoutOps.BucketCol)).distinct()
       .collect().map(_.getInt(0)).toSet // bounded by nBuckets
     if (touched.isEmpty) return 0L
@@ -2212,11 +2264,15 @@ object TxTable {
         StructType(sch.fields.filterNot(f =>
           base.dropped.exists(_.equalsIgnoreCase(f.name))))
       }.orElse(base.schema)
+      // metadata (properties, incl. constraints) restores WITH the data —
+      // the target state is self-consistent under its own constraints,
+      // the Delta RESTORE posture
       val ok = commitNext(fs, table, base, adds, removes, txn = None,
         schema = restoredSchema,
         bucketing = target.bucketing.orElse(base.bucketing),
         allowRebucket = true,
-        dropped = Some(base.dropped ++ target.dropped))
+        dropped = Some(base.dropped ++ target.dropped),
+        props = Some(target.props))
       if (ok) {
         val gone = missingOf(adds)
         if (gone.nonEmpty)
@@ -2242,6 +2298,145 @@ object TxTable {
         s"$table: no tag named '$name' (have: " +
           s"${tags(spark, table).keys.toSeq.sorted.mkString(", ")})"))
     restore(spark, table, pinned)
+  }
+
+  // --- table properties & CHECK constraints (log-versioned metadata) ---
+
+  /** Property-key namespace for CHECK constraints: `constraint.<name>`
+    * maps to the constraint's boolean SQL predicate. */
+  val ConstraintPrefix = "constraint."
+
+  /** The head version's table-property map. */
+  def properties(spark: SparkSession, table: String): Map[String, String] =
+    snapshot(spark, table).props
+
+  /** The CHECK constraints of a snapshot: name → boolean SQL predicate. */
+  def constraintsOf(snap: Snapshot): Map[String, String] =
+    snap.props.collect {
+      case (k, v) if k.startsWith(ConstraintPrefix) =>
+        k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** SET/UNSET user table properties as ONE metadata-only commit (the
+    * `ALTER TABLE SET TBLPROPERTIES` kernel). Constraint keys are
+    * managed by [[addConstraint]]/[[dropConstraint]] — setting one here
+    * would skip data validation, so it refuses. */
+  def setProperties(spark: SparkSession, table: String,
+                    set: Map[String, String] = Map.empty,
+                    unset: Set[String] = Set.empty): Long = {
+    require((set.keySet ++ unset).forall(!_.startsWith(ConstraintPrefix)),
+      s"'$ConstraintPrefix*' properties are managed by addConstraint/" +
+        "dropConstraint (they validate data; a raw SET would not)")
+    require(set.keySet.forall(k => k.nonEmpty && !k.contains('\t') &&
+      !k.contains('\n')), "property keys must be non-empty single-line")
+    commitProps(spark, table)(p => p -- unset ++ set)
+  }
+
+  /** ADD a CHECK constraint as one metadata commit. SQL-standard
+    * semantics: a row violates only when the predicate evaluates FALSE
+    * (NULL passes — express NOT NULL as `col IS NOT NULL`). The
+    * predicate must resolve against the current schema; unless
+    * `validate=false` (the caller — e.g. Spark's own ADD CONSTRAINT
+    * exec — already scanned), existing rows are validated with ONE
+    * bounded scan that stops at the first violation. Enforced from then
+    * on by every writer: per-row during the write pass in the Scala
+    * paths, and by Spark's native CheckInvariant on the DSv2 SQL
+    * paths (the table reports its constraints). */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+                    predicateSql: String, validate: Boolean = true): Long = {
+    require(TagName.matches(name),
+      s"invalid constraint name '$name': [A-Za-z0-9][A-Za-z0-9._-]*")
+    val pass = coalesce(expr(predicateSql), lit(true))
+    val head = read(spark, table)
+    if (validate) {
+      val bad = head.filter(!pass).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"$table: cannot add constraint '$name': existing rows violate " +
+          s"CHECK ($predicateSql)")
+    } else {
+      // resolution probe only — analysis throws on an unresolvable or
+      // non-boolean predicate without touching data
+      head.limit(0).filter(pass).queryExecution.analyzed
+    }
+    commitProps(spark, table) { p =>
+      val key = ConstraintPrefix + name
+      if (p.contains(key)) throw new IllegalStateException(
+        s"$table: constraint '$name' already exists (drop it first)")
+      p + (key -> predicateSql)
+    }
+  }
+
+  /** DROP a CHECK constraint as one metadata commit. */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+                     ifExists: Boolean = false): Long =
+    commitProps(spark, table) { p =>
+      val key = ConstraintPrefix + name
+      if (!p.contains(key) && !ifExists)
+        throw new IllegalArgumentException(
+          s"$table: no constraint named '$name'")
+      p - key
+    }
+
+  /** CAS loop for metadata-only property commits; a no-op change commits
+    * nothing and returns the current version. */
+  private def commitProps(spark: SparkSession, table: String)
+                         (f: Map[String, String] => Map[String, String])
+      : Long = {
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (attempt < 20) {
+      val snap = snapshot(spark, table)
+      require(snap.schema.isDefined,
+        s"$table carries no recorded schema (pre-v2 manifest) — cannot " +
+          "hold table properties")
+      val next = f(snap.props)
+      if (next == snap.props) return snap.version
+      if (commitNext(fs, table, snap, adds = Seq.empty, removes = Set.empty,
+          txn = None, schema = snap.schema, bucketing = snap.bucketing,
+          props = Some(next)))
+        return snap.version + 1
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: property commit lost the race 20 times — giving up")
+  }
+
+  /** Wrap `df` so every row is CHECKed against the table's constraints
+    * DURING the write pass — zero extra jobs, the row-local projection
+    * rides the staging scan; a violating row fails the write with the
+    * constraint name and the row's JSON. Applied by the Scala write
+    * paths; the DSv2 SQL paths get the same checks natively from Spark
+    * because [[graft.sources.TxSparkTable]] reports the constraints. */
+  private[graft] def enforceConstraints(spark: SparkSession, table: String,
+                                        df: DataFrame): DataFrame = {
+    if (!isTxTable(spark, table)) return df
+    val snap = snapshot(spark, table)
+    val cons = constraintsOf(snap).toSeq.sortBy(_._1)
+    if (cons.isEmpty) return df
+    // a union-evolving batch may omit a constrained column — the stored
+    // value will be NULL, so the check must SEE null there (SQL CHECK
+    // passes on NULL, and expressions like coalesce(b,-1)>0 must still
+    // evaluate), not fail analysis on an unresolvable name
+    val schemaType: Map[String, org.apache.spark.sql.types.DataType] =
+      snap.schema.toSeq.flatMap(_.fields)
+        .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val present = df.columns.map(_.toLowerCase).toSet
+    cons.foldLeft(df) { case (d, (name, sql)) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.nameParts.head
+      }.distinct
+      val missing = refs.filterNot(r => present(r.toLowerCase))
+      val widened = missing.foldLeft(d)((dd, m) => dd.withColumn(m,
+        lit(null).cast(schemaType.getOrElse(m.toLowerCase,
+          org.apache.spark.sql.types.StringType))))
+      val checked = widened.filter(coalesce(expr(sql), lit(true)) ||
+        isnull(raise_error(concat(
+          lit(s"CHECK constraint '$name' ($sql) violated by row: "),
+          to_json(struct(df.columns.toIndexedSeq.map(col): _*))))))
+      if (missing.isEmpty) checked
+      else checked.select(d.columns.toIndexedSeq.map(col): _*)
+    }
   }
 
   private def tagPath(table: String, name: String) =
@@ -2333,9 +2528,10 @@ object TxTable {
       // post-vacuum read that resolves through this checkpoint (found by
       // the SQL-procedures spec: vacuum then read threw "no identity")
       // … and likewise the dropped-column tombstones: an anchor without
-      // them would let post-vacuum writers resurrect a dropped column
+      // them would let post-vacuum writers resurrect a dropped column —
+      // and the property map (constraints would silently stop enforcing)
       writeCheckpoint(fs, table, minKeep, snapMin.entries, snapMin.schema,
-        snapMin.bucketing, snapMin.dropped)
+        snapMin.bucketing, snapMin.dropped, snapMin.props)
     }
     // each pinned version below the horizon gets its own anchor too —
     // the manifests BETWEEN it and its old anchor are about to go, and a
@@ -2344,7 +2540,7 @@ object TxTable {
       if (!fs.exists(checkpointPath(table, v))) {
         val s = snapshot(spark, table, Some(v))
         writeCheckpoint(fs, table, v, s.entries, s.schema, s.bucketing,
-          s.dropped)
+          s.dropped, s.props)
       }
     }
     val referenced: Set[String] = retained

@@ -94,6 +94,12 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
+  /** Declares CHECK-constraint DDL support so Spark routes
+    * `ALTER TABLE ADD/DROP CONSTRAINT` (and CREATE TABLE with CHECK
+    * clauses) through this catalog. */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
     // the reserved `#changes` suffix serves the row-level change feed
@@ -149,8 +155,54 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
           "PARTITIONED BY (bucket(n, key)) " +
           s"(got ${partitions.map(_.describe()).mkString("[", ", ", "]")})")
     }
-    TxTable.create(spark, path, schema, bucketing._1, bucketing._2)
+    // user TBLPROPERTIES persist in the log; Spark's reserved/engine
+    // keys (provider, location, owner, …) describe the catalog entry,
+    // not the table, and stay out
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_TABLE_TYPE,
+      TableCatalog.PROP_COLLATION, TableCatalog.PROP_IS_MANAGED_LOCATION,
+      "path")
+    val userProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filter { case (k, _) =>
+        !reserved(k) && !k.startsWith(TableCatalog.OPTION_PREFIX) &&
+          !k.startsWith(TxTable.ConstraintPrefix)
+      }
+    }
+    TxTable.create(spark, path, schema, bucketing._1, bucketing._2,
+      props = userProps)
     new TxSparkTable(path)
+  }
+
+  /** CREATE TABLE with inline CHECK constraints (the [[TableInfo]]
+    * overload Spark calls when the DDL declares constraints): create,
+    * then commit each constraint — the table is empty, so only a
+    * resolution probe runs, no validation scan. */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (info.constraints().nonEmpty) {
+      val (path, _) = pathOf(ident)
+      val spark = SparkSession.active
+      try {
+        info.constraints().foreach {
+          case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            TxTable.addConstraint(spark, path, c.name(),
+              Option(c.predicateSql()).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"CHECK constraint '${c.name()}' carries no SQL " +
+                    "predicate")),
+              validate = false)
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported on a TxTable (got " +
+              s"${other.toDDL})")
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) => dropTable(ident); throw e
+      }
+      new TxSparkTable(path)
+    } else t
   }
 
   /** Schema evolution as DDL — ONE schema-only manifest commit, zero
@@ -183,13 +235,15 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       val snap = TxTable.snapshot(spark, path)
       val cur = snap.schema.getOrElse(throw new IllegalStateException(
         s"$path carries no recorded schema (pre-v2 manifest) — cannot ALTER"))
-      val (next, nextDropped) = changes.foldLeft((cur, snap.dropped))(
-        TxAlterSchema.apply(spark, path, snap, _, _))
-      done = (next == cur && nextDropped == snap.dropped) ||
+      val (next, nextDropped, nextProps) =
+        changes.foldLeft((cur, snap.dropped, snap.props))(
+          TxAlterSchema.apply(spark, path, snap, _, _))
+      done = (next == cur && nextDropped == snap.dropped &&
+          nextProps == snap.props) ||
         TxTable.commitNext(fs, path, snap,
           adds = Seq.empty, removes = Set.empty, txn = None,
           schema = Some(next), bucketing = snap.bucketing,
-          dropped = Some(nextDropped))
+          dropped = Some(nextDropped), props = Some(nextProps))
       attempt += 1
     }
     if (!done)
@@ -252,12 +306,63 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
   * rewritten them, the ADD succeeds and clears the tombstone. */
 private[sources] object TxAlterSchema {
   import org.apache.spark.sql.connector.catalog.TableChange._
+  import org.apache.spark.sql.connector.catalog.constraints.{Check => V2Check}
+
+  /** Column names a CHECK predicate references (top-level). */
+  private def constraintRefs(sql: String): Seq[String] =
+    SparkSession.active.sessionState.sqlParser.parseExpression(sql).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.nameParts.head
+    }.distinct
 
   def apply(spark: SparkSession, path: String, snap: TxTable.Snapshot,
-            state: (StructType, Set[String]), change: TableChange)
-      : (StructType, Set[String]) = {
-    val (schema, dropped) = state
+            state: (StructType, Set[String], Map[String, String]),
+            change: TableChange)
+      : (StructType, Set[String], Map[String, String]) = {
+    val (schema, dropped, props) = state
     change match {
+      case set: SetProperty =>
+        require(!set.property.startsWith(TxTable.ConstraintPrefix),
+          s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
+            "ALTER TABLE ADD/DROP CONSTRAINT (they validate data; a raw " +
+            "SET TBLPROPERTIES would not)")
+        (schema, dropped, props + (set.property -> set.value))
+      case unset: RemoveProperty =>
+        require(!unset.property.startsWith(TxTable.ConstraintPrefix),
+          s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
+            "ALTER TABLE ADD/DROP CONSTRAINT")
+        (schema, dropped, props - unset.property)
+      case ac: AddConstraint =>
+        val check = ac.constraint() match {
+          case c: V2Check => c
+          case other => throw new UnsupportedOperationException(
+            s"only CHECK constraints are supported on a TxTable (got " +
+              s"${other.toDDL}): PRIMARY KEY/UNIQUE/FOREIGN KEY cannot " +
+              "be enforced at write time without a global index")
+        }
+        val key = TxTable.ConstraintPrefix + check.name()
+        require(!props.contains(key),
+          s"$path: constraint '${check.name()}' already exists")
+        // Spark's ADD CONSTRAINT exec validates existing rows and stamps
+        // the version it validated; only an unstamped change (a direct
+        // API caller) pays the validation scan here
+        val sql = Option(check.predicateSql()).getOrElse(
+          throw new UnsupportedOperationException(
+            s"CHECK constraint '${check.name()}' carries no SQL predicate"))
+        if (ac.validatedTableVersion() == null) {
+          import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+          val bad = TxTable.read(spark, path)
+            .filter(not(coalesce(expr(sql), lit(true)))).limit(1).count()
+          require(bad == 0,
+            s"$path: cannot add constraint '${check.name()}': existing " +
+              s"rows violate CHECK ($sql)")
+        }
+        (schema, dropped, props + (key -> sql))
+      case dc: DropConstraint =>
+        val key = TxTable.ConstraintPrefix + dc.name()
+        require(props.contains(key) || dc.ifExists(),
+          s"$path: no constraint named '${dc.name()}'")
+        (schema, dropped, props - key)
       case add: AddColumn =>
         require(add.fieldNames.length == 1,
           s"ALTER TABLE ADD COLUMN supports top-level columns only, got " +
@@ -287,7 +392,7 @@ private[sources] object TxAlterSchema {
           _.name != graft.ops.LayoutOps.BucketCol)
         // tombstones clear case-insensitively (they block that way too)
         (StructType(data ++ Array(f) ++ layout),
-          dropped.filterNot(_.equalsIgnoreCase(name)))
+          dropped.filterNot(_.equalsIgnoreCase(name)), props)
       case del: DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"ALTER TABLE DROP COLUMN supports top-level columns only, got " +
@@ -308,8 +413,20 @@ private[sources] object TxAlterSchema {
           require(schema.fields.count(
             _.name != graft.ops.LayoutOps.BucketCol) > 1,
             s"cannot drop '$name': it is the last data column")
+          // a CHECK constraint referencing the column would silently
+          // stop meaning anything (the reference reads NULL forever) —
+          // refuse, the Delta posture
+          props.collect {
+            case (k, sql) if k.startsWith(TxTable.ConstraintPrefix) &&
+                constraintRefs(sql).exists(_.equalsIgnoreCase(name)) =>
+              k.stripPrefix(TxTable.ConstraintPrefix)
+          }.toSeq.sorted.headOption.foreach { cn =>
+            throw new IllegalArgumentException(
+              s"cannot drop '$name': CHECK constraint '$cn' references " +
+                "it — drop the constraint first")
+          }
           (StructType(schema.fields.filterNot(_.name == name)),
-            dropped + name)
+            dropped + name, props)
         }
       case other =>
         throw new UnsupportedOperationException(
@@ -368,8 +485,26 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     * live file count, exact row count when every live file recorded one,
     * and which columns carry zone-map sidecars. All O(manifest) driver
     * metadata; no data file is opened. */
+  /** The table's CHECK constraints, rebuilt from the log's property map.
+    * Reporting them `enforced` is what makes Spark's analyzer add the
+    * native per-row CheckInvariant to every DSv2 write over this table
+    * (INSERT, MERGE, the streaming sink) — the SQL paths get write-time
+    * enforcement without this connector touching the plan. */
+  override def constraints()
+      : Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    TxTable.constraintsOf(snap).toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint
+        .check(n).predicateSql(sql).enforced(true)
+        .validationStatus(org.apache.spark.sql.connector.catalog
+          .constraints.Constraint.ValidationStatus.VALID)
+        .build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
+
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
+    // user properties first; derived manifest metadata wins on collision
+    snap.props.foreach { case (k, v) => m.put(k, v) }
     m.put("format", "graft-txtable")
     m.put("version", snap.version.toString)
     m.put("bucket.key", bucketing._1)
@@ -2282,7 +2417,15 @@ final class TxWrite(path: String, querySchema: StructType,
   * [[TxWriteBuilder.truncate]] before building the micro-batch write):
   * each epoch's commit removes every file of the snapshot it lands on,
   * so the table always holds exactly the latest recomputed result —
-  * prior epochs remain time-travelable until vacuum. */
+  * prior epochs remain time-travelable until vacuum.
+  *
+  * CHECK constraints: Spark's analyzer injects its native CheckInvariant
+  * only into BATCH V2 writes (AppendData et al.), never into the
+  * micro-batch write node — so this sink compiles the table's CHECK
+  * predicates itself ([[TxConstraintChecks.compile]], once per query at
+  * factory-build time) and the task writers evaluate them per row during
+  * the write pass: zero extra jobs, and a violating row fails the epoch
+  * before anything commits. */
 final class TxStreamingWrite(path: String, querySchema: StructType,
                              bucketing: (String, Int), queryId: String,
                              replaceAll: Boolean = false)
@@ -2298,7 +2441,8 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
     new TxStreamingWriterFactory(path, stagedBase, querySchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
-          .GraftParquetShim.writeHadoopConf(spark)))
+          .GraftParquetShim.writeHadoopConf(spark)),
+      TxConstraintChecks.compile(spark, path, querySchema))
   }
 
   override def commit(epochId: Long,
@@ -2366,13 +2510,63 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
 final class TxStreamingWriterFactory(
     path: String, stagedBase: String, schema: StructType,
     bucketing: (String, Int),
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new TxDataWriter(path, s"$stagedBase-e$epochId", schema, bucketing,
-      conf.value, partitionId, taskId)
+      conf.value, partitionId, taskId, checks)
+}
+
+/** Compiles a TxTable's CHECK constraints into bound, serializable
+  * catalyst predicates over a write's query schema, for paths Spark's
+  * own CheckInvariant injection does not reach (the streaming sink).
+  * Each predicate is analyzed against the table's data schema (so
+  * functions and implicit casts resolve exactly as in SQL), then every
+  * attribute is bound to its ordinal in the query schema — or replaced
+  * by a typed NULL literal when the write omits that column (the stored
+  * value will be NULL, and SQL CHECK passes on NULL). The whole
+  * expression is wrapped `coalesce(pred, true)` so a NULL verdict
+  * passes, per the SQL standard. */
+private[sources] object TxConstraintChecks {
+  import org.apache.spark.sql.catalyst.expressions.{
+    AttributeReference, BoundReference, Coalesce, Expression}
+
+  def compile(spark: SparkSession, path: String, querySchema: StructType)
+      : Seq[(String, String, Expression)] = {
+    if (!TxTable.isTxTable(spark, path)) return Seq.empty
+    val snap = TxTable.snapshot(spark, path)
+    val cons = TxTable.constraintsOf(snap).toSeq.sortBy(_._1)
+    if (cons.isEmpty) return Seq.empty
+    val dataFields = snap.schema.toSeq.flatMap(_.fields).filterNot(f =>
+      f.name == graft.ops.LayoutOps.BucketCol ||
+        snap.dropped.exists(_.equalsIgnoreCase(f.name)))
+    val dummy = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(dataFields.toArray))
+    cons.map { case (name, sql) =>
+      val analyzed = dummy.filter(org.apache.spark.sql.functions.expr(sql))
+        .queryExecution.analyzed
+      val cond = analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(throw new IllegalStateException(
+        s"$path: CHECK constraint '$name' ($sql) did not analyze to a " +
+          "filter predicate"))
+      val bound = cond.transform {
+        case a: AttributeReference =>
+          val i = querySchema.fields
+            .indexWhere(_.name.equalsIgnoreCase(a.name))
+          if (i < 0) Literal.create(null, a.dataType)
+          else BoundReference(i, querySchema.fields(i).dataType,
+            nullable = true)
+      }
+      (name, sql, Coalesce(Seq(bound, Literal(true))): Expression)
+    }
+  }
 }
 
 final case class TxCommitMessage(files: Seq[(Int, String, Long)])
@@ -2497,11 +2691,19 @@ final class TxDataWriter(
     path: String, stagedRel: String, schema: StructType,
     bucketing: (String, Int),
     conf: org.apache.hadoop.conf.Configuration,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.execution.datasources.v2.parquet.GraftParquetShim
 
   private val (key, nBuckets) = bucketing
+  // CHECK predicates compiled once per task (codegen with interpreted
+  // fallback); row-local on the write hot path, zero extra jobs
+  private val checkPreds = checks.map { case (name, sql, e) =>
+    (name, sql,
+      org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
+  }
   private val keyIdx = schema.fieldIndex(key)
   private val keyType = schema.fields(keyIdx).dataType
   private val writeSchema = StructType(schema.fields :+
@@ -2534,6 +2736,11 @@ final class TxDataWriter(
     write(row)
 
   override def write(row: InternalRow): Unit = {
+    checkPreds.foreach { case (name, sql, p) =>
+      if (!p.eval(row)) throw new IllegalArgumentException(
+        s"$path: CHECK constraint '$name' ($sql) violated by a row in " +
+          s"partition $partitionId")
+    }
     val b = bucketOf(row)
     val (_, w) = writers.getOrElseUpdate(b, {
       val rel =

@@ -1800,6 +1800,153 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: SQL DDL lifecycle, native write enforcement, NULL passes, validated adds") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_check_").toString
+      val t = s"$base/t"
+      spark.sql(s"CREATE TABLE txspj.`$t` (k STRING, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('team'='graft')")
+      // user TBLPROPERTIES persist in the log
+      val props = spark.sql(s"SHOW TBLPROPERTIES txspj.`$t`")
+        .as[(String, String)].collect().toMap
+      assert(props.get("team").contains("graft"))
+      spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K1', 5), ('K2', 7)")
+      // ADD CONSTRAINT validates existing rows, then enforces every write
+      spark.sql(s"ALTER TABLE txspj.`$t` ADD CONSTRAINT pos CHECK (v > 0)")
+      assert(TxTable.constraintsOf(TxTable.snapshot(spark, t))
+        .get("pos").exists(_.contains("v > 0")))
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K3', -1)")
+      }
+      assert((e.getMessage + Option(e.getCause).fold("")(_.getMessage))
+        .toLowerCase.contains("check"))
+      // SQL-standard CHECK: NULL passes
+      spark.sql(s"INSERT INTO txspj.`$t` VALUES ('KN', NULL)")
+      assert(tbl(t).count() == 3)
+      // adding a constraint existing rows violate refuses
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE txspj.`$t` ADD CONSTRAINT vmax CHECK (v < 6)")
+      }
+      assert(!TxTable.constraintsOf(TxTable.snapshot(spark, t))
+        .contains("vmax"))
+      // a column under a CHECK cannot drop; the constraint can
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE txspj.`$t` DROP COLUMN v")
+      }
+      spark.sql(s"ALTER TABLE txspj.`$t` DROP CONSTRAINT pos")
+      spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K3', -1)")
+      assert(tbl(t).count() == 4)
+      // constraint keys refuse raw SET TBLPROPERTIES (no validation)
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE txspj.`$t` " +
+          "SET TBLPROPERTIES ('constraint.x'='v > 0')")
+      }
+      // generic properties: SET/UNSET are one metadata commit each
+      spark.sql(s"ALTER TABLE txspj.`$t` SET TBLPROPERTIES ('tier'='gold')")
+      spark.sql(s"ALTER TABLE txspj.`$t` UNSET TBLPROPERTIES ('team')")
+      val props2 = spark.sql(s"SHOW TBLPROPERTIES txspj.`$t`")
+        .as[(String, String)].collect().toMap
+      assert(props2.get("tier").contains("gold") && !props2.contains("team"))
+    }
+  }
+
+  test("CHECK constraints bind the Scala writers, survive vacuum anchors, and roll with RESTORE") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_check2_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      val preConstraint = TxTable.snapshot(spark, t).version
+      TxTable.addConstraint(spark, t, "pos", "v > 0")
+      // appendOnce: a violating batch fails DURING the write pass with
+      // the constraint name; nothing commits
+      val headV = TxTable.snapshot(spark, t).version
+      val e = intercept[Exception] {
+        TxTable.appendOnce(spark, t,
+          Seq(("KX", -5L)).toDF("k", "v"), "k", nBuckets, "check-spec", 1L)
+      }
+      assert(sparkRootMessage(e).contains("pos"))
+      assert(TxTable.snapshot(spark, t).version == headV)
+      // a valid batch passes; a batch OMITTING the constrained column
+      // passes too (stored NULL, SQL CHECK semantics)
+      assert(TxTable.appendOnce(spark, t,
+        Seq(("K17", 17L)).toDF("k", "v"), "k", nBuckets, "check-spec", 2L))
+      spark.sql(s"ALTER TABLE txspj.`$t` ADD COLUMN note STRING")
+      TxTable.addConstraint(spark, t, "kx", "coalesce(note, 'ok') != 'bad'")
+      assert(TxTable.appendOnce(spark, t,
+        Seq(("K18", 18L)).toDF("k", "v"), "k", nBuckets, "check-spec", 3L))
+      intercept[Exception] {
+        TxTable.appendOnce(spark, t,
+          Seq(("K19", 19L, "bad")).toDF("k", "v", "note"),
+          "k", nBuckets, "check-spec", 4L)
+      }
+      // upsert enforces too
+      intercept[Exception] {
+        TxTable.upsert(spark, t,
+          Seq(("K1", -1L, 99L)).toDF("k", "v", "ord"),
+          "k", "ord", nBuckets)
+      }
+      // constraints survive a vacuum's checkpoint anchor
+      TxTable.vacuum(spark, t, keepVersions = 1, orphanRetentionMs = 0L)
+      assert(TxTable.constraintsOf(TxTable.snapshot(spark, t))
+        .keySet == Set("pos", "kx"))
+      // RESTORE rolls metadata with the data: the pre-constraint version
+      // has no constraints, so the violating append now lands
+      // (vacuum kept only the head — re-pin the old version first)
+      val t2 = s"$base/t2"
+      TxTable.init(spark, t2,
+        Seq(("A", 1L)).toDF("k", "v"), "k", nBuckets)
+      TxTable.addConstraint(spark, t2, "pos", "v > 0")
+      TxTable.restore(spark, t2, 0L)
+      assert(TxTable.constraintsOf(TxTable.snapshot(spark, t2)).isEmpty)
+      assert(TxTable.appendOnce(spark, t2,
+        Seq(("B", -1L)).toDF("k", "v"), "k", nBuckets, "check-spec", 1L))
+      assert(preConstraint == 0L)
+    }
+  }
+
+  test("CHECK constraints ride CREATE TABLE and bind the exactly-once streaming sink") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_check3_").toString
+      val t = s"$base/t"
+      // inline table-level constraint through the TableInfo create path
+      spark.sql(s"CREATE TABLE txspj.`$t` (k STRING, v BIGINT, " +
+        "CONSTRAINT pos CHECK (v > 0)) PARTITIONED BY (bucket(4, k))")
+      assert(TxTable.constraintsOf(TxTable.snapshot(spark, t))
+        .get("pos").exists(_.contains("v > 0")))
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K1', 0)")
+      }
+      spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K1', 1)")
+      // streaming writes enforce natively too: a micro-batch with a
+      // violating row fails the query; nothing commits
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.streaming.Trigger
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+        spark.sqlContext
+      val mem = MemoryStream[(String, Long)]
+      mem.addData(("K2", 2L), ("K3", -3L))
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"txspj.`$t`")
+      val e = intercept[Exception] { q.awaitTermination() }
+      assert(sparkRootMessage(e).toLowerCase.contains("check") ||
+        sparkRootMessage(e).contains("pos"),
+        s"expected a CHECK violation, got: ${sparkRootMessage(e).take(500)}")
+      assert(tbl(t).count() == 1, "the failed micro-batch must not commit")
+    }
+  }
+
+  /** Message of the deepest cause (Spark wraps write-task failures). */
+  private def sparkRootMessage(e: Throwable): String = {
+    var cur: Throwable = e
+    val sb = new StringBuilder
+    while (cur != null) { sb.append(Option(cur.getMessage).getOrElse(""))
+      sb.append('\n'); cur = cur.getCause }
+    sb.toString
+  }
+
   test("a concurrent MOR delete between scan and commit makes both row-level commit shapes fail loudly") {
     registered {
       import org.apache.spark.sql.connector.write.RowLevelOperation.Command
