@@ -2387,12 +2387,34 @@ final class TxWriteBuilder(path: String, querySchema: StructType,
       overwriteFilters)
 }
 
+/** The append/overwrite write. Requests a CLUSTERED distribution on the
+  * table's own `bucket(n, key)` transform (resolved through this
+  * catalog's FunctionCatalog to the writers' exact xxhash64 kernel) so
+  * Spark shuffles rows bucket-together before the task writers run:
+  * an INSERT or streaming epoch from N upstream tasks stages ~nBuckets
+  * files instead of N×nBuckets — at 1000 executors the difference
+  * between 42 files per commit and 42,000. Best-effort rather than
+  * strict, deliberately: the writers route every row by key themselves
+  * (placement never depends on the incoming partitioning), so AQE stays
+  * free to coalesce tiny partitions and split a skewed hot bucket across
+  * tasks — that just means one extra file for that bucket, not a wrong
+  * table. */
 final class TxWrite(path: String, querySchema: StructType,
                     bucketing: (String, Int), queryId: String,
                     replaceAll: Boolean = false,
                     overwriteFilters: Option[Array[
                       org.apache.spark.sql.sources.Filter]] = None)
-    extends org.apache.spark.sql.connector.write.Write {
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      Array(Expressions.bucket(bucketing._2, bucketing._1)))
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
+
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new TxBatchWrite(path, querySchema, bucketing, replaceAll,
       overwriteFilters)

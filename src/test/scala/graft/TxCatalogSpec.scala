@@ -1800,6 +1800,32 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT clusters rows by the bucket transform: ~one file per bucket, not per task x bucket") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_dist_").toString
+      val t = s"$base/t"
+      spark.sql(s"CREATE TABLE txspj.`$t` (k STRING, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, k))")
+      // a 16-partition source where every partition holds keys of every
+      // bucket — without the write's clustered distribution this stages
+      // up to 16x4 files; with it, at most one per non-empty bucket
+      (1 to 256).map(i => (s"K$i", i.toLong)).toDF("k", "v")
+        .repartition(16).createOrReplaceTempView("dist_src")
+      spark.sql(s"INSERT INTO txspj.`$t` SELECT * FROM dist_src")
+      val snap = TxTable.snapshot(spark, t)
+      assert(snap.entries.map(_.bucket).distinct.size == 4,
+        "256 keys must hit all 4 buckets")
+      assert(snap.entries.size <= 4,
+        s"clustered write must stage <=1 file per bucket, " +
+          s"got ${snap.entries.size}: ${snap.entries.map(_.rel)}")
+      assert(tbl(t).count() == 256)
+      // rows landed in the right buckets regardless of the shuffle: a
+      // point read by key opens exactly one bucket's files
+      val one = tbl(t).filter($"k" === "K17")
+      assert(one.as[(String, Long)].collect().toSeq == Seq(("K17", 17L)))
+    }
+  }
+
   test("CHECK constraints: SQL DDL lifecycle, native write enforcement, NULL passes, validated adds") {
     registered {
       val base = Files.createTempDirectory("graft_cat_check_").toString
