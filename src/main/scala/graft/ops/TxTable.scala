@@ -629,8 +629,11 @@ object TxTable {
     * `n_removes` count the commit's file changes; `txn_app` / `txn_batch`
     * surface the exactly-once stamp when the commit carried one;
     * `bucket_key` / `n_buckets` the layout identity; `checkpointed` whether
-    * a resolution anchor sidecar exists at that version. Versions dropped
-    * by [[vacuum]] are absent — their history is gone by design. */
+    * a resolution anchor sidecar exists at that version; `commit_ts` the
+    * commit's publication time (the log file's modification time, the
+    * Delta convention — the same clock [[versionAsOfTimestamp]] resolves
+    * TIMESTAMP AS OF against). Versions dropped by [[vacuum]] are
+    * absent — their history is gone by design. */
   def history(spark: SparkSession, table: String): DataFrame = {
     val fs = fsFor(spark, table)
     val rows = listVersions(fs, table).sorted.map { v =>
@@ -646,11 +649,51 @@ object TxTable {
         txn.map(t => java.lang.Long.valueOf(t._2)).orNull,
         bk.map(_._1).orNull,
         bk.map(b => java.lang.Integer.valueOf(b._2)).orNull,
-        fs.exists(checkpointPath(table, v)))
+        fs.exists(checkpointPath(table, v)),
+        new java.sql.Timestamp(
+          fs.getFileStatus(versionPath(table, v)).getModificationTime))
     }
     spark.createDataFrame(rows).toDF("version", "kind", "n_adds",
       "n_removes", "txn_app", "txn_batch", "bucket_key", "n_buckets",
-      "checkpointed")
+      "checkpointed", "commit_ts")
+  }
+
+  /** TIMESTAMP AS OF resolution: the newest retained version whose
+    * manifest was PUBLISHED at or before `tsMillis` (publication time =
+    * the log file's modification time, the Delta convention — commit
+    * files are written once and never touched, so the mtime IS the
+    * commit time). Throws when the timestamp predates the earliest
+    * retained commit (vacuumed history cannot be travelled to) — but a
+    * timestamp after the newest commit resolves to the head, exactly as
+    * a reader at that wall-clock moment would have seen it. */
+  def versionAsOfTimestamp(spark: SparkSession, table: String,
+                           tsMillis: Long): Long = {
+    val fs = fsFor(spark, table)
+    val vs = listVersions(fs, table).sorted
+    require(vs.nonEmpty, s"$table has no committed versions")
+    // mtimes are monotone per committed version in practice (versions
+    // publish in order); take max version among those at-or-before
+    val at = vs.map(v => (v,
+      fs.getFileStatus(versionPath(table, v)).getModificationTime))
+    val ok = at.filter(_._2 <= tsMillis)
+    if (ok.isEmpty) throw new IllegalArgumentException(
+      s"$table: timestamp ${new java.sql.Timestamp(tsMillis)} is before " +
+        s"the earliest retained commit " +
+        s"(v${at.head._1} at ${new java.sql.Timestamp(at.head._2)}) — " +
+        "older history was never written or has been vacuumed")
+    ok.map(_._1).max
+  }
+
+  /** The earliest retained version published AT OR AFTER `tsMillis`
+    * (None when every retained commit predates it) — the change-feed /
+    * streaming-source `startingTimestamp` resolution ("changes committed
+    * at or after this instant", the Delta convention). */
+  def firstVersionAtOrAfter(spark: SparkSession, table: String,
+                            tsMillis: Long): Option[Long] = {
+    val fs = fsFor(spark, table)
+    listVersions(fs, table).sorted.find(v =>
+      fs.getFileStatus(versionPath(table, v)).getModificationTime >=
+        tsMillis)
   }
 
   /** Point-lookup read: only the files of the buckets `keys` hash into are

@@ -24,12 +24,15 @@ import graft.ops.{DeletionVectors, TxTable}
   *     .option("endingVersion", 4).table("txcat.\`/t#changes\`")` —
   *     `startingVersion` is INCLUSIVE of that commit's changes (default
   *     0 = full history, the initial snapshot surfacing as inserts),
-  *     `endingVersion` defaults to the head.
+  *     `endingVersion` defaults to the head; `startingTimestamp` /
+  *     `endingTimestamp` resolve through the commit log's publication
+  *     times (first commit at-or-after / newest commit at-or-before).
   *   - streaming: `spark.readStream.table("txcat.\`/t#changes\`")` —
   *     offsets are commit versions exactly like the append source
   *     ([[TxMicroBatchStream]]); `startingVersion` (number | `latest`)
-  *     and `maxVersionsPerTrigger` admission ride along, and
-  *     `Trigger.AvailableNow` pins the head at prepare time.
+  *     or `startingTimestamp` (at-or-after) and `maxVersionsPerTrigger`
+  *     admission ride along, and `Trigger.AvailableNow` pins the head
+  *     at prepare time.
   *
   * The schema is the table's data schema plus `_change_type` STRING and
   * `_commit_version` LONG. Change derivation is the manifest file-diff
@@ -84,9 +87,29 @@ private[sources] final class TxChangesScan(path: String,
   override def description(): String = s"GraftTxChanges $path"
 
   override def toBatch: Batch = new Batch {
+    require(options.get("startingVersion") == null ||
+        options.get("startingTimestamp") == null,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    require(options.get("endingVersion") == null ||
+        options.get("endingTimestamp") == null,
+      "endingVersion and endingTimestamp are mutually exclusive")
+    // timestamp bounds resolve through the commit log's own publication
+    // times: starting = first commit at or after, ending = newest commit
+    // at or before (the Delta table_changes convention); a start past
+    // the head or an end before the log yields an empty feed
     private val start =
-      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+      Option(options.get("startingVersion")).map(_.toLong)
+        .orElse(Option(options.get("startingTimestamp")).map(ts =>
+          TxTable.firstVersionAtOrAfter(spark, path,
+              TxTimestamps.parseMillis(ts))
+            .getOrElse(TxTable.snapshot(spark, path).version + 1)))
+        .getOrElse(0L)
     private val end = Option(options.get("endingVersion")).map(_.toLong)
+      .orElse(Option(options.get("endingTimestamp")).map { ts =>
+        try TxTable.versionAsOfTimestamp(spark, path,
+          TxTimestamps.parseMillis(ts))
+        catch { case _: IllegalArgumentException => -1L }
+      })
       .getOrElse(TxTable.snapshot(spark, path).version)
     override def planInputPartitions(): Array[InputPartition] =
       TxChangeFeedPlanning.plan(spark, path, start - 1, end)
@@ -111,6 +134,9 @@ final class TxChangesMicroBatchStream(path: String, dataSchema: StructType,
 
   private def spark = SparkSession.active
   private val startingVersion = Option(options.get("startingVersion"))
+  private val startingTimestamp = Option(options.get("startingTimestamp"))
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive")
   private val maxVersionsPerTrigger: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
 
@@ -123,7 +149,14 @@ final class TxChangesMicroBatchStream(path: String, dataSchema: StructType,
     TxStreamOffset(startingVersion match {
       case Some("latest") => headVersion // only commits after stream start
       case Some(v) => v.toLong - 1 // serve from commit v inclusive
-      case None => -1L // full history: initial snapshot as inserts
+      case None => startingTimestamp match {
+        // commits published at or after the instant (Delta convention)
+        case Some(ts) =>
+          TxTable.firstVersionAtOrAfter(spark, path,
+              TxTimestamps.parseMillis(ts))
+            .map(_ - 1).getOrElse(headVersion)
+        case None => -1L // full history: initial snapshot as inserts
+      }
     })
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()

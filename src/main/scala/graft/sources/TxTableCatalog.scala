@@ -119,6 +119,38 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     new TxSparkTable(path, version)
   }
 
+  /** SQL `FOR VERSION AS OF` — a version number or a named tag
+    * (`SELECT * FROM txcat.\`/t\` VERSION AS OF 'train-v1'`). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val spark = SparkSession.active
+    val (path, pinned) = pathOf(ident)
+    if (!TxTable.isTxTable(spark, path)) throw new NoSuchTableException(ident)
+    require(pinned.isEmpty,
+      s"$path already pins a version via its @ suffix; drop one of the " +
+        "two time-travel clauses")
+    val v =
+      if (version.forall(_.isDigit) && version.nonEmpty) version.toLong
+      else TxTable.tags(spark, path).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"$path: no tag named '$version' (VERSION AS OF takes a " +
+            "version number or a tag name)"))
+    new TxSparkTable(path, Some(v))
+  }
+
+  /** SQL `FOR TIMESTAMP AS OF` — Spark hands micros since epoch; resolved
+    * to the newest commit published at or before that instant via the log
+    * files' own modification times ([[TxTable.versionAsOfTimestamp]]). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val spark = SparkSession.active
+    val (path, pinned) = pathOf(ident)
+    if (!TxTable.isTxTable(spark, path)) throw new NoSuchTableException(ident)
+    require(pinned.isEmpty,
+      s"$path already pins a version via its @ suffix; drop one of the " +
+        "two time-travel clauses")
+    new TxSparkTable(path, Some(TxTable.versionAsOfTimestamp(spark, path,
+      Math.floorDiv(timestampMicros, 1000L))))
+  }
+
   /** CREATE TABLE / CTAS: bootstraps a TxTable from pure SQL — an empty
     * version-0 manifest carrying the declared schema and the bucket
     * identity from the REQUIRED `PARTITIONED BY (bucket(n, key))`
@@ -2162,6 +2194,9 @@ final case class TxStreamOffset(version: Long)
   *     rewritten rows) — the documented Delta option pair.
   *   - `startingVersion` (a version number, or `latest`) begins the
   *     subscription at a commit instead of the initial snapshot;
+  *     `startingTimestamp` serves commits published at or after the
+  *     given instant (the Delta convention; past-the-head serves only
+  *     future commits, before-the-log serves the full history);
   *     `maxVersionsPerTrigger` / `maxFilesPerTrigger` /
   *     `maxRowsPerTrigger` rate-limit admission by commits / added files
   *     / the manifests' exact added-row counts (T7 for the table source;
@@ -2179,6 +2214,9 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
 
   private def spark = SparkSession.active
   private val startingVersion = Option(options.get("startingVersion"))
+  private val startingTimestamp = Option(options.get("startingTimestamp"))
+  require(startingVersion.isEmpty || startingTimestamp.isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive")
   private val skipChangeCommits = options.getBoolean("skipChangeCommits", false)
   private val ignoreChanges = options.getBoolean("ignoreChanges", false)
   private val maxVersionsPerTrigger: Option[Long] =
@@ -2199,7 +2237,17 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
   override def initialOffset(): Offset = TxStreamOffset(startingVersion match {
     case Some("latest") => headVersion // only commits after stream start
     case Some(v) => v.toLong - 1 // serve from commit v inclusive
-    case None => -1L // initial snapshot: every commit from v0
+    case None => startingTimestamp match {
+      // commits published AT OR AFTER the instant (the Delta
+      // convention); a timestamp past the head serves only future
+      // commits, one before the earliest retained commit serves the
+      // full history
+      case Some(ts) =>
+        TxTable.firstVersionAtOrAfter(spark, path,
+            TxTimestamps.parseMillis(ts))
+          .map(_ - 1).getOrElse(headVersion)
+      case None => -1L // initial snapshot: every commit from v0
+    }
   })
 
   override def getDefaultReadLimit: ReadLimit =
@@ -2553,6 +2601,17 @@ final class TxStreamingWriterFactory(
   * value will be NULL, and SQL CHECK passes on NULL). The whole
   * expression is wrapped `coalesce(pred, true)` so a NULL verdict
   * passes, per the SQL standard. */
+/** Option-string timestamp parsing shared by the streaming source and
+  * the change feed: `yyyy-MM-dd HH:mm:ss[.SSS]` (T separator accepted)
+  * or epoch millis. */
+private[sources] object TxTimestamps {
+  def parseMillis(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else java.sql.Timestamp.valueOf(
+      if (s.contains(' ') || s.contains('T')) s.replace('T', ' ')
+      else s + " 00:00:00").getTime
+}
+
 private[sources] object TxConstraintChecks {
   import org.apache.spark.sql.catalyst.expressions.{
     AttributeReference, BoundReference, Coalesce, Expression}

@@ -1800,6 +1800,78 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF / VERSION AS OF: SQL time travel off the log's own publication times") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_ts_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t, Seq(("A", 1L)).toDF("k", "v"), "k", nBuckets)
+      Thread.sleep(30)
+      val betweenV0V1 = new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(30)
+      TxTable.appendOnce(spark, t,
+        Seq(("B", 2L)).toDF("k", "v"), "k", nBuckets, "ts-spec", 1L)
+      Thread.sleep(30)
+      val afterV1 = new java.sql.Timestamp(System.currentTimeMillis())
+      TxTable.tag(spark, t, "first", Some(0L))
+
+      // VERSION AS OF: number and tag
+      assert(spark.sql(s"SELECT count(*) FROM txspj.`$t` VERSION AS OF 0")
+        .as[Long].head() == 1)
+      assert(spark.sql(
+        s"SELECT count(*) FROM txspj.`$t` VERSION AS OF 'first'")
+        .as[Long].head() == 1)
+      // TIMESTAMP AS OF: between the commits -> v0; after the head -> head
+      assert(spark.sql(s"SELECT count(*) FROM txspj.`$t` " +
+        s"TIMESTAMP AS OF '$betweenV0V1'").as[Long].head() == 1)
+      assert(spark.sql(s"SELECT count(*) FROM txspj.`$t` " +
+        s"TIMESTAMP AS OF '$afterV1'").as[Long].head() == 2)
+      // before the earliest retained commit: loud
+      intercept[Exception] {
+        spark.sql(s"SELECT count(*) FROM txspj.`$t` " +
+          "TIMESTAMP AS OF '2001-01-01 00:00:00'").collect()
+      }
+      // history carries the clock TIMESTAMP AS OF resolves against
+      val h = TxTable.history(spark, t)
+        .select($"version", $"commit_ts").as[(Long, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      assert(h.map(_._1).toSeq == Seq(0L, 1L))
+      assert(h(0)._2.getTime <= h(1)._2.getTime)
+      assert(TxTable.versionAsOfTimestamp(spark, t,
+        betweenV0V1.getTime) == 0L)
+      assert(TxTable.firstVersionAtOrAfter(spark, t,
+        betweenV0V1.getTime).contains(1L))
+
+      // change feed with timestamp bounds: only v1's insert
+      val cf = spark.read
+        .option("startingTimestamp", betweenV0V1.toString)
+        .table(s"txspj.`$t#changes`")
+        .select($"k", $"_change_type", $"_commit_version")
+        .as[(String, String, Long)].collect().toSet
+      assert(cf == Set(("B", "insert", 1L)))
+      val cfEnd = spark.read
+        .option("endingTimestamp", betweenV0V1.toString)
+        .table(s"txspj.`$t#changes`")
+        .select($"k", $"_commit_version").as[(String, Long)]
+        .collect().toSet
+      assert(cfEnd == Set(("A", 0L)))
+
+      // streaming source startingTimestamp: at-or-after serves only v1
+      import org.apache.spark.sql.streaming.Trigger
+      val outDir = s"$base/out"
+      spark.readStream
+        .option("startingTimestamp", betweenV0V1.toString)
+        .table(s"txspj.`$t`")
+        .writeStream.format("parquet")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      val streamed = spark.read.parquet(outDir)
+        .select($"k", $"v").as[(String, Long)].collect().toSet
+      assert(streamed == Set(("B", 2L)),
+        s"startingTimestamp must serve commits at-or-after, got $streamed")
+    }
+  }
+
   test("INSERT clusters rows by the bucket transform: ~one file per bucket, not per task x bucket") {
     registered {
       val base = Files.createTempDirectory("graft_cat_dist_").toString
