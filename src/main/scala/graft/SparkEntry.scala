@@ -651,6 +651,10 @@ object SparkEntry {
     // the delete+restore fixture (ext_restore reads two of its heads) —
     // the MOR delete and the rollback commit are maintenance work
     stagedRestoredOrders(s, dir)
+    // the renamed-orders fixture (ext_rename_evolution reads both sides
+    // of the DDL) — the rename commits + post-rename append are DDL/
+    // landing work
+    stagedRenamedOrders(s, dir)
     // the co-bucketed SPJ pair and the maintained HLL sketch state —
     // commit/maintenance work, not query work
     stagedSpjTables(s, dir)
@@ -672,6 +676,33 @@ object SparkEntry {
     // DV-aware read path)
     stagedMorOrders(s, dir)
     ()
+  }
+
+  /** Renamed-orders TxTable fixture for the column-mapping query
+    * (ext_rename_evolution): v0 = full orders (ANALYZEd on o_totalprice),
+    * then two metadata-only SQL RENAME commits (o_totalprice→price,
+    * o_orderkey→order_id — the BUCKET KEY, safe because layout identity
+    * is physical), then one append under the NEW logical names (the
+    * staged file stores physical names, which is what lets one rename map
+    * serve files written on both sides of the DDL). */
+  private def stagedRenamedOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-renamed-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders")
+      ops.TxTable.init(s, path, orders, key = "o_orderkey", nBuckets = 8)
+      ops.TxTable.computeStats(s, path, "o_totalprice")
+      s.sql(s"ALTER TABLE txspj.`$path` RENAME COLUMN o_totalprice TO price")
+      s.sql(s"ALTER TABLE txspj.`$path` RENAME COLUMN o_orderkey TO order_id")
+      val slice = orders.filter(pmod(col("o_orderkey"), lit(50)) === 0)
+        .withColumnRenamed("o_totalprice", "price")
+        .withColumnRenamed("o_orderkey", "order_id")
+      ops.TxTable.appendOnce(s, path, slice, "order_id", 8,
+        appId = "rn-stage", batchId = 1L)
+      ()
+    }
+    path
   }
 
   /** Versioned-orders TxTable fixture for the time-travel / change-feed
@@ -2505,6 +2536,38 @@ object SparkEntry {
               .as("total_price"))
           .select(lit(v).as("version"), col("n_orders"), col("total_price"))
       }.reduce(_.unionByName(_)).orderBy(col("version"))
+    }),
+
+    // ALTER TABLE RENAME COLUMN as a query surface — Delta-style COLUMN
+    // MAPPING on the commit log: physical (birth) names live in the files,
+    // sidecars and bucket identity forever; a rename is ONE metadata
+    // commit that only changes the logical→physical map in the manifest
+    // header. The head reads under the NEW names (the range filter here
+    // file-prunes off the zone-map sidecar built BEFORE the rename — no
+    // re-ANALYZE), time travel serves v0 under the OLD names, and the
+    // post-rename append proves writers store physical names (one map
+    // serves files from both sides of the DDL). At 100 TB a rename costs
+    // one manifest write instead of a full-table rewrite.
+    "ext_rename_evolution" -> ((s, dir) => {
+      val path = stagedRenamedOrders(s, dir)
+      ensureTxCatalog(s)
+      val head = s.table(s"txspj.`$path`")
+        .filter(col("price") >= 1000.0 && col("price") <= 50000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .select(lit("head").as("snapshot"), col("o_orderpriority"),
+          col("n_orders"), col("total_price"))
+      val v0 = s.table(s"txspj.`$path@v0`")
+        .filter(col("o_totalprice") >= 1000.0 && col("o_totalprice") <= 50000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .select(lit("v0").as("snapshot"), col("o_orderpriority"),
+          col("n_orders"), col("total_price"))
+      head.unionByName(v0).orderBy(col("snapshot"), col("o_orderpriority"))
     }),
 
     // File-granular change feed (the Delta CDF read shape): rows added
@@ -5578,6 +5641,31 @@ object SparkEntry {
         |FROM versions v JOIN orders o ON o.o_orderkey % 3 <= v.version
         |GROUP BY v.version
         |ORDER BY version""".stripMargin,
+
+    // column-mapping replay: the head is orders plus the post-rename
+    // %50 append, aggregated under the NEW logical names; v0 is the
+    // pre-rename snapshot under the OLD names — same stored values, so
+    // the replay only re-labels
+    "ext_rename_evolution" ->
+      """WITH head AS (
+        |  SELECT o_orderpriority, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice AS price FROM orders
+        |  WHERE o_orderkey % 50 = 0
+        |)
+        |SELECT 'head' AS snapshot, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM head WHERE price >= 1000 AND price <= 50000
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'v0' AS snapshot, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders WHERE o_totalprice >= 1000 AND o_totalprice <= 50000
+        |GROUP BY o_orderpriority
+        |ORDER BY snapshot, o_orderpriority""".stripMargin,
 
     // restore replay: v3 = the three slices minus the MOR-deleted urgent
     // orders; v4 = the restored v1 content (slices %3<=1, urgent rows

@@ -93,13 +93,61 @@ object TxTable {
     * metadata — CHECK constraints ride here under `constraint.<name>`
     * keys); inherited across commits unless a commit changes it, exactly
     * like the tombstone set. */
+  /** `renames` is the version's COLUMN-MAPPING table: LOGICAL (current,
+    * user-visible) name → PHYSICAL (column-birth) name, entries only
+    * where they differ. The manifest's recorded `schema`, the bucket
+    * identity, the zone-map/bloom sidecars, and every byte in every data
+    * file stay in PHYSICAL names forever — an `ALTER TABLE RENAME
+    * COLUMN` is one metadata commit that changes only this map (the
+    * Delta column-mapping design), so no file rewrites, no sidecar
+    * re-ANALYZE, and time travel serves each version under its own
+    * names. Inherited across commits like tombstones/props. */
   final case class Snapshot(version: Long, entries: Seq[FileEntry],
                             schema: Option[StructType] = None,
                             bucketing: Option[(String, Int)] = None,
                             dropped: Set[String] = Set.empty,
-                            props: Map[String, String] = Map.empty) {
+                            props: Map[String, String] = Map.empty,
+                            renames: Map[String, String] = Map.empty) {
     def absFiles(table: String): Seq[String] = entries.map(e => s"$table/${e.rel}")
+
+    /** PHYSICAL (stored) name of a logical column — identity when the
+      * column was never renamed. */
+    def physicalName(logical: String): String =
+      renames.getOrElse(logical, logical)
+
+    /** LOGICAL (user-visible) name of a stored column — identity when
+      * the column was never renamed. `renames` is a bijection on full
+      * names (rename refuses logical collisions), so the inverse is
+      * well-defined. */
+    def logicalName(physical: String): String =
+      renames.collectFirst { case (l, p) if p == physical => l }
+        .getOrElse(physical)
+
+    /** The version's schema under LOGICAL names (the user-facing shape);
+      * the stored `schema` field keeps physical names. */
+    def logicalSchema: Option[StructType] = schema.map { sc =>
+      if (renames.isEmpty) sc
+      else StructType(sc.fields.map(f => f.copy(name = logicalName(f.name))))
+    }
   }
+
+  /** Rename every mapped PHYSICAL column of `df` to its LOGICAL name —
+    * the read-boundary half of column mapping. One positional SELECT
+    * (not a sequential rename), so even a swap cycle in the map
+    * translates correctly. Identity (same plan) when the map is empty. */
+  private[graft] def fromPhysical(df: DataFrame, snap: Snapshot): DataFrame =
+    if (snap.renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(s"`$c`").as(snap.logicalName(c))): _*)
+
+  /** Rename every mapped LOGICAL column of `df` to its PHYSICAL name —
+    * the write-boundary half of column mapping: every writer stores
+    * physical names, which is what lets ONE map serve files written both
+    * before and after any rename. */
+  private[graft] def toPhysical(df: DataFrame, snap: Snapshot): DataFrame =
+    if (snap.renames.isEmpty) df
+    else df.select(df.columns.toSeq.map(c =>
+      col(s"`$c`").as(snap.physicalName(c))): _*)
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,26 +238,56 @@ object TxTable {
     }.toMap)
   }
 
+  // HEADER extension (column mapping): field 10 records the FULL
+  // logical→physical rename map as of the version — `logical=physical`
+  // pairs, both sides URL-encoded, comma-joined — or `-` for an
+  // explicitly empty map. An ABSENT field (older writers) inherits the
+  // previous version's map during resolution, exactly like tombstones
+  // and properties.
+  private def renderRenames(renames: Map[String, String]): String =
+    if (renames.isEmpty) "-"
+    else renames.toSeq.sortBy(_._1).map { case (l, p) =>
+      java.net.URLEncoder.encode(l, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(p, "UTF-8")
+    }.mkString(",")
+
+  private def parseRenames(bytes: Array[Byte]): Option[Map[String, String]] = {
+    val header = headerFields(bytes)
+    if (header.length < 10) None
+    else if (header(9) == "-") Some(Map.empty)
+    else Some(header(9).split(',').toSeq.map { kv =>
+      val Array(l, p) = kv.split("=", 2)
+      java.net.URLDecoder.decode(l, "UTF-8") ->
+        java.net.URLDecoder.decode(p, "UTF-8")
+    }.toMap)
+  }
+
   private def renderManifest(entries: Seq[FileEntry],
                              txn: Option[(String, Long)] = None,
                              schema: Option[StructType] = None,
                              bucketing: Option[(String, Int)] = None,
                              dropped: Set[String] = Set.empty,
-                             props: Map[String, String] = Map.empty)
+                             props: Map[String, String] = Map.empty,
+                             renames: Map[String, String] = Map.empty)
       : Array[Byte] = {
     require(dropped.isEmpty || schema.isDefined,
       "dropped-column tombstones require a recorded schema")
     require(props.isEmpty || schema.isDefined,
       "table properties require a recorded schema")
-    val pr = if (props.nonEmpty) s"	${renderProps(props)}" else ""
-    val dr = if (dropped.nonEmpty || props.nonEmpty)
+    require(renames.isEmpty || schema.isDefined,
+      "column-mapping renames require a recorded schema")
+    val rn = if (renames.nonEmpty) s"	${renderRenames(renames)}" else ""
+    val pr = if (props.nonEmpty || renames.nonEmpty)
+      s"	${renderProps(props)}" else ""
+    val dr = if (dropped.nonEmpty || props.nonEmpty || renames.nonEmpty)
       s"	${renderDropped(dropped)}" else ""
     val bk = bucketing.map { case (k, n) => s"	$k	$n" }
-      .getOrElse(if (dropped.nonEmpty || props.nonEmpty) "	-	-" else "")
+      .getOrElse(if (dropped.nonEmpty || props.nonEmpty || renames.nonEmpty)
+        "	-	-" else "")
     val header = schema match {
       case Some(sc) =>
         val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
-        s"txtable	2	$app	$batch	${sc.json}$bk$dr$pr"
+        s"txtable	2	$app	$batch	${sc.json}$bk$dr$pr$rn"
       case None => txn match {
         case Some((app, batch)) => s"txtable	1	$app	$batch"
         case None => "txtable	1"
@@ -245,13 +323,15 @@ object TxTable {
                           schema: Option[StructType],
                           bucketing: Option[(String, Int)] = None,
                           dropped: Set[String] = Set.empty,
-                          props: Map[String, String] = Map.empty)
+                          props: Map[String, String] = Map.empty,
+                          renames: Map[String, String] = Map.empty)
       : Array[Byte] = {
     val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
     val sc = schema.map(_.json).getOrElse("-")
     val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("	-	-")
     val header = s"txtable	3	$app	$batch	$sc$bk	" +
-      s"${renderDropped(dropped)}	${renderProps(props)}"
+      s"${renderDropped(dropped)}	${renderProps(props)}	" +
+      renderRenames(renames)
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel))
         .map(e =>
@@ -319,9 +399,11 @@ object TxTable {
                         txn: Option[(String, Long)] = None,
                         schema: Option[StructType] = None,
                         bucketing: Option[(String, Int)] = None,
-                        props: Map[String, String] = Map.empty): Boolean =
+                        props: Map[String, String] = Map.empty,
+                        renames: Map[String, String] = Map.empty): Boolean =
     tryPublish(fs, table, v,
-      renderManifest(entries, txn, schema, bucketing, props = props))
+      renderManifest(entries, txn, schema, bucketing, props = props,
+        renames = renames))
 
   private def tryPublish(fs: FileSystem, table: String, v: Long,
                          bytes: Array[Byte]): Boolean =
@@ -382,7 +464,8 @@ object TxTable {
                                 bucketing: Option[(String, Int)] = None,
                                 allowRebucket: Boolean = false,
                                 dropped: Option[Set[String]] = None,
-                                props: Option[Map[String, String]] = None)
+                                props: Option[Map[String, String]] = None,
+                                renames: Option[Map[String, String]] = None)
       : Boolean = {
     (bucketing, base.bucketing) match {
       case (Some(b), Some(cur)) if b != cur && !allowRebucket =>
@@ -400,14 +483,15 @@ object TxTable {
     // (ALTER DROP adds, a post-purge ALTER ADD clears)
     val effDropped = dropped.getOrElse(base.dropped)
     val effProps = props.getOrElse(base.props)
+    val effRenames = renames.getOrElse(base.renames)
     val v = base.version + 1
     val ok = tryPublish(fs, table, v,
       renderDelta(adds, removes.toSeq, txn, schema, effBucketing,
-        effDropped, effProps))
+        effDropped, effProps, effRenames))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
       val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
       try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
-        effBucketing, effDropped, effProps)
+        effBucketing, effDropped, effProps, effRenames)
       catch { case scala.util.control.NonFatal(_) => () }
     }
     // committed writes keep profiled sidecars fresh from footers (no data
@@ -425,11 +509,12 @@ object TxTable {
                               schema: Option[StructType],
                               bucketing: Option[(String, Int)] = None,
                               dropped: Set[String] = Set.empty,
-                              props: Map[String, String] = Map.empty): Unit = {
+                              props: Map[String, String] = Map.empty,
+                              renames: Map[String, String] = Map.empty): Unit = {
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     out.write(renderManifest(entries, None, schema, bucketing, dropped,
-      props))
+      props, renames))
     out.close()
     val dst = checkpointPath(table, v)
     fs.delete(dst, false)
@@ -468,7 +553,8 @@ object TxTable {
         val bytes = readBytes(fs, cp)
         anchor = Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
           parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty),
-          parseProps(bytes).getOrElse(Map.empty)))
+          parseProps(bytes).getOrElse(Map.empty),
+          parseRenames(bytes).getOrElse(Map.empty)))
       } else {
         val p = versionPath(table, cursor)
         require(fs.exists(p),
@@ -480,7 +566,8 @@ object TxTable {
         else anchor =
           Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
             parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty),
-            parseProps(bytes).getOrElse(Map.empty)))
+            parseProps(bytes).getOrElse(Map.empty),
+            parseRenames(bytes).getOrElse(Map.empty)))
       }
     }
     // fold the collected deltas forward (they were gathered newest-first);
@@ -492,7 +579,8 @@ object TxTable {
         parseSchema(bytes).orElse(snap.schema),
         parseBucketing(bytes).orElse(snap.bucketing),
         parseDropped(bytes).getOrElse(snap.dropped),
-        parseProps(bytes).getOrElse(snap.props))
+        parseProps(bytes).getOrElse(snap.props),
+        parseRenames(bytes).getOrElse(snap.renames))
     }
   }
 
@@ -520,12 +608,16 @@ object TxTable {
       // first batches admitted nothing) reads as a typed empty frame when
       // the manifest records the schema; pre-schema (v1) empty tables have
       // no schema source anywhere and must fail loudly
-      val sc = snap.schema.getOrElse(throw new IllegalStateException(
+      val sc = snap.logicalSchema.getOrElse(throw new IllegalStateException(
         s"$table@v${snap.version} has no data files and no recorded schema"))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
     } else {
-      DeletionVectors.readEntries(spark, table, snap.entries, snap.schema)
+      // files store PHYSICAL names; the column-mapping boundary renames
+      // to the version's logical names (identity when never renamed)
+      fromPhysical(
+        DeletionVectors.readEntries(spark, table, snap.entries, snap.schema),
+        snap)
     }
   }
 
@@ -612,15 +704,18 @@ object TxTable {
       }
       prev = cur
     }
-    frames.result().reduceOption(_.unionByName(_)).getOrElse {
-      val sc = StructType(schema.fields
-        :+ org.apache.spark.sql.types.StructField("_change_type",
-          org.apache.spark.sql.types.StringType)
-        :+ org.apache.spark.sql.types.StructField("_commit_version",
-          org.apache.spark.sql.types.LongType))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
-    }
+    // change frames surface under toVersion's LOGICAL names (the CDF
+    // consumer's view; `_change_type`/`_commit_version` are never mapped)
+    fromPhysical(
+      frames.result().reduceOption(_.unionByName(_)).getOrElse {
+        val sc = StructType(schema.fields
+          :+ org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType)
+          :+ org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+      }, latest)
   }
 
   /** DESCRIBE HISTORY analog: one row per RETAINED log version, oldest
@@ -708,15 +803,19 @@ object TxTable {
                version: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "at least one key required")
     val snap = snapshot(spark, table, version)
+    // callers speak LOGICAL names; bucket identity and file bytes are
+    // PHYSICAL (column mapping) — translate once, compare physically
+    val physKey = snap.physicalName(key)
     // when the resolved manifest RECORDS the bucket identity (every
     // post-identity commit does), a caller-supplied mismatch throws
     // instead of silently probing the wrong buckets — the stale-caller
     // failure after a rebucket migration becomes loud
     snap.bucketing.foreach { case (k, n) =>
-      require(k == key && n == nBuckets,
-        s"$table@v${snap.version} is bucketed as (key=$k, nBuckets=$n) but " +
-          s"readKeys was called with (key=$key, nBuckets=$nBuckets) — a " +
-          "stale caller after a rebucket would silently miss rows")
+      require(k == physKey && n == nBuckets,
+        s"$table@v${snap.version} is bucketed as (key=${snap.logicalName(k)}" +
+          s", nBuckets=$n) but readKeys was called with (key=$key, " +
+          s"nBuckets=$nBuckets) — a stale caller after a rebucket would " +
+          "silently miss rows")
     }
     // bucket hashing is TYPE-sensitive (xxhash64 of an Int literal differs
     // from the same value as a Long), so every caller-supplied key is cast
@@ -725,7 +824,7 @@ object TxTable {
     // and silently return no rows. Schema source: the v2 manifest, else the
     // files' own footers (v1 tables).
     val keyType = snap.schema.getOrElse(read(spark, table, version).schema)
-      .find(_.name == key).map(_.dataType)
+      .find(_.name == physKey).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
         s"key column '$key' not in $table schema"))
     // one tiny local job maps every key through the SAME bucket expression
@@ -735,12 +834,13 @@ object TxTable {
         LayoutOps.bucketId(lit(k).cast(keyType), nBuckets)): _*)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val hit = snap.entries.filter(e => wanted(e.bucket))
-    val keyFilter = col(key).isin(keys: _*)
     if (hit.isEmpty)
       read(spark, table, version).filter(lit(false))
     else
-      DeletionVectors.readEntries(spark, table, hit, snap.schema)
-        .filter(keyFilter)
+      fromPhysical(
+        DeletionVectors.readEntries(spark, table, hit, snap.schema)
+          .filter(col(s"`$physKey`").isin(keys: _*)),
+        snap)
   }
 
   // --- zone-map data skipping (sidecar per-file column stats) -----------
@@ -766,8 +866,11 @@ object TxTable {
   def computeStats(spark: SparkSession, table: String,
                    statsCol: String): Int = {
     val snap = snapshot(spark, table)
+    // sidecars are keyed by the PHYSICAL column name (column mapping), so
+    // a RENAME never orphans a profile; callers speak logical names
+    val statsColP = snap.physicalName(statsCol)
     val fs = fsFor(spark, table)
-    val sp = statsPath(table, statsCol)
+    val sp = statsPath(table, statsColP)
     // part listing BEFORE the read: the final swap deletes exactly this
     // set, so a part a concurrent commit's refresh appends mid-ANALYZE
     // survives instead of being wiped by a whole-directory replace
@@ -795,14 +898,14 @@ object TxTable {
     // from O(files) metadata reads, not a 100 TB scan. Only files whose
     // footer refuses (unmappable physical type, missing statistics) fall
     // to the data scan below.
-    val colType = snap.schema.flatMap(_.fields.find(_.name == statsCol))
+    val colType = snap.schema.flatMap(_.fields.find(_.name == statsColP))
       .map(_.dataType)
     val hconf = spark.sparkContext.hadoopConfiguration
     val footered: Seq[(String, (Any, Any, Long))] = colType match {
       case Some(t) => missing.flatMap(e =>
-        footerFileStats(hconf, new Path(table, e.rel), Seq((statsCol, t)))
+        footerFileStats(hconf, new Path(table, e.rel), Seq((statsColP, t)))
           .getOrElse(Map.empty)
-          .get(statsCol).map(s => e.rel -> s))
+          .get(statsColP).map(s => e.rel -> s))
       case None => Seq.empty
     }
     val footeredRels = footered.map(_._1).toSet
@@ -834,10 +937,10 @@ object TxTable {
         // never prune — silently
         .select(regexp_extract(input_file_name(),
           DeletionVectors.RelPattern, 0).as("rel"),
-          col(statsCol))
+          col(s"`$statsColP`"))
         .groupBy(col("rel"))
-        .agg(min(col(statsCol)).as("lo"), max(col(statsCol)).as("hi"),
-          sum(col(statsCol).isNull.cast("long")).as("nulls")))
+        .agg(min(col(s"`$statsColP`")).as("lo"), max(col(s"`$statsColP`")).as("hi"),
+          sum(col(s"`$statsColP`").isNull.cast("long")).as("nulls")))
     val fresh: Option[org.apache.spark.sql.DataFrame] =
       (footeredDf, scanned) match {
         case (Some(f), Some(s)) => Some(f.unionByName(s))
@@ -971,8 +1074,11 @@ object TxTable {
   def computeBloom(spark: SparkSession, table: String, bloomCol: String,
                    fpp: Double = 0.01): Int = {
     val snap = snapshot(spark, table)
+    // keyed by PHYSICAL name, like the zone-map sidecars: a RENAME never
+    // orphans a bloom profile
+    val bloomColP = snap.physicalName(bloomCol)
     val fs = fsFor(spark, table)
-    val sp = bloomPath(table, bloomCol)
+    val sp = bloomPath(table, bloomColP)
     val partsBefore: Seq[Path] = listSidecarParts(fs, sp)
     val existing =
       if (partsBefore.isEmpty) None
@@ -1009,10 +1115,10 @@ object TxTable {
       else {
         val agged = snap.schema.fold(spark.read)(spark.read.schema)
           .parquet(missing.map(e => s"$table/${e.rel}"): _*)
-          .where(col(bloomCol).isNotNull)
+          .where(col(s"`$bloomColP`").isNotNull)
           .select(regexp_extract(input_file_name(),
             DeletionVectors.RelPattern, 0).as("rel"),
-            xxhash64(col(bloomCol)).as("h"))
+            xxhash64(col(s"`$bloomColP`")).as("h"))
           .groupBy(col("rel"))
           .agg(bloomUdaf(col("h")).as("bloom"))
         val missingDf = spark.createDataFrame(
@@ -1476,7 +1582,11 @@ object TxTable {
                    version: Option[Long] = None): DataFrame = {
     require(bounds.nonEmpty, "readWhereAll needs at least one bound")
     val snap = snapshot(spark, table, version)
-    val perCol = bounds.map { case (c, lo, hi) =>
+    // callers speak LOGICAL names; sidecars and file bytes are keyed by
+    // PHYSICAL names (which is why a rename never invalidates a sidecar)
+    val physBounds = bounds.map { case (c, lo, hi) =>
+      (snap.physicalName(c), lo, hi) }
+    val perCol = physBounds.map { case (c, lo, hi) =>
       (fileStats(spark, table, c), lo, hi)
     }
     def mayMatch(e: FileEntry): Boolean = perCol.forall {
@@ -1489,11 +1599,12 @@ object TxTable {
       }
     }
     val kept = snap.entries.filter(mayMatch)
-    val pred = bounds.map { case (c, lo, hi) =>
-      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    val pred = physBounds.map { case (c, lo, hi) =>
+      col(s"`$c`") >= lit(lo) && col(s"`$c`") <= lit(hi) }.reduce(_ && _)
     if (kept.isEmpty) read(spark, table, version).filter(lit(false))
-    else DeletionVectors.readEntries(spark, table, kept, snap.schema)
-      .filter(pred)
+    else fromPhysical(
+      DeletionVectors.readEntries(spark, table, kept, snap.schema)
+        .filter(pred), snap)
   }
 
   /** Widen `base` with fields `incoming` adds; a field present in both
@@ -1809,16 +1920,30 @@ object TxTable {
     val fs = fsFor(spark, table)
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
       return false
-    val tagged = enforceConstraints(spark, table, batch)
+    val taggedLogical = enforceConstraints(spark, table, batch)
       .withColumn(LayoutOps.BucketCol,
         LayoutOps.bucketId(col(key), nBuckets))
+    // staged bytes store PHYSICAL names (column mapping); capture the
+    // map used, so a RENAME racing this append restages instead of
+    // landing files whose field names drift from the committed map
+    var stagedRenames = snapshot(spark, table).renames
+    var tagged = toPhysical(taggedLogical,
+      Snapshot(-1L, Seq.empty, renames = stagedRenames))
     // appended files are independent of the base snapshot, so stage ONCE;
     // a lost race only needs a fresh manifest over the winner's snapshot
     // (append conflicts auto-resolve — no re-merge, unlike upsert)
-    val newEntries = stageFiles(spark, table, tagged)
+    var newEntries = stageFiles(spark, table, tagged)
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
+      if (snap.renames != stagedRenames) {
+        // a rename committed while we staged: restage under the new map
+        newEntries.map(_.rel.split('/')(1)).distinct
+          .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+        stagedRenames = snap.renames
+        tagged = toPhysical(taggedLogical, snap)
+        newEntries = stageFiles(spark, table, tagged)
+      }
       // replay check bound to THIS snapshot version: with the CAS landing
       // at exactly version+1, a concurrent duplicate either already shows
       // up here, or commits in between and our CAS loses — either way the
@@ -1833,7 +1958,7 @@ object TxTable {
       if (commitNext(fs, table, snap, adds = newEntries, removes = Set.empty,
           txn = Some((appId, batchId)),
           schema = Some(evolvedSchema(spark, table, snap, tagged.schema)),
-          bucketing = Some((key, nBuckets))))
+          bucketing = Some((snap.physicalName(key), nBuckets))))
         return true
       attempt += 1
       if (attempt > maxRetries) {
@@ -1879,23 +2004,28 @@ object TxTable {
       }
       val (touchedEntries, untouched) =
         snap.entries.partition(e => touched(e.bucket))
+      // the merge runs in PHYSICAL name space (file bytes + recorded
+      // schema): updates arrive logical, convert per-snapshot so a
+      // racing rename re-merges under the fresh map on the CAS retry
+      val tagged = toPhysical(tagged0, snap)
       // schema evolution: updates may carry NEW columns (old rows surface
       // them as null); a type change on an existing column throws in
       // mergeSchemas. Both sides align to the widened schema, so the merge
       // window runs over one uniform layout.
-      val evolved = evolvedSchema(spark, table, snap, tagged0.schema)
+      val evolved = evolvedSchema(spark, table, snap, tagged.schema)
       val current =
-        if (touchedEntries.isEmpty) alignTo(tagged0.filter(lit(false)), evolved)
+        if (touchedEntries.isEmpty) alignTo(tagged.filter(lit(false)), evolved)
         // DV-aware: a merge window over a file with a deletion vector
         // must not resurrect its dead rows into the rewrite
         else DeletionVectors.readEntries(spark, table, touchedEntries,
           Some(evolved))
       val cols = evolved.fieldNames.toSeq
       val unioned = current.select(cols.map(col): _*).withColumn("__src", lit(0))
-        .unionByName(alignTo(tagged0, evolved).withColumn("__src", lit(1)))
+        .unionByName(alignTo(tagged, evolved).withColumn("__src", lit(1)))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(key))
-        .orderBy(col(orderCol).desc, col("__src").desc)
+        .partitionBy(col(s"`${snap.physicalName(key)}`"))
+        .orderBy(col(s"`${snap.physicalName(orderCol)}`").desc,
+          col("__src").desc)
       val merged = unioned
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -1904,7 +2034,7 @@ object TxTable {
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = touchedEntries.map(_.rel).toSet,
           txn = txn, schema = Some(evolved),
-          bucketing = Some((key, nBuckets)))) {
+          bucketing = Some((snap.physicalName(key), nBuckets)))) {
         return spark.read
           .parquet(newEntries.map(e => s"$table/${e.rel}"): _*).count()
       }
@@ -1990,7 +2120,10 @@ object TxTable {
       .withColumn("__dv_rel", regexp_extract(input_file_name(),
         DeletionVectors.RelPattern, 0))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    val fresh: Seq[(String, Array[Byte], Long)] = raw
+    // `cond` speaks LOGICAL names (every caller is user-facing); the raw
+    // read is physical — translate before filtering (the __dv_* columns
+    // are never in the map, so they pass through untouched)
+    val fresh: Seq[(String, Array[Byte], Long)] = fromPhysical(raw, snap)
       .filter(DeletionVectors.liveFilter(spark, existing))
       .filter(cond)
       .groupBy(col("__dv_rel"))
@@ -2039,8 +2172,9 @@ object TxTable {
       if (added.isEmpty) {
         // empty frame with the table schema (from the current snapshot)
         read(spark, table, Some(upTo)).filter(lit(false))
-      } else DeletionVectors.readEntries(spark, table, added,
-        snapUpTo.schema)
+      } else fromPhysical(
+        DeletionVectors.readEntries(spark, table, added, snapUpTo.schema),
+        snapUpTo)
     (df, upTo)
   }
 
@@ -2131,10 +2265,15 @@ object TxTable {
                        maxRetries: Int = 5): Int = {
     require(colBounds.size >= 2,
       s"z-order needs at least 2 columns, got ${colBounds.size}")
+    // the rewrite operates on raw (PHYSICAL-named) file bytes — translate
+    // the caller's logical column names once (physical names are stable,
+    // so a rename racing the compaction cannot invalidate this)
+    val snap0 = snapshot(spark, table)
     val n = compactWith(spark, table, maxFilesPerBucket, maxRetries,
       df => df
         .withColumn("__z", LayoutOps.mortonN(colBounds.map {
-          case (c, lo, hi) => LayoutOps.normalize16(col(c), lo, hi) }))
+          case (c, lo, hi) =>
+            LayoutOps.normalize16(col(s"`${snap0.physicalName(c)}`"), lo, hi) }))
         .repartition(col(LayoutOps.BucketCol))
         .sortWithinPartitions(col(LayoutOps.BucketCol), col("__z"))
         .drop("__z"),
@@ -2164,15 +2303,19 @@ object TxTable {
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
+      // the rewrite runs over raw (PHYSICAL-named) bytes; the caller's
+      // key is logical — identity is recorded physically, so renaming
+      // the key never forces a rebucket
+      val physKey = snap.physicalName(key)
       val re = DeletionVectors.readEntries(spark, table, snap.entries,
           snap.schema)
         .withColumn(LayoutOps.BucketCol,
-          LayoutOps.bucketId(col(key), newBuckets))
+          LayoutOps.bucketId(col(s"`$physKey`"), newBuckets))
         .repartition(col(LayoutOps.BucketCol))
       val newEntries = stageFiles(spark, table, re)
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = snap.entries.map(_.rel).toSet, schema = snap.schema,
-          bucketing = Some((key, newBuckets)), allowRebucket = true))
+          bucketing = Some((physKey, newBuckets)), allowRebucket = true))
         return snap.version + 1
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
@@ -2309,13 +2452,18 @@ object TxTable {
       }.orElse(base.schema)
       // metadata (properties, incl. constraints) restores WITH the data —
       // the target state is self-consistent under its own constraints,
-      // the Delta RESTORE posture
+      // the Delta RESTORE posture. Column-mapping renames roll back with
+      // the schema (minus entries whose physical column the tombstone
+      // shed — a dangling map entry would alias a non-column).
+      val restoredRenames = target.renames.filter { case (_, p) =>
+        restoredSchema.exists(_.fieldNames.contains(p)) }
       val ok = commitNext(fs, table, base, adds, removes, txn = None,
         schema = restoredSchema,
         bucketing = target.bucketing.orElse(base.bucketing),
         allowRebucket = true,
         dropped = Some(base.dropped ++ target.dropped),
-        props = Some(target.props))
+        props = Some(target.props),
+        renames = Some(restoredRenames))
       if (ok) {
         val gone = missingOf(adds)
         if (gone.nonEmpty)
@@ -2342,6 +2490,84 @@ object TxTable {
           s"${tags(spark, table).keys.toSeq.sorted.mkString(", ")})"))
     restore(spark, table, pinned)
   }
+
+  // --- column mapping (ALTER TABLE RENAME COLUMN) ----------------------
+
+  /** RENAME a column as ONE metadata-only commit — the Delta
+    * column-mapping design: the stored files, the manifest's recorded
+    * schema, the bucket identity, and every zone-map/bloom sidecar keep
+    * the column's PHYSICAL (birth) name forever; only the logical→
+    * physical map in the commit header changes. No data file is
+    * rewritten, no sidecar re-ANALYZEs, time travel serves each version
+    * under its own names, and renaming the BUCKET KEY is safe because
+    * layout identity is physical.
+    *
+    * Refuses when a CHECK constraint references the column (the stored
+    * predicate SQL would silently stop resolving — drop the constraint
+    * first, the DROP COLUMN posture) and on any logical-name collision
+    * (case-insensitive, matching Spark's resolver). Returns the new
+    * version. */
+  def renameColumn(spark: SparkSession, table: String,
+                   oldName: String, newName: String): Long = {
+    require(oldName != newName, s"rename to the same name '$oldName'")
+    require(newName.nonEmpty && !newName.contains('\t') &&
+      !newName.contains('\n'), "column names must be non-empty single-line")
+    require(oldName != LayoutOps.BucketCol && newName != LayoutOps.BucketCol,
+      s"${LayoutOps.BucketCol} is the internal layout column")
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (attempt <= 5) {
+      val snap = snapshot(spark, table)
+      require(snap.schema.isDefined,
+        s"$table carries no recorded schema (pre-v2 manifest) — cannot " +
+          "RENAME COLUMN")
+      val next = renamedMap(table, snap, oldName, newName)
+      if (commitNext(fs, table, snap, adds = Seq.empty, removes = Set.empty,
+          txn = None, schema = snap.schema, bucketing = snap.bucketing,
+          renames = Some(next)))
+        return snap.version + 1
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: RENAME COLUMN lost the commit race 6 times")
+  }
+
+  /** The rename-map update for `oldName` → `newName`, with every
+    * validity check (shared by the Scala API and the SQL ALTER path,
+    * which re-derives it on each CAS attempt's fresh snapshot). */
+  private[graft] def renamedMap(table: String, snap: Snapshot,
+                                oldName: String, newName: String)
+      : Map[String, String] = {
+    require(oldName != newName, s"rename to the same name '$oldName'")
+    require(newName.nonEmpty && !newName.contains('\t') &&
+      !newName.contains('\n'), "column names must be non-empty single-line")
+    require(oldName != LayoutOps.BucketCol && newName != LayoutOps.BucketCol,
+      s"${LayoutOps.BucketCol} is the internal layout column")
+    val logicalNames = snap.logicalSchema.get.fieldNames.toSeq
+    require(logicalNames.exists(_ == oldName),
+      s"column '$oldName' does not exist in $table (have: " +
+        s"${logicalNames.filterNot(_ == LayoutOps.BucketCol).mkString(", ")})")
+    require(!logicalNames.exists(n => n != oldName &&
+        n.equalsIgnoreCase(newName)),
+      s"cannot rename '$oldName' to '$newName': a column of that name " +
+        s"already exists in $table")
+    constraintsOf(snap).toSeq.sortBy(_._1).foreach { case (cn, sql) =>
+      require(!constraintRefNames(sql).exists(_.equalsIgnoreCase(oldName)),
+        s"cannot rename '$oldName': CHECK constraint '$cn' references " +
+          "it — drop the constraint first")
+    }
+    val phys = snap.physicalName(oldName)
+    val next = snap.renames - oldName
+    if (newName == phys) next else next + (newName -> phys)
+  }
+
+  /** Column names a CHECK predicate references (top-level) — used by
+    * DROP/RENAME COLUMN refusals. */
+  private[graft] def constraintRefNames(sql: String): Seq[String] =
+    SparkSession.active.sessionState.sqlParser.parseExpression(sql).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.nameParts.head
+    }.distinct
 
   // --- table properties & CHECK constraints (log-versioned metadata) ---
 
@@ -2574,7 +2800,7 @@ object TxTable {
       // them would let post-vacuum writers resurrect a dropped column —
       // and the property map (constraints would silently stop enforcing)
       writeCheckpoint(fs, table, minKeep, snapMin.entries, snapMin.schema,
-        snapMin.bucketing, snapMin.dropped, snapMin.props)
+        snapMin.bucketing, snapMin.dropped, snapMin.props, snapMin.renames)
     }
     // each pinned version below the horizon gets its own anchor too —
     // the manifests BETWEEN it and its old anchor are about to go, and a
@@ -2583,7 +2809,7 @@ object TxTable {
       if (!fs.exists(checkpointPath(table, v))) {
         val s = snapshot(spark, table, Some(v))
         writeCheckpoint(fs, table, v, s.entries, s.schema, s.bucketing,
-          s.dropped, s.props)
+          s.dropped, s.props, s.renames)
       }
     }
     val referenced: Set[String] = retained

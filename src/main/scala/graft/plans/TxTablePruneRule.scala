@@ -40,29 +40,65 @@ case class TxTablePruneRule(session: SparkSession) extends Rule[LogicalPlan]
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case f @ Filter(cond, rel: LogicalRelation)
         if rel.relation.isInstanceOf[HadoopFsRelation] =>
-      val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
-      tableRootOf(hfs) match {
-        case Some(root) =>
-          val bounds = extractBounds(cond)
-          val eqs = extractEqualities(cond)
-          if (bounds.isEmpty && eqs.isEmpty) f
-          else {
-            val current = hfs.location.inputFiles
-            val kept = bucketPruned(root,
-              bloomPruned(root, pruned(root, current, bounds), eqs), eqs)
-            if (kept.length == current.length) f
-            else {
-              val idx = new InMemoryFileIndex(session,
-                kept.map(new Path(_)).toSeq, Map.empty[String, String],
-                Some(hfs.dataSchema))
-              val newHfs = HadoopFsRelation(idx, hfs.partitionSchema,
-                hfs.dataSchema, hfs.bucketSpec, hfs.fileFormat,
-                hfs.options)(session)
-              Filter(cond, rel.copy(relation = newHfs))
-            }
-          }
-        case None => f
+      pruneFilter(f, cond, rel, identity).getOrElse(f)
+
+    // the column-mapping shape: a renamed table's view reads through a
+    // rename-only Project (`fromPhysical`'s positional SELECT) — prune
+    // through it by translating the filter's LOGICAL attribute names
+    // back to the PHYSICAL names the sidecars and manifest are keyed by
+    case f @ Filter(cond,
+        p @ org.apache.spark.sql.catalyst.plans.logical.Project(
+          projectList, rel: LogicalRelation))
+        if rel.relation.isInstanceOf[HadoopFsRelation] &&
+          projectList.forall {
+            case _: AttributeReference => true
+            case Alias(_: AttributeReference, _) => true
+            case _ => false
+          } =>
+      val toPhys: Map[String, String] = projectList.collect {
+        case Alias(a: AttributeReference, n) => n -> a.name
+      }.toMap
+      pruneFilter(f, cond, rel, n => toPhys.getOrElse(n, n)) match {
+        case Some(Filter(c, newRel)) =>
+          Filter(c, p.copy(child = newRel))
+        case _ => f
       }
+  }
+
+  /** The shared prune kernel: extract bounds/equalities from `cond`
+    * (attribute names mapped through `nameOf` into physical space),
+    * shrink the relation's file list via zone maps + blooms + bucket
+    * identity, and rebuild the Filter over the pruned relation. None =
+    * nothing pruned (caller keeps the original node — fixed-point
+    * safe). */
+  private def pruneFilter(f: Filter, cond: Expression,
+                          rel: LogicalRelation,
+                          nameOf: String => String): Option[Filter] = {
+    val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
+    tableRootOf(hfs) match {
+      case Some(root) =>
+        val bounds = extractBounds(cond).map { case (n, lo, hi) =>
+          (nameOf(n), lo, hi) }
+        val eqs = extractEqualities(cond).map { case (n, ls) =>
+          (nameOf(n), ls) }
+        if (bounds.isEmpty && eqs.isEmpty) None
+        else {
+          val current = hfs.location.inputFiles
+          val kept = bucketPruned(root,
+            bloomPruned(root, pruned(root, current, bounds), eqs), eqs)
+          if (kept.length == current.length) None
+          else {
+            val idx = new InMemoryFileIndex(session,
+              kept.map(new Path(_)).toSeq, Map.empty[String, String],
+              Some(hfs.dataSchema))
+            val newHfs = HadoopFsRelation(idx, hfs.partitionSchema,
+              hfs.dataSchema, hfs.bucketSpec, hfs.fileFormat,
+              hfs.options)(session)
+            Some(Filter(cond, rel.copy(relation = newHfs)))
+          }
+        }
+      case None => None
+    }
   }
 
   /** The TxTable root owning this relation's files, if any: every file a

@@ -59,7 +59,10 @@ final class TxChangesTable(path: String) extends Table with SupportsRead {
       s"$path carries no recorded schema (pre-v2 manifest) — the change " +
         "feed needs the recorded schema to type change frames"))
       .filterNot(_.name == graft.ops.LayoutOps.BucketCol))
+  // consumers see LOGICAL names (column mapping); the file readers keep
+  // the PHYSICAL dataSchema — positionally identical
   private val outSchema = StructType(dataSchema.fields
+    .map(f => f.copy(name = snap.logicalName(f.name)))
     :+ StructField("_change_type", StringType, nullable = false)
     :+ StructField("_commit_version", LongType, nullable = false))
 

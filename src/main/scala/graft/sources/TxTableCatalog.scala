@@ -267,15 +267,16 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       val snap = TxTable.snapshot(spark, path)
       val cur = snap.schema.getOrElse(throw new IllegalStateException(
         s"$path carries no recorded schema (pre-v2 manifest) — cannot ALTER"))
-      val (next, nextDropped, nextProps) =
-        changes.foldLeft((cur, snap.dropped, snap.props))(
+      val (next, nextDropped, nextProps, nextRenames) =
+        changes.foldLeft((cur, snap.dropped, snap.props, snap.renames))(
           TxAlterSchema.apply(spark, path, snap, _, _))
       done = (next == cur && nextDropped == snap.dropped &&
-          nextProps == snap.props) ||
+          nextProps == snap.props && nextRenames == snap.renames) ||
         TxTable.commitNext(fs, path, snap,
           adds = Seq.empty, removes = Set.empty, txn = None,
           schema = Some(next), bucketing = snap.bucketing,
-          dropped = Some(nextDropped), props = Some(nextProps))
+          dropped = Some(nextDropped), props = Some(nextProps),
+          renames = Some(nextRenames))
       attempt += 1
     }
     if (!done)
@@ -348,22 +349,31 @@ private[sources] object TxAlterSchema {
     }.distinct
 
   def apply(spark: SparkSession, path: String, snap: TxTable.Snapshot,
-            state: (StructType, Set[String], Map[String, String]),
+            state: (StructType, Set[String], Map[String, String],
+              Map[String, String]),
             change: TableChange)
-      : (StructType, Set[String], Map[String, String]) = {
-    val (schema, dropped, props) = state
+      : (StructType, Set[String], Map[String, String],
+         Map[String, String]) = {
+    // `schema`/`dropped` are PHYSICAL (stored names); `renames` maps the
+    // user-facing LOGICAL name of each renamed column to its physical
+    // birth name; every incoming TableChange speaks LOGICAL names
+    val (schema, dropped, props, renames) = state
+    def physOf(logical: String): String = renames.getOrElse(logical, logical)
+    def logicalOf(physical: String): String =
+      renames.collectFirst { case (l, p) if p == physical => l }
+        .getOrElse(physical)
     change match {
       case set: SetProperty =>
         require(!set.property.startsWith(TxTable.ConstraintPrefix),
           s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
             "ALTER TABLE ADD/DROP CONSTRAINT (they validate data; a raw " +
             "SET TBLPROPERTIES would not)")
-        (schema, dropped, props + (set.property -> set.value))
+        (schema, dropped, props + (set.property -> set.value), renames)
       case unset: RemoveProperty =>
         require(!unset.property.startsWith(TxTable.ConstraintPrefix),
           s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
             "ALTER TABLE ADD/DROP CONSTRAINT")
-        (schema, dropped, props - unset.property)
+        (schema, dropped, props - unset.property, renames)
       case ac: AddConstraint =>
         val check = ac.constraint() match {
           case c: V2Check => c
@@ -389,12 +399,12 @@ private[sources] object TxAlterSchema {
             s"$path: cannot add constraint '${check.name()}': existing " +
               s"rows violate CHECK ($sql)")
         }
-        (schema, dropped, props + (key -> sql))
+        (schema, dropped, props + (key -> sql), renames)
       case dc: DropConstraint =>
         val key = TxTable.ConstraintPrefix + dc.name()
         require(props.contains(key) || dc.ifExists(),
           s"$path: no constraint named '${dc.name()}'")
-        (schema, dropped, props - key)
+        (schema, dropped, props - key, renames)
       case add: AddColumn =>
         require(add.fieldNames.length == 1,
           s"ALTER TABLE ADD COLUMN supports top-level columns only, got " +
@@ -403,7 +413,12 @@ private[sources] object TxAlterSchema {
           "ALTER TABLE ADD COLUMN ... FIRST/AFTER is unsupported on a " +
             "TxTable (columns append; reorder with a SELECT)")
         val name = add.fieldNames()(0)
-        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        // collisions check BOTH name spaces: the logical (what users see)
+        // and the physical (what the new column's bytes would be stored
+        // as — colliding with a renamed column's birth name would make
+        // two logical columns share one stored field)
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)) &&
+            !renames.keys.exists(_.equalsIgnoreCase(name)),
           s"column '$name' already exists in $path")
         require(add.isNullable,
           s"new column '$name' must be nullable: rows committed before " +
@@ -424,23 +439,25 @@ private[sources] object TxAlterSchema {
           _.name != graft.ops.LayoutOps.BucketCol)
         // tombstones clear case-insensitively (they block that way too)
         (StructType(data ++ Array(f) ++ layout),
-          dropped.filterNot(_.equalsIgnoreCase(name)), props)
+          dropped.filterNot(_.equalsIgnoreCase(name)), props, renames)
       case del: DeleteColumn =>
         require(del.fieldNames.length == 1,
           s"ALTER TABLE DROP COLUMN supports top-level columns only, got " +
             del.fieldNames.mkString("."))
         val name = del.fieldNames()(0)
-        val exists = schema.fieldNames.contains(name)
+        val phys = physOf(name)
+        val exists = schema.fieldNames.contains(phys) &&
+          logicalOf(phys) == name
         if (!exists) {
           require(del.ifExists, s"column '$name' does not exist in $path")
           state
         } else {
           snap.bucketing.foreach { case (key, _) =>
-            require(name != key,
+            require(phys != key,
               s"cannot drop '$name': it is the bucket key — the table's " +
                 "layout identity (rebucket to a different key first)")
           }
-          require(name != graft.ops.LayoutOps.BucketCol,
+          require(phys != graft.ops.LayoutOps.BucketCol,
             s"cannot drop the internal layout column $name")
           require(schema.fields.count(
             _.name != graft.ops.LayoutOps.BucketCol) > 1,
@@ -457,16 +474,28 @@ private[sources] object TxAlterSchema {
               s"cannot drop '$name': CHECK constraint '$cn' references " +
                 "it — drop the constraint first")
           }
-          (StructType(schema.fields.filterNot(_.name == name)),
-            dropped + name, props)
+          // the tombstone guards the STORED bytes, so it is physical;
+          // the rename-map entry (if any) dies with the column
+          (StructType(schema.fields.filterNot(_.name == phys)),
+            dropped + phys, props, renames - name)
         }
+      case rn: RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"ALTER TABLE RENAME COLUMN supports top-level columns only, " +
+            s"got ${rn.fieldNames.mkString(".")}")
+        // delegate to the one shared kernel (the Scala API path) — the
+        // fold state stands in for the snapshot so multi-change ALTERs
+        // validate against their own earlier changes
+        val view = TxTable.Snapshot(snap.version, Seq.empty,
+          schema = Some(schema), bucketing = snap.bucketing,
+          dropped = dropped, props = props, renames = renames)
+        (schema, dropped, props,
+          TxTable.renamedMap(path, view, rn.fieldNames()(0), rn.newName()))
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE ${other.getClass.getSimpleName} is unsupported " +
-            "on a TxTable: renames would orphan old files' name-based " +
-            "columns and type changes would need per-file casts — new " +
-            "columns can also ride data commits (union evolution); type " +
-            "changes are unsupported")
+            "on a TxTable: type changes would need per-file casts — new " +
+            "columns can also ride data commits (union evolution)")
     }
   }
 }
@@ -486,15 +515,22 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     throw new IllegalStateException(
       s"$path@v${snap.version} has no recorded schema — pre-v2 manifests " +
         "cannot be served through the SQL catalog"))
+  /** PHYSICAL schema (stored field names) — what internals (file reads,
+    * sidecars, bucket identity) operate on. */
   private val dataSchema: StructType =
     StructType(fullSchema.filterNot(_.name == graft.ops.LayoutOps.BucketCol))
+  /** LOGICAL schema (column-mapping renames applied) — what SQL sees.
+    * Positionally identical to [[dataSchema]], names only. */
+  private val logicalDataSchema: StructType =
+    StructType(dataSchema.fields.map(f =>
+      f.copy(name = snap.logicalName(f.name))))
   private[sources] val bucketing: (String, Int) = snap.bucketing.getOrElse(
     throw new IllegalStateException(
       s"$path@v${snap.version} records no bucket identity — rewrite once " +
         "with a current writer to serve it through the SQL catalog"))
 
   override def name(): String = path
-  override def schema(): StructType = dataSchema
+  override def schema(): StructType = logicalDataSchema
 
   /** The layout bucket as a METADATA column (the `_partition`/`_spec_id`
     * pattern): hidden from `SELECT *`, selectable by name for layout
@@ -539,7 +575,7 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     snap.props.foreach { case (k, v) => m.put(k, v) }
     m.put("format", "graft-txtable")
     m.put("version", snap.version.toString)
-    m.put("bucket.key", bucketing._1)
+    m.put("bucket.key", snap.logicalName(bucketing._1))
     m.put("bucket.count", bucketing._2.toString)
     m.put("files", snap.entries.size.toString)
     val counts = snap.entries.map(_.liveRows)
@@ -553,15 +589,20 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
       (TxTable.statsColumns(fs, path).sorted,
         TxTable.bloomColumns(fs, path).sorted)
     }.foreach { case (statsCols, bloomCols) =>
+      // sidecars are keyed physically; report under the names SQL sees
       if (statsCols.nonEmpty)
-        m.put("stats.columns", statsCols.mkString(","))
+        m.put("stats.columns",
+          statsCols.map(snap.logicalName).sorted.mkString(","))
       if (bloomCols.nonEmpty)
-        m.put("bloom.columns", bloomCols.mkString(","))
+        m.put("bloom.columns",
+          bloomCols.map(snap.logicalName).sorted.mkString(","))
     }
     m
   }
   override def partitioning(): Array[Transform] =
-    Array(Expressions.bucket(bucketing._2, bucketing._1))
+    // LOGICAL key name: Spark resolves the transform reference against
+    // this table's reported schema (identity is physical in the log)
+    Array(Expressions.bucket(bucketing._2, snap.logicalName(bucketing._1)))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TxScanBuilder(path, snap, bucketing, dataSchema, version, options)
 
@@ -570,7 +611,13 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(version.isEmpty,
       s"cannot INSERT into time-travel snapshot $path@v${snap.version}")
-    new TxWriteBuilder(path, info.schema(), bucketing, info.queryId())
+    // the incoming query schema speaks LOGICAL names (Spark validated it
+    // against schema()); files always store PHYSICAL names — translate
+    // positionally here, once, for every write shape downstream
+    val physSchema = StructType(info.schema().fields.map(f =>
+      f.copy(name = snap.physicalName(f.name))))
+    new TxWriteBuilder(path, physSchema, bucketing, info.queryId(),
+      snap.logicalName(bucketing._1), snap.physicalName)
   }
 
   /** SQL DELETE routing — Spark's OptimizeMetadataOnlyDeleteFromTable
@@ -591,7 +638,9 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     if (spark.conf.get("spark.graft.sql.delete.mor", "true").toBoolean)
       scala.util.Try(filters.foreach(TxMetadataDelete.filterColumn))
         .isSuccess
-    else TxMetadataDelete.plan(spark, path, snap, filters.toSeq).isDefined
+    else TxMetadataDelete.plan(spark, path, snap,
+      filters.toSeq.map(TxFilterNames.rename(_, snap.physicalName)))
+      .isDefined
   }
 
   /** The accepted delete, as ONE atomic commit: fully-covered files drop
@@ -612,7 +661,10 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     var attempt = 0
     while (attempt <= 5) {
       val cur = TxTable.snapshot(spark, path)
-      val vs = TxMetadataDelete.verdicts(spark, path, cur, filters.toSeq)
+      // coverage verdicts consult zone maps — PHYSICAL names; the row
+      // filter below stays LOGICAL (stageMorDelete reads logically)
+      val vs = TxMetadataDelete.verdicts(spark, path, cur,
+        filters.toSeq.map(TxFilterNames.rename(_, cur.physicalName)))
       val full = vs.collect { case (e, TxMetadataDelete.Full) => e }
       val partial = vs.collect { case (e, TxMetadataDelete.Partial) => e }
       if (partial.nonEmpty && !mor)
@@ -780,7 +832,8 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     // the ordinary scan sorts exactly) until compaction folds the DVs
     if (kept.exists(_.dv.isDefined)) return false
     val colName = orders(0).expression() match {
-      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames()(0)
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        snap.physicalName(r.fieldNames()(0))
       case _ => return false
     }
     val stats = TxTable.fileStatsWithNulls(SparkSession.active, path, colName)
@@ -856,7 +909,8 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[org.apache.spark.sql.types.StructField] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
-        dataSchema.fields.find(_.name == r.fieldNames()(0))
+        dataSchema.fields.find(
+          _.name == snap.physicalName(r.fieldNames()(0)))
       case _ => None
     }
 
@@ -880,7 +934,8 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
             else side.reduce((a, b) =>
               if (TxTable.cmpAny(a, b) <= 0 == isMin) a else b)
           Some((org.apache.spark.sql.types.StructField(
-            if (isMin) s"min(${f.name})" else s"max(${f.name})",
+            if (isMin) s"min(${snap.logicalName(f.name)})"
+            else s"max(${snap.logicalName(f.name)})",
             f.dataType, nullable = true), v))
         }
       }
@@ -911,8 +966,11 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // keep the file order of dataSchema; Spark hands back a subset
-    required = requiredSchema
+    // keep the file order of dataSchema; Spark hands back a subset in
+    // LOGICAL names — store the PHYSICAL twin (readers hit file fields);
+    // TxScan re-derives the logical shape for readSchema()
+    required = StructType(requiredSchema.fields.map(f =>
+      f.copy(name = snap.physicalName(f.name))))
   }
 
   /** File-level pushdown: zone-map sidecars answer range conjuncts and the
@@ -924,18 +982,22 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     sawFilters = sawFilters || filters.nonEmpty
-    allFilters = filters
+    // pruning + parquet row-group pushdown run in PHYSICAL name space
+    // (sidecars, bucket identity, file fields); the residuals returned
+    // to Spark stay LOGICAL — they re-evaluate on the scan's output rows
+    allFilters = filters.map(TxFilterNames.rename(_, snap.physicalName))
     val (k, used) = TxCatalogPruning.prune(SparkSession.active, path, snap,
-      bucketing, dataSchema, filters)
+      bucketing, dataSchema, allFilters)
     kept = k
     prunedBy = used
     filters
   }
 
   /** The filters that participated in file pruning (display/debugging —
-    * they are ALSO evaluated on rows via the residuals above). */
+    * they are ALSO evaluated on rows via the residuals above). Reported
+    * under LOGICAL names (what the SQL user wrote). */
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
-    prunedBy
+    prunedBy.map(TxFilterNames.rename(_, snap.logicalName))
 
   override def build(): Scan = aggAnswer match {
     case Some((schema, row)) =>
@@ -976,6 +1038,33 @@ final class TxLocalAggScan(path: String, version: Long,
   * dropping it would silently destroy the null rows. Three-valued
   * coverage composes through AND/OR exactly like parquet's statistics
   * filter; anything unprovable degrades to Partial, never guesses. */
+/** Attribute renaming over a V1 Filter tree — the column-mapping
+  * boundary for pushed filters: Spark hands filters in LOGICAL names;
+  * zone-map sidecars, bucket identity, and parquet file fields are
+  * PHYSICAL. Identity when the table has no renames. Unknown filter
+  * shapes pass through untouched (they never participate in pruning). */
+private[sources] object TxFilterNames {
+  import org.apache.spark.sql.sources._
+  def rename(f: Filter, m: String => String): Filter = f match {
+    case EqualTo(a, v) => EqualTo(m(a), v)
+    case EqualNullSafe(a, v) => EqualNullSafe(m(a), v)
+    case GreaterThan(a, v) => GreaterThan(m(a), v)
+    case GreaterThanOrEqual(a, v) => GreaterThanOrEqual(m(a), v)
+    case LessThan(a, v) => LessThan(m(a), v)
+    case LessThanOrEqual(a, v) => LessThanOrEqual(m(a), v)
+    case In(a, vs) => In(m(a), vs)
+    case IsNull(a) => IsNull(m(a))
+    case IsNotNull(a) => IsNotNull(m(a))
+    case StringStartsWith(a, v) => StringStartsWith(m(a), v)
+    case StringEndsWith(a, v) => StringEndsWith(m(a), v)
+    case StringContains(a, v) => StringContains(m(a), v)
+    case And(l, r) => And(rename(l, m), rename(r, m))
+    case Or(l, r) => Or(rename(l, m), rename(r, m))
+    case Not(c) => Not(rename(c, m))
+    case other => other
+  }
+}
+
 private[sources] object TxMetadataDelete {
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
@@ -1249,7 +1338,15 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     * shrunk by runtime (dynamic-pruning) filters before execution. */
   @volatile private var entries: Seq[TxTable.FileEntry] = snap.entries
 
-  override def readSchema(): StructType = required
+  /** `required` is PHYSICAL (what readers ask the files for); Spark's
+    * plan attributes are LOGICAL — positionally identical, names only. */
+  private val logicalRequired: StructType =
+    StructType(required.fields.map(f => f.copy(name = snap.logicalName(f.name))))
+  private val logicalKey: String = snap.logicalName(bucketing._1)
+  private val logicalDataSchema: StructType =
+    StructType(dataSchema.fields.map(f => f.copy(name = snap.logicalName(f.name))))
+
+  override def readSchema(): StructType = logicalRequired
   override def toBatch: Batch = this
 
   /** EXACT statistics from the log — what makes the planner's broadcast
@@ -1283,12 +1380,16 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     * Over-keep only; the join itself still evaluates exactly. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column(bucketing._1))
+    Array(Expressions.column(logicalKey))
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter
         .Predicate]): Unit = {
-    entries = TxRuntimePrune(predicates, entries, bucketing, dataSchema)
+    // runtime predicates reference plan attributes — LOGICAL names; the
+    // prune kernel only needs the matching name + key type, both served
+    // by the logical twins (file pruning itself is name-free)
+    entries = TxRuntimePrune(predicates, entries,
+      (logicalKey, bucketing._2), logicalDataSchema)
   }
 
   /** The commit log as a streaming source (offsets = commit versions; the
@@ -1326,7 +1427,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      Array(Expressions.bucket(bucketing._2, bucketing._1)),
+      Array(Expressions.bucket(bucketing._2, logicalKey)),
       entries.size)
 }
 
@@ -1713,8 +1814,11 @@ final class TxRowLevelOperation(path: String, snap: TxTable.Snapshot,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
+        // replacement rows arrive under LOGICAL names; files store
+        // PHYSICAL — positional rename, like every write boundary
         new TxReplaceDataWrite(TxRowLevelOperation.this, path,
-          info.schema(), bucketing)
+          StructType(info.schema().fields.map(f =>
+            f.copy(name = snap.physicalName(f.name)))), bucketing)
     }
 }
 
@@ -1741,14 +1845,18 @@ final class TxRowLevelScanBuilder(op: TxAffectedFiles, path: String,
   private var kept: Seq[TxTable.FileEntry] = snap.entries
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    required = requiredSchema
+    // LOGICAL in (plan attributes), PHYSICAL stored (file readers);
+    // metadata columns (_file/_pos/bucket) are never in the rename map
+    required = StructType(requiredSchema.fields.map(f =>
+      f.copy(name = snap.physicalName(f.name))))
   }
 
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     val (k, _) = TxCatalogPruning.prune(SparkSession.active, path, snap,
-      bucketing, dataSchema, filters)
+      bucketing, dataSchema,
+      filters.map(TxFilterNames.rename(_, snap.physicalName)))
     kept = k
     op.scannedFiles = k
     filters
@@ -1758,7 +1866,8 @@ final class TxRowLevelScanBuilder(op: TxAffectedFiles, path: String,
     Array.empty
 
   override def build(): Scan =
-    new TxRowLevelScan(op, path, kept, bucketing, dataSchema, required)
+    new TxRowLevelScan(op, path, kept, bucketing, dataSchema, required,
+      snap.renames)
 }
 
 /** The affected-groups scan: serves the kept files and, via
@@ -1770,7 +1879,8 @@ final class TxRowLevelScanBuilder(op: TxAffectedFiles, path: String,
 final class TxRowLevelScan(op: TxAffectedFiles, path: String,
                            initialEntries: Seq[TxTable.FileEntry],
                            bucketing: (String, Int),
-                           dataSchema: StructType, required: StructType)
+                           dataSchema: StructType, required: StructType,
+                           renames: Map[String, String] = Map.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -1778,16 +1888,26 @@ final class TxRowLevelScan(op: TxAffectedFiles, path: String,
 
   @volatile private var entries: Seq[TxTable.FileEntry] = initialEntries
 
-  override def readSchema(): StructType = required
+  // column-mapping twins: plan-facing names logical, file-facing physical
+  private def logicalOf(p: String): String =
+    renames.collectFirst { case (l, ph) if ph == p => l }.getOrElse(p)
+  private val logicalRequired: StructType =
+    StructType(required.fields.map(f => f.copy(name = logicalOf(f.name))))
+  private val logicalKey: String = logicalOf(bucketing._1)
+  private val logicalDataSchema: StructType =
+    StructType(dataSchema.fields.map(f => f.copy(name = logicalOf(f.name))))
+
+  override def readSchema(): StructType = logicalRequired
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftTxTable row-level scan $path (${bucketing._1})"
+    s"GraftTxTable row-level scan $path ($logicalKey)"
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(bucketing._1))
+    Array(Expressions.column(logicalKey))
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    entries = TxRuntimePrune(predicates, entries, bucketing, dataSchema)
+    entries = TxRuntimePrune(predicates, entries,
+      (logicalKey, bucketing._2), logicalDataSchema)
     op.scannedFiles = entries
   }
 
@@ -1950,7 +2070,8 @@ final class TxDeltaRowLevelOperation(path: String, snap: TxTable.Snapshot,
     new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
         new TxDeltaWrite(TxDeltaRowLevelOperation.this, path,
-          info.schema(), bucketing)
+          StructType(info.schema().fields.map(f =>
+            f.copy(name = snap.physicalName(f.name)))), bucketing)
     }
 }
 
@@ -2396,13 +2517,16 @@ object GraftBucketFunction extends UnboundFunction {
   * TxTable writer) — a failed or aborted INSERT leaves only unreferenced
   * staging files for vacuum, never a torn table. */
 final class TxWriteBuilder(path: String, querySchema: StructType,
-                           bucketing: (String, Int), queryId: String)
+                           bucketing: (String, Int), queryId: String,
+                           logicalKey: String = "",
+                           physOf: String => String = identity)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var replaceAll = false
   private var overwriteFilters: Option[Array[
     org.apache.spark.sql.sources.Filter]] = None
+  private val distKey = if (logicalKey.isEmpty) bucketing._1 else logicalKey
 
   /** `INSERT OVERWRITE` (truncate-and-write): the commit removes every
     * file of the snapshot it lands on — one atomic swap, old versions
@@ -2426,13 +2550,15 @@ final class TxWriteBuilder(path: String, querySchema: StructType,
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     filters.foreach(TxMetadataDelete.filterColumn) // throws on unsupported
-    overwriteFilters = Some(filters)
+    // the whole REPLACE WHERE path downstream (coverage verdicts AND the
+    // remainder rewrite over raw file reads) runs in PHYSICAL names
+    overwriteFilters = Some(filters.map(TxFilterNames.rename(_, physOf)))
     this
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new TxWrite(path, querySchema, bucketing, queryId, replaceAll,
-      overwriteFilters)
+      overwriteFilters, distKey)
 }
 
 /** The append/overwrite write. Requests a CLUSTERED distribution on the
@@ -2451,13 +2577,17 @@ final class TxWrite(path: String, querySchema: StructType,
                     bucketing: (String, Int), queryId: String,
                     replaceAll: Boolean = false,
                     overwriteFilters: Option[Array[
-                      org.apache.spark.sql.sources.Filter]] = None)
+                      org.apache.spark.sql.sources.Filter]] = None,
+                    distKey: String = "")
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def requiredDistribution()
       : org.apache.spark.sql.connector.distributions.Distribution =
+    // the distribution resolves against the QUERY's attributes — LOGICAL
+    // names; the writers themselves route by the physical key
     org.apache.spark.sql.connector.distributions.Distributions.clustered(
-      Array(Expressions.bucket(bucketing._2, bucketing._1)))
+      Array(Expressions.bucket(bucketing._2,
+        if (distKey.isEmpty) bucketing._1 else distKey)))
   override def requiredOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     Array.empty
@@ -2622,9 +2752,12 @@ private[sources] object TxConstraintChecks {
     val snap = TxTable.snapshot(spark, path)
     val cons = TxTable.constraintsOf(snap).toSeq.sortBy(_._1)
     if (cons.isEmpty) return Seq.empty
+    // the analysis dummy carries LOGICAL names — constraint SQL is
+    // written against what the user sees, not the stored field names
     val dataFields = snap.schema.toSeq.flatMap(_.fields).filterNot(f =>
       f.name == graft.ops.LayoutOps.BucketCol ||
         snap.dropped.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => f.copy(name = snap.logicalName(f.name)))
     val dummy = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](),
       StructType(dataFields.toArray))
@@ -2637,12 +2770,16 @@ private[sources] object TxConstraintChecks {
       }.getOrElse(throw new IllegalStateException(
         s"$path: CHECK constraint '$name' ($sql) did not analyze to a " +
           "filter predicate"))
+      // the write's row shape arrives PHYSICAL; constraint SQL speaks
+      // LOGICAL — bind against the logicalized twin (positions match)
+      val logicalQuery = StructType(querySchema.fields.map(f =>
+        f.copy(name = snap.logicalName(f.name))))
       val bound = cond.transform {
         case a: AttributeReference =>
-          val i = querySchema.fields
+          val i = logicalQuery.fields
             .indexWhere(_.name.equalsIgnoreCase(a.name))
           if (i < 0) Literal.create(null, a.dataType)
-          else BoundReference(i, querySchema.fields(i).dataType,
+          else BoundReference(i, logicalQuery.fields(i).dataType,
             nullable = true)
       }
       (name, sql, Coalesce(Seq(bound, Literal(true))): Expression)

@@ -448,12 +448,14 @@ class TxCatalogSpec extends AnyFunSuite {
       assert(tbl(t).filter($"note".isNull).count() == 34,
         "no stored value may survive into the re-added column")
       assert(TxTable.snapshot(spark, t).dropped.isEmpty)
-      // guard rails: bucket key cannot drop, renames and positions refuse
+      // guard rails: bucket key cannot drop, colliding renames and
+      // positions refuse (renames themselves are supported — column
+      // mapping — so the collision is the refusal to pin here)
       intercept[Exception] {
         spark.sql(s"ALTER TABLE txspj.`$t` DROP COLUMN k")
       }
       intercept[Exception] {
-        spark.sql(s"ALTER TABLE txspj.`$t` RENAME COLUMN v TO w")
+        spark.sql(s"ALTER TABLE txspj.`$t` RENAME COLUMN v TO note")
       }
       intercept[Exception] {
         spark.sql(s"ALTER TABLE txspj.`$t` ADD COLUMN zzz INT FIRST")
@@ -2096,6 +2098,139 @@ class TxCatalogSpec extends AnyFunSuite {
     finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+  test("ALTER TABLE RENAME COLUMN: metadata-only SQL rename; reads, inserts and time travel follow the map") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_rn_").toString
+      val table = s"$base/t"
+      val df = (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v")
+      TxTable.init(spark, table, df, "k", nBuckets)
+      val filesBefore = TxTable.snapshot(spark, table).entries.map(_.rel).toSet
+
+      spark.sql(s"ALTER TABLE txspj.`$table` RENAME COLUMN v TO amount")
+      // metadata-only: same data files, one new version
+      val snap = TxTable.snapshot(spark, table)
+      assert(snap.entries.map(_.rel).toSet == filesBefore)
+      assert(snap.renames == Map("amount" -> "v"))
+
+      // SQL sees only the new name
+      assert(tbl(table).columns.toSeq == Seq("k", "amount"))
+      val total = spark.sql(
+        s"SELECT sum(amount) FROM txspj.`$table`").as[Long].head()
+      assert(total == (1 to 32).map(_.toLong).sum)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT v FROM txspj.`$table`").collect()
+      }
+
+      // INSERT under the logical name; the staged file stores the
+      // PHYSICAL field name
+      spark.sql(s"INSERT INTO txspj.`$table` VALUES ('K99', 990)")
+      val newRels = TxTable.snapshot(spark, table).entries.map(_.rel)
+        .filterNot(filesBefore)
+      assert(newRels.nonEmpty)
+      val stored = spark.read.parquet(s"$table/${newRels.head}").schema
+      assert(stored.fieldNames.contains("v") &&
+        !stored.fieldNames.contains("amount"),
+        s"INSERT must store physical names: ${stored.simpleString}")
+      assert(spark.sql(
+        s"SELECT amount FROM txspj.`$table` WHERE k = 'K99'")
+        .as[Long].head() == 990L)
+
+      // time travel serves the pre-rename version under its own name
+      assert(spark.table(s"txspj.`$table@v0`").columns.toSeq ==
+        Seq("k", "v"))
+
+      // UPDATE and DELETE under the logical name (COW row-level ops)
+      spark.sql(s"UPDATE txspj.`$table` SET amount = 1000 WHERE k = 'K99'")
+      assert(spark.sql(
+        s"SELECT amount FROM txspj.`$table` WHERE k = 'K99'")
+        .as[Long].head() == 1000L)
+      spark.sql(s"DELETE FROM txspj.`$table` WHERE amount = 1000")
+      assert(tbl(table).filter($"k" === "K99").count() == 0)
+
+      // MERGE under the logical name
+      Seq(("K1", 111L), ("K77", 777L)).toDF("k", "amount")
+        .createOrReplaceTempView("rn_updates")
+      spark.sql(
+        s"""MERGE INTO txspj.`$table` t USING rn_updates u ON t.k = u.k
+           |WHEN MATCHED THEN UPDATE SET amount = u.amount
+           |WHEN NOT MATCHED THEN INSERT (k, amount) VALUES (u.k, u.amount)
+           |""".stripMargin)
+      val merged = tbl(table).filter($"k".isin("K1", "K77"))
+        .select($"k", $"amount").as[(String, Long)].collect().toMap
+      assert(merged == Map("K1" -> 111L, "K77" -> 777L))
+
+      // the change feed surfaces the logical name
+      assert(spark.table(s"txspj.`$table#changes`").columns
+        .contains("amount"))
+    }
+  }
+
+  test("rename + pushdown: zone maps, bucket pruning and metadata aggregates answer under the logical name") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_rnpd_").toString
+      val table = s"$base/t"
+      def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
+        .toDF("k", "day")
+      TxTable.init(spark, table, batch(0 until 100), "k", nBuckets)
+      TxTable.appendOnce(spark, table, batch(100 until 200), "k", nBuckets,
+        "rnpd", 0L)
+      TxTable.computeStats(spark, table, "day")
+      spark.sql(s"ALTER TABLE txspj.`$table` RENAME COLUMN day TO event_day")
+
+      // zone-map file pruning fires for a filter on the LOGICAL name —
+      // no re-ANALYZE happened, the physical sidecar serves it
+      val all = scannedFiles(tbl(table))
+      val lo = tbl(table).filter($"event_day" < 50)
+      assert(lo.count() == 50)
+      assert(scannedFiles(lo) < all,
+        s"zone maps must prune on the renamed column (${scannedFiles(lo)} vs $all)")
+
+      // bucket pruning on the renamed KEY
+      spark.sql(s"ALTER TABLE txspj.`$table` RENAME COLUMN k TO id")
+      val point = tbl(table).filter($"id" === "k7")
+      assert(point.count() == 1)
+      assert(scannedFiles(point) < all,
+        "bucket identity must prune on the renamed key")
+
+      // metadata-only aggregates under logical names: zero files opened
+      val agg = spark.sql(
+        s"SELECT count(*), min(event_day), max(event_day) FROM txspj.`$table`")
+      assert(agg.as[(Long, Long, Long)].head() == ((200L, 0L, 199L)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"metadata aggregate must not scan:\n$plan")
+    }
+  }
+
+  test("rename on co-bucketed tables: the storage-partitioned join stays exchange-free under logical keys") {
+    registered {
+      val (a, b) = freshTables()
+      spark.sql(s"ALTER TABLE txspj.`$a` RENAME COLUMN k TO id")
+      spark.sql(s"ALTER TABLE txspj.`$b` RENAME COLUMN k TO id")
+      withSpjConfs {
+        val j = tbl(a).join(tbl(b), "id").select($"id", $"v", $"w")
+        val rows = j.as[(String, Long, Long)].collect().toSet
+        assert(rows == (1 to 64).map(i => (s"K$i", i.toLong, i * 10L)).toSet)
+        val p = j.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"),
+          s"renamed co-bucketed join must stay storage-partitioned:\n$p")
+      }
+      // constraints keep enforcing across the rename boundary
+      spark.sql(s"ALTER TABLE txspj.`$a` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$a` VALUES ('K200', -5)")
+      }
+      spark.sql(s"INSERT INTO txspj.`$a` VALUES ('K200', 5)")
+      assert(tbl(a).filter($"id" === "K200").count() == 1)
+      // DROP COLUMN of a renamed column tombstones the PHYSICAL name
+      spark.sql(s"ALTER TABLE txspj.`$b` RENAME COLUMN w TO weight")
+      spark.sql(s"ALTER TABLE txspj.`$b` DROP COLUMN weight")
+      assert(TxTable.snapshot(spark, b).dropped == Set("w"))
+      // the dropped column's map entry dies; the key's rename survives
+      assert(TxTable.snapshot(spark, b).renames == Map("id" -> "k"))
+      assert(tbl(b).columns.toSeq == Seq("id"))
     }
   }
 }

@@ -1027,4 +1027,146 @@ class TxTableSpec extends AnyFunSuite {
     val touched = ch.select($"customer_id").distinct().count()
     assert(touched < 8, "untouched buckets must not surface in the feed")
   }
+
+  test("renameColumn: metadata-only commit; reads, writes, sidecars and time travel honor the map") {
+    val table = Files.createTempDirectory("graft_tx_rn_").toString + "/t"
+    val df = (1 to 16).map(i => (s"C$i", i.toLong)).toDF("customer_id", "v")
+    TxTable.init(spark, table, df, "customer_id", nBuckets = 4)
+    TxTable.computeStats(spark, table, "v")
+    val filesBefore = TxTable.snapshot(spark, table).entries.map(_.rel).toSet
+
+    val v1 = TxTable.renameColumn(spark, table, "v", "amount")
+    assert(v1 == 1L)
+    // metadata-only: no data file changed hands
+    val snap = TxTable.snapshot(spark, table)
+    assert(snap.entries.map(_.rel).toSet == filesBefore)
+    assert(snap.renames == Map("amount" -> "v"))
+
+    // reads serve the LOGICAL name with the stored values intact
+    val got = TxTable.read(spark, table).select($"customer_id", $"amount")
+      .as[(String, Long)].collect().toMap
+    assert(got == (1 to 16).map(i => s"C$i" -> i.toLong).toMap)
+    // time travel serves each version under its own names
+    assert(TxTable.read(spark, table, Some(0L)).columns.contains("v"))
+    assert(!TxTable.read(spark, table).columns.contains("v"))
+
+    // the zone-map sidecar survives the rename (keyed by physical name):
+    // readWhere on the NEW name prunes without any re-ANALYZE
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(table,
+      "_txlog/stats-v.parquet")), "sidecar must stay keyed physically")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(table,
+      "_txlog/stats-amount.parquet")))
+    val ranged = TxTable.readWhere(spark, table, "amount", 3L, 5L)
+      .select($"amount").as[Long].collect().toSet
+    assert(ranged == Set(3L, 4L, 5L))
+
+    // writers accept the logical shape and store PHYSICAL field names
+    TxTable.appendOnce(spark, table,
+      Seq(("C99", 99L)).toDF("customer_id", "amount"), "customer_id", 4,
+      "rn", 0L)
+    val newRels = TxTable.snapshot(spark, table).entries.map(_.rel)
+      .filterNot(filesBefore)
+    assert(newRels.nonEmpty)
+    val stored = spark.read.parquet(s"$table/${newRels.head}").schema
+    assert(stored.fieldNames.contains("v") &&
+      !stored.fieldNames.contains("amount"),
+      s"appended file must store the physical name: ${stored.simpleString}")
+    assert(TxTable.read(spark, table).filter($"customer_id" === "C99")
+      .select($"amount").as[Long].head() == 99L)
+
+    // upsert under logical names merges correctly
+    TxTable.upsert(spark, table,
+      Seq(("C3", 333L)).toDF("customer_id", "amount"),
+      "customer_id", "amount", nBuckets = 4)
+    assert(TxTable.read(spark, table).filter($"customer_id" === "C3")
+      .select($"amount").as[Long].head() == 333L)
+
+    // the change feed surfaces logical names at the target version
+    val ch = TxTable.changesBetween(spark, table, 0L, 1L)
+    assert(ch.columns.contains("amount") && !ch.columns.contains("v"))
+
+    // RESTORE rolls the map back with the schema
+    val preRestore = TxTable.snapshot(spark, table).version
+    TxTable.restore(spark, table, 0L)
+    assert(TxTable.read(spark, table).columns.contains("v"))
+    assert(TxTable.snapshot(spark, table).renames.isEmpty)
+    // ... and restoring forward again re-applies it
+    TxTable.restore(spark, table, preRestore)
+    assert(TxTable.read(spark, table).columns.contains("amount"))
+  }
+
+  test("renameColumn refusals: collisions, constraints, bucket hygiene; rename chains and swaps stay bijective") {
+    val table = Files.createTempDirectory("graft_tx_rn2_").toString + "/t"
+    val df = (1 to 8).map(i => (s"C$i", i.toLong, i * 2L))
+      .toDF("customer_id", "a", "b")
+    TxTable.init(spark, table, df, "customer_id", nBuckets = 4)
+
+    // collision with a live logical name (case-insensitive)
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, table, "a", "B")
+    }
+    // internal layout column is untouchable
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, table, graft.ops.LayoutOps.BucketCol, "x")
+    }
+    // a CHECK constraint referencing the column blocks the rename
+    TxTable.addConstraint(spark, table, "a_pos", "a >= 0")
+    intercept[IllegalArgumentException] {
+      TxTable.renameColumn(spark, table, "a", "alpha")
+    }
+    TxTable.dropConstraint(spark, table, "a_pos")
+
+    // chain: a -> tmp, b -> a, tmp -> b  (a full swap through a temp)
+    TxTable.renameColumn(spark, table, "a", "tmp")
+    TxTable.renameColumn(spark, table, "b", "a")
+    TxTable.renameColumn(spark, table, "tmp", "b")
+    val snap = TxTable.snapshot(spark, table)
+    assert(snap.renames == Map("a" -> "b", "b" -> "a"),
+      s"swap must be bijective, got ${snap.renames}")
+    // logical a now serves the stored b values and vice versa
+    val row = TxTable.read(spark, table).filter($"customer_id" === "C3")
+      .select($"a", $"b").as[(Long, Long)].head()
+    assert(row == ((6L, 3L)), s"swapped read must cross the values: $row")
+    // a writer under the swapped names lands values in the right columns
+    TxTable.appendOnce(spark, table,
+      Seq(("C9", 18L, 9L)).toDF("customer_id", "a", "b"),
+      "customer_id", 4, "rnsw", 0L)
+    val back = TxTable.read(spark, table).filter($"customer_id" === "C9")
+      .select($"a", $"b").as[(Long, Long)].head()
+    assert(back == ((18L, 9L)))
+    // renaming back to the birth name drops the map entry
+    TxTable.renameColumn(spark, table, "a", "tmp")
+    TxTable.renameColumn(spark, table, "b", "b2")
+    TxTable.renameColumn(spark, table, "tmp", "a2")
+    val m = TxTable.snapshot(spark, table).renames
+    assert(m == Map("a2" -> "b", "b2" -> "a"), s"got $m")
+  }
+
+  test("renameColumn on the bucket key: identity stays physical, lookups and migrations keep working") {
+    val table = Files.createTempDirectory("graft_tx_rn3_").toString + "/t"
+    val df = (1 to 16).map(i => (s"C$i", i.toLong)).toDF("customer_id", "v")
+    TxTable.init(spark, table, df, "customer_id", nBuckets = 4)
+    TxTable.renameColumn(spark, table, "customer_id", "cust")
+    // the manifest identity still records the physical key
+    assert(TxTable.snapshot(spark, table).bucketing
+      .contains(("customer_id", 4)))
+    // point lookups under the LOGICAL key open only the hit buckets
+    val hit = TxTable.readKeys(spark, table, "cust", Seq("C3"), 4)
+    assert(hit.select($"cust").as[String].collect().toSeq == Seq("C3"))
+    assert(hit.columns.contains("cust") && !hit.columns.contains("customer_id"))
+    // rebucket under the logical key migrates and keeps the physical id
+    TxTable.rebucket(spark, table, "cust", newBuckets = 8)
+    assert(TxTable.snapshot(spark, table).bucketing
+      .contains(("customer_id", 8)))
+    assert(TxTable.readKeys(spark, table, "cust", Seq("C3"), 8).count() == 1)
+    // appends under the new logical name route to the same buckets
+    TxTable.appendOnce(spark, table,
+      Seq(("C3", 300L)).toDF("cust", "v"), "cust", 8, "rnk", 0L)
+    val rows = TxTable.readKeys(spark, table, "cust", Seq("C3"), 8)
+      .select($"v").as[Long].collect().toSet
+    assert(rows == Set(3L, 300L),
+      "post-rename append must land in the lookup's bucket")
+  }
 }
