@@ -655,6 +655,9 @@ object SparkEntry {
     // of the DDL) — the rename commits + post-rename append are DDL/
     // landing work
     stagedRenamedOrders(s, dir)
+    // the write-audit-publish fixture (ext_wap_audit reads head + audit
+    // view) — the staged INSERT is landing work
+    stagedWapOrders(s, dir)
     // the co-bucketed SPJ pair and the maintained HLL sketch state —
     // commit/maintenance work, not query work
     stagedSpjTables(s, dir)
@@ -700,6 +703,35 @@ object SparkEntry {
         .withColumnRenamed("o_orderkey", "order_id")
       ops.TxTable.appendOnce(s, path, slice, "order_id", 8,
         appId = "rn-stage", batchId = 1L)
+      ()
+    }
+    path
+  }
+
+  /** Write-audit-publish fixture (ext_wap_audit): even orders committed
+    * at v0; odd orders STAGED under a WAP id through the SQL INSERT path
+    * (`spark.graft.wap.id`) but never published — the audit view must
+    * see both, the table head only the even half. */
+  private def stagedWapOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-wap-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders")
+      ops.TxTable.init(s, path,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        key = "o_orderkey", nBuckets = 8)
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .createOrReplaceTempView("graft_wap_stage_src")
+      val k = "spark.graft.wap.id"
+      val saved = s.conf.getOption(k)
+      s.conf.set(k, "audit.r9")
+      try s.sql(s"INSERT INTO txspj.`$path` " +
+        "SELECT * FROM graft_wap_stage_src")
+      finally saved match {
+        case Some(v) => s.conf.set(k, v)
+        case None => s.conf.unset(k)
+      }
       ()
     }
     path
@@ -2570,6 +2602,31 @@ object SparkEntry {
       head.unionByName(v0).orderBy(col("snapshot"), col("o_orderpriority"))
     }),
 
+    // WRITE-AUDIT-PUBLISH as a query surface — the Iceberg WAP flow on
+    // this commit log: with `spark.graft.wap.id` set, a SQL INSERT's
+    // files land as a STAGED commit — invisible to every reader of the
+    // table, vacuum-protected, and readable through the reserved
+    // `@wap.<id>` audit view (head + staged, exactly what the table
+    // becomes after CALL publish_staged). The query reads the HEAD and
+    // the AUDIT view of the same table: the head must still be the v0
+    // half, the audit view the full set — staging leaked nothing and
+    // lost nothing. At 100 TB this is how a pipeline validates a load
+    // before any reader can see it, without a copy of the table.
+    "ext_wap_audit" -> ((s, dir) => {
+      val path = stagedWapOrders(s, dir)
+      ensureTxCatalog(s)
+      def agg(df: org.apache.spark.sql.DataFrame, which: String) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .select(lit(which).as("view"), col("o_orderpriority"),
+          col("n_orders"), col("total_price"))
+      agg(s.table(s"txspj.`$path`"), "head")
+        .unionByName(agg(s.table(s"txspj.`$path@wap.audit.r9`"), "audit"))
+        .orderBy(col("view"), col("o_orderpriority"))
+    }),
+
     // File-granular change feed (the Delta CDF read shape): rows added
     // between v0 and v2 surface with their commit version; I/O is only the
     // CHANGED files of each step — the incremental-consumer contract that
@@ -2676,6 +2733,27 @@ object SparkEntry {
           sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
             .cast("decimal(18,2)")).cast("double").as("total_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Row-level CDF with UPDATE classification — the Delta
+    // update_preimage/update_postimage change types: the delta MERGE's
+    // task writers record which deleted position and which inserted
+    // position were the two halves of each update (one tiny bitmap
+    // sidecar per commit, referenced from the manifest header), so the
+    // change feed emits the old and new row versions as a paired update
+    // instead of the conservative delete+insert. Downstream CDC
+    // consumers (audit, incremental ML feature deltas) get exact row
+    // semantics at O(commit delta) I/O. Oracle replays the deterministic
+    // MERGE arithmetic per change type.
+    "ext_update_changes" -> ((s, dir) => {
+      val path = stagedDeltaMergedOrders(s, dir)
+      ops.TxTable.changesBetween(s, path, 0L, 1L)
+        .filter(col("_commit_version") === 1L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
+            .cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("_change_type"))
     }),
 
     // Metadata-only aggregates through the catalog: COUNT(*) answers from
@@ -3634,6 +3712,54 @@ object SparkEntry {
           tbl(s, dir, "embeddings").select(col("label"), col("embedding")),
           group = "label")
         .orderBy(col("label"), col("dim"))
+    }),
+
+    // CommonCrawl-style PER-SOURCE CAPS: keep at most 20 docs per source
+    // by deterministic priority (longest first), report kept/dropped
+    // volume per source. One shuffle on the source key; the rank filter
+    // rides WindowGroupLimit so map tasks pre-trim to the cap before the
+    // exchange — host-capping a 100 TB crawl without a global sort.
+    "ext_domain_caps" -> ((s, dir) => {
+      ops.SampleOps.capPerGroup(
+          tbl(s, dir, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          group = "source", lengthCol = "n_chars", idCol = "doc_id",
+          cap = 20)
+        .groupBy(col("source"))
+        .agg(sum(col("cap_keep").cast("long")).as("n_kept"),
+          sum((!col("cap_keep")).cast("long")).as("n_dropped"),
+          sum(when(col("cap_keep"), col("n_chars"))
+            .otherwise(lit(0L))).as("chars_kept"),
+          min(when(col("cap_keep"), col("n_chars"))).as("min_kept_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // SFT training-example serialization: each user's event stream as ONE
+    // deterministic text example (events total-ordered by ts, id;
+    // rendered type@epochSeconds, pipe-joined) plus its md5 fingerprint —
+    // the conversation-grouping step of multi-turn instruction-data prep,
+    // one shuffle on the user key, serialization row-local.
+    "ext_sft_examples" -> ((s, dir) => {
+      ops.PackOps.serializeSessions(
+          tbl(s, dir, "events")
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          user = "user_id", ts = "ts", idCol = "event_id",
+          typeCol = "event_type")
+        .orderBy(col("user_id"))
+    }),
+
+    // Embedding-space drift: cosine similarity between the centroids of
+    // two corpus slices (here the deterministic even/odd vec_id halves) —
+    // the vector sibling of the PSI monitor: a semantic mix shift moves
+    // the centroid before any scalar feature flags. One pass per side,
+    // per-dimension decimal sums (order-independent), cosine in exact
+    // decimal off 6dp means — bit-equal on any engine.
+    "ext_embedding_drift" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      ops.FeatureOps.embeddingDrift(
+        e.filter(pmod(col("vec_id"), lit(2)) === 0).select(col("embedding")),
+        e.filter(pmod(col("vec_id"), lit(2)) === 1).select(col("embedding")))
     }),
 
     // Outlier capping: clip event values to their type's [p05, p95]. The
@@ -5642,6 +5768,84 @@ object SparkEntry {
         |GROUP BY v.version
         |ORDER BY version""".stripMargin,
 
+    // per-source cap replay: rank by (n_chars desc, doc_id) within source
+    "ext_domain_caps" ->
+      """WITH rk AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS r
+        |  FROM documents
+        |)
+        |SELECT source,
+        |  sum(CASE WHEN r <= 20 THEN 1 ELSE 0 END) AS n_kept,
+        |  sum(CASE WHEN r > 20 THEN 1 ELSE 0 END) AS n_dropped,
+        |  sum(CASE WHEN r <= 20 THEN n_chars ELSE 0 END) AS chars_kept,
+        |  min(CASE WHEN r <= 20 THEN n_chars END) AS min_kept_chars
+        |FROM rk GROUP BY source ORDER BY source""".stripMargin,
+
+    // SFT serialization replay: the same total order and rendering
+    "ext_sft_examples" ->
+      """WITH ex AS (
+        |  SELECT user_id,
+        |    count(*) AS n_events,
+        |    string_agg(event_type || '@' ||
+        |        CAST(event_id AS VARCHAR), '|'
+        |      ORDER BY ts, event_id) AS example
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(n_events AS INTEGER) AS n_events, example,
+        |  md5(example) AS example_md5
+        |FROM ex ORDER BY user_id""".stripMargin,
+
+    // centroid-drift replay: per-dimension decimal means at 6dp per
+    // half, cosine in exact decimal — the same arithmetic order
+    "ext_embedding_drift" ->
+      """WITH ex AS (
+        |  SELECT vec_id % 2 AS half, generate_subscripts(embedding, 1) AS dim,
+        |    CAST(unnest(CAST(embedding AS DOUBLE[])) AS DECIMAL(18,9)) AS c
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT half, dim,
+        |    CAST(floor((CAST(sum(c) AS DOUBLE) / count(*)) * 1000000 + 0.5)
+        |      / 1000000.0 AS DECIMAL(18,6)) AS m,
+        |    count(*) AS n
+        |  FROM ex GROUP BY half, dim
+        |), j AS (
+        |  SELECT a.n AS n_ref, b.n AS n_cur,
+        |    CAST(a.m * b.m AS DECIMAL(38,12)) AS dot,
+        |    CAST(a.m * a.m AS DECIMAL(38,12)) AS na,
+        |    CAST(b.m * b.m AS DECIMAL(38,12)) AS nb
+        |  FROM cent a JOIN cent b ON a.dim = b.dim
+        |  WHERE a.half = 0 AND b.half = 1
+        |)
+        |SELECT any_value(n_ref) AS n_ref, any_value(n_cur) AS n_cur,
+        |  floor(CAST(sum(dot) AS DOUBLE) /
+        |    (sqrt(CAST(sum(na) AS DOUBLE)) * sqrt(CAST(sum(nb) AS DOUBLE)))
+        |    * 1000000 + 0.5) / 1000000.0 AS centroid_cos,
+        |  floor(sqrt(CAST(sum(na) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+        |    AS l2_ref,
+        |  floor(sqrt(CAST(sum(nb) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
+        |    AS l2_cur
+        |FROM j""".stripMargin,
+
+    // write-audit-publish replay: the head is the even-key half, the
+    // audit view the full orders set (staged odd half included)
+    "ext_wap_audit" ->
+      """WITH head AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |)
+        |SELECT 'audit' AS view, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT 'head' AS view, o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM head GROUP BY o_orderpriority
+        |ORDER BY view, o_orderpriority""".stripMargin,
+
     // column-mapping replay: the head is orders plus the post-rename
     // %50 append, aggregated under the NEW logical names; v0 is the
     // pre-rename snapshot under the OLD names — same stored values, so
@@ -5778,6 +5982,32 @@ object SparkEntry {
         |    AS DOUBLE) AS total_price
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // update-classification replay: matched rows (even keys in the %3
+    // source) surface as paired pre/post images — old price then
+    // price+1000 — and unmatched source rows (odd keys) as plain inserts
+    "ext_update_changes" ->
+      """WITH pre AS (
+        |  SELECT o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        |), post AS (
+        |  SELECT o_totalprice + 1000.0 AS p FROM orders
+        |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 = 0
+        |), ins AS (
+        |  SELECT o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+        |), typed AS (
+        |  SELECT 'update_preimage' AS _change_type, p FROM pre
+        |  UNION ALL
+        |  SELECT 'update_postimage' AS _change_type, p FROM post
+        |  UNION ALL
+        |  SELECT 'insert' AS _change_type, p FROM ins
+        |)
+        |SELECT _change_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(floor(p * 100 + 0.5) / 100 AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total_price
+        |FROM typed GROUP BY _change_type
+        |ORDER BY _change_type""".stripMargin,
 
     // metadata-aggregate replay: the versioned table's head holds all
     // orders rows, so the manifest-answered aggregates equal the direct

@@ -217,6 +217,50 @@ object DeletionVectors {
       .select(cols.map(col): _*)
   }
 
+  /** Stage the per-commit UPDATE-CLASSIFICATION sidecar (row-level CDF):
+    * rows of `(kind, rel, bm)` where kind 'ud' marks the DELETED
+    * positions of `rel` that belong to updates (pre-images) and kind
+    * 'ui' marks the INSERTED positions of `rel` that belong to updates
+    * (post-images). Referenced from the commit header (field 11), kept
+    * alive by vacuum exactly like a DV sidecar. */
+  private[graft] def stageCdfFile(spark: SparkSession, table: String,
+                                  rows: Seq[(String, String, Array[Byte])])
+      : String = {
+    require(rows.nonEmpty, "no update classification to stage")
+    val rel = s"files/${java.util.UUID.randomUUID()}/cdf.parquet"
+    val schema = StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("rel", StringType, nullable = false),
+      StructField("bm", BinaryType, nullable = false)))
+    val fs = new Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(table, rel).getParent)
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    val w = org.apache.spark.sql.execution.datasources.v2.parquet
+      .GraftParquetShim.rowParquetWriter(s"$table/$rel", schema,
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.writeHadoopConf(spark))
+    try rows.foreach { case (k, r, bm) =>
+      w.write(conv(org.apache.spark.sql.Row(k, r, bm))
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    } finally w.close()
+    rel
+  }
+
+  /** Load an update-classification sidecar: (updated-delete bitmaps by
+    * source rel, updated-insert bitmaps by new rel). */
+  private[graft] def loadCdfMaps(spark: SparkSession, table: String,
+                                 rel: String)
+      : (Map[String, Array[Byte]], Map[String, Array[Byte]]) = {
+    val rows = spark.read.parquet(s"$table/$rel")
+      .select(col("kind"), col("rel"), col("bm"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Array[Byte]](2)))
+    (rows.collect { case ("ud", r, b) => r -> b }.toMap,
+      rows.collect { case ("ui", r, b) => r -> b }.toMap)
+  }
+
   /** Stage ONE deletion-vector sidecar parquet holding `rows` of
     * `(rel, dv, ndel)` under a fresh `files/<uuid>/` directory (driver-
     * side writer — the row count is the commit's touched files, bounded

@@ -172,6 +172,47 @@ object FeatureOps {
       .agg((sum(col("__c")).cast("double") / count(lit(1))).as("mean_raw"))
       .select(col(group), col("dim"), round6(col("mean_raw")).as("mean_val"))
 
+  /** EMBEDDING-SPACE drift between a reference and a current corpus
+    * slice — the vector sibling of [[psiDrift]]: cosine similarity of the
+    * two slices' mean embeddings, plus their L2 norms. A feed whose
+    * semantic mix shifts (new domain, new language, encoder change)
+    * moves the centroid long before any scalar feature flags.
+    *
+    * Scale shape: ONE pass per side — posexplode → per-dimension decimal
+    * sums (order-independent, engine-exact), |dims| rows a side; the
+    * cosine is a |dims|-row join computed in exact decimal off the
+    * 6 dp-rounded means, so the result replays bit-equal on any engine.
+    * At 100 TB the cost is the two scans; everything after is metadata-
+    * sized. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    def centroid(df: DataFrame, side: String): DataFrame =
+      OpsUtil.spread(df)
+        .select(posexplode(col("embedding")))
+        .select((col("pos") + 1).as("dim"),
+          col("col").cast("double").cast("decimal(18,9)").as("__c"))
+        .groupBy(col("dim"))
+        .agg(round6((sum(col("__c")).cast("double") / count(lit(1))))
+          .cast("decimal(18,6)").as(s"m_$side"),
+          count(lit(1)).as(s"n_$side"))
+    centroid(ref, "ref").join(centroid(cur, "cur"), Seq("dim"))
+      .agg(
+        first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"),
+        // 6 dp × 6 dp products are exact in decimal(38,12); their sums
+        // stay exact, so dot/norms are order-independent
+        sum((col("m_ref") * col("m_cur")).cast("decimal(38,12)"))
+          .as("__dot"),
+        sum((col("m_ref") * col("m_ref")).cast("decimal(38,12)"))
+          .as("__na"),
+        sum((col("m_cur") * col("m_cur")).cast("decimal(38,12)"))
+          .as("__nb"))
+      .select(col("n_ref"), col("n_cur"),
+        round6(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) *
+            sqrt(col("__nb").cast("double")))).as("centroid_cos"),
+        round6(sqrt(col("__na").cast("double"))).as("l2_ref"),
+        round6(sqrt(col("__nb").cast("double"))).as("l2_cur"))
+  }
+
   /** Per-group robust scaling: (x − median) / IQR — the outlier-insensitive
     * sibling of [[scaleByGroup]]'s z-score (a handful of corrupt values move
     * mean/stddev arbitrarily far; they barely move the quartiles). Same

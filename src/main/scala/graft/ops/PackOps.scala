@@ -18,6 +18,34 @@ import org.apache.spark.sql.functions._
   */
 object PackOps {
 
+  /** SFT-style TRAINING-EXAMPLE serialization: each user's event stream
+    * becomes one deterministic text example — events sorted by
+    * (timestamp, id) and rendered as `type@id` joined with `|` (the id,
+    * not the raw clock, goes into the text: sub-second timestamp
+    * precision differs across engines/file generations, and a training
+    * example must serialize bit-identically everywhere). The whole
+    * example is built ROW-LOCALLY after one grouped collect (sort_array
+    * on the struct gives a total order, so the string is identical on
+    * any engine / any partitioning); `example_md5` is the content
+    * fingerprint a downstream dedup or lineage check keys on. One
+    * shuffle on the user key — the conversation-grouping shape of
+    * multi-turn SFT data prep. */
+  def serializeSessions(events: DataFrame, user: String, ts: String,
+                        idCol: String, typeCol: String): DataFrame =
+    events
+      .groupBy(col(user))
+      .agg(sort_array(collect_list(struct(
+        col(ts).as("t"), col(idCol).as("i"), col(typeCol).as("y"))))
+        .as("__evs"))
+      .select(col(user),
+        size(col("__evs")).as("n_events"),
+        array_join(transform(col("__evs"),
+          e => concat(e.getField("y"), lit("@"),
+            e.getField("i").cast("string"))), "|")
+          .as("example"))
+      .withColumn("example_md5", md5(col("example")))
+
+
   /** Assign each doc to a pack: `bucket` = doc_id mod buckets (portable,
     * deterministic), `pack_seq` = floor(tokens-before-this-doc / budget)
     * within the bucket's doc_id order. Window state is a single running

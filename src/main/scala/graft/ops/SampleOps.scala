@@ -16,6 +16,26 @@ import org.apache.spark.sql.functions._
   */
 object SampleOps {
 
+  /** PER-SOURCE document caps — the CommonCrawl-style host/domain
+    * capping step: within each `group`, keep at most `cap` documents by
+    * a deterministic priority (longest first via `lengthCol`, `idCol`
+    * ascending as the total tiebreak) and flag the rest dropped. One
+    * hash shuffle on the group key; the rank-≤-cap filter rides Spark's
+    * WindowGroupLimit partial push, so each map task keeps only its top
+    * `cap` per group before the exchange — the shape that makes capping
+    * a 100 TB crawl affordable. Returns the input plus `cap_keep`. */
+  def capPerGroup(docs: DataFrame, group: String, lengthCol: String,
+                  idCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(group))
+      .orderBy(col(lengthCol).desc, col(idCol).asc)
+    docs.withColumn("__rk", row_number().over(w))
+      .withColumn("cap_keep", col("__rk") <= cap)
+      .drop("__rk")
+  }
+
+
   /** Deterministic bucket in [0, 100) from a stable key: first 15 hex
     * digits of md5("salt|key") as int64, mod 100. Changing `salt` draws an
     * independent sample; the same (salt, key) always lands in the same

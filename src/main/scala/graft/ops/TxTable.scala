@@ -318,20 +318,29 @@ object TxTable {
         }
       }
 
+  // HEADER extension (row-level CDF classification): field 11 of a DELTA
+  // manifest records the table-relative path of the commit's update-
+  // classification sidecar — bitmaps marking which deleted positions and
+  // which inserted positions belong to UPDATES (pre/post images), written
+  // by the delta row-level write. PER-COMMIT, never inherited: absent or
+  // `-` means the commit carried no update pairing (its deletes/inserts
+  // surface as plain delete/insert — the conservative pre-extension CDF).
   private def renderDelta(adds: Seq[FileEntry], removes: Seq[String],
                           txn: Option[(String, Long)],
                           schema: Option[StructType],
                           bucketing: Option[(String, Int)] = None,
                           dropped: Set[String] = Set.empty,
                           props: Map[String, String] = Map.empty,
-                          renames: Map[String, String] = Map.empty)
+                          renames: Map[String, String] = Map.empty,
+                          cdf: Option[String] = None)
       : Array[Byte] = {
     val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
     val sc = schema.map(_.json).getOrElse("-")
     val bk = bucketing.map { case (k, n) => s"	$k	$n" }.getOrElse("	-	-")
     val header = s"txtable	3	$app	$batch	$sc$bk	" +
       s"${renderDropped(dropped)}	${renderProps(props)}	" +
-      renderRenames(renames)
+      renderRenames(renames) +
+      s"	${cdf.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("-")}"
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel))
         .map(e =>
@@ -358,6 +367,26 @@ object TxTable {
         }
       }
     (adds.result(), removes.result())
+  }
+
+  private def parseCdf(bytes: Array[Byte]): Option[String] = {
+    val header = headerFields(bytes)
+    if (header.length < 11 || header(10) == "-") None
+    else Some(java.net.URLDecoder.decode(header(10), "UTF-8"))
+  }
+
+  /** The update-classification sidecar rel of commit `v`, when that
+    * commit was a delta write carrying update pairing. Reads only the
+    * commit's own manifest header — per-commit metadata, never folded
+    * into snapshots. */
+  private[graft] def commitCdfRel(fs: FileSystem, table: String,
+                                  v: Long): Option[String] = {
+    val p = versionPath(table, v)
+    if (!fs.exists(p)) None
+    else {
+      val bytes = readBytes(fs, p)
+      if (isDelta(bytes)) parseCdf(bytes) else None
+    }
   }
 
   private def isDelta(bytes: Array[Byte]): Boolean =
@@ -465,7 +494,8 @@ object TxTable {
                                 allowRebucket: Boolean = false,
                                 dropped: Option[Set[String]] = None,
                                 props: Option[Map[String, String]] = None,
-                                renames: Option[Map[String, String]] = None)
+                                renames: Option[Map[String, String]] = None,
+                                cdf: Option[String] = None)
       : Boolean = {
     (bucketing, base.bucketing) match {
       case (Some(b), Some(cur)) if b != cur && !allowRebucket =>
@@ -487,7 +517,7 @@ object TxTable {
     val v = base.version + 1
     val ok = tryPublish(fs, table, v,
       renderDelta(adds, removes.toSeq, txn, schema, effBucketing,
-        effDropped, effProps, effRenames))
+        effDropped, effProps, effRenames, cdf))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
       val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
       try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
@@ -655,12 +685,28 @@ object TxTable {
     def stamp(df: DataFrame, tpe: String, v: Long): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
+    val fs = fsFor(spark, table)
     var prev: Map[String, FileEntry] = snapshot(spark, table,
       Some(fromVersion)).entries.map(e => e.rel -> e).toMap
     val frames = Seq.newBuilder[DataFrame]
     (fromVersion + 1 to toVersion).foreach { v =>
       val cur = snapshot(spark, table, Some(v)).entries
         .map(e => e.rel -> e).toMap
+      // UPDATE classification (the Delta update_preimage/update_postimage
+      // change types): a delta row-level commit stages bitmaps marking
+      // which of its deleted positions / inserted positions belong to
+      // UPDATES. Absent sidecar (every other commit kind) or a file
+      // missing the metadata the split needs (recorded row count, clean
+      // add) degrades to the plain delete/insert types — conservative,
+      // never wrong rows.
+      val (ud, ui) = commitCdfRel(fs, table, v) match {
+        case Some(rel) => DeletionVectors.loadCdfMaps(spark, table, rel)
+        case None => (Map.empty[String, Array[Byte]],
+          Map.empty[String, Array[Byte]])
+      }
+      def bmDeser(b: Array[Byte]) = DeletionVectors.deserialize(b)
+      def complement(bm: org.roaringbitmap.RoaringBitmap, rows: Long) =
+        org.roaringbitmap.RoaringBitmap.flip(bm, 0L, rows)
       val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
       // same rel, CHANGED deletion vector (bitmap diff, batched: one
@@ -671,12 +717,46 @@ object TxTable {
       val changedRels = cur.keysIterator.filter(rel =>
         prev.contains(rel) && cur(rel).dv != prev(rel).dv)
         .toSeq.sorted
-      if (added.nonEmpty)
-        frames += stamp(DeletionVectors.readEntries(spark, table, added,
-          Some(schema)), "insert", v)
-      if (removed.nonEmpty)
-        frames += stamp(DeletionVectors.readEntries(spark, table, removed,
-          Some(schema)), "delete", v)
+      val (updAdded, plainAdded) = added.partition(e =>
+        ui.contains(e.rel) && e.dv.isEmpty && e.rows.isDefined)
+      if (plainAdded.nonEmpty)
+        frames += stamp(DeletionVectors.readEntries(spark, table,
+          plainAdded, Some(schema)), "insert", v)
+      updAdded.foreach { e =>
+        val bm = bmDeser(ui(e.rel))
+        frames += stamp(DeletionVectors.readMarked(spark, table,
+          Seq((e, DeletionVectors.serialize(bm))), Some(schema)),
+          "update_postimage", v)
+        val rest = complement(bm, e.rows.get)
+        if (!rest.isEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table,
+            Seq((e, DeletionVectors.serialize(rest))), Some(schema)),
+            "insert", v)
+      }
+      val (updRemoved, plainRemoved) = removed.partition(e =>
+        ud.contains(e.rel) && e.rows.isDefined)
+      if (plainRemoved.nonEmpty)
+        frames += stamp(DeletionVectors.readEntries(spark, table,
+          plainRemoved, Some(schema)), "delete", v)
+      updRemoved.foreach { e =>
+        // a fully-dropped file (all live rows died): updated positions
+        // are pre-images, the remaining then-live rows plain deletes
+        val udBm = bmDeser(ud(e.rel))
+        val prevDv = DeletionVectors.loadBitmaps(spark, table, Seq(e))
+          .get(e.rel).map(b => bmDeser(b._2))
+          .getOrElse(new org.roaringbitmap.RoaringBitmap())
+        val pre = org.roaringbitmap.RoaringBitmap.andNot(udBm, prevDv)
+        if (!pre.isEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table,
+            Seq((e, DeletionVectors.serialize(pre))), Some(schema)),
+            "update_preimage", v)
+        val dead = org.roaringbitmap.RoaringBitmap.or(prevDv, udBm)
+        val del = complement(dead, e.rows.get)
+        if (!del.isEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table,
+            Seq((e, DeletionVectors.serialize(del))), Some(schema)),
+            "delete", v)
+      }
       if (changedRels.nonEmpty) {
         val curBms = DeletionVectors.loadBitmaps(spark, table,
           changedRels.map(cur).filter(_.dv.isDefined))
@@ -691,12 +771,31 @@ object TxTable {
           (rel, org.roaringbitmap.RoaringBitmap.andNot(cb, pb),
             org.roaringbitmap.RoaringBitmap.andNot(pb, cb))
         }
-        val dead = diffs.collect { case (rel, d, _) if !d.isEmpty =>
+        // newly-dead positions split by the update bitmap: an updated
+        // row's death is its PRE-IMAGE, everything else a plain delete
+        val (preImg, dead) = diffs.collect {
+          case (rel, d, _) if !d.isEmpty => ud.get(rel) match {
+            case Some(u) =>
+              val ub = bmDeser(u)
+              (org.roaringbitmap.RoaringBitmap.and(d, ub),
+                org.roaringbitmap.RoaringBitmap.andNot(d, ub), rel)
+            case None =>
+              (new org.roaringbitmap.RoaringBitmap(), d, rel)
+          }
+        }.map { case (p, d, rel) =>
+          ((rel, p), (rel, d))
+        }.unzip
+        val preRows = preImg.collect { case (rel, p) if !p.isEmpty =>
+          (cur(rel), DeletionVectors.serialize(p)) }
+        val deadRows = dead.collect { case (rel, d) if !d.isEmpty =>
           (cur(rel), DeletionVectors.serialize(d)) }
         val revived = diffs.collect { case (rel, _, r) if !r.isEmpty =>
           (cur(rel), DeletionVectors.serialize(r)) }
-        if (dead.nonEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table, dead,
+        if (preRows.nonEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table, preRows,
+            Some(schema)), "update_preimage", v)
+        if (deadRows.nonEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table, deadRows,
             Some(schema)), "delete", v)
         if (revived.nonEmpty)
           frames += stamp(DeletionVectors.readMarked(spark, table, revived,
@@ -2482,6 +2581,159 @@ object TxTable {
     committed
   }
 
+  // --- write-audit-publish (WAP) staged commits -------------------------
+
+  private def stagedSuffix = ".staged"
+
+  private def stagedName(id: String): String =
+    s"staged-$id-${java.util.UUID.randomUUID()}$stagedSuffix"
+
+  private val WapId = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+
+  /** Staged manifests of a WAP id (newest naming scheme only): each
+    * staging is its own immutable file, so concurrent stagers under one
+    * id never race a merge. */
+  private def stagedFiles(fs: FileSystem, table: String,
+                          id: Option[String]): Seq[Path] = {
+    val dir = logDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(stagedSuffix))
+      .filter(p => id.forall(i =>
+        p.getName.stripPrefix("staged-").stripSuffix(stagedSuffix)
+          .dropRight(37) == i))
+  }
+
+  /** Distinct WAP ids with staged-but-unpublished commits. */
+  def stagedIds(spark: SparkSession, table: String): Seq[String] =
+    stagedFiles(fsFor(spark, table), table, None)
+      .map(_.getName.stripPrefix("staged-").stripSuffix(stagedSuffix)
+        .dropRight(37))
+      .distinct.sorted
+
+  /** The union of a WAP id's staged adds: (entries, per-staging schemas,
+    * per-staging bucket identities). */
+  private[graft] def stagedAdds(spark: SparkSession, table: String,
+                                id: String)
+      : (Seq[FileEntry], Seq[StructType], Seq[(String, Int)]) = {
+    val fs = fsFor(spark, table)
+    val files = stagedFiles(fs, table, Some(id))
+    val parsed = files.sortBy(_.getName).map(p => readBytes(fs, p))
+    (parsed.flatMap(b => parseDelta(b)._1),
+      parsed.flatMap(parseSchema),
+      parsed.flatMap(parseBucketing))
+  }
+
+  /** Record already-staged data files as a PENDING (write-audit-publish)
+    * commit under `wapId` — invisible to every reader of the table until
+    * [[publishStaged]], but protected from [[vacuum]]'s orphan sweep and
+    * readable through [[readStaged]] (or SQL `t@wap.<id>`) for audits.
+    * The Iceberg WAP flow on this log. Each call lands one immutable
+    * staged manifest, so concurrent stagers under one id compose. */
+  private[graft] def stagePublish(spark: SparkSession, table: String,
+                                  wapId: String, adds: Seq[FileEntry],
+                                  schema: StructType,
+                                  bucketing: (String, Int)): Unit = {
+    require(WapId.matches(wapId),
+      s"invalid WAP id '$wapId': [A-Za-z0-9][A-Za-z0-9._-]*")
+    val fs = fsFor(spark, table)
+    require(atomicPublish(fs, table,
+      new Path(logDir(table), stagedName(wapId)),
+      renderDelta(adds, Seq.empty, txn = None, schema = Some(schema),
+        bucketing = Some(bucketing))),
+      s"$table: staged-manifest publish collided (uuid reuse?) — retry")
+  }
+
+  /** Stage a batch under a WAP id (the Scala write half of
+    * write-audit-publish): constraints enforce NOW (an auditor must see
+    * the rows that would land), files stage like any append, and one
+    * staged manifest records them — the table's readers see nothing
+    * until [[publishStaged]]. */
+  def stageAppend(spark: SparkSession, table: String, batch: DataFrame,
+                  key: String, nBuckets: Int, wapId: String): Unit = {
+    val snap = snapshot(spark, table)
+    val tagged = toPhysical(
+      enforceConstraints(spark, table, batch)
+        .withColumn(LayoutOps.BucketCol,
+          LayoutOps.bucketId(col(key), nBuckets)), snap)
+    val physKey = snap.physicalName(key)
+    snap.bucketing.foreach { case (k, n) =>
+      require(k == physKey && n == nBuckets,
+        s"$table is bucketed as (key=${snap.logicalName(k)}, nBuckets=$n)" +
+          s" but stageAppend was called with (key=$key, nBuckets=$nBuckets)")
+    }
+    val entries = stageFiles(spark, table, tagged)
+    stagePublish(spark, table, wapId, entries,
+      mergeSchemas(StructType(Nil), tagged.schema), (physKey, nBuckets))
+  }
+
+  /** The AUDIT view of a WAP id: the table's head plus the id's staged
+    * rows — what the table WOULD contain after [[publishStaged]]. */
+  def readStaged(spark: SparkSession, table: String,
+                 wapId: String): DataFrame = {
+    val snap = snapshot(spark, table)
+    val (adds, schemas, _) = stagedAdds(spark, table, wapId)
+    require(adds.nonEmpty || schemas.nonEmpty,
+      s"$table: nothing staged under WAP id '$wapId' (have: " +
+        s"${stagedIds(spark, table).mkString(", ")})")
+    val merged = schemas.foldLeft(snap.schema.getOrElse(StructType(Nil)))(
+      (acc, sc) => mergeSchemas(acc, sc, snap.dropped))
+    fromPhysical(
+      DeletionVectors.readEntries(spark, table, snap.entries ++ adds,
+        Some(merged)), snap)
+  }
+
+  /** PUBLISH a WAP id: every staging under the id lands as ONE atomic
+    * commit on the current head (schema union-evolves; the staged bucket
+    * identity must still match — a rebucket between stage and publish
+    * fails loudly via the identity check, exactly like any racing
+    * writer). The staged manifests are deleted after the commit, so a
+    * re-publish of the same id finds nothing and throws. Returns the new
+    * version. */
+  def publishStaged(spark: SparkSession, table: String, wapId: String,
+                    maxRetries: Int = 5): Long = {
+    val fs = fsFor(spark, table)
+    val files = stagedFiles(fs, table, Some(wapId))
+    require(files.nonEmpty,
+      s"$table: nothing staged under WAP id '$wapId' (have: " +
+        s"${stagedIds(spark, table).mkString(", ")})")
+    val parsed = files.sortBy(_.getName).map(p => readBytes(fs, p))
+    val adds = parsed.flatMap(b => parseDelta(b)._1)
+    val schemas = parsed.flatMap(parseSchema)
+    val identities = parsed.flatMap(parseBucketing).distinct
+    require(identities.size <= 1,
+      s"$table: WAP id '$wapId' staged under conflicting bucket " +
+        s"identities ${identities.mkString(", ")} — drop and re-stage")
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(spark, table)
+      val merged = schemas.foldLeft(snap.schema.getOrElse(
+        schemas.headOption.getOrElse(StructType(Nil))))(
+        (acc, sc) => mergeSchemas(acc, sc, snap.dropped))
+      if (commitNext(fs, table, snap, adds = adds, removes = Set.empty,
+          txn = Some((s"wap:$wapId", 0L)),
+          schema = Some(merged),
+          bucketing = identities.headOption.orElse(snap.bucketing))) {
+        files.foreach(p => fs.delete(p, false))
+        return snap.version + 1
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: publish of WAP id '$wapId' lost the commit race " +
+        s"$maxRetries times")
+  }
+
+  /** Abandon a WAP id: its staged manifests delete and the staged data
+    * files become ordinary orphans for [[vacuum]]. Returns the number of
+    * stagings dropped. */
+  def dropStaged(spark: SparkSession, table: String, wapId: String): Int = {
+    val fs = fsFor(spark, table)
+    val files = stagedFiles(fs, table, Some(wapId))
+    files.foreach(p => fs.delete(p, false))
+    files.size
+  }
+
   /** [[restore]] addressed by tag name. */
   def restoreTag(spark: SparkSession, table: String, name: String): Long = {
     val pinned = tags(spark, table).getOrElse(name,
@@ -2723,9 +2975,11 @@ object TxTable {
     * direct version addressing. Returns the pinned version. */
   def tag(spark: SparkSession, table: String, name: String,
           version: Option[Long] = None): Long = {
-    require(TagName.matches(name) && !name.matches("^v\\d+$"),
-      s"invalid tag name '$name': [A-Za-z0-9][A-Za-z0-9._-]*, and " +
-        "'v<digits>' is reserved for version addressing")
+    require(TagName.matches(name) && !name.matches("^v\\d+$") &&
+        !name.startsWith("wap."),
+      s"invalid tag name '$name': [A-Za-z0-9][A-Za-z0-9._-]*; " +
+        "'v<digits>' is reserved for version addressing and 'wap.*' " +
+        "for staged-commit audit reads")
     val fs = fsFor(spark, table)
     val v = version.getOrElse(snapshot(spark, table).version)
     snapshot(spark, table, Some(v)) // must be resolvable — throws if not
@@ -2812,12 +3066,20 @@ object TxTable {
           s.dropped, s.props, s.renames)
       }
     }
-    val referenced: Set[String] = retained
+    val referenced: Set[String] = (retained
       .flatMap(v => snapshot(spark, table, Some(v)).entries)
       // a referenced entry pins BOTH its data directory and (when a
       // merge-on-read delete marked it) its deletion-vector sidecar's
       // directory — sweeping a live DV would resurrect deleted rows
       .flatMap(e => e.rel +: e.dv.map(_.rel).toSeq)
+      // ... and a retained commit's update-classification sidecar (the
+      // row-level CDF would silently downgrade to delete/insert if swept)
+      ++ retained.flatMap(v => commitCdfRel(fs, table, v))
+      // ... and every staged-but-unpublished (write-audit-publish) file:
+      // a long-running audit must never lose its staged rows to the
+      // orphan sweep — dropStaged is the explicit release
+      ++ stagedFiles(fs, table, None)
+        .flatMap(p => parseDelta(readBytes(fs, p))._1.map(_.rel)))
       .map(_.split('/')(1)).toSet
     val deleted = Seq.newBuilder[String]
     val filesRoot = new Path(table, "files")

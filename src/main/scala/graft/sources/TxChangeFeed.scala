@@ -231,6 +231,15 @@ private[sources] object TxChangeFeedPlanning {
     (from + 1 to to).foreach { v =>
       val cur = TxTable.snapshot(spark, path, Some(v)).entries
         .map(e => e.rel -> e).toMap
+      // UPDATE classification (pre/post images): a delta row-level
+      // commit's sidecar marks which deleted/inserted positions were the
+      // two halves of updates; absent sidecar or missing metadata
+      // degrades to plain delete/insert, never wrong rows
+      val (ud, ui) = TxTable.commitCdfRel(fs, path, v) match {
+        case Some(rel) => DeletionVectors.loadCdfMaps(spark, path, rel)
+        case None => (Map.empty[String, Array[Byte]],
+          Map.empty[String, Array[Byte]])
+      }
       val added = (cur.keySet -- prev.keySet).toSeq.sorted.map(cur)
       val removed = (prev.keySet -- cur.keySet).toSeq.sorted.map(prev)
       val changed = cur.keySet.intersect(prev.keySet).toSeq.sorted
@@ -252,8 +261,39 @@ private[sources] object TxChangeFeedPlanning {
           parts += ((tpe, v, false, Some(bytes), key, Array(e.rel)))
         }
       }
-      emit(added, "insert", curBms)
-      emit(removed, "delete", prevBms)
+      val (updAdded, plainAdded) = added.partition(e =>
+        ui.contains(e.rel) && e.dv.isEmpty && e.rows.isDefined)
+      emit(plainAdded, "insert", curBms)
+      updAdded.foreach { e =>
+        // inserted positions in the update bitmap are post-images; the
+        // exclusion partition serves the statement's plain inserts
+        val bm = DeletionVectors.deserialize(ui(e.rel))
+        parts += (("update_postimage", v, true, Some(ui(e.rel)),
+          s"cdf-upost:${e.rel}@$v", Array(e.rel)))
+        if (!e.rows.contains(bm.getLongCardinality))
+          parts += (("insert", v, false, Some(ui(e.rel)),
+            s"cdf-uins:${e.rel}@$v", Array(e.rel)))
+      }
+      val (updRemoved, plainRemoved) = removed.partition(e =>
+        ud.contains(e.rel) && e.rows.isDefined)
+      emit(plainRemoved, "delete", prevBms)
+      updRemoved.foreach { e =>
+        // a fully-dropped file: updated then-live positions are
+        // pre-images; the rest of its then-live rows plain deletes
+        val udBm = DeletionVectors.deserialize(ud(e.rel))
+        val prevDv = e.dv.fold(new RoaringBitmap())(_ =>
+          DeletionVectors.deserialize(prevBms(e.rel)._2))
+        val pre = RoaringBitmap.andNot(udBm, prevDv)
+        if (!pre.isEmpty)
+          parts += (("update_preimage", v, true,
+            Some(DeletionVectors.serialize(pre)),
+            s"cdf-upre:${e.rel}@$v", Array(e.rel)))
+        val dead = RoaringBitmap.or(prevDv, udBm)
+        if (!e.rows.contains(dead.getLongCardinality))
+          parts += (("delete", v, false,
+            Some(DeletionVectors.serialize(dead)),
+            s"cdf-udel:${e.rel}@$v", Array(e.rel)))
+      }
       // same rel, changed vector: newly-marked positions died at v,
       // un-marked positions (a restore shrank the vector) revived at v
       changed.foreach { rel =>
@@ -263,8 +303,17 @@ private[sources] object TxChangeFeedPlanning {
             DeletionVectors.deserialize(bms(rel)._2))
         val cb = bmOf(cur(rel), curBms)
         val pb = bmOf(prev(rel), prevBms)
-        val newlyDead = RoaringBitmap.andNot(cb, pb)
+        val newlyDead0 = RoaringBitmap.andNot(cb, pb)
+        // updated rows' deaths are pre-images, the rest plain deletes
+        val udBm = ud.get(rel).map(DeletionVectors.deserialize)
+          .getOrElse(new RoaringBitmap())
+        val preImg = RoaringBitmap.and(newlyDead0, udBm)
+        val newlyDead = RoaringBitmap.andNot(newlyDead0, udBm)
         val revived = RoaringBitmap.andNot(pb, cb)
+        if (!preImg.isEmpty)
+          parts += (("update_preimage", v, true,
+            Some(DeletionVectors.serialize(preImg)),
+            s"cdf-upre:$rel@$v", Array(rel)))
         if (!newlyDead.isEmpty)
           parts += (("delete", v, true,
             Some(DeletionVectors.serialize(newlyDead)),

@@ -113,6 +113,17 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
         return new TxChangesTable(p)
       case _ => ()
     }
+    // the reserved `@wap.<id>` suffix serves the write-audit-publish
+    // AUDIT view (head + the id's staged rows); same cannot-hijack
+    // guard, and the id must actually have stagings
+    val wp = "^(.*)@wap\\.([A-Za-z0-9][A-Za-z0-9._-]*)$".r
+    raw match {
+      case wp(p, id) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) &&
+          TxTable.stagedIds(spark, p).contains(id) =>
+        return new TxSparkTable(p, None, Some(id))
+      case _ => ()
+    }
     val (path, version) = pathOf(ident)
     if (!TxTable.isTxTable(spark, path))
       throw new NoSuchTableException(ident)
@@ -506,11 +517,31 @@ private[sources] object TxAlterSchema {
   * writer in this repo records). The layout's internal bucket column is
   * HIDDEN from the SQL schema (readers project around it; INSERT
   * computes it per row), like a partition transform column. */
-final class TxSparkTable(path: String, version: Option[Long] = None)
+final class TxSparkTable(path: String, version: Option[Long] = None,
+                         wap: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with TruncatableTable with SupportsDelete {
-  private val snap = TxTable.snapshot(SparkSession.active, path, version)
+  private val snap = {
+    val base = TxTable.snapshot(SparkSession.active, path, version)
+    wap match {
+      case None => base
+      // the AUDIT view of a staged (write-audit-publish) commit: head
+      // plus the id's staged adds, schema union-evolved — exactly what
+      // the table becomes after CALL publish_staged. Read-only.
+      case Some(id) =>
+        val (adds, schemas, _) =
+          TxTable.stagedAdds(SparkSession.active, path, id)
+        require(adds.nonEmpty || schemas.nonEmpty,
+          s"$path: nothing staged under WAP id '$id' (have: " +
+            s"${TxTable.stagedIds(SparkSession.active, path)
+              .mkString(", ")})")
+        val sc = schemas.foldLeft(
+          base.schema.getOrElse(new StructType()))(
+          (acc, x) => TxTable.mergeSchemas(acc, x, base.dropped))
+        base.copy(entries = base.entries ++ adds, schema = Some(sc))
+    }
+  }
   private val fullSchema: StructType = snap.schema.getOrElse(
     throw new IllegalStateException(
       s"$path@v${snap.version} has no recorded schema — pre-v2 manifests " +
@@ -604,13 +635,19 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     // this table's reported schema (identity is physical in the log)
     Array(Expressions.bucket(bucketing._2, snap.logicalName(bucketing._1)))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new TxScanBuilder(path, snap, bucketing, dataSchema, version, options)
+    // the audit view pins like a time-travel read (streaming refuses:
+    // staged commits have no offsets until they publish)
+    new TxScanBuilder(path, snap, bucketing, dataSchema,
+      version.orElse(wap.map(_ => snap.version)), options)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(version.isEmpty,
       s"cannot INSERT into time-travel snapshot $path@v${snap.version}")
+    require(wap.isEmpty,
+      s"cannot INSERT into the audit view $path@wap.${wap.getOrElse("")}" +
+        ": set spark.graft.wap.id to stage more rows, or publish first")
     // the incoming query schema speaks LOGICAL names (Spark validated it
     // against schema()); files always store PHYSICAL names — translate
     // positionally here, once, for every write shape downstream
@@ -634,7 +671,7 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val spark = SparkSession.active
-    if (version.nonEmpty) return false
+    if (version.nonEmpty || wap.nonEmpty) return false
     if (spark.conf.get("spark.graft.sql.delete.mor", "true").toBoolean)
       scala.util.Try(filters.foreach(TxMetadataDelete.filterColumn))
         .isSuccess
@@ -655,6 +692,7 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     require(version.isEmpty,
       s"cannot DELETE from time-travel snapshot $path@v${snap.version}")
     val spark = SparkSession.active
+    TxWapConf.requireUnset(spark, "DELETE")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mor = spark.conf.get("spark.graft.sql.delete.mor", "true").toBoolean
@@ -706,9 +744,10 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
     * TruncateTableExec ignores the boolean return, so a silent `false`
     * would report an un-truncated table as truncated. */
   override def truncateTable(): Boolean = {
-    require(version.isEmpty,
-      s"cannot TRUNCATE time-travel snapshot $path@v${snap.version}")
+    require(version.isEmpty && wap.isEmpty,
+      s"cannot TRUNCATE a pinned or audit view of $path")
     val spark = SparkSession.active
+    TxWapConf.requireUnset(spark, "TRUNCATE")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     var attempt = 0
@@ -740,8 +779,9 @@ final class TxSparkTable(path: String, version: Option[Long] = None)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(version.isEmpty,
-      s"cannot mutate time-travel snapshot $path@v${snap.version}")
+    require(version.isEmpty && wap.isEmpty,
+      s"cannot mutate a pinned or audit view of $path")
+    TxWapConf.requireUnset(SparkSession.active, "MERGE/UPDATE/DELETE")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
           : org.apache.spark.sql.connector.write.RowLevelOperation =
@@ -1038,6 +1078,19 @@ final class TxLocalAggScan(path: String, version: Long,
   * dropping it would silently destroy the null rows. Three-valued
   * coverage composes through AND/OR exactly like parquet's statistics
   * filter; anything unprovable degrades to Partial, never guesses. */
+/** The write-audit-publish session switch: a non-empty
+  * `spark.graft.wap.id` routes batch INSERTs into staged commits. */
+private[sources] object TxWapConf {
+  def id(spark: SparkSession): Option[String] =
+    spark.conf.getOption("spark.graft.wap.id").map(_.trim)
+      .filter(_.nonEmpty)
+  def requireUnset(spark: SparkSession, what: String): Unit =
+    require(id(spark).isEmpty,
+      s"$what cannot run under a write-audit-publish id " +
+        s"(spark.graft.wap.id=${id(spark).get}): staging represents " +
+        "appends only — unset the id or publish/drop the stage first")
+}
+
 /** Attribute renaming over a V1 Filter tree — the column-mapping
   * boundary for pushed filters: Spark hands filters in LOGICAL names;
   * zone-map sidecars, bucket identity, and parquet file fields are
@@ -2055,7 +2108,13 @@ final class TxDeltaRowLevelOperation(path: String, snap: TxTable.Snapshot,
     Array(Expressions.column(GraftFileMetadataColumn.name()),
       Expressions.column(GraftPosMetadataColumn.name()))
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  /** False — updates arrive WHOLE at [[TxDeltaWriter.update]] (rowId +
+    * new row in one call), which is what lets the task pair each
+    * deleted position with its replacement's position for exact
+    * update_preimage/update_postimage change-feed rows. The writer
+    * still splits them into delete-bit + append internally, so
+    * bucket-key migration works by construction either way. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -2112,21 +2171,27 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
     import org.roaringbitmap.RoaringBitmap
     val spark = SparkSession.active
     val inserts = messages.toSeq.flatMap {
-      case TxDeltaCommitMessage(fls, _) => fls.map { case (b, rel, nr) =>
-        TxTable.FileEntry(b, rel, Some(nr)) }
+      case TxDeltaCommitMessage(fls, _, _, _) =>
+        fls.map { case (b, rel, nr) => TxTable.FileEntry(b, rel, Some(nr)) }
       case _ => Seq.empty
     }
     // OR the task bitmaps per file (tasks partition rows, bitmaps union)
     val taskDeletes = scala.collection.mutable.Map
       .empty[String, RoaringBitmap]
-    messages.foreach {
-      case TxDeltaCommitMessage(_, dels) => dels.foreach { case (rel, b) =>
+    def fold(into: scala.collection.mutable.Map[String, RoaringBitmap],
+             dels: Seq[(String, Array[Byte])]): Unit =
+      dels.foreach { case (rel, b) =>
         val bm = graft.ops.DeletionVectors.deserialize(b)
-        taskDeletes.get(rel) match {
+        into.get(rel) match {
           case Some(acc) => acc.or(bm)
-          case None => taskDeletes(rel) = bm
+          case None => into(rel) = bm
         }
       }
+    val updDel = scala.collection.mutable.Map.empty[String, RoaringBitmap]
+    val updIns = scala.collection.mutable.Map.empty[String, RoaringBitmap]
+    messages.foreach {
+      case TxDeltaCommitMessage(_, dels, ud, ui) =>
+        fold(taskDeletes, dels); fold(updDel, ud); fold(updIns, ui)
       case _ =>
     }
     if (inserts.isEmpty && taskDeletes.isEmpty) return
@@ -2139,6 +2204,18 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
     // were computed against — the scan side of the TxAffectedFiles
     // contract
     val scannedByRel = op.scannedFiles.map(e => e.rel -> e).toMap
+    // UPDATE classification sidecar (row-level CDF pre/post images):
+    // staged ONCE — its bitmaps are positions relative to the scanned
+    // files and this statement's own staged inserts, neither of which a
+    // lost CAS race changes. Referenced from the commit header; a
+    // conflict-abort leaves it an orphan for vacuum like any stage.
+    val cdfRel =
+      if (updDel.isEmpty && updIns.isEmpty) None
+      else Some(graft.ops.DeletionVectors.stageCdfFile(spark, path,
+        updDel.toSeq.sortBy(_._1).map { case (r, bm) =>
+          ("ud", r, graft.ops.DeletionVectors.serialize(bm)) } ++
+        updIns.toSeq.sortBy(_._1).map { case (r, bm) =>
+          ("ui", r, graft.ops.DeletionVectors.serialize(bm)) }))
     var attempt = 0
     while (attempt <= 5) {
       val snap = TxTable.snapshot(spark, path)
@@ -2189,7 +2266,8 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
         snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
       if (TxTable.commitNext(fs, path, snap, adds = inserts ++ reAdds,
           removes = taskDeletes.keySet.toSet, txn = None,
-          schema = Some(merged0), bucketing = Some(bucketing)))
+          schema = Some(merged0), bucketing = Some(bucketing),
+          cdf = cdfRel))
         return
       // lost the race: this attempt's DV sidecar references a stale
       // merge basis — drop it (tasks' appended files are reused as-is)
@@ -2218,7 +2296,9 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
   * own deletes (RoaringBitmaps over row positions compress runs). */
 final case class TxDeltaCommitMessage(
     files: Seq[(Int, String, Long)],
-    deletes: Seq[(String, Array[Byte])])
+    deletes: Seq[(String, Array[Byte])],
+    updDeletes: Seq[(String, Array[Byte])] = Seq.empty,
+    updInserts: Seq[(String, Array[Byte])] = Seq.empty)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class TxDeltaWriterFactory(
@@ -2249,6 +2329,12 @@ final class TxDeltaWriter(
       partitionId, taskId)
   private val deletes =
     scala.collection.mutable.Map.empty[String, RoaringBitmap]
+  // UPDATE pairing (row-level CDF): which deleted positions and which
+  // inserted positions belong to updates — pre/post images downstream
+  private val updDel =
+    scala.collection.mutable.Map.empty[String, RoaringBitmap]
+  private val updIns =
+    scala.collection.mutable.Map.empty[String, RoaringBitmap]
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     val rel = id.getUTF8String(0).toString
@@ -2258,12 +2344,25 @@ final class TxDeltaWriter(
     deletes.getOrElseUpdate(rel, new RoaringBitmap()).add(pos.toInt)
   }
 
+  /** An update IS a delete + insert on the log (bucket-key migration by
+    * construction) — but arriving through THIS method (the operation
+    * reports `representUpdateAsDeleteAndInsert = false`) lets the task
+    * additionally record which delete and which insert were two halves
+    * of one update, so the change feed can emit exact
+    * `update_preimage`/`update_postimage` rows instead of the
+    * conservative delete/insert pair. */
   override def update(metadata: InternalRow, id: InternalRow,
                       row: InternalRow): Unit = {
-    // unreachable with representUpdateAsDeleteAndInsert = true; keep the
-    // semantics correct anyway
-    delete(metadata, id)
-    insert(row)
+    val rel = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    require(pos >= 0 && pos <= graft.ops.DeletionVectors.MaxPos,
+      s"row position $pos outside positional-bitmap range")
+    deletes.getOrElseUpdate(rel, new RoaringBitmap()).add(pos.toInt)
+    updDel.getOrElseUpdate(rel, new RoaringBitmap()).add(pos.toInt)
+    val (insRel, insPos) = inserts.writeTracked(row)
+    require(insPos <= graft.ops.DeletionVectors.MaxPos,
+      s"insert position $insPos outside positional-bitmap range")
+    updIns.getOrElseUpdate(insRel, new RoaringBitmap()).add(insPos.toInt)
   }
 
   override def insert(row: InternalRow): Unit = inserts.write(row)
@@ -2274,8 +2373,10 @@ final class TxDeltaWriter(
       case TxCommitMessage(fls) => fls
       case _ => Seq.empty
     }
-    TxDeltaCommitMessage(dataMsg, deletes.toSeq.map { case (rel, bm) =>
-      (rel, graft.ops.DeletionVectors.serialize(bm)) })
+    def ser(m: scala.collection.mutable.Map[String, RoaringBitmap]) =
+      m.toSeq.map { case (rel, bm) =>
+        (rel, graft.ops.DeletionVectors.serialize(bm)) }
+    TxDeltaCommitMessage(dataMsg, ser(deletes), ser(updDel), ser(updIns))
   }
 
   override def abort(): Unit = inserts.abort()
@@ -2649,6 +2750,7 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
                       messages: Array[org.apache.spark.sql.connector.write
                         .WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    TxWapConf.requireUnset(spark, "a streaming epoch commit")
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val adds = messages.toSeq.flatMap {
@@ -2825,6 +2927,23 @@ final class TxBatchWrite(path: String, querySchema: StructType,
     val writeSchema = StructType(querySchema.fields :+
       org.apache.spark.sql.types.StructField(
         graft.ops.LayoutOps.BucketCol, IntegerType))
+    // WRITE-AUDIT-PUBLISH: with `spark.graft.wap.id` set, the INSERT's
+    // files land as a STAGED commit — invisible to readers, auditable
+    // via `t@wap.<id>`, atomically published by CALL publish_staged.
+    // CHECK constraints already enforced per row above (the auditor
+    // must see the rows that would land). Overwrites refuse: staging
+    // can only represent adds.
+    TxWapConf.id(spark) match {
+      case Some(id) =>
+        require(!replaceAll && overwriteFilters.isEmpty,
+          "write-audit-publish staging covers appends only — run " +
+            "INSERT OVERWRITE / REPLACE WHERE on the published table")
+        graft.ops.TxTable.stagePublish(spark, path, id, adds,
+          graft.ops.TxTable.mergeSchemas(
+            new StructType(), writeSchema), bucketing)
+        return
+      case None => ()
+    }
     var attempt = 0
     while (attempt <= 5) {
       val snap = TxTable.snapshot(spark, path)
@@ -2953,17 +3072,22 @@ final class TxDataWriter(
   override def write(metadata: InternalRow, row: InternalRow): Unit =
     write(row)
 
-  override def write(row: InternalRow): Unit = {
+  override def write(row: InternalRow): Unit = { writeTracked(row); () }
+
+  /** Write and report WHERE the row landed — (staged rel, physical row
+    * position in that file): the delta writer's update pairing records
+    * post-image positions through this. */
+  private[sources] def writeTracked(row: InternalRow): (String, Long) = {
     checkPreds.foreach { case (name, sql, p) =>
       if (!p.eval(row)) throw new IllegalArgumentException(
         s"$path: CHECK constraint '$name' ($sql) violated by a row in " +
           s"partition $partitionId")
     }
     val b = bucketOf(row)
-    val (_, w) = writers.getOrElseUpdate(b, {
-      val rel =
+    val (rel, w) = writers.getOrElseUpdate(b, {
+      val r =
         s"$stagedRel/bucket-$b/part-$partitionId-$taskId-$b.snappy.parquet"
-      (rel, GraftParquetShim.rowParquetWriter(s"$path/$rel", writeSchema,
+      (r, GraftParquetShim.rowParquetWriter(s"$path/$r", writeSchema,
         new org.apache.hadoop.conf.Configuration(conf)))
     })
     var i = 0
@@ -2972,7 +3096,9 @@ final class TxDataWriter(
     }
     out.update(schema.length, b)
     w.write(out)
-    rowCounts(b) = rowCounts.getOrElse(b, 0L) + 1L
+    val pos = rowCounts.getOrElse(b, 0L)
+    rowCounts(b) = pos + 1L
+    (rel, pos)
   }
 
   override def commit()
@@ -3212,9 +3338,34 @@ object TxProcedures {
     }
   }
 
+  private val publishStaged: Proc = new Proc("publish_staged",
+    "atomically publish a write-audit-publish id's staged commits onto " +
+      "the head (one commit; staged manifests release)",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("wap_id", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("published_version", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.publishStaged(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString))
+  }
+
+  private val dropStaged: Proc = new Proc("drop_staged",
+    "abandon a write-audit-publish id: staged manifests delete; the " +
+      "staged data files become vacuum orphans",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("wap_id", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("stagings_dropped", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.dropStaged(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString))
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
-      rebucket, history, tagProc, untagProc, restoreProc)
+      rebucket, history, tagProc, untagProc, restoreProc,
+      publishStaged, dropStaged)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -261,4 +261,75 @@ class FeatureOpsSpec extends AnyFunSuite {
       .agg(sum($"psi_contrib")).as[Double].head()
     assert(psi == 0.0)
   }
+
+  test("embeddingDrift: identical slices give cosine 1.0; an offset slice moves the centroid") {
+    import org.apache.spark.sql.functions._
+    val vecs = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * (d + 1) % 7).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    val same = FeatureOps.embeddingDrift(
+      vecs.select($"embedding"), vecs.select($"embedding"))
+      .select($"centroid_cos", $"n_ref", $"n_cur")
+      .as[(Double, Long, Long)].head()
+    assert(same == ((1.0, 40L, 40L)), s"identical slices must be cos 1: $same")
+    // a constant positive offset on every component moves the centroid
+    // off the original direction (cos < 1) — the drift the monitor exists
+    // to catch
+    val shifted = vecs.select(transform($"embedding",
+      c => c + lit(3.0f)).as("embedding"))
+    val drift = FeatureOps.embeddingDrift(vecs.select($"embedding"), shifted)
+      .select($"centroid_cos").as[Double].head()
+    assert(drift < 1.0 && drift > 0.0, s"offset slice must drift: $drift")
+    // determinism under repartitioning (decimal sums are order-free)
+    val re = FeatureOps.embeddingDrift(
+      vecs.repartition(7).select($"embedding"),
+      shifted.repartition(3))
+      .select($"centroid_cos").as[Double].head()
+    assert(re == drift)
+  }
+
+  test("capPerGroup: at most cap per group, longest-first priority, map-side WindowGroupLimit shape") {
+    import org.apache.spark.sql.functions._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, s"src${i % 3}", (i * 37 % 50 + 1).toLong))
+      .toDF("doc_id", "source", "n_chars")
+    val capped = graft.ops.SampleOps.capPerGroup(docs, "source", "n_chars",
+      "doc_id", cap = 5)
+    val kept = capped.filter($"cap_keep")
+    assert(kept.groupBy($"source").count().filter($"count" > 5).count() == 0)
+    // priority: every kept doc is at least as long as every dropped one
+    // of its source
+    val minKept = kept.groupBy($"source").agg(min($"n_chars").as("mk"))
+    val maxDrop = capped.filter(!$"cap_keep").groupBy($"source")
+      .agg(max($"n_chars").as("md"))
+    assert(minKept.join(maxDrop, "source").filter($"mk" < $"md")
+      .count() == 0)
+    // the rank filter rides the partial WindowGroupLimit (map tasks trim
+    // to the cap BEFORE the exchange — the 100 TB shape)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the WindowGroupLimit push:\n$plan")
+  }
+
+  test("serializeSessions: one deterministic example per user, stable under repartitioning") {
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 11L, "view"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 10L, "click"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 9L, "signup"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 08:00:00"), 20L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.PackOps.serializeSessions(ev, "user_id", "ts",
+      "event_id", "event_type")
+    val u1 = out.filter($"user_id" === 1L)
+      .select($"example", $"n_events").as[(String, Int)].head()
+    // total order: ts first, id breaks the tie
+    assert(u1 == (("signup@9|click@10|view@11", 3)))
+    val md5s = out.select($"user_id", $"example_md5")
+      .as[(Long, String)].collect().toMap
+    val re = graft.ops.PackOps.serializeSessions(ev.repartition(5),
+      "user_id", "ts", "event_id", "event_type")
+      .select($"user_id", $"example_md5").as[(Long, String)].collect().toMap
+    assert(re == md5s, "serialization must not depend on partitioning")
+  }
 }

@@ -1585,6 +1585,86 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("delta MERGE/UPDATE emit exact update_preimage/update_postimage CDF rows; deletes stay deletes") {
+    registered {
+      withMorRowLevel {
+        val base = Files.createTempDirectory("graft_cat_ucdf_").toString
+        val t = s"$base/t"
+        TxTable.init(spark, t,
+          (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+          "k", nBuckets)
+        Seq(("K5", 500L), ("K7", 700L), ("K100", 1000L))
+          .toDF("k", "v").createOrReplaceTempView("ucdf_src")
+        spark.sql(
+          s"""MERGE INTO txspj.`$t` tgt USING ucdf_src src ON tgt.k = src.k
+             |WHEN MATCHED THEN UPDATE SET v = src.v
+             |WHEN NOT MATCHED THEN INSERT *""".stripMargin)         // v1
+        def feed(from: Int, to: Int) = spark.read
+          .option("startingVersion", from).option("endingVersion", to)
+          .table(s"txspj.`$t#changes`")
+          .select($"k", $"v", $"_change_type", $"_commit_version")
+          .as[(String, Long, String, Long)].collect().toSet
+        val v1 = feed(1, 1)
+        assert(v1 == Set(
+          ("K5", 5L, "update_preimage", 1L),
+          ("K7", 7L, "update_preimage", 1L),
+          ("K5", 500L, "update_postimage", 1L),
+          ("K7", 700L, "update_postimage", 1L),
+          ("K100", 1000L, "insert", 1L)),
+          s"MERGE must pair update halves, got $v1")
+        // Scala-surface parity
+        val sc = TxTable.changesBetween(spark, t, 0L, 1L)
+          .filter($"_commit_version" === 1L)
+          .select($"k", $"v", $"_change_type", $"_commit_version")
+          .as[(String, Long, String, Long)].collect().toSet
+        assert(sc == v1, "changesBetween must classify identically")
+        // a plain DELETE keeps the 'delete' type
+        spark.sql(s"DELETE FROM txspj.`$t` WHERE k = 'K3'")           // v2
+        assert(feed(2, 2) == Set(("K3", 3L, "delete", 2L)))
+        // an UPDATE migrating the bucket key still pairs across buckets
+        spark.sql(s"UPDATE txspj.`$t` SET k = 'K999' WHERE k = 'K5'") // v3
+        assert(feed(3, 3) == Set(
+          ("K5", 500L, "update_preimage", 3L),
+          ("K999", 500L, "update_postimage", 3L)))
+        // the classification sidecar survives vacuum while its commit is
+        // retained
+        TxTable.vacuum(spark, t, keepVersions = 10,
+          orphanRetentionMs = 0L)
+        assert(feed(1, 1) == v1,
+          "vacuum must keep retained commits' update classification")
+      }
+    }
+  }
+
+  test("delta UPDATE that kills a whole file: pre-images ride the dropped file, post-images the fresh one") {
+    registered {
+      withMorRowLevel {
+        val base = Files.createTempDirectory("graft_cat_ucdf2_").toString
+        val t = s"$base/t"
+        // ONE bucket = one file: a full-match UPDATE fully-deads it
+        TxTable.init(spark, t,
+          (1 to 4).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+          "k", nBuckets = 1)
+        spark.sql(s"UPDATE txspj.`$t` SET v = v + 100")               // v1
+        val rows = spark.read.option("startingVersion", 1)
+          .table(s"txspj.`$t#changes`")
+          .select($"k", $"v", $"_change_type")
+          .as[(String, Long, String)].collect().toSet
+        val expected =
+          (1 to 4).map(i => (s"K$i", i.toLong, "update_preimage")).toSet ++
+          (1 to 4).map(i => (s"K$i", i + 100L, "update_postimage"))
+        assert(rows == expected, s"got $rows")
+        assert(TxTable.changesBetween(spark, t, 0L, 1L)
+          .filter($"_commit_version" === 1L)
+          .select($"k", $"v", $"_change_type")
+          .as[(String, Long, String)].collect().toSet == expected)
+        // the table itself reads exactly the new versions
+        assert(tbl(t).select($"v").as[Long].collect().toSet ==
+          (1 to 4).map(_ + 100L).toSet)
+      }
+    }
+  }
+
   test("delta UPDATE migrating the bucket key moves the row to its new bucket") {
     registered {
       withMorRowLevel {
@@ -1605,6 +1685,116 @@ class TxCatalogSpec extends AnyFunSuite {
           == bucketOf("K999"),
           "migrated row must land in its key's bucket")
       }
+    }
+  }
+
+  private def withWapId[T](id: String)(body: => T): T = {
+    val k = "spark.graft.wap.id"
+    val saved = spark.conf.getOption(k)
+    spark.conf.set(k, id)
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("write-audit-publish: staged INSERTs are invisible, auditable via @wap.<id>, published as ONE commit") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_wap_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      val v0 = TxTable.snapshot(spark, t).version
+
+      // two INSERTs staged under one id — neither visible to readers
+      withWapId("etl.42") {
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K100', 100)")
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K101', 101)")
+      }
+      assert(tbl(t).count() == 32, "staged rows must be invisible")
+      assert(TxTable.snapshot(spark, t).version == v0,
+        "staging must not commit")
+      assert(TxTable.stagedIds(spark, t) == Seq("etl.42"))
+
+      // the audit view = head + staged; read-only
+      val audit = spark.table(s"txspj.`$t@wap.etl.42`")
+      assert(audit.count() == 34)
+      assert(audit.filter($"k" === "K100").select($"v").as[Long]
+        .head() == 100L)
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$t@wap.etl.42` VALUES ('X', 1)")
+      }
+      // Scala surface parity
+      assert(TxTable.readStaged(spark, t, "etl.42").count() == 34)
+
+      // vacuum must NOT sweep staged files while the stage is open
+      TxTable.vacuum(spark, t, keepVersions = 10, orphanRetentionMs = 0L)
+      assert(spark.table(s"txspj.`$t@wap.etl.42`").count() == 34,
+        "open stages must survive the orphan sweep")
+
+      // mutations refuse under an active WAP id
+      withWapId("etl.42") {
+        intercept[Exception] {
+          spark.sql(s"DELETE FROM txspj.`$t` WHERE k = 'K1'")
+        }
+        intercept[Exception] {
+          spark.sql(s"UPDATE txspj.`$t` SET v = 0 WHERE k = 'K1'")
+        }
+      }
+
+      // publish: both stagings land as ONE commit
+      val pub = spark.sql(
+        s"CALL txspj.publish_staged('$t', 'etl.42')").head().getLong(0)
+      assert(pub == v0 + 1, "publish must be one atomic commit")
+      assert(tbl(t).count() == 34)
+      assert(TxTable.stagedIds(spark, t).isEmpty)
+      // re-publish finds nothing
+      intercept[Exception] {
+        spark.sql(s"CALL txspj.publish_staged('$t', 'etl.42')")
+      }
+      // pre-publish history is intact; the audit view name is gone
+      assert(spark.table(s"txspj.`$t@v$v0`").count() == 32)
+      intercept[Exception] {
+        spark.table(s"txspj.`$t@wap.etl.42`").count()
+      }
+    }
+  }
+
+  test("write-audit-publish: constraints enforce at stage time; dropped stages vacuum away; rebucket makes publish loud") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_wap2_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      spark.sql(s"ALTER TABLE txspj.`$t` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+
+      // a violating row fails AT STAGE TIME (the auditor must only ever
+      // see rows that could land)
+      withWapId("audit.1") {
+        intercept[Exception] {
+          spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K90', -1)")
+        }
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K90', 90)")
+      }
+      assert(spark.table(s"txspj.`$t@wap.audit.1`").count() == 17)
+
+      // drop the stage: files become orphans and vacuum collects them
+      assert(TxTable.dropStaged(spark, t, "audit.1") == 1)
+      assert(TxTable.stagedIds(spark, t).isEmpty)
+      TxTable.vacuum(spark, t, keepVersions = 10, orphanRetentionMs = 0L)
+      assert(tbl(t).count() == 16, "the table is untouched")
+
+      // a rebucket between stage and publish fails the publish loudly
+      TxTable.stageAppend(spark, t,
+        Seq(("K91", 91L)).toDF("k", "v"), "k", nBuckets, "audit.2")
+      TxTable.rebucket(spark, t, "k", newBuckets = 8)
+      val e = intercept[Exception] {
+        TxTable.publishStaged(spark, t, "audit.2")
+      }
+      assert(e.getMessage.contains("bucket identity"),
+        s"stale-layout publish must be loud, got: ${e.getMessage}")
+      TxTable.dropStaged(spark, t, "audit.2")
     }
   }
 
