@@ -722,40 +722,53 @@ object TxTable {
       if (plainAdded.nonEmpty)
         frames += stamp(DeletionVectors.readEntries(spark, table,
           plainAdded, Some(schema)), "insert", v)
-      updAdded.foreach { e =>
-        val bm = bmDeser(ui(e.rel))
+      // BATCHED classification reads: one frame per change type per
+      // version, never per file — a MERGE touching every bucket stays
+      // O(change types) Spark plans, not O(files)
+      if (updAdded.nonEmpty) {
         frames += stamp(DeletionVectors.readMarked(spark, table,
-          Seq((e, DeletionVectors.serialize(bm))), Some(schema)),
+          updAdded.map(e => (e, ui(e.rel))), Some(schema)),
           "update_postimage", v)
-        val rest = complement(bm, e.rows.get)
-        if (!rest.isEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table,
-            Seq((e, DeletionVectors.serialize(rest))), Some(schema)),
-            "insert", v)
+        val rests = updAdded.flatMap { e =>
+          val rest = complement(bmDeser(ui(e.rel)), e.rows.get)
+          if (rest.isEmpty) None
+          else Some((e, DeletionVectors.serialize(rest)))
+        }
+        if (rests.nonEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table, rests,
+            Some(schema)), "insert", v)
       }
       val (updRemoved, plainRemoved) = removed.partition(e =>
         ud.contains(e.rel) && e.rows.isDefined)
       if (plainRemoved.nonEmpty)
         frames += stamp(DeletionVectors.readEntries(spark, table,
           plainRemoved, Some(schema)), "delete", v)
-      updRemoved.foreach { e =>
-        // a fully-dropped file (all live rows died): updated positions
+      if (updRemoved.nonEmpty) {
+        // fully-dropped files (all live rows died): updated positions
         // are pre-images, the remaining then-live rows plain deletes
-        val udBm = bmDeser(ud(e.rel))
-        val prevDv = DeletionVectors.loadBitmaps(spark, table, Seq(e))
-          .get(e.rel).map(b => bmDeser(b._2))
+        val prevDvs = DeletionVectors.loadBitmaps(spark, table, updRemoved)
+        def prevOf(e: FileEntry) = prevDvs.get(e.rel)
+          .map(b => bmDeser(b._2))
           .getOrElse(new org.roaringbitmap.RoaringBitmap())
-        val pre = org.roaringbitmap.RoaringBitmap.andNot(udBm, prevDv)
-        if (!pre.isEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table,
-            Seq((e, DeletionVectors.serialize(pre))), Some(schema)),
-            "update_preimage", v)
-        val dead = org.roaringbitmap.RoaringBitmap.or(prevDv, udBm)
-        val del = complement(dead, e.rows.get)
-        if (!del.isEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table,
-            Seq((e, DeletionVectors.serialize(del))), Some(schema)),
-            "delete", v)
+        val pres = updRemoved.flatMap { e =>
+          val pre = org.roaringbitmap.RoaringBitmap.andNot(
+            bmDeser(ud(e.rel)), prevOf(e))
+          if (pre.isEmpty) None
+          else Some((e, DeletionVectors.serialize(pre)))
+        }
+        if (pres.nonEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table, pres,
+            Some(schema)), "update_preimage", v)
+        val dels = updRemoved.flatMap { e =>
+          val dead = org.roaringbitmap.RoaringBitmap.or(
+            prevOf(e), bmDeser(ud(e.rel)))
+          val del = complement(dead, e.rows.get)
+          if (del.isEmpty) None
+          else Some((e, DeletionVectors.serialize(del)))
+        }
+        if (dels.nonEmpty)
+          frames += stamp(DeletionVectors.readMarked(spark, table, dels,
+            Some(schema)), "delete", v)
       }
       if (changedRels.nonEmpty) {
         val curBms = DeletionVectors.loadBitmaps(spark, table,
@@ -3030,7 +3043,8 @@ object TxTable {
 
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 1,
-             orphanRetentionMs: Long = 0L): Seq[String] = {
+             orphanRetentionMs: Long = 0L,
+             keepMs: Option[Long] = None): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the newest version")
     val fs = fsFor(spark, table)
     val versions = listVersions(fs, table).sorted
@@ -3038,9 +3052,22 @@ object TxTable {
     // (with their manifests, files, and DV sidecars) until untagged —
     // what makes a tag a reproducible training-corpus snapshot
     val tagged = tags(spark, table).values.toSet
-    val retained = (versions.takeRight(keepVersions) ++
+    // TIME-BASED retention (the expire-snapshots-older-than shape, the
+    // retention contract streaming/CDF consumers size their lag
+    // against): every version PUBLISHED within the window survives —
+    // publication time is the log file's mtime, the same clock
+    // TIMESTAMP AS OF resolves against. Composes with the count floor:
+    // a version survives if EITHER keeps it.
+    val timeFloor: Long = keepMs.fold(Long.MaxValue) { ms =>
+      require(ms >= 0, s"keepMs must be non-negative, got $ms")
+      val cutoff = System.currentTimeMillis() - ms
+      versions.find(v => scala.util.Try(
+          fs.getFileStatus(versionPath(table, v)).getModificationTime)
+        .getOrElse(Long.MinValue) >= cutoff).getOrElse(versions.last)
+    }
+    val minKeep = math.min(versions.takeRight(keepVersions).head, timeFloor)
+    val retained = (versions.filter(_ >= minKeep) ++
       versions.filter(tagged)).distinct.sorted
-    val minKeep = versions.takeRight(keepVersions).head
     // anchor the retained log BEFORE deleting anything below it (resolve
     // needs the pre-prune chain); idempotent — checkpoint bytes are a pure
     // function of the log
@@ -3109,7 +3136,7 @@ object TxTable {
     // re-validates after publishing — the two sides narrow the window
     // from both ends)
     val taggedNow = tagged ++ tags(spark, table).values
-    versions.dropRight(keepVersions).filterNot(taggedNow).foreach { v =>
+    versions.filter(_ < minKeep).filterNot(taggedNow).foreach { v =>
       fs.delete(versionPath(table, v), false)
       deleted += versionPath(table, v).toString
       if (fs.delete(checkpointPath(table, v), false))

@@ -113,6 +113,19 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
         return new TxChangesTable(p)
       case _ => ()
     }
+    // metadata system tables (`#files`, `#history`): manifest-only rows,
+    // LocalTableScan plans, zero data I/O
+    val mf = "^(.*)#files$".r
+    val mh = "^(.*)#history$".r
+    raw match {
+      case mf(p) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) =>
+        return TxMetaTables.files(p)
+      case mh(p) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) =>
+        return TxMetaTables.history(p)
+      case _ => ()
+    }
     // the reserved `@wap.<id>` suffix serves the write-audit-publish
     // AUDIT view (head + the id's staged rows); same cannot-hijack
     // guard, and the id must actually have stagings
@@ -3140,6 +3153,74 @@ final class GraftBoundBucket(keyType: DataType)
 // --- SQL maintenance procedures (CALL txspj.<proc>(...)) ------------------
 
 /** A driver-computed one-row procedure result. */
+/** Manifest-backed METADATA TABLES — the Iceberg `t#files` / Delta
+  * DESCRIBE-HISTORY system-table idea on this log, served by the
+  * reserved `#files` / `#history` path suffixes: every row is computed
+  * driver-side from the commit log (plus file statuses for sizes), the
+  * scan plans as a LocalTableScan — ZERO data files opened, zero jobs.
+  * What a 100 TB operator dashboards table health from without touching
+  * the table. */
+private[sources] final class TxMetaTable(
+    tname: String, outSchema: StructType,
+    rowsFn: () => Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = tname
+  override def schema(): StructType = outSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan =
+      new TxLocalResultScan(tname, outSchema, rowsFn())
+  }
+}
+
+private[sources] object TxMetaTables {
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def spark = SparkSession.active
+
+  /** `t#files`: one row per LIVE file of the head snapshot — bucket,
+    * exact rows/deleted counts, DV sidecar, physical size. */
+  def files(path: String): TxMetaTable = {
+    val schema = StructType(Seq(
+      StructField("rel", StringType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("deleted_rows", LongType, nullable = false),
+      StructField("dv_rel", StringType, nullable = true),
+      StructField("size_bytes", LongType, nullable = false)))
+    new TxMetaTable(s"$path#files", schema, () => {
+      val snap = TxTable.snapshot(spark, path)
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      snap.entries.sortBy(e => (e.bucket, e.rel)).map { e =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](
+            UTF8String.fromString(e.rel),
+            e.bucket,
+            e.rows.map(java.lang.Long.valueOf).orNull,
+            e.dv.fold(0L)(_.ndel),
+            e.dv.map(d => UTF8String.fromString(d.rel)).orNull,
+            fs.getFileStatus(new Path(s"$path/${e.rel}")).getLen))
+          : InternalRow
+      }.toArray
+    })
+  }
+
+  /** `t#history`: the DESCRIBE HISTORY frame as a queryable table. */
+  def history(path: String): TxMetaTable = {
+    val df = TxTable.history(spark, path) // schema source (tiny, local)
+    val schema = df.schema
+    new TxMetaTable(s"$path#history", schema, () => {
+      val d = TxTable.history(spark, path)
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(d.schema)
+      d.collect().map(r => conv(r).asInstanceOf[InternalRow])
+    })
+  }
+}
+
 final class TxLocalResultScan(desc: String, schema: StructType,
                               resultRows: Array[InternalRow])
     extends LocalScan {
@@ -3263,17 +3344,21 @@ object TxProcedures {
 
   private val vacuum: Proc = new Proc("vacuum",
     "drop pre-horizon log versions and unreferenced data (respecting the " +
-      "in-flight orphan retention)",
+      "in-flight orphan retention; keep_ms >= 0 additionally retains " +
+      "every version published within the window)",
     Seq(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_versions", IntegerType)
         .defaultValue("1").build(),
       ProcedureParameter.in("orphan_retention_ms", LongType)
-        .defaultValue("0").build()),
+        .defaultValue("0").build(),
+      ProcedureParameter.in("keep_ms", LongType)
+        .defaultValue("-1").build()),
     StructType(Seq(org.apache.spark.sql.types
       .StructField("deleted_paths", IntegerType, nullable = false)))) {
     override protected def run(input: InternalRow): Array[Any] =
       Array(TxTable.vacuum(spark, input.getUTF8String(0).toString,
-        input.getInt(1), input.getLong(2)).size)
+        input.getInt(1), input.getLong(2),
+        Some(input.getLong(3)).filter(_ >= 0)).size)
   }
 
   private val rebucket: Proc = new Proc("rebucket",

@@ -73,6 +73,43 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .select("k", "day", "size").as[(String, Long, Long)].collect().toSet)
   }
 
+  test("the prune rule reaches THROUGH a renamed view's projection: logical predicates hit physical sidecars") {
+    import graft.ops.TxTable
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_txsqlrn_").toString + "/t"
+    def batch(days: Range) = days.map(d => (s"k$d", d.toLong))
+      .toDF("k", "day")
+    TxTable.init(spark, table, batch(0 until 100), "k", nBuckets = 4)
+    TxTable.appendOnce(spark, table, batch(100 until 200), "k", 4, "rnv", 0L)
+    TxTable.appendOnce(spark, table, batch(200 until 300), "k", 4, "rnv", 1L)
+    TxTable.computeStats(spark, table, "day")
+    // RENAME both a stats column and the bucket key: the registered view
+    // now reads through a rename Project, and the rule must translate
+    // the logical attribute names back to the physical sidecar keys
+    TxTable.renameColumn(spark, table, "day", "event_day")
+    TxTable.renameColumn(spark, table, "k", "id")
+    TxTable.registerView(spark, table, "tx_renamed")
+    val all = TxTable.snapshot(spark, table).entries.size
+    def opened(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().flatMap {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.inputFiles.toSeq
+        case _ => Nil
+      }.size
+    val q = spark.sql(
+      "SELECT id, event_day FROM tx_renamed " +
+        "WHERE event_day BETWEEN 120 AND 180")
+    assert(opened(q) < all,
+      s"zone maps must prune through the rename: ${opened(q)} of $all")
+    assert(q.as[(String, Long)].collect().toSet ==
+      (120 to 180).map(d => (s"k$d", d.toLong)).toSet)
+    // bucket pruning on the renamed key
+    val pk = spark.sql("SELECT id, event_day FROM tx_renamed WHERE id = 'k7'")
+    assert(opened(pk) < all,
+      s"bucket identity must prune through the rename: ${opened(pk)} of $all")
+    assert(pk.as[(String, Long)].collect().toSet == Set(("k7", 7L)))
+  }
+
   test("SQL point lookup over a registered TxTable prunes to the key's buckets") {
     import graft.ops.TxTable
     val table = java.nio.file.Files

@@ -1302,6 +1302,37 @@ class TxCatalogSpec extends AnyFunSuite {
     batches.toSeq
   }
 
+  test("readStream over a RENAMED table: batches arrive under logical names, physical files serve both sides of the DDL") {
+    registered {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Files.createTempDirectory("graft_cat_rnstream_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      spark.sql(s"ALTER TABLE txspj.`$t` RENAME COLUMN v TO amount")
+      // a post-rename append under the logical name
+      TxTable.appendOnce(spark, t,
+        Seq(("K9", 9L)).toDF("k", "amount"), "k", nBuckets, "rnstr", 0L)
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = spark.readStream.table(s"txspj.`$t`")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the stream's schema is the LOGICAL one
+          assert(df.columns.contains("amount") && !df.columns.contains("v"))
+          val rows = df.select($"k", $"amount").as[(String, Long)]
+            .collect()
+          got.synchronized { got ++= rows; () }
+        }
+        .start()
+      q.awaitTermination()
+      assert(got.toSet ==
+        ((1 to 8).map(i => (s"K$i", i.toLong)) :+ (("K9", 9L))).toSet,
+        s"both pre- and post-rename commits must stream: ${got.toSet}")
+    }
+  }
+
   test("readStream over a TxTable: commits stream as micro-batches, restart resumes at the right version") {
     registered {
       val (a, _) = freshTables()
@@ -1795,6 +1826,48 @@ class TxCatalogSpec extends AnyFunSuite {
       assert(e.getMessage.contains("bucket identity"),
         s"stale-layout publish must be loud, got: ${e.getMessage}")
       TxTable.dropStaged(spark, t, "audit.2")
+    }
+  }
+
+  test("#files and #history metadata tables: manifest-only rows, LocalTableScan plans, zero data I/O") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_meta_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      TxTable.appendOnce(spark, t,
+        Seq(("K33", 33L)).toDF("k", "v"), "k", nBuckets, "meta", 1L)
+      TxTable.deleteWhereMor(spark, t, $"v" <= 2L)                    // v2
+
+      val files = spark.table(s"txspj.`$t#files`")
+      val plan = files.queryExecution.executedPlan.toString
+      assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+        s"#files must not scan data:\n$plan")
+      val snap = TxTable.snapshot(spark, t)
+      val got = files.select($"rel", $"bucket", $"rows", $"deleted_rows")
+        .as[(String, Int, Option[Long], Long)].collect()
+      assert(got.length == snap.entries.size)
+      assert(got.map(_._4).sum == 2L,
+        "the MOR delete's exact deleted counts must surface")
+      // size_bytes is the real physical length
+      val one = files.select($"rel", $"size_bytes")
+        .as[(String, Long)].head()
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(one._2 == fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$t/${one._1}")).getLen)
+
+      val hist = spark.table(s"txspj.`$t#history`")
+      assert(hist.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      val kinds = hist.select($"version", $"kind")
+        .as[(Long, String)].collect().toMap
+      assert(kinds == Map(0L -> "full", 1L -> "delta", 2L -> "delta"))
+      // composable like any table: SQL aggregation over the system table
+      val totalLive = spark.sql(
+        s"SELECT sum(rows - deleted_rows) FROM txspj.`$t#files`")
+        .as[Long].head()
+      assert(totalLive == 31L)
     }
   }
 

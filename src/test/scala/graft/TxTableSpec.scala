@@ -1169,4 +1169,44 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows == Set(3L, 300L),
       "post-rename append must land in the lookup's bucket")
   }
+
+  test("time-based vacuum retention: versions published within keepMs survive beyond the count floor") {
+    val table = Files.createTempDirectory("graft_tx_vtime_").toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 2)
+    (1 to 3).foreach { i =>
+      TxTable.appendOnce(spark, table,
+        Seq((s"X$i", s"x$i@v1", ts("2024-01-01 00:00:00")))
+          .toDF("customer_id", "email", "updated_at"),
+        "customer_id", 2, "vtime", i.toLong)
+    }
+    // age versions 0 and 1 artificially (publication time = log mtime)
+    val old = System.currentTimeMillis() - 10 * 3600 * 1000L
+    Seq(0L, 1L).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(table,
+        f"_txlog/$v%020d.manifest"), old, -1)
+    }
+    // keep_versions=1 alone would drop v0..v2; the 1h window additionally
+    // retains the RECENT v2 (and v3, the head)
+    TxTable.vacuum(spark, table, keepVersions = 1, orphanRetentionMs = 0L,
+      keepMs = Some(3600 * 1000L))
+    assert(TxTable.read(spark, table, Some(2L)).count() == 10,
+      "a version inside the window must stay time-travelable")
+    assert(TxTable.read(spark, table, Some(3L)).count() == 11)
+    intercept[Exception] {
+      TxTable.read(spark, table, Some(0L)).count()
+    }
+    // a window covering everything keeps everything
+    val t2 = Files.createTempDirectory("graft_tx_vtime2_").toString + "/t"
+    TxTable.init(spark, t2, seed(4), "customer_id", nBuckets = 2)
+    TxTable.appendOnce(spark, t2,
+      Seq(("Y1", "y@v1", ts("2024-01-01 00:00:00")))
+        .toDF("customer_id", "email", "updated_at"), "customer_id", 2,
+      "vtime2", 1L)
+    TxTable.vacuum(spark, t2, keepVersions = 1, orphanRetentionMs = 0L,
+      keepMs = Some(24 * 3600 * 1000L))
+    assert(TxTable.read(spark, t2, Some(0L)).count() == 4,
+      "everything inside the window survives a keep_versions=1 vacuum")
+  }
 }
