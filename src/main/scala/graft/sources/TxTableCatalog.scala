@@ -3447,10 +3447,42 @@ object TxProcedures {
         input.getUTF8String(1).toString))
   }
 
+  private val zorder: Proc = new Proc("zorder",
+    "OPTIMIZE ZORDER BY: rewrite fragmented buckets clustered on the " +
+      "N-dimensional Morton interleave of the given columns (comma-" +
+      "separated; bounds as lo:hi pairs normalizing each column onto " +
+      "the grid) and refresh all N zone-map sidecars",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType).build(),
+      ProcedureParameter.in("bounds", StringType).build(),
+      ProcedureParameter.in("max_files_per_bucket", IntegerType)
+        .defaultValue("0").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("buckets_rewritten", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      val cols = input.getUTF8String(1).toString.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val bounds = input.getUTF8String(2).toString.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty).map { b =>
+          val parts = b.split(':')
+          require(parts.length == 2,
+            s"bound '$b' must be lo:hi (e.g. '0:100')")
+          (parts(0).toDouble, parts(1).toDouble)
+        }
+      require(cols.size == bounds.size && cols.size >= 2,
+        s"need >= 2 columns with one lo:hi bound each, got " +
+          s"${cols.size} columns / ${bounds.size} bounds")
+      Array(TxTable.compactZOrderedN(spark,
+        input.getUTF8String(0).toString,
+        cols.zip(bounds).map { case (c, (lo, hi)) => (c, lo, hi) },
+        maxFilesPerBucket = input.getInt(3)))
+    }
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
-      publishStaged, dropStaged)
+      publishStaged, dropStaged, zorder)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -1871,6 +1871,74 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WHEN NOT MATCHED BY SOURCE: target-only rows delete/update through both row-level shapes") {
+    registered {
+      def runShape(mor: Boolean): Unit = {
+        val base = Files.createTempDirectory("graft_cat_nmbs_").toString
+        val t = s"$base/t"
+        TxTable.init(spark, t,
+          (1 to 12).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+          "k", nBuckets)
+        Seq(("K2", 200L), ("K4", 400L)).toDF("k", "v")
+          .createOrReplaceTempView("nmbs_src")
+        def body(): Unit = {
+          spark.sql(
+            s"""MERGE INTO txspj.`$t` tgt USING nmbs_src src
+               |ON tgt.k = src.k
+               |WHEN MATCHED THEN UPDATE SET v = src.v
+               |WHEN NOT MATCHED BY SOURCE AND tgt.v > 10
+               |  THEN DELETE
+               |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = tgt.v + 1000
+               |""".stripMargin)
+          val rows = tbl(t).select($"k", $"v")
+            .as[(String, Long)].collect().toMap
+          // matched keys updated; v∈{11,12} deleted; the rest bumped
+          val expect = Map("K2" -> 200L, "K4" -> 400L) ++
+            (1 to 10).filterNot(Set(2, 4)).map(i => s"K$i" -> (i + 1000L))
+          assert(rows == expect, s"mor=$mor got $rows")
+        }
+        if (mor) withMorRowLevel(body()) else body()
+      }
+      runShape(mor = false) // copy-on-write
+      runShape(mor = true)  // delta / deletion vectors
+    }
+  }
+
+  test("CALL zorder: SQL-only OPTIMIZE ZORDER BY rewrites and prunes like the Scala path") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_zo_").toString
+      val t = s"$base/t"
+      // scattered 2-D data in many small commits → fragmented buckets
+      def batch(r: Range) = r.map(i =>
+        (s"k$i", (i * 37 % 100).toLong, (i * 61 % 100).toLong))
+        .toDF("k", "x", "y")
+      TxTable.init(spark, t, batch(0 until 64), "k", nBuckets = 2)
+      (1 to 7).foreach(b => TxTable.appendOnce(spark, t,
+        batch(b * 64 until (b + 1) * 64), "k", 2, "zo", b.toLong))
+      TxTable.computeStats(spark, t, "x")
+      TxTable.computeStats(spark, t, "y")
+      def opened(): Int = {
+        val snap = TxTable.snapshot(spark, t)
+        TxTable.readWhereAll(spark, t,
+          Seq(("x", 10L, 30L), ("y", 10L, 30L)))
+          .queryExecution.executedPlan.collectLeaves().flatMap {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              sc.relation.location.inputFiles.toSeq
+            case _ => Nil
+          }.size
+      }
+      val before = opened()
+      val n = spark.sql(
+        s"CALL txspj.zorder('$t', 'x,y', '0:100,0:100')").head().getInt(0)
+      assert(n > 0, "fragmented buckets must rewrite")
+      val after = opened()
+      assert(after < before,
+        s"z-order must open fewer files for the 2-D box: $after vs $before")
+      // rows intact
+      assert(tbl(t).count() == 512)
+    }
+  }
+
   test("named tags pin versions: t@name reads the snapshot, vacuum keeps it alive, tags are immutable") {
     registered {
       val base = Files.createTempDirectory("graft_cat_tag_").toString

@@ -1209,4 +1209,53 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, t2, Some(0L)).count() == 4,
       "everything inside the window survives a keep_versions=1 vacuum")
   }
+
+  test("rename map survives vacuum checkpoints: post-vacuum resolution keeps serving logical names") {
+    val table = Files.createTempDirectory("graft_tx_rnvac_").toString + "/t"
+    val df = (1 to 8).map(i => (s"C$i", i.toLong)).toDF("customer_id", "v")
+    TxTable.init(spark, table, df, "customer_id", nBuckets = 2)
+    TxTable.renameColumn(spark, table, "v", "amount")
+    // advance the log well past the rename, then vacuum hard: resolution
+    // of the new head must go through a checkpoint anchor that CARRIES
+    // the rename map, or logical names would silently revert
+    (1 to 24).foreach { i =>
+      TxTable.appendOnce(spark, table,
+        Seq((s"X$i", (100 + i).toLong)).toDF("customer_id", "amount"),
+        "customer_id", 2, "rnvac", i.toLong)
+    }
+    TxTable.vacuum(spark, table, keepVersions = 2, orphanRetentionMs = 0L)
+    val head = TxTable.read(spark, table)
+    assert(head.columns.contains("amount") && !head.columns.contains("v"),
+      s"post-vacuum head must keep the logical name: ${head.columns.toSeq}")
+    assert(head.count() == 32)
+    assert(TxTable.snapshot(spark, table).renames == Map("amount" -> "v"))
+    // writers keep storing the physical name after the vacuum
+    TxTable.appendOnce(spark, table,
+      Seq(("Z1", 999L)).toDF("customer_id", "amount"),
+      "customer_id", 2, "rnvac", 99L)
+    assert(TxTable.read(spark, table).filter($"customer_id" === "Z1")
+      .select($"amount").as[Long].head() == 999L)
+  }
+
+  test("concurrent WAP stagers compose: parallel stagings under one id publish as one commit") {
+    val table = Files.createTempDirectory("graft_tx_wapc_").toString + "/t"
+    TxTable.init(spark, table, seed(8), "customer_id", nBuckets = 2)
+    val v0 = TxTable.snapshot(spark, table).version
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val stagers = (1 to 4).map { i => Future {
+      TxTable.stageAppend(spark, table,
+        Seq((s"W$i", s"w$i@v1", ts("2024-01-01 00:00:00")))
+          .toDF("customer_id", "email", "updated_at"),
+        "customer_id", 2, wapId = "par.1")
+    }}
+    Await.result(Future.sequence(stagers), 120.seconds)
+    assert(TxTable.read(spark, table).count() == 8, "staged = invisible")
+    assert(TxTable.readStaged(spark, table, "par.1").count() == 12)
+    val v = TxTable.publishStaged(spark, table, "par.1")
+    assert(v == v0 + 1, "all four stagings must land as ONE commit")
+    assert(TxTable.read(spark, table).count() == 12)
+    assert(TxTable.stagedIds(spark, table).isEmpty)
+  }
 }
