@@ -658,6 +658,9 @@ object SparkEntry {
     // the write-audit-publish fixture (ext_wap_audit reads head + audit
     // view) — the staged INSERT is landing work
     stagedWapOrders(s, dir)
+    // the streaming change-feed drain (ext_stream_changes reads the
+    // landed typed rows) — the drain is landing work
+    stagedChangesDrain(s, dir)
     // the co-bucketed SPJ pair and the maintained HLL sketch state —
     // commit/maintenance work, not query work
     stagedSpjTables(s, dir)
@@ -949,6 +952,36 @@ object SparkEntry {
         .foreachBatch { (df: DataFrame, batchId: Long) =>
           df.withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(out)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    out
+  }
+
+  /** Streaming CHANGE-FEED drain fixture (ext_stream_changes): the
+    * delete+restore history of [[stagedRestoredOrders]] drained through
+    * `readStream.table("…#changes")` one commit per micro-batch under
+    * Trigger.AvailableNow — the exactly-once row-level CDC subscription
+    * (inserts, MOR-delete deaths, and restore revivals all arrive as
+    * typed rows). The drain is landing work; the query aggregates the
+    * landed feed and the oracle replays each commit's change set. */
+  private def stagedChangesDrain(s: SparkSession, dir: String): String = {
+    val root = s"target/graft-changes-drain/${new java.io.File(dir).getName}"
+    val out = s"$root/landed"
+    ensureStaged(root) {
+      rmTree(new java.io.File(root))
+      ensureTxCatalog(s)
+      val src = stagedRestoredOrders(s, dir)
+      val q = s.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"txspj.`$src#changes`")
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
           ()
         }
         .start()
@@ -2600,6 +2633,23 @@ object SparkEntry {
         .select(lit("v0").as("snapshot"), col("o_orderpriority"),
           col("n_orders"), col("total_price"))
       head.unionByName(v0).orderBy(col("snapshot"), col("o_orderpriority"))
+    }),
+
+    // STREAMING row-level CDC subscription: the change feed drained one
+    // commit per micro-batch (exactly-once offsets = versions) over a
+    // history holding appends, a merge-on-read DELETE, and a RESTORE —
+    // every change arrives typed: inserts, the delete's exact newly-dead
+    // rows (bitmap diff), and the restore's file-level deletes + revived
+    // rows. What a downstream incremental consumer actually subscribes
+    // to at 100 TB: O(commit delta) I/O per batch, never a table scan.
+    "ext_stream_changes" -> ((s, dir) => {
+      val landed = stagedChangesDrain(s, dir)
+      s.read.parquet(landed)
+        .groupBy(col("_commit_version"), col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("_commit_version"), col("_change_type"))
     }),
 
     // WRITE-AUDIT-PUBLISH as a query surface — the Iceberg WAP flow on
@@ -5827,6 +5877,36 @@ object SparkEntry {
         |  floor(sqrt(CAST(sum(nb) AS DOUBLE)) * 1000000 + 0.5) / 1000000.0
         |    AS l2_cur
         |FROM j""".stripMargin,
+
+    // streaming-CDF replay: v0..v2 insert the %3 slices; v3's MOR delete
+    // kills exactly the urgent rows then live; v4's restore removes the
+    // %3=2 files (their then-live = non-urgent rows die file-granularly)
+    // and revives the urgent rows of the restored %3<=1 content
+    "ext_stream_changes" ->
+      """WITH typed AS (
+        |  SELECT 0 AS v, 'insert' AS t, o_totalprice AS p FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 1, 'insert', o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 2, 'insert', o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 2
+        |  UNION ALL
+        |  SELECT 3, 'delete', o_totalprice FROM orders
+        |  WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT 4, 'delete', o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 2 AND o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT 4, 'insert', o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 <= 1 AND o_orderpriority = '1-URGENT'
+        |)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, t AS _change_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM typed GROUP BY v, t
+        |ORDER BY _commit_version, _change_type""".stripMargin,
 
     // write-audit-publish replay: the head is the even-key half, the
     // audit view the full orders set (staged odd half included)
