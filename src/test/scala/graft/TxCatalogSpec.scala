@@ -1748,8 +1748,14 @@ class TxCatalogSpec extends AnyFunSuite {
         "staging must not commit")
       assert(TxTable.stagedIds(spark, t) == Seq("etl.42"))
 
-      // the audit view = head + staged; read-only
+      // the audit view = head + staged; read-only — and even its
+      // COUNT(*) answers metadata-only (staged manifests record exact
+      // per-file row counts like any commit)
       val audit = spark.table(s"txspj.`$t@wap.etl.42`")
+      val cnt = audit.groupBy().count()
+      assert(cnt.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+        "audit-view COUNT(*) must stay metadata-only")
       assert(audit.count() == 34)
       assert(audit.filter($"k" === "K100").select($"v").as[Long]
         .head() == 100L)
