@@ -1945,6 +1945,38 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("WAP staging on a RENAMED table: stages store physical names, audit and publish serve logical ones") {
+    registered {
+      val base = Files.createTempDirectory("graft_cat_waprn_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", nBuckets)
+      spark.sql(s"ALTER TABLE txspj.`$t` RENAME COLUMN v TO amount")
+      withWapId("rn.1") {
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('K9', 9)")
+      }
+      // the staged file stores the PHYSICAL field name
+      val stagedRel = TxTable.readStaged(spark, t, "rn.1")
+        .filter($"k" === "K9")
+      assert(stagedRel.columns.contains("amount"))
+      val audit = spark.table(s"txspj.`$t@wap.rn.1`")
+      assert(audit.columns.toSeq == Seq("k", "amount"))
+      assert(audit.filter($"k" === "K9").select($"amount").as[Long]
+        .head() == 9L)
+      val relsBefore = TxTable.snapshot(spark, t).entries.map(_.rel).toSet
+      spark.sql(s"CALL txspj.publish_staged('$t', 'rn.1')")
+      val published = TxTable.snapshot(spark, t).entries.map(_.rel)
+        .filterNot(relsBefore)
+      assert(published.nonEmpty, "publish must add the staged files")
+      val stored = spark.read.parquet(s"$t/${published.head}").schema
+      assert(stored.fieldNames.contains("v") &&
+        !stored.fieldNames.contains("amount"),
+        s"published stage must hold physical names: ${stored.simpleString}")
+      assert(tbl(t).filter($"k" === "K9").select($"amount").as[Long]
+        .head() == 9L)
+    }
+  }
+
   test("named tags pin versions: t@name reads the snapshot, vacuum keeps it alive, tags are immutable") {
     registered {
       val base = Files.createTempDirectory("graft_cat_tag_").toString
