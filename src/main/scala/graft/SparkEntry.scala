@@ -5827,9 +5827,9 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT source,
-        |  sum(CASE WHEN r <= 20 THEN 1 ELSE 0 END) AS n_kept,
-        |  sum(CASE WHEN r > 20 THEN 1 ELSE 0 END) AS n_dropped,
-        |  sum(CASE WHEN r <= 20 THEN n_chars ELSE 0 END) AS chars_kept,
+        |  CAST(sum(CASE WHEN r <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN r > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(CASE WHEN r <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept,
         |  min(CASE WHEN r <= 20 THEN n_chars END) AS min_kept_chars
         |FROM rk GROUP BY source ORDER BY source""".stripMargin,
 

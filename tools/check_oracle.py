@@ -5,8 +5,19 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify), runs the
 matching SQL from oracle_sql.json in DuckDB over the sfDir tables, and
-compares: column names (sorted), row counts, and values (rows sorted by all
-columns, floats compared exactly after normalization to float64).
+compares: column names (sorted), row counts, dtype kinds, and values (rows
+sorted by all columns).
+
+Strictness note (round-10 regression fix): this gate must be AT LEAST as
+strict as the driver, which sorts columns by name and hashes the RENDERED
+values — so an integer column on the Spark side vs a float column on the
+oracle side ("20" vs "20.0") is a driver FAIL even when numerically equal.
+An earlier version of norm() widened every int column to float64 before
+comparing, which silently passed exactly that class of bug (an uncast DuckDB
+HUGEINT sum shipped in round 9 as the ext_domain_caps hash failure). Ints
+are now only unified ACROSS INT WIDTHS (→ int64), floats across float widths
+(→ float64), and the two normalized frames must agree on dtype per column:
+int-vs-float is a FAIL here like it is at the driver.
 """
 import json, sys, glob
 import duckdb
@@ -30,8 +41,11 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith(("float", "Float")):
             df[c] = df[c].astype("float64")
+        elif df[c].dtype == bool:
+            pass
         elif str(df[c].dtype).startswith(("int", "Int", "uint")):
-            df[c] = df[c].astype("float64")  # unify int widths for compare
+            # unify WIDTHS only — int vs float must stay a visible mismatch
+            df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():
@@ -58,6 +72,12 @@ def main():
             print(f"FAIL  {name}: cols {list(g.columns)} vs {list(w.columns)}"); failed.append(name); continue
         if len(g) != len(w):
             print(f"FAIL  {name}: rows {len(g)} vs {len(w)}"); failed.append(name); continue
+        kind_bad = [c for c in g.columns if g[c].dtype.kind != w[c].dtype.kind]
+        if kind_bad:
+            c = kind_bad[0]
+            print(f"FAIL  {name}: dtype kind mismatch col {c}: spark={g[c].dtype} oracle={w[c].dtype}"
+                  f" (driver hashes rendered values — int vs float diverges)")
+            failed.append(name); continue
         bad = None
         for c in g.columns:
             a, b = g[c].values, w[c].values
