@@ -136,18 +136,20 @@ object DeletionVectors {
 
   /** The live-row predicate for the DataFrame read path over DV'd files:
     * keep a row iff its (file rel, physical row index) is NOT marked in
-    * the file's bitmap. `bitmaps` is captured by the UDF closure and
-    * travels inside the task binary (bounded: the scanned files' bitmap
-    * bytes) — deliberately NOT a Spark broadcast, which would accrete one
-    * undestroyed block per read in a long-lived session; executors
-    * deserialize each file's bitmap once through the bounded cache. The
-    * UDF sits only on the DV'd files' leg of a read — clean files never
-    * pay it. */
+    * the file's bitmap. `bitmaps` travels as ONE Spark broadcast — a
+    * closure-captured map would be re-serialized into EVERY task binary
+    * (at 100k churned files that is files × bitmap-bytes per task); a
+    * broadcast ships once per executor and its blocks are reclaimed by
+    * the ContextCleaner when the plan holding the UDF is GC'd, so a
+    * long-lived session does not accrete blocks. Executors deserialize
+    * each file's bitmap once through the bounded cache. The UDF sits only
+    * on the DV'd files' leg of a read — clean files never pay it. */
   private[graft] def liveFilter(spark: SparkSession,
                                 bitmaps: Map[String, (String, Array[Byte])])
       : Column = {
+    val bc = spark.sparkContext.broadcast(bitmaps)
     val live = udf { (rel: String, pos: Long) =>
-      bitmaps.get(rel) match {
+      bc.value.get(rel) match {
         case Some((key, bytes)) =>
           pos > MaxPos || !cachedBitmap(key, bytes).contains(pos.toInt)
         case None => true
@@ -204,9 +206,10 @@ object DeletionVectors {
     val raw = reader.parquet(marked.map { case (e, _) =>
       s"$table/${e.rel}" }: _*)
     val cols = raw.columns.toSeq
-    // closure-captured, not broadcast — see liveFilter
+    // one broadcast, not a per-task closure copy — see liveFilter
+    val bc = spark.sparkContext.broadcast(keyed)
     val hit = udf { (rel: String, pos: Long) =>
-      keyed.get(rel).exists { case (key, bytes) =>
+      bc.value.get(rel).exists { case (key, bytes) =>
         pos <= MaxPos && cachedBitmap(key, bytes).contains(pos.toInt) }
     }
     raw

@@ -1488,7 +1488,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     TxScanPlanning.partitionsFor(path, entries)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.augmentedReaderFor(path, entries, dataSchema, required,
+    TxScanPlanning.augmentedReaderFor(entries, dataSchema, required,
       pushed)
 
   override def outputPartitioning(): Partitioning =
@@ -1508,13 +1508,20 @@ private[sources] object TxScanPlanning {
     val spark = SparkSession.active
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // deletion-vector payloads are resolved HERE, driver-side, and each
+    // attached to its own file's partition — a task then serializes only
+    // the bitmap it will apply, not the union of every scanned file's
+    // (the factory travels with every task; a map there is paid per task)
+    val byRel = graft.ops.DeletionVectors.loadBitmaps(spark, path,
+      entries.filter(_.dv.isDefined))
     entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map {
       case (e, i) =>
         val p = new Path(s"$path/${e.rel}")
         val st = fs.getFileStatus(p)
         GraftParquetShim.bucketFilePartition(i,
           Array(GraftParquetShim.partitionedFile(p.toString, st.getLen,
-            st.getModificationTime)), e.bucket): InputPartition
+            st.getModificationTime)), e.bucket,
+          byRel.get(e.rel)): InputPartition
     }.toArray
   }
 
@@ -1541,19 +1548,18 @@ private[sources] object TxScanPlanning {
     * the marked positions. The read tax lasts until the next [[TxTable
     * .compact]] folds the vectors away; correctness never depends on the
     * fast path. */
-  def dvReaderFor(path: String, entries: Seq[TxTable.FileEntry],
+  def dvReaderFor(entries: Seq[TxTable.FileEntry],
                   dataSchema: StructType, required: StructType,
                   pushed: Array[org.apache.spark.sql.sources.Filter] =
                     Array.empty): PartitionReaderFactory = {
-    val spark = SparkSession.active
-    val dvd = entries.filter(_.dv.isDefined)
     val base = readerFor(dataSchema, required, pushed)
-    if (dvd.isEmpty) base
+    if (!entries.exists(_.dv.isDefined)) base
     else {
-      val byRel = graft.ops.DeletionVectors.loadBitmaps(spark, path, dvd)
       val raw =
         if (pushed.isEmpty) base else readerFor(dataSchema, required)
-      new DvPartitionReaderFactory(base, raw, byRel)
+      // the factory carries NO bitmaps — each partition ships its own
+      // file's payload (attached by [[partitionsFor]])
+      new DvPartitionReaderFactory(base, raw)
     }
   }
 
@@ -1569,19 +1575,16 @@ private[sources] object TxScanPlanning {
     * positions stay correct over deletion-vector'd files because the DV
     * skip COUNTS the dead rows it drops. Scans that don't ask for
     * identity pay nothing (delegates to [[dvReaderFor]]). */
-  def augmentedReaderFor(path: String, entries: Seq[TxTable.FileEntry],
+  def augmentedReaderFor(entries: Seq[TxTable.FileEntry],
                          dataSchema: StructType, required: StructType,
                          pushed: Array[org.apache.spark.sql.sources.Filter] =
                            Array.empty): PartitionReaderFactory = {
     if (!required.fieldNames.exists(SynthCols))
-      return dvReaderFor(path, entries, dataSchema, required, pushed)
-    val spark = SparkSession.active
+      return dvReaderFor(entries, dataSchema, required, pushed)
     val dataRequired =
       StructType(required.fields.filterNot(f => SynthCols(f.name)))
-    val dvd = entries.filter(_.dv.isDefined)
-    val byRel = graft.ops.DeletionVectors.loadBitmaps(spark, path, dvd)
     val raw = readerFor(dataSchema, dataRequired)
-    new SynthPartitionReaderFactory(raw, required, dataRequired, byRel)
+    new SynthPartitionReaderFactory(raw, required, dataRequired)
   }
 }
 
@@ -1593,8 +1596,7 @@ private[sources] object TxScanPlanning {
   * operations' affected-file reads, never the hot analytical path. */
 private[sources] final class SynthPartitionReaderFactory(
     raw: PartitionReaderFactory, required: StructType,
-    dataRequired: StructType,
-    dvByRel: Map[String, (String, Array[Byte])])
+    dataRequired: StructType)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.connector.read.PartitionReader
 
@@ -1608,7 +1610,7 @@ private[sources] final class SynthPartitionReaderFactory(
     val rel = DvPartitionReaderFactory.RelRe
       .findFirstIn(fp.files.head.filePath.toString)
       .getOrElse(fp.files.head.filePath.toString)
-    val bm = dvByRel.get(rel).map { case (key, bytes) =>
+    val bm = DvPartitionReaderFactory.payloadOf(p).map { case (key, bytes) =>
       graft.ops.DeletionVectors.cachedBitmap(key, bytes) }
     val relUtf = org.apache.spark.unsafe.types.UTF8String.fromString(rel)
     val dataIdx = dataRequired.fieldNames.zipWithIndex.toMap
@@ -1657,38 +1659,24 @@ private[sources] final class SynthPartitionReaderFactory(
   * row positions and skip the bitmap-marked ones. Positions count per
   * FILE, so a DV'd partition must hold exactly one file — every TxTable
   * planner that can serve DV'd entries plans them one-file-per-partition.
-  * The factory ships the scanned DV'd files' serialized bitmaps (bounded:
-  * exactly what the DataFrame read path broadcasts); executors
-  * deserialize each once through [[graft.ops.DeletionVectors]]'s bounded
-  * cache. */
+  * The factory itself carries NO bitmaps (it is serialized with EVERY
+  * task): each DV'd partition ships its own file's serialized bitmap,
+  * attached driver-side at planning time; executors deserialize each once
+  * through [[graft.ops.DeletionVectors]]'s bounded cache. */
 private[sources] final class DvPartitionReaderFactory(
-    base: PartitionReaderFactory, raw: PartitionReaderFactory,
-    dvByRel: Map[String, (String, Array[Byte])])
+    base: PartitionReaderFactory, raw: PartitionReaderFactory)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.connector.read.PartitionReader
-
-  /** Files are matched by their table-relative `files/<uuid>/<dir>/<name>`
-    * suffix — engine-generated segments with no URI-encoding ambiguity —
-    * exactly how the DataFrame read path keys `input_file_name()`. */
-  private def dvFiles(p: InputPartition): Seq[(String, Array[Byte])] =
-    p match {
-      case fp: FilePartition =>
-        fp.files.toSeq.flatMap { f =>
-          DvPartitionReaderFactory.RelRe.findFirstIn(f.filePath.toString)
-            .flatMap(dvByRel.get)
-        }
-      case _ => Seq.empty
-    }
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 
   override def createReader(p: InputPartition)
       : PartitionReader[InternalRow] = {
-    val dvs = dvFiles(p)
+    val dvs = DvPartitionReaderFactory.payloadOf(p)
     if (dvs.isEmpty) return base.createReader(p)
     require(p.asInstanceOf[FilePartition].files.length == 1,
       "a deletion-vector'd file must be planned as its own partition")
-    val (key, bytes) = dvs.head
+    val (key, bytes) = dvs.get
     val delegate = raw.createReader(p)
     new PartitionReader[InternalRow] {
       private val bm = graft.ops.DeletionVectors.cachedBitmap(key, bytes)
@@ -1712,6 +1700,14 @@ private[sources] object DvPartitionReaderFactory {
     * `input_file_name()` regexp extracts). */
   val RelRe: scala.util.matching.Regex =
     graft.ops.DeletionVectors.RelPattern.r
+
+  /** The partition's own deletion-vector payload (planning-time attached
+    * by [[TxScanPlanning.partitionsFor]] / the streaming planner). */
+  def payloadOf(p: InputPartition): Option[(String, Array[Byte])] =
+    p match {
+      case g: GraftParquetShim.GraftBucketFilePartition => g.dv
+      case _ => None
+    }
 }
 
 /** The on-disk file schema: the SQL-visible columns plus the layout
@@ -1985,7 +1981,7 @@ final class TxRowLevelScan(op: TxAffectedFiles, path: String,
     * ones into the replacement files. Synthesizes `_file`/`_pos` when the
     * operation is delta-based (its rowId projection needs them). */
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.augmentedReaderFor(path, entries, dataSchema, required)
+    TxScanPlanning.augmentedReaderFor(entries, dataSchema, required)
 }
 
 /** Write side of the rewrite: stages replacement rows per bucket like any
@@ -2573,10 +2569,11 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     // ignoreChanges — appends never carry DVs) must be its own partition:
     // the DV reader wrapper counts physical positions per FILE
     val (dvd, clean) = picked.result().partition(_.dv.isDefined)
-    // accumulate (newest DvRef per rel wins — versions walk in order) so
-    // a factory paired with any planned batch sees every bitmap it may
-    // need; extra map entries are inert for partitions not serving them
-    dvd.foreach(e => streamDvEntries.put(e.rel, e))
+    // each DV'd partition ships its OWN file's bitmap (planning-time
+    // attached — the factory travels with every task, so bitmaps must not
+    // live there); the sticky flag keeps later factories DV-aware
+    if (dvd.nonEmpty) streamSawDv = true
+    val byRel = graft.ops.DeletionVectors.loadBitmaps(spark, path, dvd)
     def pf(en: TxTable.FileEntry): org.apache.spark.sql.execution
         .datasources.PartitionedFile = {
       val p = new Path(s"$path/${en.rel}")
@@ -2584,23 +2581,29 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
       GraftParquetShim.partitionedFile(p.toString, st.getLen,
         st.getModificationTime)
     }
-    val grouped = clean.groupBy(_.bucket).toSeq.sortBy(_._1).map {
-      case (b, entries) => (b, entries.sortBy(_.rel).map(pf).toArray)
-    } ++ dvd.sortBy(e => (e.bucket, e.rel)).map(e => (e.bucket, Array(pf(e))))
-    grouped.zipWithIndex.map { case ((b, pfs), i) =>
-      GraftParquetShim.bucketFilePartition(i, pfs, b): InputPartition
+    val grouped: Seq[(Int, Array[org.apache.spark.sql.execution
+        .datasources.PartitionedFile], Option[(String, Array[Byte])])] =
+      clean.groupBy(_.bucket).toSeq.sortBy(_._1).map {
+        case (b, entries) =>
+          (b, entries.sortBy(_.rel).map(pf).toArray,
+            None: Option[(String, Array[Byte])])
+      } ++ dvd.sortBy(e => (e.bucket, e.rel)).map(e =>
+        (e.bucket, Array(pf(e)), byRel.get(e.rel)))
+    grouped.zipWithIndex.map { case ((b, pfs, dv), i) =>
+      GraftParquetShim.bucketFilePartition(i, pfs, b, dv): InputPartition
     }.toArray
   }
 
-  /** Every DV'd entry any planned micro-batch re-emitted (possible only
-    * under ignoreChanges), newest [[TxTable.DvRef]] per rel. */
-  private val streamDvEntries =
-    new java.util.concurrent.ConcurrentHashMap[String, TxTable.FileEntry]()
+  /** Whether any planned micro-batch re-emitted a DV'd file (possible
+    * only under ignoreChanges — appends never carry DVs). Sticky: once
+    * true, every later factory stays payload-aware (clean partitions
+    * still delegate to the stock reader inside the wrapper). */
+  @volatile private var streamSawDv = false
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    import scala.jdk.CollectionConverters._
-    TxScanPlanning.dvReaderFor(path,
-      streamDvEntries.values.asScala.toSeq, dataSchema, required)
+    val stock = TxScanPlanning.readerFor(dataSchema, required)
+    if (!streamSawDv) stock
+    else new DvPartitionReaderFactory(stock, stock)
   }
 }
 

@@ -53,18 +53,29 @@ object GraftParquetShim {
 
   /** One input partition per TxTable bucket: the stock FilePartition (so
     * the stock reader factory accepts it) plus [[HasPartitionKey]] carrying
-    * the bucket id — the hook storage-partitioned joins group on. */
+    * the bucket id — the hook storage-partitioned joins group on.
+    *
+    * `dv` is the partition's OWN file's deletion-vector payload
+    * (cache key, serialized bitmap), attached at planning time by the
+    * driver. Partition-attached so each task serializes exactly the
+    * bitmap bytes it will apply — a reader factory travels with EVERY
+    * task, so a rel→bitmap map stored there would ship the union of all
+    * scanned files' bitmaps into each task binary. A DV-carrying
+    * partition always holds exactly one file (positions count per file). */
   final class GraftBucketFilePartition(index: Int,
                                        files: Array[PartitionedFile],
-                                       val bucketId: Int)
+                                       val bucketId: Int,
+                                       val dv: Option[(String, Array[Byte])])
       extends FilePartition(index, files) with HasPartitionKey {
     override def partitionKey(): InternalRow =
       new GenericInternalRow(Array[Any](bucketId))
   }
 
   def bucketFilePartition(index: Int, files: Array[PartitionedFile],
-                          bucketId: Int): FilePartition with HasPartitionKey =
-    new GraftBucketFilePartition(index, files, bucketId)
+                          bucketId: Int,
+                          dv: Option[(String, Array[Byte])] = None)
+      : FilePartition with HasPartitionKey =
+    new GraftBucketFilePartition(index, files, bucketId, dv)
 
   /** Driver-side hadoop conf for [[rowParquetWriter]]: newHadoopConf plus
     * the keys ParquetWriteSupport.init ASSERTS are explicitly present
