@@ -325,6 +325,16 @@ object TxTable {
   // by the delta row-level write. PER-COMMIT, never inherited: absent or
   // `-` means the commit carried no update pairing (its deletes/inserts
   // surface as plain delete/insert — the conservative pre-extension CDF).
+  // HEADER extension (data-preserving rewrites): field 12 of a DELTA
+  // manifest is `rewrite` when the commit reorganized files WITHOUT
+  // changing the table's live rows (compaction, Z-order, DV purge,
+  // rebucket) — the public Delta `dataChange=false` contract. PER-COMMIT,
+  // never inherited: absent or `-` means the commit changed data. Change
+  // feeds emit NOTHING for flagged commits (their deletes/inserts already
+  // fed the feed when they actually happened) and the append streaming
+  // source skips them without needing skipChangeCommits/ignoreChanges —
+  // a weekly 100 TB compaction must not replay the table into every
+  // subscriber.
   private def renderDelta(adds: Seq[FileEntry], removes: Seq[String],
                           txn: Option[(String, Long)],
                           schema: Option[StructType],
@@ -332,7 +342,8 @@ object TxTable {
                           dropped: Set[String] = Set.empty,
                           props: Map[String, String] = Map.empty,
                           renames: Map[String, String] = Map.empty,
-                          cdf: Option[String] = None)
+                          cdf: Option[String] = None,
+                          dataChange: Boolean = true)
       : Array[Byte] = {
     val (app, batch) = txn.map(t => (t._1, t._2.toString)).getOrElse(("-", "-"))
     val sc = schema.map(_.json).getOrElse("-")
@@ -340,7 +351,8 @@ object TxTable {
     val header = s"txtable	3	$app	$batch	$sc$bk	" +
       s"${renderDropped(dropped)}	${renderProps(props)}	" +
       renderRenames(renames) +
-      s"	${cdf.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("-")}"
+      s"	${cdf.map(java.net.URLEncoder.encode(_, "UTF-8")).getOrElse("-")}" +
+      (if (dataChange) "" else "	rewrite")
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel))
         .map(e =>
@@ -386,6 +398,22 @@ object TxTable {
     else {
       val bytes = readBytes(fs, p)
       if (isDelta(bytes)) parseCdf(bytes) else None
+    }
+  }
+
+  /** Whether commit `v` is a flagged data-preserving rewrite (header
+    * field 12 = `rewrite`). Reads only the commit's own manifest header,
+    * per-commit metadata like [[commitCdfRel]]. A missing manifest (the
+    * version was vacuumed) is NOT a rewrite — callers walking a feed
+    * range fail on the snapshot read first. */
+  private[graft] def commitIsRewrite(fs: FileSystem, table: String,
+                                     v: Long): Boolean = {
+    val p = versionPath(table, v)
+    if (!fs.exists(p)) false
+    else {
+      val bytes = readBytes(fs, p)
+      val header = headerFields(bytes)
+      isDelta(bytes) && header.length >= 12 && header(11) == "rewrite"
     }
   }
 
@@ -495,7 +523,8 @@ object TxTable {
                                 dropped: Option[Set[String]] = None,
                                 props: Option[Map[String, String]] = None,
                                 renames: Option[Map[String, String]] = None,
-                                cdf: Option[String] = None)
+                                cdf: Option[String] = None,
+                                dataChange: Boolean = true)
       : Boolean = {
     (bucketing, base.bucketing) match {
       case (Some(b), Some(cur)) if b != cur && !allowRebucket =>
@@ -517,7 +546,7 @@ object TxTable {
     val v = base.version + 1
     val ok = tryPublish(fs, table, v,
       renderDelta(adds, removes.toSeq, txn, schema, effBucketing,
-        effDropped, effProps, effRenames, cdf))
+        effDropped, effProps, effRenames, cdf, dataChange))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
       val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
       try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
@@ -692,6 +721,12 @@ object TxTable {
     (fromVersion + 1 to toVersion).foreach { v =>
       val cur = snapshot(spark, table, Some(v)).entries
         .map(e => e.rel -> e).toMap
+      // a dataChange=false commit (compaction/Z-order/purge/rebucket)
+      // reorganized files without changing live rows — EXACTLY nothing
+      // to emit; advance the baseline so the next commit diffs against
+      // the post-rewrite file set
+      if (commitIsRewrite(fs, table, v)) { prev = cur }
+      else {
       // UPDATE classification (the Delta update_preimage/update_postimage
       // change types): a delta row-level commit stages bitmaps marking
       // which of its deleted positions / inserted positions belong to
@@ -815,6 +850,7 @@ object TxTable {
             Some(schema)), "insert", v)
       }
       prev = cur
+      }
     }
     // change frames surface under toVersion's LOGICAL names (the CDF
     // consumer's view; `_change_type`/`_commit_version` are never mapped)
@@ -2427,7 +2463,8 @@ object TxTable {
       val newEntries = stageFiles(spark, table, re)
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = snap.entries.map(_.rel).toSet, schema = snap.schema,
-          bucketing = Some((physKey, newBuckets)), allowRebucket = true))
+          bucketing = Some((physKey, newBuckets)), allowRebucket = true,
+          dataChange = false)) // same live rows, new layout
         return snap.version + 1
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
@@ -2470,8 +2507,12 @@ object TxTable {
       val merged = layout(DeletionVectors.readEntries(spark, table,
         toRewrite, snap.schema))
       val newEntries = stageFiles(spark, table, merged, maxRecordsPerFile)
+      // live rows are identical before and after: a rewrite commit is
+      // dataChange=false, so change feeds and streaming subscribers skip
+      // it instead of replaying the reorganized files
       if (commitNext(fs, table, snap, adds = newEntries,
-          removes = toRewrite.map(_.rel).toSet, schema = snap.schema))
+          removes = toRewrite.map(_.rel).toSet, schema = snap.schema,
+          dataChange = false))
         return result
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))

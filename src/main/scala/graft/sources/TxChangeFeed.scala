@@ -231,6 +231,10 @@ private[sources] object TxChangeFeedPlanning {
     (from + 1 to to).foreach { v =>
       val cur = TxTable.snapshot(spark, path, Some(v)).entries
         .map(e => e.rel -> e).toMap
+      // dataChange=false commits (compaction/Z-order/purge/rebucket)
+      // changed no live row — emit nothing, just advance the baseline
+      if (TxTable.commitIsRewrite(fs, path, v)) { prev = cur }
+      else {
       // UPDATE classification (pre/post images): a delta row-level
       // commit's sidecar marks which deleted/inserted positions were the
       // two halves of updates; absent sidecar or missing metadata
@@ -324,6 +328,7 @@ private[sources] object TxChangeFeedPlanning {
             s"cdf-revived:$rel@$v", Array(rel)))
       }
       prev = cur
+      }
     }
     parts.result().zipWithIndex.map {
       case ((tpe, v, include, bitmap, key, rels), i) =>

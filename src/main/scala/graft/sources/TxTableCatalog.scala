@@ -2502,6 +2502,8 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     // itself, never silently floods a batch).
     if ((maxFilesPerTrigger.nonEmpty || maxRowsPerTrigger.nonEmpty)
         && end > s) {
+      val fsAdm = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
       var prev: Set[String] =
         if (s < 0) Set.empty
         else TxTable.snapshot(spark, path, Some(s)).entries.map(_.rel).toSet
@@ -2512,7 +2514,11 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
       var full = false
       while (v <= end && !full) {
         val cur = TxTable.snapshot(spark, path, Some(v)).entries
-        val added = cur.filterNot(e => prev(e.rel))
+        // a dataChange=false commit emits nothing at planning, so its
+        // reorganized files must not consume the batch's admission caps
+        val rewrite = TxTable.commitIsRewrite(fsAdm, path, v)
+        val added =
+          if (rewrite) Seq.empty else cur.filterNot(e => prev(e.rel))
         val af = added.size
         val ar =
           if (added.exists(_.rows.isEmpty)) Long.MaxValue / 2
@@ -2548,19 +2554,28 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
       if (s < 0) Set.empty
       else TxTable.snapshot(spark, path, Some(s)).entries.map(_.rel).toSet
     val picked = Seq.newBuilder[TxTable.FileEntry]
+    val fsForFlags = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (s + 1 to e).foreach { v =>
       val cur = TxTable.snapshot(spark, path, Some(v)).entries
       val curRels = cur.map(_.rel).toSet
-      val removed = prev -- curRels
-      val added = cur.filterNot(en => prev(en.rel))
-      if (removed.nonEmpty && !ignoreChanges && !skipChangeCommits)
-        throw new IllegalStateException(
-          s"$path: commit v$v rewrote or removed data files (upsert/" +
-            "compaction) mid-stream. Streaming reads serve appends exactly-" +
-            "once; for rewriting tables choose: skipChangeCommits=true " +
-            "(skip rewrite commits) or ignoreChanges=true (re-emit " +
-            "rewritten files, at-least-once for their rows).")
-      if (removed.isEmpty || ignoreChanges) picked ++= added
+      // a dataChange=false commit reorganized files without changing live
+      // rows — skip it outright (no option needed, no error): its rows
+      // were all served when they were actually appended
+      if (!TxTable.commitIsRewrite(fsForFlags, path, v)) {
+        val removed = prev -- curRels
+        val added = cur.filterNot(en => prev(en.rel))
+        if (removed.nonEmpty && !ignoreChanges && !skipChangeCommits)
+          throw new IllegalStateException(
+            s"$path: commit v$v rewrote or removed data files (upsert) " +
+              "mid-stream. Streaming reads serve appends exactly-once; " +
+              "for rewriting tables choose: skipChangeCommits=true " +
+              "(skip rewrite commits) or ignoreChanges=true (re-emit " +
+              "rewritten files, at-least-once for their rows). " +
+              "Data-preserving maintenance (compact/zorder/purge/" +
+              "rebucket) is dataChange=false and never trips this.")
+        if (removed.isEmpty || ignoreChanges) picked ++= added
+      }
       prev = curRels
     }
     val fs = new Path(path)

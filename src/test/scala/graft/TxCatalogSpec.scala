@@ -1462,6 +1462,58 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("dataChange=false: compact/zorder/purge/rebucket are invisible to the CDF and the append stream") {
+    registered {
+      val (a, _) = freshTables() // v0: 64 rows, 4 buckets, 1 file each
+      val ckpt = Files.createTempDirectory("graft_cat_dc_").toString
+      drain(a, ckpt) // consume the snapshot
+      // v1: append (fragments every bucket to 2 files)
+      TxTable.appendOnce(spark, a,
+        (101 to 116).map(i => (s"A$i", i.toLong)).toDF("k", "v"),
+        "k", nBuckets, "dc-spec", 1L)
+      // v2: compaction — data-preserving rewrite, flagged
+      assert(TxTable.compact(spark, a, maxFilesPerBucket = 1) > 0)
+      // v3: append
+      TxTable.appendOnce(spark, a,
+        Seq(("B1", 1000L)).toDF("k", "v"), "k", nBuckets, "dc-spec", 2L)
+      // the append stream drains WITHOUT skipChangeCommits/ignoreChanges:
+      // no error, and it serves exactly the two appends' rows
+      val served = drain(a, ckpt).flatten.toSet
+      assert(served ==
+        ((101 to 116).map(i => (s"A$i", i.toLong)).toSet + (("B1", 1000L))),
+        s"stream must serve only the appends, got ${served.size} rows")
+      // batch CDF (both APIs): nothing at the compaction version
+      val head3 = TxTable.snapshot(spark, a).version
+      val ch = TxTable.changesBetween(spark, a, 0L, head3)
+      assert(ch.filter($"_commit_version" === 2L).count() == 0,
+        "a flagged rewrite must emit nothing in changesBetween")
+      assert(ch.count() == 17L, "the two appends' inserts, nothing else")
+      val dsv2 = spark.read.option("startingVersion", 1)
+        .table(s"txspj.`$a#changes`")
+      assert(dsv2.filter($"_commit_version" === 2L).count() == 0)
+      assert(dsv2.count() == 17L)
+      // v4: MOR delete (a real data change — its deletes DO feed)
+      assert(TxTable.deleteWhereMor(spark, a, $"v" >= 101L && $"v" <= 108L)
+        == 8L)
+      // v5: purge folds the vectors — flagged, nothing to emit
+      assert(TxTable.purgeDeletes(spark, a, minDeletedFraction = 0.01) > 0)
+      // v6: rebucket — flagged
+      TxTable.rebucket(spark, a, "k", 8)
+      val head6 = TxTable.snapshot(spark, a).version
+      val tail = TxTable.changesBetween(spark, a, head3, head6)
+      assert(tail.filter($"_change_type" === "delete").count() == 8L,
+        "the MOR delete's rows feed exactly once")
+      assert(tail.filter($"_commit_version" > 4L).count() == 0,
+        "purge and rebucket must emit nothing")
+      // the append stream also skips v5/v6 silently (v4 removed no file)
+      assert(drain(a, ckpt).flatten.isEmpty)
+      // table content is intact through the flagged maintenance
+      assert(tbl(a).count() == 64L + 17L - 8L)
+      // and a rewrite that DOES change rows keeps current semantics:
+      // upsert is loud without options (pinned by the sibling spec below)
+    }
+  }
+
   test("streaming source: rewriting commits are loud by default, skippable, or re-emitted") {
     registered {
       val (a, _) = freshTables()
