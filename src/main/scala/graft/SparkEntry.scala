@@ -1020,6 +1020,59 @@ object SparkEntry {
     path
   }
 
+  /** SQL schema-evolution fixture (ext_schema_evolution): a TxTable of
+    * the even-keyed orders (o_orderkey, o_orderpriority, o_totalprice),
+    * evolved twice under `spark.graft.sql.schema.autoMerge`:
+    *   1. `MERGE WITH SCHEMA EVOLUTION` whose source (the %3 == 0 slice)
+    *      carries a NEW `o_seg` column — Spark's native evolution routes
+    *      one ADD COLUMN metadata commit through the catalog's
+    *      alterTable, matched rows update to the source values (seg
+    *      filled), unmatched targets keep NULL, unmatched sources insert;
+    *   2. `INSERT INTO … BY NAME` whose source (the k%6 == 1 slice)
+    *      carries a second new `o_flag` column — the pre-widen rule
+    *      ([[graft.sources.TxAutoMergeInsertRule]]) adds the column and
+    *      the stock by-name resolution lands the rows.
+    * Old files are never rewritten for either evolution — their rows
+    * project the new columns as NULL, which the query's NULL-seg group
+    * proves value-exactly against the oracle replay. */
+  private def stagedEvolvedOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-evolve/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      ops.TxTable.init(s, path,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        key = "o_orderkey", nBuckets = 8)
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("o_seg", pmod(col("o_orderkey"), lit(5)).cast("long"))
+        .createOrReplaceTempView("graft_evolve_src")
+      val amKey = "spark.graft.sql.schema.autoMerge"
+      val saved = s.conf.getOption(amKey)
+      s.conf.set(amKey, "true")
+      try {
+        s.sql(
+          s"""MERGE WITH SCHEMA EVOLUTION INTO txspj.`$path` t
+             |USING graft_evolve_src s ON t.o_orderkey = s.o_orderkey
+             |WHEN MATCHED THEN UPDATE SET *
+             |WHEN NOT MATCHED THEN INSERT *
+             |""".stripMargin)
+        orders.filter(pmod(col("o_orderkey"), lit(6)) === 1)
+          .withColumn("o_seg", lit(null).cast("long"))
+          .withColumn("o_flag", pmod(col("o_orderkey"), lit(7)).cast("long"))
+          .createOrReplaceTempView("graft_evolve_ins")
+        s.sql(s"INSERT INTO txspj.`$path` BY NAME " +
+          "SELECT * FROM graft_evolve_ins")
+      } finally saved match {
+        case Some(v) => s.conf.set(amKey, v)
+        case None => s.conf.unset(amKey)
+      }
+      ()
+    }
+    path
+  }
+
   /** Delta-MERGE sibling of [[stagedMergedOrders]] (ext_sql_merge_mor):
     * the SAME MERGE statement applied with
     * `spark.graft.sql.rowlevel.mor=true` — matched rows become
@@ -2766,6 +2819,25 @@ object SparkEntry {
           sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
             .cast("decimal(18,2)")).cast("double").as("total_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // SQL schema evolution (the Delta autoMerge shape, conf-gated):
+    // MERGE WITH SCHEMA EVOLUTION adds o_seg from its source, INSERT BY
+    // NAME adds o_flag — both as one ADD COLUMN metadata commit + the
+    // data commit, zero old files rewritten. The NULL-seg group mixes
+    // pre-evolution rows (projecting both new columns as NULL) with
+    // evolved inserts, so the oracle replay proves NULL projection and
+    // the new columns' values in one result.
+    "ext_schema_evolution" -> ((s, dir) => {
+      val path = stagedEvolvedOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_seg"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          sum(col("o_flag")).cast("long").as("flag_sum"),
+          sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
+            .cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_seg").asc_nulls_first)
     }),
 
     // The SAME MERGE applied delta-based (merge-on-read): matched rows'
@@ -6043,6 +6115,33 @@ object SparkEntry {
         |    AS DOUBLE) AS total_price
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // schema-evolution replay: the four row populations after the two
+    // evolving statements — updated matched (k%6=0: seg=k%5), untouched
+    // base (even, k%3<>0: both new columns NULL), merge-inserted (k%6=3:
+    // seg=k%5), insert-evolved (k%6=1: flag=k%7, seg NULL)
+    "ext_schema_evolution" ->
+      """WITH evolved AS (
+        |  SELECT CAST(o_orderkey % 5 AS BIGINT) AS seg,
+        |    CAST(NULL AS BIGINT) AS flag, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey % 5 AS BIGINT), CAST(NULL AS BIGINT),
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 6 = 3
+        |  UNION ALL
+        |  SELECT CAST(NULL AS BIGINT), CAST(o_orderkey % 7 AS BIGINT),
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 6 = 1
+        |)
+        |SELECT seg AS o_seg, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(flag) AS BIGINT) AS flag_sum,
+        |  CAST(sum(CAST(floor(p * 100 + 0.5) / 100 AS DECIMAL(18,2)))
+        |    AS DOUBLE) AS total_price
+        |FROM evolved GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // delta-MERGE replay: semantics identical to ext_sql_merge (whether
     // matched rows rewrote files or set deletion-vector bits is a pure

@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashSignature(exprs(0), ps.map(_._1), ps.map(_._2),
           graft.ops.DedupOps.MinhashPrime)
       }))
+    // INSERT-side schema evolution for TxTables (inert unless
+    // spark.graft.sql.schema.autoMerge is on): re-applies Spark's own
+    // output resolution with the query's extra columns widened in
+    e.injectResolutionRule { session =>
+      graft.sources.TxAutoMergeInsertRule(session)
+    }
     // bin width tunes interval-join fan-out vs bucket size; ~typical
     // interval length is right (an interval spanning k bins replicates k+1×)
     e.injectOptimizerRule { session =>

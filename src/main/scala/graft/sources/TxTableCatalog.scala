@@ -587,10 +587,27 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
     Array(GraftBucketMetadataColumn, GraftFileMetadataColumn,
       GraftPosMetadataColumn)
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+  /** With `spark.graft.sql.schema.autoMerge=true` (default false — the
+    * Delta `autoMerge` shape) the table additionally advertises
+    * AUTOMATIC_SCHEMA_EVOLUTION, which lets Spark's native
+    * `MERGE WITH SCHEMA EVOLUTION INTO` route the source's new columns
+    * through [[TxTableCatalog.alterTable]] (one ADD COLUMN metadata
+    * commit) before the merge plans — old files project the new column
+    * as NULL, time travel keeps each version's own schema. The conf also
+    * advertises ACCEPT_ANY_SCHEMA so INSERT INTO with extra source
+    * columns reaches the write path — the safety that capability turns
+    * off (arity checks, by-name matching, casts, default fill) is put
+    * back verbatim by [[TxAutoMergeInsertRule]], which delegates to
+    * Spark's own TableOutputResolver with a widened expected list. */
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+    if (TxAutoMerge.enabled(SparkSession.active))
+      base.add(TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
+    base
+  }
 
   /** Manifest-derived metadata for `SHOW TBLPROPERTIES` / `DESCRIBE
     * EXTENDED` — the DESCRIBE DETAIL surface: version, layout identity,
@@ -1093,6 +1110,88 @@ final class TxLocalAggScan(path: String, version: Long,
   * filter; anything unprovable degrades to Partial, never guesses. */
 /** The write-audit-publish session switch: a non-empty
   * `spark.graft.wap.id` routes batch INSERTs into staged commits. */
+/** Session switch for SQL schema evolution (the Delta
+  * `spark.databricks.delta.schema.autoMerge.enabled` idea, graft-named):
+  * when on, TxTables advertise AUTOMATIC_SCHEMA_EVOLUTION so
+  * `MERGE WITH SCHEMA EVOLUTION` widens the table from the source's new
+  * columns via one ADD COLUMN metadata commit. Off (default), every
+  * statement keeps strict schema enforcement. */
+private[sources] object TxAutoMerge {
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.sql.schema.autoMerge", "false").toBoolean
+}
+
+/** INSERT-side schema evolution (with `spark.graft.sql.schema.autoMerge`
+  * on): `INSERT INTO t SELECT ..., new_col FROM src` widens the table
+  * first, then inserts — the exact shape Spark's own
+  * ResolveMergeIntoSchemaEvolution uses for MERGE (alterTable with
+  * ADD COLUMN, reload the relation, let stock resolution proceed against
+  * the widened schema). Intercepts the still-unconverted
+  * InsertIntoStatement at the end of the resolution iteration in which
+  * its relation and query both resolved — before ResolveInsertInto turns
+  * it into a v2 write whose arity check would refuse the extra columns.
+  *
+  * Deliberately NOT ACCEPT_ANY_SCHEMA: advertising that capability turns
+  * off Spark's resolution of MERGE conditions/assignments and INSERT
+  * output matching for every statement on the table (SchemaAutoMergeSpec
+  * pins a plain MERGE that stops resolving under it) — the pre-widen
+  * keeps every stock safety check, because after the widening this IS a
+  * stock insert. Positional inserts evolve trailing extra columns under
+  * their source names; BY NAME inserts evolve every unmatched source
+  * column. New columns are born nullable; old files project NULL; time
+  * travel keeps each version's own schema. Inert when the conf is off. */
+final case class TxAutoMergeInsertRule(spark: SparkSession)
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+  import org.apache.spark.sql.connector.catalog.TableChange
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!TxAutoMerge.enabled(spark)) return plan
+    plan.resolveOperators {
+      case i: InsertIntoStatement =>
+        i.table match {
+          case r: DataSourceV2Relation if r.table.isInstanceOf[TxSparkTable]
+              && i.query.resolved && i.userSpecifiedCols.isEmpty =>
+            val extras = extraColumns(r, i.query, i.byName)
+            if (extras.isEmpty) i
+            else i.copy(table = widen(r, extras))
+          case _ => i
+        }
+    }
+  }
+
+  private def extraColumns(r: DataSourceV2Relation, query: LogicalPlan,
+                           byName: Boolean)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = {
+    val resolver = spark.sessionState.conf.resolver
+    if (byName)
+      query.output.filterNot(q => r.output.exists(t =>
+        resolver(t.name, q.name)))
+    else query.output.drop(r.output.length)
+  }
+
+  /** One ADD COLUMN metadata commit per statement (all extras at once),
+    * then the relation reloads so stock resolution sees the widened
+    * schema — mirrors ResolveMergeIntoSchemaEvolution.performSchemaEvolution. */
+  private def widen(r: DataSourceV2Relation,
+                    extras: Seq[org.apache.spark.sql.catalyst.expressions
+                      .Attribute]): DataSourceV2Relation = {
+    val catalog = r.catalog.getOrElse(throw new IllegalStateException(
+      s"${r.table.name}: cannot evolve a catalog-less relation"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = r.identifier.getOrElse(throw new IllegalStateException(
+      s"${r.table.name}: cannot evolve without an identifier"))
+    val changes = extras.map(a => TableChange.addColumn(
+      Array(a.name), a.dataType, true)): Seq[TableChange]
+    catalog.alterTable(ident, changes: _*)
+    val reloaded = catalog.loadTable(ident)
+    DataSourceV2Relation.create(reloaded, r.catalog, r.identifier,
+      r.options)
+  }
+}
+
 private[sources] object TxWapConf {
   def id(spark: SparkSession): Option[String] =
     spark.conf.getOption("spark.graft.wap.id").map(_.trim)

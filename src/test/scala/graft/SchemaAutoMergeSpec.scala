@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** SQL schema evolution behind `spark.graft.sql.schema.autoMerge` (the
+  * public Delta autoMerge shape): INSERT INTO with extra source columns
+  * union-evolves the table, and — because the conf advertises
+  * ACCEPT_ANY_SCHEMA, which turns Spark's own output resolution off —
+  * every safety that resolution provided (arity, casts, constraint
+  * enforcement, plain-MERGE alignment) is pinned here as still intact. */
+class SchemaAutoMergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withAutoMerge[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.txspj",
+      classOf[graft.sources.TxTableCatalog].getName)
+    spark.conf.set("spark.graft.sql.schema.autoMerge", "true")
+    try body
+    finally {
+      spark.conf.unset("spark.graft.sql.schema.autoMerge")
+      spark.conf.unset("spark.sql.catalog.txspj")
+    }
+  }
+
+  private def fresh(): String = {
+    val t = Files.createTempDirectory("graft_am_").toString + "/t"
+    TxTable.init(spark, t,
+      (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+    t
+  }
+
+  test("INSERT INTO with an extra source column union-evolves; old rows project NULL; time travel keeps the old schema") {
+    withAutoMerge {
+      val t = fresh()
+      val v0 = TxTable.snapshot(spark, t).version
+      Seq(("Z1", 100L, "gold"), ("Z2", 200L, "silver"))
+        .toDF("k", "v", "tier").createOrReplaceTempView("am_src")
+      spark.sql(s"INSERT INTO txspj.`$t` SELECT k, v, tier FROM am_src")
+      val head = TxTable.snapshot(spark, t)
+      // two commits, like Spark's native MERGE evolution: one ADD COLUMN
+      // metadata commit (analysis-time widening), then the data commit
+      assert(head.version == v0 + 2, "schema commit + data commit")
+      assert(head.schema.get.fieldNames.contains("tier"))
+      val m = spark.table(s"txspj.`$t`").select($"k", $"v", $"tier")
+        .as[(String, Long, Option[String])].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(m.size == 18)
+      assert(m("Z1") == ((100L, Some("gold"))))
+      assert(m("K3") == ((3L, None)), "old files project the new column NULL")
+      assert(!spark.read.table(s"txspj.`$t@v$v0`").columns.contains("tier"))
+      // a second identical insert no longer evolves (idempotent schema)
+      spark.sql(s"INSERT INTO txspj.`$t` SELECT k, v, tier FROM am_src")
+      assert(TxTable.snapshot(spark, t).schema.get.fieldNames
+        .count(_ == "tier") == 1)
+    }
+  }
+
+  test("safety stays on under the conf: arity, casts, and CHECK constraints still enforce") {
+    withAutoMerge {
+      val t = fresh()
+      // too FEW columns is still a loud arity error
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('X1')")
+      }
+      assert(e.getMessage.toLowerCase.contains("columns"))
+      // an INT literal into the BIGINT column still casts (positional)
+      spark.sql(s"INSERT INTO txspj.`$t` VALUES ('X1', 17)")
+      assert(spark.table(s"txspj.`$t`").where($"k" === "X1")
+        .select($"v").as[Long].head() == 17L)
+      // CHECK constraints still enforce per row on the v2 write
+      spark.sql(s"ALTER TABLE txspj.`$t` ADD CONSTRAINT v_pos CHECK (v >= 0)")
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('X2', -5)")
+      }
+      assert(spark.table(s"txspj.`$t`").where($"k" === "X2").count() == 0)
+      // and an evolving insert still enforces the constraint on the
+      // surviving columns
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txspj.`$t` " +
+          "SELECT 'X3' AS k, CAST(-1 AS BIGINT) AS v, 'x' AS extra")
+      }
+    }
+  }
+
+  test("plain MERGE keeps aligned assignments while the conf is on") {
+    withAutoMerge {
+      val t = fresh()
+      // assignment order deliberately shuffled; v arrives as INT — the
+      // alignment Spark skips under ACCEPT_ANY_SCHEMA must still happen
+      Seq(("K1", 111), ("KN", 999)).toDF("k", "v_new")
+        .createOrReplaceTempView("am_mrg")
+      spark.sql(
+        s"""MERGE INTO txspj.`$t` tgt USING am_mrg src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET v = src.v_new
+           |WHEN NOT MATCHED THEN INSERT (v, k) VALUES (src.v_new, src.k)
+           |""".stripMargin)
+      val m = spark.table(s"txspj.`$t`").select($"k", $"v")
+        .as[(String, Long)].collect().toMap
+      assert(m.size == 17 && m("K1") == 111L && m("KN") == 999L &&
+        m("K2") == 2L)
+    }
+  }
+
+  test("INSERT OVERWRITE with an extra source column evolves and replaces atomically") {
+    withAutoMerge {
+      val t = fresh()
+      Seq(("W1", 1L, 0.5), ("W2", 2L, 0.9)).toDF("k", "v", "score")
+        .createOrReplaceTempView("am_ow")
+      spark.sql(s"INSERT OVERWRITE txspj.`$t` SELECT k, v, score FROM am_ow")
+      val got = spark.table(s"txspj.`$t`")
+        .select($"k", $"v", $"score").as[(String, Long, Double)]
+        .collect().toSet
+      assert(got == Set(("W1", 1L, 0.5), ("W2", 2L, 0.9)))
+      assert(TxTable.snapshot(spark, t).schema.get.fieldNames
+        .contains("score"))
+    }
+  }
+
+  test("off by default: extra-column INSERT refuses with the stock arity error") {
+    spark.conf.set("spark.sql.catalog.txspj",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try {
+      val t = fresh()
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"INSERT INTO txspj.`$t` VALUES ('X', 1, 'extra')")
+      }
+      assert(e.getMessage.contains("TOO_MANY_DATA_COLUMNS"))
+    } finally spark.conf.unset("spark.sql.catalog.txspj")
+  }
+}

@@ -512,6 +512,46 @@ class TxCatalogSpec extends AnyFunSuite {
     .select(graft.ops.LayoutOps.bucketId(org.apache.spark.sql.functions
       .lit(k), nBuckets)).head().getInt(0)
 
+  test("MERGE WITH SCHEMA EVOLUTION: new source column widens the table; old files project NULL; time travel keeps the old schema") {
+    registered {
+      val (a, _) = freshTables() // schema (k, v), K1..K64
+      Seq(("K1", 100L, "gold"), ("KNEW", 999L, "silver"))
+        .toDF("k", "v", "tier").createOrReplaceTempView("evo_src")
+      val sql =
+        s"""MERGE WITH SCHEMA EVOLUTION INTO txspj.`$a` t
+           |USING evo_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin
+      // OFF (default): no capability advertised — Spark degrades the
+      // statement to a plain merge; the schema must NOT widen
+      val before = TxTable.snapshot(spark, a)
+      spark.sql(sql)
+      val offSnap = TxTable.snapshot(spark, a)
+      assert(!offSnap.schema.get.fieldNames.contains("tier"),
+        "schema must stay narrow while autoMerge is off")
+      assert(tbl(a).count() == 65) // the merge itself still landed
+      // ON: the merge widens the schema and lands the data
+      spark.conf.set("spark.graft.sql.schema.autoMerge", "true")
+      try {
+        spark.sql(sql)
+        val head = TxTable.snapshot(spark, a)
+        assert(head.schema.get.fieldNames.contains("tier"))
+        val m = tbl(a).select($"k", $"v", $"tier")
+          .as[(String, Long, Option[String])].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(m.size == 65)
+        assert(m("K1") == ((100L, Some("gold"))))
+        assert(m("KNEW") == ((999L, Some("silver"))))
+        // an old file's rows project the new column as NULL
+        assert(m("K3") == ((3L, None)))
+        // time travel below the evolution shows the pre-evolution schema
+        assert(!spark.read.table(s"txspj.`$a@v${before.version}`")
+          .columns.contains("tier"))
+      } finally spark.conf.unset("spark.graft.sql.schema.autoMerge")
+    }
+  }
+
   test("SQL MERGE INTO rewrites only the buckets the source keys hash into — one atomic commit") {
     registered {
       val (a, _) = freshTables() // K1..K64 -> v = 1..64
