@@ -1073,6 +1073,35 @@ object SparkEntry {
     path
   }
 
+  /** Type-widening fixture (ext_type_widening): a TxTable of the even
+    * orders with an INT cents column, `ALTER COLUMN … TYPE BIGINT`
+    * (metadata-only — the narrow files are NOT rewritten; the vectorized
+    * reader promotes them), then an append of the odd orders whose cents
+    * exceed INT range. The query aggregates across the mixed-width files
+    * through the catalog; the oracle replays the arithmetic. */
+  private def stagedWidenedOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-widen/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders").select(
+        col("o_orderkey").as("o_key"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("int")
+          .as("o_cents"))
+      ops.TxTable.init(s, path,
+        orders.filter(pmod(col("o_key"), lit(2)) === 0),
+        key = "o_key", nBuckets = 8)
+      s.sql(s"ALTER TABLE txspj.`$path` ALTER COLUMN o_cents TYPE BIGINT")
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(pmod(col("o_key"), lit(2)) === 1)
+          .withColumn("o_cents",
+            col("o_cents").cast("long") + lit(10000000000L)),
+        "o_key", 8, "widen-fixture", 1L)
+      ()
+    }
+    path
+  }
+
   /** Delta-MERGE sibling of [[stagedMergedOrders]] (ext_sql_merge_mor):
     * the SAME MERGE statement applied with
     * `spark.graft.sql.rowlevel.mor=true` — matched rows become
@@ -2819,6 +2848,23 @@ object SparkEntry {
           sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
             .cast("decimal(18,2)")).cast("double").as("total_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Type widening (the Delta type-widening feature): ALTER COLUMN INT
+    // -> BIGINT is ONE metadata commit, old narrow files stay on disk
+    // and read through the widened schema via the vectorized reader's
+    // native promotion; post-widening appends carry values beyond INT
+    // range. The aggregate spans both file generations — the oracle
+    // replays the arithmetic, proving the promotion is value-exact.
+    "ext_type_widening" -> ((s, dir) => {
+      val path = stagedWidenedOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(pmod(col("o_key"), lit(4)).cast("int").as("key_mod"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum(col("o_cents")).cast("long").as("cents_sum"),
+          max(col("o_cents")).cast("long").as("cents_max"))
+        .orderBy(col("key_mod"))
     }),
 
     // SQL schema evolution (the Delta autoMerge shape, conf-gated):
@@ -6115,6 +6161,22 @@ object SparkEntry {
         |    AS DOUBLE) AS total_price
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // type-widening replay: even orders keep INT-era cents, odd orders
+    // append post-widening with +10^10 (beyond INT range)
+    "ext_type_widening" ->
+      """WITH cents AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 2 = 1 THEN 10000000000 ELSE 0 END
+        |      AS c
+        |  FROM orders
+        |)
+        |SELECT CAST(k % 4 AS INTEGER) AS key_mod,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(c) AS BIGINT) AS cents_sum,
+        |  CAST(max(c) AS BIGINT) AS cents_max
+        |FROM cents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // schema-evolution replay: the four row populations after the two
     // evolving statements — updated matched (k%6=0: seg=k%5), untouched

@@ -1156,8 +1156,31 @@ object TxTable {
     ()
   }
 
-  private[graft] def cmpAny(a: Any, b: Any): Int =
-    a.asInstanceOf[Comparable[Any]].compareTo(b)
+  private[graft] def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    // mixed numeric widths appear when a zone-map sidecar predates a
+    // type widening (its lo/hi rows keep the narrow type while bounds
+    // arrive wide): integral widths compare exactly in Long, float
+    // widths in Double (each stored value's float→double extension is
+    // exact), and integral-vs-floating goes through BigDecimal
+    case (x: java.lang.Number, y: java.lang.Number)
+        if a.getClass != b.getClass =>
+      def integral(n: java.lang.Number) = n match {
+        case _: java.lang.Byte | _: java.lang.Short |
+             _: java.lang.Integer | _: java.lang.Long => true
+        case _ => false
+      }
+      def floaty(n: java.lang.Number) = n match {
+        case _: java.lang.Float | _: java.lang.Double => true
+        case _ => false
+      }
+      if (integral(x) && integral(y))
+        java.lang.Long.compare(x.longValue(), y.longValue())
+      else if (floaty(x) && floaty(y))
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+      else new java.math.BigDecimal(x.toString)
+        .compareTo(new java.math.BigDecimal(y.toString))
+    case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
 
   // --- bloom sidecars (per-file membership filters) ----------------------
 
@@ -1178,6 +1201,16 @@ object TxTable {
   private[graft] def bloomColumns(fs: FileSystem,
                                   table: String): Seq[String] =
     sidecarColumns(fs, table, "bloom-")
+
+  /** Remove a column's bloom sidecar entirely (all parts). Sound at any
+    * point: a missing bloom only disables membership pruning (over-keep).
+    * Used by type widening, whose hash domain change POISONS the bits
+    * (xxhash64 of an INT and a LONG differ) rather than staling them. */
+  private[graft] def dropBloom(spark: SparkSession, table: String,
+                               bloomColP: String): Unit = {
+    fsFor(spark, table).delete(bloomPath(table, bloomColP), true)
+    ()
+  }
 
   /** Per-file bloom over xxhash64(value): map-side mergeable, serialized
     * with the sketch's own format so the driver probes the exact bits the
@@ -1767,6 +1800,33 @@ object TxTable {
     * unprojected) — otherwise any pre-DROP writer would silently revert
     * an `ALTER TABLE DROP COLUMN` and resurrect the old files' stored
     * values. */
+  /** Value-preserving type widenings a TxTable accepts as METADATA-ONLY
+    * `ALTER COLUMN … TYPE` commits (the public Delta type-widening
+    * feature set, bounded by what Spark's vectorized parquet reader
+    * promotes natively — IntegerToLongUpdater, FloatToDoubleUpdater,
+    * IntegerToDoubleUpdater, the decimal updaters): old narrow files are
+    * read through the widened requested schema with zero rewrites.
+    * Narrowing, integral→float of lossy width (BIGINT→DOUBLE), and
+    * anything string/temporal refuses — stored values must re-read
+    * EXACTLY. */
+  private[graft] def canWiden(from: org.apache.spark.sql.types.DataType,
+                              to: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (f, t) if f == t => false // a no-op is not a widening
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      // every INT value is exact in DOUBLE (53-bit mantissa); LONG is not
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision
+      case _ => false
+    }
+  }
+
   private[graft] def mergeSchemas(base: StructType,
                                   incoming: StructType,
                                   dropped: Set[String] = Set.empty)

@@ -285,6 +285,22 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     val spark = SparkSession.active
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a widened column's BLOOM sidecar is poisoned, not merely stale:
+    // blooms store xxhash64(value) and catalyst hashes an INT and a LONG
+    // of the same value differently, so a post-widening probe would read
+    // false negatives (WRONG pruning, not over-keep). Drop the sidecar
+    // BEFORE the commit (no-bloom is always sound) and rebuild it after
+    // under the widened schema — a crash anywhere between leaves only the
+    // sound no-bloom state. Zone-map sidecars keep VALUES, which compare
+    // correctly across widths via coercion, so they stay.
+    val widenedPhys: Seq[String] = changes.collect {
+      case ut: org.apache.spark.sql.connector.catalog.TableChange
+          .UpdateColumnType if ut.fieldNames.length == 1 =>
+        TxTable.snapshot(spark, path).physicalName(ut.fieldNames()(0))
+    }
+    val bloomed = if (widenedPhys.isEmpty) Seq.empty
+      else TxTable.bloomColumns(fs, path).filter(widenedPhys.contains)
+    bloomed.foreach(c => TxTable.dropBloom(spark, path, c))
     var attempt = 0
     var done = false
     while (!done && attempt <= 5) {
@@ -306,6 +322,12 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     if (!done)
       throw new java.util.ConcurrentModificationException(
         s"$path: ALTER TABLE lost the commit race 6 times")
+    // rebuild dropped blooms under the widened schema (hashes now wide);
+    // best-effort: a failure leaves the sound no-bloom state
+    bloomed.foreach { c =>
+      try { TxTable.computeBloom(spark, path, c); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     new TxSparkTable(path)
   }
 
@@ -515,11 +537,43 @@ private[sources] object TxAlterSchema {
           dropped = dropped, props = props, renames = renames)
         (schema, dropped, props,
           TxTable.renamedMap(path, view, rn.fieldNames()(0), rn.newName()))
+      case ut: UpdateColumnType =>
+        require(ut.fieldNames.length == 1,
+          s"ALTER TABLE ALTER COLUMN … TYPE supports top-level columns " +
+            s"only, got ${ut.fieldNames.mkString(".")}")
+        val name = ut.fieldNames()(0)
+        val phys = physOf(name)
+        val f = schema.fields.find(_.name == phys).getOrElse(
+          throw new IllegalArgumentException(
+            s"column '$name' does not exist in $path"))
+        require(phys != graft.ops.LayoutOps.BucketCol,
+          s"cannot retype the internal layout column $name")
+        // the bucket key's file placement is pmod(xxhash64(key), n), and
+        // catalyst's xxhash64 hashes an INT and a LONG of the same value
+        // DIFFERENTLY — a widened key would silently stop matching every
+        // existing file's placement. Refuse; rebucket is the migration.
+        snap.bucketing.foreach { case (key, _) =>
+          require(phys != key,
+            s"cannot widen '$name': it is the bucket key, and xxhash64 " +
+              "placement is width-sensitive (an INT 5 and a LONG 5 hash " +
+              "to different buckets) — rebucket to migrate the layout")
+        }
+        require(graft.ops.TxTable.canWiden(f.dataType, ut.newDataType()),
+          s"unsupported type change ${f.dataType.sql} -> " +
+            s"${ut.newDataType().sql} on '$name': only value-preserving " +
+            "widenings are metadata-only (TINYINT/SMALLINT/INT -> BIGINT " +
+            "or DOUBLE, FLOAT -> DOUBLE, DECIMAL precision growth at " +
+            "equal scale) — narrowing or lossy changes would corrupt " +
+            "stored values and refuse")
+        (StructType(schema.fields.map(x =>
+          if (x.name == phys) x.copy(dataType = ut.newDataType()) else x)),
+          dropped, props, renames)
       case other =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE ${other.getClass.getSimpleName} is unsupported " +
-            "on a TxTable: type changes would need per-file casts — new " +
-            "columns can also ride data commits (union evolution)")
+            "on a TxTable: type changes beyond safe widening would need " +
+            "per-file casts — new columns can also ride data commits " +
+            "(union evolution)")
     }
   }
 }
