@@ -1073,6 +1073,37 @@ object SparkEntry {
     path
   }
 
+  /** Branch fixture (ext_branch_publish): a TxTable of the even orders,
+    * a branch forked at the head, the %3 == 0 odd slice appended TO THE
+    * BRANCH via `INSERT INTO t@branch.staging` (invisible on main), then
+    * `CALL publish_branch` — one fast-forward main commit. The query
+    * reads the published table; the oracle replays the union. */
+  private def stagedBranchOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-branch/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"), col("o_totalprice"))
+      ops.TxTable.init(s, path,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        key = "o_orderkey", nBuckets = 8)
+      s.sql(s"CALL txspj.create_branch('$path', 'staging')")
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .createOrReplaceTempView("graft_branch_src")
+      s.sql(s"INSERT INTO txspj.`$path@branch.staging` " +
+        "SELECT * FROM graft_branch_src")
+      // the append is invisible on main until the publish — asserted
+      // here so the fixture itself validates the isolation contract
+      require(ops.TxTable.snapshot(s, path).version == 0L,
+        "branch insert must not advance main")
+      s.sql(s"CALL txspj.publish_branch('$path', 'staging')")
+      ()
+    }
+    path
+  }
+
   /** Type-widening fixture (ext_type_widening): a TxTable of the even
     * orders with an INT cents column, `ALTER COLUMN … TYPE BIGINT`
     * (metadata-only — the narrow files are NOT rewritten; the vectorized
@@ -2845,6 +2876,25 @@ object SparkEntry {
       ops.TxTable.read(s, path)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
+          sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
+            .cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Branch refs (the Iceberg branching model on this commit log): a
+    // writable named ref forked from a pinned main version — branch
+    // inserts land CAS-published branch deltas invisible on main
+    // (isolation asserted inside the fixture), `@branch.<name>` reads
+    // serve base+deltas, and CALL publish_branch fast-forwards the whole
+    // branch onto main as ONE atomic commit (diverged publish refuses).
+    // WAP is the single-commit special case. The oracle replays the
+    // post-publish union.
+    "ext_branch_publish" -> ((s, dir) => {
+      val path = stagedBranchOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
           sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
             .cast("decimal(18,2)")).cast("double").as("total_price"))
         .orderBy(col("o_orderpriority"))
@@ -6161,6 +6211,18 @@ object SparkEntry {
         |    AS DOUBLE) AS total_price
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // branch-publish replay: main's even orders plus the branch's
+    // odd %3==0 slice after the fast-forward
+    "ext_branch_publish" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) / 100
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |   OR (o_orderkey % 2 = 1 AND o_orderkey % 3 = 0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // type-widening replay: even orders keep INT-era cents, odd orders
     // append post-widening with +10^10 (beyond INT range)

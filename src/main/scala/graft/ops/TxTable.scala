@@ -631,16 +631,21 @@ object TxTable {
     }
     // fold the collected deltas forward (they were gathered newest-first);
     // anchor.version + |deltas| == v by construction
-    deltas.result().reverse.foldLeft(anchor.get) { (snap, bytes) =>
-      val (adds, removes) = parseDelta(bytes)
-      Snapshot(snap.version + 1,
-        snap.entries.filterNot(e => removes(e.rel)) ++ adds,
-        parseSchema(bytes).orElse(snap.schema),
-        parseBucketing(bytes).orElse(snap.bucketing),
-        parseDropped(bytes).getOrElse(snap.dropped),
-        parseProps(bytes).getOrElse(snap.props),
-        parseRenames(bytes).getOrElse(snap.renames))
-    }
+    deltas.result().reverse.foldLeft(anchor.get)(foldDelta)
+  }
+
+  /** Apply one v3 delta manifest's bytes on top of a resolved snapshot —
+    * the single fold kernel behind main-log resolution and branch-head
+    * resolution. */
+  private def foldDelta(snap: Snapshot, bytes: Array[Byte]): Snapshot = {
+    val (adds, removes) = parseDelta(bytes)
+    Snapshot(snap.version + 1,
+      snap.entries.filterNot(e => removes(e.rel)) ++ adds,
+      parseSchema(bytes).orElse(snap.schema),
+      parseBucketing(bytes).orElse(snap.bucketing),
+      parseDropped(bytes).getOrElse(snap.dropped),
+      parseProps(bytes).getOrElse(snap.props),
+      parseRenames(bytes).getOrElse(snap.renames))
   }
 
   private def listVersions(fs: FileSystem, table: String): Seq[Long] = {
@@ -3090,10 +3095,10 @@ object TxTable {
   def tag(spark: SparkSession, table: String, name: String,
           version: Option[Long] = None): Long = {
     require(TagName.matches(name) && !name.matches("^v\\d+$") &&
-        !name.startsWith("wap."),
+        !name.startsWith("wap.") && !name.startsWith("branch."),
       s"invalid tag name '$name': [A-Za-z0-9][A-Za-z0-9._-]*; " +
-        "'v<digits>' is reserved for version addressing and 'wap.*' " +
-        "for staged-commit audit reads")
+        "'v<digits>' is reserved for version addressing, 'wap.*' for " +
+        "staged-commit audit reads, and 'branch.*' for branch reads")
     val fs = fsFor(spark, table)
     val v = version.getOrElse(snapshot(spark, table).version)
     snapshot(spark, table, Some(v)) // must be resolvable — throws if not
@@ -3142,6 +3147,217 @@ object TxTable {
   def untag(spark: SparkSession, table: String, name: String): Boolean =
     fsFor(spark, table).delete(tagPath(table, name), false)
 
+  // --- branches (writable named refs) ------------------------------------
+  //
+  // The Iceberg branching model on this commit log: a branch is a named
+  // ref that FORKS from a pinned main version (its base) and accumulates
+  // its own chain of delta commits in the log directory
+  // (`branch-<name>.base` + `branch-<name>.d<k>`, every file immutable
+  // and CAS-published like the main log). Branch commits never occupy
+  // main version numbers, so main writers are completely undisturbed;
+  // branch readers resolve base-snapshot + deltas through the same fold
+  // kernel as the main log. `publishBranch` is the FAST-FORWARD merge:
+  // one atomic main commit carrying the branch's net entry delta,
+  // refused loudly when main has moved past the base (a diverged branch
+  // must be re-created — rebasing data files is a policy decision, not a
+  // log primitive). Write-audit-publish is exactly the one-staged-commit
+  // special case of this (a WAP id = an anonymous single-commit branch).
+
+  private def branchBasePath(table: String, name: String) =
+    new Path(logDir(table), s"branch-$name.base")
+  private def branchDeltaPath(table: String, name: String, k: Int) =
+    new Path(logDir(table), s"branch-$name.d$k")
+
+  private def requireBranchName(name: String): Unit =
+    require(TagName.matches(name) && !name.matches("^v\\d+$") &&
+        !name.startsWith("wap.") && !name.contains("@"),
+      s"invalid branch name '$name': [A-Za-z0-9][A-Za-z0-9._-]*")
+
+  /** Fork a branch at `version` (default: the current head). The base is
+    * vacuum-pinned like a tag until the branch publishes or drops. */
+  def createBranch(spark: SparkSession, table: String, name: String,
+                   version: Option[Long] = None): Long = {
+    requireBranchName(name)
+    val fs = fsFor(spark, table)
+    val v = version.getOrElse(snapshot(spark, table).version)
+    snapshot(spark, table, Some(v)) // must be resolvable
+    if (!atomicPublish(fs, table, branchBasePath(table, name),
+        s"$v\n".getBytes(StandardCharsets.UTF_8)))
+      throw new IllegalStateException(
+        s"$table: branch '$name' already exists — drop it first")
+    // same vacuum-race narrowing as tag(): re-validate after publishing
+    try snapshot(spark, table, Some(v))
+    catch {
+      case e: Exception =>
+        fs.delete(branchBasePath(table, name), false)
+        throw new IllegalStateException(
+          s"$table: version $v was vacuumed while branch '$name' was " +
+            "being created — the ref was withdrawn", e)
+    }
+    v
+  }
+
+  /** All branches: name -> base version. Malformed refs are skipped. */
+  def branches(spark: SparkSession, table: String): Map[String, Long] = {
+    val fs = fsFor(spark, table)
+    val dir = logDir(table)
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.getPath.getName.startsWith("branch-") &&
+        st.getPath.getName.endsWith(".base"))
+      .flatMap { st =>
+        val name = st.getPath.getName.stripPrefix("branch-")
+          .stripSuffix(".base")
+        scala.util.Try(new String(readBytes(fs, st.getPath),
+          StandardCharsets.UTF_8).trim.toLong).toOption.map(name -> _)
+      }.toMap
+  }
+
+  /** The branch's delta manifests in commit order (k = 1..head). */
+  private def branchDeltas(fs: FileSystem, table: String,
+                           name: String): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var k = 1
+    var p = branchDeltaPath(table, name, k)
+    while (fs.exists(p)) {
+      out += readBytes(fs, p)
+      k += 1
+      p = branchDeltaPath(table, name, k)
+    }
+    out.result()
+  }
+
+  /** Resolve the branch head: base snapshot + the branch's deltas folded
+    * through the same kernel as the main log. The returned `version` is
+    * base + |branch commits| — a branch-local coordinate, never a main
+    * version. */
+  def branchSnapshot(spark: SparkSession, table: String,
+                     name: String): Snapshot = {
+    val fs = fsFor(spark, table)
+    val base = branches(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"$table: no branch named '$name' (have: " +
+          s"${branches(spark, table).keys.toSeq.sorted.mkString(", ")})"))
+    branchDeltas(fs, table, name)
+      .foldLeft(snapshot(spark, table, Some(base)))(foldDelta)
+  }
+
+  /** CAS-publish `adds` as the branch's next delta commit (the branch
+    * analog of commitNext): schema union-evolves against the branch
+    * head, bucket identity must match. Returns the branch-local commit
+    * index. Used by [[appendToBranch]] and the catalog's branch INSERT. */
+  private[graft] def publishBranchDelta(spark: SparkSession, table: String,
+                                        name: String, adds: Seq[FileEntry],
+                                        writeSchema: StructType,
+                                        bucketing: (String, Int),
+                                        maxRetries: Int = 5): Int = {
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (true) {
+      val head = branchSnapshot(spark, table, name)
+      head.bucketing.foreach { cur =>
+        require(cur == bucketing,
+          s"$table@branch.$name: staged for (${bucketing._1}, " +
+            s"${bucketing._2}) but the branch is (${cur._1}, ${cur._2})")
+      }
+      val merged = mergeSchemas(head.schema.getOrElse(writeSchema),
+        writeSchema, head.dropped)
+      val base = branches(spark, table)(name)
+      val k = (head.version - base).toInt + 1
+      if (atomicPublish(fs, table, branchDeltaPath(table, name, k),
+          renderDelta(adds, Seq.empty, None, Some(merged),
+            head.bucketing.orElse(Some(bucketing)), head.dropped,
+            head.props, head.renames)))
+        return k
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: branch '$name' commit lost the CAS race " +
+            s"$maxRetries times")
+    }
+    0 // unreachable
+  }
+
+  /** Append `batch` to the branch — invisible on main until
+    * [[publishBranch]]. Constraints enforce against the branch head's
+    * property map; staged files are vacuum-protected through the
+    * branch's delta manifests. Returns the branch-local commit index. */
+  def appendToBranch(spark: SparkSession, table: String, name: String,
+                     batch: DataFrame): Int = {
+    val head = branchSnapshot(spark, table, name)
+    val (key, n) = head.bucketing.getOrElse(throw new IllegalStateException(
+      s"$table@branch.$name records no bucket identity"))
+    val cons = constraintsOf(head).toSeq.sortBy(_._1)
+    val checked = cons.foldLeft(batch) { case (d, (cn, sql)) =>
+      // same contract as the main-path enforceConstraints: violating
+      // rows fail the append before anything publishes
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val bad = d.filter(not(coalesce(expr(sql), lit(true)))).limit(1)
+      require(bad.isEmpty,
+        s"$table@branch.$name: CHECK constraint '$cn' ($sql) rejected " +
+          "a row of the branch append")
+      d
+    }
+    val tagged = toPhysical(checked
+      .withColumn(LayoutOps.BucketCol,
+        LayoutOps.bucketId(col(s"`${head.logicalName(key)}`"), n)),
+      head)
+    val entries = stageFiles(spark, table, tagged)
+    publishBranchDelta(spark, table, name, entries,
+      StructType(tagged.schema.fields), (key, n))
+  }
+
+  /** FAST-FORWARD publish: land the branch's net entry delta on main as
+    * ONE atomic commit, then delete the ref. Refuses loudly when main
+    * has moved past the branch's base (diverged) — including a race
+    * discovered at CAS time. */
+  def publishBranch(spark: SparkSession, table: String,
+                    name: String): Long = {
+    val fs = fsFor(spark, table)
+    val base = branches(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"$table: no branch named '$name'"))
+    val deltas = branchDeltas(fs, table, name)
+    require(deltas.nonEmpty,
+      s"$table: branch '$name' has no commits — drop it instead")
+    val main = snapshot(spark, table)
+    if (main.version != base)
+      throw new IllegalStateException(
+        s"$table: branch '$name' DIVERGED — main moved v$base -> " +
+          s"v${main.version} since the fork. Fast-forward publish " +
+          "refuses; re-create the branch from the current head and " +
+          "re-apply its changes")
+    val head = branchSnapshot(spark, table, name)
+    val mainByRel = main.entries.map(e => e.rel -> e).toMap
+    val headByRel = head.entries.map(e => e.rel -> e).toMap
+    val adds = head.entries.filterNot(e => mainByRel.get(e.rel).contains(e))
+    val removes = main.entries
+      .filterNot(e => headByRel.get(e.rel).contains(e)).map(_.rel).toSet
+    if (!commitNext(fs, table, main, adds = adds, removes = removes,
+        txn = Some((s"branch:$name", 0L)), schema = head.schema,
+        bucketing = head.bucketing, dropped = Some(head.dropped),
+        props = Some(head.props), renames = Some(head.renames)))
+      throw new IllegalStateException(
+        s"$table: branch '$name' publish lost the commit race — main " +
+          "moved during the publish (diverged); re-create and re-apply")
+    dropBranch(spark, table, name)
+    main.version + 1
+  }
+
+  /** Delete the branch ref and its delta manifests; the branch's staged
+    * data files become ordinary orphans for [[vacuum]]. */
+  def dropBranch(spark: SparkSession, table: String, name: String): Int = {
+    val fs = fsFor(spark, table)
+    val deltas = branchDeltas(fs, table, name).size
+    var k = deltas
+    while (k >= 1) { // delete newest-first so a crash leaves a valid chain
+      fs.delete(branchDeltaPath(table, name, k), false)
+      k -= 1
+    }
+    fs.delete(branchBasePath(table, name), false)
+    deltas
+  }
+
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 1,
              orphanRetentionMs: Long = 0L,
@@ -3151,8 +3367,11 @@ object TxTable {
     val versions = listVersions(fs, table).sorted
     // tagged versions are PINNED: they survive the retention horizon
     // (with their manifests, files, and DV sidecars) until untagged —
-    // what makes a tag a reproducible training-corpus snapshot
-    val tagged = tags(spark, table).values.toSet
+    // what makes a tag a reproducible training-corpus snapshot. A
+    // branch's BASE version pins identically: the branch head resolves
+    // base + deltas, so sweeping the base would brick the branch
+    val tagged = tags(spark, table).values.toSet ++
+      branches(spark, table).values
     // TIME-BASED retention (the expire-snapshots-older-than shape, the
     // retention contract streaming/CDF consumers size their lag
     // against): every version PUBLISHED within the window survives —
@@ -3207,7 +3426,14 @@ object TxTable {
       // a long-running audit must never lose its staged rows to the
       // orphan sweep — dropStaged is the explicit release
       ++ stagedFiles(fs, table, None)
-        .flatMap(p => parseDelta(readBytes(fs, p))._1.map(_.rel)))
+        .flatMap(p => parseDelta(readBytes(fs, p))._1.map(_.rel))
+      // ... and every live branch's delta adds (+ their DV sidecars):
+      // a branch is unpublished work by definition — dropBranch is the
+      // explicit release
+      ++ branches(spark, table).keys.toSeq
+        .flatMap(n => branchDeltas(fs, table, n))
+        .flatMap(b => parseDelta(b)._1)
+        .flatMap(e => e.rel +: e.dv.map(_.rel).toSeq))
       .map(_.split('/')(1)).toSet
     val deleted = Seq.newBuilder[String]
     val filesRoot = new Path(table, "files")
@@ -3236,7 +3462,8 @@ object TxTable {
     // landed since the first read still saves its version (tag() itself
     // re-validates after publishing — the two sides narrow the window
     // from both ends)
-    val taggedNow = tagged ++ tags(spark, table).values
+    val taggedNow = tagged ++ tags(spark, table).values ++
+      branches(spark, table).values
     versions.filter(_ < minKeep).filterNot(taggedNow).foreach { v =>
       fs.delete(versionPath(table, v), false)
       deleted += versionPath(table, v).toString

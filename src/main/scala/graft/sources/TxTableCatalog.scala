@@ -137,6 +137,18 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
         return new TxSparkTable(p, None, Some(id))
       case _ => ()
     }
+    // the reserved `@branch.<name>` suffix serves a BRANCH head: readable
+    // like a snapshot, APPENDABLE (inserts land as branch delta commits,
+    // invisible on main until CALL publish_branch); same cannot-hijack
+    // guard
+    val br = "^(.*)@branch\\.([A-Za-z0-9][A-Za-z0-9._-]*)$".r
+    raw match {
+      case br(p, name) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) &&
+          TxTable.branches(spark, p).contains(name) =>
+        return new TxSparkTable(p, None, None, Some(name))
+      case _ => ()
+    }
     val (path, version) = pathOf(ident)
     if (!TxTable.isTxTable(spark, path))
       throw new NoSuchTableException(ident)
@@ -585,12 +597,21 @@ private[sources] object TxAlterSchema {
   * HIDDEN from the SQL schema (readers project around it; INSERT
   * computes it per row), like a partition transform column. */
 final class TxSparkTable(path: String, version: Option[Long] = None,
-                         wap: Option[String] = None)
+                         wap: Option[String] = None,
+                         branch: Option[String] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with TruncatableTable with SupportsDelete {
   private val snap = {
-    val base = TxTable.snapshot(SparkSession.active, path, version)
+    // a branch identifier resolves the BRANCH head (base + branch
+    // deltas); reads pin like a snapshot, inserts land branch deltas
+    val base = branch match {
+      case Some(b) =>
+        require(version.isEmpty && wap.isEmpty,
+          s"$path@branch.$b cannot also pin a version or WAP id")
+        TxTable.branchSnapshot(SparkSession.active, path, b)
+      case None => TxTable.snapshot(SparkSession.active, path, version)
+    }
     wap match {
       case None => base
       // the AUDIT view of a staged (write-audit-publish) commit: head
@@ -722,7 +743,7 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
     // the audit view pins like a time-travel read (streaming refuses:
     // staged commits have no offsets until they publish)
     new TxScanBuilder(path, snap, bucketing, dataSchema,
-      version.orElse(wap.map(_ => snap.version)), options)
+      version.orElse(wap.orElse(branch).map(_ => snap.version)), options)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -737,8 +758,10 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
     // positionally here, once, for every write shape downstream
     val physSchema = StructType(info.schema().fields.map(f =>
       f.copy(name = snap.physicalName(f.name))))
+    // a branch identifier routes the INSERT into a BRANCH delta commit —
+    // invisible on main until CALL publish_branch; appends only
     new TxWriteBuilder(path, physSchema, bucketing, info.queryId(),
-      snap.logicalName(bucketing._1), snap.physicalName)
+      snap.logicalName(bucketing._1), snap.physicalName, branch)
   }
 
   /** SQL DELETE routing — Spark's OptimizeMetadataOnlyDeleteFromTable
@@ -755,7 +778,7 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val spark = SparkSession.active
-    if (version.nonEmpty || wap.nonEmpty) return false
+    if (version.nonEmpty || wap.nonEmpty || branch.nonEmpty) return false
     if (spark.conf.get("spark.graft.sql.delete.mor", "true").toBoolean)
       scala.util.Try(filters.foreach(TxMetadataDelete.filterColumn))
         .isSuccess
@@ -828,8 +851,8 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
     * TruncateTableExec ignores the boolean return, so a silent `false`
     * would report an un-truncated table as truncated. */
   override def truncateTable(): Boolean = {
-    require(version.isEmpty && wap.isEmpty,
-      s"cannot TRUNCATE a pinned or audit view of $path")
+    require(version.isEmpty && wap.isEmpty && branch.isEmpty,
+      s"cannot TRUNCATE a pinned, audit, or branch view of $path")
     val spark = SparkSession.active
     TxWapConf.requireUnset(spark, "TRUNCATE")
     val fs = new Path(path)
@@ -863,8 +886,9 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    require(version.isEmpty && wap.isEmpty,
-      s"cannot mutate a pinned or audit view of $path")
+    require(version.isEmpty && wap.isEmpty && branch.isEmpty,
+      s"cannot mutate a pinned, audit, or branch view of $path — " +
+        "branches take appends only")
     TxWapConf.requireUnset(SparkSession.active, "MERGE/UPDATE/DELETE")
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build()
@@ -2804,7 +2828,8 @@ object GraftBucketFunction extends UnboundFunction {
 final class TxWriteBuilder(path: String, querySchema: StructType,
                            bucketing: (String, Int), queryId: String,
                            logicalKey: String = "",
-                           physOf: String => String = identity)
+                           physOf: String => String = identity,
+                           branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -2819,6 +2844,9 @@ final class TxWriteBuilder(path: String, querySchema: StructType,
     * widening enforcement as appends (overwrite replaces DATA, never
     * silently changes a column's type). */
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(branch.isEmpty,
+      s"cannot INSERT OVERWRITE $path@branch.${branch.getOrElse("")}: " +
+        "branches take appends only")
     replaceAll = true
     this
   }
@@ -2834,6 +2862,9 @@ final class TxWriteBuilder(path: String, querySchema: StructType,
   override def overwrite(
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(branch.isEmpty,
+      s"cannot REPLACE WHERE on $path@branch.${branch.getOrElse("")}: " +
+        "branches take appends only")
     filters.foreach(TxMetadataDelete.filterColumn) // throws on unsupported
     // the whole REPLACE WHERE path downstream (coverage verdicts AND the
     // remainder rewrite over raw file reads) runs in PHYSICAL names
@@ -2843,7 +2874,7 @@ final class TxWriteBuilder(path: String, querySchema: StructType,
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new TxWrite(path, querySchema, bucketing, queryId, replaceAll,
-      overwriteFilters, distKey)
+      overwriteFilters, distKey, branch)
 }
 
 /** The append/overwrite write. Requests a CLUSTERED distribution on the
@@ -2863,7 +2894,8 @@ final class TxWrite(path: String, querySchema: StructType,
                     replaceAll: Boolean = false,
                     overwriteFilters: Option[Array[
                       org.apache.spark.sql.sources.Filter]] = None,
-                    distKey: String = "")
+                    distKey: String = "",
+                    branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.Write
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   override def requiredDistribution()
@@ -2880,12 +2912,15 @@ final class TxWrite(path: String, querySchema: StructType,
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
     new TxBatchWrite(path, querySchema, bucketing, replaceAll,
-      overwriteFilters)
+      overwriteFilters, branch)
   override def toStreaming
       : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(overwriteFilters.isEmpty,
       "overwrite-by-filter is a batch operation; streaming writes are " +
         "Append (per-epoch commits) or Complete (per-epoch truncate)")
+    require(branch.isEmpty,
+      s"cannot stream into $path@branch.${branch.getOrElse("")}: branch " +
+        "offsets have no exactly-once stamp until the branch publishes")
     new TxStreamingWrite(path, querySchema, bucketing, queryId, replaceAll)
   }
 }
@@ -3080,7 +3115,8 @@ final class TxBatchWrite(path: String, querySchema: StructType,
                          bucketing: (String, Int),
                          replaceAll: Boolean = false,
                          overwriteFilters: Option[Array[
-                           org.apache.spark.sql.sources.Filter]] = None)
+                           org.apache.spark.sql.sources.Filter]] = None,
+                         branch: Option[String] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   private val stagedRel = s"files/${java.util.UUID.randomUUID()}"
 
@@ -3111,6 +3147,20 @@ final class TxBatchWrite(path: String, querySchema: StructType,
     val writeSchema = StructType(querySchema.fields :+
       org.apache.spark.sql.types.StructField(
         graft.ops.LayoutOps.BucketCol, IntegerType))
+    // BRANCH INSERT: the staged files land as the branch's next delta
+    // commit (CAS on the branch's own chain) — invisible on main until
+    // CALL publish_branch. Appends only; WAP staging does not compose
+    // with a branch target (a branch IS the staged lineage).
+    branch match {
+      case Some(b) =>
+        require(TxWapConf.id(spark).isEmpty,
+          s"cannot stage a WAP id into $path@branch.$b — a branch is " +
+            "already unpublished lineage; publish or drop one of the two")
+        graft.ops.TxTable.publishBranchDelta(spark, path, b, adds,
+          writeSchema, bucketing)
+        return
+      case None => ()
+    }
     // WRITE-AUDIT-PUBLISH: with `spark.graft.wap.id` set, the INSERT's
     // files land as a STAGED commit — invisible to readers, auditable
     // via `t@wap.<id>`, atomically published by CALL publish_staged.
@@ -3650,10 +3700,53 @@ object TxProcedures {
     }
   }
 
+  private val createBranch: Proc = new Proc("create_branch",
+    "fork a writable branch at a committed version (default: the head); " +
+      "readable as t@branch.<name>, appendable via INSERT INTO it, " +
+      "vacuum-protected until published or dropped",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("base_version", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      val v = input.getLong(2)
+      Array(TxTable.createBranch(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, if (v < 0) None else Some(v)))
+    }
+  }
+
+  private val publishBranch: Proc = new Proc("publish_branch",
+    "fast-forward the branch onto main as ONE atomic commit (refuses " +
+      "when main moved past the branch's base — diverged); the ref " +
+      "releases after the publish",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("published_version", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.publishBranch(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString))
+  }
+
+  private val dropBranch: Proc = new Proc("drop_branch",
+    "delete the branch ref and its commits; the branch's staged files " +
+      "become vacuum orphans",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("commits_dropped", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.dropBranch(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString))
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
-      publishStaged, dropStaged, zorder)
+      publishStaged, dropStaged, zorder, createBranch, publishBranch,
+      dropBranch)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

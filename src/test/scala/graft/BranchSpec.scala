@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** Branch refs on the commit log (the Iceberg branching model): a branch
+  * forks from a pinned main version, accumulates its own CAS-published
+  * delta commits (never occupying main version numbers), reads via
+  * `@branch.<name>`, takes appends (Scala + SQL INSERT), publishes onto
+  * main as ONE fast-forward commit (refusing when main diverged), and is
+  * vacuum-protected until published or dropped. WAP is the one-staged-
+  * commit special case of this. */
+class BranchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def registered[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.txbr",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try body
+    finally spark.conf.unset("spark.sql.catalog.txbr")
+  }
+
+  private def fresh(): String = {
+    val t = Files.createTempDirectory("graft_br_").toString + "/t"
+    TxTable.init(spark, t,
+      (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+    t
+  }
+
+  test("branch writes are invisible on main; @branch reads serve base+deltas; publish is ONE commit") {
+    registered {
+      val t = fresh()
+      val base = spark.sql(s"CALL txbr.create_branch('$t', 'dev')")
+        .as[Long].head()
+      assert(base == TxTable.snapshot(spark, t).version)
+      // Scala append + SQL INSERT both land branch deltas
+      assert(TxTable.appendToBranch(spark, t, "dev",
+        Seq(("B1", 101L)).toDF("k", "v")) == 1)
+      spark.sql(s"INSERT INTO txbr.`$t@branch.dev` VALUES ('B2', 102L)")
+      // invisible on main — no new main version, no new rows
+      assert(TxTable.snapshot(spark, t).version == base)
+      assert(spark.table(s"txbr.`$t`").count() == 32)
+      // the branch read serves base + both branch commits
+      val br = spark.table(s"txbr.`$t@branch.dev`")
+      assert(br.count() == 34)
+      assert(br.where($"k".isin("B1", "B2")).count() == 2)
+      // branch is append-only: row-level mutation refuses
+      intercept[Exception] {
+        spark.sql(s"DELETE FROM txbr.`$t@branch.dev` WHERE k = 'B1'")
+      }
+      // fast-forward publish: ONE main commit with the net delta
+      val pub = spark.sql(s"CALL txbr.publish_branch('$t', 'dev')")
+        .as[Long].head()
+      assert(pub == base + 1, "publish must be exactly one commit")
+      assert(spark.table(s"txbr.`$t`").count() == 34)
+      assert(TxTable.branches(spark, t).isEmpty, "the ref releases")
+      // the published commit carries the exactly-once branch stamp
+      val changed = TxTable.changesBetween(spark, t, base, pub)
+      assert(changed.filter($"_change_type" === "insert").count() == 2)
+    }
+  }
+
+  test("diverged branch publish refuses loudly; the branch stays readable") {
+    registered {
+      val t = fresh()
+      TxTable.createBranch(spark, t, "exp")
+      TxTable.appendToBranch(spark, t, "exp",
+        Seq(("X1", 900L)).toDF("k", "v"))
+      // main moves past the base
+      TxTable.appendOnce(spark, t, Seq(("M1", 500L)).toDF("k", "v"),
+        "k", 4, "br-spec", 1L)
+      val e = intercept[IllegalStateException] {
+        TxTable.publishBranch(spark, t, "exp")
+      }
+      assert(e.getMessage.contains("DIVERGED"))
+      // nothing was lost: the branch still reads (base + its delta,
+      // WITHOUT main's divergent append)
+      val br = spark.table(s"txbr.`$t@branch.exp`")
+      assert(br.count() == 33)
+      assert(br.where($"k" === "M1").count() == 0)
+      assert(TxTable.dropBranch(spark, t, "exp") == 1)
+    }
+  }
+
+  test("vacuum protects the branch closure: base version pinned, staged files unswept; drop releases them") {
+    registered {
+      val t = fresh()
+      val base = TxTable.createBranch(spark, t, "hold")
+      TxTable.appendToBranch(spark, t, "hold",
+        Seq(("H1", 700L)).toDF("k", "v"))
+      // advance main several commits so the base falls below keep=1
+      (1 to 3).foreach(i => TxTable.appendOnce(spark, t,
+        Seq((s"M$i", i * 10L)).toDF("k", "v"), "k", 4, "br-vac", i.toLong))
+      val swept = TxTable.vacuum(spark, t, keepVersions = 1,
+        orphanRetentionMs = 0L)
+      // the branch's staged directory survived the orphan sweep and the
+      // base version survived manifest pruning — the branch still reads
+      val br = spark.table(s"txbr.`$t@branch.hold`")
+      assert(br.where($"k" === "H1").count() == 1)
+      assert(br.count() == 33)
+      assert(TxTable.snapshot(spark, t, Some(base)).version == base)
+      // dropping the branch releases everything to the next sweep
+      TxTable.dropBranch(spark, t, "hold")
+      val swept2 = TxTable.vacuum(spark, t, keepVersions = 1,
+        orphanRetentionMs = 0L)
+      assert(swept2.size > swept.size ||
+        (swept2.nonEmpty && swept.isEmpty),
+        s"the dropped branch's files must sweep (before=${swept.size}, " +
+          s"after=${swept2.size})")
+      intercept[Exception] { TxTable.branchSnapshot(spark, t, "hold") }
+    }
+  }
+
+  test("branch appends enforce constraints and union-evolve schema; duplicate branch names refuse") {
+    registered {
+      val t = fresh()
+      spark.sql(s"ALTER TABLE txbr.`$t` ADD CONSTRAINT v_pos CHECK (v > 0)")
+      TxTable.createBranch(spark, t, "dev")
+      intercept[Exception] { TxTable.createBranch(spark, t, "dev") }
+      intercept[Exception] {
+        TxTable.appendToBranch(spark, t, "dev",
+          Seq(("BAD", -1L)).toDF("k", "v"))
+      }
+      // schema union-evolution on the branch only — main stays narrow
+      TxTable.appendToBranch(spark, t, "dev",
+        Seq(("E1", 5L, "extra")).toDF("k", "v", "note"))
+      assert(spark.table(s"txbr.`$t@branch.dev`").columns.contains("note"))
+      assert(!spark.table(s"txbr.`$t`").columns.contains("note"))
+      // publish carries the evolved schema onto main
+      TxTable.publishBranch(spark, t, "dev")
+      assert(spark.table(s"txbr.`$t`").columns.contains("note"))
+      assert(spark.table(s"txbr.`$t`").where($"k" === "K1")
+        .select($"note").head().isNullAt(0))
+    }
+  }
+}
