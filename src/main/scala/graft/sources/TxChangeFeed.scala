@@ -142,6 +142,14 @@ final class TxChangesMicroBatchStream(path: String, dataSchema: StructType,
     "startingVersion and startingTimestamp are mutually exclusive")
   private val maxVersionsPerTrigger: Option[Long] =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  // file/row admission caps — the SAME options and the SAME
+  // implementation as the append source ([[TxStreamAdmission]]), with
+  // the change-feed cost (adds + removes + DV diffs): a churn-heavy
+  // table cannot flood a CDC micro-batch
+  private val maxFilesPerTrigger: Option[Int] =
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+  private val maxRowsPerTrigger: Option[Long] =
+    Option(options.get("maxRowsPerTrigger")).map(_.toLong)
 
   @volatile private var availableNowCap: Option[Long] = None
   private def headVersion: Long = TxTable.snapshot(spark, path).version
@@ -171,8 +179,9 @@ final class TxChangesMicroBatchStream(path: String, dataSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TxStreamOffset].version
     val head = availableNowCap.getOrElse(headVersion)
-    TxStreamOffset(math.max(s,
-      maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))))
+    TxStreamOffset(TxStreamAdmission.choose(spark, path, s, head,
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxRowsPerTrigger,
+      TxStreamAdmission.changesCost))
   }
 
   override def deserializeOffset(json: String): Offset =

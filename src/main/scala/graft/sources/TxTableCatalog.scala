@@ -2668,48 +2668,9 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TxStreamOffset].version
     val head = availableNowCap.getOrElse(headVersion)
-    var end = maxVersionsPerTrigger.fold(head)(m => math.min(head, s + m))
-    // file- and row-count admission (the Delta maxFilesPerTrigger /
-    // maxBytesPerTrigger shape — rows instead of bytes because the
-    // manifests record EXACT per-file row counts): stop the batch at the
-    // last version that keeps the cumulative added file/row counts under
-    // the caps — but always admit at least one version, or a single
-    // over-sized commit would stall the stream forever. A file without a
-    // recorded row count admits conservatively (it fills the row cap by
-    // itself, never silently floods a batch).
-    if ((maxFilesPerTrigger.nonEmpty || maxRowsPerTrigger.nonEmpty)
-        && end > s) {
-      val fsAdm = new Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var prev: Set[String] =
-        if (s < 0) Set.empty
-        else TxTable.snapshot(spark, path, Some(s)).entries.map(_.rel).toSet
-      var accF = 0
-      var accR = 0L
-      var chosen = s
-      var v = s + 1
-      var full = false
-      while (v <= end && !full) {
-        val cur = TxTable.snapshot(spark, path, Some(v)).entries
-        // a dataChange=false commit emits nothing at planning, so its
-        // reorganized files must not consume the batch's admission caps
-        val rewrite = TxTable.commitIsRewrite(fsAdm, path, v)
-        val added =
-          if (rewrite) Seq.empty else cur.filterNot(e => prev(e.rel))
-        val af = added.size
-        val ar =
-          if (added.exists(_.rows.isEmpty)) Long.MaxValue / 2
-          else added.flatMap(_.rows).sum
-        val fits = maxFilesPerTrigger.forall(accF + af <= _) &&
-          maxRowsPerTrigger.forall(accR + ar <= _)
-        if (chosen == s || fits) { chosen = v; accF += af; accR += ar }
-        else full = true
-        prev = cur.map(_.rel).toSet
-        v += 1
-      }
-      end = chosen
-    }
-    TxStreamOffset(math.max(end, s))
+    TxStreamOffset(TxStreamAdmission.choose(spark, path, s, head,
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxRowsPerTrigger,
+      TxStreamAdmission.addsCost))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -2796,6 +2757,85 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     val stock = TxScanPlanning.readerFor(dataSchema, required)
     if (!streamSawDv) stock
     else new DvPartitionReaderFactory(stock, stock)
+  }
+}
+
+/** ONE admission-control implementation for BOTH streaming sources (the
+  * append source and the `#changes` row-level CDF source): choose the
+  * batch's end version in (start, head] so the cumulative per-version
+  * (files, rows) cost stays under the caps — always admitting at least
+  * one version, or a single over-sized commit would stall the stream
+  * forever. The cost of a version comes from manifest metadata alone
+  * (exact per-file row counts; a file without one fills the row cap by
+  * itself — conservative, never a silent flood), and `dataChange=false`
+  * rewrite commits cost ZERO on both sources (they emit nothing at
+  * planning). The two sources differ only in their cost function:
+  * appends count a version's ADDED files/rows; the change feed counts
+  * adds + removes + same-file deletion-vector diffs — the upper bound of
+  * the change rows the version emits. */
+private[sources] object TxStreamAdmission {
+  type Entries = Map[String, TxTable.FileEntry]
+
+  def choose(spark: SparkSession, path: String, s: Long, head: Long,
+             maxVersions: Option[Long], maxFiles: Option[Int],
+             maxRows: Option[Long],
+             cost: (Entries, Entries) => (Int, Long)): Long = {
+    var end = maxVersions.fold(head)(m => math.min(head, s + m))
+    if ((maxFiles.nonEmpty || maxRows.nonEmpty) && end > s) {
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var prev: Entries =
+        if (s < 0) Map.empty
+        else TxTable.snapshot(spark, path, Some(s)).entries
+          .map(e => e.rel -> e).toMap
+      var accF = 0
+      var accR = 0L
+      var chosen = s
+      var v = s + 1
+      var full = false
+      while (v <= end && !full) {
+        val cur: Entries = TxTable.snapshot(spark, path, Some(v)).entries
+          .map(e => e.rel -> e).toMap
+        val (af, ar) =
+          if (TxTable.commitIsRewrite(fs, path, v)) (0, 0L)
+          else cost(prev, cur)
+        val fits = maxFiles.forall(accF + af <= _) &&
+          maxRows.forall(accR + ar <= _)
+        if (chosen == s || fits) { chosen = v; accF += af; accR += ar }
+        else full = true
+        prev = cur
+        v += 1
+      }
+      end = chosen
+    }
+    math.max(end, s)
+  }
+
+  /** Append-source cost: the version's ADDED files and their rows. */
+  def addsCost(prev: Entries, cur: Entries): (Int, Long) = {
+    val added = cur.valuesIterator.filterNot(e => prev.contains(e.rel)).toSeq
+    (added.size,
+      if (added.exists(_.rows.isEmpty)) Long.MaxValue / 2
+      else added.flatMap(_.rows).sum)
+  }
+
+  /** Change-feed cost: adds + removes + changed-vector files; rows are
+    * the LIVE rows each side emits plus the bitmap-diff cardinality for
+    * same-file vector changes (|Δndel| — exact for deletes, an upper
+    * bound under a restore that both revives and re-kills). */
+  def changesCost(prev: Entries, cur: Entries): (Int, Long) = {
+    val added = cur.valuesIterator.filterNot(e => prev.contains(e.rel)).toSeq
+    val removed = prev.valuesIterator.filterNot(e => cur.contains(e.rel)).toSeq
+    val changed = cur.keysIterator
+      .filter(r => prev.contains(r) && cur(r).dv != prev(r).dv).toSeq
+    val files = added.size + removed.size + changed.size
+    val sides = added.map(_.liveRows) ++ removed.map(_.liveRows)
+    val rows =
+      if (sides.exists(_.isEmpty)) Long.MaxValue / 2
+      else sides.flatten.sum + changed.map(r =>
+        math.abs(cur(r).dv.fold(0L)(_.ndel) -
+          prev(r).dv.fold(0L)(_.ndel))).sum
+    (files, rows)
   }
 }
 

@@ -1502,6 +1502,58 @@ class TxCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming CDF admission parity: row/file caps drain a multi-commit history in bounded micro-batches") {
+    registered {
+      import org.apache.spark.sql.streaming.Trigger
+      val base = Files.createTempDirectory("graft_cat_adm_").toString
+      val t = s"$base/t"
+      // v0: 16 rows; v1..v3: appends of 8 rows each; v4: MOR delete of 4
+      TxTable.init(spark, t,
+        (1 to 16).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      (1 to 3).foreach(b => TxTable.appendOnce(spark, t,
+        (1 to 8).map(i => (s"A$b-$i", (b * 100 + i).toLong)).toDF("k", "v"),
+        "k", 4, "adm-spec", b.toLong))
+      assert(TxTable.deleteWhereMor(spark, t, $"v" >= 1L && $"v" <= 4L) == 4L)
+      val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      def drain(opts: Map[String, String]): Unit = {
+        val reader = opts.foldLeft(spark.readStream) { case (r, (k, v)) =>
+          r.option(k, v) }
+        val q = reader.table(s"txspj.`$t#changes`")
+          .writeStream
+          .option("checkpointLocation",
+            Files.createTempDirectory("graft_adm_ck_").toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val got = df.select($"k", $"_change_type", $"_commit_version")
+              .as[(String, String, Long)].collect()
+            batches.synchronized {
+              if (got.nonEmpty) { batches += got.length.toLong
+                rows ++= got }
+              ()
+            }
+          }.start()
+        q.awaitTermination()
+      }
+      // rows-capped: every micro-batch stays under the cap except where
+      // a single commit alone exceeds it (always-admit-one), and the
+      // union replays the exact history
+      drain(Map("maxRowsPerTrigger" -> "10"))
+      assert(batches.size >= 4,
+        s"a 10-row cap must split the 44-change history, got $batches")
+      assert(batches.forall(n => n <= 16),
+        s"no batch may exceed one commit past the cap: $batches")
+      assert(rows.size == 16 + 24 + 4, s"exact replay, got ${rows.size}")
+      assert(rows.count(_._2 == "delete") == 4)
+      // file-capped second subscription: same union, bounded batches
+      batches.clear(); rows.clear()
+      drain(Map("maxFilesPerTrigger" -> "2"))
+      assert(rows.size == 44 && batches.size >= 3,
+        s"file cap must bound batches too: $batches")
+    }
+  }
+
   test("dataChange=false: compact/zorder/purge/rebucket are invisible to the CDF and the append stream") {
     registered {
       val (a, _) = freshTables() // v0: 64 rows, 4 buckets, 1 file each
