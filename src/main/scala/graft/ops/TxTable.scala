@@ -3358,10 +3358,18 @@ object TxTable {
     deltas
   }
 
+  /** `dryRun = true` (the Delta `VACUUM ... DRY RUN` shape) reports
+    * exactly what a real run would delete — orphan directories past the
+    * retention horizon and prunable manifests/checkpoints — without
+    * deleting anything or writing checkpoint anchors. The report uses
+    * the same listings and the same pin/reference logic as the real
+    * sweep, so "dry-run then vacuum" sees the same set modulo racing
+    * commits. */
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 1,
              orphanRetentionMs: Long = 0L,
-             keepMs: Option[Long] = None): Seq[String] = {
+             keepMs: Option[Long] = None,
+             dryRun: Boolean = false): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the newest version")
     val fs = fsFor(spark, table)
     val versions = listVersions(fs, table).sorted
@@ -3391,7 +3399,8 @@ object TxTable {
     // anchor the retained log BEFORE deleting anything below it (resolve
     // needs the pre-prune chain); idempotent — checkpoint bytes are a pure
     // function of the log
-    if (versions.head < minKeep && !fs.exists(checkpointPath(table, minKeep))) {
+    if (!dryRun && versions.head < minKeep &&
+        !fs.exists(checkpointPath(table, minKeep))) {
       val snapMin = snapshot(spark, table, Some(minKeep))
       // the anchor must carry EVERYTHING resolution needs — dropping the
       // bucket identity here would strip the table's layout from every
@@ -3406,7 +3415,7 @@ object TxTable {
     // each pinned version below the horizon gets its own anchor too —
     // the manifests BETWEEN it and its old anchor are about to go, and a
     // checkpoint makes the tag resolve standalone forever after
-    versions.filter(v => tagged(v) && v < minKeep).foreach { v =>
+    if (!dryRun) versions.filter(v => tagged(v) && v < minKeep).foreach { v =>
       if (!fs.exists(checkpointPath(table, v))) {
         val s = snapshot(spark, table, Some(v))
         writeCheckpoint(fs, table, v, s.entries, s.schema, s.bucketing,
@@ -3453,7 +3462,7 @@ object TxTable {
       fs.listStatus(filesRoot).foreach { st =>
         if (!referencedNow(st.getPath.getName) &&
             st.getModificationTime <= sweepBefore) {
-          fs.delete(st.getPath, true)
+          if (!dryRun) fs.delete(st.getPath, true)
           deleted += st.getPath.toString
         }
       }
@@ -3465,10 +3474,16 @@ object TxTable {
     val taggedNow = tagged ++ tags(spark, table).values ++
       branches(spark, table).values
     versions.filter(_ < minKeep).filterNot(taggedNow).foreach { v =>
-      fs.delete(versionPath(table, v), false)
-      deleted += versionPath(table, v).toString
-      if (fs.delete(checkpointPath(table, v), false))
-        deleted += checkpointPath(table, v).toString
+      if (dryRun) {
+        deleted += versionPath(table, v).toString
+        if (fs.exists(checkpointPath(table, v)))
+          deleted += checkpointPath(table, v).toString
+      } else {
+        fs.delete(versionPath(table, v), false)
+        deleted += versionPath(table, v).toString
+        if (fs.delete(checkpointPath(table, v), false))
+          deleted += checkpointPath(table, v).toString
+      }
     }
     deleted.result()
   }

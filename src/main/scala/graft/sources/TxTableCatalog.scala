@@ -117,6 +117,7 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     // LocalTableScan plans, zero data I/O
     val mf = "^(.*)#files$".r
     val mh = "^(.*)#history$".r
+    val mr = "^(.*)#refs$".r
     raw match {
       case mf(p) if !TxTable.isTxTable(spark, raw) &&
           TxTable.isTxTable(spark, p) =>
@@ -124,6 +125,9 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       case mh(p) if !TxTable.isTxTable(spark, raw) &&
           TxTable.isTxTable(spark, p) =>
         return TxMetaTables.history(p)
+      case mr(p) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) =>
+        return TxMetaTables.refs(p)
       case _ => ()
     }
     // the reserved `@wap.<id>` suffix serves the write-audit-publish
@@ -3469,6 +3473,32 @@ private[sources] object TxMetaTables {
     })
   }
 
+  /** `t#refs`: every named ref — tags (immutable pins) and branches
+    * (writable forks) — as one queryable table: name, kind, the pinned/
+    * base version, and the branch's commit count (0 for tags). Manifest-
+    * metadata only, like every system table. */
+  def refs(path: String): TxMetaTable = {
+    val schema = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("commits", IntegerType, nullable = false)))
+    new TxMetaTable(s"$path#refs", schema, () => {
+      val tags = TxTable.tags(spark, path).toSeq.map { case (n, v) =>
+        (n, "tag", v, 0)
+      }
+      val brs = TxTable.branches(spark, path).toSeq.map { case (n, base) =>
+        val head = TxTable.branchSnapshot(spark, path, n)
+        (n, "branch", base, (head.version - base).toInt)
+      }
+      (tags ++ brs).sortBy(r => (r._2, r._1)).map { case (n, k, v, c) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(n), UTF8String.fromString(k),
+            v, c)): InternalRow
+      }.toArray
+    })
+  }
+
   /** `t#history`: the DESCRIBE HISTORY frame as a queryable table. */
   def history(path: String): TxMetaTable = {
     val df = TxTable.history(spark, path) // schema source (tiny, local)
@@ -3606,20 +3636,25 @@ object TxProcedures {
   private val vacuum: Proc = new Proc("vacuum",
     "drop pre-horizon log versions and unreferenced data (respecting the " +
       "in-flight orphan retention; keep_ms >= 0 additionally retains " +
-      "every version published within the window)",
+      "every version published within the window; dry_run reports the " +
+      "would-be deletions without touching anything)",
     Seq(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("keep_versions", IntegerType)
         .defaultValue("1").build(),
       ProcedureParameter.in("orphan_retention_ms", LongType)
         .defaultValue("0").build(),
       ProcedureParameter.in("keep_ms", LongType)
-        .defaultValue("-1").build()),
+        .defaultValue("-1").build(),
+      ProcedureParameter.in("dry_run",
+        org.apache.spark.sql.types.BooleanType)
+        .defaultValue("false").build()),
     StructType(Seq(org.apache.spark.sql.types
       .StructField("deleted_paths", IntegerType, nullable = false)))) {
     override protected def run(input: InternalRow): Array[Any] =
       Array(TxTable.vacuum(spark, input.getUTF8String(0).toString,
         input.getInt(1), input.getLong(2),
-        Some(input.getLong(3)).filter(_ >= 0)).size)
+        Some(input.getLong(3)).filter(_ >= 0),
+        dryRun = input.getBoolean(4)).size)
   }
 
   private val rebucket: Proc = new Proc("rebucket",
@@ -3740,6 +3775,69 @@ object TxProcedures {
     }
   }
 
+  private val analyzeLayout: Proc = new Proc("analyze_layout",
+    "layout-health advisor: one row per bucket from manifest metadata + " +
+      "file sizes (fragmentation, deleted fraction, bytes) with the " +
+      "maintenance action each bucket needs — the scheduled-OPTIMIZE " +
+      "decision input at 100 TB, zero data I/O",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_files_per_bucket", IntegerType)
+        .defaultValue("4").build(),
+      ProcedureParameter.in("max_deleted_fraction",
+        org.apache.spark.sql.types.DoubleType)
+        .defaultValue("0.1").build()),
+    org.apache.spark.sql.types.StructType(Seq())) {
+    override protected def run(input: InternalRow): Array[Any] =
+      throw new UnsupportedOperationException("unused — call() overridden")
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val path = input.getUTF8String(0).toString
+      val maxFiles = input.getInt(1)
+      val maxDeleted = input.getDouble(2)
+      val snap = TxTable.snapshot(spark, path)
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val schema = StructType(Seq(
+        org.apache.spark.sql.types.StructField("bucket", IntegerType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("n_files", IntegerType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("rows", LongType,
+          nullable = true),
+        org.apache.spark.sql.types.StructField("deleted_rows", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("total_bytes", LongType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("recommendation",
+          StringType, nullable = false)))
+      val rows = snap.entries.groupBy(_.bucket).toSeq.sortBy(_._1)
+        .map { case (b, es) =>
+          val nFiles = es.size
+          val rowsOpt =
+            if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
+            else None
+          val ndel = es.flatMap(_.dv).map(_.ndel).sum
+          val bytes = es.map(e => fs.getFileStatus(
+            new Path(s"$path/${e.rel}")).getLen).sum
+          val delFrac = rowsOpt.filter(_ > 0)
+            .map(r => ndel.toDouble / r).getOrElse(if (ndel > 0) 1.0 else 0.0)
+          val rec =
+            if (nFiles > maxFiles && delFrac >= maxDeleted)
+              "compact" // folds the vectors too
+            else if (nFiles > maxFiles) "compact"
+            else if (delFrac >= maxDeleted) "purge_deletes"
+            else "ok"
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](b, nFiles,
+              rowsOpt.map(java.lang.Long.valueOf).orNull, ndel, bytes,
+              UTF8String.fromString(rec))): InternalRow
+        }.toArray
+      java.util.Collections.singletonList[Scan](
+        new TxLocalResultScan("GraftTxTable procedure analyze_layout",
+          schema, rows)).iterator()
+    }
+  }
+
   private val createBranch: Proc = new Proc("create_branch",
     "fork a writable branch at a committed version (default: the head); " +
       "readable as t@branch.<name>, appendable via INSERT INTO it, " +
@@ -3786,7 +3884,7 @@ object TxProcedures {
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
-      dropBranch)
+      dropBranch, analyzeLayout)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** Round-10 maintenance/observability closures: VACUUM DRY RUN (report
+  * the would-be deletions, touch nothing), the `t#refs` system table
+  * (tags + branches as one queryable frame), and the `analyze_layout`
+  * advisor (per-bucket fragmentation/deleted-fraction/bytes with the
+  * maintenance action — the scheduled-OPTIMIZE decision input). */
+class MaintenanceSurfaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def registered[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.txmt",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try body
+    finally spark.conf.unset("spark.sql.catalog.txmt")
+  }
+
+  private def fresh(): String = {
+    val t = Files.createTempDirectory("graft_mt_").toString + "/t"
+    TxTable.init(spark, t,
+      (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+    t
+  }
+
+  test("vacuum dry run reports exactly what the real run then deletes — and deletes nothing itself") {
+    registered {
+      val t = fresh()
+      // fragment + compact so old files and manifests become prunable
+      TxTable.appendOnce(spark, t,
+        (1 to 8).map(i => (s"A$i", i + 100L)).toDF("k", "v"),
+        "k", 4, "mt-spec", 1L)
+      TxTable.compact(spark, t, maxFilesPerBucket = 1)
+      val before = TxTable.snapshot(spark, t)
+      val planned = spark.sql(
+        s"CALL txmt.vacuum('$t', 1, 0, -1, true)").as[Int].head()
+      assert(planned > 0, "there must be prunable state to report")
+      // NOTHING changed: all versions still resolvable, all files intact
+      (0L to before.version).foreach(v =>
+        assert(TxTable.snapshot(spark, t, Some(v)).version == v))
+      // the real run deletes the same count (no racing writers here)
+      val deleted = TxTable.vacuum(spark, t, keepVersions = 1,
+        orphanRetentionMs = 0L)
+      assert(deleted.size == planned,
+        s"dry run planned $planned, real run deleted ${deleted.size}")
+      assert(TxTable.read(spark, t).count() == 40)
+    }
+  }
+
+  test("t#refs lists tags and branches with kind/version/commits; empty when none") {
+    registered {
+      val t = fresh()
+      assert(spark.table(s"txmt.`$t#refs`").count() == 0)
+      TxTable.tag(spark, t, "train-v1")
+      TxTable.createBranch(spark, t, "dev")
+      TxTable.appendToBranch(spark, t, "dev",
+        Seq(("B1", 500L)).toDF("k", "v"))
+      val refs = spark.table(s"txmt.`$t#refs`")
+        .as[(String, String, Long, Int)].collect().toSet
+      assert(refs == Set(("dev", "branch", 0L, 1),
+        ("train-v1", "tag", 0L, 0)))
+      // SQL-composable like every system table
+      assert(spark.sql(
+        s"SELECT count(*) FROM txmt.`$t#refs` WHERE kind = 'branch'")
+        .as[Long].head() == 1L)
+      TxTable.dropBranch(spark, t, "dev")
+      assert(spark.table(s"txmt.`$t#refs`").count() == 1)
+    }
+  }
+
+  test("analyze_layout recommends compact for fragmented buckets and purge_deletes for DV-heavy ones") {
+    registered {
+      val t = fresh()
+      // healthy table: every bucket 'ok'
+      val ok = spark.sql(s"CALL txmt.analyze_layout('$t')")
+      assert(ok.select("recommendation").as[String].collect()
+        .forall(_ == "ok"))
+      // fragment every bucket past the default max_files_per_bucket
+      (1 to 5).foreach(b => TxTable.appendOnce(spark, t,
+        (1 to 8).map(i => (s"F$b-$i", (b * 1000 + i).toLong)).toDF("k", "v"),
+        "k", 4, "mt-frag", b.toLong))
+      val frag = spark.sql(s"CALL txmt.analyze_layout('$t')")
+        .select($"bucket", $"n_files", $"recommendation")
+        .as[(Int, Int, String)].collect()
+      assert(frag.exists(_._3 == "compact"))
+      frag.filter(_._2 > 4).foreach { case (_, _, rec) =>
+        assert(rec == "compact")
+      }
+      TxTable.compact(spark, t, maxFilesPerBucket = 1)
+      // MOR-delete a third of the rows -> purge recommendation
+      val n = TxTable.read(spark, t).count()
+      assert(TxTable.deleteWhereMor(spark, t,
+        $"v" >= 1L && $"v" <= 12L) == 12L)
+      val dv = spark.sql(s"CALL txmt.analyze_layout('$t')")
+        .select($"deleted_rows", $"recommendation")
+        .as[(Long, String)].collect()
+      assert(dv.filter(_._1 > 0).forall(_._2 == "purge_deletes"),
+        s"DV-heavy buckets must recommend purge_deletes: ${dv.toSeq}")
+      assert(dv.map(_._1).sum == 12L)
+      assert(n == 72L)
+    }
+  }
+}
