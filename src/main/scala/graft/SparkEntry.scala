@@ -681,6 +681,14 @@ object SparkEntry {
     // deletion-vector DELETEs are maintenance work; the query times the
     // DV-aware read path)
     stagedMorOrders(s, dir)
+    // the round-10 DDL fixtures: schema evolution (MERGE WITH SCHEMA
+    // EVOLUTION + BY NAME insert), type widening (ALTER COLUMN + wide
+    // append), and the branch lifecycle (fork + branch INSERT + publish)
+    // are all landing/DDL work; the queries time the mixed-generation
+    // read paths
+    stagedEvolvedOrders(s, dir)
+    stagedWidenedOrders(s, dir)
+    stagedBranchOrders(s, dir)
     ()
   }
 
