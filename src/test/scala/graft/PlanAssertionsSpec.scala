@@ -21,6 +21,28 @@ class PlanAssertionsSpec extends AnyFunSuite {
       .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
   }
 
+  test("type widening keeps the vectorized columnar scan over mixed-width files") {
+    // the widened table mixes INT-era and BIGINT-era parquet: the
+    // vectorized reader's native promotion must serve BOTH without
+    // dropping to a row-based scan (the whole point of metadata-only
+    // widening — a row-based fallback would tax every post-DDL read)
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("ext_type_widening")(spark, dir)
+    df.collect() // AQE finalizes the plan only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"),
+      s"widened scan must stay columnar/vectorized:\n$p")
+  }
+
+  test("schema evolution: old files project the new columns without a rewrite or a sort") {
+    val p = plan("ext_schema_evolution")
+    // one aggregate over one catalog scan — no join, no extra exchange
+    // beyond the group-by shuffle
+    assert(!p.contains("Join"), s"evolved read must not join:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      s"group-by shuffle only (AQE may add one), got:\n$p")
+  }
+
   test("gold_enriched: every enrichment join is broadcast-hash") {
     val p = plan("gold_enriched")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 5,
