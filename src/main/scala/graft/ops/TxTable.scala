@@ -2399,13 +2399,22 @@ object TxTable {
     * winner's snapshot and re-compacts, and readers of older versions are
     * untouched until [[vacuum]]. Returns the number of buckets compacted
     * at the version that finally committed. */
+  /** `maxBuckets` bounds ONE maintenance slice (the incremental-OPTIMIZE
+    * budget knob): only the `maxBuckets` MOST fragmented buckets rewrite
+    * this call, so a 100 TB table's compaction runs as scheduled
+    * fixed-size slices instead of one unbounded job — repeated calls
+    * converge because each slice removes the worst offenders. Default
+    * unbounded (the round-9 behavior). */
   def compact(spark: SparkSession, table: String,
-              maxFilesPerBucket: Int = 4, maxRetries: Int = 5): Int =
+              maxFilesPerBucket: Int = 4, maxRetries: Int = 5,
+              maxBuckets: Int = Int.MaxValue): Int = {
+    require(maxBuckets >= 1, s"maxBuckets must be >= 1, got $maxBuckets")
     // one exchange on the bucket key → one task per bucket → one file
     // per bucket; without it the rewrite inherits read parallelism and
     // can fragment again
     compactWith(spark, table, maxFilesPerBucket, maxRetries,
-      _.repartition(col(LayoutOps.BucketCol)), 0L)
+      _.repartition(col(LayoutOps.BucketCol)), 0L, maxBuckets)
+  }
 
   /** Targeted deletion-vector fold (the public Delta `REORG … APPLY
     * (PURGE)` idea): rewrite EXACTLY the files whose deleted fraction
@@ -2544,11 +2553,16 @@ object TxTable {
   private def compactWith(spark: SparkSession, table: String,
                           maxFilesPerBucket: Int, maxRetries: Int,
                           layout: DataFrame => DataFrame,
-                          maxRecordsPerFile: Long): Int =
+                          maxRecordsPerFile: Long,
+                          maxBuckets: Int = Int.MaxValue): Int =
     rewriteWith(spark, table, maxRetries, layout, maxRecordsPerFile,
       raceName = "compaction") { snap =>
+      // worst-first under the slice budget: the most fragmented buckets
+      // buy the most read-amplification relief per rewritten byte
       val fragmented: Set[Int] = snap.entries.groupBy(_.bucket)
-        .filter(_._2.size > maxFilesPerBucket).keySet
+        .filter(_._2.size > maxFilesPerBucket)
+        .toSeq.sortBy { case (b, es) => (-es.size, b) }
+        .take(maxBuckets).map(_._1).toSet
       (snap.entries.filter(e => fragmented(e.bucket)), fragmented.size)
     }
 

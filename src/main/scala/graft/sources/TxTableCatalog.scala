@@ -3554,15 +3554,19 @@ object TxProcedures {
   }
 
   private val compact: Proc = new Proc("compact",
-    "rewrite buckets holding more than max_files_per_bucket files",
+    "rewrite buckets holding more than max_files_per_bucket files; " +
+      "max_buckets bounds one maintenance slice to the N most " +
+      "fragmented buckets (incremental OPTIMIZE — repeat to converge)",
     Seq(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
-        .defaultValue("4").build()),
+        .defaultValue("4").build(),
+      ProcedureParameter.in("max_buckets", IntegerType)
+        .defaultValue(Int.MaxValue.toString).build()),
     StructType(Seq(org.apache.spark.sql.types
       .StructField("buckets_compacted", IntegerType, nullable = false)))) {
     override protected def run(input: InternalRow): Array[Any] =
       Array(TxTable.compact(spark, input.getUTF8String(0).toString,
-        input.getInt(1)))
+        input.getInt(1), maxBuckets = input.getInt(2)))
   }
 
   private val computeStats: Proc = new Proc("compute_stats",

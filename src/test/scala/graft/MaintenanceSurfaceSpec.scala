@@ -75,6 +75,38 @@ class MaintenanceSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded compaction slices: max_buckets rewrites the worst offenders first and converges") {
+    registered {
+      val t = fresh() // 4 buckets, 1 file each
+      // fragment unevenly: several appends → every bucket gains files
+      (1 to 6).foreach(b => TxTable.appendOnce(spark, t,
+        (1 to 8).map(i => (s"S$b-$i", (b * 100 + i).toLong)).toDF("k", "v"),
+        "k", 4, "mt-slice", b.toLong))
+      val before = TxTable.snapshot(spark, t)
+      val fragBefore = before.entries.groupBy(_.bucket)
+        .filter(_._2.size > 1)
+      assert(fragBefore.size == 4, "all four buckets fragmented")
+      val worst = fragBefore.maxBy { case (b, es) => (es.size, -b) }._1
+      // one slice of budget 1 → exactly the worst bucket rewrites
+      val n1 = spark.sql(s"CALL txmt.compact('$t', 1, 1)").as[Int].head()
+      assert(n1 == 1)
+      val mid = TxTable.snapshot(spark, t)
+      assert(mid.entries.count(_.bucket == worst) == 1,
+        "the worst bucket must be compacted to one file")
+      val untouched = before.entries.filter(_.bucket != worst).map(_.rel)
+      assert(untouched.forall(mid.entries.map(_.rel).toSet),
+        "other buckets' files carry verbatim")
+      // repeated slices converge; the data never changes
+      var guard = 0
+      while (TxTable.compact(spark, t, maxFilesPerBucket = 1,
+          maxBuckets = 1) > 0 && guard < 10) guard += 1
+      assert(guard <= 3, "three remaining buckets -> three slices")
+      val after = TxTable.snapshot(spark, t)
+      assert(after.entries.groupBy(_.bucket).forall(_._2.size == 1))
+      assert(TxTable.read(spark, t).count() == 32 + 48)
+    }
+  }
+
   test("analyze_layout recommends compact for fragmented buckets and purge_deletes for DV-heavy ones") {
     registered {
       val t = fresh()
