@@ -121,6 +121,30 @@ class SchemaAutoMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens a narrow target column when the source is wider") {
+    withAutoMerge {
+      val t = Files.createTempDirectory("graft_am_w_").toString + "/t"
+      TxTable.init(spark, t,
+        (1 to 8).map(i => (s"K$i", i)).toDF("k", "n"), "k", 4)
+      assert(TxTable.snapshot(spark, t).schema.get("n").dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      Seq(("K1", 1L << 40), ("KN", 7L)).toDF("k", "n")
+        .createOrReplaceTempView("am_wide_src")
+      spark.sql(
+        s"""MERGE WITH SCHEMA EVOLUTION INTO txspj.`$t` t
+           |USING am_wide_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin)
+      assert(TxTable.snapshot(spark, t).schema.get("n").dataType ==
+        org.apache.spark.sql.types.LongType,
+        "the evolution must widen INT -> BIGINT via the same alterTable")
+      val m = spark.table(s"txspj.`$t`").select($"k", $"n")
+        .as[(String, Long)].collect().toMap
+      assert(m("K1") == (1L << 40) && m("KN") == 7L && m("K2") == 2L)
+    }
+  }
+
   test("off by default: extra-column INSERT refuses with the stock arity error") {
     spark.conf.set("spark.sql.catalog.txspj",
       classOf[graft.sources.TxTableCatalog].getName)
