@@ -2480,6 +2480,53 @@ object TxTable {
     * `maxRecordsPerFile`, and refreshes ALL N zone-map sidecars in the
     * same maintenance call, so [[readWhereAll]] conjunctions over any
     * subset of the columns prune immediately after the commit. */
+  /** [[compactZOrderedN]] with AUTO-derived layout bounds: each column's
+    * (lo, hi) comes from its zone-map sidecar's global min/max (ANALYZE
+    * runs footer-first when the sidecar is missing — O(files) metadata,
+    * no data scan), so `OPTIMIZE ZORDER BY (x, y)` needs no hand-fed
+    * normalization metadata. Bounds derived from a superset of the live
+    * files only WIDEN (a coarser interleave grid, never a wrong one);
+    * equal lo==hi degenerates to a constant dimension, also correct.
+    * Numeric columns only — the Morton grid is numeric. */
+  def compactZOrderedAuto(spark: SparkSession, table: String,
+                          cols: Seq[String],
+                          maxFilesPerBucket: Int = 4,
+                          maxRecordsPerFile: Long = 0L,
+                          maxRetries: Int = 5): Int =
+    compactZOrderedN(spark, table, zOrderAutoBounds(spark, table, cols),
+      maxFilesPerBucket, maxRecordsPerFile, maxRetries)
+
+  private[graft] def zOrderAutoBounds(spark: SparkSession, table: String,
+                                      cols: Seq[String])
+      : Seq[(String, Double, Double)] = {
+    require(cols.size >= 2,
+      s"z-order needs at least 2 columns, got ${cols.size}")
+    val snap = snapshot(spark, table)
+    cols.map { c =>
+      val cp = snap.physicalName(c)
+      val dt = snap.schema.flatMap(_.fields.find(_.name == cp))
+        .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+          s"$table: no column '$c'"))
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"$table: z-order auto-bounds need a numeric column, '$c' is " +
+          dt.sql)
+      if (fileStats(spark, table, cp).isEmpty) computeStats(spark, table, c)
+      val stats = fileStats(spark, table, cp)
+      require(stats.nonEmpty,
+        s"$table: column '$c' has no zone-map stats even after ANALYZE " +
+          "(all-null or unprofilable) — pass explicit bounds")
+      def toD(a: Any): Double = a match {
+        case n: java.lang.Number => n.doubleValue()
+        case d: java.math.BigDecimal => d.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"$table: non-numeric zone-map bound $other for '$c'")
+      }
+      val los = stats.values.map(v => toD(v._1))
+      val his = stats.values.map(v => toD(v._2))
+      (c, los.min, his.max)
+    }
+  }
+
   def compactZOrderedN(spark: SparkSession, table: String,
                        colBounds: Seq[(String, Double, Double)],
                        maxFilesPerBucket: Int = 4,

@@ -3750,19 +3750,29 @@ object TxProcedures {
   private val zorder: Proc = new Proc("zorder",
     "OPTIMIZE ZORDER BY: rewrite fragmented buckets clustered on the " +
       "N-dimensional Morton interleave of the given columns (comma-" +
-      "separated; bounds as lo:hi pairs normalizing each column onto " +
-      "the grid) and refresh all N zone-map sidecars",
+      "separated) and refresh all N zone-map sidecars. bounds are " +
+      "lo:hi pairs normalizing each column onto the grid, or '' to " +
+      "AUTO-derive them from the columns' zone-map sidecars (ANALYZE " +
+      "runs footer-first when missing)",
     Seq(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("columns", StringType).build(),
-      ProcedureParameter.in("bounds", StringType).build(),
+      ProcedureParameter.in("bounds", StringType)
+        .defaultValue("''").build(),
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
         .defaultValue("0").build()),
     StructType(Seq(org.apache.spark.sql.types
       .StructField("buckets_rewritten", IntegerType, nullable = false)))) {
     override protected def run(input: InternalRow): Array[Any] = {
+      val table = input.getUTF8String(0).toString
       val cols = input.getUTF8String(1).toString.split(',').toSeq
         .map(_.trim).filter(_.nonEmpty)
-      val bounds = input.getUTF8String(2).toString.split(',').toSeq
+      val boundsStr = input.getUTF8String(2).toString.trim
+      if (boundsStr.isEmpty) {
+        require(cols.size >= 2, s"need >= 2 columns, got ${cols.size}")
+        return Array(TxTable.compactZOrderedAuto(spark, table, cols,
+          maxFilesPerBucket = input.getInt(3)))
+      }
+      val bounds = boundsStr.split(',').toSeq
         .map(_.trim).filter(_.nonEmpty).map { b =>
           val parts = b.split(':')
           require(parts.length == 2,
@@ -3772,8 +3782,7 @@ object TxProcedures {
       require(cols.size == bounds.size && cols.size >= 2,
         s"need >= 2 columns with one lo:hi bound each, got " +
           s"${cols.size} columns / ${bounds.size} bounds")
-      Array(TxTable.compactZOrderedN(spark,
-        input.getUTF8String(0).toString,
+      Array(TxTable.compactZOrderedN(spark, table,
         cols.zip(bounds).map { case (c, (lo, hi)) => (c, lo, hi) },
         maxFilesPerBucket = input.getInt(3)))
     }

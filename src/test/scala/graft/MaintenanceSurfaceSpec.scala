@@ -75,6 +75,39 @@ class MaintenanceSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("zorder with AUTO bounds: derived from zone maps (ANALYZE on demand), prunes like explicit bounds") {
+    registered {
+      val t = Files.createTempDirectory("graft_mt_z_").toString + "/t"
+      // scattered layout: every pre-compact file overlaps any x bound
+      def batch(seed: Int) = (0 until 256).map { i =>
+        (s"k${seed}_$i", ((i * 37 + seed * 11) % 256).toLong,
+          ((i * 53 + seed * 7) % 256).toLong)
+      }.toDF("k", "x", "y").coalesce(2)
+      TxTable.init(spark, t, batch(0), "k", 4)
+      for (b <- 1 until 5)
+        TxTable.appendOnce(spark, t, batch(b), "k", 4, "za", b - 1L)
+      // derived bounds match the data's actual range — no sidecar exists
+      // yet for y, so the derivation ANALYZEs footer-first on demand
+      val derived = TxTable.zOrderAutoBounds(spark, t, Seq("x", "y"))
+      assert(derived == Seq(("x", 0.0, 255.0), ("y", 0.0, 255.0)))
+      val beforeRows = TxTable.readWhere(spark, t, "x", 0L, 31L)
+      val beforeFiles = beforeRows.inputFiles.length
+      assert(beforeFiles > 4)
+      val n = spark.sql(s"CALL txmt.zorder('$t', 'x,y')").as[Int].head()
+      assert(n == 4, s"all four buckets fragmented, compacted $n")
+      val after = TxTable.readWhere(spark, t, "x", 0L, 31L)
+      assert(after.inputFiles.length < beforeFiles,
+        s"auto-bounded z-order must prune: ${after.inputFiles.length} " +
+          s"vs $beforeFiles")
+      assert(after.count() == beforeRows.count())
+      // a non-numeric column refuses loudly
+      val e = intercept[Exception] {
+        TxTable.zOrderAutoBounds(spark, t, Seq("k", "x"))
+      }
+      assert(e.getMessage.contains("numeric"))
+    }
+  }
+
   test("bounded compaction slices: max_buckets rewrites the worst offenders first and converges") {
     registered {
       val t = fresh() // 4 buckets, 1 file each
