@@ -3794,6 +3794,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Multimodal frame sampling: every 30th frame index of each video
+    // payload, the fan-out a per-frame featurizer consumes — row-local
+    // sequence/explode, zero shuffle, no decode.
+    "ext_multimodal_frames" -> ((s, dir) => {
+      ops.MultimodalOps.sampleFrames(
+          ops.MultimodalOps.decodeFeatures(
+            ops.MultimodalOps.asMediaTable(tbl(s, dir, "documents"))))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // Multimodal resize planning: integer box-fit into 224 preserving
+    // aspect, never upscaling — bit-exact integer arithmetic so the
+    // plan replays on any engine; pixels are the codec's job.
+    "ext_multimodal_resize" -> ((s, dir) => {
+      ops.MultimodalOps.resizePlan(
+          ops.MultimodalOps.decodeFeatures(
+            ops.MultimodalOps.asMediaTable(tbl(s, dir, "documents"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // LLM context-window chunking: token windows of 64 every 48 (overlap
     // 16) — row-local tokenize/explode/slice, zero shuffle.
     "ext_chunk_documents" -> ((s, dir) => {
@@ -6622,6 +6642,40 @@ object SparkEntry {
         |  sha256(text) AS sha256
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // frame-sampling replay: videos are doc_id % 3 == 2; the stub's
+    // n_frames = 1 + n_bytes % 240; indices 0, 30, ... < n_frames
+    "ext_multimodal_frames" ->
+      """WITH vids AS (
+        |  SELECT doc_id,
+        |    1 + octet_length(CAST(text AS BLOB)) % 240 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2
+        |)
+        |SELECT doc_id,
+        |  CAST(unnest(range(0, n_frames, 30)) AS INTEGER) AS frame_idx
+        |FROM vids ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // resize-plan replay: the stub's width/height, integer box-fit 224
+    "ext_multimodal_resize" ->
+      """WITH dims AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS media_type,
+        |    CAST(64 + (ascii(substr(text, 1, 1)) % 16) * 32 AS INTEGER)
+        |      AS width,
+        |    CAST(64 + ((octet_length(CAST(text AS BLOB)) // 7) % 16) * 32
+        |      AS INTEGER) AS height
+        |  FROM documents
+        |)
+        |SELECT doc_id, media_type, width, height,
+        |  CAST(CASE WHEN greatest(width, height) <= 224 THEN width
+        |    ELSE (width * 224) // greatest(width, height) END AS INTEGER)
+        |    AS out_w,
+        |  CAST(CASE WHEN greatest(width, height) <= 224 THEN height
+        |    ELSE (height * 224) // greatest(width, height) END AS INTEGER)
+        |    AS out_h,
+        |  greatest(width, height) > 224 AS downscaled
+        |FROM dims ORDER BY doc_id""".stripMargin,
 
     "ext_chunk_documents" ->
       """WITH base AS (

@@ -86,4 +86,25 @@ object MultimodalOps {
       .filter(col("media_type") === "video")
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  /** Resize PLANNING: integer box-fit of (width, height) into a
+    * `maxSide` square preserving aspect ratio, never upscaling — the
+    * (out_w, out_h) a real resampler consumes. Deliberately INTEGER
+    * arithmetic (`x * maxSide div max(w, h)`), so the plan is bit-exact
+    * on any engine; the pixels themselves are the stubbed codec's job.
+    * Pure projection — this is the path that plans all 100 TB of media
+    * before any decode runs. */
+  def resizePlan(features: Dataset[MediaFeature], maxSide: Int = 224): DataFrame = {
+    val f = features.toDF()
+    val mx = greatest(col("width"), col("height"))
+    def fit(side: String) =
+      when(mx <= maxSide, col(side))
+        .otherwise(expr(s"CAST((`$side` * $maxSide) DIV " +
+          "greatest(width, height) AS INT)"))
+    f.select(col("doc_id"), col("media_type"),
+      col("width"), col("height"),
+      fit("width").cast("int").as("out_w"),
+      fit("height").cast("int").as("out_h"),
+      (mx > maxSide).as("downscaled"))
+  }
 }
