@@ -689,6 +689,7 @@ object SparkEntry {
     stagedEvolvedOrders(s, dir)
     stagedWidenedOrders(s, dir)
     stagedBranchOrders(s, dir)
+    stagedDefaultedOrders(s, dir)
     ()
   }
 
@@ -1076,6 +1077,36 @@ object SparkEntry {
         case Some(v) => s.conf.set(amKey, v)
         case None => s.conf.unset(amKey)
       }
+      ()
+    }
+    path
+  }
+
+  /** Column-defaults fixture (ext_column_defaults): a TxTable of the
+    * even orders, `ALTER ADD COLUMN o_tier STRING DEFAULT 'std'` (the
+    * pre-DDL files never rewrite — readers fill the exists-default),
+    * then one INSERT omitting the column (current-default fills) and one
+    * with explicit values. */
+  private def stagedDefaultedOrders(s: SparkSession, dir: String): String = {
+    val path = s"target/graft-defaults/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_totalprice"))
+      ops.TxTable.init(s, path,
+        orders.filter(pmod(col("o_orderkey"), lit(2)) === 0),
+        key = "o_orderkey", nBuckets = 8)
+      s.sql(s"ALTER TABLE txspj.`$path` " +
+        "ADD COLUMN o_tier STRING DEFAULT 'std'")
+      orders.filter(pmod(col("o_orderkey"), lit(6)) === 1)
+        .createOrReplaceTempView("graft_defaults_omit")
+      s.sql(s"INSERT INTO txspj.`$path` (o_orderkey, o_totalprice) " +
+        "SELECT * FROM graft_defaults_omit")
+      orders.filter(pmod(col("o_orderkey"), lit(6)) === 3)
+        .withColumn("o_tier", lit("vip"))
+        .createOrReplaceTempView("graft_defaults_vip")
+      s.sql(s"INSERT INTO txspj.`$path` SELECT * FROM graft_defaults_vip")
       ()
     }
     path
@@ -2887,6 +2918,23 @@ object SparkEntry {
           sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
             .cast("decimal(18,2)")).cast("double").as("total_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Column DEFAULT values (the Delta feature, via Spark's own
+    // column-metadata convention): the pre-DDL files are NEVER rewritten
+    // — readers fill the exists-default for rows that predate the
+    // column, write analysis fills the current-default for INSERTs that
+    // omit it, and explicit values override. The grouped read spans all
+    // three populations; the oracle replays them.
+    "ext_column_defaults" -> ((s, dir) => {
+      val path = stagedDefaultedOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_tier"))
+        .agg(count(lit(1)).cast("long").as("n_orders"),
+          sum((floor(col("o_totalprice") * 100 + 0.5) / 100)
+            .cast("decimal(18,2)")).cast("double").as("total_price"))
+        .orderBy(col("o_tier"))
     }),
 
     // Branch refs (the Iceberg branching model on this commit log): a
@@ -6239,6 +6287,21 @@ object SparkEntry {
         |    AS DOUBLE) AS total_price
         |FROM merged GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // column-defaults replay: even orders predate the column -> 'std'
+    // (exists-default), k%6==1 inserted omitting it -> 'std'
+    // (current-default), k%6==3 inserted explicitly 'vip'
+    "ext_column_defaults" ->
+      """WITH tiers AS (
+        |  SELECT o_totalprice, 'std' AS o_tier FROM orders
+        |  WHERE o_orderkey % 2 = 0 OR o_orderkey % 6 = 1
+        |  UNION ALL
+        |  SELECT o_totalprice, 'vip' FROM orders WHERE o_orderkey % 6 = 3
+        |)
+        |SELECT o_tier, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) / 100
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM tiers GROUP BY o_tier ORDER BY o_tier""".stripMargin,
 
     // branch-publish replay: main's even orders plus the branch's
     // odd %3==0 slice after the fast-forward

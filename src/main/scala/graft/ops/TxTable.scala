@@ -1850,8 +1850,10 @@ object TxTable {
     val droppedLower = dropped.map(_.toLowerCase)
     val additions = incoming.fields.filterNot(f =>
       byName.contains(f.name) || droppedLower.contains(f.name.toLowerCase))
-    StructType((base.fields ++ additions)
-      .map(f => StructField(f.name, f.dataType, nullable = true)))
+    // copy (not reconstruct) so column METADATA survives the merge —
+    // DEFAULT values live there, and a data commit stripping them would
+    // silently turn "DEFAULT 7" into NULL for every pre-existing file
+    StructType((base.fields ++ additions).map(_.copy(nullable = true)))
   }
 
   /** Live data files whose parquet FOOTER still carries a column of the

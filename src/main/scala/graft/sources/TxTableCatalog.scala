@@ -98,7 +98,8 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     * `ALTER TABLE ADD/DROP CONSTRAINT` (and CREATE TABLE with CHECK
     * clauses) through this catalog. */
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
@@ -494,8 +495,31 @@ private[sources] object TxAlterSchema {
               "compact/purge_deletes to rewrite them first, or pick a " +
               "fresh name.")
         }
+        // DEFAULT values ride Spark's own column-metadata convention
+        // (CURRENT_DEFAULT fills INSERTs that omit the column at write
+        // analysis; EXISTS_DEFAULT fills the column when a stored file
+        // PREDATES it at read time — the parquet readers apply it
+        // natively from the requested schema's metadata). The metadata
+        // persists in the manifest's schema JSON, so every version
+        // carries its own defaults. An ignored default would be
+        // silent-wrong (old rows reading NULL where the DDL promised a
+        // value) — this either honors it or refuses.
+        val md = Option(add.defaultValue()) match {
+          case None => org.apache.spark.sql.types.Metadata.empty
+          case Some(dv) =>
+            val sql = Option(dv.getSql).getOrElse(
+              throw new UnsupportedOperationException(
+                s"column '$name': only SQL-literal DEFAULTs are " +
+                  "supported on a TxTable"))
+            val exists = org.apache.spark.sql.catalyst.expressions
+              .Literal(dv.getValue.value, dv.getValue.dataType).sql
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", exists)
+              .build()
+        }
         val f = org.apache.spark.sql.types.StructField(name, add.dataType(),
-          nullable = true)
+          nullable = true, metadata = md)
         // keep the internal layout column last (writer convention)
         val (data, layout) = schema.fields.partition(
           _.name != graft.ops.LayoutOps.BucketCol)

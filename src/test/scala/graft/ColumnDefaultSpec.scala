@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** Column DEFAULT values (the Delta default-values feature) through
+  * Spark's own column-metadata convention: `ALTER TABLE ADD COLUMN …
+  * DEFAULT <literal>` records CURRENT_DEFAULT (fills INSERTs that omit
+  * the column, applied by stock write analysis) and EXISTS_DEFAULT
+  * (fills the column when a stored file PREDATES it, applied natively by
+  * the parquet readers from the requested schema's metadata). The
+  * metadata persists in the manifest's schema JSON, so every version
+  * carries its own defaults and survives later data commits. */
+class ColumnDefaultSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def registered[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.txdf",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try body
+    finally spark.conf.unset("spark.sql.catalog.txdf")
+  }
+
+  test("ADD COLUMN DEFAULT: old files read the default; INSERTs fill or override it; time travel predates it") {
+    registered {
+      val t = Files.createTempDirectory("graft_df_").toString + "/t"
+      TxTable.init(spark, t,
+        (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      val v0 = TxTable.snapshot(spark, t).version
+      spark.sql(s"ALTER TABLE txdf.`$t` ADD COLUMN w INT DEFAULT 7")
+      // rows committed BEFORE the column read the exists-default, not NULL
+      val old = spark.table(s"txdf.`$t`").select($"k", $"w")
+        .as[(String, Option[Int])].collect().toMap
+      assert(old.size == 8 && old.values.forall(_.contains(7)))
+      // an INSERT omitting the column gets the current default; an
+      // explicit value overrides; the DEFAULT keyword resolves
+      spark.sql(s"INSERT INTO txdf.`$t` (k, v) VALUES ('N1', 100)")
+      spark.sql(s"INSERT INTO txdf.`$t` VALUES ('N2', 200, 9)")
+      spark.sql(s"INSERT INTO txdf.`$t` VALUES ('N3', 300, DEFAULT)")
+      val m = spark.table(s"txdf.`$t`").select($"k", $"w")
+        .as[(String, Option[Int])].collect().toMap
+      assert(m("N1").contains(7) && m("N2").contains(9) &&
+        m("N3").contains(7))
+      // filters over the filled default work on both file generations
+      assert(spark.table(s"txdf.`$t`").where($"w" === 7).count() == 10)
+      // time travel below the DDL has no column at all
+      assert(!spark.read.table(s"txdf.`$t@v$v0`").columns.contains("w"))
+      // the default survives later data commits (mergeSchemas keeps
+      // column metadata) — append through the Scala API, then re-read
+      TxTable.appendOnce(spark, t,
+        Seq(("N4", 400L, 11)).toDF("k", "v", "w"), "k", 4, "df-spec", 1L)
+      val after = spark.table(s"txdf.`$t`").select($"k", $"w")
+        .as[(String, Option[Int])].collect().toMap
+      assert(after("N4").contains(11) && after("K3").contains(7),
+        "pre-DDL rows must still read the default after a data commit")
+    }
+  }
+
+  test("defaults compose with the CDF and the catalog point paths") {
+    registered {
+      val t = Files.createTempDirectory("graft_df2_").toString + "/t"
+      TxTable.init(spark, t,
+        (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      spark.sql(s"ALTER TABLE txdf.`$t` ADD COLUMN tag STRING DEFAULT 'b'")
+      spark.sql(s"INSERT INTO txdf.`$t` (k, v) VALUES ('N1', 50)")
+      // the change feed types frames with the head schema and fills the
+      // default for pre-DDL files' rows
+      val head = TxTable.snapshot(spark, t).version
+      val ch = TxTable.changesBetween(spark, t, 0L, head)
+      assert(ch.where($"_commit_version" === 0L)
+        .select($"tag").as[String].collect().forall(_ == "b"))
+      assert(ch.where($"k" === "N1").select($"tag")
+        .as[String].head() == "b")
+    }
+  }
+}
