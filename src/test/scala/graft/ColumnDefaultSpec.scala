@@ -61,6 +61,20 @@ class ColumnDefaultSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE with a DEFAULT column persists the default through the manifest schema") {
+    registered {
+      val t = Files.createTempDirectory("graft_df3_").toString + "/t"
+      spark.sql(s"CREATE TABLE txdf.`$t` (k STRING, v BIGINT, " +
+        "tier STRING DEFAULT 'basic') PARTITIONED BY (bucket(4, k))")
+      spark.sql(s"INSERT INTO txdf.`$t` (k, v) VALUES ('A', 1)")
+      spark.sql(s"INSERT INTO txdf.`$t` VALUES ('B', 2, 'pro')")
+      val m = spark.table(s"txdf.`$t`").select($"k", $"tier")
+        .as[(String, String)].collect().toMap
+      assert(m == Map("A" -> "basic", "B" -> "pro"))
+      spark.sql(s"DROP TABLE txdf.`$t`")
+    }
+  }
+
   test("defaults compose with the CDF and the catalog point paths") {
     registered {
       val t = Files.createTempDirectory("graft_df2_").toString + "/t"
