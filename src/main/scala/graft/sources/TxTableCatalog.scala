@@ -577,6 +577,32 @@ private[sources] object TxAlterSchema {
           dropped = dropped, props = props, renames = renames)
         (schema, dropped, props,
           TxTable.renamedMap(path, view, rn.fieldNames()(0), rn.newName()))
+      case ud: UpdateColumnDefaultValue =>
+        require(ud.fieldNames.length == 1,
+          s"ALTER COLUMN … SET/DROP DEFAULT supports top-level columns " +
+            s"only, got ${ud.fieldNames.mkString(".")}")
+        val name = ud.fieldNames()(0)
+        val phys = physOf(name)
+        val f = schema.fields.find(_.name == phys).getOrElse(
+          throw new IllegalArgumentException(
+            s"column '$name' does not exist in $path"))
+        // SET DEFAULT changes only FUTURE inserts (CURRENT_DEFAULT);
+        // the exists-default — what pre-column files read — was frozen
+        // when the column was added and never moves (the SQL-standard
+        // and Delta semantics: a new default must not rewrite history)
+        val mb = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+        val md = Option(ud.newCurrentDefault()) match {
+          case Some(dv) => mb.putString("CURRENT_DEFAULT",
+            Option(dv.getSql).getOrElse(
+              throw new UnsupportedOperationException(
+                s"column '$name': only SQL-literal DEFAULTs are " +
+                  "supported on a TxTable"))).build()
+          case None => mb.remove("CURRENT_DEFAULT").build()
+        }
+        (StructType(schema.fields.map(x =>
+          if (x.name == phys) x.copy(metadata = md) else x)),
+          dropped, props, renames)
       case ut: UpdateColumnType =>
         require(ut.fieldNames.length == 1,
           s"ALTER TABLE ALTER COLUMN … TYPE supports top-level columns " +

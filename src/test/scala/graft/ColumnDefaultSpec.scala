@@ -75,6 +75,29 @@ class ColumnDefaultSpec extends AnyFunSuite {
     }
   }
 
+  test("SET DEFAULT changes only future inserts; the exists-default never rewrites history; DROP DEFAULT clears it") {
+    registered {
+      val t = Files.createTempDirectory("graft_df4_").toString + "/t"
+      TxTable.init(spark, t,
+        (1 to 4).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      spark.sql(s"ALTER TABLE txdf.`$t` ADD COLUMN w INT DEFAULT 7")
+      spark.sql(s"INSERT INTO txdf.`$t` (k, v) VALUES ('A', 1)") // w=7
+      spark.sql(s"ALTER TABLE txdf.`$t` ALTER COLUMN w SET DEFAULT 99")
+      spark.sql(s"INSERT INTO txdf.`$t` (k, v) VALUES ('B', 2)") // w=99
+      val m1 = spark.table(s"txdf.`$t`").select($"k", $"w")
+        .as[(String, Option[Int])].collect().toMap
+      assert(m1("A").contains(7) && m1("B").contains(99))
+      // pre-column rows STILL read the frozen exists-default, not 99
+      assert(m1("K1").contains(7),
+        "SET DEFAULT must never rewrite what old files read")
+      spark.sql(s"ALTER TABLE txdf.`$t` ALTER COLUMN w DROP DEFAULT")
+      spark.sql(s"INSERT INTO txdf.`$t` (k, v) VALUES ('C', 3)") // w=NULL
+      val m2 = spark.table(s"txdf.`$t`").select($"k", $"w")
+        .as[(String, Option[Int])].collect().toMap
+      assert(m2("C").isEmpty && m2("K1").contains(7))
+    }
+  }
+
   test("defaults compose with the CDF and the catalog point paths") {
     registered {
       val t = Files.createTempDirectory("graft_df2_").toString + "/t"
