@@ -577,6 +577,35 @@ private[sources] object TxAlterSchema {
           dropped = dropped, props = props, renames = renames)
         (schema, dropped, props,
           TxTable.renamedMap(path, view, rn.fieldNames()(0), rn.newName()))
+      case un: UpdateColumnNullability =>
+        require(un.fieldNames.length == 1,
+          s"ALTER COLUMN … SET/DROP NOT NULL supports top-level columns " +
+            s"only, got ${un.fieldNames.mkString(".")}")
+        val name = un.fieldNames()(0)
+        val phys = physOf(name)
+        val f = schema.fields.find(_.name == phys).getOrElse(
+          throw new IllegalArgumentException(
+            s"column '$name' does not exist in $path"))
+        require(phys != graft.ops.LayoutOps.BucketCol,
+          s"cannot change nullability of the internal layout column")
+        if (f.nullable == un.nullable()) state
+        else {
+          if (!un.nullable()) {
+            // SET NOT NULL must PROVE the claim before recording it:
+            // one bounded validation scan (the ADD CONSTRAINT shape) —
+            // a violating row refuses the DDL, because readers and the
+            // optimizer will believe the nullability from then on
+            val bad = TxTable.read(spark, path)
+              .filter(org.apache.spark.sql.functions.col(s"`$name`")
+                .isNull).limit(1).count()
+            require(bad == 0,
+              s"$path: cannot SET NOT NULL on '$name': existing rows " +
+                "hold NULL")
+          }
+          (StructType(schema.fields.map(x =>
+            if (x.name == phys) x.copy(nullable = un.nullable()) else x)),
+            dropped, props, renames)
+        }
       case ud: UpdateColumnDefaultValue =>
         require(ud.fieldNames.length == 1,
           s"ALTER COLUMN … SET/DROP DEFAULT supports top-level columns " +
@@ -3541,7 +3570,14 @@ private[sources] object TxMetaTables {
         val head = TxTable.branchSnapshot(spark, path, n)
         (n, "branch", base, (head.version - base).toInt)
       }
-      (tags ++ brs).sortBy(r => (r._2, r._1)).map { case (n, k, v, c) =>
+      // open write-audit-publish stages are refs too (the anonymous
+      // single-commit branch): version = the current head they would
+      // publish onto, commits = staged manifest count
+      val waps = TxTable.stagedIds(spark, path).map { id =>
+        (id, "wap", TxTable.snapshot(spark, path).version,
+          TxTable.stagedAdds(spark, path, id)._2.size)
+      }
+      (tags ++ brs ++ waps).sortBy(r => (r._2, r._1)).map { case (n, k, v, c) =>
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](UTF8String.fromString(n), UTF8String.fromString(k),
             v, c)): InternalRow

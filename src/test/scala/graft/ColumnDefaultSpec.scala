@@ -98,6 +98,43 @@ class ColumnDefaultSpec extends AnyFunSuite {
     }
   }
 
+  test("nullability DDL: SQL SET NOT NULL is analyzer-refused; the API path validates then enforces; DROP NOT NULL relaxes") {
+    registered {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+      val t = Files.createTempDirectory("graft_df5_").toString + "/t"
+      TxTable.init(spark, t,
+        (1 to 4).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      spark.sql(s"ALTER TABLE txdf.`$t` ADD COLUMN w INT")
+      // Spark's own analyzer blocks tightening through SQL on v2 tables
+      val sqlRefusal = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txdf.`$t` ALTER COLUMN w SET NOT NULL")
+      }
+      assert(sqlRefusal.getMessage.contains("non-nullable"))
+      // the API path (direct alterTable) must VALIDATE before recording:
+      // w holds NULL in every pre-DDL row -> refuse
+      val cat = spark.sessionState.catalogManager.catalog("txdf")
+        .asInstanceOf[TableCatalog]
+      val ident = Identifier.of(Array.empty, t)
+      val apiRefusal = intercept[Exception] {
+        cat.alterTable(ident,
+          TableChange.updateColumnNullability(Array("w"), false))
+      }
+      assert(apiRefusal.getMessage.contains("NULL"))
+      // v has no NULLs -> lands; SQL INSERT of NULL then refuses
+      cat.alterTable(ident,
+        TableChange.updateColumnNullability(Array("v"), false))
+      assert(!spark.table(s"txdf.`$t`").schema("v").nullable)
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txdf.`$t` VALUES ('X', NULL, 1)")
+      }
+      // relaxing IS allowed through SQL
+      spark.sql(s"ALTER TABLE txdf.`$t` ALTER COLUMN v DROP NOT NULL")
+      assert(spark.table(s"txdf.`$t`").schema("v").nullable)
+      spark.sql(s"INSERT INTO txdf.`$t` VALUES ('X', NULL, 1)")
+      assert(spark.table(s"txdf.`$t`").count() == 5)
+    }
+  }
+
   test("defaults compose with the CDF and the catalog point paths") {
     registered {
       val t = Files.createTempDirectory("graft_df2_").toString + "/t"

@@ -62,10 +62,14 @@ class MaintenanceSurfaceSpec extends AnyFunSuite {
       TxTable.createBranch(spark, t, "dev")
       TxTable.appendToBranch(spark, t, "dev",
         Seq(("B1", 500L)).toDF("k", "v"))
+      spark.conf.set("spark.graft.wap.id", "aud")
+      try spark.sql(s"INSERT INTO txmt.`$t` VALUES ('W1', 999)")
+      finally spark.conf.unset("spark.graft.wap.id")
       val refs = spark.table(s"txmt.`$t#refs`")
         .as[(String, String, Long, Int)].collect().toSet
       assert(refs == Set(("dev", "branch", 0L, 1),
-        ("train-v1", "tag", 0L, 0)))
+        ("train-v1", "tag", 0L, 0), ("aud", "wap", 0L, 1)))
+      TxTable.dropStaged(spark, t, "aud")
       // SQL-composable like every system table
       assert(spark.sql(
         s"SELECT count(*) FROM txmt.`$t#refs` WHERE kind = 'branch'")
