@@ -116,6 +116,32 @@ class BranchSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrent branch appends CAS-race safely: both land, neither is lost") {
+    registered {
+      val t = fresh()
+      TxTable.createBranch(spark, t, "race")
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (1 to 4).map { i =>
+        Future {
+          TxTable.appendToBranch(spark, t, "race",
+            Seq((s"R$i", i * 100L)).toDF("k", "v"))
+        }
+      }
+      val ks = Await.result(Future.sequence(fs), 120.seconds)
+      assert(ks.sorted == Seq(1, 2, 3, 4),
+        s"four racing appends must land as four distinct branch commits, got $ks")
+      val br = spark.table(s"txbr.`$t@branch.race`")
+      assert(br.where($"k".startsWith("R")).count() == 4,
+        "no racing append may be lost")
+      // the whole race publishes as ONE main commit
+      val v = TxTable.publishBranch(spark, t, "race")
+      assert(v == 1L)
+      assert(spark.table(s"txbr.`$t`").count() == 36)
+    }
+  }
+
   test("branch appends enforce constraints and union-evolve schema; duplicate branch names refuse") {
     registered {
       val t = fresh()
