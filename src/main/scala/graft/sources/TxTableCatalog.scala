@@ -1314,7 +1314,8 @@ final case class TxAutoMergeInsertRule(spark: SparkSession)
       case i: InsertIntoStatement =>
         i.table match {
           case r: DataSourceV2Relation if r.table.isInstanceOf[TxSparkTable]
-              && i.query.resolved && i.userSpecifiedCols.isEmpty =>
+              && i.query.resolved && i.userSpecifiedCols.isEmpty
+              && isMainHead(r) =>
             val extras = extraColumns(r, i.query, i.byName)
             if (extras.isEmpty) i
             else i.copy(table = widen(r, extras))
@@ -1322,6 +1323,15 @@ final case class TxAutoMergeInsertRule(spark: SparkSession)
         }
     }
   }
+
+  /** Evolution targets the TABLE HEAD only: a `@vN` / `@branch.x` /
+    * `@wap.x` identifier must never widen the main table's schema as a
+    * side effect of its insert — those statements keep the stock strict
+    * arity error (branch-side evolution has its own path: the Scala
+    * `appendToBranch` union-evolves the branch head). */
+  private def isMainHead(r: DataSourceV2Relation): Boolean =
+    r.identifier.forall(i =>
+      !(i.namespace() :+ i.name()).mkString("/").contains("@"))
 
   private def extraColumns(r: DataSourceV2Relation, query: LogicalPlan,
                            byName: Boolean)

@@ -145,6 +145,26 @@ class SchemaAutoMergeSpec extends AnyFunSuite {
     }
   }
 
+  test("evolution never leaks through a branch or time-travel identifier") {
+    withAutoMerge {
+      val t = fresh()
+      TxTable.createBranch(spark, t, "dev")
+      // an extra-column INSERT into the BRANCH must not widen main's
+      // schema as a side effect — it keeps the stock arity refusal
+      Seq(("B1", 1L, "x")).toDF("k", "v", "extra")
+        .createOrReplaceTempView("am_br_src")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"INSERT INTO txspj.`$t@branch.dev` " +
+          "SELECT * FROM am_br_src")
+      }
+      assert(!TxTable.snapshot(spark, t).schema.get.fieldNames
+        .contains("extra"), "branch insert must not evolve MAIN")
+      assert(TxTable.branchSnapshot(spark, t, "dev").version == 0L,
+        "nothing may land on the branch either")
+      TxTable.dropBranch(spark, t, "dev")
+    }
+  }
+
   test("off by default: extra-column INSERT refuses with the stock arity error") {
     spark.conf.set("spark.sql.catalog.txspj",
       classOf[graft.sources.TxTableCatalog].getName)
