@@ -1182,8 +1182,23 @@ object TxTable {
         java.lang.Long.compare(x.longValue(), y.longValue())
       else if (floaty(x) && floaty(y))
         java.lang.Double.compare(x.doubleValue(), y.doubleValue())
-      else new java.math.BigDecimal(x.toString)
-        .compareTo(new java.math.BigDecimal(y.toString))
+      else {
+        // integral vs floating. The floating side can be non-finite
+        // after an INT→DOUBLE widening (a zone-map bound may hold
+        // ±Infinity/NaN) — BigDecimal cannot parse those, and a crash
+        // here kills scan PLANNING. Order non-finite values the
+        // Double.compare way (NaN above +Inf): any finite integral is
+        // exact enough against ±Inf/NaN, and the worst case is an
+        // over-kept file, never a wrong prune.
+        def nonFinite(n: java.lang.Number) = floaty(n) && {
+          val d = n.doubleValue()
+          java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)
+        }
+        if (nonFinite(x) || nonFinite(y))
+          java.lang.Double.compare(x.doubleValue(), y.doubleValue())
+        else new java.math.BigDecimal(x.toString)
+          .compareTo(new java.math.BigDecimal(y.toString))
+      }
     case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
   }
 
@@ -1832,6 +1847,14 @@ object TxTable {
     }
   }
 
+  /** A write schema neutralized for use as a merge BASE when the log
+    * records none: a DataFrame's incidental non-nullability (literals,
+    * inner-join outputs) must not be promoted into a recorded NOT NULL
+    * constraint — only the validated `ALTER COLUMN … SET NOT NULL` path
+    * may record one. */
+  private[graft] def allNullable(s: StructType): StructType =
+    StructType(s.fields.map(_.copy(nullable = true)))
+
   private[graft] def mergeSchemas(base: StructType,
                                   incoming: StructType,
                                   dropped: Set[String] = Set.empty)
@@ -1852,8 +1875,13 @@ object TxTable {
       byName.contains(f.name) || droppedLower.contains(f.name.toLowerCase))
     // copy (not reconstruct) so column METADATA survives the merge —
     // DEFAULT values live there, and a data commit stripping them would
-    // silently turn "DEFAULT 7" into NULL for every pre-existing file
-    StructType((base.fields ++ additions).map(_.copy(nullable = true)))
+    // silently turn "DEFAULT 7" into NULL for every pre-existing file.
+    // Base fields keep their RECORDED nullability: a SET NOT NULL must
+    // survive the next data commit (forcing nullable here would let the
+    // very next successful append silently revert the validated
+    // constraint). Only NEW columns are forced nullable — files committed
+    // before the column existed read NULL there by construction.
+    StructType(base.fields ++ additions.map(_.copy(nullable = true)))
   }
 
   /** Live data files whose parquet FOOTER still carries a column of the
@@ -1891,8 +1919,8 @@ object TxTable {
   private def evolvedSchema(spark: SparkSession, table: String,
                             snap: Snapshot, incoming: StructType): StructType = {
     val base = snap.schema.getOrElse {
-      if (snap.entries.isEmpty) incoming
-      else spark.read.parquet(snap.absFiles(table): _*).schema
+      allNullable(if (snap.entries.isEmpty) incoming
+      else spark.read.parquet(snap.absFiles(table): _*).schema)
     }
     mergeSchemas(base, incoming, snap.dropped)
   }
@@ -3114,8 +3142,28 @@ object TxTable {
                                         df: DataFrame): DataFrame = {
     if (!isTxTable(spark, table)) return df
     val snap = snapshot(spark, table)
+    // NOT NULL enforcement for the Scala write paths (the DSv2 SQL paths
+    // get it natively from Spark's TableOutputResolver because the
+    // catalog reports the recorded nullability): a union-evolving batch
+    // MISSING a non-nullable column would store NULL in every row —
+    // refuse at plan time; a PRESENT column gets the same zero-extra-job
+    // ride-along row check as CHECK constraints below.
+    val present0 = df.columns.map(_.toLowerCase).toSet
+    val notNull = snap.schema.toSeq.flatMap(_.fields)
+      .filter(f => !f.nullable && f.name != LayoutOps.BucketCol)
+      .map(f => snap.logicalName(f.name))
+    val (nnPresent, nnMissing) =
+      notNull.partition(c => present0(c.toLowerCase))
+    require(nnMissing.isEmpty,
+      s"$table: batch omits non-nullable column(s) " +
+        s"${nnMissing.mkString(", ")} — the stored value would be NULL")
+    val df1 = nnPresent.foldLeft(df)((d, c) =>
+      d.filter(col(s"`$c`").isNotNull ||
+        isnull(raise_error(concat(
+          lit(s"NOT NULL constraint on '$c' violated by row: "),
+          to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))))
     val cons = constraintsOf(snap).toSeq.sortBy(_._1)
-    if (cons.isEmpty) return df
+    if (cons.isEmpty) return df1
     // a union-evolving batch may omit a constrained column — the stored
     // value will be NULL, so the check must SEE null there (SQL CHECK
     // passes on NULL, and expressions like coalesce(b,-1)>0 must still
@@ -3123,8 +3171,8 @@ object TxTable {
     val schemaType: Map[String, org.apache.spark.sql.types.DataType] =
       snap.schema.toSeq.flatMap(_.fields)
         .map(f => f.name.toLowerCase -> f.dataType).toMap
-    val present = df.columns.map(_.toLowerCase).toSet
-    cons.foldLeft(df) { case (d, (name, sql)) =>
+    val present = present0
+    cons.foldLeft(df1) { case (d, (name, sql)) =>
       val refs = spark.sessionState.sqlParser.parseExpression(sql).collect {
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           ua.nameParts.head
@@ -3230,6 +3278,15 @@ object TxTable {
     new Path(logDir(table), s"branch-$name.base")
   private def branchDeltaPath(table: String, name: String, k: Int) =
     new Path(logDir(table), s"branch-$name.d$k")
+  // publish fence (see publishBranch): `.publish` is CAS-created FIRST
+  // and deleted LAST, so its absence after a successful delta CAS proves
+  // the delta landed before any publish could freeze; `.frozen` records
+  // the delta count the publish will carry, so a racing appender can
+  // decide inclusion exactly instead of guessing
+  private def branchPublishMarker(table: String, name: String) =
+    new Path(logDir(table), s"branch-$name.publish")
+  private def branchFrozenPath(table: String, name: String) =
+    new Path(logDir(table), s"branch-$name.frozen")
 
   private def requireBranchName(name: String): Unit =
     require(TagName.matches(name) && !name.matches("^v\\d+$") &&
@@ -3244,6 +3301,17 @@ object TxTable {
     val fs = fsFor(spark, table)
     val v = version.getOrElse(snapshot(spark, table).version)
     snapshot(spark, table, Some(v)) // must be resolvable
+    // clear strays from a crashed previous lifecycle of this name
+    // (delta files past a chain gap, an orphaned publish fence) BEFORE
+    // the base CAS — while no base exists nothing can legally append,
+    // so the cleanup cannot race a legitimate delta
+    if (!fs.exists(branchBasePath(table, name))) {
+      scala.util.Try(fs.listStatus(logDir(table)).toSeq
+        .map(_.getPath.getName)
+        .filter(n => n.startsWith(s"branch-$name.d") ||
+          n == s"branch-$name.frozen" || n == s"branch-$name.publish")
+        .foreach(n => fs.delete(new Path(logDir(table), n), false)))
+    }
     if (!atomicPublish(fs, table, branchBasePath(table, name),
         s"$v\n".getBytes(StandardCharsets.UTF_8)))
       throw new IllegalStateException(
@@ -3323,15 +3391,26 @@ object TxTable {
           s"$table@branch.$name: staged for (${bucketing._1}, " +
             s"${bucketing._2}) but the branch is (${cur._1}, ${cur._2})")
       }
-      val merged = mergeSchemas(head.schema.getOrElse(writeSchema),
+      val merged = mergeSchemas(
+        head.schema.getOrElse(allNullable(writeSchema)),
         writeSchema, head.dropped)
       val base = branches(spark, table)(name)
       val k = (head.version - base).toInt + 1
+      // refuse early while a publish is fencing the branch — cheap, and
+      // it shrinks the post-CAS arbitration below to the in-flight race
+      if (fs.exists(branchPublishMarker(table, name)))
+        throw new IllegalStateException(
+          s"$table: branch '$name' is being published — the append " +
+            "refuses rather than race the fast-forward; retry after " +
+            "the publish completes (then the branch is gone: append " +
+            "to main or a new branch)")
       if (atomicPublish(fs, table, branchDeltaPath(table, name, k),
           renderDelta(adds, Seq.empty, None, Some(merged),
             head.bucketing.orElse(Some(bucketing)), head.dropped,
-            head.props, head.renames)))
+            head.props, head.renames))) {
+        arbitrateAppendVsPublish(fs, table, name, base, k)
         return k
+      }
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
@@ -3339,6 +3418,90 @@ object TxTable {
             s"$maxRetries times")
     }
     0 // unreachable
+  }
+
+  /** Post-CAS inclusion check for a branch append that may have raced a
+    * concurrent [[publishBranch]]. The fence invariant: the publisher
+    * creates `.publish` BEFORE freeze-listing the deltas it will carry
+    * and deletes it LAST, so
+    *   - no marker now, base intact  → any in-flight publish must
+    *     freeze-list AFTER this check, so delta `k` is included either
+    *     way — success;
+    *   - no marker, base gone/moved  → a publish completed without this
+    *     delta (it landed after the drop began) — roll the tail delta
+    *     back and fail LOUDLY (the rows never reached main);
+    *   - marker present → consult `.frozen` (the publish's carried
+    *     count d): k ≤ d is included (success), k > d is not — roll
+    *     back and fail loudly. `.frozen` not yet written → poll briefly
+    *     (the publisher writes it right after the marker); if the
+    *     marker disappears instead, the publish aborted and the branch
+    *     (with this delta) lives on. */
+  private def arbitrateAppendVsPublish(fs: FileSystem, table: String,
+                                       name: String, expectedBase: Long,
+                                       k: Int): Unit = {
+    val marker = branchPublishMarker(table, name)
+    val frozen = branchFrozenPath(table, name)
+    def rollbackAndFail(why: String): Nothing = {
+      // only ever deletes OUR OWN delta file — every appender with an
+      // index past the frozen count does the same, so no mid-chain hole
+      // survives (a crashed one's stray file is removed by the
+      // publisher's final cleanup)
+      scala.util.Try(fs.delete(branchDeltaPath(table, name, k), false))
+      throw new IllegalStateException(
+        s"$table: branch '$name' append (delta $k) raced a concurrent " +
+          s"publish and was NOT included: $why. The append did not " +
+          "land anywhere — retry on main or a new branch")
+    }
+    var waited = 0
+    while (true) {
+      if (!fs.exists(marker)) {
+        val nowBase = scala.util.Try(new String(
+          readBytes(fs, branchBasePath(table, name)),
+          StandardCharsets.UTF_8).trim.toLong).toOption
+        if (nowBase.contains(expectedBase)) return // included or no publish
+        rollbackAndFail(
+          if (nowBase.isEmpty) "the publish completed and dropped the ref"
+          else s"the branch was re-created at a different base ($nowBase)")
+      }
+      scala.util.Try(new String(readBytes(fs, frozen),
+          StandardCharsets.UTF_8).trim.toInt).toOption match {
+        case Some(d) =>
+          if (k <= d) return // inside the frozen prefix the publish carries
+          rollbackAndFail(s"the publish froze at delta $d")
+        case None =>
+          // marker up, freeze not recorded yet — the publisher writes it
+          // immediately after the marker, so this window is tiny
+          if (waited > 200) // ~10 s: publisher died between the two refs
+            throw new IllegalStateException(
+              s"$table: branch '$name' has a publish marker but no " +
+                "frozen count after 10 s — a publisher likely crashed " +
+                "between its two fence writes. The append IS delta " +
+                s"$k of the branch chain; recover the branch with " +
+                "abortBranchPublish, or finish the publish")
+          Thread.sleep(50)
+          waited += 1
+      }
+    }
+  }
+
+  /** Clear a crashed publish's fence so the branch accepts appends and
+    * publishes again. Refuses when the fenced publish actually LANDED on
+    * main (its txn marker is in the log) — then the branch refs are
+    * stale leftovers and are cleaned up instead. */
+  def abortBranchPublish(spark: SparkSession, table: String,
+                         name: String): Unit = {
+    val fs = fsFor(spark, table)
+    val base = branches(spark, table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"$table: no branch named '$name'"))
+    if (lastCommittedBatchUpTo(fs, table, s"branch:$name:$base",
+        Long.MaxValue).isDefined) {
+      // the publish committed; finish its cleanup
+      dropBranch(spark, table, name)
+    } else {
+      fs.delete(branchFrozenPath(table, name), false)
+      fs.delete(branchPublishMarker(table, name), false)
+    }
   }
 
   /** Append `batch` to the branch — invisible on main until
@@ -3373,52 +3536,100 @@ object TxTable {
   /** FAST-FORWARD publish: land the branch's net entry delta on main as
     * ONE atomic commit, then delete the ref. Refuses loudly when main
     * has moved past the branch's base (diverged) — including a race
-    * discovered at CAS time. */
+    * discovered at CAS time.
+    *
+    * Concurrent-append safety (the fence protocol shared with
+    * [[arbitrateAppendVsPublish]]): the branch chain and the main log
+    * are disjoint CAS domains, so without a fence a delta CAS-published
+    * between this method's delta listing and its ref cleanup would
+    * report success and then be silently discarded. The publish
+    * therefore (1) CAS-creates `.publish` FIRST — new appends refuse up
+    * front, in-flight ones arbitrate; (2) freeze-lists the chain and
+    * records the carried count in `.frozen` — an in-flight append past
+    * that count rolls itself back and fails loudly; (3) commits main
+    * with txn id `branch:<name>:<base>` so a crash after the commit is
+    * recoverable ([[abortBranchPublish]] detects the landed txn and
+    * finishes the cleanup); (4) deletes the refs, the marker LAST. */
   def publishBranch(spark: SparkSession, table: String,
                     name: String): Long = {
     val fs = fsFor(spark, table)
     val base = branches(spark, table).getOrElse(name,
       throw new IllegalArgumentException(
         s"$table: no branch named '$name'"))
-    val deltas = branchDeltas(fs, table, name)
-    require(deltas.nonEmpty,
-      s"$table: branch '$name' has no commits — drop it instead")
-    val main = snapshot(spark, table)
-    if (main.version != base)
+    if (!atomicPublish(fs, table, branchPublishMarker(table, name),
+        "publishing\n".getBytes(StandardCharsets.UTF_8)))
       throw new IllegalStateException(
-        s"$table: branch '$name' DIVERGED — main moved v$base -> " +
-          s"v${main.version} since the fork. Fast-forward publish " +
-          "refuses; re-create the branch from the current head and " +
-          "re-apply its changes")
-    val head = branchSnapshot(spark, table, name)
-    val mainByRel = main.entries.map(e => e.rel -> e).toMap
-    val headByRel = head.entries.map(e => e.rel -> e).toMap
-    val adds = head.entries.filterNot(e => mainByRel.get(e.rel).contains(e))
-    val removes = main.entries
-      .filterNot(e => headByRel.get(e.rel).contains(e)).map(_.rel).toSet
-    if (!commitNext(fs, table, main, adds = adds, removes = removes,
-        txn = Some((s"branch:$name", 0L)), schema = head.schema,
-        bucketing = head.bucketing, dropped = Some(head.dropped),
-        props = Some(head.props), renames = Some(head.renames)))
-      throw new IllegalStateException(
-        s"$table: branch '$name' publish lost the commit race — main " +
-          "moved during the publish (diverged); re-create and re-apply")
-    dropBranch(spark, table, name)
-    main.version + 1
+        s"$table: branch '$name' already has a publish in flight (or a " +
+          "crashed one) — wait for it, or run abortBranchPublish")
+    def abortFence(): Unit = {
+      fs.delete(branchFrozenPath(table, name), false)
+      fs.delete(branchPublishMarker(table, name), false)
+    }
+    val newVersion: Long = try {
+      // freeze AFTER the marker: deltas CAS-landing from here on carry
+      // indexes past `d` and self-arbitrate to a loud failure
+      val deltas = branchDeltas(fs, table, name)
+      val d = deltas.size
+      require(d > 0,
+        s"$table: branch '$name' has no commits — drop it instead")
+      if (!atomicPublish(fs, table, branchFrozenPath(table, name),
+          s"$d\n".getBytes(StandardCharsets.UTF_8)))
+        throw new IllegalStateException(
+          s"$table: branch '$name' publish found a stale frozen ref — " +
+            "run abortBranchPublish and retry")
+      val main = snapshot(spark, table)
+      if (main.version != base)
+        throw new IllegalStateException(
+          s"$table: branch '$name' DIVERGED — main moved v$base -> " +
+            s"v${main.version} since the fork. Fast-forward publish " +
+            "refuses; re-create the branch from the current head and " +
+            "re-apply its changes")
+      // fold exactly the frozen prefix — never a re-listed chain that a
+      // racing append could have extended past the fence
+      val head = deltas.foldLeft(snapshot(spark, table, Some(base)))(foldDelta)
+      val mainByRel = main.entries.map(e => e.rel -> e).toMap
+      val headByRel = head.entries.map(e => e.rel -> e).toMap
+      val adds = head.entries.filterNot(e => mainByRel.get(e.rel).contains(e))
+      val removes = main.entries
+        .filterNot(e => headByRel.get(e.rel).contains(e)).map(_.rel).toSet
+      if (!commitNext(fs, table, main, adds = adds, removes = removes,
+          txn = Some((s"branch:$name:$base", d.toLong)), schema = head.schema,
+          bucketing = head.bucketing, dropped = Some(head.dropped),
+          props = Some(head.props), renames = Some(head.renames)))
+        throw new IllegalStateException(
+          s"$table: branch '$name' publish lost the commit race — main " +
+            "moved during the publish (diverged); re-create and re-apply")
+      main.version + 1
+    } catch {
+      case e: Throwable => abortFence(); throw e
+    }
+    dropBranch(spark, table, name) // deletes deltas+base+fence, marker last
+    newVersion
   }
 
-  /** Delete the branch ref and its delta manifests; the branch's staged
-    * data files become ordinary orphans for [[vacuum]]. */
+  /** Delete the branch ref, its delta manifests (INCLUDING strays past a
+    * chain gap left by a crashed, arbitration-rolled-back appender), and
+    * any publish fence; the branch's staged data files become ordinary
+    * orphans for [[vacuum]]. The marker goes LAST so the fence invariant
+    * ("no marker ⇒ base state is authoritative") holds through a crash
+    * mid-drop. */
   def dropBranch(spark: SparkSession, table: String, name: String): Int = {
     val fs = fsFor(spark, table)
-    val deltas = branchDeltas(fs, table, name).size
-    var k = deltas
-    while (k >= 1) { // delete newest-first so a crash leaves a valid chain
+    val chain = branchDeltas(fs, table, name).size
+    val all = scala.util.Try(fs.listStatus(logDir(table)).toSeq
+      .map(_.getPath.getName)
+      .filter(n => n.startsWith(s"branch-$name.d"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix(s"branch-$name.d").toInt).toOption))
+      .getOrElse(Seq.empty)
+    all.sorted.reverseIterator.foreach { k =>
+      // newest-first so a crash leaves a valid chain prefix
       fs.delete(branchDeltaPath(table, name, k), false)
-      k -= 1
     }
     fs.delete(branchBasePath(table, name), false)
-    deltas
+    fs.delete(branchFrozenPath(table, name), false)
+    fs.delete(branchPublishMarker(table, name), false)
+    chain
   }
 
   /** `dryRun = true` (the Delta `VACUUM ... DRY RUN` shape) reports

@@ -685,6 +685,14 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns
     with TruncatableTable with SupportsDelete {
+  /** True iff this relation is the MAIN table head — not a `@vN`/tag
+    * time-travel pin, a `@wap.x` audit view, or a `@branch.x` head.
+    * Resolution already decided this (the cannot-hijack probes in
+    * [[TxTableCatalog.loadTable]]), so asking the loaded table is exact
+    * where re-parsing the rendered identifier is not: a filesystem path
+    * legitimately containing `@` stays eligible for INSERT evolution. */
+  private[sources] def isMainHead: Boolean =
+    version.isEmpty && wap.isEmpty && branch.isEmpty
   private val snap = {
     // a branch identifier resolves the BRANCH head (base + branch
     // deltas); reads pin like a snapshot, inserts land branch deltas
@@ -751,12 +759,13 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
     * `MERGE WITH SCHEMA EVOLUTION INTO` route the source's new columns
     * through [[TxTableCatalog.alterTable]] (one ADD COLUMN metadata
     * commit) before the merge plans — old files project the new column
-    * as NULL, time travel keeps each version's own schema. The conf also
-    * advertises ACCEPT_ANY_SCHEMA so INSERT INTO with extra source
-    * columns reaches the write path — the safety that capability turns
-    * off (arity checks, by-name matching, casts, default fill) is put
-    * back verbatim by [[TxAutoMergeInsertRule]], which delegates to
-    * Spark's own TableOutputResolver with a widened expected list. */
+    * as NULL, time travel keeps each version's own schema. Deliberately
+    * NOT ACCEPT_ANY_SCHEMA (spec-proven to break plain MERGE's condition
+    * resolution): INSERT-side evolution instead pre-widens the table via
+    * [[TxAutoMergeInsertRule]], which intercepts the still-unconverted
+    * InsertIntoStatement, alters the table, and reloads the relation —
+    * so Spark's stock output resolution (arity checks, by-name matching,
+    * casts, default fill) still runs untouched. */
   override def capabilities(): util.Set[TableCapability] = {
     val base = util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
@@ -1328,10 +1337,16 @@ final case class TxAutoMergeInsertRule(spark: SparkSession)
     * `@wap.x` identifier must never widen the main table's schema as a
     * side effect of its insert — those statements keep the stock strict
     * arity error (branch-side evolution has its own path: the Scala
-    * `appendToBranch` union-evolves the branch head). */
+    * `appendToBranch` union-evolves the branch head). The loaded
+    * [[TxSparkTable]] already knows how its identifier resolved, so ask
+    * it — substring-matching the rendered identifier for '@' would also
+    * disable evolution for a path that merely CONTAINS a literal '@'
+    * (valid in POSIX filenames). */
   private def isMainHead(r: DataSourceV2Relation): Boolean =
-    r.identifier.forall(i =>
-      !(i.namespace() :+ i.name()).mkString("/").contains("@"))
+    r.table match {
+      case t: TxSparkTable => t.isMainHead
+      case _ => false
+    }
 
   private def extraColumns(r: DataSourceV2Relation, query: LogicalPlan,
                            byName: Boolean)
@@ -2322,7 +2337,7 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
             s"statement (drifted: ${dvDrift.take(3).map(_.rel)
               .mkString(", ")}…)")
       val merged = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
+        snap.schema.getOrElse(TxTable.allNullable(writeSchema)), writeSchema, snap.dropped)
       if (TxTable.commitNext(fs, path, snap, adds = adds,
           removes = removes, txn = None, schema = Some(merged),
           bucketing = Some(bucketing)))
@@ -2542,7 +2557,7 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
         e.copy(dv = Some(TxTable.DvRef(dvRel.get, total)))
       }
       val merged0 = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
+        snap.schema.getOrElse(TxTable.allNullable(writeSchema)), writeSchema, snap.dropped)
       if (TxTable.commitNext(fs, path, snap, adds = inserts ++ reAdds,
           removes = taskDeletes.keySet.toSet, txn = None,
           schema = Some(merged0), bucketing = Some(bucketing),
@@ -3133,7 +3148,7 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
         return
       }
       val merged = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
+        snap.schema.getOrElse(TxTable.allNullable(writeSchema)), writeSchema, snap.dropped)
       val removes: Set[String] =
         if (replaceAll) snap.entries.map(_.rel).toSet else Set.empty
       if (TxTable.commitNext(fs, path, snap, adds = adds,
@@ -3315,7 +3330,7 @@ final class TxBatchWrite(path: String, querySchema: StructType,
     while (attempt <= 5) {
       val snap = TxTable.snapshot(spark, path)
       val merged = TxTable.mergeSchemas(
-        snap.schema.getOrElse(writeSchema), writeSchema, snap.dropped)
+        snap.schema.getOrElse(TxTable.allNullable(writeSchema)), writeSchema, snap.dropped)
       // overwrite = last-writer-wins replacement of whatever snapshot the
       // CAS lands on (the standard non-conflicting overwrite semantics)
       val (removes: Set[String], rewriteAdds: Seq[TxTable.FileEntry]) =

@@ -19,25 +19,6 @@ import org.apache.spark.util.SerializableConfiguration
   *
   * Everything here delegates; the TxTable-specific logic (manifest →
   * buckets → partitions) lives in `graft.sources`. */
-/** sql-package accessor for [[org.apache.spark.sql.catalyst.analysis
-  * .TableOutputResolver]] (`private[sql]`): graft's auto-merge INSERT
-  * alignment delegates arity checks, by-name matching, cast insertion,
-  * and default-value fill to Spark's OWN output resolver instead of
-  * re-implementing them — the rule only widens the expected attribute
-  * list with the evolving columns first. */
-object GraftAlignShim {
-  def resolveOutputColumns(
-      tableName: String,
-      expected: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
-      query: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      byName: Boolean)
-      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
-    org.apache.spark.sql.catalyst.analysis.TableOutputResolver
-      .resolveOutputColumns(tableName, expected, query, byName,
-        org.apache.spark.sql.internal.SQLConf.get,
-        supportColDefaultValue = true)
-}
-
 object GraftParquetShim {
 
   /** The stock vectorized/codegen parquet reader factory over an explicit

@@ -142,6 +142,89 @@ class BranchSpec extends AnyFunSuite {
     }
   }
 
+  test("append racing a publish is never silently lost: it lands on main or fails loudly") {
+    registered {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // the race window is the publisher's fence (marker -> freeze ->
+      // commit -> drop); iterate so both interleavings actually occur
+      (1 to 8).foreach { i =>
+        val t = fresh()
+        TxTable.createBranch(spark, t, "pub")
+        TxTable.appendToBranch(spark, t, "pub",
+          Seq((s"BASE$i", 1L)).toDF("k", "v"))
+        val fPub = Future {
+          scala.util.Try(TxTable.publishBranch(spark, t, "pub"))
+        }
+        val fApp = Future {
+          scala.util.Try(TxTable.appendToBranch(spark, t, "pub",
+            Seq((s"RACE$i", 2L)).toDF("k", "v")))
+        }
+        val (pub, app) = (Await.result(fPub, 120.seconds),
+          Await.result(fApp, 120.seconds))
+        val main = spark.table(s"txbr.`$t`")
+        val raceOnMain = main.where($"k" === s"RACE$i").count()
+        if (pub.isSuccess) {
+          assert(main.where($"k" === s"BASE$i").count() == 1,
+            "the frozen branch delta must land on main")
+          app match {
+            case scala.util.Success(_) =>
+              assert(raceOnMain == 1,
+                s"iter $i: append reported success but its rows are " +
+                  "nowhere (silent loss)")
+            case scala.util.Failure(e) =>
+              assert(raceOnMain == 0,
+                s"iter $i: append failed loudly but its rows leaked " +
+                  "onto main")
+              assert(e.getMessage.contains("publish") ||
+                  e.getMessage.contains("no branch named"),
+                s"iter $i: refusal must name the racing publish: $e")
+          }
+        } else {
+          // publish refused (it cannot here — only an env hiccup);
+          // then the branch must still be intact with every append
+          assert(app.isSuccess &&
+            spark.table(s"txbr.`$t@branch.pub`")
+              .where($"k" === s"RACE$i").count() == 1)
+        }
+      }
+    }
+  }
+
+  test("publish fence: appends refuse while the marker is up; abortBranchPublish recovers a crashed publisher") {
+    registered {
+      val t = fresh()
+      TxTable.createBranch(spark, t, "fenced")
+      TxTable.appendToBranch(spark, t, "fenced",
+        Seq(("F1", 1L)).toDF("k", "v"))
+      // simulate a publisher that crashed between its two fence writes:
+      // marker up, no frozen count
+      val log = new org.apache.hadoop.fs.Path(t, "_txlog/branch-fenced.publish")
+      val fs = log.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(log, false); out.write("publishing\n".getBytes); out.close()
+      val e = intercept[Exception] {
+        TxTable.appendToBranch(spark, t, "fenced",
+          Seq(("F2", 2L)).toDF("k", "v"))
+      }
+      assert(e.getMessage.contains("publish"))
+      // no txn landed -> abort clears the fence and appends flow again
+      TxTable.abortBranchPublish(spark, t, "fenced")
+      TxTable.appendToBranch(spark, t, "fenced",
+        Seq(("F3", 3L)).toDF("k", "v"))
+      assert(spark.table(s"txbr.`$t@branch.fenced`")
+        .where($"k".startsWith("F")).count() == 2)
+      TxTable.publishBranch(spark, t, "fenced")
+      assert(spark.table(s"txbr.`$t`")
+        .where($"k".startsWith("F")).count() == 2)
+      // a re-created branch name starts with a clean chain (no strays)
+      TxTable.createBranch(spark, t, "fenced")
+      assert(TxTable.appendToBranch(spark, t, "fenced",
+        Seq(("F4", 4L)).toDF("k", "v")) == 1)
+      TxTable.dropBranch(spark, t, "fenced")
+    }
+  }
+
   test("branch appends enforce constraints and union-evolve schema; duplicate branch names refuse") {
     registered {
       val t = fresh()

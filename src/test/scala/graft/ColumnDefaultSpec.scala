@@ -135,6 +135,48 @@ class ColumnDefaultSpec extends AnyFunSuite {
     }
   }
 
+  test("SET NOT NULL survives later data commits: a valid INSERT must not revert the recorded constraint") {
+    registered {
+      import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+      val t = Files.createTempDirectory("graft_df6_").toString + "/t"
+      TxTable.init(spark, t,
+        (1 to 4).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      val cat = spark.sessionState.catalogManager.catalog("txdf")
+        .asInstanceOf[TableCatalog]
+      cat.alterTable(Identifier.of(Array.empty, t),
+        TableChange.updateColumnNullability(Array("v"), false))
+      assert(!spark.table(s"txdf.`$t`").schema("v").nullable)
+      // the regression: mergeSchemas used to force nullable=true on
+      // every field at EACH data commit, so this valid insert silently
+      // evaporated the constraint
+      spark.sql(s"INSERT INTO txdf.`$t` VALUES ('X', 9)")
+      assert(!spark.table(s"txdf.`$t`").schema("v").nullable,
+        "a successful data commit must not revert SET NOT NULL")
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txdf.`$t` VALUES ('Y', NULL)")
+      }
+      // the Scala write path enforces too: NULL row refuses the append,
+      // and a union-evolving batch OMITTING the column refuses up front
+      intercept[Exception] {
+        TxTable.appendOnce(spark, t,
+          Seq(("Z", Option.empty[Long])).toDF("k", "v"),
+          "k", 4, "nn-app", 1L)
+      }
+      intercept[Exception] {
+        TxTable.appendOnce(spark, t,
+          Seq(Tuple1("W")).toDF("k"), "k", 4, "nn-app", 2L)
+      }
+      assert(!spark.table(s"txdf.`$t`").schema("v").nullable)
+      assert(spark.table(s"txdf.`$t`")
+        .filter($"v".isNull).count() == 0)
+      // a fresh column added later is still born nullable (old files
+      // read NULL there) — only the VALIDATED constraint is preserved
+      spark.sql(s"ALTER TABLE txdf.`$t` ADD COLUMN w INT")
+      spark.sql(s"INSERT INTO txdf.`$t` VALUES ('N1', 3, NULL)")
+      assert(spark.table(s"txdf.`$t`").schema("w").nullable)
+    }
+  }
+
   test("defaults compose with the CDF and the catalog point paths") {
     registered {
       val t = Files.createTempDirectory("graft_df2_").toString + "/t"

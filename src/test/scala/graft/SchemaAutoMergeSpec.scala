@@ -8,10 +8,10 @@ import graft.ops.TxTable
 
 /** SQL schema evolution behind `spark.graft.sql.schema.autoMerge` (the
   * public Delta autoMerge shape): INSERT INTO with extra source columns
-  * union-evolves the table, and — because the conf advertises
-  * ACCEPT_ANY_SCHEMA, which turns Spark's own output resolution off —
-  * every safety that resolution provided (arity, casts, constraint
-  * enforcement, plain-MERGE alignment) is pinned here as still intact. */
+  * union-evolves the table by PRE-WIDENING it (alterTable + relation
+  * reload) before Spark's own output resolution runs — so every safety
+  * that resolution provides (arity, casts, constraint enforcement,
+  * plain-MERGE alignment) is pinned here as still intact. */
 class SchemaAutoMergeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -162,6 +162,28 @@ class SchemaAutoMergeSpec extends AnyFunSuite {
       assert(TxTable.branchSnapshot(spark, t, "dev").version == 0L,
         "nothing may land on the branch either")
       TxTable.dropBranch(spark, t, "dev")
+    }
+  }
+
+  test("a table path containing a literal '@' keeps INSERT evolution: head-ness comes from resolution, not substring matching") {
+    withAutoMerge {
+      // POSIX allows '@' in file names; only the RESERVED suffix grammar
+      // (@vN / @<tag> / @wap.x / @branch.x) may disable evolution
+      val t = Files.createTempDirectory("graft_am_at_")
+        .toString + "/user@org.db/t"
+      TxTable.init(spark, t,
+        (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      spark.sql(s"INSERT INTO txspj.`$t` VALUES ('X1', 99, 'wide')")
+      assert(spark.table(s"txspj.`$t`").columns.contains("col3") ||
+        spark.table(s"txspj.`$t`").columns.length == 3,
+        "the @-containing path must auto-evolve like any other head")
+      assert(spark.table(s"txspj.`$t`").count() == 9)
+      // while a PINNED identifier on the same table still refuses
+      Seq(("B1", 1L, "x")).toDF("k", "v", "extra")
+        .createOrReplaceTempView("am_at_src")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"INSERT INTO txspj.`$t@v0` SELECT * FROM am_at_src")
+      }
     }
   }
 

@@ -1258,4 +1258,20 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, table).count() == 12)
     assert(TxTable.stagedIds(spark, table).isEmpty)
   }
+
+  test("zone-map comparator survives non-finite doubles after an INT->DOUBLE widening") {
+    // an INT-era zone-map sidecar keeps Integer lo/hi while widened
+    // predicate bounds arrive as Double — including +/-Infinity and NaN
+    // (BigDecimal cannot parse those; planning must not crash). NaN
+    // orders ABOVE +Infinity, matching Spark SQL's NaN-sorts-last.
+    assert(TxTable.cmpAny(Int.box(5), Double.box(Double.PositiveInfinity)) < 0)
+    assert(TxTable.cmpAny(Double.box(Double.NegativeInfinity), Int.box(-5)) < 0)
+    assert(TxTable.cmpAny(Long.box(Long.MaxValue),
+      Double.box(Double.PositiveInfinity)) < 0)
+    assert(TxTable.cmpAny(Int.box(0), Double.box(Double.NaN)) < 0)
+    assert(TxTable.cmpAny(Double.box(Double.NaN), Long.box(Long.MaxValue)) > 0)
+    // the finite mixed path still compares exactly through BigDecimal
+    assert(TxTable.cmpAny(Long.box((1L << 53) + 1), Double.box(Math.pow(2, 53))) > 0)
+    assert(TxTable.cmpAny(Int.box(3), Double.box(3.0)) == 0)
+  }
 }
