@@ -677,6 +677,10 @@ object SparkEntry {
     stagedClusteredOrders(s, dir)
     stagedRetentionOrders(s, dir)
     stagedBackfillOrders(s, dir)
+    // the hidden-partitioned events fixture (days(ts) CTAS + the
+    // day-boundary partition-metadata retention DELETE are landing/
+    // maintenance work; the queries time partition-pruned reads)
+    stagedPartitionedEvents(s, dir)
     // the MOR retention fixture (commit slicing + ANALYZE + two
     // deletion-vector DELETEs are maintenance work; the query times the
     // DV-aware read path)
@@ -856,6 +860,36 @@ object SparkEntry {
       ops.TxTable.computeStats(s, path, "o_orderkey")
       ensureTxCatalog(s)
       s.sql(s"DELETE FROM txspj.`$path` WHERE o_orderkey <= $cut1")
+      ()
+    }
+    path
+  }
+
+  /** Hidden-partitioned events TxTable (the Iceberg partition-transform
+    * shape): CREATE declares `PARTITIONED BY (days(ts), bucket(8,
+    * user_id))`, ONE insert of the full events table lands files split
+    * per UTC day under `part-<day>/bucket-<b>/` segments, then a
+    * DAY-BOUNDARY retention DELETE drops the first nine days — decided
+    * Full per file from the partition envelopes alone (NO ANALYZE ever
+    * runs on this table): one metadata commit, zero files read or
+    * rewritten. The queries time the partition-pruned and post-retention
+    * read paths; landing + retention are maintenance work staged here. */
+  private def stagedPartitionedEvents(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-part-events/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      s.sql(s"""CREATE TABLE txspj.`$path` (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING)
+        PARTITIONED BY (days(ts), bucket(8, user_id))""")
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .writeTo(s"txspj.`$path`").append()
+      s.sql(s"DELETE FROM txspj.`$path` " +
+        "WHERE ts < TIMESTAMP '2024-01-10 00:00:00'")
       ()
     }
     path
@@ -2615,6 +2649,43 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Hidden-partition pruning: the staged table is PARTITIONED BY
+    // (days(ts), bucket(8, user_id)) — this week-range read plans ONLY
+    // the seven matching days' files from their part-<day>/ envelopes
+    // (planned-file counts pinned in PartitionTransformSpec), with no
+    // zone-map sidecar and no ANALYZE. The oracle replays the range over
+    // the raw events.
+    "ext_partition_pruning" -> ((s, dir) => {
+      val path = stagedPartitionedEvents(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Day-boundary retention audit: the staged landing job ran
+    // `DELETE WHERE ts < '2024-01-10'` against the hidden-partitioned
+    // table — every affected file's part-<day>/ envelope proves Full
+    // coverage, so the statement was ONE manifest commit with zero files
+    // read or rewritten (spec-pinned in PartitionTransformSpec). The
+    // query audits the surviving table; the oracle replays the retention
+    // predicate as a WHERE over the raw events.
+    "ext_partition_retention" -> ((s, dir) => {
+      val path = stagedPartitionedEvents(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"))
+        .orderBy(col("event_type"))
     }),
 
     // REPLACE WHERE backfill audit: the staged landing job atomically
@@ -5184,6 +5255,31 @@ object SparkEntry {
         |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // hidden-partition pruning replay: which files the scan PLANS is a
+    // pure execution property — the oracle replays the week range over
+    // the raw events (the staged retention delete only removed days
+    // before Jan 10, outside this range)
+    "ext_partition_pruning" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // day-boundary retention replay: whether the delete dropped whole
+    // files by partition metadata or rewrote them is a pure execution
+    // property — the oracle replays the retention predicate as a WHERE
+    "ext_partition_retention" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // REPLACE WHERE replay: whether the backfill dropped whole files or
     // rewrote remainders is a pure execution property — the oracle

@@ -34,11 +34,14 @@ object DeletionVectors {
     * parquet files at sane sizes are orders of magnitude below this. */
   private[graft] val MaxPos = Int.MaxValue.toLong
 
-  /** The table-relative data-file suffix `files/<uuid>/<dir>/<name>` —
-    * the ONE pattern every DV consumer keys files by (`input_file_name`
-    * extraction here, partition-path extraction on the DSv2 side). Load-
-    * bearing: a drifted copy would silently serve deleted rows. */
-  private[graft] val RelPattern = "files/[^/]+/[^/]+/[^/]+$"
+  /** The table-relative data-file suffix
+    * `files/<uuid>[/part-<v>]/<dir>/<name>` — the ONE pattern every DV
+    * consumer keys files by (`input_file_name` extraction here,
+    * partition-path extraction on the DSv2 side). The optional third
+    * segment is the hidden-partition level; the innermost dir is always
+    * `bucket-<b>`. Load-bearing: a drifted copy would silently serve
+    * deleted rows. */
+  private[graft] val RelPattern = "files/[^/]+(/part-[^/]+)?/[^/]+/[^/]+$"
 
   def serialize(bm: RoaringBitmap): Array[Byte] = {
     bm.runOptimize()

@@ -1951,17 +1951,50 @@ object TxTable {
                          maxRecordsPerFile: Long = 0L): Seq[FileEntry] = {
     val rel = s"files/${java.util.UUID.randomUUID()}"
     val root = new Path(table, rel)
-    val writer = tagged.withColumn("__pb", col(LayoutOps.BucketCol)).write
-    (if (maxRecordsPerFile > 0)
+    // hidden partitioning: when the table declares a transform, derive
+    // each row's partition value and split staged files by it — a
+    // `part-<v>/` segment ABOVE the bucket segment. The transform is set
+    // at CREATE and immutable, so reading it from the current snapshot
+    // is race-free; staging for a not-yet-committed table (init) has no
+    // props and stays unpartitioned. Hyphen (not `=`) directory names
+    // keep Spark's path-based partition inference off, same as bucket-N.
+    val tr = scala.util.Try(snapshot(spark, table)).toOption
+      .flatMap(s => PartitionTransforms.of(s.props))
+    val withPart = tr match {
+      case Some(spec) =>
+        val dt = tagged.schema.fields.find(_.name == spec.column)
+          .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+            s"$table: batch omits the hidden-partition source column " +
+              s"'${spec.column}' (${spec.render}) — partition placement " +
+              "would be undefined"))
+        tagged.withColumn("__pp", PartitionTransforms.partExpr(spec, dt))
+      case None => tagged
+    }
+    val writer = withPart.withColumn("__pb", col(LayoutOps.BucketCol)).write
+    val writer2 = if (maxRecordsPerFile > 0)
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
-     else writer)
-      .partitionBy("__pb").parquet(s"$table/$rel")
+     else writer
+    (if (tr.isDefined) writer2.partitionBy("__pp", "__pb")
+     else writer2.partitionBy("__pb")).parquet(s"$table/$rel")
     val fs = fsFor(spark, table)
-    fs.listStatus(root).filter(_.getPath.getName.startsWith("__pb="))
-      .foreach { st =>
-        val b = st.getPath.getName.stripPrefix("__pb=")
-        fs.rename(st.getPath, new Path(root, s"bucket-$b"))
-      }
+    def renameBuckets(dir: Path): Unit =
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith("__pb="))
+        .foreach { st =>
+          val b = st.getPath.getName.stripPrefix("__pb=")
+          fs.rename(st.getPath, new Path(dir, s"bucket-$b"))
+        }
+    if (tr.isDefined)
+      fs.listStatus(root).filter(_.getPath.getName.startsWith("__pp="))
+        .foreach { st =>
+          val v0 = st.getPath.getName.stripPrefix("__pp=")
+          // NULL source values land under part-null: never pruned,
+          // never partition-dropped (the conservative envelope)
+          val v = if (v0 == "__HIVE_DEFAULT_PARTITION__") "null" else v0
+          val target = new Path(root, s"part-$v")
+          fs.rename(st.getPath, target)
+          renameBuckets(target)
+        }
+    else renameBuckets(root)
     val it = fs.listFiles(root, true)
     val entries = Seq.newBuilder[FileEntry]
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -1982,7 +2015,13 @@ object TxTable {
               .fromPath(st.getPath, hconf))
           try r.getRecordCount finally r.close()
         }.toOption
-        entries += FileEntry(b, s"$rel/$bucketSeg/$name", rows)
+        // table-relative path INCLUDING any part-<v> segment (relativize
+        // against the qualified staging root rather than assuming a
+        // fixed directory depth)
+        val fileRel = st.getPath.toUri.getPath
+          .stripPrefix(fs.makeQualified(root).toUri.getPath)
+          .stripPrefix("/")
+        entries += FileEntry(b, s"$rel/$fileRel", rows)
       }
     }
     entries.result()

@@ -207,8 +207,17 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     if (TxTable.isTxTable(spark, path))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val bucketing: (String, Int) = partitions match {
-      case Array(t) if t.name == "bucket" =>
+    // layout grammar: exactly one REQUIRED bucket(n, key) transform (a
+    // TxTable without a bucket layout cannot exist: placement is part of
+    // the table's identity) plus at most one OPTIONAL temporal transform
+    // — hours/days/months/years(col), the Iceberg hidden-partitioning
+    // shape — in either order. The temporal layer adds a `part-<v>/`
+    // path level above the buckets; scans prune it from predicates on
+    // the SOURCE column, and day/month-boundary retention DELETEs become
+    // metadata-only commits.
+    def parseBucket(t: Transform): Option[(String, Int)] =
+      if (t.name != "bucket") None
+      else {
         val n = t.arguments.collectFirst {
           case l: org.apache.spark.sql.connector.expressions.Literal[_]
               if l.dataType == IntegerType => l.value.asInstanceOf[Int]
@@ -218,16 +227,36 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
           case _ => None
         }
         (n, key) match {
-          case (Some(nb), Some(k)) => (k, nb)
+          case (Some(nb), Some(k)) => Some((k, nb))
           case _ => throw new UnsupportedOperationException(
             s"unsupported bucket transform ${t.describe()}: expected " +
               "bucket(<int literal>, <single column>)")
         }
-      case _ => throw new UnsupportedOperationException(
-        "a TxTable is DEFINED by its bucket layout: declare exactly " +
-          "PARTITIONED BY (bucket(n, key)) " +
+      }
+    def parseTemporal(t: Transform)
+        : Option[graft.ops.PartitionTransforms.Spec] =
+      if (!graft.ops.PartitionTransforms.Fns(t.name)) None
+      else t.references.toSeq match {
+        case Seq(r) if r.fieldNames.length == 1 =>
+          Some(graft.ops.PartitionTransforms.Spec(t.name, r.fieldNames()(0)))
+        case _ => throw new UnsupportedOperationException(
+          s"unsupported transform ${t.describe()}: expected " +
+            s"${t.name}(<single column>)")
+      }
+    val buckets = partitions.flatMap(parseBucket)
+    val temporals = partitions.flatMap(parseTemporal)
+    val layoutOk = buckets.length == 1 && temporals.length <= 1 &&
+      buckets.length + temporals.length == partitions.length
+    if (!layoutOk)
+      throw new UnsupportedOperationException(
+        "a TxTable is DEFINED by its bucket layout: declare " +
+          "PARTITIONED BY (bucket(n, key)) with at most one optional " +
+          "temporal transform hours|days|months|years(col) " +
           s"(got ${partitions.map(_.describe()).mkString("[", ", ", "]")})")
-    }
+    val bucketing: (String, Int) = buckets.head
+    val temporal = temporals.headOption
+    temporal.foreach(spec =>
+      graft.ops.PartitionTransforms.validate(spec, schema))
     // user TBLPROPERTIES persist in the log; Spark's reserved/engine
     // keys (provider, location, owner, …) describe the catalog entry,
     // not the table, and stay out
@@ -243,8 +272,12 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
           !k.startsWith(TxTable.ConstraintPrefix)
       }
     }
+    require(!userProps.contains(graft.ops.PartitionTransforms.Prop),
+      s"${graft.ops.PartitionTransforms.Prop} is engine-managed: declare " +
+        "the transform in PARTITIONED BY, not TBLPROPERTIES")
     TxTable.create(spark, path, schema, bucketing._1, bucketing._2,
-      props = userProps)
+      props = userProps ++ temporal.map(s =>
+        graft.ops.PartitionTransforms.Prop -> s.render))
     new TxSparkTable(path)
   }
 
@@ -431,11 +464,18 @@ private[sources] object TxAlterSchema {
           s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
             "ALTER TABLE ADD/DROP CONSTRAINT (they validate data; a raw " +
             "SET TBLPROPERTIES would not)")
+        require(set.property != graft.ops.PartitionTransforms.Prop,
+          s"${graft.ops.PartitionTransforms.Prop} is the table's layout " +
+            "identity, set at CREATE and immutable — existing files were " +
+            "placed under the declared transform")
         (schema, dropped, props + (set.property -> set.value), renames)
       case unset: RemoveProperty =>
         require(!unset.property.startsWith(TxTable.ConstraintPrefix),
           s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
             "ALTER TABLE ADD/DROP CONSTRAINT")
+        require(unset.property != graft.ops.PartitionTransforms.Prop,
+          s"${graft.ops.PartitionTransforms.Prop} is the table's layout " +
+            "identity, set at CREATE and immutable")
         (schema, dropped, props - unset.property, renames)
       case ac: AddConstraint =>
         val check = ac.constraint() match {
@@ -545,6 +585,11 @@ private[sources] object TxAlterSchema {
           }
           require(phys != graft.ops.LayoutOps.BucketCol,
             s"cannot drop the internal layout column $name")
+          graft.ops.PartitionTransforms.of(props).foreach { spec =>
+            require(phys != spec.column,
+              s"cannot drop '$name': it is the hidden-partition source " +
+                s"(${spec.render}) — the table's layout identity")
+          }
           require(schema.fields.count(
             _.name != graft.ops.LayoutOps.BucketCol) > 1,
             s"cannot drop '$name': it is the last data column")
@@ -827,10 +872,22 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
     }
     m
   }
-  override def partitioning(): Array[Transform] =
+  override def partitioning(): Array[Transform] = {
     // LOGICAL key name: Spark resolves the transform reference against
     // this table's reported schema (identity is physical in the log)
-    Array(Expressions.bucket(bucketing._2, snap.logicalName(bucketing._1)))
+    val temporal = graft.ops.PartitionTransforms.of(snap.props).map { s =>
+      val c = snap.logicalName(s.column)
+      s.fn match {
+        case "hours" => Expressions.hours(c)
+        case "days" => Expressions.days(c)
+        case "months" => Expressions.months(c)
+        case "years" => Expressions.years(c)
+      }
+    }
+    (temporal.toSeq :+
+      Expressions.bucket(bucketing._2, snap.logicalName(bucketing._1)))
+      .toArray
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // the audit view pins like a time-travel read (streaming refuses:
     // staged commits have no offsets until they publish)
@@ -1459,17 +1516,37 @@ private[sources] object TxMetadataDelete {
     def cmp(a: Any, b: Any): Option[Int] =
       scala.util.Try(TxTable.cmpAny(a, b)).toOption
 
+    val spec = graft.ops.PartitionTransforms.of(snap.props)
+
     def coverage(f: Filter, e: TxTable.FileEntry): Coverage = {
-      // (lo, hi, nulls) — present only for post-null-count sidecars
-      def st(c: String): Option[(Any, Any, Long)] =
+      // hidden partitioning: a `part-<v>/` file's source column is
+      // exactly bracketed by the partition's range and holds NO nulls
+      // (null source values land under part-null) — so day/month-
+      // boundary retention predicates decide Full/Zero with zero
+      // sidecar I/O and no ANALYZE
+      def partOf: Option[Long] =
+        graft.ops.PartitionTransforms.partOfRel(e.rel)
+      def partNullsZero(c: String): Boolean =
+        spec.exists(sp => sp.column == c && partOf.isDefined)
+      // (lo, hi, nulls) — zone-map sidecar first (tighter), partition
+      // envelope as the fallback, typed like the predicate value `v`
+      def st(c: String, v: Any = null): Option[(Any, Any, Long)] =
         stats(c).get(e.rel).flatMap { case (lo, hi, n) =>
-          n.map(nn => (lo, hi, nn)) }
+          n.map(nn => (lo, hi, nn))
+        }.orElse {
+          if (v == null) None
+          else spec.filter(_.column == c).flatMap(sp =>
+            partOf.flatMap(p =>
+              graft.ops.PartitionTransforms.envelopeLike(sp.fn, p, v)
+                .map { case (lo, hi) => (lo, hi, 0L) }))
+        }
       /** Range comparison coverage: `fullHi`/`zeroLo` decide from the
         * non-null range; FULL additionally requires zero nulls (a null
         * never matches a comparison, so it must survive the delete). */
-      def rangeCov(c: String, full: (Any, Any) => Option[Boolean],
+      def rangeCov(c: String, v: Any,
+                   full: (Any, Any) => Option[Boolean],
                    zero: (Any, Any) => Option[Boolean]): Coverage =
-        st(c) match {
+        st(c, v) match {
           case None => Partial
           case Some((lo, _, _)) if lo == null => Zero // all-null file
           case Some((lo, hi, nulls)) =>
@@ -1483,19 +1560,19 @@ private[sources] object TxMetadataDelete {
         case And(a, b) => andCov(coverage(a, e), coverage(b, e))
         case Or(a, b) => orCov(coverage(a, e), coverage(b, e))
         case LessThan(c, v) if v != null =>
-          rangeCov(c, (_, hi) => cmp(hi, v).map(_ < 0),
+          rangeCov(c, v, (_, hi) => cmp(hi, v).map(_ < 0),
             (lo, _) => cmp(lo, v).map(_ >= 0))
         case LessThanOrEqual(c, v) if v != null =>
-          rangeCov(c, (_, hi) => cmp(hi, v).map(_ <= 0),
+          rangeCov(c, v, (_, hi) => cmp(hi, v).map(_ <= 0),
             (lo, _) => cmp(lo, v).map(_ > 0))
         case GreaterThan(c, v) if v != null =>
-          rangeCov(c, (lo, _) => cmp(lo, v).map(_ > 0),
+          rangeCov(c, v, (lo, _) => cmp(lo, v).map(_ > 0),
             (_, hi) => cmp(hi, v).map(_ <= 0))
         case GreaterThanOrEqual(c, v) if v != null =>
-          rangeCov(c, (lo, _) => cmp(lo, v).map(_ >= 0),
+          rangeCov(c, v, (lo, _) => cmp(lo, v).map(_ >= 0),
             (_, hi) => cmp(hi, v).map(_ < 0))
         case EqualTo(c, v) if v != null =>
-          rangeCov(c,
+          rangeCov(c, v,
             (lo, hi) => for (a <- cmp(lo, v); b <- cmp(hi, v))
               yield a == 0 && b == 0,
             (lo, hi) => for (a <- cmp(v, lo); b <- cmp(v, hi))
@@ -1504,7 +1581,7 @@ private[sources] object TxMetadataDelete {
           coverage(EqualTo(c, v), e)
         case EqualNullSafe(c, null) => coverage(IsNull(c), e)
         case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-          st(c) match {
+          st(c, vs.head) match {
             case None => Partial
             case Some((lo, _, _)) if lo == null => Zero
             case Some((lo, hi, nulls)) =>
@@ -1517,13 +1594,13 @@ private[sources] object TxMetadataDelete {
               else Partial
           }
         case IsNull(c) => st(c) match {
-          case None => Partial
+          case None => if (partNullsZero(c)) Zero else Partial
           case Some((_, _, 0L)) => Zero
           case Some((_, _, nulls)) if e.rows.contains(nulls) => Full
           case _ => Partial
         }
         case IsNotNull(c) => st(c) match {
-          case None => Partial
+          case None => if (partNullsZero(c)) Full else Partial
           case Some((_, _, 0L)) => Full
           case Some((_, _, nulls)) if e.rows.contains(nulls) => Zero
           case _ => Partial
@@ -1580,14 +1657,24 @@ private[sources] object TxCatalogPruning {
             bucketing: (String, Int), schema: StructType,
             filters: Array[Filter])
       : (Seq[TxTable.FileEntry], Array[Filter]) = {
-    val bounds: Seq[(String, Option[Any], Option[Any], Filter)] =
+    // (column, lower bound + strict?, upper bound + strict?, source
+    // filter). Strictness matters when a bound ALIGNS with a file
+    // envelope edge — the common case for hidden partitions (`ts <
+    // 'day boundary'` must prune that day), and equally sound for zone
+    // maps (min == v under `col < v` holds no matching row).
+    val bounds: Seq[(String, Option[(Any, Boolean)],
+        Option[(Any, Boolean)], Filter)] =
       filters.toSeq.flatMap {
-        case f @ GreaterThanOrEqual(c, v) => Seq((c, Some(v), None, f: Filter))
-        case f @ GreaterThan(c, v) => Seq((c, Some(v), None, f: Filter))
-        case f @ LessThanOrEqual(c, v) => Seq((c, None, Some(v), f: Filter))
-        case f @ LessThan(c, v) => Seq((c, None, Some(v), f: Filter))
+        case f @ GreaterThanOrEqual(c, v) =>
+          Seq((c, Some((v, false)), None, f: Filter))
+        case f @ GreaterThan(c, v) =>
+          Seq((c, Some((v, true)), None, f: Filter))
+        case f @ LessThanOrEqual(c, v) =>
+          Seq((c, None, Some((v, false)), f: Filter))
+        case f @ LessThan(c, v) =>
+          Seq((c, None, Some((v, true)), f: Filter))
         case f @ EqualTo(c, v) if v != null =>
-          Seq((c, Some(v), Some(v), f: Filter))
+          Seq((c, Some((v, false)), Some((v, false)), f: Filter))
         case _ => Seq.empty
       }
     val eqs: Seq[(String, Seq[Any], Filter)] = filters.toSeq.flatMap {
@@ -1612,12 +1699,53 @@ private[sources] object TxCatalogPruning {
             case Some((l, h)) if l != null && h != null =>
               bs.forall { case (_, lo, hi, _) =>
                 Try {
-                  lo.forall(v => TxTable.cmpAny(h, v) >= 0) &&
-                    hi.forall(v => TxTable.cmpAny(l, v) <= 0)
+                  lo.forall { case (v, strict) =>
+                    val c = TxTable.cmpAny(h, v)
+                    if (strict) c > 0 else c >= 0
+                  } && hi.forall { case (v, strict) =>
+                    val c = TxTable.cmpAny(l, v)
+                    if (strict) c < 0 else c <= 0
+                  }
                 }.getOrElse(true)
               }
             case Some((l, h)) if l == null && h == null => false
             case _ => true
+          }
+        }
+      }
+    }
+
+    // hidden-partition envelopes: a file staged under `part-<v>/` holds
+    // ONLY rows whose transform value is v, so the partition's instant
+    // range is an exact (lo, hi) envelope for the SOURCE column —
+    // partition pruning with zero sidecar I/O, independent of ANALYZE.
+    // Pre-partitioning files and part-null files have no envelope and
+    // are always kept (over-keep, never wrong).
+    graft.ops.PartitionTransforms.of(snap.props).foreach { spec =>
+      val bs = bounds.filter(_._1 == spec.column)
+      if (bs.nonEmpty) {
+        bs.foreach(b => used += b._4)
+        kept = kept.filter { e =>
+          graft.ops.PartitionTransforms.partOfRel(e.rel) match {
+            case Some(p) =>
+              bs.forall { case (_, lo, hi, _) =>
+                Try {
+                  val v = lo.orElse(hi).get._1
+                  graft.ops.PartitionTransforms
+                    .envelopeLike(spec.fn, p, v) match {
+                    case Some((envLo, envHi)) =>
+                      lo.forall { case (x, strict) =>
+                        val c = TxTable.cmpAny(envHi, x)
+                        if (strict) c > 0 else c >= 0
+                      } && hi.forall { case (x, strict) =>
+                        val c = TxTable.cmpAny(envLo, x)
+                        if (strict) c < 0 else c <= 0
+                      }
+                    case None => true
+                  }
+                }.getOrElse(true)
+              }
+            case None => true
           }
         }
       }
@@ -2295,7 +2423,8 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
     new TxDataWriterFactory(path, stagedRel, querySchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
-          .GraftParquetShim.writeHadoopConf(spark)))
+          .GraftParquetShim.writeHadoopConf(spark)),
+      TxPartTag.forWrite(spark, path, querySchema))
   }
 
   override def commit(
@@ -2456,7 +2585,8 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
     new TxDeltaWriterFactory(path, stagedRel, dataSchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
-          .GraftParquetShim.writeHadoopConf(spark)))
+          .GraftParquetShim.writeHadoopConf(spark)),
+      TxPartTag.forWrite(spark, path, dataSchema))
   }
 
   override def commit(
@@ -2598,12 +2728,13 @@ final case class TxDeltaCommitMessage(
 final class TxDeltaWriterFactory(
     path: String, stagedRel: String, schema: StructType,
     bucketing: (String, Int),
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new TxDeltaWriter(path, stagedRel, schema, bucketing, conf.value,
-      partitionId, taskId)
+      partitionId, taskId, part = part)
 }
 
 /** Task-side delta writer: inserts ride the shared per-bucket staging
@@ -2614,13 +2745,14 @@ final class TxDeltaWriter(
     path: String, stagedRel: String, schema: StructType,
     bucketing: (String, Int),
     conf: org.apache.hadoop.conf.Configuration,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   import org.roaringbitmap.RoaringBitmap
 
   private val inserts =
     new TxDataWriter(path, stagedRel, schema, bucketing, conf,
-      partitionId, taskId)
+      partitionId, taskId, part = part)
   private val deletes =
     scala.collection.mutable.Map.empty[String, RoaringBitmap]
   // UPDATE pairing (row-level CDF): which deleted positions and which
@@ -3110,7 +3242,8 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
           .GraftParquetShim.writeHadoopConf(spark)),
-      TxConstraintChecks.compile(spark, path, querySchema))
+      TxConstraintChecks.compile(spark, path, querySchema),
+      TxPartTag.forWrite(spark, path, querySchema))
   }
 
   override def commit(epochId: Long,
@@ -3181,13 +3314,14 @@ final class TxStreamingWriterFactory(
     bucketing: (String, Int),
     conf: org.apache.spark.util.SerializableConfiguration,
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new TxDataWriter(path, s"$stagedBase-e$epochId", schema, bucketing,
-      conf.value, partitionId, taskId, checks)
+      conf.value, partitionId, taskId, checks, part = part)
 }
 
 /** Compiles a TxTable's CHECK constraints into bound, serializable
@@ -3275,7 +3409,8 @@ final class TxBatchWrite(path: String, querySchema: StructType,
     new TxDataWriterFactory(path, stagedRel, querySchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
-          .GraftParquetShim.writeHadoopConf(spark)))
+          .GraftParquetShim.writeHadoopConf(spark)),
+      TxPartTag.forWrite(spark, path, querySchema))
   }
 
   override def commit(
@@ -3392,15 +3527,32 @@ final class TxBatchWrite(path: String, querySchema: StructType,
   }
 }
 
+
+/** Driver-side tagger resolution shared by every DSv2 write factory:
+  * the table's recorded transform (PHYSICAL column) mapped into the
+  * write's LOGICAL namespace, bound to the query schema's ordinal.
+  * None for unpartitioned tables. */
+private[sources] object TxPartTag {
+  def forWrite(spark: SparkSession, path: String, writeSchema: StructType)
+      : Option[graft.ops.PartitionTransforms.PartTagger] = {
+    val snap = TxTable.snapshot(spark, path)
+    graft.ops.PartitionTransforms.of(snap.props).map { spec =>
+      graft.ops.PartitionTransforms.taggerFor(
+        spec.copy(column = snap.logicalName(spec.column)), writeSchema)
+    }
+  }
+}
+
 final class TxDataWriterFactory(
     path: String, stagedRel: String, schema: StructType,
     bucketing: (String, Int),
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new TxDataWriter(path, stagedRel, schema, bucketing, conf.value,
-      partitionId, taskId)
+      partitionId, taskId, part = part)
 }
 
 /** Task-side writer: one parquet file per bucket this task sees, rows
@@ -3412,7 +3564,8 @@ final class TxDataWriter(
     conf: org.apache.hadoop.conf.Configuration,
     partitionId: Int, taskId: Long,
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.execution.datasources.v2.parquet.GraftParquetShim
 
@@ -3428,12 +3581,15 @@ final class TxDataWriter(
   private val writeSchema = StructType(schema.fields :+
     org.apache.spark.sql.types.StructField(
       graft.ops.LayoutOps.BucketCol, IntegerType))
-  private val writers = scala.collection.mutable.Map.empty[Int,
+  // keyed by (partition segment, bucket) — one file per hidden-partition
+  // value × bucket this task sees ("" segment when unpartitioned)
+  private val writers = scala.collection.mutable.Map.empty[(String, Int),
     (String, org.apache.parquet.hadoop.ParquetWriter[InternalRow])]
   // exact per-file row counts, tallied on the write path for free — they
   // ride the commit message into the manifest so COUNT(*) can answer from
   // metadata alone
-  private val rowCounts = scala.collection.mutable.Map.empty[Int, Long]
+  private val rowCounts =
+    scala.collection.mutable.Map.empty[(String, Int), Long]
   private val out = new org.apache.spark.sql.catalyst.expressions
     .GenericInternalRow(writeSchema.length)
 
@@ -3466,9 +3622,11 @@ final class TxDataWriter(
           s"partition $partitionId")
     }
     val b = bucketOf(row)
-    val (rel, w) = writers.getOrElseUpdate(b, {
-      val r =
-        s"$stagedRel/bucket-$b/part-$partitionId-$taskId-$b.snappy.parquet"
+    val seg = part.fold("")(_.segOf(row))
+    val fk = (seg, b)
+    val (rel, w) = writers.getOrElseUpdate(fk, {
+      val r = s"$stagedRel/${seg}bucket-$b/" +
+        s"part-$partitionId-$taskId-$b.snappy.parquet"
       (r, GraftParquetShim.rowParquetWriter(s"$path/$r", writeSchema,
         new org.apache.hadoop.conf.Configuration(conf)))
     })
@@ -3478,16 +3636,16 @@ final class TxDataWriter(
     }
     out.update(schema.length, b)
     w.write(out)
-    val pos = rowCounts.getOrElse(b, 0L)
-    rowCounts(b) = pos + 1L
+    val pos = rowCounts.getOrElse(fk, 0L)
+    rowCounts(fk) = pos + 1L
     (rel, pos)
   }
 
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writers.values.foreach(_._2.close())
-    TxCommitMessage(writers.toSeq.map { case (b, (rel, _)) =>
-      (b, rel, rowCounts.getOrElse(b, 0L)) })
+    TxCommitMessage(writers.toSeq.map { case (fk @ (_, b), (rel, _)) =>
+      (b, rel, rowCounts.getOrElse(fk, 0L)) })
   }
 
   override def abort(): Unit = {
