@@ -681,6 +681,10 @@ object SparkEntry {
     // day-boundary partition-metadata retention DELETE are landing/
     // maintenance work; the queries time partition-pruned reads)
     stagedPartitionedEvents(s, dir)
+    // the generated-column orders fixture (CREATE + three writer
+    // surfaces incl. a MERGE recompute are landing work; the query
+    // times the plain stored-column read)
+    stagedGeneratedOrders(s, dir)
     // the MOR retention fixture (commit slicing + ANALYZE + two
     // deletion-vector DELETEs are maintenance work; the query times the
     // DV-aware read path)
@@ -890,6 +894,50 @@ object SparkEntry {
         .writeTo(s"txspj.`$path`").append()
       s.sql(s"DELETE FROM txspj.`$path` " +
         "WHERE ts < TIMESTAMP '2024-01-10 00:00:00'")
+      ()
+    }
+    path
+  }
+
+  /** GENERATED ALWAYS AS orders fixture: the table declares
+    * `o_year INT GENERATED ALWAYS AS (year(o_orderdate))` at CREATE and
+    * is then populated through THREE writer surfaces, each omitting the
+    * generated column — a by-name SQL INSERT of the lower key half, a
+    * Scala `appendOnce` of the upper half, and a MERGE that shifts every
+    * tenth key's order date forward a year (updates RECOMPUTE the
+    * generated value; spec matrix in GeneratedColumnSpec). Every stored
+    * row carries the computed year; reads serve it as a normal column. */
+  private def stagedGeneratedOrders(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-generated-orders/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      s.sql(s"""CREATE TABLE txspj.`$path` (
+        o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE,
+        o_orderdate TIMESTAMP, o_orderpriority STRING,
+        o_year INT GENERATED ALWAYS AS (year(o_orderdate)))
+        PARTITIONED BY (bucket(8, o_orderkey))""")
+      val orders = tbl(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate").cast("timestamp").as("o_orderdate"),
+        col("o_orderpriority"))
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      orders.filter(col("o_orderkey") <= maxKey / 2)
+        .createOrReplaceTempView("gen_orders_lo")
+      s.sql(s"""INSERT INTO txspj.`$path`
+        (o_orderkey, o_custkey, o_totalprice, o_orderdate, o_orderpriority)
+        SELECT * FROM gen_orders_lo""")
+      ops.TxTable.appendOnce(s, path,
+        orders.filter(col("o_orderkey") > maxKey / 2),
+        "o_orderkey", 8, appId = "gen-stage", batchId = 1L)
+      orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey").as("k"),
+          (col("o_orderdate") + expr("INTERVAL '12' MONTH")).as("nd"))
+        .createOrReplaceTempView("gen_orders_shift")
+      s.sql(s"""MERGE INTO txspj.`$path` tgt USING gen_orders_shift src
+        ON tgt.o_orderkey = src.k
+        WHEN MATCHED THEN UPDATE SET o_orderdate = src.nd""")
       ()
     }
     path
@@ -2649,6 +2697,22 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // GENERATED ALWAYS AS audit: every stored row's o_year was COMPUTED
+    // at write by one of three writer surfaces (SQL INSERT, appendOnce,
+    // MERGE-update recompute — see stagedGeneratedOrders); the query
+    // reads it as a normal stored column, the oracle recomputes the
+    // expression from the raw orders (with the merge's +1-year shift
+    // replayed as arithmetic).
+    "ext_generated_columns" -> ((s, dir) => {
+      val path = stagedGeneratedOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("o_year"))
     }),
 
     // Hidden-partition pruning: the staged table is PARTITIONED BY
@@ -5255,6 +5319,22 @@ object SparkEntry {
         |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // generated-column replay: whether o_year was stored computed or
+    // recomputed on read is a pure execution property — the oracle
+    // recomputes the generation expression over the raw orders; the
+    // MERGE's 12-month shift on every tenth key is replayed as a +1
+    // on the year (a 12-month calendar add always lands in the next
+    // year, independent of day clamping)
+    "ext_generated_columns" ->
+      """SELECT CAST(year(o_orderdate) AS INT) +
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS o_year,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // hidden-partition pruning replay: which files the scan PLANS is a
     // pure execution property — the oracle replays the week range over

@@ -3177,10 +3177,41 @@ object TxTable {
     * constraint name and the row's JSON. Applied by the Scala write
     * paths; the DSv2 SQL paths get the same checks natively from Spark
     * because [[graft.sources.TxSparkTable]] reports the constraints. */
+  /** GENERATED ALWAYS AS computation for the Scala write paths (the
+    * DSv2 task writers resolve the same semantics executor-side in
+    * TxDataWriter): a batch omitting the generated column gets it
+    * computed; NULL provided → computed; a non-null provided value must
+    * EQUAL the computed value or the row fails the write loudly. The
+    * expression speaks LOGICAL names, like CHECK constraints. */
+  private[graft] def applyGenerated(spark: SparkSession, snap: Snapshot,
+                                    df: DataFrame): DataFrame = {
+    val gens = snap.schema.toSeq.flatMap(_.fields)
+      .filter(f => f.metadata.contains("GENERATION_EXPRESSION") &&
+        !snap.dropped.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => (snap.logicalName(f.name),
+        f.metadata.getString("GENERATION_EXPRESSION"), f.dataType))
+    gens.foldLeft(df) { case (d, (name, sql, dt)) =>
+      val computed = expr(sql).cast(dt)
+      if (!d.columns.exists(_.equalsIgnoreCase(name)))
+        d.withColumn(name, computed)
+      else {
+        val c = col(s"`$name`")
+        d.withColumn(name,
+          when(c.isNull, computed)
+            .when(c === computed, c)
+            .otherwise(raise_error(concat(
+              lit(s"GENERATED column conflict ($name := $sql): computed "),
+              computed.cast("string"), lit(" but the write provided "),
+              c.cast("string"))).cast(dt)))
+      }
+    }
+  }
+
   private[graft] def enforceConstraints(spark: SparkSession, table: String,
-                                        df: DataFrame): DataFrame = {
-    if (!isTxTable(spark, table)) return df
+                                        df0: DataFrame): DataFrame = {
+    if (!isTxTable(spark, table)) return df0
     val snap = snapshot(spark, table)
+    val df = applyGenerated(spark, snap, df0)
     // NOT NULL enforcement for the Scala write paths (the DSv2 SQL paths
     // get it natively from Spark's TableOutputResolver because the
     // catalog reports the recorded nullability): a union-evolving batch
@@ -3552,8 +3583,9 @@ object TxTable {
     val head = branchSnapshot(spark, table, name)
     val (key, n) = head.bucketing.getOrElse(throw new IllegalStateException(
       s"$table@branch.$name records no bucket identity"))
+    val gened = applyGenerated(spark, head, batch)
     val cons = constraintsOf(head).toSeq.sortBy(_._1)
-    val checked = cons.foldLeft(batch) { case (d, (cn, sql)) =>
+    val checked = cons.foldLeft(gened) { case (d, (cn, sql)) =>
       // same contract as the main-path enforceConstraints: violating
       // rows fail the append before anything publishes
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}

@@ -99,7 +99,8 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     * clauses) through this catalog. */
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
 
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
@@ -286,7 +287,21 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     * then commit each constraint — the table is empty, so only a
     * resolution probe runs, no validation scan. */
   override def createTable(ident: Identifier, info: TableInfo): Table = {
-    val t = createTable(ident, info.schema(), info.partitions(),
+    // GENERATED ALWAYS AS expressions ride the V2 Column objects, not
+    // the converted StructType — stamp them into field metadata (the
+    // same GENERATION_EXPRESSION convention Spark's own utilities read)
+    // so the log records them and every writer computes them
+    val schema = StructType(info.schema().fields.zip(info.columns())
+      .map { case (f, c) =>
+        Option(c.generationExpression()) match {
+          case Some(ge) =>
+            f.copy(metadata = new org.apache.spark.sql.types
+              .MetadataBuilder().withMetadata(f.metadata)
+              .putString(TxGeneratedCols.Key, ge).build())
+          case None => f
+        }
+      })
+    val t = createTable(ident, schema, info.partitions(),
       info.properties())
     if (info.constraints().nonEmpty) {
       val (path, _) = pathOf(ident)
@@ -590,6 +605,19 @@ private[sources] object TxAlterSchema {
               s"cannot drop '$name': it is the hidden-partition source " +
                 s"(${spec.render}) — the table's layout identity")
           }
+          // a GENERATED column referencing the dropped name would
+          // compute from a phantom forever — refuse (dropping the
+          // generated column ITSELF is fine: the expression dies with it)
+          schema.fields.filter(f => f.name != phys &&
+              f.metadata.contains(TxGeneratedCols.Key)).foreach { g =>
+            if (TxGeneratedCols.referencedBy(spark,
+                g.metadata.getString(TxGeneratedCols.Key))
+                .exists(_.equalsIgnoreCase(name)))
+              throw new IllegalArgumentException(
+                s"cannot drop '$name': GENERATED column " +
+                  s"'${logicalOf(g.name)}' computes from it — drop the " +
+                  "generated column first")
+          }
           require(schema.fields.count(
             _.name != graft.ops.LayoutOps.BucketCol) > 1,
             s"cannot drop '$name': it is the last data column")
@@ -614,6 +642,17 @@ private[sources] object TxAlterSchema {
         require(rn.fieldNames.length == 1,
           s"ALTER TABLE RENAME COLUMN supports top-level columns only, " +
             s"got ${rn.fieldNames.mkString(".")}")
+        // generation expressions store LOGICAL references as SQL text;
+        // renaming a referenced column would dangle them
+        schema.fields.filter(_.metadata.contains(TxGeneratedCols.Key))
+          .foreach { g =>
+            if (TxGeneratedCols.referencedBy(spark,
+                g.metadata.getString(TxGeneratedCols.Key))
+                .exists(_.equalsIgnoreCase(rn.fieldNames()(0))))
+              throw new IllegalArgumentException(
+                s"cannot rename '${rn.fieldNames()(0)}': GENERATED " +
+                  s"column '${logicalOf(g.name)}' computes from it")
+          }
         // delegate to the one shared kernel (the Scala API path) — the
         // fold state stands in for the snapshot so multi-change ALTERs
         // validate against their own earlier changes
@@ -681,6 +720,20 @@ private[sources] object TxAlterSchema {
         require(ut.fieldNames.length == 1,
           s"ALTER TABLE ALTER COLUMN … TYPE supports top-level columns " +
             s"only, got ${ut.fieldNames.mkString(".")}")
+        // type drift would silently change (or break) what a generation
+        // expression computes — refuse on the generated column and on
+        // any column it references
+        schema.fields.filter(_.metadata.contains(TxGeneratedCols.Key))
+          .foreach { g =>
+            val target = ut.fieldNames()(0)
+            if (logicalOf(g.name).equalsIgnoreCase(target) ||
+                TxGeneratedCols.referencedBy(spark,
+                  g.metadata.getString(TxGeneratedCols.Key))
+                  .exists(_.equalsIgnoreCase(target)))
+              throw new IllegalArgumentException(
+                s"cannot change the type of '$target': it is (or feeds) " +
+                  s"GENERATED column '${logicalOf(g.name)}'")
+          }
         val name = ut.fieldNames()(0)
         val phys = physOf(name)
         val f = schema.fields.find(_.name == phys).getOrElse(
@@ -2420,11 +2473,14 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     val spark = SparkSession.active
+    val gens = TxGeneratedCols.compile(spark, path, querySchema)
     new TxDataWriterFactory(path, stagedRel, querySchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
           .GraftParquetShim.writeHadoopConf(spark)),
-      TxPartTag.forWrite(spark, path, querySchema))
+      TxPartTag.forWrite(spark, path,
+        StructType(querySchema.fields ++ gens.appended)),
+      gens, genEnforce = false)
   }
 
   override def commit(
@@ -2582,11 +2638,14 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     val spark = SparkSession.active
+    val gens = TxGeneratedCols.compile(spark, path, dataSchema)
     new TxDeltaWriterFactory(path, stagedRel, dataSchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
           .GraftParquetShim.writeHadoopConf(spark)),
-      TxPartTag.forWrite(spark, path, dataSchema))
+      TxPartTag.forWrite(spark, path,
+        StructType(dataSchema.fields ++ gens.appended)),
+      gens)
   }
 
   override def commit(
@@ -2729,12 +2788,13 @@ final class TxDeltaWriterFactory(
     path: String, stagedRel: String, schema: StructType,
     bucketing: (String, Int),
     conf: org.apache.spark.util.SerializableConfiguration,
-    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None,
+    gens: TxGeneratedCols.Gens = TxGeneratedCols.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new TxDeltaWriter(path, stagedRel, schema, bucketing, conf.value,
-      partitionId, taskId, part = part)
+      partitionId, taskId, part = part, gens = gens)
 }
 
 /** Task-side delta writer: inserts ride the shared per-bucket staging
@@ -2746,13 +2806,33 @@ final class TxDeltaWriter(
     bucketing: (String, Int),
     conf: org.apache.hadoop.conf.Configuration,
     partitionId: Int, taskId: Long,
-    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None,
+    gens: TxGeneratedCols.Gens = TxGeneratedCols.empty)
     extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   import org.roaringbitmap.RoaringBitmap
 
   private val inserts =
     new TxDataWriter(path, stagedRel, schema, bucketing, conf,
-      partitionId, taskId, part = part)
+      partitionId, taskId, part = part, gens = gens)
+
+  /** UPDATE rows RECOMPUTE generated columns (the Delta semantics: an
+    * update changing a source column must not carry the stale generated
+    * value, and explicit assignment is not distinguishable here) — null
+    * the generated ordinals so the shared writer fills computed values. */
+  private def regenerated(row: InternalRow): InternalRow =
+    if (gens.isEmpty) row
+    else {
+      val r = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(schema.length)
+      var i = 0
+      while (i < schema.length) {
+        r.update(i, row.get(i, schema.fields(i).dataType)); i += 1
+      }
+      gens.items.foreach { case (ord, _, _) =>
+        if (ord < schema.length) r.update(ord, null)
+      }
+      r
+    }
   private val deletes =
     scala.collection.mutable.Map.empty[String, RoaringBitmap]
   // UPDATE pairing (row-level CDF): which deleted positions and which
@@ -2785,7 +2865,7 @@ final class TxDeltaWriter(
       s"row position $pos outside positional-bitmap range")
     deletes.getOrElseUpdate(rel, new RoaringBitmap()).add(pos.toInt)
     updDel.getOrElseUpdate(rel, new RoaringBitmap()).add(pos.toInt)
-    val (insRel, insPos) = inserts.writeTracked(row)
+    val (insRel, insPos) = inserts.writeTracked(regenerated(row))
     require(insPos <= graft.ops.DeletionVectors.MaxPos,
       s"insert position $insPos outside positional-bitmap range")
     updIns.getOrElseUpdate(insRel, new RoaringBitmap()).add(insPos.toInt)
@@ -3238,12 +3318,15 @@ final class TxStreamingWrite(path: String, querySchema: StructType,
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory = {
     val spark = SparkSession.active
+    val gens = TxGeneratedCols.compile(spark, path, querySchema)
     new TxStreamingWriterFactory(path, stagedBase, querySchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
           .GraftParquetShim.writeHadoopConf(spark)),
       TxConstraintChecks.compile(spark, path, querySchema),
-      TxPartTag.forWrite(spark, path, querySchema))
+      TxPartTag.forWrite(spark, path,
+        StructType(querySchema.fields ++ gens.appended)),
+      gens)
   }
 
   override def commit(epochId: Long,
@@ -3315,13 +3398,14 @@ final class TxStreamingWriterFactory(
     conf: org.apache.spark.util.SerializableConfiguration,
     checks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None,
+    gens: TxGeneratedCols.Gens = TxGeneratedCols.empty)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new TxDataWriter(path, s"$stagedBase-e$epochId", schema, bucketing,
-      conf.value, partitionId, taskId, checks, part = part)
+      conf.value, partitionId, taskId, checks, part = part, gens = gens)
 }
 
 /** Compiles a TxTable's CHECK constraints into bound, serializable
@@ -3343,6 +3427,106 @@ private[sources] object TxTimestamps {
     else java.sql.Timestamp.valueOf(
       if (s.contains(' ') || s.contains('T')) s.replace('T', ' ')
       else s + " 00:00:00").getTime
+}
+
+/** GENERATED ALWAYS AS columns (the Delta generated-columns design, via
+  * Spark's own DDL plumbing): the generation expression rides the
+  * column's StructField metadata under Spark's GENERATION_EXPRESSION key
+  * — set at CREATE (the analyzer validates determinism, type match, and
+  * no generated-on-generated references because the catalog declares
+  * SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS), preserved by every
+  * data commit (mergeSchemas copies fields), and COMPUTED at write by
+  * all writer surfaces. Write policy, mirroring Delta: a row providing
+  * NULL for the column gets the computed value; a non-null provided
+  * value must EQUAL the computed value or the write refuses loudly;
+  * row-level UPDATEs recompute (the delta writer nulls the ordinal
+  * before insert). Reads treat it as a normal stored column. */
+private[sources] object TxGeneratedCols {
+  import org.apache.spark.sql.catalyst.expressions.{
+    AttributeReference, BoundReference, Expression}
+
+  /** Spark's GeneratedColumn metadata key (public DDL convention, the
+    * same place `Column.generationExpression()` round-trips through). */
+  val Key = "GENERATION_EXPRESSION"
+
+  def generatedOf(snap: TxTable.Snapshot): Seq[(String, String,
+      org.apache.spark.sql.types.DataType)] =
+    snap.schema.toSeq.flatMap(_.fields)
+      .filter(f => f.metadata.contains(Key) &&
+        !snap.dropped.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => (snap.logicalName(f.name), f.metadata.getString(Key),
+        f.dataType))
+
+  /** Column names a generation expression references (logical). */
+  def referencedBy(spark: SparkSession, sql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(sql).collect {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        ua.nameParts.head
+    }.distinct
+
+  /** Compiled write-side generation plan: `appended` are generated
+    * columns the write schema OMITS (a union-evolving batch / streaming
+    * epoch) — the writer appends and computes them instead of storing a
+    * silently-violating NULL; `items` are (ordinal in querySchema ++
+    * appended, "name := sql" for error text, compute expression bound
+    * to querySchema ordinals — generated columns never reference each
+    * other, so source refs always resolve in the provided row). */
+  final case class Gens(appended: Seq[org.apache.spark.sql.types.StructField],
+                        items: Seq[(Int, String, Expression)]) {
+    def isEmpty: Boolean = items.isEmpty
+  }
+  val empty: Gens = Gens(Seq.empty, Seq.empty)
+
+  /** The same dummy-analyze + bind shape as
+    * [[TxConstraintChecks.compile]]. */
+  def compile(spark: SparkSession, path: String, querySchema: StructType)
+      : Gens = {
+    if (!TxTable.isTxTable(spark, path)) return empty
+    val snap = TxTable.snapshot(spark, path)
+    val gens = generatedOf(snap)
+    if (gens.isEmpty) return empty
+    val dataFields = snap.schema.toSeq.flatMap(_.fields).filterNot(f =>
+      f.name == graft.ops.LayoutOps.BucketCol ||
+        snap.dropped.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => f.copy(name = snap.logicalName(f.name)))
+    val dummy = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(dataFields.toArray))
+    val logicalQuery = StructType(querySchema.fields.map(f =>
+      f.copy(name = snap.logicalName(f.name))))
+    val appended = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    var nextAppended = querySchema.length
+    val items = gens.map { case (name, sql, dt) =>
+      val i0 = logicalQuery.fields.indexWhere(_.name.equalsIgnoreCase(name))
+      val i = if (i0 >= 0) i0 else {
+        appended += org.apache.spark.sql.types
+          .StructField(name, dt, nullable = true)
+        val a = nextAppended; nextAppended += 1; a
+      }
+      val analyzed = dummy.select(org.apache.spark.sql.functions
+        .expr(sql).cast(dt)).queryExecution.analyzed
+      val e = analyzed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+              a.child
+            case other => other
+          }
+      }.getOrElse(throw new IllegalStateException(
+        s"$path: generation expression for '$name' ($sql) did not " +
+          "analyze to a projection"))
+      val bound = e.transform {
+        case a: AttributeReference =>
+          val j = logicalQuery.fields
+            .indexWhere(_.name.equalsIgnoreCase(a.name))
+          if (j < 0) Literal.create(null, a.dataType)
+          else BoundReference(j, logicalQuery.fields(j).dataType,
+            nullable = true)
+      }
+      (i, s"$name := $sql", bound)
+    }
+    Gens(appended.result(), items)
+  }
 }
 
 private[sources] object TxConstraintChecks {
@@ -3406,11 +3590,14 @@ final class TxBatchWrite(path: String, querySchema: StructType,
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
     val spark = SparkSession.active
+    val gens = TxGeneratedCols.compile(spark, path, querySchema)
     new TxDataWriterFactory(path, stagedRel, querySchema, bucketing,
       new org.apache.spark.util.SerializableConfiguration(
         org.apache.spark.sql.execution.datasources.v2.parquet
           .GraftParquetShim.writeHadoopConf(spark)),
-      TxPartTag.forWrite(spark, path, querySchema))
+      TxPartTag.forWrite(spark, path,
+        StructType(querySchema.fields ++ gens.appended)),
+      gens)
   }
 
   override def commit(
@@ -3547,12 +3734,15 @@ final class TxDataWriterFactory(
     path: String, stagedRel: String, schema: StructType,
     bucketing: (String, Int),
     conf: org.apache.spark.util.SerializableConfiguration,
-    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None,
+    gens: TxGeneratedCols.Gens = TxGeneratedCols.empty,
+    genEnforce: Boolean = true)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new TxDataWriter(path, stagedRel, schema, bucketing, conf.value,
-      partitionId, taskId, part = part)
+      partitionId, taskId, part = part, gens = gens,
+      genEnforce = genEnforce)
 }
 
 /** Task-side writer: one parquet file per bucket this task sees, rows
@@ -3565,7 +3755,9 @@ final class TxDataWriter(
     partitionId: Int, taskId: Long,
     checks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
-    part: Option[graft.ops.PartitionTransforms.PartTagger] = None)
+    part: Option[graft.ops.PartitionTransforms.PartTagger] = None,
+    gens: TxGeneratedCols.Gens = TxGeneratedCols.empty,
+    genEnforce: Boolean = true)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.execution.datasources.v2.parquet.GraftParquetShim
 
@@ -3576,9 +3768,53 @@ final class TxDataWriter(
     (name, sql,
       org.apache.spark.sql.catalyst.expressions.Predicate.create(e))
   }
-  private val keyIdx = schema.fieldIndex(key)
-  private val keyType = schema.fields(keyIdx).dataType
-  private val writeSchema = StructType(schema.fields :+
+  // the ROW shape this writer stores: the query schema plus any
+  // generated columns the write omitted (computed below) — the bucket
+  // key and partition source may live in the appended region
+  private val fullFields = schema.fields ++ gens.appended
+  private val keyIdx = fullFields.indexWhere(_.name == key)
+  require(keyIdx >= 0, s"$path: write omits bucket key '$key'")
+  private val keyType = fullFields(keyIdx).dataType
+  // GENERATED ALWAYS AS: one codegen'd projection per generated column,
+  // evaluated on the incoming row (expressions never reference other
+  // generated columns — CREATE-time validation). Resolution happens
+  // BEFORE bucketing/partition placement and CHECK evaluation, so a
+  // generated bucket key or partition source places by its computed
+  // value.
+  private val genProjs = gens.items.map { case (ord, label, e) =>
+    (ord, label, org.apache.spark.sql.catalyst.expressions
+      .MutableProjection.create(Seq(e)), fullFields(ord).dataType)
+  }
+  private val genRow =
+    if (gens.isEmpty) null
+    else new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(fullFields.length)
+
+  /** Substitute generated-column values: NULL provided -> computed;
+    * non-null provided must EQUAL computed (when enforcing — the plain
+    * INSERT surface) or the write refuses; recompute-silently serves the
+    * COW rewrite path, whose rows mix copied and updated images. */
+  private def resolveGenerated(row: InternalRow): InternalRow =
+    if (gens.isEmpty) row
+    else {
+      var i = 0
+      while (i < schema.length) {
+        genRow.update(i, row.get(i, schema.fields(i).dataType)); i += 1
+      }
+      while (i < fullFields.length) { genRow.update(i, null); i += 1 }
+      genProjs.foreach { case (ord, label, proj, dt) =>
+        val computed = proj(row).get(0, dt)
+        val provided = if (ord < schema.length) row.get(ord, dt) else null
+        if (provided == null || !genEnforce) genRow.update(ord, computed)
+        else if (!java.util.Objects.equals(provided, computed))
+          throw new IllegalArgumentException(
+            s"$path: GENERATED column conflict ($label): the expression " +
+              s"computes $computed but the write provided $provided - " +
+              "omit the column or write the matching value")
+      }
+      genRow
+    }
+  private val writeSchema = StructType(fullFields :+
     org.apache.spark.sql.types.StructField(
       graft.ops.LayoutOps.BucketCol, IntegerType))
   // keyed by (partition segment, bucket) — one file per hidden-partition
@@ -3615,7 +3851,8 @@ final class TxDataWriter(
   /** Write and report WHERE the row landed — (staged rel, physical row
     * position in that file): the delta writer's update pairing records
     * post-image positions through this. */
-  private[sources] def writeTracked(row: InternalRow): (String, Long) = {
+  private[sources] def writeTracked(row0: InternalRow): (String, Long) = {
+    val row = resolveGenerated(row0)
     checkPreds.foreach { case (name, sql, p) =>
       if (!p.eval(row)) throw new IllegalArgumentException(
         s"$path: CHECK constraint '$name' ($sql) violated by a row in " +
@@ -3631,10 +3868,10 @@ final class TxDataWriter(
         new org.apache.hadoop.conf.Configuration(conf)))
     })
     var i = 0
-    while (i < schema.length) {
-      out.update(i, row.get(i, schema.fields(i).dataType)); i += 1
+    while (i < fullFields.length) {
+      out.update(i, row.get(i, fullFields(i).dataType)); i += 1
     }
-    out.update(schema.length, b)
+    out.update(fullFields.length, b)
     w.write(out)
     val pos = rowCounts.getOrElse(fk, 0L)
     rowCounts(fk) = pos + 1L
