@@ -685,6 +685,11 @@ object SparkEntry {
     // surfaces incl. a MERGE recompute are landing work; the query
     // times the plain stored-column read)
     stagedGeneratedOrders(s, dir)
+    // the shallow-clone divergence fixture (clone + both-sides
+    // divergence + the source's compact/hard-vacuum are landing and
+    // maintenance work; the query times the clone's mixed
+    // shared/local read path)
+    stagedClonedOrders(s, dir)
     // the MOR retention fixture (commit slicing + ANALYZE + two
     // deletion-vector DELETEs are maintenance work; the query times the
     // DV-aware read path)
@@ -941,6 +946,41 @@ object SparkEntry {
       ()
     }
     path
+  }
+
+  /** Shallow-clone divergence fixture: `src` holds the full orders; a
+    * zero-copy CLONE (manifest references, no bytes) then diverges on
+    * BOTH sides — the clone appends marker rows (`o_orderstatus = 'C'`
+    * for every 97th key) and deletes every 13th key; the source deletes
+    * every even key, compacts, and vacuums HARD (keepVersions = 1). The
+    * clone's pin tag in the source's log is what keeps its snapshot
+    * alive through that vacuum — the query reads the clone and the
+    * oracle replays only the CLONE-side history over the raw orders, so
+    * any leak from the source's divergence (or a vacuum-collected shared
+    * file) is a wrong answer, not just a failed spec. */
+  private def stagedClonedOrders(s: SparkSession, dir: String): String = {
+    val src = s"target/graft-clone-src/${new java.io.File(dir).getName}"
+    val dst = s"target/graft-clone-dst/${new java.io.File(dir).getName}"
+    ensureStaged(dst) {
+      rmTree(new java.io.File(src))
+      rmTree(new java.io.File(dst))
+      ensureTxCatalog(s)
+      val orders = tbl(s, dir, "orders")
+      ops.TxTable.init(s, src, orders, "o_orderkey", 8)
+      ops.TxTable.cloneTable(s, src, dst)
+      ops.TxTable.appendOnce(s, dst,
+        orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderstatus", lit("C")),
+        "o_orderkey", 8, appId = "clone-stage", batchId = 1L)
+      s.sql(s"DELETE FROM txspj.`$dst` WHERE o_orderkey % 13 = 0")
+      // the source diverges and is maintained aggressively — the clone
+      // must not notice
+      s.sql(s"DELETE FROM txspj.`$src` WHERE o_orderkey % 2 = 0")
+      ops.TxTable.compact(s, src, maxFilesPerBucket = 1)
+      ops.TxTable.vacuum(s, src, keepVersions = 1)
+      ()
+    }
+    dst
   }
 
   /** A REPLACE WHERE backfill staged over a key-range-clustered orders
@@ -2696,6 +2736,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Shallow-clone divergence audit: the query reads the CLONE — its
+    // rows are the cloned snapshot plus clone-side appends minus
+    // clone-side deletes, UNAFFECTED by the source's own delete/compact/
+    // hard-vacuum (the clone's pin tag keeps the shared files alive).
+    // The oracle replays only the clone-side history over raw orders.
+    "ext_clone_divergence" -> ((s, dir) => {
+      val path = stagedClonedOrders(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("o_orderstatus") === "C").cast("long"))
+            .cast("long").as("n_marked"),
+          sum(col("o_orderkey")).as("sum_keys"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -5317,6 +5374,24 @@ object SparkEntry {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders
         |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // clone-divergence replay: the clone = full orders at clone time,
+    // plus the 97th-key marker appends, minus the 13th-key delete —
+    // the SOURCE's even-key delete and hard vacuum must leave no trace
+    "ext_clone_divergence" ->
+      """WITH aug AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, 'C' FROM orders
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'C' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_marked,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+        |FROM aug
+        |WHERE o_orderkey % 13 <> 0
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 

@@ -42,6 +42,30 @@ object DeletionVectors {
     * `bucket-<b>`. Load-bearing: a drifted copy would silently serve
     * deleted rows. */
   private[graft] val RelPattern = "files/[^/]+(/part-[^/]+)?/[^/]+/[^/]+$"
+  private val RelRegex = RelPattern.r
+
+  /** Canonical `files/…` suffix of a manifest rel — what the
+    * input_file_name extraction yields. Identity for native rels; for a
+    * CLONE's shared files the manifest rel is `../…/files/…` and this
+    * strips the cross-table prefix. Staging-dir UUIDs make the suffix
+    * unique across tables, so it is a safe join key. */
+  private[graft] def relKey(rel: String): String =
+    RelRegex.findFirstIn(rel).getOrElse(rel)
+
+  /** Column mapping the extracted suffix back to the MANIFEST rel for
+    * the given entry set, so every downstream keying (bitmaps, zone-map
+    * sidecars, manifest removes) speaks manifest rels even over a
+    * clone's shared files. Bounded by the statement's entry set — the
+    * same cost class as the live-set trim udf used beside it; pure
+    * extraction when no entry needs remapping. */
+  private[graft] def manifestRel(entries: Seq[TxTable.FileEntry])
+      : Column = {
+    val extracted = regexp_extract(input_file_name(), RelPattern, 0)
+    val m = entries.map(e => relKey(e.rel) -> e.rel)
+      .filter(x => x._1 != x._2).toMap
+    if (m.isEmpty) extracted
+    else udf((s: String) => m.getOrElse(s, s)).apply(extracted)
+  }
 
   def serialize(bm: RoaringBitmap): Array[Byte] = {
     bm.runOptimize()
@@ -181,8 +205,7 @@ object DeletionVectors {
         val raw = reader.parquet(dvd.map(e => s"$table/${e.rel}"): _*)
         val cols = raw.columns.toSeq
         Some(raw
-          .withColumn("__dv_rel", regexp_extract(input_file_name(),
-            RelPattern, 0))
+          .withColumn("__dv_rel", manifestRel(dvd))
           .withColumn("__dv_pos", col("_metadata.row_index"))
           .filter(liveFilter(spark, bitmaps))
           .select(cols.map(col): _*))
@@ -216,8 +239,7 @@ object DeletionVectors {
         pos <= MaxPos && cachedBitmap(key, bytes).contains(pos.toInt) }
     }
     raw
-      .withColumn("__dv_rel", regexp_extract(input_file_name(),
-        RelPattern, 0))
+      .withColumn("__dv_rel", manifestRel(marked.map(_._1)))
       .withColumn("__dv_pos", col("_metadata.row_index"))
       .filter(hit(col("__dv_rel"), col("__dv_pos")))
       .select(cols.map(col): _*)

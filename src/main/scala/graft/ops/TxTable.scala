@@ -1088,8 +1088,7 @@ object TxTable {
         // itself contains a 'files' segment must not shadow the match, or
         // every refresh would re-profile all files and readWhere would
         // never prune — silently
-        .select(regexp_extract(input_file_name(),
-          DeletionVectors.RelPattern, 0).as("rel"),
+        .select(DeletionVectors.manifestRel(needScan).as("rel"),
           col(s"`$statsColP`"))
         .groupBy(col("rel"))
         .agg(min(col(s"`$statsColP`")).as("lo"), max(col(s"`$statsColP`")).as("hi"),
@@ -1317,8 +1316,7 @@ object TxTable {
         val agged = snap.schema.fold(spark.read)(spark.read.schema)
           .parquet(missing.map(e => s"$table/${e.rel}"): _*)
           .where(col(s"`$bloomColP`").isNotNull)
-          .select(regexp_extract(input_file_name(),
-            DeletionVectors.RelPattern, 0).as("rel"),
+          .select(DeletionVectors.manifestRel(missing).as("rel"),
             xxhash64(col(s"`$bloomColP`")).as("h"))
           .groupBy(col("rel"))
           .agg(bloomUdaf(col("h")).as("bloom"))
@@ -2399,8 +2397,7 @@ object TxTable {
     val existing = DeletionVectors.loadBitmaps(spark, table, candidates)
     val reader = schema.fold(spark.read)(spark.read.schema)
     val raw = reader.parquet(candidates.map(e => s"$table/${e.rel}"): _*)
-      .withColumn("__dv_rel", regexp_extract(input_file_name(),
-        DeletionVectors.RelPattern, 0))
+      .withColumn("__dv_rel", DeletionVectors.manifestRel(candidates))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     // `cond` speaks LOGICAL names (every caller is user-facing); the raw
     // read is physical — translate before filtering (the __dv_* columns
@@ -3327,6 +3324,122 @@ object TxTable {
     * [[vacuum]] collects it. */
   def untag(spark: SparkSession, table: String, name: String): Boolean =
     fsFor(spark, table).delete(tagPath(table, name), false)
+
+  // --- shallow clone (zero-copy table fork) -------------------------------
+
+  /** Props recording a clone's provenance: the source path, the pinned
+    * source version, and the name of the pin tag this clone holds in the
+    * SOURCE's log. */
+  private[graft] val CloneSourceProp = "graft.clone.source"
+  private[graft] val CloneVersionProp = "graft.clone.version"
+  private[graft] val CloneTagProp = "graft.clone.tag"
+
+  /** SHALLOW CLONE (the Delta CLONE / Iceberg snapshot-export idea): a
+    * NEW table at `target` whose v0 manifest REFERENCES the source's
+    * live files at `version` — zero bytes read or copied at create. The
+    * cross-table references are ordinary manifest rels, relativized from
+    * the clone's own directory (`../…/files/…`), so every reader
+    * resolves them through the same `$table/$rel` join as native files;
+    * hidden-partition segments survive inside the rel, so partition
+    * pruning keeps working on day one. Zone-map/bloom sidecars are NOT
+    * inherited (they key by the source's rel forms) — the clone starts
+    * stats-less and re-ANALYZEs on demand.
+    *
+    * Both sides then diverge independently: clone appends/deletes/
+    * compactions land CLONE-LOCAL files and never touch the source;
+    * source commits never appear in the clone. Branches cover same-table
+    * forks; CLONE covers the dev-against-prod-data and experiment-
+    * snapshot shapes that need an independent lifecycle and their own
+    * maintenance schedule.
+    *
+    * Vacuum contract: the clone pins the source VERSION with an
+    * immutable `clone.<token>` tag in the SOURCE's log — the exact pin
+    * tags and branch bases already use — so source vacuum retains the
+    * version's files (visible in the source's `#refs`) until
+    * [[releaseClone]] drops the pin. The clone's own vacuum walks only
+    * the clone's directory, so the shared files are structurally out of
+    * its reach; clone-side rewrites (compact/Z-order/purge) naturally
+    * LOCALIZE rows into the clone, shrinking the dependency over time.
+    *
+    * Requires source and target on the SAME filesystem (the relative
+    * reference must resolve). Cloning a clone composes (the new clone
+    * pins the intermediate clone's version; rel chains of `..` resolve
+    * normally). */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+                 version: Option[Long] = None): Snapshot = {
+    val sfs = fsFor(spark, source)
+    val tfs = fsFor(spark, target)
+    require(sfs.getUri == tfs.getUri,
+      s"shallow clone requires one filesystem: source is ${sfs.getUri}, " +
+        s"target is ${tfs.getUri} — use a deep copy across filesystems")
+    require(!isTxTable(spark, target),
+      s"$target already holds a TxTable — clone refuses to overwrite")
+    val v = version.getOrElse(snapshot(spark, source).version)
+    val snap = snapshot(spark, source, Some(v))
+    // pin FIRST: once the tag is up, vacuum cannot collect the version
+    // (tag() itself re-validates against the vacuum race)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tagName = s"clone.$token"
+    tag(spark, source, tagName, Some(v))
+    try {
+      val srcAbs = java.nio.file.Paths.get(
+        sfs.makeQualified(new Path(source)).toUri.getPath)
+      val tgtAbs = java.nio.file.Paths.get(
+        tfs.makeQualified(new Path(target)).toUri.getPath)
+      val prefix = tgtAbs.relativize(srcAbs).toString
+      def reref(rel: String) = s"$prefix/$rel"
+      val entries = snap.entries.map(e => e.copy(rel = reref(e.rel),
+        dv = e.dv.map(d => d.copy(rel = reref(d.rel)))))
+      val props = snap.props ++ Map(
+        CloneSourceProp -> source, CloneVersionProp -> v.toString,
+        CloneTagProp -> tagName)
+      require(tryPublish(tfs, target, 0L,
+          renderManifest(entries, txn = Some((s"clone:$source", v)),
+            schema = snap.schema, bucketing = snap.bucketing,
+            dropped = snap.dropped, props = props,
+            renames = snap.renames)),
+        s"$target already initialized (version 0 exists)")
+      Snapshot(0L, entries, snap.schema, snap.bucketing, snap.dropped,
+        props, snap.renames)
+    } catch {
+      case e: Throwable => untag(spark, source, tagName); throw e
+    }
+  }
+
+  /** Rewrite a clone's still-SHARED files (rels crossing out of the
+    * table, `../…`) into table-local bytes — the incremental deep copy.
+    * One dataChange=false commit through the same DV-aware rewrite
+    * kernel as compaction (deletion vectors fold away; the bucket and
+    * hidden-partition layout recompute from the rows). Returns the
+    * number of files localized; after it returns 0 the clone references
+    * nothing outside its own directory and [[releaseClone]] is safe
+    * regardless of any later source vacuum. Bounded by the shared files
+    * alone — run it in slices on a huge clone by compacting first. */
+  def localizeClone(spark: SparkSession, target: String,
+                    maxRetries: Int = 5): Int = {
+    val shared = snapshot(spark, target).entries
+      .count(_.rel.startsWith(".."))
+    if (shared == 0) return 0
+    rewriteWith(spark, target, maxRetries,
+      _.repartition(col(LayoutOps.BucketCol)), 0L,
+      raceName = "localize") { snap =>
+      val targets = snap.entries.filter(_.rel.startsWith(".."))
+      (targets, targets.size)
+    }
+  }
+
+  /** Drop the pin a clone holds in its source's log — after this, a
+    * source vacuum may collect the cloned version's files and the clone
+    * keeps working only for rows it has since localized. Call when the
+    * clone is dropped or fully rewritten (`#files` shows no `../` rels).
+    * Returns false when the clone carries no pin (already released). */
+  def releaseClone(spark: SparkSession, target: String): Boolean = {
+    val snap = snapshot(spark, target)
+    (snap.props.get(CloneSourceProp), snap.props.get(CloneTagProp)) match {
+      case (Some(src), Some(t)) => untag(spark, src, t)
+      case _ => false
+    }
+  }
 
   // --- branches (writable named refs) ------------------------------------
   //

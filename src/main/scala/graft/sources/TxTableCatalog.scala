@@ -4399,11 +4399,56 @@ object TxProcedures {
         input.getUTF8String(1).toString))
   }
 
+  private val cloneProc: Proc = new Proc("clone",
+    "shallow clone: a NEW table referencing the source version's live " +
+      "files (zero data I/O); pins the version in the source's log " +
+      "until release_clone",
+    Seq(ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("target", StringType).build(),
+      ProcedureParameter.in("version", LongType)
+        .defaultValue("-1").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("cloned_version", LongType, nullable = false),
+      org.apache.spark.sql.types
+        .StructField("files_shared", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      val v = input.getLong(2)
+      val snap = TxTable.cloneTable(spark,
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString,
+        if (v < 0) None else Some(v))
+      Array(snap.props(TxTable.CloneVersionProp).toLong,
+        snap.entries.size)
+    }
+  }
+
+  private val releaseCloneProc: Proc = new Proc("release_clone",
+    "drop the pin a clone holds in its source's log (a later source " +
+      "vacuum may then collect the shared files)",
+    Seq(ProcedureParameter.in("target", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("released", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.releaseClone(spark, input.getUTF8String(0).toString))
+  }
+
+  private val localizeCloneProc: Proc = new Proc("localize_clone",
+    "rewrite a clone's still-shared files into table-local bytes (the " +
+      "incremental deep copy); 0 returned means nothing is shared and " +
+      "release_clone is safe",
+    Seq(ProcedureParameter.in("target", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("files_localized", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.localizeClone(spark, input.getUTF8String(0).toString))
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
-      dropBranch, analyzeLayout)
+      dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
+      localizeCloneProc)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted
