@@ -781,6 +781,18 @@ object SparkEntry {
       // zone-map maintenance (ANALYZE-style landing work): lets MIN/MAX
       // answer metadata-only through the catalog (ext_metadata_agg)
       ops.TxTable.computeStats(s, path, "o_totalprice")
+      // space the commits' PUBLICATION times deterministically (2 s
+      // apart): the timestamp-anchored change read (ext_changes_by_time)
+      // resolves "first commit at or after" through the log files'
+      // mtimes, and sub-millisecond staging could otherwise publish two
+      // commits in the same instant
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val base = System.currentTimeMillis() - 60000L
+      Seq(0L, 1L, 2L).foreach { v =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(path,
+          f"_txlog/$v%020d.manifest"), base + v * 2000L, -1L)
+      }
       ()
     }
     path
@@ -2737,6 +2749,30 @@ object SparkEntry {
           min(col("o_orderkey")).as("min_key"),
           max(col("o_orderkey")).as("max_key"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Timestamp-anchored change replay (the Delta
+    // `table_changes(..., TIMESTAMP)` shape): the anchor is commit 1's
+    // own PUBLICATION time read back from the log, so the feed must
+    // resolve "first commit at or after" through the log's clock and
+    // serve exactly commits 1..2 — version-anchored and
+    // timestamp-anchored reads of the same history must agree row for
+    // row (same oracle slices as ext_table_changes).
+    "ext_changes_by_time" -> ((s, dir) => {
+      val path = stagedVersionedOrders(s, dir)
+      ensureTxCatalog(s)
+      val anchor = ops.TxTable.history(s, path)
+        .filter(col("version") === 1L)
+        .select(col("commit_ts")).head().getTimestamp(0)
+      s.read.option("startingTimestamp", anchor.toString)
+        .table(s"txspj.`$path#changes`")
+        .groupBy(col("_commit_version"), col("_change_type"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("o_orderpriority"))
     }),
 
     // Shallow-clone divergence audit: the query reads the CLONE — its
@@ -5376,6 +5412,25 @@ object SparkEntry {
         |WHERE o_orderkey > (SELECT MAX(o_orderkey) // 3 FROM orders)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // timestamp-anchored change replay: anchoring at commit 1's own
+    // publication time serves exactly commits 1..2 — identical slices
+    // to the version-anchored feed
+    "ext_changes_by_time" ->
+      """WITH ch AS (
+        |  SELECT 1 AS cv, 'insert' AS ct, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1
+        |  UNION ALL
+        |  SELECT 2 AS cv, 'insert' AS ct, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 2
+        |)
+        |SELECT CAST(cv AS BIGINT) AS "_commit_version",
+        |  ct AS "_change_type", o_orderpriority,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM ch GROUP BY cv, ct, o_orderpriority
+        |ORDER BY 1, 2, 3""".stripMargin,
 
     // clone-divergence replay: the clone = full orders at clone time,
     // plus the 97th-key marker appends, minus the 13th-key delete —

@@ -2686,6 +2686,19 @@ object TxTable {
     * the moment deletion vectors FOLD AWAY: the fresh entries carry no
     * dv) and one commit swaps them; a lost race deletes this attempt's
     * staged files and retries. */
+  /** Liveness under write contention (the 100 TB operational reality: a
+    * streaming sink lands a commit every trigger while maintenance
+    * runs): a lost CAS whose winner left every target file UNTOUCHED —
+    * the append-during-maintenance steady state — re-commits the SAME
+    * staged rewrite against the new head: O(one manifest) per retry,
+    * never a re-stage, with a small jittered backoff so the rewriter
+    * does not stampede the very next trigger's CAS. `maxRetries` bounds
+    * only the expensive path (a winner that touched a target file —
+    * delete, DV change, rebucket — invalidates the staged bytes and
+    * forces re-select + re-stage); cheap re-commits get a generous
+    * fixed budget of their own. The re-commit carries the NEW head's
+    * schema (an interleaved append may have union-evolved it — stamping
+    * the stale schema would silently revert the evolution). */
   private def rewriteWith(spark: SparkSession, table: String,
                           maxRetries: Int, layout: DataFrame => DataFrame,
                           maxRecordsPerFile: Long, raceName: String)
@@ -2699,19 +2712,36 @@ object TxTable {
       val merged = layout(DeletionVectors.readEntries(spark, table,
         toRewrite, snap.schema))
       val newEntries = stageFiles(spark, table, merged, maxRecordsPerFile)
+      val removes = toRewrite.map(_.rel).toSet
       // live rows are identical before and after: a rewrite commit is
       // dataChange=false, so change feeds and streaming subscribers skip
       // it instead of replaying the reorganized files
-      if (commitNext(fs, table, snap, adds = newEntries,
-          removes = toRewrite.map(_.rel).toSet, schema = snap.schema,
-          dataChange = false))
-        return result
+      var cur = snap
+      var recommits = 0
+      var stagedValid = true
+      while (stagedValid) {
+        if (commitNext(fs, table, cur, adds = newEntries,
+            removes = removes, schema = cur.schema,
+            dataChange = false))
+          return result
+        val fresh = snapshot(spark, table)
+        val live = fresh.entries.map(e => e.rel -> e).toMap
+        val intact = toRewrite.forall(e => live.get(e.rel).contains(e)) &&
+          fresh.bucketing == snap.bucketing
+        if (intact && recommits < 30) {
+          recommits += 1
+          Thread.sleep(10L + scala.util.Random.nextInt(60))
+          cur = fresh
+        } else stagedValid = false
+      }
       newEntries.map(_.rel.split('/')(1)).distinct
         .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
       attempt += 1
       if (attempt > maxRetries)
         throw new java.util.ConcurrentModificationException(
-          s"$table: $raceName lost the commit race $maxRetries times")
+          s"$table: $raceName lost the commit race $maxRetries times " +
+            "(targets kept drifting — concurrent row-level writes " +
+            "touched the slice every attempt)")
     }
     0 // unreachable
   }
