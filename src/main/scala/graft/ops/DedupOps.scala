@@ -978,7 +978,8 @@ object DedupOps {
     * buckets (dense regions) are AQE skew-split like any other equi-join. */
   def embeddingLshPairs(vectors: DataFrame, threshold: Double = 0.9,
                         nPlanes: Int = 64, bands: Int = 8,
-                        seed: Long = 42L): DataFrame = {
+                        seed: Long = 42L,
+                        maxBucket: Int = 1024): DataFrame = {
     require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
     val bits = nPlanes / bands
     val mask = (1L << bits) - 1
@@ -990,7 +991,22 @@ object DedupOps {
           expr(s"shiftright(sig, ${b * bits}) & $mask").as("bkey"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    banded.as("l").join(banded.as("r"),
+    // probe budget (same shape as SimilarityOps.knnJoinLsh): cap the
+    // BUILD side of each (band, bucket) at `maxBucket` deterministically-
+    // chosen members, so a dense bucket contributes O(bucket · maxBucket)
+    // pairs instead of O(bucket²). For DEDUP the capped build side acts
+    // as the bucket's HUB set — every member still pairs with the hubs,
+    // so connected components over the pairs keep the bucket connected;
+    // buckets under the cap (all of them at the shipped fixtures' scale)
+    // are bit-identical to the uncapped join.
+    val build =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.withColumn("__r", org.apache.spark.sql.functions
+          .row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bkey"))
+            .orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+        .filter(col("__r") <= maxBucket).drop("__r")
+    banded.as("l").join(build.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.vec_id") < col("r.vec_id"))
       .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),

@@ -84,10 +84,13 @@ object SimilarityOps {
     * whole pipeline — buckets, candidates, scores, ranks — is replayable
     * by an external oracle. */
   def knnJoinLsh(vectors: DataFrame, k: Int, nPlanes: Int = 64,
-                 bands: Int = 8, seed: Long = 42L): DataFrame = {
+                 bands: Int = 8, seed: Long = 42L,
+                 maxBucket: Int = 1024): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nPlanes % bands == 0,
       s"bands ($bands) must divide nPlanes ($nPlanes)")
+    require(maxBucket > k,
+      s"maxBucket ($maxBucket) must exceed k ($k)")
     val bits = nPlanes / bands
     val mask = (1L << bits) - 1
     val keyed = OpsUtil.spread(vectors).withColumn("sig",
@@ -99,7 +102,26 @@ object SimilarityOps {
           .as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    banded.as("l").join(banded.as("r"),
+    // PROBE BUDGET (the FAISS nprobe / HNSW efSearch analog, applied to
+    // banded LSH): the self-join's candidate count is Σ bucket², so a
+    // DENSE region — exactly where real corpora cluster — turns the
+    // linear-looking join quadratic (the 10× scaling spec caught 20×).
+    // Cap the BUILD side of every (band, bucket) at `maxBucket` members,
+    // chosen DETERMINISTICALLY by xxhash64(vec_id) so results are a pure
+    // function of the corpus: every query still probes all its buckets,
+    // each bucket contributes ≤ maxBucket candidates, so per-query work
+    // is ≤ bands · maxBucket — linear total. Recall in a dense bucket
+    // degrades gracefully (its members have ~maxBucket near-identical
+    // candidates to choose top-k from); buckets under the cap — every
+    // bucket at the shipped fixtures' scale — are bit-identical to the
+    // uncapped join. WindowGroupLimit keeps the rank a bounded heap.
+    val build =
+      if (maxBucket == Int.MaxValue) banded
+      else banded.withColumn("__r", row_number().over(
+          Window.partitionBy(col("band"), col("bkey"))
+            .orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+        .filter(col("__r") <= maxBucket).drop("__r")
+    banded.as("l").join(build.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.vec_id") =!= col("r.vec_id"))
       .select(col("l.vec_id").as("query_id"), col("r.vec_id").as("neighbor_id"),
@@ -133,10 +155,11 @@ object SimilarityOps {
     * shuffle). */
   def contrastivePairs(vectors: DataFrame, nVectors: Long, nNeg: Int = 2,
                        salt: String = "cp", nPlanes: Int = 64,
-                       bands: Int = 8, seed: Long = 42L): DataFrame = {
+                       bands: Int = 8, seed: Long = 42L,
+                       maxBucket: Int = 1024): DataFrame = {
     require(nNeg > 0, s"nNeg must be positive, got $nNeg")
     require(nVectors > 1, s"need at least 2 vectors, got $nVectors")
-    val pos = knnJoinLsh(vectors, k = 1, nPlanes, bands, seed)
+    val pos = knnJoinLsh(vectors, k = 1, nPlanes, bands, seed, maxBucket)
       .select(col("query_id").as("anchor_id"), lit("pos").as("role"),
         col("neighbor_id").as("other_id"))
     val negs = vectors

@@ -3852,12 +3852,36 @@ object TxTable {
     * deleting anything or writing checkpoint anchors. The report uses
     * the same listings and the same pin/reference logic as the real
     * sweep, so "dry-run then vacuum" sees the same set modulo racing
-    * commits. */
+    * commits.
+    *
+    * LISTING-COST AUDIT (what the driver touches at 10⁸-file scale —
+    * every step is manifest-bounded or ONE-LEVEL, never a recursive
+    * data-file walk):
+    *   - `listVersions` / tag / branch / staged-WAP listings: one
+    *     `_txlog` directory scan each — O(retained manifests + refs),
+    *     governed by the retention policy, not by data size.
+    *   - the `referenced` set: folded from retained MANIFESTS (plus one
+    *     head re-resolution before the destructive step) — O(live file
+    *     entries) driver memory with zero filesystem walking; this is
+    *     the bound the commit-log design buys.
+    *   - the orphan sweep: ONE `listStatus` of `files/` at STAGING-DIR
+    *     depth — O(staging dirs) = O(commits ever landed), one status
+    *     per `files/<uuid>`, never descending into partition/bucket
+    *     levels driver-side. Individual data files are only ever
+    *     touched by `delete(recursive)`, which recurses FS-side.
+    *   - the deletes themselves are the one step that grows with orphan
+    *     COUNT: past `distributeDeletesAt` orphan dirs they fan out as
+    *     one Spark job (each task resolves the filesystem from the path
+    *     and deletes its slice), so sweeping a crashed backfill's 10⁵
+    *     staging dirs is a cluster-parallel operation instead of a
+    *     driver-serial stall. Dry runs never delete, so they never
+    *     distribute. */
   def vacuum(spark: SparkSession, table: String,
              keepVersions: Int = 1,
              orphanRetentionMs: Long = 0L,
              keepMs: Option[Long] = None,
-             dryRun: Boolean = false): Seq[String] = {
+             dryRun: Boolean = false,
+             distributeDeletesAt: Int = 64): Seq[String] = {
     require(keepVersions >= 1, "must retain at least the newest version")
     val fs = fsFor(spark, table)
     val versions = listVersions(fs, table).sorted
@@ -3947,13 +3971,28 @@ object TxTable {
         .map(_.split('/')(1)).toSet
     val referencedNow = referenced ++ headNowRefs
     if (fs.exists(filesRoot)) {
-      fs.listStatus(filesRoot).foreach { st =>
-        if (!referencedNow(st.getPath.getName) &&
-            st.getModificationTime <= sweepBefore) {
-          if (!dryRun) fs.delete(st.getPath, true)
-          deleted += st.getPath.toString
-        }
+      val orphans = fs.listStatus(filesRoot).filter { st =>
+        !referencedNow(st.getPath.getName) &&
+          st.getModificationTime <= sweepBefore
+      }.map(_.getPath.toString).toSeq
+      if (!dryRun && orphans.size >= distributeDeletesAt) {
+        // cluster-parallel sweep: each task resolves the FS from its
+        // own path (works for any scheme) and recursively deletes its
+        // slice of staging dirs — the only vacuum step whose cost grows
+        // with orphan count
+        val hconf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        spark.sparkContext
+          .parallelize(orphans, math.min(orphans.size, 64))
+          .foreach { p =>
+            val pp = new Path(p)
+            pp.getFileSystem(hconf.value).delete(pp, true)
+            ()
+          }
+      } else if (!dryRun) {
+        orphans.foreach(p => fs.delete(new Path(p), true))
       }
+      deleted ++= orphans
     }
     // second tag listing right before the destructive step: a tag that
     // landed since the first read still saves its version (tag() itself

@@ -176,4 +176,42 @@ class MaintenanceSurfaceSpec extends AnyFunSuite {
       assert(n == 72L)
     }
   }
+
+  test("vacuum at file-count scale: one-level orphan listing, distributed recursive deletes past the threshold") {
+    val t = java.nio.file.Files.createTempDirectory("graft_vd_")
+      .toString + "/t"
+    TxTable.init(spark, t,
+      (1 to 8).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 2)
+    // simulate a fleet of crashed writers: 100 unreferenced staging dirs
+    // (each with nested partition/bucket levels and a data file, so the
+    // recursive delete has real work)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1 to 100).foreach { i =>
+      val d = new org.apache.hadoop.fs.Path(t,
+        s"files/orphan-$i/part-19793/bucket-0")
+      fs.mkdirs(d)
+      val out = fs.create(new org.apache.hadoop.fs.Path(d, "x.parquet"))
+      out.write(Array.fill(16)(i.toByte)); out.close()
+      // age past the in-flight horizon used below
+      fs.setTimes(new org.apache.hadoop.fs.Path(t, s"files/orphan-$i"),
+        System.currentTimeMillis() - 120000L, -1L)
+    }
+    // dry run reports the full set without deleting (and never
+    // distributes)
+    val report = TxTable.vacuum(spark, t, keepVersions = 1,
+      orphanRetentionMs = 60000L, dryRun = true, distributeDeletesAt = 8)
+    assert(report.count(_.contains("/files/orphan-")) == 100, report.size)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t, "files/orphan-50")))
+    // the real sweep crosses the threshold -> the cluster-parallel path
+    val swept = TxTable.vacuum(spark, t, keepVersions = 1,
+      orphanRetentionMs = 60000L, distributeDeletesAt = 8)
+    assert(swept.count(_.contains("/files/orphan-")) == 100)
+    (1 to 100).foreach { i =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(t,
+        s"files/orphan-$i")), s"orphan-$i must be gone")
+    }
+    // referenced data is untouched and the table reads fine
+    assert(TxTable.read(spark, t).count() == 8)
+  }
 }
