@@ -2412,7 +2412,8 @@ object SparkEntry {
     // pairs is additionally pinned in ExtOpsSpec.
     "ext_dedup_embedding_lsh" -> ((s, dir) => {
       ops.DedupOps.embeddingLshPairs(tbl(s, dir, "embeddings"),
-          threshold = 0.3, nPlanes = 64, bands = 8)
+          threshold = 0.3, nPlanes = 64, bands = 8,
+          nVectors = Some(stagedCount(s, dir, "embeddings")))
         .select(col("id_a"), col("id_b"), round6(col("sim")).as("sim6"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -2454,7 +2455,8 @@ object SparkEntry {
     // query side is too big to broadcast. Deterministic planes mean the
     // oracle replays buckets, candidates, and ranks exactly.
     "ext_knn_join" -> ((s, dir) => {
-      ops.SimilarityOps.knnJoinLsh(tbl(s, dir, "embeddings"), k = 3)
+      ops.SimilarityOps.knnJoinLsh(tbl(s, dir, "embeddings"), k = 3,
+          nVectors = Some(stagedCount(s, dir, "embeddings")))
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           round6(col("sim")).as("sim6"))
         .orderBy(col("query_id"), col("rank"))
@@ -2578,7 +2580,8 @@ object SparkEntry {
       SimilarityOps.recallReport(
           SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
             k = 3),
-          Seq("lsh" -> SimilarityOps.knnJoinLsh(emb, k = 3)
+          Seq("lsh" -> SimilarityOps.knnJoinLsh(emb, k = 3,
+              nVectors = Some(stagedCount(s, dir, "embeddings")))
             .filter(col("query_id") < 10)),
           k = 3)
         .select(col("method"), col("query_id"), col("hits"), col("n_exact"),

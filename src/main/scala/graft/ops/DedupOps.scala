@@ -979,7 +979,8 @@ object DedupOps {
   def embeddingLshPairs(vectors: DataFrame, threshold: Double = 0.9,
                         nPlanes: Int = 64, bands: Int = 8,
                         seed: Long = 42L,
-                        maxBucket: Int = 1024): DataFrame = {
+                        maxBucket: Int = 4096,
+                        nVectors: Option[Long] = None): DataFrame = {
     require(nPlanes % bands == 0, s"bands ($bands) must divide nPlanes ($nPlanes)")
     val bits = nPlanes / bands
     val mask = (1L << bits) - 1
@@ -991,21 +992,41 @@ object DedupOps {
           expr(s"shiftright(sig, ${b * bits}) & $mask").as("bkey"))): _*)).as("bk"))
       .select(col("vec_id"), col("embedding"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // probe budget (same shape as SimilarityOps.knnJoinLsh): cap the
-    // BUILD side of each (band, bucket) at `maxBucket` deterministically-
-    // chosen members, so a dense bucket contributes O(bucket · maxBucket)
-    // pairs instead of O(bucket²). For DEDUP the capped build side acts
-    // as the bucket's HUB set — every member still pairs with the hubs,
-    // so connected components over the pairs keep the bucket connected;
-    // buckets under the cap (all of them at the shipped fixtures' scale)
-    // are bit-identical to the uncapped join.
+    // probe budget (same shape as SimilarityOps.knnJoinLsh, same eager
+    // lightweight hot-bucket probe): thin the BUILD side of each
+    // OVER-BUDGET (band, bucket) to ≈ `maxBucket` deterministic
+    // hash-chosen members, so a dense bucket contributes
+    // O(bucket · maxBucket) pairs instead of O(bucket²). For DEDUP the
+    // thinned build side acts as the bucket's HUB set — every member
+    // still pairs with the hubs, so connected components over the pairs
+    // keep the bucket connected. No hot bucket (every shipped fixture)
+    // → the original symmetric plan, bit-identical, exchange reuse and
+    // AQE skew-split eligibility intact (SkewOpsSpec pins the split).
+    val hot: Array[org.apache.spark.sql.Row] =
+      if (maxBucket == Int.MaxValue ||
+          nVectors.exists(_ <= maxBucket)) Array.empty
+      else banded.select(col("band"), col("bkey"))
+        .groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > maxBucket).collect()
     val build =
-      if (maxBucket == Int.MaxValue) banded
-      else banded.withColumn("__r", org.apache.spark.sql.functions
-          .row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy(col("band"), col("bkey"))
-            .orderBy(xxhash64(col("vec_id")), col("vec_id"))))
-        .filter(col("__r") <= maxBucket).drop("__r")
+      if (hot.isEmpty) banded
+      else {
+        val hotDf = broadcast(vectors.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hot: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("bkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__cnt",
+              org.apache.spark.sql.types.LongType)))))
+        banded.join(hotDf, Seq("band", "bkey"), "left_outer")
+          .filter(col("__cnt").isNull ||
+            pmod(xxhash64(col("vec_id"), col("bkey")), col("__cnt"))
+              < maxBucket)
+          .drop("__cnt")
+      }
     banded.as("l").join(build.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.vec_id") < col("r.vec_id"))

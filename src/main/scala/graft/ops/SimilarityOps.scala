@@ -85,7 +85,8 @@ object SimilarityOps {
     * by an external oracle. */
   def knnJoinLsh(vectors: DataFrame, k: Int, nPlanes: Int = 64,
                  bands: Int = 8, seed: Long = 42L,
-                 maxBucket: Int = 1024): DataFrame = {
+                 maxBucket: Int = 4096,
+                 nVectors: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(nPlanes % bands == 0,
       s"bands ($bands) must divide nPlanes ($nPlanes)")
@@ -106,21 +107,51 @@ object SimilarityOps {
     // banded LSH): the self-join's candidate count is Σ bucket², so a
     // DENSE region — exactly where real corpora cluster — turns the
     // linear-looking join quadratic (the 10× scaling spec caught 20×).
-    // Cap the BUILD side of every (band, bucket) at `maxBucket` members,
-    // chosen DETERMINISTICALLY by xxhash64(vec_id) so results are a pure
-    // function of the corpus: every query still probes all its buckets,
-    // each bucket contributes ≤ maxBucket candidates, so per-query work
-    // is ≤ bands · maxBucket — linear total. Recall in a dense bucket
-    // degrades gracefully (its members have ~maxBucket near-identical
-    // candidates to choose top-k from); buckets under the cap — every
-    // bucket at the shipped fixtures' scale — are bit-identical to the
-    // uncapped join. WindowGroupLimit keeps the rank a bounded heap.
+    // Thin the BUILD side of every OVER-BUDGET (band, bucket) to
+    // ≈ `maxBucket` members via a deterministic hash threshold
+    // (pmod(xxhash64(vec_id, bkey), cnt) < maxBucket — a pure function
+    // of the corpus, an independent draw per band): every query still
+    // probes all its buckets, each bucket contributes O(maxBucket)
+    // candidates, so per-query work is O(bands · maxBucket) — linear
+    // total. Over-budget buckets are detected by one EAGER lightweight
+    // count over (vec_id, band, bkey) alone — no embeddings shuffle, a
+    // bounded collect (≤ n·bands/maxBucket rows; the eager-probe
+    // precedent is semanticDedup's centroid collect) — so the COMMON
+    // case (no hot bucket, every shipped fixture) keeps the original
+    // symmetric two-leg plan BIT-IDENTICAL: one reused exchange, AQE
+    // skew-split eligibility intact (SkewOpsSpec pins it), zero added
+    // cost in the join itself. Only a genuinely dense corpus pays the
+    // thinning join, where it replaces quadratic work. Recall in a
+    // thinned bucket degrades gracefully — its members have ~maxBucket
+    // near-identical candidates to pick top-k from.
+    // `nVectors` (when the caller knows the corpus size) skips the probe
+    // job outright whenever NO bucket can exceed the budget — a bucket
+    // never holds more than the whole corpus
+    val hot: Array[org.apache.spark.sql.Row] =
+      if (maxBucket == Int.MaxValue ||
+          nVectors.exists(_ <= maxBucket)) Array.empty
+      else banded.select(col("band"), col("bkey"))
+        .groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("__cnt"))
+        .filter(col("__cnt") > maxBucket).collect()
     val build =
-      if (maxBucket == Int.MaxValue) banded
-      else banded.withColumn("__r", row_number().over(
-          Window.partitionBy(col("band"), col("bkey"))
-            .orderBy(xxhash64(col("vec_id")), col("vec_id"))))
-        .filter(col("__r") <= maxBucket).drop("__r")
+      if (hot.isEmpty) banded
+      else {
+        val hotDf = broadcast(vectors.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hot: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("band",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("bkey",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("__cnt",
+              org.apache.spark.sql.types.LongType)))))
+        banded.join(hotDf, Seq("band", "bkey"), "left_outer")
+          .filter(col("__cnt").isNull ||
+            pmod(xxhash64(col("vec_id"), col("bkey")), col("__cnt"))
+              < maxBucket)
+          .drop("__cnt")
+      }
     banded.as("l").join(build.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.vec_id") =!= col("r.vec_id"))
@@ -156,10 +187,11 @@ object SimilarityOps {
   def contrastivePairs(vectors: DataFrame, nVectors: Long, nNeg: Int = 2,
                        salt: String = "cp", nPlanes: Int = 64,
                        bands: Int = 8, seed: Long = 42L,
-                       maxBucket: Int = 1024): DataFrame = {
+                       maxBucket: Int = 4096): DataFrame = {
     require(nNeg > 0, s"nNeg must be positive, got $nNeg")
     require(nVectors > 1, s"need at least 2 vectors, got $nVectors")
-    val pos = knnJoinLsh(vectors, k = 1, nPlanes, bands, seed, maxBucket)
+    val pos = knnJoinLsh(vectors, k = 1, nPlanes, bands, seed, maxBucket,
+      nVectors = Some(nVectors))
       .select(col("query_id").as("anchor_id"), lit("pos").as("role"),
         col("neighbor_id").as("other_id"))
     val negs = vectors

@@ -2482,6 +2482,32 @@ object TxTable {
       _.repartition(col(LayoutOps.BucketCol)), 0L, maxBuckets)
   }
 
+  /** PARTITION-ALIGNED compaction (the hidden-partitioning maintenance
+    * unit): rewrite exactly ONE partition value's fragmented buckets —
+    * "compact yesterday", not "compact the globally worst bucket". The
+    * natural schedule for a time-partitioned 100 TB table is one slice
+    * per closed partition right after its day/month rolls over: the
+    * slice's I/O is bounded by that partition alone, and rewritten files
+    * re-split by the transform by construction (the rows' values are
+    * unchanged), so the partition stays prunable. Same optimistic
+    * protocol + cheap-re-commit liveness as [[compact]]. Returns the
+    * number of buckets rewritten within the partition. */
+  def compactPartition(spark: SparkSession, table: String, part: Long,
+                       maxFilesPerBucket: Int = 1,
+                       maxRetries: Int = 5): Int = {
+    require(PartitionTransforms.of(snapshot(spark, table).props).nonEmpty,
+      s"$table declares no partition transform — use compact()")
+    rewriteWith(spark, table, maxRetries,
+      _.repartition(col(LayoutOps.BucketCol)), 0L,
+      raceName = s"partition-compaction($part)") { snap =>
+      val inPart = snap.entries.filter(e =>
+        PartitionTransforms.partOfRel(e.rel).contains(part))
+      val fragmented: Set[Int] = inPart.groupBy(_.bucket)
+        .filter(_._2.size > maxFilesPerBucket).keySet
+      (inPart.filter(e => fragmented(e.bucket)), fragmented.size)
+    }
+  }
+
   /** Targeted deletion-vector fold (the public Delta `REORG … APPLY
     * (PURGE)` idea): rewrite EXACTLY the files whose deleted fraction
     * reaches `minDeletedFraction`, staging their live rows and dropping

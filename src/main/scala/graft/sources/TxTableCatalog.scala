@@ -120,6 +120,7 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     val mf = "^(.*)#files$".r
     val mh = "^(.*)#history$".r
     val mr = "^(.*)#refs$".r
+    val mp = "^(.*)#partitions$".r
     raw match {
       case mf(p) if !TxTable.isTxTable(spark, raw) &&
           TxTable.isTxTable(spark, p) =>
@@ -130,6 +131,9 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       case mr(p) if !TxTable.isTxTable(spark, raw) &&
           TxTable.isTxTable(spark, p) =>
         return TxMetaTables.refs(p)
+      case mp(p) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) =>
+        return TxMetaTables.partitions(p)
       case _ => ()
     }
     // the reserved `@wap.<id>` suffix serves the write-audit-publish
@@ -3715,18 +3719,18 @@ final class TxBatchWrite(path: String, querySchema: StructType,
 }
 
 
-/** Driver-side tagger resolution shared by every DSv2 write factory:
-  * the table's recorded transform (PHYSICAL column) mapped into the
-  * write's LOGICAL namespace, bound to the query schema's ordinal.
-  * None for unpartitioned tables. */
+/** Driver-side tagger resolution shared by every DSv2 write factory.
+  * The write's row shape arrives PHYSICAL (the same contract
+  * [[TxConstraintChecks.compile]] documents), and the recorded transform
+  * stores the PHYSICAL column — bind it directly; a renamed source
+  * column needs no translation because renames never touch physical
+  * names. None for unpartitioned tables. */
 private[sources] object TxPartTag {
   def forWrite(spark: SparkSession, path: String, writeSchema: StructType)
       : Option[graft.ops.PartitionTransforms.PartTagger] = {
     val snap = TxTable.snapshot(spark, path)
-    graft.ops.PartitionTransforms.of(snap.props).map { spec =>
-      graft.ops.PartitionTransforms.taggerFor(
-        spec.copy(column = snap.logicalName(spec.column)), writeSchema)
-    }
+    graft.ops.PartitionTransforms.of(snap.props).map(spec =>
+      graft.ops.PartitionTransforms.taggerFor(spec, writeSchema))
   }
 }
 
@@ -3972,6 +3976,62 @@ private[sources] object TxMetaTables {
     })
   }
 
+  /** `t#partitions`: one row per hidden-partition VALUE of the head
+    * snapshot — the SHOW PARTITIONS surface for a transform the user
+    * never writes: partition value, its human rendering under the
+    * table's transform ([start, end) instants for timestamp sources,
+    * dates for DATE sources), file/bucket counts, exact live rows when
+    * every file recorded one, physical bytes. Pre-partitioning files
+    * and `part-null/` files surface as a NULL partition row. Manifest
+    * metadata + one `getFileStatus` per file — the partition-retention
+    * decision input (what does dropping a day free?), zero data I/O. */
+  def partitions(path: String): TxMetaTable = {
+    val schema = StructType(Seq(
+      StructField("part", LongType, nullable = true),
+      StructField("part_start", StringType, nullable = true),
+      StructField("files", IntegerType, nullable = false),
+      StructField("buckets", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("deleted_rows", LongType, nullable = false),
+      StructField("size_bytes", LongType, nullable = false)))
+    new TxMetaTable(s"$path#partitions", schema, () => {
+      val snap = TxTable.snapshot(spark, path)
+      val fs = new Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val spec = graft.ops.PartitionTransforms.of(snap.props)
+      val isDate = spec.exists(sp => snap.schema.exists(_.fields.exists(
+        f => f.name == sp.column &&
+          f.dataType == org.apache.spark.sql.types.DateType)))
+      def render(p: Long): String = spec.map { sp =>
+        if (isDate) java.time.LocalDate.ofEpochDay(
+          graft.ops.PartitionTransforms.rangeEpochDays(sp.fn, p)._1)
+          .toString
+        else java.time.Instant.ofEpochSecond(Math.floorDiv(
+          graft.ops.PartitionTransforms.rangeMicros(sp.fn, p)._1,
+          1000000L)).toString
+      }.orNull
+      snap.entries
+        .groupBy(e => graft.ops.PartitionTransforms.partOfRel(e.rel))
+        .toSeq.sortBy(_._1.getOrElse(Long.MinValue))
+        .map { case (p, es) =>
+          val rows =
+            if (es.forall(_.liveRows.isDefined))
+              java.lang.Long.valueOf(es.flatMap(_.liveRows).sum)
+            else null
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](
+              p.map(java.lang.Long.valueOf).orNull,
+              p.map(v => UTF8String.fromString(render(v))).orNull,
+              es.size,
+              es.map(_.bucket).distinct.size,
+              rows,
+              es.map(_.dv.fold(0L)(_.ndel)).sum,
+              es.map(e => fs.getFileStatus(
+                new Path(s"$path/${e.rel}")).getLen).sum)): InternalRow
+        }.toArray
+    })
+  }
+
   /** `t#refs`: every named ref — tags (immutable pins) and branches
     * (writable forks) — as one queryable table: name, kind, the pinned/
     * base version, and the branch's commit count (0 for tags). Manifest-
@@ -4073,6 +4133,22 @@ object TxProcedures {
     override protected def run(input: InternalRow): Array[Any] =
       Array(TxTable.compact(spark, input.getUTF8String(0).toString,
         input.getInt(1), maxBuckets = input.getInt(2)))
+  }
+
+  private val compactPartitionProc: Proc = new Proc("compact_partition",
+    "partition-aligned compaction: rewrite ONE hidden-partition value's " +
+      "fragmented buckets (the 'compact yesterday' maintenance unit); " +
+      "I/O bounded by that partition alone",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("part", LongType).build(),
+      ProcedureParameter.in("max_files_per_bucket", IntegerType)
+        .defaultValue("1").build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("buckets_compacted", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.compactPartition(spark,
+        input.getUTF8String(0).toString, input.getLong(1),
+        input.getInt(2)))
   }
 
   private val computeStats: Proc = new Proc("compute_stats",
@@ -4448,7 +4524,7 @@ object TxProcedures {
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
       dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
-      localizeCloneProc)
+      localizeCloneProc, compactPartitionProc)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

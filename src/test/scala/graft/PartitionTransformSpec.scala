@@ -269,4 +269,49 @@ class PartitionTransformSpec extends AnyFunSuite {
       assert(one.count() == 1)
     }
   }
+
+  test("partition-aligned maintenance: compact_partition rewrites one day's buckets only; #partitions is the retention decision input") {
+    registered {
+      val t = Files.createTempDirectory("graft_pt7_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txpt.`$t`
+        (id BIGINT, ts TIMESTAMP, kind STRING)
+        PARTITIONED BY (days(ts), bucket(2, id))""")
+      // three appends -> each day's buckets fragment to 3 files
+      (0 until 3).foreach { b =>
+        (0 until 2).map { d =>
+          (b * 100 + d.toLong, ts(f"2024-03-${10 + d}%02d 0$b:00:00"),
+            s"e$b-$d")
+        }.toDF("id", "ts", "kind").writeTo(s"txpt.`$t`").append()
+      }
+      val before = TxTable.snapshot(spark, t)
+      val day0 = 19792L
+      def filesOf(snap: TxTable.Snapshot, p: Long) = snap.entries
+        .filter(e => PartitionTransforms.partOfRel(e.rel).contains(p))
+      assert(filesOf(before, day0).size >= 3)
+      val day1Before = filesOf(before, 19793L).map(_.rel).toSet
+      val n = spark.sql(s"CALL txpt.compact_partition('$t', $day0)")
+        .as[Int].head()
+      assert(n >= 1)
+      val after = TxTable.snapshot(spark, t)
+      // day 0 coalesced to one file per touched bucket; day 1 untouched
+      assert(filesOf(after, day0).size < filesOf(before, day0).size)
+      assert(filesOf(after, 19793L).map(_.rel).toSet == day1Before,
+        "partition-aligned maintenance must not touch other days")
+      assert(spark.table(s"txpt.`$t`").count() == 6)
+      // the rewrite is dataChange=false: nothing replays downstream
+      assert(TxTable.changesBetween(spark, t, before.version,
+        after.version).count() == 0)
+      // #partitions: one row per day with exact rows/files — the
+      // "what does dropping a day free?" input
+      val parts = spark.table(s"txpt.`$t#partitions`")
+        .select($"part", $"part_start", $"files", $"rows")
+        .as[(Option[Long], String, Int, Option[Long])]
+        .collect().sortBy(_._1)
+      assert(parts.map(_._1) sameElements
+        Array(Some(19792L), Some(19793L)))
+      assert(parts.head._2.startsWith("2024-03-10"))
+      assert(parts.map(_._4).forall(_.contains(3L)))
+      assert(parts.forall(_._3 >= 1))
+    }
+  }
 }
