@@ -188,4 +188,54 @@ class CloneSpec extends AnyFunSuite {
         TxTable.tags(spark, src).isEmpty)
     }
   }
+
+  test("ANALYZE on a clone keys sidecars by manifest rels: zone-map pruning works over shared files") {
+    registered {
+      val src = Files.createTempDirectory("graft_cl_an_").toString + "/src"
+      TxTable.init(spark, src,
+        (1 to 32).map(i => (s"K$i", i.toLong)).toDF("k", "v"), "k", 4)
+      TxTable.appendOnce(spark, src,
+        (33 to 64).map(i => (s"K$i", i.toLong)).toDF("k", "v"),
+        "k", 4, "an", 1L)
+      val dst = Files.createTempDirectory("graft_cl_an_").toString + "/dst"
+      TxTable.cloneTable(spark, src, dst)
+      // the clone starts stats-less; ANALYZE over the SHARED files must
+      // key the sidecar by the clone's ../ manifest rels (manifestRel
+      // canonicalization), or pruning would silently never engage
+      TxTable.computeStats(spark, dst, "v")
+      val stats = TxTable.fileStats(spark, dst, "v")
+      assert(stats.nonEmpty && stats.keys.forall(_.startsWith("..")),
+        s"sidecar keys must be the clone's manifest rels: " +
+          stats.keys.take(2))
+      val pruned = TxTable.readWhere(spark, dst, "v", 60L, 64L)
+      assert(pruned.count() == 5)
+      TxTable.releaseClone(spark, dst)
+    }
+  }
+
+  test("cloning a generated-column table carries the expression: clone-side writes compute, conflicts refuse") {
+    registered {
+      val base = Files.createTempDirectory("graft_cl_gc_").toString
+      val src = s"$base/src"
+      spark.sql(s"""CREATE TABLE txcl.`$src` (
+        id BIGINT, ts TIMESTAMP,
+        event_date DATE GENERATED ALWAYS AS (CAST(ts AS DATE)))
+        PARTITIONED BY (bucket(2, id))""")
+      spark.sql(s"INSERT INTO txcl.`$src` (id, ts) " +
+        "VALUES (1, TIMESTAMP '2024-03-10 08:00:00')")
+      val dst = s"$base/dst"
+      TxTable.cloneTable(spark, src, dst)
+      spark.sql(s"INSERT INTO txcl.`$dst` (id, ts) " +
+        "VALUES (2, TIMESTAMP '2024-04-01 09:00:00')")
+      val got = spark.table(s"txcl.`$dst`").orderBy($"id")
+        .select($"event_date".cast("string")).as[String].collect().toSeq
+      assert(got == Seq("2024-03-10", "2024-04-01"),
+        "the clone must compute generated values like the source")
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO txcl.`$dst` VALUES " +
+          "(3, TIMESTAMP '2024-04-02 00:00:01', DATE '2024-04-01')")
+      }
+      TxTable.releaseClone(spark, dst)
+    }
+  }
 }

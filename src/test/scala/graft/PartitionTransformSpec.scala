@@ -314,4 +314,28 @@ class PartitionTransformSpec extends AnyFunSuite {
       assert(parts.forall(_._3 >= 1))
     }
   }
+
+  test("time travel on a partitioned table prunes per version: each snapshot plans its own day set") {
+    registered {
+      val t = Files.createTempDirectory("graft_pt8_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txpt.`$t`
+        (id BIGINT, ts TIMESTAMP, kind STRING)
+        PARTITIONED BY (days(ts), bucket(2, id))""")
+      fourDays.limit(20).writeTo(s"txpt.`$t`").append()   // days 10-11
+      val v1 = TxTable.snapshot(spark, t).version
+      fourDays.filter($"ts" >= "2024-03-12 00:00:00")
+        .writeTo(s"txpt.`$t`").append()                    // days 12-13
+      // head prunes across all four days; the pinned version never
+      // plans files from days it predates
+      val headDay = spark.table(s"txpt.`$t`")
+        .filter($"ts" >= "2024-03-12 00:00:00")
+      assert(headDay.count() == 20)
+      val old = spark.table(s"txpt.`$t@v$v1`")
+        .filter($"ts" >= "2024-03-12 00:00:00")
+      assert(old.count() == 0)
+      assert(scannedFiles(old) == 0,
+        "a pinned pre-append read must plan ZERO files for the later days")
+      assert(spark.table(s"txpt.`$t@v$v1`").count() == 20)
+    }
+  }
 }
