@@ -2508,6 +2508,38 @@ object TxTable {
     }
   }
 
+  /** DROP PARTITION (the direct retention verb over hidden
+    * partitioning): remove every file of ONE partition value from the
+    * manifest — metadata-only at any scale, no predicate math, no file
+    * read. Sound because a `part-<v>/` file holds ONLY rows whose
+    * transform value is v (the write-side placement invariant), so the
+    * drop is exactly `DELETE WHERE <source col in the partition's
+    * range>` — which the change feed accordingly surfaces as
+    * file-granular deletes. `part-null/` files are not addressable here
+    * (their rows have NULL source values — delete them with
+    * `WHERE col IS NULL`). Returns the number of files dropped (0 when
+    * the partition is empty — idempotent). */
+  def dropPartition(spark: SparkSession, table: String, part: Long,
+                    maxRetries: Int = 5): Int = {
+    require(PartitionTransforms.of(snapshot(spark, table).props).nonEmpty,
+      s"$table declares no partition transform")
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(spark, table)
+      val doomed = snap.entries.filter(e =>
+        PartitionTransforms.partOfRel(e.rel).contains(part))
+      if (doomed.isEmpty) return 0
+      if (commitNext(fs, table, snap, adds = Seq.empty,
+          removes = doomed.map(_.rel).toSet, schema = snap.schema))
+        return doomed.size
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: drop_partition($part) lost the commit race " +
+        s"$maxRetries times")
+  }
+
   /** Targeted deletion-vector fold (the public Delta `REORG … APPLY
     * (PURGE)` idea): rewrite EXACTLY the files whose deleted fraction
     * reaches `minDeletedFraction`, staging their live rows and dropping

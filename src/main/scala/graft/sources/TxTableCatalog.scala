@@ -4151,6 +4151,19 @@ object TxProcedures {
         input.getInt(2)))
   }
 
+  private val dropPartitionProc: Proc = new Proc("drop_partition",
+    "metadata-only retention: remove ONE hidden-partition value's files " +
+      "from the manifest (no predicate, no file read; the change feed " +
+      "surfaces the drop as file-granular deletes)",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("part", LongType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("files_dropped", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.dropPartition(spark,
+        input.getUTF8String(0).toString, input.getLong(1)))
+  }
+
   private val computeStats: Proc = new Proc("compute_stats",
     "build/refresh the per-file (min,max) zone-map sidecar for a column",
     Seq(ProcedureParameter.in("table", StringType).build(),
@@ -4524,7 +4537,7 @@ object TxProcedures {
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
       dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
-      localizeCloneProc, compactPartitionProc)
+      localizeCloneProc, compactPartitionProc, dropPartitionProc)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -338,4 +338,42 @@ class PartitionTransformSpec extends AnyFunSuite {
       assert(spark.table(s"txpt.`$t@v$v1`").count() == 20)
     }
   }
+
+  test("CALL drop_partition removes exactly one day's files by metadata; the change feed sees file-granular deletes") {
+    registered {
+      val t = Files.createTempDirectory("graft_pt9_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txpt.`$t`
+        (id BIGINT, ts TIMESTAMP, kind STRING)
+        PARTITIONED BY (days(ts), bucket(2, id))""")
+      fourDays.writeTo(s"txpt.`$t`").append()
+      val before = TxTable.snapshot(spark, t)
+      val day0Files = before.entries.count(e =>
+        PartitionTransforms.partOfRel(e.rel).contains(19792L))
+      val n = spark.sql(s"CALL txpt.drop_partition('$t', 19792)")
+        .as[Int].head()
+      assert(n == day0Files && n >= 1)
+      val after = TxTable.snapshot(spark, t)
+      // metadata-only: surviving entries are a strict subset, nothing
+      // staged, the other days untouched
+      val beforeRels = before.entries.map(_.rel).toSet
+      assert(after.entries.forall(e => beforeRels(e.rel)))
+      assert(after.entries.forall(e =>
+        PartitionTransforms.partOfRel(e.rel).exists(_ >= 19793L)))
+      assert(spark.table(s"txpt.`$t`").count() == 30)
+      // rows actually died -> the change feed replays them as deletes
+      val feed = TxTable.changesBetween(spark, t, before.version,
+        after.version)
+      assert(feed.filter($"_change_type" === "delete").count() == 10)
+      // idempotent: a second call is a no-op
+      assert(spark.sql(s"CALL txpt.drop_partition('$t', 19792)")
+        .as[Int].head() == 0)
+      // unpartitioned tables refuse
+      val u = Files.createTempDirectory("graft_pt9u_").toString + "/u"
+      TxTable.init(spark, u, Seq((1L, "a")).toDF("id", "k"), "id", 2)
+      val e = intercept[Exception] {
+        spark.sql(s"CALL txpt.drop_partition('$u', 1)")
+      }
+      assert(e.getMessage.contains("no partition transform"))
+    }
+  }
 }
