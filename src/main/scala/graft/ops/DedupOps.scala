@@ -1027,12 +1027,33 @@ object DedupOps {
               < maxBucket)
           .drop("__cnt")
       }
-    banded.as("l").join(build.as("r"),
-        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
-        SimilarityOps.cosine(col("l.embedding"), col("r.embedding")).as("sim"))
-      .dropDuplicates(Seq("id_a", "id_b"))
+    // No hot bucket → the original symmetric `<`-ordered plan,
+    // bit-identical (exchange reuse + AQE skew-split intact). With a
+    // THINNED build side `<` would be wrong: a member whose vec_id
+    // exceeds every hub id in its bucket pairs with nothing, dropping
+    // it from the dedup connected components. Join `=!=` instead and
+    // canonicalize each pair to (least, greatest) — every member pairs
+    // with every hub regardless of id order, keeping the bucket
+    // connected through the hubs as the probe-budget contract promises.
+    val pairs =
+      if (hot.isEmpty)
+        banded.as("l").join(build.as("r"),
+            col("l.band") === col("r.band") &&
+              col("l.bkey") === col("r.bkey") &&
+              col("l.vec_id") < col("r.vec_id"))
+          .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"),
+            SimilarityOps.cosine(col("l.embedding"), col("r.embedding"))
+              .as("sim"))
+      else
+        banded.as("l").join(build.as("r"),
+            col("l.band") === col("r.band") &&
+              col("l.bkey") === col("r.bkey") &&
+              col("l.vec_id") =!= col("r.vec_id"))
+          .select(least(col("l.vec_id"), col("r.vec_id")).as("id_a"),
+            greatest(col("l.vec_id"), col("r.vec_id")).as("id_b"),
+            SimilarityOps.cosine(col("l.embedding"), col("r.embedding"))
+              .as("sim"))
+    pairs.dropDuplicates(Seq("id_a", "id_b"))
       .filter(col("sim") >= threshold)
   }
 

@@ -88,10 +88,18 @@ object PartitionTransforms {
 
   // ---- write-side expression ------------------------------------------
 
-  /** Floor division as a Column — operands stay well under 2^53, so the
-    * double division is exact before the floor. */
+  /** Floor division as a Column, EXACT over the full long range —
+    * `Math.floorDiv` semantics, matching the driver-side mirrors and
+    * the DSv2 PartTagger bit for bit. A double-division floor would be
+    * wrong past 2^53 (epoch micros reach 2.5e17 at the common
+    * 9999-12-31 sentinel: a row one microsecond before a day boundary
+    * could round INTO the next partition, breaking the file-envelope
+    * invariant that pruning and metadata-only drops rely on). pmod's
+    * non-negative remainder makes the subtraction land exactly on a
+    * multiple of b, and SQL `div` (IntegralDivide) is exact long
+    * arithmetic — both codegen'd, no UDF. */
   private def fdiv(a: Column, b: Long): Column =
-    floor(a / lit(b.toDouble)).cast("long")
+    call_function("div", a - pmod(a, lit(b)), lit(b)).cast("long")
 
   /** Civil (proleptic-Gregorian) year/month from epoch days, as pure
     * integer Column arithmetic — Hinnant's civil_from_days. Returns
@@ -189,22 +197,29 @@ object PartitionTransforms {
 
   // ---- per-file value from the staged path ------------------------------
 
-  private val RelPart = ".*/part-(-?\\d+)/.*".r
-  private val RelPartNull = ".*/part-null/.*".r
+  // Anchored to the CANONICAL suffix: the partition segment sits exactly
+  // between `files/<uuid>/` and the bucket dir (`files/<uuid>/part-<v>/
+  // bucket-<b>/<name>`). A bare `/part-<digits>/` match anywhere would
+  // also fire on a clone's `../../…` cross-table prefix traversing a
+  // user directory literally named `part-<n>`, mis-attributing
+  // unpartitioned shared files to partition n (wrong prune / wrong
+  // metadata drop). `relKey` strips any cross-table prefix first.
+  private val RelPart = "files/[^/]+/part-(-?\\d+)/[^/]+/[^/]+$".r
+  private val RelPartNull = "files/[^/]+/part-null/[^/]+/[^/]+$".r
 
   /** The file's partition value, parsed from its `part-<v>/` path
     * segment. None for pre-partitioning files and `part-null/` files —
     * both are kept by every partition prune and skipped by every
     * partition-metadata drop (over-keep, never wrong). */
-  def partOfRel(rel: String): Option[Long] = rel match {
-    case RelPart(v) => Some(v.toLong)
-    case _ => None
-  }
+  def partOfRel(rel: String): Option[Long] =
+    RelPart.findFirstMatchIn(DeletionVectors.relKey(rel))
+      .map(_.group(1).toLong)
 
   /** True when `rel` carries ANY partition segment (valued or null) —
     * the staged-layout marker specs assert on. */
   def hasPartSegment(rel: String): Boolean =
-    partOfRel(rel).isDefined || RelPartNull.matches(rel)
+    partOfRel(rel).isDefined ||
+      RelPartNull.findFirstIn(DeletionVectors.relKey(rel)).isDefined
 
   // ---- typed envelopes for the pruning / coverage kernels ---------------
 

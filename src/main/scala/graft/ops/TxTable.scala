@@ -3577,9 +3577,15 @@ object TxTable {
     // the base CAS — while no base exists nothing can legally append,
     // so the cleanup cannot race a legitimate delta
     if (!fs.exists(branchBasePath(table, name))) {
+      // STRICT match only: branch names may contain dots, so a bare
+      // startsWith("branch-$name.d") would also hit a LIVE sibling
+      // branch 'name.dev' ("branch-name.dev.base" starts with
+      // "branch-name.d") — only delete THIS name's numeric delta files
+      // and its exact fence refs
       scala.util.Try(fs.listStatus(logDir(table)).toSeq
         .map(_.getPath.getName)
-        .filter(n => n.startsWith(s"branch-$name.d") ||
+        .filter(n => (n.startsWith(s"branch-$name.d") &&
+            n.stripPrefix(s"branch-$name.d").matches("\\d+")) ||
           n == s"branch-$name.frozen" || n == s"branch-$name.publish")
         .foreach(n => fs.delete(new Path(logDir(table), n), false)))
     }
@@ -3707,7 +3713,7 @@ object TxTable {
     *     (the publisher writes it right after the marker); if the
     *     marker disappears instead, the publish aborted and the branch
     *     (with this delta) lives on. */
-  private def arbitrateAppendVsPublish(fs: FileSystem, table: String,
+  private[graft] def arbitrateAppendVsPublish(fs: FileSystem, table: String,
                                        name: String, expectedBase: Long,
                                        k: Int): Unit = {
     val marker = branchPublishMarker(table, name)
@@ -3730,6 +3736,18 @@ object TxTable {
           readBytes(fs, branchBasePath(table, name)),
           StandardCharsets.UTF_8).trim.toLong).toOption
         if (nowBase.contains(expectedBase)) return // included or no publish
+        // base gone/moved: a publish finished (marker cleaned, ref
+        // dropped) BEFORE we arbitrated. That publish may still have
+        // CARRIED this delta — the freeze list is taken after the
+        // marker, so a delta CAS'd just before the freeze lands on main
+        // even though every branch ref is gone by the time we look.
+        // Consult the main log: publishBranch commits txn
+        // `branch:<name>:<base>` with epoch = frozen delta count d;
+        // d >= k proves our rows reached main — failing here would
+        // invite a retry and double-apply them.
+        if (lastCommittedBatchUpTo(fs, table,
+            s"branch:$name:$expectedBase", Long.MaxValue)
+            .exists(_ >= k)) return
         rollbackAndFail(
           if (nowBase.isEmpty) "the publish completed and dropped the ref"
           else s"the branch was re-created at a different base ($nowBase)")

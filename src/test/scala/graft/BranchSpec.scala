@@ -225,6 +225,60 @@ class BranchSpec extends AnyFunSuite {
     }
   }
 
+  test("createBranch('a') never touches live sibling branch 'a.dev' (dotted names share a raw prefix)") {
+    registered {
+      val t = fresh()
+      // 'a.dev' is live with one unpublished delta; its refs
+      // 'branch-a.dev.base' / 'branch-a.dev.d1' both start with the raw
+      // prefix 'branch-a.d' that createBranch('a')'s stray cleanup scans
+      TxTable.createBranch(spark, t, "a.dev")
+      assert(TxTable.appendToBranch(spark, t, "a.dev",
+        Seq(("AD1", 201L)).toDF("k", "v")) == 1)
+      TxTable.createBranch(spark, t, "a")
+      // the sibling's base AND delta chain must both survive
+      assert(TxTable.branches(spark, t).keySet == Set("a", "a.dev"))
+      assert(spark.table(s"txbr.`$t@branch.a.dev`")
+        .where($"k" === "AD1").count() == 1,
+        "branch a.dev lost its unpublished delta to createBranch('a')")
+      // and both branches stay independently appendable + publishable
+      TxTable.appendToBranch(spark, t, "a", Seq(("A1", 301L)).toDF("k", "v"))
+      TxTable.publishBranch(spark, t, "a.dev")
+      assert(spark.table(s"txbr.`$t`").where($"k" === "AD1").count() == 1)
+      TxTable.dropBranch(spark, t, "a")
+    }
+  }
+
+  test("arbitration after a completed publish: a delta the publish CARRIED succeeds instead of false-failing (no double-apply invite)") {
+    registered {
+      val t = fresh()
+      val base = TxTable.createBranch(spark, t, "dev")
+      TxTable.appendToBranch(spark, t, "dev", Seq(("D1", 1L)).toDF("k", "v"))
+      TxTable.appendToBranch(spark, t, "dev", Seq(("D2", 2L)).toDF("k", "v"))
+      // the publish freezes at d=2, commits txn branch:dev:<base> with
+      // epoch 2, and drops every branch ref — exactly the state a racing
+      // appender sees when it arbitrates AFTER the publish finished
+      TxTable.publishBranch(spark, t, "dev")
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // delta 2 was inside the frozen prefix: its rows ARE on main, so
+      // arbitration must return success (a failure here tells the caller
+      // "retry on main" and double-applies the rows)
+      TxTable.arbitrateAppendVsPublish(fs, t, "dev", base, 2)
+      assert(spark.table(s"txbr.`$t`")
+        .where($"k".isin("D1", "D2")).count() == 2)
+      // a delta PAST the frozen count did not land: still fails loudly
+      val e = intercept[IllegalStateException] {
+        TxTable.arbitrateAppendVsPublish(fs, t, "dev", base, 3)
+      }
+      assert(e.getMessage.contains("NOT included"))
+      // and a publish from a DIFFERENT base proves nothing for this one
+      val e2 = intercept[IllegalStateException] {
+        TxTable.arbitrateAppendVsPublish(fs, t, "dev", base + 7, 1)
+      }
+      assert(e2.getMessage.contains("NOT included"))
+    }
+  }
+
   test("branch appends enforce constraints and union-evolve schema; duplicate branch names refuse") {
     registered {
       val t = fresh()

@@ -49,7 +49,13 @@ class PartitionTransformSpec extends AnyFunSuite {
       "1999-12-31 23:59:59", "2000-02-29 12:00:00",
       "2024-01-01 00:00:00", "2024-02-29 23:59:59.5",
       "2024-03-01 00:00:00", "2024-12-31 23:59:59.999999",
-      "1900-07-15 06:07:08", "2100-01-31 23:00:00")
+      "1900-07-15 06:07:08", "2100-01-31 23:00:00",
+      // past 2^53 epoch micros (~year 2255): a double-division floor
+      // would round a row one micro before a day boundary INTO the next
+      // partition — the write expression must stay exact long floorDiv
+      "2255-06-07 00:00:00", "2500-06-01 00:00:00",
+      "4999-12-31 23:59:59.999999", "5000-01-01 00:00:00",
+      "9999-12-31 23:59:59.999999")
     // evaluate the WRITE expression in a UTC session so the literal
     // strings above are themselves UTC instants
     val prev = spark.conf.get("spark.sql.session.timeZone")
@@ -73,6 +79,33 @@ class PartitionTransformSpec extends AnyFunSuite {
         }
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("partOfRel parses ONLY the canonical files/<uuid>/part-<v>/ segment — a cross-table prefix traversing a dir literally named part-<n> is not a partition") {
+    // native partitioned rel
+    assert(PartitionTransforms.partOfRel(
+      "files/ab12cd/part-19793/bucket-0/f1.parquet") == Some(19793L))
+    assert(PartitionTransforms.partOfRel(
+      "files/ab12cd/part--5/bucket-3/f.parquet") == Some(-5L))
+    // unpartitioned rel: no value
+    assert(PartitionTransforms.partOfRel(
+      "files/ab12cd/bucket-0/f1.parquet").isEmpty)
+    // a CLONE's cross-table rel whose traversal passes through a user
+    // directory literally named part-7 must NOT parse as partition 7
+    assert(PartitionTransforms.partOfRel(
+      "../../part-7/src_tbl/files/ab12cd/bucket-0/f1.parquet").isEmpty)
+    // ... while the same clone rel over a genuinely partitioned shared
+    // file still parses ITS value, not the prefix's
+    assert(PartitionTransforms.partOfRel(
+      "../../part-7/src_tbl/files/ab12cd/part-42/bucket-0/f1.parquet")
+      == Some(42L))
+    // null-partition segment: no value, but the segment is recognized
+    assert(PartitionTransforms.partOfRel(
+      "files/ab12cd/part-null/bucket-0/f.parquet").isEmpty)
+    assert(PartitionTransforms.hasPartSegment(
+      "files/ab12cd/part-null/bucket-0/f.parquet"))
+    assert(!PartitionTransforms.hasPartSegment(
+      "../../part-null/src/files/ab12cd/bucket-0/f.parquet"))
   }
 
   test("CTAS with days(ts)+bucket lays files under part-<day>/bucket-<b>; scans prune to the predicate's days (planned-file counts pinned)") {

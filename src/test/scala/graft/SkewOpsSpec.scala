@@ -186,4 +186,34 @@ class SkewOpsSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("thinned over-budget LSH bucket keeps EVERY member connected — including ids above every hub id") {
+    // The probe budget thins the build side of a hot (band, bucket) to
+    // ~maxBucket hash-chosen hubs. With the original `l.vec_id <
+    // r.vec_id` condition a member whose id exceeds every hub id would
+    // pair with NOTHING (its only candidates sit on the thinned side
+    // with smaller ids), silently dropping it from the dedup connected
+    // components. The thinned path must therefore join `=!=` and
+    // canonicalize pairs — this pins that every cluster member, in
+    // particular the max-id one, survives into the pair set.
+    val dims = 16
+    val n = 64
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(dims)(rnd.nextGaussian().toFloat)
+    val vectors = (0 until n).map { i =>
+      (i.toLong, base.map(_ + (rnd.nextGaussian() * 1e-4).toFloat))
+    }.toDF("vec_id", "embedding")
+    // maxBucket = 8 << 64: every (band, bucket) of the single cluster is
+    // over budget, so the thinned plan is ACTIVE (nVectors hint absent)
+    val pairs = graft.ops.DedupOps.embeddingLshPairs(
+      vectors, threshold = 0.9, nPlanes = 64, bands = 8, maxBucket = 8)
+      .collect()
+    val seen = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(seen == (0L until n.toLong).toSet,
+      s"thinning dropped members: missing ${(0L until n.toLong).toSet -- seen}")
+    // canonical orientation: every pair is (least, greatest), no dupes
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      pairs.length)
+  }
 }
