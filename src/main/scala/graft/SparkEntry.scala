@@ -681,6 +681,13 @@ object SparkEntry {
     // day-boundary partition-metadata retention DELETE are landing/
     // maintenance work; the queries time partition-pruned reads)
     stagedPartitionedEvents(s, dir)
+    // the partition-spec-evolution fixture (two-generation landing +
+    // ALTER evolution + metadata retention) and the multi-field fixture
+    // ((day, type) CTAS + the identity-envelope metadata DELETE) — all
+    // landing/DDL work; the queries time mixed-generation and
+    // cell-pruned reads
+    stagedEvolvedEvents(s, dir)
+    stagedMultiPartEvents(s, dir)
     // the generated-column orders fixture (CREATE + three writer
     // surfaces incl. a MERGE recompute are landing work; the query
     // times the plain stored-column read)
@@ -911,6 +918,70 @@ object SparkEntry {
         .writeTo(s"txspj.`$path`").append()
       s.sql(s"DELETE FROM txspj.`$path` " +
         "WHERE ts < TIMESTAMP '2024-01-10 00:00:00'")
+      ()
+    }
+    path
+  }
+
+  /** Partition-spec EVOLUTION fixture (the Iceberg v2 shape): the events
+    * table is born `PARTITIONED BY (days(ts), bucket(8, user_id))` and
+    * lands its first half as day files; `ALTER TABLE SET TBLPROPERTIES`
+    * then evolves the transform to `months(ts)` — ONE property commit,
+    * zero files touched — and the second half lands as month files under
+    * `spec-1/`. A day-boundary retention DELETE afterwards is still
+    * metadata-only: the gen-0 day envelopes prove Full coverage per file
+    * even though the head spec is now months. The query reads across both
+    * generations; each file prunes under the spec that placed it
+    * (spec-pinned in PartitionEvolutionSpec). */
+  private def stagedEvolvedEvents(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-evolved-events/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      s.sql(s"""CREATE TABLE txspj.`$path` (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING)
+        PARTITIONED BY (days(ts), bucket(8, user_id))""")
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      ev.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+        .writeTo(s"txspj.`$path`").append()
+      s.sql(s"ALTER TABLE txspj.`$path` SET TBLPROPERTIES " +
+        s"('${ops.PartitionTransforms.Prop}'='months(ts)')")
+      ev.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"))
+        .writeTo(s"txspj.`$path`").append()
+      s.sql(s"DELETE FROM txspj.`$path` " +
+        "WHERE ts < TIMESTAMP '2024-01-05 00:00:00'")
+      ()
+    }
+    path
+  }
+
+  /** Multi-field hidden-partitioning fixture: `PARTITIONED BY (days(ts),
+    * identity(event_type), bucket(4, user_id))` nests the categorical
+    * dimension under the time dimension, so a (day, type) slice opens
+    * exactly that cell's files. The landing job then retires one event
+    * type with `DELETE WHERE event_type = 'error'` — fully covered by
+    * the identity envelopes alone: one manifest commit, zero files read
+    * or rewritten (spec-pinned in PartitionMultiFieldSpec). */
+  private def stagedMultiPartEvents(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-multipart-events/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      ensureTxCatalog(s)
+      s.sql(s"""CREATE TABLE txspj.`$path` (
+        event_id BIGINT, ts TIMESTAMP, user_id BIGINT,
+        event_type STRING, value DOUBLE, props STRING)
+        PARTITIONED BY (days(ts), identity(event_type),
+          bucket(4, user_id))""")
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .writeTo(s"txspj.`$path`").append()
+      s.sql(s"DELETE FROM txspj.`$path` WHERE event_type = 'error'")
       ()
     }
     path
@@ -2823,6 +2894,45 @@ object SparkEntry {
       s.table(s"txspj.`$path`")
         .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp")
           && col("ts") < lit("2024-01-22 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Partition-spec evolution audit: the staged table landed half under
+    // days(ts), evolved to months(ts) by ALTER (one property commit),
+    // landed the rest as month files, then ran a day-boundary retention
+    // DELETE that stayed metadata-only via the gen-0 day envelopes. The
+    // query reads across BOTH partition generations with a range filter
+    // crossing the evolution cut; the oracle replays retention + range
+    // over the raw events.
+    "ext_partition_evolution" -> ((s, dir) => {
+      val path = stagedEvolvedEvents(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .filter(col("ts") < lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          moneySum(col("value")).as("total_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Multi-field hidden partitioning audit: files nest
+    // part-<day>/part2-<type>/ so a (day, type) slice opens exactly that
+    // cell; the landing job retired event_type='error' with an identity-
+    // envelope metadata DELETE (zero files read). The query slices a
+    // week across the surviving types; the oracle replays the retirement
+    // as a WHERE over the raw events.
+    "ext_partition_multi" -> ((s, dir) => {
+      val path = stagedMultiPartEvents(s, dir)
+      ensureTxCatalog(s)
+      s.table(s"txspj.`$path`")
+        .filter(col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
@@ -5480,6 +5590,33 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // evolution replay: which partition generation served each row is a
+    // pure execution property — the oracle replays retention + the range
+    // filter over the raw events
+    "ext_partition_evolution" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-25 00:00:00'
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    // multi-field replay: the identity-envelope retirement is a WHERE
+    // over the raw events; the (day, type) cell pruning is a pure
+    // execution property
+    "ext_partition_multi" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type <> 'error'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
 

@@ -35,13 +35,17 @@ object DeletionVectors {
   private[graft] val MaxPos = Int.MaxValue.toLong
 
   /** The table-relative data-file suffix
-    * `files/<uuid>[/part-<v>]/<dir>/<name>` — the ONE pattern every DV
-    * consumer keys files by (`input_file_name` extraction here,
-    * partition-path extraction on the DSv2 side). The optional third
-    * segment is the hidden-partition level; the innermost dir is always
-    * `bucket-<b>`. Load-bearing: a drifted copy would silently serve
-    * deleted rows. */
-  private[graft] val RelPattern = "files/[^/]+(/part-[^/]+)?/[^/]+/[^/]+$"
+    * `files/<uuid>[/spec-<sid>][/part-<v0>][/part2-<v1>…]/<dir>/<name>` —
+    * the ONE pattern every DV consumer keys files by (`input_file_name`
+    * extraction here, partition-path extraction on the DSv2 side). The
+    * optional `spec-<sid>` segment marks a post-evolution partition
+    * generation; the `part*` segments are the hidden-partition levels;
+    * the innermost dir is always `bucket-<b>` (so a parquet task-file
+    * NAME starting with `part-` can never be mistaken for a partition
+    * segment — names sit past the bucket dir). Load-bearing: a drifted
+    * copy would silently serve deleted rows. */
+  private[graft] val RelPattern =
+    "files/[^/]+(/spec-\\d+)?(/part\\d*-[^/]+)*/[^/]+/[^/]+$"
   private val RelRegex = RelPattern.r
 
   /** Canonical `files/…` suffix of a manifest rel — what the

@@ -1950,30 +1950,45 @@ object TxTable {
     val rel = s"files/${java.util.UUID.randomUUID()}"
     val root = new Path(table, rel)
     // hidden partitioning: when the table declares a transform, derive
-    // each row's partition value and split staged files by it — a
-    // `part-<v>/` segment ABOVE the bucket segment. The transform is set
-    // at CREATE and immutable, so reading it from the current snapshot
-    // is race-free; staging for a not-yet-committed table (init) has no
-    // props and stays unpartitioned. Hyphen (not `=`) directory names
-    // keep Spark's path-based partition inference off, same as bucket-N.
-    val tr = scala.util.Try(snapshot(spark, table)).toOption
-      .flatMap(s => PartitionTransforms.of(s.props))
+    // each row's partition segment texts and split staged files by them —
+    // nested `part-<v0>/[part2-<v1>/…]` segments ABOVE the bucket
+    // segment, under a `spec-<sid>/` level when the HEAD spec is a
+    // post-evolution generation (sid > 0) so readers reconstruct each
+    // file's envelopes under the spec that placed it. Reading the head
+    // spec from the current snapshot can race a concurrent ALTER
+    // evolution, harmlessly: history is APPEND-ONLY, so files stamped
+    // with the pre-evolution sid stay exactly interpretable forever —
+    // they just belong to the older generation. Staging for a
+    // not-yet-committed table (init) has no props and stays
+    // unpartitioned. Hyphen (not `=`) directory names keep Spark's
+    // path-based partition inference off, same as bucket-N.
+    val tr: Option[(PartitionTransforms.Spec, Int)] =
+      scala.util.Try(snapshot(spark, table)).toOption.flatMap(s =>
+        PartitionTransforms.of(s.props)
+          .map(sp => (sp, PartitionTransforms.headSid(s.props))))
     val withPart = tr match {
-      case Some(spec) =>
-        val dt = tagged.schema.fields.find(_.name == spec.column)
-          .map(_.dataType).getOrElse(throw new IllegalArgumentException(
-            s"$table: batch omits the hidden-partition source column " +
-              s"'${spec.column}' (${spec.render}) — partition placement " +
-              "would be undefined"))
-        tagged.withColumn("__pp", PartitionTransforms.partExpr(spec, dt))
+      case Some((spec, _)) =>
+        spec.fields.zipWithIndex.foldLeft(tagged) { case (df, (f, i)) =>
+          val dt = df.schema.fields.find(_.name == f.column)
+            .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+              s"$table: batch omits the hidden-partition source column " +
+                s"'${f.column}' (${f.render}) — partition placement " +
+                "would be undefined"))
+          df.withColumn(s"__pp$i", PartitionTransforms.segTextExpr(f, dt))
+        }
       case None => tagged
     }
     val writer = withPart.withColumn("__pb", col(LayoutOps.BucketCol)).write
     val writer2 = if (maxRecordsPerFile > 0)
        writer.option("maxRecordsPerFile", maxRecordsPerFile)
      else writer
-    (if (tr.isDefined) writer2.partitionBy("__pp", "__pb")
-     else writer2.partitionBy("__pb")).parquet(s"$table/$rel")
+    val writeRoot = tr match {
+      case Some((_, sid)) if sid > 0 => s"$table/$rel/spec-$sid"
+      case _ => s"$table/$rel"
+    }
+    val ppCols = tr.fold(Seq.empty[String])(_._1.fields.indices
+      .map(i => s"__pp$i"))
+    writer2.partitionBy((ppCols :+ "__pb"): _*).parquet(writeRoot)
     val fs = fsFor(spark, table)
     def renameBuckets(dir: Path): Unit =
       fs.listStatus(dir).filter(_.getPath.getName.startsWith("__pb="))
@@ -1981,18 +1996,30 @@ object TxTable {
           val b = st.getPath.getName.stripPrefix("__pb=")
           fs.rename(st.getPath, new Path(dir, s"bucket-$b"))
         }
-    if (tr.isDefined)
-      fs.listStatus(root).filter(_.getPath.getName.startsWith("__pp="))
+    // de-`k=v` the staging dirs level by level: `__pp<i>=<text>` →
+    // `part<i+1>-<text>`. Segment texts are produced path- and
+    // Hive-escape-safe by segTextExpr, so the text rides verbatim; the
+    // only translated value is Hive's NULL marker — NULL source values
+    // land part-null: never pruned, never partition-dropped (the
+    // conservative envelope).
+    def renameParts(dir: Path, depth: Int, nFields: Int): Unit =
+      if (depth == nFields) renameBuckets(dir)
+      else fs.listStatus(dir)
+        .filter(_.getPath.getName.startsWith(s"__pp$depth="))
         .foreach { st =>
-          val v0 = st.getPath.getName.stripPrefix("__pp=")
-          // NULL source values land under part-null: never pruned,
-          // never partition-dropped (the conservative envelope)
+          val v0 = st.getPath.getName.stripPrefix(s"__pp$depth=")
           val v = if (v0 == "__HIVE_DEFAULT_PARTITION__") "null" else v0
-          val target = new Path(root, s"part-$v")
+          val target = new Path(dir,
+            s"${PartitionTransforms.segName(depth)}-$v")
           fs.rename(st.getPath, target)
-          renameBuckets(target)
+          renameParts(target, depth + 1, nFields)
         }
-    else renameBuckets(root)
+    tr match {
+      case Some((spec, sid)) =>
+        val base = if (sid > 0) new Path(root, s"spec-$sid") else root
+        renameParts(base, 0, spec.fields.length)
+      case None => renameBuckets(root)
+    }
     val it = fs.listFiles(root, true)
     val entries = Seq.newBuilder[FileEntry]
     val hconf = spark.sparkContext.hadoopConfiguration
@@ -2495,15 +2522,36 @@ object TxTable {
   def compactPartition(spark: SparkSession, table: String, part: Long,
                        maxFilesPerBucket: Int = 1,
                        maxRetries: Int = 5): Int = {
-    require(PartitionTransforms.of(snapshot(spark, table).props).nonEmpty,
-      s"$table declares no partition transform — use compact()")
+    val props0 = snapshot(spark, table).props
+    val head = PartitionTransforms.of(props0).getOrElse(
+      throw new IllegalArgumentException(
+        s"$table declares no partition transform — use compact()"))
+    val f0 = head.fields.head
     rewriteWith(spark, table, maxRetries,
       _.repartition(col(LayoutOps.BucketCol)), 0L,
       raceName = s"partition-compaction($part)") { snap =>
-      val inPart = snap.entries.filter(e =>
-        PartitionTransforms.partOfRel(e.rel).contains(part))
+      val hist = PartitionTransforms.history(snap.props)
+      val headSid = hist.length - 1
+      val isDate = snap.schema.exists(_.fields.exists(f =>
+        f.name == f0.column &&
+          f.dataType == org.apache.spark.sql.types.DateType))
+      val (lo, hi) = PartitionTransforms.longEnvelope(f0.fn, part, isDate)
+      // the slice = every file whose OWN-generation envelope over the
+      // head field-0 column INTERSECTS the addressed partition's range.
+      // Old-generation files intersecting the slice are rewritten even
+      // when unfragmented — the rewrite re-splits their rows under the
+      // HEAD spec, so compact_partition doubles as the per-slice
+      // spec-migration verb after an ALTER evolution.
+      val inPart = snap.entries.filter { e =>
+        PartitionTransforms.resolve(e.rel, hist)
+          .flatMap(_.longEnvelopeFor(f0.column, isDate))
+          .exists { case (l, h) => l <= hi && h >= lo }
+      }
+      val oldGen: Set[Int] = inPart.filter(e =>
+          PartitionTransforms.resolve(e.rel, hist).exists(_.sid != headSid))
+        .map(_.bucket).toSet
       val fragmented: Set[Int] = inPart.groupBy(_.bucket)
-        .filter(_._2.size > maxFilesPerBucket).keySet
+        .filter(_._2.size > maxFilesPerBucket).keySet ++ oldGen
       (inPart.filter(e => fragmented(e.bucket)), fragmented.size)
     }
   }
@@ -2521,18 +2569,66 @@ object TxTable {
     * the partition is empty — idempotent). */
   def dropPartition(spark: SparkSession, table: String, part: Long,
                     maxRetries: Int = 5): Int = {
-    require(PartitionTransforms.of(snapshot(spark, table).props).nonEmpty,
-      s"$table declares no partition transform")
+    val head = PartitionTransforms.of(snapshot(spark, table).props)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table declares no partition transform"))
+    val f0 = head.fields.head
     val fs = fsFor(spark, table)
     var attempt = 0
     while (attempt <= maxRetries) {
       val snap = snapshot(spark, table)
-      val doomed = snap.entries.filter(e =>
-        PartitionTransforms.partOfRel(e.rel).contains(part))
-      if (doomed.isEmpty) return 0
+      val hist = PartitionTransforms.history(snap.props)
+      val headSid = hist.length - 1
+      val isDate = snap.schema.exists(_.fields.exists(f =>
+        f.name == f0.column &&
+          f.dataType == org.apache.spark.sql.types.DateType))
+      val (lo, hi) = PartitionTransforms.longEnvelope(f0.fn, part, isDate)
+      // spec-aware verdict per file: the drop is sound only when every
+      // live file is PROVABLY inside or outside the addressed slice.
+      // Head-generation files decide by value equality (their envelope
+      // is the slice or disjoint from it); an OLD generation's file
+      // decides by envelope containment over the SAME source column —
+      // e.g. dropping a month under a months() head cleanly takes the
+      // days() generation's day files inside that month. A file whose
+      // envelope STRADDLES the slice (days head, months-generation file)
+      // or whose generation partitions a different column entirely
+      // cannot be metadata-dropped — refuse loudly and point at the
+      // migration verbs rather than silently under- or over-deleting.
+      val doomed = Seq.newBuilder[FileEntry]
+      val blocked = Seq.newBuilder[String]
+      snap.entries.foreach { e =>
+        PartitionTransforms.resolve(e.rel, hist) match {
+          case None =>
+            // pre-partitioning file: rows unknowable by path — only safe
+            // when the table never mixed generations (kept by contract)
+            if (hist.length > 1) blocked += e.rel
+          case Some(res) =>
+            res.longEnvelopeFor(f0.column, isDate) match {
+              case Some((l, h)) if h < lo || l > hi => () // disjoint
+              case Some((l, h)) if l >= lo && h <= hi => doomed += e
+              case Some(_) => blocked += e.rel // straddles the slice
+              case None =>
+                // no envelope over the head column: part-null files keep
+                // (their rows are NULL there — outside any range); a
+                // generation partitioning different columns blocks
+                if (res.fieldFor(f0.column).isEmpty) blocked += e.rel
+            }
+        }
+      }
+      val blockedRels = blocked.result()
+      if (blockedRels.nonEmpty)
+        throw new IllegalStateException(
+          s"$table: drop_partition($part) under head ${f0.render} cannot " +
+            s"decide ${blockedRels.size} file(s) from earlier partition " +
+            s"generations (e.g. ${blockedRels.head}) — their envelopes " +
+            "straddle the slice or cover other columns. Migrate them " +
+            "first (CALL compact_partition rewrites a slice under the " +
+            "head spec) or use DELETE WHERE")
+      val doomedEntries = doomed.result()
+      if (doomedEntries.isEmpty) return 0
       if (commitNext(fs, table, snap, adds = Seq.empty,
-          removes = doomed.map(_.rel).toSet, schema = snap.schema))
-        return doomed.size
+          removes = doomedEntries.map(_.rel).toSet, schema = snap.schema))
+        return doomedEntries.size
       attempt += 1
     }
     throw new java.util.ConcurrentModificationException(

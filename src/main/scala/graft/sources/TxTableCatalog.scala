@@ -134,6 +134,31 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       case mp(p) if !TxTable.isTxTable(spark, raw) &&
           TxTable.isTxTable(spark, p) =>
         return TxMetaTables.partitions(p)
+      // `t@v3#partitions` / `t@tag#partitions` / `t@branch.x#partitions`:
+      // the same per-version manifest walk rendered at a pinned snapshot
+      // or a branch head — zero data I/O, like every system table. Branch
+      // resolution wins over a tag literally named `branch.x`, matching
+      // the data-read `@` precedence above.
+      case mp(p) if !TxTable.isTxTable(spark, raw) &&
+          !TxTable.isTxTable(spark, p) =>
+        val bm = "^(.*)@branch\\.([A-Za-z0-9][A-Za-z0-9._-]*)$".r
+        val vm = "^(.*)@v(\\d+)$".r
+        val tm = "^(.*)@([A-Za-z0-9][A-Za-z0-9._-]*)$".r
+        p match {
+          case bm(b, name) if TxTable.isTxTable(spark, b) &&
+              TxTable.branches(spark, b).contains(name) =>
+            return TxMetaTables.partitions(b, p,
+              Some(() => TxTable.branchSnapshot(spark, b, name)))
+          case vm(b, v) if TxTable.isTxTable(spark, b) =>
+            return TxMetaTables.partitions(b, p,
+              Some(() => TxTable.snapshot(spark, b, Some(v.toLong))))
+          case tm(b, name) if TxTable.isTxTable(spark, b) &&
+              TxTable.tags(spark, b).contains(name) =>
+            val v = TxTable.tags(spark, b)(name)
+            return TxMetaTables.partitions(b, p,
+              Some(() => TxTable.snapshot(spark, b, Some(v))))
+          case _ => ()
+        }
       case _ => ()
     }
     // the reserved `@wap.<id>` suffix serves the write-audit-publish
@@ -238,28 +263,34 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
               "bucket(<int literal>, <single column>)")
         }
       }
-    def parseTemporal(t: Transform)
-        : Option[graft.ops.PartitionTransforms.Spec] =
+    def parseField(t: Transform)
+        : Option[graft.ops.PartitionTransforms.Field] =
       if (!graft.ops.PartitionTransforms.Fns(t.name)) None
       else t.references.toSeq match {
         case Seq(r) if r.fieldNames.length == 1 =>
-          Some(graft.ops.PartitionTransforms.Spec(t.name, r.fieldNames()(0)))
+          Some(graft.ops.PartitionTransforms
+            .Field(t.name, r.fieldNames()(0)))
         case _ => throw new UnsupportedOperationException(
           s"unsupported transform ${t.describe()}: expected " +
             s"${t.name}(<single column>)")
       }
     val buckets = partitions.flatMap(parseBucket)
-    val temporals = partitions.flatMap(parseTemporal)
-    val layoutOk = buckets.length == 1 && temporals.length <= 1 &&
-      buckets.length + temporals.length == partitions.length
+    // declared order is the FIELD order: `PARTITIONED BY (days(ts),
+    // identity(region), bucket(n, key))` nests region under day in the
+    // file layout (and a bare column name is identity, per Spark DDL)
+    val fields = partitions.flatMap(parseField).toIndexedSeq
+    val layoutOk = buckets.length == 1 &&
+      buckets.length + fields.length == partitions.length
     if (!layoutOk)
       throw new UnsupportedOperationException(
         "a TxTable is DEFINED by its bucket layout: declare " +
-          "PARTITIONED BY (bucket(n, key)) with at most one optional " +
-          "temporal transform hours|days|months|years(col) " +
+          "PARTITIONED BY (bucket(n, key)) with optional hidden-" +
+          "partition transforms hours|days|months|years|identity(col) " +
           s"(got ${partitions.map(_.describe()).mkString("[", ", ", "]")})")
     val bucketing: (String, Int) = buckets.head
-    val temporal = temporals.headOption
+    val temporal =
+      if (fields.isEmpty) None
+      else Some(graft.ops.PartitionTransforms.Spec(fields))
     temporal.foreach(spec =>
       graft.ops.PartitionTransforms.validate(spec, schema))
     // user TBLPROPERTIES persist in the log; Spark's reserved/engine
@@ -277,7 +308,8 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
           !k.startsWith(TxTable.ConstraintPrefix)
       }
     }
-    require(!userProps.contains(graft.ops.PartitionTransforms.Prop),
+    require(!userProps.contains(graft.ops.PartitionTransforms.Prop) &&
+        !userProps.contains(graft.ops.PartitionTransforms.SpecsProp),
       s"${graft.ops.PartitionTransforms.Prop} is engine-managed: declare " +
         "the transform in PARTITIONED BY, not TBLPROPERTIES")
     TxTable.create(spark, path, schema, bucketing._1, bucketing._2,
@@ -483,18 +515,48 @@ private[sources] object TxAlterSchema {
           s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
             "ALTER TABLE ADD/DROP CONSTRAINT (they validate data; a raw " +
             "SET TBLPROPERTIES would not)")
-        require(set.property != graft.ops.PartitionTransforms.Prop,
-          s"${graft.ops.PartitionTransforms.Prop} is the table's layout " +
-            "identity, set at CREATE and immutable — existing files were " +
-            "placed under the declared transform")
-        (schema, dropped, props + (set.property -> set.value), renames)
+        require(set.property != graft.ops.PartitionTransforms.SpecsProp,
+          s"${graft.ops.PartitionTransforms.SpecsProp} is the engine's " +
+            "append-only spec history — evolve the transform by SETting " +
+            s"${graft.ops.PartitionTransforms.Prop} instead")
+        if (set.property == graft.ops.PartitionTransforms.Prop) {
+          // PARTITION-SPEC EVOLUTION (the Iceberg v2 feature): SETting
+          // the transform records a NEW spec for FUTURE commits — one
+          // property commit, zero files touched. Existing files keep
+          // their original `part-<v>/` envelopes and are pruned under
+          // the spec that placed them (the `spec-<sid>/` path level
+          // stamps post-evolution generations); partition-addressed
+          // maintenance refuses slices the generations disagree on.
+          // The user writes LOGICAL column names; the history stores
+          // PHYSICAL (rename-stable) ones.
+          val spec = graft.ops.PartitionTransforms.Spec(
+            graft.ops.PartitionTransforms.parse(set.value).fields
+              .map(f => f.copy(column = physOf(f.column))))
+          graft.ops.PartitionTransforms.validate(spec, schema)
+          val hist = graft.ops.PartitionTransforms.history(props)
+            .map(_.render) match {
+            case h if h.nonEmpty => h
+            // a table born unpartitioned: its segment-free files are
+            // generation 0 (`none`), the new spec becomes sid 1
+            case _ => IndexedSeq(graft.ops.PartitionTransforms.NoneRender)
+          }
+          require(hist.last != spec.render,
+            s"$path: ${spec.render} is already the head partition spec")
+          (schema, dropped, props +
+            (graft.ops.PartitionTransforms.Prop -> spec.render) +
+            (graft.ops.PartitionTransforms.SpecsProp ->
+              (hist :+ spec.render).mkString("|")), renames)
+        } else
+          (schema, dropped, props + (set.property -> set.value), renames)
       case unset: RemoveProperty =>
         require(!unset.property.startsWith(TxTable.ConstraintPrefix),
           s"'${TxTable.ConstraintPrefix}*' properties are managed by " +
             "ALTER TABLE ADD/DROP CONSTRAINT")
-        require(unset.property != graft.ops.PartitionTransforms.Prop,
-          s"${graft.ops.PartitionTransforms.Prop} is the table's layout " +
-            "identity, set at CREATE and immutable")
+        require(unset.property != graft.ops.PartitionTransforms.Prop &&
+            unset.property != graft.ops.PartitionTransforms.SpecsProp,
+          s"${graft.ops.PartitionTransforms.Prop} cannot be UNSET: the " +
+            "spec history interprets existing files' envelopes — evolve " +
+            "it by SETting a new transform instead")
         (schema, dropped, props - unset.property, renames)
       case ac: AddConstraint =>
         val check = ac.constraint() match {
@@ -605,9 +667,10 @@ private[sources] object TxAlterSchema {
           require(phys != graft.ops.LayoutOps.BucketCol,
             s"cannot drop the internal layout column $name")
           graft.ops.PartitionTransforms.of(props).foreach { spec =>
-            require(phys != spec.column,
-              s"cannot drop '$name': it is the hidden-partition source " +
-                s"(${spec.render}) — the table's layout identity")
+            spec.fields.foreach(f => require(phys != f.column,
+              s"cannot drop '$name': it is a hidden-partition source " +
+                s"(${f.render}) of the HEAD spec — evolve the partition " +
+                "transform away from it first"))
           }
           // a GENERATED column referencing the dropped name would
           // compute from a phantom forever — refuse (dropping the
@@ -932,16 +995,18 @@ final class TxSparkTable(path: String, version: Option[Long] = None,
   override def partitioning(): Array[Transform] = {
     // LOGICAL key name: Spark resolves the transform reference against
     // this table's reported schema (identity is physical in the log)
-    val temporal = graft.ops.PartitionTransforms.of(snap.props).map { s =>
-      val c = snap.logicalName(s.column)
-      s.fn match {
-        case "hours" => Expressions.hours(c)
-        case "days" => Expressions.days(c)
-        case "months" => Expressions.months(c)
-        case "years" => Expressions.years(c)
-      }
-    }
-    (temporal.toSeq :+
+    val fields = graft.ops.PartitionTransforms.of(snap.props)
+      .fold(Seq.empty[Transform])(_.fields.map { f =>
+        val c = snap.logicalName(f.column)
+        f.fn match {
+          case "hours" => Expressions.hours(c)
+          case "days" => Expressions.days(c)
+          case "months" => Expressions.months(c)
+          case "years" => Expressions.years(c)
+          case "identity" => Expressions.identity(c)
+        }
+      }.toSeq)
+    (fields :+
       Expressions.bucket(bucketing._2, snap.logicalName(bucketing._1)))
       .toArray
   }
@@ -1573,18 +1638,20 @@ private[sources] object TxMetadataDelete {
     def cmp(a: Any, b: Any): Option[Int] =
       scala.util.Try(TxTable.cmpAny(a, b)).toOption
 
-    val spec = graft.ops.PartitionTransforms.of(snap.props)
+    val hist = graft.ops.PartitionTransforms.history(snap.props)
 
     def coverage(f: Filter, e: TxTable.FileEntry): Coverage = {
-      // hidden partitioning: a `part-<v>/` file's source column is
-      // exactly bracketed by the partition's range and holds NO nulls
+      // hidden partitioning: a partitioned file's source columns are
+      // exactly bracketed by their partition envelopes and hold NO nulls
       // (null source values land under part-null) — so day/month-
-      // boundary retention predicates decide Full/Zero with zero
-      // sidecar I/O and no ANALYZE
-      def partOf: Option[Long] =
-        graft.ops.PartitionTransforms.partOfRel(e.rel)
+      // boundary retention predicates (and identity-value deletes like
+      // `region = 'X'`) decide Full/Zero with zero sidecar I/O and no
+      // ANALYZE. Each file resolves under the spec that PLACED it, so
+      // post-evolution generations keep their original envelopes.
+      lazy val res: Option[graft.ops.PartitionTransforms.Resolved] =
+        graft.ops.PartitionTransforms.resolve(e.rel, hist)
       def partNullsZero(c: String): Boolean =
-        spec.exists(sp => sp.column == c && partOf.isDefined)
+        res.exists(_.rawFor(c).isDefined)
       // (lo, hi, nulls) — zone-map sidecar first (tighter), partition
       // envelope as the fallback, typed like the predicate value `v`
       def st(c: String, v: Any = null): Option[(Any, Any, Long)] =
@@ -1592,10 +1659,9 @@ private[sources] object TxMetadataDelete {
           n.map(nn => (lo, hi, nn))
         }.orElse {
           if (v == null) None
-          else spec.filter(_.column == c).flatMap(sp =>
-            partOf.flatMap(p =>
-              graft.ops.PartitionTransforms.envelopeLike(sp.fn, p, v)
-                .map { case (lo, hi) => (lo, hi, 0L) }))
+          else res.flatMap(r =>
+            graft.ops.PartitionTransforms.envelopeFor(r, c, v)
+              .map { case (lo, hi) => (lo, hi, 0L) })
         }
       /** Range comparison coverage: `fullHi`/`zeroLo` decide from the
         * non-null range; FULL additionally requires zero nulls (a null
@@ -1772,33 +1838,55 @@ private[sources] object TxCatalogPruning {
       }
     }
 
-    // hidden-partition envelopes: a file staged under `part-<v>/` holds
-    // ONLY rows whose transform value is v, so the partition's instant
-    // range is an exact (lo, hi) envelope for the SOURCE column —
+    // hidden-partition envelopes: a file staged under partition segments
+    // holds ONLY rows whose transform values match, so each segment is an
+    // exact (lo, hi) envelope for ITS source column — conjunctive
     // partition pruning with zero sidecar I/O, independent of ANALYZE.
-    // Pre-partitioning files and part-null files have no envelope and
-    // are always kept (over-keep, never wrong).
-    graft.ops.PartitionTransforms.of(snap.props).foreach { spec =>
-      val bs = bounds.filter(_._1 == spec.column)
-      if (bs.nonEmpty) {
+    // Every file resolves under the spec that PLACED it (history +
+    // `spec-<sid>/` stamp), so mixed generations after an ALTER evolution
+    // each prune under their own envelopes. Pre-partitioning files,
+    // part-null segments, and unknown sids have no envelope and are
+    // always kept (over-keep, never wrong).
+    {
+      val hist = graft.ops.PartitionTransforms.history(snap.props)
+      val partCols: Set[String] =
+        hist.flatMap(_.fields.map(_.column)).toSet
+      val bs = bounds.filter(b => partCols(b._1))
+      val pe = eqs.filter(x => partCols(x._1))
+      if (hist.nonEmpty && (bs.nonEmpty || pe.nonEmpty)) {
         bs.foreach(b => used += b._4)
+        pe.foreach(x => used += x._3)
         kept = kept.filter { e =>
-          graft.ops.PartitionTransforms.partOfRel(e.rel) match {
-            case Some(p) =>
-              bs.forall { case (_, lo, hi, _) =>
+          graft.ops.PartitionTransforms.resolve(e.rel, hist) match {
+            case Some(res) =>
+              bs.forall { case (c, lo, hi, _) =>
                 Try {
                   val v = lo.orElse(hi).get._1
                   graft.ops.PartitionTransforms
-                    .envelopeLike(spec.fn, p, v) match {
+                    .envelopeFor(res, c, v) match {
                     case Some((envLo, envHi)) =>
                       lo.forall { case (x, strict) =>
-                        val c = TxTable.cmpAny(envHi, x)
-                        if (strict) c > 0 else c >= 0
+                        val cc = TxTable.cmpAny(envHi, x)
+                        if (strict) cc > 0 else cc >= 0
                       } && hi.forall { case (x, strict) =>
-                        val c = TxTable.cmpAny(envLo, x)
-                        if (strict) c < 0 else c <= 0
+                        val cc = TxTable.cmpAny(envLo, x)
+                        if (strict) cc < 0 else cc <= 0
                       }
                     case None => true
+                  }
+                }.getOrElse(true)
+              } && pe.forall { case (c, vs, _) =>
+                // IN / = over an identity (or temporal) partition source:
+                // keep iff ANY probed value lands inside the envelope
+                Try {
+                  vs.exists { v =>
+                    graft.ops.PartitionTransforms
+                      .envelopeFor(res, c, v) match {
+                      case Some((envLo, envHi)) =>
+                        TxTable.cmpAny(v, envLo) >= 0 &&
+                          TxTable.cmpAny(v, envHi) <= 0
+                      case None => true
+                    }
                   }
                 }.getOrElse(true)
               }
@@ -3730,7 +3818,8 @@ private[sources] object TxPartTag {
       : Option[graft.ops.PartitionTransforms.PartTagger] = {
     val snap = TxTable.snapshot(spark, path)
     graft.ops.PartitionTransforms.of(snap.props).map(spec =>
-      graft.ops.PartitionTransforms.taggerFor(spec, writeSchema))
+      graft.ops.PartitionTransforms.taggerFor(spec,
+        graft.ops.PartitionTransforms.headSid(snap.props), writeSchema))
   }
 }
 
@@ -3985,43 +4074,74 @@ private[sources] object TxMetaTables {
     * and `part-null/` files surface as a NULL partition row. Manifest
     * metadata + one `getFileStatus` per file — the partition-retention
     * decision input (what does dropping a day free?), zero data I/O. */
-  def partitions(path: String): TxMetaTable = {
+  def partitions(path: String, name: String = "",
+                 snapAt: Option[() => TxTable.Snapshot] = None)
+      : TxMetaTable = {
     val schema = StructType(Seq(
       StructField("part", LongType, nullable = true),
       StructField("part_start", StringType, nullable = true),
+      StructField("part2", StringType, nullable = true),
+      StructField("part3", StringType, nullable = true),
+      StructField("spec_id", IntegerType, nullable = true),
+      StructField("spec", StringType, nullable = true),
       StructField("files", IntegerType, nullable = false),
       StructField("buckets", IntegerType, nullable = false),
       StructField("rows", LongType, nullable = true),
       StructField("deleted_rows", LongType, nullable = false),
       StructField("size_bytes", LongType, nullable = false)))
-    new TxMetaTable(s"$path#partitions", schema, () => {
-      val snap = TxTable.snapshot(spark, path)
+    val display = if (name.isEmpty) path else name
+    new TxMetaTable(s"$display#partitions", schema, () => {
+      val snap = snapAt.fold(TxTable.snapshot(spark, path))(_.apply())
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val spec = graft.ops.PartitionTransforms.of(snap.props)
-      val isDate = spec.exists(sp => snap.schema.exists(_.fields.exists(
-        f => f.name == sp.column &&
-          f.dataType == org.apache.spark.sql.types.DateType)))
-      def render(p: Long): String = spec.map { sp =>
-        if (isDate) java.time.LocalDate.ofEpochDay(
-          graft.ops.PartitionTransforms.rangeEpochDays(sp.fn, p)._1)
-          .toString
-        else java.time.Instant.ofEpochSecond(Math.floorDiv(
-          graft.ops.PartitionTransforms.rangeMicros(sp.fn, p)._1,
-          1000000L)).toString
-      }.orNull
+      val hist = graft.ops.PartitionTransforms.history(snap.props)
+      def isDate(c: String): Boolean = snap.schema.exists(_.fields.exists(
+        f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.DateType))
+      // one row per (generation, partition-value vector): post-evolution
+      // tables surface each generation's live slices under ITS spec —
+      // the retention/migration decision input. Field-0 renders into
+      // part/part_start (numeric value + human range start / decoded
+      // identity); deeper fields render into part2/part3.
+      def keyOf(e: TxTable.FileEntry)
+          : Option[graft.ops.PartitionTransforms.Resolved] =
+        graft.ops.PartitionTransforms.resolve(e.rel, hist)
+      def renderAt(res: graft.ops.PartitionTransforms.Resolved, i: Int)
+          : String =
+        res.raw.lift(i).flatten.map { t =>
+          val f = res.spec.fields(i)
+          graft.ops.PartitionTransforms.renderRaw(f, t, isDate(f.column))
+        }.orNull
       snap.entries
-        .groupBy(e => graft.ops.PartitionTransforms.partOfRel(e.rel))
-        .toSeq.sortBy(_._1.getOrElse(Long.MinValue))
-        .map { case (p, es) =>
+        .groupBy(e => keyOf(e).map(r => (r.sid, r.raw)))
+        .toSeq
+        .sortBy { case (k, _) =>
+          (k.fold(-1)(_._1),
+            k.flatMap(_._2.headOption.flatten)
+              .flatMap(t => scala.util.Try(t.toLong).toOption)
+              .getOrElse(Long.MinValue),
+            k.fold("")(_._2.map(_.getOrElse("")).mkString("/")))
+        }
+        .map { case (_, es) =>
+          val res = keyOf(es.head)
           val rows =
             if (es.forall(_.liveRows.isDefined))
               java.lang.Long.valueOf(es.flatMap(_.liveRows).sum)
             else null
+          val p0: java.lang.Long = res.flatMap(_.raw.headOption.flatten)
+            .flatMap(t => scala.util.Try(t.toLong).toOption)
+            .map(java.lang.Long.valueOf).orNull
           new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(Array[Any](
-              p.map(java.lang.Long.valueOf).orNull,
-              p.map(v => UTF8String.fromString(render(v))).orNull,
+              p0,
+              res.map(r => renderAt(r, 0)).filter(_ != null)
+                .map(UTF8String.fromString).orNull,
+              res.map(r => renderAt(r, 1)).filter(_ != null)
+                .map(UTF8String.fromString).orNull,
+              res.map(r => renderAt(r, 2)).filter(_ != null)
+                .map(UTF8String.fromString).orNull,
+              res.map(r => java.lang.Integer.valueOf(r.sid)).orNull,
+              res.map(r => UTF8String.fromString(r.spec.render)).orNull,
               es.size,
               es.map(_.bucket).distinct.size,
               rows,

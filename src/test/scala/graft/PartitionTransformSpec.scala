@@ -63,7 +63,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     try {
       val df = instants.toDF("s").select(to_timestamp($"s").as("ts"))
       for (fn <- Seq("hours", "days", "months", "years")) {
-        val spec = PartitionTransforms.Spec(fn, "ts")
+        val spec = PartitionTransforms.Field(fn, "ts")
         val got = df.select(PartitionTransforms.partExpr(spec,
           org.apache.spark.sql.types.TimestampType).as("p"), $"ts")
           .collect().map(r => (r.getTimestamp(1), r.getLong(0)))
@@ -238,7 +238,7 @@ class PartitionTransformSpec extends AnyFunSuite {
     }
   }
 
-  test("layout identity is immutable: transform survives maintenance rewrites; DDL guards hold") {
+  test("transform survives maintenance rewrites; DDL guards: source-column drop, history edits, no-op evolution, UNSET all refuse") {
     registered {
       val t = Files.createTempDirectory("graft_pt5_").toString + "/t"
       spark.sql(s"""CREATE TABLE txpt.`$t`
@@ -261,16 +261,29 @@ class PartitionTransformSpec extends AnyFunSuite {
         .filter($"ts" >= "2024-03-13 00:00:00")
       assert(scannedFiles(day) == snap.entries.count(e =>
         PartitionTransforms.partOfRel(e.rel).exists(_ >= 19795L)))
-      // guards: dropping the source column / editing the prop refuse
+      // guards: dropping the HEAD spec's source column refuses; the
+      // engine's spec HISTORY is never directly settable; re-SETting
+      // the unchanged transform refuses (evolution must evolve);
+      // UNSET refuses (history interprets existing files)
       val e1 = intercept[Exception] {
         spark.sql(s"ALTER TABLE txpt.`$t` DROP COLUMN ts")
       }
       assert(e1.getMessage.contains("hidden-partition source"))
       val e2 = intercept[Exception] {
         spark.sql(s"ALTER TABLE txpt.`$t` SET TBLPROPERTIES " +
-          s"('${PartitionTransforms.Prop}'='months(ts)')")
+          s"('${PartitionTransforms.Prop}'='days(ts)')")
       }
-      assert(e2.getMessage.contains("immutable"))
+      assert(e2.getMessage.contains("already the head"))
+      val e3 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txpt.`$t` SET TBLPROPERTIES " +
+          s"('${PartitionTransforms.SpecsProp}'='days(ts)')")
+      }
+      assert(e3.getMessage.contains("append-only"))
+      val e4 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txpt.`$t` UNSET TBLPROPERTIES " +
+          s"('${PartitionTransforms.Prop}')")
+      }
+      assert(e4.getMessage.contains("cannot be UNSET"))
       // and the declared layout is reported back through DESCRIBE
       val parts = spark.sql(s"DESCRIBE TABLE EXTENDED txpt.`$t`")
         .collect().map(_.toString).mkString("\n")
