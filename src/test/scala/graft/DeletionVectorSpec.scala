@@ -216,4 +216,42 @@ class DeletionVectorSpec extends AnyFunSuite {
     }
     assert(TxTable.read(spark, table).count() == 192)
   }
+
+  test("the DV'd leg runs a native codegen'd predicate: no ScalaUDF anywhere in the plan, filter inside WholeStageCodegen") {
+    val table = freshTable()
+    TxTable.deleteWhereMor(spark, table,
+      col("day") >= 50L && col("day") < 60L)
+    val df = TxTable.read(spark, table)
+    val analyzed = df.queryExecution.analyzed
+    val udfs = analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+    }.flatten
+    assert(udfs.isEmpty,
+      s"DV read must not evaluate a per-row ScalaUDF, found: $udfs")
+    // the dv_marked predicate sits inside a WholeStageCodegen span on
+    // the DV'd leg (clean files keep their own untouched codegen path)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dv_marked"), plan)
+    val wscgWithDv = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+          if w.toString.contains("dv_marked") => w
+    }
+    assert(wscgWithDv.nonEmpty,
+      s"dv_marked must run inside WholeStageCodegen:\n$plan")
+    // and the answers are the DV-filtered rows
+    assert(df.count() == 190L)
+    // the change-feed's marked-row read (readMarked) is UDF-free too
+    val feed = TxTable.changesBetween(spark, table, 0L,
+      TxTable.snapshot(spark, table).version)
+    val feedUdfs = feed.queryExecution.analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+      })
+    }.flatten
+    assert(feedUdfs.isEmpty,
+      s"change-feed DV reads must not use ScalaUDF, found: $feedUdfs")
+    assert(feed.filter(col("_change_type") === "delete").count() == 10L)
+  }
 }
