@@ -899,6 +899,36 @@ object DedupOps {
     } finally { banded.unpersist(blocking = false); () }
   }
 
+  /** INDEX VACUUM — side-index GC under corpus deletes/retention. The
+    * landing job's staged indexes (MinHash band keys here, span grams,
+    * SRP embed bands, BM25 postings — anything [[TxTable.appendIndexOnce]]
+    * maintains keyed by a doc/vec id) accumulate entries for documents a
+    * later retention verb removed from the corpus (`drop_partition`, a
+    * MOR DELETE, `replaceWhere`). Ghost entries are not just waste: an
+    * admission probe can DEDUP-REJECT a fresh document against a ghost
+    * (the corpus no longer holds the original, so the rejection loses
+    * the content entirely), and recall monitoring counts dead rows.
+    *
+    * This drops every index row whose `idCol` is absent from `liveIds`
+    * (the surviving corpus keys, however retention produced them) as ONE
+    * bounded maintenance commit: an anti-join selects the ghosts, the
+    * delete lands merge-on-read ([[TxTable.deleteRelMor]] — deletion
+    * vectors, no file rewrite), and re-adds are bounded by the files
+    * actually holding ghosts. I/O = one column-pruned index scan + the
+    * join against the live keys; `purgeDeletes`/`compact` fold the
+    * vectors away on their own schedule. Idempotent: a second call finds
+    * no ghosts and commits nothing. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+                  indexPath: String, liveIds: DataFrame,
+                  idCol: String = "doc_id"): Long = {
+    require(TxTable.isTxTable(spark, indexPath),
+      s"$indexPath is not a TxTable index — plain-parquet indexes have " +
+        "no transactional delete; rewrite them from the live corpus")
+    val live = liveIds.select(col(idCol)).distinct()
+    TxTable.deleteRelMor(spark, indexPath,
+      _.join(live, Seq(idCol), "left_anti"))
+  }
+
   /** Leak-free train/holdout split: the unit of assignment is the
     * near-dup COMPONENT, not the document — two near-duplicates on
     * opposite sides of a holdout leak evaluation text into training (the

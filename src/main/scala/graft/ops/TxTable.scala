@@ -1017,7 +1017,7 @@ object TxTable {
     * part — degraded, never wrong. Same over-keep fallback covers
     * pre-stats tables and files added after the last refresh. */
   def computeStats(spark: SparkSession, table: String,
-                   statsCol: String): Int = {
+                   statsCol: String, withNdv: Boolean = false): Int = {
     val snap = snapshot(spark, table)
     // sidecars are keyed by the PHYSICAL column name (column mapping), so
     // a RENAME never orphans a profile; callers speak logical names
@@ -1030,14 +1030,25 @@ object TxTable {
     val partsBefore: Seq[Path] = listSidecarParts(fs, sp)
     // only rows with RECORDED null counts count as profiled: rows without
     // them (pre-null-count sidecars, or legacy refresh output) re-profile
-    // rather than surviving a dedup and downgrading a known count
+    // rather than surviving a dedup and downgrading a known count.
+    // Normalized to carry the optional per-file HLL column (null for
+    // footer-profiled rows — parquet footers have min/max/nulls but no
+    // distinct sketch).
     val existing =
       if (partsBefore.isEmpty) None
       else Some(spark.read.parquet(partsBefore.map(_.toString): _*))
         .filter(_.schema.fieldNames.contains("nulls"))
         .map(_.filter(col("nulls").isNotNull))
+        .map(df =>
+          if (df.schema.fieldNames.contains("hll"))
+            df.select(col("rel"), col("lo"), col("hi"), col("nulls"),
+              col("hll"))
+          else df.select(col("rel"), col("lo"), col("hi"), col("nulls"))
+            .withColumn("hll", lit(null).cast("binary")))
+    // an NDV pass re-profiles rows that have no sketch yet
     val known: Set[String] = existing
-      .map(_.select("rel").collect().map(_.getString(0)).toSet)
+      .map(df => (if (withNdv) df.filter(col("hll").isNotNull) else df)
+        .select("rel").collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty)
     val missing = snap.entries.filterNot(e => known(e.rel))
     val liveSet = snap.entries.map(_.rel).toSet
@@ -1054,12 +1065,14 @@ object TxTable {
     val colType = snap.schema.flatMap(_.fields.find(_.name == statsColP))
       .map(_.dataType)
     val hconf = spark.sparkContext.hadoopConfiguration
+    // an NDV pass needs the rows, so every missing file takes the scan
+    // path (one column-pruned read — the price of a distinct sketch)
     val footered: Seq[(String, (Any, Any, Long))] = colType match {
-      case Some(t) => missing.flatMap(e =>
+      case Some(t) if !withNdv => missing.flatMap(e =>
         footerFileStats(hconf, new Path(table, e.rel), Seq((statsColP, t)))
           .getOrElse(Map.empty)
           .get(statsColP).map(s => e.rel -> s))
-      case None => Seq.empty
+      case _ => Seq.empty
     }
     val footeredRels = footered.map(_._1).toSet
     val needScan = missing.filterNot(e => footeredRels(e.rel))
@@ -1069,7 +1082,8 @@ object TxTable {
         org.apache.spark.sql.types.NullType)),
       StructField("hi", colType.getOrElse(
         org.apache.spark.sql.types.NullType)),
-      StructField("nulls", org.apache.spark.sql.types.LongType)))
+      StructField("nulls", org.apache.spark.sql.types.LongType),
+      StructField("hll", org.apache.spark.sql.types.BinaryType)))
     val footeredDf =
       if (footered.isEmpty) None
       else Some(spark.createDataFrame(
@@ -1077,7 +1091,7 @@ object TxTable {
           scala.jdk.CollectionConverters.SeqHasAsJava(
             footered.map { case (rel, (lo, hi, n)) =>
               org.apache.spark.sql.Row(rel, lo, hi,
-                java.lang.Long.valueOf(n)) }).asJava),
+                java.lang.Long.valueOf(n), null) }).asJava),
         sideSchema))
     val scanned =
       if (needScan.isEmpty) None
@@ -1092,7 +1106,13 @@ object TxTable {
           col(s"`$statsColP`"))
         .groupBy(col("rel"))
         .agg(min(col(s"`$statsColP`")).as("lo"), max(col(s"`$statsColP`")).as("hi"),
-          sum(col(s"`$statsColP`").isNull.cast("long")).as("nulls")))
+          sum(col(s"`$statsColP`").isNull.cast("long")).as("nulls"),
+          // per-file DISTINCT sketch (DataSketches HLL — mergeable, so
+          // the table-level NDV folds driver-side with zero data I/O);
+          // only an NDV pass pays for it, the zone-map refresh stays
+          // footer-first
+          (if (withNdv) hll_sketch_agg(col(s"`$statsColP`"))
+           else lit(null).cast("binary")).as("hll")))
     val fresh: Option[org.apache.spark.sql.DataFrame] =
       (footeredDf, scanned) match {
         case (Some(f), Some(s)) => Some(f.unionByName(s))
@@ -1104,11 +1124,10 @@ object TxTable {
     // O(files live), under steady compaction churn
     val all = ((existing, fresh) match {
       case (Some(old), Some(f)) =>
-        old.select(col("rel"), col("lo"), col("hi"), col("nulls"))
-          .unionByName(f)
-          .dropDuplicates(Seq("rel"))
-      case (Some(old), None) =>
-        old.select(col("rel"), col("lo"), col("hi"), col("nulls"))
+        // fresh rows win on duplicate rels (anti-join, deterministic):
+        // an NDV pass upgrades a sketch-less row instead of losing to it
+        f.unionByName(old.join(f.select("rel"), Seq("rel"), "left_anti"))
+      case (Some(old), None) => old
       case (None, Some(f)) => f
       case (None, None) => return 0
     }).filter(udf((r: String) => liveSet(r)).apply(col("rel")))
@@ -1404,12 +1423,17 @@ object TxTable {
     * count them as profiled). */
   private def writeSidecarPart(spark: SparkSession, fs: FileSystem,
                                dir: Path, dt: DataType,
-                               rows: Seq[(String, (Any, Any, Long))])
+                               rows: Seq[(String, (Any, Any, Long))],
+                               hll: Map[String, Array[Byte]] = Map.empty)
       : Boolean = {
+    // every part carries the hll column (null for footer-harvested rows)
+    // so the sidecar directory's schema is uniform and an NDV ANALYZE's
+    // sketches survive refresh compactions instead of silently dropping
     val sideSchema = StructType(Seq(
       StructField("rel", org.apache.spark.sql.types.StringType),
       StructField("lo", dt), StructField("hi", dt),
-      StructField("nulls", org.apache.spark.sql.types.LongType)))
+      StructField("nulls", org.apache.spark.sql.types.LongType),
+      StructField("hll", org.apache.spark.sql.types.BinaryType)))
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(sideSchema)
     val name = s"part-graft-${java.util.UUID.randomUUID()}.parquet"
@@ -1420,7 +1444,7 @@ object TxTable {
           .GraftParquetShim.writeHadoopConf(spark))
     try rows.foreach { case (rel, (lo, hi, n)) =>
       w.write(conv(org.apache.spark.sql.Row(rel, lo, hi,
-        java.lang.Long.valueOf(n)))
+        java.lang.Long.valueOf(n), hll.get(rel).orNull))
         .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
     } finally w.close()
     fs.rename(tmp, new Path(dir, name)) || { fs.delete(tmp, false); false }
@@ -1518,12 +1542,14 @@ object TxTable {
         // compaction: one fresh part = live usable rows + new harvest
         // (dead files' rows and null-count-less rows drop), appended
         // FIRST, then only the parts read above deleted — readers in the
-        // window see duplicates, which fileStatsCached dedupes
+        // window see duplicates, which fileStatsCached dedupes. Kept
+        // rows CARRY their NDV sketches through the rewrite.
         val keep = usable(c).toSeq.collect {
           case (rel, (lo, hi, Some(n))) if liveRels(rel) =>
             rel -> ((lo, hi, n))
         }
-        if (writeSidecarPart(spark, fs, sp, dt, keep ++ newRows)) {
+        if (writeSidecarPart(spark, fs, sp, dt, keep ++ newRows,
+            hll = fileHll(spark, table, c))) {
           partsNow.foreach(p => fs.delete(p, false))
           touched += newRows.size
         }
@@ -1669,6 +1695,33 @@ object TxTable {
   private val statsCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Map[String, (Any, Any, Option[Long])],
       Map[String, (Any, Any)])]()
+
+  private val hllCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Map[String, Array[Byte]])]()
+
+  /** Per-file DISTINCT sketches of an NDV-ANALYZEd column (DataSketches
+    * HLL bytes, mergeable) — empty for columns profiled footer-only.
+    * Cached by sidecar mtime like [[fileStats]]. */
+  private[graft] def fileHll(spark: SparkSession, table: String,
+                             c: String): Map[String, Array[Byte]] = {
+    val fs = fsFor(spark, table)
+    val sp = statsPath(table, c)
+    if (!fs.exists(sp)) return Map.empty
+    val mtime = fs.getFileStatus(sp).getModificationTime
+    val key = sp.toString
+    val cached = hllCache.get(key)
+    if (cached != null && cached._1 == mtime) cached._2
+    else {
+      val df = spark.read.parquet(sp.toString)
+      val m: Map[String, Array[Byte]] =
+        if (!df.schema.fieldNames.contains("hll")) Map.empty
+        else df.select(col("rel"), col("hll"))
+          .filter(col("hll").isNotNull).collect()
+          .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      hllCache.put(key, (mtime, m))
+      m
+    }
+  }
 
   private def fileStatsRaw(spark: SparkSession, table: String,
                            c: String): Map[String, (Any, Any, Option[Long])] =
@@ -2409,6 +2462,40 @@ object TxTable {
     0L // unreachable
   }
 
+  /** MOR delete addressed by a RELATION instead of a predicate: rows to
+    * delete are selected by `doomed` — typically a semi-join against a
+    * dead-key set or an anti-join against a live-key set (the index-
+    * vacuum shape, [[DedupOps.vacuumIndex]]). Same optimistic protocol,
+    * DV sidecar staging, and race recovery as [[deleteWhereMor]]; I/O is
+    * one column-pruned scan of the candidate files plus the join, and
+    * the commit is ONE manifest CAS whose re-adds are bounded by the
+    * files that actually hold doomed rows. */
+  def deleteRelMor(spark: SparkSession, table: String,
+                   doomed: DataFrame => DataFrame,
+                   maxRetries: Int = 5): Long = {
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      stageMorDeleteWith(spark, table, snap, snap.entries, doomed) match {
+        case None => return 0L
+        case Some((adds, removes, ndel)) =>
+          if (commitNext(fs, table, snap, adds = adds, removes = removes,
+              schema = snap.schema, bucketing = snap.bucketing))
+            return ndel
+          adds.headOption.flatMap(_.dv).foreach(d =>
+            fs.delete(new Path(table, d.rel.split('/').take(2)
+              .mkString("/")), true))
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new java.util.ConcurrentModificationException(
+          s"$table: relational MOR delete lost the commit race " +
+            s"$maxRetries times")
+    }
+    0L // unreachable
+  }
+
   /** The DV build shared by [[deleteWhereMor]] and the SQL DELETE path:
     * scan `candidates` (already-deleted rows excluded), collect matching
     * positions per file, merge with existing vectors, stage ONE sidecar.
@@ -2418,6 +2505,18 @@ object TxTable {
                                     snap: Snapshot,
                                     candidates: Seq[FileEntry],
                                     cond: org.apache.spark.sql.Column)
+      : Option[(Seq[FileEntry], Set[String], Long)] =
+    stageMorDeleteWith(spark, table, snap, candidates, _.filter(cond))
+
+  /** Core of [[stageMorDelete]] with a RELATIONAL doomed-row selector:
+    * `doomed` shapes the live candidate read into the rows to delete —
+    * a Column filter for predicate deletes, a semi/anti JOIN for
+    * set-addressed maintenance ([[deleteRelMor]], index vacuum). The
+    * `__dv_rel`/`__dv_pos` bookkeeping columns must survive the shape. */
+  private[graft] def stageMorDeleteWith(spark: SparkSession, table: String,
+                                        snap: Snapshot,
+                                        candidates: Seq[FileEntry],
+                                        doomed: DataFrame => DataFrame)
       : Option[(Seq[FileEntry], Set[String], Long)] = {
     if (candidates.isEmpty) return None
     val schema = snap.schema
@@ -2426,12 +2525,12 @@ object TxTable {
     val raw = reader.parquet(candidates.map(e => s"$table/${e.rel}"): _*)
       .withColumn("__dv_rel", DeletionVectors.manifestRel(candidates))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    // `cond` speaks LOGICAL names (every caller is user-facing); the raw
-    // read is physical — translate before filtering (the __dv_* columns
-    // are never in the map, so they pass through untouched)
-    val fresh: Seq[(String, Array[Byte], Long)] = fromPhysical(raw, snap)
-      .filter(DeletionVectors.liveFilter(spark, existing))
-      .filter(cond)
+    // `doomed` speaks LOGICAL names (every caller is user-facing); the
+    // raw read is physical — translate before shaping (the __dv_*
+    // columns are never in the map, so they pass through untouched)
+    val fresh: Seq[(String, Array[Byte], Long)] = doomed(
+      fromPhysical(raw, snap)
+        .filter(DeletionVectors.liveFilter(spark, existing)))
       .groupBy(col("__dv_rel"))
       .agg(DeletionVectors.dvUdaf(col("__dv_pos")).as("dv"),
         count(lit(1)).as("n"))

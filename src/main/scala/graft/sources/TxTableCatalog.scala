@@ -1770,6 +1770,205 @@ private[sources] object TxMetadataDelete {
   * values). Over-keep only: unprofiled columns, unknown files, and
   * incomparable types never prune; all-null files cannot satisfy a range
   * predicate and drop. */
+/** DSv2 column statistics from the table's own sidecars: per-column
+  * (min, max, nullCount) fold from the zone maps over the PLANNED file
+  * set, plus a distinctCount from merging NDV-ANALYZEd columns' per-file
+  * DataSketches HLL sketches (mergeable, so the table-level NDV is a
+  * driver-side fold — zero data I/O). Reported only when every planned
+  * file carries the stat (a missing file could hold the true extreme;
+  * honest absence beats a wrong bound). Spark's CBO turns these into
+  * filter selectivities and join-reorder/broadcast decisions — the flip
+  * is pinned in CboStatsSpec. */
+private[sources] object TxColumnStats {
+  import org.apache.spark.sql.connector.expressions.{
+    Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+
+  /** NDV fold memo: (table, snapshot version, physical column) → the
+    * merged estimate. Sketches are immutable once written; a new ANALYZE
+    * bumps the sidecar mtime AND the fold key's version via the commit. */
+  private val ndvCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), Option[Long]]()
+
+  private def ndvOf(spark: SparkSession, path: String, version: Long,
+                    p: String, rels: Seq[String]): Option[Long] =
+    ndvCache.computeIfAbsent((path, version, p), _ => {
+      val sketches = TxTable.fileHll(spark, path, p)
+      if (rels.isEmpty || !rels.forall(sketches.contains)) None
+      else scala.util.Try {
+        val u = new org.apache.datasketches.hll.Union(12)
+        rels.foreach { r =>
+          u.update(org.apache.datasketches.hll.HllSketch.heapify(
+            org.apache.datasketches.memory.Memory.wrap(sketches(r))))
+        }
+        Math.max(1L, Math.round(u.getEstimate))
+      }.toOption
+    })
+
+  def forEntries(spark: SparkSession, path: String,
+                 snap: TxTable.Snapshot, entries: Seq[TxTable.FileEntry])
+      : java.util.Map[NamedReference, ColumnStatistics] = {
+    val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rels = entries.map(_.rel)
+    scala.util.Try(TxTable.statsColumns(fs, path)).getOrElse(Seq.empty)
+      .foreach { p =>
+        val raw = TxTable.fileStatsWithNulls(spark, path, p)
+        if (rels.nonEmpty && rels.forall(raw.contains)) {
+          val rows = rels.map(raw)
+          val nulls: Option[Long] =
+            if (rows.forall(_._3.isDefined)) Some(rows.flatMap(_._3).sum)
+            else None
+          def fold(pick: ((Any, Any, Option[Long])) => Any,
+                   keepLeft: Int => Boolean): Option[Any] = {
+            val vs = rows.map(pick).filter(_ != null) // all-null files
+            if (vs.isEmpty) None
+            else scala.util.Try(vs.reduce((a, b) =>
+              if (keepLeft(TxTable.cmpAny(a, b))) a else b)).toOption
+          }
+          val lo = fold(_._1, _ <= 0)
+          val hi = fold(_._2, _ >= 0)
+          // catalyst-INTERNAL values: the CBO's estimation arithmetic
+          // expects them (dates as epoch days, timestamps as micros,
+          // strings as UTF8String)
+          def internal(v: Any): Option[Object] = scala.util.Try(
+            org.apache.spark.sql.catalyst.CatalystTypeConverters
+              .convertToCatalyst(v).asInstanceOf[Object]).toOption
+          val ndv = ndvOf(spark, path, snap.version, p, rels)
+          val stat = new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+            override def min(): java.util.Optional[Object] =
+              lo.flatMap(internal).fold(
+                java.util.Optional.empty[Object]())(java.util.Optional.of)
+            override def max(): java.util.Optional[Object] =
+              hi.flatMap(internal).fold(
+                java.util.Optional.empty[Object]())(java.util.Optional.of)
+            override def nullCount(): java.util.OptionalLong =
+              nulls.fold(java.util.OptionalLong.empty())(
+                java.util.OptionalLong.of)
+          }
+          out.put(Expressions.column(snap.logicalName(p)), stat)
+        }
+      }
+    out
+  }
+}
+
+/** Generated-column predicate derivation (the public Delta idea): when a
+  * generated column's expression is a MONOTONE non-decreasing function of
+  * one source column, a range bound on the source implies a range bound
+  * on the generated value — so a query filtering only `o_orderdate`
+  * still prunes files by `o_year`'s zone maps or hidden-partition
+  * envelopes. Supported shapes: `year(c)`, `to_date(c)` / `date(c)` /
+  * `CAST(c AS DATE)`. Non-monotone extractions (`month`, `day`) are
+  * deliberately NOT derivable.
+  *
+  * Timezone soundness: Spark evaluates these functions over TIMESTAMP in
+  * the SESSION timezone, which may differ between the writer that stored
+  * the generated values and this reader. Rather than trusting the
+  * session zone, TIMESTAMP-sourced derivations compute in UTC and WIDEN
+  * by one unit on each side (a year / a day) — any real zone offset is
+  * under 14 h, so the widened envelope brackets every possible stored
+  * value; DATE-sourced derivations are timezone-free and exact. Widening
+  * only over-keeps: at multi-year/multi-day spans the pruning power is
+  * intact, and correctness never depends on matching zones. */
+private[sources] object TxGeneratedDerivation {
+  import scala.util.Try
+
+  import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
+
+  /** Supported shapes of this snapshot: (fn, source logical name,
+    * generated logical name, generated type). */
+  private def shapes(spark: SparkSession, snap: TxTable.Snapshot)
+      : Seq[(String, String, String, org.apache.spark.sql.types.DataType)] =
+    TxGeneratedCols.generatedOf(snap).flatMap { case (gname, sql, dt) =>
+      Try(spark.sessionState.sqlParser.parseExpression(sql)).toOption
+        .flatMap {
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+              if f.nameParts.length == 1 && f.arguments.length == 1 &&
+                !f.isDistinct =>
+            (f.nameParts.head.toLowerCase(java.util.Locale.ROOT),
+                f.arguments.head) match {
+              case (fn @ ("year" | "to_date" | "date"),
+                  a: org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedAttribute) if a.nameParts.length == 1 =>
+                Some((if (fn == "date") "to_date" else fn,
+                  a.nameParts.head, gname, dt))
+              case _ => None
+            }
+          case c: org.apache.spark.sql.catalyst.expressions.Cast
+              if c.dataType == DateType =>
+            c.child match {
+              case a: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute if a.nameParts.length == 1 =>
+                Some(("to_date", a.nameParts.head, gname, dt))
+              case _ => None
+            }
+          case _ => None
+        }
+    }
+
+  /** The predicate value's epoch day + whether it is timezone-exact
+    * (DATE values are; TIMESTAMP/Instant values use UTC and need the
+    * one-unit widening). */
+  private def epochDayOf(v: Any): Option[(Long, Boolean)] = v match {
+    case d: java.sql.Date => Some((d.toLocalDate.toEpochDay, true))
+    case d: java.time.LocalDate => Some((d.toEpochDay, true))
+    case t: java.sql.Timestamp =>
+      Some((Math.floorDiv(t.getTime, 86400000L), false))
+    case i: java.time.Instant =>
+      Some((Math.floorDiv(i.getEpochSecond, 86400L), false))
+    case _ => None
+  }
+
+  /** Derived pruning bounds over the generated columns, one per source-
+    * column bound whose shape supports derivation. Derived tuples carry
+    * the ORIGINAL filter (for used-marking) and are pruning-only. */
+  def deriveBounds(spark: SparkSession, snap: TxTable.Snapshot,
+                   direct: Seq[(String, Option[(Any, Boolean)],
+                     Option[(Any, Boolean)], Filter)])
+      : Seq[(String, Option[(Any, Boolean)],
+          Option[(Any, Boolean)], Filter)] = {
+    val sh = Try(shapes(spark, snap)).getOrElse(Seq.empty)
+    if (sh.isEmpty) return Seq.empty
+    def genValue(fn: String,
+                 dt: org.apache.spark.sql.types.DataType,
+                 v: Any, widen: Int): Option[Any] =
+      epochDayOf(v).flatMap { case (day, tzExact) =>
+        val m = if (tzExact) 0L else widen.toLong
+        fn match {
+          case "year" =>
+            val y = java.time.LocalDate.ofEpochDay(day).getYear + m
+            dt match {
+              case IntegerType => Some(Int.box(y.toInt))
+              case LongType => Some(Long.box(y))
+              case _ => None
+            }
+          case "to_date" if dt == DateType =>
+            Some(java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(day + m)))
+          case _ => None
+        }
+      }
+    direct.flatMap { case (c, lo, hi, f) =>
+      sh.filter(_._2 == c).flatMap { case (fn, _, gname, dt) =>
+        // derived bounds are never strict: f(v) is the widened unit
+        // containing v, and rows equal to the boundary unit must stay
+        val glo = lo.flatMap { case (v, _) =>
+          genValue(fn, dt, v, widen = -1).map(gv => (gv, false)) }
+        val ghi = hi.flatMap { case (v, _) =>
+          genValue(fn, dt, v, widen = +1).map(gv => (gv, false)) }
+        if (glo.isEmpty && ghi.isEmpty) Seq.empty
+        else Seq((gname, glo, ghi, f))
+      }
+    }
+  }
+}
+
 private[sources] object TxCatalogPruning {
   import scala.util.Try
 
@@ -1785,7 +1984,7 @@ private[sources] object TxCatalogPruning {
     // envelope edge — the common case for hidden partitions (`ts <
     // 'day boundary'` must prune that day), and equally sound for zone
     // maps (min == v under `col < v` holds no matching row).
-    val bounds: Seq[(String, Option[(Any, Boolean)],
+    val directBounds: Seq[(String, Option[(Any, Boolean)],
         Option[(Any, Boolean)], Filter)] =
       filters.toSeq.flatMap {
         case f @ GreaterThanOrEqual(c, v) =>
@@ -1800,6 +1999,16 @@ private[sources] object TxCatalogPruning {
           Seq((c, Some((v, false)), Some((v, false)), f: Filter))
         case _ => Seq.empty
       }
+    // generated-column predicate DERIVATION (the Delta trick): a bound
+    // on the RAW source column implies a bound on a GENERATED column
+    // through a monotone generation expression — `o_orderdate >= X`
+    // implies `o_year >= year(X) − margin` — so filters written only on
+    // the source column still prune by the generated column's zone maps
+    // and hidden-partition envelopes below. Derived bounds ride the
+    // ORIGINAL filter for used-marking and never reach the row filter
+    // (pruning-only, always sound to over-keep).
+    val bounds = directBounds ++
+      TxGeneratedDerivation.deriveBounds(spark, snap, directBounds)
     val eqs: Seq[(String, Seq[Any], Filter)] = filters.toSeq.flatMap {
       case f @ EqualTo(c, v) if v != null => Seq((c, Seq(v), f: Filter))
       case f @ In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
@@ -1987,12 +2196,30 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val size = entries.map(e => TxFileSizes.of(fs, path, e.rel)).sum
     val rows = entries.map(_.liveRows)
+    // column-level stats for the CBO: the zone-map sidecars fold into
+    // per-column (min, max, nullCount) over exactly the planned file
+    // set, and NDV-ANALYZEd columns add a distinctCount from the merged
+    // per-file HLL sketches — so filter-selectivity estimation and join
+    // reordering see real numbers instead of defaults. Computed only
+    // under spark.sql.cbo.enabled (logical-stats requests happen per
+    // plan; the fold is in-memory over cached sidecar maps, the sketch
+    // union memoized per (table, version, column)).
+    val cstats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (!spark.sessionState.conf.cboEnabled)
+        java.util.Collections.emptyMap()
+      else TxColumnStats.forEntries(spark, path, snap, entries)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
         if (rows.exists(_.isEmpty)) java.util.OptionalLong.empty()
         else java.util.OptionalLong.of(rows.flatten.sum)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        cstats
     }
   }
 
@@ -4652,12 +4879,49 @@ object TxProcedures {
       Array(TxTable.localizeClone(spark, input.getUTF8String(0).toString))
   }
 
+  private val computeStatsNdv: Proc = new Proc("compute_stats_ndv",
+    "ANALYZE with distinct sketches: build/refresh the zone-map sidecar " +
+      "AND a per-file DataSketches HLL for the column (one column-pruned " +
+      "scan) — the merged estimate feeds the CBO's distinctCount",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("files_profiled", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.computeStats(spark, input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, withNdv = true))
+  }
+
+  private val vacuumIndexProc: Proc = new Proc("vacuum_index",
+    "side-index GC: drop index rows whose id no longer exists in the " +
+      "corpus table (ghosts left by drop_partition / MOR DELETE / " +
+      "replaceWhere retention) — one bounded merge-on-read commit; a " +
+      "ghost can dedup-reject a FRESH document against content the " +
+      "corpus no longer holds",
+    Seq(ProcedureParameter.in("index", StringType).build(),
+      ProcedureParameter.in("corpus", StringType).build(),
+      ProcedureParameter.in("id_col", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("rows_vacuumed", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      val corpus = input.getUTF8String(1).toString
+      require(TxTable.isTxTable(spark, corpus),
+        s"$corpus is not a TxTable — pass the corpus TABLE whose live " +
+          "keys define the index's surviving rows")
+      Array(graft.ops.DedupOps.vacuumIndex(spark,
+        input.getUTF8String(0).toString,
+        TxTable.read(spark, corpus),
+        input.getUTF8String(2).toString))
+    }
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
       dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
-      localizeCloneProc, compactPartitionProc, dropPartitionProc)
+      localizeCloneProc, compactPartitionProc, dropPartitionProc,
+      vacuumIndexProc, computeStatsNdv)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** DSv2 column statistics for the CBO: the zone-map sidecars fold into
+  * per-column (min, max, nullCount) over the planned file set, and
+  * NDV-ANALYZEd columns add a distinctCount from merged per-file HLL
+  * sketches. The pin is the DECISION, not the numbers: a selective range
+  * filter joined to a large table plans sort-merge without stats (the
+  * filter's size estimate stays the child's) and flips to broadcast-hash
+  * once column stats let FilterEstimation see the true selectivity. */
+class CboStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def registered[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.txcbo",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try body
+    finally spark.conf.unset("spark.sql.catalog.txcbo")
+  }
+
+  private def withConfs[T](confs: (String, String)*)(body: => T): T = {
+    val prev = confs.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def joins(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.sparkPlan.collect {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        "smj"
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        "bhj"
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        "shj"
+    }
+
+  test("a selective range filter flips the join to broadcast ONLY with column stats present; NDV estimate within 5%") {
+    registered {
+      val base = Files.createTempDirectory("graft_cbo_").toString
+      val fact = s"$base/fact"
+      val dim = s"$base/dim"
+      val n = 60000L
+      TxTable.init(spark, fact,
+        spark.range(n).select(col("id").as("k"),
+          (col("id") % 10000).as("v"),
+          concat(lit("payload-"), col("id")).as("pad")),
+        "k", 4)
+      TxTable.init(spark, dim,
+        spark.range(n).select(col("id").as("k"),
+          concat(lit("dim-"), col("id")).as("d")),
+        "k", 4)
+      withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> (256 * 1024).toString) {
+        def query = spark.table(s"txcbo.`$dim`")
+          .join(spark.table(s"txcbo.`$fact`").filter($"v" > 9990),
+            Seq("k"))
+        // WITHOUT column stats the filter's estimate stays its child's
+        // size (both sides well past the 256 KB threshold): sort-merge
+        assert(joins(query) == Seq("smj"),
+          s"expected smj pre-stats, got ${joins(query)}")
+        // ANALYZE with distinct sketches — one column-pruned scan
+        val profiled = spark.sql(
+          s"CALL txcbo.compute_stats_ndv('$fact', 'v')").as[Int].head()
+        assert(profiled > 0)
+        // the CBO now sees min/max/ndv: v > 9990 is ~0.1% selective,
+        // the filtered side estimates under the threshold -> broadcast
+        assert(joins(query) == Seq("bhj"),
+          s"expected bhj with stats, got ${joins(query)}")
+        // and the answers are identical either way
+        assert(query.count() ==
+          n / 10000 * 9) // v in 9991..9999 -> 9 ids per 10k block
+        // the reported NDV folds the per-file sketches: ~10000 ± 5%
+        val ndvSeen = query.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if r.relation.table.name.contains("fact") => r
+        }.headOption.flatMap(r => r.stats.attributeStats.find(
+          _._1.name == "v").flatMap(_._2.distinctCount))
+        ndvSeen.foreach(d => assert(
+          math.abs(d.toLong - 10000L) <= 500, s"ndv=$d"))
+        // stats vanish when CBO is off: no fold is paid, plan reverts
+        withConfs("spark.sql.cbo.enabled" -> "false") {
+          assert(joins(query) == Seq("smj"))
+        }
+      }
+    }
+  }
+
+  test("min/max/nullCount come from zone maps without an NDV pass; the commit auto-refresh keeps the fold current across appends") {
+    registered {
+      val base = Files.createTempDirectory("graft_cbo2_").toString
+      val t = s"$base/t"
+      TxTable.init(spark, t,
+        spark.range(1000).select(col("id").as("k"), col("id").as("v")),
+        "k", 2)
+      TxTable.computeStats(spark, t, "v") // footer-first, no sketches
+      withConfs("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+        def vStats = spark.table(s"txcbo.`$t`")
+          .queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => r
+          }.head.stats.attributeStats.find(_._1.name == "v").map(_._2)
+        val s0 = vStats
+        assert(s0.exists(_.min.isDefined) && s0.exists(_.max.isDefined),
+          s"zone-map min/max must surface: $s0")
+        assert(s0.exists(_.nullCount.contains(BigInt(0))))
+        assert(s0.forall(_.distinctCount.isEmpty),
+          "no NDV without a sketch pass")
+        // an append auto-refreshes the sidecar from the new file's
+        // footer (commit-time ride-along), so the fold stays CURRENT:
+        // the new extreme surfaces immediately — never a stale max
+        // (and had the refresh been lost, rels.forall coverage would
+        // withdraw the column's stats rather than serve the stale fold)
+        TxTable.appendOnce(spark, t,
+          spark.range(5000, 5100).select(col("id").as("k"),
+            col("id").as("v")), "k", 2, appId = "cbo2", batchId = 1L)
+        val s1 = vStats
+        assert(s1.isEmpty || s1.exists(_.max.contains(5099L)) ||
+          s1.exists(_.max.isEmpty), s"stale stats served: $s1")
+        assert(!s1.exists(_.max.contains(999L)),
+          "a stale pre-append max must never be served")
+      }
+    }
+  }
+}

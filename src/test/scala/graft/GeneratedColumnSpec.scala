@@ -27,6 +27,97 @@ class GeneratedColumnSpec extends AnyFunSuite {
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
 
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collectLeaves().map {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputPartitions.map {
+          case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+            f.files.length
+          case _ => 0
+        }.sum
+      case _ => 0
+    }.sum
+
+  test("predicate derivation: a filter on the RAW source column prunes by the generated column's zone maps (year over TIMESTAMP, widened one unit for tz-safety)") {
+    registered {
+      val t = Files.createTempDirectory("graft_gcd1_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txgc.`$t` (
+        id BIGINT, ts TIMESTAMP,
+        y INT GENERATED ALWAYS AS (year(ts)))
+        PARTITIONED BY (bucket(2, id))""")
+      // one append per year 2019..2024 -> per-file y is a single year
+      (2019 to 2024).foreach { yr =>
+        (0 until 6).map(i => (yr * 100L + i, ts(s"$yr-0${i + 1}-15 12:00:00")))
+          .toDF("id", "ts").writeTo(s"txgc.`$t`").append()
+      }
+      // zone maps on the GENERATED column only — the source column is
+      // deliberately un-ANALYZEd so pruning can only come via derivation
+      TxTable.computeStats(spark, t, "y")
+      val snap = TxTable.snapshot(spark, t)
+      val all = spark.table(s"txgc.`$t`")
+      assert(scannedFiles(all) == snap.entries.size)
+      // ts >= 2023-06-01 implies y >= 2022 (year(v) − 1: the widening
+      // absorbs any writer/reader session-zone disagreement)
+      val filtered = spark.table(s"txgc.`$t`")
+        .filter($"ts" >= "2023-06-01 00:00:00")
+      val stats = TxTable.fileStats(spark, t, "y")
+      val expect = snap.entries.count(e => stats.get(e.rel)
+        .forall { case (_, hi) => hi == null ||
+          hi.asInstanceOf[Int] >= 2022 })
+      assert(expect < snap.entries.size,
+        "fixture must actually have prunable years")
+      assert(scannedFiles(filtered) == expect,
+        s"expected $expect files (years >= 2022), " +
+          s"scanned ${scannedFiles(filtered)} of ${snap.entries.size}")
+      assert(filtered.count() == 7) // 2024's six rows + 2023's June row
+    }
+  }
+
+  test("predicate derivation: DATE-sourced generation is exact; identity partitions over the generated column prune from the source filter alone") {
+    registered {
+      val t = Files.createTempDirectory("graft_gcd2_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txgc.`$t` (
+        id BIGINT, d DATE,
+        y INT GENERATED ALWAYS AS (year(d)))
+        PARTITIONED BY (identity(y), bucket(2, id))""")
+      (2021 to 2024).foreach { yr =>
+        (0 until 4).map(i =>
+          (yr * 100L + i, java.sql.Date.valueOf(s"$yr-0${i + 2}-10")))
+          .toDF("id", "d").writeTo(s"txgc.`$t`").append()
+      }
+      val snap = TxTable.snapshot(spark, t)
+      val hist = PartitionTransforms.history(snap.props)
+      // files landed under part-<year>/ computed from the generated col
+      val years = snap.entries.flatMap(e =>
+        PartitionTransforms.resolve(e.rel, hist)).flatMap(_.raw.head)
+      assert(years.map(_.toLong).distinct.sorted ==
+        Seq(2021L, 2022L, 2023L, 2024L))
+      // a filter ONLY on the raw DATE column prunes whole partitions:
+      // DATE sources are timezone-free, so the derived bound is EXACT
+      // (y >= 2023, no widening)
+      val filtered = spark.table(s"txgc.`$t`")
+        .filter($"d" >= "2023-01-05")
+      val expect = snap.entries.count(e =>
+        PartitionTransforms.resolve(e.rel, hist)
+          .flatMap(_.raw.head).exists(_.toLong >= 2023L))
+      assert(scannedFiles(filtered) == expect && expect < snap.entries.size,
+        s"expected $expect files, scanned ${scannedFiles(filtered)}")
+      assert(filtered.count() == 8)
+      // non-monotone extractions must NOT derive: month(d) bounds would
+      // be wrong — assert a month-generated table scans everything
+      val m = Files.createTempDirectory("graft_gcd3_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txgc.`$m` (
+        id BIGINT, d DATE, mo INT GENERATED ALWAYS AS (month(d)))
+        PARTITIONED BY (bucket(2, id))""")
+      Seq((1L, java.sql.Date.valueOf("2023-01-15")),
+        (2L, java.sql.Date.valueOf("2024-06-15")))
+        .toDF("id", "d").writeTo(s"txgc.`$m`").append()
+      TxTable.computeStats(spark, m, "mo")
+      val all2 = spark.table(s"txgc.`$m`").filter($"d" >= "2024-01-01")
+      assert(all2.count() == 1) // correctness, not pruning
+    }
+  }
+
   private def freshGen(): String = {
     val t = Files.createTempDirectory("graft_gc_").toString + "/t"
     spark.sql(s"""CREATE TABLE txgc.`$t` (
