@@ -91,6 +91,33 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     }
   }
 
+  /** Resolve a `base@ref` PREFIX of a metadata-table name (`t@v3`,
+    * `t@tag`, `t@branch.x`) to the builder's (table path, display name,
+    * pinned-snapshot thunk); None when the ref does not resolve. Branch
+    * wins over a tag literally named `branch.x`, matching the data-read
+    * `@` precedence. */
+  private def metaAtRef(spark: SparkSession, p: String)(
+      build: (String, String, Option[() => TxTable.Snapshot]) => Table)
+      : Option[Table] = {
+    val bm = "^(.*)@branch\\.([A-Za-z0-9][A-Za-z0-9._-]*)$".r
+    val vm = "^(.*)@v(\\d+)$".r
+    val tm = "^(.*)@([A-Za-z0-9][A-Za-z0-9._-]*)$".r
+    p match {
+      case bm(b, name) if TxTable.isTxTable(spark, b) &&
+          TxTable.branches(spark, b).contains(name) =>
+        Some(build(b, p,
+          Some(() => TxTable.branchSnapshot(spark, b, name))))
+      case vm(b, v) if TxTable.isTxTable(spark, b) =>
+        Some(build(b, p,
+          Some(() => TxTable.snapshot(spark, b, Some(v.toLong)))))
+      case tm(b, name) if TxTable.isTxTable(spark, b) &&
+          TxTable.tags(spark, b).contains(name) =>
+        val v = TxTable.tags(spark, b)(name)
+        Some(build(b, p, Some(() => TxTable.snapshot(spark, b, Some(v)))))
+      case _ => None
+    }
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
@@ -134,31 +161,19 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       case mp(p) if !TxTable.isTxTable(spark, raw) &&
           TxTable.isTxTable(spark, p) =>
         return TxMetaTables.partitions(p)
-      // `t@v3#partitions` / `t@tag#partitions` / `t@branch.x#partitions`:
+      // `t@v3#partitions` / `t@tag#files` / `t@branch.x#partitions` …:
       // the same per-version manifest walk rendered at a pinned snapshot
       // or a branch head — zero data I/O, like every system table. Branch
       // resolution wins over a tag literally named `branch.x`, matching
       // the data-read `@` precedence above.
       case mp(p) if !TxTable.isTxTable(spark, raw) &&
           !TxTable.isTxTable(spark, p) =>
-        val bm = "^(.*)@branch\\.([A-Za-z0-9][A-Za-z0-9._-]*)$".r
-        val vm = "^(.*)@v(\\d+)$".r
-        val tm = "^(.*)@([A-Za-z0-9][A-Za-z0-9._-]*)$".r
-        p match {
-          case bm(b, name) if TxTable.isTxTable(spark, b) &&
-              TxTable.branches(spark, b).contains(name) =>
-            return TxMetaTables.partitions(b, p,
-              Some(() => TxTable.branchSnapshot(spark, b, name)))
-          case vm(b, v) if TxTable.isTxTable(spark, b) =>
-            return TxMetaTables.partitions(b, p,
-              Some(() => TxTable.snapshot(spark, b, Some(v.toLong))))
-          case tm(b, name) if TxTable.isTxTable(spark, b) &&
-              TxTable.tags(spark, b).contains(name) =>
-            val v = TxTable.tags(spark, b)(name)
-            return TxMetaTables.partitions(b, p,
-              Some(() => TxTable.snapshot(spark, b, Some(v))))
-          case _ => ()
-        }
+        metaAtRef(spark, p)(TxMetaTables.partitions(_, _, _))
+          .foreach(t => return t)
+      case mf(p) if !TxTable.isTxTable(spark, raw) &&
+          !TxTable.isTxTable(spark, p) =>
+        metaAtRef(spark, p)(TxMetaTables.files(_, _, _))
+          .foreach(t => return t)
       case _ => ()
     }
     // the reserved `@wap.<id>` suffix serves the write-audit-publish
@@ -1785,19 +1800,24 @@ private[sources] object TxColumnStats {
   import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 
   /** NDV fold memo: (table, snapshot version, physical column) → the
-    * merged estimate. Sketches are immutable once written; a new ANALYZE
-    * bumps the sidecar mtime AND the fold key's version via the commit. */
+    * merged estimate over the version's FULL live file set — the
+    * table-level NDV (an upper bound for any pruned scan, the standard
+    * CBO semantic), so the memo's value is independent of which caller's
+    * entry subset computed it first. Sketches are immutable once
+    * written; a new ANALYZE bumps the fold key's version via its
+    * commit. */
   private val ndvCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, String), Option[Long]]()
 
-  private def ndvOf(spark: SparkSession, path: String, version: Long,
-                    p: String, rels: Seq[String]): Option[Long] =
-    ndvCache.computeIfAbsent((path, version, p), _ => {
+  private def ndvOf(spark: SparkSession, path: String,
+                    snap: TxTable.Snapshot, p: String): Option[Long] =
+    ndvCache.computeIfAbsent((path, snap.version, p), _ => {
       val sketches = TxTable.fileHll(spark, path, p)
-      if (rels.isEmpty || !rels.forall(sketches.contains)) None
+      val live = snap.entries.map(_.rel)
+      if (live.isEmpty || !live.forall(sketches.contains)) None
       else scala.util.Try {
         val u = new org.apache.datasketches.hll.Union(12)
-        rels.foreach { r =>
+        live.foreach { r =>
           u.update(org.apache.datasketches.hll.HllSketch.heapify(
             org.apache.datasketches.memory.Memory.wrap(sketches(r))))
         }
@@ -1835,7 +1855,7 @@ private[sources] object TxColumnStats {
           def internal(v: Any): Option[Object] = scala.util.Try(
             org.apache.spark.sql.catalyst.CatalystTypeConverters
               .convertToCatalyst(v).asInstanceOf[Object]).toOption
-          val ndv = ndvOf(spark, path, snap.version, p, rels)
+          val ndv = ndvOf(spark, path, snap, p)
           val stat = new ColumnStatistics {
             override def distinctCount(): java.util.OptionalLong =
               ndv.fold(java.util.OptionalLong.empty())(
@@ -4266,7 +4286,8 @@ private[sources] object TxMetaTables {
 
   /** `t#files`: one row per LIVE file of the head snapshot — bucket,
     * exact rows/deleted counts, DV sidecar, physical size. */
-  def files(path: String): TxMetaTable = {
+  def files(path: String, name: String = "",
+            snapAt: Option[() => TxTable.Snapshot] = None): TxMetaTable = {
     val schema = StructType(Seq(
       StructField("rel", StringType, nullable = false),
       StructField("bucket", IntegerType, nullable = false),
@@ -4274,8 +4295,9 @@ private[sources] object TxMetaTables {
       StructField("deleted_rows", LongType, nullable = false),
       StructField("dv_rel", StringType, nullable = true),
       StructField("size_bytes", LongType, nullable = false)))
-    new TxMetaTable(s"$path#files", schema, () => {
-      val snap = TxTable.snapshot(spark, path)
+    val display = if (name.isEmpty) path else name
+    new TxMetaTable(s"$display#files", schema, () => {
+      val snap = snapAt.fold(TxTable.snapshot(spark, path))(_.apply())
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       snap.entries.sortBy(e => (e.bucket, e.rel)).map { e =>

@@ -96,6 +96,28 @@ class CboStatsSpec extends AnyFunSuite {
         withConfs("spark.sql.cbo.enabled" -> "false") {
           assert(joins(query) == Seq("smj"))
         }
+        // a fresh append lands a sketch-less file (footer auto-refresh
+        // gives it min/max only): honest coverage withdraws the NDV;
+        // re-ANALYZE is INCREMENTAL — only the new files rescan — and
+        // the fold returns
+        TxTable.appendOnce(spark, fact,
+          spark.range(60000, 61000).select(col("id").as("k"),
+            (col("id") % 10000).as("v"),
+            concat(lit("payload-"), col("id")).as("pad")),
+          "k", 4, appId = "cbo-frag", batchId = 1L)
+        val total = TxTable.snapshot(spark, fact).entries.size
+        val reprofiled = spark.sql(
+          s"CALL txcbo.compute_stats_ndv('$fact', 'v')").as[Int].head()
+        assert(reprofiled > 0 && reprofiled < total,
+          s"NDV re-ANALYZE must be incremental: $reprofiled of $total")
+        val ndv2 = query.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation
+              if r.relation.table.name.contains("fact") => r
+        }.headOption.flatMap(r => r.stats.attributeStats.find(
+          _._1.name == "v").flatMap(_._2.distinctCount))
+        assert(ndv2.exists(d => math.abs(d.toLong - 10000L) <= 500),
+          s"ndv after incremental re-ANALYZE: $ndv2")
       }
     }
   }

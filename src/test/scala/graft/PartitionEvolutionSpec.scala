@@ -241,6 +241,11 @@ class PartitionEvolutionSpec extends AnyFunSuite {
       TxTable.tag(spark, t, "evo-base", Some(v1))
       val tagged = spark.table(s"txpe.`$t@evo-base#partitions`")
       assert(tagged.count() == 2)
+      // #files resolves the same pinned-snapshot refs
+      val pinnedFiles = spark.table(s"txpe.`$t@v$v1#files`").count()
+      assert(pinnedFiles ==
+        TxTable.snapshot(spark, t, Some(v1)).entries.size)
+      assert(spark.table(s"txpe.`$t#files`").count() >= pinnedFiles)
       // and a branch head renders ITS partitions
       TxTable.createBranch(spark, t, "side")
       TxTable.appendToBranch(spark, t, "side",
