@@ -122,6 +122,61 @@ class CboStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("CBO join reorder: with column stats a 3-table chain joins the selective pair first; without stats the written order stands") {
+    registered {
+      val base = Files.createTempDirectory("graft_cbo3_").toString
+      val a = s"$base/a"; val b = s"$base/b"; val c = s"$base/c"
+      val n = 40000L
+      // a ⋈ b is 1:1 on k (40k rows); a ⋈ c is selective: c holds only
+      // 200 matching keys — joining (a ⋈ c) first shrinks the chain
+      TxTable.init(spark, a, spark.range(n).select(col("id").as("k"),
+        (col("id") % 5000).as("v"),
+        concat(lit("a-"), col("id")).as("pa")), "k", 4)
+      TxTable.init(spark, b, spark.range(n).select(col("id").as("k"),
+        concat(lit("b-"), col("id")).as("pb")), "k", 4)
+      TxTable.init(spark, c, spark.range(200).select(
+        (col("id") * 100).as("k"), concat(lit("c-"), col("id")).as("pc")),
+        "k", 4)
+      Seq(a, b, c).foreach(t =>
+        spark.sql(s"CALL txcbo.compute_stats_ndv('$t', 'k')"))
+      withConfs(
+        "spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false",
+        // force every join shuffled so ORDER (not broadcast) is the
+        // observable decision
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        // written order: (a ⋈ b) ⋈ c — the worst order (the 1:1 join
+        // first keeps 40k rows in flight before c's 200 keys cut them)
+        def query = spark.table(s"txcbo.`$a`")
+          .join(spark.table(s"txcbo.`$b`"), Seq("k"))
+          .join(spark.table(s"txcbo.`$c`"), Seq("k"))
+        def firstJoinTables(df: org.apache.spark.sql.DataFrame)
+            : Set[String] = {
+          // the DEEPEST Join in the optimized tree = the pair joined
+          // first; report which base tables feed it
+          val plan = df.queryExecution.optimizedPlan
+          val joins = plan.collect {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+          }
+          val deepest = joins.last
+          deepest.collectLeaves().collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => r.relation.table.name()
+          }.map(_.split('/').last).toSet
+        }
+        assert(firstJoinTables(query) == Set("a", "c"),
+          s"CBO must reorder the selective pair first, " +
+            s"got ${firstJoinTables(query)}")
+        withConfs("spark.sql.cbo.enabled" -> "false") {
+          assert(firstJoinTables(query) == Set("a", "b"),
+            "without stats the written order must stand")
+        }
+        assert(query.count() == 200)
+      }
+    }
+  }
+
   test("min/max/nullCount come from zone maps without an NDV pass; the commit auto-refresh keeps the fold current across appends") {
     registered {
       val base = Files.createTempDirectory("graft_cbo2_").toString
