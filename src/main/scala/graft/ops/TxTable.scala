@@ -1942,6 +1942,14 @@ object TxTable {
     * time only — the same cost class as footer-first ANALYZE. An
     * unreadable footer counts as carrying the name (refusal over
     * resurrection). */
+  /** Past this many live files the tombstone-carrier probe fans out as a
+    * Spark job instead of reading footers on the driver: the no-carrier
+    * case (the common one for a long-tombstoned name) otherwise reads
+    * EVERY footer sequentially — at 10⁸ files that is a driver stall on
+    * a rare DDL. Same distribution threshold philosophy as vacuum's
+    * `distributeDeletesAt`. */
+  private[graft] val distributeCarrierCheckAt = 64
+
   private[graft] def liveFilesCarrying(spark: SparkSession, table: String,
                                        snap: Snapshot, name: String)
       : Option[String] = {
@@ -1950,18 +1958,31 @@ object TxTable {
     // resolving requested columns against file schemas) and short-
     // circuit on the first carrier — the guard needs existence, not a
     // count
-    snap.entries.find { e =>
+    def carries(rel: String,
+                c: org.apache.hadoop.conf.Configuration): Boolean =
       scala.util.Try {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(
           org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new Path(s"$table/${e.rel}"), conf))
+            new Path(s"$table/$rel"), c))
         try {
           import scala.jdk.CollectionConverters._
           r.getFooter.getFileMetaData.getSchema.getFields.asScala
             .exists(_.getName.equalsIgnoreCase(name))
         } finally r.close()
       }.getOrElse(true)
-    }.map(_.rel)
+    if (snap.entries.size <= distributeCarrierCheckAt)
+      snap.entries.find(e => carries(e.rel, conf)).map(_.rel)
+    else {
+      // distributed probe: executors open the footers; RDD take(1)'s
+      // incremental job scheduling keeps the early-exit behavior (a
+      // carrier in the first partitions stops the sweep)
+      val ser = new org.apache.spark.util.SerializableConfiguration(conf)
+      val rels = snap.entries.map(_.rel)
+      spark.sparkContext.parallelize(rels,
+          math.min(rels.size, 256))
+        .filter(rel => carries(rel, ser.value))
+        .take(1).headOption
+    }
   }
 
   /** The schema a new commit should record: the current snapshot's schema
