@@ -688,6 +688,10 @@ object SparkEntry {
     // cell-pruned reads
     stagedEvolvedEvents(s, dir)
     stagedMultiPartEvents(s, dir)
+    // the vacuumed-index fixture (band-index landing + the ghost-drop
+    // merge-on-read commit are landing/maintenance work; the query
+    // times the surviving DV-aware index read)
+    stagedVacuumedIndex(s, dir)
     // the generated-column orders fixture (CREATE + three writer
     // surfaces incl. a MERGE recompute are landing work; the query
     // times the plain stored-column read)
@@ -982,6 +986,32 @@ object SparkEntry {
           col("event_type"), col("value"), col("props"))
         .writeTo(s"txspj.`$path`").append()
       s.sql(s"DELETE FROM txspj.`$path` WHERE event_type = 'error'")
+      ()
+    }
+    path
+  }
+
+  /** Vacuumed side-index fixture: the documents corpus lands its MinHash
+    * band index as a TxTable ([[ops.TxTable.appendIndexOnce]] — the
+    * landing job's admission-index shape), then retention drops every
+    * seventh document and [[ops.DedupOps.vacuumIndex]] removes the
+    * ghosts in ONE bounded merge-on-read commit (anti-join → deletion
+    * vectors; see IndexVacuumSpec for the admission-correctness story).
+    * The query audits the surviving index; every live document carries
+    * exactly `bands`=16 rows, so the oracle reconstructs the shape from
+    * the raw documents alone. */
+  private def stagedVacuumedIndex(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-index-vacuum/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val docs = tbl(s, dir, "documents")
+      val idx = ops.DedupOps.minhashBandIndex(docs)
+        .select(col("doc_id"), col("band"), col("bkey"))
+      ops.TxTable.appendIndexOnce(s, path, idx, "doc_id", 8,
+        appId = "ivx-stage", batchId = 1L)
+      ops.DedupOps.vacuumIndex(s, path,
+        docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id")))
       ()
     }
     path
@@ -2938,6 +2968,20 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           moneySum(col("value")).as("total_value"))
         .orderBy(col("event_type"))
+    }),
+
+    // Side-index GC audit: the staged landing job vacuumed every ghost
+    // (docs retired from the corpus) out of the MinHash band index with
+    // one merge-on-read commit. The query audits the surviving index
+    // per band; the oracle reconstructs it from the raw documents
+    // (every live doc carries exactly 16 band rows).
+    "ext_index_vacuum" -> ((s, dir) => {
+      val path = stagedVacuumedIndex(s, dir)
+      ops.TxTable.read(s, path)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("band"))
     }),
 
     // Day-boundary retention audit: the staged landing job ran
@@ -5619,6 +5663,18 @@ object SparkEntry {
         |  AND event_type <> 'error'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // index-vacuum replay: which rows the merge-on-read commit marked
+    // dead is a pure execution property — the oracle rebuilds the
+    // surviving index's SHAPE (16 band rows per live doc) from the raw
+    // documents and the retention predicate
+    "ext_index_vacuum" ->
+      """SELECT CAST(b.band AS INTEGER) AS band,
+        |  COUNT(*) AS n_rows, COUNT(DISTINCT d.doc_id) AS n_docs
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |CROSS JOIN (SELECT UNNEST(RANGE(16)) AS band) b
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
 
     // day-boundary retention replay: whether the delete dropped whole
     // files by partition metadata or rewrote them is a pure execution
