@@ -210,6 +210,49 @@ class PartitionEvolutionSpec extends AnyFunSuite {
     }
   }
 
+  test("evolution to a MULTI-FIELD spec: new files nest part/part2, conjunction pruning applies to the new generation, old files keep single-dim envelopes") {
+    registered {
+      val t = Files.createTempDirectory("graft_pe6_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txpe.`$t`
+        (id BIGINT, ts TIMESTAMP, kind STRING)
+        PARTITIONED BY (days(ts), bucket(2, id))""")
+      twoDays.limit(10).writeTo(s"txpe.`$t`").append() // day 19792, sid 0
+      spark.sql(s"ALTER TABLE txpe.`$t` SET TBLPROPERTIES " +
+        s"('${PartitionTransforms.Prop}'='days(ts),identity(kind)')")
+      (for (d <- 0 until 2; k <- Seq("x", "y"); i <- 0 until 2)
+        yield (500L + d * 100 + i, ts(f"2024-03-${14 + d}%02d 0$i:00:00"), k))
+        .toDF("id", "ts", "kind").writeTo(s"txpe.`$t`").append()
+      val snap = TxTable.snapshot(spark, t)
+      val hist = PartitionTransforms.history(snap.props)
+      assert(hist.map(_.render) ==
+        IndexedSeq("days(ts)", "days(ts),identity(kind)"))
+      val gen1 = snap.entries.filter(_.rel.contains("/spec-1/"))
+      assert(gen1.nonEmpty && gen1.forall(e =>
+        PartitionTransforms.resolve(e.rel, hist)
+          .exists(r => r.raw.length == 2 && r.raw.forall(_.isDefined))),
+        gen1.map(_.rel))
+      // (day, kind) conjunction opens exactly the gen-1 cell; the gen-0
+      // day file is disjoint on ts and prunes on its single dimension
+      val cell = spark.table(s"txpe.`$t`")
+        .filter($"ts" >= "2024-03-15 00:00:00" && $"kind" === "x")
+      val want = gen1.count(e =>
+        PartitionTransforms.resolve(e.rel, hist).exists(r =>
+          r.raw(0).get.toLong == 19797L &&
+            PartitionTransforms.decodeIdStr(r.raw(1).get).contains("x")))
+      assert(scannedFiles(cell) == want && want >= 1,
+        s"expected the cell's $want files, scanned ${scannedFiles(cell)}")
+      assert(cell.count() == 2)
+      // answers stay exact across the mixed generations
+      assert(spark.table(s"txpe.`$t`").count() == 18)
+      // dropping the pre-evolution day takes only the gen-0 files
+      // (containment over the shared field-0 column)
+      val n = spark.sql(s"CALL txpe.drop_partition('$t', 19792)")
+        .as[Int].head()
+      assert(n >= 1)
+      assert(spark.table(s"txpe.`$t`").count() == 8)
+    }
+  }
+
   test("#partitions over evolution and time travel: per-generation rows with spec_id; t@vN#partitions renders the pinned snapshot") {
     registered {
       val t = Files.createTempDirectory("graft_pe5_").toString + "/t"
