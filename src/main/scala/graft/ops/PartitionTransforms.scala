@@ -145,6 +145,18 @@ object PartitionTransforms {
       s"column '${dup.orNull}' sources two partition fields in " +
         s"${spec.render} — one envelope per column")
     spec.fields.foreach { f =>
+      // the rendered spec round-trips through ','-joined fields and the
+      // '|'-joined history property — a source column whose PHYSICAL
+      // name carries a delimiter would corrupt the persisted history on
+      // first re-parse (every later snapshot read throws or resolves a
+      // WRONG spec). Refuse at declaration, not at the first broken read.
+      val bad = f.column.find(c => c == ',' || c == '|' || c == '(' ||
+        c == ')')
+      require(bad.isEmpty,
+        s"partition transform ${f.render}: source column name contains " +
+          s"'${bad.orNull}' — ',', '|', '(' and ')' are spec-history " +
+          "delimiters and cannot appear in a partition source column " +
+          "(rename the column first)")
       val fld = schema.fields.find(_.name == f.column).getOrElse(
         throw new IllegalArgumentException(
           s"partition transform ${f.render}: column '${f.column}' " +

@@ -1692,12 +1692,34 @@ object TxTable {
     * per-query callers (the [[graft.plans.TxTablePruneRule]] SQL path
     * runs once per optimization) re-read the tiny parquet only after a
     * [[computeStats]] refresh. */
-  private val statsCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Map[String, (Any, Any, Option[Long])],
-      Map[String, (Any, Any)])]()
+  // Size-bounded LRU (same shape as DeletionVectors' bitmap cache): one
+  // entry per (table, column) sidecar, but a long-lived session touching
+  // many tables/columns must not grow the driver heap without bound —
+  // past the cap the eldest entry alone evicts and re-reads on next use.
+  private def lruCache[V](cap: Int): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, V]): Boolean = size() > cap
+      })
 
-  private val hllCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Long, Map[String, Array[Byte]])]()
+  private val statsCache = lruCache[
+    (Long, Map[String, (Any, Any, Option[Long])],
+      Map[String, (Any, Any)])](1024)
+
+  private val hllCache = lruCache[(Long, Map[String, Array[Byte]])](1024)
+
+  /** Modification time of column `c`'s stats sidecar, -1 when absent —
+    * the staleness token the catalog's NDV memo keys ride. An ANALYZE
+    * rewrites the sidecar WITHOUT a table commit (dataChange=false,
+    * version unchanged), so any memo keyed by snapshot version alone
+    * would pin a pre-ANALYZE miss forever. */
+  private[graft] def statsMtime(spark: SparkSession, table: String,
+                                c: String): Long = {
+    val fs = fsFor(spark, table)
+    val sp = statsPath(table, c)
+    if (!fs.exists(sp)) -1L else fs.getFileStatus(sp).getModificationTime
+  }
 
   /** Per-file DISTINCT sketches of an NDV-ANALYZEd column (DataSketches
     * HLL bytes, mergeable) — empty for columns profiled footer-only.
@@ -2629,6 +2651,26 @@ object TxTable {
       _.repartition(col(LayoutOps.BucketCol)), 0L, maxBuckets)
   }
 
+  /** The partition-addressed maintenance verbs take a LONG partition
+    * value, but an identity field over a STRING column has string-valued
+    * partitions — no head-generation file would ever yield a long
+    * envelope, so the verb would silently match nothing and report 0
+    * instead of refusing ("never a silent wrong answer"). Refuse up
+    * front and point at the value-addressed verbs. */
+  private def refuseStringIdentityHead(snap: Snapshot,
+                                       f0: PartitionTransforms.Field,
+                                       verb: String): Unit = {
+    val isStr = f0.fn == "identity" && snap.schema.exists(_.fields.exists(
+      f => f.name == f0.column &&
+        f.dataType == org.apache.spark.sql.types.StringType))
+    if (isStr) throw new IllegalArgumentException(
+      s"$verb: head partition field ${f0.render} is identity over a " +
+        "STRING column — its partition values are strings, not longs, " +
+        "so a Long-addressed slice can never match. Use DELETE WHERE " +
+        s"${f0.column} = '<value>' (metadata-only under this layout) " +
+        "or compact() instead")
+  }
+
   /** PARTITION-ALIGNED compaction (the hidden-partitioning maintenance
     * unit): rewrite exactly ONE partition value's fragmented buckets —
     * "compact yesterday", not "compact the globally worst bucket". The
@@ -2642,11 +2684,12 @@ object TxTable {
   def compactPartition(spark: SparkSession, table: String, part: Long,
                        maxFilesPerBucket: Int = 1,
                        maxRetries: Int = 5): Int = {
-    val props0 = snapshot(spark, table).props
-    val head = PartitionTransforms.of(props0).getOrElse(
+    val snap0 = snapshot(spark, table)
+    val head = PartitionTransforms.of(snap0.props).getOrElse(
       throw new IllegalArgumentException(
         s"$table declares no partition transform — use compact()"))
     val f0 = head.fields.head
+    refuseStringIdentityHead(snap0, f0, s"compact_partition($part)")
     rewriteWith(spark, table, maxRetries,
       _.repartition(col(LayoutOps.BucketCol)), 0L,
       raceName = s"partition-compaction($part)") { snap =>
@@ -2689,10 +2732,12 @@ object TxTable {
     * the partition is empty — idempotent). */
   def dropPartition(spark: SparkSession, table: String, part: Long,
                     maxRetries: Int = 5): Int = {
-    val head = PartitionTransforms.of(snapshot(spark, table).props)
+    val snap0 = snapshot(spark, table)
+    val head = PartitionTransforms.of(snap0.props)
       .getOrElse(throw new IllegalArgumentException(
         s"$table declares no partition transform"))
     val f0 = head.fields.head
+    refuseStringIdentityHead(snap0, f0, s"drop_partition($part)")
     val fs = fsFor(spark, table)
     var attempt = 0
     while (attempt <= maxRetries) {

@@ -1799,31 +1799,53 @@ private[sources] object TxColumnStats {
     Expressions, NamedReference}
   import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
 
-  /** NDV fold memo: (table, snapshot version, physical column) → the
-    * merged estimate over the version's FULL live file set — the
-    * table-level NDV (an upper bound for any pruned scan, the standard
-    * CBO semantic), so the memo's value is independent of which caller's
-    * entry subset computed it first. Sketches are immutable once
-    * written; a new ANALYZE bumps the fold key's version via its
-    * commit. */
-  private val ndvCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String), Option[Long]]()
+  /** NDV fold memo: (table, snapshot version, physical column, stats
+    * sidecar mtime) → the merged estimate over the version's FULL live
+    * file set — the table-level NDV (an upper bound for any pruned scan,
+    * the standard CBO semantic), so the memo's value is independent of
+    * which caller's entry subset computed it first. The sidecar MTIME is
+    * part of the key because `compute_stats_ndv` rewrites the sidecar
+    * WITHOUT a table commit (dataChange=false) — keyed by version alone,
+    * a CBO query run before the ANALYZE would pin "no NDV" for that
+    * version and the freshly computed sketches would stay invisible
+    * until the next unrelated data commit. Size-bounded LRU so a
+    * long-lived session over churning tables cannot leak driver memory
+    * (the sketch re-fold on re-miss is in-memory over [[TxTable.fileHll]]'s
+    * own mtime-cached map — cheap). */
+  private val NdvCacheCap = 1024
+  private val ndvCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long, String, Long),
+        Option[Long]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String, Long),
+            Option[Long]]): Boolean = size() > NdvCacheCap
+    })
 
   private def ndvOf(spark: SparkSession, path: String,
-                    snap: TxTable.Snapshot, p: String): Option[Long] =
-    ndvCache.computeIfAbsent((path, snap.version, p), _ => {
+                    snap: TxTable.Snapshot, p: String): Option[Long] = {
+    val mtime = scala.util.Try(TxTable.statsMtime(spark, path, p))
+      .getOrElse(-1L)
+    if (mtime < 0) return None // no sidecar: nothing to fold, never pin
+    val key = (path, snap.version, p, mtime)
+    val hit = ndvCache.get(key)
+    if (hit != null) hit
+    else {
       val sketches = TxTable.fileHll(spark, path, p)
       val live = snap.entries.map(_.rel)
-      if (live.isEmpty || !live.forall(sketches.contains)) None
-      else scala.util.Try {
-        val u = new org.apache.datasketches.hll.Union(12)
-        live.foreach { r =>
-          u.update(org.apache.datasketches.hll.HllSketch.heapify(
-            org.apache.datasketches.memory.Memory.wrap(sketches(r))))
-        }
-        Math.max(1L, Math.round(u.getEstimate))
-      }.toOption
-    })
+      val v: Option[Long] =
+        if (live.isEmpty || !live.forall(sketches.contains)) None
+        else scala.util.Try {
+          val u = new org.apache.datasketches.hll.Union(12)
+          live.foreach { r =>
+            u.update(org.apache.datasketches.hll.HllSketch.heapify(
+              org.apache.datasketches.memory.Memory.wrap(sketches(r))))
+          }
+          Math.max(1L, Math.round(u.getEstimate))
+        }.toOption
+      ndvCache.put(key, v)
+      v
+    }
+  }
 
   def forEntries(spark: SparkSession, path: String,
                  snap: TxTable.Snapshot, entries: Seq[TxTable.FileEntry])
@@ -1832,14 +1854,25 @@ private[sources] object TxColumnStats {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rels = entries.map(_.rel)
+    // sidecar null counts were profiled at ANALYZE time over WHOLE files,
+    // while numRows reports DV-adjusted LIVE rows — after MOR deletes the
+    // raw sum can exceed the live row count, and a CBO seeing
+    // nullCount > rowCount skews selectivity. Clamp to the live count
+    // when it is known (over-counting nulls only ever UNDER-estimates a
+    // not-null predicate's selectivity after the clamp, never inverts it).
+    val liveTotal: Option[Long] = {
+      val rs = entries.map(_.liveRows)
+      if (rs.isEmpty || rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
+    }
     scala.util.Try(TxTable.statsColumns(fs, path)).getOrElse(Seq.empty)
       .foreach { p =>
         val raw = TxTable.fileStatsWithNulls(spark, path, p)
         if (rels.nonEmpty && rels.forall(raw.contains)) {
           val rows = rels.map(raw)
           val nulls: Option[Long] =
-            if (rows.forall(_._3.isDefined)) Some(rows.flatMap(_._3).sum)
-            else None
+            (if (rows.forall(_._3.isDefined)) Some(rows.flatMap(_._3).sum)
+             else None)
+              .map(n => liveTotal.fold(n)(t => math.min(n, t)))
           def fold(pick: ((Any, Any, Option[Long])) => Any,
                    keepLeft: Int => Boolean): Option[Any] = {
             val vs = rows.map(pick).filter(_ != null) // all-null files
@@ -1901,8 +1934,15 @@ private[sources] object TxGeneratedDerivation {
   import org.apache.spark.sql.sources.Filter
   import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 
-  /** Supported shapes of this snapshot: (fn, source logical name,
-    * generated logical name, generated type). */
+  /** Supported shapes of this snapshot: (fn, source PHYSICAL name,
+    * generated PHYSICAL name, generated type). The whole prune()
+    * pipeline — zone-map sidecars, partition envelopes, the direct
+    * bounds fed in — is keyed by physical names, so both the match key
+    * and the emitted bound name must live there too: the stored
+    * generation SQL and [[TxGeneratedCols.generatedOf]] speak LOGICAL
+    * names, which drift under RENAME COLUMN (a logical-name bound would
+    * go inert after a rename, or worse hit a DIFFERENT column's physical
+    * zone maps in a rename-swap). */
   private def shapes(spark: SparkSession, snap: TxTable.Snapshot)
       : Seq[(String, String, String, org.apache.spark.sql.types.DataType)] =
     TxGeneratedCols.generatedOf(snap).flatMap { case (gname, sql, dt) =>
@@ -1917,7 +1957,8 @@ private[sources] object TxGeneratedDerivation {
                   a: org.apache.spark.sql.catalyst.analysis
                     .UnresolvedAttribute) if a.nameParts.length == 1 =>
                 Some((if (fn == "date") "to_date" else fn,
-                  a.nameParts.head, gname, dt))
+                  snap.physicalName(a.nameParts.head),
+                  snap.physicalName(gname), dt))
               case _ => None
             }
           case c: org.apache.spark.sql.catalyst.expressions.Cast
@@ -1925,7 +1966,8 @@ private[sources] object TxGeneratedDerivation {
             c.child match {
               case a: org.apache.spark.sql.catalyst.analysis
                   .UnresolvedAttribute if a.nameParts.length == 1 =>
-                Some(("to_date", a.nameParts.head, gname, dt))
+                Some(("to_date", snap.physicalName(a.nameParts.head),
+                  snap.physicalName(gname), dt))
               case _ => None
             }
           case _ => None

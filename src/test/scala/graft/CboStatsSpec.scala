@@ -90,6 +90,14 @@ class CboStatsSpec extends AnyFunSuite {
               if r.relation.table.name.contains("fact") => r
         }.headOption.flatMap(r => r.stats.attributeStats.find(
           _._1.name == "v").flatMap(_._2.distinctCount))
+        // MUST be visible immediately: the pre-ANALYZE smj probe above
+        // already asked for this version's NDV and memoized the miss —
+        // the memo is keyed by the sidecar mtime precisely so the
+        // ANALYZE (which rewrites the sidecar WITHOUT a table commit)
+        // invalidates it (a version-keyed memo pins the miss forever)
+        assert(ndvSeen.isDefined,
+          "NDV computed by compute_stats_ndv must surface without an " +
+            "intervening table commit")
         ndvSeen.foreach(d => assert(
           math.abs(d.toLong - 10000L) <= 500, s"ndv=$d"))
         // stats vanish when CBO is off: no fold is paid, plan reverts
@@ -211,6 +219,42 @@ class CboStatsSpec extends AnyFunSuite {
           s1.exists(_.max.isEmpty), s"stale stats served: $s1")
         assert(!s1.exists(_.max.contains(999L)),
           "a stale pre-append max must never be served")
+      }
+    }
+  }
+
+  test("nullCount is clamped to the DV-adjusted live row count after MOR deletes") {
+    registered {
+      val base = Files.createTempDirectory("graft_cbo4_").toString
+      val t = s"$base/t"
+      // v is NULL on 80% of rows; a MOR delete then removes half the
+      // table — the sidecar's ANALYZE-time null counts (whole-file) now
+      // exceed the live row count, and an unclamped CBO would see
+      // nullCount > rowCount (impossible) and skew selectivity
+      TxTable.init(spark, t,
+        spark.range(1000).select(col("id").as("k"),
+          when(col("id") % 5 === 0, col("id")).as("v")),
+        "k", 2)
+      TxTable.computeStats(spark, t, "v")
+      val killed = TxTable.deleteWhereMor(spark, t, col("k") >= 100)
+      assert(killed == 900L)
+      withConfs("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "false") {
+        val scan = spark.table(s"txcbo.`$t`")
+          .queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => r
+          }.head
+        val rowCount = scan.stats.rowCount
+        val vNulls = scan.stats.attributeStats.find(_._1.name == "v")
+          .flatMap(_._2.nullCount)
+        assert(rowCount.contains(BigInt(100)), s"live rows: $rowCount")
+        // raw sidecar sum is 800 nulls; live rows are 100 — the clamp
+        // must cap the report (over-counting after the clamp only
+        // under-estimates a not-null predicate, never inverts it)
+        vNulls.foreach(nc => assert(nc <= BigInt(100),
+          s"nullCount $nc exceeds live row count 100"))
+        assert(vNulls.isDefined, "nullCount must still surface")
       }
     }
   }

@@ -277,4 +277,38 @@ class GeneratedColumnSpec extends AnyFunSuite {
         "2024-03-10")
     }
   }
+
+  test("predicate derivation survives RENAME of the generated column: bounds stay in the PHYSICAL name space") {
+    registered {
+      val t = Files.createTempDirectory("graft_gcd4_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txgc.`$t` (
+        id BIGINT, ts TIMESTAMP,
+        y INT GENERATED ALWAYS AS (year(ts)))
+        PARTITIONED BY (bucket(2, id))""")
+      (2020 to 2024).foreach { yr =>
+        (0 until 4).map(i => (yr * 100L + i, ts(s"$yr-0${i + 1}-15 12:00:00")))
+          .toDF("id", "ts").writeTo(s"txgc.`$t`").append()
+      }
+      TxTable.computeStats(spark, t, "y") // sidecar under PHYSICAL name
+      // rename the GENERATED column (renaming the SOURCE refuses): the
+      // zone-map sidecar, manifest schema, and prune() all stay keyed by
+      // the physical name 'y' — a derivation emitting the new LOGICAL
+      // name would go silently inert (or, in a rename swap, hit a
+      // different column's zone maps and wrongly prune)
+      spark.sql(s"ALTER TABLE txgc.`$t` RENAME COLUMN y TO yr_label")
+      val snap = TxTable.snapshot(spark, t)
+      val filtered = spark.table(s"txgc.`$t`")
+        .filter($"ts" >= "2023-06-01 00:00:00")
+      val stats = TxTable.fileStats(spark, t, "y")
+      val expect = snap.entries.count(e => stats.get(e.rel)
+        .forall { case (_, hi) => hi == null ||
+          hi.asInstanceOf[Int] >= 2022 })
+      assert(expect < snap.entries.size)
+      assert(scannedFiles(filtered) == expect,
+        s"post-rename derivation must still prune: expected $expect " +
+          s"files, scanned ${scannedFiles(filtered)} of " +
+          s"${snap.entries.size}")
+      assert(filtered.count() == 4) // months run Jan-Apr: only 2024 rows
+    }
+  }
 }

@@ -246,4 +246,45 @@ class PartitionMultiFieldSpec extends AnyFunSuite {
       assert(desc.contains("days(ts)") && desc.contains("region"), desc)
     }
   }
+
+  test("Long-addressed partition maintenance refuses an identity-STRING head field loudly instead of matching nothing") {
+    registered {
+      val t = Files.createTempDirectory("graft_pm6_").toString + "/t"
+      spark.sql(s"""CREATE TABLE txpm.`$t`
+        (id BIGINT, region STRING, v STRING)
+        PARTITIONED BY (identity(region), bucket(2, id))""")
+      (0 until 12).map(i => (i.toLong, Seq("EU", "US")(i % 2), s"v$i"))
+        .toDF("id", "region", "v").writeTo(s"txpm.`$t`").append()
+      // pre-fix this silently returned 0 (no string partition ever
+      // yields a long envelope) — "never a silent wrong answer"
+      val e1 = intercept[Exception] {
+        TxTable.dropPartition(spark, t, 0L)
+      }
+      assert(e1.getMessage.contains("identity over a STRING") &&
+        e1.getMessage.contains("DELETE WHERE"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        TxTable.compactPartition(spark, t, 0L)
+      }
+      assert(e2.getMessage.contains("identity over a STRING"),
+        e2.getMessage)
+      assert(spark.table(s"txpm.`$t`").count() == 12)
+    }
+  }
+
+  test("validate refuses partition source columns whose name carries a spec-history delimiter") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a,b",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("c|d",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("e)f",
+        org.apache.spark.sql.types.StringType)))
+    Seq("a,b", "c|d", "e)f").foreach { c =>
+      val e = intercept[IllegalArgumentException] {
+        PartitionTransforms.validate(PartitionTransforms.Spec(
+          IndexedSeq(PartitionTransforms.Field("identity", c))), schema)
+      }
+      assert(e.getMessage.contains("delimiter"), s"$c: ${e.getMessage}")
+    }
+  }
 }
