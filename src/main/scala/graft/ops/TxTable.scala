@@ -998,7 +998,7 @@ object TxTable {
 
   // --- zone-map data skipping (sidecar per-file column stats) -----------
 
-  private def statsPath(table: String, c: String) =
+  private[graft] def statsPath(table: String, c: String) =
     new Path(logDir(table), s"stats-$c.parquet")
 
   /** Build or incrementally refresh the per-file (min, max) sidecar for
@@ -1222,7 +1222,7 @@ object TxTable {
 
   // --- bloom sidecars (per-file membership filters) ----------------------
 
-  private def bloomPath(table: String, c: String) =
+  private[graft] def bloomPath(table: String, c: String) =
     new Path(logDir(table), s"bloom-$c.parquet")
 
   /** Sidecar columns of one family (`stats-` / `bloom-`) this table has
@@ -1720,6 +1720,12 @@ object TxTable {
     val sp = statsPath(table, c)
     if (!fs.exists(sp)) -1L else fs.getFileStatus(sp).getModificationTime
   }
+
+  /** True when column `c` has a bloom sidecar — the distributed-planning
+    * presence probe (one filesystem stat, no sidecar read). */
+  private[graft] def bloomExists(spark: SparkSession, table: String,
+                                 c: String): Boolean =
+    fsFor(spark, table).exists(bloomPath(table, c))
 
   /** Per-file DISTINCT sketches of an NDV-ANALYZEd column (DataSketches
     * HLL bytes, mergeable) — empty for columns profiled footer-only.

@@ -1,0 +1,197 @@
+package graft.sources
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.ops.{PartitionTransforms, TxTable}
+
+/** Per-file pruning verdicts, shared verbatim by the driver-side walk and
+  * the distributed planning job — ONE implementation so the two paths
+  * cannot drift (the parity the Iceberg distributed-planning design
+  * hinges on). Each verdict answers "may this file hold a matching row?"
+  * from the file's own evidence (zone-map row, partition path, bloom,
+  * bucket id) plus a tiny per-query context; every unknown keeps the
+  * file (over-keep, never wrong). */
+private[graft] object TxPruneVerdicts extends Serializable {
+
+  /** One range bound: (lower value + strict?, upper value + strict?). */
+  type Bound = (Option[(Any, Boolean)], Option[(Any, Boolean)])
+
+  /** Zone-map verdict: `stat` is the file's (lo, hi) sidecar row (None =
+    * file unknown to the sidecar → keep; both null = an ALL-NULL file,
+    * which cannot satisfy a range predicate → drop; half-null → keep).
+    * Incomparable types keep. */
+  def zoneKeep(stat: Option[(Any, Any)], bs: Seq[Bound]): Boolean =
+    stat match {
+      case Some((l, h)) if l != null && h != null =>
+        bs.forall { case (lo, hi) =>
+          Try {
+            lo.forall { case (v, strict) =>
+              val c = TxTable.cmpAny(h, v)
+              if (strict) c > 0 else c >= 0
+            } && hi.forall { case (v, strict) =>
+              val c = TxTable.cmpAny(l, v)
+              if (strict) c < 0 else c <= 0
+            }
+          }.getOrElse(true)
+        }
+      case Some((l, h)) if l == null && h == null => false
+      case _ => true
+    }
+
+  /** Hidden-partition envelope verdict over the file's OWN generation's
+    * spec (history + `spec-<sid>/` stamp). Pre-partitioning files, null
+    * segments, and unknown sids keep. */
+  def envelopeKeep(rel: String,
+                   hist: IndexedSeq[PartitionTransforms.Spec],
+                   bs: Seq[(String, Bound)],
+                   pe: Seq[(String, Seq[Any])]): Boolean =
+    PartitionTransforms.resolve(rel, hist) match {
+      case Some(res) =>
+        bs.forall { case (c, (lo, hi)) =>
+          Try {
+            val v = lo.orElse(hi).get._1
+            PartitionTransforms.envelopeFor(res, c, v) match {
+              case Some((envLo, envHi)) =>
+                lo.forall { case (x, strict) =>
+                  val cc = TxTable.cmpAny(envHi, x)
+                  if (strict) cc > 0 else cc >= 0
+                } && hi.forall { case (x, strict) =>
+                  val cc = TxTable.cmpAny(envLo, x)
+                  if (strict) cc < 0 else cc <= 0
+                }
+              case None => true
+            }
+          }.getOrElse(true)
+        } && pe.forall { case (c, vs) =>
+          // IN / = over a partition source: keep iff ANY probed value
+          // lands inside the envelope
+          Try {
+            vs.exists { v =>
+              PartitionTransforms.envelopeFor(res, c, v) match {
+                case Some((envLo, envHi)) =>
+                  TxTable.cmpAny(v, envLo) >= 0 &&
+                    TxTable.cmpAny(v, envHi) <= 0
+                case None => true
+              }
+            }
+          }.getOrElse(true)
+        }
+      case None => true
+    }
+
+  /** Bloom verdict: keep iff the filter might contain ANY probed hash.
+    * A false positive only over-keeps. */
+  def bloomKeep(bloom: org.apache.spark.util.sketch.BloomFilter,
+                hashes: Seq[Long]): Boolean =
+    hashes.exists(bloom.mightContainLong)
+}
+
+/** Distributed scan planning (the public Iceberg idea): past a
+  * file-count threshold the per-file pruning verdicts evaluate as a
+  * SPARK JOB over the manifest's entry set instead of a driver-side
+  * O(files) walk — the driver ships only the tiny per-query context
+  * (bounds, probe hashes, spec history), executors read the zone-map /
+  * bloom sidecars directly (never collected into driver maps) and join
+  * them to the entries on `rel`, and only the KEPT rels return to the
+  * driver. At 10⁸ files the driver's planning work drops from "compare
+  * every file against every bound, after collecting every sidecar row"
+  * to "serialize the entry list + receive the survivors".
+  *
+  * Engaged when `snap.entries.size >= spark.graft.planning.distributeAt`
+  * (default 100000 — sandbox-scale tables never pay the job-scheduling
+  * overhead; a 100 TB table's scans always amortize it). The verdicts
+  * themselves are [[TxPruneVerdicts]] — the same functions the driver
+  * walk calls — so the two paths cannot diverge on semantics, and the
+  * parity spec pins equality of the kept set file for file. */
+private[graft] object TxDistributedPrune {
+
+  val DistributeAtConf = "spark.graft.planning.distributeAt"
+  val DefaultDistributeAt = 100000
+
+  /** Spec-observable engagement counter. */
+  val runs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  def threshold(spark: SparkSession): Int =
+    Try(spark.conf.get(DistributeAtConf).toInt)
+      .getOrElse(DefaultDistributeAt)
+
+  /** Zone-map stage context: all range bounds over one sidecar-profiled
+    * column. */
+  final case class ZoneStage(column: String,
+                             bs: Seq[TxPruneVerdicts.Bound])
+
+  /** Bloom stage context: pre-hashed probe values for one
+    * bloom-profiled column. */
+  final case class BloomStage(column: String, hashes: Seq[Long])
+
+  /** Partition-envelope stage context (empty hist ⇒ stage inactive). */
+  final case class EnvStage(hist: IndexedSeq[PartitionTransforms.Spec],
+                            bs: Seq[(String, TxPruneVerdicts.Bound)],
+                            pe: Seq[(String, Seq[Any])])
+
+  /** Evaluate all stages as one Spark job; returns the kept rels. */
+  def run(spark: SparkSession, path: String,
+          entries: Seq[TxTable.FileEntry],
+          zones: Seq[ZoneStage], env: Option[EnvStage],
+          blooms: Seq[BloomStage],
+          bucketSets: Seq[Set[Int]]): Set[String] = {
+    runs.incrementAndGet()
+    import spark.implicits._
+    var df = entries.map(e => (e.rel, e.bucket)).toDF("__rel", "__bucket")
+    // one left join per sidecar-profiled column: the sidecar parquet is
+    // read DISTRIBUTED (rel, lo, hi / rel, bloom) — duplicates from
+    // racing refresh appends carry identical values by construction
+    // (immutable files, deterministic footers), so an arbitrary
+    // dropDuplicates pick matches the driver path's preference dedup
+    zones.zipWithIndex.foreach { case (z, i) =>
+      val sp = TxTable.statsPath(path, z.column).toString
+      val s = spark.read.parquet(sp)
+        .select(col("rel").as(s"__zr$i"), col("lo").as(s"__lo$i"),
+          col("hi").as(s"__hi$i"))
+        .dropDuplicates(s"__zr$i")
+        .withColumn(s"__zs$i", lit(true))
+      df = df.join(s, df("__rel") === s(s"__zr$i"), "left")
+        .drop(s"__zr$i")
+    }
+    blooms.zipWithIndex.foreach { case (b, i) =>
+      val sp = TxTable.bloomPath(path, b.column).toString
+      val s = spark.read.parquet(sp)
+        .select(col("rel").as(s"__br$i"), col("bloom").as(s"__bm$i"))
+        .dropDuplicates(s"__br$i")
+      df = df.join(s, df("__rel") === s(s"__br$i"), "left")
+        .drop(s"__br$i")
+    }
+    val schema = df.schema
+    val relIdx = schema.fieldIndex("__rel")
+    val bucketIdx = schema.fieldIndex("__bucket")
+    val zIdx = zones.indices.map(i => (schema.fieldIndex(s"__lo$i"),
+      schema.fieldIndex(s"__hi$i"), schema.fieldIndex(s"__zs$i")))
+    val bmIdx = blooms.indices.map(i => schema.fieldIndex(s"__bm$i"))
+    val zonesB = zones.map(_.bs)
+    val envB = env
+    val bloomHashes = blooms.map(_.hashes)
+    val bucketsB = bucketSets
+    df.mapPartitions { it =>
+      it.filter { r =>
+        val bucket = r.getInt(bucketIdx)
+        val rel = r.getString(relIdx)
+        bucketsB.forall(_.contains(bucket)) &&
+          zonesB.zip(zIdx).forall { case (bs, (li, hi, si)) =>
+            val stat =
+              if (r.isNullAt(si)) None else Some((r.get(li), r.get(hi)))
+            TxPruneVerdicts.zoneKeep(stat, bs)
+          } &&
+          envB.forall(e =>
+            TxPruneVerdicts.envelopeKeep(rel, e.hist, e.bs, e.pe)) &&
+          bloomHashes.zip(bmIdx).forall { case (hs, bi) =>
+            r.isNullAt(bi) || TxPruneVerdicts.bloomKeep(
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                r.getAs[Array[Byte]](bi)), hs)
+          }
+      }.map(_.getString(relIdx))
+    }.collect().toSet
+  }
+}

@@ -2081,6 +2081,77 @@ private[sources] object TxCatalogPruning {
     var kept = snap.entries
     val used = Seq.newBuilder[Filter]
 
+    // distributed scan planning (the Iceberg idea): past the file-count
+    // threshold the per-file verdicts run as ONE Spark job over the
+    // manifest entries — sidecars are read executor-side and joined on
+    // rel, never collected into driver maps, and only the kept rels
+    // return. The job and the driver walk below share a single verdict
+    // implementation ([[TxPruneVerdicts]]), so the kept set is identical
+    // by construction; TxDistributedPlanningSpec pins it file for file.
+    if (snap.entries.size >= TxDistributedPrune.threshold(spark)) {
+      val zoneStages = bounds.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+        case (c, bs) =>
+          // presence probe only (one fs stat) — no driver-side map build
+          if (Try(TxTable.statsMtime(spark, path, c)).getOrElse(-1L) < 0)
+            None
+          else {
+            bs.foreach(b => used += b._4)
+            Some(TxDistributedPrune.ZoneStage(c,
+              bs.map(b => (b._2, b._3))))
+          }
+      }
+      val hist = graft.ops.PartitionTransforms.history(snap.props)
+      val partCols: Set[String] =
+        hist.flatMap(_.fields.map(_.column)).toSet
+      val ebs = bounds.filter(b => partCols(b._1))
+      val epe = eqs.filter(x => partCols(x._1))
+      val env =
+        if (hist.nonEmpty && (ebs.nonEmpty || epe.nonEmpty)) {
+          ebs.foreach(b => used += b._4)
+          epe.foreach(x => used += x._3)
+          Some(TxDistributedPrune.EnvStage(hist,
+            ebs.map(b => (b._1, (b._2, b._3))),
+            epe.map(x => (x._1, x._2))))
+        } else None
+      val bloomStages = eqs.flatMap { case (c, vs, f) =>
+        if (!Try(TxTable.bloomExists(spark, path, c)).getOrElse(false))
+          None
+        else schema.fields.find(_.name == c).map(_.dataType)
+          .flatMap { t =>
+            val hashed: Seq[Option[Long]] = vs.map(v =>
+              Try(XxHash64(Seq(Literal.create(v, t)), 42L)
+                .eval(null).asInstanceOf[Long]).toOption)
+            if (hashed.nonEmpty && hashed.forall(_.isDefined)) {
+              used += f
+              Some(TxDistributedPrune.BloomStage(c, hashed.flatten))
+            } else None
+          }
+      }
+      val (dKey, dN) = bucketing
+      val bucketSets = eqs.filter(_._1 == dKey).flatMap {
+        case (_, vs, f) =>
+          schema.fields.find(_.name == dKey).map(_.dataType)
+            .flatMap { t =>
+              val hashed: Seq[Option[Int]] = vs.map { v =>
+                Try(Pmod(XxHash64(Seq(Literal.create(v, t)), 42L),
+                  Literal(dN.toLong)).eval(null)
+                  .asInstanceOf[Long].toInt).toOption
+              }
+              if (hashed.nonEmpty && hashed.forall(_.isDefined)) {
+                used += f
+                Some(hashed.flatten.toSet)
+              } else None
+            }
+      }
+      if (zoneStages.nonEmpty || env.nonEmpty || bloomStages.nonEmpty ||
+          bucketSets.nonEmpty) {
+        val keptRels = TxDistributedPrune.run(spark, path, snap.entries,
+          zoneStages, env, bloomStages, bucketSets)
+        kept = kept.filter(e => keptRels(e.rel))
+      }
+      return (kept, used.result().distinct.toArray)
+    }
+
     // zone-map sidecars: every bound over a profiled column must overlap
     val perCol = bounds.groupBy(_._1).toSeq.map { case (c, bs) =>
       (TxTable.fileStats(spark, path, c), bs)
@@ -2089,22 +2160,8 @@ private[sources] object TxCatalogPruning {
       perCol.foreach { case (_, bs) => bs.foreach(b => used += b._4) }
       kept = kept.filter { e =>
         perCol.forall { case (stats, bs) =>
-          stats.get(e.rel) match {
-            case Some((l, h)) if l != null && h != null =>
-              bs.forall { case (_, lo, hi, _) =>
-                Try {
-                  lo.forall { case (v, strict) =>
-                    val c = TxTable.cmpAny(h, v)
-                    if (strict) c > 0 else c >= 0
-                  } && hi.forall { case (v, strict) =>
-                    val c = TxTable.cmpAny(l, v)
-                    if (strict) c < 0 else c <= 0
-                  }
-                }.getOrElse(true)
-              }
-            case Some((l, h)) if l == null && h == null => false
-            case _ => true
-          }
+          TxPruneVerdicts.zoneKeep(stats.get(e.rel),
+            bs.map(b => (b._2, b._3)))
         }
       }
     }
@@ -2127,43 +2184,10 @@ private[sources] object TxCatalogPruning {
       if (hist.nonEmpty && (bs.nonEmpty || pe.nonEmpty)) {
         bs.foreach(b => used += b._4)
         pe.foreach(x => used += x._3)
-        kept = kept.filter { e =>
-          graft.ops.PartitionTransforms.resolve(e.rel, hist) match {
-            case Some(res) =>
-              bs.forall { case (c, lo, hi, _) =>
-                Try {
-                  val v = lo.orElse(hi).get._1
-                  graft.ops.PartitionTransforms
-                    .envelopeFor(res, c, v) match {
-                    case Some((envLo, envHi)) =>
-                      lo.forall { case (x, strict) =>
-                        val cc = TxTable.cmpAny(envHi, x)
-                        if (strict) cc > 0 else cc >= 0
-                      } && hi.forall { case (x, strict) =>
-                        val cc = TxTable.cmpAny(envLo, x)
-                        if (strict) cc < 0 else cc <= 0
-                      }
-                    case None => true
-                  }
-                }.getOrElse(true)
-              } && pe.forall { case (c, vs, _) =>
-                // IN / = over an identity (or temporal) partition source:
-                // keep iff ANY probed value lands inside the envelope
-                Try {
-                  vs.exists { v =>
-                    graft.ops.PartitionTransforms
-                      .envelopeFor(res, c, v) match {
-                      case Some((envLo, envHi)) =>
-                        TxTable.cmpAny(v, envLo) >= 0 &&
-                          TxTable.cmpAny(v, envHi) <= 0
-                      case None => true
-                    }
-                  }
-                }.getOrElse(true)
-              }
-            case None => true
-          }
-        }
+        val ebs = bs.map(b => (b._1, (b._2, b._3)))
+        val epe = pe.map(x => (x._1, x._2))
+        kept = kept.filter(e =>
+          TxPruneVerdicts.envelopeKeep(e.rel, hist, ebs, epe))
       }
     }
 
@@ -2183,7 +2207,7 @@ private[sources] object TxCatalogPruning {
             val hs = hashed.flatten
             used += f
             kept = kept.filter(e => blooms.get(e.rel)
-              .forall(b => hs.exists(b.mightContainLong)))
+              .forall(b => TxPruneVerdicts.bloomKeep(b, hs)))
           }
         }
       }
