@@ -64,9 +64,21 @@ object TxTable {
     * bitmap, plus the EXACT deleted-row count. `rows` stays the physical
     * footer count; live rows = rows - dv.ndel. Every reader must apply
     * the bitmap; every metadata shortcut must count live rows. */
+  /** `base` is the file's ROW-TRACKING anchor, present iff the table has
+    * row tracking enabled: (baseRowId, defaultRowCommitVersion). A row's
+    * durable `_row_id` is `baseRowId + physical position` unless the file
+    * MATERIALIZES an id for it (rewritten/updated rows carry their
+    * original ids in a hidden `_graft_rid` parquet column, which wins);
+    * `_row_commit_version` works the same way over
+    * defaultRowCommitVersion / `_graft_rcv`. Base ranges are allocated at
+    * COMMIT time from the `graft.rowIdWatermark` property — the same
+    * CAS-committed counter for every write surface, so ids are unique
+    * across the table's whole history (the public Delta row-tracking
+    * design: fresh rows implicit, moved rows materialized). */
   final case class FileEntry(bucket: Int, rel: String,
                              rows: Option[Long] = None,
-                             dv: Option[DvRef] = None) {
+                             dv: Option[DvRef] = None,
+                             base: Option[(Long, Long)] = None) {
     /** Exact LIVE row count, when the physical count is recorded. */
     def liveRows: Option[Long] = rows.map(_ - dv.fold(0L)(_.ndel))
   }
@@ -165,6 +177,31 @@ object TxTable {
     * nearest checkpoint — a year-old streaming table resolves in O(1)
     * manifest reads instead of re-listing its whole history. */
   val CheckpointInterval = 20
+
+  // ---- row tracking (the public Delta row-tracking design) --------------
+
+  /** Table property switching row tracking on ("true"). Enable via
+    * [[enableRowTracking]] (or the catalog's ALTER SET TBLPROPERTIES /
+    * `CALL enable_row_tracking` twins) — NOT by writing the property
+    * directly: enabling backfills base ids for every live file in the
+    * same commit, so the invariant "tracking on ⇒ every live entry has a
+    * base" holds at every version. */
+  val RowTrackingProp = "graft.rowTracking"
+
+  /** Next free row id (the allocation high watermark), CAS-committed
+    * with every id-assigning commit. */
+  val RowWatermarkProp = "graft.rowIdWatermark"
+
+  /** Lineage column names surfaced by [[readLineage]]. */
+  val RowIdCol = "_row_id"
+  val RowCommitCol = "_row_commit_version"
+
+  /** Hidden parquet columns MATERIALIZING lineage for rows that moved
+    * files (rewrites carry both; row-level updates carry the id only, so
+    * the commit version reads as the update's). Never part of the table
+    * schema — plain reads project past them. */
+  private[graft] val RidCol = "_graft_rid"
+  private[graft] val RcvCol = "_graft_rcv"
 
   // --- manifest encoding: one header line, one tab-separated line/file ---
   // Header v1: `txtable\t1[\t<appId>\t<batchId>]`. Header v2 adds the
@@ -294,12 +331,27 @@ object TxTable {
       }
     }
     (header +: entries.sortBy(e => (e.bucket, e.rel))
-      .map(e => s"${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}${dvSuffix(e)}"))
+      .map(e => s"${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}" +
+        s"${dvSuffix(e)}${ridSuffix(e)}"))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
   }
 
   private def dvSuffix(e: FileEntry): String =
     e.dv.fold("")(d => s"	${d.rel}	${d.ndel}")
+
+  /** Row-tracking anchor as a TAGGED trailing field (`rid:<base>:<rcv>`)
+    * so it composes with the positional entry grammar whether or not the
+    * optional DV fields are present; pre-tracking parsers never see it
+    * (tracking tables are created by tracking-aware code). */
+  private def ridSuffix(e: FileEntry): String =
+    e.base.fold("") { case (b, v) => s"	rid:$b:$v" }
+
+  private def splitRid(fields: Array[String])
+      : (Array[String], Option[(Long, Long)]) =
+    if (fields.nonEmpty && fields.last.startsWith("rid:")) {
+      val p = fields.last.stripPrefix("rid:").split(':')
+      (fields.dropRight(1), Some((p(0).toLong, p(1).toLong)))
+    } else (fields, None)
 
   private def parseRows(s: String): Option[Long] =
     if (s == "-") None else Some(s.toLong)
@@ -307,7 +359,8 @@ object TxTable {
   private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] =
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
       .drop(1).filter(_.nonEmpty).map { line =>
-        line.split('	') match {
+        val (fields, rid) = splitRid(line.split('	'))
+        (fields match {
           case Array(b, rel) => FileEntry(b.toInt, rel)
           case Array(b, rel, r) => FileEntry(b.toInt, rel, parseRows(r))
           case Array(b, rel, r, dvRel, ndel) =>
@@ -315,7 +368,7 @@ object TxTable {
               Some(DvRef(dvRel, ndel.toLong)))
           case other => throw new IllegalStateException(
             s"malformed manifest line: ${other.mkString("\\t")}")
-        }
+        }).copy(base = rid)
       }
 
   // HEADER extension (row-level CDF classification): field 11 of a DELTA
@@ -356,7 +409,8 @@ object TxTable {
     (header +: (removes.sorted.map(r => s"-	$r") ++
       adds.sortBy(e => (e.bucket, e.rel))
         .map(e =>
-          s"+	${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}${dvSuffix(e)}")))
+          s"+	${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}" +
+            s"${dvSuffix(e)}${ridSuffix(e)}")))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
   }
 
@@ -366,13 +420,15 @@ object TxTable {
     val removes = Set.newBuilder[String]
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
       .drop(1).filter(_.nonEmpty).foreach { line =>
-        line.split('	') match {
-          case Array("+", b, rel) => adds += FileEntry(b.toInt, rel)
+        val (fields, rid) = splitRid(line.split('	'))
+        fields match {
+          case Array("+", b, rel) =>
+            adds += FileEntry(b.toInt, rel).copy(base = rid)
           case Array("+", b, rel, r) =>
-            adds += FileEntry(b.toInt, rel, parseRows(r))
+            adds += FileEntry(b.toInt, rel, parseRows(r)).copy(base = rid)
           case Array("+", b, rel, r, dvRel, ndel) =>
             adds += FileEntry(b.toInt, rel, parseRows(r),
-              Some(DvRef(dvRel, ndel.toLong)))
+              Some(DvRef(dvRel, ndel.toLong)), rid)
           case Array("-", rel)    => removes += rel
           case other => throw new IllegalStateException(
             s"malformed delta manifest line: ${other.mkString("\\t")}")
@@ -541,14 +597,39 @@ object TxTable {
     // tombstones inherit from the base unless this commit changes them
     // (ALTER DROP adds, a post-purge ALTER ADD clears)
     val effDropped = dropped.getOrElse(base.dropped)
-    val effProps = props.getOrElse(base.props)
+    val effProps0 = props.getOrElse(base.props)
     val effRenames = renames.getOrElse(base.renames)
     val v = base.version + 1
+    // row tracking: every added file gets a base-row-id range from the
+    // table's CAS-committed watermark — assignment happens HERE, at the
+    // single commit choke point, so every write surface (Scala append,
+    // DSv2 INSERT, MERGE, compaction, branch publish) allocates
+    // identically; a lost commit race re-enters with the winner's
+    // watermark, so ranges can never collide
+    val tracking = effProps0.get(RowTrackingProp).contains("true")
+    val (effAdds, effProps) =
+      if (!tracking || adds.isEmpty) (adds, effProps0)
+      else {
+        var wm = effProps0.get(RowWatermarkProp).map(_.toLong)
+          .getOrElse(0L)
+        val assigned = adds.map { e =>
+          if (e.base.isDefined) e
+          else {
+            val n = e.rows.getOrElse(throw new IllegalStateException(
+              s"$table: row tracking requires a recorded row count " +
+                s"for ${e.rel} (footer read failed at staging?)"))
+            val b = wm
+            wm += n
+            e.copy(base = Some((b, v)))
+          }
+        }
+        (assigned, effProps0 + (RowWatermarkProp -> wm.toString))
+      }
     val ok = tryPublish(fs, table, v,
-      renderDelta(adds, removes.toSeq, txn, schema, effBucketing,
+      renderDelta(effAdds, removes.toSeq, txn, schema, effBucketing,
         effDropped, effProps, effRenames, cdf, dataChange))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
-      val entries = base.entries.filterNot(e => removes(e.rel)) ++ adds
+      val entries = base.entries.filterNot(e => removes(e.rel)) ++ effAdds
       try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
         effBucketing, effDropped, effProps, effRenames)
       catch { case scala.util.control.NonFatal(_) => () }
@@ -682,6 +763,130 @@ object TxTable {
       fromPhysical(
         DeletionVectors.readEntries(spark, table, snap.entries, snap.schema),
         snap)
+    }
+  }
+
+  /** Enable ROW TRACKING (the public Delta feature): durable `_row_id` /
+    * `_row_commit_version` identities that survive compaction, Z-order,
+    * DV purges, and MERGE rewrites. One metadata commit backfills a
+    * base-row-id range for every live file (ids are `base + physical
+    * position` until a rewrite materializes them) and sets the allocation
+    * watermark; from then on EVERY commit allocates ranges for its added
+    * files at the commit choke point. dataChange=false: enabling emits
+    * nothing into change feeds. Idempotent. */
+  def enableRowTracking(spark: SparkSession, table: String,
+                        maxRetries: Int = 5): Unit = {
+    val fs = fsFor(spark, table)
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(spark, table)
+      if (snap.props.get(RowTrackingProp).contains("true")) return
+      require(snap.schema.isDefined,
+        s"$table: row tracking needs a recorded schema (v2+ manifest)")
+      snap.entries.find(_.rows.isEmpty).foreach { e =>
+        throw new IllegalStateException(
+          s"$table: cannot enable row tracking — ${e.rel} has no " +
+            "recorded row count; run compact() to rewrite it first")
+      }
+      val v = snap.version + 1
+      var wm = 0L
+      val assigned = snap.entries.map { e =>
+        val b = wm
+        wm += e.rows.get
+        e.copy(base = Some((b, v)))
+      }
+      val props = snap.props + (RowTrackingProp -> "true") +
+        (RowWatermarkProp -> wm.toString)
+      if (commitNext(fs, table, snap, adds = assigned,
+          removes = snap.entries.map(_.rel).toSet, schema = snap.schema,
+          props = Some(props), dataChange = false)) return
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: enable_row_tracking lost the commit race $maxRetries times")
+  }
+
+  /** Read the table WITH its row lineage: every data column plus
+    * `_row_id` (durable identity, stable across rewrites) and
+    * `_row_commit_version` (the commit that last MODIFIED the row).
+    * Fresh rows answer from the file's manifest anchor (`base +
+    * _metadata.row_index` — zero storage); rows a rewrite moved answer
+    * from the hidden materialized columns, which win by `coalesce`.
+    * DV'd files filter dead rows exactly like [[read]] (positions are
+    * PHYSICAL, so MOR deletes never shift surviving ids). */
+  def readLineage(spark: SparkSession, table: String,
+                  version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, version)
+    require(snap.props.get(RowTrackingProp).contains("true"),
+      s"$table@v${snap.version}: row tracking is not enabled at this " +
+        "version — TxTable.enableRowTracking / CALL enable_row_tracking " +
+        "first (earlier versions have no identity to serve)")
+    val physSchema = snap.schema.getOrElse(throw new IllegalStateException(
+      s"$table@v${snap.version} carries no schema"))
+    if (snap.entries.isEmpty) {
+      val sc = StructType(snap.logicalSchema.get.fields
+        :+ StructField(RowIdCol, org.apache.spark.sql.types.LongType)
+        :+ StructField(RowCommitCol, org.apache.spark.sql.types.LongType))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
+    }
+    val df = readEntriesTracked(spark, table, snap.entries, physSchema)
+    fromPhysical(df
+      .withColumnRenamed(RidCol, RowIdCol)
+      .withColumnRenamed(RcvCol, RowCommitCol), snap)
+  }
+
+  /** Physical-space read of `entries` with lineage MATERIALIZED: data
+    * columns plus non-null [[RidCol]]/[[RcvCol]] for every live row
+    * (materialized columns win over the file's manifest anchor by
+    * coalesce). This is BOTH the [[readLineage]] kernel and the rewrite
+    * staging frame — a rewrite that stages through it writes every
+    * surviving row's identity into the new files, which is exactly what
+    * keeps `_row_id` durable across compact/Z-order/purge. */
+  private[graft] def readEntriesTracked(spark: SparkSession, table: String,
+                                        entries: Seq[FileEntry],
+                                        physSchema: StructType)
+      : DataFrame = {
+    val lineageSchema = StructType(physSchema.fields
+      :+ StructField(RidCol, org.apache.spark.sql.types.LongType)
+      :+ StructField(RcvCol, org.apache.spark.sql.types.LongType))
+    def leg(es: Seq[FileEntry], dvLeg: Boolean): Option[DataFrame] =
+      if (es.isEmpty) None
+      else {
+        val raw = spark.read.schema(lineageSchema)
+          .parquet(es.map(e => s"$table/${e.rel}"): _*)
+        val lookup = es.map { e =>
+          val (b, v0) = e.base.getOrElse(throw new IllegalStateException(
+            s"$table: ${e.rel} carries no base row id under row " +
+              "tracking — the enable invariant is broken"))
+          (DeletionVectors.relKey(e.rel), b, v0)
+        }
+        val lookupDf = spark.createDataFrame(lookup)
+          .toDF("__rk2", "__base", "__frcv")
+        var df = raw
+          .withColumn("__rk",
+            regexp_extract(input_file_name(),
+              DeletionVectors.RelPattern, 0))
+          .withColumn("__pos", col("_metadata.row_index"))
+        if (dvLeg)
+          df = df.withColumn("__dv_rel", input_file_name())
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+            .filter(DeletionVectors.liveFilter(spark,
+              DeletionVectors.loadBitmaps(spark, table, es)))
+        Some(df
+          .join(broadcast(lookupDf), col("__rk") === col("__rk2"), "left")
+          .withColumn("__rid2",
+            coalesce(col(s"`$RidCol`"), col("__base") + col("__pos")))
+          .withColumn("__rcv2",
+            coalesce(col(s"`$RcvCol`"), col("__frcv")))
+          .select((physSchema.fields.toSeq.map(f => col(s"`${f.name}`"))
+            :+ col("__rid2").as(RidCol)
+            :+ col("__rcv2").as(RcvCol)): _*))
+      }
+    val (dvd, clean) = entries.partition(_.dv.isDefined)
+    (leg(clean, dvLeg = false), leg(dvd, dvLeg = true)) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (c, d) => c.orElse(d).get
     }
   }
 
@@ -2422,23 +2627,59 @@ object TxTable {
       // mergeSchemas. Both sides align to the widened schema, so the merge
       // window runs over one uniform layout.
       val evolved = evolvedSchema(spark, table, snap, tagged.schema)
+      val tracked = snap.props.get(RowTrackingProp).contains("true")
       val current =
-        if (touchedEntries.isEmpty) alignTo(tagged.filter(lit(false)), evolved)
+        if (touchedEntries.isEmpty) {
+          val e = alignTo(tagged.filter(lit(false)), evolved)
+          if (tracked)
+            e.withColumn(RidCol, lit(null).cast("long"))
+              .withColumn(RcvCol, lit(null).cast("long"))
+          else e
+        }
         // DV-aware: a merge window over a file with a deletion vector
         // must not resurrect its dead rows into the rewrite
+        else if (tracked)
+          readEntriesTracked(spark, table, touchedEntries, evolved)
         else DeletionVectors.readEntries(spark, table, touchedEntries,
           Some(evolved))
       val cols = evolved.fieldNames.toSeq
-      val unioned = current.select(cols.map(col): _*).withColumn("__src", lit(0))
-        .unionByName(alignTo(tagged, evolved).withColumn("__src", lit(1)))
+      val lineageCols =
+        if (tracked) Seq(col(s"`$RidCol`"), col(s"`$RcvCol`"))
+        else Seq.empty
+      val unioned = current
+        .select((cols.map(col) ++ lineageCols): _*)
+        .withColumn("__src", lit(0))
+        .unionByName {
+          val t = alignTo(tagged, evolved).withColumn("__src", lit(1))
+          if (tracked)
+            t.withColumn(RidCol, lit(null).cast("long"))
+              .withColumn(RcvCol, lit(null).cast("long"))
+          else t
+        }
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(s"`${snap.physicalName(key)}`"))
         .orderBy(col(s"`${snap.physicalName(orderCol)}`").desc,
           col("__src").desc)
-      val merged = unioned
+      // row tracking: an UPDATE (a source row replacing a same-key old
+      // row) KEEPS the old row's _row_id and takes a fresh
+      // _row_commit_version (RcvCol stays null → the new file's anchor
+      // answers); a genuinely new key gets a fresh implicit id (both
+      // null); an untouched old row keeps id AND commit version
+      val inherited =
+        if (!tracked) unioned
+        else unioned.withColumn("__oldrid",
+          max(when(col("__src") === 0, col(s"`$RidCol`")))
+            .over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col(s"`${snap.physicalName(key)}`"))))
+      val merged0 = inherited
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select(cols.map(col): _*)
+      val merged =
+        if (!tracked) merged0.select(cols.map(col): _*)
+        else merged0
+          .withColumn(RidCol,
+            coalesce(col(s"`$RidCol`"), col("__oldrid")))
+          .select((cols.map(col) ++ lineageCols): _*)
       val newEntries = stageFiles(spark, table, merged)
       if (commitNext(fs, table, snap, adds = newEntries,
           removes = touchedEntries.map(_.rel).toSet,
@@ -3034,8 +3275,17 @@ object TxTable {
       val snap = snapshot(spark, table)
       val (toRewrite, result) = select(snap)
       if (toRewrite.isEmpty) return 0
-      val merged = layout(DeletionVectors.readEntries(spark, table,
-        toRewrite, snap.schema))
+      // row tracking: a rewrite is a MOVE, not a change — stage through
+      // the lineage read so every surviving row's (_row_id,
+      // _row_commit_version) materializes into the new files; without
+      // it a compaction would mint fresh identities for 100 TB of
+      // unchanged rows
+      val tracked = snap.props.get(RowTrackingProp).contains("true")
+      val merged = layout(
+        if (tracked)
+          readEntriesTracked(spark, table, toRewrite, snap.schema.get)
+        else DeletionVectors.readEntries(spark, table,
+          toRewrite, snap.schema))
       val newEntries = stageFiles(spark, table, merged, maxRecordsPerFile)
       val removes = toRewrite.map(_.rel).toSet
       // live rows are identical before and after: a rewrite commit is

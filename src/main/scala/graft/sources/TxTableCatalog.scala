@@ -534,6 +534,12 @@ private[sources] object TxAlterSchema {
           s"${graft.ops.PartitionTransforms.SpecsProp} is the engine's " +
             "append-only spec history — evolve the transform by SETting " +
             s"${graft.ops.PartitionTransforms.Prop} instead")
+        require(set.property != TxTable.RowTrackingProp &&
+            set.property != TxTable.RowWatermarkProp,
+          s"${set.property} is managed by CALL enable_row_tracking " +
+            "(enabling must BACKFILL base row ids for every live file " +
+            "in the same commit; a raw SET would leave files without " +
+            "identity)")
         if (set.property == graft.ops.PartitionTransforms.Prop) {
           // PARTITION-SPEC EVOLUTION (the Iceberg v2 feature): SETting
           // the transform records a NEW spec for FUTURE commits — one
@@ -572,6 +578,12 @@ private[sources] object TxAlterSchema {
           s"${graft.ops.PartitionTransforms.Prop} cannot be UNSET: the " +
             "spec history interprets existing files' envelopes — evolve " +
             "it by SETting a new transform instead")
+        require(unset.property != TxTable.RowTrackingProp &&
+            unset.property != TxTable.RowWatermarkProp,
+          s"${unset.property} cannot be UNSET: the id watermark is what " +
+            "keeps every allocated _row_id unique for the table's " +
+            "lifetime — a later re-enable would re-allocate from 0 and " +
+            "collide with ids already materialized in rewritten files")
         (schema, dropped, props - unset.property, renames)
       case ac: AddConstraint =>
         val check = ac.constraint() match {
@@ -5003,11 +5015,28 @@ object TxProcedures {
     }
   }
 
+  private val enableRowTrackingProc: Proc = new Proc(
+    "enable_row_tracking",
+    "switch on durable row identity (_row_id / _row_commit_version): " +
+      "one dataChange=false commit backfills a base-row-id range for " +
+      "every live file and sets the allocation watermark; every later " +
+      "commit allocates ranges for its added files automatically",
+    Seq(ProcedureParameter.in("table", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("enabled", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      TxTable.enableRowTracking(spark, input.getUTF8String(0).toString)
+      Array(true)
+    }
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
       dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
+      enableRowTrackingProc,
       localizeCloneProc, compactPartitionProc, dropPartitionProc,
       vacuumIndexProc, computeStatsNdv)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap

@@ -1,0 +1,164 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** Row tracking (the public Delta feature): durable `_row_id` /
+  * `_row_commit_version` identities. Fresh rows answer IMPLICITLY from
+  * their file's manifest anchor (`baseRowId + physical position` — zero
+  * storage); rows a rewrite moves MATERIALIZE their identity into the
+  * new files' hidden columns, which win by coalesce. The binding
+  * invariants: ids never change once assigned (compaction, Z-order, DV
+  * purge, upsert-update), ids are never reused (CAS-committed
+  * watermark), and `_row_commit_version` is the commit that last
+  * MODIFIED the row (bumped by updates, preserved by rewrites). */
+class RowTrackingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def registered[T](body: => T): T = {
+    spark.conf.set("spark.sql.catalog.txrt",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try body
+    finally spark.conf.unset("spark.sql.catalog.txrt")
+  }
+
+  private def lineage(t: String): Map[Long, (Long, Long)] =
+    TxTable.readLineage(spark, t)
+      .select($"k", $"_row_id", $"_row_commit_version")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+
+  private def fresh(n: Int = 40): String = {
+    val t = Files.createTempDirectory("graft_rt_").toString + "/t"
+    TxTable.init(spark, t,
+      spark.range(n).select(col("id").as("k"),
+        (col("id") * 10).as("v")), "k", 4)
+    t
+  }
+
+  test("enable backfills dense unique ids for every live row; later appends allocate fresh non-overlapping ranges (both Scala and SQL INSERT surfaces)") {
+    registered {
+      val t = fresh(40)
+      TxTable.enableRowTracking(spark, t)
+      TxTable.enableRowTracking(spark, t) // idempotent
+      val l0 = lineage(t)
+      assert(l0.size == 40)
+      assert(l0.values.map(_._1).toSet.size == 40, "ids must be unique")
+      assert(l0.values.map(_._1).toSet == (0L until 40L).toSet,
+        "backfill allocates densely from 0")
+      val enableV = TxTable.snapshot(spark, t).version
+      assert(l0.values.forall(_._2 == enableV),
+        "backfilled rows carry the enable version as their commit")
+      // Scala append
+      TxTable.appendOnce(spark, t,
+        spark.range(100, 110).select(col("id").as("k"),
+          (col("id") * 10).as("v")), "k", 4, appId = "rt", batchId = 1L)
+      // SQL INSERT through the DSv2 catalog
+      spark.sql(s"INSERT INTO txrt.`$t` VALUES (200, 2000), (201, 2010)")
+      val l1 = lineage(t)
+      assert(l1.size == 52)
+      assert(l1.values.map(_._1).toSet.size == 52,
+        "appended rows must extend the id space without collisions")
+      // old rows kept their exact identities
+      l0.foreach { case (k, idv) => assert(l1(k) == idv, s"k=$k drifted") }
+      val wm = TxTable.snapshot(spark, t)
+        .props(TxTable.RowWatermarkProp).toLong
+      assert(wm >= 52, s"watermark must cover every allocation: $wm")
+      assert(l1.values.map(_._1).max < wm)
+    }
+  }
+
+  test("ids and commit versions survive compaction and DV purge byte-for-byte; a MOR delete never shifts surviving ids") {
+    val t = fresh(60)
+    // fragment: three more commits into the same buckets
+    (1 to 3).foreach { b =>
+      TxTable.appendOnce(spark, t,
+        spark.range(60 * b, 60 * b + 20).select(col("id").as("k"),
+          (col("id") * 10).as("v")), "k", 4, appId = "rt2",
+        batchId = b.toLong)
+    }
+    TxTable.enableRowTracking(spark, t)
+    val before = lineage(t)
+    assert(before.size == 120)
+    // MOR delete marks rows dead in place: survivors keep identity
+    val killed = TxTable.deleteWhereMor(spark, t, col("k") % 5 === 0)
+    assert(killed > 0)
+    val afterDelete = lineage(t)
+    assert(afterDelete.size == before.size - killed)
+    afterDelete.foreach { case (k, idv) =>
+      assert(before(k) == idv, s"k=$k drifted across a MOR delete") }
+    // compaction rewrites files: identity must MATERIALIZE through
+    val compacted = TxTable.compact(spark, t, maxFilesPerBucket = 1)
+    assert(compacted > 0, "fixture must actually compact")
+    val afterCompact = lineage(t)
+    assert(afterCompact == afterDelete,
+      "compaction must not mint or drift a single identity")
+    // purge folds remaining vectors into rewrites: same contract
+    TxTable.purgeDeletes(spark, t, minDeletedFraction = 0.0)
+    assert(lineage(t) == afterDelete,
+      "purge must not mint or drift a single identity")
+  }
+
+  test("upsert: updated rows KEEP their _row_id and take the new commit version; inserts mint fresh ids; untouched rows keep both") {
+    val t = fresh(30)
+    TxTable.enableRowTracking(spark, t)
+    val before = lineage(t)
+    TxTable.upsert(spark, t,
+      spark.range(20, 35).select(col("id").as("k"),
+        (col("id") * 1000).as("v")), "k", "v", 4)
+    val v = TxTable.snapshot(spark, t).version
+    val after = lineage(t)
+    assert(after.size == 35)
+    (0L until 20L).filter(after.contains).foreach { k =>
+      // rows in untouched buckets AND unmatched rows in rewritten
+      // buckets both keep id + commit version
+      assert(after(k) == before(k), s"untouched k=$k drifted")
+    }
+    (20L until 30L).foreach { k =>
+      assert(after(k)._1 == before(k)._1,
+        s"updated k=$k must keep its _row_id")
+      assert(after(k)._2 == v,
+        s"updated k=$k must take the merge commit version")
+    }
+    val newIds = (30L until 35L).map(after(_)._1).toSet
+    assert(newIds.size == 5 &&
+      newIds.intersect(before.values.map(_._1).toSet).isEmpty,
+      "inserted rows must mint fresh ids")
+    // stability composes: compact after the merge, nothing drifts
+    TxTable.compact(spark, t, maxFilesPerBucket = 1)
+    assert(lineage(t) == after)
+  }
+
+  test("surfaces and guards: CALL enable_row_tracking works; raw SET/UNSET of the tracking properties refuses; pre-enable versions refuse readLineage") {
+    registered {
+      val t = fresh(10)
+      val preV = TxTable.snapshot(spark, t).version
+      val e0 = intercept[Exception] { TxTable.readLineage(spark, t) }
+      assert(e0.getMessage.contains("row tracking is not enabled"))
+      val ok = spark.sql(s"CALL txrt.enable_row_tracking('$t')")
+        .collect().head.getBoolean(0)
+      assert(ok && lineage(t).size == 10)
+      val e1 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txrt.`$t` SET TBLPROPERTIES" +
+          s"('${TxTable.RowTrackingProp}'='true')")
+      }
+      assert(e1.getMessage.contains("enable_row_tracking"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txrt.`$t` UNSET TBLPROPERTIES" +
+          s"('${TxTable.RowWatermarkProp}')")
+      }
+      assert(e2.getMessage.contains("cannot be UNSET"), e2.getMessage)
+      // time travel BEFORE the enable has no identity to serve — refuse,
+      // never invent
+      val e3 = intercept[Exception] {
+        TxTable.readLineage(spark, t, Some(preV))
+      }
+      assert(e3.getMessage.contains("row tracking is not enabled"))
+    }
+  }
+}
