@@ -692,6 +692,10 @@ object SparkEntry {
     // merge-on-read commit are landing/maintenance work; the query
     // times the surviving DV-aware index read)
     stagedVacuumedIndex(s, dir)
+    // the row-tracking fixture (enable backfill + MOR delete +
+    // compaction + upsert are landing/maintenance work; the query times
+    // the lineage read over the final state)
+    stagedLineageOrders(s, dir)
     // the generated-column orders fixture (CREATE + three writer
     // surfaces incl. a MERGE recompute are landing work; the query
     // times the plain stored-column read)
@@ -1012,6 +1016,45 @@ object SparkEntry {
         appId = "ivx-stage", batchId = 1L)
       ops.DedupOps.vacuumIndex(s, path,
         docs.filter(col("doc_id") % 7 =!= 0).select(col("doc_id")))
+      ()
+    }
+    path
+  }
+
+  /** Row-tracking audit fixture: a rewrite-heavy history over orders.
+    * Init lands two-thirds of the keys, `enableRowTracking` backfills
+    * base ids, an append lands the rest (so ids [0, |orders|) cover
+    * exactly the original rows), a MOR retention delete kills every
+    * 10th key IN PLACE (physical positions — survivors' ids untouched),
+    * a full compaction rewrites every fragmented bucket (identities
+    * must MATERIALIZE through, or the audit's id-range count
+    * collapses), and one upsert UPDATES every 7th surviving key
+    * (keeping its id, bumping its commit version) while INSERTING a
+    * key-shifted '0-NEW' set (fresh ids past the original range). */
+  private def stagedLineageOrders(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-row-lineage/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val orders = tbl(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast("double").as("val"))
+      ops.TxTable.init(s, path, orders.filter(col("k") % 3 =!= 0),
+        key = "k", nBuckets = 8)
+      ops.TxTable.enableRowTracking(s, path)
+      ops.TxTable.appendOnce(s, path, orders.filter(col("k") % 3 === 0),
+        "k", 8, appId = "lineage-stage", batchId = 1L)
+      ops.TxTable.deleteWhereMor(s, path, col("k") % 10 === 0)
+      ops.TxTable.compact(s, path, maxFilesPerBucket = 1)
+      val updates = orders
+        .filter(col("k") % 7 === 0 && col("k") % 10 =!= 0)
+        .withColumn("val", col("val") * 2)
+      val inserts = orders.filter(col("k") % 97 === 0)
+        .select((col("k") + lit(10000000L)).as("k"),
+          lit("0-NEW").as("grp"), lit(1.0).as("val"))
+      ops.TxTable.upsert(s, path, updates.unionByName(inserts),
+        "k", "val", 8)
       ()
     }
     path
@@ -2982,6 +3025,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("band"))
+    }),
+
+    // Row-lineage audit over the rewrite-heavy fixture: every surviving
+    // row carries a durable _row_id. `n_ids` equals `n_rows` iff ids
+    // stayed UNIQUE through the MOR delete + compaction + upsert
+    // history; `n_original_identity` counts rows whose id is inside the
+    // originally-allocated range [0, |orders|) — rows the compaction
+    // and the upsert's updates moved between files KEEP such ids (a
+    // re-minting rewrite would push them past the watermark and the
+    // count would collapse); `n_modified` counts rows whose
+    // _row_commit_version is the LAST data commit (the upsert) —
+    // exactly the updated + inserted rows. The oracle predicts all four
+    // from the fixture's predicates over the raw orders.
+    "ext_row_lineage" -> ((s, dir) => {
+      val path = stagedLineageOrders(s, dir)
+      val n0 = tbl(s, dir, "orders").count()
+      val lin = ops.TxTable.readLineage(s, path)
+      val vmax = lin.agg(max(col("_row_commit_version")).as("__vmax"))
+      lin.crossJoin(broadcast(vmax))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_row_id")).as("n_ids"),
+          sum(when(col("_row_id") < lit(n0), 1L).otherwise(0L))
+            .as("n_original_identity"),
+          sum(when(col("_row_commit_version") === col("__vmax"), 1L)
+            .otherwise(0L)).as("n_modified"))
+        .orderBy(col("grp"))
     }),
 
     // Day-boundary retention audit: the staged landing job ran
@@ -5675,6 +5745,29 @@ object SparkEntry {
         |CROSS JOIN (SELECT UNNEST(RANGE(16)) AS band) b
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    // row-lineage replay: WHICH files the ids ride in is a pure
+    // execution property — the oracle predicts the identity counts from
+    // the fixture's predicates alone (survivors of the %10 retention,
+    // the %7 update set, the %97 '0-NEW' insert set); ids stay unique
+    // and inside the original allocation range exactly when the engine
+    // carried them through every rewrite
+    "ext_row_lineage" ->
+      """WITH live AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS modified,
+        |    1 AS original
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), ins AS (
+        |  SELECT '0-NEW' AS grp, 1 AS modified, 0 AS original
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), allr AS (
+        |  SELECT * FROM live UNION ALL SELECT * FROM ins
+        |)
+        |SELECT grp, COUNT(*) AS n_rows, COUNT(*) AS n_ids,
+        |  CAST(SUM(original) AS BIGINT) AS n_original_identity,
+        |  CAST(SUM(modified) AS BIGINT) AS n_modified
+        |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
 
     // day-boundary retention replay: whether the delete dropped whole
     // files by partition metadata or rewrote them is a pure execution

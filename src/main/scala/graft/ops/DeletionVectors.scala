@@ -314,27 +314,62 @@ object DeletionVectors {
     * content-addressed (the diff bitmaps are ad hoc, not sidecar-backed). */
   private[graft] def readMarked(spark: SparkSession, table: String,
                                 marked: Seq[(TxTable.FileEntry, Array[Byte])],
-                                schema: Option[StructType]): DataFrame = {
+                                schema: Option[StructType],
+                                lineage: Boolean = false): DataFrame = {
     require(marked.nonEmpty, "readMarked needs at least one file")
+    require(!lineage || schema.isDefined,
+      "lineage-carrying marked reads need an explicit schema")
     val keyed = marked.map { case (e, bytes) =>
       relKey(e.rel) ->
         ((s"diff#${java.util.UUID.nameUUIDFromBytes(bytes)}", bytes))
     }.toMap
-    val reader = schema.fold(spark.read)(spark.read.schema)
+    // row tracking: the marked rows carry their identity — materialized
+    // hidden columns win over the file's manifest anchor (base + physical
+    // position), exactly the [[TxTable.readLineage]] coalesce
+    val readSchema = schema.map { s =>
+      if (!lineage) s
+      else StructType(s.fields
+        :+ org.apache.spark.sql.types.StructField(TxTable.RidCol,
+          org.apache.spark.sql.types.LongType)
+        :+ org.apache.spark.sql.types.StructField(TxTable.RcvCol,
+          org.apache.spark.sql.types.LongType))
+    }
+    val reader = readSchema.fold(spark.read)(spark.read.schema)
     val raw = reader.parquet(marked.map { case (e, _) =>
       s"$table/${e.rel}" }: _*)
-    val cols = raw.columns.toSeq
+    val cols = schema.fold(raw.columns.toSeq)(_.fieldNames.toSeq)
     // the same native DvMarked predicate as the live filter, un-negated
     // (one broadcast, relKey-keyed, codegen'd — see DvMarked)
     val probe = new DvProbe(spark.sparkContext.broadcast(keyed))
-    raw
+    val filtered = raw
       .withColumn("__dv_rel", input_file_name())
       .withColumn("__dv_pos", col("_metadata.row_index"))
       .filter(org.apache.spark.sql.GraftColumnBridge.column(DvMarked(
         org.apache.spark.sql.GraftColumnBridge.expression(col("__dv_rel")),
         org.apache.spark.sql.GraftColumnBridge.expression(col("__dv_pos")),
         probe)))
-      .select(cols.map(col): _*)
+    if (!lineage) filtered.select(cols.map(col): _*)
+    else {
+      val lookup = marked.map { case (e, _) =>
+        val (b, v0) = e.base.getOrElse(throw new IllegalStateException(
+          s"$table: ${e.rel} carries no base row id under row tracking"))
+        (relKey(e.rel), b, v0)
+      }
+      val lookupDf = spark.createDataFrame(lookup)
+        .toDF("__rk2", "__base", "__frcv")
+      filtered
+        .withColumn("__rk",
+          regexp_extract(input_file_name(), RelPattern, 0))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(broadcast(lookupDf), col("__rk") === col("__rk2"), "left")
+        .withColumn(TxTable.RowIdCol,
+          coalesce(col(s"`${TxTable.RidCol}`"),
+            col("__base") + col("__pos")))
+        .withColumn(TxTable.RowCommitCol,
+          coalesce(col(s"`${TxTable.RcvCol}`"), col("__frcv")))
+        .select((cols.map(col) :+ col(TxTable.RowIdCol)
+          :+ col(TxTable.RowCommitCol)): _*)
+    }
   }
 
   /** Stage the per-commit UPDATE-CLASSIFICATION sidecar (row-level CDF):

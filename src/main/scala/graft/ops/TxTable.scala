@@ -925,8 +925,22 @@ object TxTable {
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v))
     val fs = fsFor(spark, table)
-    var prev: Map[String, FileEntry] = snapshot(spark, table,
-      Some(fromVersion)).entries.map(e => e.rel -> e).toMap
+    val fromSnap = snapshot(spark, table, Some(fromVersion))
+    // row tracking: when the whole range is tracked (enable-at-or-before
+    // fromVersion), every change row carries its durable identity —
+    // _row_id joins a delete to the insert that replaced it across
+    // commits, the link file-granular CDF alone cannot give a consumer
+    val tracked = fromSnap.props.get(RowTrackingProp).contains("true")
+    def readE(es: Seq[FileEntry]): DataFrame =
+      if (tracked) readEntriesTracked(spark, table, es, schema)
+        .withColumnRenamed(RidCol, RowIdCol)
+        .withColumnRenamed(RcvCol, RowCommitCol)
+      else DeletionVectors.readEntries(spark, table, es, Some(schema))
+    def readM(marked: Seq[(FileEntry, Array[Byte])]): DataFrame =
+      DeletionVectors.readMarked(spark, table, marked, Some(schema),
+        lineage = tracked)
+    var prev: Map[String, FileEntry] =
+      fromSnap.entries.map(e => e.rel -> e).toMap
     val frames = Seq.newBuilder[DataFrame]
     (fromVersion + 1 to toVersion).foreach { v =>
       val cur = snapshot(spark, table, Some(v)).entries
@@ -965,14 +979,12 @@ object TxTable {
       val (updAdded, plainAdded) = added.partition(e =>
         ui.contains(e.rel) && e.dv.isEmpty && e.rows.isDefined)
       if (plainAdded.nonEmpty)
-        frames += stamp(DeletionVectors.readEntries(spark, table,
-          plainAdded, Some(schema)), "insert", v)
+        frames += stamp(readE(plainAdded), "insert", v)
       // BATCHED classification reads: one frame per change type per
       // version, never per file — a MERGE touching every bucket stays
       // O(change types) Spark plans, not O(files)
       if (updAdded.nonEmpty) {
-        frames += stamp(DeletionVectors.readMarked(spark, table,
-          updAdded.map(e => (e, ui(e.rel))), Some(schema)),
+        frames += stamp(readM(updAdded.map(e => (e, ui(e.rel)))),
           "update_postimage", v)
         val rests = updAdded.flatMap { e =>
           val rest = complement(bmDeser(ui(e.rel)), e.rows.get)
@@ -980,14 +992,12 @@ object TxTable {
           else Some((e, DeletionVectors.serialize(rest)))
         }
         if (rests.nonEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table, rests,
-            Some(schema)), "insert", v)
+          frames += stamp(readM(rests), "insert", v)
       }
       val (updRemoved, plainRemoved) = removed.partition(e =>
         ud.contains(e.rel) && e.rows.isDefined)
       if (plainRemoved.nonEmpty)
-        frames += stamp(DeletionVectors.readEntries(spark, table,
-          plainRemoved, Some(schema)), "delete", v)
+        frames += stamp(readE(plainRemoved), "delete", v)
       if (updRemoved.nonEmpty) {
         // fully-dropped files (all live rows died): updated positions
         // are pre-images, the remaining then-live rows plain deletes
@@ -1002,8 +1012,7 @@ object TxTable {
           else Some((e, DeletionVectors.serialize(pre)))
         }
         if (pres.nonEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table, pres,
-            Some(schema)), "update_preimage", v)
+          frames += stamp(readM(pres), "update_preimage", v)
         val dels = updRemoved.flatMap { e =>
           val dead = org.roaringbitmap.RoaringBitmap.or(
             prevOf(e), bmDeser(ud(e.rel)))
@@ -1012,8 +1021,7 @@ object TxTable {
           else Some((e, DeletionVectors.serialize(del)))
         }
         if (dels.nonEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table, dels,
-            Some(schema)), "delete", v)
+          frames += stamp(readM(dels), "delete", v)
       }
       if (changedRels.nonEmpty) {
         val curBms = DeletionVectors.loadBitmaps(spark, table,
@@ -1050,14 +1058,11 @@ object TxTable {
         val revived = diffs.collect { case (rel, _, r) if !r.isEmpty =>
           (cur(rel), DeletionVectors.serialize(r)) }
         if (preRows.nonEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table, preRows,
-            Some(schema)), "update_preimage", v)
+          frames += stamp(readM(preRows), "update_preimage", v)
         if (deadRows.nonEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table, deadRows,
-            Some(schema)), "delete", v)
+          frames += stamp(readM(deadRows), "delete", v)
         if (revived.nonEmpty)
-          frames += stamp(DeletionVectors.readMarked(spark, table, revived,
-            Some(schema)), "insert", v)
+          frames += stamp(readM(revived), "insert", v)
       }
       prev = cur
       }
@@ -1066,7 +1071,14 @@ object TxTable {
     // consumer's view; `_change_type`/`_commit_version` are never mapped)
     fromPhysical(
       frames.result().reduceOption(_.unionByName(_)).getOrElse {
-        val sc = StructType(schema.fields
+        val lineageFields =
+          if (!tracked) Seq.empty
+          else Seq(
+            org.apache.spark.sql.types.StructField(RowIdCol,
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(RowCommitCol,
+              org.apache.spark.sql.types.LongType))
+        val sc = StructType((schema.fields ++ lineageFields)
           :+ org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType)
           :+ org.apache.spark.sql.types.StructField("_commit_version",

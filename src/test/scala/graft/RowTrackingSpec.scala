@@ -134,6 +134,52 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(lineage(t) == after)
   }
 
+  test("CDF rows carry _row_id: a MOR-deleted row's delete event and an upsert's replacing insert link by identity across commits") {
+    val t = fresh(20)
+    TxTable.enableRowTracking(spark, t)
+    val v0 = TxTable.snapshot(spark, t).version
+    val ids0 = lineage(t)
+    // commit 1: MOR delete of k in {3, 7}
+    TxTable.deleteWhereMor(spark, t, col("k").isin(3L, 7L))
+    // commit 2: upsert updates k=5 (id preserved) and inserts k=100
+    TxTable.upsert(spark, t,
+      Seq((5L, 5555L), (100L, 1000L)).toDF("k", "v"), "k", "v", 4)
+    val changes = TxTable.changesBetween(spark, t, v0,
+      TxTable.snapshot(spark, t).version)
+      .select($"k", $"v", $"_row_id", $"_change_type", $"_commit_version")
+      .collect()
+    assert(changes.forall(!_.isNullAt(2)),
+      "every change row must carry a non-null _row_id")
+    val byKey = changes.groupBy(_.getLong(0))
+    // the MOR delete events carry the rows' ORIGINAL ids
+    Seq(3L, 7L).foreach { k =>
+      val ev = byKey(k).filter(_.getString(3) == "delete")
+      assert(ev.nonEmpty && ev.forall(_.getLong(2) == ids0(k)._1),
+        s"k=$k delete event must carry the original _row_id")
+    }
+    // the upsert rewrote the touched bucket: k=5's delete and its
+    // replacing insert share ONE _row_id — the identity link that lets
+    // an incremental consumer classify the pair as an update
+    val k5 = byKey(5L)
+    val k5Del = k5.filter(_.getString(3) == "delete").map(_.getLong(2))
+    val k5Ins = k5.filter(_.getString(3) == "insert").map(_.getLong(2))
+    assert(k5Del.toSet == Set(ids0(5L)._1) &&
+      k5Ins.toSet == Set(ids0(5L)._1),
+      s"k=5 delete/insert must link by identity: $k5Del vs $k5Ins")
+    // the genuinely new row's insert carries a fresh id
+    val k100 = byKey(100L).filter(_.getString(3) == "insert")
+    assert(k100.nonEmpty &&
+      !ids0.values.map(_._1).toSet.contains(k100.head.getLong(2)))
+    // an untracked table's CDF schema is unchanged (no lineage columns)
+    val u = fresh(5)
+    TxTable.appendOnce(spark, u, Seq((50L, 1L)).toDF("k", "v"),
+      "k", 4, appId = "rtu", batchId = 1L)
+    val cu = TxTable.changesBetween(spark, u, 0L,
+      TxTable.snapshot(spark, u).version)
+    assert(!cu.columns.contains("_row_id"),
+      "untracked CDF must not grow lineage columns")
+  }
+
   test("surfaces and guards: CALL enable_row_tracking works; raw SET/UNSET of the tracking properties refuses; pre-enable versions refuse readLineage") {
     registered {
       val t = fresh(10)
