@@ -696,6 +696,9 @@ object SparkEntry {
     // compaction + upsert are landing/maintenance work; the query times
     // the lineage read over the final state)
     stagedLineageOrders(s, dir)
+    // the equality-delete CDC fixture (the two MOR commits are landing
+    // work; the query times the sequence-scoped anti-join read)
+    stagedEqDeleteOrders(s, dir)
     // the generated-column orders fixture (CREATE + three writer
     // surfaces incl. a MERGE recompute are landing work; the query
     // times the plain stored-column read)
@@ -1055,6 +1058,36 @@ object SparkEntry {
           lit("0-NEW").as("grp"), lit(1.0).as("val"))
       ops.TxTable.upsert(s, path, updates.unionByName(inserts),
         "k", "val", 8)
+      ()
+    }
+    path
+  }
+
+  /** Equality-delete CDC fixture: orders land whole, then two CDC-style
+    * commits run the Iceberg-v2 MOR write shape — batch 1 UPSERTS every
+    * 11th key (one atomic commit: an equality delete of the keys + the
+    * bumped images, ZERO files read or rewritten) and batch 2 registers
+    * a delete-only retention cut of every 13th key. The registry is left
+    * UNFOLDED on purpose: the query reads through the sequence-scoped
+    * anti-join (Scala) / plan-time position fold (DSv2) — the read half
+    * of the MOR contract the bench should price. A batch-1 image whose
+    * key batch 2 also names dies (its file predates batch 2). */
+  private def stagedEqDeleteOrders(s: SparkSession, dir: String): String = {
+    val path =
+      s"target/graft-eq-delete/${new java.io.File(dir).getName}"
+    ensureStaged(path) {
+      rmTree(new java.io.File(path))
+      val orders = tbl(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast("double").as("val"))
+      ops.TxTable.init(s, path, orders, key = "k", nBuckets = 8)
+      val b1 = orders.filter(col("k") % 11 === 0)
+        .withColumn("val", col("val") + 1)
+      ops.TxTable.appendWithEqDelete(s, path, b1, b1.select(col("k")),
+        "k", 8, appId = "eqd-stage", batchId = 1L)
+      ops.TxTable.deleteWhereEq(s, path,
+        orders.filter(col("k") % 13 === 0).select(col("k")))
       ()
     }
     path
@@ -3025,6 +3058,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("band"))
+    }),
+
+    // Equality-delete audit: the table is read THROUGH its unfolded
+    // registry — the anti-join drops exactly the retention-cut keys and
+    // batch 1's superseded originals while batch 1's own images (whose
+    // files postdate its delete) survive. The oracle replays both
+    // batches as a CASE + WHERE over the raw orders.
+    "ext_eq_delete" -> ((s, dir) => {
+      val path = stagedEqDeleteOrders(s, dir)
+      ops.TxTable.read(s, path)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("val")).as("total_val"),
+          max(col("val")).as("max_val"))
+        .orderBy(col("grp"))
     }),
 
     // Row-lineage audit over the rewrite-heavy fixture: every surviving
@@ -5745,6 +5793,21 @@ object SparkEntry {
         |CROSS JOIN (SELECT UNNEST(RANGE(16)) AS band) b
         |GROUP BY band
         |ORDER BY band""".stripMargin,
+
+    // equality-delete replay: whether the engine applied the registry
+    // by anti-join, position fold, or rewrite is a pure execution
+    // property — the oracle replays the upsert batch as a CASE and the
+    // retention batch as a WHERE over the raw orders (a %143 key gets
+    // batch 1's image killed by batch 2: plain WHERE covers it)
+    "ext_eq_delete" ->
+      """SELECT o_orderpriority AS grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 11 = 0
+        |    THEN o_totalprice + 1 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS total_val,
+        |  MAX(CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+        |    ELSE o_totalprice END) AS max_val
+        |FROM orders WHERE o_orderkey % 13 <> 0
+        |GROUP BY grp ORDER BY grp""".stripMargin,
 
     // row-lineage replay: WHICH files the ids ride in is a pure
     // execution property — the oracle predicts the identity counts from

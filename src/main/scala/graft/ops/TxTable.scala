@@ -75,10 +75,18 @@ object TxTable {
     * CAS-committed counter for every write surface, so ids are unique
     * across the table's whole history (the public Delta row-tracking
     * design: fresh rows implicit, moved rows materialized). */
+  /** `addV` is the commit version that ADDED this file (stamped for every
+    * add at the commit choke point, carried through DV re-adds by copy) —
+    * the SEQUENCE NUMBER equality deletes scope by: a delete registered
+    * at version v kills matching rows only in files with addV < v, so a
+    * later append's rows (and a rewrite's restaged survivors) are never
+    * re-deleted. Absent only for files committed before the stamp
+    * existed; equality deletes refuse such tables (compact stamps). */
   final case class FileEntry(bucket: Int, rel: String,
                              rows: Option[Long] = None,
                              dv: Option[DvRef] = None,
-                             base: Option[(Long, Long)] = None) {
+                             base: Option[(Long, Long)] = None,
+                             addV: Option[Long] = None) {
     /** Exact LIVE row count, when the physical count is recorded. */
     def liveRows: Option[Long] = rows.map(_ - dv.fold(0L)(_.ndel))
   }
@@ -202,6 +210,39 @@ object TxTable {
     * schema — plain reads project past them. */
   private[graft] val RidCol = "_graft_rid"
   private[graft] val RcvCol = "_graft_rcv"
+
+  // ---- equality deletes (the Iceberg v2 MOR write shape) ----------------
+
+  /** Registry property: '|'-joined `<version>:<enc rel>:<enc cols>`
+    * entries, one per UNFOLDED equality delete (URL-encoded fields, so
+    * rels and column lists can never corrupt the grammar). Append-only
+    * per statement; commitNext FOLDS entries away automatically once no
+    * live file predates them. */
+  val EqDeletesProp = "graft.eqDeletes"
+
+  /** One registered equality delete: a sidecar parquet of KEY TUPLES at
+    * `rel`, committed at `version`, matching on PHYSICAL columns `cols`.
+    * Kills matching rows in exactly the files with addV < version. */
+  final case class EqDelete(version: Long, rel: String, cols: Seq[String])
+
+  private def eqEnc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def eqDec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private[graft] def parseEqDeletes(props: Map[String, String])
+      : Seq[EqDelete] =
+    props.get(EqDeletesProp).toSeq.flatMap(_.split('|'))
+      .filter(_.nonEmpty).map { s =>
+        val p = s.split(':')
+        EqDelete(p(0).toLong, eqDec(p(1)),
+          eqDec(p(2)).split(',').toSeq)
+      }
+
+  private[graft] def renderEqDeletes(ds: Seq[EqDelete]): String =
+    ds.map(d =>
+      s"${d.version}:${eqEnc(d.rel)}:${eqEnc(d.cols.mkString(","))}")
+      .mkString("|")
 
   // --- manifest encoding: one header line, one tab-separated line/file ---
   // Header v1: `txtable\t1[\t<appId>\t<batchId>]`. Header v2 adds the
@@ -344,14 +385,31 @@ object TxTable {
     * optional DV fields are present; pre-tracking parsers never see it
     * (tracking tables are created by tracking-aware code). */
   private def ridSuffix(e: FileEntry): String =
-    e.base.fold("") { case (b, v) => s"	rid:$b:$v" }
+    e.base.fold("") { case (b, v) => s"	rid:$b:$v" } +
+      e.addV.fold("")(v => s"	v:$v")
 
-  private def splitRid(fields: Array[String])
-      : (Array[String], Option[(Long, Long)]) =
-    if (fields.nonEmpty && fields.last.startsWith("rid:")) {
-      val p = fields.last.stripPrefix("rid:").split(':')
-      (fields.dropRight(1), Some((p(0).toLong, p(1).toLong)))
-    } else (fields, None)
+  /** Strip the TAGGED trailing fields (`rid:`, `v:`) off an entry line
+    * in either order — tagged fields compose with the positional grammar
+    * whether or not the optional DV fields are present. */
+  private def splitRid(fields0: Array[String])
+      : (Array[String], Option[(Long, Long)], Option[Long]) = {
+    var fields = fields0
+    var rid: Option[(Long, Long)] = None
+    var addV: Option[Long] = None
+    var go = true
+    while (go && fields.nonEmpty) {
+      val last = fields.last
+      if (last.startsWith("rid:")) {
+        val p = last.stripPrefix("rid:").split(':')
+        rid = Some((p(0).toLong, p(1).toLong))
+        fields = fields.dropRight(1)
+      } else if (last.startsWith("v:")) {
+        addV = Some(last.stripPrefix("v:").toLong)
+        fields = fields.dropRight(1)
+      } else go = false
+    }
+    (fields, rid, addV)
+  }
 
   private def parseRows(s: String): Option[Long] =
     if (s == "-") None else Some(s.toLong)
@@ -359,7 +417,7 @@ object TxTable {
   private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] =
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
       .drop(1).filter(_.nonEmpty).map { line =>
-        val (fields, rid) = splitRid(line.split('	'))
+        val (fields, rid, addV) = splitRid(line.split('	'))
         (fields match {
           case Array(b, rel) => FileEntry(b.toInt, rel)
           case Array(b, rel, r) => FileEntry(b.toInt, rel, parseRows(r))
@@ -368,7 +426,7 @@ object TxTable {
               Some(DvRef(dvRel, ndel.toLong)))
           case other => throw new IllegalStateException(
             s"malformed manifest line: ${other.mkString("\\t")}")
-        }).copy(base = rid)
+        }).copy(base = rid, addV = addV)
       }
 
   // HEADER extension (row-level CDF classification): field 11 of a DELTA
@@ -420,15 +478,16 @@ object TxTable {
     val removes = Set.newBuilder[String]
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
       .drop(1).filter(_.nonEmpty).foreach { line =>
-        val (fields, rid) = splitRid(line.split('	'))
+        val (fields, rid, addV) = splitRid(line.split('	'))
         fields match {
           case Array("+", b, rel) =>
-            adds += FileEntry(b.toInt, rel).copy(base = rid)
+            adds += FileEntry(b.toInt, rel).copy(base = rid, addV = addV)
           case Array("+", b, rel, r) =>
-            adds += FileEntry(b.toInt, rel, parseRows(r)).copy(base = rid)
+            adds += FileEntry(b.toInt, rel, parseRows(r))
+              .copy(base = rid, addV = addV)
           case Array("+", b, rel, r, dvRel, ndel) =>
             adds += FileEntry(b.toInt, rel, parseRows(r),
-              Some(DvRef(dvRel, ndel.toLong)), rid)
+              Some(DvRef(dvRel, ndel.toLong)), rid, addV)
           case Array("-", rel)    => removes += rel
           case other => throw new IllegalStateException(
             s"malformed delta manifest line: ${other.mkString("\\t")}")
@@ -607,7 +666,7 @@ object TxTable {
     // identically; a lost commit race re-enters with the winner's
     // watermark, so ranges can never collide
     val tracking = effProps0.get(RowTrackingProp).contains("true")
-    val (effAdds, effProps) =
+    val (effAdds0, effProps1) =
       if (!tracking || adds.isEmpty) (adds, effProps0)
       else {
         var wm = effProps0.get(RowWatermarkProp).map(_.toLong)
@@ -625,6 +684,27 @@ object TxTable {
         }
         (assigned, effProps0 + (RowWatermarkProp -> wm.toString))
       }
+    // stamp each add's SEQUENCE (the commit version that added it) —
+    // what equality deletes scope by; DV re-adds arrive with their
+    // original stamp via copy and keep it
+    val effAdds = effAdds0.map(e =>
+      if (e.addV.isDefined) e else e.copy(addV = Some(v)))
+    // equality-delete registry GC: an entry whose affected set emptied
+    // (every file it could kill rows in was rewritten — addV >= the
+    // delete's version — or dropped) is FOLDED and leaves the registry;
+    // an entry-less registry costs readers nothing
+    val effProps = {
+      val dels = parseEqDeletes(effProps1)
+      if (dels.isEmpty) effProps1
+      else {
+        val post = base.entries.filterNot(e => removes(e.rel)) ++ effAdds
+        val kept = dels.filter(d => post.exists(e =>
+          e.addV.forall(_ < d.version)))
+        if (kept.size == dels.size) effProps1
+        else if (kept.isEmpty) effProps1 - EqDeletesProp
+        else effProps1 + (EqDeletesProp -> renderEqDeletes(kept))
+      }
+    }
     val ok = tryPublish(fs, table, v,
       renderDelta(effAdds, removes.toSeq, txn, schema, effBucketing,
         effDropped, effProps, effRenames, cdf, dataChange))
@@ -761,7 +841,9 @@ object TxTable {
       // files store PHYSICAL names; the column-mapping boundary renames
       // to the version's logical names (identity when never renamed)
       fromPhysical(
-        DeletionVectors.readEntries(spark, table, snap.entries, snap.schema),
+        applyEqDeletes(spark, table, snap,
+          DeletionVectors.readEntries(spark, table, snap.entries,
+            snap.schema)),
         snap)
     }
   }
@@ -830,7 +912,8 @@ object TxTable {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
     }
-    val df = readEntriesTracked(spark, table, snap.entries, physSchema)
+    val df = applyEqDeletes(spark, table, snap,
+      readEntriesTracked(spark, table, snap.entries, physSchema))
     fromPhysical(df
       .withColumnRenamed(RidCol, RowIdCol)
       .withColumnRenamed(RcvCol, RowCommitCol), snap)
@@ -941,10 +1024,42 @@ object TxTable {
         lineage = tracked)
     var prev: Map[String, FileEntry] =
       fromSnap.entries.map(e => e.rel -> e).toMap
+    var prevDels: Seq[EqDelete] = parseEqDeletes(fromSnap.props)
     val frames = Seq.newBuilder[DataFrame]
     (fromVersion + 1 to toVersion).foreach { v =>
-      val cur = snapshot(spark, table, Some(v)).entries
-        .map(e => e.rel -> e).toMap
+      val curSnap = snapshot(spark, table, Some(v))
+      val cur = curSnap.entries.map(e => e.rel -> e).toMap
+      // EQUALITY DELETES registered at v: the dead rows are exactly the
+      // live rows of files with addV < v whose keys match the sidecar —
+      // a read of the AFFECTED files scoped by (a) their DVs, (b) every
+      // EARLIER eq-delete (a row that died before v must not re-die),
+      // (c) one semi-join per new sidecar. Write path paid nothing;
+      // the feed pays the read, which is the MOR contract.
+      val curDels = parseEqDeletes(curSnap.props)
+      val newDels = curDels.filter(_.version == v)
+      if (newDels.nonEmpty) {
+        val affected = curSnap.entries.filter(e =>
+          e.addV.forall(_ < v))
+        if (affected.nonEmpty) {
+          val earlier = prevDels
+          newDels.foreach { d =>
+            val base0 = applyEqDeletes(spark, table, curSnap,
+              if (tracked)
+                readEntriesTracked(spark, table, affected, schema)
+                  .withColumnRenamed(RidCol, RowIdCol)
+                  .withColumnRenamed(RcvCol, RowCommitCol)
+              else DeletionVectors.readEntries(spark, table, affected,
+                Some(schema)), Some(earlier))
+            val keysDf = spark.read.parquet(s"$table/${d.rel}")
+            val cond = d.cols.map(c => base0(c) === keysDf(c))
+              .reduce(_ && _)
+            frames += stamp(
+              base0.join(broadcast(keysDf), cond, "left_semi"),
+              "delete", v)
+          }
+        }
+      }
+      prevDels = curDels
       // a dataChange=false commit (compaction/Z-order/purge/rebucket)
       // reorganized files without changing live rows — EXACTLY nothing
       // to emit; advance the baseline so the next commit diffs against
@@ -2385,7 +2500,10 @@ object TxTable {
            nBuckets: Int, txn: Option[(String, Long)] = None): Snapshot = {
     val tagged = df.withColumn(LayoutOps.BucketCol,
       LayoutOps.bucketId(col(key), nBuckets))
+    // version 0 bypasses commitNext (full manifest, not a delta), so the
+    // sequence stamp lands here — equality deletes scope by it
     val entries = stageFiles(spark, table, tagged)
+      .map(_.copy(addV = Some(0L)))
     val fs = fsFor(spark, table)
     val schema = mergeSchemas(StructType(Nil), tagged.schema)
     require(!key.contains("\t"), "bucket key column name must not contain a tab")
@@ -2648,12 +2766,14 @@ object TxTable {
               .withColumn(RcvCol, lit(null).cast("long"))
           else e
         }
-        // DV-aware: a merge window over a file with a deletion vector
-        // must not resurrect its dead rows into the rewrite
-        else if (tracked)
-          readEntriesTracked(spark, table, touchedEntries, evolved)
-        else DeletionVectors.readEntries(spark, table, touchedEntries,
-          Some(evolved))
+        // DV-aware (and equality-delete-aware): a merge window over a
+        // file with marked-dead rows must not resurrect them into the
+        // rewrite
+        else applyEqDeletes(spark, table, snap,
+          if (tracked)
+            readEntriesTracked(spark, table, touchedEntries, evolved)
+          else DeletionVectors.readEntries(spark, table, touchedEntries,
+            Some(evolved)))
       val cols = evolved.fieldNames.toSeq
       val lineageCols =
         if (tracked) Seq(col(s"`$RidCol`"), col(s"`$RcvCol`"))
@@ -2854,6 +2974,214 @@ object TxTable {
       byRel(rel).copy(dv = Some(DvRef(dvRel, total)))
     }
     Some((adds, merged.map(_._1).toSet, merged.map(_._4).sum))
+  }
+
+  /** EQUALITY DELETE (the Iceberg v2 MOR write shape the log lacked):
+    * commit KEY TUPLES instead of row positions — ZERO data files read
+    * or written on the write path. A positional DV needs the scan first
+    * (find the positions); an equality delete just states "rows with
+    * these keys, in files that predate me, are dead", and every reader
+    * anti-joins the key sidecar scoped by the files' [[FileEntry.addV]]
+    * sequence — a LATER append's rows (or a rewrite's restaged
+    * survivors, whose files carry the rewrite's version) are never
+    * re-deleted. This is the write shape a streaming CDC upsert sink
+    * needs to avoid read-before-write per micro-batch. The read tax
+    * (one broadcast anti-join per distinct key-column set) lasts until
+    * [[foldEqDeletes]] / any covering rewrite folds the registry entry
+    * away — commitNext GCs an entry the moment no live file predates
+    * it. Null keys are dropped (equality can never address NULL).
+    * Returns the number of registered key tuples (matching ROWS are
+    * unknown by design — counting them would be the read this verb
+    * exists to avoid). */
+  def deleteWhereEq(spark: SparkSession, table: String, keys: DataFrame,
+                    maxRetries: Int = 5): Long = {
+    val fs = fsFor(spark, table)
+    val distinctKeys = keys.na.drop().dropDuplicates()
+    val n = distinctKeys.count()
+    if (n == 0) return 0L
+    var staged: Option[(String, Seq[String])] = None
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val snap = snapshot(spark, table)
+      requireEqDeletable(table, snap)
+      val (rel, physCols) = staged.getOrElse {
+        val cols = distinctKeys.columns.toSeq.map(snap.physicalName)
+        val schemaCols = snap.schema.map(_.fieldNames.toSet)
+          .getOrElse(Set.empty[String])
+        cols.foreach(c => require(schemaCols(c),
+          s"$table: equality-delete key column '$c' is not in the " +
+            "table schema"))
+        val r = s"files/${java.util.UUID.randomUUID()}/eqdel"
+        toPhysical(distinctKeys, snap).coalesce(1)
+          .write.parquet(s"$table/$r")
+        staged = Some((r, cols))
+        (r, cols)
+      }
+      val v = snap.version + 1
+      val dels = parseEqDeletes(snap.props) :+ EqDelete(v, rel, physCols)
+      if (commitNext(fs, table, snap, adds = Seq.empty,
+          removes = Set.empty, schema = snap.schema,
+          props = Some(snap.props +
+            (EqDeletesProp -> renderEqDeletes(dels)))))
+        return n
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"$table: equality delete lost the commit race $maxRetries times")
+  }
+
+  /** The CDC micro-batch verb: ONE atomic commit that (a) registers an
+    * equality delete for the batch's keys and (b) appends the batch's
+    * new row images — upsert semantics with ZERO read amplification on
+    * the write path (the classic MOR upsert reads the touched buckets to
+    * rewrite them; the positional-DV path scans for positions; this
+    * writes exactly the batch). The appended files carry the commit's
+    * own addV, so the batch's delete can never kill the batch's own
+    * rows. Exactly-once via the (appId, batchId) replay token, like
+    * [[appendOnce]]. `rows` may be empty (a delete-only batch);
+    * `deleteKeys`' columns name the equality key. Returns false on a
+    * replayed batch. */
+  def appendWithEqDelete(spark: SparkSession, table: String,
+                         rows: DataFrame, deleteKeys: DataFrame,
+                         key: String, nBuckets: Int,
+                         appId: String, batchId: Long,
+                         maxRetries: Int = 5): Boolean = {
+    val fs = fsFor(spark, table)
+    if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
+      return false
+    val distinctKeys = deleteKeys.na.drop().dropDuplicates()
+    val taggedLogical = enforceConstraints(spark, table, rows)
+      .withColumn(LayoutOps.BucketCol,
+        LayoutOps.bucketId(col(key), nBuckets))
+    var stagedRenames = snapshot(spark, table).renames
+    def stage(renames: Map[String, String])
+        : (Seq[FileEntry], Option[(String, Seq[String])]) = {
+      val rn = Snapshot(-1L, Seq.empty, renames = renames)
+      val entries = stageFiles(spark, table, toPhysical(taggedLogical, rn))
+      val del =
+        if (distinctKeys.isEmpty) None
+        else {
+          val r = s"files/${java.util.UUID.randomUUID()}/eqdel"
+          toPhysical(distinctKeys, rn).coalesce(1)
+            .write.parquet(s"$table/$r")
+          Some((r, distinctKeys.columns.toSeq
+            .map(c => renames.getOrElse(c, c))))
+        }
+      (entries, del)
+    }
+    var (newEntries, stagedDel) = stage(stagedRenames)
+    var attempt = 0
+    while (true) {
+      val snap = snapshot(spark, table)
+      if (stagedDel.isDefined) requireEqDeletable(table, snap)
+      if (snap.renames != stagedRenames) {
+        (newEntries.map(_.rel.split('/')(1)) ++
+          stagedDel.map(_._1.split('/')(1))).distinct
+          .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+        stagedRenames = snap.renames
+        val restaged = stage(stagedRenames)
+        newEntries = restaged._1
+        stagedDel = restaged._2
+      }
+      if (lastCommittedBatchUpTo(fs, table, appId, snap.version)
+          .exists(_ >= batchId)) {
+        (newEntries.map(_.rel.split('/')(1)) ++
+          stagedDel.map(_._1.split('/')(1))).distinct
+          .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+        return false
+      }
+      val v = snap.version + 1
+      val props = stagedDel.fold(snap.props) { case (rel, cols) =>
+        snap.props + (EqDeletesProp -> renderEqDeletes(
+          parseEqDeletes(snap.props) :+ EqDelete(v, rel, cols)))
+      }
+      if (commitNext(fs, table, snap, adds = newEntries,
+          removes = Set.empty, txn = Some((appId, batchId)),
+          schema = Some(evolvedSchema(spark, table, snap,
+            toPhysical(taggedLogical,
+              Snapshot(-1L, Seq.empty, renames = stagedRenames)).schema)),
+          bucketing = Some((snap.physicalName(key), nBuckets)),
+          props = Some(props)))
+        return true
+      attempt += 1
+      if (attempt > maxRetries) {
+        (newEntries.map(_.rel.split('/')(1)) ++
+          stagedDel.map(_._1.split('/')(1))).distinct
+          .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+        throw new java.util.ConcurrentModificationException(
+          s"$table: CDC eq-delete append lost the commit race " +
+            s"$maxRetries times; giving up")
+      }
+    }
+    false // unreachable
+  }
+
+  private def requireEqDeletable(table: String, snap: Snapshot): Unit = {
+    val unstamped = snap.entries.filter(_.addV.isEmpty)
+    require(unstamped.isEmpty,
+      s"$table: ${unstamped.size} live file(s) predate sequence " +
+        s"stamping (e.g. ${unstamped.head.rel}) — an equality delete " +
+        "could not scope them. Run compact() once to restamp, then " +
+        "retry")
+  }
+
+  /** Apply the snapshot's UNFOLDED equality deletes to a frame read from
+    * its files (PHYSICAL name space): attach each row's file sequence
+    * (one tiny broadcast keyed by the rel suffix), then one broadcast
+    * LEFT ANTI join per distinct key-column set against the delete key
+    * sidecars — a row dies iff its keys match a delete registered AFTER
+    * its file was added. Identity (same plan) when the registry is
+    * empty, which is the steady state commitNext's fold-GC drives
+    * toward. `delsOverride` lets the change feed apply "every delete
+    * registered BEFORE version v" when replaying history. */
+  private[graft] def applyEqDeletes(spark: SparkSession, table: String,
+                                    snap: Snapshot, df: DataFrame,
+                                    delsOverride: Option[Seq[EqDelete]] =
+                                      None): DataFrame = {
+    val dels = delsOverride.getOrElse(parseEqDeletes(snap.props))
+    if (dels.isEmpty) return df
+    snap.entries.find(_.addV.isEmpty).foreach { e =>
+      throw new IllegalStateException(
+        s"$table: ${e.rel} carries no sequence stamp under a live " +
+          "equality delete — the registration invariant is broken")
+    }
+    val addvDf = spark.createDataFrame(snap.entries.map(e =>
+        (DeletionVectors.relKey(e.rel), e.addV.get)).distinct)
+      .toDF("__eqrk2", "__eqaddv")
+    var out = df
+      .withColumn("__eqrk",
+        regexp_extract(input_file_name(), DeletionVectors.RelPattern, 0))
+      .join(broadcast(addvDf), col("__eqrk") === col("__eqrk2"), "left")
+    dels.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
+      .foreach { case (cols, ds) =>
+        val keysDf = ds.map(d =>
+            spark.read.parquet(s"$table/${d.rel}")
+              .withColumn("__eqdelv", lit(d.version)))
+          .reduce(_.unionByName(_))
+        val cond = cols.map(c => out(c) === keysDf(c))
+          .reduce(_ && _) && col("__eqaddv") < keysDf("__eqdelv")
+        out = out.join(broadcast(keysDf), cond, "left_anti")
+      }
+    out.drop("__eqrk", "__eqrk2", "__eqaddv")
+  }
+
+  /** Fold every unfolded equality delete into data: rewrite exactly the
+    * files a registry entry can still address (addV < its version) —
+    * the rewrite's read path drops the matched rows, the restaged files
+    * carry the rewrite's sequence, and commitNext's GC retires the
+    * registry entries in the same commit. After the fold every surface
+    * (including the DSv2 metadata shortcuts) is tax-free again. Returns
+    * the number of files rewritten. */
+  def foldEqDeletes(spark: SparkSession, table: String,
+                    maxRetries: Int = 5): Int = {
+    rewriteWith(spark, table, maxRetries,
+      _.repartition(col(LayoutOps.BucketCol)), 0L,
+      raceName = "eq-delete fold") { snap =>
+      val dels = parseEqDeletes(snap.props)
+      val affected = snap.entries.filter(e =>
+        dels.exists(d => e.addV.forall(_ < d.version)))
+      (affected, affected.size)
+    }
   }
 
   /** Incremental change feed: the rows in data files ADDED after
@@ -3293,11 +3621,15 @@ object TxTable {
       // it a compaction would mint fresh identities for 100 TB of
       // unchanged rows
       val tracked = snap.props.get(RowTrackingProp).contains("true")
-      val merged = layout(
+      // equality deletes FOLD here: the rewrite's read drops the matched
+      // rows, the restaged files carry the rewrite's sequence (so the
+      // registry entry stops addressing them), and commitNext GCs
+      // fully-covered entries in the same commit
+      val merged = layout(applyEqDeletes(spark, table, snap,
         if (tracked)
           readEntriesTracked(spark, table, toRewrite, snap.schema.get)
         else DeletionVectors.readEntries(spark, table,
-          toRewrite, snap.schema))
+          toRewrite, snap.schema)))
       val newEntries = stageFiles(spark, table, merged, maxRecordsPerFile)
       val removes = toRewrite.map(_.rel).toSet
       // live rows are identical before and after: a rewrite commit is
@@ -3993,6 +4325,13 @@ object TxTable {
       s"$target already holds a TxTable — clone refuses to overwrite")
     val v = version.getOrElse(snapshot(spark, source).version)
     val snap = snapshot(spark, source, Some(v))
+    // a clone remaps ENTRY rels into the source's tree, but the
+    // equality-delete registry's key-sidecar rels live in PROPS — a
+    // cloned registry would point at paths the clone does not hold.
+    // Refuse until the source folds (never a silent wrong answer).
+    require(parseEqDeletes(snap.props).isEmpty,
+      s"$source@v$v carries unfolded equality deletes — run " +
+        "foldEqDeletes (CALL fold_eq_deletes) on the source, then clone")
     // pin FIRST: once the tag is up, vacuum cannot collect the version
     // (tag() itself re-validates against the vacuum race)
     val token = java.util.UUID.randomUUID().toString.take(8)
@@ -4548,6 +4887,10 @@ object TxTable {
       // ... and a retained commit's update-classification sidecar (the
       // row-level CDF would silently downgrade to delete/insert if swept)
       ++ retained.flatMap(v => commitCdfRel(fs, table, v))
+      // ... and every retained version's UNFOLDED equality-delete key
+      // sidecars — sweeping one would resurrect its deleted rows
+      ++ retained.flatMap(v =>
+        parseEqDeletes(snapshot(spark, table, Some(v)).props).map(_.rel))
       // ... and every staged-but-unpublished (write-audit-publish) file:
       // a long-running audit must never lose its staged rows to the
       // orphan sweep — dropStaged is the explicit release
@@ -4571,8 +4914,9 @@ object TxTable {
     // side; the two narrow the window from both ends, like tag())
     val headNowRefs: Set[String] =
       scala.util.Try(snapshot(spark, table)).toOption.toSeq
-        .flatMap(_.entries)
-        .flatMap(e => e.rel +: e.dv.map(_.rel).toSeq)
+        .flatMap(s => s.entries
+          .flatMap(e => e.rel +: e.dv.map(_.rel).toSeq) ++
+          parseEqDeletes(s.props).map(_.rel))
         .map(_.split('/')(1)).toSet
     val referencedNow = referenced ++ headNowRefs
     if (fs.exists(filesRoot)) {

@@ -89,6 +89,111 @@ private[graft] object TxPruneVerdicts extends Serializable {
     hashes.exists(bloom.mightContainLong)
 }
 
+/** Read-side fold of UNFOLDED equality deletes for the DSv2 scan path:
+  * the write path committed KEY TUPLES (zero reads); a columnar catalog
+  * scan cannot anti-join inside the stock parquet reader, so at PLAN
+  * time the matching rows' PHYSICAL POSITIONS are computed once (one
+  * key-column-pruned Spark job over exactly the affected files — the
+  * read half of the MOR contract) and ride the existing per-partition
+  * deletion-vector machinery (bitmap payloads, row-based degraded
+  * reads, position-exact synthesis). Memoized per (table, version) —
+  * a snapshot's registry is immutable, and commitNext GCs entries as
+  * rewrites fold them, so the steady state pays nothing. */
+private[sources] object TxEqFold {
+  import org.roaringbitmap.RoaringBitmap
+
+  import graft.ops.DeletionVectors
+
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Long),
+        Map[String, (String, Array[Byte])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            Map[String, (String, Array[Byte])]]): Boolean = size() > 64
+    })
+
+  /** Per-MANIFEST-rel (cache key, serialized bitmap) of the rows the
+    * snapshot's registry kills — empty when the registry is. */
+  def bitmapsFor(spark: SparkSession, path: String,
+                 snap: TxTable.Snapshot)
+      : Map[String, (String, Array[Byte])] = {
+    val dels = TxTable.parseEqDeletes(snap.props)
+    if (dels.isEmpty) return Map.empty
+    val key = (path, snap.version)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val affected = snap.entries.filter(e =>
+      dels.exists(d => e.addV.forall(_ < d.version)))
+    val out: Map[String, (String, Array[Byte])] =
+      if (affected.isEmpty) Map.empty
+      else {
+        val physSchema = snap.schema.getOrElse(
+          throw new IllegalStateException(
+            s"$path: equality deletes need a recorded schema"))
+        val needCols = dels.flatMap(_.cols).distinct.toSet
+        val readSchema = org.apache.spark.sql.types.StructType(
+          physSchema.fields.filter(f => needCols.contains(f.name)))
+        val raw = spark.read.schema(readSchema)
+          .parquet(affected.map(e => s"$path/${e.rel}"): _*)
+          .withColumn("__rk", org.apache.spark.sql.functions
+            .regexp_extract(org.apache.spark.sql.functions
+              .input_file_name(), DeletionVectors.RelPattern, 0))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val addvDf = spark.createDataFrame(affected.map(e =>
+            (DeletionVectors.relKey(e.rel), e.addV.getOrElse(
+              throw new IllegalStateException(
+                s"$path: ${e.rel} unstamped under a live equality " +
+                  "delete")))))
+          .toDF("__rk2", "__addv")
+        val joined = raw.join(
+          org.apache.spark.sql.functions.broadcast(addvDf),
+          col("__rk") === col("__rk2"), "left")
+        val marked = dels.groupBy(_.cols).toSeq
+          .sortBy(_._1.mkString(",")).map { case (cols, ds) =>
+            val keysDf = ds.map(d =>
+                spark.read.parquet(s"$path/${d.rel}")
+                  .withColumn("__delv", lit(d.version)))
+              .reduce(_.unionByName(_))
+            val cond = cols.map(c => joined(c) === keysDf(c))
+              .reduce(_ && _) && col("__addv") < keysDf("__delv")
+            joined.join(
+              org.apache.spark.sql.functions.broadcast(keysDf), cond,
+              "left_semi").select(col("__rk"), col("__pos"))
+          }.reduce(_.union(_)).distinct().collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val relByKey = affected.map(e =>
+          DeletionVectors.relKey(e.rel) -> e.rel).toMap
+        marked.groupBy(_._1).flatMap { case (rk, ps) =>
+          relByKey.get(rk).map { rel =>
+            val bm = new RoaringBitmap()
+            ps.foreach { case (_, p) =>
+              require(p <= DeletionVectors.MaxPos,
+                s"$path: position $p exceeds the bitmap domain")
+              bm.add(p.toInt)
+            }
+            rel -> ((s"eqfold#$path@${snap.version}#$rel",
+              DeletionVectors.serialize(bm)))
+          }
+        }
+      }
+    cache.put(key, out)
+    out
+  }
+
+  /** Merge a file's DV payload with its eq-fold payload (bitmap OR);
+    * content-addressed composite key so the executor bitmap cache can
+    * never serve a half-merged entry. */
+  def merge(dv: Option[(String, Array[Byte])],
+            eq: Option[(String, Array[Byte])])
+      : Option[(String, Array[Byte])] = (dv, eq) match {
+    case (Some((k1, b1)), Some((k2, b2))) =>
+      val m = RoaringBitmap.or(DeletionVectors.deserialize(b1),
+        DeletionVectors.deserialize(b2))
+      Some((s"$k1+$k2", DeletionVectors.serialize(m)))
+    case (d, e) => d.orElse(e)
+  }
+}
+
 /** Distributed scan planning (the public Iceberg idea): past a
   * file-count threshold the per-file pruning verdicts evaluate as a
   * SPARK JOB over the manifest's entry set instead of a driver-side

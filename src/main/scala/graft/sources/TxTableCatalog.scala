@@ -540,6 +540,10 @@ private[sources] object TxAlterSchema {
             "(enabling must BACKFILL base row ids for every live file " +
             "in the same commit; a raw SET would leave files without " +
             "identity)")
+        require(set.property != TxTable.EqDeletesProp,
+          s"${TxTable.EqDeletesProp} is the engine's equality-delete " +
+            "registry — deletes register through deleteWhereEq / the " +
+            "CDC sink and fold through CALL fold_eq_deletes")
         if (set.property == graft.ops.PartitionTransforms.Prop) {
           // PARTITION-SPEC EVOLUTION (the Iceberg v2 feature): SETting
           // the transform records a NEW spec for FUTURE commits — one
@@ -584,6 +588,10 @@ private[sources] object TxAlterSchema {
             "keeps every allocated _row_id unique for the table's " +
             "lifetime — a later re-enable would re-allocate from 0 and " +
             "collide with ids already materialized in rewritten files")
+        require(unset.property != TxTable.EqDeletesProp,
+          s"${TxTable.EqDeletesProp} cannot be UNSET: dropping the " +
+            "registry would resurrect every equality-deleted row — " +
+            "fold it with CALL fold_eq_deletes instead")
         (schema, dropped, props - unset.property, renames)
       case ac: AddConstraint =>
         val check = ac.constraint() match {
@@ -1229,6 +1237,10 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     * without a recorded count also refuse (over-keep). */
   override def pushLimit(limit: Int): Boolean = {
     if (sawFilters || kept.exists(_.rows.isEmpty)) return false
+    // unfolded equality deletes: liveRows overcounts (a sidecar key may
+    // kill rows the count still includes), so a covering-file pick could
+    // under-serve the limit — refuse until folded
+    if (TxTable.parseEqDeletes(snap.props).nonEmpty) return false
     var acc = 0L
     val picked = Seq.newBuilder[TxTable.FileEntry]
     val it = kept.sortBy(e => (e.bucket, e.rel)).iterator
@@ -1277,6 +1289,7 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     // ranking leans on, so file dropping is unsound; refuse (graceful:
     // the ordinary scan sorts exactly) until compaction folds the DVs
     if (kept.exists(_.dv.isDefined)) return false
+    if (TxTable.parseEqDeletes(snap.props).nonEmpty) return false
     val colName = orders(0).expression() match {
       case r: NamedReference if r.fieldNames.length == 1 =>
         snap.physicalName(r.fieldNames()(0))
@@ -1350,6 +1363,10 @@ final class TxScanBuilder(path: String, snap: TxTable.Snapshot,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (agg.groupByExpressions.nonEmpty) return None
+    // unfolded equality deletes: manifest row counts and zone maps
+    // describe rows some registered key sidecar may have killed — every
+    // metadata answer refuses until a rewrite folds the registry
+    if (TxTable.parseEqDeletes(snap.props).nonEmpty) return None
     val spark = SparkSession.active
 
     def columnOf(e: org.apache.spark.sql.connector.expressions.Expression)
@@ -2308,11 +2325,16 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
       if (!spark.sessionState.conf.cboEnabled)
         java.util.Collections.emptyMap()
       else TxColumnStats.forEntries(spark, path, snap, entries)
+    // unfolded equality deletes make liveRows an overcount — report
+    // rows unknown rather than a wrong exact number (CBO estimates
+    // degrade gracefully; a wrong broadcast decision would not)
+    val eqDirty = TxTable.parseEqDeletes(snap.props).nonEmpty
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
-        if (rows.exists(_.isEmpty)) java.util.OptionalLong.empty()
+        if (eqDirty || rows.exists(_.isEmpty))
+          java.util.OptionalLong.empty()
         else java.util.OptionalLong.of(rows.flatten.sum)
       override def columnStats(): java.util.Map[
           org.apache.spark.sql.connector.expressions.NamedReference,
@@ -2368,11 +2390,14 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     * there is no exchange to re-plan (spec-pinned skew posture in
     * TxCatalogSpec). */
   override def planInputPartitions(): Array[InputPartition] =
-    TxScanPlanning.partitionsFor(path, entries)
+    TxScanPlanning.partitionsFor(path, entries,
+      TxEqFold.bitmapsFor(SparkSession.active, path, snap))
 
   override def createReaderFactory(): PartitionReaderFactory =
     TxScanPlanning.augmentedReaderFor(entries, dataSchema, required,
-      pushed)
+      pushed,
+      eqDirty = TxEqFold.bitmapsFor(SparkSession.active, path, snap)
+        .nonEmpty)
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
@@ -2387,14 +2412,18 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
   * (file-size capping, locality hints) applies to every scan shape. */
 private[sources] object TxScanPlanning {
   def partitionsFor(path: String,
-                    entries: Seq[TxTable.FileEntry]): Array[InputPartition] = {
+                    entries: Seq[TxTable.FileEntry],
+                    eqBitmaps: Map[String, (String, Array[Byte])] =
+                      Map.empty): Array[InputPartition] = {
     val spark = SparkSession.active
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // deletion-vector payloads are resolved HERE, driver-side, and each
     // attached to its own file's partition — a task then serializes only
     // the bitmap it will apply, not the union of every scanned file's
-    // (the factory travels with every task; a map there is paid per task)
+    // (the factory travels with every task; a map there is paid per task).
+    // Unfolded equality deletes arrive pre-folded to positions
+    // ([[TxEqFold]]) and OR into the same payload — one machinery.
     val byRel = graft.ops.DeletionVectors.loadBitmaps(spark, path,
       entries.filter(_.dv.isDefined))
     entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map {
@@ -2404,7 +2433,8 @@ private[sources] object TxScanPlanning {
         GraftParquetShim.bucketFilePartition(i,
           Array(GraftParquetShim.partitionedFile(p.toString, st.getLen,
             st.getModificationTime)), e.bucket,
-          byRel.get(e.rel)): InputPartition
+          TxEqFold.merge(byRel.get(e.rel), eqBitmaps.get(e.rel)))
+          : InputPartition
     }.toArray
   }
 
@@ -2434,9 +2464,10 @@ private[sources] object TxScanPlanning {
   def dvReaderFor(entries: Seq[TxTable.FileEntry],
                   dataSchema: StructType, required: StructType,
                   pushed: Array[org.apache.spark.sql.sources.Filter] =
-                    Array.empty): PartitionReaderFactory = {
+                    Array.empty,
+                  eqDirty: Boolean = false): PartitionReaderFactory = {
     val base = readerFor(dataSchema, required, pushed)
-    if (!entries.exists(_.dv.isDefined)) base
+    if (!entries.exists(_.dv.isDefined) && !eqDirty) base
     else {
       val raw =
         if (pushed.isEmpty) base else readerFor(dataSchema, required)
@@ -2461,9 +2492,10 @@ private[sources] object TxScanPlanning {
   def augmentedReaderFor(entries: Seq[TxTable.FileEntry],
                          dataSchema: StructType, required: StructType,
                          pushed: Array[org.apache.spark.sql.sources.Filter] =
-                           Array.empty): PartitionReaderFactory = {
+                           Array.empty,
+                         eqDirty: Boolean = false): PartitionReaderFactory = {
     if (!required.fieldNames.exists(SynthCols))
-      return dvReaderFor(entries, dataSchema, required, pushed)
+      return dvReaderFor(entries, dataSchema, required, pushed, eqDirty)
     val dataRequired =
       StructType(required.fields.filterNot(f => SynthCols(f.name)))
     val raw = readerFor(dataSchema, dataRequired)
@@ -2735,6 +2767,7 @@ final class TxRowLevelOperation(path: String, snap: TxTable.Snapshot,
     with TxAffectedFiles {
 
   scannedFiles = snap.entries
+  basisProps = snap.props
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -2775,6 +2808,12 @@ final class TxRowLevelOperation(path: String, snap: TxTable.Snapshot,
 private[sources] trait TxAffectedFiles {
   @volatile private[sources] var scannedFiles: Seq[TxTable.FileEntry] =
     Seq.empty
+  /** Properties of the operation's basis snapshot — the commit-time
+    * staleness check compares the equality-delete registry against the
+    * fresh head (a key sidecar registered mid-statement kills rows the
+    * rewrite would otherwise resurrect). */
+  @volatile private[sources] var basisProps: Map[String, String] =
+    Map.empty
 }
 
 /** Scan side of the rewrite: static predicates prune files exactly like
@@ -2812,7 +2851,7 @@ final class TxRowLevelScanBuilder(op: TxAffectedFiles, path: String,
 
   override def build(): Scan =
     new TxRowLevelScan(op, path, kept, bucketing, dataSchema, required,
-      snap.renames)
+      snap.renames, Some(snap))
 }
 
 /** The affected-groups scan: serves the kept files and, via
@@ -2825,7 +2864,8 @@ final class TxRowLevelScan(op: TxAffectedFiles, path: String,
                            initialEntries: Seq[TxTable.FileEntry],
                            bucketing: (String, Int),
                            dataSchema: StructType, required: StructType,
-                           renames: Map[String, String] = Map.empty)
+                           renames: Map[String, String] = Map.empty,
+                           snap: Option[TxTable.Snapshot] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
@@ -2856,15 +2896,21 @@ final class TxRowLevelScan(op: TxAffectedFiles, path: String,
     op.scannedFiles = entries
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    TxScanPlanning.partitionsFor(path, entries)
+  private def eqBitmaps: Map[String, (String, Array[Byte])] =
+    snap.fold(Map.empty[String, (String, Array[Byte])])(sn =>
+      TxEqFold.bitmapsFor(SparkSession.active, path, sn))
 
-  /** DV-aware: an affected file with a deletion vector must hand the
-    * rewrite only its LIVE rows — a plain read would resurrect the dead
-    * ones into the replacement files. Synthesizes `_file`/`_pos` when the
-    * operation is delta-based (its rowId projection needs them). */
+  override def planInputPartitions(): Array[InputPartition] =
+    TxScanPlanning.partitionsFor(path, entries, eqBitmaps)
+
+  /** DV-aware (and equality-delete-aware): an affected file with
+    * marked-dead rows must hand the rewrite only its LIVE rows — a
+    * plain read would resurrect the dead ones into the replacement
+    * files. Synthesizes `_file`/`_pos` when the operation is
+    * delta-based (its rowId projection needs them). */
   override def createReaderFactory(): PartitionReaderFactory =
-    TxScanPlanning.augmentedReaderFor(entries, dataSchema, required)
+    TxScanPlanning.augmentedReaderFor(entries, dataSchema, required,
+      eqDirty = eqBitmaps.nonEmpty)
 }
 
 /** Write side of the rewrite: stages replacement rows per bucket like any
@@ -2938,6 +2984,14 @@ final class TxReplaceBatchWrite(op: TxRowLevelOperation, path: String,
             "MERGE/UPDATE/DELETE read — its basis is stale; re-run the " +
             s"statement (drifted: ${dvDrift.take(3).map(_.rel)
               .mkString(", ")}…)")
+      // same staleness through the EQUALITY-delete registry: a key
+      // sidecar registered since the scan kills rows this rewrite would
+      // resurrect
+      if (TxTable.parseEqDeletes(snap.props) !=
+          TxTable.parseEqDeletes(op.basisProps))
+        throw new java.util.ConcurrentModificationException(
+          s"$path: a concurrent equality delete registered since this " +
+            "MERGE/UPDATE/DELETE read its basis — re-run the statement")
       val merged = TxTable.mergeSchemas(
         snap.schema.getOrElse(TxTable.allNullable(writeSchema)), writeSchema, snap.dropped)
       if (TxTable.commitNext(fs, path, snap, adds = adds,
@@ -2992,6 +3046,7 @@ final class TxDeltaRowLevelOperation(path: String, snap: TxTable.Snapshot,
     with TxAffectedFiles {
 
   scannedFiles = snap.entries
+  basisProps = snap.props
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -3132,6 +3187,11 @@ final class TxDeltaBatchWrite(op: TxAffectedFiles, path: String,
       // re-inserting its new version would undo the delete (the public
       // ConcurrentDeleteReadException posture). Union-only growth cannot
       // distinguish that case, so any drift on a touched file is loud.
+      if (TxTable.parseEqDeletes(snap.props) !=
+          TxTable.parseEqDeletes(op.basisProps))
+        throw new java.util.ConcurrentModificationException(
+          s"$path: a concurrent equality delete registered since this " +
+            "MERGE/UPDATE read its basis — re-run the statement")
       val dvDrift = taskDeletes.keySet.filter { rel =>
         scannedByRel.get(rel).fold(true)(_.dv != liveByRel(rel).dv) }
       if (dvDrift.nonEmpty)
@@ -5031,12 +5091,25 @@ object TxProcedures {
     }
   }
 
+  private val foldEqDeletesProc: Proc = new Proc("fold_eq_deletes",
+    "rewrite exactly the files the unfolded equality-delete registry " +
+      "can still address, dropping the matched rows and retiring the " +
+      "registry entries in the same commit — after the fold every " +
+      "surface (incl. the DSv2 metadata shortcuts) is tax-free again",
+    Seq(ProcedureParameter.in("table", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("files_rewritten", IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.foldEqDeletes(spark,
+        input.getUTF8String(0).toString))
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
       dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
-      enableRowTrackingProc,
+      enableRowTrackingProc, foldEqDeletesProc,
       localizeCloneProc, compactPartitionProc, dropPartitionProc,
       vacuumIndexProc, computeStatsNdv)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap

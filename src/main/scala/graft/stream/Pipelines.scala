@@ -265,6 +265,39 @@ object Pipelines {
         ()
       }
 
+  /** [[cdcApply]] on the EQUALITY-DELETE write shape (the Iceberg v2 MOR
+    * posture): each micro-batch lands as ONE atomic commit that registers
+    * an equality delete for the batch's keys and appends the batch's new
+    * row images — ZERO read amplification on the write path, where
+    * [[cdcApply]]'s upsert re-reads and rewrites every touched bucket
+    * per trigger. The read side pays a broadcast anti-join (Scala reads)
+    * or a plan-time position fold (DSv2 reads) until maintenance folds
+    * the registry (`foldEqDeletes`, or any covering compaction); the
+    * scheduled fold is the knob that trades read tax for write
+    * throughput — the right trade when triggers are frequent and
+    * touched buckets are wide, the common CDC shape at 100 TB.
+    * Exactly-once via the (appId, batchId) token like [[appendTx]]. An
+    * optional `opCol` marks delete-op rows ('d' = delete-only: key
+    * registered, no image appended). */
+  def cdcApplyEq(changes: DataFrame, tablePath: String, key: String,
+                 checkpoint: String, appId: String,
+                 nBuckets: Int = 64, opCol: Option[String] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val (rows, keys) = opCol match {
+          case Some(c) =>
+            (batch.filter(col(c) =!= "d").drop(c),
+              batch.select(col(key)))
+          case None => (batch, batch.select(col(key)))
+        }
+        graft.ops.TxTable.appendWithEqDelete(batch.sparkSession,
+          tablePath, rows, keys, key, nBuckets, appId, batchId)
+        ()
+      }
+
   /** LEGACY/audit sibling of [[cdcApply]] on the rename-aside swap design
     * ([[graft.ops.LayoutOps.upsertBucketed]]): same per-batch MERGE
     * semantics over a plain key-bucketed directory — no commit log at all,

@@ -52,7 +52,10 @@ class TxTableSpec extends AnyFunSuite {
     // (graceful backfill: metadata-only shortcuts refuse, reads unaffected)
     val logDir = new java.io.File(s"$table/_txlog")
     logDir.listFiles().filter(_.getName.endsWith(".manifest")).foreach { f =>
-      val stripped = scala.io.Source.fromFile(f).getLines().map { line =>
+      val stripped = scala.io.Source.fromFile(f).getLines().map { line0 =>
+        // a LEGACY manifest has neither counts nor the tagged trailing
+        // fields (rid:/v:) — drop the tags first, then the count field
+        val line = line0.replaceAll("\t(rid|v):[^\t]*", "")
         val parts = line.split('\t')
         if (line.startsWith("txtable")) line
         else if (parts.length == 3 && parts(0) != "-") // full-body line
