@@ -1893,10 +1893,12 @@ private[sources] object TxColumnStats {
       val rs = entries.map(_.liveRows)
       if (rs.isEmpty || rs.exists(_.isEmpty)) None else Some(rs.flatten.sum)
     }
+    val emitted = scala.collection.mutable.Set.empty[String]
     scala.util.Try(TxTable.statsColumns(fs, path)).getOrElse(Seq.empty)
       .foreach { p =>
         val raw = TxTable.fileStatsWithNulls(spark, path, p)
         if (rels.nonEmpty && rels.forall(raw.contains)) {
+          emitted += p
           val rows = rels.map(raw)
           val nulls: Option[Long] =
             (if (rows.forall(_._3.isDefined)) Some(rows.flatMap(_._3).sum)
@@ -1935,6 +1937,95 @@ private[sources] object TxColumnStats {
           out.put(Expressions.column(snap.logicalName(p)), stat)
         }
       }
+    // PARTITION-ENVELOPE fallback (composition gap): a days(ts) table
+    // that never ran ANALYZE still bounds ts exactly from its partition
+    // paths — each valued segment is an exact (lo, hi) envelope for its
+    // source column, and an IDENTITY field's distinct segment values
+    // are an EXACT distinctCount (a part-<v>/ file holds only rows
+    // whose source equals v). Sidecar stats win when present (tighter);
+    // coverage is honest: a file that does not resolve, or whose
+    // generation lacks a field over the column, withdraws the column
+    // (a part-null segment certifies only NULLs and costs no bound).
+    val hist = graft.ops.PartitionTransforms.history(snap.props)
+    if (hist.nonEmpty && entries.nonEmpty) {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val partCols = hist.flatMap(_.fields.map(_.column)).distinct
+      partCols.filterNot(emitted).foreach { c =>
+        snap.schema.flatMap(_.fields.find(_.name == c)).foreach { fld =>
+          val isDate = fld.dataType == DateType
+          // per-file: Some(Some((loInternal, hiInternal, idSeg))) =
+          // valued envelope; Some(None) = null segment (covered, no
+          // bound); None = uncovered (withdraw the column)
+          val perFile: Seq[Option[Option[(Any, Any, Option[String])]]] =
+            entries.map { e =>
+              graft.ops.PartitionTransforms.resolve(e.rel, hist)
+                .flatMap { res =>
+                  val i = res.spec.fieldOver(c)
+                  if (i < 0) None
+                  else Some(res.raw.lift(i).flatten.flatMap { text =>
+                    val f = res.spec.fields(i)
+                    if (f.fn == "identity") fld.dataType match {
+                      case StringType =>
+                        graft.ops.PartitionTransforms.decodeIdStr(text)
+                          .map(s => (UTF8String.fromString(s): Any,
+                            UTF8String.fromString(s): Any, Some(text)))
+                      case IntegerType => scala.util.Try(text.toInt)
+                        .toOption.map(v => (Int.box(v): Any,
+                          Int.box(v): Any, Some(text)))
+                      case LongType => scala.util.Try(text.toLong)
+                        .toOption.map(v => (Long.box(v): Any,
+                          Long.box(v): Any, Some(text)))
+                      case _ => None
+                    } else scala.util.Try(text.toLong).toOption
+                      .map { pv =>
+                        val (lo, hi) = graft.ops.PartitionTransforms
+                          .longEnvelope(f.fn, pv, isDate)
+                        if (isDate)
+                          (Int.box(lo.toInt): Any, Int.box(hi.toInt): Any,
+                            None)
+                        else (Long.box(lo): Any, Long.box(hi): Any, None)
+                      }
+                  })
+                }
+            }
+          if (perFile.forall(_.isDefined)) {
+            val valued = perFile.flatten.flatten
+            if (valued.nonEmpty) {
+              def cmpL(a: Any, b: Any): Int = (a, b) match {
+                case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+                case (x: java.lang.Integer, y: java.lang.Integer) =>
+                  x.compareTo(y)
+                case (x: java.lang.Long, y: java.lang.Long) =>
+                  x.compareTo(y)
+                case _ => 0
+              }
+              val lo = valued.map(_._1).reduce((a, b) =>
+                if (cmpL(a, b) <= 0) a else b)
+              val hi = valued.map(_._2).reduce((a, b) =>
+                if (cmpL(a, b) >= 0) a else b)
+              val isIdentity = valued.head._3.isDefined
+              val ndv: Option[Long] =
+                if (isIdentity && perFile.flatten.forall(_.isDefined))
+                  Some(valued.flatMap(_._3).distinct.size.toLong)
+                else None
+              val stat = new ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  ndv.fold(java.util.OptionalLong.empty())(
+                    java.util.OptionalLong.of)
+                override def min(): java.util.Optional[Object] =
+                  java.util.Optional.of(lo.asInstanceOf[Object])
+                override def max(): java.util.Optional[Object] =
+                  java.util.Optional.of(hi.asInstanceOf[Object])
+                override def nullCount(): java.util.OptionalLong =
+                  java.util.OptionalLong.empty()
+              }
+              out.put(Expressions.column(snap.logicalName(c)), stat)
+            }
+          }
+        }
+      }
+    }
     out
   }
 }
