@@ -3665,6 +3665,51 @@ object TxTable {
     0 // unreachable
   }
 
+  /** The scheduled-maintenance driver (closes the analyze_layout loop):
+    * ONE call derives the table's outstanding maintenance actions — the
+    * same per-bucket verdicts `CALL analyze_layout` reports — and
+    * APPLIES them under the bounded-slice controls: fold any unfolded
+    * equality deletes, compact the `maxBuckets` WORST fragmented
+    * buckets (worst-first, so repeated calls converge), and purge
+    * heavily-deleted files past `maxDeletedFraction`. Every constituent
+    * commit is a dataChange=false rewrite (change feeds and streaming
+    * subscribers see nothing), each with the optimistic-retry + jittered
+    * backoff liveness the rewrite loop already carries. Returns the
+    * applied counts plus `remaining_actions` — 0 means the layout
+    * converged and the scheduler can back off. At 100 TB this is the
+    * one cron entry per table: bounded I/O per call, convergent across
+    * calls. */
+  def autoMaintain(spark: SparkSession, table: String,
+                   maxFilesPerBucket: Int = 4,
+                   maxDeletedFraction: Double = 0.1,
+                   maxBuckets: Int = 8): Map[String, Int] = {
+    require(maxFilesPerBucket >= 1 && maxBuckets >= 1,
+      "maxFilesPerBucket and maxBuckets must be >= 1")
+    require(maxDeletedFraction >= 0.0 && maxDeletedFraction <= 1.0,
+      s"maxDeletedFraction must be in [0,1], got $maxDeletedFraction")
+    def actionsOf(snap: Snapshot): Int = {
+      val fragmented = snap.entries.groupBy(_.bucket)
+        .count(_._2.size > maxFilesPerBucket)
+      val dirty = snap.entries.count(e => e.dv.exists(d =>
+        e.rows.fold(true)(r =>
+          r == 0L || d.ndel.toDouble / r >= maxDeletedFraction)))
+      val eq = if (parseEqDeletes(snap.props).nonEmpty) 1 else 0
+      fragmented + dirty + eq
+    }
+    val snap0 = snapshot(spark, table)
+    val folded =
+      if (parseEqDeletes(snap0.props).nonEmpty) foldEqDeletes(spark, table)
+      else 0
+    val compacted = compact(spark, table, maxFilesPerBucket,
+      maxBuckets = maxBuckets)
+    val purged = purgeDeletes(spark, table, maxDeletedFraction)
+    Map(
+      "eq_folded_files" -> folded,
+      "compacted_buckets" -> compacted,
+      "purged_files" -> purged,
+      "remaining_actions" -> actionsOf(snapshot(spark, table)))
+  }
+
   /** Remove data directories no retained manifest references and drop
     * manifests (and checkpoints) older than the newest `keepVersions`
     * (time travel shrinks accordingly — a vacuumed version fails loudly on

@@ -5195,12 +5195,44 @@ object TxProcedures {
         input.getUTF8String(0).toString))
   }
 
+  private val autoMaintainProc: Proc = new Proc("auto_maintain",
+    "apply analyze_layout's own recommendations in one bounded call: " +
+      "fold unfolded equality deletes, compact the max_buckets worst " +
+      "fragmented buckets (worst-first, convergent across calls), and " +
+      "purge heavily-deleted files — dataChange=false commits only; " +
+      "remaining_actions = 0 means the layout converged",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_files_per_bucket", IntegerType)
+        .defaultValue("4").build(),
+      ProcedureParameter.in("max_deleted_fraction",
+        org.apache.spark.sql.types.DoubleType)
+        .defaultValue("0.1").build(),
+      ProcedureParameter.in("max_buckets", IntegerType)
+        .defaultValue("8").build()),
+    StructType(Seq(
+      org.apache.spark.sql.types.StructField("eq_folded_files",
+        IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("compacted_buckets",
+        IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("purged_files",
+        IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("remaining_actions",
+        IntegerType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] = {
+      val m = TxTable.autoMaintain(spark,
+        input.getUTF8String(0).toString, input.getInt(1),
+        input.getDouble(2), input.getInt(3))
+      Array(m("eq_folded_files"), m("compacted_buckets"),
+        m("purged_files"), m("remaining_actions"))
+    }
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
       publishStaged, dropStaged, zorder, createBranch, publishBranch,
       dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
-      enableRowTrackingProc, foldEqDeletesProc,
+      enableRowTrackingProc, foldEqDeletesProc, autoMaintainProc,
       localizeCloneProc, compactPartitionProc, dropPartitionProc,
       vacuumIndexProc, computeStatsNdv)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
