@@ -50,13 +50,78 @@ import graft.ops.TxTable
 class TxTableCatalog extends TableCatalog with FunctionCatalog
     with ProcedureCatalog {
   private var catalogName: String = "txtable"
+  private var warehouse: Option[String] = None
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).map(_.trim)
+      .filter(_.nonEmpty)
   }
 
   override def name(): String = catalogName
+
+  // ---- name → path metastore (the `warehouse` option) -------------------
+  //
+  // With `spark.sql.catalog.<cat>.warehouse=/wh` set, NON-ABSOLUTE
+  // identifiers are NAMES resolved through a `_catalog/` directory of
+  // binding files — `CREATE TABLE cat.db.t` claims
+  // `<wh>/_catalog/<enc(db)>.<enc(t)>.tbl` (create-exclusive: the
+  // filesystem IS the CAS, so two racing CREATEs cannot both win) whose
+  // content is the table's path (LOCATION property, default
+  // `<wh>/db/t`). Absolute identifiers keep the path-IS-identity
+  // behavior unchanged, warehouse or not; without the option the
+  // metastore does not exist at all. Reserved suffixes (`@v3`,
+  // `@branch.x`, `#files`, …) compose: the suffix is split off, the
+  // base name resolves, and the suffix re-attaches to the path.
+
+  private def metaFs(p: Path) = p.getFileSystem(
+    SparkSession.active.sparkContext.hadoopConfiguration)
+
+  private def catDir: Option[Path] =
+    warehouse.map(w => new Path(w, "_catalog"))
+
+  /** One encoded segment of a binding file name: URL-encoding plus an
+    * explicit '.' escape ('.' joins segments, so a name containing one
+    * must not collide with a nested namespace). */
+  private def encSeg(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8").replace(".", "%2E")
+  private def decSeg(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def bindingPath(segs: Seq[String]): Option[Path] =
+    catDir.map(d => new Path(d, segs.map(encSeg).mkString(".") + ".tbl"))
+
+  private def readBinding(segs: Seq[String]): Option[String] =
+    bindingPath(segs).flatMap { p =>
+      val fs = metaFs(p)
+      if (!scala.util.Try(fs.exists(p)).getOrElse(false)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+        finally in.close()
+      }
+    }
+
+  /** Identifier string → path string: a bound NAME rewrites to its
+    * path (reserved suffix re-attached); everything else — absolute
+    * paths, unbound names, no-warehouse catalogs — passes through. */
+  private def resolveRaw(raw: String): String = {
+    if (warehouse.isEmpty || raw.startsWith("/")) return raw
+    val i = raw.indexWhere(c => c == '@' || c == '#')
+    val (base, suffix) = if (i < 0) (raw, "") else (raw.take(i), raw.drop(i))
+    readBinding(base.split('/').toIndexedSeq).map(_ + suffix)
+      .getOrElse(raw)
+  }
+
+  private def isNamed(ident: Identifier): Boolean = {
+    val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    // absolute paths and scheme'd URIs (file:/…, hdfs://…, s3a://… —
+    // Spark qualifies LOCATION values into these) stay path-addressed
+    warehouse.isDefined && !raw.startsWith("/") &&
+      !raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
+  }
 
   /** Identifier → (path, version): a trailing `@vN` selects a committed
     * version (Delta-style time travel through the SQL surface:
@@ -70,7 +135,7 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     * therefore reads (and accepts INSERTs) as `snap@v3`'s head, never as
     * `snap` pinned to version 3. */
   private def pathOf(ident: Identifier): (String, Option[Long]) = {
-    val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    val raw = resolveRaw((ident.namespace() :+ ident.name()).mkString("/"))
     val spark = SparkSession.active
     val m = "^(.*)@v(\\d+)$".r
     val t = "^(.*)@([A-Za-z0-9][A-Za-z0-9._-]*)$".r
@@ -119,7 +184,19 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Array.empty
+    catDir match {
+      case None => Array.empty
+      case Some(d) =>
+        val fs = metaFs(d)
+        if (!scala.util.Try(fs.exists(d)).getOrElse(false)) Array.empty
+        else fs.listStatus(d).toSeq.map(_.getPath.getName)
+          .filter(_.endsWith(".tbl"))
+          .map(_.stripSuffix(".tbl").split('.').toIndexedSeq.map(decSeg))
+          .filter(segs => segs.length == namespace.length + 1 &&
+            segs.take(namespace.length) == namespace.toIndexedSeq)
+          .map(segs => Identifier.of(segs.dropRight(1).toArray, segs.last))
+          .toArray
+    }
 
   /** Declares CHECK-constraint DDL support so Spark routes
     * `ALTER TABLE ADD/DROP CONSTRAINT` (and CREATE TABLE with CHECK
@@ -134,7 +211,7 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     // the reserved `#changes` suffix serves the row-level change feed
     // ([[TxChangesTable]]) — resolved with the same cannot-hijack guard
     // as `@vN`: the literal path wins if it is itself a table
-    val raw = (ident.namespace() :+ ident.name()).mkString("/")
+    val raw = resolveRaw((ident.namespace() :+ ident.name()).mkString("/"))
     val ch = "^(.*)#changes$".r
     raw match {
       case ch(p) if !TxTable.isTxTable(spark, raw) &&
@@ -248,6 +325,31 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
     val spark = SparkSession.active
+    // a NAMED create claims its binding file FIRST (create-exclusive =
+    // the CAS): exactly one of two racing `CREATE TABLE cat.db.t`
+    // statements wins; the loser sees TableAlreadyExists. The binding's
+    // content is the table path (LOCATION property or <wh>/<ns...>/<t>).
+    if (isNamed(ident)) {
+      val segs = (ident.namespace() :+ ident.name()).toIndexedSeq
+      val bp = bindingPath(segs).get
+      val fs = metaFs(bp)
+      val loc = Option(properties.get(TableCatalog.PROP_LOCATION))
+        .getOrElse((warehouse.get +: segs).mkString("/"))
+      fs.mkdirs(bp.getParent)
+      val claimed = scala.util.Try {
+        val out = fs.create(bp, false) // overwrite=false: the CAS
+        out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      }.getOrElse(false)
+      if (!claimed)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+      try return createTable(
+        Identifier.of(Array.empty[String], loc), schema, partitions,
+        properties)
+      catch { case e: Throwable => fs.delete(bp, false); throw e }
+    }
     val (path, _) = pathOf(ident)
     if (TxTable.isTxTable(spark, path))
       throw new org.apache.spark.sql.catalyst.analysis
@@ -457,14 +559,41 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       throw new UnsupportedOperationException(
         s"cannot DROP time-travel snapshot $path@v${version.get}: drop " +
           "the table head (or vacuum old versions) instead")
-    TxTable.drop(SparkSession.active, path)
+    val dropped = TxTable.drop(SparkSession.active, path)
+    if (isNamed(ident))
+      bindingPath((ident.namespace() :+ ident.name()).toIndexedSeq)
+        .foreach(bp => metaFs(bp).delete(bp, false))
+    dropped
   }
 
+  /** RENAME: a NAMED table renames by moving its binding file (one
+    * filesystem rename — data untouched, the path stays the table's
+    * storage identity); a rename onto an existing name refuses.
+    * Path-addressed tables keep the path-IS-identity contract. */
   override def renameTable(oldIdent: Identifier,
-                           newIdent: Identifier): Unit =
+                           newIdent: Identifier): Unit = {
+    if (isNamed(oldIdent) && isNamed(newIdent)) {
+      val oldBp = bindingPath(
+        (oldIdent.namespace() :+ oldIdent.name()).toIndexedSeq).get
+      val newBp = bindingPath(
+        (newIdent.namespace() :+ newIdent.name()).toIndexedSeq).get
+      val fs = metaFs(oldBp)
+      if (!fs.exists(oldBp))
+        throw new NoSuchTableException(oldIdent)
+      if (fs.exists(newBp))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(newIdent)
+      if (!fs.rename(oldBp, newBp))
+        throw new IllegalStateException(
+          s"rename ${oldIdent} -> ${newIdent} lost a race; retry")
+      return
+    }
     throw new UnsupportedOperationException(
-      "RENAME is unsupported on a TxTable: the filesystem path IS the " +
-        "table's identity (move the directory to rename)")
+      "RENAME is unsupported on a path-addressed TxTable: the " +
+        "filesystem path IS the table's identity (move the directory " +
+        "to rename, or address tables by NAME via the catalog's " +
+        "warehouse option)")
+  }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     Array(Identifier.of(namespace, "bucket"))

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TxTable
+
+/** Named-table catalog namespace: with the catalog's `warehouse` option
+  * set, non-absolute identifiers are NAMES resolved through a
+  * `_catalog/` directory of binding files — CREATE claims a binding
+  * create-exclusively (the filesystem is the CAS, so racing CREATEs
+  * cannot both win), DROP releases it, RENAME moves it (data untouched),
+  * SHOW TABLES lists it, and the reserved suffixes (`@vN`, `#files`, …)
+  * compose with names. Absolute identifiers keep the path-IS-identity
+  * behavior byte for byte. */
+class TxNamespaceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withCatalog[T](body: String => T): T = {
+    val wh = Files.createTempDirectory("graft_wh_").toString
+    spark.conf.set("spark.sql.catalog.txnm",
+      classOf[graft.sources.TxTableCatalog].getName)
+    spark.conf.set("spark.sql.catalog.txnm.warehouse", wh)
+    // catalog instances are cached per session: force re-initialization
+    // so THIS test's warehouse takes effect
+    org.apache.spark.sql.GraftTestCatalogReset.reset(spark)
+    try body(wh)
+    finally {
+      spark.conf.unset("spark.sql.catalog.txnm.warehouse")
+      spark.conf.unset("spark.sql.catalog.txnm")
+      org.apache.spark.sql.GraftTestCatalogReset.reset(spark)
+    }
+  }
+
+  test("lifecycle: CREATE by name (default + LOCATION), INSERT, SELECT, SHOW TABLES, DESCRIBE, DROP; suffixes compose with names") {
+    withCatalog { wh =>
+      spark.sql("""CREATE TABLE txnm.db.orders (k BIGINT, v STRING)
+        PARTITIONED BY (bucket(4, k))""")
+      spark.sql("INSERT INTO txnm.db.orders VALUES (1, 'a'), (2, 'b')")
+      assert(spark.table("txnm.db.orders").count() == 2)
+      // the data landed under <wh>/db/orders
+      assert(TxTable.isTxTable(spark, s"$wh/db/orders"))
+      // explicit LOCATION
+      val loc = Files.createTempDirectory("graft_nm_loc_").toString + "/x"
+      spark.sql(s"""CREATE TABLE txnm.db.located (k BIGINT, v STRING)
+        PARTITIONED BY (bucket(2, k)) LOCATION '$loc'""")
+      spark.sql("INSERT INTO txnm.db.located VALUES (9, 'z')")
+      assert(TxTable.isTxTable(spark, loc))
+      assert(spark.table("txnm.db.located").count() == 1)
+      // SHOW TABLES
+      val shown = spark.sql("SHOW TABLES IN txnm.db")
+        .select("tableName").as[String].collect().toSet
+      assert(shown == Set("orders", "located"), shown)
+      // name-addressed time travel + system tables
+      spark.sql("INSERT INTO txnm.db.orders VALUES (3, 'c')")
+      assert(spark.table("txnm.`db/orders@v1`").count() == 2)
+      assert(spark.sql(
+        "SELECT * FROM txnm.db.orders VERSION AS OF 1").count() == 2)
+      assert(spark.table("txnm.`db/orders#files`").count() > 0)
+      // DROP releases the binding AND the data
+      spark.sql("DROP TABLE txnm.db.located")
+      assert(!TxTable.isTxTable(spark, loc))
+      assert(spark.sql("SHOW TABLES IN txnm.db")
+        .select("tableName").as[String].collect().toSet == Set("orders"))
+      intercept[Exception] { spark.table("txnm.db.located").count() }
+    }
+  }
+
+  test("RENAME TABLE moves the binding (data untouched); renaming onto an existing name refuses; path-addressed tables keep the old contract") {
+    withCatalog { wh =>
+      spark.sql("""CREATE TABLE txnm.db.a (k BIGINT)
+        PARTITIONED BY (bucket(2, k))""")
+      spark.sql("INSERT INTO txnm.db.a VALUES (7)")
+      spark.sql("""CREATE TABLE txnm.db.b (k BIGINT)
+        PARTITIONED BY (bucket(2, k))""")
+      spark.sql("ALTER TABLE txnm.db.a RENAME TO db.a2")
+      assert(spark.table("txnm.db.a2").as[Long].collect().toSeq ==
+        Seq(7L))
+      intercept[Exception] { spark.table("txnm.db.a").count() }
+      // the storage path did not move
+      assert(TxTable.isTxTable(spark, s"$wh/db/a"))
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE txnm.db.a2 RENAME TO db.b")
+      }
+      assert(e.getMessage.toLowerCase.contains("already exists"),
+        e.getMessage)
+      // absolute identifiers stay path-addressed even with a warehouse
+      val p = Files.createTempDirectory("graft_nm_p_").toString + "/t"
+      TxTable.init(spark, p, Seq((1L, "x")).toDF("k", "v"), "k", 2)
+      assert(spark.table(s"txnm.`$p`").count() == 1)
+      val e2 = intercept[Exception] {
+        spark.sql(s"ALTER TABLE txnm.`$p` RENAME TO db.c")
+      }
+      assert(e2.getMessage.contains("path IS the table's identity"),
+        e2.getMessage)
+    }
+  }
+
+  test("concurrent CREATE collision: exactly one of two racing creates wins the binding") {
+    withCatalog { _ =>
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val results = (1 to 2).map { i =>
+        Future {
+          scala.util.Try {
+            spark.sql(s"""CREATE TABLE txnm.db.race (k BIGINT, src INT)
+              PARTITIONED BY (bucket(2, k))""")
+            true
+          }.getOrElse(false)
+        }
+      }.map(f => Await.result(f, 60.seconds))
+      assert(results.count(identity) == 1,
+        s"exactly one CREATE must win: $results")
+      // the winner's table is fully usable
+      spark.sql("INSERT INTO txnm.db.race VALUES (1, 0)")
+      assert(spark.table("txnm.db.race").count() == 1)
+    }
+  }
+}
