@@ -3548,8 +3548,14 @@ object TxTable {
       // key is logical — identity is recorded physically, so renaming
       // the key never forces a rebucket
       val physKey = snap.physicalName(key)
-      val re = DeletionVectors.readEntries(spark, table, snap.entries,
-          snap.schema)
+      // eq-deletes fold through (restaged files postdate the registry,
+      // so a plain read would resurrect); tracked identities materialize
+      val tracked = snap.props.get(RowTrackingProp).contains("true")
+      val re = applyEqDeletes(spark, table, snap,
+          if (tracked)
+            readEntriesTracked(spark, table, snap.entries, snap.schema.get)
+          else DeletionVectors.readEntries(spark, table, snap.entries,
+            snap.schema))
         .withColumn(LayoutOps.BucketCol,
           LayoutOps.bucketId(col(s"`$physKey`"), newBuckets))
         .repartition(col(LayoutOps.BucketCol))

@@ -4372,11 +4372,22 @@ final class TxBatchWrite(path: String, querySchema: StructType,
                   if (ofs.isEmpty) lit(true)
                   else ofs.map(TxMetadataDelete.filterColumn)
                     .reduce(_ && _)
-                // DV-aware read: a partially-covered file with a deletion
-                // vector must not resurrect its dead rows into the
-                // remainder rewrite
-                val keep = graft.ops.DeletionVectors.readEntries(spark,
-                    path, partial, Some(snap.schema.getOrElse(merged)))
+                // DV-aware (and equality-delete-aware) read: a
+                // partially-covered file with marked-dead rows must not
+                // resurrect them into the remainder rewrite — the
+                // restaged file postdates the registry entries, so a
+                // plain read's dead rows would come back for good. Row
+                // tracking: remainder rows are UNCHANGED rows, so their
+                // (_row_id, _row_commit_version) materialize through.
+                val tracked = snap.props
+                  .get(TxTable.RowTrackingProp).contains("true")
+                val readSchema = snap.schema.getOrElse(merged)
+                val keep = TxTable.applyEqDeletes(spark, path, snap,
+                    if (tracked)
+                      TxTable.readEntriesTracked(spark, path, partial,
+                        readSchema)
+                    else graft.ops.DeletionVectors.readEntries(spark,
+                      path, partial, Some(readSchema)))
                   .filter(not(coalesce(cond, lit(false))))
                 TxTable.stageRewrite(spark, path, keep)
               }

@@ -218,6 +218,41 @@ class EqDeleteSpec extends AnyFunSuite {
     (1 to 3).foreach(b => assert(rows.contains((100L + b, b.toLong))))
   }
 
+  test("no resurrection through restaging rewrites: REPLACE WHERE remainders and rebucket both fold the registry; tracked ids survive rebucket") {
+    registered {
+      // REPLACE WHERE: the partially-covered file's remainder rewrite
+      // must drop eq-dead rows (the restaged file postdates the
+      // registry — a plain read would resurrect them for good)
+      val t = fresh(40)
+      TxTable.deleteWhereEq(spark, t, Seq(5L, 25L).toDF("k"))
+      spark.range(100, 105).select(col("id").as("k"),
+          (col("id") * 10).as("v"))
+        .writeTo(s"txeq.`$t`")
+        .overwrite(col("k") >= 30 && col("k") < 40)
+      val keys = TxTable.read(spark, t).select($"k").as[Long]
+        .collect().toSet
+      assert(!keys.contains(5L) && !keys.contains(25L),
+        "a remainder rewrite must never resurrect eq-deleted rows")
+      assert(keys == ((0L until 30L).toSet -- Set(5L, 25L)) ++
+        (100L until 105L).toSet, keys.toSeq.sorted)
+      // rebucket: same contract, plus tracked identities materialize
+      val t2 = fresh(20)
+      TxTable.enableRowTracking(spark, t2)
+      val ids = TxTable.readLineage(spark, t2)
+        .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+      TxTable.deleteWhereEq(spark, t2, Seq(3L).toDF("k"))
+      TxTable.rebucket(spark, t2, "k", 8)
+      assert(TxTable.parseEqDeletes(
+        TxTable.snapshot(spark, t2).props).isEmpty,
+        "rebucket covers every file — the registry must GC")
+      val after = TxTable.readLineage(spark, t2)
+        .select($"k", $"_row_id").as[(Long, Long)].collect().toMap
+      assert(after.keySet == ids.keySet - 3L)
+      after.foreach { case (k, id) => assert(ids(k) == id,
+        s"k=$k drifted across rebucket") }
+    }
+  }
+
   test("guards: raw SET/UNSET refuses; clone refuses unfolded; pre-stamp tables refuse; vacuum keeps the key sidecar") {
     registered {
       val t = fresh(10)
