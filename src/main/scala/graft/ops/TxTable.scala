@@ -3165,6 +3165,56 @@ object TxTable {
     out.drop("__eqrk", "__eqrk2", "__eqaddv")
   }
 
+  /** Physical positions of the rows ONE equality delete killed, per
+    * affected file — the change feed's exact row-level emission (and
+    * nothing else's: scans use the registry-wide fold). Scoped like the
+    * replay semantics: only files with addV < the delete's version, only
+    * rows live under their DVs AT that version, only rows no EARLIER
+    * unfolded delete had already killed — a row dies exactly once. */
+  private[graft] def eqDeletePositions(spark: SparkSession, table: String,
+                                       snapAtV: Snapshot, d: EqDelete,
+                                       earlier: Seq[EqDelete])
+      : Map[String, Array[Byte]] = {
+    val affected = snapAtV.entries.filter(_.addV.forall(_ < d.version))
+    if (affected.isEmpty) return Map.empty
+    val physSchema = snapAtV.schema.getOrElse(
+      throw new IllegalStateException(
+        s"$table: equality deletes need a recorded schema"))
+    val needCols = (d.cols ++ earlier.flatMap(_.cols)).distinct.toSet
+    val readSchema = StructType(
+      physSchema.fields.filter(f => needCols.contains(f.name)))
+    var df = spark.read.schema(readSchema)
+      .parquet(affected.map(e => s"$table/${e.rel}"): _*)
+      .withColumn("__rk",
+        regexp_extract(input_file_name(), DeletionVectors.RelPattern, 0))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvd = affected.filter(_.dv.isDefined)
+    if (dvd.nonEmpty)
+      df = df.withColumn("__dv_rel", input_file_name())
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .filter(DeletionVectors.liveFilter(spark,
+          DeletionVectors.loadBitmaps(spark, table, dvd)))
+    df = applyEqDeletes(spark, table, snapAtV, df, Some(earlier))
+    val keysDf = spark.read.parquet(s"$table/${d.rel}")
+    val cond = d.cols.map(c => df(c) === keysDf(c)).reduce(_ && _)
+    val pairs = df.join(broadcast(keysDf), cond, "left_semi")
+      .select(col("__rk"), col("__pos")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val relByKey = affected.map(e =>
+      DeletionVectors.relKey(e.rel) -> e.rel).toMap
+    pairs.groupBy(_._1).flatMap { case (rk, ps) =>
+      relByKey.get(rk).map { rel =>
+        val bm = new org.roaringbitmap.RoaringBitmap()
+        ps.foreach { case (_, p) =>
+          require(p <= DeletionVectors.MaxPos,
+            s"$table: position $p exceeds the bitmap domain")
+          bm.add(p.toInt)
+        }
+        rel -> DeletionVectors.serialize(bm)
+      }
+    }
+  }
+
   /** Fold every unfolded equality delete into data: rewrite exactly the
     * files a registry entry can still address (addV < its version) —
     * the rewrite's read path drops the matched rows, the restaged files

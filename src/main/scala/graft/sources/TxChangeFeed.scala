@@ -237,9 +237,28 @@ private[sources] object TxChangeFeedPlanning {
       if (from < 0) Map.empty
       else TxTable.snapshot(spark, path, Some(from)).entries
         .map(e => e.rel -> e).toMap
+    var prevDels: Seq[TxTable.EqDelete] =
+      if (from < 0) Seq.empty
+      else TxTable.parseEqDeletes(
+        TxTable.snapshot(spark, path, Some(from)).props)
     (from + 1 to to).foreach { v =>
-      val cur = TxTable.snapshot(spark, path, Some(v)).entries
-        .map(e => e.rel -> e).toMap
+      val curSnap = TxTable.snapshot(spark, path, Some(v))
+      val cur = curSnap.entries.map(e => e.rel -> e).toMap
+      // EQUALITY deletes registered at v: fold the key sidecar to the
+      // exact physical positions it killed (live-at-v rows of files
+      // predating v, minus rows earlier deletes already killed) and
+      // emit them through the standard inclusion-bitmap partitions —
+      // the write path paid nothing, the feed pays the read (the MOR
+      // contract)
+      val curDels = TxTable.parseEqDeletes(curSnap.props)
+      curDels.filter(_.version == v).foreach { d =>
+        TxTable.eqDeletePositions(spark, path, curSnap, d, prevDels)
+          .toSeq.sortBy(_._1).foreach { case (rel, bytes) =>
+            parts += (("delete", v, true, Some(bytes),
+              s"cdf-eqdel:$rel@$v", Array(rel)))
+          }
+      }
+      prevDels = curDels
       // dataChange=false commits (compaction/Z-order/purge/rebucket)
       // changed no live row — emit nothing, just advance the baseline
       if (TxTable.commitIsRewrite(fs, path, v)) { prev = cur }

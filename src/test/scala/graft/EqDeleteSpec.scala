@@ -139,6 +139,37 @@ class EqDeleteSpec extends AnyFunSuite {
       == (0L until 20L).toSet -- Set(4L, 8L, 9L))
   }
 
+  test("#changes (DSv2 feed) surfaces eq-delete rows exactly: same dead rows as the batch CDF, each exactly once, streamable") {
+    registered {
+      val t = fresh(20)
+      TxTable.deleteWhereMor(spark, t, col("k") === 4L)
+      TxTable.deleteWhereEq(spark, t, Seq(4L, 8L).toDF("k"))
+      TxTable.deleteWhereEq(spark, t, Seq(8L, 9L).toDF("k"))
+      val feed = spark.read.option("startingVersion", 1)
+        .table(s"txeq.`$t#changes`")
+        .select($"k", $"_change_type", $"_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      val deletes = feed.filter(_._2 == "delete")
+      assert(deletes.groupBy(_._1).view.mapValues(_.length).toMap ==
+        Map(4L -> 1, 8L -> 1, 9L -> 1), deletes.mkString(", "))
+      // versions attribute exactly: k=8 at the first eq commit (v2),
+      // k=9 at the second (v3), k=4 at the MOR commit (v1)
+      assert(deletes.toSet.map((x: (Long, String, Long)) => (x._1, x._3))
+        == Set((4L, 1L), (8L, 2L), (9L, 3L)))
+      // the append STREAM passes eq commits silently (no files changed),
+      // matching the pinned MOR contract: deletes are the CDF's surface
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_eqst_").toString
+      val q = spark.readStream.table(s"txeq.`$t`")
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      assert(q.exception.isEmpty)
+    }
+  }
+
   test("row tracking interplay: eq-deleted rows vanish from readLineage, survivors keep ids through the fold") {
     val t = fresh(25)
     TxTable.enableRowTracking(spark, t)
