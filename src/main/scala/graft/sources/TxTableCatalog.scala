@@ -219,6 +219,16 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
         return new TxChangesTable(p)
       case _ => ()
     }
+    // the reserved `#lineage` suffix serves ROW LINEAGE (data columns +
+    // _row_id/_row_commit_version) — the SQL twin of readLineage; same
+    // cannot-hijack guard
+    val ln = "^(.*)#lineage$".r
+    raw match {
+      case ln(p) if !TxTable.isTxTable(spark, raw) &&
+          TxTable.isTxTable(spark, p) =>
+        return new TxLineageTable(p)
+      case _ => ()
+    }
     // metadata system tables (`#files`, `#history`): manifest-only rows,
     // LocalTableScan plans, zero data I/O
     val mf = "^(.*)#files$".r

@@ -180,6 +180,37 @@ class RowTrackingSpec extends AnyFunSuite {
       "untracked CDF must not grow lineage columns")
   }
 
+  test("#lineage (SQL twin): row-identical to readLineage across DV + eq-delete + rewrite history; refuses untracked tables") {
+    registered {
+      val t = fresh(30)
+      TxTable.enableRowTracking(spark, t)
+      TxTable.deleteWhereMor(spark, t, col("k") % 6 === 0)
+      TxTable.deleteWhereEq(spark, t, Seq(7L, 11L).toDF("k"))
+      TxTable.compact(spark, t, maxFilesPerBucket = 1)
+      TxTable.upsert(spark, t, Seq((13L, 999L)).toDF("k", "v"),
+        "k", "v", 4)
+      val viaScala = TxTable.readLineage(spark, t)
+        .select($"k", $"v", $"_row_id", $"_row_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      val viaSql = spark.table(s"txrt.`$t#lineage`")
+        .select($"k", $"v", $"_row_id", $"_row_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(viaSql == viaScala,
+        s"#lineage must match readLineage row for row " +
+          s"(${viaSql.size} vs ${viaScala.size})")
+      assert(viaSql.nonEmpty)
+      // untracked tables refuse loudly
+      val u = fresh(5)
+      val e = intercept[Exception] {
+        spark.table(s"txrt.`$u#lineage`").count()
+      }
+      assert(e.getMessage.contains("row tracking is not enabled"),
+        e.getMessage)
+    }
+  }
+
   test("surfaces and guards: CALL enable_row_tracking works; raw SET/UNSET of the tracking properties refuses; pre-enable versions refuse readLineage") {
     registered {
       val t = fresh(10)
