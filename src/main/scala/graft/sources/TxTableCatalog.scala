@@ -4673,7 +4673,12 @@ private[sources] object TxMetaTables {
       StructField("rows", LongType, nullable = true),
       StructField("deleted_rows", LongType, nullable = false),
       StructField("dv_rel", StringType, nullable = true),
-      StructField("size_bytes", LongType, nullable = false)))
+      StructField("size_bytes", LongType, nullable = false),
+      // sequence + row-tracking anchors (null on pre-stamp / untracked
+      // files): what equality deletes scope by and where _row_id ranges
+      // start — the observability row for both features
+      StructField("added_version", LongType, nullable = true),
+      StructField("base_row_id", LongType, nullable = true)))
     val display = if (name.isEmpty) path else name
     new TxMetaTable(s"$display#files", schema, () => {
       val snap = snapAt.fold(TxTable.snapshot(spark, path))(_.apply())
@@ -4687,7 +4692,9 @@ private[sources] object TxMetaTables {
             e.rows.map(java.lang.Long.valueOf).orNull,
             e.dv.fold(0L)(_.ndel),
             e.dv.map(d => UTF8String.fromString(d.rel)).orNull,
-            fs.getFileStatus(new Path(s"$path/${e.rel}")).getLen))
+            fs.getFileStatus(new Path(s"$path/${e.rel}")).getLen,
+            e.addV.map(java.lang.Long.valueOf).orNull,
+            e.base.map(b => java.lang.Long.valueOf(b._1)).orNull))
           : InternalRow
       }.toArray
     })
