@@ -139,6 +139,29 @@ class EqDeleteSpec extends AnyFunSuite {
       == (0L until 20L).toSet -- Set(4L, 8L, 9L))
   }
 
+  test("plan shape: the eq-delete read is broadcast-only (anti-join + addv attach) — zero shuffles added to the scan") {
+    val t = fresh(40)
+    TxTable.deleteWhereEq(spark, t, Seq(3L, 7L).toDF("k"))
+    // sparkPlan, not executedPlan: collect() does not descend into the
+    // AdaptiveSparkPlan wrapper
+    val plan = TxTable.read(spark, t).queryExecution.sparkPlan
+    val smj = plan.collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s
+    }
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => e
+    }
+    val bhjAnti = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if b.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+        b
+    }
+    assert(smj.isEmpty && shuffles.isEmpty,
+      s"eq read must add no shuffle:\n$plan")
+    assert(bhjAnti.nonEmpty, s"anti-join must broadcast:\n$plan")
+  }
+
   test("#changes (DSv2 feed) surfaces eq-delete rows exactly: same dead rows as the batch CDF, each exactly once, streamable") {
     registered {
       val t = fresh(20)
