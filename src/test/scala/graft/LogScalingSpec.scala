@@ -115,4 +115,30 @@ class LogScalingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("distributed planning engages at the 10x-file fixture past the threshold and keeps the driver walk's exact file set") {
+    registered {
+      val t = logTable(60) // ~480 live files
+      val nFiles = TxTable.snapshot(spark, t).entries.size
+      assert(nFiles > 100, s"fixture too small: $nFiles")
+      def kept(): Int =
+        spark.table(s"txls.`$t`").filter($"day" === 5L)
+          .queryExecution.executedPlan.collectLeaves().map {
+            case b: org.apache.spark.sql.execution.datasources.v2
+                .BatchScanExec => b.inputPartitions.length
+            case _ => 0
+          }.sum
+      val driverKept = kept()
+      val before = graft.sources.TxDistributedPrune.runs.get()
+      spark.conf.set("spark.graft.planning.distributeAt", "100")
+      try {
+        val distKept = kept()
+        assert(graft.sources.TxDistributedPrune.runs.get() > before,
+          "the job path must engage past the threshold")
+        assert(distKept == driverKept && driverKept < nFiles,
+          s"kept sets must agree and genuinely prune: " +
+            s"$distKept vs $driverKept of $nFiles")
+      } finally spark.conf.unset("spark.graft.planning.distributeAt")
+    }
+  }
 }
