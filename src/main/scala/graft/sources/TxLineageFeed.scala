@@ -25,8 +25,11 @@ import graft.ops.{DeletionVectors, TxTable}
   * Scala surface — a file's materialized hidden columns win, fresh rows
   * compute `base + position`. Refuses tables without row tracking
   * (there is no identity to serve — never an invented one). */
-final class TxLineageTable(path: String) extends Table with SupportsRead {
-  private val snap = TxTable.snapshot(SparkSession.active, path)
+final class TxLineageTable(path: String, name0: String = "",
+    snapAt: Option[() => TxTable.Snapshot] = None)
+    extends Table with SupportsRead {
+  private val snap =
+    snapAt.fold(TxTable.snapshot(SparkSession.active, path))(_.apply())
   require(snap.props.get(TxTable.RowTrackingProp).contains("true"),
     s"$path: row tracking is not enabled — CALL enable_row_tracking " +
       "first; #lineage has no identity to serve without it")
@@ -39,7 +42,8 @@ final class TxLineageTable(path: String) extends Table with SupportsRead {
     :+ StructField(TxTable.RowIdCol, LongType, nullable = false)
     :+ StructField(TxTable.RowCommitCol, LongType, nullable = false))
 
-  override def name(): String = s"$path#lineage"
+  override def name(): String =
+    s"${if (name0.isEmpty) path else name0}#lineage"
   override def schema(): StructType = outSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)

@@ -48,7 +48,8 @@ import graft.ops.TxTable
   * the path is the table's identity.
   */
 class TxTableCatalog extends TableCatalog with FunctionCatalog
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.SupportsNamespaces {
   private var catalogName: String = "txtable"
   private var warehouse: Option[String] = None
 
@@ -121,6 +122,101 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     // Spark qualifies LOCATION values into these) stay path-addressed
     warehouse.isDefined && !raw.startsWith("/") &&
       !raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*")
+  }
+
+  // ---- namespaces over the metastore ------------------------------------
+  //
+  // A namespace EXISTS when it holds a binding or carries an explicit
+  // marker file (`<enc segs>.ns`, claimed create-exclusively like table
+  // bindings). Path-addressed identifiers never consult namespaces, so
+  // a warehouse-less catalog reports every namespace as existing — USE
+  // and SHOW TABLES stay usable without a metastore.
+
+  private def nsMarker(segs: Seq[String]): Option[Path] =
+    catDir.map(d => new Path(d, segs.map(encSeg).mkString(".") + ".ns"))
+
+  private def boundNamespaces: Seq[Seq[String]] = catDir match {
+    case None => Seq.empty
+    case Some(d) =>
+      val fs = metaFs(d)
+      if (!scala.util.Try(fs.exists(d)).getOrElse(false)) Seq.empty
+      else fs.listStatus(d).toSeq.map(_.getPath.getName).flatMap {
+        case n if n.endsWith(".tbl") =>
+          Some(n.stripSuffix(".tbl").split('.').toSeq.map(decSeg)
+            .dropRight(1))
+        case n if n.endsWith(".ns") =>
+          Some(n.stripSuffix(".ns").split('.').toSeq.map(decSeg))
+        case _ => None
+      }.distinct
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    boundNamespaces.filter(_.nonEmpty).map(_.take(1))
+      .distinct.map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] = {
+    val p = namespace.toSeq
+    boundNamespaces.filter(ns => ns.length > p.length &&
+        ns.take(p.length) == p)
+      .map(_.take(p.length + 1)).distinct.map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    warehouse.isEmpty || namespace.isEmpty ||
+      boundNamespaces.exists(ns => ns.startsWith(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(catalogName +: namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    require(warehouse.isDefined,
+      "CREATE NAMESPACE needs the catalog's warehouse option (a " +
+        "path-addressed catalog has no metastore to create it in)")
+    val mp = nsMarker(namespace.toSeq).get
+    val fs = metaFs(mp)
+    fs.mkdirs(mp.getParent)
+    val claimed = scala.util.Try {
+      val out = fs.create(mp, false)
+      out.close()
+      true
+    }.getOrElse(false)
+    if (!claimed)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NamespaceAlreadyExistsException(catalogName +: namespace)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog
+        .NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespaces carry no metadata here — nothing to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val p = namespace.toSeq
+    val hasTables = listTables(namespace).nonEmpty ||
+      boundNamespaces.exists(ns => ns.length > p.length &&
+        ns.take(p.length) == p)
+    if (hasTables && !cascade)
+      throw new IllegalStateException(
+        s"namespace ${p.mkString(".")} is not empty — DROP its tables " +
+          "first (CASCADE over live tables is refused: dropping data " +
+          "wholesale should be explicit, table by table)")
+    if (hasTables)
+      throw new UnsupportedOperationException(
+        "DROP NAMESPACE CASCADE is refused on principle: drop the " +
+          "tables explicitly, then the namespace")
+    nsMarker(p).exists { mp =>
+      val fs = metaFs(mp)
+      scala.util.Try(fs.delete(mp, false)).getOrElse(false)
+    }
   }
 
   /** Identifier → (path, version): a trailing `@vN` selects a committed
@@ -227,6 +323,14 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       case ln(p) if !TxTable.isTxTable(spark, raw) &&
           TxTable.isTxTable(spark, p) =>
         return new TxLineageTable(p)
+      // `t@v3#lineage` / `t@tag#lineage` / `t@branch.x#lineage`: row
+      // lineage AT a pinned snapshot or branch head — identities are
+      // versioned facts, so auditing them at a tag must serve the tag's
+      // anchors, not the head's
+      case ln(p) if !TxTable.isTxTable(spark, raw) &&
+          !TxTable.isTxTable(spark, p) =>
+        metaAtRef(spark, p)((b, n, at) => new TxLineageTable(b, n, at))
+          .foreach(t => return t)
       case _ => ()
     }
     // metadata system tables (`#files`, `#history`): manifest-only rows,

@@ -208,6 +208,20 @@ class RowTrackingSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("row tracking is not enabled"),
         e.getMessage)
+      // time travel composes: lineage AT a pinned version serves that
+      // version's identities (the upsert's post-image absent, the
+      // pre-image present under its original id)
+      val vPre = TxTable.snapshot(spark, t).version - 1
+      val pinned = spark.table(s"txrt.`$t@v$vPre#lineage`")
+        .select($"k", $"v", $"_row_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(pinned.exists(x => x._1 == 13L && x._2 == 130L),
+        "the pinned snapshot must serve the pre-upsert image")
+      val headK13 = spark.table(s"txrt.`$t#lineage`")
+        .filter($"k" === 13L).select($"v", $"_row_id").collect().head
+      assert(headK13.getLong(0) == 999L)
+      assert(pinned.find(_._1 == 13L).get._3 == headK13.getLong(1),
+        "the update kept the id across versions")
     }
   }
 

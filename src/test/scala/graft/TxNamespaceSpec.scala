@@ -99,6 +99,30 @@ class TxNamespaceSpec extends AnyFunSuite {
     }
   }
 
+  test("namespace DDL: CREATE/SHOW/USE/DROP NAMESPACE; implicit namespaces from bindings; non-empty drop refuses") {
+    withCatalog { _ =>
+      spark.sql("CREATE NAMESPACE txnm.marked")
+      intercept[Exception] { spark.sql("CREATE NAMESPACE txnm.marked") }
+      spark.sql("""CREATE TABLE txnm.db.t1 (k BIGINT)
+        PARTITIONED BY (bucket(2, k))""")
+      val shown = spark.sql("SHOW NAMESPACES IN txnm")
+        .select("namespace").as[String].collect().toSet
+      assert(shown == Set("marked", "db"), shown)
+      // USE resolves through namespaceExists
+      spark.sql("USE txnm.db")
+      try assert(spark.sql("SHOW TABLES").select("tableName")
+        .as[String].collect().toSet == Set("t1"))
+      finally spark.sql("USE spark_catalog.default")
+      // a namespace holding tables refuses to drop
+      val e = intercept[Exception] { spark.sql("DROP NAMESPACE txnm.db") }
+      assert(e.getMessage.contains("not empty") ||
+        e.getMessage.toLowerCase.contains("non-empty"), e.getMessage)
+      spark.sql("DROP NAMESPACE txnm.marked")
+      assert(spark.sql("SHOW NAMESPACES IN txnm")
+        .select("namespace").as[String].collect().toSet == Set("db"))
+    }
+  }
+
   test("concurrent CREATE collision: exactly one of two racing creates wins the binding") {
     withCatalog { _ =>
       import scala.concurrent.{Await, Future}
