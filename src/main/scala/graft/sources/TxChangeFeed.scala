@@ -61,8 +61,18 @@ final class TxChangesTable(path: String) extends Table with SupportsRead {
       .filterNot(_.name == graft.ops.LayoutOps.BucketCol))
   // consumers see LOGICAL names (column mapping); the file readers keep
   // the PHYSICAL dataSchema — positionally identical
-  private val outSchema = StructType(dataSchema.fields
-    .map(f => f.copy(name = snap.logicalName(f.name)))
+  // row tracking: a tracked table's change rows carry their durable
+  // identity (nullable: files predating the enable have no anchor) —
+  // the link that lets a streaming consumer classify a delete and the
+  // insert that replaced it as one update across commits
+  private[sources] val tracked: Boolean =
+    snap.props.get(TxTable.RowTrackingProp).contains("true")
+  private val lineageFields =
+    if (!tracked) Seq.empty
+    else Seq(StructField(TxTable.RowIdCol, LongType),
+      StructField(TxTable.RowCommitCol, LongType))
+  private val outSchema = StructType((dataSchema.fields
+    .map(f => f.copy(name = snap.logicalName(f.name))) ++ lineageFields)
     :+ StructField("_change_type", StringType, nullable = false)
     :+ StructField("_commit_version", LongType, nullable = false))
 
@@ -74,7 +84,7 @@ final class TxChangesTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
     override def build(): Scan =
-      new TxChangesScan(path, dataSchema, outSchema, options)
+      new TxChangesScan(path, dataSchema, outSchema, options, tracked)
   }
 }
 
@@ -84,7 +94,8 @@ final class TxChangesTable(path: String) extends Table with SupportsRead {
   * second schema path. */
 private[sources] final class TxChangesScan(path: String,
     dataSchema: StructType, outSchema: StructType,
-    options: CaseInsensitiveStringMap) extends Scan {
+    options: CaseInsensitiveStringMap,
+    tracked: Boolean = false) extends Scan {
   private def spark = SparkSession.active
   override def readSchema(): StructType = outSchema
   override def description(): String = s"GraftTxChanges $path"
@@ -115,21 +126,21 @@ private[sources] final class TxChangesScan(path: String,
       })
       .getOrElse(TxTable.snapshot(spark, path).version)
     override def planInputPartitions(): Array[InputPartition] =
-      TxChangeFeedPlanning.plan(spark, path, start - 1, end)
+      TxChangeFeedPlanning.plan(spark, path, start - 1, end, tracked)
     override def createReaderFactory(): PartitionReaderFactory =
-      TxChangeFeedPlanning.readerFactory(dataSchema)
+      TxChangeFeedPlanning.readerFactory(dataSchema, tracked)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new TxChangesMicroBatchStream(path, dataSchema, options)
+    new TxChangesMicroBatchStream(path, dataSchema, options, tracked)
 }
 
 /** Commit-version offsets over the row-level change feed — the same
   * offset/admission shape as the append source, but every commit kind is
   * representable so no skip/ignore escape hatches are needed. */
 final class TxChangesMicroBatchStream(path: String, dataSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap, tracked: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -194,11 +205,11 @@ final class TxChangesMicroBatchStream(path: String, dataSchema: StructType,
     val s = start.asInstanceOf[TxStreamOffset].version
     val e = end.asInstanceOf[TxStreamOffset].version
     if (e <= s) Array.empty
-    else TxChangeFeedPlanning.plan(spark, path, s, e)
+    else TxChangeFeedPlanning.plan(spark, path, s, e, tracked)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    TxChangeFeedPlanning.readerFactory(dataSchema)
+    TxChangeFeedPlanning.readerFactory(dataSchema, tracked)
 }
 
 /** Shared planner/reader for batch and streaming change scans. */
@@ -213,14 +224,16 @@ private[sources] object TxChangeFeedPlanning {
     * file. */
   final case class TxChangePartition(inner: FilePartition,
       changeType: String, version: Long, include: Boolean,
-      bitmap: Option[Array[Byte]], cacheKey: String) extends InputPartition
+      bitmap: Option[Array[Byte]], cacheKey: String,
+      lineage: Option[(Long, Long)] = None) extends InputPartition
 
   /** Partitions for the row-level changes of commits (from, to];
     * `from = -1` starts at the initial snapshot. The walk is per-version
     * manifest metadata (O(checkpoint interval) reads each) plus one
     * batched DV-sidecar load per side per version — bounded by the
     * commits' own change volume. */
-  def plan(spark: SparkSession, path: String, from: Long, to: Long)
+  def plan(spark: SparkSession, path: String, from: Long, to: Long,
+           tracked: Boolean = false)
       : Array[InputPartition] = {
     require(from <= to, s"change range ($from, $to] is empty or inverted")
     val fs = new Path(path)
@@ -233,10 +246,17 @@ private[sources] object TxChangeFeedPlanning {
     }
     val parts = Seq.newBuilder[(String, Long, Boolean,
       Option[Array[Byte]], String, Array[String])] // (+ rels) pre-index
+    // row-tracking anchors per rel (a file's base never changes once
+    // assigned, so one map serves every version of the range)
+    val anchors = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def note(m: Map[String, TxTable.FileEntry]): Unit =
+      if (tracked) m.valuesIterator.foreach(e =>
+        e.base.foreach(b => anchors.update(e.rel, b)))
     var prev: Map[String, TxTable.FileEntry] =
       if (from < 0) Map.empty
       else TxTable.snapshot(spark, path, Some(from)).entries
         .map(e => e.rel -> e).toMap
+    note(prev)
     var prevDels: Seq[TxTable.EqDelete] =
       if (from < 0) Seq.empty
       else TxTable.parseEqDeletes(
@@ -244,6 +264,7 @@ private[sources] object TxChangeFeedPlanning {
     (from + 1 to to).foreach { v =>
       val curSnap = TxTable.snapshot(spark, path, Some(v))
       val cur = curSnap.entries.map(e => e.rel -> e).toMap
+      note(cur)
       // EQUALITY deletes registered at v: fold the key sidecar to the
       // exact physical positions it killed (live-at-v rows of files
       // predating v, minus rows earlier deletes already killed) and
@@ -358,17 +379,39 @@ private[sources] object TxChangeFeedPlanning {
       prev = cur
       }
     }
-    parts.result().zipWithIndex.map {
+    // row tracking: identity is per FILE (anchor + physical position),
+    // so a tracked feed splits batched multi-file partitions per file
+    // and attaches each file's anchor
+    val raw0 = parts.result()
+    val expanded =
+      if (!tracked) raw0
+      else raw0.flatMap { case t @ (tpe, v, include, bitmap, key, rels) =>
+        if (rels.length <= 1) Seq(t)
+        else rels.toSeq.map(r =>
+          (tpe, v, include, bitmap, key, Array(r)))
+      }
+    expanded.zipWithIndex.map {
       case ((tpe, v, include, bitmap, key, rels), i) =>
         TxChangePartition(FilePartition(i, rels.map(pf)), tpe, v,
-          include, bitmap, key): InputPartition
+          include, bitmap, key,
+          if (tracked && rels.length == 1) anchors.get(rels.head)
+          else None): InputPartition
     }.toArray
   }
 
-  def readerFactory(dataSchema: StructType): PartitionReaderFactory =
+  def readerFactory(dataSchema: StructType,
+                    tracked: Boolean = false): PartitionReaderFactory = {
+    // tracked feeds additionally read the hidden materialized lineage
+    // columns (null-filled on files that never moved rows)
+    val fileSchema =
+      if (!tracked) dataSchema
+      else StructType(dataSchema.fields
+        :+ StructField(TxTable.RidCol, LongType)
+        :+ StructField(TxTable.RcvCol, LongType))
     new TxChangeReaderFactory(
-      TxScanPlanning.readerFor(dataSchema, dataSchema),
-      dataSchema.fields.map(_.dataType))
+      TxScanPlanning.readerFor(fileSchema, fileSchema),
+      dataSchema.fields.map(_.dataType), tracked)
+  }
 }
 
 /** Wraps the stock parquet reader: applies the partition's bitmap by
@@ -377,7 +420,8 @@ private[sources] object TxChangeFeedPlanning {
   * Row-based by construction — change feeds are incremental-consumer
   * reads, not the hot analytical path. */
 private[sources] final class TxChangeReaderFactory(
-    raw: PartitionReaderFactory, dataTypes: Array[DataType])
+    raw: PartitionReaderFactory, dataTypes: Array[DataType],
+    tracked: Boolean = false)
     extends PartitionReaderFactory {
   import org.apache.spark.sql.connector.read.PartitionReader
 
@@ -393,11 +437,13 @@ private[sources] final class TxChangeReaderFactory(
     val tpe = UTF8String.fromString(cp.changeType)
     val delegate = raw.createReader(cp.inner)
     val n = dataTypes.length
+    val width = n + (if (tracked) 4 else 2)
     new PartitionReader[InternalRow] {
       private var pos = -1L
-      private val out = new GenericInternalRow(n + 2)
+      private val out = new GenericInternalRow(width)
       override def next(): Boolean = bm match {
-        case None => delegate.next()
+        case None =>
+          if (delegate.next()) { pos += 1; true } else false
         case Some(b) =>
           while (delegate.next()) {
             pos += 1
@@ -411,8 +457,23 @@ private[sources] final class TxChangeReaderFactory(
         val row = delegate.get()
         var i = 0
         while (i < n) { out.update(i, row.get(i, dataTypes(i))); i += 1 }
-        out.update(n, tpe)
-        out.update(n + 1, cp.version)
+        if (tracked) {
+          // materialized hidden columns win; fresh rows answer from the
+          // file's anchor + this physical position; files with no
+          // anchor (pre-enable history) honestly serve NULL
+          val rid: Any =
+            if (!row.isNullAt(n)) java.lang.Long.valueOf(row.getLong(n))
+            else cp.lineage.map(l => java.lang.Long.valueOf(l._1 + pos))
+              .orNull
+          val rcv: Any =
+            if (!row.isNullAt(n + 1))
+              java.lang.Long.valueOf(row.getLong(n + 1))
+            else cp.lineage.map(l => java.lang.Long.valueOf(l._2)).orNull
+          out.update(n, rid)
+          out.update(n + 1, rcv)
+        }
+        out.update(width - 2, tpe)
+        out.update(width - 1, cp.version)
         out
       }
       override def close(): Unit = delegate.close()

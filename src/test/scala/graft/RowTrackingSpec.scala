@@ -180,6 +180,40 @@ class RowTrackingSpec extends AnyFunSuite {
       "untracked CDF must not grow lineage columns")
   }
 
+  test("#changes (DSv2 feed) carries lineage on tracked tables, agreeing with changesBetween event for event; untracked schema unchanged") {
+    registered {
+      val t = fresh(20)
+      TxTable.enableRowTracking(spark, t)
+      val v0 = TxTable.snapshot(spark, t).version
+      TxTable.deleteWhereMor(spark, t, col("k").isin(3L, 7L))
+      TxTable.upsert(spark, t,
+        Seq((5L, 5555L), (100L, 1000L)).toDF("k", "v"), "k", "v", 4)
+      val vEnd = TxTable.snapshot(spark, t).version
+      def events(df: org.apache.spark.sql.DataFrame) = df
+        .select($"k", $"_row_id", $"_change_type", $"_commit_version")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getLong(3))).toSet
+      val viaBatch = events(TxTable.changesBetween(spark, t, v0, vEnd))
+      val viaFeed = events(spark.read
+        .option("startingVersion", v0 + 1)
+        .option("endingVersion", vEnd)
+        .table(s"txrt.`$t#changes`"))
+      assert(viaFeed == viaBatch,
+        s"feed and batch CDF must agree event for event " +
+          s"(${viaFeed.size} vs ${viaBatch.size})")
+      assert(viaFeed.forall(_._2 >= 0L), "every event carries an id")
+      // the upsert pair links by identity through the FEED too
+      val k5 = viaFeed.filter(_._1 == 5L)
+      assert(k5.map(_._2).size == 1 ||
+        k5.map(x => x._2).toSeq.distinct.size == 1,
+        s"k=5 delete+insert must share one id: $k5")
+      // untracked tables keep the exact old feed schema
+      val u = fresh(5)
+      assert(!spark.read.table(s"txrt.`$u#changes`")
+        .columns.contains("_row_id"))
+    }
+  }
+
   test("#lineage (SQL twin): row-identical to readLineage across DV + eq-delete + rewrite history; refuses untracked tables") {
     registered {
       val t = fresh(30)
