@@ -236,12 +236,15 @@ object TxTable {
       .filter(_.nonEmpty).map { s =>
         val p = s.split(':')
         EqDelete(p(0).toLong, eqDec(p(1)),
-          eqDec(p(2)).split(',').toSeq)
+          p(2).split(',').toSeq.map(eqDec))
       }
 
+  // each column encodes SEPARATELY (a literal ',' inside a name becomes
+  // %2C), so the ','-joiner can never collide with a name — the codec
+  // round-trip is property-tested over hostile names
   private[graft] def renderEqDeletes(ds: Seq[EqDelete]): String =
     ds.map(d =>
-      s"${d.version}:${eqEnc(d.rel)}:${eqEnc(d.cols.mkString(","))}")
+      s"${d.version}:${eqEnc(d.rel)}:${d.cols.map(eqEnc).mkString(",")}")
       .mkString("|")
 
   // --- manifest encoding: one header line, one tab-separated line/file ---
