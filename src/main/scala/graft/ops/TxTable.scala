@@ -222,8 +222,97 @@ object TxTable {
 
   /** One registered equality delete: a sidecar parquet of KEY TUPLES at
     * `rel`, committed at `version`, matching on PHYSICAL columns `cols`.
-    * Kills matching rows in exactly the files with addV < version. */
-  final case class EqDelete(version: Long, rel: String, cols: Seq[String])
+    * Kills matching rows in exactly the files with addV < version.
+    * `nKeys` records HOW MANY key tuples the sidecar holds (the write
+    * path counted them anyway for dedup) so the read side can size its
+    * join strategy without touching the sidecar; -1 on entries written
+    * before the count existed (read as "small" — every legacy registry
+    * was). */
+  final case class EqDelete(version: Long, rel: String, cols: Seq[String],
+                            nKeys: Long = -1L)
+
+  /** Read-side join-strategy bound: while a key-set group's KNOWN
+    * registered-key total stays at or below this, the anti-join forces
+    * `broadcast()` (tiny CDC batches must never shuffle the scan); past
+    * it the hint is dropped and AQE picks — a 10⁸-key backlog becomes a
+    * shuffled join instead of a driver OOM. */
+  val EqBroadcastLimitConf = "spark.graft.eqdelete.broadcastKeyLimit"
+  val DefaultEqBroadcastLimit = 4000000L
+
+  /** Write-side budget: a registering commit that would push the
+    * table's total known registered keys past this REFUSES (or, under
+    * [[EqAutoFoldConf]], folds the registry first) — the loud
+    * CHECK-constraint contract that keeps an unmaintained CDC firehose
+    * from growing an unbounded read tax. */
+  val EqMaxRegisteredKeysConf = "spark.graft.eqdelete.maxRegisteredKeys"
+  val DefaultEqMaxRegisteredKeys = 50000000L
+
+  /** When true, an over-budget registering commit runs
+    * [[foldEqDeletes]] inline instead of refusing. */
+  val EqAutoFoldConf = "spark.graft.eqdelete.autoFold"
+
+  /** Max key tuples per staged registry parquet file — a 10⁹-key
+    * retention delete stages in parallel chunks instead of serializing
+    * through one task (the read side reads the rel as a directory, so
+    * file count is invisible to it). */
+  val EqKeysPerFileConf = "spark.graft.eqdelete.keysPerFile"
+  val DefaultEqKeysPerFile = 4000000L
+
+  private def eqConfLong(spark: SparkSession, name: String,
+                         default: Long): Long =
+    scala.util.Try(spark.conf.get(name).toLong).getOrElse(default)
+
+  private[graft] def eqBroadcastLimit(spark: SparkSession): Long =
+    eqConfLong(spark, EqBroadcastLimitConf, DefaultEqBroadcastLimit)
+
+  /** Broadcast-hint the delete-key side only while the group's known
+    * key total fits the bound; unknown (-1) legacy counts don't count —
+    * they predate the budget and were all sandbox-small. */
+  private[graft] def eqMaybeBroadcast(spark: SparkSession, df: DataFrame,
+                                      knownKeys: Long): DataFrame =
+    if (knownKeys > eqBroadcastLimit(spark)) df else broadcast(df)
+
+  private[graft] def eqKnownKeys(ds: Seq[EqDelete]): Long =
+    ds.map(_.nKeys).filter(_ >= 0).sum
+
+  /** Enforce the write-side registry budget before a registering
+    * commit: over budget → fold inline (autoFold) or refuse loudly. */
+  private def enforceEqBudget(spark: SparkSession, table: String,
+                              existing: Seq[EqDelete],
+                              incoming: Long): Seq[EqDelete] = {
+    val budget =
+      eqConfLong(spark, EqMaxRegisteredKeysConf, DefaultEqMaxRegisteredKeys)
+    val total = eqKnownKeys(existing) + incoming
+    if (total <= budget) existing
+    else if (scala.util.Try(spark.conf.get(EqAutoFoldConf).toBoolean)
+        .getOrElse(false) &&
+        // a fold can only help if the EXISTING registry carries weight;
+        // an incoming batch that alone busts the budget must refuse, or
+        // the fold-and-retry loop would spin forever
+        incoming <= budget && eqKnownKeys(existing) > 0) {
+      foldEqDeletes(spark, table)
+      parseEqDeletes(snapshot(spark, table).props)
+    } else throw new IllegalStateException(
+      s"$table: registering $incoming equality-delete keys would put " +
+        s"the registry at $total known keys, past its " +
+        s"$EqMaxRegisteredKeysConf budget of $budget — every read pays " +
+        "the unfolded registry as a join until maintenance runs. Run " +
+        "foldEqDeletes()/CALL fold_eq_deletes (or auto_maintain), or " +
+        s"set $EqAutoFoldConf=true to fold inline")
+  }
+
+  /** Stage a key frame as the registry sidecar at a fresh rel, chunked
+    * so one task never serializes a huge delete. Returns the rel. */
+  private def stageEqKeys(spark: SparkSession, table: String,
+                          physKeys: DataFrame, n: Long): String = {
+    val perFile =
+      math.max(1L, eqConfLong(spark, EqKeysPerFileConf, DefaultEqKeysPerFile))
+    val parts = math.min(((n + perFile - 1) / perFile).toInt.max(1), 10000)
+    val rel = s"files/${java.util.UUID.randomUUID()}/eqdel"
+    (if (parts == 1) physKeys.coalesce(1) else physKeys.repartition(parts))
+      .write.parquet(s"$table/$rel")
+    rel
+  }
 
   private def eqEnc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -236,16 +325,21 @@ object TxTable {
       .filter(_.nonEmpty).map { s =>
         val p = s.split(':')
         EqDelete(p(0).toLong, eqDec(p(1)),
-          p(2).split(',').toSeq.map(eqDec))
+          p(2).split(',').toSeq.map(eqDec),
+          if (p.length > 3) p(3).toLong else -1L)
       }
 
   // each column encodes SEPARATELY (a literal ',' inside a name becomes
   // %2C), so the ','-joiner can never collide with a name — the codec
-  // round-trip is property-tested over hostile names
+  // round-trip is property-tested over hostile names. The trailing
+  // `:<nKeys>` field is omitted when the count is unknown, so a legacy
+  // entry round-trips byte-identical through parse+render
   private[graft] def renderEqDeletes(ds: Seq[EqDelete]): String =
-    ds.map(d =>
-      s"${d.version}:${eqEnc(d.rel)}:${d.cols.map(eqEnc).mkString(",")}")
-      .mkString("|")
+    ds.map { d =>
+      val head =
+        s"${d.version}:${eqEnc(d.rel)}:${d.cols.map(eqEnc).mkString(",")}"
+      if (d.nKeys >= 0) s"$head:${d.nKeys}" else head
+    }.mkString("|")
 
   // --- manifest encoding: one header line, one tab-separated line/file ---
   // Header v1: `txtable\t1[\t<appId>\t<batchId>]`. Header v2 adds the
@@ -944,7 +1038,11 @@ object TxTable {
         val lookup = es.map { e =>
           val (b, v0) = e.base.getOrElse(throw new IllegalStateException(
             s"$table: ${e.rel} carries no base row id under row " +
-              "tracking — the enable invariant is broken"))
+              "tracking. Rows staged on an UNPUBLISHED branch or WAP " +
+              "id receive durable ids at publish (lineage is undefined " +
+              "until then — publish first); on a published head this " +
+              "means the enable invariant is broken (run " +
+              "enable_row_tracking / compact once)"))
           (DeletionVectors.relKey(e.rel), b, v0)
         }
         val lookupDf = spark.createDataFrame(lookup)
@@ -3014,20 +3112,31 @@ object TxTable {
         cols.foreach(c => require(schemaCols(c),
           s"$table: equality-delete key column '$c' is not in the " +
             "table schema"))
-        val r = s"files/${java.util.UUID.randomUUID()}/eqdel"
-        toPhysical(distinctKeys, snap).coalesce(1)
-          .write.parquet(s"$table/$r")
+        val r = stageEqKeys(spark, table, toPhysical(distinctKeys, snap), n)
         staged = Some((r, cols))
         (r, cols)
       }
-      val v = snap.version + 1
-      val dels = parseEqDeletes(snap.props) :+ EqDelete(v, rel, physCols)
-      if (commitNext(fs, table, snap, adds = Seq.empty,
-          removes = Set.empty, schema = snap.schema,
-          props = Some(snap.props +
-            (EqDeletesProp -> renderEqDeletes(dels)))))
-        return n
-      attempt += 1
+      val existingDels = parseEqDeletes(snap.props)
+      val budgeted =
+        try enforceEqBudget(spark, table, existingDels, n)
+        catch { case e: IllegalStateException =>
+          staged.foreach { case (r, _) =>
+            fs.delete(new Path(table, s"files/${r.split('/')(1)}"), true)
+          }
+          throw e
+        }
+      if (budgeted eq existingDels) {
+        val v = snap.version + 1
+        val dels = existingDels :+ EqDelete(v, rel, physCols, n)
+        if (commitNext(fs, table, snap, adds = Seq.empty,
+            removes = Set.empty, schema = snap.schema,
+            props = Some(snap.props +
+              (EqDeletesProp -> renderEqDeletes(dels)))))
+          return n
+        attempt += 1
+      }
+      // else: the budget fold advanced the table — re-enter against the
+      // folded head without burning a retry (the fold is progress)
     }
     throw new java.util.ConcurrentModificationException(
       s"$table: equality delete lost the commit race $maxRetries times")
@@ -3053,6 +3162,7 @@ object TxTable {
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
       return false
     val distinctKeys = deleteKeys.na.drop().dropDuplicates()
+    val nDel = distinctKeys.count()
     val taggedLogical = enforceConstraints(spark, table, rows)
       .withColumn(LayoutOps.BucketCol,
         LayoutOps.bucketId(col(key), nBuckets))
@@ -3062,11 +3172,10 @@ object TxTable {
       val rn = Snapshot(-1L, Seq.empty, renames = renames)
       val entries = stageFiles(spark, table, toPhysical(taggedLogical, rn))
       val del =
-        if (distinctKeys.isEmpty) None
+        if (nDel == 0) None
         else {
-          val r = s"files/${java.util.UUID.randomUUID()}/eqdel"
-          toPhysical(distinctKeys, rn).coalesce(1)
-            .write.parquet(s"$table/$r")
+          val r = stageEqKeys(spark, table,
+            toPhysical(distinctKeys, rn), nDel)
           Some((r, distinctKeys.columns.toSeq
             .map(c => renames.getOrElse(c, c))))
         }
@@ -3093,27 +3202,42 @@ object TxTable {
           .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
         return false
       }
-      val v = snap.version + 1
-      val props = stagedDel.fold(snap.props) { case (rel, cols) =>
-        snap.props + (EqDeletesProp -> renderEqDeletes(
-          parseEqDeletes(snap.props) :+ EqDelete(v, rel, cols)))
-      }
-      if (commitNext(fs, table, snap, adds = newEntries,
-          removes = Set.empty, txn = Some((appId, batchId)),
-          schema = Some(evolvedSchema(spark, table, snap,
-            toPhysical(taggedLogical,
-              Snapshot(-1L, Seq.empty, renames = stagedRenames)).schema)),
-          bucketing = Some((snap.physicalName(key), nBuckets)),
-          props = Some(props)))
-        return true
-      attempt += 1
-      if (attempt > maxRetries) {
-        (newEntries.map(_.rel.split('/')(1)) ++
-          stagedDel.map(_._1.split('/')(1))).distinct
-          .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
-        throw new java.util.ConcurrentModificationException(
-          s"$table: CDC eq-delete append lost the commit race " +
-            s"$maxRetries times; giving up")
+      val existingDels = parseEqDeletes(snap.props)
+      val budgeted =
+        if (stagedDel.isEmpty) existingDels
+        else try enforceEqBudget(spark, table, existingDels, nDel)
+        catch { case e: IllegalStateException =>
+          (newEntries.map(_.rel.split('/')(1)) ++
+            stagedDel.map(_._1.split('/')(1))).distinct
+            .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+          throw e
+        }
+      // when the budget check folded the registry inline, the table
+      // advanced: loop back to the new head WITHOUT burning a retry —
+      // the fold is progress, not a commit race
+      if (budgeted eq existingDels) {
+        val v = snap.version + 1
+        val props = stagedDel.fold(snap.props) { case (rel, cols) =>
+          snap.props + (EqDeletesProp -> renderEqDeletes(
+            existingDels :+ EqDelete(v, rel, cols, nDel)))
+        }
+        if (commitNext(fs, table, snap, adds = newEntries,
+            removes = Set.empty, txn = Some((appId, batchId)),
+            schema = Some(evolvedSchema(spark, table, snap,
+              toPhysical(taggedLogical,
+                Snapshot(-1L, Seq.empty, renames = stagedRenames)).schema)),
+            bucketing = Some((snap.physicalName(key), nBuckets)),
+            props = Some(props)))
+          return true
+        attempt += 1
+        if (attempt > maxRetries) {
+          (newEntries.map(_.rel.split('/')(1)) ++
+            stagedDel.map(_._1.split('/')(1))).distinct
+            .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
+          throw new java.util.ConcurrentModificationException(
+            s"$table: CDC eq-delete append lost the commit race " +
+              s"$maxRetries times; giving up")
+        }
       }
     }
     false // unreachable
@@ -3163,7 +3287,11 @@ object TxTable {
           .reduce(_.unionByName(_))
         val cond = cols.map(c => out(c) === keysDf(c))
           .reduce(_ && _) && col("__eqaddv") < keysDf("__eqdelv")
-        out = out.join(broadcast(keysDf), cond, "left_anti")
+        // small backlog → forced broadcast (zero added shuffles); past
+        // the key budget → AQE decides, so a 10⁸-key backlog shuffles
+        // instead of OOMing the driver
+        out = out.join(eqMaybeBroadcast(spark, keysDf, eqKnownKeys(ds)),
+          cond, "left_anti")
       }
     out.drop("__eqrk", "__eqrk2", "__eqaddv")
   }
@@ -3200,7 +3328,9 @@ object TxTable {
     df = applyEqDeletes(spark, table, snapAtV, df, Some(earlier))
     val keysDf = spark.read.parquet(s"$table/${d.rel}")
     val cond = d.cols.map(c => df(c) === keysDf(c)).reduce(_ && _)
-    val pairs = df.join(broadcast(keysDf), cond, "left_semi")
+    val pairs = df.join(
+        eqMaybeBroadcast(spark, keysDf, math.max(d.nKeys, 0L)),
+        cond, "left_semi")
       .select(col("__rk"), col("__pos")).distinct().collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val relByKey = affected.map(e =>

@@ -156,8 +156,14 @@ private[sources] object TxEqFold {
               .reduce(_.unionByName(_))
             val cond = cols.map(c => joined(c) === keysDf(c))
               .reduce(_ && _) && col("__addv") < keysDf("__delv")
+            // same key-budgeted strategy switch as the Scala read path:
+            // forced broadcast only while the group's known key count
+            // fits spark.graft.eqdelete.broadcastKeyLimit; past it AQE
+            // picks the join, so a huge backlog shuffles instead of
+            // OOMing the driver at plan time
             joined.join(
-              org.apache.spark.sql.functions.broadcast(keysDf), cond,
+              TxTable.eqMaybeBroadcast(spark, keysDf,
+                TxTable.eqKnownKeys(ds)), cond,
               "left_semi").select(col("__rk"), col("__pos"))
           }.reduce(_.union(_)).distinct().collect()
           .map(r => (r.getString(0), r.getLong(1)))
