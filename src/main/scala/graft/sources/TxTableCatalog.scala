@@ -107,12 +107,19 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
 
   /** Identifier string → path string: a bound NAME rewrites to its
     * path (reserved suffix re-attached); everything else — absolute
-    * paths, unbound names, no-warehouse catalogs — passes through. */
-  private def resolveRaw(raw: String): String = {
+    * paths, unbound names, no-warehouse catalogs — passes through.
+    * Identifier segments join with '/' when Spark hands us a parsed
+    * identifier; a CALL proc's `table` argument is one unparsed string,
+    * so the DOTTED spelling (`db.orders`) resolves too when the
+    * '/'-split finds no binding — exact segments always win over the
+    * dotted reinterpretation. */
+  private[sources] def resolveRaw(raw: String): String = {
     if (warehouse.isEmpty || raw.startsWith("/")) return raw
     val i = raw.indexWhere(c => c == '@' || c == '#')
     val (base, suffix) = if (i < 0) (raw, "") else (raw.take(i), raw.drop(i))
-    readBinding(base.split('/').toIndexedSeq).map(_ + suffix)
+    readBinding(base.split('/').toIndexedSeq)
+      .orElse(readBinding(base.split('.').toIndexedSeq))
+      .map(_ + suffix)
       .getOrElse(raw)
   }
 
@@ -722,11 +729,15 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
     TxProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 
   override def loadProcedure(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
-    TxProcedures.load(ident.name()).getOrElse(
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val p = TxProcedures.load(ident.name()).getOrElse(
       throw new UnsupportedOperationException(
         s"unknown procedure '${ident.name()}' — available: " +
           TxProcedures.names.mkString(", ")))
+    // with a metastore, a proc's `table` argument may be a NAME — route
+    // it through the same resolver loadTable uses (suffixes included)
+    if (warehouse.isEmpty) p else TxProcedures.resolved(p, resolveRaw)
+  }
 }
 
 /** The TableChange → (schema, tombstones) kernel behind
@@ -5488,6 +5499,23 @@ object TxProcedures {
     }
   }
 
+  private val deleteWhereEqProc: Proc = new Proc("delete_where_eq",
+    "register an equality delete from SQL: the KEY TUPLES produced by " +
+      "keys_query (its output COLUMNS name the equality key, exactly " +
+      "like the Scala verb's frame) commit as a registry entry — zero " +
+      "data files read or written, the zero-read-amplification MOR " +
+      "delete shape. Reads pay the registry as a key-budgeted " +
+      "anti-join until CALL fold_eq_deletes / auto_maintain folds it",
+    Seq(ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keys_query", StringType).build()),
+    StructType(Seq(org.apache.spark.sql.types
+      .StructField("keys_registered", LongType, nullable = false)))) {
+    override protected def run(input: InternalRow): Array[Any] =
+      Array(TxTable.deleteWhereEq(spark,
+        input.getUTF8String(0).toString,
+        spark.sql(input.getUTF8String(1).toString)))
+  }
+
   private val all: Map[String, UnboundProcedure] =
     Seq(compact, computeStats, computeBloom, purgeDeletes, vacuum,
       rebucket, history, tagProc, untagProc, restoreProc,
@@ -5495,9 +5523,52 @@ object TxProcedures {
       dropBranch, analyzeLayout, cloneProc, releaseCloneProc,
       enableRowTrackingProc, foldEqDeletesProc, autoMaintainProc,
       localizeCloneProc, compactPartitionProc, dropPartitionProc,
-      vacuumIndexProc, computeStatsNdv)
+      vacuumIndexProc, computeStatsNdv, deleteWhereEqProc)
       .map(p => p.name() -> (p: UnboundProcedure)).toMap
 
   def names: Seq[String] = all.keys.toSeq.sorted
   def load(name: String): Option[UnboundProcedure] = all.get(name)
+
+  /** Wrap a procedure so its `table` parameter resolves NAMES through
+    * the calling catalog's metastore before the kernel sees it —
+    * `CALL cat.compact('db.t')` maintains exactly the table
+    * `CALL cat.compact('/path')` would (a warehouse catalog's
+    * maintenance surface must not be path-only). Generic over every
+    * proc: the parameter NAMED `table` (string-typed) is rewritten,
+    * everything else passes through untouched. */
+  def resolved(p: UnboundProcedure,
+               resolve: String => String): UnboundProcedure =
+    new UnboundProcedure with BoundProcedure {
+      override def name(): String = p.name()
+      override def description(): String = p.description()
+      override def bind(inputType: StructType): BoundProcedure = {
+        val b = p.bind(inputType)
+        new UnboundProcedure with BoundProcedure {
+          override def name(): String = b.name()
+          override def description(): String = b.description()
+          override def bind(t: StructType): BoundProcedure = this
+          override def parameters(): Array[ProcedureParameter] =
+            b.parameters()
+          override def isDeterministic: Boolean = b.isDeterministic
+          override def call(input: InternalRow)
+              : java.util.Iterator[Scan] = {
+            val ps = b.parameters()
+            val vals = ps.indices.map { i =>
+              val v = input.get(i, ps(i).dataType())
+              if (ps(i).name() == "table" &&
+                  ps(i).dataType() == StringType && v != null)
+                UTF8String.fromString(resolve(v.toString))
+              else v
+            }.toArray[Any]
+            b.call(new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vals))
+          }
+        }
+      }
+      override def parameters(): Array[ProcedureParameter] =
+        bind(new StructType()).parameters()
+      override def isDeterministic: Boolean = false
+      override def call(input: InternalRow): java.util.Iterator[Scan] =
+        bind(new StructType()).call(input)
+    }
 }

@@ -123,6 +123,54 @@ class TxNamespaceSpec extends AnyFunSuite {
     }
   }
 
+  test("matrix: reserved suffixes and CALL procs accept NAMES everywhere paths work (round-14 ask #8)") {
+    withCatalog { wh =>
+      spark.sql("""CREATE TABLE txnm.db.m (k BIGINT, v STRING)
+        PARTITIONED BY (bucket(4, k))""")
+      spark.sql("INSERT INTO txnm.db.m VALUES (1,'a'), (2,'b'), (3,'c')")
+      val path = s"$wh/db/m"
+      // CALL procs resolve names — both the '/'-joined identifier
+      // spelling and the dotted SQL spelling
+      assert(spark.sql("CALL txnm.history('db/m')").count() >= 1)
+      assert(spark.sql("CALL txnm.history('db.m')").count() >= 1)
+      // absolute paths through the SAME catalog stay path-addressed
+      assert(spark.sql(s"CALL txnm.history('$path')").count() >= 1)
+      // row tracking enabled BY NAME, #lineage read BY NAME
+      spark.sql("CALL txnm.enable_row_tracking('db.m')")
+      val lin = spark.table("txnm.`db/m#lineage`")
+      assert(lin.columns.contains("_row_id"))
+      assert(lin.count() == 3)
+      // metadata system tables by name
+      assert(spark.table("txnm.`db/m#partitions`").count() > 0)
+      assert(spark.table("txnm.`db/m#files`").count() > 0)
+      assert(spark.table("txnm.`db/m#history`").count() >= 1)
+      // the change feed by name
+      assert(spark.table("txnm.`db/m#changes`").count() >= 3)
+      // branch lifecycle entirely by name: fork, write to the branch
+      // head, read it, main unchanged, suffix COMBOS resolve too
+      spark.sql("CALL txnm.create_branch('db.m', 'x')")
+      spark.sql("INSERT INTO txnm.`db/m@branch.x` VALUES (9, 'z')")
+      assert(spark.table("txnm.`db/m@branch.x`").count() == 4)
+      assert(spark.table("txnm.db.m").count() == 3)
+      assert(spark.table("txnm.`db/m@branch.x#files`").count() > 0)
+      assert(spark.table("txnm.`db/m@v1#files`").count() > 0)
+      // the SQL twin of the Scala zero-read-amp delete, by name: the
+      // keys_query's output COLUMNS name the equality key
+      val n = spark.sql(
+        "CALL txnm.delete_where_eq('db.m', 'SELECT CAST(2 AS BIGINT) AS k')")
+        .as[Long].head()
+      assert(n == 1L)
+      assert(spark.table("txnm.db.m").select($"k").as[Long]
+        .collect().toSet == Set(1L, 3L))
+      // fold drives the registry tax-free again — also by name
+      spark.sql("CALL txnm.fold_eq_deletes('db.m')")
+      assert(TxTable.parseEqDeletes(
+        TxTable.snapshot(spark, path).props).isEmpty)
+      assert(spark.table("txnm.db.m").select($"k").as[Long]
+        .collect().toSet == Set(1L, 3L))
+    }
+  }
+
   test("concurrent CREATE collision: exactly one of two racing creates wins the binding") {
     withCatalog { _ =>
       import scala.concurrent.{Await, Future}
