@@ -699,6 +699,9 @@ object SparkEntry {
     // the equality-delete CDC fixture (the two MOR commits are landing
     // work; the query times the sequence-scoped anti-join read)
     stagedEqDeleteOrders(s, dir)
+    // the streaming-CDC eq-delete fixture (the 3-batch cdcApplyEq drain
+    // is landing work; the query times the three-entry registry read)
+    stagedCdcEqOrders(s, dir)
     // the generated-column orders fixture (CREATE + three writer
     // surfaces incl. a MERGE recompute are landing work; the query
     // times the plain stored-column read)
@@ -1088,6 +1091,62 @@ object SparkEntry {
         "k", 8, appId = "eqd-stage", batchId = 1L)
       ops.TxTable.deleteWhereEq(s, path,
         orders.filter(col("k") % 13 === 0).select(col("k")))
+      ()
+    }
+    path
+  }
+
+  /** Streaming CDC equality-delete fixture (ext_cdc_eq): a THREE
+    * micro-batch insert/update/delete history replayed through the
+    * production sink verb [[graft.stream.Pipelines.cdcApplyEq]] — a
+    * MemoryStream drives real micro-batch boundaries
+    * (processAllAvailable between feeds), each batch landing as ONE
+    * atomic commit that registers the batch's keys as an equality
+    * delete and appends its images (delete-op rows register only).
+    *   batch 0: every 7th key updates (val + 100);
+    *   batch 1: every 13th key deletes (op = 'd', no images);
+    *   batch 2: every 5th key updates (val × 2, computed from the RAW
+    *            orders — CDC images don't read the table) + a '0-NEW'
+    *            insert for every 97th key.
+    * The registry stays UNFOLDED, so the audit query reads through
+    * three sequence-scoped anti-joins: batch 2's images survive batch
+    * 1's deletes (their files postdate it), batch 1's deletes kill
+    * batch 0's images (they predate it) — last-writer-wins per key,
+    * exactly what the oracle replays as CASE/WHERE over raw orders. */
+  private def stagedCdcEqOrders(s: SparkSession, dir: String): String = {
+    val root = s"target/graft-cdc-eq/${new java.io.File(dir).getName}"
+    val path = s"$root/t"
+    ensureStaged(root) {
+      rmTree(new java.io.File(root))
+      import s.implicits._
+      val orders = tbl(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast("double").as("val"))
+      ops.TxTable.init(s, path, orders, key = "k", nBuckets = 8)
+      val b0 = orders.filter(col("k") % 7 === 0)
+        .withColumn("val", col("val") + 100.0)
+        .withColumn("op", lit("u"))
+      val b1 = orders.filter(col("k") % 13 === 0)
+        .withColumn("op", lit("d"))
+      val b2 = orders.filter(col("k") % 5 === 0)
+        .withColumn("val", col("val") * 2.0)
+        .withColumn("op", lit("u"))
+        .unionByName(orders.filter(col("k") % 97 === 0)
+          .select((col("k") + lit(100000000L)).as("k"),
+            lit("0-NEW").as("grp"), col("val"), lit("u").as("op")))
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double, String)]
+      val q = graft.stream.Pipelines.cdcApplyEq(
+        in.toDF().toDF("k", "grp", "val", "op"), path, "k",
+        s"$root/ckpt", appId = "cdc-eq-stage", nBuckets = 8,
+        opCol = Some("op")).start()
+      try Seq(b0, b1, b2).foreach { b =>
+        in.addData(b.select($"k", $"grp", $"val", $"op")
+          .as[(Long, String, Double, String)].collect().toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
       ()
     }
     path
@@ -3067,6 +3126,21 @@ object SparkEntry {
     // batches as a CASE + WHERE over the raw orders.
     "ext_eq_delete" -> ((s, dir) => {
       val path = stagedEqDeleteOrders(s, dir)
+      ops.TxTable.read(s, path)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("val")).as("total_val"),
+          max(col("val")).as("max_val"))
+        .orderBy(col("grp"))
+    }),
+
+    // Streaming-CDC equality-delete audit: the final state after three
+    // cdcApplyEq micro-batches (update / delete / update+insert), read
+    // through the UNFOLDED three-entry registry. The oracle replays the
+    // batch history as CASE/WHERE over the raw orders (see the fixture
+    // Scaladoc for the last-writer-wins derivation).
+    "ext_cdc_eq" -> ((s, dir) => {
+      val path = stagedCdcEqOrders(s, dir)
       ops.TxTable.read(s, path)
         .groupBy(col("grp"))
         .agg(count(lit(1)).as("n_rows"),
@@ -5808,6 +5882,30 @@ object SparkEntry {
         |    ELSE o_totalprice END) AS max_val
         |FROM orders WHERE o_orderkey % 13 <> 0
         |GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // streaming-CDC replay: last-writer-wins per key over the 3-batch
+    // history — batch 2 (×2) beats batch 0 (+100) beats init; batch 1's
+    // delete removes a key unless batch 2 re-inserted it (k%5). The
+    // arithmetic is pure double ops (×2, +100), IEEE-identical across
+    // engines; the sum goes through DECIMAL(18,2)
+    "ext_cdc_eq" ->
+      """WITH survivors AS (
+        |  SELECT o_orderpriority AS grp,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+        |         WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |         ELSE o_totalprice END AS val
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0 OR o_orderkey % 13 <> 0
+        |), inserted AS (
+        |  SELECT '0-NEW' AS grp, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |), allr AS (
+        |  SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+        |)
+        |SELECT grp, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total_val,
+        |  MAX(val) AS max_val
+        |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
 
     // row-lineage replay: WHICH files the ids ride in is a pure
     // execution property — the oracle predicts the identity counts from

@@ -352,7 +352,12 @@ object DeletionVectors {
     else {
       val lookup = marked.map { case (e, _) =>
         val (b, v0) = e.base.getOrElse(throw new IllegalStateException(
-          s"$table: ${e.rel} carries no base row id under row tracking"))
+          s"$table: ${e.rel} carries no base row id under row tracking. " +
+            "Rows staged on an UNPUBLISHED branch or WAP id receive " +
+            "durable ids at publish (lineage is undefined until then — " +
+            "publish first); on a published head this means the enable " +
+            "invariant is broken (run enable_row_tracking / compact " +
+            "once)"))
         (relKey(e.rel), b, v0)
       }
       val lookupDf = spark.createDataFrame(lookup)

@@ -82,7 +82,12 @@ private[sources] final class TxLineageScan(path: String,
     snap.entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map {
       case (e, i) =>
         val (b, v0) = e.base.getOrElse(throw new IllegalStateException(
-          s"$path: ${e.rel} carries no base row id under row tracking"))
+          s"$path: ${e.rel} carries no base row id under row tracking. " +
+            "Rows staged on an UNPUBLISHED branch or WAP id receive " +
+            "durable ids at publish (lineage is undefined until then — " +
+            "publish first); on a published head this means the enable " +
+            "invariant is broken (run enable_row_tracking / compact " +
+            "once)"))
         val p = new Path(s"$path/${e.rel}")
         val st = fs.getFileStatus(p)
         TxLineagePartition(

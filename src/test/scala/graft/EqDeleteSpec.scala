@@ -233,6 +233,45 @@ class EqDeleteSpec extends AnyFunSuite {
     assert(TxTable.snapshot(spark, t).version == 1L)
   }
 
+  test("cdcApplyEq torn-batch replay: crash after the sink committed but before the engine logged — the re-delivered batch is a no-op") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = Files.createTempDirectory("graft_eqt_").toString
+    val t = s"$tmp/t"
+    val ck = s"$tmp/ckpt"
+    TxTable.init(spark, t, Seq((1L, 10L), (2L, 20L)).toDF("k", "v"),
+      "k", 4)
+    val in = MemoryStream[(Long, Long, String)]
+    def start() = graft.stream.Pipelines.cdcApplyEq(
+      in.toDF().toDF("k", "v", "op"), t, "k", ck,
+      appId = "eqt", nBuckets = 4, opCol = Some("op")).start()
+    val q1 = start()
+    in.addData((1L, 11L, "u"), (3L, 30L, "u"))
+    q1.processAllAvailable(); q1.stop()
+    assert(TxTable.snapshot(spark, t).version == 1L)
+    // the torn window: the TxTable commit landed but the engine's own
+    // commit log entry didn't (crash between sink and log) — on restart
+    // Spark re-delivers batch 0 with the same offsets
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filterNot(_.getName.startsWith(".")).sortBy(_.getName)
+    assert(commits.nonEmpty && commits.last.delete())
+    new java.io.File(commits.last.getParent,
+      "." + commits.last.getName + ".crc").delete()
+    val q2 = start()
+    q2.processAllAvailable()
+    assert(TxTable.snapshot(spark, t).version == 1L,
+      "the replayed batch must be recognized by (appId, batchId) and " +
+        "commit NOTHING")
+    // and the stream keeps going: batch 1 updates k=2, deletes k=1
+    in.addData((2L, 22L, "u"), (1L, 0L, "d"))
+    q2.processAllAvailable(); q2.stop()
+    assert(TxTable.snapshot(spark, t).version == 2L)
+    val out = TxTable.read(spark, t).select($"k", $"v")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 22L, 3L -> 30L),
+      s"k=1 deleted, k=2 updated, k=3 from the replayed batch: $out")
+  }
+
   test("race: concurrent CDC eq-batches and plain appends all land exactly-once; no delete leaks onto a racing append's rows") {
     val t = fresh(0)
     import scala.concurrent.{Await, Future}
