@@ -177,6 +177,80 @@ object TxTable {
     new Path(logDir(table), f"$v%020d.manifest")
   private def checkpointPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.checkpoint")
+  private def shardName(v: Long, i: Int) = f"$v%020d.checkpoint.s$i%05d"
+
+  /** Past this many live files a checkpoint writes SHARDED (the Iceberg
+    * manifest-list shape): the `.checkpoint` file keeps the header plus
+    * `@shard <file> <count>` references, and the entry lines split
+    * across `.checkpoint.sNNNNN` sidecars. Head resolution then never
+    * parses the entry list on the driver — [[Snapshot.entries]] is a
+    * lazy view whose exact length comes from the shard counts, and the
+    * distributed planner reads the shards executor-side. Default aligns
+    * with `spark.graft.planning.distributeAt`: sandbox tables keep the
+    * single-file format byte for byte. */
+  val CheckpointShardAtConf = "spark.graft.checkpoint.shardAt"
+  val DefaultCheckpointShardAt = 100000
+
+  private def checkpointShardAt: Int =
+    scala.util.Try(SparkSession.active.conf
+      .get(CheckpointShardAtConf).toInt)
+      .getOrElse(DefaultCheckpointShardAt)
+
+  /** Entry-list backing of a SHARDED checkpoint anchor: the shard files
+    * (name, entry count) plus the NET delta changes folded on top —
+    * `adds` are entries added since the anchor (minus ones removed
+    * again), `removes` only ever names rels present in the SHARD base
+    * (the fold keeps the two disjoint), so `count` is exact without
+    * reading a byte. */
+  final case class ShardedEntries(table: String,
+                                  files: Seq[(String, Long)],
+                                  adds: Seq[FileEntry] = Seq.empty,
+                                  removes: Set[String] = Set.empty) {
+    def count: Long = files.map(_._2).sum + adds.size - removes.size
+  }
+
+  /** Absolute paths of a sharded anchor's shard files — what the
+    * distributed planner hands to `spark.read.text`. */
+  private[graft] def shardFilePaths(sh: ShardedEntries): Seq[String] =
+    sh.files.map(f => new Path(logDir(sh.table), f._1).toString)
+
+  /** Driver-side materialization of a sharded entry list (sequential
+    * shard parse) — the path lazy entries take when something actually
+    * traverses them. */
+  private def materializeShards(fs: FileSystem,
+                                sh: ShardedEntries): IndexedSeq[FileEntry] = {
+    val base = sh.files.flatMap { case (name, _) =>
+      new String(readBytes(fs, new Path(logDir(sh.table), name)),
+        StandardCharsets.UTF_8)
+        .split('\n').toSeq.filter(_.nonEmpty).map(parseEntryLine)
+    }
+    (base.filterNot(e => sh.removes(e.rel)) ++ sh.adds).toIndexedSeq
+  }
+
+  /** A `Seq[FileEntry]` that defers the shard parse until first
+    * traversal. Length/emptiness are O(1) from the shard counts, so
+    * threshold checks (the distributed planner's engagement test) and
+    * head resolution never materialize; the spec-observable [[LazyEntries
+    * .forces]] counter pins exactly when the driver does pay. */
+  final class LazyEntries private[TxTable] (
+      private[graft] val shards: ShardedEntries,
+      private[graft] val loader: ShardedEntries => IndexedSeq[FileEntry])
+      extends scala.collection.immutable.Seq[FileEntry] {
+    lazy val materialized: IndexedSeq[FileEntry] = {
+      LazyEntries.forces.incrementAndGet()
+      loader(shards)
+    }
+    override def length: Int = shards.count.toInt
+    override def apply(i: Int): FileEntry = materialized(i)
+    override def iterator: Iterator[FileEntry] = materialized.iterator
+    override def isEmpty: Boolean = shards.count == 0L
+  }
+  object LazyEntries {
+    /** How many times a sharded entry list materialized on the driver —
+      * the LogScalingSpec pin that head resolution + distributed-planned
+      * scans stay shard-backed. */
+    val forces = new java.util.concurrent.atomic.AtomicLong(0)
+  }
 
   /** A full snapshot manifest is written every this many commits as a
     * `.checkpoint` sidecar (the public Delta checkpoint design): commits
@@ -468,11 +542,14 @@ object TxTable {
         case None => "txtable	1"
       }
     }
-    (header +: entries.sortBy(e => (e.bucket, e.rel))
-      .map(e => s"${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}" +
-        s"${dvSuffix(e)}${ridSuffix(e)}"))
+    (header +: entries.sortBy(e => (e.bucket, e.rel)).map(renderEntryLine))
       .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)
   }
+
+  /** Entry → its manifest/shard line; `parseEntryLine` round-trips it. */
+  private[graft] def renderEntryLine(e: FileEntry): String =
+    s"${e.bucket}	${e.rel}	${e.rows.getOrElse("-")}" +
+      s"${dvSuffix(e)}${ridSuffix(e)}"
 
   private def dvSuffix(e: FileEntry): String =
     e.dv.fold("")(d => s"	${d.rel}	${d.ndel}")
@@ -511,20 +588,24 @@ object TxTable {
   private def parseRows(s: String): Option[Long] =
     if (s == "-") None else Some(s.toLong)
 
+  /** One manifest/shard body line → entry (the single line grammar every
+    * surface shares — executors parse shard lines with exactly this). */
+  private[graft] def parseEntryLine(line: String): FileEntry = {
+    val (fields, rid, addV) = splitRid(line.split('	'))
+    (fields match {
+      case Array(b, rel) => FileEntry(b.toInt, rel)
+      case Array(b, rel, r) => FileEntry(b.toInt, rel, parseRows(r))
+      case Array(b, rel, r, dvRel, ndel) =>
+        FileEntry(b.toInt, rel, parseRows(r),
+          Some(DvRef(dvRel, ndel.toLong)))
+      case other => throw new IllegalStateException(
+        s"malformed manifest line: ${other.mkString("\\t")}")
+    }).copy(base = rid, addV = addV)
+  }
+
   private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] =
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
-      .drop(1).filter(_.nonEmpty).map { line =>
-        val (fields, rid, addV) = splitRid(line.split('	'))
-        (fields match {
-          case Array(b, rel) => FileEntry(b.toInt, rel)
-          case Array(b, rel, r) => FileEntry(b.toInt, rel, parseRows(r))
-          case Array(b, rel, r, dvRel, ndel) =>
-            FileEntry(b.toInt, rel, parseRows(r),
-              Some(DvRef(dvRel, ndel.toLong)))
-          case other => throw new IllegalStateException(
-            s"malformed manifest line: ${other.mkString("\\t")}")
-        }).copy(base = rid, addV = addV)
-      }
+      .drop(1).filter(_.nonEmpty).map(parseEntryLine)
 
   // HEADER extension (row-level CDF classification): field 11 of a DELTA
   // manifest records the table-relative path of the commit's update-
@@ -828,14 +909,76 @@ object TxTable {
                               dropped: Set[String] = Set.empty,
                               props: Map[String, String] = Map.empty,
                               renames: Map[String, String] = Map.empty): Unit = {
+    val shardAt = checkpointShardAt
+    val bytes =
+      if (shardAt <= 0 || entries.size < shardAt)
+        renderManifest(entries, None, schema, bucketing, dropped,
+          props, renames)
+      else {
+        // SHARDED (the Iceberg manifest-list shape): entry lines split
+        // into `.checkpoint.sNNNNN` sidecars written before the
+        // referencing checkpoint (readers only ever see complete sets;
+        // a crash mid-write leaves unreferenced shard files for vacuum),
+        // the checkpoint itself carries header + `@shard` references
+        val refs = entries.sortBy(e => (e.bucket, e.rel))
+          .grouped(shardAt).zipWithIndex.map { case (g, i) =>
+            val name = shardName(v, i)
+            val tmp = new Path(logDir(table),
+              s".cps-tmp-${java.util.UUID.randomUUID()}")
+            val o = fs.create(tmp, true)
+            o.write(g.map(renderEntryLine).mkString("", "\n", "\n")
+              .getBytes(StandardCharsets.UTF_8))
+            o.close()
+            val dst = new Path(logDir(table), name)
+            fs.delete(dst, false)
+            if (!fs.rename(tmp, dst)) {
+              fs.delete(tmp, false)
+              throw new java.io.IOException(
+                s"$table: shard $name failed to publish")
+            }
+            s"@shard	$name	${g.size}"
+          }.toSeq
+        (new String(renderManifest(Seq.empty, None, schema, bucketing,
+          dropped, props, renames), StandardCharsets.UTF_8) +
+          refs.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8)
+      }
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    out.write(renderManifest(entries, None, schema, bucketing, dropped,
-      props, renames))
+    out.write(bytes)
     out.close()
     val dst = checkpointPath(table, v)
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+  }
+
+  /** Shard references of a sharded checkpoint's body; None for the
+    * single-file format (old checkpoints stay readable unchanged). */
+  private def parseShardRefs(bytes: Array[Byte]): Option[Seq[(String, Long)]] = {
+    val lines = new String(bytes, StandardCharsets.UTF_8)
+      .split('\n').toSeq.drop(1).filter(_.nonEmpty)
+    if (!lines.headOption.exists(_.startsWith("@shard	"))) None
+    else Some(lines.map { l =>
+      val p = l.split('	')
+      require(p(0) == "@shard",
+        s"mixed shard/entry checkpoint body line: $l")
+      (p(1), p(2).toLong)
+    })
+  }
+
+  /** Snapshot from a checkpoint anchor's bytes — sharded checkpoints get
+    * LAZY entries (shard parse deferred until something traverses). */
+  private def anchorSnapshot(fs: FileSystem, table: String, v: Long,
+                             bytes: Array[Byte]): Snapshot = {
+    val entries: Seq[FileEntry] = parseShardRefs(bytes) match {
+      case Some(refs) =>
+        new LazyEntries(ShardedEntries(table, refs),
+          sh => materializeShards(fs, sh))
+      case None => parseManifest(bytes)
+    }
+    Snapshot(v, entries, parseSchema(bytes),
+      parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty),
+      parseProps(bytes).getOrElse(Map.empty),
+      parseRenames(bytes).getOrElse(Map.empty))
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -867,11 +1010,7 @@ object TxTable {
     while (anchor.isEmpty) {
       val cp = checkpointPath(table, cursor)
       if (fs.exists(cp)) {
-        val bytes = readBytes(fs, cp)
-        anchor = Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
-          parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty),
-          parseProps(bytes).getOrElse(Map.empty),
-          parseRenames(bytes).getOrElse(Map.empty)))
+        anchor = Some(anchorSnapshot(fs, table, cursor, readBytes(fs, cp)))
       } else {
         val p = versionPath(table, cursor)
         require(fs.exists(p),
@@ -897,8 +1036,22 @@ object TxTable {
     * resolution. */
   private def foldDelta(snap: Snapshot, bytes: Array[Byte]): Snapshot = {
     val (adds, removes) = parseDelta(bytes)
-    Snapshot(snap.version + 1,
-      snap.entries.filterNot(e => removes(e.rel)) ++ adds,
+    // a shard-backed entry list folds WITHOUT materializing: the delta's
+    // changes accumulate as net (adds, removes) on the shard base —
+    // `removes` only ever names shard-base rels (a removed rel that was
+    // itself delta-added just drops from `adds`), so the exact count
+    // stays O(1) and the driver still hasn't parsed an entry line
+    val newEntries: Seq[FileEntry] = snap.entries match {
+      case le: LazyEntries =>
+        val sh = le.shards
+        val keptAdds = sh.adds.filterNot(e => removes(e.rel))
+        val addRels = sh.adds.map(_.rel).toSet
+        val baseRemoves = removes.filterNot(addRels)
+        new LazyEntries(sh.copy(adds = keptAdds ++ adds,
+          removes = sh.removes ++ baseRemoves), le.loader)
+      case es => es.filterNot(e => removes(e.rel)) ++ adds
+    }
+    Snapshot(snap.version + 1, newEntries,
       parseSchema(bytes).orElse(snap.schema),
       parseBucketing(bytes).orElse(snap.bucketing),
       parseDropped(bytes).getOrElse(snap.dropped),
@@ -5183,16 +5336,32 @@ object TxTable {
     // from both ends)
     val taggedNow = tagged ++ tags(spark, table).values ++
       branches(spark, table).values
+    // one listing serves every pruned version's shard cleanup (sharded
+    // checkpoints carry their entry lines in .checkpoint.sNNNNN sidecars)
+    val shardsByV: Map[Long, Seq[Path]] =
+      scala.util.Try(fs.listStatus(logDir(table)).toSeq.map(_.getPath))
+        .getOrElse(Seq.empty)
+        .flatMap { p =>
+          val n = p.getName
+          val i = n.indexOf(".checkpoint.s")
+          if (i <= 0) None
+          else scala.util.Try(n.take(i).toLong).toOption.map(_ -> p)
+        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     versions.filter(_ < minKeep).filterNot(taggedNow).foreach { v =>
       if (dryRun) {
         deleted += versionPath(table, v).toString
         if (fs.exists(checkpointPath(table, v)))
           deleted += checkpointPath(table, v).toString
+        shardsByV.getOrElse(v, Seq.empty)
+          .foreach(p => deleted += p.toString)
       } else {
         fs.delete(versionPath(table, v), false)
         deleted += versionPath(table, v).toString
         if (fs.delete(checkpointPath(table, v), false))
           deleted += checkpointPath(table, v).toString
+        shardsByV.getOrElse(v, Seq.empty).foreach { p =>
+          if (fs.delete(p, false)) deleted += p.toString
+        }
       }
     }
     deleted.result()

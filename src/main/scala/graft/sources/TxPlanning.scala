@@ -2,7 +2,7 @@ package graft.sources
 
 import scala.util.Try
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
 import graft.ops.{PartitionTransforms, TxTable}
@@ -249,9 +249,54 @@ private[graft] object TxDistributedPrune {
           zones: Seq[ZoneStage], env: Option[EnvStage],
           blooms: Seq[BloomStage],
           bucketSets: Seq[Set[Int]]): Set[String] = {
-    runs.incrementAndGet()
     import spark.implicits._
-    var df = entries.map(e => (e.rel, e.bucket)).toDF("__rel", "__bucket")
+    val df = entries.map(e => (e.rel, e.bucket)).toDF("__rel", "__bucket")
+    evaluate(spark, path, df, zones, env, blooms, bucketSets)
+      .select(col("__rel")).as[String].collect().toSet
+  }
+
+  /** [[run]] for a SHARD-BACKED snapshot (round-14 ask #2): the entry
+    * lines parse EXECUTOR-side straight from the checkpoint's shard
+    * files — the driver ships only shard paths + the O(interval) net
+    * delta changes, and receives back the SURVIVORS as full entries.
+    * At 10⁸ files the driver's planning memory drops from "every
+    * FileEntry" to "the kept set". */
+  def runSharded(spark: SparkSession, path: String,
+                 le: TxTable.LazyEntries,
+                 zones: Seq[ZoneStage], env: Option[EnvStage],
+                 blooms: Seq[BloomStage],
+                 bucketSets: Seq[Set[Int]]): Seq[TxTable.FileEntry] = {
+    import spark.implicits._
+    val sh = le.shards
+    val removed = sh.removes
+    val shardDf = spark.read
+      .textFile(TxTable.shardFilePaths(sh): _*)
+      .filter(_.nonEmpty)
+      .map { line =>
+        val e = TxTable.parseEntryLine(line)
+        (e.rel, e.bucket, line)
+      }
+      .filter(r => !removed.contains(r._1))
+    val addDf = spark.createDataset(
+      sh.adds.map(e => (e.rel, e.bucket, TxTable.renderEntryLine(e))))
+    val entryDf = shardDf.union(addDf).toDF("__rel", "__bucket", "__line")
+    evaluate(spark, path, entryDf, zones, env, blooms, bucketSets)
+      .select(col("__line")).as[String].collect()
+      .map(TxTable.parseEntryLine(_)).toSeq
+      .sortBy(e => (e.bucket, e.rel))
+  }
+
+  /** The shared verdict pipeline behind [[run]] and [[runSharded]]:
+    * sidecar joins + one mapPartitions filter over whatever entry frame
+    * the caller built. Extra input columns (the sharded path's `__line`)
+    * pass through untouched. */
+  private def evaluate(spark: SparkSession, path: String,
+                       entryDf: DataFrame,
+                       zones: Seq[ZoneStage], env: Option[EnvStage],
+                       blooms: Seq[BloomStage],
+                       bucketSets: Seq[Set[Int]]): DataFrame = {
+    runs.incrementAndGet()
+    var df = entryDf
     // one left join per sidecar-profiled column: the sidecar parquet is
     // read DISTRIBUTED (rel, lo, hi / rel, bloom) — duplicates from
     // racing refresh appends carry identical values by construction
@@ -302,7 +347,8 @@ private[graft] object TxDistributedPrune {
               org.apache.spark.util.sketch.BloomFilter.readFrom(
                 r.getAs[Array[Byte]](bi)), hs)
           }
-      }.map(_.getString(relIdx))
-    }.collect().toSet
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .toDF()
   }
 }

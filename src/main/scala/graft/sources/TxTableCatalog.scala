@@ -2519,9 +2519,19 @@ private[sources] object TxCatalogPruning {
       }
       if (zoneStages.nonEmpty || env.nonEmpty || bloomStages.nonEmpty ||
           bucketSets.nonEmpty) {
-        val keptRels = TxDistributedPrune.run(spark, path, snap.entries,
-          zoneStages, env, bloomStages, bucketSets)
-        kept = kept.filter(e => keptRels(e.rel))
+        kept = snap.entries match {
+          // shard-backed snapshot: the job reads entry lines straight
+          // from the checkpoint's shard files executor-side and only
+          // the SURVIVORS come back — the driver never materializes
+          // the full entry list (round-14 ask #2)
+          case le: TxTable.LazyEntries =>
+            TxDistributedPrune.runSharded(spark, path, le,
+              zoneStages, env, bloomStages, bucketSets)
+          case es =>
+            val keptRels = TxDistributedPrune.run(spark, path, es,
+              zoneStages, env, bloomStages, bucketSets)
+            es.filter(e => keptRels(e.rel))
+        }
       }
       return (kept, used.result().distinct.toArray)
     }

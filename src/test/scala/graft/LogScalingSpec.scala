@@ -141,4 +141,35 @@ class LogScalingSpec extends AnyFunSuite {
       } finally spark.conf.unset("spark.graft.planning.distributeAt")
     }
   }
+
+  test("sharded checkpoints make head-resolution driver work SUBLINEAR in files: zero entry materializations at 1x and 10x") {
+    registered {
+      // shardAt low so both fixtures cross it; the 10x fixture has ~10x
+      // the live files of the 1x one — the pin is an exact ZERO driver
+      // materializations for resolution + a pruned scan at BOTH scales,
+      // which is stronger than any timing ratio (round-14 ask #2)
+      spark.conf.set(TxTable.CheckpointShardAtConf, "40")
+      spark.conf.set("spark.graft.planning.distributeAt", "40")
+      try {
+        Seq(logTable(12), logTable(120)).foreach { t =>
+          val snap0 = TxTable.snapshot(spark, t)
+          assert(snap0.entries.isInstanceOf[TxTable.LazyEntries],
+            "fixture must resolve through a sharded anchor")
+          val f0 = TxTable.LazyEntries.forces.get()
+          (1 to 10).foreach { _ =>
+            val s = TxTable.snapshot(spark, t)
+            assert(s.entries.size > 0) // O(1) from shard counts
+          }
+          spark.table(s"txls.`$t`").filter($"day" === 5L)
+            .queryExecution.executedPlan
+          assert(TxTable.LazyEntries.forces.get() == f0,
+            "10 head resolutions + a pruned scan plan must parse ZERO " +
+              "entry lines on the driver — at this scale and at 10x it")
+        }
+      } finally {
+        spark.conf.unset(TxTable.CheckpointShardAtConf)
+        spark.conf.unset("spark.graft.planning.distributeAt")
+      }
+    }
+  }
 }
