@@ -887,9 +887,26 @@ object TxTable {
       renderDelta(effAdds, removes.toSeq, txn, schema, effBucketing,
         effDropped, effProps, effRenames, cdf, dataChange))
     if (ok && CheckpointInterval > 0 && v % CheckpointInterval == 0) {
-      val entries = base.entries.filterNot(e => removes(e.rel)) ++ effAdds
-      try writeCheckpoint(fs, table, v, entries, schema.orElse(base.schema),
-        effBucketing, effDropped, effProps, effRenames)
+      try base.entries match {
+        case le: LazyEntries =>
+          // shard-backed base: fold this commit's changes onto the
+          // anchor's net state and checkpoint by REFERENCE — the write
+          // stays O(changed since the last anchor), never O(files)
+          val sh = le.shards
+          val keptAdds = sh.adds.filterNot(e => removes(e.rel)) ++ effAdds
+          val addRels = sh.adds.map(_.rel).toSet
+          val baseRm = sh.removes ++ removes.filterNot(addRels)
+          writeCheckpointReused(fs, table, v,
+            sh.copy(adds = keptAdds, removes = baseRm),
+            () => le.materialized.filterNot(e => removes(e.rel)) ++ effAdds,
+            schema.orElse(base.schema), effBucketing, effDropped,
+            effProps, effRenames)
+        case es =>
+          writeCheckpoint(fs, table, v,
+            es.filterNot(e => removes(e.rel)) ++ effAdds,
+            schema.orElse(base.schema), effBucketing, effDropped,
+            effProps, effRenames)
+      }
       catch { case scala.util.control.NonFatal(_) => () }
     }
     // committed writes keep profiled sidecars fresh from footers (no data
@@ -920,28 +937,39 @@ object TxTable {
         // referencing checkpoint (readers only ever see complete sets;
         // a crash mid-write leaves unreferenced shard files for vacuum),
         // the checkpoint itself carries header + `@shard` references
-        val refs = entries.sortBy(e => (e.bucket, e.rel))
-          .grouped(shardAt).zipWithIndex.map { case (g, i) =>
-            val name = shardName(v, i)
-            val tmp = new Path(logDir(table),
-              s".cps-tmp-${java.util.UUID.randomUUID()}")
-            val o = fs.create(tmp, true)
-            o.write(g.map(renderEntryLine).mkString("", "\n", "\n")
-              .getBytes(StandardCharsets.UTF_8))
-            o.close()
-            val dst = new Path(logDir(table), name)
-            fs.delete(dst, false)
-            if (!fs.rename(tmp, dst)) {
-              fs.delete(tmp, false)
-              throw new java.io.IOException(
-                s"$table: shard $name failed to publish")
-            }
-            s"@shard	$name	${g.size}"
-          }.toSeq
+        val refs = writeShardFiles(fs, table, v,
+          entries.sortBy(e => (e.bucket, e.rel)), shardAt)
         (new String(renderManifest(Seq.empty, None, schema, bucketing,
           dropped, props, renames), StandardCharsets.UTF_8) +
-          refs.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8)
+          refs.map { case (n, c) => s"@shard	$n	$c" }
+            .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8)
       }
+    publishCheckpoint(fs, table, v, bytes)
+  }
+
+  private def writeShardFiles(fs: FileSystem, table: String, v: Long,
+                              sorted: Seq[FileEntry], shardAt: Int)
+      : Seq[(String, Long)] =
+    sorted.grouped(shardAt).zipWithIndex.map { case (g, i) =>
+      val name = shardName(v, i)
+      val tmp = new Path(logDir(table),
+        s".cps-tmp-${java.util.UUID.randomUUID()}")
+      val o = fs.create(tmp, true)
+      o.write(g.map(renderEntryLine).mkString("", "\n", "\n")
+        .getBytes(StandardCharsets.UTF_8))
+      o.close()
+      val dst = new Path(logDir(table), name)
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"$table: shard $name failed to publish")
+      }
+      (name, g.size.toLong)
+    }.toSeq
+
+  private def publishCheckpoint(fs: FileSystem, table: String, v: Long,
+                                bytes: Array[Byte]): Unit = {
     val tmp = new Path(logDir(table), s".cp-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     out.write(bytes)
@@ -951,18 +979,77 @@ object TxTable {
     if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
   }
 
-  /** Shard references of a sharded checkpoint's body; None for the
-    * single-file format (old checkpoints stay readable unchanged). */
-  private def parseShardRefs(bytes: Array[Byte]): Option[Seq[(String, Long)]] = {
+  /** How many rels a REUSING checkpoint may carry as `@rm` lines before
+    * it must rewrite its shards (dead weight every reader filters). */
+  val CheckpointMaxCarriedRemovesConf =
+    "spark.graft.checkpoint.maxCarriedRemoves"
+
+  /** Checkpoint from a SHARD-BACKED base without materializing it (the
+    * full Iceberg manifest-list economy): untouched shard files carry
+    * forward BY REFERENCE, the interval's net adds write as new shards,
+    * and the carried removes ride as `@rm` lines the lazy reader (and
+    * the executor-side planner) already filter. Commit-time checkpoint
+    * cost drops from O(live files) to O(changed since the last anchor).
+    * Falls back to the full rewrite when the carried-remove budget or
+    * the fragmentation bound (shard count > 3× the ideal) is hit — the
+    * periodic compaction that keeps the anchor read-efficient. */
+  private def writeCheckpointReused(fs: FileSystem, table: String, v: Long,
+                                    sh: ShardedEntries,
+                                    fullEntries: () => Seq[FileEntry],
+                                    schema: Option[StructType],
+                                    bucketing: Option[(String, Int)],
+                                    dropped: Set[String],
+                                    props: Map[String, String],
+                                    renames: Map[String, String]): Unit = {
+    val shardAt = checkpointShardAt
+    val rmBudget = scala.util.Try(SparkSession.active.conf
+      .get(CheckpointMaxCarriedRemovesConf).toLong)
+      .getOrElse(shardAt.toLong)
+    val ideal = sh.count / math.max(shardAt, 1) + 1
+    val fragmented = sh.files.size > 3 * ideal
+    if (sh.removes.size > rmBudget || fragmented) {
+      writeCheckpoint(fs, table, v, fullEntries(), schema, bucketing,
+        dropped, props, renames)
+    } else {
+      val newRefs =
+        if (sh.adds.isEmpty) Seq.empty
+        else writeShardFiles(fs, table, v,
+          sh.adds.sortBy(e => (e.bucket, e.rel)), shardAt)
+      val body = (sh.files ++ newRefs)
+        .map { case (n, c) => s"@shard	$n	$c" } ++
+        sh.removes.toSeq.sorted.map(r => s"@rm	$r")
+      publishCheckpoint(fs, table, v,
+        (new String(renderManifest(Seq.empty, None, schema, bucketing,
+          dropped, props, renames), StandardCharsets.UTF_8) +
+          body.mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Shard references (+ carried removes) of a sharded checkpoint's
+    * body; None for the single-file format (old checkpoints stay
+    * readable unchanged). `@rm` lines record rels a REUSING checkpoint
+    * carried forward as dead instead of rewriting their shard — the
+    * Iceberg "existing manifest + delete entries" shape. */
+  private def parseShardRefs(bytes: Array[Byte])
+      : Option[(Seq[(String, Long)], Set[String])] = {
     val lines = new String(bytes, StandardCharsets.UTF_8)
       .split('\n').toSeq.drop(1).filter(_.nonEmpty)
-    if (!lines.headOption.exists(_.startsWith("@shard	"))) None
-    else Some(lines.map { l =>
-      val p = l.split('	')
-      require(p(0) == "@shard",
-        s"mixed shard/entry checkpoint body line: $l")
-      (p(1), p(2).toLong)
-    })
+    if (!lines.headOption.exists(l =>
+        l.startsWith("@shard	") || l.startsWith("@rm	"))) None
+    else {
+      val refs = Seq.newBuilder[(String, Long)]
+      val rms = Set.newBuilder[String]
+      lines.foreach { l =>
+        val p = l.split('	')
+        p(0) match {
+          case "@shard" => refs += ((p(1), p(2).toLong))
+          case "@rm" => rms += p(1)
+          case _ => throw new IllegalStateException(
+            s"mixed shard/entry checkpoint body line: $l")
+        }
+      }
+      Some((refs.result(), rms.result()))
+    }
   }
 
   /** Snapshot from a checkpoint anchor's bytes — sharded checkpoints get
@@ -970,8 +1057,8 @@ object TxTable {
   private def anchorSnapshot(fs: FileSystem, table: String, v: Long,
                              bytes: Array[Byte]): Snapshot = {
     val entries: Seq[FileEntry] = parseShardRefs(bytes) match {
-      case Some(refs) =>
-        new LazyEntries(ShardedEntries(table, refs),
+      case Some((refs, rms)) =>
+        new LazyEntries(ShardedEntries(table, refs, removes = rms),
           sh => materializeShards(fs, sh))
       case None => parseManifest(bytes)
     }
@@ -5336,34 +5423,46 @@ object TxTable {
     // from both ends)
     val taggedNow = tagged ++ tags(spark, table).values ++
       branches(spark, table).values
-    // one listing serves every pruned version's shard cleanup (sharded
-    // checkpoints carry their entry lines in .checkpoint.sNNNNN sidecars)
-    val shardsByV: Map[Long, Seq[Path]] =
-      scala.util.Try(fs.listStatus(logDir(table)).toSeq.map(_.getPath))
-        .getOrElse(Seq.empty)
-        .flatMap { p =>
-          val n = p.getName
-          val i = n.indexOf(".checkpoint.s")
-          if (i <= 0) None
-          else scala.util.Try(n.take(i).toLong).toOption.map(_ -> p)
-        }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     versions.filter(_ < minKeep).filterNot(taggedNow).foreach { v =>
       if (dryRun) {
         deleted += versionPath(table, v).toString
         if (fs.exists(checkpointPath(table, v)))
           deleted += checkpointPath(table, v).toString
-        shardsByV.getOrElse(v, Seq.empty)
-          .foreach(p => deleted += p.toString)
       } else {
         fs.delete(versionPath(table, v), false)
         deleted += versionPath(table, v).toString
         if (fs.delete(checkpointPath(table, v), false))
           deleted += checkpointPath(table, v).toString
-        shardsByV.getOrElse(v, Seq.empty).foreach { p =>
-          if (fs.delete(p, false)) deleted += p.toString
-        }
       }
     }
+    // shard GC is REFERENCE-counted, not version-prefixed: reusing
+    // checkpoints carry older versions' shard files forward by
+    // reference, so a shard lives exactly as long as some RETAINED
+    // checkpoint names it. Below-horizon unreferenced shards (pruned
+    // anchors' exclusives, crashed writers' orphans) go; at-or-above
+    // horizon names are kept unconditionally — an in-flight checkpoint
+    // writer stages its shards before publishing, and those carry the
+    // current head's version
+    val referencedShards: Set[String] = retained.flatMap { v =>
+      val cp = checkpointPath(table, v)
+      if (!fs.exists(cp)) Seq.empty
+      else parseShardRefs(readBytes(fs, cp)).toSeq
+        .flatMap(_._1.map(_._1))
+    }.toSet
+    scala.util.Try(fs.listStatus(logDir(table)).toSeq.map(_.getPath))
+      .getOrElse(Seq.empty)
+      .foreach { p =>
+        val n = p.getName
+        val i = n.indexOf(".checkpoint.s")
+        val vOf = if (i <= 0) None
+          else scala.util.Try(n.take(i).toLong).toOption
+        vOf.foreach { v =>
+          if (v < minKeep && !referencedShards(n)) {
+            if (dryRun) deleted += p.toString
+            else if (fs.delete(p, false)) deleted += p.toString
+          }
+        }
+      }
     deleted.result()
   }
 }

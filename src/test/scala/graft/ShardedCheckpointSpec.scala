@@ -131,6 +131,109 @@ class ShardedCheckpointSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.catalog.txshcp")
   }
 
+  test("a later checkpoint REUSES the previous anchor's shard files by reference; only the interval's adds write new shards") {
+    withConf(TxTable.CheckpointShardAtConf -> "30") {
+      val t = bigLogTable(extraAppends = TxTable.CheckpointInterval) // v40
+      val log = new java.io.File(t, "_txlog")
+      def refsOf(v: Long): Seq[String] = new String(
+        java.nio.file.Files.readAllBytes(new java.io.File(log,
+          f"$v%020d.checkpoint").toPath))
+        .split('\n').drop(1).filter(_.startsWith("@shard\t"))
+        .map(_.split('\t')(1)).toSeq
+      val r20 = refsOf(20)
+      val r40 = refsOf(40)
+      assert(r20.toSet.subsetOf(r40.toSet),
+        "an append-only interval must carry every v20 shard forward " +
+          s"by reference: ${r20.diff(r40)} missing")
+      assert(r40.exists(_.startsWith(f"${40L}%020d")),
+        "the interval's adds must land in NEW v40-named shards")
+      assert(r40.count(_.startsWith(f"${20L}%020d")) == r20.size,
+        "no v20 shard may be rewritten under a v40 name")
+      // the reused anchor resolves lazily and serves exactly the data
+      val f0 = TxTable.LazyEntries.forces.get()
+      val snap = TxTable.snapshot(spark, t)
+      assert(snap.entries.size > 0 &&
+        TxTable.LazyEntries.forces.get() == f0)
+      assert(TxTable.read(spark, t).count() ==
+        16L * (2 * TxTable.CheckpointInterval + 1))
+    }
+  }
+
+  test("carried removes ride as @rm lines under the budget; past it the checkpoint rewrites its shards fully") {
+    withConf(TxTable.CheckpointShardAtConf -> "30",
+        TxTable.CheckpointMaxCarriedRemovesConf -> "1000") {
+      val t = bigLogTable() // checkpoint at v20
+      // a removing interval touching ONE bucket (the worst): ~21 files
+      // remove, 1 re-adds — small enough that the fragmentation bound
+      // keeps the reuse path; appends then pad the log to v40
+      TxTable.compact(spark, t, maxFilesPerBucket = 1, maxBuckets = 1)
+      (1 to TxTable.CheckpointInterval - 1).foreach { a =>
+        TxTable.appendOnce(spark, t,
+          Seq(((9000 + a).toLong, a.toLong, s"p$a")).toDF("k", "day", "v"),
+          "k", 8, appId = "shrm", batchId = 100L + a)
+      }
+      val log = new java.io.File(t, "_txlog")
+      val body40 = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(log, f"${40L}%020d.checkpoint").toPath))
+      assert(body40.split('\n').exists(_.startsWith("@rm\t")),
+        "under the budget the compaction's removes must carry as @rm")
+      assert(body40.split('\n').exists(l => l.startsWith("@shard\t") &&
+        l.split('\t')(1).startsWith(f"${20L}%020d")),
+        "@rm-carrying checkpoints still reuse the old shards")
+      // the lazy count stays exact through carried removes
+      val snap = TxTable.snapshot(spark, t, Some(40L))
+      assert(snap.entries.size == snap.entries.iterator.size)
+      assert(TxTable.read(spark, t).count() ==
+        16L * (TxTable.CheckpointInterval + 1) +
+          (TxTable.CheckpointInterval - 1))
+    }
+    // same shape with a ZERO budget: the fallback rewrites — no @rm,
+    // no reused old-version shard names
+    withConf(TxTable.CheckpointShardAtConf -> "30",
+        TxTable.CheckpointMaxCarriedRemovesConf -> "0") {
+      val t = bigLogTable()
+      TxTable.compact(spark, t, maxFilesPerBucket = 1, maxBuckets = 1)
+      (1 to TxTable.CheckpointInterval - 1).foreach { a =>
+        TxTable.appendOnce(spark, t,
+          Seq(((9000 + a).toLong, a.toLong, s"p$a")).toDF("k", "day", "v"),
+          "k", 8, appId = "shrm", batchId = 100L + a)
+      }
+      val log = new java.io.File(t, "_txlog")
+      val body40 = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(log, f"${40L}%020d.checkpoint").toPath))
+      assert(!body40.split('\n').exists(_.startsWith("@rm\t")))
+      assert(body40.split('\n').filter(_.startsWith("@shard\t"))
+        .forall(_.split('\t')(1).startsWith(f"${40L}%020d")),
+        "an over-budget checkpoint must own every shard it references")
+    }
+  }
+
+  test("vacuum shard GC is reference-counted: shards an older version wrote survive while a retained checkpoint references them") {
+    withConf(TxTable.CheckpointShardAtConf -> "30") {
+      val t = bigLogTable(extraAppends = TxTable.CheckpointInterval + 5)
+      val log = new java.io.File(t, "_txlog")
+      def shardsOf(v: Long) = log.listFiles().map(_.getName)
+        .filter(n => n.startsWith(f"$v%020d.checkpoint.s") &&
+          !n.startsWith(".")).toSeq
+      assert(shardsOf(20).nonEmpty && shardsOf(40).nonEmpty)
+      // keepVersions lands the horizon exactly ON the v40 reusing
+      // checkpoint: its reference to the v20-named shards must protect
+      // them even though 20 < minKeep
+      TxTable.vacuum(spark, t, keepVersions = 6)
+      assert(!new java.io.File(log, f"${20L}%020d.checkpoint").exists(),
+        "the v20 checkpoint itself is below the horizon and goes")
+      assert(shardsOf(20).nonEmpty,
+        "v20-NAMED shards are still referenced by the retained v40 " +
+          "anchor — reference-counted GC must keep them")
+      assert(TxTable.read(spark, t).count() ==
+        16L * (2 * TxTable.CheckpointInterval + 6))
+      // resolution through the reused anchor stays lazy post-vacuum
+      val f0 = TxTable.LazyEntries.forces.get()
+      TxTable.snapshot(spark, t)
+      assert(TxTable.LazyEntries.forces.get() == f0)
+    }
+  }
+
   test("vacuum deletes a pruned sharded checkpoint's sidecars and re-anchors; the retained sharded log still resolves") {
     withConf(TxTable.CheckpointShardAtConf -> "30") {
       val t = bigLogTable(extraAppends = 25) // checkpoints at v20 AND v40
