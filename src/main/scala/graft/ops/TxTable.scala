@@ -751,9 +751,46 @@ object TxTable {
                         bucketing: Option[(String, Int)] = None,
                         props: Map[String, String] = Map.empty,
                         renames: Map[String, String] = Map.empty): Boolean =
-    tryPublish(fs, table, v,
-      renderManifest(entries, txn, schema, bucketing, props = props,
-        renames = renames))
+    tryPublishFull(fs, table, v, entries, txn, schema, bucketing,
+      Set.empty, props, renames)
+
+  /** Publish a FULL manifest, sharding its body past the checkpoint
+    * shard threshold — a 10⁸-file INIT or CLONE writes `@shard` refs +
+    * `.manifest.<uuid>.sNNNNN` sidecars instead of one giant file, so
+    * even the table's very first resolution is lazy. Shard names carry
+    * a per-ATTEMPT uuid: two racing inits stage DIFFERENT data, so
+    * (unlike checkpoint shards, a pure function of the log) their
+    * sidecars must never collide — the CAS loser deletes exactly its
+    * own files. */
+  private def tryPublishFull(fs: FileSystem, table: String, v: Long,
+                             entries: Seq[FileEntry],
+                             txn: Option[(String, Long)],
+                             schema: Option[StructType],
+                             bucketing: Option[(String, Int)],
+                             dropped: Set[String],
+                             props: Map[String, String],
+                             renames: Map[String, String]): Boolean = {
+    val shardAt = checkpointShardAt
+    if (shardAt <= 0 || entries.size < shardAt)
+      tryPublish(fs, table, v,
+        renderManifest(entries, txn, schema, bucketing, dropped,
+          props, renames))
+    else {
+      val attempt = java.util.UUID.randomUUID().toString
+      val refs = writeShardFiles(fs, table, v,
+        entries.sortBy(e => (e.bucket, e.rel)), shardAt,
+        nameOf = i => f"$v%020d.manifest.$attempt.s$i%05d")
+      val bytes = (new String(renderManifest(Seq.empty, txn, schema,
+        bucketing, dropped, props, renames), StandardCharsets.UTF_8) +
+        refs.map { case (n, c) => s"@shard	$n	$c" }
+          .mkString("", "\n", "\n")).getBytes(StandardCharsets.UTF_8)
+      val ok = tryPublish(fs, table, v, bytes)
+      if (!ok) refs.foreach { case (n, _) =>
+        fs.delete(new Path(logDir(table), n), false)
+      }
+      ok
+    }
+  }
 
   private def tryPublish(fs: FileSystem, table: String, v: Long,
                          bytes: Array[Byte]): Boolean =
@@ -948,10 +985,11 @@ object TxTable {
   }
 
   private def writeShardFiles(fs: FileSystem, table: String, v: Long,
-                              sorted: Seq[FileEntry], shardAt: Int)
+                              sorted: Seq[FileEntry], shardAt: Int,
+                              nameOf: Int => String = null)
       : Seq[(String, Long)] =
     sorted.grouped(shardAt).zipWithIndex.map { case (g, i) =>
-      val name = shardName(v, i)
+      val name = if (nameOf == null) shardName(v, i) else nameOf(i)
       val tmp = new Path(logDir(table),
         s".cps-tmp-${java.util.UUID.randomUUID()}")
       val o = fs.create(tmp, true)
@@ -1106,11 +1144,7 @@ object TxTable {
               "it predates the vacuumed log retention)" else ""))
         val bytes = readBytes(fs, p)
         if (isDelta(bytes)) { deltas += bytes; cursor -= 1 }
-        else anchor =
-          Some(Snapshot(cursor, parseManifest(bytes), parseSchema(bytes),
-            parseBucketing(bytes), parseDropped(bytes).getOrElse(Set.empty),
-            parseProps(bytes).getOrElse(Map.empty),
-            parseRenames(bytes).getOrElse(Map.empty)))
+        else anchor = Some(anchorSnapshot(fs, table, cursor, bytes))
       }
     }
     // fold the collected deltas forward (they were gathered newest-first);
@@ -1562,7 +1596,11 @@ object TxTable {
       val (kind, nAdds, nRemoves) =
         if (isDelta(bytes)) {
           val (a, r) = parseDelta(bytes); ("delta", a.size, r.size)
-        } else ("full", parseManifest(bytes).size, 0)
+        } else parseShardRefs(bytes) match {
+          case Some((refs, rms)) =>
+            ("full", (refs.map(_._2).sum - rms.size).toInt, 0)
+          case None => ("full", parseManifest(bytes).size, 0)
+        }
       val txn = parseTxn(bytes)
       val bk = parseBucketing(bytes)
       (v, kind, nAdds, nRemoves,
@@ -4823,11 +4861,11 @@ object TxTable {
       val props = snap.props ++ Map(
         CloneSourceProp -> source, CloneVersionProp -> v.toString,
         CloneTagProp -> tagName)
-      require(tryPublish(tfs, target, 0L,
-          renderManifest(entries, txn = Some((s"clone:$source", v)),
-            schema = snap.schema, bucketing = snap.bucketing,
-            dropped = snap.dropped, props = props,
-            renames = snap.renames)),
+      require(tryPublishFull(tfs, target, 0L, entries,
+          txn = Some((s"clone:$source", v)),
+          schema = snap.schema, bucketing = snap.bucketing,
+          dropped = snap.dropped, props = props,
+          renames = snap.renames),
         s"$target already initialized (version 0 exists)")
       Snapshot(0L, entries, snap.schema, snap.bucketing, snap.dropped,
         props, snap.renames)
@@ -5444,17 +5482,22 @@ object TxTable {
     // writer stages its shards before publishing, and those carry the
     // current head's version
     val referencedShards: Set[String] = retained.flatMap { v =>
-      val cp = checkpointPath(table, v)
-      if (!fs.exists(cp)) Seq.empty
-      else parseShardRefs(readBytes(fs, cp)).toSeq
-        .flatMap(_._1.map(_._1))
+      // both anchor kinds can reference shards: checkpoints, and FULL
+      // manifests (a sharded init/clone v0)
+      Seq(checkpointPath(table, v), versionPath(table, v)).flatMap { p =>
+        if (!fs.exists(p)) Seq.empty
+        else parseShardRefs(readBytes(fs, p)).toSeq
+          .flatMap(_._1.map(_._1))
+      }
     }.toSet
     scala.util.Try(fs.listStatus(logDir(table)).toSeq.map(_.getPath))
       .getOrElse(Seq.empty)
       .foreach { p =>
         val n = p.getName
-        val i = n.indexOf(".checkpoint.s")
-        val vOf = if (i <= 0) None
+        val i = math.max(n.indexOf(".checkpoint.s"),
+          n.indexOf(".manifest."))
+        val vOf = if (i <= 0 || !n.drop(i).matches(
+            "\\.(checkpoint\\.s\\d+|manifest\\.[0-9a-f-]+\\.s\\d+)")) None
           else scala.util.Try(n.take(i).toLong).toOption
         vOf.foreach { v =>
           if (v < minKeep && !referencedShards(n)) {

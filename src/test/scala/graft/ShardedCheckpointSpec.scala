@@ -234,6 +234,59 @@ class ShardedCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("a huge INIT and a huge CLONE shard their v0 manifests; resolution is lazy from the very first version; checkpoints reuse manifest shards") {
+    withConf(TxTable.CheckpointShardAtConf -> "30") {
+      val t = Files.createTempDirectory("graft_shv0_").toString + "/t"
+      TxTable.init(spark, t,
+        (0 until 256).map(i => (i.toLong, i.toLong, s"v$i"))
+          .toDF("k", "day", "v"), "k", 64) // 64 files >= shardAt
+      val log = new java.io.File(t, "_txlog")
+      val v0 = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(log, f"${0L}%020d.manifest").toPath))
+      val refs0 = v0.split('\n').drop(1).filter(_.startsWith("@shard\t"))
+        .map(_.split('\t')(1)).toSeq
+      assert(refs0.nonEmpty &&
+        refs0.forall(_.matches("0+\\.manifest\\.[0-9a-f-]+\\.s\\d+")),
+        s"v0 must shard under attempt-unique manifest names: $refs0")
+      // the table's FIRST resolution is already lazy
+      val f0 = TxTable.LazyEntries.forces.get()
+      val snap = TxTable.snapshot(spark, t)
+      val nFiles = snap.entries.size // O(1) from the refs
+      assert(nFiles >= 30 && TxTable.LazyEntries.forces.get() == f0)
+      assert(refs0.length == (nFiles + 29) / 30,
+        "every entry must live in exactly one 30-entry shard")
+      assert(TxTable.read(spark, t).count() == 256)
+      // history reports the sharded full commit's entry count exactly
+      import org.apache.spark.sql.functions.col
+      val h = TxTable.history(spark, t)
+        .filter(col("version") === 0L).head()
+      assert(h.getAs[String]("kind") == "full" &&
+        h.getAs[Int]("n_adds") == nFiles)
+      // a CLONE of it shards its own v0 the same way and reads equal
+      val dst = Files.createTempDirectory("graft_shv0c_").toString + "/t"
+      TxTable.cloneTable(spark, t, dst)
+      val c0 = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(s"$dst/_txlog",
+          f"${0L}%020d.manifest").toPath))
+      assert(c0.split('\n').exists(_.startsWith("@shard\t")))
+      assert(TxTable.read(spark, dst).count() == 256)
+      // the first checkpoint (v20) REUSES the init's manifest shards
+      (1 to TxTable.CheckpointInterval).foreach { a =>
+        TxTable.appendOnce(spark, t,
+          Seq(((1000 + a).toLong, a.toLong, s"a$a")).toDF("k", "day", "v"),
+          "k", 64, appId = "shv0", batchId = a.toLong)
+      }
+      val cp = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(log,
+          f"${TxTable.CheckpointInterval.toLong}%020d.checkpoint").toPath))
+      val cpRefs = cp.split('\n').drop(1).filter(_.startsWith("@shard\t"))
+        .map(_.split('\t')(1)).toSet
+      assert(refs0.toSet.subsetOf(cpRefs),
+        "the first checkpoint must carry the init's manifest shards " +
+          "forward by reference")
+    }
+  }
+
   test("vacuum deletes a pruned sharded checkpoint's sidecars and re-anchors; the retained sharded log still resolves") {
     withConf(TxTable.CheckpointShardAtConf -> "30") {
       val t = bigLogTable(extraAppends = 25) // checkpoints at v20 AND v40
