@@ -325,6 +325,15 @@ object TxTable {
     * [[foldEqDeletes]] inline instead of refusing. */
   val EqAutoFoldConf = "spark.graft.eqdelete.autoFold"
 
+  /** DSv2 plan-time fold bound: the registry fold materializes matched
+    * POSITIONS as driver-side bitmaps, and one low-cardinality key can
+    * address unboundedly many rows (the key budget cannot see that).
+    * Past this many matched positions the catalog scan refuses loudly
+    * toward `fold_eq_deletes` — the Scala read path (a collect-free
+    * anti-join) keeps serving any backlog. */
+  val EqMaxFoldPositionsConf = "spark.graft.eqdelete.maxFoldPositions"
+  val DefaultEqMaxFoldPositions = 50000000L
+
   /** Max key tuples per staged registry parquet file — a 10⁹-key
     * retention delete stages in parallel chunks instead of serializing
     * through one task (the read side reads the rel as a directory, so

@@ -148,7 +148,7 @@ private[sources] object TxEqFold {
         val joined = raw.join(
           org.apache.spark.sql.functions.broadcast(addvDf),
           col("__rk") === col("__rk2"), "left")
-        val marked = dels.groupBy(_.cols).toSeq
+        val markedDf = dels.groupBy(_.cols).toSeq
           .sortBy(_._1.mkString(",")).map { case (cols, ds) =>
             val keysDf = ds.map(d =>
                 spark.read.parquet(s"$path/${d.rel}")
@@ -165,7 +165,27 @@ private[sources] object TxEqFold {
               TxTable.eqMaybeBroadcast(spark, keysDf,
                 TxTable.eqKnownKeys(ds)), cond,
               "left_semi").select(col("__rk"), col("__pos"))
-          }.reduce(_.union(_)).distinct().collect()
+          }.reduce(_.union(_)).distinct()
+        // the fold rides DRIVER memory as per-file bitmaps, and ONE
+        // low-cardinality key can address unboundedly many rows — so
+        // the position count (a cheap distributed aggregate) gates the
+        // collect: past the bound the scan refuses LOUDLY toward the
+        // maintenance verb instead of OOMing the driver. The Scala
+        // read path (a pure anti-join, nothing collected) keeps
+        // serving any backlog size
+        val maxPos = scala.util.Try(spark.conf
+          .get(TxTable.EqMaxFoldPositionsConf).toLong)
+          .getOrElse(TxTable.DefaultEqMaxFoldPositions)
+        val nPos = markedDf.count()
+        if (nPos > maxPos) throw new IllegalStateException(
+          s"$path: the unfolded equality-delete registry addresses " +
+            s"$nPos row positions — past the " +
+            s"${TxTable.EqMaxFoldPositionsConf} bound of $maxPos the " +
+            "plan-time position fold would exhaust driver memory. Run " +
+            "foldEqDeletes()/CALL fold_eq_deletes (or auto_maintain) " +
+            "first, or read through the Scala path (TxTable.read), " +
+            "which anti-joins without collecting")
+        val marked = markedDf.collect()
           .map(r => (r.getString(0), r.getLong(1)))
         val relByKey = affected.map(e =>
           DeletionVectors.relKey(e.rel) -> e.rel).toMap

@@ -203,6 +203,33 @@ class EqBudgetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.catalog.txeqp")
   }
 
+  test("DSv2 plan-time fold refuses past maxFoldPositions (one low-cardinality key can address unbounded rows); Scala reads keep serving") {
+    spark.conf.set("spark.sql.catalog.txeqf",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try {
+      val t = Files.createTempDirectory("graft_eqf_").toString + "/t"
+      TxTable.init(spark, t,
+        spark.range(40).select((col("id") % 4).as("g"),
+          col("id").as("v")), "v", 4)
+      // ONE key tuple (g = 1) kills 10 rows — positions, not keys, are
+      // what the plan-time fold pays for
+      assert(TxTable.deleteWhereEq(spark, t, Seq(1L).toDF("g")) == 1)
+      withConf(TxTable.EqMaxFoldPositionsConf -> "5") {
+        val e = intercept[Exception] {
+          spark.table(s"txeqf.`$t`").count()
+        }
+        val msg = Option(e.getMessage).getOrElse("") +
+          Option(e.getCause).map(_.getMessage).getOrElse("")
+        assert(msg.contains(TxTable.EqMaxFoldPositionsConf) &&
+          msg.contains("fold_eq_deletes"), msg)
+        // the Scala path anti-joins without collecting: still serves
+        assert(TxTable.read(spark, t).count() == 30)
+      }
+      // under the bound the catalog read agrees exactly
+      assert(spark.table(s"txeqf.`$t`").count() == 30)
+    } finally spark.conf.unset("spark.sql.catalog.txeqf")
+  }
+
   test("key staging chunks at keysPerFile: a wide delete writes multiple registry files; reads are identical") {
     val t = fresh(60)
     withConf(TxTable.EqKeysPerFileConf -> "10") {
