@@ -236,8 +236,17 @@ object TxTable {
       private[graft] val shards: ShardedEntries,
       private[graft] val loader: ShardedEntries => IndexedSeq[FileEntry])
       extends scala.collection.immutable.Seq[FileEntry] {
+    @volatile private var forcedFlag = false
+    /** Whether the shard base already materialized — cheap consumers
+      * (statistics) can then reuse it instead of degrading. */
+    def isForced: Boolean = forcedFlag
     lazy val materialized: IndexedSeq[FileEntry] = {
       LazyEntries.forces.incrementAndGet()
+      forcedFlag = true
+      // diagnosing an unexpected force: -Dgraft.debug.forces=1
+      if (sys.props.contains("graft.debug.forces"))
+        new Exception(s"LazyEntries force on ${shards.table}")
+          .printStackTrace()
       loader(shards)
     }
     override def length: Int = shards.count.toInt
@@ -3666,13 +3675,12 @@ object TxTable {
     * snapshot consumer). */
   def changesSince(spark: SparkSession, table: String, sinceVersion: Long,
                    untilVersion: Option[Long] = None): (DataFrame, Long) = {
+    val fs = fsFor(spark, table)
     val upTo = untilVersion.getOrElse(snapshot(spark, table).version)
     require(upTo >= sinceVersion,
       s"until ($upTo) must be >= since ($sinceVersion)")
-    val baseline: Set[String] =
-      snapshot(spark, table, Some(sinceVersion)).entries.map(_.rel).toSet
     val snapUpTo = snapshot(spark, table, Some(upTo))
-    val added = snapUpTo.entries.filterNot(e => baseline(e.rel))
+    val added = addedBetween(spark, fs, table, sinceVersion, upTo, snapUpTo)
     val df =
       if (added.isEmpty) {
         // empty frame with the table schema (from the current snapshot)
@@ -3681,6 +3689,76 @@ object TxTable {
         DeletionVectors.readEntries(spark, table, added, snapUpTo.schema),
         snapUpTo)
     (df, upTo)
+  }
+
+  /** ONE commit's file changes (adds, removes) straight from its
+    * manifest: a delta parses as written — O(its changes), no snapshot
+    * resolution; a FULL manifest (v0 of init/clone, sharded or not)
+    * returns its complete entry list with no removes. The metadata
+    * primitive behind incremental consumers: per-trigger planning cost
+    * must scale with the commit, never the table. */
+  private[graft] def commitChanges(spark: SparkSession, fs: FileSystem,
+                                   table: String, v: Long)
+      : (Seq[FileEntry], Set[String]) = {
+    val p = versionPath(table, v)
+    require(fs.exists(p),
+      s"version $v does not exist under $table — it predates the " +
+        "vacuumed log retention")
+    val bytes = readBytes(fs, p)
+    if (isDelta(bytes)) parseDelta(bytes)
+    else {
+      val entries: Seq[FileEntry] = parseShardRefs(bytes) match {
+        case Some((refs, rms)) =>
+          materializeShards(fs, ShardedEntries(table, refs, removes = rms))
+        case None => parseManifest(bytes)
+      }
+      if (v == 0) (entries, Set.empty[String])
+      else {
+        // a FULL manifest past v0 exists only on legacy (pre-delta-era)
+        // logs — its changes need the parent's rel set (rare path, one
+        // snapshot diff, exactly the old planning cost)
+        val prevRels = snapshot(spark, table, Some(v - 1)).entries
+          .map(_.rel).toSet
+        val curRels = entries.map(_.rel).toSet
+        (entries.filterNot(e => prevRels(e.rel)), prevRels -- curRels)
+      }
+    }
+  }
+
+  /** Files added in (since, upTo] and still live at upTo, from the
+    * window's DELTA manifests alone — metadata cost O(changed in the
+    * window), never a two-snapshot rel-set diff (which materializes the
+    * FULL entry list twice: at 10⁸ files that is the dominant cost of an
+    * incremental cursor read, dwarfing the data it actually ships).
+    * Event algebra per rel, exactly the set-diff's answer:
+    *   - first in-window event ADD, survives to upTo  → in (new file;
+    *     later remove+re-add pairs keep the LATEST incarnation, so a DV
+    *     attached to an in-window file rides along like the snapshot
+    *     entry would);
+    *   - first in-window event REMOVE → existed at the baseline; any
+    *     later re-add of that rel is a DV re-add / restore of a file the
+    *     consumer already has → out (rels are uuid-pathed, never reused
+    *     for new data).
+    * A non-delta manifest mid-window (legacy pre-delta-era logs) costs
+    * that one version a parent-snapshot diff via [[commitChanges]]. */
+  private def addedBetween(spark: SparkSession, fs: FileSystem,
+                           table: String, since: Long, upTo: Long,
+                           snapUpTo: Snapshot): Seq[FileEntry] = {
+    val state =
+      scala.collection.mutable.LinkedHashMap[String, FileEntry]()
+    val baselineDead = scala.collection.mutable.HashSet[String]()
+    var v = since + 1
+    while (v <= upTo) {
+      val (adds, removes) = commitChanges(spark, fs, table, v)
+      removes.foreach { r =>
+        if (state.remove(r).isEmpty) baselineDead += r
+      }
+      adds.foreach { e =>
+        if (!baselineDead.contains(e.rel)) state.put(e.rel, e)
+      }
+      v += 1
+    }
+    state.values.toSeq
   }
 
   /** Compact fragmented buckets: every bucket whose file count exceeds

@@ -2662,6 +2662,24 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
     val spark = SparkSession.active
+    entries match {
+      // an UNPRUNED scan over a shard-backed snapshot: exact statistics
+      // would cost the driver materialization laziness exists to avoid
+      // PLUS one filesystem stat per file (10⁸ RPCs at scale — Spark
+      // re-requests stats per plan, including once per streaming
+      // micro-batch). Unknown is the honest answer, and Spark's
+      // conservative defaults (assume big, never broadcast) are exactly
+      // right for a table that large. Pruned scans carry eager
+      // survivor lists and keep exact stats.
+      case le: TxTable.LazyEntries if !le.isForced =>
+        return new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+          override def numRows(): java.util.OptionalLong =
+            java.util.OptionalLong.empty()
+        }
+      case _ => ()
+    }
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val size = entries.map(e => TxFileSizes.of(fs, path, e.rel)).sum
@@ -3820,9 +3838,8 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[TxStreamOffset].version
     val head = availableNowCap.getOrElse(headVersion)
-    TxStreamOffset(TxStreamAdmission.choose(spark, path, s, head,
-      maxVersionsPerTrigger, maxFilesPerTrigger, maxRowsPerTrigger,
-      TxStreamAdmission.addsCost))
+    TxStreamOffset(TxStreamAdmission.chooseAppend(spark, path, s, head,
+      maxVersionsPerTrigger, maxFilesPerTrigger, maxRowsPerTrigger))
   }
 
   override def deserializeOffset(json: String): Offset =
@@ -3840,22 +3857,27 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     val s = start.asInstanceOf[TxStreamOffset].version
     val e = end.asInstanceOf[TxStreamOffset].version
     if (e <= s) return Array.empty
-    var prev: Set[String] =
-      if (s < 0) Set.empty
-      else TxTable.snapshot(spark, path, Some(s)).entries.map(_.rel).toSet
     val picked = Seq.newBuilder[TxTable.FileEntry]
     val fsForFlags = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (s + 1 to e).foreach { v =>
-      val cur = TxTable.snapshot(spark, path, Some(v)).entries
-      val curRels = cur.map(_.rel).toSet
       // a dataChange=false commit reorganized files without changing live
       // rows — skip it outright (no option needed, no error): its rows
       // were all served when they were actually appended
       if (!TxTable.commitIsRewrite(fsForFlags, path, v)) {
-        val removed = prev -- curRels
-        val added = cur.filterNot(en => prev(en.rel))
-        if (removed.nonEmpty && !ignoreChanges && !skipChangeCommits)
+        // per-commit changes come from THE COMMIT'S OWN manifest — never
+        // a snapshot diff, so a trigger's planning cost is O(the window's
+        // changes) even at 10⁸ live files. A same-commit remove+re-add of
+        // one rel is a deletion-vector attach (MOR delete): the file's
+        // already-served rows didn't move, so it is neither a removal
+        // (no throw) nor an emission — exactly the snapshot-diff answer,
+        // since the rel stays live across the commit.
+        val (adds, removes) =
+          TxTable.commitChanges(spark, fsForFlags, path, v)
+        val readdRels = adds.map(_.rel).toSet
+        val trueRemoved = removes.filterNot(readdRels)
+        val added = adds.filterNot(en => removes.contains(en.rel))
+        if (trueRemoved.nonEmpty && !ignoreChanges && !skipChangeCommits)
           throw new IllegalStateException(
             s"$path: commit v$v rewrote or removed data files (upsert) " +
               "mid-stream. Streaming reads serve appends exactly-once; " +
@@ -3864,9 +3886,8 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
               "rewritten files, at-least-once for their rows). " +
               "Data-preserving maintenance (compact/zorder/purge/" +
               "rebucket) is dataChange=false and never trips this.")
-        if (removed.isEmpty || ignoreChanges) picked ++= added
+        if (trueRemoved.isEmpty || ignoreChanges) picked ++= added
       }
-      prev = curRels
     }
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3931,44 +3952,78 @@ private[sources] object TxStreamAdmission {
   def choose(spark: SparkSession, path: String, s: Long, head: Long,
              maxVersions: Option[Long], maxFiles: Option[Int],
              maxRows: Option[Long],
-             cost: (Entries, Entries) => (Int, Long)): Long = {
+             cost: (Entries, Entries) => (Int, Long)): Long =
+    chooseWith(spark, path, s, head, maxVersions, maxFiles, maxRows) {
+      (spark, fs, v, prevRef) =>
+        val cur: Entries = TxTable.snapshot(spark, path, Some(v)).entries
+          .map(e => e.rel -> e).toMap
+        val out = cost(prevRef(), cur)
+        (out, () => cur)
+    }
+
+  /** [[choose]] for the APPEND source: per-version cost from the
+    * commit's OWN manifest ([[TxTable.commitChanges]]) — O(the window's
+    * changes), never a per-version snapshot materialization, which at
+    * 10⁸ live files would dominate every rate-limited trigger. */
+  def chooseAppend(spark: SparkSession, path: String, s: Long, head: Long,
+                   maxVersions: Option[Long], maxFiles: Option[Int],
+                   maxRows: Option[Long]): Long =
+    chooseWith(spark, path, s, head, maxVersions, maxFiles, maxRows) {
+      (spark, fs, v, prevRef) =>
+        val (adds, removes) = TxTable.commitChanges(spark, fs, path, v)
+        // same re-add algebra as planInputPartitions: a same-commit
+        // remove+re-add is a DV attach, not an emission
+        val added = adds.filterNot(e => removes.contains(e.rel))
+        val out = (added.size,
+          if (added.exists(_.rows.isEmpty)) Long.MaxValue / 2
+          else added.flatMap(_.rows).sum)
+        (out, () => Map.empty: Entries)
+    }
+
+  private def chooseWith(spark: SparkSession, path: String, s: Long,
+                         head: Long, maxVersions: Option[Long],
+                         maxFiles: Option[Int], maxRows: Option[Long])(
+      costAt: (SparkSession, org.apache.hadoop.fs.FileSystem, Long,
+               () => Entries) => ((Int, Long), () => Entries)): Long = {
     var end = maxVersions.fold(head)(m => math.min(head, s + m))
     if ((maxFiles.nonEmpty || maxRows.nonEmpty) && end > s) {
       val fs = new Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var prev: Entries =
+      // the previous version's entries are LAZY: the append path never
+      // asks for them, the change-feed path materializes once and then
+      // rolls forward
+      var prevThunk: () => Entries = () =>
         if (s < 0) Map.empty
         else TxTable.snapshot(spark, path, Some(s)).entries
           .map(e => e.rel -> e).toMap
+      var prevMemo: Option[Entries] = None
+      def prevRef(): Entries = prevMemo match {
+        case Some(m) => m
+        case None =>
+          val m = prevThunk(); prevMemo = Some(m); m
+      }
       var accF = 0
       var accR = 0L
       var chosen = s
       var v = s + 1
       var full = false
       while (v <= end && !full) {
-        val cur: Entries = TxTable.snapshot(spark, path, Some(v)).entries
-          .map(e => e.rel -> e).toMap
-        val (af, ar) =
-          if (TxTable.commitIsRewrite(fs, path, v)) (0, 0L)
-          else cost(prev, cur)
+        val ((af, ar), nextPrev) =
+          if (TxTable.commitIsRewrite(fs, path, v))
+            ((0, 0L), () => TxTable.snapshot(spark, path, Some(v))
+              .entries.map(e => e.rel -> e).toMap)
+          else costAt(spark, fs, v, prevRef)
         val fits = maxFiles.forall(accF + af <= _) &&
           maxRows.forall(accR + ar <= _)
         if (chosen == s || fits) { chosen = v; accF += af; accR += ar }
         else full = true
-        prev = cur
+        prevThunk = nextPrev
+        prevMemo = None
         v += 1
       }
       end = chosen
     }
     math.max(end, s)
-  }
-
-  /** Append-source cost: the version's ADDED files and their rows. */
-  def addsCost(prev: Entries, cur: Entries): (Int, Long) = {
-    val added = cur.valuesIterator.filterNot(e => prev.contains(e.rel)).toSeq
-    (added.size,
-      if (added.exists(_.rows.isEmpty)) Long.MaxValue / 2
-      else added.flatMap(_.rows).sum)
   }
 
   /** Change-feed cost: adds + removes + changed-vector files; rows are

@@ -287,6 +287,57 @@ class ShardedCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental consumers plan from commit deltas: changesSince and the streaming source never materialize a sharded snapshot") {
+    spark.conf.set("spark.sql.catalog.txshst",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try withConf(TxTable.CheckpointShardAtConf -> "30") {
+      val t = bigLogTable(extraAppends = 3) // anchor v20, head v23
+      // a MOR deletion-vector delete mid-window: remove+re-add of the
+      // same rels — for an incremental consumer that is NEITHER a
+      // removal nor an emission (the file's rows didn't move)
+      spark.sql(s"DELETE FROM txshst.`$t` WHERE k = 100 OR k = 101")
+      val vDel = TxTable.snapshot(spark, t).version // v24
+      TxTable.appendOnce(spark, t,
+        Seq((9999L, 9L, "tail")).toDF("k", "day", "v"),
+        "k", 8, appId = "shst", batchId = 99L)
+      val f0 = TxTable.LazyEntries.forces.get()
+      // cursor read over a window CROSSING the sharded anchor: answers
+      // come from the window's deltas, zero snapshot materializations
+      val (df, hw) = TxTable.changesSince(spark, t, 18L)
+      val keys = df.select($"k").as[Long].collect().toSet
+      assert(hw == vDel + 1)
+      assert(keys == ((19 to 23).flatMap(a =>
+        (0 until 16).map(i => (a * 100 + i).toLong)).toSet + 9999L),
+        "exactly the window's appended rows — the DV re-added file's " +
+          s"old rows must NOT re-emit: $keys")
+      assert(TxTable.LazyEntries.forces.get() == f0,
+        "changesSince must never materialize the sharded base")
+      // the streaming source plans per-commit the same way (rate-limited
+      // so admission control walks the window too)
+      val out = Files.createTempDirectory("graft_shst_out_").toString
+      val q = spark.readStream
+        .option("startingVersion", "19")
+        .option("maxVersionsPerTrigger", "2")
+        .option("maxFilesPerTrigger", "64")
+        .table(s"txshst.`$t`")
+        .writeStream
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$out/landed"); ()
+        }.start()
+      q.awaitTermination()
+      val landed = spark.read.parquet(s"$out/landed")
+        .select($"k").as[Long].collect().toSet
+      assert(landed == keys,
+        s"the subscription must serve exactly the window's appends: " +
+          s"${landed.diff(keys)} extra, ${keys.diff(landed)} missing")
+      assert(TxTable.LazyEntries.forces.get() == f0,
+        "streaming planning + admission must never materialize the " +
+          "sharded base")
+    } finally spark.conf.unset("spark.sql.catalog.txshst")
+  }
+
   test("vacuum deletes a pruned sharded checkpoint's sidecars and re-anchors; the retained sharded log still resolves") {
     withConf(TxTable.CheckpointShardAtConf -> "30") {
       val t = bigLogTable(extraAppends = 25) // checkpoints at v20 AND v40
