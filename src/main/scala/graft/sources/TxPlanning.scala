@@ -176,17 +176,25 @@ private[sources] object TxEqFold {
         val maxPos = scala.util.Try(spark.conf
           .get(TxTable.EqMaxFoldPositionsConf).toLong)
           .getOrElse(TxTable.DefaultEqMaxFoldPositions)
-        val nPos = markedDf.count()
-        if (nPos > maxPos) throw new IllegalStateException(
+        // ONE bounded materialization gates AND feeds the fold: take
+        // maxPos+1 rows — overflow proves the registry addresses more
+        // positions than the driver may hold, without running the
+        // position pipeline twice (the count-then-collect double pass)
+        // or ever collecting more than the bound. executeTake stops
+        // scheduling partitions once the limit is met, and its final
+        // stage reuses the distinct's shuffle output, so upstream work
+        // runs exactly once either way.
+        val limit = (math.min(maxPos, Int.MaxValue - 2L) + 1).toInt
+        val limited = markedDf.limit(limit).collect()
+        if (limited.length >= limit) throw new IllegalStateException(
           s"$path: the unfolded equality-delete registry addresses " +
-            s"$nPos row positions — past the " +
-            s"${TxTable.EqMaxFoldPositionsConf} bound of $maxPos the " +
-            "plan-time position fold would exhaust driver memory. Run " +
+            s"more than $maxPos row positions — past the " +
+            s"${TxTable.EqMaxFoldPositionsConf} bound the plan-time " +
+            "position fold would exhaust driver memory. Run " +
             "foldEqDeletes()/CALL fold_eq_deletes (or auto_maintain) " +
             "first, or read through the Scala path (TxTable.read), " +
             "which anti-joins without collecting")
-        val marked = markedDf.collect()
-          .map(r => (r.getString(0), r.getLong(1)))
+        val marked = limited.map(r => (r.getString(0), r.getLong(1)))
         val relByKey = affected.map(e =>
           DeletionVectors.relKey(e.rel) -> e.rel).toMap
         marked.groupBy(_._1).flatMap { case (rk, ps) =>
@@ -288,15 +296,25 @@ private[graft] object TxDistributedPrune {
                  bucketSets: Seq[Set[Int]]): Seq[TxTable.FileEntry] = {
     import spark.implicits._
     val sh = le.shards
-    val removed = sh.removes
+    // removes are versioned (see ShardedEntries): a rel is dead in a
+    // shard only when some removal is NEWER than the shard file's
+    // name-encoded write version — a re-added incarnation living in a
+    // later shard survives the @rm that killed its predecessor
+    val rmMax = TxTable.rmMaxOf(sh.removes)
     val shardDf = spark.read
-      .textFile(TxTable.shardFilePaths(sh): _*)
-      .filter(_.nonEmpty)
-      .map { line =>
+      .text(TxTable.shardFilePaths(sh): _*)
+      .select(org.apache.spark.sql.functions.input_file_name().as("__f"),
+        col("value").as("__l"))
+      .as[(String, String)]
+      .filter(_._2.nonEmpty)
+      .map { case (f, line) =>
         val e = TxTable.parseEntryLine(line)
-        (e.rel, e.bucket, line)
+        val shardV = TxTable.shardVersionOf(
+          f.substring(f.lastIndexOf('/') + 1))
+        (e.rel, e.bucket, line, shardV)
       }
-      .filter(r => !removed.contains(r._1))
+      .filter(r => !rmMax.get(r._1).exists(_ > r._4))
+      .map(r => (r._1, r._2, r._3))
     val addDf = spark.createDataset(
       sh.adds.map(e => (e.rel, e.bucket, TxTable.renderEntryLine(e))))
     val entryDf = shardDf.union(addDf).toDF("__rel", "__bucket", "__line")

@@ -43,6 +43,43 @@ class EqBudgetSpec extends AnyFunSuite {
     finally pairs.foreach { case (k, _) => spark.conf.unset(k) }
   }
 
+  test("the plan-time fold gate is SINGLE-PASS: one bounded materialization gates and feeds the fold (round-15 ask #8)") {
+    spark.conf.set("spark.sql.catalog.txeqsp",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try {
+      val t = Files.createTempDirectory("graft_eqsp_").toString + "/t"
+      TxTable.init(spark, t,
+        spark.range(40).select((col("id") % 4).as("g"),
+          col("id").as("v")), "v", 4)
+      assert(TxTable.deleteWhereEq(spark, t, Seq(1L).toDF("g")) == 1)
+      import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      // fresh (table, version) ⇒ the fold memo is cold: the read below
+      // pays the position fold exactly once, and the fold's gating +
+      // collection must be ONE bounded materialization (limit-collect),
+      // never the count-then-collect double pass that ran the whole
+      // multi-join position pipeline twice
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(spark.table(s"txeqsp.`$t`").count() == 30)
+        Thread.sleep(700) // listener bus is async
+        val n = jobs.get()
+        info(s"fold-triggering catalog read ran $n Spark jobs")
+        // measured 7 on the single-pass implementation (fold pipeline,
+        // addv/key sidecar reads, the outer count, AQE stages); the
+        // double pass re-ran the whole fold pipeline as an extra
+        // action, which cannot stay under this pin
+        assert(n <= 8,
+          s"the fold gate must not re-run the position pipeline: $n jobs")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally spark.conf.unset("spark.sql.catalog.txeqsp")
+  }
+
   test("registering verbs record nKeys; legacy 3-field entries parse as unknown and round-trip unchanged") {
     val t = fresh(20)
     assert(TxTable.deleteWhereEq(spark, t, Seq(1L, 2L, 3L).toDF("k")) == 3)

@@ -142,6 +142,87 @@ class LogScalingSpec extends AnyFunSuite {
     }
   }
 
+  test("DEFAULT constants hold at manifest scale: a fabricated 120k-entry log shards at shardAt=100000, resolves lazily with zero forces, and plans distributed at distributeAt=100000 (round-15 ask #4)") {
+    registered {
+      // a real table whose SECOND commit is a hand-authored delta of
+      // 120 000 fabricated adds — entries need not point at real data
+      // files for resolution / checkpoint / planning-metadata walks,
+      // which is exactly what this validates at the DEFAULT constants
+      // (no lowered-threshold crutch)
+      val t = Files.createTempDirectory("graft_ls_dflt_").toString + "/t"
+      TxTable.init(spark, t,
+        (0 until 16).map(i => (i.toLong, i.toLong, s"v$i"))
+          .toDF("k", "day", "v"), "k", 8)
+      TxTable.appendOnce(spark, t,
+        Seq((100L, 1L, "a")).toDF("k", "day", "v"), "k", 8,
+        appId = "dflt", batchId = 1L)
+      val n0 = TxTable.snapshot(spark, t).entries.size
+      val log = new java.io.File(t, "_txlog")
+      val v1 = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(log, f"${1L}%020d.manifest").toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val header = v1.takeWhile(_ != '\n')
+      val nFab = 120000
+      val fab = new StringBuilder(header).append('\n')
+      (0 until nFab).foreach { i =>
+        fab.append(s"+\t${i % 8}\tfiles/fab-$i/bucket-${i % 8}/f.parquet" +
+          s"\t2\tv:2\n")
+      }
+      java.nio.file.Files.write(
+        new java.io.File(log, f"${2L}%020d.manifest").toPath,
+        fab.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // drive to the v20 checkpoint with property commits and TIME the
+      // anchor write (the one commit that pays it)
+      (3 to 19).foreach(i => TxTable.setProperties(spark, t,
+        set = Map("fab.tick" -> i.toString)))
+      val tWrite = time {
+        TxTable.setProperties(spark, t, set = Map("fab.tick" -> "20"))
+      }
+      val cp = new java.io.File(log, f"${20L}%020d.checkpoint")
+      assert(cp.exists(), "v20 must carry the checkpoint anchor")
+      val body = new String(java.nio.file.Files.readAllBytes(cp.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val refs = body.split('\n').filter(_.startsWith("@shard\t"))
+      assert(refs.length == (nFab + n0 + 99999) / 100000 &&
+        refs.length >= 2,
+        s"120k+ entries at the DEFAULT shardAt=100000 must split into " +
+          s"2 shard sidecars, got ${refs.length}")
+      // resolution through the default-constant anchor: exact O(1)
+      // length, ZERO driver forces across 10 head resolutions
+      val f0 = TxTable.LazyEntries.forces.get()
+      val tResolve = time {
+        (1 to 10).foreach { _ =>
+          assert(TxTable.snapshot(spark, t).entries.size == nFab + n0)
+        }
+      }
+      assert(TxTable.LazyEntries.forces.get() == f0,
+        "default-constant anchors must resolve with zero driver parses")
+      // distributed planning engages at the DEFAULT distributeAt:
+      // 120k entries >= 100000, so the plan builds from executor-side
+      // shard reads — still zero driver forces
+      val runs0 = graft.sources.TxDistributedPrune.runs.get()
+      // optimizedPlan runs the pushdown (and with it the distributed
+      // prune — engaged through BUCKET-key equality, the one stage
+      // that needs no sidecar); the fabricated entries' data files
+      // never open — the walk under test is metadata-only
+      val tPlan = time {
+        spark.table(s"txls.`$t`").filter($"k" === 5L)
+          .queryExecution.optimizedPlan
+      }
+      assert(graft.sources.TxDistributedPrune.runs.get() > runs0,
+        "the distributed planner must engage at the default threshold")
+      assert(TxTable.LazyEntries.forces.get() == f0)
+      info(f"default-constant fixture: anchor write $tWrite%.2f s, " +
+        f"10 head resolutions $tResolve%.2f s, distributed plan " +
+        f"$tPlan%.2f s over ${nFab + n0} entries")
+      // generous absolute ceilings — the pin is "bounded and lazy",
+      // the timings above land in SCALING.md's table
+      assert(tWrite < 30 && tResolve < 10 && tPlan < 60,
+        f"default-constant walks blew their ceilings: write " +
+          f"$tWrite%.1f, resolve $tResolve%.1f, plan $tPlan%.1f")
+    }
+  }
+
   test("sharded checkpoints make head-resolution driver work SUBLINEAR in files: zero entry materializations at 1x and 10x") {
     registered {
       // shardAt low so both fixtures cross it; the 10x fixture has ~10x
@@ -165,6 +246,19 @@ class LogScalingSpec extends AnyFunSuite {
           assert(TxTable.LazyEntries.forces.get() == f0,
             "10 head resolutions + a pruned scan plan must parse ZERO " +
               "entry lines on the driver — at this scale and at 10x it")
+          // the SCALA read verbs hold too (round-15 ask #1): a FULL
+          // read and a zone-pruned read assemble the entry list
+          // executor-side (primeEntries) — zero driver shard walks at
+          // both fixture scales, answers identical to the lazy count
+          val appends = TxTable.snapshot(spark, t).version / 5
+          val full = TxTable.read(spark, t).count()
+          assert(full == 20L * (appends + 1),
+            s"20 rows per append commit + init, got $full")
+          val pruned = TxTable.readWhere(spark, t, "day", 5L, 5L).count()
+          assert(pruned > 0 && pruned < full)
+          assert(TxTable.LazyEntries.forces.get() == f0,
+            "full + pruned Scala reads must never walk shards on the " +
+              "driver")
         }
       } finally {
         spark.conf.unset(TxTable.CheckpointShardAtConf)

@@ -208,6 +208,109 @@ class ShardedCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("a MOR delete's same-rel re-add survives a reusing checkpoint: @rm is versioned and never kills the interval's own shards") {
+    spark.conf.set("spark.sql.catalog.txshmor",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try withConf(TxTable.CheckpointShardAtConf -> "30") {
+      val t = bigLogTable() // anchor at v20; 2 rows per file
+      // v21: MOR delete of ONE row — the touched file is REMOVED and
+      // RE-ADDED under the SAME rel with a deletion vector. Crossing
+      // the next checkpoint, that rel sits in keptAdds AND the carried
+      // removes: an UNVERSIONED @rm would kill the fresh incarnation
+      // in the v40 shard along with the dead v20 copy.
+      assert(TxTable.deleteWhereMor(spark, t, $"k" === 100L) == 1L)
+      (1 to TxTable.CheckpointInterval - 1).foreach { a =>
+        TxTable.appendOnce(spark, t,
+          Seq(((9000 + a).toLong, a.toLong, s"p$a")).toDF("k", "day", "v"),
+          "k", 8, appId = "shmor", batchId = 200L + a)
+      }
+      val log = new java.io.File(t, "_txlog")
+      def body(v: Long) = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(log, f"$v%020d.checkpoint").toPath))
+      val rm40 = body(40).split('\n').filter(_.startsWith("@rm\t")).toSeq
+      assert(rm40.nonEmpty, "the MOR remove must carry as @rm")
+      assert(rm40.forall(_.split('\t').length == 3) &&
+        rm40.exists(_.split('\t')(2) == "21"),
+        s"@rm lines must carry the removal version: $rm40")
+      assert(body(40).split('\n').exists(l => l.startsWith("@shard\t") &&
+        l.split('\t')(1).startsWith(f"${20L}%020d")),
+        "the reuse path (not the full-rewrite fallback) must be on")
+      val expect1 = ((0 until 16).map(_.toLong) ++
+        (1 to 20).flatMap(a => (0 until 16).map(i => (a * 100 + i).toLong))
+          .filterNot(_ == 100L) ++
+        (1 to 19).map(a => (9000 + a).toLong)).toSet
+      // resolution THROUGH the reused anchor: the Seq contract holds
+      // and the re-added file's SURVIVING row is served
+      val snap = TxTable.snapshot(spark, t, Some(40L))
+      assert(snap.entries.size == snap.entries.iterator.size,
+        "lazy count must equal the materialized count under @rm")
+      val got1 = TxTable.read(spark, t, Some(40L))
+        .select($"k").as[Long].collect().toSet
+      assert(got1 == expect1,
+        s"versioned @rm must keep the re-added incarnation: " +
+          s"missing ${expect1.diff(got1).take(5)}, " +
+          s"extra ${got1.diff(expect1).take(5)}")
+      // the executor-side sharded planner applies the same semantics
+      TxTable.computeStats(spark, t, "day")
+      val planned = withConf(
+          graft.sources.TxDistributedPrune.DistributeAtConf -> "1") {
+        spark.sql(s"SELECT k FROM txshmor.`$t` WHERE day >= 0")
+          .as[Long].collect().toSet
+      }
+      assert(planned == expect1,
+        "runSharded must serve the re-added incarnation too")
+      // a FUTURE remove still kills the re-added copy: delete its
+      // second row, cross ANOTHER checkpoint — now TWO @rm generations
+      // for one rel and THREE physical shard copies; exactly one lives
+      assert(TxTable.deleteWhereMor(spark, t,
+        $"k" >= 100L && $"k" <= 115L) == 15L)
+      (1 to TxTable.CheckpointInterval - 1).foreach { a =>
+        TxTable.appendOnce(spark, t,
+          Seq(((9500 + a).toLong, a.toLong, s"q$a")).toDF("k", "day", "v"),
+          "k", 8, appId = "shmor2", batchId = 300L + a)
+      }
+      val expect2 = expect1 -- (100 to 115).map(_.toLong) ++
+        (1 to 19).map(a => (9500 + a).toLong)
+      val snap60 = TxTable.snapshot(spark, t, Some(60L))
+      assert(snap60.entries.size == snap60.entries.iterator.size)
+      val got2 = TxTable.read(spark, t, Some(60L))
+        .select($"k").as[Long].collect().toSet
+      assert(got2 == expect2,
+        s"a later remove must still kill the re-added incarnation: " +
+          s"missing ${expect2.diff(got2).take(5)}, " +
+          s"extra ${got2.diff(expect2).take(5)}")
+      // time travel to the FIRST anchor still answers the old state
+      assert(TxTable.read(spark, t, Some(40L))
+        .select($"k").as[Long].collect().toSet == expect1)
+    } finally spark.conf.unset("spark.sql.catalog.txshmor")
+  }
+
+  test("Scala read verbs never walk shards on the driver: read/readWhere/readKeys/readLineage seed from the executor-side parse (round-15 ask #1)") {
+    withConf(TxTable.CheckpointShardAtConf -> "30") {
+      val t = bigLogTable(extraAppends = 3) // anchor v20 + 3 deltas
+      TxTable.computeStats(spark, t, "day")
+      // admin ops may force (enable walks every entry once, by design);
+      // measure AFTER them
+      TxTable.enableRowTracking(spark, t)
+      val f0 = TxTable.LazyEntries.forces.get()
+      assert(TxTable.read(spark, t).count() == 16L * 24)
+      val rw = TxTable.readWhere(spark, t, "day", 5L, 6L)
+        .select($"k").as[Long].collect().toSet
+      assert(rw == ((5 to 6).flatMap(a =>
+        (0 until 16).map(i => (a * 100 + i).toLong)).toSet ++ Set(5L, 6L)),
+        s"zone-pruned read answers wrong: $rw")
+      val rk = TxTable.readKeys(spark, t, "k", Seq(100L, 101L), 8)
+        .filter($"k".isin(100L, 101L))
+        .select($"k").as[Long].collect().toSet
+      assert(rk == Set(100L, 101L))
+      val lin = TxTable.readLineage(spark, t)
+      assert(lin.select($"_row_id").distinct().count() == 16L * 24)
+      assert(TxTable.LazyEntries.forces.get() == f0,
+        "every Scala read verb must assemble shard-backed entries " +
+          "executor-side — zero driver shard walks")
+    }
+  }
+
   test("vacuum shard GC is reference-counted: shards an older version wrote survive while a retained checkpoint references them") {
     withConf(TxTable.CheckpointShardAtConf -> "30") {
       val t = bigLogTable(extraAppends = TxTable.CheckpointInterval + 5)
