@@ -734,9 +734,52 @@ class TxTableCatalog extends TableCatalog with FunctionCatalog
       throw new UnsupportedOperationException(
         s"unknown procedure '${ident.name()}' — available: " +
           TxProcedures.names.mkString(", ")))
-    // with a metastore, a proc's `table` argument may be a NAME — route
-    // it through the same resolver loadTable uses (suffixes included)
-    if (warehouse.isEmpty) p else TxProcedures.resolved(p, resolveRaw)
+    // with a metastore, EVERY table-reference argument may be a NAME —
+    // `table` and `source` route through the same resolver loadTable
+    // uses (suffixes included); clone's `target` is a table that does
+    // not exist yet, so a NAME there CLAIMS a fresh binding at the
+    // default location (exactly the CREATE TABLE rule), undone if the
+    // clone itself then fails
+    if (warehouse.isEmpty) p
+    else TxProcedures.resolved(p, (param, v) => param match {
+      case "table" | "source" => TxProcedures.ResolvedArg(resolveRaw(v))
+      case "target" if p.name() == "clone" => bindCloneTarget(v)
+      case "target" => TxProcedures.ResolvedArg(resolveRaw(v))
+      case _ => TxProcedures.ResolvedArg(v)
+    })
+  }
+
+  /** Resolve clone's TARGET: an absolute path or scheme'd URI passes
+    * through (path-is-identity, unchanged); a NAME resolves through the
+    * metastore if already bound (re-cloning over an existing name is
+    * the kernel's own refusal to make), else claims a fresh binding at
+    * the CREATE TABLE default location `<wh>/<segs…>` — create-
+    * exclusive, so two racing `CALL clone(…, 'db.b')` cannot both win —
+    * and hands back an UNDO that releases the claim if the clone fails. */
+  private def bindCloneTarget(raw: String): TxProcedures.ResolvedArg = {
+    if (raw.startsWith("/") ||
+        raw.matches("^[A-Za-z][A-Za-z0-9+.-]*:/.*"))
+      return TxProcedures.ResolvedArg(raw)
+    val r = resolveRaw(raw)
+    if (r != raw) return TxProcedures.ResolvedArg(r)
+    val segs = (if (raw.contains('/')) raw.split('/')
+                else raw.split('.')).toIndexedSeq
+    val bp = bindingPath(segs).get
+    val fs = metaFs(bp)
+    val loc = (warehouse.get +: segs).mkString("/")
+    fs.mkdirs(bp.getParent)
+    val claimed = scala.util.Try {
+      val out = fs.create(bp, false) // overwrite=false: the CAS
+      out.write(loc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      true
+    }.getOrElse(false)
+    if (!claimed)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Identifier.of(segs.dropRight(1).toArray, segs.last))
+    TxProcedures.ResolvedArg(loc,
+      Some(() => { fs.delete(bp, false); () }))
   }
 }
 
@@ -4967,10 +5010,15 @@ private[sources] object TxMetaTables {
     })
   }
 
-  /** `t#refs`: every named ref — tags (immutable pins) and branches
-    * (writable forks) — as one queryable table: name, kind, the pinned/
-    * base version, and the branch's commit count (0 for tags). Manifest-
-    * metadata only, like every system table. */
+  /** `t#refs`: every named ref — tags (immutable pins), branches
+    * (writable forks), open WAP stages, and OPEN equality-delete
+    * registry entries (each holds its key sidecar live and taxes every
+    * read until folded — maintenance state an operator lists exactly
+    * like WAP ids) — as one queryable table: name, kind, the pinned/
+    * base/registered version, and a kind-specific count (branch commits,
+    * WAP staged manifests, an eqdelete entry's known key tuples, -1
+    * unknown; 0 for tags). Manifest-metadata only, like every system
+    * table. */
   def refs(path: String): TxMetaTable = {
     val schema = StructType(Seq(
       StructField("name", StringType, nullable = false),
@@ -4985,18 +5033,26 @@ private[sources] object TxMetaTables {
         val head = TxTable.branchSnapshot(spark, path, n)
         (n, "branch", base, (head.version - base).toInt)
       }
+      val headSnap = TxTable.snapshot(spark, path)
       // open write-audit-publish stages are refs too (the anonymous
       // single-commit branch): version = the current head they would
       // publish onto, commits = staged manifest count
       val waps = TxTable.stagedIds(spark, path).map { id =>
-        (id, "wap", TxTable.snapshot(spark, path).version,
+        (id, "wap", headSnap.version,
           TxTable.stagedAdds(spark, path, id)._2.size)
       }
-      (tags ++ brs ++ waps).sortBy(r => (r._2, r._1)).map { case (n, k, v, c) =>
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](UTF8String.fromString(n), UTF8String.fromString(k),
-            v, c)): InternalRow
-      }.toArray
+      // unfolded equality deletes: name = the key sidecar rel, version
+      // = the delete's commit, count = known key tuples
+      val eqs = TxTable.parseEqDeletes(headSnap.props).map { d =>
+        (d.rel, "eqdelete", d.version,
+          math.min(d.nKeys, Int.MaxValue.toLong).toInt)
+      }
+      (tags ++ brs ++ waps ++ eqs).sortBy(r => (r._2, r._1))
+        .map { case (n, k, v, c) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](UTF8String.fromString(n), UTF8String.fromString(k),
+              v, c)): InternalRow
+        }.toArray
     })
   }
 
@@ -5321,8 +5377,11 @@ object TxProcedures {
   private val analyzeLayout: Proc = new Proc("analyze_layout",
     "layout-health advisor: one row per bucket from manifest metadata + " +
       "file sizes (fragmentation, deleted fraction, bytes) with the " +
-      "maintenance action each bucket needs — the scheduled-OPTIMIZE " +
-      "decision input at 100 TB, zero data I/O",
+      "maintenance action each bucket needs, plus one bucket=-1 row " +
+      "per OPEN equality-delete registry state (rows = registered key " +
+      "tuples, detail = budget pressure, recommendation = " +
+      "fold_eq_deletes) — the scheduled-OPTIMIZE decision input at " +
+      "100 TB, zero data I/O",
     Seq(ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("max_files_per_bucket", IntegerType)
         .defaultValue("4").build(),
@@ -5352,8 +5411,37 @@ object TxProcedures {
         org.apache.spark.sql.types.StructField("total_bytes", LongType,
           nullable = false),
         org.apache.spark.sql.types.StructField("recommendation",
-          StringType, nullable = false)))
-      val rows = snap.entries.groupBy(_.bucket).toSeq.sortBy(_._1)
+          StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("detail",
+          StringType, nullable = true)))
+      // the one read tax the per-bucket rows cannot see: an OPEN
+      // equality-delete registry (every read pays it as a join until
+      // fold_eq_deletes/auto_maintain runs). Surfaced as a bucket=-1
+      // row — rows = registered key tuples known, detail = pressure
+      // against the write-side budget — so a scheduler acting on this
+      // frame fixes everything auto_maintain would.
+      val eqDels = TxTable.parseEqDeletes(snap.props)
+      val regRow =
+        if (eqDels.isEmpty) Seq.empty
+        else {
+          val keys = TxTable.eqKnownKeys(eqDels)
+          val budget = scala.util.Try(spark.conf
+            .get(TxTable.EqMaxRegisteredKeysConf).toLong)
+            .getOrElse(TxTable.DefaultEqMaxRegisteredKeys)
+          val bytes = eqDels.map { d =>
+            scala.util.Try(fs.getContentSummary(
+              new Path(s"$path/${d.rel}")).getLength).getOrElse(0L)
+          }.sum
+          Seq(new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](-1, eqDels.size,
+              java.lang.Long.valueOf(keys), 0L, bytes,
+              UTF8String.fromString("fold_eq_deletes"),
+              UTF8String.fromString(
+                f"eq-registry: keys=$keys budget=$budget " +
+                  f"used=${keys.toDouble / budget}%.4f")))
+            : InternalRow)
+        }
+      val rows = regRow ++ snap.entries.groupBy(_.bucket).toSeq.sortBy(_._1)
         .map { case (b, es) =>
           val nFiles = es.size
           val rowsOpt =
@@ -5373,11 +5461,11 @@ object TxProcedures {
           new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(Array[Any](b, nFiles,
               rowsOpt.map(java.lang.Long.valueOf).orNull, ndel, bytes,
-              UTF8String.fromString(rec))): InternalRow
-        }.toArray
+              UTF8String.fromString(rec), null)): InternalRow
+        }
       java.util.Collections.singletonList[Scan](
         new TxLocalResultScan("GraftTxTable procedure analyze_layout",
-          schema, rows)).iterator()
+          schema, rows.toArray)).iterator()
     }
   }
 
@@ -5594,15 +5682,25 @@ object TxProcedures {
   def names: Seq[String] = all.keys.toSeq.sorted
   def load(name: String): Option[UnboundProcedure] = all.get(name)
 
-  /** Wrap a procedure so its `table` parameter resolves NAMES through
-    * the calling catalog's metastore before the kernel sees it —
-    * `CALL cat.compact('db.t')` maintains exactly the table
-    * `CALL cat.compact('/path')` would (a warehouse catalog's
-    * maintenance surface must not be path-only). Generic over every
-    * proc: the parameter NAMED `table` (string-typed) is rewritten,
-    * everything else passes through untouched. */
+  /** One resolved CALL argument: the rewritten value plus an optional
+    * UNDO for any side effect the resolution itself performed (a clone
+    * target's freshly claimed metastore binding) — run iff the
+    * procedure body then fails, so a failed CALL cannot leave a
+    * dangling name behind. */
+  final case class ResolvedArg(value: String,
+                               undo: Option[() => Unit] = None)
+
+  /** Wrap a procedure so every STRING parameter runs through the
+    * calling catalog's resolver (keyed by parameter name) before the
+    * kernel sees it — `CALL cat.compact('db.t')` maintains exactly the
+    * table `CALL cat.compact('/path')` would, and the same holds for
+    * every other table-reference parameter (`source`/`target` of
+    * clone/release_clone/localize_clone): a warehouse catalog's
+    * maintenance surface must accept NAMES everywhere paths work. The
+    * resolver decides which names it touches; non-reference parameters
+    * (a keys_query, a tag name) pass through untouched. */
   def resolved(p: UnboundProcedure,
-               resolve: String => String): UnboundProcedure =
+               resolve: (String, String) => ResolvedArg): UnboundProcedure =
     new UnboundProcedure with BoundProcedure {
       override def name(): String = p.name()
       override def description(): String = p.description()
@@ -5618,15 +5716,22 @@ object TxProcedures {
           override def call(input: InternalRow)
               : java.util.Iterator[Scan] = {
             val ps = b.parameters()
+            val undos = Seq.newBuilder[() => Unit]
             val vals = ps.indices.map { i =>
               val v = input.get(i, ps(i).dataType())
-              if (ps(i).name() == "table" &&
-                  ps(i).dataType() == StringType && v != null)
-                UTF8String.fromString(resolve(v.toString))
-              else v
+              if (ps(i).dataType() == StringType && v != null) {
+                val r = resolve(ps(i).name(), v.toString)
+                r.undo.foreach(u => undos += u)
+                UTF8String.fromString(r.value)
+              } else v
             }.toArray[Any]
-            b.call(new org.apache.spark.sql.catalyst.expressions
+            try b.call(new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(vals))
+            catch { case e: Throwable =>
+              undos.result().reverse
+                .foreach(u => scala.util.Try(u()))
+              throw e
+            }
           }
         }
       }

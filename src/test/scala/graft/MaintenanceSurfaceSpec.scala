@@ -177,6 +177,55 @@ class MaintenanceSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("open eq-delete registries surface in analyze_layout (bucket=-1 pressure row) and t#refs (kind=eqdelete) — and vanish at the fold") {
+    registered {
+      val t = fresh()
+      // a healthy registry-less table shows neither surface
+      assert(spark.sql(s"CALL txmt.analyze_layout('$t')")
+        .filter($"bucket" === -1).count() == 0)
+      assert(spark.table(s"txmt.`$t#refs`")
+        .filter($"kind" === "eqdelete").count() == 0)
+      // two registrations: the layout advisor folds them into ONE
+      // bucket=-1 row (files = open entries, rows = known key tuples),
+      // the refs table lists each entry like a WAP id
+      assert(TxTable.deleteWhereEq(spark, t,
+        Seq("K1", "K2", "K3").toDF("k")) == 3L)
+      assert(TxTable.deleteWhereEq(spark, t,
+        Seq("K4", "K5").toDF("k")) == 2L)
+      val reg = spark.sql(s"CALL txmt.analyze_layout('$t')")
+        .filter($"bucket" === -1)
+        .select($"n_files", $"rows", $"deleted_rows", $"total_bytes",
+          $"recommendation", $"detail")
+        .as[(Int, Long, Long, Long, String, String)].collect()
+      assert(reg.length == 1)
+      val (nEntries, keys, del0, bytes, rec, detail) = reg.head
+      assert(nEntries == 2 && keys == 5L && del0 == 0L && bytes > 0L)
+      assert(rec == "fold_eq_deletes")
+      assert(detail.contains("keys=5") && detail.contains("budget="),
+        s"the detail must name the budget pressure: $detail")
+      // per-bucket rows keep their own shape (no detail, real buckets)
+      assert(spark.sql(s"CALL txmt.analyze_layout('$t')")
+        .filter($"bucket" >= 0 && $"detail".isNotNull).count() == 0)
+      val eqRefs = spark.table(s"txmt.`$t#refs`")
+        .filter($"kind" === "eqdelete")
+        .as[(String, String, Long, Int)].collect().sortBy(_._3)
+      assert(eqRefs.length == 2)
+      assert(eqRefs.map(_._3).toSeq == Seq(1L, 2L),
+        "version = each delete's own commit")
+      assert(eqRefs.map(_._4).toSeq == Seq(3, 2),
+        "count = the entry's known key tuples")
+      // the recommended action clears both surfaces; the data already
+      // read as deleted before it
+      assert(TxTable.read(spark, t).count() == 27L)
+      assert(TxTable.foldEqDeletes(spark, t) >= 1)
+      assert(spark.sql(s"CALL txmt.analyze_layout('$t')")
+        .filter($"bucket" === -1).count() == 0)
+      assert(spark.table(s"txmt.`$t#refs`")
+        .filter($"kind" === "eqdelete").count() == 0)
+      assert(TxTable.read(spark, t).count() == 27L)
+    }
+  }
+
   test("vacuum at file-count scale: one-level orphan listing, distributed recursive deletes past the threshold") {
     val t = java.nio.file.Files.createTempDirectory("graft_vd_")
       .toString + "/t"

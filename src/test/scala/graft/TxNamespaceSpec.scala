@@ -168,6 +168,33 @@ class TxNamespaceSpec extends AnyFunSuite {
         TxTable.snapshot(spark, path).props).isEmpty)
       assert(spark.table("txnm.db.m").select($"k").as[Long]
         .collect().toSet == Set(1L, 3L))
+      // clone entirely by NAME: `source` resolves through the
+      // metastore and `target` CLAIMS a fresh binding at the CREATE
+      // TABLE default location — the new name loads, lists, and
+      // maintains like any created table
+      spark.sql("CALL txnm.clone('db.m', 'db.mc')")
+      assert(spark.table("txnm.db.mc").select($"k").as[Long]
+        .collect().toSet == Set(1L, 3L))
+      assert(TxTable.isTxTable(spark, s"$wh/db/mc"),
+        "the claimed binding must point at the default location")
+      assert(spark.sql("SHOW TABLES IN txnm.db").select("tableName")
+        .as[String].collect().toSet.contains("mc"))
+      assert(spark.sql("CALL txnm.localize_clone('db.mc')")
+        .as[Int].head() >= 0)
+      spark.sql("CALL txnm.release_clone('db/mc')") // '/' spelling too
+      // re-cloning onto the SAME name refuses via the kernel, and the
+      // refused CALL must not clobber the existing binding
+      intercept[Exception] { spark.sql("CALL txnm.clone('db.m', 'db.mc')") }
+      assert(spark.table("txnm.db.mc").count() == 2,
+        "a refused re-clone must leave the existing target intact")
+      // a clone whose SOURCE fails rolls back the target's freshly
+      // claimed binding (no dangling name from a failed CALL)
+      intercept[Exception] {
+        spark.sql("CALL txnm.clone('db.nosuch', 'db.newt')")
+      }
+      assert(!spark.sql("SHOW TABLES IN txnm.db").select("tableName")
+        .as[String].collect().toSet.contains("newt"),
+        "a failed clone must release the target binding it claimed")
     }
   }
 
