@@ -506,9 +506,17 @@ object TxTable {
   }
 
   /** [[stageEqKeys]] when the key count is NOT yet known: the exact
-    * count rides the write job itself (an `observe` aggregate), so the
-    * streaming CDC sink never pays a separate aggregation job per
-    * micro-batch just for the registry's nKeys. Chunking comes from
+    * count comes from the staged files' parquet FOOTERS after the one
+    * write job — a driver-side read of O(files-written) footers (file
+    * count is bounded by count/keysPerFile, and a registry the budget
+    * accepts is small by definition) — so the streaming CDC sink never
+    * pays a separate aggregation job per micro-batch just for the
+    * registry's nKeys. Deliberately NOT `Dataset.observe`: registering
+    * an Observation initializes the session's ObservationManager, a
+    * non-java-serializable field that would then poison every later
+    * closure capturing the session (e.g. Spark ML scoring UDFs whose
+    * training summaries hold the session) — a library verb must not
+    * change what else the session can run. Chunking comes from
     * `maxRecordsPerFile` instead of a count-sized repartition — a huge
     * delete still splits at the same per-file bound (its parallelism is
     * the dedup shuffle's), and AQE's partition coalescing keeps a tiny
@@ -518,11 +526,22 @@ object TxTable {
     val perFile =
       math.max(1L, eqConfLong(spark, EqKeysPerFileConf, DefaultEqKeysPerFile))
     val rel = s"files/${java.util.UUID.randomUUID()}/eqdel"
-    val obs = new org.apache.spark.sql.Observation
-    physKeys.observe(obs, count(lit(1)).as("n"))
-      .write.option("maxRecordsPerFile", perFile)
+    physKeys.write.option("maxRecordsPerFile", perFile)
       .parquet(s"$table/$rel")
-    (rel, obs.get("n").asInstanceOf[Long])
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"$table/$rel")
+    val dfs = dir.getFileSystem(conf)
+    import scala.jdk.CollectionConverters._
+    val n = dfs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, conf))
+        try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally r.close()
+      }.sum
+    (rel, n)
   }
 
   private def eqEnc(s: String): String =

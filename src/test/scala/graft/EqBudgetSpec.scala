@@ -80,6 +80,29 @@ class EqBudgetSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.catalog.txeqsp")
   }
 
+  test("registering verbs leave the session closure-serializable: counted key staging must not initialize ObservationManager") {
+    val t = fresh(12)
+    // a CDC batch with a REAL delete side drives the counted staging
+    // path (the one that must not reach for Dataset.observe: the first
+    // Observation registered on a session initializes its
+    // ObservationManager, a non-java-serializable field — after which
+    // ANY later closure capturing the session fails to serialize, e.g.
+    // Spark ML scoring UDFs whose training summaries hold the session)
+    assert(TxTable.appendWithEqDelete(spark, t,
+      Seq((100L, 1000L)).toDF("k", "v"), Seq(2L, 3L).toDF("k"),
+      "k", 4, appId = "eqb-ser", batchId = 1L))
+    assert(TxTable.parseEqDeletes(TxTable.snapshot(spark, t).props)
+      .map(_.nKeys).sum == 2L, "the footer count must be exact")
+    // the exact serialization walk the ML path performs: java-serialize
+    // an object graph that reaches the session (pre-poison this
+    // succeeds; a registered Observation makes it throw
+    // NotSerializableException on observationManager)
+    val out = new java.io.ObjectOutputStream(
+      java.io.OutputStream.nullOutputStream())
+    out.writeObject(spark)
+    out.close()
+  }
+
   test("registering verbs record nKeys; legacy 3-field entries parse as unknown and round-trip unchanged") {
     val t = fresh(20)
     assert(TxTable.deleteWhereEq(spark, t, Seq(1L, 2L, 3L).toDF("k")) == 3)
