@@ -674,6 +674,7 @@ object SparkEntry {
     // design; only its source log is landing work)
     stagedShardedOrders(s, dir)
     stagedEpochSource(s, dir)
+    stagedRegistryOrders(s, dir)
     stagedMergedOrders(s, dir)
     stagedDeltaMergedOrders(s, dir)
     // the key-clustered TopN fixture and the retention-delete landing
@@ -1243,6 +1244,33 @@ object SparkEntry {
       ops.TxTable.appendOnce(s, path,
         orders.filter(col("k") % 30 === 0).withColumn("op", lit("d")),
         "k", 8, appId = "epoch-src", batchId = 6L)
+      ()
+    }
+    path
+  }
+
+  /** Open-registry OBSERVABILITY fixture for ext_registry_pressure
+    * (staged once): two equality-delete registrations over an
+    * orders-derived table — v1 registers 2 key tuples, v2 registers 3 —
+    * left UNFOLDED so both maintenance surfaces (the analyze_layout
+    * bucket=-1 pressure row and the t#refs eqdelete listing) carry
+    * state to report. */
+  private def stagedRegistryOrders(s: SparkSession, dir: String): String = {
+    val root =
+      s"target/graft-registry-refs/${new java.io.File(dir).getName}"
+    val path = s"$root/t"
+    ensureStaged(root) {
+      rmTree(new java.io.File(root))
+      val orders = tbl(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderpriority").as("grp"),
+        col("o_totalprice").cast("double").as("val"))
+      ops.TxTable.init(s, path, orders, key = "k", nBuckets = 8)
+      import s.implicits._
+      require(ops.TxTable.deleteWhereEq(s, path,
+        Seq(1L, 2L).toDF("k")) == 2L)
+      require(ops.TxTable.deleteWhereEq(s, path,
+        Seq(3L, 4L, 5L).toDF("k")) == 3L)
       ()
     }
     path
@@ -3259,6 +3287,29 @@ object SparkEntry {
           moneySum(col("val")).as("total_val"),
           min(col("val")).as("min_val"))
         .orderBy(col("grp"))
+    }),
+
+    // The registry-pressure observability surface under the hash gate:
+    // the analyze_layout bucket=-1 row (entries, registered key tuples,
+    // the fold recommendation) and the t#refs eqdelete listing (one row
+    // per open entry at its registration version) — the oracle derives
+    // the expected frame from the fixture's registration history alone.
+    "ext_registry_pressure" -> ((s, dir) => {
+      val path = stagedRegistryOrders(s, dir)
+      ensureTxCatalog(s)
+      val layout = s.sql(s"CALL txspj.analyze_layout('$path')")
+        .filter(col("bucket") === -1)
+        .select(lit("layout").as("surface"),
+          col("n_files").cast("long").as("ord"),
+          col("rows").as("n"),
+          col("recommendation").as("action"))
+      val refs = s.table(s"txspj.`$path#refs`")
+        .filter(col("kind") === "eqdelete")
+        .select(lit("refs").as("surface"),
+          col("version").as("ord"),
+          col("commits").cast("long").as("n"),
+          lit("fold_eq_deletes").as("action"))
+      layout.unionByName(refs).orderBy(col("surface"), col("ord"))
     }),
 
     // Streaming-sink epoch cost IN the bench medians (round-14 judge
@@ -6080,6 +6131,20 @@ object SparkEntry {
         |  CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total_val,
         |  MIN(val) AS min_val
         |FROM allr GROUP BY grp ORDER BY grp""".stripMargin,
+
+    // the maintenance surfaces report exactly the fixture's
+    // registration history: one layout pressure row folding both open
+    // entries (2 entries, 5 key tuples) and one refs row per entry at
+    // its own commit version with its own key count
+    "ext_registry_pressure" ->
+      """SELECT * FROM (VALUES
+        |  ('layout', CAST(2 AS BIGINT), CAST(5 AS BIGINT),
+        |   'fold_eq_deletes'),
+        |  ('refs', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+        |   'fold_eq_deletes'),
+        |  ('refs', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+        |   'fold_eq_deletes')) AS t(surface, ord, n, action)
+        |ORDER BY surface, ord""".stripMargin,
 
     // the drained upsert state: every orders key lands once via its
     // k%6 slice (val + slice·1000); the final 'd' epoch retires every
