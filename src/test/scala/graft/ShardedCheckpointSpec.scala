@@ -311,6 +311,69 @@ class ShardedCheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("equality deletes compose with sharded anchors: the registry rides a REUSING checkpoint, reads anti-join through primed shards, the fold retires it") {
+    spark.conf.set("spark.sql.catalog.txsheq",
+      classOf[graft.sources.TxTableCatalog].getName)
+    try withConf(TxTable.CheckpointShardAtConf -> "30") {
+      val t = bigLogTable() // anchor at v20
+      // v21: zero-read-amp delete of three live keys — the registry
+      // entry rides snapshot PROPS, so the v40 REUSING anchor must
+      // carry it forward without rewriting a shard
+      assert(TxTable.deleteWhereEq(spark, t,
+        Seq(100L, 101L, 202L).toDF("k")) == 3L)
+      (1 to TxTable.CheckpointInterval - 1).foreach { a =>
+        TxTable.appendOnce(spark, t,
+          Seq(((9000 + a).toLong, a.toLong, s"p$a")).toDF("k", "day", "v"),
+          "k", 8, appId = "shcpeq", batchId = 100L + a)
+      }
+      val snap40 = TxTable.snapshot(spark, t)
+      assert(snap40.version == 40L)
+      assert(TxTable.parseEqDeletes(snap40.props).map(_.nKeys).sum == 3L,
+        "the registry must survive into the reused anchor's props")
+      val log = new java.io.File(t, "_txlog")
+      assert(new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(log, f"${40L}%020d.checkpoint").toPath))
+        .split('\n').exists(l => l.startsWith("@shard\t") &&
+          l.split('\t')(1).startsWith(f"${20L}%020d")),
+        "the v40 anchor must be the REUSE shape, registry and all")
+      val expect = ((0 until 16).map(_.toLong) ++
+        (1 to 20).flatMap(a =>
+          (0 until 16).map(i => (a * 100 + i).toLong)) ++
+        (1 to 19).map(a => (9000 + a).toLong))
+        .toSet -- Set(100L, 101L, 202L)
+      // Scala read: primed executor-side + anti-joined — zero driver
+      // shard walks on the data path, deleted keys dead
+      val f0 = TxTable.LazyEntries.forces.get()
+      assert(TxTable.read(spark, t).select($"k").as[Long]
+        .collect().toSet == expect)
+      assert(TxTable.LazyEntries.forces.get() == f0,
+        "the eq-filtered read must not walk shards on the driver")
+      // DSv2 agrees: the plan-time position fold runs over the
+      // shard-backed base
+      assert(spark.table(s"txsheq.`$t`").select($"k").as[Long]
+        .collect().toSet == expect)
+      // the fold rewrites the addressable files and retires the
+      // registry; answers unchanged through the NEXT anchor (whose
+      // carried-remove budget the fold's base-wide rewrite exceeds —
+      // the bounded full-rewrite fallback is the designed response)
+      assert(TxTable.foldEqDeletes(spark, t) >= 1)
+      assert(TxTable.parseEqDeletes(
+        TxTable.snapshot(spark, t).props).isEmpty,
+        "the fold must retire the registry")
+      (1 to TxTable.CheckpointInterval).foreach { a =>
+        TxTable.appendOnce(spark, t,
+          Seq(((9500 + a).toLong, a.toLong, s"q$a")).toDF("k", "day", "v"),
+          "k", 8, appId = "shcpeq2", batchId = 200L + a)
+      }
+      val expect2 = expect ++ (1 to 20).map(a => (9500 + a).toLong)
+      assert(TxTable.read(spark, t).select($"k").as[Long]
+        .collect().toSet == expect2)
+      val snap = TxTable.snapshot(spark, t)
+      assert(snap.entries.size == snap.entries.iterator.size,
+        "the arithmetic count must stay exact through fold + anchors")
+    } finally spark.conf.unset("spark.sql.catalog.txsheq")
+  }
+
   test("vacuum shard GC is reference-counted: shards an older version wrote survive while a retained checkpoint references them") {
     withConf(TxTable.CheckpointShardAtConf -> "30") {
       val t = bigLogTable(extraAppends = TxTable.CheckpointInterval + 5)
