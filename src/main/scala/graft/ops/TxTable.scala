@@ -1918,8 +1918,12 @@ object TxTable {
     if (hit.isEmpty)
       read(spark, table, version).filter(lit(false))
     else
+      // equality-delete-aware like every read verb: a point read under
+      // an unfolded registry must not resurrect the deleted keys (the
+      // anti-join is a no-op the moment the registry folds)
       fromPhysical(
-        DeletionVectors.readEntries(spark, table, hit, snap.schema)
+        applyEqDeletes(spark, table, snap,
+          DeletionVectors.readEntries(spark, table, hit, snap.schema))
           .filter(col(s"`$physKey`").isin(keys: _*)),
         snap)
   }
@@ -2816,7 +2820,10 @@ object TxTable {
       col(s"`$c`") >= lit(lo) && col(s"`$c`") <= lit(hi) }.reduce(_ && _)
     if (kept.isEmpty) read(spark, table, version).filter(lit(false))
     else fromPhysical(
-      DeletionVectors.readEntries(spark, table, kept, snap.schema)
+      // equality-delete-aware like every read verb: zone-map pruning
+      // must not resurrect keys a live registry already deleted
+      applyEqDeletes(spark, table, snap,
+        DeletionVectors.readEntries(spark, table, kept, snap.schema))
         .filter(pred), snap)
   }
 
@@ -4694,9 +4701,16 @@ object TxTable {
         s"${stagedIds(spark, table).mkString(", ")})")
     val merged = schemas.foldLeft(snap.schema.getOrElse(StructType(Nil)))(
       (acc, sc) => mergeSchemas(acc, sc, snap.dropped))
+    // equality-delete-aware on the HEAD portion: the audit must show
+    // what a post-publish read would serve, and that read anti-joins
+    // any unfolded registry. Staged files are absent from snap.entries,
+    // so their rows join a null addV and the kill condition is never
+    // true for them — exactly right, since a publish lands at a version
+    // AFTER every registered delete.
     fromPhysical(
-      DeletionVectors.readEntries(spark, table, snap.entries ++ adds,
-        Some(merged)), snap)
+      applyEqDeletes(spark, table, snap,
+        DeletionVectors.readEntries(spark, table, snap.entries ++ adds,
+          Some(merged))), snap)
   }
 
   /** PUBLISH a WAP id: every staging under the id lands as ONE atomic

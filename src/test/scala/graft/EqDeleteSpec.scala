@@ -33,6 +33,45 @@ class EqDeleteSpec extends AnyFunSuite {
     t
   }
 
+  test("the PRUNED read verbs anti-join too: readKeys and readWhere never resurrect eq-deleted keys, and later same-key appends survive") {
+    val t = fresh(40)
+    assert(TxTable.deleteWhereEq(spark, t,
+      Seq(3L, 7L, 11L).toDF("k")) == 3)
+    // point read: deleted keys are dead, their bucket-mates serve
+    assert(TxTable.readKeys(spark, t, "k", Seq(3L, 7L, 4L), 4)
+      .select($"k").as[Long].collect().toSet == Set(4L))
+    // zone-pruned read over v = k*10 (window 20..120 = keys 2..12)
+    TxTable.computeStats(spark, t, "v")
+    assert(TxTable.readWhere(spark, t, "v", 20L, 120L)
+      .select($"k").as[Long].collect().toSet ==
+      (2L to 12L).toSet -- Set(3L, 7L, 11L))
+    // sequence scoping holds on the pruned verbs: a LATER append of a
+    // deleted key postdates the registration and serves
+    TxTable.appendOnce(spark, t, Seq((7L, 70L)).toDF("k", "v"),
+      "k", 4, appId = "eq-pruned", batchId = 1L)
+    assert(TxTable.readKeys(spark, t, "k", Seq(7L), 4)
+      .select($"k", $"v").as[(Long, Long)].collect().toSeq ==
+      Seq((7L, 70L)))
+    assert(TxTable.readWhere(spark, t, "v", 70L, 70L)
+      .select($"k").as[Long].collect().toSeq == Seq(7L))
+    // the WAP audit view anti-joins its HEAD portion too (3 stays dead
+    // there) while the staged rows — which would publish at a version
+    // PAST the registration — all serve
+    TxTable.stageAppend(spark, t, Seq((3L, 333L)).toDF("k", "v"),
+      "k", 4, wapId = "eq.audit")
+    assert(TxTable.readStaged(spark, t, "eq.audit")
+      .filter($"k".isin(3L, 7L)).select($"k", $"v")
+      .as[(Long, Long)].collect().toSet == Set((3L, 333L), (7L, 70L)))
+    TxTable.dropStaged(spark, t, "eq.audit")
+    // the fold changes no answer (the anti-join becomes a no-op)
+    assert(TxTable.foldEqDeletes(spark, t) >= 1)
+    assert(TxTable.readKeys(spark, t, "k", Seq(3L, 7L), 4)
+      .select($"v").as[Long].collect().toSeq == Seq(70L))
+    assert(TxTable.readWhere(spark, t, "v", 20L, 120L)
+      .select($"k").as[Long].collect().toSet ==
+      (2L to 12L).toSet -- Set(3L, 11L))
+  }
+
   test("write path is metadata-only; reads anti-join exactly; a LATER append with the same keys survives (sequence scoping)") {
     registered {
       val t = fresh(40)
