@@ -276,20 +276,42 @@ object DeletionVectors {
     * through the ordinary (vectorized, codegen) parquet read; DV'd files
     * add the physical row index + rel, filter live rows, and union back.
     * Schema/columns identical to a plain read on both legs. */
+  /** Build the parquet frame for an explicit entry list. With a recorded
+    * schema the scan is constructed straight from manifest statistics
+    * (paths + `b:` lengths; legacy entries fall back to one cached stat
+    * each): ZERO listing jobs and zero schema inference at plan time —
+    * the manifest-metadata read path (guide §6), same execution plan as
+    * `spark.read.schema(s).parquet(...)` otherwise. Schema-less (v1)
+    * tables keep the listing+inference reader, their only schema source. */
+  private def entriesFrame(spark: SparkSession, table: String,
+                           es: Seq[TxTable.FileEntry],
+                           schema: Option[StructType]): DataFrame =
+    schema match {
+      case Some(s) =>
+        val tPath = new org.apache.hadoop.fs.Path(table)
+        val fs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val qualified = fs.makeQualified(tPath).toString
+        org.apache.spark.sql.execution.datasources.v2.parquet
+          .GraftParquetShim.parquetFromStatuses(spark, s,
+            es.map(e => (s"$qualified/${e.rel}",
+              graft.sources.TxFileSizes.of(fs, table, e))))
+      case None =>
+        spark.read.parquet(es.map(e => s"$table/${e.rel}"): _*)
+    }
+
   private[graft] def readEntries(spark: SparkSession, table: String,
                                  entries: Seq[TxTable.FileEntry],
                                  schema: Option[StructType]): DataFrame = {
-    def reader = schema.fold(spark.read)(spark.read.schema)
     val (dvd, clean) = entries.partition(_.dv.isDefined)
     require(entries.nonEmpty, "readEntries needs at least one file")
     val cleanDf =
       if (clean.isEmpty) None
-      else Some(reader.parquet(clean.map(e => s"$table/${e.rel}"): _*))
+      else Some(entriesFrame(spark, table, clean, schema))
     val dvdDf =
       if (dvd.isEmpty) None
       else {
         val bitmaps = loadBitmaps(spark, table, dvd)
-        val raw = reader.parquet(dvd.map(e => s"$table/${e.rel}"): _*)
+        val raw = entriesFrame(spark, table, dvd, schema)
         val cols = raw.columns.toSeq
         // the probe is relKey-keyed and extracts the suffix itself once
         // per file — the raw path feeds it directly: no per-row regexp,

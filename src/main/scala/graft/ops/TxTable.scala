@@ -51,6 +51,13 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   */
 object TxTable {
 
+  /** Lightweight metadata-plane counters (log resolutions and their wall
+    * time) — a local-mode stand-in for the catalog-server metrics a real
+    * deployment would export. Read/reset by profiling harnesses to audit
+    * how many log walks a verb costs; zero overhead otherwise. */
+  private[graft] val snapshotCalls = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val snapshotNanos = new java.util.concurrent.atomic.AtomicLong
+
   /** One data file in a snapshot: its key bucket, table-relative path, and
     * (since the row-count manifest extension) the file's exact row count —
     * None for files committed before counts were recorded. Counts are what
@@ -86,7 +93,8 @@ object TxTable {
                              rows: Option[Long] = None,
                              dv: Option[DvRef] = None,
                              base: Option[(Long, Long)] = None,
-                             addV: Option[Long] = None) {
+                             addV: Option[Long] = None,
+                             bytes: Option[Long] = None) {
     /** Exact LIVE row count, when the physical count is recorded. */
     def liveRows: Option[Long] = rows.map(_ - dv.fold(0L)(_.ndel))
   }
@@ -716,16 +724,22 @@ object TxTable {
     * (tracking tables are created by tracking-aware code). */
   private def ridSuffix(e: FileEntry): String =
     e.base.fold("") { case (b, v) => s"	rid:$b:$v" } +
-      e.addV.fold("")(v => s"	v:$v")
+      e.addV.fold("")(v => s"	v:$v") +
+      e.bytes.fold("")(n => s"	b:$n")
 
-  /** Strip the TAGGED trailing fields (`rid:`, `v:`) off an entry line
-    * in either order — tagged fields compose with the positional grammar
-    * whether or not the optional DV fields are present. */
+  /** Strip the TAGGED trailing fields (`rid:`, `v:`, `b:`) off an entry
+    * line in any order — tagged fields compose with the positional
+    * grammar whether or not the optional DV fields are present. `b:` is
+    * the file's byte length, recorded at staging (the Iceberg/Delta
+    * manifest-statistics idea) so read planning never stats or lists the
+    * filesystem; absent on legacy entries, which degrade to one cached
+    * `getFileStatus` per file. */
   private def splitRid(fields0: Array[String])
-      : (Array[String], Option[(Long, Long)], Option[Long]) = {
+      : (Array[String], Option[(Long, Long)], Option[Long], Option[Long]) = {
     var fields = fields0
     var rid: Option[(Long, Long)] = None
     var addV: Option[Long] = None
+    var bytes: Option[Long] = None
     var go = true
     while (go && fields.nonEmpty) {
       val last = fields.last
@@ -736,9 +750,12 @@ object TxTable {
       } else if (last.startsWith("v:")) {
         addV = Some(last.stripPrefix("v:").toLong)
         fields = fields.dropRight(1)
+      } else if (last.startsWith("b:")) {
+        bytes = Some(last.stripPrefix("b:").toLong)
+        fields = fields.dropRight(1)
       } else go = false
     }
-    (fields, rid, addV)
+    (fields, rid, addV, bytes)
   }
 
   private def parseRows(s: String): Option[Long] =
@@ -747,7 +764,7 @@ object TxTable {
   /** One manifest/shard body line → entry (the single line grammar every
     * surface shares — executors parse shard lines with exactly this). */
   private[graft] def parseEntryLine(line: String): FileEntry = {
-    val (fields, rid, addV) = splitRid(line.split('	'))
+    val (fields, rid, addV, bytes) = splitRid(line.split('	'))
     (fields match {
       case Array(b, rel) => FileEntry(b.toInt, rel)
       case Array(b, rel, r) => FileEntry(b.toInt, rel, parseRows(r))
@@ -756,7 +773,7 @@ object TxTable {
           Some(DvRef(dvRel, ndel.toLong)))
       case other => throw new IllegalStateException(
         s"malformed manifest line: ${other.mkString("\\t")}")
-    }).copy(base = rid, addV = addV)
+    }).copy(base = rid, addV = addV, bytes = bytes)
   }
 
   private def parseManifest(bytes: Array[Byte]): Seq[FileEntry] =
@@ -812,16 +829,17 @@ object TxTable {
     val removes = Set.newBuilder[String]
     new String(bytes, StandardCharsets.UTF_8).split('\n').toSeq
       .drop(1).filter(_.nonEmpty).foreach { line =>
-        val (fields, rid, addV) = splitRid(line.split('	'))
+        val (fields, rid, addV, bytes) = splitRid(line.split('	'))
         fields match {
           case Array("+", b, rel) =>
-            adds += FileEntry(b.toInt, rel).copy(base = rid, addV = addV)
+            adds += FileEntry(b.toInt, rel)
+              .copy(base = rid, addV = addV, bytes = bytes)
           case Array("+", b, rel, r) =>
             adds += FileEntry(b.toInt, rel, parseRows(r))
-              .copy(base = rid, addV = addV)
+              .copy(base = rid, addV = addV, bytes = bytes)
           case Array("+", b, rel, r, dvRel, ndel) =>
             adds += FileEntry(b.toInt, rel, parseRows(r),
-              Some(DvRef(dvRel, ndel.toLong)), rid, addV)
+              Some(DvRef(dvRel, ndel.toLong)), rid, addV, bytes)
           case Array("-", rel)    => removes += rel
           case other => throw new IllegalStateException(
             s"malformed delta manifest line: ${other.mkString("\\t")}")
@@ -1287,6 +1305,16 @@ object TxTable {
     * predates the retained log) instead of resolving wrong. */
   def snapshot(spark: SparkSession, table: String,
                version: Option[Long] = None): Snapshot = {
+    val __t0 = System.nanoTime()
+    try snapshotImpl(spark, table, version)
+    finally {
+      snapshotCalls.incrementAndGet()
+      snapshotNanos.addAndGet(System.nanoTime() - __t0)
+    }
+  }
+
+  private def snapshotImpl(spark: SparkSession, table: String,
+                           version: Option[Long]): Snapshot = {
     val fs = fsFor(spark, table)
     val v = version.getOrElse {
       val vs = listVersions(fs, table)
@@ -3063,35 +3091,37 @@ object TxTable {
       case None => renameBuckets(root)
     }
     val it = fs.listFiles(root, true)
-    val entries = Seq.newBuilder[FileEntry]
-    val hconf = spark.sparkContext.hadoopConfiguration
+    val stats = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (name.endsWith(".parquet")) {
-        val bucketSeg = st.getPath.getParent.getName // bucket-N
-        val b = bucketSeg.stripPrefix("bucket-").toInt
-        // exact row count from the footer metadata (one small read per
-        // newly staged file, driver-side — O(commit's files), never table
-        // size; at larger fan-outs the same counts could ride executor
-        // write metrics). Best-effort: a failed footer read records None,
-        // degrading COUNT(*) to a scan rather than blocking the commit.
-        val rows = scala.util.Try {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(st.getPath, hconf))
-          try r.getRecordCount finally r.close()
-        }.toOption
-        // table-relative path INCLUDING any part-<v> segment (relativize
-        // against the qualified staging root rather than assuming a
-        // fixed directory depth)
-        val fileRel = st.getPath.toUri.getPath
-          .stripPrefix(fs.makeQualified(root).toUri.getPath)
-          .stripPrefix("/")
-        entries += FileEntry(b, s"$rel/$fileRel", rows)
-      }
+      if (st.getPath.getName.endsWith(".parquet")) stats += st
     }
-    entries.result()
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val qrootPath = fs.makeQualified(root).toUri.getPath
+    // exact row count from the footer metadata (one small read per newly
+    // staged file — O(commit's files), never table size), footers opened
+    // in PARALLEL: each open is a latency-bound metadata read, so a
+    // 64-file commit pays one round-trip, not sixty-four sequential ones.
+    // Best-effort: a failed footer read records None, degrading COUNT(*)
+    // to a scan rather than blocking the commit. The file's byte LENGTH
+    // rides the same entry (`b:` tagged field) so read planning never
+    // re-stats the filesystem — manifest statistics, the Iceberg idea.
+    import scala.collection.parallel.CollectionConverters._
+    stats.result().par.map { st =>
+      val b = st.getPath.getParent.getName.stripPrefix("bucket-").toInt
+      val rows = scala.util.Try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(st.getPath, hconf))
+        try r.getRecordCount finally r.close()
+      }.toOption
+      // table-relative path INCLUDING any part-<v> segment (relativize
+      // against the qualified staging root rather than assuming a
+      // fixed directory depth)
+      val fileRel = st.getPath.toUri.getPath
+        .stripPrefix(qrootPath).stripPrefix("/")
+      FileEntry(b, s"$rel/$fileRel", rows, bytes = Some(st.getLen))
+    }.seq.sortBy(_.rel)
   }
 
   /** Stage an already-bucket-tagged frame as new data files (no commit) —
@@ -3665,9 +3695,17 @@ object TxTable {
                          key: String, nBuckets: Int,
                          appId: String, batchId: Long,
                          maxRetries: Int = 5): Boolean = {
+    def tmark(tag: String, t0: Long): Long = {
+      val t = System.nanoTime()
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        System.err.println(f"[trace] appendEq $tag ${(t - t0) / 1e9}%.3f s")
+      t
+    }
+    var __t = System.nanoTime()
     val fs = fsFor(spark, table)
     if (lastCommittedBatch(spark, table, appId).exists(_ >= batchId))
       return false
+    __t = tmark("lastCommitted", __t)
     val distinctKeys = deleteKeys.na.drop().dropDuplicates()
     // cheap emptiness probe (a limit-1 scan, no shuffle — dedup cannot
     // change emptiness): the common insert-only CDC micro-batch must
@@ -3676,6 +3714,7 @@ object TxTable {
     // write itself (stageEqKeysCounted), so the hot path stays at one
     // job either way.
     val emptyDel = deleteKeys.na.drop().isEmpty
+    __t = tmark("emptyProbe", __t)
     var nDel = 0L
     val taggedLogical = enforceConstraints(spark, table, rows)
       .withColumn(LayoutOps.BucketCol,
@@ -3684,22 +3723,27 @@ object TxTable {
     def stage(renames: Map[String, String])
         : (Seq[FileEntry], Option[(String, Seq[String])]) = {
       val rn = Snapshot(-1L, Seq.empty, renames = renames)
+      var __ts = System.nanoTime()
       val entries = stageFiles(spark, table, toPhysical(taggedLogical, rn))
+      __ts = tmark("stageRows", __ts)
       val del =
         if (emptyDel) None
         else {
           val (r, n) = stageEqKeysCounted(spark, table,
             toPhysical(distinctKeys, rn))
           nDel = n
+          __ts = tmark("stageKeys", __ts)
           Some((r, distinctKeys.columns.toSeq
             .map(c => renames.getOrElse(c, c))))
         }
       (entries, del)
     }
     var (newEntries, stagedDel) = stage(stagedRenames)
+    __t = tmark("stage", __t)
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
+      __t = tmark("loopSnapshot", __t)
       if (stagedDel.isDefined) requireEqDeletable(table, snap)
       if (snap.renames != stagedRenames) {
         (newEntries.map(_.rel.split('/')(1)) ++
@@ -3736,13 +3780,15 @@ object TxTable {
           snap.props + (EqDeletesProp -> renderEqDeletes(
             existingDels :+ EqDelete(v, rel, cols, nDel)))
         }
-        if (commitNext(fs, table, snap, adds = newEntries,
+        val committed = commitNext(fs, table, snap, adds = newEntries,
             removes = Set.empty, txn = Some((appId, batchId)),
             schema = Some(evolvedSchema(spark, table, snap,
               toPhysical(taggedLogical,
                 Snapshot(-1L, Seq.empty, renames = stagedRenames)).schema)),
             bucketing = Some((snap.physicalName(key), nBuckets)),
-            props = Some(props)))
+            props = Some(props))
+        __t = tmark("commit", __t)
+        if (committed)
           return true
         attempt += 1
         if (attempt > maxRetries) {

@@ -2725,7 +2725,7 @@ final class TxScan(path: String, snap: TxTable.Snapshot,
     }
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val size = entries.map(e => TxFileSizes.of(fs, path, e.rel)).sum
+    val size = entries.map(e => TxFileSizes.of(fs, path, e)).sum
     val rows = entries.map(_.liveRows)
     // column-level stats for the CBO: the zone-map sidecars fold into
     // per-column (min, max, nullCount) over exactly the planned file
@@ -2845,10 +2845,11 @@ private[sources] object TxScanPlanning {
     entries.sortBy(e => (e.bucket, e.rel)).zipWithIndex.map {
       case (e, i) =>
         val p = new Path(s"$path/${e.rel}")
-        val st = fs.getFileStatus(p)
+        // length from the manifest's recorded statistic (zero metadata
+        // RPCs at plan time); legacy entries degrade to one cached stat
         GraftParquetShim.bucketFilePartition(i,
-          Array(GraftParquetShim.partitionedFile(p.toString, st.getLen,
-            st.getModificationTime)), e.bucket,
+          Array(GraftParquetShim.partitionedFile(p.toString,
+            TxFileSizes.of(fs, path, e), 0L)), e.bucket,
           TxEqFold.merge(byRel.get(e.rel), eqBitmaps.get(e.rel)))
           : InputPartition
     }.toArray
@@ -3105,7 +3106,7 @@ private[sources] object TxRuntimePrune {
   * would otherwise accrete one entry per ever-seen file forever; past
   * the cap the map is simply cleared (a miss is one cheap metadata RPC,
   * and correctness never depends on a hit). */
-private[sources] object TxFileSizes {
+private[graft] object TxFileSizes {
   private val MaxEntries = 100000
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -3116,6 +3117,12 @@ private[sources] object TxFileSizes {
       k => java.lang.Long.valueOf(fs.getFileStatus(new Path(k)).getLen))
       .longValue()
   }
+  /** Entry length: the manifest's recorded `b:` statistic when present
+    * (zero filesystem calls — every post-round-15 commit records it),
+    * else one cached stat (legacy entries). */
+  def of(fs: org.apache.hadoop.fs.FileSystem, table: String,
+         e: graft.ops.TxTable.FileEntry): Long =
+    e.bytes.getOrElse(of(fs, table, e.rel))
 }
 
 /** The bucket layout column surfaced as a metadata column. */
@@ -3946,9 +3953,9 @@ final class TxMicroBatchStream(path: String, dataSchema: StructType,
     def pf(en: TxTable.FileEntry): org.apache.spark.sql.execution
         .datasources.PartitionedFile = {
       val p = new Path(s"$path/${en.rel}")
-      val st = fs.getFileStatus(p)
-      GraftParquetShim.partitionedFile(p.toString, st.getLen,
-        st.getModificationTime)
+      // manifest-recorded length; legacy entries → one cached stat
+      GraftParquetShim.partitionedFile(p.toString,
+        TxFileSizes.of(fs, path, en), 0L)
     }
     val grouped: Seq[(Int, Array[org.apache.spark.sql.execution
         .datasources.PartitionedFile], Option[(String, Array[Byte])])] =
@@ -4915,7 +4922,7 @@ private[sources] object TxMetaTables {
             e.rows.map(java.lang.Long.valueOf).orNull,
             e.dv.fold(0L)(_.ndel),
             e.dv.map(d => UTF8String.fromString(d.rel)).orNull,
-            fs.getFileStatus(new Path(s"$path/${e.rel}")).getLen,
+            TxFileSizes.of(fs, path, e),
             e.addV.map(java.lang.Long.valueOf).orNull,
             e.base.map(b => java.lang.Long.valueOf(b._1)).orNull))
           : InternalRow
@@ -5004,8 +5011,7 @@ private[sources] object TxMetaTables {
               es.map(_.bucket).distinct.size,
               rows,
               es.map(_.dv.fold(0L)(_.ndel)).sum,
-              es.map(e => fs.getFileStatus(
-                new Path(s"$path/${e.rel}")).getLen).sum)): InternalRow
+              es.map(e => TxFileSizes.of(fs, path, e)).sum)): InternalRow
         }.toArray
     })
   }
@@ -5448,8 +5454,7 @@ object TxProcedures {
             if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
             else None
           val ndel = es.flatMap(_.dv).map(_.ndel).sum
-          val bytes = es.map(e => fs.getFileStatus(
-            new Path(s"$path/${e.rel}")).getLen).sum
+          val bytes = es.map(e => TxFileSizes.of(fs, path, e)).sum
           val delFrac = rowsOpt.filter(_ > 0)
             .map(r => ndel.toDouble / r).getOrElse(if (ndel > 0) 1.0 else 0.0)
           val rec =

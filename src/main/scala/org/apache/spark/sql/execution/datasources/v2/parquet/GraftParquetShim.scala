@@ -77,6 +77,61 @@ object GraftParquetShim {
       : FilePartition with HasPartitionKey =
     new GraftBucketFilePartition(index, files, bucketId, dv)
 
+  /** A [[org.apache.spark.sql.execution.datasources.FileIndex]] over an
+    * EXPLICIT status list — the manifest-backed read path: every file's
+    * path and length come from the table's own commit metadata, so
+    * planning performs ZERO filesystem listing (no `InMemoryFileIndex`
+    * job over the path set) and zero per-file stats. This is the property
+    * manifest table formats are built for (guide §6: manifest metadata
+    * avoids directory listing altogether); the statuses' lengths feed
+    * split planning (`maxPartitionBytes`) exactly like listed ones. */
+  private final class GraftManifestFileIndex(
+      statuses: Seq[org.apache.hadoop.fs.FileStatus])
+      extends org.apache.spark.sql.execution.datasources.FileIndex {
+    override def rootPaths: Seq[org.apache.hadoop.fs.Path] =
+      statuses.map(_.getPath)
+    override def listFiles(
+        partitionFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+        dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[org.apache.spark.sql.execution.datasources.PartitionDirectory] =
+      Seq(org.apache.spark.sql.execution.datasources.PartitionDirectory(
+        InternalRow.empty, statuses.toArray))
+    override def inputFiles: Array[String] =
+      statuses.map(_.getPath.toString).toArray
+    override def refresh(): Unit = ()
+    override def sizeInBytes: Long = statuses.map(_.getLen).sum
+    override def partitionSchema: StructType = new StructType()
+  }
+
+  /** A parquet DataFrame over an explicit (path, length) file list with a
+    * KNOWN schema: no listing job, no schema inference, no per-file
+    * footer or stat calls at plan time — identical execution to
+    * `spark.read.schema(s).parquet(paths: _*)` (same `HadoopFsRelation` +
+    * `ParquetFileFormat` scan, same codegen/vectorized reader, metadata
+    * columns like `_metadata.row_index` included), minus the
+    * `InMemoryFileIndex` work. Lengths must be the files' true sizes
+    * (they bound split planning); modification times are irrelevant to
+    * the parquet reader and are stamped 0. */
+  def parquetFromStatuses(spark: SparkSession, schema: StructType,
+                          files: Seq[(String, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    val statuses = files.map { case (p, len) =>
+      new org.apache.hadoop.fs.FileStatus(len, false, 1, 128L * 1024 * 1024,
+        0L, new org.apache.hadoop.fs.Path(p))
+    }
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new GraftManifestFileIndex(statuses),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+  }
+
   /** Driver-side hadoop conf for [[rowParquetWriter]]: newHadoopConf plus
     * the keys ParquetWriteSupport.init ASSERTS are explicitly present
     * (Spark's prepareWrite sets them; a bare session conf only carries

@@ -54,8 +54,8 @@ class TxTableSpec extends AnyFunSuite {
     logDir.listFiles().filter(_.getName.endsWith(".manifest")).foreach { f =>
       val stripped = scala.io.Source.fromFile(f).getLines().map { line0 =>
         // a LEGACY manifest has neither counts nor the tagged trailing
-        // fields (rid:/v:) — drop the tags first, then the count field
-        val line = line0.replaceAll("\t(rid|v):[^\t]*", "")
+        // fields (rid:/v:/b:) — drop the tags first, then the count field
+        val line = line0.replaceAll("\t(rid|v|b):[^\t]*", "")
         val parts = line.split('\t')
         if (line.startsWith("txtable")) line
         else if (parts.length == 3 && parts(0) != "-") // full-body line
