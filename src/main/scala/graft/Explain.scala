@@ -21,7 +21,7 @@ object Explain {
     val suffix = if (args.length > 3) args(3) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val spark = Sessions.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)

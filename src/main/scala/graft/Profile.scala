@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 
@@ -18,7 +18,7 @@ object Profile {
     val nRuns = if (args.length > 2) args(2).toInt else 1
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = SparkSession.builder()
+    val spark = Sessions.tuned(SparkSession.builder())
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
@@ -56,9 +56,35 @@ object Profile {
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.synchronized { byId.get(je.jobId).foreach(_.end = je.time) }
     }
+    // per-stage task rollup: where does wall time go INSIDE a job —
+    // executor compute vs per-task launch overhead (tasks × ~ms each is
+    // the local-mode "32 cores slower than 8" signature)
+    case class StageAgg(var tasks: Int = 0, var runMs: Long = 0L,
+                        var spanMs: Long = 0L, var maxSpanMs: Long = 0L,
+                        var gcMs: Long = 0L, var firstLaunch: Long = Long.MaxValue,
+                        var lastFinish: Long = 0L)
+    val stages = mutable.LinkedHashMap[Int, StageAgg]()
+    val taskListener = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) stages.synchronized {
+          val a = stages.getOrElseUpdate(te.stageId, StageAgg())
+          a.tasks += 1
+          a.runMs += m.executorRunTime
+          val span = te.taskInfo.finishTime - te.taskInfo.launchTime
+          a.spanMs += span
+          a.maxSpanMs = math.max(a.maxSpanMs, span)
+          a.gcMs += m.jvmGCTime
+          a.firstLaunch = math.min(a.firstLaunch, te.taskInfo.launchTime)
+          a.lastFinish = math.max(a.lastFinish, te.taskInfo.finishTime)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(taskListener)
     spark.sparkContext.addSparkListener(listener)
     (1 to nRuns).foreach { i =>
       jobs.synchronized { jobs.clear(); byId.clear() }
+      stages.synchronized { stages.clear() }
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -77,6 +103,13 @@ object Profile {
       }
       val jobSum = snap.collect { case j if j.end > 0 => (j.end - j.start) / 1000.0 }.sum
       println(f"[profile] job time sum $jobSum%.3f s of $wall%.3f s wall")
+      val stageSnap = stages.synchronized { stages.toVector.sortBy(_._1) }
+      stageSnap.foreach { case (sid, a) =>
+        val stageWall = if (a.lastFinish > 0) (a.lastFinish - a.firstLaunch) / 1000.0 else 0.0
+        println(f"[profile]   stage $sid%4d tasks ${a.tasks}%4d wall $stageWall%7.3f s run ${a.runMs / 1000.0}%7.3f s span ${a.spanMs / 1000.0}%7.3f s maxspan ${a.maxSpanMs / 1000.0}%7.3f s gc ${a.gcMs / 1000.0}%6.3f s")
+      }
+      val launchOverhead = stageSnap.map(s => s._2.spanMs - s._2.runMs).sum / 1000.0
+      println(f"[profile] total task span-run overhead $launchOverhead%.3f s over ${stageSnap.map(_._2.tasks).sum} tasks")
       val sc = graft.ops.TxTable.snapshotCalls.getAndSet(0L)
       val sn = graft.ops.TxTable.snapshotNanos.getAndSet(0L) / 1e9
       if (sc > 0) println(f"[profile] snapshot() calls $sc%d, time $sn%.3f s")

@@ -445,6 +445,13 @@ object SparkEntry {
   private val stagedCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Row-id watermark of the lineage fixture as of its original load
+    * commits — read from the staged table's manifest PROPERTY during
+    * staging (a metadata lookup, not a count job); see
+    * [[stagedLineageOrders]]. */
+  private val stagedLineageWatermarks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private[graft] def stagedCount(s: SparkSession, dir: String,
                                  table: String): Long =
     stagedCounts.computeIfAbsent(
@@ -1057,6 +1064,14 @@ object SparkEntry {
       ops.TxTable.enableRowTracking(s, path)
       ops.TxTable.appendOnce(s, path, orders.filter(col("k") % 3 === 0),
         "k", 8, appId = "lineage-stage", batchId = 1L)
+      // the originally-allocated id range is [0, watermark) as of the last
+      // ORIGINAL load commit (init + append cover every orders row, so the
+      // watermark here equals |orders|) — record it from the manifest
+      // PROPERTY, a pure metadata read, so the audit query never needs a
+      // count job over the raw fixture
+      stagedLineageWatermarks.put(path,
+        ops.TxTable.snapshot(s, path).props(ops.TxTable.RowWatermarkProp)
+          .toLong)
       ops.TxTable.deleteWhereMor(s, path, col("k") % 10 === 0)
       ops.TxTable.compact(s, path, maxFilesPerBucket = 1)
       val updates = orders
@@ -3366,10 +3381,11 @@ object SparkEntry {
     // from the fixture's predicates over the raw orders.
     "ext_row_lineage" -> ((s, dir) => {
       val path = stagedLineageOrders(s, dir)
-      // |orders| is landing-job metadata (manifest row counts), staged
-      // once per session like every stagedCount consumer — not a
-      // per-invocation driver count job
-      val n0 = stagedCount(s, dir, "orders")
+      // the original id-allocation boundary comes from the staged table's
+      // OWN manifest (graft.rowIdWatermark as of the original load commits,
+      // recorded at staging) — honest table metadata, no count job over the
+      // raw fixture anywhere in this query's lifetime
+      val n0 = stagedLineageWatermarks.get(path): Long
       val lin = ops.TxTable.readLineage(s, path)
       val vmax = lin.agg(max(col("_row_commit_version")).as("__vmax"))
       lin.crossJoin(broadcast(vmax))

@@ -119,16 +119,28 @@ object BpeOps {
     java.util.Arrays.copyOfRange(syms, 0, len)
   }
 
-  /** Per-thread word → tokens memo, scoped to one merge list (`key` is
-    * the identity of the thread's current merge table; a different table
-    * resets the memo). Bounded; cleared wholesale on overflow. */
+  /** PROCESS-WIDE word → tokens memo, one map per merge table (keyed by
+    * the merge array's identity). Word distributions are Zipfian, so the
+    * encode cost of a corpus slice is dominated by its distinct words —
+    * with a per-THREAD memo every one of `local[32]`'s task threads paid
+    * that vocabulary cost again (measured: the ext_bpe_tokens encode stage
+    * burned ~310 ms of executor time PER TASK, near-constant in the rows
+    * per task — 10 s of CPU across 32 tasks for 0.34 s of single-thread
+    * work). Sharing one ConcurrentHashMap makes each distinct word encode
+    * once per executor; `computeIfAbsent` both dedups concurrent encodes of
+    * the same hot word and publishes the result safely (the value array is
+    * written once and never mutated). Bounded; cleared wholesale on
+    * overflow, same policy as before. */
   private object EncodeCache {
-    final class State {
-      var key: AnyRef = null
-      val map = scala.collection.mutable.HashMap.empty[String, Array[String]]
+    private val byTable =
+      new java.util.concurrent.ConcurrentHashMap[AnyRef,
+        java.util.concurrent.ConcurrentHashMap[String, Array[String]]]()
+    def forTable(key: AnyRef)
+        : java.util.concurrent.ConcurrentHashMap[String, Array[String]] = {
+      if (byTable.size > 8) byTable.clear() // stale merge tables (re-staged)
+      byTable.computeIfAbsent(key,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, Array[String]]())
     }
-    val tl: ThreadLocal[State] =
-      ThreadLocal.withInitial(() => new State)
   }
 
   /** Row-local BPE encoding of a text column against a learned merge
@@ -144,14 +156,17 @@ object BpeOps {
     val bs = merges.map(_._2).toArray
     val abs = merges.map { case (a, b) => a + b }.toArray
     val enc = udf { (t: String) =>
-      val st = EncodeCache.tl.get()
-      if (st.key ne as) { st.map.clear(); st.key = as }
+      val memo = EncodeCache.forTable(as)
       if (t == null) null
       else t.toLowerCase(java.util.Locale.ROOT).split("\\s+")
         .iterator.filter(_.nonEmpty)
         .flatMap { w =>
-          if (st.map.size > 65536) st.map.clear()
-          st.map.getOrElseUpdate(w, encodeWord(w, as, bs, abs))
+          var r = memo.get(w)
+          if (r == null) {
+            if (memo.size > 65536) memo.clear()
+            r = memo.computeIfAbsent(w, encodeWord(_, as, bs, abs))
+          }
+          r
         }.toSeq
     }
     enc(text)

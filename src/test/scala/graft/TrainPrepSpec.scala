@@ -325,6 +325,29 @@ class TrainPrepSpec extends AnyFunSuite {
     assert(none.forall(_.length == 1))
   }
 
+  test("bpeEncode: process-wide memo is keyed by merge table, not poisoned across tables") {
+    import graft.ops.BpeOps
+    // the word→tokens memo is shared across task threads (one encode per
+    // distinct word per executor); interleaving two different merge tables
+    // over the SAME words must still produce each table's own encoding —
+    // a miskeyed or shared-entry memo would serve table A's tokens to
+    // table B. Run under real task parallelism to exercise the concurrent
+    // computeIfAbsent path.
+    val words = (0 until 2000).map(i => (i.toLong, s"wewe$i lower$i low"))
+    val df = spark.createDataFrame(words).toDF("doc_id", "text")
+      .repartition(8)
+    val mA = Seq(("w", "e"))
+    val mB = Seq(("l", "o"), ("lo", "w"))
+    (1 to 2).foreach { _ =>
+      val a = df.select(BpeOps.bpeEncode($"text", mA).as("t"))
+        .as[Seq[String]].collect()
+      assert(a.forall(t => t.contains("we") && !t.contains("low")))
+      val b = df.select(BpeOps.bpeEncode($"text", mB).as("t"))
+        .as[Seq[String]].collect()
+      assert(b.forall(t => t.contains("low") && !t.contains("we")))
+    }
+  }
+
   test("charBigramLM: reference-like text scores lower NLL than gibberish; short text null") {
     val lm = TextOps.trainCharBigramLM(docs.filter($"lang" === "en"))
     assert(lm.vocab > 0 && lm.bigrams.nonEmpty)
