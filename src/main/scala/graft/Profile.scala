@@ -82,12 +82,46 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(taskListener)
     spark.sparkContext.addSparkListener(listener)
+    // optional driver-side stack sampler (guide §7.3 in-process): with
+    // SPARK_GRAFT_PROFILE_STACKS=1, sample every thread every 10 ms during
+    // the timed run and print the hottest non-idle frames — the local-mode
+    // stand-in for repeated jstack when wall >> job time (driver gaps)
+    val sampleStacks = sys.env.get("SPARK_GRAFT_PROFILE_STACKS").contains("1")
+    val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Integer]()
+    @volatile var sampling = false
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          Thread.getAllStackTraces.forEach { (t, st) =>
+            // main drives batch queries; the stream-execution thread drives
+            // micro-batches (main just awaits termination there)
+            if ((t.getName == "main" ||
+                 t.getName.contains("stream execution")) && st.nonEmpty &&
+                t.getState == Thread.State.RUNNABLE) {
+              val frame = st.iterator
+                .find(f => f.getClassName.startsWith("graft") ||
+                  f.getClassName.contains("MicroBatch") ||
+                  f.getClassName.contains("StreamExecution"))
+                .getOrElse(st.head)
+              val k = s"${frame.getClassName.replaceAll("^.*\\.(?=[^.]+\\.[^.]+$)", "")}.${frame.getMethodName}"
+              frameCounts.merge(k, 1, (a, b) => a + b)
+            }
+          }
+        }
+        Thread.sleep(10)
+      }
+    })
+    sampler.setDaemon(true)
+    if (sampleStacks) sampler.start()
     (1 to nRuns).foreach { i =>
       jobs.synchronized { jobs.clear(); byId.clear() }
       stages.synchronized { stages.clear() }
+      frameCounts.clear()
+      sampling = true
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      sampling = false
       clearCaches()
       Thread.sleep(200) // let late listener events drain
       val snap = jobs.synchronized { jobs.toVector.sortBy(_.start) }
@@ -113,6 +147,13 @@ object Profile {
       val sc = graft.ops.TxTable.snapshotCalls.getAndSet(0L)
       val sn = graft.ops.TxTable.snapshotNanos.getAndSet(0L) / 1e9
       if (sc > 0) println(f"[profile] snapshot() calls $sc%d, time $sn%.3f s")
+      if (sampleStacks) {
+        import scala.jdk.CollectionConverters._
+        val top = frameCounts.asScala.toSeq.sortBy(-_._2.intValue).take(20)
+        top.foreach { case (k, n) =>
+          println(f"[profile]   main-thread ${n.intValue * 10}%6d ms  $k")
+        }
+      }
     }
     spark.stop()
   }

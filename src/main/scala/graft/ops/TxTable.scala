@@ -1306,10 +1306,65 @@ object TxTable {
   def snapshot(spark: SparkSession, table: String,
                version: Option[Long] = None): Snapshot = {
     val __t0 = System.nanoTime()
-    try snapshotImpl(spark, table, version)
+    try snapshotCached(spark, table, version)
     finally {
       snapshotCalls.incrementAndGet()
       snapshotNanos.addAndGet(System.nanoTime() - __t0)
+    }
+  }
+
+  /** Resolved snapshots keyed by (table, version), validated against the
+    * anchor manifest file's (mtime, length): committed manifests are
+    * IMMUTABLE (atomicPublish is create-if-absent), so a (table, version)
+    * resolution can be reused for the life of the JVM — the validation
+    * stamp only exists to catch a table DELETED OUT-OF-BAND and re-created
+    * at the same path reaching the same version number (staged fixtures do
+    * exactly this), where the new manifest's mtime/length differ. This is
+    * the Delta SnapshotManagement idea: streaming sinks and the DSv2
+    * catalog resolve the same versions dozens of times per micro-batch
+    * (measured: 529 resolutions, 0.86 s, per ext_stream_epochs invocation),
+    * and every resolution after the first is a cache hit + one
+    * getFileStatus instead of a log walk. Latest-version discovery is
+    * NEVER cached — `version = None` always re-lists the log directory, so
+    * new commits are visible immediately. */
+  private val snapByVer = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), (Long, Long, Snapshot)]()
+
+  private[graft] def invalidateSnapshots(table: String): Unit = {
+    snapCache.remove(table)
+    val it = snapByVer.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == table) it.remove()
+  }
+
+  private def snapshotCached(spark: SparkSession, table: String,
+                             version: Option[Long]): Snapshot = {
+    val fs = fsFor(spark, table)
+    val v = version.getOrElse {
+      val vs = listVersions(fs, table)
+      require(vs.nonEmpty, s"$table is not a TxTable (no committed manifest)")
+      vs.max
+    }
+    // the validation stamp comes from whichever anchor artifact exists for
+    // this version (delta/full manifest, else checkpoint sidecar); a
+    // version with neither resolves through snapshotImpl's loud failure
+    val st =
+      try fs.getFileStatus(versionPath(table, v))
+      catch { case _: java.io.FileNotFoundException =>
+        try fs.getFileStatus(checkpointPath(table, v))
+        catch { case _: java.io.FileNotFoundException => null }
+      }
+    if (st == null) snapshotImpl(spark, table, Some(v))
+    else {
+      val k = (table, v)
+      val c = snapByVer.get(k)
+      if (c != null && c._1 == st.getModificationTime && c._2 == st.getLen)
+        c._3
+      else {
+        val s = snapshotImpl(spark, table, Some(v))
+        if (snapByVer.size > 512) snapByVer.clear()
+        snapByVer.put(k, (st.getModificationTime, st.getLen, s))
+        s
+      }
     }
   }
 
@@ -3155,6 +3210,9 @@ object TxTable {
     require(tryCommit(fs, table, 0L, entries, txn = txn, schema = Some(schema),
         bucketing = Some((key, nBuckets))),
       s"$table already initialized (version 0 exists)")
+    // a fresh init at a path deleted OUT-OF-BAND (rm -r, not drop()) must
+    // not serve the old table's cached resolutions
+    invalidateSnapshots(table)
     Snapshot(0L, entries, Some(schema), Some((key, nBuckets)))
   }
 
@@ -3180,6 +3238,7 @@ object TxTable {
         schema = Some(full), bucketing = Some((key, nBuckets)),
         props = props),
       s"$table already initialized (version 0 exists)")
+    invalidateSnapshots(table) // same out-of-band re-create defense as init
     Snapshot(0L, Seq.empty, Some(full), Some((key, nBuckets)),
       props = props)
   }
@@ -3195,7 +3254,7 @@ object TxTable {
     else {
       fs.delete(new Path(table, "files"), true)
       fs.delete(logDir(table), true)
-      snapCache.remove(table)
+      invalidateSnapshots(table)
       true
     }
   }
