@@ -62,7 +62,7 @@ object Profile {
     case class StageAgg(var tasks: Int = 0, var runMs: Long = 0L,
                         var spanMs: Long = 0L, var maxSpanMs: Long = 0L,
                         var gcMs: Long = 0L, var firstLaunch: Long = Long.MaxValue,
-                        var lastFinish: Long = 0L)
+                        var lastFinish: Long = 0L, var deserMs: Long = 0L)
     val stages = mutable.LinkedHashMap[Int, StageAgg]()
     val taskListener = new SparkListener {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
@@ -75,6 +75,7 @@ object Profile {
           a.spanMs += span
           a.maxSpanMs = math.max(a.maxSpanMs, span)
           a.gcMs += m.jvmGCTime
+          a.deserMs += m.executorDeserializeTime
           a.firstLaunch = math.min(a.firstLaunch, te.taskInfo.launchTime)
           a.lastFinish = math.max(a.lastFinish, te.taskInfo.finishTime)
         }
@@ -140,7 +141,7 @@ object Profile {
       val stageSnap = stages.synchronized { stages.toVector.sortBy(_._1) }
       stageSnap.foreach { case (sid, a) =>
         val stageWall = if (a.lastFinish > 0) (a.lastFinish - a.firstLaunch) / 1000.0 else 0.0
-        println(f"[profile]   stage $sid%4d tasks ${a.tasks}%4d wall $stageWall%7.3f s run ${a.runMs / 1000.0}%7.3f s span ${a.spanMs / 1000.0}%7.3f s maxspan ${a.maxSpanMs / 1000.0}%7.3f s gc ${a.gcMs / 1000.0}%6.3f s")
+        println(f"[profile]   stage $sid%4d tasks ${a.tasks}%4d wall $stageWall%7.3f s run ${a.runMs / 1000.0}%7.3f s deser ${a.deserMs / 1000.0}%7.3f s span ${a.spanMs / 1000.0}%7.3f s maxspan ${a.maxSpanMs / 1000.0}%7.3f s gc ${a.gcMs / 1000.0}%6.3f s")
       }
       val launchOverhead = stageSnap.map(s => s._2.spanMs - s._2.runMs).sum / 1000.0
       println(f"[profile] total task span-run overhead $launchOverhead%.3f s over ${stageSnap.map(_._2.tasks).sum} tasks")

@@ -492,6 +492,40 @@ object DedupOps {
         i => array_join(slice(col("toks"), i + 1, lit(k)), " "))))
       .select(col("doc_id"), col("pos"), col("col").as("g"))
 
+  /** One tokenize + gram-HASH pass over the corpus, persisted in the
+    * 1-row-per-doc form `(doc_id, toks, ghs)` — `ghs(i)` is
+    * `xxhash64(<k-token gram string at position i>)`, bit-identical to
+    * hashing [[gramPositions]]' `g` column. The duplicated-span operators
+    * consume the gram relation two or three times (first-occurrence
+    * aggregate, position probe, token rebuild); without this persist each
+    * consumer re-ran the expensive row-local split + per-position
+    * array_join + hash (measured: three ~32-task stages of 1.4–2.1 s
+    * executor time each on ext_dedup_excise at sf0.1). Persisting the
+    * per-doc ARRAY form keeps the cached footprint O(corpus tokens) longs
+    * — kBs per document, the same convention as [[ngramJaccardPairs]]'
+    * shingle base — never the exploded relation. Eagerly populated so
+    * concurrent downstream stages don't race to fill the cache; released
+    * by the runner's per-query cache clear. */
+  private def gramHashBase(docs: DataFrame, k: Int): DataFrame = {
+    val base = OpsUtil.spread(docs)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("ghs", when(size(col("toks")) >= k,
+        transform(sequence(lit(0), (size(col("toks")) - k).cast("int")),
+          i => xxhash64(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+        .otherwise(array().cast("array<long>")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
+    base
+  }
+
+  /** The exploded `(gh, doc_id, pos)` view of [[gramHashBase]] — a cheap
+    * projection of the persisted per-doc arrays (docs shorter than k
+    * grams have an empty array and vanish, same as gramPositions'
+    * length filter). */
+  private def gramHashPositions(base: DataFrame): DataFrame =
+    base.select(col("doc_id"), posexplode(col("ghs")).as(Seq("pos", "gh")))
+      .select(col("gh"), col("doc_id"), col("pos"))
+
   /** Merge consecutive duplicated positions into maximal spans
     * (gaps-and-islands): positions are unique per doc, so pos − row_number
     * is constant exactly within a consecutive run. One doc_id-keyed
@@ -539,8 +573,10 @@ object DedupOps {
     * the collision-free audit sibling. */
   def duplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val grams = gramPositions(docs, k)
-      .select(col("doc_id"), col("pos"), xxhash64(col("g")).as("gh"))
+    // both consumers (occurrence count, position probe) read the one
+    // persisted gram-hash pass instead of re-tokenizing the corpus
+    val grams = gramHashPositions(gramHashBase(docs, k))
+      .select(col("doc_id"), col("pos"), col("gh"))
     // __ghx (a derived function of gh) is load-bearing, not noise: grouping
     // by (gh, __ghx) leaves the aggregate's output partitioned by a key the
     // join cannot reuse, so EnsureRequirements inserts a fresh exchange of
@@ -621,11 +657,11 @@ object DedupOps {
     * sibling. */
   def exciseDuplicatedSpans(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val toks = OpsUtil.spread(docs)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-    val grams = gramPositions(docs, k)
-      .select(xxhash64(col("g")).as("gh"), col("doc_id"), col("pos"))
-    rebuildWithoutSpans(toks, redundantPositions(grams), k)
+    // all three consumers (first-occurrence aggregate, position probe,
+    // token rebuild) share the one persisted tokenize + gram-hash pass
+    val base = gramHashBase(docs, k)
+    rebuildWithoutSpans(base.select(col("doc_id"), col("toks")),
+      redundantPositions(gramHashPositions(base)), k)
   }
 
   /** Distinct 64-bit gram hashes of a corpus slice — the staged INDEX for
@@ -672,10 +708,12 @@ object DedupOps {
   def exciseAgainstIndex(batch: DataFrame, index: DataFrame,
                          k: Int = 8): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val toks = OpsUtil.spread(batch)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-    val grams = gramPositions(batch, k)
-      .select(xxhash64(col("g")).as("gh"), col("doc_id"), col("pos"))
+    // shared persisted tokenize + gram-hash pass, as in
+    // [[exciseDuplicatedSpans]] (consumers: index probe, within-batch
+    // first-occurrence aggregate + position probe, token rebuild)
+    val base = gramHashBase(batch, k)
+    val toks = base.select(col("doc_id"), col("toks"))
+    val grams = gramHashPositions(base)
     val vsIndex =
       if (index.columns.contains("doc_id")) {
         val idx = index.select(col("gh").as("__igh"),

@@ -454,13 +454,26 @@ object SimilarityOps {
                     levels: Int = 256): DataFrame = {
     val coded = OpsUtil.spread(corpus).select(col("vec_id"),
       quantizeExpr(col("embedding"), stats, levels).as("codes"))
-    coded.crossJoin(broadcast(queries.select(
+    // factor the per-SIDE work out of the |corpus| × |queries| hot loop:
+    // the reconstruction and its norm depend only on the corpus row, the
+    // query norm only on the query row — compute each ONCE below the cross
+    // join instead of once per pair (the pair expression previously re-ran
+    // dequantize + both norm folds per candidate). The factored expression
+    // is cosineHof verbatim — dot(a,b) / (norm(a) * norm(b)) with the same
+    // left-to-right folds and the same multiplication order — so every sim
+    // is bit-identical.
+    val recond = coded.select(col("vec_id"),
+      dequantizeExpr(col("codes"), stats, levels).as("__recon"))
+      .withColumn("__na", norm(col("__recon")))
+    val qs = queries.select(
         col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("query_vec"))))
+        col("embedding").cast("array<double>").as("query_vec"))
+      .withColumn("__nb", norm(col("query_vec")))
+    recond.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosineHof(dequantizeExpr(col("codes"), stats, levels),
-          col("query_vec")).as("sim"))
+        (dot(col("__recon"), col("query_vec")) / (col("__na") * col("__nb")))
+          .as("sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))))
