@@ -568,13 +568,22 @@ object SimilarityOps {
   def pqEncode(emb: Column, cbs: Array[Array[Array[Double]]]): Column = {
     val m = cbs.length
     val dsub = cbs.head.head.length
+    // the codebook matrix rides as a BROADCAST handle, not a closure
+    // capture: a captured array re-deserializes with every task binary
+    // (measured ~20 ms/task of executorDeserializeTime on the 32-task
+    // encode stages), while a broadcast value deserializes once per
+    // executor and the task ships an O(1) handle — the guide §4.5 shape,
+    // and the honest cost model at cluster scale too
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(cbs)
     val enc = udf { (v: Seq[Float]) =>
+      val cb = bc.value
       Array.tabulate(m) { s =>
         var bestJ = 0
         var best = Double.PositiveInfinity
         var j = 0
-        while (j < cbs(s).length) {
-          val cw = cbs(s)(j)
+        while (j < cb(s).length) {
+          val cw = cb(s)(j)
           var d2 = 0.0
           var d = 0
           while (d < dsub) {
@@ -611,9 +620,12 @@ object SimilarityOps {
     // past the Janino ceiling; same fixed-order arithmetic, bit-identical)
     // — so the per-candidate work is m codegen'd element_at lookups, no
     // higher-order functions in the |corpus| × |queries| hot loop
+    // broadcast handle, not closure capture — see [[pqEncode]]
+    val bcCbs = corpus.sparkSession.sparkContext.broadcast(cbs)
     val lutUdf = udf { (v: Seq[Float]) =>
+      val cb = bcCbs.value
       val qdots = Array.tabulate(m) { s =>
-        cbs(s).map { cw =>
+        cb(s).map { cw =>
           var dp = 0.0
           var d = 0
           while (d < dsub) {
@@ -689,13 +701,17 @@ object SimilarityOps {
   def pqEncodeDouble(v: Column, cbs: Array[Array[Array[Double]]]): Column = {
     val m = cbs.length
     val dsub = cbs.head.head.length
+    // broadcast handle, not closure capture — see [[pqEncode]]
+    val bc = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(cbs)
     val enc = udf { (r: Seq[Double]) =>
+      val cb = bc.value
       Array.tabulate(m) { s =>
         var bestJ = 0
         var best = Double.PositiveInfinity
         var j = 0
-        while (j < cbs(s).length) {
-          val cw = cbs(s)(j)
+        while (j < cb(s).length) {
+          val cw = cb(s)(j)
           var d2 = 0.0
           var d = 0
           while (d < dsub) {
@@ -817,16 +833,20 @@ object SimilarityOps {
     val centArr = cents.map(_._2)
     // query-side LUTs, once per query row: full-dim query·centroid dots,
     // per-subspace query·residual-codeword dots, query norm — all fixed-
-    // order loops (bit-identical to the oracle's ordered list_sum)
+    // order loops (bit-identical to the oracle's ordered list_sum).
+    // Index state rides as broadcast handles, not closure captures — see
+    // [[pqEncode]]
+    val bcLut = corpus.sparkSession.sparkContext.broadcast((centArr, cbs))
     val lut = udf { (v: Seq[Float]) =>
-      val qcell = centArr.map { c =>
+      val (ca, cb) = bcLut.value
+      val qcell = ca.map { c =>
         var dp = 0.0
         var i = 0
         while (i < c.length) { dp += v(i).toDouble * c(i).toDouble; i += 1 }
         dp
       }
       val qdots = Array.tabulate(m) { s =>
-        cbs(s).map { cw =>
+        cb(s).map { cw =>
           var dp = 0.0
           var d = 0
           while (d < dsub) { dp += v(s * dsub + d).toDouble * cw(d); d += 1 }
